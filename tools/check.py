@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [out_dir]
+  1. expects `sbt "runMain graft.Verify <sf_dir> <out_dir>"` already ran
+  2. registers the sf parquet tables as DuckDB views
+  3. runs each oracle_sql.json entry, compares vs the Spark parquet dump:
+     columns sorted by name, rows sorted, exact value compare.
+
+Dev-tool only (driver-side python libs); the shipped library is pure
+Scala/Spark.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style value hash: repr of the double
+        return repr(v)
+    return repr(v)
+
+
+def frame_key(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.sql(sql).df()
+            gc, gr = frame_key(got)
+            wc, wr = frame_key(want)
+            if gc != wc:
+                print(f"FAIL {name}: columns {gc} vs oracle {wc}")
+                n_fail += 1
+            elif len(gr) != len(wr):
+                print(f"FAIL {name}: rows {len(gr)} vs oracle {len(wr)}")
+                n_fail += 1
+            elif gr != wr:
+                bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+                print(f"FAIL {name}: first diff at sorted row {bad}:")
+                print(f"  spark : {gr[bad]}")
+                print(f"  oracle: {wr[bad]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(gr)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
