@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -22,15 +22,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.ts is physically TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to a micro-precision
-    * timestamp (the generator writes micro-precision values, so the
-    * division is exact).
+    * reader rejects; the session is built with
+    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession) so the
+    * column arrives as LONG nanos, converted here to a micro-precision
+    * timestamp. Integer division (`div`), NOT `/`: epoch-nano values
+    * (~1.7e18) exceed double's 2^53 exact range, so floating division
+    * followed by a cast truncates to timestamps off by 1µs.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

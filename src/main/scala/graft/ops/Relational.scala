@@ -324,15 +324,16 @@ object Relational {
     ),
     // A5 argmax: top-1 by count with deterministic tie-break (SURVEY
     // §7.4: reference Kuzu top-1 is unordered on ties; we pin key asc).
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // top-1 + driver merge, no single-partition window shuffle.
     QueryDef(
       "a5_argmax",
-      (s, d) => orderedByAll(
+      (s, d) =>
         Tables.orders(s, d)
           .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("n").desc, col("o_custkey").asc)))
-          .filter(col("rn") === 1)
-          .select("o_custkey", "n")),
+          .orderBy(col("n").desc, col("o_custkey").asc)
+          .limit(1)
+          .select("o_custkey", "n"),
       Some("""SELECT o_custkey, n FROM (
              |  SELECT o_custkey, count(*) AS n,
              |         row_number() OVER (ORDER BY count(*) DESC, o_custkey ASC) AS rn
