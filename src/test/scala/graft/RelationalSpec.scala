@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared QueryDef must run at sf0.001; spot values pinned. */
+class RelationalSpec extends SparkSpec {
+
+  for (q <- SparkEntry.allDefs) {
+    test(s"${q.name} runs and produces a well-formed result") {
+      val df = q.run(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+      assert(df.columns.distinct.length === df.columns.length,
+        "duplicate output column names break the oracle compare")
+    }
+  }
+
+  test("every oracle query's spark side aliases all computed columns") {
+    // un-aliased aggregates surface as names like "sum(x)" / "count(1)";
+    // the driver sorts columns by name so these never match DuckDB.
+    for (q <- SparkEntry.allDefs if q.oracle.isDefined) {
+      val cols = q.run(spark, sf).columns
+      val bad = cols.filter(c => c.contains("(") || c.contains(" "))
+      assert(bad.isEmpty, s"${q.name}: suspicious column names ${bad.mkString(",")}")
+    }
+  }
+
+  test("a1_group_agg matches hand-computed sf0.001 aggregate") {
+    val row = SparkEntry.queries("a1_group_agg")(spark, sf)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .collect()
+    assert(row.length === 1)
+    val want = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .count()
+    assert(row(0).getAs[Long]("n_rows") === want)
+  }
+
+  test("j6 anti + j7 semi partition customers against the filter") {
+    // semi(predicate) and anti(predicate) are complements over customer.
+    val total = graft.core.Tables.customer(spark, sf).count()
+    val anti = SparkEntry.queries("j6_anti_join")(spark, sf).count()
+    val semiPred = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_custkey").distinct().count()
+    assert(anti === total - semiPred)
+  }
+
+  test("w3_topk returns exactly k rows in descending price order") {
+    val rows = SparkEntry.queries("w3_topk")(spark, sf).collect()
+    assert(rows.length === 25)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
+
+/** Physical-plan properties that encode the 100TB design contract. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("j1/j3 dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("j1_join_inner").contains("BroadcastHashJoin"))
+    val p3 = plan("j3_multihop")
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+  }
+
+  test("s1 filter is pushed down to the parquet scan") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,500)]")
+      || p.contains("LessThan(l_orderkey,500)"), p.linesIterator.filter(_.contains("Pushed")).mkString)
+  }
+
+  test("a5_argmax and w3_topk use TakeOrderedAndProject, not global sort") {
+    assert(plan("a5_argmax").contains("TakeOrderedAndProject"))
+    assert(plan("w3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("s1 scan prunes columns to the projected set") {
+    val p = plan("s1_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"))
+  }
+}
