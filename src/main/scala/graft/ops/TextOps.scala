@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.text.TextFunctions._
+
+/** Text-analysis operator inventory over the `documents` table —
+  * token counting, language-ID, quality scoring, fingerprinting
+  * (training-data-pipeline surface; see graft.text.TextFunctions).
+  *
+  * Oracle SQL is generated from the SAME stopword constants and regex
+  * patterns as the Spark side, so the two can't drift.
+  */
+object TextOps {
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB: count of tokens (with multiplicity) found in `set`. */
+  private def sqlHits(toks: String, set: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains(${sqlList(set)}, t)))"
+
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val defs: Seq[QueryDef] = Seq(
+    // T1 token counting: word tokens, distinct tokens, BPE-ish subword
+    // count (cost estimation), chars. All per-row expressions: no
+    // shuffle at any scale except the final presentation sort.
+    QueryDef(
+      "t1_token_count",
+      (s, d) => orderedByAll(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_uniq"),
+          size(subTokens(col("text"))).as("n_subtok"),
+          length(col("text")).as("len"))),
+      Some(s"""SELECT doc_id,
+              |  len($sqlToks) AS n_tokens,
+              |  len(list_distinct($sqlToks)) AS n_uniq,
+              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_subtok,
+              |  length(text) AS len
+              |FROM documents ORDER BY ALL""".stripMargin)
+    ),
+    // T2 language-ID: stopword-profile classifier, reported as a
+    // confusion matrix against the generator's lang label. (The
+    // synthetic corpus is English-ish under every label, so accuracy
+    // is not meaningful here — the matrix exercises the operator.)
+    QueryDef(
+      "t2_lang_id",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        orderedByAll(
+          Tables.documents(s, d)
+            .select(col("lang"), langId(toks).as("pred"))
+            .groupBy("lang", "pred")
+            .agg(count(lit(1)).as("n")))
+      },
+      Some {
+        val en = sqlHits(sqlToks, stopwords("en"))
+        val es = sqlHits(sqlToks, stopwords("es"))
+        val fr = sqlHits(sqlToks, stopwords("fr"))
+        val de = sqlHits(sqlToks, stopwords("de"))
+        s"""SELECT lang,
+           |  CASE WHEN $en + $es + $fr + $de = 0 THEN 'und'
+           |       WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+           |       WHEN $es >= $fr AND $es >= $de THEN 'es'
+           |       WHEN $fr >= $de THEN 'fr'
+           |       ELSE 'de' END AS pred,
+           |  count(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+      }
+    ),
+    // T3 quality scoring: per-doc heuristic features + bucket, then a
+    // per-(source,bucket) rollup. Ratios are single IEEE divisions of
+    // exact ints — engine-portable bit-for-bit.
+    QueryDef(
+      "t3_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        orderedByAll(
+          Tables.documents(s, d)
+            .select(
+              col("source"),
+              qualityBucket(size(toks), punctRatio(col("text")),
+                stopwordRatio(toks)).as("bucket"))
+            .groupBy("source", "bucket")
+            .agg(count(lit(1)).as("n")))
+      },
+      Some {
+        val en = sqlHits(sqlToks, stopwords("en"))
+        s"""SELECT source,
+           |  CASE WHEN len($sqlToks) < 10 THEN 'too_short'
+           |       WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+           |              / CAST(length(text) AS DOUBLE) > 0.1 THEN 'noisy'
+           |       WHEN CAST($en AS DOUBLE) / CAST(len($sqlToks) AS DOUBLE) < 0.01 THEN 'unnatural'
+           |       ELSE 'ok' END AS bucket,
+           |  count(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+      }
+    ),
+    // T4 winnowing fingerprint: min-md5 over 8-char shingles of the
+    // normalized text; output per-doc. Pure map-side work.
+    QueryDef(
+      "t4_fingerprint",
+      (s, d) => orderedByAll(
+        Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+      Some("""SELECT doc_id,
+             |  list_min(list_transform(
+             |    range(1, greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 7, 1) + 1,
+             |          1),
+             |    i -> md5(substring(regexp_replace(lower(text), '\s+', ' ', 'g'), CAST(i AS INTEGER), 8)))) AS fp
+             |FROM documents ORDER BY ALL""".stripMargin)
+    )
+  )
+}

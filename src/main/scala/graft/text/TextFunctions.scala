@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * counting, language-ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression composition (no UDFs)
+  * so it stays inside whole-stage codegen and runs at scan speed — the
+  * operators a 100 TB training-data pipeline applies to every document
+  * exactly once must not leave the codegen'd hot path.
+  *
+  * The reference's text surface is FTS tokenization + keyword search
+  * (generate_note_embeddings.py:49); these extend it with the standard
+  * corpus-curation operators (quality/lang/fingerprint) that engine
+  * users run before indexing.
+  */
+object TextFunctions {
+
+  /** Lowercased alnum word tokens. Same pattern on the DuckDB oracle
+    * side (`regexp_extract_all`), so results are engine-portable.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish subword segmentation: letter runs, single digits, and
+    * single non-alnum marks — a deterministic approximation of
+    * byte-pair tokenizer granularity for cost estimation.
+    */
+  def subTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  /** Language-specific stopword inventories (tiny, deterministic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein")
+  )
+
+  /** Count of tokens that appear in `set` (with multiplicity). */
+  def hitCount(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(set.map(lit): _*), t)))
+
+  /** Stopword-profile language ID. Deterministic argmax with fixed
+    * priority order en > es > fr > de; 'und' when no stopword hits.
+    * A real n-gram model slots in behind the same Column signature.
+    */
+  def langId(toks: Column): Column = {
+    val en = hitCount(toks, stopwords("en"))
+    val es = hitCount(toks, stopwords("es"))
+    val fr = hitCount(toks, stopwords("fr"))
+    val de = hitCount(toks, stopwords("de"))
+    when(en + es + fr + de === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  /** Heuristic quality features: length, punctuation ratio, stopword
+    * ratio. Ratios are single IEEE divisions of exact ints — bitwise
+    * identical across engines.
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
+      length(text).cast("double")
+
+  def stopwordRatio(toks: Column): Column =
+    hitCount(toks, stopwords("en")).cast("double") / size(toks).cast("double")
+
+  /** Quality bucket from the features (threshold CASE — same tree on
+    * the oracle side).
+    */
+  def qualityBucket(nToks: Column, punct: Column, stop: Column): Column =
+    when(nToks < 10, lit("too_short"))
+      .when(punct > 0.1, lit("noisy"))
+      .when(stop < 0.01, lit("unnatural"))
+      .otherwise(lit("ok"))
+
+  /** Winnowing-style document fingerprint: minimum md5 over all k-char
+    * shingles of the normalized text. Shared shingles ⇒ shared minima,
+    * so near-identical docs collide; portable because md5 hex strings
+    * order identically everywhere.
+    */
+  def fingerprint(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val idx = sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)))
+    array_min(transform(idx, i => md5(norm.substr(i, lit(k)).cast("binary"))))
+  }
+
+  /** Exact-dup content key: md5 of whitespace-normalized lowercase text. */
+  def contentKey(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+}
