@@ -11,7 +11,8 @@ import graft.core.QueryDef
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    ops.Relational.defs ++ ops.TextOps.defs
+    ops.Relational.defs ++ ops.TextOps.defs ++ ops.DedupOps.defs ++
+      ops.VectorOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

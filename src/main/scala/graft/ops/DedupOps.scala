@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Deduplication operator inventory over `documents` / `embeddings`
+  * (training-data-pipeline surface; see graft.dedup.Dedup for the
+  * scale notes). Oracle SQL is generated from the same constants
+  * (shingle k, seeds, bands, thresholds) as the Spark side.
+  */
+object DedupOps {
+
+  // shared constants — single source of truth for Spark AND oracle SQL
+  private val ShingleK = 3
+  private val NumHashes = 12
+  private val NBands = 4
+  private val RowsPerBand = 3
+  private val MinJaccard = 0.5
+  private val SimhashBits = 16
+  // cosine threshold τ as exact rational τ² = TauNumSq/TauDenSq.
+  // τ=0.4 here: the synthetic embeddings top out at cos≈0.47, so a
+  // production-style τ=0.95 would make the check vacuous (0 pairs);
+  // the arithmetic is threshold-independent.
+  private val TauNumSq = 16L
+  private val TauDenSq = 100L
+
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** DuckDB word-shingle CTE body (same semantics as Dedup.wordShingles). */
+  private val sqlShingleCte =
+    s"""sh AS (
+       |  SELECT doc_id AS id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - ${ShingleK - 1}, 1) + 1, 1),
+       |           i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS shingles
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // D1 exact dedup: hash-groupBy on normalized content. One shuffle
+    // on the 16-byte key regardless of document size — the canonical
+    // first pass of any corpus dedup at 100 TB.
+    QueryDef(
+      "d1_exact_dedup",
+      (s, d) => orderedByAll(
+        Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key,
+             |       min(doc_id) AS rep_id, count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // D2 n-gram Jaccard near-dup: shared-shingle blocking join (never
+    // a cross product), exact Jaccard from intersection counts.
+    QueryDef(
+      "d2_jaccard_pairs",
+      (s, d) => orderedByAll(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          ShingleK, MinJaccard)),
+      Some(
+        s"""WITH $sqlShingleCte,
+           |post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+           |common AS (
+           |  SELECT x.id AS id_a, y.id AS id_b, x.n AS n_a, y.n AS n_b, count(*) AS common
+           |  FROM post x JOIN post y ON x.shingle = y.shingle AND x.id < y.id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT id_a, id_b,
+           |       CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+           |FROM common
+           |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= $MinJaccard
+           |ORDER BY ALL""".stripMargin)
+    ),
+    // D3 MinHash + LSH: 12 min-wise hashes, 4 bands × 3 rows; band
+    // collision → candidate pair → exact-Jaccard verify. The band join
+    // is the only shuffle; signature build is map-side.
+    QueryDef(
+      "d3_minhash_lsh",
+      (s, d) => orderedByAll(
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          ShingleK, Dedup.seeds(NumHashes), NBands, RowsPerBand, MinJaccard)),
+      Some {
+        val sigExprs = Dedup.seeds(NumHashes).map { seed =>
+          s"coalesce(list_min(list_transform(shingles, s -> md5('$seed' || s))), md5('$seed'))"
+        }
+        val bandExprs = (0 until NBands).map { b =>
+          val parts = (0 until RowsPerBand).map(r => s"sig[${b * RowsPerBand + r + 1}]")
+          s"'$b:' || ${parts.mkString(" || ")}"
+        }
+        s"""WITH $sqlShingleCte,
+           |sig AS (SELECT id, shingles, [${sigExprs.mkString(",\n    ")}] AS sig FROM sh),
+           |banded AS (SELECT id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.shingles AS sh_a, y.shingles AS sh_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.id < y.id)
+           |SELECT id_a, id_b,
+           |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+           |FROM cand
+           |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           |        / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= $MinJaccard
+           |ORDER BY ALL""".stripMargin
+      }
+    ),
+    // D4 SimHash: 16-bit signature, bit = token-hash majority vote;
+    // equal signature → near-dup cluster. Map-side signature + one
+    // groupBy — the cheapest fuzzy-dedup pass.
+    QueryDef(
+      "d4_simhash",
+      (s, d) => orderedByAll(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))),
+      Some {
+        val bitTerms = (0 until SimhashBits).map { j =>
+          val hc = j / 4; val sub = 3 - (j % 4)
+          s"""CASE WHEN 2 * len(list_filter(hashes,
+             |  h -> ((strpos('0123456789abcdef', substring(h, ${hc + 1}, 1)) - 1) // ${1L << sub}) % 2 = 1))
+             |  >= len(hashes) THEN ${1L << (SimhashBits - 1 - j)} ELSE 0 END""".stripMargin
+        }
+        s"""SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, list_transform($sqlToks, t -> md5(t)) AS hashes FROM documents)
+           |ORDER BY ALL""".stripMargin
+      }
+    ),
+    // D5 embedding near-dup: cos > 0.95 with exact integer/decimal
+    // arithmetic (no float rounding → engine-portable), pairs blocked
+    // on the label column (the IVF-style scale path: at 100 TB the
+    // block key is an LSH bucket or coarse-quantizer cell).
+    QueryDef(
+      "d5_embed_neardup",
+      (s, d) => orderedByAll(
+        Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", TauNumSq, TauDenSq)),
+      Some(
+        s"""WITH iv AS (
+           |  SELECT vec_id AS id, label AS blk,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+           |  FROM embeddings),
+           |nr AS (
+           |  SELECT id, blk, iv,
+           |         CAST(list_sum(list_transform(iv, v -> v * v)) AS BIGINT) AS nrm2
+           |  FROM iv),
+           |pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.nrm2 AS na, b.nrm2 AS nb,
+           |         CAST(list_sum(list_transform(range(1, len(a.iv) + 1, 1),
+           |                                      i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot
+           |  FROM nr a JOIN nr b ON a.blk = b.blk AND a.id < b.id)
+           |SELECT id_a, id_b FROM pairs
+           |WHERE dot > 0
+           |  AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * $TauDenSq
+           |      > $TauNumSq * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+           |ORDER BY ALL""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.search.Vectors
+
+/** Similarity-search operator inventory over `embeddings` (SURVEY §2.7
+  * V2; training-data-pipeline ANN surface). Ranking uses exact integer
+  * dot products (1e7-scaled) so the DuckDB oracle is bit-identical;
+  * Vectors.cosine provides the float scoring variant for library use.
+  */
+object VectorOps {
+
+  private val K = 10
+  private val QueryId = 0   // deterministic query: vector of vec_id 0
+  private val QueryIdIvf = 7
+
+  private val sqlIv =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+
+  val defs: Seq[QueryDef] = Seq(
+    // V1 brute-force KNN: exact top-k over every vector. The baseline
+    // every ANN variant is measured against.
+    QueryDef(
+      "v1_knn_bruteforce",
+      (s, d) => {
+        val iv = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+        val q = iv.filter(col("vec_id") === QueryId).select(col("iv").as("qv"))
+        Vectors.knnDot(iv, "vec_id", q, K)
+      },
+      Some(
+        s"""WITH iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+           |q AS (SELECT iv AS qv FROM iv WHERE vec_id = $QueryId)
+           |SELECT vec_id,
+           |       CAST(list_sum(list_transform(range(1, len(iv) + 1, 1),
+           |                                    i -> iv[i] * qv[i])) AS BIGINT) AS dot
+           |FROM iv, q
+           |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
+    ),
+    // V2 IVF-style blocked KNN (nprobe=1): scan only the query's
+    // cluster — at 100 TB this is partition pruning on the cell id.
+    QueryDef(
+      "v2_knn_ivf",
+      (s, d) => {
+        val iv = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").as("blk"),
+            Vectors.intVector(col("embedding")).as("iv"))
+        val q = iv.filter(col("vec_id") === QueryIdIvf)
+          .select(col("blk").as("qblk"), col("iv").as("qv"))
+        Vectors.knnDotBlocked(iv, "vec_id", q, K)
+      },
+      Some(
+        s"""WITH iv AS (SELECT vec_id, label AS blk, $sqlIv AS iv FROM embeddings),
+           |q AS (SELECT blk AS qblk, iv AS qv FROM iv WHERE vec_id = $QueryIdIvf)
+           |SELECT vec_id,
+           |       CAST(list_sum(list_transform(range(1, len(iv) + 1, 1),
+           |                                    i -> iv[i] * qv[i])) AS BIGINT) AS dot
+           |FROM iv JOIN q ON blk = qblk
+           |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,65 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Vector similarity search over an `ArrayType(FloatType)` embedding
+  * column: brute-force top-k as the exactness baseline, and a blocked
+  * (IVF-style) variant as the scale path.
+  *
+  * Scale design: the scan side never shuffles — the query vector (or
+  * the small query set) broadcasts, the dot product is a codegen'd
+  * higher-order expression (`zip_with` + `aggregate`, no UDF boxing),
+  * and `orderBy(desc).limit(k)` compiles to TakeOrderedAndProject
+  * (per-partition top-k, driver merges k·P rows, never a global sort).
+  * At 100 TB add metadata partition pruning in front; the blocked
+  * variant shows the nprobe=1 IVF shape where only the query's
+  * cell(s) are scanned.
+  *
+  * Reference surface: LanceDB brute-force vector KNN, cosine, k=5
+  * (generate_note_embeddings.py:61); TIPS.md notes no index needed
+  * below 100K vectors — the same judgement call, made explicit here.
+  */
+object Vectors {
+
+  /** Exact cosine similarity (double). For ranking, prefer
+    * `intDot` + pre-normalized vectors — same order, cheaper, and
+    * reproducible across engines.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)
+    dot / sqrt(na * nb)
+  }
+
+  /** Floats scaled to exact 1e7-scaled longs — integer dot products
+    * are order-independent and bit-identical across engines.
+    */
+  def intVector(v: Column): Column =
+    transform(v, x => round(x * 1e7).cast(LongType))
+
+  /** Exact integer dot product of two intVector columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Brute-force top-k by integer dot product against the single query
+    * vector in `query` (column `qv`, broadcast). Returns (id, dot).
+    */
+  def knnDot(emb: DataFrame, idCol: String, query: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .select(col(idCol), intDot(col("iv"), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+      .limit(k)
+
+  /** IVF-style blocked top-k: scan only rows in the query's block
+    * (nprobe=1). `emb` needs (idCol, blk, iv); `query` (qblk, qv).
+    */
+  def knnDotBlocked(emb: DataFrame, idCol: String, query: DataFrame, k: Int): DataFrame =
+    emb.join(broadcast(query), col("blk") === col("qblk"))
+      .select(col(idCol), intDot(col("iv"), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+      .limit(k)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.search.Vectors
+
+class DedupSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "THE  quick   Brown fox JUMPS over the lazy dog") // case/ws dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace-normalized duplicates") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 3) // {1,2,5}, {3}, {4}
+    val big = g.find(_.getAs[Long]("n_docs") === 3).get
+    assert(big.getAs[Long]("rep_id") === 1L)
+  }
+
+  test("jaccardPairs finds near-dups and skips unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)), "one-word edit at jaccard>=0.5 must be caught")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs candidates are verified and subset of exact jaccard") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      3, Dedup.seeds(12), 4, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)), "identical docs always share every band")
+  }
+
+  test("simhash: identical texts agree, signature fits in nBits") {
+    val sig = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 16)))
+    // near-dup differs in few bits from its original
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hamming <= 4, s"near-dup hamming=$hamming")
+  }
+
+  test("embeddingNearDupPairs: parallel vectors pair, orthogonal don't") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.99f, 0.1f, 0.0f, 0.0f)), // cos≈0.995 with v1
+      (3L, 0, Seq(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f, 0.0f))   // parallel to v1 but other block
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label",
+      9025L, 10000L).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("Vectors.cosine computes exact known values") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), "same"),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), "orth"),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), "anti"))
+      .toDF("a", "b", "tag")
+    val got = df.select(col("tag"), Vectors.cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("same") - 1.0) < 1e-12)
+    assert(math.abs(got("orth")) < 1e-12)
+    assert(math.abs(got("anti") + 1.0) < 1e-12)
+  }
+
+  test("knnDot returns k rows, highest dot first, self ranked top") {
+    val iv = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val q = iv.filter(col("vec_id") === 0).select(col("iv").as("qv"))
+    val rows = Vectors.knnDot(iv, "vec_id", q, 5).collect()
+    assert(rows.length === 5)
+    assert(rows.head.getAs[Long]("vec_id") === 0L, "query matches itself best")
+    val dots = rows.map(_.getAs[Long]("dot"))
+    assert(dots.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
