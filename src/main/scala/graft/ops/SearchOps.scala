@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.search.{Fts, Vectors}
+
+/** Retrieval operator inventory (SURVEY §2.7): inverted index build,
+  * TF-IDF / BM25 keyword search, and RRF hybrid fusion of keyword +
+  * vector rankings — the engine's re-expression of the reference's
+  * LanceDB hybrid search path (rag.py:85-103).
+  */
+object SearchOps {
+
+  private val Query = Seq("spark", "join", "window")
+  private val TopK = 20
+  private val FuseK = 10
+  private val RrfK = 60
+  private val MinTermLen = 7  // keeps the r1 dump small; postings used
+                              // for scoring are unfiltered
+
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private def sqlInList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared oracle CTEs: postings with tf, document frequency, N. */
+  private val sqlPostCtes =
+    s"""toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |post AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2)""".stripMargin
+
+  /** The integer tf-idf ranked list as SQL (df computed over matched
+    * terms only, mirroring Fts.tfidfScores).
+    */
+  private def sqlTfidfRanked(terms: Seq[String], limit: Int) =
+    s"""matched AS (SELECT * FROM tf WHERE term IN ${sqlInList(terms)}),
+       |mdf AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT matched.doc_id, CAST(sum(matched.tf * (n.n + 1 - mdf.df)) AS BIGINT) AS score
+       |  FROM matched JOIN mdf USING (term), n GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM scored ORDER BY score DESC, doc_id ASC LIMIT $limit)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // R1 inverted-index build (S8): the index is a (term, doc_id, tf)
+    // DataFrame — one explode + one partial-agg groupBy; written
+    // partitioned by term hash at scale. Dump restricted to long terms
+    // to keep the verify artifact small.
+    QueryDef(
+      "r1_inverted_index",
+      (s, d) => orderedByAll(
+        Fts.postings(Tables.documents(s, d), "doc_id", "text")
+          .filter(length(col("term")) >= MinTermLen)),
+      Some(
+        s"""WITH $sqlPostCtes
+           |SELECT term, doc_id, tf FROM tf WHERE length(term) >= $MinTermLen
+           |ORDER BY ALL""".stripMargin)
+    ),
+    // R2 keyword search, integer tf-idf ranking (exact, portable).
+    QueryDef(
+      "r2_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val post = Fts.postings(docs, "doc_id", "text")
+        Fts.tfidfScores(post, docs.count(), Query)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(TopK)
+      },
+      Some(
+        s"""WITH $sqlPostCtes,
+           |${sqlTfidfRanked(Query, TopK)}
+           |SELECT doc_id, score FROM ranked""".stripMargin)
+    ),
+    // R3 BM25 top-k (V3): double-precision scores, emitted rounded —
+    // ln() and sum-order ulps are engine-specific; ranking is stable.
+    QueryDef(
+      "r3_bm25_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val post = Fts.postings(docs, "doc_id", "text")
+        val dl = Fts.docLengths(docs, "doc_id", "text")
+        val avgdl = lit(dl.agg(avg("dl")).head().getDouble(0))
+        Fts.bm25Scores(post, dl, docs.count(), avgdl, Query)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(TopK)
+      },
+      Some(
+        s"""WITH $sqlPostCtes,
+           |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+           |stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+           |matched AS (SELECT * FROM tf WHERE term IN ${sqlInList(Query)}),
+           |mdf AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+           |scored AS (
+           |  SELECT m.doc_id,
+           |         sum(ln(1.0 + (stats.n - mdf.df + 0.5) / (mdf.df + 0.5))
+           |             * (m.tf * 2.2)
+           |               / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+           |  FROM matched m JOIN mdf USING (term) JOIN dl USING (doc_id), stats
+           |  GROUP BY 1)
+           |SELECT doc_id, round(s, 4) AS score FROM scored
+           |ORDER BY score DESC, doc_id ASC LIMIT $TopK""".stripMargin)
+    ),
+    // R4 hybrid search + RRF (V4/V5): keyword tf-idf ranking fused
+    // with vector dot-product ranking (doc_id ≡ vec_id in the corpus),
+    // score = Σ 1/(60+rank) — the reference's RRFReranker semantics.
+    QueryDef(
+      "r4_rrf_hybrid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val post = Fts.postings(docs, "doc_id", "text")
+        val kw = Fts.tfidfScores(post, docs.count(), Query)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(TopK)
+          .select(col("doc_id").as("id"),
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+        val iv = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+        val q = iv.filter(col("vec_id") === 0).select(col("iv").as("qv"))
+        val vec = Vectors.knnDot(iv, "vec_id", q, TopK)
+          .select(col("vec_id").as("id"),
+            row_number().over(Window.orderBy(col("dot").desc, col("vec_id").asc)).as("rank"))
+        Fts.rrfFuse(kw, vec, RrfK)
+          .orderBy(col("rrf").desc, col("id").asc)
+          .limit(FuseK)
+      },
+      Some(
+        s"""WITH $sqlPostCtes,
+           |${sqlTfidfRanked(Query, TopK)},
+           |iv AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+           |       FROM embeddings),
+           |q AS (SELECT iv AS qv FROM iv WHERE vec_id = 0),
+           |vdot AS (SELECT vec_id,
+           |           CAST(list_sum(list_transform(range(1, len(iv) + 1, 1),
+           |                                        i -> iv[i] * qv[i])) AS BIGINT) AS dot
+           |         FROM iv, q),
+           |vrank AS (SELECT vec_id AS id,
+           |            row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS rank
+           |          FROM vdot ORDER BY dot DESC, vec_id ASC LIMIT $TopK)
+           |SELECT coalesce(ranked.doc_id, vrank.id) AS id,
+           |       coalesce(1.0 / ($RrfK + ranked.rank), 0.0)
+           |         + coalesce(1.0 / ($RrfK + vrank.rank), 0.0) AS rrf
+           |FROM ranked FULL OUTER JOIN vrank ON ranked.doc_id = vrank.id
+           |ORDER BY rrf DESC, id ASC LIMIT $FuseK""".stripMargin)
+    )
+  )
+}

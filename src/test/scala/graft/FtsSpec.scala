@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Fts
+
+class FtsSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark shuffle join spark spark"),
+    (2L, "spark window aggregate"),
+    (3L, "rare unicorn token spark"),
+    (4L, "completely unrelated words here")
+  ).toDF("doc_id", "text")
+
+  test("postings: tf counted per (term, doc)") {
+    val p = Fts.postings(docs, "doc_id", "text")
+    val m = p.as[(String, Long, Long)].collect()
+      .map { case (t, d, tf) => (t, d) -> tf }.toMap
+    assert(m(("spark", 1L)) === 3L)
+    assert(m(("spark", 2L)) === 1L)
+    assert(!m.contains(("unicorn", 1L)))
+  }
+
+  test("tfidf: doc with more matched occurrences ranks higher") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    val scored = Fts.tfidfScores(post, 4L, Seq("spark"))
+      .as[(Long, Long)].collect().toMap
+    assert(scored(1L) > scored(2L), "tf=3 beats tf=1 at equal df")
+    assert(!scored.contains(4L), "non-matching doc absent")
+  }
+
+  test("bm25: rarer term contributes more than common term at equal tf") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    val dl = Fts.docLengths(docs, "doc_id", "text")
+    val avgdl = lit(dl.agg(avg("dl")).head().getDouble(0))
+    // 'unicorn' df=1 vs 'spark' df=3: doc3 contains both once.
+    val rare = Fts.bm25Scores(post, dl, 4L, avgdl, Seq("unicorn"))
+      .as[(Long, Double)].collect().toMap
+    val common = Fts.bm25Scores(post, dl, 4L, avgdl, Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(rare(3L) > common(3L))
+    assert(common.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("rrf: membership in both lists beats membership in one") {
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    val b = Seq((10L, 2), (12L, 1)).toDF("id", "rank")
+    val f = Fts.rrfFuse(a, b).as[(Long, Double)].collect().toMap
+    assert(f(10L) > f(11L) && f(10L) > f(12L))
+    assert(math.abs(f(10L) - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(math.abs(f(12L) - 1.0 / 61) < 1e-15)
+  }
+
+  test("rrf is symmetric in its input lists") {
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    val b = Seq((10L, 2), (12L, 1)).toDF("id", "rank")
+    val ab = Fts.rrfFuse(a, b).as[(Long, Double)].collect().toMap
+    val ba = Fts.rrfFuse(b, a).as[(Long, Double)].collect().toMap
+    assert(ab === ba)
+  }
+}
