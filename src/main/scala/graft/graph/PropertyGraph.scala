@@ -1,0 +1,94 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Property graph as a pair of DataFrame families — the Spark-first
+  * re-expression of the reference's Kuzu node/rel tables
+  * (build_graph.py:19-78): `nodes(label → df with "id" + props)` and
+  * `edges(relType → (srcLabel, dstLabel, df(src, dst)))`.
+  *
+  * Queries compile to joins: a fixed-length pattern is a chain of
+  * equi-joins over edge tables (dimension-sized node tables
+  * broadcast); a variable-length pattern is a bounded BFS — a
+  * driver-side loop of (join, distinct, anti-join) producing minimal
+  * depths, the standard distributed frontier expansion.
+  *
+  * Scale notes: edge tables shuffle-partition on src; each BFS level
+  * is one shuffle keyed on the frontier; `persistFrontiers` should be
+  * used past ~5 hops to truncate lineage (localCheckpoint). At 100 TB
+  * pre-bucket the edge table by src so frontier joins co-locate.
+  */
+final case class PropertyGraph(
+    nodes: Map[String, DataFrame],
+    edges: Map[String, (String, String, DataFrame)]) {
+
+  /** Single-hop expansion: follow `relType` from `ids("id")`. */
+  def out(relType: String, ids: DataFrame): DataFrame = {
+    val (_, _, e) = edges(relType)
+    e.join(ids, e("src") === ids("id")).select(e("dst").as("id")).distinct()
+  }
+
+  /** Fixed pattern: start at `startLabel` rows passing `pred`, walk
+    * the rel chain, return the terminal node table joined on arrival
+    * ids. Node tables broadcast when dimension-sized (Catalyst/AQE
+    * picks; hint via autoBroadcastJoinThreshold).
+    */
+  def matchPath(startLabel: String, pred: Column, rels: Seq[String]): DataFrame = {
+    val start = nodes(startLabel).filter(pred).select(col("id"))
+    val endIds = rels.foldLeft(start)((ids, r) => out(r, ids))
+    val (_, endLabel, _) = edges(rels.last)
+    nodes(endLabel).join(endIds, "id")
+  }
+
+  /** Bounded variable-length reachability (Cypher `*1..max` analog,
+    * reference README.md:137): minimal depth per reached node.
+    * Returns (id, depth), depth 0 = the start set itself.
+    */
+  def bfs(edgeSet: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
+    var visited = start.select(col("id"), lit(0).as("depth"))
+    var frontier = start.select("id")
+    for (h <- 1 to maxHops) {
+      frontier = edgeSet.join(frontier, edgeSet("src") === frontier("id"))
+        .select(edgeSet("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      visited = visited.unionAll(frontier.select(col("id"), lit(h).as("depth")))
+    }
+    visited
+  }
+
+  /** Schema catalog as XML — the reference's get_schema_dict + XML
+    * render (utils.py:37-105) used for LLM schema pruning; derived
+    * from live DataFrame schemas, never hand-maintained.
+    */
+  def schemaXml: String = {
+    val sb = new StringBuilder("<schema>\n")
+    for ((label, df) <- nodes.toSeq.sortBy(_._1)) {
+      sb.append(s"""  <node label="$label">\n""")
+      for (f <- df.schema.fields)
+        sb.append(s"""    <property name="${f.name}" type="${f.dataType.simpleString}"/>\n""")
+      sb.append("  </node>\n")
+    }
+    for ((rel, (src, dst, _)) <- edges.toSeq.sortBy(_._1))
+      sb.append(s"""  <rel label="$rel" from="$src" to="$dst"/>\n""")
+    sb.append("</schema>").toString
+  }
+}
+
+object PropertyGraph {
+
+  /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
+    * dedup staging rows, then inner-join both endpoint node tables so
+    * dangling references drop — dedup BEFORE the join shrinks the
+    * shuffle (the reference's WITH DISTINCT discipline).
+    */
+  def buildEdges(
+      staging: DataFrame, srcCol: String, dstCol: String,
+      srcNodes: DataFrame, dstNodes: DataFrame): DataFrame =
+    staging
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .dropDuplicates("src", "dst")
+      .join(srcNodes.select(col("id").as("src")), Seq("src"))
+      .join(dstNodes.select(col("id").as("dst")), Seq("dst"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.graph.PropertyGraph
+
+/** Graph operator inventory (SURVEY §2.4 J2/J3, §2.1 S6/S9): a
+  * property graph derived from the TPC-H-ish tables — region→nation→
+  * customer→orders as typed nodes/edges — exercising edge build,
+  * fixed-pattern matching, and bounded variable-length BFS, each with
+  * a plain-SQL (recursive CTE) oracle.
+  */
+object GraphOps {
+
+  private val MaxHops = 3
+  private val StartRegion = 0L
+
+  /** Heterogeneous directed edge set with label-prefixed string ids. */
+  private def edgeSet(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val rn = Tables.nation(s, d).select(
+      concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+      concat(lit("n_"), col("n_nationkey").cast("string")).as("dst"))
+    val nc = Tables.customer(s, d).select(
+      concat(lit("n_"), col("c_nationkey").cast("string")).as("src"),
+      concat(lit("c_"), col("c_custkey").cast("string")).as("dst"))
+    val co = Tables.orders(s, d).select(
+      concat(lit("c_"), col("o_custkey").cast("string")).as("src"),
+      concat(lit("o_"), col("o_orderkey").cast("string")).as("dst"))
+    rn.unionAll(nc).unionAll(co)
+  }
+
+  private val sqlEdges =
+    """edges AS (
+      |  SELECT 'r_' || CAST(n_regionkey AS VARCHAR) AS src,
+      |         'n_' || CAST(n_nationkey AS VARCHAR) AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'n_' || CAST(c_nationkey AS VARCHAR),
+      |         'c_' || CAST(c_custkey AS VARCHAR) FROM customer
+      |  UNION ALL
+      |  SELECT 'c_' || CAST(o_custkey AS VARCHAR),
+      |         'o_' || CAST(o_orderkey AS VARCHAR) FROM orders)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // G1 var-length BFS (Cypher *1..3): minimal-depth frontier
+    // expansion from one region over the heterogeneous edge set;
+    // output = nodes reached per depth. Oracle = recursive CTE.
+    QueryDef(
+      "g1_varlength_bfs",
+      (s, d) => {
+        val g = PropertyGraph(Map.empty, Map.empty)
+        val start = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(s"r_$StartRegion"))),
+          org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
+        orderedByAll(
+          g.bfs(edgeSet(s, d), start, MaxHops)
+            .groupBy("depth").agg(count(lit(1)).as("n")))
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth) AS (
+           |  SELECT 'r_$StartRegion', 0
+           |  UNION
+           |  SELECT e.dst, w.depth + 1 FROM walk w
+           |  JOIN edges e ON e.src = w.id WHERE w.depth < $MaxHops),
+           |mind AS (SELECT id, min(depth) AS depth FROM walk GROUP BY id)
+           |SELECT depth, count(*) AS n FROM mind GROUP BY depth ORDER BY ALL""".stripMargin)
+    ),
+    // G2 fixed-pattern match through the PropertyGraph API:
+    // (region {EUROPE})-[:HAS_NATION]->(n)-[:HAS_CUSTOMER]->(c),
+    // returning customers per market segment. Compiles to the same
+    // broadcast-join chain as hand-written joins (PlanSpec asserts).
+    QueryDef(
+      "g2_pattern_match",
+      (s, d) => {
+        val g = tpchGraph(s, d)
+        orderedByAll(
+          g.matchPath("region", col("r_name") === "EUROPE",
+              Seq("HAS_NATION", "HAS_CUSTOMER"))
+            .groupBy("c_mktsegment").agg(count(lit(1)).as("n")))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY c_mktsegment ORDER BY ALL""".stripMargin)
+    )
+  )
+
+  /** TPC-H as a property graph (nodes carry their natural props). */
+  def tpchGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
+    val region = Tables.region(s, d).withColumn("id", col("r_regionkey"))
+    val nation = Tables.nation(s, d).withColumn("id", col("n_nationkey"))
+    val customer = Tables.customer(s, d).withColumn("id", col("c_custkey"))
+    PropertyGraph(
+      nodes = Map("region" -> region, "nation" -> nation, "customer" -> customer),
+      edges = Map(
+        "HAS_NATION" -> (("region", "nation",
+          nation.select(col("n_regionkey").as("src"), col("n_nationkey").as("dst")))),
+        "HAS_CUSTOMER" -> (("nation", "customer",
+          customer.select(col("c_nationkey").as("src"), col("c_custkey").as("dst"))))))
+  }
+}
