@@ -1,0 +1,52 @@
+package graft.eval
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Guardrail functions (reference src/guardrails.py): email detection,
+  * domain classification, and structure-preserving masking.
+  *
+  * The mask is a pure Scala function wrapped as a UDF — per SURVEY
+  * §2.11 it is one of only two UDFs in the engine (everything else is
+  * codegen'd Catalyst expressions); it runs per-row with no state so
+  * it scales embarrassingly.
+  */
+object Guardrails {
+
+  /** Reference email_pattern (guardrails.py:93-95). The `[A-Z|a-z]`
+    * TLD class (including the literal '|') is replicated as-is.
+    */
+  val EmailRegex = """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b""".r
+
+  /** Common free-mail domains (guardrails.py:99-102). */
+  val CommonDomains: Set[String] = Set(
+    "gmail.com", "yahoo.com", "hotmail.com", "outlook.com",
+    "aol.com", "icloud.com", "protonmail.com", "mail.com")
+
+  def findEmails(text: String): Seq[String] =
+    if (text == null) Seq.empty else EmailRegex.findAllIn(text).toSeq
+
+  /** Mask one email (guardrails.py:200-237): username keeps first and
+    * last char (≤2 chars ⇒ fully masked); each domain part keeps its
+    * first char (≤1 char parts unchanged).
+    */
+  def maskEmail(email: String, maskChar: Char = '*'): String = {
+    val Array(user, domain) = email.split("@", 2)
+    val mu =
+      if (user.length <= 2) maskChar.toString * user.length
+      else s"${user.head}${maskChar.toString * (user.length - 2)}${user.last}"
+    val md = domain.split("\\.", -1).map { p =>
+      if (p.length <= 1) p else s"${p.head}${maskChar.toString * (p.length - 1)}"
+    }.mkString(".")
+    s"$mu@$md"
+  }
+
+  /** Mask every email occurrence inside free text. */
+  def maskText(text: String): String =
+    if (text == null) null
+    else EmailRegex.replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(maskEmail(m.matched)))
+
+  /** Column forms. */
+  val maskTextUdf: Column => Column = udf(maskText _).apply(_: Column)
+  val findEmailsUdf: Column => Column = udf(findEmails _).apply(_: Column)
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.eval.Guardrails
+
+/** Guardrail / evaluation operator inventory (SURVEY §2.9):
+  * email masking (G1/G2), field-accuracy evaluation joins (G3),
+  * broadcast-map normalization (G4), and word-overlap similarity
+  * (F10). Emails are synthesized deterministically from customer rows
+  * (the testdata has no email column); the oracle constructs the same
+  * strings and the same mask with plain SQL string ops.
+  */
+object EvalOps {
+
+  /** Nation → currency-zone normalization map (G4 analog of the
+    * reference's state-abbreviation map, baml_extract_eval.py:17-68).
+    * Single source for the Spark literal map AND the oracle CASE.
+    */
+  private val zone = Seq(
+    "UNITED STATES" -> "USD", "CANADA" -> "CAD", "BRAZIL" -> "BRL",
+    "GERMANY" -> "EUR", "FRANCE" -> "EUR", "UNITED KINGDOM" -> "GBP",
+    "JAPAN" -> "JPY", "CHINA" -> "CNY", "INDIA" -> "INR")
+
+  val defs: Seq[QueryDef] = Seq(
+    // E1 email detect + mask: the reference's structure-preserving
+    // mask (first/last of user, first of each domain part) as a pure
+    // Scala UDF, applied to text with an embedded synthesized email.
+    QueryDef(
+      "e1_email_mask",
+      (s, d) => {
+        val email = concat(
+          lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@"), lower(col("c_mktsegment")), lit(".com"))
+        val text = concat(lit("contact "), email, lit(" asap"))
+        orderedByAll(
+          Tables.customer(s, d).select(
+            col("c_custkey"),
+            Guardrails.maskTextUdf(text).as("masked"),
+            size(Guardrails.findEmailsUdf(text)).as("n_emails")))
+      },
+      // username = 'customer' || 9 digits (len 17 > 2); domain parts:
+      // segment (len>1) and 'com' — replicate the mask in SQL.
+      Some("""SELECT c_custkey,
+             |  'contact ' ||
+             |  substring(u, 1, 1) || repeat('*', length(u) - 2) || substring(u, length(u), 1)
+             |  || '@' || substring(seg, 1, 1) || repeat('*', length(seg) - 1) || '.c**'
+             |  || ' asap' AS masked,
+             |  1 AS n_emails
+             |FROM (SELECT c_custkey,
+             |        lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) AS u,
+             |        lower(c_mktsegment) AS seg
+             |      FROM customer)
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // E2 field-accuracy eval join (G3): gold vs deterministically
+    // perturbed "extraction", per-field comparators (strict /
+    // case-insensitive), tallied to match counts + ratio.
+    QueryDef(
+      "e2_field_accuracy",
+      (s, d) => {
+        val gold = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val extracted = Tables.customer(s, d).select(
+          col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")).as("name_ex"),
+          when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("seg_ex"))
+        orderedByAll(
+          gold.join(extracted, "c_custkey")
+            .agg(
+              sum(when(col("c_name") === col("name_ex"), 1L).otherwise(0L)).as("name_strict"),
+              sum(when(lower(col("c_name")) === lower(col("name_ex")), 1L).otherwise(0L)).as("name_ci"),
+              sum(when(col("c_mktsegment") === col("seg_ex"), 1L).otherwise(0L)).as("seg_strict"),
+              count(lit(1)).as("n"))
+            .withColumn("name_ci_acc", col("name_ci").cast("double") / col("n").cast("double")))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN c_name = name_ex THEN 1 ELSE 0 END) AS BIGINT) AS name_strict,
+             |  CAST(sum(CASE WHEN lower(c_name) = lower(name_ex) THEN 1 ELSE 0 END) AS BIGINT) AS name_ci,
+             |  CAST(sum(CASE WHEN c_mktsegment = seg_ex THEN 1 ELSE 0 END) AS BIGINT) AS seg_strict,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN lower(c_name) = lower(name_ex) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS name_ci_acc
+             |FROM (
+             |  SELECT g.c_custkey, g.c_name, g.c_mktsegment,
+             |         CASE WHEN g.c_custkey % 7 = 0 THEN upper(g.c_name) ELSE g.c_name END AS name_ex,
+             |         CASE WHEN g.c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE g.c_mktsegment END AS seg_ex
+             |  FROM customer g)
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // E3 word-set overlap similarity (F10, rag_obs_eval.py:330-333):
+    // |tokens(a) ∩ tokens(b)| / max(|a|, |b|) over distinct lowercase
+    // tokens, for a small doc-pair block.
+    QueryDef(
+      "e3_word_overlap",
+      (s, d) => {
+        val t = Tables.documents(s, d).filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            array_distinct(graft.text.TextFunctions.tokens(col("text"))).as("toks"))
+        orderedByAll(
+          t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+            .select(
+              col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+                greatest(size(col("a.toks")), size(col("b.toks"))).cast("double")).as("overlap")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+             |  FROM documents WHERE doc_id < 20)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             |         / CAST(greatest(len(a.toks), len(b.toks)) AS DOUBLE) AS overlap
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // E4 broadcast-map normalization (G4): literal map lookup with
+    // fallback, then rollup — the state-abbrev→full-name pattern.
+    QueryDef(
+      "e4_map_normalize",
+      (s, d) => {
+        val m = map(zone.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        orderedByAll(
+          Tables.customer(s, d)
+            .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(coalesce(element_at(m, col("n_name")), lit("OTHER")).as("ccy"))
+            .groupBy("ccy").agg(count(lit(1)).as("n")))
+      },
+      Some {
+        val cases = zone.map { case (k, v) => s"WHEN n_name = '$k' THEN '$v'" }
+          .mkString(" ")
+        s"""SELECT CASE $cases ELSE 'OTHER' END AS ccy, count(*) AS n
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1 ORDER BY ALL""".stripMargin
+      }
+    )
+  )
+}

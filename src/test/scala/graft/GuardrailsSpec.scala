@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.Guardrails
+
+class GuardrailsSpec extends AnyFunSuite {
+
+  /** Deterministic sampling (fixed seed) from a scalacheck Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("maskEmail known answers (reference guardrails.py:200-237 semantics)") {
+    assert(Guardrails.maskEmail("john.doe@gmail.com") === "j******e@g****.c**")
+    assert(Guardrails.maskEmail("ab@x.io") === "**@x.i*")
+    assert(Guardrails.maskEmail("a@b.co") === "*@b.c*")
+    assert(Guardrails.maskEmail("Jon665.Keeling57@example.com") === "J**************7@e******.c**")
+  }
+
+  test("maskText masks every occurrence, preserves surrounding text") {
+    val in = "mail a@bc.de then cc team.lead@corp.example.org today"
+    val out = Guardrails.maskText(in)
+    assert(out === "mail *@b*.d* then cc t*******d@c***.e******.o** today")
+  }
+
+  test("maskText without emails is identity; null is null") {
+    assert(Guardrails.maskText("no emails here") === "no emails here")
+    assert(Guardrails.maskText(null) === null)
+  }
+
+  test("findEmails extracts with the reference regex") {
+    assert(Guardrails.findEmails("x a.b@c.org y z@z") === Seq("a.b@c.org"))
+    assert(Guardrails.findEmails(null) === Seq.empty)
+  }
+
+  test("masking is idempotent (masked text re-masks to itself)") {
+    val gen = for {
+      u <- Gen.alphaNumStr.suchThat(s => s.nonEmpty && s.length < 20)
+      d <- Gen.alphaLowerStr.suchThat(s => s.length >= 2 && s.length < 12)
+      tld <- Gen.oneOf("com", "org", "io")
+    } yield s"hello $u@$d.$tld bye"
+    val cases = samples(gen, 100)
+    assert(cases.nonEmpty)
+    for (text <- cases) {
+      val once = Guardrails.maskText(text)
+      assert(Guardrails.maskText(once) === once, s"not idempotent for: $text")
+    }
+  }
+
+  test("mask preserves structure: length, @ position, domain dots") {
+    // dots INSIDE the username are masked to '*' (reference keeps only
+    // first/last user chars); domain dots survive the per-part mask.
+    for (e <- Seq("abc.def@mail.example.com", "xy@a.bc", "a_b%c@do-main.org")) {
+      val m = Guardrails.maskEmail(e)
+      assert(m.length === e.length)
+      assert(m.indexOf('@') === e.indexOf('@'))
+      assert(m.split("@")(1).count(_ == '.') === e.split("@")(1).count(_ == '.'))
+    }
+  }
+}
