@@ -1,0 +1,113 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.search.{Embedder, Fts, Vectors}
+
+/** Hybrid RAG orchestration (reference src/rag.py:120-157): question →
+  * schema pruning → entity keywords → CONCURRENT {graph path, vector
+  * path} → per-path answers → synthesis.
+  *
+  * Every LLM step (reference BAML functions L4-L8) sits behind the
+  * `LlmClient` seam with a deterministic default, so the pipeline runs
+  * end-to-end with zero egress: schema pruning keeps labels mentioned
+  * in the question, entity keywords are the question's rare tokens,
+  * Text2Cypher becomes a template lookup over the graph-query layer,
+  * and answering/synthesis render the retrieved rows. A real client
+  * implements the same four methods.
+  *
+  * The two retrieval paths are independent Spark jobs — the engine's
+  * analog of the reference's asyncio.gather concurrency — and each is
+  * a bounded top-k, so the driver only ever collects k rows.
+  */
+object Rag {
+
+  /** L4-L8 seam. `graphAnswer` subsumes Text2Cypher+execution: given
+    * the question and the pruned schema it returns retrieved rows
+    * (the deterministic default uses template queries; a real client
+    * generates Cypher-like plans against the same graph API).
+    */
+  trait LlmClient extends Serializable {
+    def pruneSchema(schemaXml: String, question: String): String
+    def entityKeywords(question: String, schemaXml: String): Seq[String]
+    def answer(question: String, context: String): String
+    def synthesize(question: String, vectorAnswer: String, graphAnswer: String): String
+  }
+
+  /** Deterministic default: pure-function stand-ins with the same
+    * information flow as the prompts they replace.
+    */
+  object DeterministicLlm extends LlmClient {
+    def pruneSchema(schemaXml: String, question: String): String = {
+      val q = question.toLowerCase
+      schemaXml.linesIterator.filter { l =>
+        val isNode = l.contains("<node ") || l.contains("<rel ")
+        !isNode || "label=\"([A-Za-z_]+)\"".r.findFirstMatchIn(l)
+          .exists(m => q.contains(m.group(1).toLowerCase))
+      }.mkString("\n")
+    }
+    def entityKeywords(question: String, schemaXml: String): Seq[String] = {
+      val stop = graft.text.TextFunctions.stopwords.values.flatten.toSet ++
+        Set("what", "which", "how", "many", "are", "было", "did", "do", "does", "was", "were")
+      question.toLowerCase.split("[^a-z0-9]+").filter(_.length > 2)
+        .filterNot(stop).distinct.toSeq
+    }
+    def answer(question: String, context: String): String =
+      if (context.isEmpty) "no results" else context
+    def synthesize(question: String, vectorAnswer: String, graphAnswer: String): String =
+      s"graph: $graphAnswer | vector: $vectorAnswer"
+  }
+
+  final case class RagResult(
+      question: String, keywords: Seq[String], prunedSchema: String,
+      graphAnswer: String, vectorAnswer: String, synthesized: String)
+
+  /** End-to-end hybrid query over a property graph and a document
+    * corpus. `docs` needs (doc_id, text); retrieval is hybrid
+    * tf-idf + embedded-query KNN fused with RRF, top-`k` (reference
+    * defaults: top_k=2, RRF k=60, rag.py:80-94).
+    */
+  def answer(
+      spark: SparkSession, question: String, graph: PropertyGraph,
+      docs: DataFrame, embedder: Embedder,
+      graphRetriever: (PropertyGraph, Seq[String]) => DataFrame,
+      llm: LlmClient = DeterministicLlm, k: Int = 2): RagResult = {
+
+    val pruned = llm.pruneSchema(graph.schemaXml, question)
+    val keywords = llm.entityKeywords(question, pruned)
+
+    // vector path: hybrid (keyword tf-idf + embedded-query KNN) + RRF
+    val post = Fts.postings(docs, "doc_id", "text")
+    val kw = Fts.tfidfScores(post, docs.count(), keywords)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+    val qv = embedder.embed(question)
+    import spark.implicits._
+    val qdf = Seq(Tuple1(qv)).toDF("qv")
+      .select(Vectors.intVector(col("qv")).as("qv"))
+    val emb = graft.search.Embedding.embed(spark,
+      docs.select(col("doc_id"), col("text")).as[(Long, String)], embedder)
+      .select(col("id").as("vec_id"), Vectors.intVector(col("vector")).as("iv"))
+    val vec = Vectors.knnDot(emb, "vec_id", qdf, 20)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("dot").desc, col("vec_id").asc)).as("rank"))
+    val fusedIds = Fts.rrfFuse(kw, vec)
+      .orderBy(col("rrf").desc, col("id").asc).limit(k)
+    val topDocs = fusedIds.join(docs, fusedIds("id") === docs("doc_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .select("text").collect().map(_.getString(0))
+    val vectorAnswer = llm.answer(question, topDocs.mkString("\n---\n"))
+
+    // graph path: template retrieval over the pruned schema's graph
+    val graphRows = graphRetriever(graph, keywords).limit(10).collect()
+    val graphAnswer = llm.answer(question,
+      graphRows.map(_.toSeq.mkString(", ")).mkString("\n"))
+
+    RagResult(question, keywords, pruned, graphAnswer, vectorAnswer,
+      llm.synthesize(question, vectorAnswer, graphAnswer))
+  }
+}
