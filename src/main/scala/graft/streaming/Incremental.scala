@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.text.TextFunctions
+
+/** Structured Streaming surface. The reference pipeline is batch-only
+  * (SURVEY §2.10) — its only concurrency is asyncio fan-out of LLM
+  * calls — so nothing here is required for parity; it exists because
+  * a 100 TB engine ingests continuously, and the batch operators in
+  * this library are deliberately stream-shaped: the inverted index is
+  * postings rows (append = union), dedup keys and embeddings are
+  * per-row expressions, so the same expressions run under readStream
+  * unchanged.
+  *
+  * Three canonical pieces, each spec-tested with MemoryStream:
+  *  - windowed event aggregation with a watermark (late data bounded,
+  *    state GC'd — the streaming analog of f7_date_ops);
+  *  - incremental postings maintenance (new documents → postings
+  *    delta appended to the index table — streaming S8);
+  *  - stateful per-user sessionization via mapGroupsWithState (the
+  *    KeyValueGroupedDataset custom-state path).
+  */
+object Incremental {
+
+  /** Watermarked tumbling-window aggregation over an event stream
+    * with columns (ts TIMESTAMP, event_type STRING, value DOUBLE).
+    * Append-mode compatible: windows close once the watermark passes.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+
+  /** Incremental inverted-index delta: the SAME tokenize+explode+
+    * count expressions as the batch Fts.postings, applied to a
+    * micro-batch of new documents. Maintaining the index is appending
+    * this delta (plus an optional compaction groupBy downstream).
+    */
+  def postingsDelta(newDocs: DataFrame): DataFrame =
+    newDocs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(nEvents: Long, total: Double)
+  case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)
+
+  /** Per-user running session state via mapGroupsWithState: each
+    * micro-batch folds new events into the state. With
+    * `idleTimeout = Some(d)` an idle processing-time timeout emits
+    * the session as closed and clears state (note: timeout-driven
+    * batches fire on a timer, so `processAllAvailable` never drains —
+    * production queries use a trigger; tests use `None`).
+    */
+  def sessionize(events: Dataset[Event],
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val mode = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](mode) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.nEvents, s.total, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            val evs = batch.toSeq
+            val next = SessionState(prev.nEvents + evs.size, prev.total + evs.map(_.value).sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SessionUpdate(user, next.nEvents, next.total, closed = false)
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Incremental
+
+class StreamingSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark aggregate a streamed batch") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Incremental.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    in.addData(
+      (ts("2026-01-01 10:05:00"), "click", 1.0),
+      (ts("2026-01-01 10:45:00"), "click", 2.0),
+      (ts("2026-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("event_type"), col("n"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("incremental postings delta matches the batch index for the same docs") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val delta = Incremental.postingsDelta(in.toDF().toDF("doc_id", "text"))
+    val q = delta.writeStream.format("memory").queryName("post")
+      .outputMode("complete").start()
+    in.addData((1L, "spark spark join"), (2L, "join window"))
+    q.processAllAvailable()
+    val streamed = spark.table("post").as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.search.Fts.postings(
+      Seq((1L, "spark spark join"), (2L, "join window")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch, "stream delta and batch index must agree")
+    assert(streamed.contains(("spark", 1L, 2L)))
+  }
+
+  test("stateful sessionization folds events per user across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Incremental.Event]
+    val sess = Incremental.sessionize(in.toDS(), idleTimeout = None)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    in.addData(
+      Incremental.Event(1L, ts("2026-01-01 10:00:00"), 1.0),
+      Incremental.Event(1L, ts("2026-01-01 10:01:00"), 2.0),
+      Incremental.Event(2L, ts("2026-01-01 10:00:30"), 10.0))
+    q.processAllAvailable()
+    in.addData(Incremental.Event(1L, ts("2026-01-01 10:02:00"), 4.0))
+    q.processAllAvailable()
+    val byUser = spark.table("sess")
+      .as[Incremental.SessionUpdate].collect()
+      .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.nEvents) }
+    q.stop()
+    assert(byUser(1L).nEvents === 3L && byUser(1L).total === 7.0)
+    assert(byUser(2L).nEvents === 1L && byUser(2L).total === 10.0)
+    assert(!byUser(1L).closed)
+  }
+}
