@@ -53,8 +53,12 @@ object GraphOps {
         val start = s.createDataFrame(
           s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(s"r_$StartRegion"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
+        // the BFS loop joins the same edge set once per hop — persist
+        // it so the 3-table union+concat isn't re-derived each level
+        val edges = edgeSet(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         orderedByAll(
-          g.bfs(edgeSet(s, d), start, MaxHops)
+          g.bfs(edges, start, MaxHops)
             .groupBy("depth").agg(count(lit(1)).as("n")))
       },
       Some(
