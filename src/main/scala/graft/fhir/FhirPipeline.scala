@@ -153,6 +153,51 @@ object FhirPipeline {
         col("status").isNotNull || col("occurrenceDateTime").isNotNull ||
           col("traits").isNotNull)
 
+  /** Persist a built graph as one parquet table per node label and
+    * relationship (the reference's Kuzu store → columnar files,
+    * SURVEY S6). Batch rebuild = overwrite; incremental upsert =
+    * union + the same first-write dedup + overwrite.
+    *
+    * Stage-then-swap: every table is first written to a staging
+    * subdirectory and only swapped into place after ALL writes
+    * succeed. A direct overwrite would delete source files while a
+    * graph WHOSE FRAMES READ FROM THIS DIRECTORY is being rewritten
+    * (the incremental-rebuild path) — a mid-read FileNotFound.
+    */
+  def writeGraph(g: PropertyGraph, dir: String): Unit = {
+    val stage = s"$dir/.staging"
+    val tables =
+      g.nodes.map { case (l, df) => s"nodes_$l" -> df } ++
+        g.edges.map { case (r, (_, _, df)) => s"edges_$r" -> df }
+    for ((name, df) <- tables)
+      df.write.mode("overwrite").parquet(s"$stage/$name")
+    for ((name, _) <- tables) {
+      val target = java.nio.file.Paths.get(s"$dir/$name")
+      if (java.nio.file.Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/$name"), target)
+    }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stage))
+  }
+
+  /** Load a graph previously written by writeGraph. */
+  def readGraph(spark: SparkSession, dir: String,
+      edgeMeta: Map[String, (String, String)]): PropertyGraph = {
+    val base = new java.io.File(dir).listFiles().map(_.getName)
+    val nodes = base.filter(_.startsWith("nodes_"))
+      .map(n => n.stripPrefix("nodes_") -> spark.read.parquet(s"$dir/$n")).toMap
+    val edges = base.filter(_.startsWith("edges_"))
+      .map { e =>
+        val rel = e.stripPrefix("edges_")
+        val (src, dst) = edgeMeta(rel)
+        rel -> ((src, dst, spark.read.parquet(s"$dir/$e")))
+      }.toMap
+    PropertyGraph(nodes, edges)
+  }
+
   // ---- graph build (nodes + edges, deterministic upsert) ------------
 
   /** First-write-wins per key: the row with minimal (record_id, pos). */

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-path evidence beyond PlanSpec: bucketed co-located joins
+  * (the zero-shuffle fact-to-fact join story), graph persistence
+  * round-trip, and null-propagating key synthesis.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join WITHOUT a shuffle exchange on the join key") {
+    // At 100 TB, two fact tables bucketed on the same key join with
+    // no Exchange: each bucket pairs 1:1. Demonstrated end-to-end
+    // through the real writer/catalog.
+    val orders = graft.core.Tables.orders(spark, sf)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not shuffle on the join key:\n$plan")
+    // and it computes the right thing
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("FHIR graph parquet round-trip preserves nodes, edges, and answers") {
+    val dir = Files.createTempDirectory("graft_graph").toString
+    val df = graft.fhir.FhirPipeline.load(spark, "/root/reference/data/extracted_fhir.json")
+      .limit(300)
+    val g = graft.fhir.FhirPipeline.buildGraph(df)
+    graft.fhir.FhirPipeline.writeGraph(g, dir)
+    val back = graft.fhir.FhirPipeline.readGraph(spark, dir,
+      g.edges.map { case (k, (s, d, _)) => k -> ((s, d)) })
+    assert(back.nodes.keySet === g.nodes.keySet)
+    assert(back.edges.keySet === g.edges.keySet)
+    for (l <- g.nodes.keys)
+      assert(back.nodes(l).count() === g.nodes(l).count(), s"node count differs for $l")
+    for (r <- g.edges.keys)
+      assert(back.edges(r)._3.count() === g.edges(r)._3.count(), s"edge count differs for $r")
+  }
+
+  test("key synthesis: null components nullify the whole key (Polars concat_str semantics)") {
+    import TestSession.spark.implicits._
+    val df = Seq(
+      (1L, Some("12 Main St"), Some("02111")),
+      (2L, None: Option[String], Some("02111")),
+      (3L, Some("9 Elm"), None: Option[String]))
+      .toDF("record_id", "line", "postalCode")
+      .select(col("record_id"), struct(col("line"), lit(null).cast("string").as("city"),
+        lit(null).cast("string").as("state"), col("postalCode"),
+        lit(null).cast("string").as("country")).as("address"))
+    val prepped = graft.fhir.FhirPipeline.prepAddress(df)
+      .select("record_id", "id").as[(Long, Option[String])].collect().toMap
+    assert(prepped(1L) === Some("12 main st_02111"))
+    assert(prepped(2L) === None, "null line must nullify the key")
+    assert(prepped(3L) === None, "null postalCode must nullify the key")
+  }
+
+  test("documents scan prunes to the referenced columns for text ops") {
+    val p = SparkEntry.queries("t1_token_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"unused document columns must be pruned: $read")
+  }
+}
