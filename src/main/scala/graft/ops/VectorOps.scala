@@ -39,6 +39,30 @@ object VectorOps {
            |FROM iv, q
            |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
     ),
+    // V1b brute-force KNN by true cosine through the native Catalyst
+    // expression (graft.functions.CosineSimilarity — codegen'd fused
+    // loop). Output ids only: the scores are IEEE doubles computed by
+    // the same ascending-index loop DuckDB's list_cosine_similarity
+    // uses, and the id set is stable because no near-ties straddle
+    // the k boundary in this corpus.
+    QueryDef(
+      "v3_knn_cosine_expr",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === QueryId).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"), expr("cosine_sim(embedding, qv)").as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc)
+          .limit(K)
+          .select("vec_id")
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
+           |SELECT vec_id FROM embeddings, q
+           |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
+           |LIMIT $K""".stripMargin)
+    ),
     // V2 IVF-style blocked KNN (nprobe=1): scan only the query's
     // cluster — at 100 TB this is partition pruning on the cell id.
     QueryDef(
