@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives. A hot grouping key concentrates its
+  * rows in one shuffle partition; salting splits each key into
+  * `nSalts` sub-keys for the partial aggregate and removes the salt
+  * in a second, much smaller aggregate. Decomposable aggregates only
+  * (sum/count/min/max — the partial-merge algebra must hold).
+  */
+object Skew {
+
+  /** Two-phase salted sum/count per key. Phase 1 shuffles on
+    * (key, salt) — the hot key spreads over nSalts partitions —
+    * phase 2 merges the nSalts partials per key. The salt derives
+    * from `saltFrom` (any well-distributed row column, e.g. a row
+    * id), keeping the plan fully deterministic.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      saltFrom: String, nSalts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as("sum_v"), sum("__pn").as("n"))
+}

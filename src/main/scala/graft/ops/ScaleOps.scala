@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{QueryDef, Skew, Tables}
+import graft.core.Tables.orderedByAll
+import graft.temporal.AsOfJoin
+
+/** Scale-technique operator inventory: as-of join (union+window
+  * composition of an operator Spark lacks, checked against DuckDB's
+  * native ASOF JOIN) and salted skew aggregation (two-phase
+  * decomposable agg, result ≡ plain GROUP BY).
+  */
+object ScaleOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // J8 as-of join: for every click, the user's most recent purchase
+    // at-or-before it. One shuffle + per-partition sort — never the
+    // quadratic inequality-join formulation. Timestamps emitted as
+    // unix micros (determinism rule: no raw TIMESTAMP outputs).
+    QueryDef(
+      "j8_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            unix_micros(col("ts")).as("pts_us"))
+        orderedByAll(
+          AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+              Seq("value", "pts_us"))
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              col("value_asof").as("last_purchase"),
+              col("pts_us_asof").as("last_purchase_us")))
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, ts, value, epoch_us(ts) AS pts_us
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             |       r.value AS last_purchase, r.pts_us AS last_purchase_us
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // A10 salted skew aggregation: event_type is a hot key (5 values
+    // over the whole table — exactly the shape that starves a shuffle);
+    // the salted two-phase plan spreads each key over 16 sub-keys and
+    // must produce the identical result as a plain GROUP BY (the
+    // oracle IS the plain GROUP BY).
+    QueryDef(
+      "a10_salted_skew_agg",
+      (s, d) => orderedByAll(
+        Skew.saltedSumCount(
+            Tables.events(s, d)
+              .withColumn("v", col("value").cast(DecimalType(18, 2))),
+            "event_type", "v", "event_id", nSalts = 16)
+          .select(col("event_type"),
+            col("sum_v").cast(DoubleType).as("total"), col("n"))),
+      Some("""SELECT event_type,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |       count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY ALL""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,52 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark's built-ins
+  * lack, composed per the SURVEY §2.4 preference order (a): union +
+  * ordered window, no custom physical operator needed.
+  *
+  * For every left row, attach the right row with the greatest
+  * `tsCol` ≤ the left row's `tsCol`, per `keyCol` (DuckDB/kdb ASOF
+  * LEFT JOIN semantics).
+  *
+  * Plan shape: both sides are tagged and unioned, then ONE window
+  * per key — a single shuffle on the key and a per-partition sort,
+  * O((|L|+|R|) log) with no range-scan blowup; the naive formulation
+  * (inequality join + max) is a quadratic theta-join Spark would
+  * execute as BroadcastNestedLoop. Exact-timestamp matches count:
+  * right rows sort before left rows on ties.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      rightVals: Seq[String], suffix: String = "_asof"): DataFrame = {
+    val lPayload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val rTypes = rightVals.map(c => c -> right.schema(c).dataType).toMap
+    val lTypes = lPayload.map(c => c -> left.schema(c).dataType).toMap
+
+    val lu = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        lPayload.map(col) ++
+        rightVals.map(c => lit(null).cast(rTypes(c)).as(s"__r_$c")): _*)
+    val ru = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        lPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lu.unionAll(ru)
+      .select(
+        Seq(col(keyCol), col(tsCol), col("__side")) ++
+          lPayload.map(col) ++
+          rightVals.map(c =>
+            last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$c$suffix")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}
