@@ -44,6 +44,30 @@ object ScaleOps {
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY ALL""".stripMargin)
     ),
+    // J9 range join (no equi-key): for every error event, how many
+    // click events across ALL users fall within ±5 minutes. Bin
+    // blocking turns the inequality join into an equi join on the
+    // time bucket (3x left blowup, linear — never a nested loop).
+    QueryDef(
+      "j9_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(unix_micros(col("ts")).as("ts_us"))
+        val W = 300000000L // 5 min in micros
+        orderedByAll(
+          AsOfJoin.rangeJoin(errors, clicks, "ts_us", W)
+            .groupBy("event_id")
+            .agg(count(lit(1)).as("n_nearby_clicks")))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
+             |     c AS (SELECT epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, count(*) AS n_nearby_clicks
+             |FROM e JOIN c ON abs(e.ts_us - c.ts_us) <= 300000000
+             |GROUP BY e.event_id ORDER BY ALL""".stripMargin)
+    ),
     // A10 salted skew aggregation: event_type is a hot key (5 values
     // over the whole table — exactly the shape that starves a shuffle);
     // the salted two-phase plan spreads each key over 16 sub-keys and

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Range join without an equi-key, via time-bin blocking: rows
+    * joinable iff |l.ts − r.ts| ≤ width. Naively that is an
+    * inequality join Spark executes as a nested loop; binning ts
+    * into width-sized buckets and exploding the left side into
+    * {bin−1, bin, bin+1} turns it into an EQUI join on the bin,
+    * with the exact range predicate as a post-filter. Candidate
+    * blowup is 3×|L|, independent of |R| — linear, shuffle-keyed,
+    * skew-safe under AQE.
+    *
+    * Inputs need a LONG `tsUsCol` (micros). Returns all (left, right)
+    * column pairs within the window.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, tsUsCol: String,
+      widthUs: Long): DataFrame = {
+    // integer division (`div`), not `/`: double rounding near bin
+    // boundaries would mis-bin edge rows
+    val bin = expr(s"$tsUsCol div $widthUs")
+    val lBinned = left
+      .withColumn("__bin", explode(array(bin - 1, bin, bin + 1)))
+    val rBinned = right.withColumn("__bin", bin)
+    val rCols = right.columns.map(c => col(s"r.$c").as(s"r_$c"))
+    lBinned.as("l").join(rBinned.as("r"), col("l.__bin") === col("r.__bin"))
+      .filter(abs(col(s"l.$tsUsCol") - col(s"r.$tsUsCol")) <= widthUs)
+      .select(left.columns.map(c => col(s"l.$c")).toIndexedSeq ++ rCols: _*)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightVals: Seq[String], suffix: String = "_asof"): DataFrame = {
     val lPayload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq

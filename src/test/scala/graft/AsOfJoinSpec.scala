@@ -42,6 +42,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(result("d") === None)
   }
 
+  test("rangeJoin: inclusive boundaries, no duplicate pairs across bins") {
+    val l = Seq((1L, 1000L), (2L, 5000L)).toDF("lid", "ts_us")
+    val r = Seq((10L, 0L), (11L, 2000L), (12L, 1000L), (13L, 9000L)).toDF("rid", "ts_us")
+    val pairs = AsOfJoin.rangeJoin(l, r, "ts_us", 1000L)
+      .select(col("lid"), col("r_rid")).as[(Long, Long)].collect()
+    // boundary |Δ|=1000 is inclusive; each pair appears exactly once
+    assert(pairs.length === pairs.distinct.length, "bin explode must not duplicate pairs")
+    assert(pairs.toSet === Set((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
+  test("rangeJoin matches brute-force inequality join on real events") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), unix_micros(col("ts")).as("ts_us"))
+    val W = 300000000L
+    val binned = AsOfJoin.rangeJoin(e, c, "ts_us", W)
+      .select(col("event_id"), col("r_cid")).as[(Long, Long)].collect().toSet
+    val brute = e.as("e").join(c.as("c"),
+        abs(col("e.ts_us") - col("c.ts_us")) <= W)
+      .select(col("e.event_id"), col("c.cid")).as[(Long, Long)].collect().toSet
+    assert(binned === brute)
+  }
+
   test("agrees with a brute-force theta-join + argmax formulation") {
     val brute = left.as("l").join(right.as("r"),
         col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
