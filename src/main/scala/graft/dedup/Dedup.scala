@@ -43,59 +43,64 @@ object Dedup {
     array_distinct(transform(idx, i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** MinHash signature: for each seed, the minimum md5(seed||shingle)
-    * hex string over the document's shingles (k independent min-wise
-    * hashes). Null-safe: empty shingle set ⇒ md5(seed) sentinel.
+  /** Two 32-bit min-wise hash inputs per shingle, from ONE md5 digest:
+    * h1 = first 8 hex chars, h2 = next 8, both as longs. The k minhash
+    * functions are Kirsch-Mitzenmacher combinations h1 + i·h2 — one
+    * digest per shingle instead of k, and the combine/min runs inside
+    * codegen (conv/substring are ordinary expressions, not HOFs).
     */
-  def minhash(shingles: Column, seeds: Seq[String]): Column =
-    array(seeds.map { seed =>
-      coalesce(
-        array_min(transform(shingles, sh => md5(concat(lit(seed), sh).cast("binary")))),
-        md5(lit(seed).cast("binary")))
-    }: _*)
-
-  /** LSH band keys: the signature split into `nBands` contiguous bands
-    * of `rowsPerBand`, each hashed to one key. Docs sharing ANY band
-    * key become candidate pairs.
-    */
-  def lshBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand)
-        .map(r => element_at(sig, b * rowsPerBand + r + 1))
-      concat_ws("", lit(s"$b:") +: parts: _*)
-    }: _*)
+  private def hashHalves(shingle: Column): (Column, Column) = {
+    val digest = md5(shingle.cast("binary"))
+    (conv(substring(digest, 1, 8), 16, 10).cast(LongType),
+      conv(substring(digest, 9, 8), 16, 10).cast(LongType))
+  }
 
   /** Candidate pairs (a < b) sharing at least one LSH band, verified
     * with exact Jaccard over the shingle sets; `minJaccard` filters.
-    * Returns (id_a, id_b, jaccard).
+    * Signature = nBands·rowsPerBand min-wise hashes, banded
+    * rowsPerBand at a time. Returns (id_a, id_b, jaccard).
     *
-    * Plan shape matters at scale: the band self-join is SKINNY —
-    * (id, band) only — so the shuffle moves 2 small columns, never
-    * the shingle arrays; pairs dedup BEFORE the arrays are joined
-    * back for verification (measured 8× on the sf0.1 bench, and the
-    * gap grows with document size).
+    * Plan shape matters at scale: the signature is computed by ONE
+    * codegen'd hash aggregate over exploded (id, shingle) rows —
+    * min(h1 + i·h2) per hash function — with map-side partial
+    * aggregation, so the only md5 per shingle happens at scan speed
+    * and the shuffle carries id + k longs. The band self-join is
+    * SKINNY — (id, band) only — so the shuffle never moves shingle
+    * arrays; pairs dedup BEFORE the arrays are joined back for
+    * verification (measured 8× on the sf0.1 bench, and the gap grows
+    * with document size).
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, seeds: Seq[String], nBands: Int, rowsPerBand: Int,
+      shingleK: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
-    require(seeds.length == nBands * rowsPerBand)
-    // Three plan-shape decisions that dominate the wall clock:
+    require(nHashes == nBands * rowsPerBand)
+    // Plan-shape decisions that dominate the wall clock:
     //  - repartition the docs: a small parquet arrives as ONE split,
-    //    and shingling/minhashing are interpreted HOF evals (not
-    //    codegen) — without the spread they run single-threaded;
+    //    and shingling is an interpreted HOF eval (not codegen) —
+    //    without the spread it runs single-threaded;
     //  - persist sh and banded: they feed a self-join plus the
-    //    verification rejoin, and Spark recomputes the md5-heavy
-    //    subtree up to 6× otherwise (5:1 on the sf0.1 bench);
+    //    verification rejoin, and Spark recomputes the subtree up to
+    //    6× otherwise (5:1 on the sf0.1 bench);
     //  - materialize eagerly (count) so the self-join's two branches
     //    hit a populated cache instead of racing to fill it.
     val sh = docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleK).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
-      .select(col("id"),
-        explode(lshBands(minhash(col("shingles"), seeds), nBands, rowsPerBand)).as("band"))
+    val (h1, h2) = hashHalves(col("shingle"))
+    val hashed = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), h1.as("h1"), h2.as("h2"))
+    val minExprs = (0 until nHashes)
+      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sig = hashed.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+    val bandExprs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      concat_ws("-", lit(b.toString) +: parts: _*)
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandExprs: _*)).as("band"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     banded.count()
     val cands = banded.as("x")
@@ -200,7 +205,4 @@ object Dedup {
           dec(lit(tauNumSq)) * dec(col("a.nrm2")) * dec(col("b.nrm2")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
-
-  /** Deterministic seed strings for minhash permutations. */
-  def seeds(n: Int): Seq[String] = (0 until n).map(i => s"seed$i:")
 }

@@ -77,34 +77,45 @@ object DedupOps {
            |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard
            |ORDER BY ALL""".stripMargin)
     ),
-    // D3 MinHash + LSH: 12 min-wise hashes, 4 bands × 3 rows; band
-    // collision → candidate pair → exact-Jaccard verify. The band join
-    // is the only shuffle; signature build is map-side.
+    // D3 MinHash + LSH: 12 min-wise hashes (Kirsch-Mitzenmacher
+    // h1 + i·h2 combinations of one md5 digest per shingle), 4 bands
+    // × 3 rows; band collision → candidate pair → exact-Jaccard
+    // verify. Signature build is one hash aggregate; the band join is
+    // the only other shuffle.
     QueryDef(
       "d3_minhash_lsh",
       (s, d) => orderedByAll(
         Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          ShingleK, Dedup.seeds(NumHashes), NBands, RowsPerBand, MinJaccard)),
+          ShingleK, NumHashes, NBands, RowsPerBand, MinJaccard)),
       Some {
-        val sigExprs = Dedup.seeds(NumHashes).map { seed =>
-          s"coalesce(list_min(list_transform(shingles, s -> md5('$seed' || s))), md5('$seed'))"
-        }
+        // parse 8 hex chars of md5 starting at `off` (1-based) into a
+        // BIGINT — DuckDB has no conv(), so per-char strpos arithmetic
+        def hex2long(off: Int): String =
+          (0 until 8).map { i =>
+            s"(strpos('0123456789abcdef', substring(h, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+          }.mkString("(", " + ", ")")
+        val minExprs = (0 until NumHashes)
+          .map(i => s"min(h1 + $i * h2) AS m$i")
         val bandExprs = (0 until NBands).map { b =>
-          val parts = (0 until RowsPerBand).map(r => s"sig[${b * RowsPerBand + r + 1}]")
-          s"'$b:' || ${parts.mkString(" || ")}"
+          val parts = (0 until RowsPerBand)
+            .map(r => s"m${b * RowsPerBand + r}::VARCHAR")
+          s"concat_ws('-', '$b', ${parts.mkString(", ")})"
         }
         s"""WITH $sqlShingleCte,
-           |sig AS (SELECT id, shingles, [${sigExprs.mkString(",\n    ")}] AS sig FROM sh),
-           |banded AS (SELECT id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |hh AS (SELECT id, ${hex2long(1)} AS h1, ${hex2long(9)} AS h2
+           |       FROM (SELECT id, md5(shingle) AS h FROM post)),
+           |sig AS (SELECT id, ${minExprs.mkString(", ")} FROM hh GROUP BY id),
+           |banded AS (SELECT id, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),
            |cand AS (
-           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.shingles AS sh_a, y.shingles AS sh_b
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
            |  FROM banded x JOIN banded y ON x.band = y.band AND x.id < y.id)
            |SELECT id_a, id_b,
-           |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-           |         / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
-           |FROM cand
-           |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-           |        / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= $MinJaccard
+           |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard
            |ORDER BY ALL""".stripMargin
       }
     ),

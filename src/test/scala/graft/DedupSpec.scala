@@ -33,7 +33,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhashLshPairs candidates are verified and subset of exact jaccard") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      3, Dedup.seeds(12), 4, 3, 0.5)
+      3, 12, 4, 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
