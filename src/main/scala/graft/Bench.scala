@@ -20,13 +20,23 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.GraftSession.local(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e")
+      }
     }
     val results = ordered.map { case (name, fn) =>
+      // cache hygiene: a query's persisted intermediates must not
+      // linger into the next query's memory budget (round-3 lesson —
+      // dead cached frames from 53 queries churned the whole suite)
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,6 +43,46 @@ object Dedup {
     array_distinct(transform(idx, i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
+  /** Eagerly materialize a compact result and release the fat
+    * intermediates. The dedup operators are terminal analytics — the
+    * output (candidate pairs) is orders of magnitude smaller than the
+    * posting lists that produced it, so checkpointing the result and
+    * unpersisting the intermediates bounds the session's cache
+    * footprint at "current query" instead of "every query ever run"
+    * (round-3 lesson: dozens of dead MEMORY_AND_DISK frames from prior
+    * queries competed with execution memory and slowed the whole
+    * bench). The localCheckpoint blocks themselves are tiny and are
+    * freed by the ContextCleaner when the result is GC'd.
+    */
+  private def finalized(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Distinct-shingle postings (id, shingle), spread across the
+    * cluster. The repartition matters on small inputs: a single-split
+    * parquet would otherwise run the (interpreted, non-codegen) shingle
+    * HOFs on one thread.
+    */
+  private def postings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.repartition(col(idCol)).select(
+      col(idCol).as("id"),
+      explode(wordShingles(col(textCol), k)).as("shingle"))
+
+  /** jaccard = |A∩B| / (|A| + |B| − |A∩B|) from a common-shingle COUNT
+    * plus the two set sizes — three longs per pair, never the shingle
+    * arrays themselves. Same double division as the array form, so the
+    * value is bit-identical to the oracle's len(intersect)/len(union).
+    */
+  private def countJaccard(pairCounts: DataFrame, sizes: DataFrame): DataFrame =
+    pairCounts
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double")).as("jaccard"))
+
   /** Two 32-bit min-wise hash inputs per shingle, from ONE md5 digest:
     * h1 = first 8 hex chars, h2 = next 8, both as longs. The k minhash
     * functions are Kirsch-Mitzenmacher combinations h1 + i·h2 — one
@@ -56,41 +96,43 @@ object Dedup {
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band, verified
-    * with exact Jaccard over the shingle sets; `minJaccard` filters.
-    * Signature = nBands·rowsPerBand min-wise hashes, banded
-    * rowsPerBand at a time. Returns (id_a, id_b, jaccard).
+    * with exact Jaccard; `minJaccard` (> 0) filters. Signature =
+    * nBands·rowsPerBand min-wise hashes, banded rowsPerBand at a
+    * time. Returns (id_a, id_b, jaccard).
     *
-    * Plan shape matters at scale: the signature is computed by ONE
-    * codegen'd hash aggregate over exploded (id, shingle) rows —
-    * min(h1 + i·h2) per hash function — with map-side partial
-    * aggregation, so the only md5 per shingle happens at scan speed
-    * and the shuffle carries id + k longs. The band self-join is
-    * SKINNY — (id, band) only — so the shuffle never moves shingle
-    * arrays; pairs dedup BEFORE the arrays are joined back for
-    * verification (measured 8× on the sf0.1 bench, and the gap grows
-    * with document size).
+    * Plan shape matters at scale:
+    *  - the signature is computed by ONE codegen'd hash aggregate over
+    *    exploded (id, shingle) rows — min(h1 + i·h2) per hash function
+    *    — with map-side partial aggregation, so the only md5 per
+    *    shingle happens at scan speed and the shuffle carries id + k
+    *    longs;
+    *  - the band self-join is SKINNY — (id, band) only — and pairs
+    *    dedup before verification;
+    *  - verification is COUNT-based: re-join the deduped pairs to the
+    *    postings on (id, shingle) and count matches, then combine with
+    *    the two set sizes (countJaccard). No shingle ARRAY ever
+    *    crosses a shuffle and no per-pair array_intersect runs — the
+    *    array re-join this replaced was 88% of the round-3 bench.
+    *
+    * A band-collision pair with zero common shingles (only possible
+    * via md5 collision) drops at the count join; its jaccard would be
+    * 0 < minJaccard, so the output is unchanged.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
     require(nHashes == nBands * rowsPerBand)
-    // Plan-shape decisions that dominate the wall clock:
-    //  - repartition the docs: a small parquet arrives as ONE split,
-    //    and shingling is an interpreted HOF eval (not codegen) —
-    //    without the spread it runs single-threaded;
-    //  - persist sh and banded: they feed a self-join plus the
-    //    verification rejoin, and Spark recomputes the subtree up to
-    //    6× otherwise (5:1 on the sf0.1 bench);
-    //  - materialize eagerly (count) so the self-join's two branches
-    //    hit a populated cache instead of racing to fill it.
-    val sh = docs.repartition(col(idCol)).select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("shingles"))
+    require(minJaccard > 0, "count-based verification drops zero-overlap pairs")
+    // persist the postings (they feed the signature aggregate, the
+    // count-verify join ×2, and the set sizes) and materialize eagerly
+    // so concurrent consumers hit a populated cache.
+    val post = postings(docs, idCol, textCol, shingleK)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    post.count()
+    val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
     val (h1, h2) = hashHalves(col("shingle"))
-    val hashed = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), h1.as("h1"), h2.as("h2"))
+    val hashed = post.select(col("id"), h1.as("h1"), h2.as("h2"))
     val minExprs = (0 until nHashes)
       .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sig = hashed.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
@@ -107,13 +149,13 @@ object Dedup {
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    val pairCounts = cands
+      .join(post.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(post.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    finalized(
+      countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard),
+      Seq(post, banded))
   }
 
   /** All-pairs n-gram Jaccard via shared-shingle blocking: only pairs
@@ -130,30 +172,43 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double, maxDf: Int = 64): DataFrame = {
-    // same plan-shape treatment as minhashLshPairs: spread the
-    // single-split input, cache the reused frames, materialize before
-    // the self-join (see the scaladoc note there).
-    val sh = docs.repartition(col(idCol)).select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val post = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    // Count-based plan (round-4 rewrite; the array-verify version this
+    // replaced was 88% of the round-3 bench):
+    //  1. the rare-shingle self-join feeds groupBy(id_a, id_b).count()
+    //     directly — ONE shuffle yields both the candidate pairs and
+    //     their common-RARE-shingle counts, with map-side partial
+    //     aggregation collapsing the pair blowup before it moves
+    //     (the old plan materialized + dropDuplicates'd every
+    //     co-shingle pair, then re-joined full arrays);
+    //  2. hot shingles (df > maxDf) are FEW by definition — at most
+    //     |postings|/maxDf distinct values — so each doc's hot set is
+    //     a tiny array; joining those per pair and intersecting adds
+    //     the common-HOT count;
+    //  3. jaccard from counts (countJaccard) — same double division
+    //     over the same integers as the oracle's len(intersect)/
+    //     len(union), so values are bit-identical.
+    val post = postings(docs, idCol, textCol, shingleK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     post.count()
-    val rare = post.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    val blocked = post.join(rare, "shingle")
-    val candidates = blocked.as("x")
+    val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val blocked = post.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    val rareCounts = blocked.as("x")
       .join(blocked.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common_rare"))
+    val hotSets = post.join(dfreq.filter(col("df") > maxDf).select("shingle"), "shingle")
+      .groupBy("id").agg(collect_set("shingle").as("hot"))
+    val noHot = array().cast("array<string>")
+    val pairCounts = rareCounts
+      .join(hotSets.select(col("id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
+      .join(hotSets.select(col("id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        (col("common_rare") + size(array_intersect(
+          coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot)))).as("common"))
+    finalized(
+      countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard),
+      Seq(post))
   }
 
   /** Hex char → 0..15 (portable: same instr trick as the oracle SQL). */
@@ -196,7 +251,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     iv.count()
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    iv.as("a").join(iv.as("b"),
+    val result = iv.as("a").join(iv.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("dot",
         aggregate(zip_with(col("a.iv"), col("b.iv"), _ * _), lit(0L), _ + _))
@@ -204,5 +259,6 @@ object Dedup {
         dec(col("dot")) * dec(col("dot")) * tauDenSq >
           dec(lit(tauNumSq)) * dec(col("a.nrm2")) * dec(col("b.nrm2")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    finalized(result, Seq(iv))
   }
 }

@@ -10,7 +10,7 @@ import graft.text.TextFunctions
 /** Deduplication operator inventory over `documents` / `embeddings`
   * (training-data-pipeline surface; see graft.dedup.Dedup for the
   * scale notes). Oracle SQL is generated from the same constants
-  * (shingle k, seeds, bands, thresholds) as the Spark side.
+  * (shingle k, nHashes, bands, df cap, thresholds) as the Spark side.
   */
 object DedupOps {
 

@@ -54,12 +54,16 @@ object GraphOps {
           s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(s"r_$StartRegion"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
         // the BFS loop joins the same edge set once per hop — persist
-        // it so the 3-table union+concat isn't re-derived each level
+        // it so the 3-table union+concat isn't re-derived each level,
+        // then checkpoint the (tiny) per-depth counts and release it
         val edges = edgeSet(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        orderedByAll(
+        val res = orderedByAll(
           g.bfs(edges, start, MaxHops)
             .groupBy("depth").agg(count(lit(1)).as("n")))
+          .localCheckpoint(true)
+        edges.unpersist(false)
+        res
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
