@@ -1,7 +1,7 @@
 package graft.eval
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions._
 
 /** Guardrail functions (reference src/guardrails.py): email detection,
   * domain classification, and structure-preserving masking.
@@ -49,4 +49,48 @@ object Guardrails {
   /** Column forms. */
   val maskTextUdf: Column => Column = udf(maskText _).apply(_: Column)
   val findEmailsUdf: Column => Column = udf(findEmails _).apply(_: Column)
+
+  // ---- domain classification / policy verdicts (guardrails.py:103-198)
+
+  /** Guardrail configuration (EmailGuardrail ctor args,
+    * guardrails.py:60-88): an optional allowlist, an optional
+    * blocklist, and whether free-mail (common) domains trigger.
+    */
+  final case class EmailPolicy(
+      allowedDomains: Set[String] = Set.empty,
+      blockedDomains: Set[String] = Set.empty,
+      blockCommonDomains: Boolean = false)
+
+  /** Lower-cased domain of an email — `email.split('@')[1].lower()`
+    * (guardrails.py:142). Pure codegen'd string ops, no UDF.
+    */
+  def emailDomain(email: Column): Column =
+    lower(substring_index(email, "@", -1))
+
+  /** The three per-email classification flags (guardrails.py:143-145):
+    * is_common (free-mail), is_allowed (vacuously true with no
+    * allowlist), is_blocked.
+    */
+  def isCommon(domain: Column): Column =
+    domain.isin(CommonDomains.toSeq.sorted: _*)
+  def isAllowed(domain: Column, p: EmailPolicy): Column =
+    if (p.allowedDomains.isEmpty) lit(true)
+    else domain.isin(p.allowedDomains.toSeq.sorted: _*)
+  def isBlocked(domain: Column, p: EmailPolicy): Column =
+    if (p.blockedDomains.isEmpty) lit(false)
+    else domain.isin(p.blockedDomains.toSeq.sorted: _*)
+
+  /** Per-email policy verdict, the trigger cascade of
+    * guardrails.py:160-178 collapsed to a decision column:
+    * blocklisted or (configured) free-mail domains → 'block';
+    * off-allowlist (when an allowlist exists) → 'mask' (the
+    * structure-preserving mask is the reference's non-block
+    * remediation); otherwise → 'allow'. A plain CASE expression —
+    * whole-stage codegen, trivially pushed past joins.
+    */
+  def verdict(domain: Column, p: EmailPolicy): Column =
+    when(isBlocked(domain, p), "block")
+      .when(lit(p.blockCommonDomains) && isCommon(domain), "block")
+      .when(!isAllowed(domain, p), "mask")
+      .otherwise("allow")
 }

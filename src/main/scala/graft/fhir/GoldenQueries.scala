@@ -75,22 +75,22 @@ object GoldenQueries {
     (row.getString(0), row.getLong(1))
   }
 
-  /** Q8: patient 45's shellfish allergy → (city, state, practitioner). */
+  /** Q8: patient 45's shellfish allergy → (city, state, practitioner).
+    * Expressed through the direction-aware pattern API — the generated
+    * Cypher mixes arrowheads (`(s:Substance)-[:CAUSES]->(a:Allergy)
+    * <-[:EXPERIENCES]-(p:Patient)`, reference rag.baml:279), which
+    * maps to Out/In steps.
+    */
   def q8Patient45Shellfish(g: PropertyGraph): (String, String, String) = {
-    val causes = edges(g, "CAUSES")
-      .select(col("src").as("substance"), col("dst").as("allergy"))
-    val experiences = edges(g, "EXPERIENCES")
-      .select(col("src").as("patient"), col("dst").as("allergy"))
-    val hasShellfish = causes.filter(col("substance") === "shellfish")
-      .join(experiences, "allergy")
-      .filter(col("patient") === 45)
+    import PropertyGraph.{In, Out}
+    val hasShellfish = g.matchPattern("Substance", col("id") === "shellfish",
+        Seq("CAUSES" -> Out, "EXPERIENCES" -> In))
+      .filter(col("id") === 45)
       .limit(1).count() > 0
     require(hasShellfish, "patient 45 has no shellfish allergy")
-    val home = edges(g, "LIVES_IN").filter(col("src") === 45)
-      .join(nodes(g, "Address"), col("dst") === col("id"))
+    val home = g.matchPattern("Patient", col("id") === 45, Seq("LIVES_IN" -> Out))
       .select("city", "state").head()
-    val prac = edges(g, "TREATS").filter(col("dst") === 45)
-      .join(nodes(g, "Practitioner"), col("src") === col("id"))
+    val prac = g.matchPattern("Patient", col("id") === 45, Seq("TREATS" -> In))
       .select(concat_ws(" ", col("givenName"), col("surname"))).head().getString(0)
     (home.getString(0), home.getString(1), prac)
   }

@@ -22,11 +22,21 @@ import org.apache.spark.sql.functions._
 final case class PropertyGraph(
     nodes: Map[String, DataFrame],
     edges: Map[String, (String, String, DataFrame)]) {
+  import PropertyGraph.{Direction, Out, In}
 
-  /** Single-hop expansion: follow `relType` from `ids("id")`. */
-  def out(relType: String, ids: DataFrame): DataFrame = {
+  /** Single-hop expansion: follow `relType` forward from `ids("id")`. */
+  def out(relType: String, ids: DataFrame): DataFrame = step(relType, Out, ids)
+
+  /** Single-hop expansion AGAINST the edge direction (the Cypher
+    * `<-[:REL]-` arrowhead, reference rag.baml:279): arrive at the
+    * SOURCES of `relType` edges whose dst is in `ids("id")`.
+    */
+  def in(relType: String, ids: DataFrame): DataFrame = step(relType, In, ids)
+
+  private def step(relType: String, dir: Direction, ids: DataFrame): DataFrame = {
     val (_, _, e) = edges(relType)
-    e.join(ids, e("src") === ids("id")).select(e("dst").as("id")).distinct()
+    val (from, to) = dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
+    e.join(ids, e(from) === ids("id")).select(e(to).as("id")).distinct()
   }
 
   /** Fixed pattern: start at `startLabel` rows passing `pred`, walk
@@ -34,23 +44,47 @@ final case class PropertyGraph(
     * ids. Node tables broadcast when dimension-sized (Catalyst/AQE
     * picks; hint via autoBroadcastJoinThreshold).
     */
-  def matchPath(startLabel: String, pred: Column, rels: Seq[String]): DataFrame = {
+  def matchPath(startLabel: String, pred: Column, rels: Seq[String]): DataFrame =
+    matchPattern(startLabel, pred, rels.map(_ -> (Out: Direction)))
+
+  /** Direction-aware fixed pattern — each step is (relType, Out|In),
+    * so reversed arrowheads compose with forward ones:
+    * `(s:Substance)-[:CAUSES]->(a:Allergy)<-[:EXPERIENCES]-(p:Patient)`
+    * is `matchPattern("Substance", pred, Seq("CAUSES" -> Out,
+    * "EXPERIENCES" -> In))`. The terminal label is the dst of the
+    * last Out step / the src of the last In step.
+    */
+  def matchPattern(
+      startLabel: String, pred: Column,
+      steps: Seq[(String, Direction)]): DataFrame = {
     val start = nodes(startLabel).filter(pred).select(col("id"))
-    val endIds = rels.foldLeft(start)((ids, r) => out(r, ids))
-    val (_, endLabel, _) = edges(rels.last)
+    val endIds = steps.foldLeft(start) { case (ids, (r, d)) => step(r, d, ids) }
+    val endLabel = steps.last match {
+      case (r, Out) => edges(r)._2
+      case (r, In)  => edges(r)._1
+    }
     nodes(endLabel).join(endIds, "id")
   }
 
   /** Bounded variable-length reachability (Cypher `*1..max` analog,
     * reference README.md:137): minimal depth per reached node.
     * Returns (id, depth), depth 0 = the start set itself.
+    * `undirected = true` walks edges both ways (the README's
+    * `-[r*1..4]-` pattern) by symmetrizing the edge set — a
+    * projection-and-union, no extra shuffle: each BFS level still
+    * shuffles once, on a frontier at most 2× the directed one.
     */
-  def bfs(edgeSet: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(edgeSet: DataFrame, start: DataFrame, maxHops: Int,
+      undirected: Boolean = false): DataFrame = {
+    val es =
+      if (undirected)
+        edgeSet.unionAll(edgeSet.select(col("dst").as("src"), col("src").as("dst")))
+      else edgeSet
     var visited = start.select(col("id"), lit(0).as("depth"))
     var frontier = start.select("id")
     for (h <- 1 to maxHops) {
-      frontier = edgeSet.join(frontier, edgeSet("src") === frontier("id"))
-        .select(edgeSet("dst").as("id")).distinct()
+      frontier = es.join(frontier, es("src") === frontier("id"))
+        .select(es("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
       visited = visited.unionAll(frontier.select(col("id"), lit(h).as("depth")))
     }
@@ -76,6 +110,14 @@ final case class PropertyGraph(
 }
 
 object PropertyGraph {
+
+  /** Traversal direction of one pattern step: `Out` follows the edge
+    * (src→dst), `In` walks against it (dst→src, the `<-[:REL]-`
+    * arrowhead).
+    */
+  sealed trait Direction
+  case object Out extends Direction
+  case object In extends Direction
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

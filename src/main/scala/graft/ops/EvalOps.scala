@@ -138,6 +138,53 @@ object EvalOps {
            |FROM customer JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY 1 ORDER BY ALL""".stripMargin
       }
+    ),
+    // E5 email-domain classification + policy verdict (G1,
+    // guardrails.py:103-198): domains synthesized to hit every branch
+    // — a free-mail domain (blockCommonDomains), a blocklisted one, an
+    // allowlisted one, and an off-allowlist one — classified and
+    // mapped to block/mask/allow by pure CASE/IN expressions.
+    QueryDef(
+      "e5_email_policy",
+      (s, d) => {
+        val policy = Guardrails.EmailPolicy(
+          allowedDomains = Set("corp.example"),
+          blockedDomains = Set("evil.example"),
+          blockCommonDomains = true)
+        val domains = array(lit("gmail.com"), lit("evil.example"),
+          lit("corp.example"), lit("partner.example"))
+        val email = concat(
+          lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@"), element_at(domains, (col("c_custkey") % 4 + 1).cast("int")))
+        val dom = Guardrails.emailDomain(email)
+        orderedByAll(
+          Tables.customer(s, d).select(
+            col("c_custkey"),
+            dom.as("domain"),
+            Guardrails.isCommon(dom).as("is_common"),
+            Guardrails.isAllowed(dom, policy).as("is_allowed"),
+            Guardrails.isBlocked(dom, policy).as("is_blocked"),
+            Guardrails.verdict(dom, policy).as("verdict")))
+      },
+      Some {
+        val common = Guardrails.CommonDomains.toSeq.sorted
+          .map(dq => s"'$dq'").mkString(", ")
+        s"""SELECT c_custkey, domain,
+           |  domain IN ($common) AS is_common,
+           |  domain = 'corp.example' AS is_allowed,
+           |  domain = 'evil.example' AS is_blocked,
+           |  CASE WHEN domain = 'evil.example' THEN 'block'
+           |       WHEN domain IN ($common) THEN 'block'
+           |       WHEN domain <> 'corp.example' THEN 'mask'
+           |       ELSE 'allow' END AS verdict
+           |FROM (SELECT c_custkey,
+           |        CASE c_custkey % 4
+           |          WHEN 0 THEN 'gmail.com' WHEN 1 THEN 'evil.example'
+           |          WHEN 2 THEN 'corp.example' ELSE 'partner.example'
+           |        END AS domain
+           |      FROM customer)
+           |ORDER BY ALL""".stripMargin
+      }
     )
   )
 }

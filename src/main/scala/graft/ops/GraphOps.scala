@@ -93,6 +93,58 @@ object GraphOps {
              |JOIN customer ON c_nationkey = n_nationkey
              |WHERE r_name = 'EUROPE'
              |GROUP BY c_mktsegment ORDER BY ALL""".stripMargin)
+    ),
+    // G3 inbound pattern match (Cypher reversed arrowheads — the shape
+    // of the reference's (s)-[:CAUSES]->(a)<-[:EXPERIENCES]-(p),
+    // rag.baml:279): regions reached AGAINST both edges from the
+    // AUTOMOBILE customer set. Each In step is the same skinny
+    // edge-join as Out with src/dst swapped; ids dedup per hop so the
+    // fan-in collapses before the next join.
+    QueryDef(
+      "g3_inbound",
+      (s, d) => {
+        import graft.graph.PropertyGraph.In
+        val g = tpchGraph(s, d)
+        orderedByAll(
+          g.matchPattern("customer", col("c_mktsegment") === "AUTOMOBILE",
+              Seq("HAS_CUSTOMER" -> In, "HAS_NATION" -> In))
+            .select("r_name"))
+      },
+      Some("""SELECT DISTINCT r_name
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'AUTOMOBILE' ORDER BY ALL""".stripMargin)
+    ),
+    // G4 undirected bounded BFS (reference README.md:137
+    // `MATCH (a)-[r*1..4]-(b)`): minimal depths over the symmetrized
+    // edge set from one customer — up through its nation to the
+    // region, sideways to sibling customers, down to its orders.
+    QueryDef(
+      "g4_undirected_bfs",
+      (s, d) => {
+        val g = PropertyGraph(Map.empty, Map.empty)
+        val start = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("c_1"))),
+          org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
+        val edges = edgeSet(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val res = orderedByAll(
+          g.bfs(edges, start, 2, undirected = true)
+            .groupBy("depth").agg(count(lit(1)).as("n")))
+          .localCheckpoint(true)
+        edges.unpersist(false)
+        res
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+           |walk(id, depth) AS (
+           |  SELECT 'c_1', 0
+           |  UNION
+           |  SELECT e.dst, w.depth + 1 FROM walk w
+           |  JOIN sym e ON e.src = w.id WHERE w.depth < 2),
+           |mind AS (SELECT id, min(depth) AS depth FROM walk GROUP BY id)
+           |SELECT depth, count(*) AS n FROM mind GROUP BY depth ORDER BY ALL""".stripMargin)
     )
   )
 

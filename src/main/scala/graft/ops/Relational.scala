@@ -43,8 +43,9 @@ object Relational {
     ),
     // S4 row index / surrogate key (reference create_dataset.py:8).
     // NOTE: a global row_number needs a single-partition sort; at 100 TB
-    // use GraftKeys.sortedRowIndex (zipWithIndex over sorted partitions)
-    // instead — this query pins the *semantics* for the oracle.
+    // use graft.core.GraftKeys.sortedRowIndex (zipWithIndex over the
+    // range-partitioned sort — ScaleSpec proves it emits identical
+    // indices) — this query pins the *semantics* for the oracle.
     QueryDef(
       "s4_row_index",
       (s, d) => orderedByAll(

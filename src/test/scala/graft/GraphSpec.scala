@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.graph.PropertyGraph.{In, Out}
+
+/** Direction-aware traversal (reference rag.baml:279 reversed
+  * arrowheads, README.md:137 undirected var-length).
+  */
+class GraphSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  //   a1 ─REL1→ b2 ←REL2─ c3        a4 ─REL1→ b5
+  private lazy val g = PropertyGraph(
+    nodes = Map(
+      "A" -> Seq((1L, "a1"), (4L, "a4")).toDF("id", "tag"),
+      "B" -> Seq((2L, "b2"), (5L, "b5")).toDF("id", "tag"),
+      "C" -> Seq((3L, "c3")).toDF("id", "tag")),
+    edges = Map(
+      "REL1" -> (("A", "B", Seq((1L, 2L), (4L, 5L)).toDF("src", "dst"))),
+      "REL2" -> (("C", "B", Seq((3L, 2L)).toDF("src", "dst")))))
+
+  test("in() arrives at edge sources; out() at destinations") {
+    val ids = Seq(2L).toDF("id")
+    assert(g.in("REL1", ids).as[Long].collect().toSet === Set(1L))
+    assert(g.in("REL2", ids).as[Long].collect().toSet === Set(3L))
+    assert(g.out("REL1", Seq(4L).toDF("id")).as[Long].collect().toSet === Set(5L))
+  }
+
+  test("matchPattern composes Out and In steps — (a)-[:R1]->(b)<-[:R2]-(c)") {
+    val res = g.matchPattern("A", col("id") === 1L,
+      Seq("REL1" -> Out, "REL2" -> In))
+    assert(res.select("id").as[Long].collect().toSet === Set(3L))
+    assert(res.columns.toSet === Set("id", "tag"), "terminal label must be C's node table")
+    // a4's branch ends at b5, which no REL2 edge reaches — empty
+    val none = g.matchPattern("A", col("id") === 4L,
+      Seq("REL1" -> Out, "REL2" -> In))
+    assert(none.count() === 0)
+  }
+
+  test("undirected bfs walks against edge direction; directed does not") {
+    val edges = Seq(("n1", "n2"), ("n2", "n3")).toDF("src", "dst")
+    val start = Seq("n3").toDF("id")
+    val directed = g.bfs(edges, start, 2).as[(String, Int)].collect().toMap
+    assert(directed === Map("n3" -> 0), "n3 has no outgoing edges")
+    val undirected = g.bfs(edges, start, 2, undirected = true)
+      .as[(String, Int)].collect().toMap
+    assert(undirected === Map("n3" -> 0, "n2" -> 1, "n1" -> 2))
+  }
+
+  test("undirected bfs keeps minimal depth when forward and back paths meet") {
+    val edges = Seq(("x", "y"), ("z", "y")).toDF("src", "dst")
+    val start = Seq("x").toDF("id")
+    val got = g.bfs(edges, start, 3, undirected = true)
+      .as[(String, Int)].collect().toMap
+    assert(got === Map("x" -> 0, "y" -> 1, "z" -> 2))
+  }
+}

@@ -49,6 +49,40 @@ class GuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("email policy verdicts cover every branch (guardrails.py:103-198)") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val policy = Guardrails.EmailPolicy(
+      allowedDomains = Set("corp.example"),
+      blockedDomains = Set("evil.example"),
+      blockCommonDomains = true)
+    val df = Seq(
+      "a@GMAIL.com",       // common (case-folded) + blockCommon → block
+      "b@evil.example",    // blocklisted → block
+      "c@corp.example",    // allowlisted → allow
+      "d@partner.example"  // off-allowlist → mask
+    ).toDF("email")
+    val dom = Guardrails.emailDomain(col("email"))
+    val got = df.select(col("email"), Guardrails.verdict(dom, policy).as("v"))
+      .as[(String, String)].collect().toMap
+    assert(got("a@GMAIL.com") === "block")
+    assert(got("b@evil.example") === "block")
+    assert(got("c@corp.example") === "allow")
+    assert(got("d@partner.example") === "mask")
+  }
+
+  test("no allowlist means every domain is allowed; empty policy allows all") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dom = Guardrails.emailDomain(col("email"))
+    val df = Seq("x@anywhere.net", "y@gmail.com").toDF("email")
+    val open = df.select(col("email"),
+      Guardrails.verdict(dom, Guardrails.EmailPolicy()).as("v"))
+      .as[(String, String)].collect().toMap
+    assert(open.values.forall(_ == "allow"),
+      "default policy (no lists, no common-block) must allow everything")
+  }
+
   test("mask preserves structure: length, @ position, domain dots") {
     // dots INSIDE the username are masked to '*' (reference keeps only
     // first/last user chars); domain dots survive the per-part mask.

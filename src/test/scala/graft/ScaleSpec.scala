@@ -70,6 +70,21 @@ class ScaleSpec extends SparkSpec {
     assert(prepped(3L) === None, "null postalCode must nullify the key")
   }
 
+  test("sortedRowIndex matches row_number over a global sort, without a window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, TestSession.sf001).select("doc_id")
+    val viaWindow = docs
+      .withColumn("rid", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaKeys = graft.core.GraftKeys.sortedRowIndex(docs, Seq(col("doc_id")))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaKeys.toSeq === viaWindow.toSeq)
+    // and the scalable plan truly avoids the single-partition window
+    val plan = graft.core.GraftKeys.sortedRowIndex(docs, Seq(col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sortedRowIndex must not plan a window:\n$plan")
+  }
+
   test("documents scan prunes to the referenced columns for text ops") {
     val p = SparkEntry.queries("t1_token_count")(spark, sf)
       .queryExecution.executedPlan.toString
