@@ -55,12 +55,32 @@ object FhirPipeline {
       StructField("status", StringType),
       StructField("occurrenceDateTime", StringType))))),
     StructField("practitioner", StructType(Seq(
-      StructField("name", nameType), StructField("address", addressType),
+      StructField("name", nameType),
+      // extract_fhir.baml:35-40 declares `address Address | string` —
+      // ingested as a RAW STRING (Spark's JSON reader captures object
+      // values as their JSON text for StringType fields), so
+      // string-typed addresses survive instead of silently nulling
+      // out; practitionerAddress() normalizes to the struct view.
+      StructField("address", StringType),
       StructField("phone", StringType), StructField("email", StringType))))))
 
   /** Multi-line JSON array ingest (S2, reference pl.read_json). */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", value = true).schema(schema).json(path)
+
+  /** Normalize the practitioner address union (struct | string) to
+    * the Address struct: JSON-object text parses with from_json;
+    * a bare street string lands in `line` with the other parts null
+    * (the shape the reference's BAML union produces for `string`).
+    */
+  def practitionerAddress(raw: Column): Column = {
+    val nullStr = lit(null).cast(StringType)
+    when(raw.isNull, lit(null).cast(addressType))
+      .when(substring(ltrim(raw), 1, 1) === "{", from_json(raw, addressType))
+      .otherwise(struct(
+        raw.as("line"), nullStr.as("city"), nullStr.as("state"),
+        nullStr.as("postalCode"), nullStr.as("country")))
+  }
 
   /** Polars concat_str-style null-propagating join (Spark's concat_ws
     * SKIPS nulls — the reference's key recipes need propagation so
@@ -112,7 +132,8 @@ object FhirPipeline {
           col("name.family"))).as("id"),
         col("name.family").as("surname"),
         array_join(col("name.given"), "").as("givenName"),
-        col("address"), col("phone"), col("email"))
+        practitionerAddress(col("address")).as("address"),
+        col("phone"), col("email"))
 
   /** prep_substance_df: explode allergy substances; synthetic key
     * record_id_category_name with unknown-coalesce; `pos` preserves
@@ -163,24 +184,29 @@ object FhirPipeline {
     * succeed. A direct overwrite would delete source files while a
     * graph WHOSE FRAMES READ FROM THIS DIRECTORY is being rewritten
     * (the incremental-rebuild path) — a mid-read FileNotFound.
+    *
+    * The swap goes through the Hadoop FileSystem API, so it works on
+    * whatever store the session targets (local, HDFS; on S3-style
+    * object stores rename degrades to copy — at that scale prefer a
+    * table format with transactional overwrite).
     */
   def writeGraph(g: PropertyGraph, dir: String): Unit = {
     val stage = s"$dir/.staging"
     val tables =
       g.nodes.map { case (l, df) => s"nodes_$l" -> df } ++
         g.edges.map { case (r, (_, _, df)) => s"edges_$r" -> df }
+    if (tables.isEmpty) return
     for ((name, df) <- tables)
       df.write.mode("overwrite").parquet(s"$stage/$name")
+    val conf = tables.head._2.sparkSession.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     for ((name, _) <- tables) {
-      val target = java.nio.file.Paths.get(s"$dir/$name")
-      if (java.nio.file.Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/$name"), target)
+      val target = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$name"), target),
+        s"rename $stage/$name -> $target failed")
     }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stage))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Load a graph previously written by writeGraph. */
