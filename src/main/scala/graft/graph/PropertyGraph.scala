@@ -73,6 +73,14 @@ final case class PropertyGraph(
     * `-[r*1..4]-` pattern) by symmetrizing the edge set — a
     * projection-and-union, no extra shuffle: each BFS level still
     * shuffles once, on a frontier at most 2× the directed one.
+    *
+    * Each level's frontier is eagerly localCheckpoint'ed — the
+    * standard iterative-algorithm discipline (GraphX/Pregel do the
+    * same): without it, level h's anti-join against `visited`
+    * re-derives every previous level from source, an O(maxHops²)
+    * recompute that compounds with depth. Frontiers are node-id sets
+    * — small next to the edge table — and their blocks are freed by
+    * the ContextCleaner when the result is GC'd.
     */
   def bfs(edgeSet: DataFrame, start: DataFrame, maxHops: Int,
       undirected: Boolean = false): DataFrame = {
@@ -82,10 +90,11 @@ final case class PropertyGraph(
       else edgeSet
     var visited = start.select(col("id"), lit(0).as("depth"))
     var frontier = start.select("id")
-    for (h <- 1 to maxHops) {
+    for (h <- 1 to maxHops if !frontier.isEmpty) {
       frontier = es.join(frontier, es("src") === frontier("id"))
         .select(es("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(true)
       visited = visited.unionAll(frontier.select(col("id"), lit(h).as("depth")))
     }
     visited
