@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
 import graft.core.Tables.orderedByAll
-import graft.eval.Guardrails
+import graft.eval.{Guardrails, JudgeMetrics}
 
 /** Guardrail / evaluation operator inventory (SURVEY §2.9):
   * email masking (G1/G2), field-accuracy evaluation joins (G3),
@@ -184,6 +184,48 @@ object EvalOps {
            |        END AS domain
            |      FROM customer)
            |ORDER BY ALL""".stripMargin
+      }
+    ),
+    // E6 deterministic judge metrics (G6's engine-shaped slice): the
+    // Opik Contains score (rag_obs_eval.py:256) and the golden-answer
+    // number↔word variant matcher (test_graphrag.py:21-35), both pure
+    // projections over synthesized answer/expected pairs that hit
+    // every branch (digit hit, word-variant hit, substring hit, miss).
+    QueryDef(
+      "e6_judge_contains",
+      (s, d) => {
+        val expectedVals = Seq("three", "10", "seven", "0", "2")
+        val expected = element_at(array(expectedVals.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int"))
+        val answer = concat(lit("the count is "), (col("doc_id") % 12).cast("string"))
+        orderedByAll(
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            expected.as("expected"),
+            JudgeMetrics.containsScore(answer, expected).as("contains_score"),
+            JudgeMetrics.matchesExpected(answer, expected).as("matched")))
+      },
+      Some {
+        val w2n = JudgeMetrics.NumberWords.toMap
+        val n2w = JudgeMetrics.NumberWords.map(_.swap).toMap
+        def variants(v: String): Seq[String] =
+          Seq(v) ++ w2n.get(v).orElse(n2w.get(v))
+        val matchedCases = Seq("three", "10", "seven", "0", "2").map { v =>
+          val conds = variants(v)
+            .map(x => s"contains(answer, '$x')").mkString(" OR ")
+          s"WHEN '$v' THEN ($conds)"
+        }.mkString(" ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 5 WHEN 0 THEN 'three' WHEN 1 THEN '10'
+           |         WHEN 2 THEN 'seven' WHEN 3 THEN '0' ELSE '2' END AS expected,
+           |    'the count is ' || CAST(doc_id % 12 AS VARCHAR) AS answer
+           |  FROM documents)
+           |SELECT doc_id, expected,
+           |  CASE WHEN contains(lower(answer), lower(expected))
+           |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS contains_score,
+           |  CASE expected $matchedCases END AS matched
+           |FROM t ORDER BY ALL""".stripMargin
       }
     )
   )
