@@ -47,6 +47,21 @@ object Incremental {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** Streaming exact dedup (the streaming form of d1_exact_dedup):
+    * one row per normalized-content key, duplicate re-ingests dropped.
+    * `dropDuplicatesWithinWatermark` bounds the key state to the
+    * watermark horizon — a plain dropDuplicates would accrete state
+    * forever under continuous ingest, which is exactly the failure
+    * mode a 100 TB/day pipeline cannot have. Exactly-once within the
+    * horizon; re-ingests older than the watermark are the caller's
+    * compaction problem (the batch d1 pass).
+    */
+  def dedupStream(newDocs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    newDocs
+      .withColumn("content_key", TextFunctions.contentKey(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)
   case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops duplicate content within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Incremental.dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2026-01-01 10:00:00"), "the quick brown fox"),
+      (2L, ts("2026-01-01 10:01:00"), "THE  quick   Brown FOX"), // normalized dup of 1
+      (3L, ts("2026-01-01 10:02:00"), "something else"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2026-01-01 10:03:00"), "the quick brown fox")) // dup again
+    q.processAllAvailable()
+    val ids = spark.table("dd").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(ids.intersect(Set(1L, 2L)).size === 1, "one survivor of the in-batch dup pair")
+    assert(ids.contains(3L))
+    assert(!ids.contains(4L), "cross-batch re-ingest inside the watermark must drop")
+  }
+
   test("incremental postings delta matches the batch index for the same docs") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
