@@ -1,0 +1,89 @@
+package graft.search
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned IVF (inverted-file) ANN index over an embedding column —
+  * the trained form of the blocked scan `Vectors.knnDotBlocked`
+  * demonstrates with a pre-existing label column.
+  *
+  * Structure (the standard IVF recipe):
+  *  - `fit`: a coarse quantizer — k-means over the corpus (Spark ML,
+  *    distributed Lloyd iterations, fixed seed ⇒ deterministic).
+  *    The centroid table is tiny (nCells × dim doubles) and lives on
+  *    the driver, like a broadcast dictionary.
+  *  - `index`: assign every vector to its nearest centroid cell and
+  *    carry the exact 1e7-scaled int vector. At 100 TB this is the
+  *    partition/bucket key — write the index parquet partitioned by
+  *    `cell` and a query scans only its probed cells' files.
+  *  - `search`: pick the `nprobe` nearest cells to the query ON THE
+  *    DRIVER (nCells-sized math), then scan only those cells with the
+  *    same broadcast-query + TakeOrderedAndProject plan as the
+  *    brute-force path. nprobe = nCells degrades gracefully to exact
+  *    brute force; IvfSpec pins that equivalence and the recall
+  *    monotonicity in nprobe.
+  */
+object Ivf {
+
+  /** Driver-held coarse quantizer: (cell id, centroid). */
+  final case class Model(centroids: Array[(Int, Array[Double])]) {
+    require(centroids.nonEmpty)
+
+    /** The nprobe cells nearest to `q` (squared L2, driver math). */
+    def probeCells(q: Seq[Float], nprobe: Int): Seq[Int] =
+      centroids
+        .map { case (cell, c) =>
+          val d = c.indices.map(i => { val t = c(i) - q(i); t * t }).sum
+          (d, cell)
+        }
+        .sortBy { case (d, cell) => (d, cell) }
+        .take(nprobe).map(_._2).toSeq
+  }
+
+  /** Train the coarse quantizer. One pass of distributed k-means;
+    * nCells ~ sqrt(corpus) is the usual sizing at scale.
+    */
+  def fit(emb: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, maxIter: Int = 20): Model = {
+    val feats = emb.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+    Model(km.fit(feats).clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) })
+  }
+
+  /** Assign each row to its nearest cell: (idCol, cell, iv). The
+    * centroid set enters the plan as literals — nCells squared-distance
+    * expressions, a map-side projection, no shuffle and no UDF.
+    */
+  def index(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val v = col(vecCol)
+    val dists = model.centroids.map { case (cell, c) =>
+      val centroid = array(c.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(v.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d"),
+        lit(cell).as("cell"))
+    }
+    emb.select(
+      col(idCol),
+      array_min(array(dists: _*)).getField("cell").as("cell"),
+      Vectors.intVector(v).as("iv"))
+  }
+
+  /** Top-k by exact integer dot over the `nprobe` cells nearest to
+    * the query. `index` is the (idCol, cell, iv) frame from [[index]].
+    */
+  def search(index: DataFrame, idCol: String, model: Model,
+      q: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val cells = model.probeCells(q, nprobe)
+    val query = index.sparkSession.range(1).select(
+      Vectors.intVector(array(q.map(lit): _*)).as("qv"))
+    Vectors.knnDot(
+      index.filter(col("cell").isin(cells: _*)), idCol, query, k)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.{Ivf, Vectors}
+
+/** Learned IVF index: coarse-quantizer fit, cell assignment, and
+  * nprobe search semantics against the brute-force baseline.
+  */
+class IvfSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private val NCells = 8
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf)
+  private lazy val model = Ivf.fit(emb, "embedding", NCells)
+  private lazy val idx = Ivf.index(emb, "vec_id", "embedding", model)
+    .persist()
+  private lazy val q: Seq[Float] = emb.orderBy("vec_id")
+    .select("embedding").as[Seq[Float]].head()
+
+  private def brute(k: Int): Seq[(Long, Long)] = {
+    val query = spark.range(1)
+      .select(Vectors.intVector(array(q.map(lit): _*)).as("qv"))
+    Vectors.knnDot(
+      emb.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv")),
+      "vec_id", query, k).as[(Long, Long)].collect().toSeq
+  }
+
+  test("index covers the corpus; every cell id is a trained centroid") {
+    assert(idx.count() === emb.count())
+    val cells = idx.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf(model.centroids.map(_._1).toSet))
+    assert(cells.size >= 2, "a degenerate one-cell quantizer prunes nothing")
+  }
+
+  test("nprobe = nCells degrades to exact brute force") {
+    val full = Ivf.search(idx, "vec_id", model, q, 10, NCells)
+      .as[(Long, Long)].collect().toSeq
+    assert(full === brute(10))
+  }
+
+  test("recall is monotone in nprobe; probed search returns only probed cells") {
+    val gold = brute(10).map(_._1).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Ivf.search(idx, "vec_id", model, q, 10, nprobe)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      got.intersect(gold).size.toDouble / gold.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(NCells)
+    assert(r1 <= r4 && r4 <= r8, s"recall must grow with nprobe: $r1 $r4 $r8")
+    assert(r8 === 1.0)
+    // pruning actually prunes: nprobe=1 scans exactly one cell
+    val probed = model.probeCells(q, 1).toSet
+    val scanned = Ivf.search(idx.withColumn("c2", col("cell")), "vec_id", model, q, 10, 1)
+    assert(probed.size === 1)
+    val cellsInIdx = idx.filter(col("cell").isin(probed.toSeq: _*)).count()
+    assert(cellsInIdx < emb.count(), "probing one cell must scan a strict subset")
+    assert(scanned.count() <= math.min(10, cellsInIdx))
+  }
+
+  test("probeCells is deterministic and distance-ordered") {
+    val all = model.probeCells(q, NCells)
+    assert(all.distinct.size === all.size)
+    assert(model.probeCells(q, 2) === all.take(2))
+  }
+}
