@@ -58,6 +58,24 @@ class IvfSpec extends SparkSpec {
     assert(scanned.count() <= math.min(10, cellsInIdx))
   }
 
+  test("index written partitionBy(cell) gives partition-pruned probes") {
+    // the 100-TB layout: one directory per cell; an nprobe search
+    // reads only its probed cells' files, enforced by the planner
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      idx.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val probed = model.probeCells(q, 1)
+      val plan = back.filter(col("cell").isin(probed: _*))
+        .queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+        .getOrElse(fail(s"no PartitionFilters in:\n$plan"))
+      assert(pf.contains("cell"), s"cell predicate must prune partitions: $pf")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("probeCells is deterministic and distance-ordered") {
     val all = model.probeCells(q, NCells)
     assert(all.distinct.size === all.size)
