@@ -86,6 +86,19 @@ object ScaleOps {
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |       count(*) AS n
              |FROM events GROUP BY event_type ORDER BY ALL""".stripMargin)
+    ),
+    // S6 scalable row index: the zipWithIndex-over-sorted-partitions
+    // path (no single-partition window — compare s4_row_index, which
+    // pins the same semantics THROUGH the window form). doc_id is
+    // unique, so the index is total and deterministic; the oracle is
+    // the window the plan deliberately avoids.
+    QueryDef(
+      "s6_sorted_row_index",
+      (s, d) => orderedByAll(
+        graft.core.GraftKeys.sortedRowIndex(
+          Tables.documents(s, d).select("doc_id"), Seq(col("doc_id")))),
+      Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rid
+             |FROM documents ORDER BY ALL""".stripMargin)
     )
   )
 }
