@@ -99,6 +99,14 @@ object Dedup {
     * functions are Kirsch-Mitzenmacher combinations h1 + i·h2 — one
     * digest per shingle instead of k, and the combine/min runs inside
     * codegen (conv/substring are ordinary expressions, not HOFs).
+    *
+    * Recall caveat: the k functions are linear in (h1, h2), so band
+    * rows are correlated and per-band collision probability deviates
+    * from the independent-permutation s^r model — recall differs
+    * slightly from k independent hashes. Precision is unaffected
+    * (candidates are exact-Jaccard verified). If recall regressions
+    * show up on a real corpus, derive h2 from a second digest of a
+    * salted shingle.
     */
   private def hashHalves(shingle: Column): (Column, Column) = {
     val digest = md5(shingle.cast("binary"))
