@@ -209,10 +209,14 @@ object FhirPipeline {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
-  /** Load a graph previously written by writeGraph. */
+  /** Load a graph previously written by writeGraph (table discovery
+    * through the Hadoop FileSystem, same as the writer).
+    */
   def readGraph(spark: SparkSession, dir: String,
       edgeMeta: Map[String, (String, String)]): PropertyGraph = {
-    val base = new java.io.File(dir).listFiles().map(_.getName)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = fs.listStatus(p).map(_.getPath.getName)
     val nodes = base.filter(_.startsWith("nodes_"))
       .map(n => n.stripPrefix("nodes_") -> spark.read.parquet(s"$dir/$n")).toMap
     val edges = base.filter(_.startsWith("edges_"))
