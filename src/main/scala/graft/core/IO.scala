@@ -34,10 +34,13 @@ object IO {
     * refuse anything larger than `maxRows`.
     */
   def writeJsonArrayFile(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
-    val rows = df.toJSON.collect()
-    require(rows.length <= maxRows,
+    // guard BEFORE collecting: limit(maxRows + 1) bounds the probe, so
+    // an oversized frame fails fast instead of OOMing the driver
+    val probe = df.limit(maxRows + 1).count()
+    require(probe <= maxRows,
       s"writeJsonArrayFile is a driver-side sink for small results " +
-        s"(${rows.length} > $maxRows rows); use writeJsonLines")
-    Files.writeString(Paths.get(path), rows.mkString("[\n", ",\n", "\n]"))
+        s"(> $maxRows rows); use writeJsonLines")
+    Files.writeString(Paths.get(path),
+      df.toJSON.collect().mkString("[\n", ",\n", "\n]"))
   }
 }
