@@ -106,15 +106,20 @@ object Extraction {
     */
   def fieldAccuracy(extracted: DataFrame, gold: DataFrame,
       fields: Seq[(String, String)]): DataFrame = {
+    // ONE join + ONE aggregation for every field (a per-field
+    // agg-union would rescan the join once per field — fields× full
+    // passes at corpus scale), then stack() unpivots the single row
+    // to the long (field, n_match, n_total, accuracy) form.
     val joined = extracted.as("x").join(gold.as("g"), "record_id")
-    val tallies = fields.map { case (xf, gf) =>
-      val eq = col(s"x.$xf") <=> col(s"g.$gf")
-      joined.agg(
-        lit(xf).as("field"),
-        sum(when(eq, 1L).otherwise(0L)).as("n_match"),
-        count(lit(1)).as("n_total"))
+    val matchCols = fields.zipWithIndex.map { case ((xf, gf), i) =>
+      sum(when(col(s"x.$xf") <=> col(s"g.$gf"), 1L).otherwise(0L)).as(s"m_$i")
     }
-    tallies.reduce(_ unionAll _)
+    val row = joined.agg(matchCols.head, (matchCols.tail :+ count(lit(1)).as("n_total")): _*)
+    val stackArgs = fields.zipWithIndex
+      .map { case ((xf, _), i) => s"'$xf', m_$i" }.mkString(", ")
+    row.select(
+        expr(s"stack(${fields.size}, $stackArgs) AS (field, n_match)"),
+        col("n_total"))
       .withColumn("accuracy", col("n_match").cast("double") / col("n_total").cast("double"))
   }
 }
