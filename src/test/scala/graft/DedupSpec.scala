@@ -31,6 +31,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("count-based jaccard equals array-intersect jaccard on random docs") {
+    // independent semantic reference: wordShingles arrays +
+    // array_intersect/array_union, all pairs. With maxDf >= nDocs no
+    // shingle is "hot", so jaccardPairs' blocking admits every pair
+    // with >=1 common shingle — exactly the pairs with jaccard > 0.
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val rdocs = (1L to 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(rdocs, "doc_id", "text", 2, 0.1, maxDf = 40)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = rdocs.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("s"))
+    val ref = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === ref, "count-based and array-based jaccard must agree bit-for-bit")
+    assert(got.nonEmpty, "small vocab must collide")
+  }
+
   test("minhashLshPairs candidates are verified and subset of exact jaccard") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       3, 12, 4, 3, 0.5)
