@@ -77,18 +77,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object GraftFunctions {
 
-  private val cosineInfo = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (args: Seq[Expression]) => {
-      require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-      CosineSimilarity(args.head, args(1))
-    })
+  /** The engine's native function inventory — one definition feeding
+    * both live-session registration and the extensions injection.
+    */
+  private[functions] val functions = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(args.head, args(1)): Expression
+      }),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_sig takes exactly 2 arguments")
+        SimHashSig(args.head, args(1)): Expression
+      }))
 
   /** Register into a LIVE session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineInfo._1, cosineInfo._2, cosineInfo._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers
@@ -97,12 +107,5 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"cosine_sim takes exactly 2 arguments, got ${args.length}")
-        CosineSimilarity(args.head, args(1))
-      }))
+    GraftFunctions.functions.foreach(ext.injectFunction)
 }

@@ -139,6 +139,32 @@ object DedupOps {
            |ORDER BY ALL""".stripMargin
       }
     ),
+    // D4b: the same SimHash signature through the NATIVE Catalyst
+    // expression (graft.functions.SimHashSig, doGenCode single-pass
+    // md5 + vote tally) — oracle-identical to d4's Column-composition
+    // form, proving the fast path computes the same bits.
+    QueryDef(
+      "d6_simhash_expr",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        orderedByAll(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              expr(s"simhash_sig(toks, $SimhashBits)").as("simhash")))
+      },
+      Some {
+        val bitTerms = (0 until SimhashBits).map { j =>
+          val hc = j / 4; val sub = 3 - (j % 4)
+          s"""CASE WHEN 2 * len(list_filter(hashes,
+             |  h -> ((strpos('0123456789abcdef', substring(h, ${hc + 1}, 1)) - 1) // ${1L << sub}) % 2 = 1))
+             |  >= len(hashes) THEN ${1L << (SimhashBits - 1 - j)} ELSE 0 END""".stripMargin
+        }
+        s"""SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, list_transform($sqlToks, t -> md5(t)) AS hashes FROM documents)
+           |ORDER BY ALL""".stripMargin
+      }
+    ),
     // D5 embedding near-dup: cos > 0.95 with exact integer/decimal
     // arithmetic (no float rounding → engine-portable), pairs blocked
     // on the label column (the IVF-style scale path: at 100 TB the
