@@ -237,6 +237,12 @@ object Dedup {
   /** `nBits`-bit SimHash over the token multiset: bit j is the sign of
     * Σ_tokens (±1) where +1 iff bit j of md5(token) is set. Computed
     * from the first nBits/4 hex chars of each token hash.
+    *
+    * This is the portable Column-composition form (oracle semantics
+    * reference). The 100-TB hot path is the native expression
+    * `graft.functions.SimHashSig` (`simhash_sig(tokens, nBits)`) —
+    * one fused pass inside codegen, bit-identical (d6 oracle +
+    * SimHashExprSpec prove it).
     */
   def simhash(text: Column, nBits: Int = 16): Column = {
     require(nBits % 4 == 0 && nBits <= 64)
