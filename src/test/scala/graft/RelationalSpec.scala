@@ -26,6 +26,13 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("every query in the inventory carries a DuckDB oracle") {
+    // spec-only operators live in library modules, not SparkEntry —
+    // anything registered as a query must be driver-checkable
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
+      "queries without oracles downgrade the correctness gate to rows-only")
+  }
+
   test("a1_group_agg matches hand-computed sf0.001 aggregate") {
     val row = SparkEntry.queries("a1_group_agg")(spark, sf)
       .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
