@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)), "identical docs always share every band")
   }
 
+  test("pair ops unpersist their posting intermediates before returning") {
+    // round-3 regression root cause: persisted frames outliving their
+    // query pinned MEMORY_AND_DISK blocks for the session's lifetime.
+    // The contract now: a dedup call returns with the cache as empty
+    // as it found it (its compact result is a checkpoint, not a cache
+    // entry).
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    assert(cm.isEmpty, "jaccardPairs left cached frames behind")
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4, 3, 0.5).count()
+    assert(cm.isEmpty, "minhashLshPairs left cached frames behind")
+  }
+
   test("simhash: identical texts agree, signature fits in nBits") {
     val sig = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("s"))
       .as[(Long, Long)].collect().toMap
