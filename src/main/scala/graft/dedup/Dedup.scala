@@ -286,4 +286,24 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     finalized(result, Seq(iv))
   }
+
+  /** Embedding near-dup when NO natural blocking column exists: learn
+    * the block key with the IVF coarse quantizer (graft.search.Ivf —
+    * distributed k-means, fixed seed), assign cells map-side, then
+    * run the same exact-arithmetic threshold test within cells.
+    * Output = exactly {pairs over τ whose endpoints share a cell} —
+    * cross-cell near-dups are the standard IVF-blocking miss (shrink
+    * it with more cells probed at assignment or a finer/looser
+    * quantizer); at 100 TB this is the practical shape, since
+    * unblocked all-pairs is quadratic.
+    */
+  def embeddingNearDupPairsAuto(
+      emb: DataFrame, idCol: String, vecCol: String,
+      tauNumSq: Long, tauDenSq: Long,
+      nCells: Int, seed: Long = 42L): DataFrame = {
+    val model = graft.search.Ivf.fit(emb, vecCol, nCells, seed)
+    val celled = emb.select(col(idCol), col(vecCol),
+      graft.search.Ivf.cellOf(col(vecCol), model).as("ivf_cell"))
+    embeddingNearDupPairs(celled, idCol, vecCol, "ivf_cell", tauNumSq, tauDenSq)
+  }
 }

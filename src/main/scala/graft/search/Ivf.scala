@@ -55,25 +55,28 @@ object Ivf {
       .map { case (v, i) => (i, v.toArray) })
   }
 
-  /** Assign each row to its nearest cell: (idCol, cell, iv). The
-    * centroid set enters the plan as literals — nCells squared-distance
-    * expressions, a map-side projection, no shuffle and no UDF.
+  /** Nearest-cell id for a vector column. The centroid set enters the
+    * plan as literals — nCells squared-distance expressions folded
+    * through array_min — a map-side projection, no shuffle and no UDF.
     */
-  def index(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val v = col(vecCol)
+  def cellOf(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
     val dists = model.centroids.map { case (cell, c) =>
       val centroid = array(c.map(lit): _*)
       struct(
         aggregate(
-          zip_with(v.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
+          zip_with(vec.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
           lit(0.0), _ + _).as("d"),
         lit(cell).as("cell"))
     }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  /** Assign each row to its nearest cell: (idCol, cell, iv). */
+  def index(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     emb.select(
       col(idCol),
-      array_min(array(dists: _*)).getField("cell").as("cell"),
-      Vectors.intVector(v).as("iv"))
-  }
+      cellOf(col(vecCol), model).as("cell"),
+      Vectors.intVector(col(vecCol)).as("iv"))
 
   /** Top-k by exact integer dot over the `nprobe` cells nearest to
     * the query. `index` is the (idCol, cell, iv) frame from [[index]].

@@ -101,6 +101,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("embeddingNearDupPairsAuto = threshold matches restricted to learned cells") {
+    // clustered corpus: the quantizer discovers the blocks; the output
+    // must be EXACTLY the over-threshold pairs whose endpoints land in
+    // the same learned cell (deterministic with the fixed seed).
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq
+    val c1 = Array(1f, 0f, 0f, 0f); val c2 = Array(0f, 1f, 0f, 0f)
+    val emb = ((1L to 6L).map(i => (i, jitter(c1))) ++
+      (7L to 12L).map(i => (i, jitter(c2))))
+      .toDF("vec_id", "embedding")
+    val tauN = 9025L; val tauD = 10000L // tau^2 = 0.9025 (tau = 0.95)
+    val got = Dedup.embeddingNearDupPairsAuto(
+      emb, "vec_id", "embedding", tauN, tauD, nCells = 2)
+      .as[(Long, Long)].collect().toSet
+    // independent reference: all-pairs exact threshold ∩ same learned cell
+    val model = graft.search.Ivf.fit(emb, "embedding", 2)
+    val celled = emb.select(col("vec_id"),
+      graft.search.Ivf.cellOf(col("embedding"), model).as("c"))
+    val allPairs = Dedup.embeddingNearDupPairs(
+      emb.withColumn("one", lit(1)), "vec_id", "embedding", "one", tauN, tauD)
+      .as[(Long, Long)].collect().toSet
+    val cellOfId = celled.as[(Long, Int)].collect().toMap
+    val expected = allPairs.filter { case (a, b) => cellOfId(a) == cellOfId(b) }
+    assert(got === expected)
+    assert(got.nonEmpty, "tight clusters over tau=0.95 must pair")
+  }
+
   test("Vectors.cosine computes exact known values") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), "same"),
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), "orth"),
