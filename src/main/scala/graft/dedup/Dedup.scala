@@ -300,10 +300,14 @@ object Dedup {
   def embeddingNearDupPairsAuto(
       emb: DataFrame, idCol: String, vecCol: String,
       tauNumSq: Long, tauDenSq: Long,
-      nCells: Int, seed: Long = 42L): DataFrame = {
+      nCells: Int, seed: Long = 42L, nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nCells)
     val model = graft.search.Ivf.fit(emb, vecCol, nCells, seed)
     val celled = emb.select(col(idCol), col(vecCol),
-      graft.search.Ivf.cellOf(col(vecCol), model).as("ivf_cell"))
-    embeddingNearDupPairs(celled, idCol, vecCol, "ivf_cell", tauNumSq, tauDenSq)
+      explode(graft.search.Ivf.cellsOf(col(vecCol), model, nProbes)).as("ivf_cell"))
+    val pairs = embeddingNearDupPairs(celled, idCol, vecCol, "ivf_cell",
+      tauNumSq, tauDenSq)
+    // multi-probe lands a pair in every shared cell — dedup the copies
+    if (nProbes > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 }

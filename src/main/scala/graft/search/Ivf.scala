@@ -71,6 +71,26 @@ object Ivf {
     array_min(array(dists: _*)).getField("cell")
   }
 
+  /** The `n` nearest cell ids for a vector column, nearest first —
+    * multi-probe assignment (soft blocking): a vector near a cell
+    * boundary lands in both cells, so boundary-straddling neighbors
+    * still meet. Sorting the nCells (distance, cell) structs is an
+    * O(nCells log nCells) per-row array op — nCells is small by
+    * construction.
+    */
+  def cellsOf(vec: org.apache.spark.sql.Column, model: Model,
+      n: Int): org.apache.spark.sql.Column = {
+    val dists = model.centroids.map { case (cell, c) =>
+      val centroid = array(c.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(vec.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d"),
+        lit(cell).as("cell"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, n), _.getField("cell"))
+  }
+
   /** Assign each row to its nearest cell: (idCol, cell, iv). */
   def index(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     emb.select(

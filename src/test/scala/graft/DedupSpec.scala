@@ -127,6 +127,14 @@ class DedupSpec extends SparkSpec {
     val expected = allPairs.filter { case (a, b) => cellOfId(a) == cellOfId(b) }
     assert(got === expected)
     assert(got.nonEmpty, "tight clusters over tau=0.95 must pair")
+    // multi-probe soft blocking recovers boundary pairs: superset of
+    // single-probe, never beyond the true threshold matches; probing
+    // every cell degrades to exact all-pairs
+    val got2 = Dedup.embeddingNearDupPairsAuto(
+      emb, "vec_id", "embedding", tauN, tauD, nCells = 2, nProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(got2) && got2.subsetOf(allPairs))
+    assert(got2 === allPairs, "nProbes = nCells must equal all-pairs matches")
   }
 
   test("Vectors.cosine computes exact known values") {
