@@ -19,7 +19,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.GraftSession.local(cpus)
+    // SPARK_GRAFT_ONLY=q1,q2 times a subset (diagnosis runs); the
+    // driver never sets it, so the reported bench always covers all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, warmDir).count() catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e")
@@ -29,7 +34,10 @@ object Bench {
       // Two timed repetitions, report the min: single-shot numbers on
       // a shared box swing ~2x with transient load, and the minimum is
       // the standard noise-robust estimator for a deterministic
-      // workload. Cache hygiene before each rep: a query's persisted
+      // workload. PROTOCOL NOTE: min-of-2 started in round 4 — r01-r03
+      // benches are single-shot, so cross-round comparisons against
+      // those rounds mix protocols (min-of-2 reads ~equal-or-lower).
+      // Cache hygiene before each rep: a query's persisted
       // intermediates must not linger into the next measurement
       // (round-3 lesson — dead cached frames churned the whole suite).
       val times = (1 to 2).flatMap { _ =>

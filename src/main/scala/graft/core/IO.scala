@@ -34,13 +34,16 @@ object IO {
     * refuse anything larger than `maxRows`.
     */
   def writeJsonArrayFile(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
-    // guard BEFORE collecting: limit(maxRows + 1) bounds the probe, so
-    // an oversized frame fails fast instead of OOMing the driver
-    val probe = df.limit(maxRows + 1).count()
-    require(probe <= maxRows,
+    // ONE evaluation: collect limit(maxRows + 1) — bounded even when
+    // oversized — and fail on the sentinel extra row. A separate
+    // count-probe pass would evaluate df twice, and a
+    // non-deterministic frame could pass the probe yet blow past the
+    // cap at collect time — the driver-OOM this guard exists to stop.
+    val rows = df.limit(maxRows + 1).toJSON.collect()
+    require(rows.length <= maxRows,
       s"writeJsonArrayFile is a driver-side sink for small results " +
         s"(> $maxRows rows); use writeJsonLines")
     Files.writeString(Paths.get(path),
-      df.toJSON.collect().mkString("[\n", ",\n", "\n]"))
+      rows.mkString("[\n", ",\n", "\n]"))
   }
 }

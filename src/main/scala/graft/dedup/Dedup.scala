@@ -53,6 +53,13 @@ object Dedup {
     * queries competed with execution memory and slowed the whole
     * bench). The localCheckpoint blocks themselves are tiny and are
     * freed by the ContextCleaner when the result is GC'd.
+    *
+    * Cluster caveat: localCheckpoint blocks live on executors — they
+    * are UNRECOVERABLE on executor loss and unsafe under dynamic
+    * allocation. Right for the single-JVM bench; on a cluster either
+    * set a checkpoint dir and use reliable `df.checkpoint(true)`, or
+    * write the compact result to storage and read it back (the same
+    * lineage truncation, durably).
     */
   private def finalized(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.localCheckpoint(true)

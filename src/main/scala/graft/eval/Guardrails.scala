@@ -46,9 +46,19 @@ object Guardrails {
     if (text == null) null
     else EmailRegex.replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(maskEmail(m.matched)))
 
-  /** Column forms. */
+  /** Column form of the mask — the engine's one legitimate guardrail
+    * UDF (the structure-preserving rewrite has no builtin equivalent).
+    */
   val maskTextUdf: Column => Column = udf(maskText _).apply(_: Column)
-  val findEmailsUdf: Column => Column = udf(findEmails _).apply(_: Column)
+
+  /** Email DETECTION as the codegen'd builtin (SURVEY §2.9 G1's
+    * stated mapping): `regexp_extract_all` over the same reference
+    * pattern. Scala's Regex and Spark's regexp_* share Java regex
+    * syntax, so matches are identical to [[findEmails]] — only the
+    * mask needs a UDF.
+    */
+  def findEmailsCol(text: Column): Column =
+    regexp_extract_all(text, lit(EmailRegex.regex), lit(0))
 
   // ---- domain classification / policy verdicts (guardrails.py:103-198)
 
@@ -63,9 +73,13 @@ object Guardrails {
 
   /** Lower-cased domain of an email — `email.split('@')[1].lower()`
     * (guardrails.py:142). Pure codegen'd string ops, no UDF.
+    * NULL when the input has no '@': substring_index would return the
+    * whole string, silently classifying non-email input as a domain
+    * (the reference's split('@')[1] raises instead — malformed values
+    * must fall OUT of the policy cascade, not into it).
     */
   def emailDomain(email: Column): Column =
-    lower(substring_index(email, "@", -1))
+    when(email.contains("@"), lower(substring_index(email, "@", -1)))
 
   /** The three per-email classification flags (guardrails.py:143-145):
     * is_common (free-mail), is_allowed (vacuously true with no
@@ -87,10 +101,13 @@ object Guardrails {
     * structure-preserving mask is the reference's non-block
     * remediation); otherwise → 'allow'. A plain CASE expression —
     * whole-stage codegen, trivially pushed past joins.
+    * NULL domain (malformed email) ⇒ NULL verdict — it falls out of
+    * the cascade entirely rather than defaulting to 'allow'.
     */
   def verdict(domain: Column, p: EmailPolicy): Column =
-    when(isBlocked(domain, p), "block")
-      .when(lit(p.blockCommonDomains) && isCommon(domain), "block")
-      .when(!isAllowed(domain, p), "mask")
-      .otherwise("allow")
+    when(domain.isNotNull,
+      when(isBlocked(domain, p), "block")
+        .when(lit(p.blockCommonDomains) && isCommon(domain), "block")
+        .when(!isAllowed(domain, p), "mask")
+        .otherwise("allow"))
 }

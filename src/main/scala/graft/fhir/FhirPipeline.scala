@@ -209,6 +209,45 @@ object FhirPipeline {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** Incremental graph upsert — Kuzu `MERGE`'s batch equivalent
+    * (reference build_graph.py:209-224), deterministic: survivors
+    * (keys already in `existing`) keep their stored properties
+    * UNTOUCHED — first-write-wins extended across batches — and new
+    * keys append. Per node label that is
+    * `existing ∪ (delta ⟕anti existing on id)`; per relationship the
+    * anti-join keys on (src, dst). One skinny-key anti-join per
+    * table, no window, no driver state — at scale both sides shuffle
+    * on the id they are already stored by (bucket the store by id and
+    * the anti-join co-locates).
+    *
+    * Labels/rel types present on only one side pass through, so a
+    * delta can introduce new tables. Compose with [[writeGraph]] for
+    * the full ingest step: its stage-then-swap makes writing the
+    * merged graph back OVER the directory `existing` reads from safe
+    * (every table stages before any target is replaced).
+    */
+  def upsertGraph(existing: PropertyGraph, delta: PropertyGraph): PropertyGraph = {
+    def mergeOn(e: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame =
+      e.unionByName(d.join(e.select(keys.map(col): _*), keys, "left_anti"))
+    val nodes = (existing.nodes.keySet ++ delta.nodes.keySet).map { l =>
+      l -> ((existing.nodes.get(l), delta.nodes.get(l)) match {
+        case (Some(e), Some(d)) => mergeOn(e, d, Seq("id"))
+        case (Some(e), None)    => e
+        case (None, d)          => d.get
+      })
+    }.toMap
+    val edges = (existing.edges.keySet ++ delta.edges.keySet).map { r =>
+      r -> ((existing.edges.get(r), delta.edges.get(r)) match {
+        case (Some((s, t, e)), Some((s2, t2, d))) =>
+          require(s == s2 && t == t2, s"endpoint labels diverge for $r")
+          (s, t, mergeOn(e, d, Seq("src", "dst")))
+        case (Some(e), None) => e
+        case (None, d)       => d.get
+      })
+    }.toMap
+    PropertyGraph(nodes, edges)
+  }
+
   /** Load a graph previously written by writeGraph (table discovery
     * through the Hadoop FileSystem, same as the writer).
     */

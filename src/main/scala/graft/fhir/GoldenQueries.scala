@@ -76,23 +76,32 @@ object GoldenQueries {
   }
 
   /** Q8: patient 45's shellfish allergy → (city, state, practitioner).
-    * Expressed through the direction-aware pattern API — the generated
-    * Cypher mixes arrowheads (`(s:Substance)-[:CAUSES]->(a:Allergy)
-    * <-[:EXPERIENCES]-(p:Patient)`, reference rag.baml:279), which
-    * maps to Out/In steps.
+    * ONE pattern call: the generated Cypher's mixed arrowheads
+    * (`(s:Substance)-[:CAUSES]->(a:Allergy)<-[:EXPERIENCES]-
+    * (p:Patient)`, reference rag.baml:279) plus the patient's
+    * address and practitioner as BRANCHES off `p` — a tree pattern
+    * with a mid-chain predicate (`p.id = 45`), expressible since the
+    * matchPaths DSL (round 5); previously three matchPattern calls.
+    * An empty path set (no shellfish allergy) fails the require.
     */
   def q8Patient45Shellfish(g: PropertyGraph): (String, String, String) = {
-    import PropertyGraph.{In, Out}
-    val hasShellfish = g.matchPattern("Substance", col("id") === "shellfish",
-        Seq("CAUSES" -> Out, "EXPERIENCES" -> In))
-      .filter(col("id") === 45)
-      .limit(1).count() > 0
-    require(hasShellfish, "patient 45 has no shellfish allergy")
-    val home = g.matchPattern("Patient", col("id") === 45, Seq("LIVES_IN" -> Out))
-      .select("city", "state").head()
-    val prac = g.matchPattern("Patient", col("id") === 45, Seq("TREATS" -> In))
-      .select(concat_ws(" ", col("givenName"), col("surname"))).head().getString(0)
-    (home.getString(0), home.getString(1), prac)
+    import PropertyGraph.{In, Out, PatternNode, PatternStep}
+    val paths = g.matchPaths(
+      PatternNode("Substance", "s", Some(col("id") === "shellfish")),
+      Seq(
+        PatternStep("CAUSES", Out, PatternNode("Allergy", "a")),
+        PatternStep("EXPERIENCES", In, PatternNode("Patient", "p", Some(col("id") === 45))),
+        PatternStep("LIVES_IN", Out, PatternNode("Address", "ad"), from = Some("p")),
+        PatternStep("TREATS", In, PatternNode("Practitioner", "pr"), from = Some("p"))))
+    val rows = g.attach(
+        g.attach(paths, "ad", "Address", Seq("city", "state")),
+        "pr", "Practitioner", Seq("givenName", "surname"))
+      .select(col("city"), col("state"),
+        concat_ws(" ", col("givenName"), col("surname")).as("prac"))
+      .distinct().collect()
+    require(rows.nonEmpty, "patient 45 has no shellfish allergy")
+    require(rows.length == 1, s"ambiguous q8 result: ${rows.mkString(";")}")
+    (rows(0).getString(0), rows(0).getString(1), rows(0).getString(2))
   }
 
   /** Q9: immunization matches whose traits mention influenza. The

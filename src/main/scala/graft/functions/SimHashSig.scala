@@ -37,10 +37,11 @@ case class SimHashSig(left: Expression, right: Expression)
         s"simhash_sig expects ARRAY<STRING> tokens, got ${left.dataType.simpleString}")
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure("simhash_sig nBits must be an INT literal")
-    else {
-      val n = right.eval().asInstanceOf[Number].intValue()
-      if (n >= 1 && n <= 64) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"nBits must be in [1, 64], got $n")
+    else right.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure("nBits must not be NULL")
+      case n: Number if n.intValue() >= 1 && n.intValue() <= 64 =>
+        TypeCheckResult.TypeCheckSuccess
+      case n => TypeCheckResult.TypeCheckFailure(s"nBits must be in [1, 64], got $n")
     }
   }
 
@@ -67,26 +68,33 @@ object SimHashSig {
   }
 
   /** One pass: md5 per token, tally all bit votes, majority-fold.
-    * Static-forwarded so generated Java calls it directly.
+    * Static-forwarded so generated Java calls it directly. NULL
+    * elements are skipped — the filter-lambda in the Column form
+    * drops them from the vote, and `simhash_sig` is a registered SQL
+    * function, so arbitrary user arrays (nulls included) reach here.
     */
   def compute(tokens: ArrayData, nBits: Int): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](nBits)
     val digest = md5.get()
+    var voters = 0
     var i = 0
     while (i < n) {
-      val d = digest.digest(tokens.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < nBits) {
-        votes(j) += (d(j >> 3) >> (7 - (j & 7))) & 1
-        j += 1
+      if (!tokens.isNullAt(i)) {
+        voters += 1
+        val d = digest.digest(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < nBits) {
+          votes(j) += (d(j >> 3) >> (7 - (j & 7))) & 1
+          j += 1
+        }
       }
       i += 1
     }
     var sig = 0L
     var j = 0
     while (j < nBits) {
-      if (2 * votes(j) >= n) sig |= 1L << (nBits - 1 - j)
+      if (2 * votes(j) >= voters) sig |= 1L << (nBits - 1 - j)
       j += 1
     }
     sig

@@ -22,21 +22,30 @@ import org.apache.spark.sql.functions._
 final case class PropertyGraph(
     nodes: Map[String, DataFrame],
     edges: Map[String, (String, String, DataFrame)]) {
-  import PropertyGraph.{Direction, Out, In}
+  import PropertyGraph.{Direction, Out, In, PatternNode, PatternStep}
 
-  /** Single-hop expansion: follow `relType` forward from `ids("id")`. */
-  def out(relType: String, ids: DataFrame): DataFrame = step(relType, Out, ids)
+  /** Single-hop expansion: follow `relType` forward from `ids("id")`.
+    * Returns the distinct arrival SET (one exchange).
+    */
+  def out(relType: String, ids: DataFrame): DataFrame =
+    step(relType, Out, ids).distinct()
 
   /** Single-hop expansion AGAINST the edge direction (the Cypher
     * `<-[:REL]-` arrowhead, reference rag.baml:279): arrive at the
-    * SOURCES of `relType` edges whose dst is in `ids("id")`.
+    * SOURCES of `relType` edges whose dst is in `ids("id")`. Distinct.
     */
-  def in(relType: String, ids: DataFrame): DataFrame = step(relType, In, ids)
+  def in(relType: String, ids: DataFrame): DataFrame =
+    step(relType, In, ids).distinct()
 
+  /** One hop WITHOUT dedup — one row per (incoming row, matching
+    * edge). Multi-step chains dedup ONCE at pattern end instead of
+    * paying an exchange per hop (the round-4 per-step distinct made
+    * g2 6.8× slower than the joins it compiles to).
+    */
   private def step(relType: String, dir: Direction, ids: DataFrame): DataFrame = {
     val (_, _, e) = edges(relType)
     val (from, to) = dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
-    e.join(ids, e(from) === ids("id")).select(e(to).as("id")).distinct()
+    e.join(ids, e(from) === ids("id")).select(e(to).as("id"))
   }
 
   /** Fixed pattern: start at `startLabel` rows passing `pred`, walk
@@ -58,12 +67,74 @@ final case class PropertyGraph(
       startLabel: String, pred: Column,
       steps: Seq[(String, Direction)]): DataFrame = {
     val start = nodes(startLabel).filter(pred).select(col("id"))
+    // un-deduped hops, ONE distinct at pattern end: reachability
+    // semantics at joins-only cost (fan-in rows are a skinny id
+    // column until the single terminal exchange)
     val endIds = steps.foldLeft(start) { case (ids, (r, d)) => step(r, d, ids) }
+      .distinct()
     val endLabel = steps.last match {
       case (r, Out) => edges(r)._2
       case (r, In)  => edges(r)._1
     }
     nodes(endLabel).join(endIds, "id")
+  }
+
+  // ---- path-preserving pattern DSL (the Text2Cypher compile target) --
+
+  /** One row per PATH matching a pattern tree — Cypher `MATCH`
+    * multiplicity, not reachability: a fan-out pattern (one patient,
+    * many immunizations) yields one row per immunization, so
+    * `count(*)` over the result agrees with Cypher (the reference's
+    * own prompt works around the distinction with `COUNT(DISTINCT p)`,
+    * rag.baml:279 — this surface makes both countable).
+    *
+    * `start` anchors the pattern; each [[PatternStep]] walks one edge
+    * from a named earlier position (default: the previous step's
+    * node), optionally filtering the arrived-at node MID-CHAIN via a
+    * semi-join against the (dimension-sized, broadcastable) node
+    * table. Branches — steps anchored `from` a non-terminal alias —
+    * make tree patterns expressible, e.g. GoldenQueries.q8's
+    * substance→allergy←patient→{address, practitioner} as ONE call.
+    *
+    * Output: one id column per position, named by alias. No dedup
+    * anywhere — wrap with `.distinct()`/`dropDuplicates` for set
+    * semantics, or aggregate directly for path counts. Fetch node
+    * properties for selected positions with [[attach]].
+    */
+  def matchPaths(start: PatternNode, steps: Seq[PatternStep]): DataFrame = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val aliases = (start +: steps.map(_.node)).map(_.as)
+    require(aliases.distinct == aliases, s"duplicate position aliases: $aliases")
+    val s0 = nodes(start.label)
+    var df = start.pred.foldLeft(s0)((d, p) => d.filter(p))
+      .select(col("id").as(start.as))
+    var prev = start.as
+    for (st <- steps) {
+      val (_, _, e) = edges(st.rel)
+      val (from, to) = st.dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
+      val anchor = st.from.getOrElse(prev)
+      require(df.columns.contains(anchor), s"unknown anchor alias '$anchor'")
+      val ed = e.select(col(from).as("__from"), col(to).as(st.node.as))
+      df = df.join(ed, df(anchor) === ed("__from")).drop("__from")
+      for (p <- st.node.pred) {
+        val ids = nodes(st.node.label).filter(p).select(col("id"))
+        df = df.join(ids, df(st.node.as) === ids("id"), "left_semi")
+      }
+      prev = st.node.as
+    }
+    df
+  }
+
+  /** Join node properties onto a [[matchPaths]] result for position
+    * `alias` (label `label`): each requested property arrives as
+    * `prefix + name`. Node tables are dimension-sized next to the
+    * path set, so Catalyst/AQE broadcasts this join.
+    */
+  def attach(paths: DataFrame, alias: String, label: String,
+      props: Seq[String], prefix: String = ""): DataFrame = {
+    val n = nodes(label).select(
+      col("id").as(alias) +: props.map(p => col(p).as(s"$prefix$p")): _*)
+    paths.join(n, alias)
   }
 
   /** Bounded variable-length reachability (Cypher `*1..max` analog,
@@ -74,27 +145,46 @@ final case class PropertyGraph(
     * projection-and-union, no extra shuffle: each BFS level still
     * shuffles once, on a frontier at most 2× the directed one.
     *
-    * Each level's frontier is eagerly localCheckpoint'ed — the
-    * standard iterative-algorithm discipline (GraphX/Pregel do the
-    * same): without it, level h's anti-join against `visited`
-    * re-derives every previous level from source, an O(maxHops²)
-    * recompute that compounds with depth. Frontiers are node-id sets
-    * — small next to the edge table — and their blocks are freed by
-    * the ContextCleaner when the result is GC'd.
+    * Frontiers checkpoint every `checkpointEvery` levels — the
+    * iterative-algorithm lineage discipline (GraphX/Pregel do the
+    * same): without truncation the plan tree doubles per level (the
+    * frontier appears in both the next join and the visited
+    * anti-join), an O(2^h) blow-up past ~5 hops. Checkpointing EVERY
+    * level (round 4) over-corrected: each eager checkpoint is a
+    * blocking job, so a 3-hop walk paid three serial materializations
+    * to prevent a recompute that shallow depths make trivial. The
+    * early-exit probe (empty frontier) rides the checkpoint
+    * boundaries, where it scans cached blocks instead of re-deriving
+    * the walk.
+    *
+    * `reliable = false` uses localCheckpoint: fastest, but its blocks
+    * live on executors — unrecoverable on executor loss and unsafe
+    * with dynamic allocation. For cluster runs set `reliable = true`
+    * (plus `spark.sparkContext.setCheckpointDir`) to write frontiers
+    * to the checkpoint store instead; the local bench keeps the fast
+    * path. Frontier blocks are freed by the ContextCleaner when the
+    * result is GC'd.
     */
   def bfs(edgeSet: DataFrame, start: DataFrame, maxHops: Int,
-      undirected: Boolean = false): DataFrame = {
+      undirected: Boolean = false, checkpointEvery: Int = 3,
+      reliable: Boolean = false): DataFrame = {
+    require(checkpointEvery >= 1)
     val es =
       if (undirected)
         edgeSet.unionAll(edgeSet.select(col("dst").as("src"), col("src").as("dst")))
       else edgeSet
     var visited = start.select(col("id"), lit(0).as("depth"))
     var frontier = start.select("id")
-    for (h <- 1 to maxHops if !frontier.isEmpty) {
+    var exhausted = false
+    for (h <- 1 to maxHops if !exhausted) {
       frontier = es.join(frontier, es("src") === frontier("id"))
         .select(es("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      if (h % checkpointEvery == 0 && h < maxHops) {
+        frontier =
+          if (reliable) frontier.checkpoint(true) else frontier.localCheckpoint(true)
+        exhausted = frontier.isEmpty
+      }
       visited = visited.unionAll(frontier.select(col("id"), lit(h).as("depth")))
     }
     visited
@@ -127,6 +217,19 @@ object PropertyGraph {
   sealed trait Direction
   case object Out extends Direction
   case object In extends Direction
+
+  /** A pattern position: node `label`, output alias `as`, optional
+    * node predicate (applied mid-chain via a semi-join — the Cypher
+    * `(p:Patient {id: 45})` inline filter).
+    */
+  final case class PatternNode(label: String, as: String, pred: Option[Column] = None)
+
+  /** One pattern edge: walk `rel` in `dir` arriving at `node`,
+    * anchored at the position named `from` (default: the previous
+    * step's node — a chain; naming an earlier alias makes a branch).
+    */
+  final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
+      from: Option[String] = None)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

@@ -39,7 +39,7 @@ object EvalOps {
           Tables.customer(s, d).select(
             col("c_custkey"),
             Guardrails.maskTextUdf(text).as("masked"),
-            size(Guardrails.findEmailsUdf(text)).as("n_emails")))
+            size(Guardrails.findEmailsCol(text)).as("n_emails")))
       },
       // username = 'customer' || 9 digits (len 17 > 2); domain parts:
       // segment (len>1) and 'com' — replicate the mask in SQL.

@@ -145,6 +145,56 @@ object GraphOps {
            |  JOIN sym e ON e.src = w.id WHERE w.depth < 2),
            |mind AS (SELECT id, min(depth) AS depth FROM walk GROUP BY id)
            |SELECT depth, count(*) AS n FROM mind GROUP BY depth ORDER BY ALL""".stripMargin)
+    ),
+    // G5 path multiplicity (matchPaths): paths per nation from the
+    // AUTOMOBILE customer fan-in — one row per PATH (Cypher MATCH
+    // semantics), so the count is the customer count, NOT the distinct
+    // endpoint count (which is 1 per nation — the reachability answer
+    // matchPattern gives). The divergence the reference's prompt
+    // works around with COUNT(DISTINCT p) (rag.baml:279), now a
+    // first-class choice.
+    QueryDef(
+      "g5_path_count",
+      (s, d) => {
+        import graft.graph.PropertyGraph.{In, PatternNode, PatternStep}
+        val g = tpchGraph(s, d)
+        val paths = g.matchPaths(
+          PatternNode("customer", "c", Some(col("c_mktsegment") === "AUTOMOBILE")),
+          Seq(PatternStep("HAS_CUSTOMER", In, PatternNode("nation", "n"))))
+        orderedByAll(
+          g.attach(paths, "n", "nation", Seq("n_name"))
+            .groupBy("n_name").agg(count(lit(1)).as("n_paths")))
+      },
+      Some("""SELECT n_name, count(*) AS n_paths
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'AUTOMOBILE'
+             |GROUP BY n_name ORDER BY ALL""".stripMargin)
+    ),
+    // G6 mid-chain node predicate: the Cypher inline filter
+    // `(n:Nation {name: ...})` BETWEEN two steps — a semi-join at the
+    // position, not a terminal filter (matchPattern can only filter
+    // the start; this is the DSL capability that lets q8 collapse to
+    // one pattern call).
+    QueryDef(
+      "g6_midchain_filter",
+      (s, d) => {
+        import graft.graph.PropertyGraph.{Out, PatternNode, PatternStep}
+        val g = tpchGraph(s, d)
+        val paths = g.matchPaths(
+          PatternNode("region", "r", Some(col("r_name") === "EUROPE")),
+          Seq(
+            PatternStep("HAS_NATION", Out,
+              PatternNode("nation", "n", Some(col("n_name").isin("FRANCE", "GERMANY")))),
+            PatternStep("HAS_CUSTOMER", Out, PatternNode("customer", "c"))))
+        orderedByAll(
+          g.attach(paths, "c", "customer", Seq("c_mktsegment"))
+            .groupBy("c_mktsegment").agg(count(lit(1)).as("n")))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE r_name = 'EUROPE' AND n_name IN ('FRANCE', 'GERMANY')
+             |GROUP BY c_mktsegment ORDER BY ALL""".stripMargin)
     )
   )
 

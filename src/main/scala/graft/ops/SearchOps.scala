@@ -15,6 +15,7 @@ import graft.search.{Fts, Vectors}
 object SearchOps {
 
   private val Query = Seq("spark", "join", "window")
+  private val Phrase = Seq("fast", "table")
   private val TopK = 20
   private val FuseK = 10
   private val RrfK = 60
@@ -77,14 +78,15 @@ object SearchOps {
     ),
     // R3 BM25 top-k (V3): double-precision scores, emitted rounded —
     // ln() and sum-order ulps are engine-specific; ranking is stable.
+    // The corpus stats (N, avgdl) ride a broadcast 1-row cross-join,
+    // so the whole query is ONE job — no mid-plan driver action.
     QueryDef(
       "r3_bm25_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val post = Fts.postings(docs, "doc_id", "text")
         val dl = Fts.docLengths(docs, "doc_id", "text")
-        val avgdl = lit(dl.agg(avg("dl")).head().getDouble(0))
-        Fts.bm25Scores(post, dl, docs.count(), avgdl, Query)
+        Fts.bm25Scores(post, dl, Fts.corpusStats(dl), Query)
           .select(col("doc_id"), round(col("score"), 4).as("score"))
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(TopK)
@@ -146,6 +148,31 @@ object SearchOps {
            |         + coalesce(1.0 / ($RrfK + vrank.rank), 0.0) AS rrf
            |FROM ranked FULL OUTER JOIN vrank ON ranked.doc_id = vrank.id
            |ORDER BY rrf DESC, id ASC LIMIT $FuseK""".stripMargin)
+    ),
+    // R5 phrase search over positional postings (Tantivy-parity
+    // capability the (term, doc_id, tf) schema discards): docs
+    // containing the exact consecutive phrase, ranked by occurrence
+    // count. The oracle replays the identical position-shift joins.
+    QueryDef(
+      "r5_phrase_topk",
+      (s, d) => {
+        val pp = Fts.positionalPostings(Tables.documents(s, d), "doc_id", "text")
+        Fts.phraseMatch(pp, Phrase)
+          .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+          .limit(TopK)
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |pos AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+           |               unnest(toks) AS term FROM toks),
+           |${Phrase.zipWithIndex.map { case (t, i) =>
+             s"m$i AS (SELECT doc_id, pos - $i AS pos FROM pos WHERE term = '$t')"
+           }.mkString(",\n")},
+           |hits AS (SELECT doc_id, count(*) AS phrase_tf FROM m0
+           |         ${Phrase.indices.drop(1).map(i => s"JOIN m$i USING (doc_id, pos)").mkString(" ")}
+           |         GROUP BY doc_id)
+           |SELECT doc_id, phrase_tf FROM hits
+           |ORDER BY phrase_tf DESC, doc_id ASC LIMIT $TopK""".stripMargin)
     )
   )
 }

@@ -65,14 +65,44 @@ object Rag {
       question: String, keywords: Seq[String], prunedSchema: String,
       graphAnswer: String, vectorAnswer: String, synthesized: String)
 
-  /** End-to-end hybrid query over a property graph and a document
-    * corpus. `docs` needs (doc_id, text); retrieval is hybrid
-    * tf-idf + embedded-query KNN fused with RRF, top-`k` (reference
-    * defaults: top_k=2, RRF k=60, rag.py:80-94).
+  /** One-time retrieval index over a document corpus — the engine's
+    * analog of the reference's stored LanceDB table + Tantivy index
+    * (built once at ingest, generate_note_embeddings.py:26-50, then
+    * queried per question, rag.py:88): `post` is the S8 postings
+    * table, `stats` the 1-row corpus statistics, `vecs` the S7
+    * vector-sink shape (vec_id, iv). Each member is a DataFrame, so
+    * at scale they are parquet tables written at index time and read
+    * back here — NOTHING in the query path recomputes corpus-sized
+    * state (round 4's `answer` re-embedded the whole corpus per
+    * question).
+    */
+  final case class CorpusIndex(
+      docs: DataFrame, post: DataFrame, stats: DataFrame, vecs: DataFrame)
+
+  object CorpusIndex {
+    /** Build from a (doc_id, text) corpus — the ingest-time pass. */
+    def build(spark: SparkSession, docs: DataFrame, embedder: Embedder): CorpusIndex = {
+      import spark.implicits._
+      val vecs = graft.search.Embedding.embed(spark,
+        docs.select(col("doc_id"), col("text")).as[(Long, String)], embedder)
+        .select(col("id").as("vec_id"), Vectors.intVector(col("vector")).as("iv"))
+      CorpusIndex(
+        docs,
+        Fts.postings(docs, "doc_id", "text"),
+        Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")),
+        vecs)
+    }
+  }
+
+  /** End-to-end hybrid query over a property graph and a PREBUILT
+    * [[CorpusIndex]]; retrieval is hybrid tf-idf + embedded-query KNN
+    * fused with RRF, top-`k` (reference defaults: top_k=2, RRF k=60,
+    * rag.py:80-94). Only the QUESTION is embedded here — one vector
+    * on the driver; corpus-sized work happened at index build.
     */
   def answer(
       spark: SparkSession, question: String, graph: PropertyGraph,
-      docs: DataFrame, embedder: Embedder,
+      index: CorpusIndex, embedder: Embedder,
       graphRetriever: (PropertyGraph, Seq[String]) => DataFrame,
       llm: LlmClient = DeterministicLlm, k: Int = 2): RagResult = {
 
@@ -80,8 +110,7 @@ object Rag {
     val keywords = llm.entityKeywords(question, pruned)
 
     // vector path: hybrid (keyword tf-idf + embedded-query KNN) + RRF
-    val post = Fts.postings(docs, "doc_id", "text")
-    val kw = Fts.tfidfScores(post, docs.count(), keywords)
+    val kw = Fts.tfidfScores(index.post, index.stats, keywords)
       .orderBy(col("score").desc, col("doc_id").asc).limit(20)
       .select(col("doc_id").as("id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
@@ -89,15 +118,12 @@ object Rag {
     import spark.implicits._
     val qdf = Seq(Tuple1(qv)).toDF("qv")
       .select(Vectors.intVector(col("qv")).as("qv"))
-    val emb = graft.search.Embedding.embed(spark,
-      docs.select(col("doc_id"), col("text")).as[(Long, String)], embedder)
-      .select(col("id").as("vec_id"), Vectors.intVector(col("vector")).as("iv"))
-    val vec = Vectors.knnDot(emb, "vec_id", qdf, 20)
+    val vec = Vectors.knnDot(index.vecs, "vec_id", qdf, 20)
       .select(col("vec_id").as("id"),
         row_number().over(Window.orderBy(col("dot").desc, col("vec_id").asc)).as("rank"))
     val fusedIds = Fts.rrfFuse(kw, vec)
       .orderBy(col("rrf").desc, col("id").asc).limit(k)
-    val topDocs = fusedIds.join(docs, fusedIds("id") === docs("doc_id"))
+    val topDocs = fusedIds.join(index.docs, fusedIds("id") === index.docs("doc_id"))
       .orderBy(col("rrf").desc, col("id").asc)
       .select("text").collect().map(_.getString(0))
     val vectorAnswer = llm.answer(question, topDocs.mkString("\n---\n"))

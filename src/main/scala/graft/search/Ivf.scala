@@ -40,6 +40,24 @@ object Ivf {
         }
         .sortBy { case (d, cell) => (d, cell) }
         .take(nprobe).map(_._2).toSeq
+
+    /** The centroid matrix as a TorrentBroadcast — shipped to each
+      * executor once and shared by every assignment expression built
+      * from this model (memoized per model instance). Rows sorted by
+      * cell id so scan order is the distance tie-break.
+      */
+    @transient private var bcCache: org.apache.spark.broadcast.Broadcast[
+      graft.functions.NearestCells.Centroids] = _
+    private[graft] def broadcastCentroids(
+        spark: org.apache.spark.sql.SparkSession): org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCells.Centroids] = synchronized {
+      if (bcCache == null) {
+        val sorted = centroids.sortBy(_._1)
+        bcCache = spark.sparkContext.broadcast(
+          graft.functions.NearestCells.Centroids(sorted.map(_._1), sorted.map(_._2)))
+      }
+      bcCache
+    }
   }
 
   /** Train the coarse quantizer. One pass of distributed k-means;
@@ -55,40 +73,30 @@ object Ivf {
       .map { case (v, i) => (i, v.toArray) })
   }
 
-  /** Nearest-cell id for a vector column. The centroid set enters the
-    * plan as literals — nCells squared-distance expressions folded
-    * through array_min — a map-side projection, no shuffle and no UDF.
+  /** Nearest-cell id for a vector column — the native
+    * [[graft.functions.NearestCells]] expression over the model's
+    * broadcast centroid matrix: a map-side fused-loop projection, no
+    * shuffle, no UDF, nothing model-sized in the plan. (The round-4
+    * Column-composition form embedded every centroid as plan literals
+    * and ran nCells interpreted HOF lambdas per row — it hit a
+    * plan-size/CPU wall at realistic nCells ≈ √corpus.)
     */
-  def cellOf(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
-    val dists = model.centroids.map { case (cell, c) =>
-      val centroid = array(c.map(lit): _*)
-      struct(
-        aggregate(
-          zip_with(vec.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _).as("d"),
-        lit(cell).as("cell"))
-    }
-    array_min(array(dists: _*)).getField("cell")
-  }
+  def cellOf(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    element_at(cellsOf(vec, model, 1), 1)
 
   /** The `n` nearest cell ids for a vector column, nearest first —
     * multi-probe assignment (soft blocking): a vector near a cell
     * boundary lands in both cells, so boundary-straddling neighbors
-    * still meet. Sorting the nCells (distance, cell) structs is an
-    * O(nCells log nCells) per-row array op — nCells is small by
-    * construction.
+    * still meet. One codegen'd top-n selection pass per row.
     */
   def cellsOf(vec: org.apache.spark.sql.Column, model: Model,
       n: Int): org.apache.spark.sql.Column = {
-    val dists = model.centroids.map { case (cell, c) =>
-      val centroid = array(c.map(lit): _*)
-      struct(
-        aggregate(
-          zip_with(vec.cast("array<double>"), centroid, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _).as("d"),
-        lit(cell).as("cell"))
-    }
-    transform(slice(array_sort(array(dists: _*)), 1, n), _.getField("cell"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.GraftExpressionBridge.expression(vec),
+        org.apache.spark.sql.catalyst.expressions.Literal(n),
+        model.broadcastCentroids(spark)))
   }
 
   /** Assign each row to its nearest cell: (idCol, cell, iv). */

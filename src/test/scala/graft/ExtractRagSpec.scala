@@ -95,8 +95,10 @@ class RagSpec extends SparkSpec {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("c_mktsegment"))
     }
+    // index built ONCE (the ingest-time pass); both questions reuse it
+    val index = Rag.CorpusIndex.build(spark, docs, HashEmbedder())
     val res = Rag.answer(spark, "How many customers per segment are in the region Europe?",
-      g, docs, HashEmbedder(), retriever)
+      g, index, HashEmbedder(), retriever)
     assert(res.keywords.contains("customers") && res.keywords.contains("europe"))
     assert(res.prunedSchema.contains("""<node label="region">"""))
     assert(!res.prunedSchema.contains("""<node label="nation">"""),
@@ -106,7 +108,7 @@ class RagSpec extends SparkSpec {
     assert(res.synthesized.startsWith("graph: "))
     // determinism end to end
     val res2 = Rag.answer(spark, "How many customers per segment are in the region Europe?",
-      g, docs, HashEmbedder(), retriever)
+      g, index, HashEmbedder(), retriever)
     assert(res2.synthesized === res.synthesized)
   }
 }

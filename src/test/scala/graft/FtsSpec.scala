@@ -34,14 +34,37 @@ class FtsSpec extends SparkSpec {
   test("bm25: rarer term contributes more than common term at equal tf") {
     val post = Fts.postings(docs, "doc_id", "text")
     val dl = Fts.docLengths(docs, "doc_id", "text")
-    val avgdl = lit(dl.agg(avg("dl")).head().getDouble(0))
+    val stats = Fts.corpusStats(dl)
     // 'unicorn' df=1 vs 'spark' df=3: doc3 contains both once.
-    val rare = Fts.bm25Scores(post, dl, 4L, avgdl, Seq("unicorn"))
+    val rare = Fts.bm25Scores(post, dl, stats, Seq("unicorn"))
       .as[(Long, Double)].collect().toMap
-    val common = Fts.bm25Scores(post, dl, 4L, avgdl, Seq("spark"))
+    val common = Fts.bm25Scores(post, dl, stats, Seq("spark"))
       .as[(Long, Double)].collect().toMap
     assert(rare(3L) > common(3L))
     assert(common.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("corpusStats: one row, n_docs and token-average length") {
+    val (n, avgdl) = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
+      .as[(Long, Double)].head()
+    assert(n === 4L)
+    assert(math.abs(avgdl - (5 + 3 + 4 + 4) / 4.0) < 1e-12)
+  }
+
+  test("phraseMatch counts consecutive occurrences, incl. overlap") {
+    val pdocs = Seq(
+      (1L, "big data big data processing"), // "big data" x2
+      (2L, "data big"),                     // reversed — no match
+      (3L, "a a a"),                        // self-overlapping phrase
+      (4L, "big data")
+    ).toDF("doc_id", "text")
+    val pp = Fts.positionalPostings(pdocs, "doc_id", "text")
+    val m = Fts.phraseMatch(pp, Seq("big", "data"))
+      .as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 2L, 4L -> 1L))
+    val overlap = Fts.phraseMatch(pp, Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlap === Map(3L -> 2L), "overlapping matches both count")
   }
 
   test("rrf: membership in both lists beats membership in one") {

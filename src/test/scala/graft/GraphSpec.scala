@@ -56,4 +56,73 @@ class GraphSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(got === Map("x" -> 0, "y" -> 1, "z" -> 2))
   }
+
+  test("deep bfs with checkpoint cadence 3 matches per-level checkpointing") {
+    // a 7-node chain forces levels past two checkpoint boundaries
+    val edges = (1 to 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val start = Seq("n1").toDF("id")
+    val got = g.bfs(edges, start, 6).as[(String, Int)].collect().toMap
+    assert(got === (1 to 7).map(i => s"n$i" -> (i - 1)).toMap)
+    val perLevel = g.bfs(edges, start, 6, checkpointEvery = 1)
+      .as[(String, Int)].collect().toMap
+    assert(perLevel === got)
+  }
+
+  import PropertyGraph.{PatternNode, PatternStep}
+
+  test("matchPattern stays a set under fan-in (one dedup at pattern end)") {
+    val h = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1"), (4L, "a4")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2")).toDF("id", "tag")),
+      edges = Map("REL1" -> (("A", "B",
+        Seq((1L, 2L), (4L, 2L)).toDF("src", "dst")))))
+    assert(h.matchPattern("A", lit(true), Seq("REL1" -> Out)).count() === 1)
+  }
+
+  test("matchPaths keeps one row per path — multiplicity ≠ reachability") {
+    val h = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1"), (4L, "a4")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2")).toDF("id", "tag")),
+      edges = Map("REL1" -> (("A", "B",
+        Seq((1L, 2L), (4L, 2L)).toDF("src", "dst")))))
+    val paths = h.matchPaths(PatternNode("B", "b"),
+      Seq(PatternStep("REL1", In, PatternNode("A", "a"))))
+    assert(paths.columns.toSeq === Seq("b", "a"))
+    assert(paths.count() === 2, "two paths land in b2")
+    assert(paths.select("b").distinct().count() === 1, "but one distinct endpoint")
+  }
+
+  test("matchPaths: mid-chain predicate and a branch off a named position") {
+    // (a:A)-[:REL1]->(b:B {id=2})<-[:REL2]-(c:C), branch (a2:A)-[:REL1]->(b)
+    val p = g.matchPaths(
+      PatternNode("A", "a"),
+      Seq(
+        PatternStep("REL1", Out, PatternNode("B", "b", Some(col("id") === 2L))),
+        PatternStep("REL2", In, PatternNode("C", "c")),
+        PatternStep("REL1", In, PatternNode("A", "a2"), from = Some("b"))))
+    assert(p.columns.toSeq === Seq("a", "b", "c", "a2"))
+    assert(p.as[(Long, Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 3L, 1L)))
+  }
+
+  test("attach pulls node properties for selected positions") {
+    val paths = g.matchPaths(PatternNode("A", "a", Some(col("id") === 1L)),
+      Seq(PatternStep("REL1", Out, PatternNode("B", "b"))))
+    val withProps = g.attach(g.attach(paths, "a", "A", Seq("tag"), "a_"),
+      "b", "B", Seq("tag"), "b_")
+    assert(withProps.select("a_tag", "b_tag").as[(String, String)].collect().toSeq ===
+      Seq(("a1", "b2")))
+  }
+
+  test("matchPaths rejects duplicate aliases and unknown anchors") {
+    intercept[IllegalArgumentException] {
+      g.matchPaths(PatternNode("A", "x"),
+        Seq(PatternStep("REL1", Out, PatternNode("B", "x"))))
+    }
+    intercept[IllegalArgumentException] {
+      g.matchPaths(PatternNode("A", "a"),
+        Seq(PatternStep("REL1", Out, PatternNode("B", "b"), from = Some("nope"))))
+    }
+  }
 }

@@ -81,4 +81,35 @@ class IvfSpec extends SparkSpec {
     assert(all.distinct.size === all.size)
     assert(model.probeCells(q, 2) === all.take(2))
   }
+
+  test("cellsOf (native expression) matches the driver-side quantizer math") {
+    val rows = emb.limit(64)
+      .select(col("vec_id"), col("embedding"),
+        Ivf.cellsOf(col("embedding"), model, 3).as("cells"))
+      .as[(Long, Seq[Float], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    for ((id, v, cells) <- rows)
+      assert(cells === model.probeCells(v, 3), s"vec $id")
+    // cellOf = first probe
+    val firsts = emb.limit(64)
+      .select(col("embedding"), Ivf.cellOf(col("embedding"), model).as("c"))
+      .as[(Seq[Float], Int)].collect()
+    for ((v, c) <- firsts) assert(c === model.probeCells(v, 1).head)
+  }
+
+  test("assignment plan is O(1) in nCells — the model rides a broadcast") {
+    // the round-4 literal-centroid form grew the plan by
+    // O(nCells · dim) literal nodes; the native expression keeps the
+    // plan constant-size no matter how fine the quantizer is
+    def planLen(n: Int): Int = {
+      val m = Ivf.Model(Array.tabulate(n)(i =>
+        (i, Array.tabulate(16)(d => (i * 16 + d).toDouble))))
+      emb.select(Ivf.cellsOf(col("embedding"), m, 2).as("c"))
+        .queryExecution.optimizedPlan.toString.length
+    }
+    val l16 = planLen(16)
+    val l256 = planLen(256)
+    assert(math.abs(l16 - l256) < 64,
+      s"plan size must not grow with nCells: $l16 vs $l256")
+  }
 }

@@ -34,6 +34,23 @@ class SimHashExprSpec extends SparkSpec {
       spark.sql("SELECT simhash_sig(array('a'), 99)").collect()
     }
     assert(err.getMessage.toLowerCase.contains("nbits"))
+    val nullBits = intercept[Exception] {
+      spark.sql("SELECT simhash_sig(array('a'), CAST(NULL AS INT))").collect()
+    }
+    assert(nullBits.getMessage.toLowerCase.contains("null"),
+      "foldable NULL nBits must type-check-fail, not NPE")
+  }
+
+  test("null ELEMENTS are skipped, not NPE — sql-reachable input") {
+    // registered SQL function ⇒ arbitrary user arrays reach compute();
+    // a null element must drop from the vote like the filter-lambda
+    // drops it in the composition form
+    val withNull = spark.sql(
+      "SELECT simhash_sig(array('a', CAST(NULL AS STRING), 'b'), 16) AS s")
+      .as[Long].head()
+    val without = spark.sql("SELECT simhash_sig(array('a', 'b'), 16) AS s")
+      .as[Long].head()
+    assert(withNull === without)
   }
 
   test("the expression runs inside whole-stage codegen") {
