@@ -15,6 +15,8 @@ object VectorOps {
   private val K = 10
   private val QueryId = 0   // deterministic query: vector of vec_id 0
   private val QueryIdIvf = 7
+  private val NBatchQueries = 5
+  private val BatchK = 5
 
   private val sqlIv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
@@ -83,6 +85,38 @@ object VectorOps {
            |                                    i -> iv[i] * qv[i])) AS BIGINT) AS dot
            |FROM iv JOIN q ON blk = qblk
            |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
+    ),
+    // V2c batch KNN: top-k per query for a query SET (the
+    // training-pipeline shape — score an incoming batch against a
+    // reference corpus in one pass). Salted two-phase rank keeps any
+    // single reducer's load at k·nSalts rows per query, independent
+    // of corpus size; the oracle is the plain per-query window the
+    // salted plan must reproduce exactly.
+    QueryDef(
+      "v4_knn_batch",
+      (s, d) => {
+        val iv = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+        val qs = iv.filter(col("vec_id") < NBatchQueries)
+          .select(col("vec_id").as("qid"), col("iv").as("qv"))
+        Tables.orderedByAll(
+          Vectors.knnDotMany(iv, "vec_id", qs, BatchK))
+      },
+      Some(
+        s"""WITH iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+           |q AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id < $NBatchQueries),
+           |scored AS (
+           |  SELECT q.qid, iv.vec_id,
+           |         CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |                                      i -> iv.iv[i] * q.qv[i])) AS BIGINT) AS dot
+           |  FROM iv, q),
+           |ranked AS (
+           |  SELECT qid, vec_id, dot,
+           |         row_number() OVER (PARTITION BY qid
+           |                            ORDER BY dot DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT qid, vec_id, dot, rank FROM ranked WHERE rank <= $BatchK
+           |ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -62,4 +62,35 @@ object Vectors {
       .select(col(idCol), intDot(col("iv"), col("qv")).as("dot"))
       .orderBy(col("dot").desc, col(idCol).asc)
       .limit(k)
+
+  /** Exact top-k for EACH query in a small query set `(qid, qv)` —
+    * the batch shape training pipelines need (score an incoming batch
+    * against a reference corpus). Queries broadcast and score at scan
+    * speed like [[knnDot]]; the per-query top-k then runs as a SALTED
+    * two-phase rank, because a single `Window.partitionBy(qid)` would
+    * funnel every scored row of a query through one reducer (|corpus|
+    * rows per task — the skew wall at scale):
+    * phase 1 ranks within (qid, salt) — each query's scored rows
+    * spread over `nSalts` partitions, only k survive each — phase 2
+    * ranks the ≤ k·nSalts survivors per query. Total shuffled rows
+    * after phase 1 are k·nSalts·|queries|, independent of corpus
+    * size. Returns (qid, idCol, dot, rank), rank 1..k by
+    * (dot desc, id asc).
+    */
+  def knnDotMany(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
+      nSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot"),
+        pmod(hash(col(idCol)), lit(nSalts)).as("__salt"))
+    val w1 = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+    val survivors = scored
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k).drop("__r", "__salt")
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col(idCol).asc)
+    survivors
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
 }

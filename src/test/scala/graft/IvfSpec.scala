@@ -97,6 +97,26 @@ class IvfSpec extends SparkSpec {
     for ((v, c) <- firsts) assert(c === model.probeCells(v, 1).head)
   }
 
+  test("knnDotMany (salted two-phase) equals per-query knnDot exactly") {
+    val iv = emb.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+      .persist()
+    try {
+      val qs = iv.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("iv").as("qv"))
+      val batch = Vectors.knnDotMany(iv, "vec_id", qs, 7, nSalts = 4)
+        .select("qid", "vec_id", "dot", "rank")
+        .as[(Long, Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+      for (q <- 0L until 3L) {
+        val single = Vectors.knnDot(
+          iv, "vec_id",
+          iv.filter(col("vec_id") === q).select(col("iv").as("qv")), 7)
+          .as[(Long, Long)].collect().toSeq
+        assert(batch(q) === single, s"query $q diverges from the unsalted baseline")
+      }
+    } finally iv.unpersist()
+  }
+
   test("assignment plan is O(1) in nCells — the model rides a broadcast") {
     // the round-4 literal-centroid form grew the plan by
     // O(nCells · dim) literal nodes; the native expression keeps the

@@ -111,4 +111,36 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("doc_id") && !read.contains("text"),
       s"e6 must read only doc_id: $read")
   }
+
+  test("g5/g6 pattern-DSL queries compile to broadcast joins, never sort-merge") {
+    for (q <- Seq("g5_path_count", "g6_midchain_filter")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("g2 matchPattern pays exactly ONE dedup exchange (terminal distinct)") {
+    // round 4 paid one exchange per hop; the pattern compiles to a
+    // join chain with a single aggregate-dedup before the node join
+    val p = plan("g2_pattern_match")
+    val dedups = "HashAggregate\\(keys=\\[id".r.findAllIn(p).length
+    assert(dedups <= 2, s"per-hop distincts crept back in:\n$p")
+  }
+
+  test("v4 batch-KNN: queries broadcast; no corpus-sized single-reducer window") {
+    val p = plan("v4_knn_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query set must broadcast")
+    // phase-1 window partitions by (qid, salt) — the salted spread
+    assert(p.contains("__salt"), "salted two-phase rank missing")
+  }
+
+  test("e1 email detection is builtin regexp, not a second UDF column") {
+    val p = plan("e1_email_mask")
+    val udfCount = "ScalaUDF".r.findAllIn(p).length
+    assert(p.contains("regexp_extract_all"), "detection must use the builtin")
+    // the mask legitimately remains the engine's one guardrail UDF
+    assert(udfCount <= 2, s"extra UDF columns crept in:\n$p")
+  }
 }
