@@ -117,4 +117,28 @@ object Ivf {
     Vectors.knnDot(
       index.filter(col("cell").isin(cells: _*)), idCol, query, k)
   }
+
+  /** Batch IVF search — the 100-TB ANN query shape: top-k for EACH
+    * query in `queries` (qid, qv: ARRAY<FLOAT>) over only that
+    * query's `nprobe` nearest cells. Query assignment runs through
+    * the SAME native expression as indexing ([[cellsOf]], map-side
+    * over the broadcast centroid matrix), candidates come from an
+    * equi-join of the (small, broadcast) probed query set against the
+    * index on `cell` — partition-pruned when the index parquet is
+    * written partitionBy(cell) — and the per-query top-k is the
+    * salted two-phase rank, so no reducer ever holds a query's whole
+    * candidate set. An index row carries ONE cell, so a (row, query)
+    * pair joins at most once — no dedup needed.
+    * Returns (qid, idCol, dot, rank), rank 1..k by (dot desc, id asc).
+    */
+  def searchMany(index: DataFrame, idCol: String, model: Model,
+      queries: DataFrame, k: Int, nprobe: Int, nSalts: Int = 16): DataFrame = {
+    val probed = queries.select(
+      col("qid"), Vectors.intVector(col("qv")).as("qv"),
+      explode(cellsOf(col("qv"), model, nprobe)).as("cell"))
+    Vectors.topKPerQuery(
+      index.join(broadcast(probed), Seq("cell"))
+        .select(col("qid"), col(idCol), Vectors.intDot(col("iv"), col("qv")).as("dot")),
+      idCol, k, nSalts)
+  }
 }

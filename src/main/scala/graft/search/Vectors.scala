@@ -78,14 +78,25 @@ object Vectors {
     * (dot desc, id asc).
     */
   def knnDotMany(emb: DataFrame, idCol: String, queries: DataFrame, k: Int,
-      nSalts: Int = 16): DataFrame = {
+      nSalts: Int = 16): DataFrame =
+    topKPerQuery(
+      emb.crossJoin(broadcast(queries))
+        .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot")),
+      idCol, k, nSalts)
+
+  /** Salted two-phase per-query top-k over a scored frame
+    * (qid, idCol, dot): rank within (qid, salt) — each query's rows
+    * spread over nSalts partitions, k survive each — then rank the
+    * ≤ k·nSalts survivors per query. The second shuffle moves
+    * k·nSalts·|queries| rows, independent of corpus size.
+    */
+  private[search] def topKPerQuery(scored: DataFrame, idCol: String, k: Int,
+      nSalts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = emb.crossJoin(broadcast(queries))
-      .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot"),
-        pmod(hash(col(idCol)), lit(nSalts)).as("__salt"))
     val w1 = Window.partitionBy(col("qid"), col("__salt"))
       .orderBy(col("dot").desc, col(idCol).asc)
     val survivors = scored
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(nSalts)))
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= k).drop("__r", "__salt")
     val w2 = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col(idCol).asc)

@@ -47,6 +47,15 @@ object Incremental {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** Positional variant (streaming side of Fts.positionalPostings —
+    * the phrase-search index): a pure per-row posexplode, so it is
+    * stateless and append-mode by construction; maintaining the
+    * positional index is appending this delta, same as the tf form.
+    */
+  def positionalPostingsDelta(newDocs: DataFrame): DataFrame =
+    newDocs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+
   /** Streaming exact dedup (the streaming form of d1_exact_dedup):
     * one row per normalized-content key, duplicate re-ingests dropped.
     * `dropDuplicatesWithinWatermark` bounds the key state to the

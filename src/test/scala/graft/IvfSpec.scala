@@ -117,6 +117,34 @@ class IvfSpec extends SparkSpec {
     } finally iv.unpersist()
   }
 
+  test("searchMany at nprobe=nCells equals the exact batch KNN") {
+    val fq = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val full = Ivf.searchMany(idx, "vec_id", model, fq, 5, NCells)
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    val iv = emb.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val ivq = iv.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("iv").as("qv"))
+    val exact = Vectors.knnDotMany(iv, "vec_id", ivq, 5)
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    assert(full === exact)
+  }
+
+  test("searchMany nprobe=1 returns only each query's probed cell") {
+    val fq = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Ivf.searchMany(idx, "vec_id", model, fq, 5, 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val cellOfId = idx.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val qVecs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    for ((qid, id) <- got)
+      assert(cellOfId(id) === model.probeCells(qVecs(qid), 1).head,
+        s"result $id outside query $qid's probed cell")
+  }
+
   test("assignment plan is O(1) in nCells — the model rides a broadcast") {
     // the round-4 literal-centroid form grew the plan by
     // O(nCells · dim) literal nodes; the native expression keeps the

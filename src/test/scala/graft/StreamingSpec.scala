@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("spark", 1L, 2L)))
   }
 
+  test("positional postings delta matches the batch phrase index, append-mode") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq((1L, "big data big data"), (2L, "data big"))
+    val in = MemoryStream[(Long, String)]
+    val delta = Incremental.positionalPostingsDelta(in.toDF().toDF("doc_id", "text"))
+    // stateless per-row transform ⇒ append mode works (no agg state)
+    val q = delta.writeStream.format("memory").queryName("ppost")
+      .outputMode("append").start()
+    in.addData(docs.head)
+    q.processAllAvailable()
+    in.addData(docs(1))
+    q.processAllAvailable()
+    val streamed = spark.table("ppost").as[(Long, Int, String)].collect().toSet
+    q.stop()
+    val batch = graft.search.Fts.positionalPostings(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "pos", "term").as[(Long, Int, String)].collect().toSet
+    assert(streamed === batch)
+    // the appended index serves phrase queries identically to batch
+    // (rebuilt as a plain frame: memory-sink views cannot self-join)
+    val ppost = streamed.toSeq.toDF("doc_id", "pos", "term")
+    val phrase = graft.search.Fts.phraseMatch(ppost, Seq("big", "data"))
+      .as[(Long, Long)].collect().toMap
+    assert(phrase === Map(1L -> 2L))
+  }
+
   test("stateful sessionization folds events per user across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Incremental.Event]
