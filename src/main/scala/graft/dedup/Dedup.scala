@@ -237,6 +237,47 @@ object Dedup {
       Seq(post))
   }
 
+  /** Connected components over an undirected pair set (id_a, id_b) —
+    * the step that turns near-dup PAIRS into dedup GROUPS: every id
+    * gets its component representative `rep` = min id reachable
+    * through the pair graph, so "keep one per group" is
+    * `filter(id === rep)` and "drop dups" is the complement.
+    *
+    * Iterative min-label propagation (the standard distributed CC):
+    * each round takes, per id, the min label over {self} ∪ neighbors,
+    * until a fixpoint — O(component diameter) rounds; near-dup groups
+    * are near-cliques, so 2-3 rounds are typical. Each round is one
+    * shuffle keyed on id plus one fixpoint probe over the (compact,
+    * checkpointed) label frame; the edge set is symmetrized once and
+    * persisted. maxIters bounds pathological chains — a 100 TB corpus
+    * with a diameter-50 duplicate chain is data corruption, not dedup.
+    * Returns (id, rep) for ids appearing in ≥ 1 pair.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("rep"))
+      val next = labels.unionAll(nbrMin)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      done = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).isEmpty
+      labels = next
+      iters += 1
+    }
+    sym.unpersist(false)
+    require(done, s"components did not converge in $maxIters iterations")
+    labels
+  }
+
   /** Hex char → 0..15 (portable: same instr trick as the oracle SQL). */
   private def hexVal(c: Column): Column =
     instr(lit("0123456789abcdef"), c).cast(LongType) - 1

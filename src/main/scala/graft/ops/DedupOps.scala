@@ -193,6 +193,38 @@ object DedupOps {
            |  AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * $TauDenSq
            |      > $TauNumSq * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
            |ORDER BY ALL""".stripMargin)
+    ),
+    // D7 dup GROUPS: connected components over the d2 near-dup pairs
+    // — pairs alone do not dedup a corpus; transitive closure does
+    // (a~b, b~c ⇒ {a,b,c} is one group, keep min id). Spark side is
+    // iterative min-label propagation; the oracle computes the same
+    // fixpoint as min-reachable-id via a recursive CTE.
+    QueryDef(
+      "d7_dup_groups",
+      (s, d) => orderedByAll(
+        Dedup.components(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            ShingleK, MinJaccard, MaxShingleDf).select("id_a", "id_b"))),
+      Some(
+        s"""WITH RECURSIVE $sqlShingleCte,
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+           |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY ALL""".stripMargin)
     )
   )
 }

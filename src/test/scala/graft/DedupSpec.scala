@@ -31,6 +31,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("components: transitive closure over pairs, min-id representative") {
+    // chain 1-2-3 (diameter 2 forces >1 propagation round) + island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("components converges on a long chain and bounds iterations") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L), "one component, rep = min id")
+    intercept[IllegalArgumentException] {
+      Dedup.components(chain, maxIters = 2)
+    }
+  }
+
+  test("keep-one-per-group composes from components") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+    val survivorsInGroups = comp.filter(col("id") === col("rep"))
+      .select("id").as[Long].collect().toSet
+    // {1,2,3,5} is one near-dup group (1-3 via one-word edit), 4 never pairs
+    assert(survivorsInGroups === Set(1L))
+    assert(comp.count() === 4, "doc 4 appears in no pair, so no group row")
+  }
+
   test("count-based jaccard equals array-intersect jaccard on random docs") {
     // independent semantic reference: wordShingles arrays +
     // array_intersect/array_union, all pairs. With maxDf >= nDocs no
