@@ -16,6 +16,8 @@ object SearchOps {
 
   private val Query = Seq("spark", "join", "window")
   private val Phrase = Seq("fast", "table")
+  private val Must = Seq("spark", "join")
+  private val MustNot = Seq("window")
   private val TopK = 20
   private val FuseK = 10
   private val RrfK = 60
@@ -173,6 +175,27 @@ object SearchOps {
            |         GROUP BY doc_id)
            |SELECT doc_id, phrase_tf FROM hits
            |ORDER BY phrase_tf DESC, doc_id ASC LIMIT $TopK""".stripMargin)
+    ),
+    // R6 boolean query (Tantivy +must/-must_not): all must terms
+    // present, no excluded term — one count-distinct aggregate for
+    // the intersection, one anti join for the exclusion.
+    QueryDef(
+      "r6_boolean_match",
+      (s, d) => {
+        val post = Fts.postings(Tables.documents(s, d), "doc_id", "text")
+        orderedByAll(Fts.booleanMatch(post, Must, MustNot))
+      },
+      Some(
+        s"""WITH $sqlPostCtes,
+           |m AS (
+           |  SELECT doc_id, count(DISTINCT term) AS nt,
+           |         CAST(sum(tf) AS BIGINT) AS tf_sum
+           |  FROM tf WHERE term IN ${sqlInList(Must)} GROUP BY doc_id),
+           |ok AS (SELECT doc_id, tf_sum FROM m WHERE nt = ${Must.length})
+           |SELECT doc_id, tf_sum FROM ok
+           |WHERE doc_id NOT IN
+           |  (SELECT doc_id FROM tf WHERE term IN ${sqlInList(MustNot)})
+           |ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -126,6 +126,28 @@ object Fts {
       .agg(sum(idf * tfn).as("score"))
   }
 
+  /** Boolean term query (the Tantivy `+must / -must_not` shape): docs
+    * containing ALL `must` terms and NONE of `mustNot`. The must-side
+    * intersection is ONE aggregate — count distinct matched terms per
+    * doc = |must| — instead of m chained self-joins; the exclusion is
+    * one anti join on doc_id. Both term filters push to the postings
+    * scan (partition-pruned when the index is term-partitioned).
+    * Returns (doc_id, tf_sum: total tf over the must terms — the
+    * ranking input for a downstream scorer).
+    */
+  def booleanMatch(post: DataFrame, must: Seq[String],
+      mustNot: Seq[String] = Seq.empty): DataFrame = {
+    require(must.nonEmpty, "boolean query needs at least one must term")
+    val matched = post.filter(col("term").isin(must: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("__nt"), sum("tf").as("tf_sum"))
+      .filter(col("__nt") === must.distinct.length).drop("__nt")
+    if (mustNot.isEmpty) matched
+    else matched.join(
+      post.filter(col("term").isin(mustNot: _*)).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Reciprocal Rank Fusion of two ranked lists (reference
     * RRFReranker default k=60, rag.py:85-94): full-outer join on id,
     * score = Σ 1/(k+rank). With two lists the addition is a single

@@ -67,6 +67,21 @@ class FtsSpec extends SparkSpec {
     assert(overlap === Map(3L -> 2L), "overlapping matches both count")
   }
 
+  test("booleanMatch: all must terms required, any mustNot excludes") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    // must spark+join → only doc 1; doc 2 has spark but not join
+    val and = Fts.booleanMatch(post, Seq("spark", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(and === Map(1L -> 4L), "doc1: spark tf 3 + join tf 1")
+    // exclusion: spark docs minus those containing window
+    val not = Fts.booleanMatch(post, Seq("spark"), Seq("window"))
+      .as[(Long, Long)].collect().toMap.keySet
+    assert(not === Set(1L, 3L), "doc2 excluded by 'window'")
+    // duplicate must terms don't break the intersection count
+    assert(Fts.booleanMatch(post, Seq("spark", "spark"))
+      .as[(Long, Long)].collect().toMap.keySet === Set(1L, 2L, 3L))
+  }
+
   test("rrf: membership in both lists beats membership in one") {
     val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
     val b = Seq((10L, 2), (12L, 1)).toDF("id", "rank")
