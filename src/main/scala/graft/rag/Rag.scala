@@ -92,6 +92,29 @@ object Rag {
         Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")),
         vecs)
     }
+
+    /** Persist the index as parquet tables (the durable S7/S8 sinks —
+      * the engine's LanceDB-table + Tantivy-index-on-disk analog).
+      * Docs are stored too, so a query session needs only the
+      * directory. At real scale write `post` bucketed/partitioned by
+      * term hash and `vecs` partitioned by IVF cell.
+      */
+    def save(index: CorpusIndex, dir: String): Unit = {
+      index.docs.write.mode("overwrite").parquet(s"$dir/docs")
+      index.post.write.mode("overwrite").parquet(s"$dir/post")
+      index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+      index.vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    }
+
+    /** Load an index previously written by [[save]] — the query-time
+      * entry: nothing is recomputed.
+      */
+    def load(spark: SparkSession, dir: String): CorpusIndex =
+      CorpusIndex(
+        spark.read.parquet(s"$dir/docs"),
+        spark.read.parquet(s"$dir/post"),
+        spark.read.parquet(s"$dir/stats"),
+        spark.read.parquet(s"$dir/vecs"))
   }
 
   /** End-to-end hybrid query over a property graph and a PREBUILT

@@ -110,5 +110,12 @@ class RagSpec extends SparkSpec {
     val res2 = Rag.answer(spark, "How many customers per segment are in the region Europe?",
       g, index, HashEmbedder(), retriever)
     assert(res2.synthesized === res.synthesized)
+    // the durable index path: save → load → identical answer with
+    // nothing recomputed from the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    Rag.CorpusIndex.save(index, dir)
+    val res3 = Rag.answer(spark, "How many customers per segment are in the region Europe?",
+      g, Rag.CorpusIndex.load(spark, dir), HashEmbedder(), retriever)
+    assert(res3.synthesized === res.synthesized)
   }
 }
