@@ -64,6 +64,20 @@ class FhirGoldenSpec extends SparkSpec {
       (("East Longmeadow", "Massachusetts", "Cletus Paucek")))
   }
 
+  test("golden 8 through the TEXTUAL Cypher route — the Text2Cypher contract") {
+    // the exact statement shape the reference's LLM generates
+    // (rag.baml:279 arrowheads; branches as comma-separated parts),
+    // parsed by CypherLite and compiled onto matchPaths
+    val rows = graft.graph.CypherLite.query(graph,
+      """MATCH (s:Substance {id: 'shellfish'})-[:CAUSES]->(a:Allergy)
+        |      <-[:EXPERIENCES]-(p:Patient {id: 45}),
+        |      (p)-[:LIVES_IN]->(ad:Address), (p)<-[:TREATS]-(pr:Practitioner)
+        |RETURN ad.city, ad.state, pr.givenName, pr.surname""".stripMargin)
+      .distinct().collect()
+    assert(rows.length === 1)
+    assert(rows(0).toSeq === Seq("East Longmeadow", "Massachusetts", "Cletus", "Paucek"))
+  }
+
   test("golden 9: influenza immunizations = 205 under deterministic first-write " +
       "(published 204 is a Kuzu intra-batch MERGE-order artifact; last-write gives 203)") {
     assert(GoldenQueries.q9InfluenzaImmunized(graph) === 205L)
