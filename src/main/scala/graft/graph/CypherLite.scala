@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * attaches. One row per path — real Cypher MATCH multiplicity.
   * Deliberately NOT supported (the prompt contract doesn't emit
   * them): WHERE, aggregation, OPTIONAL MATCH, var-length `*..` —
-  * aggregate over the returned DataFrame instead.
+  * aggregate over the returned DataFrame instead. String literals
+  * may not contain commas or braces (the splitter is regex-based,
+  * not a full lexer — fine for generated key lookups, loud for
+  * anything else).
   */
 object CypherLite {
 
