@@ -58,7 +58,8 @@ object Guardrails {
     * mask needs a UDF.
     */
   def findEmailsCol(text: Column): Column =
-    regexp_extract_all(text, lit(EmailRegex.regex), lit(0))
+    coalesce(regexp_extract_all(text, lit(EmailRegex.regex), lit(0)),
+      array().cast("array<string>"))
 
   // ---- domain classification / policy verdicts (guardrails.py:103-198)
 
@@ -73,13 +74,14 @@ object Guardrails {
 
   /** Lower-cased domain of an email — `email.split('@')[1].lower()`
     * (guardrails.py:142). Pure codegen'd string ops, no UDF.
-    * NULL when the input has no '@': substring_index would return the
-    * whole string, silently classifying non-email input as a domain
-    * (the reference's split('@')[1] raises instead — malformed values
-    * must fall OUT of the policy cascade, not into it).
+    * NULL when the input has no '@' (the reference's split('@')[1]
+    * raises instead — malformed values must fall OUT of the policy
+    * cascade, not into it). Segment AFTER THE FIRST '@', exactly like
+    * split('@')[1] — a multi-'@' value must classify by the same
+    * segment as the reference, not by the last one.
     */
   def emailDomain(email: Column): Column =
-    when(email.contains("@"), lower(substring_index(email, "@", -1)))
+    when(email.contains("@"), lower(element_at(split(email, "@"), 2)))
 
   /** The three per-email classification flags (guardrails.py:143-145):
     * is_common (free-mail), is_allowed (vacuously true with no

@@ -227,8 +227,18 @@ object FhirPipeline {
     * (every table stages before any target is replaced).
     */
   def upsertGraph(existing: PropertyGraph, delta: PropertyGraph): PropertyGraph = {
-    def mergeOn(e: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame =
-      e.unionByName(d.join(e.select(keys.map(col): _*), keys, "left_anti"))
+    def mergeOn(e: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame = {
+      // intra-delta duplicate keys resolve DETERMINISTICALLY before
+      // the anti-join: lexicographic-min over the full row (ordering
+      // by every column) — the arbitrary-intra-batch-order hole Kuzu
+      // MERGE has (golden-9's 204) closed the same way buildGraph's
+      // firstWrite closes it
+      val dd = d
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy(d.columns.map(col).toIndexedSeq: _*)))
+        .filter(col("__rn") === 1).drop("__rn")
+      e.unionByName(dd.join(e.select(keys.map(col): _*), keys, "left_anti"))
+    }
     val nodes = (existing.nodes.keySet ++ delta.nodes.keySet).map { l =>
       l -> ((existing.nodes.get(l), delta.nodes.get(l)) match {
         case (Some(e), Some(d)) => mergeOn(e, d, Seq("id"))

@@ -107,10 +107,18 @@ object NearestCells {
     }
   }
 
-  private def result(c: Centroids, bestI: Array[Int]): ArrayData = {
-    val out = new Array[Int](bestI.length)
+  /** Only slots that actually received a finite distance count — a
+    * NaN/overflow-Inf distance never passes the strict `<`, so a
+    * fully-corrupt vector (all-NaN distances) yields an EMPTY array
+    * (the row drops out of any explode-based assignment) instead of
+    * nProbe bogus copies of cell 0.
+    */
+  private def result(c: Centroids, bestD: Array[Double], bestI: Array[Int]): ArrayData = {
+    var filled = 0
+    while (filled < bestD.length && bestD(filled) < Double.PositiveInfinity) filled += 1
+    val out = new Array[Int](filled)
     var i = 0
-    while (i < out.length) { out(i) = c.ids(bestI(i)); i += 1 }
+    while (i < filled) { out(i) = c.ids(bestI(i)); i += 1 }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -128,7 +136,7 @@ object NearestCells {
       insert(bestD, bestI, d, ci)
       ci += 1
     }
-    result(c, bestI)
+    result(c, bestD, bestI)
   }
 
   def compute(q: Array[Double], c: Centroids, nProbe: Int): ArrayData = {
@@ -144,6 +152,6 @@ object NearestCells {
       insert(bestD, bestI, d, ci)
       ci += 1
     }
-    result(c, bestI)
+    result(c, bestD, bestI)
   }
 }

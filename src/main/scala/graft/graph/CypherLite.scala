@@ -74,8 +74,10 @@ object CypherLite {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
     }
-    val matchBody = patternPart.trim.replaceFirst("(?i)^MATCH\\b", "")
-      .replaceAll("\\s+", " ").trim
+    // no whitespace normalization — the token regexes tolerate \s*
+    // themselves, and a global squeeze would silently rewrite spaces
+    // INSIDE quoted literals
+    val matchBody = patternPart.trim.replaceFirst("(?i)^MATCH\\b", "").trim
     // top-level comma = a new pattern part (commas inside {…} are
     // property separators); each additional part must START at an
     // already-bound alias — the Cypher multi-pattern form rag.baml's

@@ -64,12 +64,14 @@ object SearchOps {
            |ORDER BY ALL""".stripMargin)
     ),
     // R2 keyword search, integer tf-idf ranking (exact, portable).
+    // N rides the broadcast stats frame — one job, no driver count.
     QueryDef(
       "r2_tfidf_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val post = Fts.postings(docs, "doc_id", "text")
-        Fts.tfidfScores(post, docs.count(), Query)
+        val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
+        Fts.tfidfScores(post, stats, Query)
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(TopK)
       },
@@ -117,7 +119,8 @@ object SearchOps {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val post = Fts.postings(docs, "doc_id", "text")
-        val kw = Fts.tfidfScores(post, docs.count(), Query)
+        val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
+        val kw = Fts.tfidfScores(post, stats, Query)
           .orderBy(col("score").desc, col("doc_id").asc).limit(TopK)
           .select(col("doc_id").as("id"),
             row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))

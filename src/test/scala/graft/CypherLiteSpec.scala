@@ -71,6 +71,16 @@ class CypherLiteSpec extends SparkSpec {
       Set(("c3", "a1"), ("c3", "a4")), "both R1 edges into b2 are paths")
   }
 
+  test("whitespace inside quoted literals survives parsing") {
+    val h = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "two  spaces")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b")).toDF("id", "tag")),
+      edges = Map("R1" -> (("A", "B", Seq((1L, 2L)).toDF("src", "dst")))))
+    val n = CypherLite.query(h, "(a:A {tag: 'two  spaces'})-[:R1]->(b:B)").count()
+    assert(n === 1, "the double space in the literal must not be squeezed")
+  }
+
   test("a continuation part must start at a bound alias") {
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B), (z:C)-[:R2]->(w:B)")

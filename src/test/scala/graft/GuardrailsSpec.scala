@@ -83,6 +83,28 @@ class GuardrailsSpec extends AnyFunSuite {
       "default policy (no lists, no common-block) must allow everything")
   }
 
+  test("emailDomain: first-@ segment (reference split), NULL without '@'") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("a@gmail.com", "user@gmail.com@evil.example", "no-at-here")
+      .toDF("email")
+      .select(col("email"), Guardrails.emailDomain(col("email")).as("d"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("a@gmail.com") === Some("gmail.com"))
+    assert(got("user@gmail.com@evil.example") === Some("gmail.com"),
+      "multi-@ must classify by the FIRST-split segment like the reference")
+    assert(got("no-at-here") === None, "malformed input falls out of the cascade")
+  }
+
+  test("findEmailsCol matches the UDF semantics on NULL text (empty, not null)") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val n = Seq(Option("contact a@b.co"), None).toDF("text")
+      .select(size(Guardrails.findEmailsCol(col("text"))).as("n"))
+      .as[Int].collect().toSeq.sorted
+    assert(n === Seq(0, 1), "NULL text counts 0 emails, like findEmails(null)")
+  }
+
   test("mask preserves structure: length, @ position, domain dots") {
     // dots INSIDE the username are masked to '*' (reference keeps only
     // first/last user chars); domain dots survive the per-part mask.

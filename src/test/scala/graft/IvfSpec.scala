@@ -145,6 +145,18 @@ class IvfSpec extends SparkSpec {
         s"result $id outside query $qid's probed cell")
   }
 
+  test("a NaN vector assigns to NO cell (empty array), never duplicates") {
+    val bad = Seq((1L, Seq(Float.NaN, 1.0f)), (2L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val m = Ivf.Model(Array(
+      (0, Array(0.0, 0.0)), (1, Array(1.0, 1.0))))
+    val got = bad.select(col("vec_id"),
+      Ivf.cellsOf(col("embedding"), m, 2).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) === Seq.empty, "all-NaN distances must yield no cells")
+    assert(got(2L).length === 2 && got(2L).distinct.length === 2)
+  }
+
   test("assignment plan is O(1) in nCells — the model rides a broadcast") {
     // the round-4 literal-centroid form grew the plan by
     // O(nCells · dim) literal nodes; the native expression keeps the

@@ -52,6 +52,18 @@ class UpsertGraphSpec extends SparkSpec {
       Seq("p1" -> "p2", "p2" -> "p3"))
   }
 
+  test("intra-delta duplicate keys resolve deterministically (not both inserted)") {
+    val existing = graphOf(Seq("p1" -> "Ann"), Seq.empty)
+    // the golden-9 shape: one batch carries the same NEW key twice
+    // with contested properties — Kuzu resolves by arbitrary visit
+    // order; the engine must pick exactly one, deterministically
+    val delta = graphOf(Seq("p3" -> "Cyd", "p3" -> "Cid"), Seq.empty)
+    val merged = FhirPipeline.upsertGraph(existing, delta)
+    val p3 = merged.nodes("Person").filter($"id" === "p3")
+      .as[(String, String)].collect().toSeq
+    assert(p3 === Seq("p3" -> "Cid"), "exactly one row, lexicographic-min winner")
+  }
+
   test("a delta may introduce a new label; one-sided tables pass through") {
     val a = graphOf(Seq("p1" -> "Ann"), Seq.empty)
     val delta = PropertyGraph(
