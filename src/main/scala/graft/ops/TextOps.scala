@@ -114,6 +114,42 @@ object TextOps {
              |          1),
              |    i -> md5(substring(regexp_replace(lower(text), '\s+', ' ', 'g'), CAST(i AS INTEGER), 8)))) AS fp
              |FROM documents ORDER BY ALL""".stripMargin)
+    ),
+    // T5 sequence packing: concat-and-chunk document → training-window
+    // assignment, the offsets a tokenize-and-pack pipeline needs.
+    // Packing runs PER SHARD (doc_id % nShards) — the scale-correct
+    // shape: a global pack order is a single-partition window (the s4
+    // trap), while per-shard packing is how real pipelines shard
+    // output files anyway. Within a shard, docs pack in doc_id order:
+    // start = running token sum, window = start div winSize, offset =
+    // start % winSize. All exact-integer window arithmetic.
+    QueryDef(
+      "t5_seq_pack",
+      (s, d) => {
+        val W = 512
+        val nShards = 8
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+        orderedByAll(
+          Tables.documents(s, d)
+            .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+              size(tokens(col("text"))).as("n_tokens"))
+            .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+            .select(col("doc_id"), col("shard"),
+              expr(s"start div $W").as("win"),
+              expr(s"start % $W").as("off")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, shard,
+             |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             |              - n_tokens AS BIGINT) AS start
+             |  FROM t)
+             |SELECT doc_id, shard, start // 512 AS win, start % 512 AS off
+             |FROM p ORDER BY ALL""".stripMargin)
     )
   )
 }
