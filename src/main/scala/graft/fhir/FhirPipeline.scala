@@ -213,41 +213,39 @@ object FhirPipeline {
     * (reference build_graph.py:209-224), deterministic: survivors
     * (keys already in `existing`) keep their stored properties
     * UNTOUCHED — first-write-wins extended across batches — and new
-    * keys append. Per node label that is
-    * `existing ∪ (delta ⟕anti existing on id)`; per relationship the
-    * anti-join keys on (src, dst). One skinny-key anti-join per
-    * table, no window, no driver state — at scale both sides shuffle
-    * on the id they are already stored by (bucket the store by id and
-    * the anti-join co-locates).
+    * keys append. Every DELTA table is first normalized to one row
+    * per key — intra-batch duplicate keys resolve to the
+    * lexicographic-min row (deterministic, closing the
+    * arbitrary-intra-batch-order hole Kuzu MERGE has, golden-9's
+    * 204) — then merged as `existing ∪ (delta ⟕anti existing on
+    * key)`: node tables key on id, relationships on (src, dst). Per
+    * table that is one window over the DELTA (the small side) plus
+    * one skinny-key anti-join; `existing` never re-shuffles its
+    * payload — at scale bucket the store by key and the anti-join
+    * co-locates.
     *
-    * Labels/rel types present on only one side pass through, so a
-    * delta can introduce new tables. Compose with [[writeGraph]] for
-    * the full ingest step: its stage-then-swap makes writing the
-    * merged graph back OVER the directory `existing` reads from safe
-    * (every table stages before any target is replaced).
+    * Labels/rel types present on only one side pass through (a delta
+    * can introduce new tables — those normalize too). Compose with
+    * [[writeGraph]] for the full ingest step: its stage-then-swap
+    * makes writing the merged graph back OVER the directory
+    * `existing` reads from safe (every table stages before any
+    * target is replaced).
     */
   def upsertGraph(existing: PropertyGraph, delta: PropertyGraph): PropertyGraph = {
-    def mergeOn(e: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame = {
-      // intra-delta duplicate keys resolve DETERMINISTICALLY before
-      // the anti-join: lexicographic-min over the full row (ordering
-      // by every column) — the arbitrary-intra-batch-order hole Kuzu
-      // MERGE has (golden-9's 204) closed the same way buildGraph's
-      // firstWrite closes it
-      val dd = d
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(keys.map(col): _*).orderBy(d.columns.map(col).toIndexedSeq: _*)))
-        .filter(col("__rn") === 1).drop("__rn")
-      e.unionByName(dd.join(e.select(keys.map(col): _*), keys, "left_anti"))
-    }
+    def norm(d: DataFrame, keys: Seq[String]): DataFrame =
+      keepFirst(d, keys, d.columns.map(col).toIndexedSeq)
+    def mergeOn(e: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame =
+      e.unionByName(d.join(e.select(keys.map(col): _*), keys, "left_anti"))
     val nodes = (existing.nodes.keySet ++ delta.nodes.keySet).map { l =>
-      l -> ((existing.nodes.get(l), delta.nodes.get(l)) match {
+      l -> ((existing.nodes.get(l), delta.nodes.get(l).map(norm(_, Seq("id")))) match {
         case (Some(e), Some(d)) => mergeOn(e, d, Seq("id"))
         case (Some(e), None)    => e
         case (None, d)          => d.get
       })
     }.toMap
     val edges = (existing.edges.keySet ++ delta.edges.keySet).map { r =>
-      r -> ((existing.edges.get(r), delta.edges.get(r)) match {
+      r -> ((existing.edges.get(r),
+          delta.edges.get(r).map { case (s, t, d) => (s, t, norm(d, Seq("src", "dst"))) }) match {
         case (Some((s, t, e)), Some((s2, t2, d))) =>
           require(s == s2 && t == t2, s"endpoint labels diverge for $r")
           (s, t, mergeOn(e, d, Seq("src", "dst")))
@@ -279,11 +277,18 @@ object FhirPipeline {
 
   // ---- graph build (nodes + edges, deterministic upsert) ------------
 
+  /** One row per key, keeping the first under `order` — the shared
+    * deterministic-dedup kernel behind batch firstWrite and the
+    * upsert delta normalization.
+    */
+  private def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
   /** First-write-wins per key: the row with minimal (record_id, pos). */
   private def firstWrite(df: DataFrame, key: String, order: Seq[Column]): DataFrame =
-    df.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(order: _*)))
-      .filter(col("__rn") === 1).drop("__rn")
+    keepFirst(df, Seq(key), order)
 
   def buildGraph(extracted: DataFrame): PropertyGraph = {
     val addr = prepAddress(extracted)

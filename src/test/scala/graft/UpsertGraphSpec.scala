@@ -74,4 +74,16 @@ class UpsertGraphSpec extends SparkSpec {
     assert(merged.nodes("City").count() === 1)
     assert(merged.edges("KNOWS")._3.count() === 0)
   }
+
+  test("a NEW label's delta table normalizes too — no duplicate-key pass-through") {
+    val a = graphOf(Seq("p1" -> "Ann"), Seq.empty)
+    val delta = PropertyGraph(
+      nodes = Map("City" -> Seq(("c1", "Basel"), ("c1", "Bern")).toDF("id", "name")),
+      edges = Map("NEAR" -> (("City", "City",
+        Seq(("c1", "c1"), ("c1", "c1")).toDF("src", "dst")))))
+    val merged = FhirPipeline.upsertGraph(a, delta)
+    assert(merged.nodes("City").as[(String, String)].collect().toSeq ===
+      Seq("c1" -> "Basel"), "lexicographic-min winner even on a brand-new table")
+    assert(merged.edges("NEAR")._3.count() === 1)
+  }
 }
