@@ -136,6 +136,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), "salted two-phase rank missing")
   }
 
+  test("t5 packing windows partition by shard — never a global single partition") {
+    val p = plan("t5_seq_pack")
+    assert(p.contains("hashpartitioning(shard"), "running sum must shuffle on shard")
+    assert(!p.contains("SinglePartition"),
+      "per-shard packing must not fall into the s4 single-partition window trap")
+  }
+
   test("e1 email detection is builtin regexp, not a second UDF column") {
     val p = plan("e1_email_mask")
     val udfCount = "ScalaUDF".r.findAllIn(p).length
