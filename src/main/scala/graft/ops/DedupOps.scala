@@ -29,7 +29,19 @@ object DedupOps {
   private val TauNumSq = 16L
   private val TauDenSq = 100L
 
+  private val LshPlanes = 16
+  private val LshBands = 4
+  private val EmbDim = 64   // driver-generated embeddings dimension
+
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Parse 8 hex chars of an md5 column `h` starting at `off`
+    * (1-based) into a BIGINT — shared by the minhash and LSH oracles.
+    */
+  private def sqlHex2Long(off: Int): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(h, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB word-shingle CTE body (same semantics as Dedup.wordShingles). */
   private val sqlShingleCte =
@@ -193,6 +205,50 @@ object DedupOps {
            |  AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * $TauDenSq
            |      > $TauNumSq * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
            |ORDER BY ALL""".stripMargin)
+    ),
+    // D5b embedding near-dup blocked by banded signed-random-
+    // projection LSH — the data-independent blocking path (no
+    // training pass, vs d5's label block / the auto path's learned
+    // cells). Hyperplane weights are md5-derived integers, so the
+    // oracle computes the identical buckets, candidates, and exact
+    // threshold bits.
+    QueryDef(
+      "d8_lsh_neardup",
+      (s, d) => orderedByAll(
+        Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, d),
+          "vec_id", "embedding", EmbDim, TauNumSq, TauDenSq, LshPlanes, LshBands)),
+      Some {
+        val r = LshPlanes / LshBands
+        s"""WITH iv AS (
+           |  SELECT vec_id AS id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+           |  FROM embeddings),
+           |pos AS (SELECT id, generate_subscripts(iv, 1) AS i, unnest(iv) AS v FROM iv),
+           |pw AS (SELECT p.range AS p, i.range AS i,
+           |              md5('pl_' || p.range || '_' || i.range) AS h
+           |       FROM range(0, $LshPlanes) p, range(1, ${EmbDim + 1}) i),
+           |planes AS (SELECT p, i, ${sqlHex2Long(1)} - 2147483648 AS w FROM pw),
+           |dots AS (SELECT pos.id, planes.p, CAST(sum(pos.v * planes.w) AS BIGINT) AS dot
+           |         FROM pos JOIN planes USING (i) GROUP BY 1, 2),
+           |bits AS (SELECT id, p // $r AS band,
+           |                CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (p % $r)) ELSE 0 END) AS BIGINT) AS bits
+           |         FROM dots GROUP BY 1, 2),
+           |keys AS (SELECT id, CAST(band * ${1L << r} + bits AS BIGINT) AS lsh FROM bits),
+           |nr AS (SELECT iv.id, keys.lsh, iv.iv,
+           |              CAST(list_sum(list_transform(iv.iv, v -> v * v)) AS BIGINT) AS nrm2
+           |       FROM iv JOIN keys USING (id)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |         CAST(list_sum(list_transform(range(1, len(a.iv) + 1, 1),
+           |                                      x -> a.iv[x] * b.iv[x])) AS BIGINT) AS dot,
+           |         a.nrm2 AS na, b.nrm2 AS nb
+           |  FROM nr a JOIN nr b ON a.lsh = b.lsh AND a.id < b.id)
+           |SELECT id_a, id_b FROM pairs
+           |WHERE dot > 0
+           |  AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * $TauDenSq
+           |      > $TauNumSq * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+           |ORDER BY ALL""".stripMargin
+      }
     ),
     // D7 dup GROUPS: connected components over the d2 near-dup pairs
     // — pairs alone do not dedup a corpus; transitive closure does

@@ -84,6 +84,49 @@ object Vectors {
         .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot")),
       idCol, k, nSalts)
 
+  /** Deterministic, ENGINE-PORTABLE random hyperplanes for signed
+    * random projection LSH: weight(p, i) = first 8 hex chars of
+    * md5("pl_p_i") as an integer, centered (− 2³¹) — the same value
+    * any engine with md5 computes, so a DuckDB oracle reproduces the
+    * buckets bit-for-bit (the same trick as the min-wise hashing).
+    * Rows are plane index 0..nPlanes−1; columns 1-based dimension
+    * index (matching SQL list subscripts).
+    */
+  def lshPlanes(nPlanes: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim) { i0 =>
+      val d = md.digest(s"pl_${p}_${i0 + 1}".getBytes("UTF-8"))
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hi - 2147483648L
+    })
+  }
+
+  /** Banded LSH keys for an intVector column: planes split into
+    * `nBands` bands of r = nPlanes/nBands sign bits; key =
+    * band · 2^r + bits. Two vectors are CANDIDATES if any band key
+    * collides — the standard banding trade (more bands ⇒ higher
+    * recall at lower per-band precision), same shape as the MinHash
+    * bands. Integer dot products against integer plane weights —
+    * exact sign, no float anywhere, so buckets are engine-portable.
+    * (HOF-composed: fine as a blocking-key builder; promote to a
+    * native expression via the NearestCells recipe if it ever sits
+    * on a scan hot path.)
+    */
+  def lshBandKeys(iv: Column, planes: Array[Array[Long]], nBands: Int): Column = {
+    require(planes.length % nBands == 0)
+    val r = planes.length / nBands
+    val keys = (0 until nBands).map { b =>
+      val bits = (0 until r).map { j =>
+        val w = array(planes(b * r + j).map(lit): _*)
+        when(aggregate(zip_with(iv, w, _ * _), lit(0L), _ + _) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (lit(b.toLong * (1L << r)) + bits).as(s"band$b")
+    }
+    array(keys: _*)
+  }
+
   /** Salted two-phase per-query top-k over a scored frame
     * (qid, idCol, dot): rank within (qid, salt) — each query's rows
     * spread over nSalts partitions, k survive each — then rank the

@@ -128,6 +128,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("LSH banding: identical vectors share every band and pair; orthogonal don't") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to 1
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val planes = Vectors.lshPlanes(8, 4)
+    val keys = emb.select(col("vec_id"),
+      Vectors.lshBandKeys(Vectors.intVector(col("embedding")), planes, 4).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(1L) === keys(2L), "identical vectors get identical band keys")
+    assert(keys(1L).length === 4)
+    // pair via the full LSH near-dup path: τ=0.9 → only the identical pair
+    val pairs = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+      dim = 4, tauNumSq = 81L, tauDenSq = 100L, nPlanes = 8, nBands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("lshPlanes is deterministic and engine-portable (md5-derived)") {
+    val a = Vectors.lshPlanes(4, 8)
+    val b = Vectors.lshPlanes(4, 8)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // spot-pin one value against the definition: first 8 hex of
+    // md5("pl_0_1") minus 2^31
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("pl_0_1".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    assert(a(0)(0) === java.lang.Long.parseLong(hex, 16) - 2147483648L)
+  }
+
   test("embeddingNearDupPairsAuto = threshold matches restricted to learned cells") {
     // clustered corpus: the quantizer discovers the blocks; the output
     // must be EXACTLY the over-threshold pairs whose endpoints land in
