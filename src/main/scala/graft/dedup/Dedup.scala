@@ -335,6 +335,41 @@ object Dedup {
     finalized(result, Seq(iv))
   }
 
+  /** Embedding near-dup blocked by banded signed-random-projection
+    * LSH — the second no-natural-block-column scale path (alongside
+    * the learned-quantizer [[embeddingNearDupPairsAuto]]): nPlanes
+    * deterministic hyperplanes (engine-portable md5 weights,
+    * graft.search.Vectors.lshPlanes) split into nBands sign-bit
+    * bands; a pair is a candidate iff ANY band key collides, then
+    * the same exact integer/DECIMAL threshold verifies. No training
+    * pass and no model state — the trade vs IVF blocking: data-
+    * independent recall (the s^r banding curve) instead of learned
+    * cells. Output = threshold pairs sharing ≥ 1 band. A vector
+    * whose length differs from `dim` fails the task loudly —
+    * zip_with against a mismatched plane would otherwise null the
+    * dots and silently collapse every row into one bucket per band.
+    */
+  def embeddingNearDupPairsLsh(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      tauNumSq: Long, tauDenSq: Long,
+      nPlanes: Int = 16, nBands: Int = 4): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val planes = graft.search.Vectors.lshPlanes(nPlanes, dim)
+    // dimension guard INSIDE the data path (a side-column assert
+    // would be pruned away): wrong-length vectors raise, never bucket
+    val guarded = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lsh near-dup: expected dim $dim, got "),
+        size(col(vecCol)).cast("string"))))
+    val banded = emb.select(col(idCol), guarded.as(vecCol),
+      explode(graft.search.Vectors.lshBandKeys(
+        graft.search.Vectors.intVector(guarded), planes, nBands)).as("lsh_band"))
+    val pairs = embeddingNearDupPairs(banded, idCol, vecCol, "lsh_band",
+      tauNumSq, tauDenSq)
+    // a pair colliding in several bands appears once per band — dedup
+    if (nBands > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
+  }
+
   /** Embedding near-dup when NO natural blocking column exists: learn
     * the block key with the IVF coarse quantizer (graft.search.Ivf —
     * distributed k-means, fixed seed), assign cells map-side, then
@@ -345,32 +380,6 @@ object Dedup {
     * quantizer); at 100 TB this is the practical shape, since
     * unblocked all-pairs is quadratic.
     */
-  /** Embedding near-dup blocked by banded signed-random-projection
-    * LSH — the second no-natural-block-column scale path (alongside
-    * the learned-quantizer [[embeddingNearDupPairsAuto]]): nPlanes
-    * deterministic hyperplanes (engine-portable md5 weights,
-    * graft.search.Vectors.lshPlanes) split into nBands sign-bit
-    * bands; a pair is a candidate iff ANY band key collides, then
-    * the same exact integer/DECIMAL threshold verifies. No training
-    * pass and no model state — the trade vs IVF blocking: data-
-    * independent recall (the s^r banding curve) instead of learned
-    * cells. Output = threshold pairs sharing ≥ 1 band.
-    */
-  def embeddingNearDupPairsLsh(
-      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      tauNumSq: Long, tauDenSq: Long,
-      nPlanes: Int = 16, nBands: Int = 4): DataFrame = {
-    require(nPlanes % nBands == 0)
-    val planes = graft.search.Vectors.lshPlanes(nPlanes, dim)
-    val banded = emb.select(col(idCol), col(vecCol),
-      explode(graft.search.Vectors.lshBandKeys(
-        graft.search.Vectors.intVector(col(vecCol)), planes, nBands)).as("lsh_band"))
-    val pairs = embeddingNearDupPairs(banded, idCol, vecCol, "lsh_band",
-      tauNumSq, tauDenSq)
-    // a pair colliding in several bands appears once per band — dedup
-    if (nBands > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
-  }
-
   def embeddingNearDupPairsAuto(
       emb: DataFrame, idCol: String, vecCol: String,
       tauNumSq: Long, tauDenSq: Long,

@@ -100,12 +100,6 @@ object DedupOps {
         Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           ShingleK, NumHashes, NBands, RowsPerBand, MinJaccard)),
       Some {
-        // parse 8 hex chars of md5 starting at `off` (1-based) into a
-        // BIGINT — DuckDB has no conv(), so per-char strpos arithmetic
-        def hex2long(off: Int): String =
-          (0 until 8).map { i =>
-            s"(strpos('0123456789abcdef', substring(h, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-          }.mkString("(", " + ", ")")
         val minExprs = (0 until NumHashes)
           .map(i => s"min(h1 + $i * h2) AS m$i")
         val bandExprs = (0 until NBands).map { b =>
@@ -115,7 +109,7 @@ object DedupOps {
         }
         s"""WITH $sqlShingleCte,
            |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-           |hh AS (SELECT id, ${hex2long(1)} AS h1, ${hex2long(9)} AS h2
+           |hh AS (SELECT id, ${sqlHex2Long(1)} AS h1, ${sqlHex2Long(9)} AS h2
            |       FROM (SELECT id, md5(shingle) AS h FROM post)),
            |sig AS (SELECT id, ${minExprs.mkString(", ")} FROM hh GROUP BY id),
            |banded AS (SELECT id, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),

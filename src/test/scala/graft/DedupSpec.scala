@@ -147,6 +147,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("LSH near-dup fails loudly on a dim mismatch instead of mis-bucketing") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+        dim = 4, tauNumSq = 81L, tauDenSq = 100L, nPlanes = 8, nBands = 4).count()
+    }
+    assert(err.getMessage.contains("expected dim 4"))
+  }
+
   test("lshPlanes is deterministic and engine-portable (md5-derived)") {
     val a = Vectors.lshPlanes(4, 8)
     val b = Vectors.lshPlanes(4, 8)
