@@ -71,6 +71,37 @@ object Incremental {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Continuous graph ingest — the streaming face of the S6 store:
+    * a `foreachBatch` body that upserts each micro-batch into the
+    * stored graph (read → [[graft.fhir.FhirPipeline.upsertGraph]] →
+    * staged-swap write). The batch operator IS the streaming
+    * operator: survivors keep their properties, new keys append, and
+    * a REPLAYED batch is a no-op — which is exactly the idempotence
+    * foreachBatch's at-least-once delivery contract requires.
+    * `toGraph` shapes a micro-batch into delta node/edge tables
+    * (e.g. the FHIR staging transforms).
+    *
+    * Usage: `stream.writeStream.foreachBatch(
+    *   Incremental.graphUpsertBatch(dir, edgeMeta, toGraph) _)`.
+    */
+  def graphUpsertBatch(
+      dir: String, edgeMeta: Map[String, (String, String)],
+      toGraph: DataFrame => graft.graph.PropertyGraph)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = toGraph(batch)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        graft.fhir.FhirPipeline.readGraph(spark, dir, edgeMeta)
+      else graft.graph.PropertyGraph(Map.empty, Map.empty)
+    // upsert against the empty graph still normalizes the delta, so
+    // the very first batch gets the same intra-batch dedup
+    graft.fhir.FhirPipeline.writeGraph(
+      graft.fhir.FhirPipeline.upsertGraph(existing, delta), dir)
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)
   case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)

@@ -95,6 +95,29 @@ class StreamingSpec extends SparkSpec {
     assert(phrase === Map(1L -> 2L))
   }
 
+  test("streaming graph ingest: micro-batches upsert into the stored graph") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_graph").toString
+    val edgeMeta = Map.empty[String, (String, String)]
+    val toGraph = (batch: org.apache.spark.sql.DataFrame) =>
+      graft.graph.PropertyGraph(
+        nodes = Map("Person" -> batch.toDF("id", "name")), edges = Map.empty)
+    val in = MemoryStream[(String, String)]
+    val q = in.toDF().writeStream
+      .foreachBatch(Incremental.graphUpsertBatch(dir, edgeMeta, toGraph) _)
+      .start()
+    in.addData(("p1", "Ann"), ("p2", "Bo"))
+    q.processAllAvailable()
+    // second batch: p2 re-arrives with a contested name (survivor
+    // keeps the stored one), p3 is new
+    in.addData(("p2", "Robert"), ("p3", "Cyd"))
+    q.processAllAvailable()
+    q.stop()
+    val people = graft.fhir.FhirPipeline.readGraph(spark, dir, edgeMeta)
+      .nodes("Person").orderBy("id").as[(String, String)].collect().toSeq
+    assert(people === Seq("p1" -> "Ann", "p2" -> "Bo", "p3" -> "Cyd"))
+  }
+
   test("stateful sessionization folds events per user across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Incremental.Event]
