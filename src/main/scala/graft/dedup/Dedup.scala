@@ -361,6 +361,11 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"lsh near-dup: expected dim $dim, got "),
         size(col(vecCol)).cast("string"))))
+    // band keys compute at scan: at real scale the table has many
+    // splits (scan parallelism covers the interpreted HOF dots), and
+    // an extra pre-banding repartition would shuffle full vector
+    // arrays for nothing (measured: no win even on the single-split
+    // local bench — the candidate verify dominates, not the dots)
     val banded = emb.select(col(idCol), guarded.as(vecCol),
       explode(graft.search.Vectors.lshBandKeys(
         graft.search.Vectors.intVector(guarded), planes, nBands)).as("lsh_band"))
