@@ -92,6 +92,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "simhash_sig takes exactly 2 arguments")
         SimHashSig(args.head, args(1)): Expression
+      }),
+    (FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "int_dot takes exactly 2 arguments")
+        IntDot(args.head, args(1)): Expression
       }))
 
   /** Register into a LIVE session (tests, notebooks). */

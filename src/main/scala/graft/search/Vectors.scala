@@ -41,9 +41,17 @@ object Vectors {
   def intVector(v: Column): Column =
     transform(v, x => round(x * 1e7).cast(LongType))
 
-  /** Exact integer dot product of two intVector columns. */
+  /** Exact integer dot product of two intVector columns — the native
+    * [[graft.functions.IntDot]] expression (fused codegen loop; the
+    * zip_with+aggregate HOF it replaced evaluated interpreted on the
+    * hottest scan in the engine). Bit-identical: integer math has no
+    * rounding and the same 64-bit wrap.
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.IntDot(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
 
   /** Brute-force top-k by integer dot product against the single query
     * vector in `query` (column `qv`, broadcast). Returns (id, dot).

@@ -1,5 +1,51 @@
 package graft
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Native int_dot expression vs the HOF composition it replaced. */
+class IntDotExprSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  graft.functions.GraftFunctions.register(spark)
+
+  test("int_dot equals the zip_with+aggregate HOF on random long arrays") {
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10000000L, 10000000L))
+    val rows = (0 until 50).flatMap { i =>
+      for {
+        a <- gen(Gen.Parameters.default, Seed(i.toLong))
+        b <- gen(Gen.Parameters.default, Seed(1000L + i))
+      } yield (a, b)
+    }
+    assert(rows.nonEmpty)
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.search.Vectors.intDot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), _ * _), lit(0L), _ + _).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
+  test("int_dot: null side -> null; shorter length wins; SQL-registered") {
+    val r = spark.sql(
+      "SELECT int_dot(array(2L, 3L), array(10L, 10L, 99L)) AS d," +
+        " int_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n").head()
+    assert(r.getLong(0) === 50L)
+    assert(r.isNullAt(1))
+  }
+
+  test("int_dot runs inside whole-stage codegen on the KNN scan") {
+    val iv = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.search.Vectors.intVector(col("embedding")).as("iv"))
+    val q = iv.filter(col("vec_id") === 0).select(col("iv").as("qv"))
+    val knn = graft.search.Vectors.knnDot(iv, "vec_id", q, 5)
+    knn.collect() // finalize the adaptive plan so codegen spans render
+    val p = knn.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p.take(400))
+    assert(p.contains("int_dot"), "the ranking column must be the native expression")
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CosineSimilarity, GraftFunctions}
