@@ -3,93 +3,155 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** A minimal Cypher-pattern front end over [[PropertyGraph.matchPaths]]
-  * — the textual entry a Text2Cypher client targets (the reference
-  * executes LLM-generated Cypher verbatim, src/rag.py:48-76, with the
-  * prompt contract constraining it to MATCH patterns over the pruned
-  * schema, rag.baml:65-102). This parses exactly that constrained
-  * shape and compiles it to the join-based path DSL:
+/** A Cypher-pattern front end over [[PropertyGraph.matchPaths]] — the
+  * textual entry a Text2Cypher client targets (the reference executes
+  * LLM-generated Cypher verbatim, src/rag.py:48-76, with the prompt
+  * contract constraining it to MATCH patterns over the pruned schema,
+  * rag.baml:65-102). This parses that constrained shape plus the
+  * clauses the reference's example corpus actually exercises
+  * (rag.baml:228-289: WHERE, COUNT(DISTINCT …), OPTIONAL MATCH,
+  * ORDER BY/LIMIT, var-length `*1..n`) and compiles them to the
+  * join-based path DSL:
   *
   * {{{
   * MATCH (s:Substance {id: 'shellfish'})-[:CAUSES]->(a:Allergy)
-  *       <-[:EXPERIENCES]-(p:Patient {id: 45})
-  * RETURN p.surname, a.category
+  *       <-[:EXPERIENCES]-(p:Patient)
+  * WHERE p.city = 'Boston'
+  * RETURN a.category AS cat, count(DISTINCT p) AS n_patients
+  * ORDER BY n_patients DESC LIMIT 10
   * }}}
   *
-  * Supported: chain patterns of `(alias:Label {prop: literal, …})`
-  * nodes joined by `-[:REL]->` / `<-[:REL]-` edges; literals are
-  * single-quoted strings, integers, decimals, booleans; an optional
-  * `RETURN alias.prop, …` clause (omitted ⇒ the path frame with one
-  * id column per alias). Inline prop maps become mid-chain
-  * predicates (semi-joins); RETURN compiles to broadcast property
-  * attaches. One row per path — real Cypher MATCH multiplicity.
-  * Deliberately NOT supported (the prompt contract doesn't emit
-  * them): WHERE, aggregation, OPTIONAL MATCH, var-length `*..` —
-  * aggregate over the returned DataFrame instead. String literals
-  * may not contain commas or braces (the splitter is regex-based,
-  * not a full lexer — fine for generated key lookups, loud for
-  * anything else).
+  * Supported surface:
+  *  - chain patterns of `(alias:Label {prop: literal, …})` nodes
+  *    joined by `-[:REL]->` / `<-[:REL]-` edges; comma-separated
+  *    parts branch off bound aliases; literals are single-quoted
+  *    strings, integers, decimals, booleans.
+  *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
+  *    required — unbounded `*` is rejected, the scale rule).
+  *  - `OPTIONAL MATCH` clauses (left joins; must re-enter at a bound
+  *    alias, like continuation parts).
+  *  - `WHERE alias.prop OP literal [AND …]` with OP in
+  *    `= <> < <= > >= CONTAINS IN [list]` — each condition compiles
+  *    to a node predicate at its pattern position (semi-join against
+  *    the dimension-sized node table BEFORE the path join; on an
+  *    optional alias this modifies the match, Cypher
+  *    OPTIONAL-MATCH-WHERE semantics). OR is not supported.
+  *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
+  *    bare `alias` (its id), `count(*)`, or
+  *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
+  *    require `AS name` (plain items default to `alias_prop`).
+  *    Mixing plain + aggregate items groups by the plain items —
+  *    Cypher's implicit grouping. Without RETURN: the raw path frame
+  *    (one id column per alias, one row per path).
+  *  - `ORDER BY out_col [ASC|DESC], … LIMIT n` over the RETURN names.
+  *
+  * String literals may not contain commas, braces, or the word AND
+  * (the splitter is regex-based, not a full lexer — fine for
+  * generated key lookups, loud for anything else).
   */
 object CypherLite {
 
   import PropertyGraph.{Direction, In, Out, PatternNode, PatternStep}
 
+  /** One RETURN item: `agg = None` → a plain (grouping) item; `prop =
+    * None` → the alias's id column; `distinct` only with count.
+    */
+  final case class ReturnItem(
+      agg: Option[String], distinct: Boolean,
+      alias: String, prop: Option[String], as: String) {
+    def isStar: Boolean = alias == "*"
+  }
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
-      labels: Map[String, String], returns: Seq[(String, String)])
+      labels: Map[String, String], returns: Seq[ReturnItem],
+      returnDistinct: Boolean = false,
+      orderBy: Seq[(String, Boolean)] = Seq.empty,
+      limit: Option[Int] = None)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
-  private val EdgeFwdRe = """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]\s*->""".r
-  private val EdgeBackRe = """^<-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]\s*-""".r
-  private val ReturnItemRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val EdgeFwdRe =
+    """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
+  private val EdgeBackRe =
+    """^<-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
+  private val PlainItemRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+  private val AggItemRe =
+    """^(?i:(count|sum|min|max|avg))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+  private val WhereCondRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN))\s*(.+)$""".r
+  private val OrderItemRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)(?:\s+((?i:ASC|DESC)))?$""".r
 
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
+
+  private def literal(v: String): Any = v.trim match {
+    case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
+      q.substring(1, q.length - 1)
+    case "true"  => true
+    case "false" => false
+    case n if n.matches("-?\\d+") => n.toLong
+    case n if n.matches("-?\\d*\\.\\d+") => n.toDouble
+    case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
+  }
 
   private def parseProps(s: String): Column = {
     val body = s.stripPrefix("{").stripSuffix("}").trim
     require(body.nonEmpty, "empty property map")
     val conds = body.split(",").map { kv =>
       val Array(k, v) = kv.split(":", 2).map(_.trim)
-      val value: Any = v match {
-        case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
-          q.substring(1, q.length - 1)
-        case "true"  => true
-        case "false" => false
-        case n if n.matches("-?\\d+") => n.toLong
-        case n if n.matches("-?\\d*\\.\\d+") => n.toDouble
-        case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
-      }
-      col(k) === lit(value)
+      col(k) === lit(literal(v))
     }
     conds.reduce(_ && _)
   }
 
-  /** Parse a `MATCH … [RETURN …]` statement (the MATCH keyword is
-    * optional). Anonymous nodes get positional aliases `_0, _1, …`.
+  /** `*`-suffix of an edge token → hop bounds. Bounds are mandatory:
+    * an unbounded walk over 100 TB of edges is a plan nobody meant.
+    */
+  private def hopBounds(star: Option[String]): (Int, Int) = star match {
+    case None => (1, 1)
+    case Some(s) =>
+      val body = s.trim.stripPrefix("*").replaceAll("\\s", "")
+      body.split("\\.\\.", -1) match {
+        case Array(n) if n.matches("\\d+") => (n.toInt, n.toInt)
+        case Array("", n) if n.matches("\\d+") => (1, n.toInt)
+        case Array(a, b) if a.matches("\\d+") && b.matches("\\d+") => (a.toInt, b.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"var-length needs explicit bounds (*n, *..n, *a..b), got '*$body'")
+      }
+  }
+
+  /** Parse a `[MATCH] pattern [OPTIONAL MATCH pattern]* [WHERE …]
+    * [RETURN …]` statement. Anonymous nodes get positional aliases
+    * `_0, _1, …`.
     */
   def parse(stmt: String): Parsed = {
-    val (patternPart, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
+    val (beforeReturn, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
     }
-    // no whitespace normalization — the token regexes tolerate \s*
-    // themselves, and a global squeeze would silently rewrite spaces
-    // INSIDE quoted literals
-    val matchBody = patternPart.trim.replaceFirst("(?i)^MATCH\\b", "").trim
-    // top-level comma = a new pattern part (commas inside {…} are
-    // property separators); each additional part must START at an
-    // already-bound alias — the Cypher multi-pattern form rag.baml's
-    // examples use for branches
-    val chains = matchBody.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
-    require(chains.nonEmpty, "empty pattern")
+    val (patternAll, wherePart) = beforeReturn.split("(?i)\\bWHERE\\b", 2) match {
+      case Array(p)    => (p, None)
+      case Array(p, w) => (p, Some(w))
+    }
+    // clause split: the leading required MATCH, then OPTIONAL MATCH
+    // clauses (each a left-joined sub-pattern re-entering at a bound
+    // alias). No whitespace normalization — the token regexes
+    // tolerate \s* themselves, and a global squeeze would silently
+    // rewrite spaces INSIDE quoted literals.
+    val clauses = patternAll.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
+    val matchBody = clauses.head.trim.replaceFirst("(?i)^MATCH\\b", "").trim
+    require(matchBody.nonEmpty, "empty pattern")
+
     var idx = 0
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     var start: PatternNode = null
 
-    for ((chain, ci) <- chains.zipWithIndex) {
+    def parseChain(chain: String, ci: Int, optional: Boolean): Unit = {
       var rest = chain
       def node(allowBare: Boolean): Either[String, PatternNode] =
         NodeRe.findFirstMatchIn(rest) match {
@@ -104,20 +166,29 @@ object CypherLite {
                   fail(s"node '$alias' needs a :Label (or be a bound alias)", rest))
                 require(!bound.contains(alias), s"duplicate alias '$alias'")
                 bound += alias -> label
+                if (optional) optionalAliases += alias
                 Right(PatternNode(label, alias, propsOpt.map(parseProps)))
             }
           case None => fail("expected (alias:Label {…})", rest)
         }
-      def edge(): (String, Direction) =
+      def edge(): (String, Direction, Int, Int) = {
+        def bounds(m: scala.util.matching.Regex.Match) =
+          hopBounds(Option(m.group(2)).map(_.trim).filter(_.nonEmpty))
         EdgeFwdRe.findFirstMatchIn(rest) match {
-          case Some(m) => rest = rest.substring(m.end).trim; (m.group(1), Out)
+          case Some(m) =>
+            rest = rest.substring(m.end).trim
+            val (lo, hi) = bounds(m); (m.group(1), Out, lo, hi)
           case None => EdgeBackRe.findFirstMatchIn(rest) match {
-            case Some(m) => rest = rest.substring(m.end).trim; (m.group(1), In)
+            case Some(m) =>
+              rest = rest.substring(m.end).trim
+              val (lo, hi) = bounds(m); (m.group(1), In, lo, hi)
             case None => fail("expected -[:REL]-> or <-[:REL]-", rest)
           }
         }
-      // chain anchor: the first chain introduces the start node; later
-      // chains re-enter at a bound alias
+      }
+      // chain anchor: the first chain introduces the start node;
+      // later chains and OPTIONAL MATCH clauses re-enter at a bound
+      // alias
       var anchor: Option[String] = node(allowBare = ci > 0) match {
         case Left(alias) => Some(alias)
         case Right(n) if ci == 0 => start = n; None
@@ -126,41 +197,176 @@ object CypherLite {
       }
       var any = false
       while (rest.nonEmpty) {
-        val (rel, dir) = edge()
+        val (rel, dir, lo, hi) = edge()
         val n = node(allowBare = false) match {
           case Right(nn) => nn
           case Left(a)   => fail(s"chain node '$a' must declare a :Label", rest)
         }
-        steps += PatternStep(rel, dir, n, from = anchor)
+        steps += PatternStep(rel, dir, n, from = anchor, optional = optional,
+          minHops = lo, maxHops = hi)
         anchor = None // subsequent steps chain from the previous node
         any = true
       }
-      require(any, s"pattern part ${ci + 1} needs at least one edge")
+      // a zero-edge part is legal only as the whole required pattern:
+      // `MATCH (n:Label)` is a node scan (the OPTIONAL MATCH anchor
+      // shape); continuation parts and optional clauses need an edge
+      require(any || (ci == 0 && rest.isEmpty),
+        s"pattern part ${ci + 1} needs at least one edge")
     }
+
+    // top-level comma = a new pattern part (commas inside {…} are
+    // property separators); each additional part must START at an
+    // already-bound alias — the Cypher multi-pattern form rag.baml's
+    // examples use for branches
+    var ci = 0
+    for ((clause, oi) <- clauses.zipWithIndex) {
+      val body = if (oi == 0) matchBody else clause.trim
+      val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
+      require(chains.nonEmpty, if (oi == 0) "empty pattern" else "empty OPTIONAL MATCH")
+      for (chain <- chains) { parseChain(chain, ci, optional = oi > 0); ci += 1 }
+    }
+
     val labels = bound.toMap
-    val returns = returnPart.toSeq.flatMap(_.split(",")).map {
-      case ReturnItemRe(a, p) =>
-        require(labels.contains(a), s"RETURN references unknown alias '$a'")
-        (a, p)
-      case other => fail("RETURN items must be alias.prop", other)
+
+    // WHERE → node predicates at the condition's pattern position
+    // (merged into any inline prop map); on an optional alias the
+    // predicate narrows the match itself — unmatched rows keep nulls
+    for (w <- wherePart) {
+      val conds = w.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+      require(conds.nonEmpty, "empty WHERE")
+      val byAlias = conds.map {
+        case WhereCondRe(a, p, op, v) =>
+          require(labels.contains(a), s"WHERE references unknown alias '$a'")
+          val c = op.toUpperCase match {
+            case "="  => col(p) === lit(literal(v))
+            case "<>" => col(p) =!= lit(literal(v))
+            case "<"  => col(p) < lit(literal(v))
+            case "<=" => col(p) <= lit(literal(v))
+            case ">"  => col(p) > lit(literal(v))
+            case ">=" => col(p) >= lit(literal(v))
+            case "CONTAINS" => col(p).contains(lit(literal(v)))
+            case "IN" =>
+              val body = v.trim
+              require(body.startsWith("[") && body.endsWith("]"),
+                s"IN needs a [list], got '$body'")
+              val items = body.substring(1, body.length - 1).split(",").map(literal)
+              col(p).isin(items.toIndexedSeq: _*)
+          }
+          a -> c
+        case other => fail("WHERE conditions must be alias.prop OP literal", other)
+      }.groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+      def merged(n: PatternNode): PatternNode = byAlias.get(n.as) match {
+        case Some(c) => n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c)))
+        case None    => n
+      }
+      start = merged(start)
+      for (i <- steps.indices) steps(i) = steps(i).copy(node = merged(steps(i).node))
     }
-    Parsed(start, steps.toSeq, labels, returns)
+
+    // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n]
+    var returnDistinct = false
+    var orderBy = Seq.empty[(String, Boolean)]
+    var limit: Option[Int] = None
+    val returns = returnPart.toSeq.flatMap { r0 =>
+      var r = r0.trim
+      val lim = "(?i)\\bLIMIT\\s+(\\d+)\\s*$".r
+      lim.findFirstMatchIn(r).foreach { m =>
+        limit = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
+      }
+      r.split("(?i)\\bORDER\\s+BY\\b", 2) match {
+        case Array(items, ob) =>
+          r = items.trim
+          orderBy = ob.split(",").map(_.trim).map {
+            case OrderItemRe(n, dir) =>
+              (n, dir == null || dir.equalsIgnoreCase("ASC"))
+            case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
+          }.toSeq
+        case _ =>
+      }
+      if (r.matches("(?is)^DISTINCT\\b.*")) {
+        returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
+      }
+      r.split(",").map(_.trim).map {
+        case AggItemRe(fn, dist, target, prop, as) =>
+          val f = fn.toLowerCase
+          val d = dist != null
+          require(target == "*" || labels.contains(target),
+            s"$f() references unknown alias '$target'")
+          require(!(target == "*") || (f == "count" && prop == null && !d),
+            "only count(*) may aggregate '*'")
+          require(!d || f == "count", s"DISTINCT only supported with count, not $f")
+          require(f == "count" || prop != null,
+            s"$f() needs alias.prop (bare aliases are ids — only count them)")
+          require(as != null, s"aggregate $f(…) needs an AS name")
+          ReturnItem(Some(f), d, target, Option(prop), as)
+        case PlainItemRe(a, prop, as) =>
+          require(labels.contains(a), s"RETURN references unknown alias '$a'")
+          val name = Option(as).getOrElse(
+            Option(prop).map(p => s"${a}_$p").getOrElse(a))
+          ReturnItem(None, distinct = false, a, Option(prop), name)
+        case other => fail("RETURN items must be alias[.prop] [AS n] or agg(…) AS n", other)
+      }
+    }
+    require(returns.map(_.as).distinct.size == returns.size,
+      s"duplicate RETURN output names: ${returns.map(_.as)}")
+    for ((n, _) <- orderBy)
+      require(returns.exists(_.as == n), s"ORDER BY references unknown output '$n'")
+    require(orderBy.isEmpty && limit.isEmpty || returns.nonEmpty,
+      "ORDER BY/LIMIT need a RETURN clause")
+
+    Parsed(start, steps.toSeq, labels, returns, returnDistinct, orderBy, limit)
   }
 
-  /** Parse and execute against a graph. RETURN items arrive as
-    * columns named `alias_prop`; without RETURN the result is the
-    * path frame (one id column per alias, one row per path).
+  /** Parse and execute against a graph. RETURN items arrive under
+    * their AS names (plain items default to `alias_prop`); without
+    * RETURN the result is the path frame (one id column per alias,
+    * one row per path).
     */
   def query(g: PropertyGraph, stmt: String): DataFrame = {
     val p = parse(stmt)
+    val optionals = p.steps.filter(_.optional).map(_.node.as).toSet
     val paths = g.matchPaths(p.start, p.steps)
     if (p.returns.isEmpty) paths
     else {
-      val attached = p.returns.map(_._1).distinct.foldLeft(paths) { (df, alias) =>
-        val props = p.returns.filter(_._1 == alias).map(_._2).distinct
-        g.attach(df, alias, p.labels(alias), props, s"${alias}_")
+      // attach the node properties the RETURN needs — left join for
+      // positions bound by OPTIONAL MATCH so null path slots survive
+      val needed = p.returns.filter(_.prop.isDefined)
+      val attached = needed.map(_.alias).distinct.foldLeft(paths) { (df, alias) =>
+        val props = needed.filter(_.alias == alias).map(_.prop.get).distinct
+        g.attach(df, alias, p.labels(alias), props, s"${alias}_",
+          if (optionals(alias)) "left_outer" else "inner")
       }
-      attached.select(p.returns.map { case (a, pr) => col(s"${a}_$pr") }: _*)
+      def baseCol(ri: ReturnItem): Column =
+        ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+      val (aggs, plains) = p.returns.partition(_.agg.isDefined)
+      var out =
+        if (aggs.isEmpty) {
+          val sel = attached.select(plains.map(ri => baseCol(ri).as(ri.as)): _*)
+          if (p.returnDistinct) sel.distinct() else sel
+        } else {
+          val aggCols = aggs.map { ri =>
+            val c = (ri.agg.get, ri.distinct) match {
+              case ("count", _) if ri.isStar => count(lit(1))
+              case ("count", true)  => countDistinct(baseCol(ri))
+              case ("count", false) => count(baseCol(ri))
+              case ("sum", _) => sum(baseCol(ri))
+              case ("min", _) => min(baseCol(ri))
+              case ("max", _) => max(baseCol(ri))
+              case ("avg", _) => avg(baseCol(ri))
+            }
+            c.as(ri.as)
+          }
+          if (plains.isEmpty) attached.agg(aggCols.head, aggCols.tail: _*)
+          else attached
+            .groupBy(plains.map(ri => baseCol(ri).as(ri.as)): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .select(p.returns.map(ri => col(ri.as)): _*)
+        }
+      if (p.orderBy.nonEmpty)
+        out = out.orderBy(p.orderBy.map { case (n, asc) =>
+          if (asc) col(n).asc else col(n).desc
+        }: _*)
+      p.limit.foldLeft(out)((d, n) => d.limit(n))
     }
   }
 

@@ -102,7 +102,8 @@ final case class PropertyGraph(
     * properties for selected positions with [[attach]].
     */
   def matchPaths(start: PatternNode, steps: Seq[PatternStep]): DataFrame = {
-    require(steps.nonEmpty, "pattern needs at least one step")
+    // steps MAY be empty — `MATCH (n:Label)` alone is a node scan,
+    // the anchor shape OPTIONAL MATCH clauses extend
     val aliases = (start +: steps.map(_.node)).map(_.as)
     require(aliases.distinct == aliases, s"duplicate position aliases: $aliases")
     val s0 = nodes(start.label)
@@ -110,16 +111,38 @@ final case class PropertyGraph(
       .select(col("id").as(start.as))
     var prev = start.as
     for (st <- steps) {
+      require(st.minHops >= 1 && st.maxHops >= st.minHops,
+        s"step ${st.rel}: bad hop bounds *${st.minHops}..${st.maxHops}")
       val (_, _, e) = edges(st.rel)
       val (from, to) = st.dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
       val anchor = st.from.getOrElse(prev)
       require(df.columns.contains(anchor), s"unknown anchor alias '$anchor'")
-      val ed = e.select(col(from).as("__from"), col(to).as(st.node.as))
-      df = df.join(ed, df(anchor) === ed("__from")).drop("__from")
+      val base = e.select(col(from).as("__from"), col(to).as("__to"))
+      // var-length (*min..max): union-all of h-fold edge chains — one
+      // row per PATH of each length (Cypher multiplicity; intermediate
+      // positions are unaliased). The chains self-join the skinny
+      // 2-column edge relation, never the path frame, so the fan-out
+      // is bounded by real path counts, not pattern width.
+      def chain(h: Int): DataFrame =
+        (2 to h).foldLeft(base) { (acc, _) =>
+          val nxt = e.select(col(from).as("__f2"), col(to).as("__t2"))
+          acc.join(nxt, col("__to") === col("__f2"))
+            .select(col("__from"), col("__t2").as("__to"))
+        }
+      var ed = (st.minHops to st.maxHops).map(chain).reduce(_ unionAll _)
+      // mid-chain node predicate: restrict the edge relation's arrival
+      // side BEFORE it meets the path frame (dimension-sized filtered
+      // id set → broadcast semi-join on the skinny edge table). Doing
+      // it here rather than after the path join keeps optional-step
+      // semantics right too: an arrival failing the predicate is NOT a
+      // match, so the left join below keeps the row with a null.
       for (p <- st.node.pred) {
         val ids = nodes(st.node.label).filter(p).select(col("id"))
-        df = df.join(ids, df(st.node.as) === ids("id"), "left_semi")
+        ed = ed.join(ids, ed("__to") === ids("id"), "left_semi")
       }
+      val edr = ed.select(col("__from"), col("__to").as(st.node.as))
+      df = df.join(edr, df(anchor) === edr("__from"),
+        if (st.optional) "left_outer" else "inner").drop("__from")
       prev = st.node.as
     }
     df
@@ -131,10 +154,11 @@ final case class PropertyGraph(
     * path set, so Catalyst/AQE broadcasts this join.
     */
   def attach(paths: DataFrame, alias: String, label: String,
-      props: Seq[String], prefix: String = ""): DataFrame = {
+      props: Seq[String], prefix: String = "",
+      joinType: String = "inner"): DataFrame = {
     val n = nodes(label).select(
       col("id").as(alias) +: props.map(p => col(p).as(s"$prefix$p")): _*)
-    paths.join(n, alias)
+    paths.join(n, Seq(alias), joinType)
   }
 
   /** Bounded variable-length reachability (Cypher `*1..max` analog,
@@ -227,9 +251,15 @@ object PropertyGraph {
   /** One pattern edge: walk `rel` in `dir` arriving at `node`,
     * anchored at the position named `from` (default: the previous
     * step's node — a chain; naming an earlier alias makes a branch).
+    * `optional = true` is Cypher OPTIONAL MATCH — a left join that
+    * keeps the path row with a null position when no edge matches.
+    * `minHops`/`maxHops` bound a var-length walk (`*1..3`): the step
+    * matches any path of that length through `rel`, one output row
+    * per path, intermediate nodes unaliased.
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
-      from: Option[String] = None)
+      from: Option[String] = None, optional: Boolean = false,
+      minHops: Int = 1, maxHops: Int = 1)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

@@ -195,6 +195,65 @@ object GraphOps {
              |JOIN customer ON c_nationkey = n_nationkey
              |WHERE r_name = 'EUROPE' AND n_name IN ('FRANCE', 'GERMANY')
              |GROUP BY c_mktsegment ORDER BY ALL""".stripMargin)
+    ),
+    // G7 textual Cypher with WHERE + implicit grouping: the full
+    // Text2Cypher round trip — a WHERE predicate lands as a node
+    // semi-join at its pattern position, count(DISTINCT c) is the
+    // rag.baml:279 aggregate shape, ORDER BY orders the output.
+    QueryDef(
+      "g7_cypher_where",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE r.r_name = 'EUROPE' AND c.c_acctbal > 1000
+          |RETURN n.n_name AS n_name, count(DISTINCT c) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(DISTINCT c_custkey) AS n_cust
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE r_name = 'EUROPE' AND c_acctbal > 1000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G8 var-length pattern via Cypher text: `*1..3` compiles to a
+    // union-all of 1-, 2-, and 3-hop edge chains — one row per PATH
+    // (not per reached node: compare g1, whose BFS keeps minimal
+    // depths). Single-label view of the heterogeneous edge set.
+    QueryDef(
+      "g8_cypher_varlength",
+      (s, d) => {
+        val edges = edgeSet(s, d)
+        val nodesDf = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val g = PropertyGraph(
+          nodes = Map("node" -> nodesDf),
+          edges = Map("LINKS" -> (("node", "node", edges))))
+        graft.graph.CypherLite.query(g,
+          s"MATCH (a:node {id: 'r_$StartRegion'})-[:LINKS*1..3]->(b:node) " +
+            "RETURN count(*) AS n_paths")
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth) AS (
+           |  SELECT 'r_$StartRegion', 0
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1 FROM walk w
+           |  JOIN edges e ON e.src = w.id WHERE w.depth < 3)
+           |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
+    ),
+    // G9 OPTIONAL MATCH: nations with their AUTOMOBILE-customer count
+    // INCLUDING zero-count nations — the left-join semantics plain
+    // MATCH can't express (an inner pattern drops unmatched nations).
+    // count(c) counts non-null matches per Cypher.
+    QueryDef(
+      "g9_cypher_optional",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |OPTIONAL MATCH (n)-[:HAS_CUSTOMER]->(c:customer {c_mktsegment: 'AUTOMOBILE'})
+          |RETURN n.n_name AS n_name, count(c) AS n_auto
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(c_custkey) AS n_auto
+             |FROM nation LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_mktsegment = 'AUTOMOBILE'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 

@@ -90,12 +90,88 @@ class CypherLiteSpec extends SparkSpec {
   test("malformed statements fail loudly, not silently") {
     intercept[IllegalArgumentException] { CypherLite.parse("(a)-[:R1]->(b:B)") } // no label
     intercept[IllegalArgumentException] { CypherLite.parse("(a:A) (b:B)") }      // no edge
-    intercept[IllegalArgumentException] { CypherLite.parse("(a:A)") }            // no step
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN z.tag")                        // unknown alias
     }
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A {id: id})-[:R1]->(b:B)")                            // bad literal
     }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1*]->(b:B)")                                    // unbounded *
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1]->(b:B) WHERE z.tag = 'x'")                   // unknown WHERE alias
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN count(*)")                     // aggregate needs AS
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN a.tag ORDER BY nope")          // unknown ORDER BY col
+    }
+  }
+
+  test("single-node MATCH is a node scan") {
+    val p = CypherLite.parse("MATCH (a:A)")
+    assert(p.steps.isEmpty)
+    val n = CypherLite.query(g, "MATCH (a:A) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(n === 2)
+  }
+
+  test("WHERE compiles to a node predicate at the pattern position") {
+    val rows = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag = 'a4' RETURN b.tag")
+      .as[String].collect().toSet
+    assert(rows === Set("b5", "b2"))
+    // merged with an inline prop map, AND-combined
+    val none = CypherLite.query(g,
+      "(a:A {id: 1})-[:R1]->(b:B) WHERE a.tag = 'a4'").count()
+    assert(none === 0)
+    val in = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.tag IN ['b5'] RETURN a.tag")
+      .as[String].collect().toSeq
+    assert(in === Seq("a4"))
+  }
+
+  test("RETURN aggregates group by the plain items — Cypher implicit grouping") {
+    val perB = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(perB === Seq(("b2", 2L), ("b5", 1L)))
+    val distinctA = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B {id: 2}) RETURN count(DISTINCT a) AS n")
+      .as[Long].head()
+    assert(distinctA === 2)
+  }
+
+  test("ORDER BY DESC with LIMIT and RETURN DISTINCT") {
+    val top = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n ORDER BY n DESC LIMIT 1")
+      .as[(String, Long)].collect().toSeq
+    assert(top === Seq(("b2", 2L)))
+    val tags = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) RETURN DISTINCT a.tag").count()
+    assert(tags === 2, "a4 reaches two Bs but DISTINCT collapses it")
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows; count(alias) skips nulls") {
+    val rows = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS bt, count(c) AS n ORDER BY bt""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("b2", 1L), ("b5", 0L)))
+  }
+
+  test("var-length *1..2 is one row per path of each length") {
+    val h = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N",
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")))))
+    val n12 = CypherLite.query(h,
+      "(a:N {id: 1})-[:E*1..2]->(b:N) RETURN count(*) AS n").as[Long].head()
+    assert(n12 === 3, "1→2, 1→2→3, 1→2→4")
+    val n2 = CypherLite.query(h,
+      "(a:N {id: 1})-[:E*2]->(b:N) RETURN b.tag").as[String].collect().toSet
+    assert(n2 === Set("n3", "n4"))
   }
 }
