@@ -13,7 +13,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     ops.Relational.defs ++ ops.TextOps.defs ++ ops.DedupOps.defs ++
       ops.VectorOps.defs ++ ops.SearchOps.defs ++ ops.GraphOps.defs ++
-      ops.EvalOps.defs ++ ops.MediaOps.defs ++ ops.ScaleOps.defs
+      ops.EvalOps.defs ++ ops.MediaOps.defs ++ ops.ScaleOps.defs ++
+      ops.SampleOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

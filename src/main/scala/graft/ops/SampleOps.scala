@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.core.Tables.orderedByAll
+import graft.sample.Sampling
+
+/** Deterministic-sampling operator inventory (the LLM-pipeline
+  * curation stage): hash-Bernoulli subsample, per-source mixture
+  * weights, and stratified per-group quotas — every keep/drop
+  * decision a pure function of (key, seed), replayed exactly by the
+  * DuckDB oracles.
+  */
+object SampleOps {
+
+  private val Rate = 0.25
+  private val Quota = 10
+  private val Mix = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1)
+
+  /** The oracle-side CASE mirroring [[Sampling.mixture]]'s threshold
+    * column — built from the same rateThreshold values so the two
+    * engines compare against identical hex constants.
+    */
+  private val mixCase = Mix.toSeq.sortBy(_._1).reverse
+    .map { case (s, r) => s"WHEN '$s' THEN '${Sampling.rateThreshold(r)}'" }
+    .mkString("CASE source ", " ", " ELSE '0000' END")
+
+  val defs: Seq[QueryDef] = Seq(
+    // X1 deterministic Bernoulli sample: ~25% of documents by key
+    // hash. A pure filter — no shuffle, no rand(), identical under
+    // task retry and across engines.
+    QueryDef(
+      "x1_hash_sample",
+      (s, d) => orderedByAll(
+        Sampling.bernoulli(Tables.documents(s, d), col("doc_id"), Rate, "s1")
+          .select("doc_id", "source")),
+      Some(s"""SELECT doc_id, source FROM documents
+              |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 4)
+              |      < '${Sampling.rateThreshold(Rate)}'
+              |ORDER BY ALL""".stripMargin)
+    ),
+    // X2 stratified quota: exactly 10 docs per source, chosen by hash
+    // order — the "n docs per domain" cap. One shuffle on the group
+    // key; quota applied by the window, never a collect.
+    QueryDef(
+      "x2_stratified_sample",
+      (s, d) => orderedByAll(
+        Sampling.stratified(Tables.documents(s, d),
+            Seq(col("source")), col("doc_id"), Quota, "s2")
+          .select("doc_id", "source")),
+      Some(s"""SELECT doc_id, source FROM (
+              |  SELECT doc_id, source, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 's2'), 1, 4), doc_id
+              |  ) AS rn FROM documents)
+              |WHERE rn <= $Quota ORDER BY ALL""".stripMargin)
+    ),
+    // X3 mixture weights: per-source keep rates (80% of src0, 50% of
+    // src1, 10% of src2, everything else dropped) — the dataset-
+    // mixture stage of a training pipeline, still one codegen'd
+    // filter against a CASE of hex thresholds.
+    QueryDef(
+      "x3_mixture_weights",
+      (s, d) => orderedByAll(
+        Sampling.mixture(Tables.documents(s, d), col("doc_id"),
+            col("source"), Mix, "s3")
+          .select("doc_id", "source")),
+      Some(s"""SELECT doc_id, source FROM documents
+              |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 's3'), 1, 4) < $mixCase
+              |ORDER BY ALL""".stripMargin)
+    ),
+    // X4 sessionization: per-user sessions with a 30-minute gap via
+    // Spark's native session_window (the same expression streams
+    // under a watermark — StreamingSpec). Oracle replays the
+    // semantics as gaps-and-islands over integer micros: break when
+    // the gap to the previous event is >= 30 min, cumulative-sum the
+    // breaks into session ids. Value sums ride DECIMAL so the
+    // shuffle-order-free result is exact.
+    QueryDef(
+      "x4_sessionize",
+      (s, d) => orderedByAll(
+        graft.temporal.Sessions.sessionize(
+            Tables.events(s, d), col("user_id"), col("ts"), "30 minutes",
+            Seq(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("__sv")))
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"),
+            col("__sv").cast("double").as("total_value"))),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |o AS (SELECT user_id, us, value,
+             |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+             |       THEN 1 ELSE 0 END AS brk FROM e),
+             |s AS (SELECT user_id, us, value, sum(brk) OVER (
+             |  PARTITION BY user_id ORDER BY us
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+             |SELECT user_id, min(us) AS session_start_us,
+             |       max(us) + 1800000000 AS session_end_us,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, sid ORDER BY ALL""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,81 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines — the
+  * subsample / mixture-weight / per-source-quota stage that sits
+  * between dedup and tokenization in an LLM data pipeline (the
+  * reference corpus is already curated; at 100 TB the curation step
+  * IS the engine's job).
+  *
+  * Every sampler here is HASH-based, never `rand()`: the keep/drop
+  * decision is a pure function of the row key and a seed string, so
+  * (a) re-runs and retried tasks make identical decisions —
+  * `rand()`-sampling inside a retried Spark task silently resamples,
+  * (b) the sample is reproducible across engines (the DuckDB oracles
+  * replay the same md5 arithmetic), and (c) downstream incremental
+  * runs can re-derive membership without storing it. The decision
+  * rides a 16-bit hex prefix of md5(key || seed) compared against a
+  * 4-hex-digit threshold — rate resolution 1/65536, plan-side only,
+  * fully codegen'd, no shuffle.
+  */
+object Sampling {
+
+  /** 4-hex-digit bucket of a row key: uniform over 0x0000..0xffff,
+    * portable (md5 of the SAME string bytes everywhere). Key is cast
+    * to string, so integer keys match `CAST(k AS VARCHAR)` oracles.
+    */
+  def hashBucket(key: Column, seed: String = ""): Column =
+    substring(md5(concat(key.cast("string"), lit(seed))), 1, 4)
+
+  /** Threshold hex string for a rate: rows keep when
+    * `hashBucket < threshold`. Rate 1.0 → "zzzz" sorts after every
+    * hex digit, keeping all rows without a special case.
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    val t = math.floor(rate * 65536).toLong
+    if (t >= 65536) "zzzz" else f"$t%04x"
+  }
+
+  /** Deterministic Bernoulli sample: keep each row with probability
+    * `rate`, decided by the row's key hash. A pure filter — pushes to
+    * the scan, no shuffle, safe under task retry.
+    */
+  def bernoulli(df: DataFrame, key: Column, rate: Double,
+      seed: String = ""): DataFrame =
+    df.filter(hashBucket(key, seed) < lit(rateThreshold(rate)))
+
+  /** Mixture sampling: per-source keep rates (the LLM-pipeline
+    * "dataset mixture weights" stage — e.g. keep 80% of books, 10%
+    * of common-crawl). Sources missing from `rates` are dropped —
+    * an explicit mixture is a whitelist. Still one codegen'd filter.
+    */
+  def mixture(df: DataFrame, key: Column, source: Column,
+      rates: Map[String, Double], seed: String = ""): DataFrame = {
+    require(rates.nonEmpty, "empty mixture")
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
+      case (acc, (s, r)) => when(source === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(hashBucket(key, seed) < thr)
+  }
+
+  /** Stratified quota sample: exactly `min(n, |group|)` rows per
+    * group, chosen by hash order (deterministic, uniform within the
+    * group). One shuffle on the group columns; the per-group sort is
+    * the window's — at 100 TB this is the standard "n docs per
+    * domain" cap. Ties (astronomically unlikely md5 collisions)
+    * break on the key itself, keeping the choice total.
+    */
+  def stratified(df: DataFrame, groups: Seq[Column], key: Column, n: Int,
+      seed: String = ""): DataFrame = {
+    require(n > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*)
+      .orderBy(hashBucket(key, seed).asc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

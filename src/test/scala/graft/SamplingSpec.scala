@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sample.Sampling
+import graft.temporal.Sessions
+
+/** Deterministic sampling + sessionization: the curation-stage
+  * operators (SampleOps x1-x4). Determinism is the contract — every
+  * assertion would fail under rand()-based sampling.
+  */
+class SamplingSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i => (i, s"src${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("rateThreshold maps rates to 4-hex-digit bounds") {
+    assert(Sampling.rateThreshold(0.0) === "0000")
+    assert(Sampling.rateThreshold(0.25) === "4000")
+    assert(Sampling.rateThreshold(1.0) === "zzzz", "rate 1.0 sorts after all hex")
+    intercept[IllegalArgumentException] { Sampling.rateThreshold(1.5) }
+  }
+
+  test("bernoulli is deterministic, seed-sensitive, and near the rate") {
+    val a = Sampling.bernoulli(docs, col("doc_id"), 0.3, "s").as[(Long, String)].collect().toSet
+    val b = Sampling.bernoulli(docs, col("doc_id"), 0.3, "s").as[(Long, String)].collect().toSet
+    assert(a === b, "same key+seed ⇒ same sample")
+    val c = Sampling.bernoulli(docs, col("doc_id"), 0.3, "other").as[(Long, String)].collect().toSet
+    assert(a !== c, "different seed ⇒ different sample")
+    assert(math.abs(a.size - 300) < 60, s"got ${a.size} of expected ~300")
+    assert(Sampling.bernoulli(docs, col("doc_id"), 1.0).count() === 1000)
+    assert(Sampling.bernoulli(docs, col("doc_id"), 0.0).count() === 0)
+  }
+
+  test("mixture keeps per-source rates and drops unlisted sources") {
+    val m = Sampling.mixture(docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.4), "s")
+    val bySrc = m.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === 250, "rate 1.0 keeps the whole source")
+    assert(bySrc.get("src2").isEmpty && bySrc.get("src3").isEmpty,
+      "sources outside the mixture are dropped")
+    assert(math.abs(bySrc("src1") - 100) < 40)
+  }
+
+  test("stratified takes exactly min(n, |group|) rows per group, deterministically") {
+    val s1 = Sampling.stratified(docs, Seq(col("source")), col("doc_id"), 7)
+    val counts = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(7L))
+    val again = Sampling.stratified(docs, Seq(col("source")), col("doc_id"), 7)
+    assert(s1.collect().toSet === again.collect().toSet)
+    // quota above group size: the whole group survives
+    val all = Sampling.stratified(docs, Seq(col("source")), col("doc_id"), 500)
+    assert(all.count() === 1000)
+  }
+
+  test("sessionize merges events within the gap and splits across it") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:10:00"), 2.0),
+      (1L, ts("2026-01-01 11:30:00"), 4.0), // > 30 min after 10:10 ⇒ new session
+      (2L, ts("2026-01-01 10:00:00"), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val s = Sessions.sessionize(ev, col("user_id"), col("ts"), "30 minutes",
+        Seq(sum("value").as("total")))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(s === Set(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:40:00"), 2L, 3.0),
+      (1L, ts("2026-01-01 11:30:00"), ts("2026-01-01 12:00:00"), 1L, 4.0),
+      (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00"), 1L, 8.0)))
+  }
+}

@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
     assert(people === Seq("p1" -> "Ann", "p2" -> "Bo", "p3" -> "Cyd"))
   }
 
+  test("native session_window streams: the batch sessionize expression runs under a watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val sess = graft.temporal.Sessions.sessionize(
+      in.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "1 hour"),
+      col("user_id"), col("ts"), "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("sw")
+      .outputMode("complete").start()
+    in.addData(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:10:00"), 2.0),
+      (2L, ts("2026-01-01 10:00:00"), 8.0))
+    q.processAllAvailable()
+    in.addData((1L, ts("2026-01-01 11:30:00"), 4.0)) // new session for user 1
+    q.processAllAvailable()
+    val rows = spark.table("sw")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 11:30:00"), 1L),
+      (2L, ts("2026-01-01 10:00:00"), 1L)),
+      "same Sessions.sessionize expression, streamed — batch/stream unification")
+  }
+
   test("stateful sessionization folds events per user across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Incremental.Event]
