@@ -115,6 +115,37 @@ object Rag {
         spark.read.parquet(s"$dir/post"),
         spark.read.parquet(s"$dir/stats"),
         spark.read.parquet(s"$dir/vecs"))
+
+    /** Persist with the postings BUCKETED by term (managed tables
+      * under `name`_*): the scale-path layout. A term-keyed scan then
+      * (a) bucket-prunes — a query's `term IN (…)` filter reads only
+      * its terms' buckets, the Tantivy-segment-lookup analog — and
+      * (b) already carries hash partitioning on `term`, so docFreq's
+      * groupBy and the score join need NO exchange on the postings
+      * side (CorpusIndexSpec asserts both on the physical plan).
+      * Bucket count sizes to corpus: ~1 bucket per 128 MB of
+      * postings at 100 TB.
+      */
+    def saveBucketed(spark: SparkSession, index: CorpusIndex, name: String,
+        nBuckets: Int = 8): Unit = {
+      index.docs.write.mode("overwrite").saveAsTable(s"${name}_docs")
+      index.post.write.mode("overwrite")
+        .bucketBy(nBuckets, "term").sortBy("term")
+        .saveAsTable(s"${name}_post")
+      index.stats.write.mode("overwrite").saveAsTable(s"${name}_stats")
+      index.vecs.write.mode("overwrite").saveAsTable(s"${name}_vecs")
+    }
+
+    /** Load a [[saveBucketed]] index from the catalog; the postings
+      * frame keeps its bucket spec, so downstream term-keyed plans
+      * pick up pruning and shuffle elimination automatically.
+      */
+    def loadBucketed(spark: SparkSession, name: String): CorpusIndex =
+      CorpusIndex(
+        spark.table(s"${name}_docs"),
+        spark.table(s"${name}_post"),
+        spark.table(s"${name}_stats"),
+        spark.table(s"${name}_vecs"))
   }
 
   /** End-to-end hybrid query over a property graph and a PREBUILT
