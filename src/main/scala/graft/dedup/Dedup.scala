@@ -265,12 +265,17 @@ object Dedup {
     while (!done && iters < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("rep"))
-      val next = labels.unionAll(nbrMin)
-        .groupBy("id").agg(min("rep").as("rep"))
+      // the previous label rides the aggregation as a tagged row
+      // (each id contributes its own label exactly once), so the
+      // fixpoint probe below is a scan of the just-checkpointed
+      // blocks — no per-round join against the prior frame
+      val next = labels.select(col("id"), col("rep"), lit(true).as("own"))
+        .unionAll(nbrMin.select(col("id"), col("rep"), lit(false).as("own")))
+        .groupBy("id")
+        .agg(min("rep").as("rep"), min(when(col("own"), col("rep"))).as("prev"))
         .localCheckpoint(true)
-      done = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev")).isEmpty
-      labels = next
+      done = next.filter(col("rep") =!= col("prev")).isEmpty
+      labels = next.select("id", "rep")
       iters += 1
     }
     sym.unpersist(false)
