@@ -283,6 +283,34 @@ object Dedup {
     labels
   }
 
+  /** Edit-distance-1 pairs over a string column — the SymSpell
+    * deletion-neighborhood join (the fuzzy-match stage of entity
+    * resolution / near-dup detection on short strings). Two strings
+    * at edit distance ≤ 1 ALWAYS share a key in {s} ∪ {s minus one
+    * char}: a substitution at i → both yield the same i-deletion; an
+    * insert/delete → the longer's deletion equals the shorter
+    * itself. So blocking on those keys is exact — never an
+    * all-pairs, never a length-only block: candidates are bounded by
+    * real key collisions (|s|+1 keys per string), then verified with
+    * one codegen'd `levenshtein`. Returns (s_a, s_b), s_a < s_b,
+    * over the DISTINCT strings.
+    */
+  def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
+    val base = df.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0).distinct()
+    val keys = base.select(col("s"),
+      explode(array_union(
+        array(col("s")),
+        transform(sequence(lit(0), length(col("s")) - 1),
+          i => concat(col("s").substr(lit(1), i),
+            col("s").substr(i + lit(2), length(col("s"))))))).as("key"))
+    keys.select(col("s").as("s_a"), col("key"))
+      .join(keys.select(col("s").as("s_b"), col("key")), Seq("key"))
+      .filter(col("s_a") < col("s_b"))
+      .select("s_a", "s_b").dropDuplicates("s_a", "s_b")
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+  }
+
   /** Hex char → 0..15 (portable: same instr trick as the oracle SQL). */
   private def hexVal(c: Column): Column =
     instr(lit("0123456789abcdef"), c).cast(LongType) - 1

@@ -275,6 +275,20 @@ object DedupOps {
            |  UNION
            |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
            |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY ALL""".stripMargin)
+    ),
+    // D9 edit-distance-1 fuzzy pairs (SymSpell deletion-neighborhood
+    // blocking): customer names differing by one character. The
+    // oracle is the definitional all-pairs levenshtein — affordable
+    // for DuckDB at sf0.01, exactly what the blocked plan avoids.
+    QueryDef(
+      "d9_fuzzy_pairs",
+      (s, d) => orderedByAll(
+        Dedup.editDistance1Pairs(Tables.customer(s, d), "c_name")
+          .select(col("s_a").as("name_a"), col("s_b").as("name_b"))),
+      Some("""SELECT a.c_name AS name_a, b.c_name AS name_b
+             |FROM customer a JOIN customer b
+             |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -254,6 +254,39 @@ object GraphOps {
              |FROM nation LEFT JOIN customer
              |  ON c_nationkey = n_nationkey AND c_mktsegment = 'AUTOMOBILE'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G10 PageRank, 3 fixed iterations over the heterogeneous edge
+    // set. The oracle unrolls the SAME rounds as CTEs with every
+    // float literal cast to DOUBLE, so both engines run identical
+    // IEEE ops; the edge set is a tree (single-parent fan-in), so
+    // each contribution sum has one term and the result is bit-exact
+    // with no rounding.
+    QueryDef(
+      "g10_pagerank",
+      (s, d) => orderedByAll(
+        graft.graph.GraphAnalytics.pageRank(edgeSet(s, d), iters = 3)),
+      Some {
+        def round(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT nodes.id,
+             |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |         + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst, sum(r.rank / d.deg) AS s
+             |    FROM edges e JOIN $prev r ON e.src = r.id
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) c ON nodes.id = c.dst)""".stripMargin
+        s"""WITH $sqlEdges,
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) t),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT id, rank FROM r3 ORDER BY ALL""".stripMargin
+      }
     )
   )
 

@@ -438,6 +438,89 @@ object Relational {
         .limit(25),
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin)
+    ),
+    // A11 rollup: subtotal lattice over (status, priority) — Spark's
+    // rollup() IS the SQL GROUP BY ROLLUP; sums ride DECIMAL so the
+    // totals are shuffle-order exact. Partial aggregation still
+    // applies per grouping set (map-side combine before the one
+    // shuffle).
+    QueryDef(
+      "a11_rollup",
+      (s, d) => orderedByAll(
+        Tables.orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // S7 set operators: INTERSECT/EXCEPT with SQL bag-to-set
+    // semantics — customers with both an open and a finished order,
+    // minus the AUTOMOBILE segment. Each set op is one shuffle on
+    // the full row as key; dedup happens inside the op.
+    QueryDef(
+      "s7_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val auto = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("o_custkey"))
+        orderedByAll(open.intersect(fin).except(auto))
+      },
+      Some("""SELECT * FROM (
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |   INTERSECT
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |  EXCEPT
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // P11 unpivot (wide → long): lineitem measure columns melted to
+    // (key, metric, v) rows — Spark's native unpivot, a zero-shuffle
+    // per-row expansion; the oracle is the definitional UNION ALL.
+    QueryDef(
+      "p11_unpivot",
+      (s, d) => orderedByAll(
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "v")),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v
+             |FROM lineitem WHERE l_orderkey < 100
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem WHERE l_orderkey < 100
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // A12 one-pass table profile (training-data QA): row count, null
+    // counts, exact distincts, and value bounds for the columns a
+    // curation run gates on — a single aggregate, no per-column
+    // rescans.
+    QueryDef(
+      "a12_profile",
+      (s, d) => Tables.documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        countDistinct(col("source")).as("source_distinct"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")),
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+             |       count(DISTINCT lang) AS lang_distinct,
+             |       count(DISTINCT source) AS source_distinct,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents""".stripMargin)
     )
   )
 }

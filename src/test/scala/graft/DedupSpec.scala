@@ -204,6 +204,18 @@ class DedupSpec extends SparkSpec {
     assert(got2 === allPairs, "nProbes = nCells must equal all-pairs matches")
   }
 
+  test("editDistance1Pairs finds sub/ins/del neighbors and nothing farther") {
+    val words = Seq("kitten", "mitten", "kitte", "kittens", "mutton", "kitten")
+      .toDF("w")
+    val pairs = Dedup.editDistance1Pairs(words, "w")
+      .as[(String, String)].collect().toSet
+    assert(pairs === Set(
+      ("kitte", "kitten"),   // deletion
+      ("kitten", "kittens"), // insertion
+      ("kitten", "mitten")), // substitution
+      "distance-2 pairs (kitte/kittens, mitten/mutton) must be excluded")
+  }
+
   test("Vectors.cosine computes exact known values") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), "same"),
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), "orth"),
