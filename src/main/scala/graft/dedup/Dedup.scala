@@ -298,17 +298,25 @@ object Dedup {
   def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
     val base = df.select(col(strCol).as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0).distinct()
-    val keys = base.select(col("s"),
+    // repartition: the source is typically a single parquet split at
+    // dimension size, and the key explosion + self-join downstream
+    // want the cluster; persist: BOTH join sides consume this subtree
+    // (the round-3 lesson — an unpersisted reused subtree recomputes
+    // scan+distinct+explode per consumer)
+    val keys = base.repartition(col("s")).select(col("s"),
       explode(array_union(
         array(col("s")),
         transform(sequence(lit(0), length(col("s")) - 1),
           i => concat(col("s").substr(lit(1), i),
             col("s").substr(i + lit(2), length(col("s"))))))).as("key"))
-    keys.select(col("s").as("s_a"), col("key"))
-      .join(keys.select(col("s").as("s_b"), col("key")), Seq("key"))
-      .filter(col("s_a") < col("s_b"))
-      .select("s_a", "s_b").dropDuplicates("s_a", "s_b")
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    finalized(
+      keys.select(col("s").as("s_a"), col("key"))
+        .join(keys.select(col("s").as("s_b"), col("key")), Seq("key"))
+        .filter(col("s_a") < col("s_b") &&
+          levenshtein(col("s_a"), col("s_b")) <= 1)
+        .select("s_a", "s_b").dropDuplicates("s_a", "s_b"),
+      Seq(keys))
   }
 
   /** Hex char → 0..15 (portable: same instr trick as the oracle SQL). */

@@ -32,7 +32,10 @@ object GraphAnalytics {
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // e feeds four consumers (both node projections, the degree agg,
+    // the per-edge join) — persist it or each one re-derives the scan
     val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,6 +57,7 @@ object GraphAnalytics {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
     }
     val res = ranks.localCheckpoint(true)
+    e.unpersist(false)
     nodes.unpersist(false)
     withDeg.unpersist(false)
     res
