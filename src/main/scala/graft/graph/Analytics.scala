@@ -46,7 +46,7 @@ object GraphAnalytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.crossJoin(broadcast(nStats))
       .select(col("id"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .groupBy(withDeg("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("c"))
@@ -55,6 +55,11 @@ object GraphAnalytics {
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      // truncate lineage every few rounds — the iterative-algorithm
+      // discipline (same cadence rationale as PropertyGraph.bfs):
+      // without it plan depth grows with iters and Catalyst analysis
+      // cost compounds; at the default iters=3 this never fires
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     val res = ranks.localCheckpoint(true)
     e.unpersist(false)

@@ -28,14 +28,22 @@ import org.apache.spark.sql.functions._
   *    strings, integers, decimals, booleans.
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
   *    required — unbounded `*` is rejected, the scale rule).
-  *  - `OPTIONAL MATCH` clauses (left joins; must re-enter at a bound
-  *    alias, like continuation parts).
-  *  - `WHERE alias.prop OP literal [AND …]` with OP in
-  *    `= <> < <= > >= CONTAINS IN [list]` — each condition compiles
-  *    to a node predicate at its pattern position (semi-join against
-  *    the dimension-sized node table BEFORE the path join; on an
-  *    optional alias this modifies the match, Cypher
-  *    OPTIONAL-MATCH-WHERE semantics). OR is not supported.
+  *  - `OPTIONAL MATCH` clauses (one chain each, anchored at a bound
+  *    alias). A clause compiles to an INNER sub-pattern left-joined
+  *    as a UNIT — Cypher all-or-nothing semantics: if any step of
+  *    the clause fails, every alias it binds is null together (never
+  *    partial bindings from per-step left joins).
+  *  - per-clause `WHERE alias.prop OP literal [AND …]` with OP in
+  *    `= <> < <= > >= CONTAINS IN [list]`, in the standard order
+  *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. Each condition
+  *    compiles to a node predicate at its pattern position
+  *    (semi-join against the dimension-sized node table BEFORE the
+  *    path join). A WHERE may only reference aliases ITS clause
+  *    binds: on a required MATCH it filters the pattern, on an
+  *    OPTIONAL MATCH it narrows that match (unmatched rows keep
+  *    nulls); a cross-clause reference is rejected loudly rather
+  *    than silently changing required/optional semantics. OR is not
+  *    supported.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -62,9 +70,19 @@ object CypherLite {
     def isStar: Boolean = alias == "*"
   }
 
+  /** One compiled OPTIONAL MATCH clause: a chain of (required) steps
+    * anchored at `anchor`, left-joined as a UNIT — all-or-nothing,
+    * Cypher clause semantics: if ANY step fails, every alias the
+    * clause binds is null (per-step left joins would leak partial
+    * bindings and inflate multiplicity).
+    */
+  final case class OptClause(anchor: String, steps: Seq[PatternStep])
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
       labels: Map[String, String], returns: Seq[ReturnItem],
+      optionals: Seq[OptClause] = Seq.empty,
+      optionalAliases: Set[String] = Set.empty,
       returnDistinct: Boolean = false,
       orderBy: Seq[(String, Boolean)] = Seq.empty,
       limit: Option[Int] = None)
@@ -132,26 +150,35 @@ object CypherLite {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
     }
-    val (patternAll, wherePart) = beforeReturn.split("(?i)\\bWHERE\\b", 2) match {
-      case Array(p)    => (p, None)
-      case Array(p, w) => (p, Some(w))
-    }
-    // clause split: the leading required MATCH, then OPTIONAL MATCH
-    // clauses (each a left-joined sub-pattern re-entering at a bound
-    // alias). No whitespace normalization — the token regexes
-    // tolerate \s* themselves, and a global squeeze would silently
-    // rewrite spaces INSIDE quoted literals.
-    val clauses = patternAll.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
-    val matchBody = clauses.head.trim.replaceFirst("(?i)^MATCH\\b", "").trim
+    // clause split FIRST: the leading required MATCH, then OPTIONAL
+    // MATCH clauses. Each clause segment may carry its own trailing
+    // WHERE (the standard Cypher order `MATCH … WHERE … OPTIONAL
+    // MATCH … WHERE …`), and a WHERE binds to ITS clause: conditions
+    // on a required-MATCH WHERE filter the pattern; conditions on an
+    // OPTIONAL MATCH's WHERE narrow that optional match (unmatched
+    // rows keep nulls). No whitespace normalization — the token
+    // regexes tolerate \s* themselves, and a global squeeze would
+    // silently rewrite spaces INSIDE quoted literals.
+    val clauses = beforeReturn.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
+      .map { seg =>
+        seg.split("(?i)\\bWHERE\\b", 2) match {
+          case Array(p)    => (p.trim, None)
+          case Array(p, w) => (p.trim, Some(w.trim))
+        }
+      }
+    val matchBody = clauses.head._1.replaceFirst("(?i)^MATCH\\b", "").trim
     require(matchBody.nonEmpty, "empty pattern")
 
     var idx = 0
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+    val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
     var start: PatternNode = null
 
-    def parseChain(chain: String, ci: Int, optional: Boolean): Unit = {
+    def parseChain(chain: String, ci: Int,
+        into: scala.collection.mutable.ArrayBuffer[PatternStep],
+        optional: Boolean): Unit = {
       var rest = chain
       def node(allowBare: Boolean): Either[String, PatternNode] =
         NodeRe.findFirstMatchIn(rest) match {
@@ -202,7 +229,7 @@ object CypherLite {
           case Right(nn) => nn
           case Left(a)   => fail(s"chain node '$a' must declare a :Label", rest)
         }
-        steps += PatternStep(rel, dir, n, from = anchor, optional = optional,
+        into += PatternStep(rel, dir, n, from = anchor,
           minHops = lo, maxHops = hi)
         anchor = None // subsequent steps chain from the previous node
         any = true
@@ -214,29 +241,22 @@ object CypherLite {
         s"pattern part ${ci + 1} needs at least one edge")
     }
 
-    // top-level comma = a new pattern part (commas inside {…} are
-    // property separators); each additional part must START at an
-    // already-bound alias — the Cypher multi-pattern form rag.baml's
-    // examples use for branches
-    var ci = 0
-    for ((clause, oi) <- clauses.zipWithIndex) {
-      val body = if (oi == 0) matchBody else clause.trim
-      val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
-      require(chains.nonEmpty, if (oi == 0) "empty pattern" else "empty OPTIONAL MATCH")
-      for (chain <- chains) { parseChain(chain, ci, optional = oi > 0); ci += 1 }
-    }
-
-    val labels = bound.toMap
-
-    // WHERE → node predicates at the condition's pattern position
-    // (merged into any inline prop map); on an optional alias the
-    // predicate narrows the match itself — unmatched rows keep nulls
-    for (w <- wherePart) {
+    /** WHERE conditions of one clause, merged into that clause's node
+      * predicates. `allowed` = aliases bound by the clause (a WHERE
+      * may only constrain its own clause — referencing another
+      * clause's alias is rejected loudly rather than silently
+      * changing required/optional semantics).
+      */
+    def applyWhere(w: String, allowed: Set[String],
+        nodes: Seq[PatternNode]): Map[String, PatternNode] = {
       val conds = w.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
       require(conds.nonEmpty, "empty WHERE")
       val byAlias = conds.map {
         case WhereCondRe(a, p, op, v) =>
-          require(labels.contains(a), s"WHERE references unknown alias '$a'")
+          require(bound.contains(a), s"WHERE references unknown alias '$a'")
+          require(allowed(a),
+            s"WHERE references alias '$a' bound by a different clause — " +
+              "attach the condition to the clause that binds it")
           val c = op.toUpperCase match {
             case "="  => col(p) === lit(literal(v))
             case "<>" => col(p) =!= lit(literal(v))
@@ -255,13 +275,52 @@ object CypherLite {
           a -> c
         case other => fail("WHERE conditions must be alias.prop OP literal", other)
       }.groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
-      def merged(n: PatternNode): PatternNode = byAlias.get(n.as) match {
-        case Some(c) => n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c)))
-        case None    => n
+      byAlias.keys.foreach { a =>
+        require(nodes.exists(_.as == a), s"WHERE alias '$a' not in this clause")
       }
-      start = merged(start)
-      for (i <- steps.indices) steps(i) = steps(i).copy(node = merged(steps(i).node))
+      nodes.flatMap { n =>
+        byAlias.get(n.as).map(c =>
+          n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
+      }.toMap
     }
+
+    // top-level comma = a new pattern part (commas inside {…} are
+    // property separators); each additional part must START at an
+    // already-bound alias — the Cypher multi-pattern form rag.baml's
+    // examples use for branches. OPTIONAL MATCH clauses are single
+    // chains anchored at a bound alias, compiled as left-joined UNITS.
+    var ci = 0
+    for (((body0, whereOpt), oi) <- clauses.zipWithIndex) {
+      val body = if (oi == 0) matchBody else body0
+      val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
+      require(chains.nonEmpty, if (oi == 0) "empty pattern" else "empty OPTIONAL MATCH")
+      if (oi == 0) {
+        for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
+        for (w <- whereOpt) {
+          val ns = start +: steps.toSeq.map(_.node)
+          val upd = applyWhere(w, ns.map(_.as).toSet, ns)
+          upd.get(start.as).foreach(start = _)
+          for (i <- steps.indices; n <- upd.get(steps(i).node.as))
+            steps(i) = steps(i).copy(node = n)
+        }
+      } else {
+        require(chains.length == 1,
+          "OPTIONAL MATCH supports a single chain per clause (use another OPTIONAL MATCH)")
+        val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+        parseChain(chains.head, ci, clauseSteps, optional = true); ci += 1
+        val anchor = clauseSteps.head.from.getOrElse(
+          fail("OPTIONAL MATCH must start at a bound alias", chains.head))
+        for (w <- whereOpt) {
+          val ns = clauseSteps.toSeq.map(_.node)
+          val upd = applyWhere(w, ns.map(_.as).toSet, ns)
+          for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
+            clauseSteps(i) = clauseSteps(i).copy(node = n)
+        }
+        optClauses += OptClause(anchor, clauseSteps.toSeq)
+      }
+    }
+
+    val labels = bound.toMap
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n]
     var returnDistinct = false
@@ -314,7 +373,8 @@ object CypherLite {
     require(orderBy.isEmpty && limit.isEmpty || returns.nonEmpty,
       "ORDER BY/LIMIT need a RETURN clause")
 
-    Parsed(start, steps.toSeq, labels, returns, returnDistinct, orderBy, limit)
+    Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
+      optionalAliases.toSet, returnDistinct, orderBy, limit)
   }
 
   /** Parse and execute against a graph. RETURN items arrive under
@@ -324,8 +384,16 @@ object CypherLite {
     */
   def query(g: PropertyGraph, stmt: String): DataFrame = {
     val p = parse(stmt)
-    val optionals = p.steps.filter(_.optional).map(_.node.as).toSet
-    val paths = g.matchPaths(p.start, p.steps)
+    val optionals = p.optionalAliases
+    // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
+    // anchored at its bound alias, left-joined as one unit — if any
+    // step fails, every alias the clause binds is null together
+    val paths = p.optionals.foldLeft(g.matchPaths(p.start, p.steps)) {
+      (df, cl) =>
+        val sub = g.matchPaths(
+          PatternNode(p.labels(cl.anchor), cl.anchor), cl.steps)
+        df.join(sub, Seq(cl.anchor), "left_outer")
+    }
     if (p.returns.isEmpty) paths
     else {
       // attach the node properties the RETURN needs — left join for

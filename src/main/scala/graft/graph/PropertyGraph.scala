@@ -123,13 +123,12 @@ final case class PropertyGraph(
       // positions are unaliased). The chains self-join the skinny
       // 2-column edge relation, never the path frame, so the fan-out
       // is bounded by real path counts, not pattern width.
-      def chain(h: Int): DataFrame =
-        (2 to h).foldLeft(base) { (acc, _) =>
-          val nxt = e.select(col(from).as("__f2"), col(to).as("__t2"))
-          acc.join(nxt, col("__to") === col("__f2"))
-            .select(col("__from"), col("__t2").as("__to"))
-        }
-      var ed = (st.minHops to st.maxHops).map(chain).reduce(_ unionAll _)
+      val hChains = (2 to st.maxHops).scanLeft(base) { (acc, _) =>
+        val nxt = e.select(col(from).as("__f2"), col(to).as("__t2"))
+        acc.join(nxt, col("__to") === col("__f2"))
+          .select(col("__from"), col("__t2").as("__to"))
+      }
+      var ed = hChains.slice(st.minHops - 1, st.maxHops).reduce(_ unionAll _)
       // mid-chain node predicate: restrict the edge relation's arrival
       // side BEFORE it meets the path frame (dimension-sized filtered
       // id set → broadcast semi-join on the skinny edge table). Doing

@@ -285,7 +285,7 @@ object DedupOps {
       (s, d) => orderedByAll(
         Dedup.editDistance1Pairs(Tables.customer(s, d), "c_name")
           .select(col("s_a").as("name_a"), col("s_b").as("name_b"))),
-      Some("""SELECT a.c_name AS name_a, b.c_name AS name_b
+      Some("""SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
              |FROM customer a JOIN customer b
              |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY ALL""".stripMargin)

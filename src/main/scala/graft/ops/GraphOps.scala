@@ -220,15 +220,21 @@ object GraphOps {
     QueryDef(
       "g8_cypher_varlength",
       (s, d) => {
+        // the *1..3 expansion consumes the edge union once per hop
+        // length plus both node projections — persist it (same
+        // discipline as g1/g4)
         val edges = edgeSet(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nodesDf = edges.select(col("src").as("id"))
           .unionAll(edges.select(col("dst").as("id"))).distinct()
         val g = PropertyGraph(
           nodes = Map("node" -> nodesDf),
           edges = Map("LINKS" -> (("node", "node", edges))))
-        graft.graph.CypherLite.query(g,
+        val res = orderedByAll(graft.graph.CypherLite.query(g,
           s"MATCH (a:node {id: 'r_$StartRegion'})-[:LINKS*1..3]->(b:node) " +
-            "RETURN count(*) AS n_paths")
+            "RETURN count(*) AS n_paths")).localCheckpoint(true)
+        edges.unpersist(false)
+        res
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,

@@ -162,6 +162,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Seq(("b2", 1L), ("b5", 0L)))
   }
 
+  test("multi-step OPTIONAL MATCH is all-or-nothing — no partial bindings") {
+    // every 2-step optional chain dies at x{tag:'nope'}: Cypher keeps
+    // ONE row per b with ALL clause aliases null; per-step left joins
+    // would leak (b2, a1, null), (b2, a4, null) partial rows
+    val rows = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R1]-(a:A)-[:R1]->(x:B {tag: 'nope'})
+        |RETURN b.tag AS bt, a.tag AS at ORDER BY bt""".stripMargin)
+      .as[(String, Option[String])].collect().toSeq
+    assert(rows === Seq(("b2", None), ("b5", None)))
+    // and when one full chain DOES match, only that binding appears
+    val ok = CypherLite.query(g,
+      """MATCH (b:B {id: 2}) OPTIONAL MATCH (b)<-[:R1]-(a:A)-[:R1]->(x:B {tag: 'b5'})
+        |RETURN b.tag AS bt, a.tag AS at""".stripMargin)
+      .as[(String, Option[String])].collect().toSeq
+    assert(ok === Seq(("b2", Some("a4"))), "a4 reaches both b2 and b5; a1 cannot")
+  }
+
+  test("standard clause order MATCH…WHERE…OPTIONAL MATCH…WHERE parses; WHERE binds per clause") {
+    val rows = CypherLite.query(g,
+      """MATCH (a:A) WHERE a.tag = 'a4'
+        |OPTIONAL MATCH (a)-[:R1]->(b:B) WHERE b.tag = 'b5'
+        |RETURN a.tag AS at, count(b) AS nb""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a4", 1L)),
+      "required WHERE filters to a4; optional WHERE narrows its match to b5")
+    // a WHERE may not reach across clauses — loud, not silently wrong
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) WHERE a.tag = 'a4' RETURN a.tag")
+    }
+  }
+
   test("var-length *1..2 is one row per path of each length") {
     val h = PropertyGraph(
       nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4")).toDF("id", "tag")),
