@@ -502,6 +502,45 @@ object Relational {
              |FROM lineitem WHERE l_orderkey < 100
              |ORDER BY ALL""".stripMargin)
     ),
+    // A13 exact quantiles per group: percentile() (exact linear
+    // interpolation over the sorted group — Spark's sort-based
+    // percentile, one shuffle) vs DuckDB quantile_cont, the same
+    // definition. round(4) absorbs the last-bit float divergence of
+    // the two engines' interpolation arithmetic.
+    QueryDef(
+      "a13_quantiles",
+      (s, d) => orderedByAll(
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))),
+      Some("""SELECT o_orderpriority,
+             |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+             |FROM orders GROUP BY o_orderpriority ORDER BY ALL""".stripMargin)
+    ),
+    // W4 lead/lag: per-user event deltas — the offset window family
+    // (lag value + gap to previous event in integer micros; one
+    // shuffle on the partition key, sort within).
+    QueryDef(
+      "w4_lead_lag",
+      (s, d) => orderedByAll(
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("prev_us",
+            lag(col("ts_us"), 1).over(
+              Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+          .withColumn("gap_us", col("ts_us") - col("prev_us"))),
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |       lag(epoch_us(ts)) OVER w AS prev_us,
+             |       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // A12 one-pass table profile (training-data QA): row count, null
     // counts, exact distincts, and value bounds for the columns a
     // curation run gates on — a single aggregate, no per-column

@@ -148,6 +148,17 @@ object Rag {
         spark.table(s"${name}_vecs"))
   }
 
+  /** Text2Cypher made literal: a graph retriever whose seam output
+    * is a TEXTUAL Cypher statement (what a real LLM client emits,
+    * reference src/rag.py:48-76) executed by [[graft.graph.CypherLite]]
+    * over the same graph — the deterministic `toCypher` template
+    * stands where the LLM generation sits, and the execution path is
+    * byte-identical to the real one.
+    */
+  def cypherRetriever(toCypher: Seq[String] => String)
+      : (PropertyGraph, Seq[String]) => DataFrame =
+    (g, kws) => graft.graph.CypherLite.query(g, toCypher(kws))
+
   /** End-to-end hybrid query over a property graph and a PREBUILT
     * [[CorpusIndex]]; retrieval is hybrid tf-idf + embedded-query KNN
     * fused with RRF, top-`k` (reference defaults: top_k=2, RRF k=60,

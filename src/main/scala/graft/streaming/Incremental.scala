@@ -56,6 +56,29 @@ object Incremental {
     newDocs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
 
+  /** Stream-stream interval join: left events matched to right
+    * events of the same `key` within `[ts - lookback, ts]` — the
+    * click↔recent-purchase shape of j8_asof_join, streamed. Both
+    * sides carry watermarks so the join state is BOUNDED: Spark
+    * buffers only rows inside the watermark horizon and GC's the
+    * rest (an unwatermarked stream-stream join grows state forever —
+    * the operator the 100-TB continuous-ingest path must never ship).
+    * Inner join + time-range condition ⇒ append-mode compatible.
+    * Column contract: both frames have (`key`, ts TIMESTAMP) plus
+    * payloads; right's columns arrive suffixed `_r`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lookback: String = "1 hour", wmLeft: String = "1 hour",
+      wmRight: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", wmLeft)
+    val r0 = right.withWatermark("ts", wmRight)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col("ts_r") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("ts_r") <= col("ts"))
+  }
+
   /** Streaming exact dedup (the streaming form of d1_exact_dedup):
     * one row per normalized-content key, duplicate re-ingests dropped.
     * `dropDuplicatesWithinWatermark` bounds the key state to the

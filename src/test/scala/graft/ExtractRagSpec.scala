@@ -118,4 +118,34 @@ class RagSpec extends SparkSpec {
       g, Rag.CorpusIndex.load(spark, dir), HashEmbedder(), retriever)
     assert(res3.synthesized === res.synthesized)
   }
+
+  test("Text2Cypher retriever: the graph path executes generated Cypher TEXT") {
+    import TestSession.spark.implicits._
+    val g = graft.ops.GraphOps.tpchGraph(spark, sf)
+    val toCypher = (kws: Seq[String]) => {
+      val region = kws.map(_.toUpperCase).find(k =>
+        Seq("EUROPE", "ASIA", "AFRICA", "AMERICA").exists(k.startsWith))
+        .getOrElse("EUROPE")
+      s"""MATCH (r:region)-[:HAS_NATION]->(n:nation)-[:HAS_CUSTOMER]->(c:customer)
+         |WHERE r.r_name = '$region'
+         |RETURN c.c_mktsegment AS seg, count(*) AS n
+         |ORDER BY n DESC, seg LIMIT 5""".stripMargin
+    }
+    // the textual route returns the same rows as the DataFrame-API
+    // pattern it stands in for
+    val viaText = Rag.cypherRetriever(toCypher)(g, Seq("europe"))
+      .as[(String, Long)].collect().toSeq
+    val viaApi = g.matchPath("region", col("r_name") === "EUROPE",
+        Seq("HAS_NATION", "HAS_CUSTOMER"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c_mktsegment")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(viaText === viaApi && viaText.nonEmpty)
+    // and it rides the full hybrid answer path
+    val docs = graft.core.Tables.documents(spark, sf)
+    val index = Rag.CorpusIndex.build(spark, docs, HashEmbedder())
+    val res = Rag.answer(spark, "How many customers per segment are in the region Europe?",
+      g, index, HashEmbedder(), Rag.cypherRetriever(toCypher))
+    assert(res.graphAnswer.nonEmpty && res.graphAnswer != "no results")
+  }
 }

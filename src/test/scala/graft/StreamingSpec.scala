@@ -118,6 +118,30 @@ class StreamingSpec extends SparkSpec {
     assert(people === Seq("p1" -> "Ann", "p2" -> "Bo", "p3" -> "Cyd"))
   }
 
+  test("stream-stream interval join matches within the lookback and bounds state") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Incremental.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      "user_id", lookback = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    purchases.addData(
+      (1L, ts("2026-01-01 09:30:00"), 10.0), // 40 min before click — in window
+      (1L, ts("2026-01-01 08:00:00"), 99.0), // 2h10m before — outside
+      (2L, ts("2026-01-01 09:50:00"), 5.0))  // other user
+    clicks.addData((1L, ts("2026-01-01 10:10:00"), "home"))
+    q.processAllAvailable()
+    val rows = spark.table("ij")
+      .select(col("user_id"), col("page"), col("amount_r"))
+      .as[(Long, String, Double)].collect().toSeq
+    q.stop()
+    assert(rows === Seq((1L, "home", 10.0)),
+      "only the same-user purchase inside [click - 1h, click] joins")
+  }
+
   test("native session_window streams: the batch sessionize expression runs under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
