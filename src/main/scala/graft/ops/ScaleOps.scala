@@ -87,6 +87,30 @@ object ScaleOps {
              |       count(*) AS n
              |FROM events GROUP BY event_type ORDER BY ALL""".stripMargin)
     ),
+    // X5 resample + forward fill: per-user 6-hour grid over the
+    // events month, each tick carrying the most recent value at-or-
+    // before it (null before the first observation). Integer-micros
+    // grid on BOTH engines so nanosecond event timestamps cannot
+    // straddle a tick differently; oracle = generate_series + native
+    // ASOF LEFT JOIN.
+    QueryDef(
+      "x5_resample_ffill",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        orderedByAll(
+          AsOfJoin.resampleFfill(ev, "user_id", "ts_us", Seq("value"),
+              lit(1704067200000000L), lit(1706637600000000L), lit(21600000000L))
+            .select(col("user_id"), col("ts_us"), col("value_asof").as("v")))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+             |g AS (SELECT unnest(generate_series(1704067200000000, 1706637600000000, 21600000000)) AS ts_us),
+             |grid AS (SELECT u.user_id, g.ts_us FROM u CROSS JOIN g),
+             |e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE user_id < 5)
+             |SELECT grid.user_id, grid.ts_us, e.value AS v
+             |FROM grid ASOF LEFT JOIN e ON grid.user_id = e.user_id AND grid.ts_us >= e.ts_us
+             |ORDER BY ALL""".stripMargin)
+    ),
     // S6 scalable row index: the zipWithIndex-over-sorted-partitions
     // path (no single-partition window — compare s4_row_index, which
     // pins the same semantics THROUGH the window form). doc_id is

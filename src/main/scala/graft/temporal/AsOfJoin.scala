@@ -47,6 +47,23 @@ object AsOfJoin {
       .select(left.columns.map(c => col(s"l.$c")).toIndexedSeq ++ rCols: _*)
   }
 
+  /** Regular-grid resample + forward fill — the time-series
+    * densification stage (irregular observations → one row per
+    * (key, grid tick) carrying the most recent observation at-or-
+    * before the tick, null before the first). The grid is
+    * sequence+explode per key — never a driver loop — and the fill
+    * IS [[asOf]]: one shuffle on the key, total. `tsCol` may be any
+    * orderable type `sequence` supports (LONG micros, TIMESTAMP).
+    */
+  def resampleFfill(data: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], gridStart: Column, gridEnd: Column,
+      step: Column): DataFrame = {
+    val grid = data.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(gridStart, gridEnd, step)).as(tsCol))
+    asOf(grid, data.select((keyCol +: tsCol +: valueCols).map(col): _*),
+      keyCol, tsCol, valueCols)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightVals: Seq[String], suffix: String = "_asof"): DataFrame = {
     val lPayload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq

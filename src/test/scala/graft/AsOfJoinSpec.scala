@@ -79,4 +79,16 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().toMap
     assert(result === brute)
   }
+
+  test("resampleFfill densifies to the grid and forward-fills per key") {
+    val data = Seq((1L, 10L, 1.0), (1L, 25L, 2.0), (2L, 5L, 9.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.resampleFfill(data, "k", "t", Seq("v"),
+        lit(0L), lit(30L), lit(10L))
+      .orderBy("k", "t").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, None), (1L, 10L, Some(1.0)), (1L, 20L, Some(1.0)), (1L, 30L, Some(2.0)),
+      (2L, 0L, None), (2L, 10L, Some(9.0)), (2L, 20L, Some(9.0)), (2L, 30L, Some(9.0))),
+      "null before first observation; tick == observation time includes it")
+  }
 }
