@@ -15,6 +15,11 @@ import graft.search.{Fts, Vectors}
 object SearchOps {
 
   private val Query = Seq("spark", "join", "window")
+  /** r7's question set: (qid, terms) — the batch-serving shape. */
+  private val BatchQueries = Seq(
+    1 -> Seq("spark", "join", "window"),
+    2 -> Seq("hash", "merge", "sort"),
+    3 -> Seq("vector", "stream"))
   private val Phrase = Seq("fast", "table")
   private val Must = Seq("spark", "join")
   private val MustNot = Seq("window")
@@ -199,6 +204,49 @@ object SearchOps {
            |WHERE doc_id NOT IN
            |  (SELECT doc_id FROM tf WHERE term IN ${sqlInList(MustNot)})
            |ORDER BY ALL""".stripMargin)
+    ),
+    // R7 batch retrieval: top-5 per question for a whole question
+    // set in ONE plan (the eval-harness / batch-serving path —
+    // compare r2, one job per question). Per-question df rides a
+    // broadcast; the only corpus-sized shuffle is the (qid, doc_id)
+    // aggregate; per-qid rank is a window over the bounded matched
+    // set.
+    QueryDef(
+      "r7_batch_tfidf",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val qdf = BatchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+          .toDF("qid", "term")
+        val scored = Fts.tfidfScoresMany(
+          Fts.postings(docs, "doc_id", "text"),
+          Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")), qdf)
+        orderedByAll(scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("rank") <= 5))
+      },
+      Some {
+        val values = BatchQueries
+          .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+        s"""WITH $sqlPostCtes,
+           |q(qid, term) AS (VALUES $values),
+           |matched AS (SELECT q.qid, tf.doc_id, tf.term, tf.tf
+           |            FROM tf JOIN q ON tf.term = q.term),
+           |mdf AS (SELECT qid, term, count(*) AS df FROM matched GROUP BY 1, 2),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT m.qid, m.doc_id,
+           |         CAST(SUM(m.tf * ((SELECT n FROM n) + 1 - mdf.df)) AS BIGINT) AS score
+           |  FROM matched m JOIN mdf USING (qid, term) GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT qid, doc_id, score, row_number() OVER (
+           |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM scored)
+           |SELECT qid, doc_id, score, rank FROM ranked
+           |WHERE rank <= 5 ORDER BY ALL""".stripMargin
+      }
     )
   )
 }

@@ -105,6 +105,28 @@ object Fts {
       .agg(sum(col("tf") * (col("n_docs") + 1 - col("df"))).as("score"))
   }
 
+  /** Batch TF-IDF: scores for MANY queries in ONE plan — the
+    * batch-serving / eval-harness retrieval path (one job for a
+    * whole question set instead of a job per question; the batch
+    * analog of [[tfidfScores]], same per-query df semantics).
+    * `queries` is a (qid, term) frame, broadcast twice: once to
+    * filter the postings scan (term-pruned when the index is
+    * term-partitioned) and once to attach each query's own df. The
+    * only corpus-sized shuffle is the final (qid, doc_id) aggregate.
+    * Returns (qid, doc_id, score); rank per qid downstream (window
+    * for bounded candidate sets, Vectors.knnDotMany's salted
+    * two-phase rank for giant fan-outs).
+    */
+  def tfidfScoresMany(post: DataFrame, stats: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val matched = post.join(broadcast(queries), Seq("term"))
+    val mdf = matched.groupBy("qid", "term").agg(count(lit(1)).as("df"))
+    matched.join(broadcast(mdf), Seq("qid", "term"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * (col("n_docs") + 1 - col("df"))).as("score"))
+  }
+
   /** BM25 (k1, b defaults 1.2/0.75): idf = ln(1 + (N-df+0.5)/(df+0.5)),
     * tf_norm = tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Double-precision;
     * the rank order is what matters at the API level. `stats` is the

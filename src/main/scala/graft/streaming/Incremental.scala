@@ -125,6 +125,23 @@ object Incremental {
       graft.fhir.FhirPipeline.upsertGraph(existing, delta), dir)
   }
 
+  /** Streaming vector-store ingest (continuous S7): each micro-batch
+    * of (id, vector ARRAY<FLOAT>) rows is IVF-assigned through the
+    * SAME native cell expression as batch indexing and APPENDED to a
+    * cell-partitioned parquet store — the coarse quantizer stays
+    * fixed (re-fitting is an offline rebuild, the standard IVF
+    * discipline), so ingest is embarrassingly append-only and
+    * `Ivf.search`/`searchMany` over the accumulated store see new
+    * vectors immediately with cell partition-pruning intact. Use via
+    * `.writeStream.foreachBatch(Incremental.vectorIngestBatch(dir,
+    * model, "id", "vector") _)`.
+    */
+  def vectorIngestBatch(dir: String, model: graft.search.Ivf.Model,
+      idCol: String, vecCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.search.Ivf.index(batch, idCol, vecCol, model)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)
   case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)

@@ -31,6 +31,23 @@ class FtsSpec extends SparkSpec {
     assert(!scored.contains(4L), "non-matching doc absent")
   }
 
+  test("tfidfScoresMany: each qid's scores equal the single-query form") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
+    val queries = Seq(
+      1 -> Seq("spark"), 2 -> Seq("window", "unicorn"), 3 -> Seq("absent"))
+    val qdf = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
+    val batch = Fts.tfidfScoresMany(post, stats, qdf)
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(x => x._2 -> x._3).toMap }
+    for ((q, terms) <- queries) {
+      val single = Fts.tfidfScores(post, stats, terms)
+        .as[(Long, Long)].collect().toMap
+      assert(batch.getOrElse(q, Map.empty) === single,
+        s"qid $q batch scores must equal the single-query scores")
+    }
+  }
+
   test("bm25: rarer term contributes more than common term at equal tf") {
     val post = Fts.postings(docs, "doc_id", "text")
     val dl = Fts.docLengths(docs, "doc_id", "text")

@@ -168,6 +168,34 @@ class StreamingSpec extends SparkSpec {
       "same Sessions.sessionize expression, streamed — batch/stream unification")
   }
 
+  test("streaming vector ingest: IVF-assigned appends match the batch index under search") {
+    implicit val sq = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, TestSession.sf0001)
+    val model = graft.search.Ivf.fit(emb, "embedding", nCells = 4)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("id", "vector").writeStream
+      .foreachBatch(Incremental.vectorIngestBatch(dir, model, "id", "vector") _)
+      .start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val store = spark.read.parquet(dir)
+    assert(store.count() === rows.length, "both micro-batches landed")
+    // the streamed store answers searches exactly like a batch-built
+    // index over the same vectors (same model, same native assignment)
+    val qv = rows.head._2
+    val viaStream = graft.search.Ivf.search(store, "id", model, qv, 5, nprobe = 2)
+      .select("id").as[Long].collect().toSeq
+    val batchIdx = graft.search.Ivf.index(emb, "vec_id", "embedding", model)
+    val viaBatch = graft.search.Ivf.search(batchIdx, "vec_id", model, qv, 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaStream === viaBatch && viaStream.head === rows.head._1)
+  }
+
   test("stateful sessionization folds events per user across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Incremental.Event]
