@@ -24,4 +24,22 @@ object Skew {
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
       .groupBy(col(key))
       .agg(sum("__psum").as("sum_v"), sum("__pn").as("n"))
+
+  /** Salted equi-join: result ≡ `big.join(dim, key)`, but the
+    * shuffle key on the big side is (key, salt), so a hot join key
+    * spreads over `nSalts` partitions instead of starving one
+    * reducer. The dim side replicates once per salt (explode of a
+    * literal range — dim-sized × nSalts, the standard trade). When
+    * the dim side fits a broadcast, Spark's broadcast join already
+    * avoids the skew; this is the path for when it does NOT —
+    * mid-sized dims against skewed facts, the case AQE's skew-join
+    * also targets (this form is deterministic and engine-portable,
+    * and works under any join strategy).
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      saltFrom: String, nSalts: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    b.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

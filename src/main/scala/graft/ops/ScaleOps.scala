@@ -87,6 +87,29 @@ object ScaleOps {
              |       count(*) AS n
              |FROM events GROUP BY event_type ORDER BY ALL""".stripMargin)
     ),
+    // J10 salted equi-join: event_type is the same 5-value hot key as
+    // a10; the salted plan spreads each key over 16 (key, salt)
+    // sub-keys with the dim side exploded per salt, and must produce
+    // the identical result as the plain join (the oracle IS the
+    // plain join).
+    QueryDef(
+      "j10_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("label", upper(col("event_type")))
+        orderedByAll(
+          Skew.saltedJoin(
+              ev.filter(col("user_id") < 20).select("event_id", "event_type"),
+              dim, "event_type", "event_id", nSalts = 16)
+            .select("event_id", "label"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type, upper(event_type) AS label FROM events)
+             |SELECT e.event_id, d.label
+             |FROM events e JOIN dim d USING (event_type)
+             |WHERE e.user_id < 20 ORDER BY ALL""".stripMargin)
+    ),
     // X5 resample + forward fill: per-user 6-hour grid over the
     // events month, each tick carrying the most recent value at-or-
     // before it (null before the first observation). Integer-micros

@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSpec {
 
+  test("saltedJoin result is identical to the plain equi-join") {
+    import TestSession.spark.implicits._
+    // one hot key carrying 90% of rows — the shape that starves a
+    // single reducer in the unsalted plan
+    val big = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (1 to 100).map(i => (i.toLong + 1000, s"k${i % 7}")))
+      .toDF("row_id", "k")
+    val dim = (Seq("hot") ++ (0 until 7).map(i => s"k$i"))
+      .map(k => (k, s"label_$k")).toDF("k", "label")
+    val salted = graft.core.Skew.saltedJoin(big, dim, "k", "row_id", nSalts = 8)
+      .select("row_id", "k", "label").as[(Long, String, String)].collect().toSet
+    val plain = big.join(dim, Seq("k"))
+      .select("row_id", "k", "label").as[(Long, String, String)].collect().toSet
+    assert(salted === plain && salted.size === 1000)
+  }
+
   test("bucketed tables join WITHOUT a shuffle exchange on the join key") {
     // At 100 TB, two fact tables bucketed on the same key join with
     // no Exchange: each bucket pairs 1:1. Demonstrated end-to-end
