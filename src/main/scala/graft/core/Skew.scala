@@ -38,6 +38,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       saltFrom: String, nSalts: Int): DataFrame = {
+    // nSalts = 0 would yield pmod NULL vs an exploded [0, -1] range —
+    // a silently EMPTY join, not an error
+    require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
     val b = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(d, Seq(key, "__salt")).drop("__salt")

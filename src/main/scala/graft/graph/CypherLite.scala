@@ -39,11 +39,12 @@ import org.apache.spark.sql.functions._
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
   *    path join). A WHERE may only reference aliases ITS clause
-  *    binds: on a required MATCH it filters the pattern, on an
-  *    OPTIONAL MATCH it narrows that match (unmatched rows keep
-  *    nulls); a cross-clause reference is rejected loudly rather
-  *    than silently changing required/optional semantics. OR is not
-  *    supported.
+  *    binds — plus, for OPTIONAL MATCH, the clause's anchor: on a
+  *    required MATCH it filters the pattern; on an OPTIONAL MATCH it
+  *    narrows that match (anchor conditions included — rows failing
+  *    them keep nulls, Neo4j semantics); any other cross-clause
+  *    reference is rejected loudly rather than silently changing
+  *    required/optional semantics. OR is not supported.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -74,9 +75,13 @@ object CypherLite {
     * anchored at `anchor`, left-joined as a UNIT — all-or-nothing,
     * Cypher clause semantics: if ANY step fails, every alias the
     * clause binds is null (per-step left joins would leak partial
-    * bindings and inflate multiplicity).
+    * bindings and inflate multiplicity). `anchorPred` holds WHERE
+    * conditions on the anchor itself: they narrow the MATCH, not the
+    * outer row set — an anchor failing the predicate keeps its outer
+    * row with the clause aliases null (Neo4j OPTIONAL-MATCH-WHERE).
     */
-  final case class OptClause(anchor: String, steps: Seq[PatternStep])
+  final case class OptClause(anchor: String, steps: Seq[PatternStep],
+      anchorPred: Option[Column] = None)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -275,9 +280,6 @@ object CypherLite {
           a -> c
         case other => fail("WHERE conditions must be alias.prop OP literal", other)
       }.groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
-      byAlias.keys.foreach { a =>
-        require(nodes.exists(_.as == a), s"WHERE alias '$a' not in this clause")
-      }
       nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
@@ -310,13 +312,20 @@ object CypherLite {
         parseChain(chains.head, ci, clauseSteps, optional = true); ci += 1
         val anchor = clauseSteps.head.from.getOrElse(
           fail("OPTIONAL MATCH must start at a bound alias", chains.head))
+        // the clause's WHERE may constrain its own nodes AND its
+        // anchor — an anchor condition narrows the MATCH (Neo4j
+        // semantics: rows failing it keep nulls), so it lands on the
+        // sub-pattern's start, never on the outer row set
+        var anchorPred: Option[Column] = None
         for (w <- whereOpt) {
-          val ns = clauseSteps.toSeq.map(_.node)
+          val ns = PatternNode(bound(anchor), anchor) +:
+            clauseSteps.toSeq.map(_.node)
           val upd = applyWhere(w, ns.map(_.as).toSet, ns)
+          anchorPred = upd.get(anchor).flatMap(_.pred)
           for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
             clauseSteps(i) = clauseSteps(i).copy(node = n)
         }
-        optClauses += OptClause(anchor, clauseSteps.toSeq)
+        optClauses += OptClause(anchor, clauseSteps.toSeq, anchorPred)
       }
     }
 
@@ -391,7 +400,7 @@ object CypherLite {
     val paths = p.optionals.foldLeft(g.matchPaths(p.start, p.steps)) {
       (df, cl) =>
         val sub = g.matchPaths(
-          PatternNode(p.labels(cl.anchor), cl.anchor), cl.steps)
+          PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)
         df.join(sub, Seq(cl.anchor), "left_outer")
     }
     if (p.returns.isEmpty) paths

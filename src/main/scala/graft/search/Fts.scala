@@ -119,9 +119,18 @@ object Fts {
     */
   def tfidfScoresMany(post: DataFrame, stats: DataFrame,
       queries: DataFrame): DataFrame = {
-    val matched = post.join(broadcast(queries), Seq("term"))
-    val mdf = matched.groupBy("qid", "term").agg(count(lit(1)).as("df"))
-    matched.join(broadcast(mdf), Seq("qid", "term"))
+    // dedupe defensively: a duplicated (qid, term) row would double
+    // both tf and df, silently reordering top-k
+    val q = queries.dropDuplicates("qid", "term")
+    val matched = post.join(broadcast(q), Seq("term"))
+    // df as a window over the matched rows — ONE pass over the
+    // postings (a second aggregate-then-join would re-derive the
+    // corpus-sized matched subtree, the d9 reused-subtree cost);
+    // each (term, doc) appears once per qid, so the partition count
+    // IS that query's df
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid", "term")
+    matched
+      .withColumn("df", count(lit(1)).over(w))
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .groupBy("qid", "doc_id")
       .agg(sum(col("tf") * (col("n_docs") + 1 - col("df"))).as("score"))

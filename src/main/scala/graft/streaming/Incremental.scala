@@ -132,7 +132,13 @@ object Incremental {
     * fixed (re-fitting is an offline rebuild, the standard IVF
     * discipline), so ingest is embarrassingly append-only and
     * `Ivf.search`/`searchMany` over the accumulated store see new
-    * vectors immediately with cell partition-pruning intact. Use via
+    * vectors immediately with cell partition-pruning intact.
+    * REPLAY-SAFE: foreachBatch is at-least-once, so each micro-batch
+    * writes (overwrite) its own `batch=<id>` subdirectory — a
+    * re-executed batch replaces its previous attempt instead of
+    * appending duplicates (same idempotence contract as
+    * graphUpsertBatch). Read the store at `dir`; `batch` surfaces as
+    * a partition column and cell pruning still applies. Use via
     * `.writeStream.foreachBatch(Incremental.vectorIngestBatch(dir,
     * model, "id", "vector") _)`.
     */
@@ -140,7 +146,8 @@ object Incremental {
       idCol: String, vecCol: String)(
       batch: DataFrame, batchId: Long): Unit =
     graft.search.Ivf.index(batch, idCol, vecCol, model)
-      .write.mode("append").partitionBy("cell").parquet(dir)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/batch=$batchId")
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)

@@ -79,8 +79,14 @@ object AsOfJoin {
         lPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
         rightVals.map(c => col(c).as(s"__r_$c")): _*)
 
+    // duplicate right (key, ts) rows: order additionally by the value
+    // columns so the pick is DETERMINISTIC (the greatest value tuple
+    // wins) — without this, last() takes whichever tied row the
+    // shuffle ordered last. Note an external oracle's ASOF may still
+    // pick its own tied row; the operator's own answer is stable.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol) +: col("__side") +:
+        rightVals.map(c => col(s"__r_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lu.unionAll(ru)

@@ -190,8 +190,20 @@ class CypherLiteSpec extends SparkSpec {
     // a WHERE may not reach across clauses — loud, not silently wrong
     intercept[IllegalArgumentException] {
       CypherLite.parse(
-        "MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) WHERE a.tag = 'a4' RETURN a.tag")
+        """MATCH (a:A)-[:R1]->(c:B) OPTIONAL MATCH (a)-[:R1]->(b:B)
+          |WHERE c.tag = 'x' RETURN a.tag""".stripMargin)
     }
+  }
+
+  test("optional WHERE on the clause's ANCHOR narrows the match, never the outer rows") {
+    // Neo4j semantics: a1 fails the anchor predicate, so its row
+    // SURVIVES with b null (count 0) — moving the condition to the
+    // required MATCH would drop the a1 row entirely
+    val rows = CypherLite.query(g,
+      """MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) WHERE a.tag = 'a4'
+        |RETURN a.tag AS at, count(b) AS nb ORDER BY at""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a1", 0L), ("a4", 2L)))
   }
 
   test("var-length *1..2 is one row per path of each length") {

@@ -183,8 +183,13 @@ class StreamingSpec extends SparkSpec {
     in.addData(b1); q.processAllAvailable()
     in.addData(b2); q.processAllAvailable()
     q.stop()
+    // foreachBatch is at-least-once: replaying a batch id must
+    // REPLACE its previous attempt, not append duplicates
+    Incremental.vectorIngestBatch(dir, model, "id", "vector")(
+      b1.toDF("id", "vector"), 0L)
     val store = spark.read.parquet(dir)
-    assert(store.count() === rows.length, "both micro-batches landed")
+    assert(store.count() === rows.length,
+      "both micro-batches landed; batch-0 replay did not duplicate")
     // the streamed store answers searches exactly like a batch-built
     // index over the same vectors (same model, same native assignment)
     val qv = rows.head._2
