@@ -247,6 +247,82 @@ object SearchOps {
            |SELECT qid, doc_id, score, rank FROM ranked
            |WHERE rank <= 5 ORDER BY ALL""".stripMargin
       }
+    ),
+    // R8 batch HYBRID retrieval — the full serving path for a whole
+    // question set in one plan: batch tf-idf ranks (r7) fused with
+    // batch exact-KNN ranks (v4's salted two-phase top-k) via RRF,
+    // top-5 per question. Doc ids ≡ vec ids in the corpus (the r4
+    // contract); each query's vector is its embeddings row.
+    QueryDef(
+      "r8_batch_hybrid",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val qdf = BatchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+          .toDF("qid", "term")
+        val kw = Fts.tfidfScoresMany(
+            Fts.postings(docs, "doc_id", "text"),
+            Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")), qdf)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("rank") <= TopK)
+          .select(col("qid"), col("doc_id").as("id"), col("rank").as("rank_a"))
+        val iv = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+        val qs = iv.filter(col("vec_id").isin(BatchQueries.map(_._1): _*))
+          .select(col("vec_id").as("qid"), col("iv").as("qv"))
+        val vec = Vectors.knnDotMany(iv, "vec_id", qs, TopK)
+          .select(col("qid"), col("vec_id").as("id"), col("rank").as("rank_b"))
+        val fused = kw.join(vec, Seq("qid", "id"), "full_outer")
+          .select(col("qid"), col("id"),
+            (coalesce(lit(1.0) / (lit(RrfK) + col("rank_a")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rank_b")), lit(0.0))).as("rrf"))
+        orderedByAll(fused
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)))
+          .filter(col("rank") <= FuseK))
+      },
+      Some {
+        val values = BatchQueries
+          .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+        val qidList = BatchQueries.map(_._1).mkString("(", ", ", ")")
+        s"""WITH $sqlPostCtes,
+           |bq(qid, term) AS (VALUES $values),
+           |bmatched AS (SELECT bq.qid, tf.doc_id, tf.term, tf.tf
+           |             FROM tf JOIN bq ON tf.term = bq.term),
+           |bmdf AS (SELECT qid, term, count(*) AS df FROM bmatched GROUP BY 1, 2),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |kscored AS (
+           |  SELECT m.qid, m.doc_id,
+           |         SUM(m.tf * ((SELECT n FROM n) + 1 - bmdf.df)) AS score
+           |  FROM bmatched m JOIN bmdf USING (qid, term) GROUP BY 1, 2),
+           |ka AS (SELECT qid, doc_id AS id, rank FROM (
+           |  SELECT qid, doc_id, row_number() OVER (
+           |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM kscored) WHERE rank <= $TopK),
+           |iv AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+           |       FROM embeddings),
+           |vq AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id IN $qidList),
+           |vdot AS (SELECT vq.qid, iv.vec_id,
+           |           CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |                                        i -> iv.iv[i] * vq.qv[i])) AS BIGINT) AS dot
+           |         FROM iv, vq),
+           |va AS (SELECT qid, vec_id AS id, rank FROM (
+           |  SELECT qid, vec_id, row_number() OVER (
+           |    PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rank
+           |  FROM vdot) WHERE rank <= $TopK),
+           |fused AS (
+           |  SELECT coalesce(ka.qid, va.qid) AS qid, coalesce(ka.id, va.id) AS id,
+           |         coalesce(1.0 / ($RrfK + ka.rank), 0.0)
+           |           + coalesce(1.0 / ($RrfK + va.rank), 0.0) AS rrf
+           |  FROM ka FULL OUTER JOIN va ON ka.qid = va.qid AND ka.id = va.id)
+           |SELECT qid, id, rrf, rank FROM (
+           |  SELECT qid, id, rrf, row_number() OVER (
+           |    PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rank
+           |  FROM fused) WHERE rank <= $FuseK ORDER BY ALL""".stripMargin
+      }
     )
   )
 }
