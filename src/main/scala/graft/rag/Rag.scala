@@ -201,4 +201,63 @@ object Rag {
     RagResult(question, keywords, pruned, graphAnswer, vectorAnswer,
       llm.synthesize(question, vectorAnswer, graphAnswer))
   }
+
+  /** Batch hybrid answering — N questions through ONE retrieval plan
+    * (the eval-harness fan-in; the reference's rag_obs_eval loop runs
+    * questions serially, src/rag_obs_eval.py): keyword and vector
+    * ranks for ALL questions compute in a single fused job
+    * (tfidfScoresMany ⊕ knnDotMany ⊕ RRF), the bounded N·k fused
+    * context rows collect once, and the per-question LLM steps run
+    * driver-side over them. The graph path stays per-question (its
+    * retrievals are template-sized); the corpus-sized work is what
+    * batches. Results align with [[answer]] question-for-question.
+    */
+  def answerMany(
+      spark: SparkSession, questions: Seq[String], graph: PropertyGraph,
+      index: CorpusIndex, embedder: Embedder,
+      graphRetriever: (PropertyGraph, Seq[String]) => DataFrame,
+      llm: LlmClient = DeterministicLlm, k: Int = 2): Seq[RagResult] = {
+    require(questions.nonEmpty, "empty question batch")
+    import spark.implicits._
+    val pruned = questions.map(q => llm.pruneSchema(graph.schemaXml, q))
+    val kws = questions.zip(pruned).map { case (q, p) => llm.entityKeywords(q, p) }
+
+    val qdf = kws.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (i, t)) }.toDF("qid", "term")
+    val kw = Fts.tfidfScoresMany(index.post, index.stats, qdf)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 20)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("rank_a"))
+    val qvs = questions.zipWithIndex
+      .map { case (q, i) => (i, embedder.embed(q).toSeq) }.toDF("qid", "qv")
+      .select(col("qid"), Vectors.intVector(col("qv")).as("qv"))
+    val vec = Vectors.knnDotMany(index.vecs, "vec_id", qvs, 20)
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("rank_b"))
+    val fused = kw.join(vec, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+    val ctx = fused
+      .join(index.docs, fused("id") === index.docs("doc_id"))
+      .select(col("qid"), col("rank"), col("text"))
+      .collect()
+      .groupBy(_.getAs[Int]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[String]("text")).toSeq)
+      .toMap
+
+    questions.zipWithIndex.map { case (question, i) =>
+      val vectorAnswer = llm.answer(question,
+        ctx.getOrElse(i, Seq.empty).mkString("\n---\n"))
+      val graphRows = graphRetriever(graph, kws(i)).limit(10).collect()
+      val graphAnswer = llm.answer(question,
+        graphRows.map(_.toSeq.mkString(", ")).mkString("\n"))
+      RagResult(question, kws(i), pruned(i), graphAnswer, vectorAnswer,
+        llm.synthesize(question, vectorAnswer, graphAnswer))
+    }
+  }
 }

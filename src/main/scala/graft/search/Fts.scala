@@ -77,6 +77,18 @@ object Fts {
     matched.groupBy("doc_id").agg(count(lit(1)).as("phrase_tf"))
   }
 
+  /** Compact an appended postings table: re-ingested or delta rows
+    * for the same (term, doc_id) merge by summing tf — the index-
+    * maintenance step after N streaming appends
+    * (Incremental.postingsDelta): append is cheap at write time,
+    * compaction restores the one-row-per-(term, doc) invariant
+    * scoring relies on. One shuffle on (term, doc_id); run it
+    * per-partition-cheaply when the store is term-bucketed
+    * (saveBucketed — the groupBy rides the bucket partitioning).
+    */
+  def compactPostings(post: DataFrame): DataFrame =
+    post.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+
   /** Document frequency per term (from postings — no rescan). */
   def docFreq(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df"))

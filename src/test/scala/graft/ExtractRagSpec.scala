@@ -119,6 +119,24 @@ class RagSpec extends SparkSpec {
     assert(res3.synthesized === res.synthesized)
   }
 
+  test("answerMany: one fused retrieval plan, results align with answer() per question") {
+    val g = graft.ops.GraphOps.tpchGraph(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val index = Rag.CorpusIndex.build(spark, docs, HashEmbedder())
+    val retriever = (graph: graft.graph.PropertyGraph, kws: Seq[String]) =>
+      graph.nodes("region").select("r_name").orderBy("r_name").limit(3)
+    val questions = Seq(
+      "How many customers per segment are in the region Europe?",
+      "Which nation has the most orders in the region Asia?")
+    val batch = Rag.answerMany(spark, questions, g, index, HashEmbedder(), retriever)
+    assert(batch.length === 2)
+    for ((q, res) <- questions.zip(batch)) {
+      val single = Rag.answer(spark, q, g, index, HashEmbedder(), retriever)
+      assert(res.synthesized === single.synthesized,
+        s"batched answer must equal the single-question path for: $q")
+    }
+  }
+
   test("Text2Cypher retriever: the graph path executes generated Cypher TEXT") {
     import TestSession.spark.implicits._
     val g = graft.ops.GraphOps.tpchGraph(spark, sf)

@@ -31,6 +31,21 @@ class FtsSpec extends SparkSpec {
     assert(!scored.contains(4L), "non-matching doc absent")
   }
 
+  test("compactPostings merges appended deltas back to the batch index") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    // simulate a re-ingest: the same docs' postings appended twice,
+    // then doc 1 re-tokenized once more
+    val appended = post.unionAll(post)
+      .unionAll(Fts.postings(docs.filter(col("doc_id") === 1), "doc_id", "text"))
+    val compacted = Fts.compactPostings(appended)
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    val batch = post.as[(String, Long, Long)].collect()
+      .map { case (t, d, tf) => (t, d) -> tf }.toMap
+    assert(compacted.keySet === batch.keySet, "one row per (term, doc) restored")
+    assert(compacted(("spark", 1L)) === 3L * batch(("spark", 1L)),
+      "doc 1 counted three times pre-compaction; tf sums accordingly")
+  }
+
   test("tfidfScoresMany: each qid's scores equal the single-query form") {
     val post = Fts.postings(docs, "doc_id", "text")
     val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
