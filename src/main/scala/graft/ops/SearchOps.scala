@@ -267,18 +267,14 @@ object SearchOps {
             Window.partitionBy("qid")
               .orderBy(col("score").desc, col("doc_id").asc)))
           .filter(col("rank") <= TopK)
-          .select(col("qid"), col("doc_id").as("id"), col("rank").as("rank_a"))
+          .select(col("qid"), col("doc_id").as("id"), col("rank"))
         val iv = Tables.embeddings(s, d)
           .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
         val qs = iv.filter(col("vec_id").isin(BatchQueries.map(_._1): _*))
           .select(col("vec_id").as("qid"), col("iv").as("qv"))
         val vec = Vectors.knnDotMany(iv, "vec_id", qs, TopK)
-          .select(col("qid"), col("vec_id").as("id"), col("rank").as("rank_b"))
-        val fused = kw.join(vec, Seq("qid", "id"), "full_outer")
-          .select(col("qid"), col("id"),
-            (coalesce(lit(1.0) / (lit(RrfK) + col("rank_a")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(RrfK) + col("rank_b")), lit(0.0))).as("rrf"))
-        orderedByAll(fused
+          .select(col("qid"), col("vec_id").as("id"), col("rank"))
+        orderedByAll(Fts.rrfFuseMany(kw, vec, RrfK)
           .withColumn("rank", row_number().over(
             Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)))
           .filter(col("rank") <= FuseK))

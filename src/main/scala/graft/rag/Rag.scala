@@ -219,7 +219,8 @@ object Rag {
       llm: LlmClient = DeterministicLlm, k: Int = 2): Seq[RagResult] = {
     require(questions.nonEmpty, "empty question batch")
     import spark.implicits._
-    val pruned = questions.map(q => llm.pruneSchema(graph.schemaXml, q))
+    val schemaXml = graph.schemaXml // built once per batch, not per question
+    val pruned = questions.map(q => llm.pruneSchema(schemaXml, q))
     val kws = questions.zip(pruned).map { case (q, p) => llm.entityKeywords(q, p) }
 
     val qdf = kws.zipWithIndex
@@ -228,16 +229,13 @@ object Rag {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)))
       .filter(col("rank") <= 20)
-      .select(col("qid"), col("doc_id").as("id"), col("rank").as("rank_a"))
+      .select(col("qid"), col("doc_id").as("id"), col("rank"))
     val qvs = questions.zipWithIndex
       .map { case (q, i) => (i, embedder.embed(q).toSeq) }.toDF("qid", "qv")
       .select(col("qid"), Vectors.intVector(col("qv")).as("qv"))
     val vec = Vectors.knnDotMany(index.vecs, "vec_id", qvs, 20)
-      .select(col("qid"), col("vec_id").as("id"), col("rank").as("rank_b"))
-    val fused = kw.join(vec, Seq("qid", "id"), "full_outer")
-      .select(col("qid"), col("id"),
-        (coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0))).as("rrf"))
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val fused = Fts.rrfFuseMany(kw, vec)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)))
       .filter(col("rank") <= k)

@@ -77,17 +77,29 @@ object Fts {
     matched.groupBy("doc_id").agg(count(lit(1)).as("phrase_tf"))
   }
 
-  /** Compact an appended postings table: re-ingested or delta rows
-    * for the same (term, doc_id) merge by summing tf — the index-
-    * maintenance step after N streaming appends
-    * (Incremental.postingsDelta): append is cheap at write time,
-    * compaction restores the one-row-per-(term, doc) invariant
-    * scoring relies on. One shuffle on (term, doc_id); run it
-    * per-partition-cheaply when the store is term-bucketed
-    * (saveBucketed — the groupBy rides the bucket partitioning).
+  /** Compact an appended postings table of ADDITIVE deltas: rows for
+    * the same (term, doc_id) merge by summing tf. Correct ONLY when
+    * appends are partial counts of the same document (its text
+    * ingested in chunks) — a RE-INGESTED document's complete postings
+    * would double; use the versioned overload for that case. One
+    * shuffle on (term, doc_id); exchange-free when the store is
+    * term-bucketed (saveBucketed).
     */
   def compactPostings(post: DataFrame): DataFrame =
     post.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+
+  /** Compact a postings store with RE-INGESTED documents:
+    * last-write-wins per doc — only the rows of each document's
+    * greatest `versionCol` survive (the streaming sink's `batch`
+    * partition column is exactly this version). Restores the
+    * one-row-per-(term, doc) invariant without inflating tf.
+    */
+  def compactPostings(post: DataFrame, versionCol: String): DataFrame = {
+    val latest = post.groupBy(col("doc_id"))
+      .agg(max(col(versionCol)).as(versionCol))
+    post.join(latest, Seq("doc_id", versionCol), "left_semi")
+      .select("term", "doc_id", "tf")
+  }
 
   /** Document frequency per term (from postings — no rescan). */
   def docFreq(post: DataFrame): DataFrame =
@@ -202,6 +214,20 @@ object Fts {
     val rb = b.select(col("id"), col("rank").as("rank_b"))
     ra.join(rb, Seq("id"), "full_outer")
       .select(col("id"),
+        (coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0))).as("rrf"))
+  }
+
+  /** Per-query [[rrfFuse]]: both inputs carry (qid, id, rank); the
+    * fusion joins on (qid, id) so a whole question batch fuses in
+    * one plan. Same arithmetic and same default k as rrfFuse — the
+    * single place the constant lives for the batch path.
+    */
+  def rrfFuseMany(a: DataFrame, b: DataFrame, k: Int = 60): DataFrame = {
+    val ra = a.select(col("qid"), col("id"), col("rank").as("rank_a"))
+    val rb = b.select(col("qid"), col("id"), col("rank").as("rank_b"))
+    ra.join(rb, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
         (coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0))).as("rrf"))
   }

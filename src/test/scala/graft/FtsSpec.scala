@@ -31,19 +31,36 @@ class FtsSpec extends SparkSpec {
     assert(!scored.contains(4L), "non-matching doc absent")
   }
 
-  test("compactPostings merges appended deltas back to the batch index") {
-    val post = Fts.postings(docs, "doc_id", "text")
-    // simulate a re-ingest: the same docs' postings appended twice,
-    // then doc 1 re-tokenized once more
-    val appended = post.unionAll(post)
-      .unionAll(Fts.postings(docs.filter(col("doc_id") === 1), "doc_id", "text"))
-    val compacted = Fts.compactPostings(appended)
+  test("compactPostings (additive): chunked-ingest deltas sum to the full-text index") {
+    // doc 1's text arrives in two chunks — the one case summing is
+    // correct for
+    val chunks = Seq((1L, "spark shuffle"), (1L, "join spark spark"))
+      .toDF("doc_id", "text")
+    val compacted = Fts.compactPostings(
+        Fts.postings(chunks, "doc_id", "text"))
       .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
-    val batch = post.as[(String, Long, Long)].collect()
-      .map { case (t, d, tf) => (t, d) -> tf }.toMap
-    assert(compacted.keySet === batch.keySet, "one row per (term, doc) restored")
-    assert(compacted(("spark", 1L)) === 3L * batch(("spark", 1L)),
-      "doc 1 counted three times pre-compaction; tf sums accordingly")
+    val full = Fts.postings(
+        Seq((1L, "spark shuffle join spark spark")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    assert(compacted === full)
+  }
+
+  test("compactPostings (versioned): re-ingest is last-write-wins, tf never inflates") {
+    val post = Fts.postings(docs, "doc_id", "text").withColumn("batch", lit(0L))
+    // doc 1 re-ingested with NEW text in a later batch
+    val reingest = Fts.postings(
+        Seq((1L, "spark only now")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("batch", lit(1L))
+    val compacted = Fts.compactPostings(post.unionAll(reingest), "batch")
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    val batchIdx = Fts.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    // every surviving doc-1 row comes from the re-ingest, verbatim
+    assert(compacted(("spark", 1L)) === 1L && compacted(("only", 1L)) === 1L)
+    assert(!compacted.contains(("shuffle", 1L)), "old doc-1 postings replaced")
+    // all other docs: exactly the batch index, no inflation anywhere
+    assert(compacted.filter(_._1._2 != 1L) === batchIdx.filter(_._1._2 != 1L))
   }
 
   test("tfidfScoresMany: each qid's scores equal the single-query form") {
