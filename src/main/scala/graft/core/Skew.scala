@@ -35,12 +35,23 @@ object Skew {
     * mid-sized dims against skewed facts, the case AQE's skew-join
     * also targets (this form is deterministic and engine-portable,
     * and works under any join strategy).
+    *
+    * `saltFrom` must be high-cardinality and uncorrelated with `key`
+    * (a row id, an event timestamp — NOT the key itself or a column
+    * functionally dependent on it): every hot-key row must hash to a
+    * DIFFERENT salt or the skew remains while the dim side still pays
+    * the nSalts replication. saltFrom == key is rejected outright;
+    * low-cardinality salt sources degrade silently and are on the
+    * caller.
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       saltFrom: String, nSalts: Int): DataFrame = {
     // nSalts = 0 would yield pmod NULL vs an exploded [0, -1] range —
     // a silently EMPTY join, not an error
     require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
+    require(saltFrom != key,
+      s"saltFrom must differ from the join key '$key': salting by the " +
+        "key maps each hot key to ONE salt — no spread, full replication cost")
     val b = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(d, Seq(key, "__salt")).drop("__salt")

@@ -377,6 +377,12 @@ object CypherLite {
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")
+    // fail-loud principle: DISTINCT alongside aggregates would be a
+    // silent no-op (grouped output is already one row per group key) —
+    // reject rather than parse-and-ignore
+    require(!returnDistinct || returns.forall(_.agg.isEmpty),
+      "RETURN DISTINCT with aggregates is unsupported (grouped output " +
+        "is already distinct per group key — drop DISTINCT)")
     for ((n, _) <- orderBy)
       require(returns.exists(_.as == n), s"ORDER BY references unknown output '$n'")
     require(orderBy.isEmpty && limit.isEmpty || returns.nonEmpty,

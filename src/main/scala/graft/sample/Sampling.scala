@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 4-hex-digit bucket of a row key: uniform over 0x0000..0xffff,
-    * portable (md5 of the SAME string bytes everywhere). Key is cast
-    * to string, so integer keys match `CAST(k AS VARCHAR)` oracles.
+    * portable (md5 of the SAME string bytes everywhere).
+    *
+    * HARD CONTRACT: `key` must be a string or integral column. The
+    * cast-to-string rendering of those types is identical across
+    * engines, so integer keys match `CAST(k AS VARCHAR)` oracles.
+    * Float, decimal, and timestamp keys render DIFFERENTLY between
+    * Spark and other engines (trailing zeros, exponent form, timezone
+    * suffix) and would silently produce a divergent — but individually
+    * plausible — sample; hash such keys yourself into a string/int
+    * key column first.
     */
   def hashBucket(key: Column, seed: String = ""): Column =
     substring(md5(concat(key.cast("string"), lit(seed))), 1, 4)

@@ -91,14 +91,18 @@ object Fts {
   /** Compact a postings store with RE-INGESTED documents:
     * last-write-wins per doc — only the rows of each document's
     * greatest `versionCol` survive (the streaming sink's `batch`
-    * partition column is exactly this version). Restores the
-    * one-row-per-(term, doc) invariant without inflating tf.
+    * partition column is exactly this version). The surviving
+    * version's rows then merge additively — so a version ingested in
+    * chunks (several partial-tf rows for one (term, doc)) still
+    * compacts to the one-row-per-(term, doc) invariant without
+    * inflating tf across versions. The merge groups on the same
+    * (term, doc_id) key the additive overload shuffles on.
     */
   def compactPostings(post: DataFrame, versionCol: String): DataFrame = {
     val latest = post.groupBy(col("doc_id"))
       .agg(max(col(versionCol)).as(versionCol))
     post.join(latest, Seq("doc_id", versionCol), "left_semi")
-      .select("term", "doc_id", "tf")
+      .groupBy("term", "doc_id").agg(sum("tf").as("tf"))
   }
 
   /** Document frequency per term (from postings — no rescan). */
@@ -135,8 +139,11 @@ object Fts {
     * analog of [[tfidfScores]], same per-query df semantics).
     * `queries` is a (qid, term) frame, broadcast twice: once to
     * filter the postings scan (term-pruned when the index is
-    * term-partitioned) and once to attach each query's own df. The
-    * only corpus-sized shuffle is the final (qid, doc_id) aggregate.
+    * term-partitioned) and once to attach each query's own df. Two
+    * corpus-sized exchanges: the (qid, term) window that derives df
+    * (a hash(term) bucketing does NOT satisfy the (qid, term)
+    * distribution, so this one is paid even over saveBucketed
+    * postings) and the final (qid, doc_id) aggregate.
     * Returns (qid, doc_id, score); rank per qid downstream (window
     * for bounded candidate sets, Vectors.knnDotMany's salted
     * two-phase rank for giant fan-outs).

@@ -108,6 +108,9 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN a.tag ORDER BY nope")          // unknown ORDER BY col
     }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN DISTINCT count(*) AS n")       // DISTINCT + aggregate
+    }
   }
 
   test("single-node MATCH is a node scan") {

@@ -63,6 +63,23 @@ class FtsSpec extends SparkSpec {
     assert(compacted.filter(_._1._2 != 1L) === batchIdx.filter(_._1._2 != 1L))
   }
 
+  test("compactPostings (versioned): a chunk-ingested surviving version still merges") {
+    // doc 1's LATEST version itself arrives as two additive chunks —
+    // the surviving rows must merge to one row per (term, doc)
+    val v0 = Fts.postings(Seq((1L, "old text")).toDF("doc_id", "text"),
+      "doc_id", "text").withColumn("batch", lit(0L))
+    val v1chunks = Seq((1L, "spark shuffle"), (1L, "join spark spark"))
+      .toDF("doc_id", "text")
+    val v1 = Fts.postings(v1chunks, "doc_id", "text").withColumn("batch", lit(1L))
+    val compacted = Fts.compactPostings(v0.unionAll(v1), "batch")
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    val full = Fts.postings(
+        Seq((1L, "spark shuffle join spark spark")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(String, Long, Long)].collect().map { case (t, d, tf) => (t, d) -> tf }.toMap
+    assert(compacted === full, "surviving version's chunks merge; v0 fully replaced")
+  }
+
   test("tfidfScoresMany: each qid's scores equal the single-query form") {
     val post = Fts.postings(docs, "doc_id", "text")
     val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))

@@ -24,6 +24,11 @@ class ScaleSpec extends SparkSpec {
     val plain = big.join(dim, Seq("k"))
       .select("row_id", "k", "label").as[(Long, String, String)].collect().toSet
     assert(salted === plain && salted.size === 1000)
+    // salting BY the join key spreads nothing — rejected, not degraded
+    val degenerate = intercept[IllegalArgumentException] {
+      graft.core.Skew.saltedJoin(big, dim, "k", "k", nSalts = 8)
+    }
+    assert(degenerate.getMessage.contains("saltFrom"))
   }
 
   test("bucketed tables join WITHOUT a shuffle exchange on the join key") {
