@@ -283,6 +283,72 @@ object Dedup {
     labels
   }
 
+  /** Train/test contamination pairs — the DECONTAMINATION stage of an
+    * LLM data pipeline: which training documents share enough k-gram
+    * shingles with an evaluation document to leak the benchmark.
+    * Returns (train_id, test_id, common) with `common` = number of
+    * distinct shared shingles, for pairs with common ≥ minCommon.
+    *
+    * Same blocking discipline as [[jaccardPairs]]: the join keys on
+    * the shingle, and shingles with document frequency > `maxDf`
+    * across BOTH corpora are excluded — a shingle appearing in
+    * hundreds of documents is boilerplate, not leaked benchmark
+    * content, and it is exactly the key that makes the train×test
+    * join quadratic. The common count is therefore over rare shingles
+    * only; raise maxDf if the eval set itself is repetitive. The
+    * train side never self-joins — the pair space is train×test
+    * restricted to co-shingles, with map-side partial counts
+    * collapsing it before the (train_id, test_id) shuffle.
+    */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int, minCommon: Long, maxDf: Int = 64): DataFrame = {
+    val tp = postings(train, idCol, textCol, shingleK)
+      .withColumnRenamed("id", "train_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sp = postings(test, idCol, textCol, shingleK)
+      .withColumnRenamed("id", "test_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tp.select(col("shingle")).unionAll(sp.select(col("shingle")))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df") <= maxDf).select("shingle")
+    val result = tp.join(rare, Seq("shingle"))
+      .join(sp, Seq("shingle"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    finalized(result, Seq(tp, sp))
+  }
+
+  /** End-to-end corpus dedup — the composed pipeline stage: exact
+    * pass first (keep each exact group's min-id representative —
+    * shrinks the corpus before anything quadratic-ish runs), then
+    * near-dup pairs over the survivors ([[jaccardPairs]]), transitive
+    * closure ([[components]]), and keep each near-dup group's min-id
+    * representative. Returns the SURVIVING rows of `docs`, schema
+    * unchanged — the frame a tokenizer stage consumes.
+    *
+    * Only the survivor ID SET is checkpointed (compact — one id per
+    * surviving doc); the returned frame is a lazy semi-join of `docs`
+    * against it, so the corpus itself never materializes into cache —
+    * at 100 TB the result streams scan→sink with the id set as the
+    * only resident state.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minJaccard: Double, maxDf: Int = 64): DataFrame = {
+    val exact = docs.join(
+      exactGroups(docs, idCol, textCol).select(col("rep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = jaccardPairs(exact, idCol, textCol, shingleK, minJaccard, maxDf)
+      .select("id_a", "id_b")
+    val dups = components(pairs)
+      .filter(col("id") =!= col("rep")).select(col("id").as(idCol))
+    val survivorIds = finalized(
+      exact.select(idCol).join(dups, Seq(idCol), "left_anti"),
+      Seq(exact))
+    docs.join(survivorIds, Seq(idCol), "left_semi")
+  }
+
   /** Edit-distance-1 pairs over a string column — the SymSpell
     * deletion-neighborhood join (the fuzzy-match stage of entity
     * resolution / near-dup detection on short strings). Two strings

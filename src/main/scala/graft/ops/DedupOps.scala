@@ -33,6 +33,12 @@ object DedupOps {
   private val LshBands = 4
   private val EmbDim = 64   // driver-generated embeddings dimension
 
+  // decontamination: deterministic 10% eval split, ≥3 shared rare
+  // shingles flags a (train, test) pair
+  private val SplitSeed = "split"
+  private val TestRate = 0.1
+  private val MinCommon = 3L
+
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** Parse 8 hex chars of an md5 column `h` starting at `off`
@@ -44,13 +50,14 @@ object DedupOps {
     }.mkString("(", " + ", ")")
 
   /** DuckDB word-shingle CTE body (same semantics as Dedup.wordShingles). */
-  private val sqlShingleCte =
+  private def sqlShingleCteFrom(src: String): String =
     s"""sh AS (
        |  SELECT doc_id AS id,
        |         list_distinct(list_transform(
        |           range(1, greatest(len(toks) - ${ShingleK - 1}, 1) + 1, 1),
        |           i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))) AS shingles
-       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM $src))""".stripMargin
+  private val sqlShingleCte = sqlShingleCteFrom("documents")
 
   val defs: Seq[QueryDef] = Seq(
     // D1 exact dedup: hash-groupBy on normalized content. One shuffle
@@ -275,6 +282,75 @@ object DedupOps {
            |  UNION
            |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
            |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY ALL""".stripMargin)
+    ),
+    // D10 train/test DECONTAMINATION: which training docs share ≥
+    // MinCommon rare shingles with an eval doc (benchmark leakage).
+    // The split is the deterministic hash split (Sampling.hashBucket,
+    // 10% test); the pair join blocks on df-capped shingles — the
+    // same discipline that keeps d2 off the quadratic cliff.
+    QueryDef(
+      "d10_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isTest = graft.sample.Sampling.hashBucket(col("doc_id"), SplitSeed) <
+          lit(graft.sample.Sampling.rateThreshold(TestRate))
+        orderedByAll(Dedup.contaminationPairs(
+          docs.filter(!isTest), docs.filter(isTest),
+          "doc_id", "text", ShingleK, MinCommon, MaxShingleDf))
+      },
+      Some(
+        s"""WITH $sqlShingleCte,
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |split AS (SELECT doc_id AS id,
+           |                 substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 4)
+           |                   < '${graft.sample.Sampling.rateThreshold(TestRate)}' AS is_test
+           |          FROM documents),
+           |dfq AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= $MaxShingleDf)
+           |SELECT t.id AS train_id, e.id AS test_id, count(*) AS common
+           |FROM post t JOIN split st ON t.id = st.id AND NOT st.is_test
+           |     JOIN dfq ON t.shingle = dfq.shingle
+           |     JOIN post e ON t.shingle = e.shingle
+           |     JOIN split se ON e.id = se.id AND se.is_test
+           |GROUP BY 1, 2
+           |HAVING count(*) >= $MinCommon
+           |ORDER BY ALL""".stripMargin)
+    ),
+    // D11 end-to-end corpus dedup: exact pass → near-dup pairs over
+    // survivors → connected components → keep min-id reps. The full
+    // composed pipeline stage; output is the surviving corpus (ids
+    // here — the operator returns the full rows).
+    QueryDef(
+      "d11_dedup_corpus",
+      (s, d) => orderedByAll(
+        Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+          ShingleK, MinJaccard, MaxShingleDf).select("doc_id")),
+      Some(
+        s"""WITH RECURSIVE
+           |ex AS (SELECT min(doc_id) AS id FROM documents
+           |       GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+           |docs1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.id),
+           |${sqlShingleCteFrom("docs1")},
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           |SELECT doc_id FROM docs1
+           |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+           |ORDER BY ALL""".stripMargin)
     ),
     // D9 edit-distance-1 fuzzy pairs (SymSpell deletion-neighborhood
     // blocking): customer names differing by one character. The

@@ -17,6 +17,7 @@ object VectorOps {
   private val QueryIdIvf = 7
   private val NBatchQueries = 5
   private val BatchK = 5
+  private val RerankK = 50  // quantized-phase candidates kept for exact re-rank
 
   private val sqlIv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
@@ -84,6 +85,54 @@ object VectorOps {
            |       CAST(list_sum(list_transform(range(1, len(iv) + 1, 1),
            |                                    i -> iv[i] * qv[i])) AS BIGINT) AS dot
            |FROM iv JOIN q ON blk = qblk
+           |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
+    ),
+    // V5 int8-quantized two-phase KNN: phase 1 ranks the TINYINT
+    // index by rescaled quantized dot and keeps RerankK candidates,
+    // phase 2 fetches only those from the full-precision store and
+    // re-ranks exactly — the compression shape for a corpus whose
+    // float vectors exceed the scan budget (4× smaller index; same
+    // output schema as v1, and identical content when the quantized
+    // recall@RerankK holds, which the oracle verifies end-to-end).
+    QueryDef(
+      "v5_knn_quantized",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q8 = e.select(col("vec_id"),
+          Vectors.q8Vector(col("embedding")).as("q8"),
+          Vectors.q8Scale(col("embedding")).as("scale"))
+        val full = e.select(col("vec_id"),
+          Vectors.intVector(col("embedding")).as("iv"))
+        val q = e.filter(col("vec_id") === QueryId).select(
+          Vectors.q8Vector(col("embedding")).cast("array<bigint>").as("qq8"),
+          Vectors.q8Scale(col("embedding")).as("qscale"),
+          Vectors.intVector(col("embedding")).as("qv"))
+        Vectors.knnQuantized(q8, full, "vec_id", q, K, RerankK)
+      },
+      Some(
+        s"""WITH q8 AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CASE WHEN mx > 0
+           |             THEN CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT) ELSE 0 END) AS q8,
+           |         mx AS scale
+           |  FROM (SELECT vec_id, embedding,
+           |               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           |        FROM embeddings)),
+           |qq AS (SELECT q8, scale FROM q8 WHERE vec_id = $QueryId),
+           |cand AS (
+           |  SELECT vec_id FROM (
+           |    SELECT q8.vec_id,
+           |           CAST(list_sum(list_transform(range(1, len(q8.q8) + 1, 1),
+           |                                        i -> q8.q8[i] * qq.q8[i])) AS DOUBLE)
+           |             * q8.scale * qq.scale AS qscore
+           |    FROM q8, qq)
+           |  ORDER BY qscore DESC, vec_id ASC LIMIT $RerankK),
+           |iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+           |qv AS (SELECT iv AS qv FROM iv WHERE vec_id = $QueryId)
+           |SELECT iv.vec_id,
+           |       CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |                                    i -> iv.iv[i] * qv.qv[i])) AS BIGINT) AS dot
+           |FROM iv JOIN cand USING (vec_id), qv
            |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
     ),
     // V2c batch KNN: top-k per query for a query SET (the

@@ -92,6 +92,68 @@ object Vectors {
         .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot")),
       idCol, k, nSalts)
 
+  /** Per-vector symmetric int8 scale: max |x_i| as a double. The
+    * dequantization factor is `scale / 127`; keeping the raw max (not
+    * the ratio) avoids one rounding step in the score rescale.
+    */
+  def q8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 scalar quantization of a float-vector column:
+    * q_i = floor(x_i / max|x| · 127) as TINYINT — 1 byte per
+    * dimension in columnar storage, 4× smaller than float32 and 8×
+    * smaller than the 1e7-scaled long form. This is the vector
+    * COMPRESSION path at 100 TB: the quantized index is what the
+    * scan reads; full precision is fetched only for the re-rank
+    * candidates ([[knnQuantized]]). All arithmetic is double-divide /
+    * double-multiply / floor — deterministic IEEE ops an oracle
+    * engine reproduces bit-for-bit (round-half cases never arise
+    * with floor). Zero vectors quantize to all-zero instead of NaN.
+    * Quantization runs ONCE at index-build time, so the interpreted
+    * HOF here never sits on the query path; scoring reuses the
+    * codegen'd [[intDot]].
+    */
+  def q8Vector(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    transform(v, x =>
+      when(mx > lit(0.0), floor(x.cast("double") / mx * 127))
+        .otherwise(lit(0L)).cast("byte"))
+  }
+
+  /** Two-phase quantized KNN — the production ANN shape for a corpus
+    * whose full-precision vectors don't fit the scan budget:
+    * phase 1 scans the int8 index (`embQ8`: idCol, q8 TINYINT[],
+    * scale) and takes the top `rerankK` by the rescaled quantized
+    * dot (TakeOrderedAndProject — never a global sort); phase 2
+    * fetches ONLY those candidates from the full-precision store
+    * (`embFull`: idCol, iv — a broadcast semi-join, the "fetch" of a
+    * two-tier index) and re-ranks exactly. `query` is one row with
+    * (qq8 BIGINT[], qscale, qv) so both phases reuse one broadcast.
+    * Returns (idCol, dot) — identical shape and, at rerankK ≥ corpus
+    * size, identical content to [[knnDot]].
+    *
+    * The phase-1 rank key is dotq·scale·scale_q (the /127² constant
+    * dropped — it never reorders); multiplication order is fixed so
+    * candidate selection is bit-deterministic across engines.
+    */
+  def knnQuantized(embQ8: DataFrame, embFull: DataFrame, idCol: String,
+      query: DataFrame, k: Int, rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK $rerankK < k $k")
+    val q = broadcast(query)
+    val cand = embQ8.crossJoin(q)
+      .select(col(idCol),
+        (intDot(col("q8").cast("array<bigint>"), col("qq8")).cast("double") *
+          col("scale") * col("qscale")).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(rerankK)
+      .select(idCol)
+    embFull.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .select(col(idCol), intDot(col("iv"), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic, ENGINE-PORTABLE random hyperplanes for signed
     * random projection LSH: weight(p, i) = first 8 hex chars of
     * md5("pl_p_i") as an integer, centered (− 2³¹) — the same value

@@ -228,6 +228,65 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got("anti") + 1.0) < 1e-12)
   }
 
+  test("contaminationPairs flags train docs sharing rare shingles with eval docs") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),       // leaks test 20
+      (11L, "totally unrelated training material here"),
+      (12L, "common boiler plate common boiler plate")    // boilerplate overlap
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (20L, "alpha beta gamma delta epsilon eta"),
+      (21L, "common boiler plate common boiler plate")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(train, test, "doc_id", "text",
+        shingleK = 3, minCommon = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // shingles of 10 ∩ 20: "alpha beta gamma", "beta gamma delta",
+    // "gamma delta epsilon" = 3 common; 12 ∩ 21 share their 3
+    // boilerplate shingles (df=2, under the cap)
+    assert(got === Set((10L, 20L, 3L), (12L, 21L, 3L)))
+    // df cap: with maxDf=1 every shared shingle (df=2) is excluded
+    assert(Dedup.contaminationPairs(train, test, "doc_id", "text",
+      shingleK = 3, minCommon = 1, maxDf = 1).isEmpty)
+  }
+
+  test("dedupCorpus keeps one representative per exact and near-dup group") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text",
+        shingleK = 3, minJaccard = 0.5)
+    assert(out.columns.toSeq === docs.columns.toSeq, "schema unchanged")
+    // exact group {1,2,5} → 1 survives; near-dup (1,3) → 3 drops; 4 unique
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+  }
+
+  test("knnQuantized at full rerank equals exact knnDot; q8 stays in int8 range") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val q8 = e.select(col("vec_id"), Vectors.q8Vector(col("embedding")).as("q8"),
+      Vectors.q8Scale(col("embedding")).as("scale"))
+    assert(q8.schema("q8").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    assert(q8.filter(exists(col("q8"), v => abs(v) > 127)).isEmpty)
+    val full = e.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val q = e.filter(col("vec_id") === 0).select(
+      Vectors.q8Vector(col("embedding")).cast("array<bigint>").as("qq8"),
+      Vectors.q8Scale(col("embedding")).as("qscale"),
+      Vectors.intVector(col("embedding")).as("qv"))
+    val quant = Vectors.knnQuantized(q8, full, "vec_id", q, 5, rerankK = n)
+      .as[(Long, Long)].collect().toSeq
+    val exact = Vectors.knnDot(full,
+      "vec_id", q.select(col("qv")), 5).as[(Long, Long)].collect().toSeq
+    assert(quant === exact, "rerankK = corpus size makes quantized KNN exact")
+  }
+
+  test("q8Vector quantizes a zero vector to zeros, not NaN casts") {
+    val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
+      .toDF("id", "v")
+      .select(col("id"), Vectors.q8Vector(col("v")).as("q8"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(z(1L).toSeq === Seq[Byte](0, 0, 0))
+    assert(z(2L).toSeq === Seq[Byte](63, -127, 31)) // floor(x/2*127)
+  }
+
   test("knnDot returns k rows, highest dot first, self ranked top") {
     val iv = graft.core.Tables.embeddings(spark, sf)
       .select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
