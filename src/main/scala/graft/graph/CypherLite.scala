@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Supported surface:
   *  - chain patterns of `(alias:Label {prop: literal, …})` nodes
-  *    joined by `-[:REL]->` / `<-[:REL]-` edges; comma-separated
-  *    parts branch off bound aliases; literals are single-quoted
-  *    strings, integers, decimals, booleans.
+  *    joined by `-[:REL]->` / `<-[:REL]-` / undirected `-[:REL]-`
+  *    edges; comma-separated parts branch off bound aliases; literals
+  *    are single-quoted strings, integers, decimals, booleans.
+  *    Undirected edges are single-hop only (var-length would need
+  *    relationship-uniqueness; bfs(undirected=true) covers
+  *    reachability).
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
   *    required — unbounded `*` is rejected, the scale rule).
   *  - `OPTIONAL MATCH` clauses (one chain each, anchored at a bound
@@ -60,7 +63,7 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  import PropertyGraph.{Direction, In, Out, PatternNode, PatternStep}
+  import PropertyGraph.{Direction, In, Out, Both, PatternNode, PatternStep}
 
   /** One RETURN item: `agg = None` → a plain (grouping) item; `prop =
     * None` → the alias's id column; `distinct` only with count.
@@ -98,6 +101,10 @@ object CypherLite {
     """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
   private val EdgeBackRe =
     """^<-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
+  // undirected `-[:REL]-`: like Fwd but the trailing dash must NOT be
+  // an arrowhead (tried after Fwd, which consumes `->`)
+  private val EdgeUndirRe =
+    """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*-(?!>)""".r
   private val PlainItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
@@ -214,7 +221,17 @@ object CypherLite {
             case Some(m) =>
               rest = rest.substring(m.end).trim
               val (lo, hi) = bounds(m); (m.group(1), In, lo, hi)
-            case None => fail("expected -[:REL]-> or <-[:REL]-", rest)
+            case None => EdgeUndirRe.findFirstMatchIn(rest) match {
+              case Some(m) =>
+                rest = rest.substring(m.end).trim
+                val (lo, hi) = bounds(m)
+                require(hi == 1,
+                  s"undirected var-length '-[:${m.group(1)}*…]-' is unsupported " +
+                    "(relationship-uniqueness semantics); use a directed bound walk " +
+                    "or PropertyGraph.bfs(undirected = true)")
+                (m.group(1), Both, lo, hi)
+              case None => fail("expected -[:REL]->, <-[:REL]- or -[:REL]-", rest)
+            }
           }
         }
       }

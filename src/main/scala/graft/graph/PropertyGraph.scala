@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 final case class PropertyGraph(
     nodes: Map[String, DataFrame],
     edges: Map[String, (String, String, DataFrame)]) {
-  import PropertyGraph.{Direction, Out, In, PatternNode, PatternStep}
+  import PropertyGraph.{Direction, Out, In, Both, PatternNode, PatternStep}
 
   /** Single-hop expansion: follow `relType` forward from `ids("id")`.
     * Returns the distinct arrival SET (one exchange).
@@ -44,8 +44,15 @@ final case class PropertyGraph(
     */
   private def step(relType: String, dir: Direction, ids: DataFrame): DataFrame = {
     val (_, _, e) = edges(relType)
-    val (from, to) = dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
-    e.join(ids, e(from) === ids("id")).select(e(to).as("id"))
+    val oriented = dir match {
+      case Out => e.select(col("src").as("__f"), col("dst").as("__t"))
+      case In  => e.select(col("dst").as("__f"), col("src").as("__t"))
+      // undirected: both orientations — a projection-and-union, no
+      // extra shuffle (same trick as bfs(undirected = true))
+      case Both => e.select(col("src").as("__f"), col("dst").as("__t"))
+        .unionAll(e.select(col("dst").as("__f"), col("src").as("__t")))
+    }
+    oriented.join(ids, oriented("__f") === ids("id")).select(col("__t").as("id"))
   }
 
   /** Fixed pattern: start at `startLabel` rows passing `pred`, walk
@@ -66,6 +73,14 @@ final case class PropertyGraph(
   def matchPattern(
       startLabel: String, pred: Column,
       steps: Seq[(String, Direction)]): DataFrame = {
+    // matchPattern's hop chain is label-blind between steps, so an
+    // undirected hop is only unambiguous over a same-label edge —
+    // use matchPaths (label-typed positions) for heterogeneous ones
+    for ((r, d) <- steps if d == Both) {
+      val (s, t, _) = edges(r)
+      require(s == t, s"undirected step over heterogeneous edge '$r' " +
+        s"($s→$t): use matchPaths, whose positions carry labels")
+    }
     val start = nodes(startLabel).filter(pred).select(col("id"))
     // un-deduped hops, ONE distinct at pattern end: reachability
     // semantics at joins-only cost (fan-in rows are a skinny id
@@ -75,6 +90,11 @@ final case class PropertyGraph(
     val endLabel = steps.last match {
       case (r, Out) => edges(r)._2
       case (r, In)  => edges(r)._1
+      case (r, Both) =>
+        val (s, d, _) = edges(r)
+        require(s == d, s"undirected terminal step over heterogeneous " +
+          s"edge '$r' ($s→$d): the arrival label is ambiguous")
+        s
     }
     nodes(endLabel).join(endIds, "id")
   }
@@ -113,18 +133,44 @@ final case class PropertyGraph(
     for (st <- steps) {
       require(st.minHops >= 1 && st.maxHops >= st.minHops,
         s"step ${st.rel}: bad hop bounds *${st.minHops}..${st.maxHops}")
+      // undirected var-length would need Cypher's relationship-
+      // uniqueness (no edge reused within a path) to avoid counting
+      // trivial back-and-forth walks — not expressible as plain edge
+      // chains; bfs(undirected = true) covers undirected REACHABILITY
+      require(st.dir != Both || st.maxHops == 1,
+        s"step ${st.rel}: undirected var-length is unsupported " +
+          "(use bfs(undirected = true) for reachability)")
       val (_, _, e) = edges(st.rel)
-      val (from, to) = st.dir match { case Out => ("src", "dst"); case In => ("dst", "src") }
       val anchor = st.from.getOrElse(prev)
       require(df.columns.contains(anchor), s"unknown anchor alias '$anchor'")
-      val base = e.select(col(from).as("__from"), col(to).as("__to"))
+      val fwd = e.select(col("src").as("__from"), col("dst").as("__to"))
+      val bwd = e.select(col("dst").as("__from"), col("src").as("__to"))
+      val base = st.dir match {
+        case Out => fwd
+        case In  => bwd
+        case Both =>
+          // undirected: only TYPE-COMPATIBLE orientations — the
+          // declared arrival label picks which side(s) the step may
+          // land on. Deciding by label (not a post-hoc id semi-join)
+          // matters because per-label id spaces may overlap: an id
+          // that exists in both tables would otherwise leak through
+          // from the wrong side.
+          val (sl, dl, _) = edges(st.rel)
+          val parts = Seq(
+            if (dl == st.node.label) Some(fwd) else None,
+            if (sl == st.node.label) Some(bwd) else None).flatten
+          require(parts.nonEmpty,
+            s"undirected step -[:${st.rel}]- cannot arrive at label " +
+              s"'${st.node.label}' (edge is $sl→$dl)")
+          parts.reduce(_ unionAll _)
+      }
       // var-length (*min..max): union-all of h-fold edge chains — one
       // row per PATH of each length (Cypher multiplicity; intermediate
       // positions are unaliased). The chains self-join the skinny
       // 2-column edge relation, never the path frame, so the fan-out
       // is bounded by real path counts, not pattern width.
       val hChains = (2 to st.maxHops).scanLeft(base) { (acc, _) =>
-        val nxt = e.select(col(from).as("__f2"), col(to).as("__t2"))
+        val nxt = base.select(col("__from").as("__f2"), col("__to").as("__t2"))
         acc.join(nxt, col("__to") === col("__f2"))
           .select(col("__from"), col("__t2").as("__to"))
       }
@@ -240,6 +286,15 @@ object PropertyGraph {
   sealed trait Direction
   case object Out extends Direction
   case object In extends Direction
+
+  /** Undirected (`-[:REL]-`): the step matches the edge in EITHER
+    * orientation — compiled as a projection-and-union of the two
+    * directions, no extra shuffle. Single-hop only in patterns
+    * (var-length would need relationship-uniqueness semantics);
+    * [[PropertyGraph.bfs]] with `undirected = true` is the
+    * var-length reachability form.
+    */
+  case object Both extends Direction
 
   /** A pattern position: node `label`, output alias `as`, optional
     * node predicate (applied mid-chain via a semi-join — the Cypher

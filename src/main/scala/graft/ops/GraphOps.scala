@@ -261,6 +261,25 @@ object GraphOps {
              |  ON c_nationkey = n_nationkey AND c_mktsegment = 'AUTOMOBILE'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
+    // G11 undirected Cypher edges (`-[:REL]-`): the step matches
+    // whichever orientation is TYPE-compatible with the declared
+    // arrival label — (n)-[:HAS_NATION]-(r:region) can only land on
+    // the region side, (n)-[:HAS_CUSTOMER]-(c:customer) only on the
+    // customer side (label-typed, robust to overlapping per-label id
+    // spaces). One branch up, one branch down, path counts per
+    // Cypher multiplicity.
+    QueryDef(
+      "g11_cypher_undirected",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_NATION]-(r:region {id: 0}),
+          |      (n)-[:HAS_CUSTOMER]-(c:customer)
+          |RETURN n.n_name AS n_name, count(*) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE n_regionkey = 0
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
     // G10 PageRank, 3 fixed iterations over the heterogeneous edge
     // set. The oracle unrolls the SAME rounds as CTEs with every
     // float literal cast to DOUBLE, so both engines run identical

@@ -59,6 +59,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(p.labels === Map("s" -> "S", "a" -> "A", "p" -> "P"))
   }
 
+  test("undirected edge lands on the type-compatible side only") {
+    val p = CypherLite.parse("(b:B)-[:R1]-(a:A)")
+    assert(p.steps.map(_.dir) === Seq(PropertyGraph.Both))
+    // from b2: R1 is A→B, arrival label A → only the src side — the
+    // two in-edges of b2 (a1, a4); node id 2 exists in B only, but
+    // label typing (not id disjointness) is what must dedupe the sides
+    val rows = CypherLite.query(g, "(b:B {id: 2})-[:R1]-(a:A) RETURN a.tag")
+      .as[String].collect().toSet
+    assert(rows === Set("a1", "a4"))
+    // and the other orientation: from a4 to both its B neighbors
+    val fwd = CypherLite.query(g, "(a:A {id: 4})-[:R1]-(b:B) RETURN b.tag")
+      .as[String].collect().toSet
+    assert(fwd === Set("b2", "b5"))
+  }
+
+  test("undirected var-length and label-incompatible undirected steps fail loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:A)-[:R1*1..2]-(b:B)")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g, "(a:A)-[:R1]-(c:C)").collect()  // R1 is A→B: C fits neither side
+    }
+  }
+
   test("comma-separated pattern parts branch off bound aliases (q8 shape)") {
     // (a)-R1->(b)<-R2-(c) plus a branch re-entering at b:
     // which OTHER A-nodes also point at b2?
