@@ -50,8 +50,8 @@ object DedupOps {
     }.mkString("(", " + ", ")")
 
   /** DuckDB word-shingle CTE body (same semantics as Dedup.wordShingles). */
-  private def sqlShingleCteFrom(src: String): String =
-    s"""sh AS (
+  private def sqlShingleCteFrom(src: String, name: String = "sh"): String =
+    s"""$name AS (
        |  SELECT doc_id AS id,
        |         list_distinct(list_transform(
        |           range(1, greatest(len(toks) - ${ShingleK - 1}, 1) + 1, 1),
@@ -350,6 +350,71 @@ object DedupOps {
            |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
            |SELECT doc_id FROM docs1
            |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+           |ORDER BY ALL""".stripMargin)
+    ),
+    // D12 composed curation — the FULL training-data stage as one
+    // operator: quality 'ok' + lang 'en' (codegen'd per-row filters
+    // run first, shrinking the corpus before any shuffle), then exact
+    // + near-dup dedup with min-id survivors, then decontamination
+    // against the held-out eval split. One oracle covers the whole
+    // composition end to end.
+    QueryDef(
+      "d12_clean_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isTest = graft.sample.Sampling.hashBucket(col("doc_id"), SplitSeed) <
+          lit(graft.sample.Sampling.rateThreshold(TestRate))
+        orderedByAll(graft.pipeline.Curation.cleanCorpus(
+          docs.filter(!isTest), "doc_id", "text", Seq("en"),
+          ShingleK, MinJaccard, MaxShingleDf,
+          eval = Some(docs.filter(isTest)), minCommon = MinCommon)
+          .select("doc_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |split AS (SELECT doc_id, text,
+           |                 substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 4)
+           |                   < '${graft.sample.Sampling.rateThreshold(TestRate)}' AS is_test
+           |          FROM documents),
+           |clean AS (SELECT doc_id, text FROM split
+           |          WHERE NOT is_test AND ${TextOps.sqlQualityCase} = 'ok'
+           |            AND ${TextOps.sqlLangCase} = 'en'),
+           |ex AS (SELECT min(doc_id) AS id FROM clean
+           |       GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+           |docs1 AS (SELECT c.doc_id, c.text FROM clean c JOIN ex ON c.doc_id = ex.id),
+           |${sqlShingleCteFrom("docs1")},
+           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |surv AS (SELECT doc_id FROM docs1
+           |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)),
+           |tpost AS (SELECT post.id, post.shingle FROM post JOIN surv ON post.id = surv.doc_id),
+           |evdocs AS (SELECT doc_id, text FROM split WHERE is_test),
+           |${sqlShingleCteFrom("evdocs", "she")},
+           |epost AS (SELECT id, unnest(shingles) AS shingle FROM she),
+           |cdf AS (SELECT shingle FROM (SELECT shingle FROM tpost
+           |                             UNION ALL SELECT shingle FROM epost) u
+           |        GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+           |contp AS (SELECT t.id AS tid, e.id AS eid, count(*) AS common
+           |          FROM tpost t JOIN cdf ON t.shingle = cdf.shingle
+           |               JOIN epost e ON t.shingle = e.shingle
+           |          GROUP BY 1, 2 HAVING count(*) >= $MinCommon)
+           |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT tid FROM contp)
            |ORDER BY ALL""".stripMargin)
     ),
     // D9 edit-distance-1 fuzzy pairs (SymSpell deletion-neighborhood

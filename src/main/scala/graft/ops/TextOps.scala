@@ -24,6 +24,31 @@ object TextOps {
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** DuckDB rendering of TextFunctions.langId over a `text` column —
+    * shared with the composed-curation oracle (DedupOps d12).
+    */
+  private[ops] def sqlLangCase: String = {
+    val en = sqlHits(sqlToks, stopwords("en"))
+    val es = sqlHits(sqlToks, stopwords("es"))
+    val fr = sqlHits(sqlToks, stopwords("fr"))
+    val de = sqlHits(sqlToks, stopwords("de"))
+    s"""CASE WHEN $en + $es + $fr + $de = 0 THEN 'und'
+       |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+       |     WHEN $es >= $fr AND $es >= $de THEN 'es'
+       |     WHEN $fr >= $de THEN 'fr'
+       |     ELSE 'de' END""".stripMargin
+  }
+
+  /** DuckDB rendering of TextFunctions.qualityBucket — ditto. */
+  private[ops] def sqlQualityCase: String = {
+    val en = sqlHits(sqlToks, stopwords("en"))
+    s"""CASE WHEN len($sqlToks) < 10 THEN 'too_short'
+       |     WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |            / CAST(length(text) AS DOUBLE) > 0.1 THEN 'noisy'
+       |     WHEN CAST($en AS DOUBLE) / CAST(len($sqlToks) AS DOUBLE) < 0.01 THEN 'unnatural'
+       |     ELSE 'ok' END""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // T1 token counting: word tokens, distinct tokens, BPE-ish subword
     // count (cost estimation), chars. All per-row expressions: no
@@ -58,20 +83,10 @@ object TextOps {
             .groupBy("lang", "pred")
             .agg(count(lit(1)).as("n")))
       },
-      Some {
-        val en = sqlHits(sqlToks, stopwords("en"))
-        val es = sqlHits(sqlToks, stopwords("es"))
-        val fr = sqlHits(sqlToks, stopwords("fr"))
-        val de = sqlHits(sqlToks, stopwords("de"))
-        s"""SELECT lang,
-           |  CASE WHEN $en + $es + $fr + $de = 0 THEN 'und'
-           |       WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
-           |       WHEN $es >= $fr AND $es >= $de THEN 'es'
-           |       WHEN $fr >= $de THEN 'fr'
-           |       ELSE 'de' END AS pred,
-           |  count(*) AS n
-           |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin
-      }
+      Some(s"""SELECT lang,
+              |  $sqlLangCase AS pred,
+              |  count(*) AS n
+              |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     ),
     // T3 quality scoring: per-doc heuristic features + bucket, then a
     // per-(source,bucket) rollup. Ratios are single IEEE divisions of
@@ -89,17 +104,10 @@ object TextOps {
             .groupBy("source", "bucket")
             .agg(count(lit(1)).as("n")))
       },
-      Some {
-        val en = sqlHits(sqlToks, stopwords("en"))
-        s"""SELECT source,
-           |  CASE WHEN len($sqlToks) < 10 THEN 'too_short'
-           |       WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-           |              / CAST(length(text) AS DOUBLE) > 0.1 THEN 'noisy'
-           |       WHEN CAST($en AS DOUBLE) / CAST(len($sqlToks) AS DOUBLE) < 0.01 THEN 'unnatural'
-           |       ELSE 'ok' END AS bucket,
-           |  count(*) AS n
-           |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin
-      }
+      Some(s"""SELECT source,
+              |  $sqlQualityCase AS bucket,
+              |  count(*) AS n
+              |FROM documents GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     ),
     // T4 winnowing fingerprint: min-md5 over 8-char shingles of the
     // normalized text; output per-doc. Pure map-side work.

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** The composed corpus-curation stage of an LLM data pipeline —
+  * quality filter → language filter → dedup → decontamination — as
+  * one operator over a `documents`-shaped frame. Each stage exists
+  * standalone ([[graft.text.TextFunctions]], [[graft.dedup.Dedup]]);
+  * this is the production composition, ordered for scale:
+  * the per-row filters run FIRST (pure codegen'd expressions at scan
+  * speed, no shuffle) so everything shuffle-bound downstream — the
+  * shingle joins, the component fixpoint, the contamination join —
+  * sees the smallest possible corpus.
+  */
+object Curation {
+
+  /** Clean a corpus end to end. Keeps rows that (1) score quality
+    * bucket "ok", (2) language-ID into `keepLangs`, (3) survive exact
+    * + near-dup dedup ([[Dedup.dedupCorpus]] — min-id representative
+    * per duplicate group), and (4) when `eval` is given, share fewer
+    * than `minCommon` rare shingles with every eval document
+    * ([[Dedup.contaminationPairs]] — benchmark-leak removal).
+    * Schema unchanged; only compact id sets are ever materialized, so
+    * the result streams scan→sink at any scale.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String], shingleK: Int, minJaccard: Double,
+      maxDf: Int = 64, eval: Option[DataFrame] = None,
+      minCommon: Long = 3L): DataFrame = {
+    require(keepLangs.nonEmpty, "empty language whitelist keeps nothing")
+    val toks = TextFunctions.tokens(col(textCol))
+    val kept = docs.filter(
+      TextFunctions.qualityBucket(size(toks), TextFunctions.punctRatio(col(textCol)),
+        TextFunctions.stopwordRatio(toks)) === "ok" &&
+        TextFunctions.langId(toks).isin(keepLangs: _*))
+    val deduped = Dedup.dedupCorpus(kept, idCol, textCol, shingleK, minJaccard, maxDf)
+    eval.fold(deduped) { ev =>
+      val contaminated = Dedup.contaminationPairs(deduped, ev, idCol, textCol,
+        shingleK, minCommon, maxDf)
+        .select(col("train_id").as(idCol)).distinct()
+      deduped.join(contaminated, Seq(idCol), "left_anti")
+    }
+  }
+}
