@@ -48,9 +48,13 @@ final case class PropertyGraph(
       case Out => e.select(col("src").as("__f"), col("dst").as("__t"))
       case In  => e.select(col("dst").as("__f"), col("src").as("__t"))
       // undirected: both orientations — a projection-and-union, no
-      // extra shuffle (same trick as bfs(undirected = true))
+      // extra shuffle (same trick as bfs(undirected = true)). Only
+      // reached for same-label edges (matchPattern's guard); the
+      // reversed copy drops self-loops so each undirected self-loop
+      // relationship matches once, Cypher-style
       case Both => e.select(col("src").as("__f"), col("dst").as("__t"))
-        .unionAll(e.select(col("dst").as("__f"), col("src").as("__t")))
+        .unionAll(e.select(col("dst").as("__f"), col("src").as("__t"))
+          .filter(col("__f") =!= col("__t")))
     }
     oriented.join(ids, oriented("__f") === ids("id")).select(col("__t").as("id"))
   }
@@ -90,11 +94,8 @@ final case class PropertyGraph(
     val endLabel = steps.last match {
       case (r, Out) => edges(r)._2
       case (r, In)  => edges(r)._1
-      case (r, Both) =>
-        val (s, d, _) = edges(r)
-        require(s == d, s"undirected terminal step over heterogeneous " +
-          s"edge '$r' ($s→$d): the arrival label is ambiguous")
-        s
+      // same-label by the guard loop above, so either endpoint works
+      case (r, Both) => edges(r)._1
     }
     nodes(endLabel).join(endIds, "id")
   }
@@ -126,6 +127,7 @@ final case class PropertyGraph(
     // the anchor shape OPTIONAL MATCH clauses extend
     val aliases = (start +: steps.map(_.node)).map(_.as)
     require(aliases.distinct == aliases, s"duplicate position aliases: $aliases")
+    val aliasLabel = (start +: steps.map(_.node)).map(n => n.as -> n.label).toMap
     val s0 = nodes(start.label)
     var df = start.pred.foldLeft(s0)((d, p) => d.filter(p))
       .select(col("id").as(start.as))
@@ -149,20 +151,26 @@ final case class PropertyGraph(
         case Out => fwd
         case In  => bwd
         case Both =>
-          // undirected: only TYPE-COMPATIBLE orientations — the
-          // declared arrival label picks which side(s) the step may
-          // land on. Deciding by label (not a post-hoc id semi-join)
-          // matters because per-label id spaces may overlap: an id
-          // that exists in both tables would otherwise leak through
-          // from the wrong side.
+          // undirected: only TYPE-COMPATIBLE orientations — BOTH the
+          // anchor's label and the declared arrival label must match
+          // the edge's endpoint labels for an orientation to apply.
+          // Deciding by labels (not a post-hoc id semi-join) matters
+          // because per-label id spaces may overlap: an id existing
+          // in both tables would otherwise leak through from the
+          // wrong side — and an anchor-side mismatch would join the
+          // anchor ids against a foreign key space.
           val (sl, dl, _) = edges(st.rel)
-          val parts = Seq(
-            if (dl == st.node.label) Some(fwd) else None,
-            if (sl == st.node.label) Some(bwd) else None).flatten
-          require(parts.nonEmpty,
-            s"undirected step -[:${st.rel}]- cannot arrive at label " +
-              s"'${st.node.label}' (edge is $sl→$dl)")
-          parts.reduce(_ unionAll _)
+          val al = aliasLabel(anchor)
+          val fwdOk = sl == al && dl == st.node.label
+          val bwdOk = dl == al && sl == st.node.label
+          require(fwdOk || bwdOk,
+            s"undirected step ($al)-[:${st.rel}]-(${st.node.label}) fits " +
+              s"neither orientation of edge $sl→$dl")
+          // same-label edge, both orientations: a SELF-LOOP row would
+          // appear in each — Cypher matches an undirected self-loop
+          // once, so the reversed copy drops it
+          if (fwdOk && bwdOk) fwd.unionAll(bwd.filter(col("__from") =!= col("__to")))
+          else if (fwdOk) fwd else bwd
       }
       // var-length (*min..max): union-all of h-fold edge chains — one
       // row per PATH of each length (Cypher multiplicity; intermediate

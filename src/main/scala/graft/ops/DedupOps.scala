@@ -59,6 +59,33 @@ object DedupOps {
        |  FROM (SELECT doc_id, $sqlToks AS toks FROM $src))""".stripMargin
   private val sqlShingleCte = sqlShingleCteFrom("documents")
 
+  /** The shared near-dup pipeline CTE chain — postings → df-capped
+    * candidates → exact-Jaccard pairs → symmetrized edges → recursive
+    * reachability → min-label components. Consumes a shingle CTE
+    * named `sh`; leaves `post` and `comp` defined. The single SQL
+    * source for every oracle that clusters near-dups (d7, d11, d12) —
+    * a threshold tweak edits ONE place.
+    */
+  private def sqlNearDupComponentCtes: String =
+    s"""post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+       |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+       |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // D1 exact dedup: hash-groupBy on normalized content. One shuffle
     // on the 16-byte key regardless of document size — the canonical
@@ -264,24 +291,8 @@ object DedupOps {
             ShingleK, MinJaccard, MaxShingleDf).select("id_a", "id_b"))),
       Some(
         s"""WITH RECURSIVE $sqlShingleCte,
-           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
-           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
-           |cand AS (
-           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
-           |pairs AS (
-           |  SELECT id_a, id_b
-           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
-           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
-           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |        UNION ALL SELECT id_b, id_a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT DISTINCT src, src FROM sym
-           |  UNION
-           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
-           |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY ALL""".stripMargin)
+           |$sqlNearDupComponentCtes
+           |SELECT id, rep FROM comp ORDER BY ALL""".stripMargin)
     ),
     // D10 train/test DECONTAMINATION: which training docs share ≥
     // MinCommon rare shingles with an eval doc (benchmark leakage).
@@ -330,24 +341,7 @@ object DedupOps {
            |       GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
            |docs1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.id),
            |${sqlShingleCteFrom("docs1")},
-           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
-           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
-           |cand AS (
-           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
-           |pairs AS (
-           |  SELECT id_a, id_b
-           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
-           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
-           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |        UNION ALL SELECT id_b, id_a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT DISTINCT src, src FROM sym
-           |  UNION
-           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
-           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+           |$sqlNearDupComponentCtes
            |SELECT doc_id FROM docs1
            |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
            |ORDER BY ALL""".stripMargin)
@@ -383,24 +377,7 @@ object DedupOps {
            |       GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
            |docs1 AS (SELECT c.doc_id, c.text FROM clean c JOIN ex ON c.doc_id = ex.id),
            |${sqlShingleCteFrom("docs1")},
-           |post AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-           |rare AS (SELECT shingle FROM post GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
-           |blocked AS (SELECT id, shingle FROM post JOIN rare USING (shingle)),
-           |cand AS (
-           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-           |  FROM blocked x JOIN blocked y ON x.shingle = y.shingle AND x.id < y.id),
-           |pairs AS (
-           |  SELECT id_a, id_b
-           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
-           |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           |          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= $MinJaccard),
-           |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |        UNION ALL SELECT id_b, id_a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT DISTINCT src, src FROM sym
-           |  UNION
-           |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
-           |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |$sqlNearDupComponentCtes,
            |surv AS (SELECT doc_id FROM docs1
            |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)),
            |tpost AS (SELECT post.id, post.shingle FROM post JOIN surv ON post.id = surv.doc_id),

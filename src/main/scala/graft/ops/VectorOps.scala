@@ -98,15 +98,22 @@ object VectorOps {
       "v5_knn_quantized",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val q8 = e.select(col("vec_id"),
-          Vectors.q8Vector(col("embedding")).as("q8"),
-          Vectors.q8Scale(col("embedding")).as("scale"))
+        // scale materialized first, THEN referenced by the quantize
+        // lambda — inline q8Scale would re-derive the max per element
+        val q8 = e.select(col("vec_id"), col("embedding"),
+            Vectors.q8Scale(col("embedding")).as("scale"))
+          .select(col("vec_id"),
+            Vectors.q8Vector(col("embedding"), col("scale")).as("q8"),
+            col("scale"))
         val full = e.select(col("vec_id"),
           Vectors.intVector(col("embedding")).as("iv"))
-        val q = e.filter(col("vec_id") === QueryId).select(
-          Vectors.q8Vector(col("embedding")).cast("array<bigint>").as("qq8"),
-          Vectors.q8Scale(col("embedding")).as("qscale"),
-          Vectors.intVector(col("embedding")).as("qv"))
+        val q = e.filter(col("vec_id") === QueryId)
+          .select(col("embedding"), Vectors.q8Scale(col("embedding")).as("qscale"),
+            Vectors.intVector(col("embedding")).as("qv"))
+          .select(
+            Vectors.q8Vector(col("embedding"), col("qscale"))
+              .cast("array<bigint>").as("qq8"),
+            col("qscale"), col("qv"))
         Vectors.knnQuantized(q8, full, "vec_id", q, K, RerankK)
       },
       Some(

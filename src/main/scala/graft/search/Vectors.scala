@@ -100,7 +100,7 @@ object Vectors {
     array_max(transform(v, x => abs(x.cast("double"))))
 
   /** Symmetric int8 scalar quantization of a float-vector column:
-    * q_i = floor(x_i / max|x| · 127) as TINYINT — 1 byte per
+    * q_i = floor(x_i / scale · 127) as TINYINT — 1 byte per
     * dimension in columnar storage, 4× smaller than float32 and 8×
     * smaller than the 1e7-scaled long form. This is the vector
     * COMPRESSION path at 100 TB: the quantized index is what the
@@ -112,13 +112,18 @@ object Vectors {
     * Quantization runs ONCE at index-build time, so the interpreted
     * HOF here never sits on the query path; scoring reuses the
     * codegen'd [[intDot]].
+    *
+    * `scale` must be [[q8Scale]] of the SAME row MATERIALIZED by a
+    * prior projection (`.select(..., q8Scale(v).as("scale"))`, then
+    * reference `col("scale")`) — not the q8Scale expression inline:
+    * HOF lambdas evaluate interpreted with no common-subexpression
+    * elimination, so an array_max embedded in the lambda re-scans the
+    * vector per ELEMENT, O(d²) per row across the whole corpus.
     */
-  def q8Vector(v: Column): Column = {
-    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+  def q8Vector(v: Column, scale: Column): Column =
     transform(v, x =>
-      when(mx > lit(0.0), floor(x.cast("double") / mx * 127))
+      when(scale > lit(0.0), floor(x.cast("double") / scale * 127))
         .otherwise(lit(0L)).cast("byte"))
-  }
 
   /** Two-phase quantized KNN — the production ANN shape for a corpus
     * whose full-precision vectors don't fit the scan budget:

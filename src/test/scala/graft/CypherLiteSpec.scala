@@ -81,6 +81,21 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CypherLite.query(g, "(a:A)-[:R1]-(c:C)").collect()  // R1 is A→B: C fits neither side
     }
+    // ANCHOR-side mismatch must fail too: R2 is C→B, so (b:B)-[:R2]-(bb:B)
+    // fits neither orientation even though the ARRIVAL label matches one —
+    // joining B-ids against C's key space would be the overlap leak
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g, "(b:B {id: 2})-[:R2]-(bb:B)").collect()
+    }
+  }
+
+  test("undirected same-label edge matches a self-loop once, not twice") {
+    val g2 = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N", Seq((1L, 2L), (2L, 2L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(g2, "(a:N {id: 2})-[:E]-(b:N) RETURN b.tag")
+      .as[String].collect().toSeq.sorted
+    assert(rows === Seq("x", "y"), "reversed copy of (2,2) must not double-match")
   }
 
   test("comma-separated pattern parts branch off bound aliases (q8 shape)") {

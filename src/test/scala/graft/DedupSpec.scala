@@ -261,16 +261,19 @@ class DedupSpec extends SparkSpec {
   test("knnQuantized at full rerank equals exact knnDot; q8 stays in int8 range") {
     val e = graft.core.Tables.embeddings(spark, sf)
     val n = e.count().toInt
-    val q8 = e.select(col("vec_id"), Vectors.q8Vector(col("embedding")).as("q8"),
-      Vectors.q8Scale(col("embedding")).as("scale"))
+    val q8 = e.select(col("vec_id"), col("embedding"),
+        Vectors.q8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"),
+        Vectors.q8Vector(col("embedding"), col("scale")).as("q8"), col("scale"))
     assert(q8.schema("q8").dataType ===
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
     assert(q8.filter(exists(col("q8"), v => abs(v) > 127)).isEmpty)
     val full = e.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
-    val q = e.filter(col("vec_id") === 0).select(
-      Vectors.q8Vector(col("embedding")).cast("array<bigint>").as("qq8"),
-      Vectors.q8Scale(col("embedding")).as("qscale"),
-      Vectors.intVector(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding"), Vectors.q8Scale(col("embedding")).as("qscale"),
+        Vectors.intVector(col("embedding")).as("qv"))
+      .select(Vectors.q8Vector(col("embedding"), col("qscale"))
+        .cast("array<bigint>").as("qq8"), col("qscale"), col("qv"))
     val quant = Vectors.knnQuantized(q8, full, "vec_id", q, 5, rerankK = n)
       .as[(Long, Long)].collect().toSeq
     val exact = Vectors.knnDot(full,
@@ -281,7 +284,8 @@ class DedupSpec extends SparkSpec {
   test("q8Vector quantizes a zero vector to zeros, not NaN casts") {
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("id", "v")
-      .select(col("id"), Vectors.q8Vector(col("v")).as("q8"))
+      .select(col("id"), col("v"), Vectors.q8Scale(col("v")).as("s"))
+      .select(col("id"), Vectors.q8Vector(col("v"), col("s")).as("q8"))
       .as[(Long, Seq[Byte])].collect().toMap
     assert(z(1L).toSeq === Seq[Byte](0, 0, 0))
     assert(z(2L).toSeq === Seq[Byte](63, -127, 31)) // floor(x/2*127)
