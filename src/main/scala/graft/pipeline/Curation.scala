@@ -33,16 +33,28 @@ object Curation {
       minCommon: Long = 3L): DataFrame = {
     require(keepLangs.nonEmpty, "empty language whitelist keeps nothing")
     val toks = TextFunctions.tokens(col(textCol))
+    // The filter's stopword hitCounts are interpreted HOFs — cheap
+    // once, expensive re-derived: the dedup stage consumes this frame
+    // from several plans (exact groups, both sides of the shingle
+    // self-join, the survivor joins), so persist the filtered slim
+    // projection and release it once the survivor ID SET (compact) is
+    // checkpointed. The returned frame is a lazy semi-join of the raw
+    // input against those ids — no filter re-run, no corpus in cache.
     val kept = docs.filter(
-      TextFunctions.qualityBucket(size(toks), TextFunctions.punctRatio(col(textCol)),
-        TextFunctions.stopwordRatio(toks)) === "ok" &&
-        TextFunctions.langId(toks).isin(keepLangs: _*))
+        TextFunctions.qualityBucket(size(toks), TextFunctions.punctRatio(col(textCol)),
+          TextFunctions.stopwordRatio(toks)) === "ok" &&
+          TextFunctions.langId(toks).isin(keepLangs: _*))
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = Dedup.dedupCorpus(kept, idCol, textCol, shingleK, minJaccard, maxDf)
-    eval.fold(deduped) { ev =>
+    val survivorIds = eval.fold(deduped.select(idCol)) { ev =>
       val contaminated = Dedup.contaminationPairs(deduped, ev, idCol, textCol,
         shingleK, minCommon, maxDf)
         .select(col("train_id").as(idCol)).distinct()
-      deduped.join(contaminated, Seq(idCol), "left_anti")
+      deduped.select(idCol).join(contaminated, Seq(idCol), "left_anti")
     }
+    val ids = survivorIds.localCheckpoint(true)
+    kept.unpersist(false)
+    docs.join(ids, Seq(idCol), "left_semi")
   }
 }
