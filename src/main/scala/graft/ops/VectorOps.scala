@@ -142,6 +142,69 @@ object VectorOps {
            |FROM iv JOIN cand USING (vec_id), qv
            |ORDER BY dot DESC, vec_id ASC LIMIT $K""".stripMargin)
     ),
+    // V6 batch quantized KNN: the compressed index serving a whole
+    // query set — quantized scan + salted per-query rank keeps
+    // rerankK candidates per query, then an exact re-rank over only
+    // the fetched candidates. Oracle = plain windows over the same
+    // two-phase arithmetic.
+    QueryDef(
+      "v6_knn_quantized_batch",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q8 = e.select(col("vec_id"), col("embedding"),
+            Vectors.q8Scale(col("embedding")).as("scale"))
+          .select(col("vec_id"),
+            Vectors.q8Vector(col("embedding"), col("scale")).as("q8"),
+            col("scale"))
+        val full = e.select(col("vec_id"),
+          Vectors.intVector(col("embedding")).as("iv"))
+        val qs = e.filter(col("vec_id") < NBatchQueries)
+          .select(col("vec_id"), col("embedding"),
+            Vectors.q8Scale(col("embedding")).as("qscale"),
+            Vectors.intVector(col("embedding")).as("qv"))
+          .select(col("vec_id").as("qid"),
+            Vectors.q8Vector(col("embedding"), col("qscale"))
+              .cast("array<bigint>").as("qq8"),
+            col("qscale"), col("qv"))
+        Tables.orderedByAll(
+          Vectors.knnQuantizedMany(q8, full, "vec_id", qs, BatchK, RerankK))
+      },
+      Some(
+        s"""WITH q8 AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CASE WHEN mx > 0
+           |             THEN CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT) ELSE 0 END) AS q8,
+           |         mx AS scale
+           |  FROM (SELECT vec_id, embedding,
+           |               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           |        FROM embeddings)),
+           |qs AS (SELECT vec_id AS qid, q8, scale FROM q8 WHERE vec_id < $NBatchQueries),
+           |scored AS (
+           |  SELECT qs.qid, q8.vec_id,
+           |         CAST(list_sum(list_transform(range(1, len(q8.q8) + 1, 1),
+           |                                      i -> q8.q8[i] * qs.q8[i])) AS DOUBLE)
+           |           * q8.scale * qs.scale AS qscore
+           |  FROM q8, qs),
+           |cand AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY qscore DESC, vec_id ASC) AS r
+           |    FROM scored) WHERE r <= $RerankK),
+           |iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+           |qv AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id < $NBatchQueries),
+           |rer AS (
+           |  SELECT c.qid, iv.vec_id,
+           |         CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |                                      i -> iv.iv[i] * qv.qv[i])) AS BIGINT) AS dot
+           |  FROM cand c JOIN iv ON c.vec_id = iv.vec_id JOIN qv ON c.qid = qv.qid),
+           |ranked AS (
+           |  SELECT qid, vec_id, dot,
+           |         row_number() OVER (PARTITION BY qid
+           |                            ORDER BY dot DESC, vec_id ASC) AS rank
+           |  FROM rer)
+           |SELECT qid, vec_id, dot, rank FROM ranked WHERE rank <= $BatchK
+           |ORDER BY ALL""".stripMargin)
+    ),
     // V2c batch KNN: top-k per query for a query SET (the
     // training-pipeline shape — score an incoming batch against a
     // reference corpus in one pass). Salted two-phase rank keeps any

@@ -159,6 +159,35 @@ object Vectors {
       .limit(k)
   }
 
+  /** Batch [[knnQuantized]]: top-k per query for a query SET over the
+    * int8 index — the compressed batch-serving shape. Phase 1 scores
+    * the quantized scan against every query (one broadcast, one pass)
+    * and keeps `rerankK` candidates per query via the salted
+    * two-phase rank (no reducer ever holds a corpus-sized window);
+    * phase 2 fetches ONLY the candidate (qid, id) pairs from the
+    * full-precision store — the candidate set broadcasts, so the
+    * fetch is scan-side — and re-ranks exactly. `queries` carries
+    * (qid, qq8 BIGINT[], qscale, qv). Returns (qid, idCol, dot, rank)
+    * like [[knnDotMany]], and equals it when rerankK ≥ corpus size.
+    */
+  def knnQuantizedMany(embQ8: DataFrame, embFull: DataFrame, idCol: String,
+      queries: DataFrame, k: Int, rerankK: Int, nSalts: Int = 16): DataFrame = {
+    require(rerankK >= k, s"rerankK $rerankK < k $k")
+    val q = broadcast(queries)
+    val cand = topKPerQuery(
+      embQ8.crossJoin(q)
+        .select(col("qid"), col(idCol),
+          (intDot(col("q8").cast("array<bigint>"), col("qq8")).cast("double") *
+            col("scale") * col("qscale")).as("dot")),
+      idCol, rerankK, nSalts)
+      .select(col("qid"), col(idCol))
+    topKPerQuery(
+      embFull.join(broadcast(cand), Seq(idCol))
+        .join(q.select(col("qid"), col("qv")), Seq("qid"))
+        .select(col("qid"), col(idCol), intDot(col("iv"), col("qv")).as("dot")),
+      idCol, k, nSalts)
+  }
+
   /** Deterministic, ENGINE-PORTABLE random hyperplanes for signed
     * random projection LSH: weight(p, i) = first 8 hex chars of
     * md5("pl_p_i") as an integer, centered (− 2³¹) — the same value

@@ -281,6 +281,32 @@ class DedupSpec extends SparkSpec {
     assert(quant === exact, "rerankK = corpus size makes quantized KNN exact")
   }
 
+  test("knnQuantizedMany at full rerank equals exact knnDotMany per query") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val q8 = e.select(col("vec_id"), col("embedding"),
+        Vectors.q8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"),
+        Vectors.q8Vector(col("embedding"), col("scale")).as("q8"), col("scale"))
+    val full = e.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.q8Scale(col("embedding")).as("qscale"),
+        Vectors.intVector(col("embedding")).as("qv"))
+      .select(col("vec_id").as("qid"),
+        Vectors.q8Vector(col("embedding"), col("qscale"))
+          .cast("array<bigint>").as("qq8"),
+        col("qscale"), col("qv"))
+    val quant = Vectors.knnQuantizedMany(q8, full, "vec_id", qs, 5, rerankK = n)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val exact = Vectors.knnDotMany(full, "vec_id",
+        qs.select(col("qid"), col("qv")), 5)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(quant === exact)
+  }
+
   test("q8Vector quantizes a zero vector to zeros, not NaN casts") {
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("id", "v")
