@@ -10,7 +10,14 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev convenience: SPARK_GRAFT_ONLY=q1,q2 restricts the dump for a
+    // fast local loop with tools/check.py; the driver sets no env, so
+    // its gate always runs the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

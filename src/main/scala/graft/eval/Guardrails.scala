@@ -61,6 +61,29 @@ object Guardrails {
     coalesce(regexp_extract_all(text, lit(EmailRegex.regex), lit(0)),
       array().cast("array<string>"))
 
+  // ---- generic PII patterns beyond email (training-data scrubbing)
+
+  /** Phone / IPv4 patterns for corpus PII scrubbing. Detection is the
+    * codegen'd `regexp_extract_all` builtin (the same §2.9 G1 mapping
+    * as email detection) and the mask is a plain `regexp_replace` to
+    * a fixed placeholder token — no UDF anywhere on this path, unlike
+    * the email mask, whose structure-preserving rewrite has no
+    * builtin equivalent. Patterns stay inside the subset shared by
+    * Java regex and RE2 (`\b`, bounded `{m,n}` repetition, literal
+    * classes) so the DuckDB oracle replays them verbatim.
+    */
+  val PhoneRegex: String = """\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Regex: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** All matches of `regex` in `text` (empty array, never null). */
+  def findPatternCol(text: Column, regex: String): Column =
+    coalesce(regexp_extract_all(text, lit(regex), lit(0)),
+      array().cast("array<string>"))
+
+  /** Replace every `regex` match with a fixed placeholder token. */
+  def scrubPattern(text: Column, regex: String, token: String): Column =
+    regexp_replace(text, regex, token)
+
   // ---- domain classification / policy verdicts (guardrails.py:103-198)
 
   /** Guardrail configuration (EmailGuardrail ctor args,

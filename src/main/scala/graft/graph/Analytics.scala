@@ -67,4 +67,56 @@ object GraphAnalytics {
     withDeg.unpersist(false)
     res
   }
+
+  /** Per-node triangle counts over an undirected edge set given as
+    * (src, dst) rows in any orientation (duplicates and both-direction
+    * rows tolerated; self-loops dropped).
+    *
+    * The classic degree-orientation algorithm: canonicalize edges,
+    * then orient each from its lower-(degree, id) endpoint to the
+    * higher. Orientation makes the edge relation acyclic and roots
+    * every wedge at its lowest-rank vertex, so wedge fan-out is
+    * bounded by O(m^1.5) TOTAL regardless of hot hubs — the reason
+    * this survives power-law graphs where the naive "join on any
+    * shared endpoint" blows up on the max-degree node. Each triangle
+    * is enumerated exactly once as an oriented path a→b→c closed by
+    * the oriented edge a→c (a left_semi probe), then exploded to its
+    * three corners for the per-node tally. Plan shape: two equi-joins
+    * + one semi-join + one agg, all shuffled on node ids — no cross
+    * product anywhere. At 100 TB, pre-bucket the oriented edge set by
+    * its source node and both wedge joins co-locate.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient: (a → b) with rank(a) < rank(b), rank = (deg, id)
+    val ranked = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ranked
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("z")),
+      Seq("x", "z"), "left_semi")
+    val res = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true)
+    und.unpersist(false)
+    oriented.unpersist(false)
+    res
+  }
 }

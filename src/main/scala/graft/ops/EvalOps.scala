@@ -227,6 +227,57 @@ object EvalOps {
            |  CASE expected $matchedCases END AS matched
            |FROM t ORDER BY ALL""".stripMargin
       }
+    ),
+    // E7 multi-pattern PII scrub (training-data scrubbing beyond the
+    // reference's email guardrail): phone + IPv4 detection counts and
+    // placeholder masking over synthesized text — some rows carry a
+    // phone, some an IP, some both, some neither, so every
+    // detect/mask branch is exercised. Pure regexp builtins end to
+    // end (detect = regexp_extract_all, mask = regexp_replace): the
+    // whole query is one codegen'd projection, zero shuffles before
+    // the presentation sort.
+    QueryDef(
+      "e7_pii_scrub",
+      (s, d) => {
+        val key = col("c_custkey")
+        val phone = concat(
+          lpad(((key * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((key * 13) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((key * 31) % 10000).cast("string"), 4, "0"))
+        val ip = concat(lit("10."), ((key * 3) % 256).cast("string"),
+          lit(".0."), (key % 256).cast("string"))
+        val text = concat(lit("note for "), col("c_name"),
+          when(key % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+          when(key % 5 === 0, concat(lit(" ping "), ip)).otherwise(lit("")))
+        orderedByAll(
+          Tables.customer(s, d).select(
+            col("c_custkey"),
+            size(Guardrails.findPatternCol(text, Guardrails.PhoneRegex)).as("n_phones"),
+            size(Guardrails.findPatternCol(text, Guardrails.Ipv4Regex)).as("n_ips"),
+            Guardrails.scrubPattern(
+              Guardrails.scrubPattern(text, Guardrails.PhoneRegex, "[PHONE]"),
+              Guardrails.Ipv4Regex, "[IP]").as("scrubbed")))
+      },
+      Some("""WITH t AS (
+             |  SELECT c_custkey,
+             |    'note for ' || c_name ||
+             |    CASE WHEN c_custkey % 3 = 0 THEN ' call ' ||
+             |      lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |      lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |      lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+             |    ELSE '' END ||
+             |    CASE WHEN c_custkey % 5 = 0 THEN ' ping 10.' ||
+             |      CAST((c_custkey * 3) % 256 AS VARCHAR) || '.0.' ||
+             |      CAST(c_custkey % 256 AS VARCHAR)
+             |    ELSE '' END AS text
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+             |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             |  regexp_replace(
+             |    regexp_replace(text, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
+             |FROM t ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -312,6 +312,40 @@ object GraphOps {
            |${round("r2", "r3")}
            |SELECT id, rank FROM r3 ORDER BY ALL""".stripMargin
       }
+    ),
+    // G12 triangle counting (degree-orientation) over a supplier
+    // co-occurrence graph: suppliers are adjacent when they serve the
+    // same order. The synthetic data is uniformly random, so the
+    // co-occurrence graph is near-complete — the query scopes to the
+    // mod-10 supplier subset to keep the triangle population (~120k
+    // at sf0.1) a query-sized workload; the operator itself
+    // (GraphAnalytics.triangleCounts) is generic and its
+    // degree-orientation bound is what survives power-law graphs at
+    // scale. Oracle enumerates canonical id-ordered triangles — a
+    // DIFFERENT orientation than the engine's (degree, id) rank,
+    // which pins that the count is orientation-invariant.
+    QueryDef(
+      "g12_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_suppkey") % 10 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+        orderedByAll(graft.graph.GraphAnalytics.triangleCounts(edges))
+      },
+      Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+             |           FROM lineitem WHERE l_suppkey % 10 = 0),
+             |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+             |      FROM d a JOIN d b ON a.ok = b.ok AND a.sk < b.sk),
+             |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+             |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+             |SELECT id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

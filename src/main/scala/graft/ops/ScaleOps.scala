@@ -146,6 +146,42 @@ object ScaleOps {
           Tables.documents(s, d).select("doc_id"), Seq(col("doc_id")))),
       Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rid
              |FROM documents ORDER BY ALL""".stripMargin)
+    ),
+    // X6 snapshot → SCD2: per-user event_type runs compacted into
+    // validity intervals (valid_to = next run's start, null while
+    // open) — the CDC/warehouse compaction operator; the value-change
+    // sibling of x4's time-gap islands. Integer-micros bounds with
+    // event_id as the tiebreaker, so interval edges are
+    // engine-portable and tie-stable. All passes partition on
+    // user_id: one distribution, two windows, one agg.
+    QueryDef(
+      "x6_scd2",
+      (s, d) => orderedByAll(
+        graft.temporal.Sessions.scd2(
+            Tables.events(s, d), col("user_id"),
+            unix_micros(col("ts")), col("event_id"), col("event_type"))
+          .select(col("key").as("user_id"), col("seg"),
+            col("attr").as("event_type"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"),
+            col("n_events"))),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+             |           FROM events),
+             |o AS (SELECT user_id, us, event_id, event_type,
+             |        CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             |             THEN 1 ELSE 0 END AS chg
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (SELECT user_id, us, event_type,
+             |        CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+             |      FROM o),
+             |g AS (SELECT user_id, seg, min(event_type) AS event_type,
+             |             min(us) AS valid_from_us, count(*) AS n_events
+             |      FROM s GROUP BY 1, 2)
+             |SELECT user_id, seg, event_type, valid_from_us,
+             |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_us,
+             |       n_events
+             |FROM g ORDER BY ALL""".stripMargin)
     )
   )
 }

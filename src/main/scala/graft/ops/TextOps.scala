@@ -158,6 +158,75 @@ object TextOps {
              |  FROM t)
              |SELECT doc_id, shard, start // 512 AS win, start % 512 AS off
              |FROM p ORDER BY ALL""".stripMargin)
+    ),
+    // T6 repetition signals (Gopher-style duplicate-n-gram quality
+    // filters, adapted to newline-free text): per-doc unique-token
+    // fraction, the count of the most frequent bigram, and the
+    // fraction of bigram occurrences belonging to repeated bigrams.
+    // Two stacked aggregates keyed on doc_id — map-side partial
+    // combine on (doc_id, bg), then a per-doc rollup: no window, no
+    // array crosses a shuffle, skew bounded by per-doc bigram counts.
+    // Fractions are single IEEE divisions of exact ints (portable).
+    QueryDef(
+      "t6_repetition",
+      (s, d) => {
+        val perBg = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            size(col("toks")).as("n_toks"),
+            size(array_distinct(col("toks"))).as("n_uniq"),
+            explode(bigrams(col("toks"))).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("n"),
+            max(col("n_toks")).as("n_toks"), max(col("n_uniq")).as("n_uniq"))
+        orderedByAll(
+          perBg.groupBy("doc_id").agg(
+            max(col("n_toks")).as("n_toks"),
+            (max(col("n_uniq")).cast("double") /
+              max(col("n_toks")).cast("double")).as("uniq_tok_frac"),
+            max(col("n")).as("top_bg_n"),
+            (sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).cast("double") /
+              sum(col("n")).cast("double")).as("dup_bg_frac")))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |f AS (SELECT doc_id, len(toks) AS n_toks,
+              |             len(list_distinct(toks)) AS n_uniq,
+              |             unnest(list_transform(range(1, len(toks)),
+              |                                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+              |      FROM t WHERE len(toks) >= 2),
+              |c AS (SELECT doc_id, bg, count(*) AS n,
+              |             max(n_toks) AS n_toks, max(n_uniq) AS n_uniq
+              |      FROM f GROUP BY 1, 2)
+              |SELECT doc_id, max(n_toks) AS n_toks,
+              |       CAST(max(n_uniq) AS DOUBLE) / CAST(max(n_toks) AS DOUBLE) AS uniq_tok_frac,
+              |       max(n) AS top_bg_n,
+              |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+              |         / CAST(sum(n) AS DOUBLE) AS dup_bg_frac
+              |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // T7 corpus-wide vocabulary counting: top-100 bigrams by global
+    // frequency — the count pass a BPE/vocab-building stage runs over
+    // the whole corpus. Explode → partial-agg count (map-side combine
+    // does the heavy lifting; the shuffle carries one row per
+    // DISTINCT bigram per partition, not per occurrence) →
+    // TakeOrdered top-k with the bigram string as the deterministic
+    // tiebreaker at the cutoff.
+    QueryDef(
+      "t7_ngram_vocab",
+      (s, d) => Tables.documents(s, d)
+        .select(tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(bigrams(col("toks"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc)
+        .limit(100),
+      Some(s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+              |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+              |                                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+              |      FROM t WHERE len(toks) >= 2)
+              |SELECT bg, count(*) AS n FROM b
+              |GROUP BY 1 ORDER BY n DESC, bg LIMIT 100""".stripMargin)
     )
   )
 }

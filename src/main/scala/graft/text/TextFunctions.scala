@@ -99,4 +99,17 @@ object TextFunctions {
   /** Exact-dup content key: md5 of whitespace-normalized lowercase text. */
   def contentKey(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Adjacent word-token bigrams ("w1 w2") — the unit of the
+    * repetition-quality signals (Gopher-style duplicate-n-gram
+    * filters) and of corpus-wide vocabulary counting. Empty array for
+    * docs with fewer than two tokens (a `sequence(1, 0)` would flip
+    * into a descending range, so the guard is load-bearing).
+    * `element_at` is 1-based.
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -125,4 +125,29 @@ class GraphSpec extends SparkSpec {
         Seq(PatternStep("REL1", Out, PatternNode("B", "b"), from = Some("nope"))))
     }
   }
+
+  test("triangleCounts: per-node tallies; duplicates/reversals/self-loops tolerated") {
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4}; node 6
+    // hangs off a non-triangle edge, node 5 only self-loops
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L),
+      (3L, 2L), // reversed duplicate of (2,3)
+      (5L, 5L), // self-loop — dropped
+      (4L, 6L)  // dangling edge — no triangle
+    ).toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      "each node counts the triangles it participates in; 5 and 6 absent")
+  }
+
+  test("triangleCounts on a complete K4 finds all four triangles") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4 = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.triangleCounts(k4)
+      .as[(Long, Long)].collect().toMap
+    // C(4,3) = 4 triangles; each node sits in C(3,2) = 3 of them
+    assert(got === nodes.map(_ -> 3L).toMap)
+  }
 }

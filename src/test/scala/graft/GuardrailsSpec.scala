@@ -115,4 +115,31 @@ class GuardrailsSpec extends AnyFunSuite {
       assert(m.split("@")(1).count(_ == '.') === e.split("@")(1).count(_ == '.'))
     }
   }
+
+  test("PII scrub: phone and IPv4 detect + placeholder-mask, word-bounded") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val rows = Seq(
+      "call 555-123-4567 or 555-999-0000 now",     // two phones
+      "host 10.0.0.1 and 192.168.1.254 up",        // two IPs
+      "mixed 555-123-4567 at 10.0.0.1",            // one of each
+      "order 1234-567-8901 shipped",               // 4-digit prefix: \b blocks the match
+      "version 1.2.3 of 10.0.0.1.5 rests",         // 1.2.3 too short; 10.0.0.1.5 matches its first four octets
+      "clean text, no pii"
+    ).toDF("text")
+    val got = rows.select(
+        size(Guardrails.findPatternCol(col("text"), Guardrails.PhoneRegex)).as("np"),
+        size(Guardrails.findPatternCol(col("text"), Guardrails.Ipv4Regex)).as("ni"),
+        Guardrails.scrubPattern(
+          Guardrails.scrubPattern(col("text"), Guardrails.PhoneRegex, "[PHONE]"),
+          Guardrails.Ipv4Regex, "[IP]").as("s"))
+      .as[(Int, Int, String)].collect().toSeq
+    assert(got(0) === ((2, 0, "call [PHONE] or [PHONE] now")))
+    assert(got(1) === ((0, 2, "host [IP] and [IP] up")))
+    assert(got(2) === ((1, 1, "mixed [PHONE] at [IP]")))
+    assert(got(3)._1 === 0, "digits beyond the group bound must not match")
+    assert(got(4) === ((0, 1, "version 1.2.3 of [IP].5 rests")),
+      "a 5-dotted run matches its first four octets — regex-level detection's documented limit")
+    assert(got(5) === ((0, 0, "clean text, no pii")))
+  }
 }

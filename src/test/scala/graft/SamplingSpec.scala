@@ -74,4 +74,38 @@ class SamplingSpec extends SparkSpec {
       (1L, ts("2026-01-01 11:30:00"), ts("2026-01-01 12:00:00"), 1L, 4.0),
       (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00"), 1L, 8.0)))
   }
+
+  test("scd2 collapses value runs into validity intervals") {
+    // user 1: A A B A — three runs; user 2: one open run of nulls
+    val ev = Seq(
+      (1L, 10L, 1L, Some("A")), (1L, 20L, 2L, Some("A")),
+      (1L, 30L, 3L, Some("B")), (1L, 40L, 4L, Some("A")),
+      (2L, 10L, 5L, None), (2L, 20L, 6L, None)
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.scd2(ev, col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Option[String], Long, Option[Long], Long)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, 1L, Some("A"), 10L, Some(30L), 2L),
+      (1L, 2L, Some("B"), 30L, Some(40L), 1L),
+      (1L, 3L, Some("A"), 40L, None, 1L),
+      (2L, 1L, None, 10L, None, 2L)),
+      "null attr forms a run like any value; last run per key stays open")
+  }
+
+  test("scd2 breaks ties deterministically via the tiebreaker column") {
+    // two events share ts_us=10; event_id order decides the run layout
+    val ev = Seq(
+      (1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"), (1L, 20L, 3L, "A")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessions.scd2(ev, col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSet
+    // order by (ts, event_id): A(id1), B(id2), A(id3) — three runs
+    assert(got === Set(
+      (1L, 1L, "A", 10L, Some(10L), 1L),
+      (1L, 2L, "B", 10L, Some(20L), 1L),
+      (1L, 3L, "A", 20L, None, 1L)))
+  }
 }

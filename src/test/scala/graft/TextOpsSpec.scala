@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Bigram/repetition primitives behind t6_repetition and
+  * t7_ngram_vocab (Gopher-style duplicate-n-gram quality signals and
+  * the vocabulary-count stage).
+  */
+class TextOpsSpec extends SparkSpec {
+  import TestSession.spark.implicits._
+
+  private def bigramsOf(text: String): Seq[String] =
+    Seq(text).toDF("text")
+      .select(bigrams(tokens(col("text"))).as("bg"))
+      .as[Seq[String]].collect().head
+
+  test("bigrams: adjacent pairs, with multiplicity, in order") {
+    assert(bigramsOf("the cat sat on the cat") ===
+      Seq("the cat", "cat sat", "sat on", "on the", "the cat"))
+  }
+
+  test("bigrams: short and empty docs yield empty, never error") {
+    assert(bigramsOf("word") === Seq.empty)
+    assert(bigramsOf("") === Seq.empty)
+    assert(bigramsOf("!!!") === Seq.empty, "no alnum tokens at all")
+  }
+
+  test("repetition fractions on a crafted doc (hand-computed)") {
+    // "a b a b a b" — tokens 6, uniq 2; bigrams: "a b"×3, "b a"×2
+    // (5 total, all repeated) ⇒ top=3, dup_frac=1.0, uniq_frac=2/6
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        explode(bigrams(col("toks"))).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("n"), max("n_toks").as("n_toks"),
+        max("n_uniq").as("n_uniq"))
+      .groupBy("doc_id")
+      .agg(max("n_toks").as("n_toks"),
+        (max(col("n_uniq")).cast("double") /
+          max(col("n_toks")).cast("double")).as("uniq_frac"),
+        max("n").as("top_n"),
+        (sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).cast("double") /
+          sum(col("n")).cast("double")).as("dup_frac"))
+      .as[(Long, Int, Double, Long, Double)].collect().head
+    assert(df === ((1L, 6, 2.0 / 6.0, 3L, 1.0)))
+  }
+}
