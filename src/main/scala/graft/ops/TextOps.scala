@@ -227,6 +227,44 @@ object TextOps {
               |      FROM t WHERE len(toks) >= 2)
               |SELECT bg, count(*) AS n FROM b
               |GROUP BY 1 ORDER BY n DESC, bg LIMIT 100""".stripMargin)
+    ),
+    // T8 vocabulary-coverage filter (the CCNet-shaped signal with the
+    // LM replaced by exact counting): per-doc fraction of token
+    // occurrences OUTSIDE the corpus's top-50 unigrams. Pass 1 builds
+    // the vocab (global count + TakeOrdered-50, tie-broken by token);
+    // pass 2 re-derives per-doc token occurrences and left-semi-style
+    // flags membership via a BROADCAST join against the 50-row vocab
+    // — the corpus-sized side never shuffles on token; the only wide
+    // exchange is the per-doc tally on doc_id. Exact-int fraction.
+    QueryDef(
+      "t8_oov_rate",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(50)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        val occ = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        orderedByAll(
+          occ.join(broadcast(vocab), Seq("tok"), "left_outer")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_toks"),
+              sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_n"))
+            .select(col("doc_id"), col("n_toks"), col("oov_n"),
+              (col("oov_n").cast("double") /
+                col("n_toks").cast("double")).as("oov_frac")))
+      },
+      Some(s"""WITH occ AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+              |vocab AS (SELECT tok FROM occ GROUP BY tok
+              |          ORDER BY count(*) DESC, tok LIMIT 50)
+              |SELECT doc_id, count(*) AS n_toks,
+              |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_n,
+              |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / CAST(count(*) AS DOUBLE) AS oov_frac
+              |FROM occ LEFT JOIN vocab v USING (tok)
+              |GROUP BY doc_id ORDER BY ALL""".stripMargin)
     )
   )
 }
