@@ -119,4 +119,46 @@ object GraphAnalytics {
     oriented.unpersist(false)
     res
   }
+
+  /** Common-neighbor link prediction: for every NON-adjacent node
+    * pair sharing at least one neighbor, the shared-neighbor count
+    * and the neighbor-set Jaccard — the classic structural
+    * recommendation scores.
+    *
+    * Candidates come from a wedge self-join through the shared
+    * neighbor (`p.b < q.b` canonicalizes the pair), so only pairs
+    * with ≥1 common neighbor ever materialize — never the n² pair
+    * space. Existing edges drop via a left-anti join; Jaccard is one
+    * IEEE division of exact longs (|A∩B| / (deg_u + deg_v − |A∩B|)),
+    * engine-portable. Wedge volume is Σ deg(m)² over mid nodes — on
+    * skewed graphs, cap hub degrees upstream (the d2 stop-shingle
+    * lesson applies verbatim: a hot hub's wedge fan-out is quadratic).
+    */
+  def linkPredictScores(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetric adjacency: (a, b) = "b is a neighbor of a"
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
+    val common = adj.as("p")
+      .join(adj.as("q"), col("p.a") === col("q.a") && col("p.b") < col("q.b"))
+      .groupBy(col("p.b").as("u"), col("q.b").as("v"))
+      .agg(count(lit(1)).as("ncommon"))
+    val res = common
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("a").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("a").as("v"), col("dg").as("dv")), "v")
+      .select(col("u"), col("v"), col("ncommon"),
+        (col("ncommon").cast("double") /
+          (col("du") + col("dv") - col("ncommon")).cast("double")).as("jaccard"))
+      .localCheckpoint(true)
+    und.unpersist(false)
+    adj.unpersist(false)
+    res
+  }
 }

@@ -346,6 +346,46 @@ object GraphOps {
              |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
              |n AS (SELECT unnest([x, y, z]) AS id FROM tri)
              |SELECT id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G13 link prediction over the PART co-occurrence graph (parts in
+    // the same order; mod-10 part subset): top-50 non-adjacent pairs
+    // by neighbor-set Jaccard. Unlike g12's supplier graph (which the
+    // uniform generator saturates to near-complete), this one stays
+    // sparse at both SFs — 1.2k/12k edges — so non-edges with common
+    // neighbors actually exist and the anti-join matters. Determinism
+    // at the cutoff: (jaccard DESC, u, v) total order.
+    QueryDef(
+      "g13_link_predict",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_partkey") % 10 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        graft.graph.GraphAnalytics.linkPredictScores(edges)
+          .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+          .limit(50)
+      },
+      Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |           FROM lineitem WHERE l_partkey % 10 = 0),
+             |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+             |      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk),
+             |adj AS (SELECT u AS a, v AS b FROM e
+             |        UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT a, count(*) AS dg FROM adj GROUP BY 1),
+             |cn AS (SELECT p.b AS u, q.b AS v, count(*) AS ncommon
+             |       FROM adj p JOIN adj q ON p.a = q.a AND p.b < q.b
+             |       GROUP BY 1, 2),
+             |cand AS (SELECT cn.u, cn.v, cn.ncommon
+             |         FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v)
+             |SELECT cand.u, cand.v, cand.ncommon,
+             |       CAST(cand.ncommon AS DOUBLE)
+             |         / CAST(du.dg + dv.dg - cand.ncommon AS DOUBLE) AS jaccard
+             |FROM cand JOIN deg du ON cand.u = du.a JOIN deg dv ON cand.v = dv.a
+             |ORDER BY jaccard DESC, u, v LIMIT 50""".stripMargin)
     )
   )
 

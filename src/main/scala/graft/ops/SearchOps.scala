@@ -319,6 +319,30 @@ object SearchOps {
            |    PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rank
            |  FROM fused) WHERE rank <= $FuseK ORDER BY ALL""".stripMargin
       }
+    ),
+    // R9 document chunking — the RAG/embedding ingestion stage:
+    // overlapping 200-char windows every 150 chars, one row per
+    // (doc_id, chunk_id) with the 1-based start offset and the chunk
+    // text. Pure per-row expression arithmetic + explode: a map-only
+    // pass at any scale, and the (doc_id, chunk_id) keys partition
+    // freely into the downstream embed/index stages.
+    QueryDef(
+      "r9_chunk_windows",
+      (s, d) => orderedByAll(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.text.TextFunctions.chunkWindows(
+              col("text"), win = 200, stride = 150)).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.start"),
+            col("c.chunk"))),
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+             |c AS (SELECT doc_id, text,
+             |        unnest(generate_series(0,
+             |          CAST(1 + floor((greatest(len - 200, 0) + 149) / 150) AS INTEGER) - 1)) AS chunk_id
+             |      FROM t)
+             |SELECT doc_id, chunk_id, chunk_id * 150 + 1 AS start,
+             |       substring(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk
+             |FROM c ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -112,4 +112,25 @@ object TextFunctions {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  /** Overlapping character windows for RAG/embedding ingestion: an
+    * array of (chunk_id, start, chunk) structs, windows of `win`
+    * chars every `stride` chars (overlap = win − stride). Chunk count
+    * is `1 + ceil(max(len − win, 0) / stride)` — one chunk always
+    * (even for empty text), and the last chunk starts within the
+    * text. Pure per-row expression arithmetic: chunking a 100 TB
+    * corpus is a map-only pass, and the downstream embed/index stages
+    * see (doc_id, chunk_id) keys that partition freely. `start` is
+    * 1-based (substring convention shared with the SQL oracles).
+    */
+  def chunkWindows(text: Column, win: Int, stride: Int): Column = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val nChunks = (lit(1) +
+      floor((greatest(length(text) - win, lit(0)) + lit(stride - 1)) /
+        lit(stride))).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_id"), (i * stride + 1).as("start"),
+        text.substr(i * stride + 1, lit(win)).as("chunk")))
+  }
 }

@@ -150,4 +150,19 @@ class GraphSpec extends SparkSpec {
     // C(4,3) = 4 triangles; each node sits in C(3,2) = 3 of them
     assert(got === nodes.map(_ -> 3L).toMap)
   }
+
+  test("linkPredictScores: non-adjacent pairs only, hand-computed Jaccard") {
+    // square 1-2-3-4-1 with pendant 5 off node 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.linkPredictScores(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (1L, 3L) -> ((2L, 1.0)),       // share {2,4}; deg 2+2, |∪| = 2
+      (2L, 4L) -> ((2L, 2.0 / 3.0)), // share {1,3}; deg 2+3, |∪| = 3
+      (1L, 5L) -> ((1L, 0.5)),       // share {4}; deg 2+1, |∪| = 2
+      (3L, 5L) -> ((1L, 0.5))),
+      "adjacent pairs and no-common-neighbor pairs (2,5) must be absent")
+  }
 }

@@ -49,4 +49,30 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int, Double, Long, Double)].collect().head
     assert(df === ((1L, 6, 2.0 / 6.0, 3L, 1.0)))
   }
+
+  private def chunksOf(text: String, win: Int, stride: Int): Seq[(Int, Int, String)] =
+    Seq(text).toDF("text")
+      .select(explode(chunkWindows(col("text"), win, stride)).as("c"))
+      .select("c.chunk_id", "c.start", "c.chunk")
+      .as[(Int, Int, String)].collect().toSeq
+
+  test("chunkWindows: overlap arithmetic and last-window clamp") {
+    // 10 chars, win 4, stride 3 ⇒ 1 + ceil(6/3) = 3 chunks
+    assert(chunksOf("abcdefghij", 4, 3) === Seq(
+      (0, 1, "abcd"), (1, 4, "defg"), (2, 7, "ghij")))
+    // 11 chars ⇒ ceil(7/3) = 3 extra; last is a 2-char tail
+    assert(chunksOf("abcdefghijk", 4, 3) === Seq(
+      (0, 1, "abcd"), (1, 4, "defg"), (2, 7, "ghij"), (3, 10, "jk")))
+  }
+
+  test("chunkWindows: short and empty text yield exactly one chunk") {
+    assert(chunksOf("ab", 4, 3) === Seq((0, 1, "ab")))
+    assert(chunksOf("abcd", 4, 3) === Seq((0, 1, "abcd")), "len == win ⇒ 1 chunk")
+    assert(chunksOf("", 4, 3) === Seq((0, 1, "")))
+  }
+
+  test("chunkWindows rejects invalid window geometry") {
+    intercept[IllegalArgumentException] { chunkWindows(col("t"), 4, 5) }
+    intercept[IllegalArgumentException] { chunkWindows(col("t"), 0, 1) }
+  }
 }
