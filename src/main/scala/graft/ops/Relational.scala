@@ -560,6 +560,25 @@ object Relational {
              |       count(DISTINCT source) AS source_distinct,
              |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM documents""".stripMargin)
+    ),
+    // A14 fixed-width histogram (profiling/QA): bin = floor(v / w) —
+    // one IEEE division + floor, identical in both engines — with
+    // count and exact value bounds per bin (min/max are order-free,
+    // no summation of doubles anywhere). One keyed agg with map-side
+    // combine; the bin key space is range/width regardless of row
+    // count.
+    QueryDef(
+      "a14_histogram",
+      (s, d) => orderedByAll(
+        Tables.orders(s, d)
+          .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))),
+      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             |       count(*) AS n,
+             |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -102,6 +102,46 @@ object SampleOps {
              |       count(*) AS n_events,
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM s GROUP BY user_id, sid ORDER BY ALL""".stripMargin)
+    ),
+    // X7 distributional quality gate: drop each source's shortest-10%
+    // tail — the per-group percentile-threshold filter a curation
+    // pipeline runs before training. The threshold is the EXACT
+    // k-th-smallest value per group (k = ceil(0.1·n), rank arithmetic
+    // over ints with a doc_id tiebreak) — deliberately NOT the
+    // interpolated percentile, whose float interpolation differs
+    // across engines in the last ulp (the reason a13 rounds): a
+    // threshold must be bit-portable or boundary rows flip. One
+    // window pass builds the per-source threshold table (|sources|
+    // rows), which broadcasts back onto the corpus — the corpus side
+    // never shuffles.
+    QueryDef(
+      "x7_quantile_gate",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars", "doc_id")
+        val th = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .where(col("rn") === ceil(col("cnt") * 0.1).cast("long"))
+          .select(col("source"), col("n_chars").as("p10"))
+        orderedByAll(
+          Tables.documents(s, d)
+            .join(broadcast(th), "source")
+            .where(col("n_chars") >= col("p10"))
+            .select(col("doc_id"), col("source"), col("n_chars")))
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |        row_number() OVER (PARTITION BY source
+             |                           ORDER BY n_chars, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY source) AS cnt
+             |      FROM documents),
+             |th AS (SELECT source, n_chars AS p10 FROM r
+             |       WHERE rn = CAST(ceil(cnt * 0.1) AS BIGINT))
+             |SELECT d.doc_id, d.source, d.n_chars
+             |FROM documents d JOIN th USING (source)
+             |WHERE d.n_chars >= th.p10 ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -236,6 +236,33 @@ object VectorOps {
            |  FROM scored)
            |SELECT qid, vec_id, dot, rank FROM ranked WHERE rank <= $BatchK
            |ORDER BY ALL""".stripMargin)
+    ),
+    // V7 per-label centroids — the embedding-analytics rollup (cluster
+    // quality, drift monitoring, IVF seeding). Component sums ride the
+    // same q7 integer quantization as every other vector oracle, so
+    // the mean is shuffle-order exact: posexplode → one agg keyed on
+    // (label, pos) with map-side partial combine, ONE division at the
+    // end. Never collects a vector to the driver; at 100 TB the
+    // (label, pos) key space is tiny (labels × dim) so the reduce side
+    // is trivially balanced.
+    QueryDef(
+      "v7_label_centroids",
+      (s, d) => Tables.orderedByAll(
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(Vectors.intVector(col("embedding"))).as(Seq("pos", "q")))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+          .select(col("label"), col("pos"), col("n"),
+            (col("sq").cast("double") / col("n").cast("double")).as("centroid_q7"))),
+      Some(s"""WITH e AS (SELECT label,
+              |  unnest(generate_series(0, len(embedding) - 1)) AS pos,
+              |  unnest($sqlIv) AS q
+              |FROM embeddings)
+              |SELECT label, pos, count(*) AS n,
+              |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+              |         / CAST(count(*) AS DOUBLE) AS centroid_q7
+              |FROM e GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 }
