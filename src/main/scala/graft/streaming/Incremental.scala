@@ -153,6 +153,53 @@ object Incremental {
   case class SessionState(nEvents: Long, total: Double)
   case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)
 
+  case class AttrEvent(key: Long, ts_us: Long, event_id: Long, attr: String)
+  case class Scd2State(attr: String, validFrom: Long, nEvents: Long)
+  case class Scd2Row(key: Long, attr: String, valid_from: Long,
+      valid_to: Option[Long], n_events: Long)
+
+  /** Streaming SCD2 — the continuous face of
+    * [[graft.temporal.Sessions.scd2]]: per-key attr runs compacted to
+    * validity intervals as events arrive. Each value CHANGE closes
+    * the open run and emits its interval (valid_to = the new run's
+    * start); the open run lives in per-key state, exactly one
+    * `Scd2State` per key — state is O(keys), never O(events).
+    * Emitted (closed) intervals are append-mode by construction.
+    *
+    * Within a micro-batch events sort by (ts_us, event_id) — arrival
+    * order inside a batch is not time order. ACROSS batches the
+    * contract is a per-key time-ordered feed (a CDC/changelog source,
+    * the shape this operator exists for); an out-of-order straggler
+    * that lands after its run closed would open a spurious run, which
+    * the batch [[graft.temporal.Sessions.scd2]] pass over the stored
+    * log is the compaction answer to (same division of labor as
+    * dedupStream vs d1).
+    */
+  def scd2Stream(events: Dataset[AttrEvent]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[AttrEvent], state: GroupState[Scd2State]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[Scd2Row]
+          var st = state.getOption.orNull
+          for (e <- evs) {
+            if (st == null)
+              st = Scd2State(e.attr, e.ts_us, 1L)
+            else if (st.attr == e.attr)
+              st = st.copy(nEvents = st.nEvents + 1)
+            else {
+              out += Scd2Row(key, st.attr, st.validFrom, Some(e.ts_us), st.nEvents)
+              st = Scd2State(e.attr, e.ts_us, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Per-user running session state via mapGroupsWithState: each
     * micro-batch folds new events into the state. With
     * `idleTimeout = Some(d)` an idle processing-time timeout emits

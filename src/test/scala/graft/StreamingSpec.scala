@@ -222,4 +222,38 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L).nEvents === 1L && byUser(2L).total === 10.0)
     assert(!byUser(1L).closed)
   }
+
+  test("streaming SCD2 closed intervals ≡ batch scd2, across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Incremental.AttrEvent(1L, 10L, 1L, "A"),
+      Incremental.AttrEvent(1L, 20L, 2L, "A"),
+      Incremental.AttrEvent(1L, 30L, 3L, "B"),  // closes A@[10,30)
+      Incremental.AttrEvent(2L, 10L, 4L, "X"),
+      // second micro-batch (per-key time-ordered feed)
+      Incremental.AttrEvent(1L, 40L, 5L, "A"),  // closes B@[30,40)
+      Incremental.AttrEvent(2L, 50L, 6L, "Y"))  // closes X@[10,50)
+    val in = MemoryStream[Incremental.AttrEvent]
+    val q = Incremental.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    in.addData(evs.take(4)); q.processAllAvailable()
+    in.addData(evs.drop(4)); q.processAllAvailable()
+    val streamed = spark.table("scd2s").as[Incremental.Scd2Row]
+      .collect().map(r => (r.key, r.attr, r.valid_from, r.valid_to, r.n_events))
+      .toSet
+    q.stop()
+    // the batch operator over the same log: its CLOSED intervals
+    // (valid_to defined) must be exactly what the stream emitted
+    val batchClosed = graft.temporal.Sessions.scd2(
+        evs.toDF(), col("key"), col("ts_us"), col("event_id"), col("attr"))
+      .where(col("valid_to").isNotNull)
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect()
+      .map(r => (r._1, r._3, r._4, r._5, r._6)).toSet
+    assert(streamed === batchClosed)
+    assert(streamed === Set(
+      (1L, "A", 10L, Some(30L), 2L),
+      (1L, "B", 30L, Some(40L), 1L),
+      (2L, "X", 10L, Some(50L), 1L)))
+  }
 }
