@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   *    the clause fails, every alias it binds is null together (never
   *    partial bindings from per-step left joins).
   *  - per-clause `WHERE alias.prop OP literal [AND …]` with OP in
-  *    `= <> < <= > >= CONTAINS IN [list]`, in the standard order
+  *    `= <> < <= > >= CONTAINS STARTS WITH ENDS WITH IN [list]
+  *    IS NULL IS NOT NULL`, in the standard order
   *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. Each condition
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
@@ -110,7 +111,10 @@ object CypherLite {
   private val AggItemRe =
     """^(?i:(count|sum|min|max|avg))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val WhereCondRe =
-    """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN))\s*(.+)$""".r
+    """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH))\s*(.+)$""".r
+  // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
+  private val WhereNullRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
   private val OrderItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\s+((?i:ASC|DESC)))?$""".r
 
@@ -273,13 +277,19 @@ object CypherLite {
         nodes: Seq[PatternNode]): Map[String, PatternNode] = {
       val conds = w.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
       require(conds.nonEmpty, "empty WHERE")
+      def checkAlias(a: String): Unit = {
+        require(bound.contains(a), s"WHERE references unknown alias '$a'")
+        require(allowed(a),
+          s"WHERE references alias '$a' bound by a different clause — " +
+            "attach the condition to the clause that binds it")
+      }
       val byAlias = conds.map {
+        case WhereNullRe(a, p, not) =>
+          checkAlias(a)
+          a -> (if (not != null) col(p).isNotNull else col(p).isNull)
         case WhereCondRe(a, p, op, v) =>
-          require(bound.contains(a), s"WHERE references unknown alias '$a'")
-          require(allowed(a),
-            s"WHERE references alias '$a' bound by a different clause — " +
-              "attach the condition to the clause that binds it")
-          val c = op.toUpperCase match {
+          checkAlias(a)
+          val c = op.toUpperCase.replaceAll("\\s+", " ") match {
             case "="  => col(p) === lit(literal(v))
             case "<>" => col(p) =!= lit(literal(v))
             case "<"  => col(p) < lit(literal(v))
@@ -287,6 +297,8 @@ object CypherLite {
             case ">"  => col(p) > lit(literal(v))
             case ">=" => col(p) >= lit(literal(v))
             case "CONTAINS" => col(p).contains(lit(literal(v)))
+            case "STARTS WITH" => col(p).startsWith(lit(literal(v).toString))
+            case "ENDS WITH" => col(p).endsWith(lit(literal(v).toString))
             case "IN" =>
               val body = v.trim
               require(body.startsWith("[") && body.endsWith("]"),

@@ -386,6 +386,24 @@ object GraphOps {
              |         / CAST(du.dg + dv.dg - cand.ncommon AS DOUBLE) AS jaccard
              |FROM cand JOIN deg du ON cand.u = du.a JOIN deg dv ON cand.v = dv.a
              |ORDER BY jaccard DESC, u, v LIMIT 50""".stripMargin)
+    ),
+    // G14 the extended WHERE-operator set through the FULL text route
+    // (STARTS WITH + IS NOT NULL — the string/null predicates
+    // generated Cypher leans on): parse → node predicates at pattern
+    // positions → join chain → implicit-grouping aggregate. Oracle
+    // uses starts_with(), NOT LIKE — the synthetic names contain '_',
+    // a LIKE wildcard.
+    QueryDef(
+      "g14_cypher_string_ops",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE n.n_name STARTS WITH 'NATION_1' AND c.c_mktsegment IS NOT NULL
+          |RETURN n.n_name AS n_name, count(*) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE starts_with(n_name, 'NATION_1') AND c_mktsegment IS NOT NULL
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 

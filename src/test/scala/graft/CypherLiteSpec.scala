@@ -175,6 +175,27 @@ class CypherLiteSpec extends SparkSpec {
     assert(in === Seq("a4"))
   }
 
+  test("STARTS WITH / ENDS WITH / IS [NOT] NULL predicates") {
+    val sw = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag STARTS WITH 'a4' RETURN b.tag")
+      .as[String].collect().toSet
+    assert(sw === Set("b2", "b5"))
+    val ew = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.tag ENDS WITH '5' RETURN a.tag")
+      .as[String].collect().toSeq
+    assert(ew === Seq("a4"))
+    assert(CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag IS NOT NULL").count() === 3,
+      "non-null tags pass IS NOT NULL untouched")
+    assert(CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag IS NULL").count() === 0)
+    // AND-combines with other forms in one clause
+    val mixed = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag STARTS WITH 'a' AND b.tag ENDS WITH '2' RETURN a.tag")
+      .as[String].collect().toSet
+    assert(mixed === Set("a1", "a4"))
+  }
+
   test("RETURN aggregates group by the plain items — Cypher implicit grouping") {
     val perB = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n ORDER BY t")
