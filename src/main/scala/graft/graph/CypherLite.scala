@@ -48,7 +48,10 @@ import org.apache.spark.sql.functions._
   *    narrows that match (anchor conditions included — rows failing
   *    them keep nulls, Neo4j semantics); any other cross-clause
   *    reference is rejected loudly rather than silently changing
-  *    required/optional semantics. OR is not supported.
+  *    required/optional semantics. OR is supported with standard
+  *    precedence (AND binds tighter) when the whole disjunction
+  *    constrains ONE alias; OR across aliases is a row-level filter
+  *    this pre-join compile cannot express — rejected loudly.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -275,15 +278,13 @@ object CypherLite {
       */
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode]): Map[String, PatternNode] = {
-      val conds = w.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
-      require(conds.nonEmpty, "empty WHERE")
       def checkAlias(a: String): Unit = {
         require(bound.contains(a), s"WHERE references unknown alias '$a'")
         require(allowed(a),
           s"WHERE references alias '$a' bound by a different clause — " +
             "attach the condition to the clause that binds it")
       }
-      val byAlias = conds.map {
+      def parseCond(cond: String): (String, Column) = cond.trim match {
         case WhereNullRe(a, p, not) =>
           checkAlias(a)
           a -> (if (not != null) col(p).isNotNull else col(p).isNull)
@@ -308,7 +309,31 @@ object CypherLite {
           }
           a -> c
         case other => fail("WHERE conditions must be alias.prop OP literal", other)
-      }.groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+      }
+      def conj(s: String): Seq[(String, Column)] = {
+        val cs = s.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+        require(cs.nonEmpty, "empty WHERE")
+        cs.toSeq.map(parseCond)
+      }
+      // standard precedence: AND binds tighter than OR. An OR whose
+      // disjuncts all constrain ONE alias compiles to a node
+      // predicate like everything else; a disjunction SPANNING
+      // aliases is a row-level filter over the joined path, which
+      // this pre-join architecture cannot express — rejected loudly
+      // rather than silently narrowed.
+      val disjuncts = w.split("(?i)\\bOR\\b").map(_.trim).filter(_.nonEmpty)
+      require(disjuncts.nonEmpty, "empty WHERE")
+      val byAlias: Map[String, Column] =
+        if (disjuncts.length == 1)
+          conj(w).groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+        else {
+          val parsed = disjuncts.toSeq.map(conj)
+          val aliases = parsed.flatten.map(_._1).distinct
+          require(aliases.size == 1,
+            s"OR across aliases (${aliases.mkString(", ")}) is not a node " +
+              "predicate — restrict each OR to one alias (or use IN)")
+          Map(aliases.head -> parsed.map(_.map(_._2).reduce(_ && _)).reduce(_ || _))
+        }
       nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))

@@ -196,6 +196,22 @@ class CypherLiteSpec extends SparkSpec {
     assert(mixed === Set("a1", "a4"))
   }
 
+  test("single-alias OR compiles with AND-tighter precedence; cross-alias OR fails") {
+    val or = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.tag = 'b5' OR b.tag = 'b2' RETURN a.tag, b.tag")
+      .as[(String, String)].collect().toSet
+    assert(or === Set(("a1", "b2"), ("a4", "b5"), ("a4", "b2")))
+    // (id < 3 AND tag ENDS WITH '2') OR tag = 'b5' — precedence, not left-to-right
+    val prec = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.id < 3 AND b.tag ENDS WITH '2' OR b.tag = 'b5' RETURN b.tag")
+      .as[String].collect().toSet
+    assert(prec === Set("b2", "b5"))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "(a:A)-[:R1]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'b5'")
+    }
+  }
+
   test("RETURN aggregates group by the plain items — Cypher implicit grouping") {
     val perB = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n ORDER BY t")
