@@ -120,6 +120,52 @@ object GraphAnalytics {
     res
   }
 
+  /** Personalized PageRank: random-walk-with-restart relevance to a
+    * SOURCE node set — the graph-retrieval expansion score (seed a
+    * query's entity nodes, rank the neighborhood by visit
+    * probability). Identical round structure to [[pageRank]] — one
+    * shuffle on dst per iteration over the same persisted per-edge
+    * degree frame — with two deltas: mass initializes uniformly over
+    * the sources (not all nodes), and the (1−d) teleport returns to
+    * the sources (not everywhere), so relevance stays anchored.
+    * Non-source nodes with no inbound mass keep rank 0 and drop
+    * (sparse output — at scale the frontier is the seed
+    * neighborhood, not the graph).
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val src = sources.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSrc = src.agg(count(lit(1)).as("ns"))
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val restart = src.crossJoin(broadcast(nSrc))
+      .select(col("id"), ((lit(1.0) - lit(damping)) / col("ns")).as("restart"))
+    var ranks = src.crossJoin(broadcast(nSrc))
+      .select(col("id"), (lit(1.0) / col("ns")).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .groupBy(withDeg("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      // full outer: teleport mass exists at sources with no inbound
+      // mass, and walked-to nodes need not be sources
+      ranks = contrib.join(restart, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("restart"), lit(0.0)) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    val res = ranks.localCheckpoint(true)
+    e.unpersist(false)
+    src.unpersist(false)
+    withDeg.unpersist(false)
+    res
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent node
     * pair sharing at least one neighbor, the shared-neighbor count
     * and the neighbor-set Jaccard — the classic structural

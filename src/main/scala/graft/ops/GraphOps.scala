@@ -404,6 +404,49 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE starts_with(n_name, 'NATION_1') AND c_mktsegment IS NOT NULL
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G15 personalized PageRank from a two-region seed set — the
+    // graph-retrieval expansion score (walk-with-restart relevance to
+    // the query's entity nodes). Same per-round join+agg as g10 with
+    // source-anchored init/teleport; output is SPARSE (only nodes the
+    // walk reaches). Oracle unrolls the identical 3 rounds as CTEs —
+    // bit-exact on this edge set because every node has at most one
+    // in-edge, so no double-sum ordering exists to diverge.
+    QueryDef(
+      "g15_ppr",
+      (s, d) => {
+        val g = graft.graph.GraphAnalytics
+        val edges = edgeSet(s, d)
+        val sources = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row("r_0"), org.apache.spark.sql.Row("r_1"))),
+          org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
+        orderedByAll(g.personalizedPageRank(edges, sources, iters = 3))
+      },
+      Some {
+        def round(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT coalesce(c.dst, t.id) AS id,
+             |         coalesce(t.restart, CAST(0 AS DOUBLE))
+             |         + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS rank
+             |  FROM (SELECT e.dst, sum(r.rank / d.deg) AS s
+             |        FROM edges e JOIN $prev r ON e.src = r.id
+             |        JOIN deg d ON e.src = d.src
+             |        GROUP BY e.dst) c
+             |  FULL OUTER JOIN restart t ON c.dst = t.id)""".stripMargin
+        s"""WITH $sqlEdges,
+           |srcs(id) AS (VALUES ('r_0'), ('r_1')),
+           |ns AS (SELECT count(*) AS n FROM srcs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |restart AS (SELECT id,
+           |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM ns) AS restart
+           |  FROM srcs),
+           |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM ns) AS rank FROM srcs),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT id, rank FROM r3 ORDER BY ALL""".stripMargin
+      }
     )
   )
 

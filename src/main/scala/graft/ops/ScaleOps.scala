@@ -147,6 +147,50 @@ object ScaleOps {
       Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rid
              |FROM documents ORDER BY ALL""".stripMargin)
     ),
+    // J11 table diff — the CDC delta between two snapshot versions:
+    // full outer join on the key, rows classified added / removed /
+    // changed (value inequality on the compared column) with
+    // unchanged rows dropped. The versions are synthesized
+    // deterministically from orders (v1 lacks keys ≡0 mod 7 → those
+    // classify "added"; v2 lacks keys ≡0 mod 3 → "removed"; v2
+    // doubles prices on keys ≡0 mod 5 → "changed"; ×2 is a power of
+    // two, so the doubled doubles are exact), populating every
+    // branch. One shuffle on the key; the classification is a
+    // codegen'd CASE.
+    QueryDef(
+      "j11_table_diff",
+      (s, d) => {
+        val v1 = Tables.orders(s, d)
+          .where(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v1"))
+        val v2 = Tables.orders(s, d)
+          .where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("v2"))
+        orderedByAll(
+          v1.join(v2, Seq("k"), "full_outer")
+            .withColumn("change",
+              when(col("v1").isNull, "added")
+                .when(col("v2").isNull, "removed")
+                .when(col("v1") =!= col("v2"), "changed"))
+            .where(col("change").isNotNull)
+            .select(col("k"), col("v1"), col("v2"), col("change")))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS v1
+             |            FROM orders WHERE o_orderkey % 7 <> 0),
+             |v2 AS (SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+             |              ELSE o_totalprice END AS v2
+             |       FROM orders WHERE o_orderkey % 3 <> 0),
+             |d AS (SELECT coalesce(v1.k, v2.k) AS k, v1.v1, v2.v2,
+             |        CASE WHEN v1.v1 IS NULL THEN 'added'
+             |             WHEN v2.v2 IS NULL THEN 'removed'
+             |             WHEN v1.v1 <> v2.v2 THEN 'changed' END AS change
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             |SELECT k, v1, v2, change FROM d
+             |WHERE change IS NOT NULL ORDER BY ALL""".stripMargin)
+    ),
     // X6 snapshot → SCD2: per-user event_type runs compacted into
     // validity intervals (valid_to = next run's start, null while
     // open) — the CDC/warehouse compaction operator; the value-change

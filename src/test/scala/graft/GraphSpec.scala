@@ -151,6 +151,26 @@ class GraphSpec extends SparkSpec {
     assert(got === nodes.map(_ -> 3L).toMap)
   }
 
+  test("personalizedPageRank anchors mass at the seed set") {
+    // chain 1→2→3, seed {1}, d = 0.85, 3 rounds:
+    //   r1: {1: 0.15, 2: 0.85}
+    //   r2: {1: 0.15, 2: 0.1275, 3: 0.7225}
+    //   r3: {1: 0.15, 2: 0.1275, 3: 0.108375}   (3 has no out-edges;
+    //       its inbound mass leaks, same documented variant as pageRank)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seed = Seq(Tuple1(1L)).toDF("id")
+    val got = graft.graph.GraphAnalytics
+      .personalizedPageRank(edges, seed, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val want = Map(1L -> (1.0 - 0.85), 2L -> 0.85 * (1.0 - 0.85),
+      3L -> 0.85 * 0.85 * (1.0 - 0.85))
+    assert(got.keySet === want.keySet, "walk-unreached nodes are absent")
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-12, s"node $k: ${got(k)} vs $w")
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      "relevance decays with distance from the seed")
+  }
+
   test("linkPredictScores: non-adjacent pairs only, hand-computed Jaccard") {
     // square 1-2-3-4-1 with pendant 5 off node 4
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
