@@ -541,6 +541,31 @@ object Relational {
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
              |ORDER BY ALL""".stripMargin)
     ),
+    // W5 distribution windows — ntile + cume_dist (the quantile-
+    // bucketing window family, completing rank/row_number/offset):
+    // per-priority price quartiles and cumulative distribution.
+    // cume_dist is rank/count — one IEEE division of exact ints —
+    // and the (price, key) order is total, so ties cannot straddle
+    // buckets differently across engines.
+    QueryDef(
+      "w5_ntile_cume",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        orderedByAll(
+          Tables.orders(s, d)
+            .filter(col("o_custkey") < 100)
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+            .withColumn("quartile", ntile(4).over(w))
+            .withColumn("cd", cume_dist().over(w)))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |       ntile(4) OVER w AS quartile, cume_dist() OVER w AS cd
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // A12 one-pass table profile (training-data QA): row count, null
     // counts, exact distincts, and value bounds for the columns a
     // curation run gates on — a single aggregate, no per-column

@@ -150,4 +150,33 @@ class PlanSpec extends SparkSpec {
     // the mask legitimately remains the engine's one guardrail UDF
     assert(udfCount <= 2, s"extra UDF columns crept in:\n$p")
   }
+
+  test("e7 PII scrub is one codegen'd projection: no UDF, no exchange but the sort") {
+    val p = plan("e7_pii_scrub")
+    assert(!p.contains("ScalaUDF"), "detect AND mask must be regexp builtins")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"e7 must not shuffle before the presentation sort:\n$p")
+  }
+
+  test("t8 vocab membership rides a broadcast join; vocab ranks via TakeOrdered") {
+    val p = plan("t8_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "50-row vocab must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-50 must not global-sort")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle on token:\n$p")
+  }
+
+  test("x6 SCD2 pays ONE distribution: all window passes share the key exchange") {
+    val p = plan("x6_scd2")
+    val exchanges = "Exchange hashpartitioning\\(__k".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"scd2's row_number/lag, running sum, and lead must reuse one exchange:\n$p")
+  }
+
+  test("x7 quantile gate broadcasts the threshold table back onto the corpus") {
+    val p = plan("x7_quantile_gate")
+    assert(p.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the gate join:\n$p")
+  }
 }
