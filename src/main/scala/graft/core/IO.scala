@@ -23,6 +23,28 @@ object IO {
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSON-lines read with an explicit malformed-record policy — the
+    * ingest-hygiene contract a continuous pipeline needs stated, not
+    * defaulted. `failFast = true` aborts the job on the first corrupt
+    * line (the correctness-gated posture); otherwise corrupt lines
+    * land whole in a `_corrupt_record` column with nulls elsewhere
+    * (PERMISSIVE), so the caller can split good rows from a
+    * quarantine stream in one pass instead of losing them silently
+    * (DROPMALFORMED's failure mode — deliberately not offered).
+    * Spark refuses corrupt-column-ONLY queries straight off raw
+    * files; materialize (cache/checkpoint/write) before filtering on
+    * `_corrupt_record` alone.
+    */
+  def readJsonLinesStrict(spark: SparkSession, path: String,
+      schema: StructType, failFast: Boolean): DataFrame =
+    if (failFast)
+      spark.read.option("mode", "FAILFAST").schema(schema).json(path)
+    else
+      spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema.add("_corrupt_record", "string"))
+        .json(path)
+
   /** S3 distributed sink: JSON-lines directory, one file per
     * partition — the scale-safe default.
     */

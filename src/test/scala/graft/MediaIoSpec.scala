@@ -71,4 +71,32 @@ class MediaIoSpec extends SparkSpec {
       IO.writeJsonArrayFile(df, "/tmp/never.json", maxRows = 3)
     }
   }
+
+  test("malformed-record policy: PERMISSIVE quarantines, FAILFAST aborts") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/mixed.jsonl"),
+      """{"doc_id": 1, "lang": "en"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "lang": "fr"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, lang STRING")
+    // Spark refuses corrupt-column-only queries straight off raw
+    // files (the referenced data no longer exists at filter time) —
+    // the documented pattern is to materialize first
+    val perm = IO.readJsonLinesStrict(spark, s"$dir/mixed.jsonl",
+      schema, failFast = false).cache()
+    val good = perm.where(col("_corrupt_record").isNull)
+    val bad = perm.where(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2 && bad.count() === 1,
+      "good rows parse, the corrupt line lands in quarantine — nothing dropped")
+    assert(bad.select("_corrupt_record").head().getString(0).contains("oops"),
+      "quarantine keeps the raw line for replay")
+    val failed = intercept[org.apache.spark.SparkException] {
+      IO.readJsonLinesStrict(spark, s"$dir/mixed.jsonl",
+        schema, failFast = true).count()
+    }
+    assert(failed.getMessage.toLowerCase.contains("malformed")
+      || Option(failed.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }

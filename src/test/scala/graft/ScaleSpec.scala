@@ -58,6 +58,33 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
   }
 
+  test("date-partitioned layout prunes partitions at the scan, not post-filter") {
+    // The time-series layout contract: events written partitioned by
+    // day are read back with a day filter that eliminates partitions
+    // at PLANNING time (PartitionFilters on the scan) — at 100 TB the
+    // difference between reading one day and reading the year.
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.core.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("day") === "2024-01-02")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(scan.contains("day"), s"day filter must prune partitions:\n$scan")
+    assert(!scan.contains("PartitionFilters: []"),
+      s"partition filter list must be non-empty:\n$scan")
+    // the pruned read computes the same answer as the unpartitioned
+    // source filtered directly
+    val want = graft.core.Tables.events(spark, sf)
+      .where(to_date(col("ts")) === "2024-01-02")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want && got.values.sum > 0)
+  }
+
   test("FHIR graph parquet round-trip preserves nodes, edges, and answers") {
     val dir = Files.createTempDirectory("graft_graph").toString
     val df = graft.fhir.FhirPipeline.load(spark, "/root/reference/data/extracted_fhir.json")
