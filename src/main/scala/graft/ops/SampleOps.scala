@@ -142,6 +142,38 @@ object SampleOps {
              |SELECT d.doc_id, d.source, d.n_chars
              |FROM documents d JOIN th USING (source)
              |WHERE d.n_chars >= th.p10 ORDER BY ALL""".stripMargin)
+    ),
+    // X8 behavioral feature extraction — the per-entity ML feature
+    // pass: one keyed aggregate computing event volume, per-type
+    // counts (conditional sums — a static pivot, no second shuffle),
+    // active-day cardinality, span, and an exact DECIMAL value total.
+    // ONE shuffle on user_id produces the whole feature vector; at
+    // 100 TB this is the map-side-combine-friendly shape (every
+    // feature is an algebraic aggregate).
+    QueryDef(
+      "x8_user_features",
+      (s, d) => {
+        def typed(t: String) =
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+        orderedByAll(
+          Tables.events(s, d)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              typed("click"), typed("purchase"), typed("error"),
+              countDistinct(to_date(col("ts"))).as("active_days"),
+              (max(unix_micros(col("ts"))) -
+                min(unix_micros(col("ts")))).as("span_us"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                .cast("double").as("total_value")))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |  count(DISTINCT CAST(ts AS DATE)) AS active_days,
+             |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY user_id ORDER BY ALL""".stripMargin)
     )
   )
 }
