@@ -263,6 +263,39 @@ object VectorOps {
               |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
               |         / CAST(count(*) AS DOUBLE) AS centroid_q7
               |FROM e GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // V8 per-label spread — population variance per (label,
+    // dimension), the drift/cluster-quality monitor next to v7's
+    // centroids. Variance stays EXACT until one final division:
+    // Var = (n·Σq² − (Σq)²) / n² over the q7-quantized longs, every
+    // term exact integer arithmetic (at these magnitudes all fit
+    // BIGINT; at larger per-label counts promote the two products to
+    // DECIMAL(38) — same plan shape). Shuffle-order-free by
+    // construction, unlike a naive Welford-over-doubles.
+    QueryDef(
+      "v8_label_spread",
+      (s, d) => Tables.orderedByAll(
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(Vectors.intVector(col("embedding"))).as(Seq("pos", "q")))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(col("q") * col("q")).as("sqq"))
+          .select(col("label"), col("pos"), col("n"),
+            ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+              (col("n") * col("n")).cast("double")).as("var_q7"))),
+      Some(s"""WITH e AS (SELECT label,
+              |  unnest(generate_series(0, len(embedding) - 1)) AS pos,
+              |  unnest($sqlIv) AS q
+              |FROM embeddings),
+              |g AS (SELECT label, pos, count(*) AS n,
+              |        CAST(sum(q) AS BIGINT) AS sq,
+              |        CAST(sum(q * q) AS BIGINT) AS sqq
+              |      FROM e GROUP BY 1, 2)
+              |SELECT label, pos, n,
+              |       CAST(n * sqq - sq * sq AS DOUBLE)
+              |         / CAST(n * n AS DOUBLE) AS var_q7
+              |FROM g ORDER BY ALL""".stripMargin)
     )
   )
 }
