@@ -36,7 +36,11 @@ object IO {
     * `_corrupt_record` alone.
     */
   def readJsonLinesStrict(spark: SparkSession, path: String,
-      schema: StructType, failFast: Boolean): DataFrame =
+      schema: StructType, failFast: Boolean): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "the data schema must not predeclare _corrupt_record — the " +
+        "quarantine column is appended here (re-reading a quarantine " +
+        "dump is a plain readJsonLines of the full schema)")
     if (failFast)
       spark.read.option("mode", "FAILFAST").schema(schema).json(path)
     else
@@ -44,6 +48,7 @@ object IO {
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema.add("_corrupt_record", "string"))
         .json(path)
+  }
 
   /** S3 distributed sink: JSON-lines directory, one file per
     * partition — the scale-safe default.

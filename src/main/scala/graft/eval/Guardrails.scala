@@ -58,8 +58,7 @@ object Guardrails {
     * mask needs a UDF.
     */
   def findEmailsCol(text: Column): Column =
-    coalesce(regexp_extract_all(text, lit(EmailRegex.regex), lit(0)),
-      array().cast("array<string>"))
+    findPatternCol(text, EmailRegex.regex)
 
   // ---- generic PII patterns beyond email (training-data scrubbing)
 

@@ -86,12 +86,19 @@ object GraphAnalytics {
     * product anywhere. At 100 TB, pre-bucket the oriented edge set by
     * its source node and both wedge joins co-locate.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+  /** (src, dst) in any orientation/duplication → one canonical
+    * (u < v) row per undirected edge, self-loops dropped, persisted
+    * (both consumers are multi-join pipelines). Callers unpersist.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -181,11 +188,7 @@ object GraphAnalytics {
     * lesson applies verbatim: a hot hub's wedge fan-out is quadratic).
     */
   def linkPredictScores(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = canonicalUndirected(edges)
     // symmetric adjacency: (a, b) = "b is a neighbor of a"
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))

@@ -310,10 +310,32 @@ object CypherLite {
           a -> c
         case other => fail("WHERE conditions must be alias.prop OP literal", other)
       }
+      // split on a connective keyword ONLY outside single-quoted
+      // literals — a naive regex split on \bAND\b/\bOR\b would cut a
+      // condition mid-literal for values like 'black or white'
+      def splitOutsideQuotes(s: String, kw: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        var inQ = false
+        var start = 0
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          if (ch == '\'') { inQ = !inQ; i += 1 }
+          else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+              (i + kw.length >= s.length || !s.charAt(i + kw.length).isLetterOrDigit)) {
+            out += s.substring(start, i)
+            i += kw.length
+            start = i
+          } else i += 1
+        }
+        out += s.substring(start)
+        out.result().map(_.trim).filter(_.nonEmpty)
+      }
       def conj(s: String): Seq[(String, Column)] = {
-        val cs = s.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+        val cs = splitOutsideQuotes(s, "AND")
         require(cs.nonEmpty, "empty WHERE")
-        cs.toSeq.map(parseCond)
+        cs.map(parseCond)
       }
       // standard precedence: AND binds tighter than OR. An OR whose
       // disjuncts all constrain ONE alias compiles to a node
@@ -321,7 +343,7 @@ object CypherLite {
       // aliases is a row-level filter over the joined path, which
       // this pre-join architecture cannot express — rejected loudly
       // rather than silently narrowed.
-      val disjuncts = w.split("(?i)\\bOR\\b").map(_.trim).filter(_.nonEmpty)
+      val disjuncts = splitOutsideQuotes(w, "OR")
       require(disjuncts.nonEmpty, "empty WHERE")
       val byAlias: Map[String, Column] =
         if (disjuncts.length == 1)

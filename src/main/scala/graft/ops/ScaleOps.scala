@@ -212,7 +212,8 @@ object ScaleOps {
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
              |           FROM events),
              |o AS (SELECT user_id, us, event_id, event_type,
-             |        CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             |        CASE WHEN row_number() OVER w = 1 THEN 1
+             |             WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
              |             THEN 1 ELSE 0 END AS chg
              |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
              |s AS (SELECT user_id, us, event_type,

@@ -212,6 +212,20 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("the words 'and'/'or' INSIDE string literals do not split conditions") {
+    val rows = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag IN ['black or white', 'a1'] RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(rows === Seq("b2"))
+    val contains = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.tag CONTAINS 'salt and pepper' RETURN a.tag")
+    assert(contains.count() === 0, "parses cleanly, matches nothing")
+    val mixedCase = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag = 'grand OR canyon' OR a.tag = 'a4' RETURN b.tag")
+      .as[String].collect().toSet
+    assert(mixedCase === Set("b2", "b5"), "literal 'OR' survives; real OR still splits")
+  }
+
   test("RETURN aggregates group by the plain items — Cypher implicit grouping") {
     val perB = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n ORDER BY t")

@@ -10,7 +10,7 @@ Usage: python3 tools/check.py [sf_dir] [out_dir]
 Dev-tool only (driver-side python libs); the shipped library is pure
 Scala/Spark.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,6 +40,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # mirror Verify's dev-loop filter: with SPARK_GRAFT_ONLY set, check
+    # exactly the queries that were dumped instead of flagging the
+    # other ~100 as spurious ERRORs (or worse, silently comparing a
+    # stale full dump left in a reused outDir). The driver sets no env,
+    # so its gate always checks the full inventory.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = names - oracle.keys()
+        if unknown:
+            print(f"WARN: SPARK_GRAFT_ONLY names not in the inventory: {sorted(unknown)}")
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
