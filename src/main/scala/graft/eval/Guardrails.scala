@@ -79,9 +79,12 @@ object Guardrails {
     coalesce(regexp_extract_all(text, lit(regex), lit(0)),
       array().cast("array<string>"))
 
-  /** Replace every `regex` match with a fixed placeholder token. */
+  /** Replace every `regex` match with a fixed placeholder token.
+    * The token is literal: '$' and '\' are escaped so Spark's
+    * replacement string never interprets them as group references.
+    */
   def scrubPattern(text: Column, regex: String, token: String): Column =
-    regexp_replace(text, regex, token)
+    regexp_replace(text, regex, java.util.regex.Matcher.quoteReplacement(token))
 
   // ---- domain classification / policy verdicts (guardrails.py:103-198)
 

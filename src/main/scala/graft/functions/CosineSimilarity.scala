@@ -98,6 +98,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "int_dot takes exactly 2 arguments")
         IntDot(args.head, args(1)): Expression
+      }),
+    (FunctionIdentifier("int_vector"),
+      new ExpressionInfo(classOf[IntVector].getName, "int_vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "int_vector takes exactly 1 argument")
+        IntVector(args.head): Expression
       }))
 
   /** Register into a LIVE session (tests, notebooks). */

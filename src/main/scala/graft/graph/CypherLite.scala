@@ -313,6 +313,9 @@ object CypherLite {
       // split on a connective keyword ONLY outside single-quoted
       // literals — a naive regex split on \bAND\b/\bOR\b would cut a
       // condition mid-literal for values like 'black or white'
+      // '_' is a word char (as in \b): `a.tag_or` / `x_and.p` must not
+      // split mid-identifier.
+      def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
       def splitOutsideQuotes(s: String, kw: String): Seq[String] = {
         val out = Seq.newBuilder[String]
         var inQ = false
@@ -322,8 +325,8 @@ object CypherLite {
           val ch = s.charAt(i)
           if (ch == '\'') { inQ = !inQ; i += 1 }
           else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-              (i + kw.length >= s.length || !s.charAt(i + kw.length).isLetterOrDigit)) {
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
             out += s.substring(start, i)
             i += kw.length
             start = i

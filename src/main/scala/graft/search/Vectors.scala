@@ -2,7 +2,6 @@ package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Vector similarity search over an `ArrayType(FloatType)` embedding
   * column: brute-force top-k as the exactness baseline, and a blocked
@@ -36,10 +35,16 @@ object Vectors {
   }
 
   /** Floats scaled to exact 1e7-scaled longs — integer dot products
-    * are order-independent and bit-identical across engines.
+    * are order-independent and bit-identical across engines. Native
+    * [[graft.functions.IntVector]] expression (fused codegen loop,
+    * bit-identical to the `transform(v, x => round(x * 1e7)
+    * .cast(LONG))` HOF it replaced — that lambda evaluated interpreted
+    * per element on the same scan `int_dot` already runs fused).
     */
   def intVector(v: Column): Column =
-    transform(v, x => round(x * 1e7).cast(LongType))
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.IntVector(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v)))
 
   /** Exact integer dot product of two intVector columns — the native
     * [[graft.functions.IntDot]] expression (fused codegen loop; the

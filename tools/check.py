@@ -52,6 +52,12 @@ def main():
         if unknown:
             print(f"WARN: SPARK_GRAFT_ONLY names not in the inventory: {sorted(unknown)}")
         oracle = {k: v for k, v in oracle.items() if k in names}
+        if not oracle:
+            print("ERROR: SPARK_GRAFT_ONLY matched no inventory queries — "
+                  "nothing checked")
+            sys.exit(2)
+        print(f"subset mode: {len(oracle)} of {len(names)} requested "
+              f"queries (SPARK_GRAFT_ONLY)")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
