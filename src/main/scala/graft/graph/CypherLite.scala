@@ -26,11 +26,18 @@ import org.apache.spark.sql.functions._
   *    joined by `-[:REL]->` / `<-[:REL]-` / undirected `-[:REL]-`
   *    edges; comma-separated parts branch off bound aliases; literals
   *    are single-quoted strings, integers, decimals, booleans.
-  *    Undirected edges are single-hop only (var-length would need
-  *    relationship-uniqueness; bfs(undirected=true) covers
-  *    reachability).
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
-  *    required — unbounded `*` is rejected, the scale rule).
+  *    required — unbounded `*` is rejected, the scale rule), in every
+  *    direction INCLUDING undirected `-[:REL*1..4]-` (relationship-
+  *    uniqueness enforced via eid-carrying chains; same-label edges
+  *    only — intermediates are unlabeled).
+  *  - the reference README.md:137 demo shape verbatim:
+  *    `MATCH (a)-[r*1..4]-(b) RETURN *` — unlabeled nodes scan the
+  *    ANY-node view (union of all labels' ids — requires globally
+  *    unique node ids), an untyped edge walks every edge table, a
+  *    relationship variable parses but is not returnable (edge rows
+  *    have no materialized identity — documented Kuzu divergence),
+  *    and `RETURN *` yields every node alias's id in binding order.
   *  - `OPTIONAL MATCH` clauses (one chain each, anchored at a bound
   *    alias). A clause compiles to an INNER sub-pattern left-joined
   *    as a UNIT — Cypher all-or-nothing semantics: if any step of
@@ -101,14 +108,17 @@ object CypherLite {
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
+  // edge token: optional relationship VARIABLE, optional :TYPE (absent
+  // = untyped, the README.md:137 `-[r*1..4]-` shape), optional
+  // var-length star. Groups: 1 = variable, 2 = type, 3 = star.
   private val EdgeFwdRe =
-    """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
+    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
   private val EdgeBackRe =
-    """^<-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
+    """^<-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
   // undirected `-[:REL]-`: like Fwd but the trailing dash must NOT be
   // an arrowhead (tried after Fwd, which consumes `->`)
   private val EdgeUndirRe =
-    """^-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\*[0-9.\s]*)?\s*\]\s*-(?!>)""".r
+    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*-(?!>)""".r
   private val PlainItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
@@ -190,6 +200,7 @@ object CypherLite {
 
     var idx = 0
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val relVars = scala.collection.mutable.Set.empty[String]
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
@@ -208,9 +219,15 @@ object CypherLite {
             (Option(m.group(2)), Option(m.group(3))) match {
               case (None, None) if allowBare && bound.contains(alias) => Left(alias)
               case (labelOpt, propsOpt) =>
-                val label = labelOpt.getOrElse(
-                  fail(s"node '$alias' needs a :Label (or be a bound alias)", rest))
+                // no :Label = the ANY-node position (README.md:137
+                // `MATCH (a)-[r*1..4]-(b)`), label "": query() mounts
+                // a union-of-all-labels id view for it — sound only
+                // under globally-unique node ids (the untyped
+                // contract); properties beyond `id` don't exist there
+                val label = labelOpt.getOrElse("")
                 require(!bound.contains(alias), s"duplicate alias '$alias'")
+                require(!relVars(alias),
+                  s"alias '$alias' already names a relationship variable")
                 bound += alias -> label
                 if (optional) optionalAliases += alias
                 Right(PatternNode(label, alias, propsOpt.map(parseProps)))
@@ -218,25 +235,28 @@ object CypherLite {
           case None => fail("expected (alias:Label {…})", rest)
         }
       def edge(): (String, Direction, Int, Int) = {
-        def bounds(m: scala.util.matching.Regex.Match) =
-          hopBounds(Option(m.group(2)).map(_.trim).filter(_.nonEmpty))
+        def consume(m: scala.util.matching.Regex.Match,
+            dir: Direction): (String, Direction, Int, Int) = {
+          rest = rest.substring(m.end).trim
+          // a relationship VARIABLE parses and registers (so RETURN/
+          // WHERE references to it reject with a precise message) but
+          // is never materialized — edge rows have no identity column
+          // to return
+          for (v <- Option(m.group(1))) {
+            require(!bound.contains(v) && !relVars(v),
+              s"duplicate relationship variable '$v'")
+            relVars += v
+          }
+          val (lo, hi) = hopBounds(Option(m.group(3)).map(_.trim).filter(_.nonEmpty))
+          // type absent = untyped step (rel "" walks every edge table)
+          (Option(m.group(2)).getOrElse(""), dir, lo, hi)
+        }
         EdgeFwdRe.findFirstMatchIn(rest) match {
-          case Some(m) =>
-            rest = rest.substring(m.end).trim
-            val (lo, hi) = bounds(m); (m.group(1), Out, lo, hi)
+          case Some(m) => consume(m, Out)
           case None => EdgeBackRe.findFirstMatchIn(rest) match {
-            case Some(m) =>
-              rest = rest.substring(m.end).trim
-              val (lo, hi) = bounds(m); (m.group(1), In, lo, hi)
+            case Some(m) => consume(m, In)
             case None => EdgeUndirRe.findFirstMatchIn(rest) match {
-              case Some(m) =>
-                rest = rest.substring(m.end).trim
-                val (lo, hi) = bounds(m)
-                require(hi == 1,
-                  s"undirected var-length '-[:${m.group(1)}*…]-' is unsupported " +
-                    "(relationship-uniqueness semantics); use a directed bound walk " +
-                    "or PropertyGraph.bfs(undirected = true)")
-                (m.group(1), Both, lo, hi)
+              case Some(m) => consume(m, Both)
               case None => fail("expected -[:REL]->, <-[:REL]- or -[:REL]-", rest)
             }
           }
@@ -279,6 +299,9 @@ object CypherLite {
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode]): Map[String, PatternNode] = {
       def checkAlias(a: String): Unit = {
+        require(!relVars(a),
+          s"'$a' is a relationship variable — relationships carry no " +
+            "queryable properties in this engine (filter on node positions)")
         require(bound.contains(a), s"WHERE references unknown alias '$a'")
         require(allowed(a),
           s"WHERE references alias '$a' bound by a different clause — " +
@@ -433,10 +456,20 @@ object CypherLite {
       if (r.matches("(?is)^DISTINCT\\b.*")) {
         returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
       }
-      r.split(",").map(_.trim).map {
+      // `RETURN *` (the README.md:137 demo shape): every node alias's
+      // id, in binding order. Relationship variables are NOT expanded
+      // — edge rows have no materialized identity (documented
+      // divergence from Kuzu, which returns rel objects).
+      if (r == "*")
+        bound.keysIterator.map(a =>
+          ReturnItem(None, distinct = false, a, None, a)).toSeq
+      else r.split(",").map(_.trim).map {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
+          require(target == "*" || !relVars(target),
+            s"relationship variable '$target' is not aggregable — " +
+              "count(*) counts paths (= relationship tuples) already")
           require(target == "*" || labels.contains(target),
             s"$f() references unknown alias '$target'")
           require(!(target == "*") || (f == "count" && prop == null && !d),
@@ -447,6 +480,9 @@ object CypherLite {
           require(as != null, s"aggregate $f(…) needs an AS name")
           ReturnItem(Some(f), d, target, Option(prop), as)
         case PlainItemRe(a, prop, as) =>
+          require(!relVars(a),
+            s"relationship variable '$a' is not returnable — edge rows " +
+              "have no materialized identity (return node positions)")
           require(labels.contains(a), s"RETURN references unknown alias '$a'")
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
@@ -476,8 +512,21 @@ object CypherLite {
     * RETURN the result is the path frame (one id column per alias,
     * one row per path).
     */
-  def query(g: PropertyGraph, stmt: String): DataFrame = {
+  def query(g0: PropertyGraph, stmt: String): DataFrame = {
     val p = parse(stmt)
+    // unlabeled positions (label "") scan the ANY-node view — the
+    // union of every label's id column, deduped. Sound only when node
+    // ids are globally unique across labels (the untyped contract —
+    // prefix ids if per-label key spaces overlap); the view carries
+    // ONLY `id`, so property access on an unlabeled alias rejects
+    val g =
+      if (!p.labels.valuesIterator.contains("")) g0
+      else g0.copy(nodes = g0.nodes +
+        ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
+    for (ri <- p.returns if ri.prop.isDefined && p.labels.get(ri.alias).contains(""))
+      throw new IllegalArgumentException(
+        s"RETURN ${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
+          "— the any-node view has no properties; declare a :Label to read them")
     val optionals = p.optionalAliases
     // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
     // anchored at its bound alias, left-joined as one unit — if any

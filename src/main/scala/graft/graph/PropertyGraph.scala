@@ -135,54 +135,109 @@ final case class PropertyGraph(
     for (st <- steps) {
       require(st.minHops >= 1 && st.maxHops >= st.minHops,
         s"step ${st.rel}: bad hop bounds *${st.minHops}..${st.maxHops}")
-      // undirected var-length would need Cypher's relationship-
-      // uniqueness (no edge reused within a path) to avoid counting
-      // trivial back-and-forth walks — not expressible as plain edge
-      // chains; bfs(undirected = true) covers undirected REACHABILITY
-      require(st.dir != Both || st.maxHops == 1,
-        s"step ${st.rel}: undirected var-length is unsupported " +
-          "(use bfs(undirected = true) for reachability)")
-      val (_, _, e) = edges(st.rel)
       val anchor = st.from.getOrElse(prev)
       require(df.columns.contains(anchor), s"unknown anchor alias '$anchor'")
-      val fwd = e.select(col("src").as("__from"), col("dst").as("__to"))
-      val bwd = e.select(col("dst").as("__from"), col("src").as("__to"))
-      val base = st.dir match {
-        case Out => fwd
-        case In  => bwd
-        case Both =>
-          // undirected: only TYPE-COMPATIBLE orientations — BOTH the
-          // anchor's label and the declared arrival label must match
-          // the edge's endpoint labels for an orientation to apply.
-          // Deciding by labels (not a post-hoc id semi-join) matters
-          // because per-label id spaces may overlap: an id existing
-          // in both tables would otherwise leak through from the
-          // wrong side — and an anchor-side mismatch would join the
-          // anchor ids against a foreign key space.
-          val (sl, dl, _) = edges(st.rel)
-          val al = aliasLabel(anchor)
-          val fwdOk = sl == al && dl == st.node.label
-          val bwdOk = dl == al && sl == st.node.label
-          require(fwdOk || bwdOk,
-            s"undirected step ($al)-[:${st.rel}]-(${st.node.label}) fits " +
-              s"neither orientation of edge $sl→$dl")
-          // same-label edge, both orientations: a SELF-LOOP row would
-          // appear in each — Cypher matches an undirected self-loop
-          // once, so the reversed copy drops it
-          if (fwdOk && bwdOk) fwd.unionAll(bwd.filter(col("__from") =!= col("__to")))
-          else if (fwdOk) fwd else bwd
+      val anyRel = st.rel.isEmpty
+      val multiHop = st.maxHops > 1
+
+      /** The step's oriented edge relation. `withEid` (multi-hop only)
+        * carries the relationship IDENTITY — the (relType, src, dst) of
+        * the ORIGINAL row, shared by both traversal orientations — so
+        * var-length chains can enforce Cypher's relationship-uniqueness
+        * (no relationship reused within one path; parallel edges
+        * collapsing to the same (src, dst) are one relationship in this
+        * DataFrame edge model). Single-hop steps skip it: their plans
+        * stay the skinny 2-column joins they always were.
+        */
+      def oriented(relName: String, sl: String, dl: String, e: DataFrame,
+          withEid: Boolean): DataFrame = {
+        val eidCols =
+          if (withEid) Seq(struct(lit(relName).as("r"),
+            col("src").as("s"), col("dst").as("d")).as("__eid"))
+          else Seq.empty[Column]
+        def fwd = e.select(
+          col("src").as("__from") +: col("dst").as("__to") +: eidCols: _*)
+        def bwd = e.select(
+          col("dst").as("__from") +: col("src").as("__to") +: eidCols: _*)
+        // same-label edge, both orientations: a SELF-LOOP row would
+        // appear in each — Cypher matches an undirected self-loop
+        // once, so the reversed copy drops it
+        def sym = fwd.unionAll(bwd.filter(col("__from") =!= col("__to")))
+        st.dir match {
+          case Out => fwd
+          case In  => bwd
+          // untyped (`-[r]-` / `-[r*1..4]-`, the README.md:137 shape):
+          // label-blind symmetrization — sound ONLY under the untyped
+          // contract of globally-unique node ids (matchPaths scaladoc)
+          case Both if anyRel => sym
+          case Both if multiHop =>
+            // undirected var-length: intermediate positions carry no
+            // label, so orientation-by-label has nothing to type
+            // against mid-chain — sound only over a same-label edge
+            require(sl == dl,
+              s"undirected var-length '-[:$relName*…]-' over heterogeneous " +
+                s"edge $sl→$dl is unsupported (intermediates are unlabeled); " +
+                "use a same-label edge view or bfs(undirected = true)")
+            sym
+          case Both =>
+            // undirected single-hop: only TYPE-COMPATIBLE orientations
+            // — BOTH the anchor's label and the declared arrival label
+            // must match the edge's endpoint labels for an orientation
+            // to apply. Deciding by labels (not a post-hoc id
+            // semi-join) matters because per-label id spaces may
+            // overlap: an id existing in both tables would otherwise
+            // leak through from the wrong side — and an anchor-side
+            // mismatch would join the anchor ids against a foreign key
+            // space.
+            val al = aliasLabel(anchor)
+            val fwdOk = sl == al && dl == st.node.label
+            val bwdOk = dl == al && sl == st.node.label
+            require(fwdOk || bwdOk,
+              s"undirected step ($al)-[:$relName]-(${st.node.label}) fits " +
+                s"neither orientation of edge $sl→$dl")
+            if (fwdOk && bwdOk) sym
+            else if (fwdOk) fwd else bwd
+        }
       }
+      def stepRel(withEid: Boolean): DataFrame =
+        if (anyRel) {
+          require(edges.nonEmpty, "untyped step needs at least one edge table")
+          edges.toSeq.sortBy(_._1)
+            .map { case (rn, (sl, dl, e)) => oriented(rn, sl, dl, e, withEid) }
+            .reduce(_ unionAll _)
+        } else {
+          val (sl, dl, e) = edges(st.rel)
+          oriented(st.rel, sl, dl, e, withEid)
+        }
       // var-length (*min..max): union-all of h-fold edge chains — one
       // row per PATH of each length (Cypher multiplicity; intermediate
       // positions are unaliased). The chains self-join the skinny
-      // 2-column edge relation, never the path frame, so the fan-out
-      // is bounded by real path counts, not pattern width.
-      val hChains = (2 to st.maxHops).scanLeft(base) { (acc, _) =>
-        val nxt = base.select(col("__from").as("__f2"), col("__to").as("__t2"))
-        acc.join(nxt, col("__to") === col("__f2"))
-          .select(col("__from"), col("__t2").as("__to"))
-      }
-      var ed = hChains.slice(st.minHops - 1, st.maxHops).reduce(_ unionAll _)
+      // edge relation, never the path frame, so the fan-out is bounded
+      // by real path counts, not pattern width. Each chain row carries
+      // its traversed-relationship set and a hop extends it only with
+      // an UNUSED relationship — Cypher's relationship-uniqueness
+      // (without it an undirected walk would count trivial
+      // back-and-forth repetitions; bounded hops keep the carried
+      // array ≤ maxHops entries, a per-row constant).
+      val ed0 =
+        if (!multiHop) stepRel(withEid = false)
+        else {
+          val base = stepRel(withEid = true)
+          val first = base.select(col("__from"), col("__to"),
+            array(col("__eid")).as("__eids"))
+          val hChains = (2 to st.maxHops).scanLeft(first) { (acc, _) =>
+            val nxt = base.select(col("__from").as("__f2"),
+              col("__to").as("__t2"), col("__eid").as("__eid2"))
+            acc.join(nxt, col("__to") === col("__f2") &&
+                !array_contains(col("__eids"), col("__eid2")))
+              .select(col("__from"), col("__t2").as("__to"),
+                concat(col("__eids"), array(col("__eid2"))).as("__eids"))
+          }
+          hChains.slice(st.minHops - 1, st.maxHops)
+            .map(_.select(col("__from"), col("__to")))
+            .reduce(_ unionAll _)
+        }
+      var ed = ed0
       // mid-chain node predicate: restrict the edge relation's arrival
       // side BEFORE it meets the path frame (dimension-sized filtered
       // id set → broadcast semi-join on the skinny edge table). Doing
@@ -297,10 +352,12 @@ object PropertyGraph {
 
   /** Undirected (`-[:REL]-`): the step matches the edge in EITHER
     * orientation — compiled as a projection-and-union of the two
-    * directions, no extra shuffle. Single-hop only in patterns
-    * (var-length would need relationship-uniqueness semantics);
-    * [[PropertyGraph.bfs]] with `undirected = true` is the
-    * var-length reachability form.
+    * directions, no extra shuffle. Var-length undirected
+    * (`-[:REL*1..4]-`, reference README.md:137) enforces Cypher's
+    * relationship-uniqueness via eid-carrying chains (same-label
+    * edges only — intermediates are unlabeled);
+    * [[PropertyGraph.bfs]] with `undirected = true` remains the
+    * minimal-depth REACHABILITY form.
     */
   case object Both extends Direction
 
@@ -317,7 +374,12 @@ object PropertyGraph {
     * keeps the path row with a null position when no edge matches.
     * `minHops`/`maxHops` bound a var-length walk (`*1..3`): the step
     * matches any path of that length through `rel`, one output row
-    * per path, intermediate nodes unaliased.
+    * per path (relationship-uniqueness enforced — no relationship
+    * reused within one walk), intermediate nodes unaliased.
+    * `rel = ""` is the UNTYPED step (Cypher `-[r]-` / `-[r*1..4]-`):
+    * it walks EVERY edge table, label-blind — sound only when node
+    * ids are globally unique across labels (prefix them if per-label
+    * id spaces overlap).
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
       from: Option[String] = None, optional: Boolean = false,

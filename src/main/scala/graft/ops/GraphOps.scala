@@ -447,6 +447,44 @@ object GraphOps {
            |${round("r2", "r3")}
            |SELECT id, rank FROM r3 ORDER BY ALL""".stripMargin
       }
+    ),
+    // G16 undirected var-length through the FULL text route — the
+    // reference's own demo query shape (README.md:137
+    // `MATCH (a)-[r*1..4]-(b)`), bounds and all: one row per PATH with
+    // Cypher relationship-uniqueness (no relationship reused within a
+    // walk — the eid-carrying chains), NOT per reached node (compare
+    // g4, whose undirected BFS keeps minimal depths). The oracle
+    // recursive CTE carries the traversed-edge list and extends only
+    // with unused relationships — the same semantics in SQL.
+    QueryDef(
+      "g16_cypher_undirected_varlength",
+      (s, d) => {
+        val edges = edgeSet(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodesDf = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val g = PropertyGraph(
+          nodes = Map("node" -> nodesDf),
+          edges = Map("LINKS" -> (("node", "node", edges))))
+        val res = orderedByAll(graft.graph.CypherLite.query(g,
+          "MATCH (a:node {id: 'c_1'})-[:LINKS*1..4]-(b:node) " +
+            "RETURN count(*) AS n_paths")).localCheckpoint(true)
+        edges.unpersist(false)
+        res
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |sym AS (
+           |  SELECT src AS f, dst AS t, src || '>' || dst AS eid FROM edges
+           |  UNION ALL
+           |  SELECT dst, src, src || '>' || dst FROM edges WHERE src <> dst),
+           |walk(node, depth, eids) AS (
+           |  SELECT 'c_1', 0, CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT s.t, w.depth + 1, list_append(w.eids, s.eid)
+           |  FROM walk w JOIN sym s ON s.f = w.node
+           |  WHERE w.depth < 4 AND NOT list_contains(w.eids, s.eid))
+           |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
     )
   )
 

@@ -74,9 +74,13 @@ class CypherLiteSpec extends SparkSpec {
     assert(fwd === Set("b2", "b5"))
   }
 
-  test("undirected var-length and label-incompatible undirected steps fail loudly") {
+  test("label-incompatible undirected steps fail loudly") {
     intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:A)-[:R1*1..2]-(b:B)")
+      // undirected var-length over a HETEROGENEOUS edge: intermediates
+      // are unlabeled, so orientation-by-label has nothing to type
+      // against — loud reject at compile (same-label edges work, see
+      // the undirected var-length semantics test)
+      CypherLite.query(g, "(a:A)-[:R1*1..2]-(b:B)")
     }
     intercept[IllegalArgumentException] {
       CypherLite.query(g, "(a:A)-[:R1]-(c:C)").collect()  // R1 is A→B: C fits neither side
@@ -127,7 +131,6 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("malformed statements fail loudly, not silently") {
-    intercept[IllegalArgumentException] { CypherLite.parse("(a)-[:R1]->(b:B)") } // no label
     intercept[IllegalArgumentException] { CypherLite.parse("(a:A) (b:B)") }      // no edge
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN z.tag")                        // unknown alias
@@ -310,5 +313,67 @@ class CypherLiteSpec extends SparkSpec {
     val n2 = CypherLite.query(h,
       "(a:N {id: 1})-[:E*2]->(b:N) RETURN b.tag").as[String].collect().toSet
     assert(n2 === Set("n3", "n4"))
+  }
+
+  //   1 ─ 2 ─ 3 ─ 4  plus the chord 2 ─ 4 (edges stored directed
+  //   1→2, 2→3, 3→4, 2→4; undirected walks traverse both ways)
+  private lazy val diamond = PropertyGraph(
+    nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4")).toDF("id", "tag")),
+    edges = Map("E" -> (("N", "N",
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")))))
+
+  test("undirected var-length enforces relationship-uniqueness (README.md:137 shape)") {
+    // from 1, *1..2: 1-2 (e12), then 2-3 / 2-4 — NEVER back across e12
+    val n = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E*1..2]-(b:N) RETURN count(*) AS n").as[Long].head()
+    assert(n === 3, "1-2, 1-2-3, 1-2-4 — the back-and-forth 1-2-1 is excluded")
+    // from 3: two 1-hop (2, 4), three 2-hop (3-2-1, 3-2-4, 3-4-2)
+    val endpoints = CypherLite.query(diamond,
+      "(a:N {id: 3})-[:E*1..2]-(b:N) RETURN b.tag AS t, count(*) AS n ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(endpoints === Seq(("n1", 1L), ("n2", 2L), ("n4", 2L)))
+    // *3 closes the 2-3-4 triangle back to 2's other edges: each walk
+    // still uses three DISTINCT edges
+    val n3 = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E*3]-(b:N) RETURN b.tag").as[String].collect().toSet
+    assert(n3 === Set("n3", "n4"), "1-2-3-4 and 1-2-4-3 (chord + side)")
+  }
+
+  test("undirected var-length uses a self-loop relationship at most once") {
+    val loops = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N", Seq((1L, 2L), (2L, 2L)).toDF("src", "dst")))))
+    val paths = CypherLite.query(loops,
+      "(a:N {id: 1})-[:E*1..3]-(b:N) RETURN count(*) AS n").as[Long].head()
+    assert(paths === 2, "1-2 and 1-2-(2,2); the loop cannot repeat")
+  }
+
+  test("the reference demo parses verbatim: MATCH (a)-[r*1..2]-(b) RETURN *") {
+    // unlabeled nodes + untyped rel + RETURN * — the README.md:137
+    // query (bounds tightened). Single-label graph, so the any-node
+    // view is just N; answers must equal the typed form exactly.
+    val df = CypherLite.query(diamond,
+      "MATCH (a {id: 1})-[r*1..2]-(b) RETURN * LIMIT 500")
+    assert(df.columns.toSeq === Seq("a", "b"), "RETURN * = node aliases in order")
+    assert(df.count() === 3)
+    val typed = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E*1..2]-(b:N)").count()
+    assert(df.count() === typed)
+  }
+
+  test("relationship variables and unlabeled property access reject loudly") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN r")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN count(r) AS n")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a:N)-[r:E]->(b:N) WHERE r.since > 1 RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      // unlabeled alias exposes only `id` — property RETURN rejects
+      CypherLite.query(diamond, "(a {id: 1})-[:E]->(b) RETURN b.tag")
+    }
   }
 }
