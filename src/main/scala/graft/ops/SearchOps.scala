@@ -249,10 +249,13 @@ object SearchOps {
       }
     ),
     // R8 batch HYBRID retrieval — the full serving path for a whole
-    // question set in one plan: batch tf-idf ranks (r7) fused with
-    // batch exact-KNN ranks (v4's salted two-phase top-k) via RRF,
-    // top-5 per question. Doc ids ≡ vec ids in the corpus (the r4
-    // contract); each query's vector is its embeddings row.
+    // question set in one plan: batch BM25 ranks (the reference's
+    // hybrid keyword arm is Tantivy BM25, generate_note_embeddings
+    // .py:49 — bm25ScoresMany keeps batch serving score-consistent
+    // with the single-query r3 path) fused with batch exact-KNN ranks
+    // (v4's salted two-phase top-k) via RRF, top-5 per question. Doc
+    // ids ≡ vec ids in the corpus (the r4 contract); each query's
+    // vector is its embeddings row.
     QueryDef(
       "r8_batch_hybrid",
       (s, d) => {
@@ -260,9 +263,9 @@ object SearchOps {
         val docs = Tables.documents(s, d)
         val qdf = BatchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
           .toDF("qid", "term")
-        val kw = Fts.tfidfScoresMany(
-            Fts.postings(docs, "doc_id", "text"),
-            Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")), qdf)
+        val dl = Fts.docLengths(docs, "doc_id", "text")
+        val kw = Fts.bm25ScoresMany(
+            Fts.postings(docs, "doc_id", "text"), dl, Fts.corpusStats(dl), qdf)
           .withColumn("rank", row_number().over(
             Window.partitionBy("qid")
               .orderBy(col("score").desc, col("doc_id").asc)))
@@ -288,11 +291,15 @@ object SearchOps {
            |bmatched AS (SELECT bq.qid, tf.doc_id, tf.term, tf.tf
            |             FROM tf JOIN bq ON tf.term = bq.term),
            |bmdf AS (SELECT qid, term, count(*) AS df FROM bmatched GROUP BY 1, 2),
-           |n AS (SELECT count(*) AS n FROM documents),
+           |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+           |stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
            |kscored AS (
            |  SELECT m.qid, m.doc_id,
-           |         SUM(m.tf * ((SELECT n FROM n) + 1 - bmdf.df)) AS score
-           |  FROM bmatched m JOIN bmdf USING (qid, term) GROUP BY 1, 2),
+           |         sum(ln(1.0 + (stats.n - bmdf.df + 0.5) / (bmdf.df + 0.5))
+           |             * (m.tf * 2.2)
+           |               / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+           |  FROM bmatched m JOIN bmdf USING (qid, term) JOIN dl USING (doc_id), stats
+           |  GROUP BY 1, 2),
            |ka AS (SELECT qid, doc_id AS id, rank FROM (
            |  SELECT qid, doc_id, row_number() OVER (
            |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank

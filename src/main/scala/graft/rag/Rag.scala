@@ -70,14 +70,17 @@ object Rag {
     * (built once at ingest, generate_note_embeddings.py:26-50, then
     * queried per question, rag.py:88): `post` is the S8 postings
     * table, `stats` the 1-row corpus statistics, `vecs` the S7
-    * vector-sink shape (vec_id, iv). Each member is a DataFrame, so
-    * at scale they are parquet tables written at index time and read
-    * back here — NOTHING in the query path recomputes corpus-sized
-    * state (round 4's `answer` re-embedded the whole corpus per
-    * question).
+    * vector-sink shape (vec_id, iv), `docLen` the per-doc token
+    * lengths BM25's normalization reads (Tantivy stores fieldnorms
+    * next to its postings for the same reason). Each member is a
+    * DataFrame, so at scale they are parquet tables written at index
+    * time and read back here — NOTHING in the query path recomputes
+    * corpus-sized state (round 4's `answer` re-embedded the whole
+    * corpus per question).
     */
   final case class CorpusIndex(
-      docs: DataFrame, post: DataFrame, stats: DataFrame, vecs: DataFrame)
+      docs: DataFrame, post: DataFrame, stats: DataFrame, vecs: DataFrame,
+      docLen: DataFrame)
 
   object CorpusIndex {
     /** Build from a (doc_id, text) corpus — the ingest-time pass. */
@@ -86,11 +89,13 @@ object Rag {
       val vecs = graft.search.Embedding.embed(spark,
         docs.select(col("doc_id"), col("text")).as[(Long, String)], embedder)
         .select(col("id").as("vec_id"), Vectors.intVector(col("vector")).as("iv"))
+      val dl = Fts.docLengths(docs, "doc_id", "text")
       CorpusIndex(
         docs,
         Fts.postings(docs, "doc_id", "text"),
-        Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text")),
-        vecs)
+        Fts.corpusStats(dl),
+        vecs,
+        dl)
     }
 
     /** Persist the index as parquet tables (the durable S7/S8 sinks —
@@ -104,6 +109,7 @@ object Rag {
       index.post.write.mode("overwrite").parquet(s"$dir/post")
       index.stats.write.mode("overwrite").parquet(s"$dir/stats")
       index.vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+      index.docLen.write.mode("overwrite").parquet(s"$dir/doclen")
     }
 
     /** Load an index previously written by [[save]] — the query-time
@@ -114,7 +120,8 @@ object Rag {
         spark.read.parquet(s"$dir/docs"),
         spark.read.parquet(s"$dir/post"),
         spark.read.parquet(s"$dir/stats"),
-        spark.read.parquet(s"$dir/vecs"))
+        spark.read.parquet(s"$dir/vecs"),
+        spark.read.parquet(s"$dir/doclen"))
 
     /** Persist with the postings BUCKETED by term (managed tables
       * under `name`_*): the scale-path layout. A term-keyed scan then
@@ -134,6 +141,7 @@ object Rag {
         .saveAsTable(s"${name}_post")
       index.stats.write.mode("overwrite").saveAsTable(s"${name}_stats")
       index.vecs.write.mode("overwrite").saveAsTable(s"${name}_vecs")
+      index.docLen.write.mode("overwrite").saveAsTable(s"${name}_dl")
     }
 
     /** Load a [[saveBucketed]] index from the catalog; the postings
@@ -145,7 +153,8 @@ object Rag {
         spark.table(s"${name}_docs"),
         spark.table(s"${name}_post"),
         spark.table(s"${name}_stats"),
-        spark.table(s"${name}_vecs"))
+        spark.table(s"${name}_vecs"),
+        spark.table(s"${name}_dl"))
   }
 
   /** Text2Cypher made literal: a graph retriever whose seam output
@@ -160,10 +169,12 @@ object Rag {
     (g, kws) => graft.graph.CypherLite.query(g, toCypher(kws))
 
   /** End-to-end hybrid query over a property graph and a PREBUILT
-    * [[CorpusIndex]]; retrieval is hybrid tf-idf + embedded-query KNN
-    * fused with RRF, top-`k` (reference defaults: top_k=2, RRF k=60,
-    * rag.py:80-94). Only the QUESTION is embedded here — one vector
-    * on the driver; corpus-sized work happened at index build.
+    * [[CorpusIndex]]; retrieval is hybrid BM25 + embedded-query KNN
+    * fused with RRF, top-`k` — the reference's hybrid is Tantivy BM25
+    * + vector with RRF defaults top_k=2, k=60
+    * (generate_note_embeddings.py:49, rag.py:80-94). Only the
+    * QUESTION is embedded here — one vector on the driver;
+    * corpus-sized work happened at index build.
     */
   def answer(
       spark: SparkSession, question: String, graph: PropertyGraph,
@@ -174,8 +185,8 @@ object Rag {
     val pruned = llm.pruneSchema(graph.schemaXml, question)
     val keywords = llm.entityKeywords(question, pruned)
 
-    // vector path: hybrid (keyword tf-idf + embedded-query KNN) + RRF
-    val kw = Fts.tfidfScores(index.post, index.stats, keywords)
+    // vector path: hybrid (keyword BM25 + embedded-query KNN) + RRF
+    val kw = Fts.bm25Scores(index.post, index.docLen, index.stats, keywords)
       .orderBy(col("score").desc, col("doc_id").asc).limit(20)
       .select(col("doc_id").as("id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
@@ -206,7 +217,9 @@ object Rag {
     * (the eval-harness fan-in; the reference's rag_obs_eval loop runs
     * questions serially, src/rag_obs_eval.py): keyword and vector
     * ranks for ALL questions compute in a single fused job
-    * (tfidfScoresMany ⊕ knnDotMany ⊕ RRF), the bounded N·k fused
+    * (bm25ScoresMany ⊕ knnDotMany ⊕ RRF — the batch scorer is the
+    * same BM25 arithmetic as [[answer]]'s, so batch serving and the
+    * one-off path rank identically), the bounded N·k fused
     * context rows collect once, and the per-question LLM steps run
     * driver-side over them. The graph path stays per-question (its
     * retrievals are template-sized); the corpus-sized work is what
@@ -225,7 +238,7 @@ object Rag {
 
     val qdf = kws.zipWithIndex
       .flatMap { case (ts, i) => ts.map(t => (i, t)) }.toDF("qid", "term")
-    val kw = Fts.tfidfScoresMany(index.post, index.stats, qdf)
+    val kw = Fts.bm25ScoresMany(index.post, index.docLen, index.stats, qdf)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)))
       .filter(col("rank") <= 20)

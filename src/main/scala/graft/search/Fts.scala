@@ -188,6 +188,39 @@ object Fts {
       .agg(sum(idf * tfn).as("score"))
   }
 
+  /** Batch BM25: [[bm25Scores]] for MANY queries in ONE plan — the
+    * batch-serving mirror of [[tfidfScoresMany]], and the scorer that
+    * keeps batch serving CONSISTENT with the single-query BM25 path
+    * (the reference's hybrid search is Tantivy BM25 + vector,
+    * generate_note_embeddings.py:49 / rag.py:88 — a batch path fusing
+    * tf-idf ranks would serve different orderings than the one-off
+    * path). Same shape as the tf-idf batch: `queries` is a
+    * (qid, term) frame broadcast against the postings, each query's
+    * own df derived by the (qid, term) window in the SAME pass, doc
+    * lengths joined in, (N, avgdl) folded from the broadcast 1-row
+    * stats frame. Two corpus-sized exchanges, identical to
+    * tfidfScoresMany. Per-query arithmetic is bm25Scores' exactly:
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    * tf_norm = tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+    * Returns (qid, doc_id, score); rank per qid downstream.
+    */
+  def bm25ScoresMany(post: DataFrame, docLen: DataFrame, stats: DataFrame,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.dropDuplicates("qid", "term")
+    val matched = post.join(broadcast(q), Seq("term"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid", "term")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfn = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    matched
+      .withColumn("df", count(lit(1)).over(w))
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(sum(idf * tfn).as("score"))
+  }
+
   /** Boolean term query (the Tantivy `+must / -must_not` shape): docs
     * containing ALL `must` terms and NONE of `mustNot`. The must-side
     * intersection is ONE aggregate — count distinct matched terms per

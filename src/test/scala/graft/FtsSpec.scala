@@ -97,6 +97,27 @@ class FtsSpec extends SparkSpec {
     }
   }
 
+  test("bm25ScoresMany: each qid's scores equal the single-query bm25Scores") {
+    val post = Fts.postings(docs, "doc_id", "text")
+    val dl = Fts.docLengths(docs, "doc_id", "text")
+    val stats = Fts.corpusStats(dl)
+    val queries = Seq(
+      1 -> Seq("spark"), 2 -> Seq("window", "unicorn"), 3 -> Seq("absent"))
+    val qdf = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
+    val batch = Fts.bm25ScoresMany(post, dl, stats, qdf)
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(x => x._2 -> x._3).toMap }
+    for ((q, terms) <- queries) {
+      val single = Fts.bm25Scores(post, dl, stats, terms)
+        .as[(Long, Double)].collect().toMap
+      val b = batch.getOrElse(q, Map.empty)
+      assert(b.keySet === single.keySet, s"qid $q doc sets must match")
+      for ((id, s) <- single)
+        assert(math.abs(b(id) - s) < 1e-12,
+          s"qid $q doc $id: batch ${b(id)} vs single $s")
+    }
+  }
+
   test("bm25: rarer term contributes more than common term at equal tf") {
     val post = Fts.postings(docs, "doc_id", "text")
     val dl = Fts.docLengths(docs, "doc_id", "text")
