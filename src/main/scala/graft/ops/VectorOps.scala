@@ -18,6 +18,9 @@ object VectorOps {
   private val NBatchQueries = 5
   private val BatchK = 5
   private val RerankK = 50  // quantized-phase candidates kept for exact re-rank
+  private val NCellsLearned = 4
+  private val LloydIters = 2
+  private val NProbeLearned = 2
 
   private val sqlIv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
@@ -236,6 +239,88 @@ object VectorOps {
            |  FROM scored)
            |SELECT qid, vec_id, dot, rank FROM ranked WHERE rank <= $BatchK
            |ORDER BY ALL""".stripMargin)
+    ),
+    // V9 LEARNED-IVF batch search, oracle-checked end to end: the
+    // quantizer TRAINS inside the query (Ivf.fitExact — 2 Lloyd
+    // rounds over the q7 lattice, exact integer component sums, so
+    // training is bit-stable under any partitioning and replayable),
+    // the corpus indexes through the NearestCells broadcast
+    // expression, and each query scans only its nprobe=2 nearest
+    // cells with the salted two-phase rank. The oracle unrolls the
+    // SAME two rounds as CTEs (init = 4 smallest-id vectors, argmin
+    // with ties to the lower cell, empty-cell carry, (Σq/n)/1e7
+    // float-space scale-down) and replays assignment, probing, and
+    // the exact int-dot re-rank — the first oracle to cover the
+    // LEARNED path, not just label-blocked IVF (v2).
+    QueryDef(
+      "v9_knn_ivf_learned",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = graft.search.Ivf.fitExact(e, "vec_id", "embedding",
+          nCells = NCellsLearned, iters = LloydIters)
+        val index = graft.search.Ivf.index(e, "vec_id", "embedding", model)
+        val qs = e.filter(col("vec_id") < NBatchQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Tables.orderedByAll(
+          graft.search.Ivf.searchMany(index, "vec_id", model, qs, BatchK,
+            nprobe = NProbeLearned))
+      },
+      Some {
+        def round(prev: String, a: String, e: String, st: String, cur: String) =
+          s"""d$a AS (SELECT ivd.vec_id, $prev.cell,
+             |  list_sum(list_transform(range(1, len(ivd.v) + 1, 1),
+             |    i -> (ivd.v[i] - $prev.c[i]) * (ivd.v[i] - $prev.c[i]))) AS d
+             |  FROM ivd, $prev),
+             |a$a AS (SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cell,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+             |  FROM d$a) WHERE r = 1),
+             |e$e AS (SELECT a$a.cell, u.pos, u.q
+             |  FROM (SELECT vec_id, unnest(generate_series(1, len(iv))) AS pos,
+             |               unnest(iv) AS q FROM iv) u
+             |  JOIN a$a USING (vec_id)),
+             |s$st AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+             |  FROM e$e GROUP BY 1, 2),
+             |$cur AS (
+             |  SELECT cell, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+             |  FROM s$st GROUP BY cell
+             |  UNION ALL
+             |  SELECT $prev.cell, $prev.c FROM $prev
+             |  WHERE $prev.cell NOT IN (SELECT cell FROM s$st))""".stripMargin
+        s"""WITH iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+           |ivd AS (SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE)) AS v FROM iv),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+           |              v AS c
+           |       FROM (SELECT * FROM ivd ORDER BY vec_id ASC LIMIT $NCellsLearned)),
+           |${round("c0", "1", "1", "1", "c1")},
+           |${round("c1", "2", "2", "2", "c2")},
+           |cf AS (SELECT cell, list_transform(c, x -> x / 10000000.0) AS c FROM c2),
+           |embd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |         FROM embeddings),
+           |df AS (SELECT embd.vec_id, cf.cell,
+           |  list_sum(list_transform(range(1, len(embd.v) + 1, 1),
+           |    i -> (embd.v[i] - cf.c[i]) * (embd.v[i] - cf.c[i]))) AS d
+           |  FROM embd, cf),
+           |af AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+           |  FROM df) WHERE r = 1),
+           |probes AS (SELECT vec_id AS qid, cell FROM (
+           |  SELECT vec_id, cell,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+           |  FROM df WHERE vec_id < $NBatchQueries) WHERE r <= $NProbeLearned),
+           |qv AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id < $NBatchQueries),
+           |cand AS (SELECT p.qid, af.vec_id FROM probes p JOIN af USING (cell)),
+           |scored AS (SELECT c.qid, c.vec_id,
+           |  CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |    i -> iv.iv[i] * qv.qv[i])) AS BIGINT) AS dot
+           |  FROM cand c JOIN iv ON c.vec_id = iv.vec_id JOIN qv ON c.qid = qv.qid),
+           |ranked AS (SELECT qid, vec_id, dot,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT qid, vec_id, dot, rank FROM ranked
+           |WHERE rank <= $BatchK ORDER BY ALL""".stripMargin
+      }
     ),
     // V7 per-label centroids — the embedding-analytics rollup (cluster
     // quality, drift monitoring, IVF seeding). Component sums ride the

@@ -73,6 +73,59 @@ object Ivf {
       .map { case (v, i) => (i, v.toArray) })
   }
 
+  /** Deterministic, ENGINE-PORTABLE quantizer training: `iters` Lloyd
+    * rounds over the q7 lattice (1e7-scaled integer vectors), seeded
+    * from the `nCells` smallest-id vectors. Each round assigns every
+    * vector to its nearest centroid (the same [[cellOf]] broadcast
+    * expression indexing uses, fed the q7 vector as doubles) and
+    * recomputes centroids from EXACT integer component sums — one
+    * double division per component — so the trained artifact is
+    * BIT-STABLE under any partitioning, executor count, or run order.
+    * Spark ML's k-means|| ([[fit]]) is seeded but its sampling rides
+    * the data partitioning, so a re-partitioned 100-TB corpus trains a
+    * (slightly) different quantizer run to run; this trainer is the
+    * reproducible-artifact path, and an oracle engine can replay it
+    * round for round (v9_knn_ivf_learned does, in DuckDB SQL). A cell
+    * that loses all members keeps its previous centroid. The returned
+    * centroids are scaled back to float space — (Σq/n)/1e7, exactly
+    * that op order — so the model drops into [[index]]/[[searchMany]]
+    * unchanged. Per round: one fused-loop assignment scan + one
+    * (cell, pos)-keyed exact aggregate (nCells·dim rows to the
+    * driver) — the standard distributed-Lloyd shape.
+    */
+  def fitExact(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 2): Model = {
+    require(nCells >= 1 && iters >= 0)
+    val iv = emb.select(col(idCol).as("__id"),
+      Vectors.intVector(col(vecCol)).as("__iv"))
+    val init: Array[(Int, Array[Double])] = iv.orderBy(col("__id").asc)
+      .limit(nCells).collect()
+      .map(_.getSeq[Long](1).toArray.map(_.toDouble))
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    require(init.length == nCells, s"corpus smaller than nCells=$nCells")
+    var q7Model = Model(init)
+    for (_ <- 1 to iters) {
+      val sums = iv
+        .select(cellOf(col("__iv").cast("array<double>"), q7Model).as("cell"),
+          posexplode(col("__iv")).as(Seq("pos", "q")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+      q7Model = Model(q7Model.centroids.map { case (cell, prev) =>
+        cell -> sums.get(cell).map { rows =>
+          val c = prev.clone()
+          rows.foreach(r => c(r.getAs[Int]("pos")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble)
+          c
+        }.getOrElse(prev) // empty cell keeps its previous centroid
+      })
+    }
+    Model(q7Model.centroids.map { case (cell, c) =>
+      cell -> c.map(_ / 1e7)
+    })
+  }
+
   /** Nearest-cell id for a vector column — the native
     * [[graft.functions.NearestCells]] expression over the model's
     * broadcast centroid matrix: a map-side fused-loop projection, no

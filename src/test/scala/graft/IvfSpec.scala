@@ -157,6 +157,35 @@ class IvfSpec extends SparkSpec {
     assert(got(2L).length === 2 && got(2L).distinct.length === 2)
   }
 
+  test("fitExact: bit-identical model under different partitionings") {
+    // the property Spark ML's sampled k-means|| cannot give: exact
+    // integer component sums make training independent of partition
+    // count and row order — the reproducible-artifact contract
+    val m1 = Ivf.fitExact(emb, "vec_id", "embedding", nCells = 4, iters = 2)
+    val m8 = Ivf.fitExact(emb.repartition(8), "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    assert(m1.centroids.map(_._1).toSeq === m8.centroids.map(_._1).toSeq)
+    for (((_, a), (_, b)) <- m1.centroids.zip(m8.centroids))
+      assert(a.toSeq === b.toSeq, "centroids must be bit-identical")
+  }
+
+  test("fitExact + searchMany at nprobe=nCells equals the exact batch KNN") {
+    val m = Ivf.fitExact(emb, "vec_id", "embedding", nCells = 4, iters = 2)
+    val ix = Ivf.index(emb, "vec_id", "embedding", m)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Ivf.searchMany(ix, "vec_id", m, qs, k = 5, nprobe = 4)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val iv = emb.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val exact = Vectors.knnDotMany(iv, "vec_id",
+        iv.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("iv").as("qv")),
+        k = 5)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got === exact)
+  }
+
   test("assignment plan is O(1) in nCells — the model rides a broadcast") {
     // the round-4 literal-centroid form grew the plan by
     // O(nCells · dim) literal nodes; the native expression keeps the
