@@ -13,6 +13,43 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAnalytics {
 
+  /** Persisted shared state for the iterative walkers: the skinny
+    * (src, dst) edge frame, the node set, and the per-edge out-degree
+    * frame. [[prepare]] once per graph, run any number of
+    * [[pageRank]] / [[personalizedPageRank]] calls over it, release
+    * with [[PreparedEdges.unpersist]] — the cross-query reuse the
+    * per-call signatures cannot express (each derives and persists
+    * its own copy of all three; a suite running PageRank, PPR, and
+    * several traversals over ONE graph pays that derivation once
+    * here).
+    */
+  final case class PreparedEdges(e: DataFrame, nodes: DataFrame,
+      withDeg: DataFrame, nNodes: Long) {
+    def unpersist(): Unit = {
+      e.unpersist(false); nodes.unpersist(false); withDeg.unpersist(false)
+    }
+  }
+
+  /** Build [[PreparedEdges]] from a (src, dst) edge set. The node
+    * count is taken ONCE here (index-build-time, like CorpusIndex's
+    * stored stats — the no-driver-action rule governs the per-query
+    * path, not artifact construction); folding it into rank plans as
+    * a literal removes one broadcast-stats subtree per iteration.
+    * The count also eagerly materializes all three persisted frames
+    * (nodes derives through e; withDeg warms on first use).
+    */
+  def prepare(edges: DataFrame): PreparedEdges = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    PreparedEdges(e, nodes, withDeg, nodes.count())
+  }
+
   /** Fixed-iteration PageRank over a directed (src, dst) edge set.
     *
     * Per round: contribution = rank/out-degree summed over in-edges
@@ -31,29 +68,43 @@ object GraphAnalytics {
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    require(iters >= 1, "pageRank needs at least one iteration")
     // e feeds four consumers (both node projections, the degree agg,
-    // the per-edge join) — persist it or each one re-derives the scan
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // N rides a broadcast 1-row frame — no driver-side count action
-    val nStats = nodes.agg(count(lit(1)).as("n"))
-    val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.crossJoin(broadcast(nStats))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    // the per-edge join) — prepare persists all three derivations;
+    // the eager checkpoint materializes the result BEFORE the
+    // prepared frames release (a lazy result would recompute the
+    // whole walk uncached at first consumption)
+    val p = prepare(edges)
+    val res = pageRank(p, iters, damping).localCheckpoint(true)
+    p.unpersist()
+    res
+  }
+
+  /** [[pageRank]] over a shared [[PreparedEdges]] — the caller owns
+    * the persist lifetime (nothing is unpersisted here) and the
+    * result is LAZY: one execution when the caller consumes it, no
+    * checkpoint double-pass (at iters ≤ ~5 the plan depth needs no
+    * truncation; past that the in-loop cadence checkpoint fires).
+    */
+  def pageRank(p: PreparedEdges, iters: Int,
+      damping: Double): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    // N is the prepared artifact's stored count — a literal in the
+    // plan, so no broadcast-stats subtree builds per iteration. The
+    // arithmetic (1.0 / n, (1-d) / n) is the same IEEE division the
+    // 1-row-frame form computed; the g10 oracle is unchanged.
+    val n = lit(p.nNodes.toDouble)
+    var ranks = p.nodes
+      .select(col("id"), (lit(1.0) / n).as("rank"))
     for (i <- 1 to iters) {
-      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
-        .groupBy(withDeg("dst").as("id"))
+      val contrib = p.withDeg.join(ranks, p.withDeg("src") === ranks("id"))
+        .groupBy(p.withDeg("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("c"))
-      ranks = nodes.join(contrib, Seq("id"), "left_outer")
-        .crossJoin(broadcast(nStats))
+      // the update joins the PERSISTED node set (joining the dense
+      // ranks frame instead would consume the previous round's
+      // lineage twice per round — compounding re-execution)
+      ranks = p.nodes.join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
-          ((lit(1.0) - lit(damping)) / col("n") +
+          ((lit(1.0) - lit(damping)) / n +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
       // truncate lineage every few rounds — the iterative-algorithm
       // discipline (same cadence rationale as PropertyGraph.bfs):
@@ -61,11 +112,7 @@ object GraphAnalytics {
       // cost compounds; at the default iters=3 this never fires
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
-    val res = ranks.localCheckpoint(true)
-    e.unpersist(false)
-    nodes.unpersist(false)
-    withDeg.unpersist(false)
-    res
+    ranks
   }
 
   /** Per-node triangle counts over an undirected edge set given as
@@ -99,9 +146,12 @@ object GraphAnalytics {
 
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
+    // deg feeds TWO rank joins — persist the (node-count-sized) frame
+    // or each join re-runs the degree aggregate over und
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // orient: (a → b) with rank(a) < rank(b), rank = (deg, id)
     val ranked = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
@@ -123,6 +173,7 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
       .localCheckpoint(true)
     und.unpersist(false)
+    deg.unpersist(false)
     oriented.unpersist(false)
     res
   }
@@ -141,15 +192,29 @@ object GraphAnalytics {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val p = prepare(edges)
+    val res = personalizedPageRank(p, sources, iters, damping)
+      .localCheckpoint(true)
+    p.unpersist()
+    res
+  }
+
+  /** [[personalizedPageRank]] over a shared [[PreparedEdges]] — the
+    * caller owns the persist lifetime and the result is LAZY (the
+    * [[pageRank]] overload's contract). Only `withDeg` is read; the
+    * node set plays no role (PPR's frontier is the seed
+    * neighborhood).
+    */
+  def personalizedPageRank(p: PreparedEdges, sources: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = p.withDeg
+    // seed sets are query-entity-sized by nature — the three
+    // consumers (count, restart, init) re-derive the distinct rather
+    // than holding a persist the lazy result would outlive; persist
+    // upstream if a source set is ever corpus-sized
     val src = sources.select(col("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nSrc = src.agg(count(lit(1)).as("ns"))
-    val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val restart = src.crossJoin(broadcast(nSrc))
       .select(col("id"), ((lit(1.0) - lit(damping)) / col("ns")).as("restart"))
     var ranks = src.crossJoin(broadcast(nSrc))
@@ -166,11 +231,7 @@ object GraphAnalytics {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
-    val res = ranks.localCheckpoint(true)
-    e.unpersist(false)
-    src.unpersist(false)
-    withDeg.unpersist(false)
-    res
+    ranks
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent node
@@ -193,7 +254,9 @@ object GraphAnalytics {
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg feeds both endpoint joins — persist (node-count-sized)
     val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val common = adj.as("p")
       .join(adj.as("q"), col("p.a") === col("q.a") && col("p.b") < col("q.b"))
       .groupBy(col("p.b").as("u"), col("q.b").as("v"))
@@ -208,6 +271,7 @@ object GraphAnalytics {
       .localCheckpoint(true)
     und.unpersist(false)
     adj.unpersist(false)
+    deg.unpersist(false)
     res
   }
 }

@@ -17,6 +17,36 @@ object GraphOps {
   private val MaxHops = 3
   private val StartRegion = 0L
 
+  /** The canonical TPC-H edge set, PREPARED (edge/node/degree frames
+    * persisted) once per (session, sf dir) and shared by every
+    * consumer in the inventory — g1/g4/g8/g16's traversals and
+    * g10/g15's iterative walkers previously each derived and
+    * persisted their own copy per query, the round-7 suite's largest
+    * redundant cost. Process-lifetime cache: the three frames are
+    * edge-count-sized (skinny id pairs), and Verify/Bench run the
+    * whole inventory in one process — exactly the reuse window. At
+    * 100 TB the analog is the edge set written once as a bucketed
+    * table, not re-derived per query.
+    */
+  private val preparedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      graft.graph.GraphAnalytics.PreparedEdges]
+  private def prepared(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.graph.GraphAnalytics.PreparedEdges = {
+    val p = preparedCache.getOrElseUpdate((s, d),
+      graft.graph.GraphAnalytics.prepare(edgeSet(s, d)))
+    // the bench harness clears the whole cache manager between timed
+    // reps (cache hygiene) — that evicts these frames too; re-arm so
+    // a consumer never runs against a silently-unpersisted edge set
+    // (every hop/round would re-derive the 3-table union)
+    if (p.e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      p.e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.withDeg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    p
+  }
+
   /** Heterogeneous directed edge set with label-prefixed string ids. */
   private def edgeSet(s: org.apache.spark.sql.SparkSession, d: String) = {
     val rn = Tables.nation(s, d).select(
@@ -53,17 +83,14 @@ object GraphOps {
         val start = s.createDataFrame(
           s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(s"r_$StartRegion"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
-        // the BFS loop joins the same edge set once per hop — persist
-        // it so the 3-table union+concat isn't re-derived each level,
-        // then checkpoint the (tiny) per-depth counts and release it
-        val edges = edgeSet(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val res = orderedByAll(
-          g.bfs(edges, start, MaxHops)
-            .groupBy("depth").agg(count(lit(1)).as("n")))
-          .localCheckpoint(true)
-        edges.unpersist(false)
-        res
+        // the BFS loop joins the same edge set once per hop — the
+        // shared prepared frame keeps the 3-table union+concat from
+        // re-deriving each level (and each query); checkpoint the
+        // (tiny) per-depth counts before the sampling sort
+        orderedByAll(
+          g.bfs(prepared(s, d).e, start, MaxHops)
+            .groupBy("depth").agg(count(lit(1)).as("n"))
+            .localCheckpoint(true))
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
@@ -126,14 +153,10 @@ object GraphOps {
         val start = s.createDataFrame(
           s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("c_1"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
-        val edges = edgeSet(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val res = orderedByAll(
-          g.bfs(edges, start, 2, undirected = true)
-            .groupBy("depth").agg(count(lit(1)).as("n")))
-          .localCheckpoint(true)
-        edges.unpersist(false)
-        res
+        orderedByAll(
+          g.bfs(prepared(s, d).e, start, 2, undirected = true)
+            .groupBy("depth").agg(count(lit(1)).as("n"))
+            .localCheckpoint(true))
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
@@ -221,20 +244,15 @@ object GraphOps {
       "g8_cypher_varlength",
       (s, d) => {
         // the *1..3 expansion consumes the edge union once per hop
-        // length plus both node projections — persist it (same
-        // discipline as g1/g4)
-        val edges = edgeSet(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nodesDf = edges.select(col("src").as("id"))
-          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        // length plus both node projections — the shared prepared
+        // frames cover all of them (p.nodes IS the id union)
+        val p = prepared(s, d)
         val g = PropertyGraph(
-          nodes = Map("node" -> nodesDf),
-          edges = Map("LINKS" -> (("node", "node", edges))))
-        val res = orderedByAll(graft.graph.CypherLite.query(g,
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
           s"MATCH (a:node {id: 'r_$StartRegion'})-[:LINKS*1..3]->(b:node) " +
-            "RETURN count(*) AS n_paths")).localCheckpoint(true)
-        edges.unpersist(false)
-        res
+            "RETURN count(*) AS n_paths").localCheckpoint(true))
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
@@ -288,8 +306,12 @@ object GraphOps {
     // with no rounding.
     QueryDef(
       "g10_pagerank",
+      // checkpoint BEFORE the output sort: a range-partitioned sort
+      // SAMPLES its child and then reads it again — an uncached
+      // iterative DAG would execute twice
       (s, d) => orderedByAll(
-        graft.graph.GraphAnalytics.pageRank(edgeSet(s, d), iters = 3)),
+        graft.graph.GraphAnalytics.pageRank(prepared(s, d), iters = 3,
+          damping = 0.85).localCheckpoint(true)),
       Some {
         def round(prev: String, cur: String) =
           s"""$cur AS (
@@ -327,15 +349,22 @@ object GraphOps {
     QueryDef(
       "g12_triangles",
       (s, d) => {
+        // li feeds BOTH sides of the co-occurrence self-join — persist
+        // or the scan+distinct shuffle runs twice; triangleCounts
+        // materializes eagerly (localCheckpoint), so releasing after
+        // the call is safe
         val li = Tables.lineitem(s, d)
           .where(col("l_suppkey") % 10 === 0)
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val edges = li.as("a")
           .join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
           .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-        orderedByAll(graft.graph.GraphAnalytics.triangleCounts(edges))
+        val res = orderedByAll(graft.graph.GraphAnalytics.triangleCounts(edges))
+        li.unpersist(false)
+        res
       },
       Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
              |           FROM lineitem WHERE l_suppkey % 10 = 0),
@@ -357,17 +386,22 @@ object GraphOps {
     QueryDef(
       "g13_link_predict",
       (s, d) => {
+        // same discipline as g12: one persisted li for both self-join
+        // sides, released after linkPredictScores' eager checkpoint
         val li = Tables.lineitem(s, d)
           .where(col("l_partkey") % 10 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val edges = li.as("a")
           .join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        graft.graph.GraphAnalytics.linkPredictScores(edges)
+        val res = graft.graph.GraphAnalytics.linkPredictScores(edges)
           .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
           .limit(50)
+        li.unpersist(false)
+        res
       },
       Some("""WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
              |           FROM lineitem WHERE l_partkey % 10 = 0),
@@ -416,12 +450,13 @@ object GraphOps {
       "g15_ppr",
       (s, d) => {
         val g = graft.graph.GraphAnalytics
-        val edges = edgeSet(s, d)
         val sources = s.createDataFrame(
           s.sparkContext.parallelize(Seq(
             org.apache.spark.sql.Row("r_0"), org.apache.spark.sql.Row("r_1"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
-        orderedByAll(g.personalizedPageRank(edges, sources, iters = 3))
+        // same discipline as g10: materialize before the sampling sort
+        orderedByAll(g.personalizedPageRank(prepared(s, d), sources,
+          iters = 3, damping = 0.85).localCheckpoint(true))
       },
       Some {
         def round(prev: String, cur: String) =
@@ -459,18 +494,13 @@ object GraphOps {
     QueryDef(
       "g16_cypher_undirected_varlength",
       (s, d) => {
-        val edges = edgeSet(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nodesDf = edges.select(col("src").as("id"))
-          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val p = prepared(s, d)
         val g = PropertyGraph(
-          nodes = Map("node" -> nodesDf),
-          edges = Map("LINKS" -> (("node", "node", edges))))
-        val res = orderedByAll(graft.graph.CypherLite.query(g,
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
           "MATCH (a:node {id: 'c_1'})-[:LINKS*1..4]-(b:node) " +
-            "RETURN count(*) AS n_paths")).localCheckpoint(true)
-        edges.unpersist(false)
-        res
+            "RETURN count(*) AS n_paths").localCheckpoint(true))
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
