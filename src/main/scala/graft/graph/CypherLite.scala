@@ -55,10 +55,12 @@ import org.apache.spark.sql.functions._
   *    narrows that match (anchor conditions included — rows failing
   *    them keep nulls, Neo4j semantics); any other cross-clause
   *    reference is rejected loudly rather than silently changing
-  *    required/optional semantics. OR is supported with standard
-  *    precedence (AND binds tighter) when the whole disjunction
-  *    constrains ONE alias; OR across aliases is a row-level filter
-  *    this pre-join compile cannot express — rejected loudly.
+  *    required/optional semantics. Boolean structure: AND/OR with
+  *    standard precedence (AND binds tighter) and PARENTHESIZED
+  *    nesting to any depth — `(a OR b) AND c`, `x AND (y OR (z AND
+  *    w))`. Each top-level conjunct must constrain ONE alias (an OR
+  *    group mixing aliases is a row-level filter this pre-join
+  *    compile cannot express — rejected loudly).
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -334,20 +336,29 @@ object CypherLite {
         case other => fail("WHERE conditions must be alias.prop OP literal", other)
       }
       // split on a connective keyword ONLY outside single-quoted
-      // literals — a naive regex split on \bAND\b/\bOR\b would cut a
-      // condition mid-literal for values like 'black or white'
-      // '_' is a word char (as in \b): `a.tag_or` / `x_and.p` must not
-      // split mid-identifier.
+      // literals and ONLY at parenthesis depth 0 — a naive regex
+      // split on \bAND\b/\bOR\b would cut a condition mid-literal for
+      // values like 'black or white', and would cut THROUGH a
+      // parenthesized group. '_' is a word char (as in \b):
+      // `a.tag_or` / `x_and.p` must not split mid-identifier.
       def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
-      def splitOutsideQuotes(s: String, kw: String): Seq[String] = {
+      def splitTop(s: String, kw: String): Seq[String] = {
         val out = Seq.newBuilder[String]
         var inQ = false
+        var depth = 0
         var start = 0
         var i = 0
         while (i < s.length) {
           val ch = s.charAt(i)
           if (ch == '\'') { inQ = !inQ; i += 1 }
-          else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
+          else if (!inQ && ch == '(') { depth += 1; i += 1 }
+          else if (!inQ && ch == ')') {
+            depth -= 1
+            require(depth >= 0, s"unbalanced ')' in WHERE: '$s'")
+            i += 1
+          }
+          else if (!inQ && depth == 0 &&
+              s.regionMatches(true, i, kw, 0, kw.length) &&
               (i == 0 || !isWordChar(s.charAt(i - 1))) &&
               (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
             out += s.substring(start, i)
@@ -358,30 +369,82 @@ object CypherLite {
         out += s.substring(start)
         out.result().map(_.trim).filter(_.nonEmpty)
       }
-      def conj(s: String): Seq[(String, Column)] = {
-        val cs = splitOutsideQuotes(s, "AND")
-        require(cs.nonEmpty, "empty WHERE")
-        cs.map(parseCond)
-      }
-      // standard precedence: AND binds tighter than OR. An OR whose
-      // disjuncts all constrain ONE alias compiles to a node
-      // predicate like everything else; a disjunction SPANNING
-      // aliases is a row-level filter over the joined path, which
-      // this pre-join architecture cannot express — rejected loudly
-      // rather than silently narrowed.
-      val disjuncts = splitOutsideQuotes(w, "OR")
-      require(disjuncts.nonEmpty, "empty WHERE")
-      val byAlias: Map[String, Column] =
-        if (disjuncts.length == 1)
-          conj(w).groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+      // "whole factor is one group" test: the leading '(' must close
+      // exactly at the string's end (quote-aware) — `(a) AND (b)`
+      // never reaches this because the connective splits run first
+      def wrappedInParens(s: String): Boolean = {
+        if (!(s.startsWith("(") && s.endsWith(")"))) false
         else {
-          val parsed = disjuncts.toSeq.map(conj)
-          val aliases = parsed.flatten.map(_._1).distinct
-          require(aliases.size == 1,
-            s"OR across aliases (${aliases.mkString(", ")}) is not a node " +
-              "predicate — restrict each OR to one alias (or use IN)")
-          Map(aliases.head -> parsed.map(_.map(_._2).reduce(_ && _)).reduce(_ || _))
+          var inQ = false; var depth = 0; var i = 0
+          var closesAtEnd = true
+          while (i < s.length) {
+            val ch = s.charAt(i)
+            if (ch == '\'') inQ = !inQ
+            else if (!inQ && ch == '(') depth += 1
+            else if (!inQ && ch == ')') {
+              depth -= 1
+              if (depth == 0 && i < s.length - 1) closesAtEnd = false
+            }
+            i += 1
+          }
+          closesAtEnd && depth == 0
         }
+      }
+      // recursive descent with standard precedence (AND binds tighter
+      // than OR; parentheses group arbitrarily): boolean AST over the
+      // atomic `alias.prop OP literal` conditions
+      sealed trait BoolExpr
+      case class AtomE(alias: String, cond: Column) extends BoolExpr
+      case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
+      case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
+      def parseFactor(s: String): BoolExpr = {
+        val t = s.trim
+        if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
+        else { val (a, c) = parseCond(t); AtomE(a, c) }
+      }
+      def parseTerm(s: String): BoolExpr = {
+        val cs = splitTop(s, "AND")
+        require(cs.nonEmpty, "empty WHERE")
+        if (cs.length > 1) AndE(cs.map(parseFactor)) else parseFactor(cs.head)
+      }
+      def parseExpr(s: String): BoolExpr = {
+        val ds = splitTop(s, "OR")
+        require(ds.nonEmpty, "empty WHERE")
+        if (ds.length > 1) OrE(ds.map(parseTerm)) else parseTerm(ds.head)
+      }
+      def exprAliases(e: BoolExpr): Set[String] = e match {
+        case AtomE(a, _) => Set(a)
+        case AndE(xs) => xs.flatMap(exprAliases).toSet
+        case OrE(xs) => xs.flatMap(exprAliases).toSet
+      }
+      def toColumn(e: BoolExpr): Column = e match {
+        case AtomE(_, c) => c
+        case AndE(xs) => xs.map(toColumn).reduce(_ && _)
+        case OrE(xs) => xs.map(toColumn).reduce(_ || _)
+      }
+      def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
+        case AndE(xs) => xs.flatMap(flattenAnd)
+        case other => Seq(other)
+      }
+      // each top-level CONJUNCT must constrain ONE alias: an atom
+      // trivially does; an OR group (parenthesized, arbitrarily
+      // nested) compiles to a node predicate when all its atoms share
+      // an alias. A disjunction SPANNING aliases is a row-level
+      // filter over the joined path, which this pre-join architecture
+      // cannot express — rejected loudly rather than silently
+      // narrowed.
+      val byAlias: Map[String, Column] =
+        flattenAnd(parseExpr(w))
+          .map { e =>
+            val as = exprAliases(e)
+            require(as.size == 1,
+              s"OR across aliases (${as.toSeq.sorted.mkString(", ")}) is not " +
+                "a node predicate — restrict each OR group to one alias " +
+                "(or use IN)")
+            as.head -> toColumn(e)
+          }
+          .groupBy(_._1)
+          .map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
       nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))

@@ -515,6 +515,26 @@ object GraphOps {
            |  FROM walk w JOIN sym s ON s.f = w.node
            |  WHERE w.depth < 4 AND NOT list_contains(w.eids, s.eid))
            |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
+    ),
+    // G17 parenthesized boolean WHERE through the full text route —
+    // the nesting shape LLM-generated Cypher eventually emits:
+    // `(a OR b) AND c` with standard precedence, compiled (like every
+    // WHERE) to a node predicate at its pattern position. The
+    // still-unsupported multi-alias OR stays a loud reject
+    // (CypherLiteSpec pins it).
+    QueryDef(
+      "g17_cypher_bool_nesting",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE (c.c_mktsegment = 'AUTOMOBILE' OR c.c_mktsegment = 'BUILDING')
+          |  AND c.c_acctbal > 1000
+          |RETURN n.n_name AS n_name, count(*) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE (c_mktsegment = 'AUTOMOBILE' OR c_mktsegment = 'BUILDING')
+             |  AND c_acctbal > 1000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 

@@ -215,6 +215,42 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("parenthesized boolean WHERE: (a OR b) AND c, arbitrary nesting") {
+    val rows = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE (b.tag = 'b5' OR b.tag = 'b2') AND b.id > 2 RETURN a.tag, b.tag")
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(("a4", "b5")))
+    // nesting depth 2 with a redundant group
+    val deep = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE ((b.tag = 'b2' AND b.id < 3) OR (b.tag = 'b5')) RETURN b.tag")
+      .as[String].collect().toSet
+    assert(deep === Set("b2", "b5"))
+    // conjuncts on DIFFERENT aliases still split per alias
+    val mixed = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a4' OR a.tag = 'a1') AND (b.tag = 'b2') RETURN a.tag")
+      .as[String].collect().toSet
+    assert(mixed === Set("a1", "a4"))
+    // parens inside string literals are literal characters
+    val lit = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE (a.tag = '(weird)' OR a.tag = 'a1') RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(lit === Seq("b2"))
+  }
+
+  test("multi-alias OR rejects loudly even inside parentheses") {
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a1' OR b.tag = 'b5')")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "(a:A)-[:R1]->(b:B) WHERE b.id > 0 AND (a.tag = 'a1' OR b.tag = 'b5')")
+    }
+    intercept[IllegalArgumentException] { // unbalanced parens
+      CypherLite.query(g, "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a1'")
+    }
+  }
+
   test("the words 'and'/'or' INSIDE string literals do not split conditions") {
     val rows = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) WHERE a.tag IN ['black or white', 'a1'] RETURN b.tag")
