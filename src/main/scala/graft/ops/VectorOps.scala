@@ -25,6 +25,60 @@ object VectorOps {
   private val sqlIv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
+  /** The learned-IVF oracle prelude shared by v9/v10: replay
+    * Ivf.fitExact's two Lloyd rounds over the q7 lattice (init = the
+    * NCellsLearned smallest-id vectors, argmin with ties to the lower
+    * cell, exact integer sums, empty-cell carry, (Σq/n)/1e7 final
+    * scale-down), then assign the corpus (`af`) and each query's
+    * NProbeLearned nearest cells (`probes`) in float space — the
+    * exact arithmetic NearestCells runs.
+    */
+  private def sqlLearnedCtes: String = {
+    def round(prev: String, r: String, cur: String) =
+      s"""d$r AS (SELECT ivd.vec_id, $prev.cell,
+         |  list_sum(list_transform(range(1, len(ivd.v) + 1, 1),
+         |    i -> (ivd.v[i] - $prev.c[i]) * (ivd.v[i] - $prev.c[i]))) AS d
+         |  FROM ivd, $prev),
+         |a$r AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+         |  FROM d$r) WHERE r = 1),
+         |e$r AS (SELECT a$r.cell, u.pos, u.q
+         |  FROM (SELECT vec_id, unnest(generate_series(1, len(iv))) AS pos,
+         |               unnest(iv) AS q FROM iv) u
+         |  JOIN a$r USING (vec_id)),
+         |s$r AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+         |  FROM e$r GROUP BY 1, 2),
+         |$cur AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+         |  FROM s$r GROUP BY cell
+         |  UNION ALL
+         |  SELECT $prev.cell, $prev.c FROM $prev
+         |  WHERE $prev.cell NOT IN (SELECT cell FROM s$r))""".stripMargin
+    s"""iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
+       |ivd AS (SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE)) AS v FROM iv),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
+       |              v AS c
+       |       FROM (SELECT * FROM ivd ORDER BY vec_id ASC LIMIT $NCellsLearned)),
+       |${round("c0", "1", "c1")},
+       |${round("c1", "2", "c2")},
+       |cf AS (SELECT cell, list_transform(c, x -> x / 10000000.0) AS c FROM c2),
+       |embd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |         FROM embeddings),
+       |df AS (SELECT embd.vec_id, cf.cell,
+       |  list_sum(list_transform(range(1, len(embd.v) + 1, 1),
+       |    i -> (embd.v[i] - cf.c[i]) * (embd.v[i] - cf.c[i]))) AS d
+       |  FROM embd, cf),
+       |af AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+       |  FROM df) WHERE r = 1),
+       |probes AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+       |  FROM df WHERE vec_id < $NBatchQueries) WHERE r <= $NProbeLearned)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // V1 brute-force KNN: exact top-k over every vector. The baseline
     // every ANN variant is measured against.
@@ -265,50 +319,8 @@ object VectorOps {
           graft.search.Ivf.searchMany(index, "vec_id", model, qs, BatchK,
             nprobe = NProbeLearned))
       },
-      Some {
-        def round(prev: String, a: String, e: String, st: String, cur: String) =
-          s"""d$a AS (SELECT ivd.vec_id, $prev.cell,
-             |  list_sum(list_transform(range(1, len(ivd.v) + 1, 1),
-             |    i -> (ivd.v[i] - $prev.c[i]) * (ivd.v[i] - $prev.c[i]))) AS d
-             |  FROM ivd, $prev),
-             |a$a AS (SELECT vec_id, cell FROM (
-             |  SELECT vec_id, cell,
-             |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
-             |  FROM d$a) WHERE r = 1),
-             |e$e AS (SELECT a$a.cell, u.pos, u.q
-             |  FROM (SELECT vec_id, unnest(generate_series(1, len(iv))) AS pos,
-             |               unnest(iv) AS q FROM iv) u
-             |  JOIN a$a USING (vec_id)),
-             |s$st AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
-             |  FROM e$e GROUP BY 1, 2),
-             |$cur AS (
-             |  SELECT cell, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
-             |  FROM s$st GROUP BY cell
-             |  UNION ALL
-             |  SELECT $prev.cell, $prev.c FROM $prev
-             |  WHERE $prev.cell NOT IN (SELECT cell FROM s$st))""".stripMargin
-        s"""WITH iv AS (SELECT vec_id, $sqlIv AS iv FROM embeddings),
-           |ivd AS (SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE)) AS v FROM iv),
-           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell,
-           |              v AS c
-           |       FROM (SELECT * FROM ivd ORDER BY vec_id ASC LIMIT $NCellsLearned)),
-           |${round("c0", "1", "1", "1", "c1")},
-           |${round("c1", "2", "2", "2", "c2")},
-           |cf AS (SELECT cell, list_transform(c, x -> x / 10000000.0) AS c FROM c2),
-           |embd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |         FROM embeddings),
-           |df AS (SELECT embd.vec_id, cf.cell,
-           |  list_sum(list_transform(range(1, len(embd.v) + 1, 1),
-           |    i -> (embd.v[i] - cf.c[i]) * (embd.v[i] - cf.c[i]))) AS d
-           |  FROM embd, cf),
-           |af AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
-           |  FROM df) WHERE r = 1),
-           |probes AS (SELECT vec_id AS qid, cell FROM (
-           |  SELECT vec_id, cell,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
-           |  FROM df WHERE vec_id < $NBatchQueries) WHERE r <= $NProbeLearned),
+      Some(
+        s"""WITH $sqlLearnedCtes,
            |qv AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id < $NBatchQueries),
            |cand AS (SELECT p.qid, af.vec_id FROM probes p JOIN af USING (cell)),
            |scored AS (SELECT c.qid, c.vec_id,
@@ -319,8 +331,67 @@ object VectorOps {
            |  row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rank
            |  FROM scored)
            |SELECT qid, vec_id, dot, rank FROM ranked
-           |WHERE rank <= $BatchK ORDER BY ALL""".stripMargin
-      }
+           |WHERE rank <= $BatchK ORDER BY ALL""".stripMargin)
+    ),
+    // V10 batch QUANTIZED IVF — the full production ANN stack,
+    // oracle-checked: v9's learned quantizer prunes to nprobe=2 cells
+    // (round 7's quantized batch scanned the whole int8 index), the
+    // pruned candidates rank by rescaled int8 dot keeping RerankK per
+    // query, and only those fetch from the full-precision store for
+    // the exact re-rank. Oracle = the shared learned-IVF CTEs + v6's
+    // quantization arithmetic over the pruned candidate set.
+    QueryDef(
+      "v10_knn_quantized_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = graft.search.Ivf.fitExact(e, "vec_id", "embedding",
+          nCells = NCellsLearned, iters = LloydIters)
+        val ixQ8 = graft.search.Ivf.indexQuantized(e, "vec_id", "embedding", model)
+        val full = e.select(col("vec_id"),
+          Vectors.intVector(col("embedding")).as("iv"))
+        val qs = e.filter(col("vec_id") < NBatchQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Tables.orderedByAll(
+          graft.search.Ivf.searchManyQuantized(ixQ8, full, "vec_id", model,
+            qs, BatchK, RerankK, nprobe = NProbeLearned))
+      },
+      Some(
+        s"""WITH $sqlLearnedCtes,
+           |q8 AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CASE WHEN mx > 0
+           |             THEN CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT) ELSE 0 END) AS q8,
+           |         mx AS scale
+           |  FROM (SELECT vec_id, embedding,
+           |               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           |        FROM embeddings)),
+           |qs AS (SELECT vec_id AS qid, q8, scale FROM q8 WHERE vec_id < $NBatchQueries),
+           |pruned AS (SELECT p.qid, af.vec_id FROM probes p JOIN af USING (cell)),
+           |qscored AS (
+           |  SELECT pr.qid, q8.vec_id,
+           |         CAST(list_sum(list_transform(range(1, len(q8.q8) + 1, 1),
+           |                                      i -> q8.q8[i] * qs.q8[i])) AS DOUBLE)
+           |           * q8.scale * qs.scale AS qscore
+           |  FROM pruned pr JOIN q8 ON pr.vec_id = q8.vec_id
+           |  JOIN qs ON pr.qid = qs.qid),
+           |candq AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY qscore DESC, vec_id ASC) AS r
+           |    FROM qscored) WHERE r <= $RerankK),
+           |qv AS (SELECT vec_id AS qid, iv AS qv FROM iv WHERE vec_id < $NBatchQueries),
+           |rer AS (
+           |  SELECT c.qid, iv.vec_id,
+           |         CAST(list_sum(list_transform(range(1, len(iv.iv) + 1, 1),
+           |                                      i -> iv.iv[i] * qv.qv[i])) AS BIGINT) AS dot
+           |  FROM candq c JOIN iv ON c.vec_id = iv.vec_id JOIN qv ON c.qid = qv.qid),
+           |ranked AS (
+           |  SELECT qid, vec_id, dot,
+           |         row_number() OVER (PARTITION BY qid
+           |                            ORDER BY dot DESC, vec_id ASC) AS rank
+           |  FROM rer)
+           |SELECT qid, vec_id, dot, rank FROM ranked WHERE rank <= $BatchK
+           |ORDER BY ALL""".stripMargin)
     ),
     // V7 per-label centroids — the embedding-analytics rollup (cluster
     // quality, drift monitoring, IVF seeding). Component sums ride the

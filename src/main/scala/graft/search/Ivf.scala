@@ -194,4 +194,60 @@ object Ivf {
         .select(col("qid"), col(idCol), Vectors.intDot(col("iv"), col("qv")).as("dot")),
       idCol, k, nSalts)
   }
+
+  /** Quantized IVF index: (idCol, cell, q8 TINYINT[], scale) — the
+    * two-tier 100-TB layout in one table: cell is the partition/
+    * bucket key (a probe scans only its cells' files), the int8
+    * payload is 4× smaller than float32. Scale materializes BEFORE
+    * the quantize lambda references it (the q8Vector contract — an
+    * inline q8Scale re-derives the max per element).
+    */
+  def indexQuantized(emb: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    emb.select(col(idCol), cellOf(col(vecCol), model).as("cell"),
+        col(vecCol), Vectors.q8Scale(col(vecCol)).as("scale"))
+      .select(col(idCol), col("cell"),
+        Vectors.q8Vector(col(vecCol), col("scale")).as("q8"), col("scale"))
+
+  /** Batch quantized IVF search — the full production ANN stack in
+    * one plan, closing the round-7 gap where the quantized batch path
+    * (`Vectors.knnQuantizedMany`) scanned the ENTIRE int8 index:
+    * phase 0 prunes to each query's `nprobe` nearest cells (the same
+    * broadcast `nearest_cells` assignment as [[searchMany]] —
+    * partition pruning when the index is written partitionBy(cell)),
+    * phase 1 ranks the pruned int8 candidates by rescaled quantized
+    * dot and keeps `rerankK` per query (salted two-phase rank — no
+    * corpus-sized reducer), phase 2 fetches ONLY those candidates
+    * from the full-precision store and re-ranks exactly. `queries`
+    * carries raw (qid, qv: ARRAY<FLOAT|DOUBLE>); the q8/iv query
+    * forms derive inside. Returns (qid, idCol, dot, rank) like
+    * [[searchMany]]; at nprobe = nCells it equals the unpruned
+    * knnQuantizedMany (IvfSpec pins it).
+    */
+  def searchManyQuantized(indexQ8: DataFrame, embFull: DataFrame,
+      idCol: String, model: Model, queries: DataFrame, k: Int, rerankK: Int,
+      nprobe: Int, nSalts: Int = 16): DataFrame = {
+    require(rerankK >= k, s"rerankK $rerankK < k $k")
+    val probed = broadcast(
+      queries.select(col("qid"), col("qv"),
+          Vectors.q8Scale(col("qv")).as("qscale"))
+        .select(col("qid"),
+          Vectors.q8Vector(col("qv"), col("qscale")).cast("array<bigint>").as("qq8"),
+          col("qscale"),
+          explode(cellsOf(col("qv"), model, nprobe)).as("cell")))
+    val cand = Vectors.topKPerQuery(
+      indexQ8.join(probed, Seq("cell"))
+        .select(col("qid"), col(idCol),
+          (Vectors.intDot(col("q8").cast("array<bigint>"), col("qq8")).cast("double") *
+            col("scale") * col("qscale")).as("dot")),
+      idCol, rerankK, nSalts)
+      .select(col("qid"), col(idCol))
+    val qiv = queries.select(col("qid"), Vectors.intVector(col("qv")).as("qiv"))
+    Vectors.topKPerQuery(
+      embFull.join(broadcast(cand), Seq(idCol))
+        .join(broadcast(qiv), Seq("qid"))
+        .select(col("qid"), col(idCol),
+          Vectors.intDot(col("iv"), col("qiv")).as("dot")),
+      idCol, k, nSalts)
+  }
 }

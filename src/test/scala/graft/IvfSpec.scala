@@ -186,6 +186,34 @@ class IvfSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("searchManyQuantized at nprobe=nCells equals the unpruned quantized batch") {
+    val m = Ivf.fitExact(emb, "vec_id", "embedding", nCells = 4, iters = 2)
+    val ixQ8 = Ivf.indexQuantized(emb, "vec_id", "embedding", m)
+    val full = emb.select(col("vec_id"), Vectors.intVector(col("embedding")).as("iv"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Ivf.searchManyQuantized(ixQ8, full, "vec_id", m, qs,
+        k = 5, rerankK = 20, nprobe = 4)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // unpruned reference: Vectors.knnQuantizedMany over the same index
+    // content (cell column dropped) and the same derived query forms
+    val q8idx = ixQ8.select(col("vec_id"), col("q8"), col("scale"))
+    val qForms = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.q8Scale(col("embedding")).as("qscale"),
+        Vectors.intVector(col("embedding")).as("qv"))
+      .select(col("vec_id").as("qid"),
+        Vectors.q8Vector(col("embedding"), col("qscale"))
+          .cast("array<bigint>").as("qq8"),
+        col("qscale"), col("qv"))
+    val unpruned = Vectors.knnQuantizedMany(q8idx, full, "vec_id", qForms,
+        k = 5, rerankK = 20)
+      .select("qid", "vec_id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got === unpruned)
+  }
+
   test("assignment plan is O(1) in nCells — the model rides a broadcast") {
     // the round-4 literal-centroid form grew the plan by
     // O(nCells · dim) literal nodes; the native expression keeps the
