@@ -14,6 +14,23 @@ import graft.temporal.AsOfJoin
   */
 object ScaleOps {
 
+  /** Two deterministic snapshot versions synthesized from orders
+    * (shared by j11 and x9): v1 lacks keys ≡0 mod 7 → those classify
+    * "added"; v2 lacks keys ≡0 mod 3 → "removed"; v2 doubles prices
+    * on keys ≡0 mod 5 → "changed" (×2 is a power of two, so the
+    * doubled doubles are exact). Every diff branch populated.
+    */
+  private def snapV1(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+  private def snapV2(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("v"))
+
   val defs: Seq[QueryDef] = Seq(
     // J8 as-of join: for every click, the user's most recent purchase
     // at-or-before it. One shuffle + per-partition sort — never the
@@ -159,24 +176,10 @@ object ScaleOps {
     // codegen'd CASE.
     QueryDef(
       "j11_table_diff",
-      (s, d) => {
-        val v1 = Tables.orders(s, d)
-          .where(col("o_orderkey") % 7 =!= 0)
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v1"))
-        val v2 = Tables.orders(s, d)
-          .where(col("o_orderkey") % 3 =!= 0)
-          .select(col("o_orderkey").as("k"),
-            when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
-              .otherwise(col("o_totalprice")).as("v2"))
-        orderedByAll(
-          v1.join(v2, Seq("k"), "full_outer")
-            .withColumn("change",
-              when(col("v1").isNull, "added")
-                .when(col("v2").isNull, "removed")
-                .when(col("v1") =!= col("v2"), "changed"))
-            .where(col("change").isNotNull)
-            .select(col("k"), col("v1"), col("v2"), col("change")))
-      },
+      (s, d) => orderedByAll(
+        graft.temporal.Cdc.tableDiff(snapV1(s, d), snapV2(s, d), "k", "v")
+          .select(col("k"), col("v_old").as("v1"), col("v_new").as("v2"),
+            col("change"))),
       Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS v1
              |            FROM orders WHERE o_orderkey % 7 <> 0),
              |v2 AS (SELECT o_orderkey AS k,
@@ -225,6 +228,53 @@ object ScaleOps {
              |      FROM s GROUP BY 1, 2)
              |SELECT user_id, seg, event_type, valid_from_us,
              |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_us,
+             |       n_events
+             |FROM g ORDER BY ALL""".stripMargin)
+    ),
+    // X9 CDC round-trip: the pipeline closure j11 + x6 imply but
+    // never prove together — snapshot v1, diff against v2
+    // (Cdc.tableDiff), APPLY the delta back onto v1 (Cdc.applyDelta),
+    // and build SCD2 validity intervals from the (v1@t1, applied@t2)
+    // history. The Spark side rides the APPLIED snapshot while the
+    // oracle computes intervals from v2 DIRECTLY — so the hash only
+    // matches if apply∘diff is the identity v1→v2, key for key and
+    // value for value. Removed keys keep their t1 interval open on
+    // both sides (snapshot-history semantics: absence is not an
+    // observation).
+    QueryDef(
+      "x9_cdc_roundtrip",
+      (s, d) => {
+        val base = snapV1(s, d)
+        val delta = graft.temporal.Cdc.tableDiff(base, snapV2(s, d), "k", "v")
+        val applied = graft.temporal.Cdc.applyDelta(base, delta, "k", "v")
+        val hist = base.select(col("k"), lit(1L).as("t"), col("v"))
+          .unionByName(applied.select(col("k"), lit(2L).as("t"), col("v")))
+        orderedByAll(
+          graft.temporal.Sessions.scd2(hist, col("k"), col("t"), col("t"), col("v"))
+            .select(col("key").as("k"), col("seg"), col("attr").as("v"),
+              col("valid_from"), col("valid_to"), col("n_events")))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS v
+             |            FROM orders WHERE o_orderkey % 7 <> 0),
+             |v2 AS (SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+             |              ELSE o_totalprice END AS v
+             |       FROM orders WHERE o_orderkey % 3 <> 0),
+             |hist AS (SELECT k, CAST(1 AS BIGINT) AS t, v FROM v1
+             |         UNION ALL SELECT k, CAST(2 AS BIGINT) AS t, v FROM v2),
+             |o AS (SELECT k, t, v,
+             |        CASE WHEN row_number() OVER w = 1 THEN 1
+             |             WHEN lag(v) OVER w IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg
+             |      FROM hist WINDOW w AS (PARTITION BY k ORDER BY t)),
+             |s AS (SELECT k, t, v,
+             |        CAST(sum(chg) OVER (PARTITION BY k ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+             |      FROM o),
+             |g AS (SELECT k, seg, min(v) AS v, min(t) AS valid_from,
+             |             count(*) AS n_events
+             |      FROM s GROUP BY 1, 2)
+             |SELECT k, seg, v, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY k ORDER BY seg) AS valid_to,
              |       n_events
              |FROM g ORDER BY ALL""".stripMargin)
     )
