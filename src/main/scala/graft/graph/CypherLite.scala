@@ -58,9 +58,12 @@ import org.apache.spark.sql.functions._
   *    required/optional semantics. Boolean structure: AND/OR with
   *    standard precedence (AND binds tighter) and PARENTHESIZED
   *    nesting to any depth — `(a OR b) AND c`, `x AND (y OR (z AND
-  *    w))`. Each top-level conjunct must constrain ONE alias (an OR
-  *    group mixing aliases is a row-level filter this pre-join
-  *    compile cannot express — rejected loudly).
+  *    w))`. A single-alias conjunct compiles to a node predicate
+  *    (semi-join BEFORE the path join — the fast path); a CROSS-ALIAS
+  *    conjunct (`a.x = 1 OR b.y = 2`) compiles to a post-join row
+  *    filter over attached property columns — required MATCH only
+  *    (on an OPTIONAL MATCH it would silently change left-join
+  *    semantics, so there it stays a loud reject).
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -99,6 +102,15 @@ object CypherLite {
   final case class OptClause(anchor: String, steps: Seq[PatternStep],
       anchorPred: Option[Column] = None)
 
+  /** A cross-alias WHERE conjunct (`a.x = 1 OR b.y = 2`) compiled for
+    * the JOINED path frame: `props` are the (alias, prop) columns the
+    * filter reads — attached as `alias__w_prop` before filtering,
+    * dropped after — and `cond` the boolean over them. Required-MATCH
+    * only (on an OPTIONAL MATCH a row filter would silently change
+    * left-join semantics).
+    */
+  final case class RowPred(props: Seq[(String, String)], cond: Column)
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
       labels: Map[String, String], returns: Seq[ReturnItem],
@@ -106,7 +118,8 @@ object CypherLite {
       optionalAliases: Set[String] = Set.empty,
       returnDistinct: Boolean = false,
       orderBy: Seq[(String, Boolean)] = Seq.empty,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      rowPreds: Seq[RowPred] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -206,6 +219,7 @@ object CypherLite {
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
+    val rowPreds = scala.collection.mutable.ArrayBuffer.empty[RowPred]
     var start: PatternNode = null
 
     def parseChain(chain: String, ci: Int,
@@ -292,14 +306,20 @@ object CypherLite {
         s"pattern part ${ci + 1} needs at least one edge")
     }
 
-    /** WHERE conditions of one clause, merged into that clause's node
-      * predicates. `allowed` = aliases bound by the clause (a WHERE
-      * may only constrain its own clause — referencing another
-      * clause's alias is rejected loudly rather than silently
-      * changing required/optional semantics).
+    /** WHERE conditions of one clause. Single-alias conjuncts merge
+      * into that clause's node predicates (semi-joins BEFORE the path
+      * join); cross-alias conjuncts — `a.x = 1 OR b.y = 2` — compile
+      * to POST-JOIN row filters over attached property columns
+      * (`allowRowPreds`, the required MATCH only: on an OPTIONAL
+      * MATCH a row filter would silently change left-join semantics,
+      * so there it stays a loud reject). `allowed` = aliases bound by
+      * the clause (a WHERE may only constrain its own clause —
+      * referencing another clause's alias is rejected loudly rather
+      * than silently changing required/optional semantics).
       */
     def applyWhere(w: String, allowed: Set[String],
-        nodes: Seq[PatternNode]): Map[String, PatternNode] = {
+        nodes: Seq[PatternNode],
+        allowRowPreds: Boolean): (Map[String, PatternNode], Seq[RowPred]) = {
       def checkAlias(a: String): Unit = {
         require(!relVars(a),
           s"'$a' is a relationship variable — relationships carry no " +
@@ -309,32 +329,37 @@ object CypherLite {
           s"WHERE references alias '$a' bound by a different clause — " +
             "attach the condition to the clause that binds it")
       }
-      def parseCond(cond: String): (String, Column) = cond.trim match {
-        case WhereNullRe(a, p, not) =>
-          checkAlias(a)
-          a -> (if (not != null) col(p).isNotNull else col(p).isNull)
-        case WhereCondRe(a, p, op, v) =>
-          checkAlias(a)
-          val c = op.toUpperCase.replaceAll("\\s+", " ") match {
-            case "="  => col(p) === lit(literal(v))
-            case "<>" => col(p) =!= lit(literal(v))
-            case "<"  => col(p) < lit(literal(v))
-            case "<=" => col(p) <= lit(literal(v))
-            case ">"  => col(p) > lit(literal(v))
-            case ">=" => col(p) >= lit(literal(v))
-            case "CONTAINS" => col(p).contains(lit(literal(v)))
-            case "STARTS WITH" => col(p).startsWith(lit(literal(v).toString))
-            case "ENDS WITH" => col(p).endsWith(lit(literal(v).toString))
-            case "IN" =>
-              val body = v.trim
-              require(body.startsWith("[") && body.endsWith("]"),
-                s"IN needs a [list], got '$body'")
-              val items = body.substring(1, body.length - 1).split(",").map(literal)
-              col(p).isin(items.toIndexedSeq: _*)
-          }
-          a -> c
-        case other => fail("WHERE conditions must be alias.prop OP literal", other)
-      }
+      // an atom keeps its (alias, prop, builder) apart so the SAME
+      // condition can compile against the node table (col(prop), the
+      // pre-join semi-join form) or the joined path frame
+      // (col(alias__w_prop), the row-filter form)
+      def parseCond(cond: String): (String, String, Column => Column) =
+        cond.trim match {
+          case WhereNullRe(a, p, not) =>
+            checkAlias(a)
+            (a, p, c => if (not != null) c.isNotNull else c.isNull)
+          case WhereCondRe(a, p, op, v) =>
+            checkAlias(a)
+            val mk: Column => Column = op.toUpperCase.replaceAll("\\s+", " ") match {
+              case "="  => _ === lit(literal(v))
+              case "<>" => _ =!= lit(literal(v))
+              case "<"  => _ < lit(literal(v))
+              case "<=" => _ <= lit(literal(v))
+              case ">"  => _ > lit(literal(v))
+              case ">=" => _ >= lit(literal(v))
+              case "CONTAINS" => _.contains(lit(literal(v)))
+              case "STARTS WITH" => _.startsWith(lit(literal(v).toString))
+              case "ENDS WITH" => _.endsWith(lit(literal(v).toString))
+              case "IN" =>
+                val body = v.trim
+                require(body.startsWith("[") && body.endsWith("]"),
+                  s"IN needs a [list], got '$body'")
+                val items = body.substring(1, body.length - 1).split(",").map(literal)
+                _.isin(items.toIndexedSeq: _*)
+            }
+            (a, p, mk)
+          case other => fail("WHERE conditions must be alias.prop OP literal", other)
+        }
       // split on a connective keyword ONLY outside single-quoted
       // literals and ONLY at parenthesis depth 0 — a naive regex
       // split on \bAND\b/\bOR\b would cut a condition mid-literal for
@@ -394,13 +419,14 @@ object CypherLite {
       // than OR; parentheses group arbitrarily): boolean AST over the
       // atomic `alias.prop OP literal` conditions
       sealed trait BoolExpr
-      case class AtomE(alias: String, cond: Column) extends BoolExpr
+      case class AtomE(alias: String, prop: String,
+          mk: Column => Column) extends BoolExpr
       case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
       case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
       def parseFactor(s: String): BoolExpr = {
         val t = s.trim
         if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
-        else { val (a, c) = parseCond(t); AtomE(a, c) }
+        else { val (a, pr, mk) = parseCond(t); AtomE(a, pr, mk) }
       }
       def parseTerm(s: String): BoolExpr = {
         val cs = splitTop(s, "AND")
@@ -413,42 +439,52 @@ object CypherLite {
         if (ds.length > 1) OrE(ds.map(parseTerm)) else parseTerm(ds.head)
       }
       def exprAliases(e: BoolExpr): Set[String] = e match {
-        case AtomE(a, _) => Set(a)
+        case AtomE(a, _, _) => Set(a)
         case AndE(xs) => xs.flatMap(exprAliases).toSet
         case OrE(xs) => xs.flatMap(exprAliases).toSet
       }
-      def toColumn(e: BoolExpr): Column = e match {
-        case AtomE(_, c) => c
-        case AndE(xs) => xs.map(toColumn).reduce(_ && _)
-        case OrE(xs) => xs.map(toColumn).reduce(_ || _)
+      def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
+        case AtomE(a, pr, _) => Seq(a -> pr)
+        case AndE(xs) => xs.flatMap(exprProps)
+        case OrE(xs) => xs.flatMap(exprProps)
       }
+      def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
+        e match {
+          case AtomE(a, pr, mk) => mk(resolve(a, pr))
+          case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
+          case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
+        }
       def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
         case AndE(xs) => xs.flatMap(flattenAnd)
         case other => Seq(other)
       }
-      // each top-level CONJUNCT must constrain ONE alias: an atom
-      // trivially does; an OR group (parenthesized, arbitrarily
-      // nested) compiles to a node predicate when all its atoms share
-      // an alias. A disjunction SPANNING aliases is a row-level
-      // filter over the joined path, which this pre-join architecture
-      // cannot express — rejected loudly rather than silently
-      // narrowed.
-      val byAlias: Map[String, Column] =
-        flattenAnd(parseExpr(w))
-          .map { e =>
-            val as = exprAliases(e)
-            require(as.size == 1,
-              s"OR across aliases (${as.toSeq.sorted.mkString(", ")}) is not " +
-                "a node predicate — restrict each OR group to one alias " +
-                "(or use IN)")
-            as.head -> toColumn(e)
-          }
-          .groupBy(_._1)
-          .map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
-      nodes.flatMap { n =>
+      // each top-level conjunct compiles by its alias span: ONE alias
+      // → a node predicate (semi-join at the pattern position, before
+      // the path join — the fast path); SEVERAL aliases (`a.x = 1 OR
+      // b.y = 2`) → a row-level filter over the joined path frame,
+      // evaluated against attached property columns (required MATCH
+      // only — on an OPTIONAL MATCH that would silently reclassify
+      // left-join semantics, so it stays a loud reject there)
+      val (single, crossAlias) = flattenAnd(parseExpr(w))
+        .partition(e => exprAliases(e).size == 1)
+      require(allowRowPreds || crossAlias.isEmpty, {
+        val as = crossAlias.flatMap(exprAliases).distinct.sorted
+        s"OR across aliases (${as.mkString(", ")}) is not a node " +
+          "predicate — on OPTIONAL MATCH restrict each OR group to one " +
+          "alias (or use IN)"
+      })
+      val rowPreds = crossAlias.map { e =>
+        RowPred(exprProps(e).distinct,
+          toColumn(e, (a, pr) => col(s"${a}__w_$pr")))
+      }
+      val byAlias: Map[String, Column] = single
+        .map(e => exprAliases(e).head -> toColumn(e, (_, pr) => col(pr)))
+        .groupBy(_._1)
+        .map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+      (nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
-      }.toMap
+      }.toMap, rowPreds)
     }
 
     // top-level comma = a new pattern part (commas inside {…} are
@@ -465,7 +501,9 @@ object CypherLite {
         for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
         for (w <- whereOpt) {
           val ns = start +: steps.toSeq.map(_.node)
-          val upd = applyWhere(w, ns.map(_.as).toSet, ns)
+          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns,
+            allowRowPreds = true)
+          rowPreds ++= rps
           upd.get(start.as).foreach(start = _)
           for (i <- steps.indices; n <- upd.get(steps(i).node.as))
             steps(i) = steps(i).copy(node = n)
@@ -485,7 +523,8 @@ object CypherLite {
         for (w <- whereOpt) {
           val ns = PatternNode(bound(anchor), anchor) +:
             clauseSteps.toSeq.map(_.node)
-          val upd = applyWhere(w, ns.map(_.as).toSet, ns)
+          val (upd, _) = applyWhere(w, ns.map(_.as).toSet, ns,
+            allowRowPreds = false)
           anchorPred = upd.get(anchor).flatMap(_.pred)
           for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
             clauseSteps(i) = clauseSteps(i).copy(node = n)
@@ -567,7 +606,8 @@ object CypherLite {
       "ORDER BY/LIMIT need a RETURN clause")
 
     Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
-      optionalAliases.toSet, returnDistinct, orderBy, limit)
+      optionalAliases.toSet, returnDistinct, orderBy, limit,
+      rowPreds.toSeq)
   }
 
   /** Parse and execute against a graph. RETURN items arrive under
@@ -591,10 +631,36 @@ object CypherLite {
         s"RETURN ${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
           "— the any-node view has no properties; declare a :Label to read them")
     val optionals = p.optionalAliases
+    // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
+    // frame (before OPTIONAL MATCH extends it, standard clause order):
+    // attach each referenced property under a reserved __w_ prefix,
+    // filter, drop — the node tables are dimension-sized, so these are
+    // broadcast joins on top of the already-joined paths
+    val required0 = g.matchPaths(p.start, p.steps)
+    val required =
+      if (p.rowPreds.isEmpty) required0
+      else {
+        for (rp <- p.rowPreds; (a, pr) <- rp.props
+             if p.labels.get(a).contains("") && pr != "id")
+          throw new IllegalArgumentException(
+            s"WHERE $a.$pr: alias '$a' is unlabeled — the any-node view " +
+              "has no properties; declare a :Label to filter on them")
+        val need = p.rowPreds.flatMap(_.props).distinct
+        val attached = need.groupBy(_._1).toSeq.sortBy(_._1)
+          .foldLeft(required0) { case (df, (alias, ps)) =>
+            g.attach(df, alias, p.labels(alias), ps.map(_._2).distinct,
+              s"${alias}__w_")
+          }
+        attached
+          .filter(p.rowPreds.map(_.cond).reduce(_ && _))
+          // a USING join fronts its key column — restore the path
+          // frame's alias order (and drop the __w_ helpers)
+          .select(required0.columns.map(col).toIndexedSeq: _*)
+      }
     // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
     // anchored at its bound alias, left-joined as one unit — if any
     // step fails, every alias the clause binds is null together
-    val paths = p.optionals.foldLeft(g.matchPaths(p.start, p.steps)) {
+    val paths = p.optionals.foldLeft(required) {
       (df, cl) =>
         val sub = g.matchPaths(
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)

@@ -535,6 +535,24 @@ object GraphOps {
              |WHERE (c_mktsegment = 'AUTOMOBILE' OR c_mktsegment = 'BUILDING')
              |  AND c_acctbal > 1000
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G18 CROSS-ALIAS OR through the full text route — the WHERE
+    // shape the pre-join compile could not express until round 8:
+    // `n.x = … OR c.y = …` spans two pattern positions, so it
+    // compiles to a post-join row filter over attached property
+    // columns (single-alias conjuncts still land as pre-join node
+    // predicates beside it). OPTIONAL MATCH keeps the loud reject.
+    QueryDef(
+      "g18_cypher_cross_alias_or",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE n.n_name = 'NATION_3' OR c.c_acctbal > 9000
+          |RETURN n.n_name AS n_name, count(*) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3' OR c_acctbal > 9000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 

@@ -199,7 +199,7 @@ class CypherLiteSpec extends SparkSpec {
     assert(mixed === Set("a1", "a4"))
   }
 
-  test("single-alias OR compiles with AND-tighter precedence; cross-alias OR fails") {
+  test("single-alias OR compiles with AND-tighter precedence") {
     val or = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) WHERE b.tag = 'b5' OR b.tag = 'b2' RETURN a.tag, b.tag")
       .as[(String, String)].collect().toSet
@@ -209,10 +209,6 @@ class CypherLiteSpec extends SparkSpec {
       "(a:A)-[:R1]->(b:B) WHERE b.id < 3 AND b.tag ENDS WITH '2' OR b.tag = 'b5' RETURN b.tag")
       .as[String].collect().toSet
     assert(prec === Set("b2", "b5"))
-    intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "(a:A)-[:R1]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'b5'")
-    }
   }
 
   test("parenthesized boolean WHERE: (a OR b) AND c, arbitrary nesting") {
@@ -237,14 +233,28 @@ class CypherLiteSpec extends SparkSpec {
     assert(lit === Seq("b2"))
   }
 
-  test("multi-alias OR rejects loudly even inside parentheses") {
+  test("cross-alias OR compiles to a post-join row filter (required MATCH)") {
+    val rows = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'b5' RETURN a.tag, b.tag")
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(("a1", "b2"), ("a4", "b5")),
+      "(a4, b2) satisfies neither disjunct and must drop")
+    // single-alias conjunct stays a node predicate NEXT TO the
+    // cross-alias group
+    val mixed = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.id > 2 AND (a.tag = 'a1' OR b.tag = 'b5') RETURN a.tag, b.tag")
+      .as[(String, String)].collect().toSet
+    assert(mixed === Set(("a4", "b5")))
+    // the reserved __w_ helper columns never leak into the output
+    val cols = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'b5'").columns.toSeq
+    assert(cols === Seq("a", "b"))
+  }
+
+  test("cross-alias OR on an OPTIONAL MATCH WHERE stays a loud reject") {
     intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a1' OR b.tag = 'b5')")
-    }
-    intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "(a:A)-[:R1]->(b:B) WHERE b.id > 0 AND (a.tag = 'a1' OR b.tag = 'b5')")
+      CypherLite.parse(
+        "MATCH (b:B) OPTIONAL MATCH (b)<-[:R1]-(a:A) WHERE a.tag = 'a1' OR b.tag = 'b2'")
     }
     intercept[IllegalArgumentException] { // unbalanced parens
       CypherLite.query(g, "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a1'")
