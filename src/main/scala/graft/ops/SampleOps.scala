@@ -174,6 +174,30 @@ object SampleOps {
              |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY user_id ORDER BY ALL""".stripMargin)
+    ),
+    // X10 weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res): top-10 orders per priority group with inclusion
+    // probability ∝ price — the quality/length-weighted subsampling
+    // stage `mixture` rates can't express. The exponential jitter
+    // derives from 52 EXACT md5 bits (hash-determinism contract:
+    // retries and oracle engines draw the same sample); the oracle
+    // replays the identical -ln((hex52+1)/2^52+1)/w arithmetic.
+    QueryDef(
+      "x10_weighted_sample",
+      (s, d) => orderedByAll(
+        Sampling.weighted(Tables.orders(s, d), Seq(col("o_orderpriority")),
+            col("o_orderkey"), col("o_totalprice"), 10, "x10")
+          .select(col("o_orderpriority").as("grp"),
+            col("o_orderkey").as("k"), col("o_totalprice").as("w"))),
+      Some("""WITH s AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS grp, o_totalprice AS w,
+             |         -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || 'x10'), 1, 13)) AS BIGINT) + 1)
+             |             / 4503599627370497.0) / o_totalprice AS ej
+             |  FROM orders WHERE o_totalprice > 0),
+             |r AS (SELECT grp, k, w,
+             |        row_number() OVER (PARTITION BY grp ORDER BY ej ASC, k ASC) AS rn
+             |      FROM s)
+             |SELECT grp, k, w FROM r WHERE rn <= 10 ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -69,6 +69,39 @@ object Sampling {
     df.filter(hashBucket(key, seed) < thr)
   }
 
+  /** Weighted sampling WITHOUT replacement: `min(n, |group|)` rows
+    * per group with inclusion probability ∝ `weight` — the
+    * Efraimidis–Spirakis A-Res scheme under the same hash-determinism
+    * contract as every sampler here. The exponential jitter is
+    * `-ln(u) / w` with u drawn from 52 EXACT bits of
+    * md5(key || seed) mapped into (0, 1] (so ln never sees 0), and
+    * the per-group top-n takes the SMALLEST jitter — re-runs, task
+    * retries, and oracle engines draw the same sample. This is the
+    * data-mixing primitive `mixture` rates cannot express: quality- or
+    * length-weighted subsampling where every row keeps mass
+    * proportional to its score. Rows with null or non-positive weight
+    * are DROPPED (they carry no inclusion mass — a loud filter, not a
+    * silent jitter of ±Inf). One shuffle on the group columns; the
+    * md5-collision tiebreak is (key asc), keeping the choice total.
+    * `key` obeys [[hashBucket]]'s string/integral contract.
+    */
+  def weighted(df: DataFrame, groups: Seq[Column], key: Column,
+      weight: Column, n: Int, seed: String = ""): DataFrame = {
+    require(n > 0, "quota must be positive")
+    // 13 hex chars = 52 bits: the widest md5 prefix a double holds
+    // exactly; +1 shifts into [1, 2^52] so u > 0
+    val u = (conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 13),
+      16, 10).cast("long") + 1).cast("double") / lit(4503599627370497.0)
+    val jitter = -log(u) / weight
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*)
+      .orderBy(jitter.asc, key.asc)
+    df.filter(weight > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Stratified quota sample: exactly `min(n, |group|)` rows per
     * group, chosen by hash order (deterministic, uniform within the
     * group). One shuffle on the group columns; the per-group sort is

@@ -56,6 +56,33 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() === 1000)
   }
 
+  test("weighted (A-Res) is deterministic, quota-exact, weight-sensitive") {
+    import graft.sample.Sampling
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd",
+        if (i <= 20) 1000.0 else 1.0))
+    val df = rows.toDF("k", "grp", "w")
+    val s1 = Sampling.weighted(df, Seq(col("grp")), col("k"), col("w"), 5, "s")
+      .as[(Long, String, Double)].collect().toSet
+    val s2 = Sampling.weighted(df, Seq(col("grp")), col("k"), col("w"), 5, "s")
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1 === s2, "same seed draws the same sample")
+    assert(s1.count(_._2 == "even") === 5 && s1.count(_._2 == "odd") === 5)
+    // the 20 heavy rows (1000× weight, 5% of rows) should dominate:
+    // each group's 10 heavy rows vs 190 light — P(light row beats a
+    // heavy one) is tiny, so expect ≥4 of 5 heavy per group
+    assert(s1.count(_._1 <= 20) >= 8, s"heavy rows must dominate: $s1")
+    val s3 = Sampling.weighted(df, Seq(col("grp")), col("k"), col("w"), 5, "t")
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1 !== s3, "a different seed draws a different sample")
+    // null / non-positive weights are dropped, not jittered
+    val bad = Seq((1L, "g", 0.0), (2L, "g", -1.0), (3L, "g", 2.0))
+      .toDF("k", "grp", "w")
+    val kept = Sampling.weighted(bad, Seq(col("grp")), col("k"), col("w"), 5)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(kept === Seq((3L, "g", 2.0)))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
