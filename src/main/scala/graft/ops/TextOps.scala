@@ -265,6 +265,50 @@ object TextOps {
               |         / CAST(count(*) AS DOUBLE) AS oov_frac
               |FROM occ LEFT JOIN vocab v USING (tok)
               |GROUP BY doc_id ORDER BY ALL""".stripMargin)
+    ),
+    // T9 bigram-LM cross-entropy (NgramLm.bigramCrossEntropy): the
+    // CCNet-shaped quality signal with an actual language model — t8
+    // stops at vocabulary membership; this scores every document's
+    // surprise under the corpus's own add-one-smoothed bigram model.
+    // The per-doc ln-sum is ORDER-DETERMINISTIC (position-sorted
+    // array reduced left-to-right), so the doubles are bit-stable
+    // across partitionings and the oracle replays them with an
+    // ordered list_sum. Self-scored corpus ⇒ every bigram is in the
+    // model, so the oracle's inner joins cover the left-join path's
+    // self-score case (the unseen-text smoothing branch is
+    // spec-pinned).
+    QueryDef(
+      "t9_bigram_xent",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // dumped rounded to 8 decimals: ln() is not correctly-rounded,
+        // so engines disagree by ~1 ulp (the r3 BM25 precedent) — the
+        // ORDER of the sum is already deterministic, only the
+        // transcendental's last bit is engine-specific
+        orderedByAll(
+          graft.text.NgramLm.bigramCrossEntropy(docs, "doc_id", "text",
+              docs, "text")
+            .withColumn("xent", round(col("xent"), 8)))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |bgp AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+              |        FROM toks WHERE len(toks) >= 2),
+              |bg AS (SELECT doc_id, pos, toks[pos] || ' ' || toks[pos + 1] AS bg,
+              |              toks[pos] AS w1 FROM bgp),
+              |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+              |uni AS (SELECT w1, count(*) AS c1
+              |        FROM (SELECT unnest(toks) AS w1 FROM toks) GROUP BY 1),
+              |v AS (SELECT count(*) AS v FROM uni),
+              |sc AS (SELECT b.doc_id, b.pos,
+              |         -ln(CAST(c12.c12 + 1 AS DOUBLE)
+              |             / CAST(uni.c1 + v.v AS DOUBLE)) AS lnp
+              |       FROM bg b JOIN c12 USING (bg) JOIN uni ON b.w1 = uni.w1, v),
+              |agg AS (SELECT doc_id, list_sum(list(lnp ORDER BY pos)) AS s,
+              |               count(*) AS n
+              |        FROM sc GROUP BY 1)
+              |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
+              |       round(s / CAST(n AS DOUBLE), 8) AS xent
+              |FROM agg ORDER BY ALL""".stripMargin)
     )
   )
 }

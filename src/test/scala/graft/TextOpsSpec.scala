@@ -75,4 +75,24 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { chunkWindows(col("t"), 4, 5) }
     intercept[IllegalArgumentException] { chunkWindows(col("t"), 0, 1) }
   }
+
+  test("bigramCrossEntropy: add-one smoothing scores UNSEEN text against a model") {
+    import graft.text.NgramLm
+    // model vocab: {the, cat, sat, ran} → V = 4
+    val model = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val scored = NgramLm.bigramCrossEntropy(
+      Seq((10L, "the cat sat"), (11L, "zebra quux")).toDF("doc_id", "text"),
+      "doc_id", "text", model, "text")
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // doc 10: (the cat): c12=2, c1(the)=2 → -ln(3/6);
+    //         (cat sat): c12=1, c1(cat)=2 → -ln(2/6)
+    val exp10 = (-math.log(3.0 / 6) + -math.log(2.0 / 6)) / 2
+    assert(math.abs(scored(10L) - exp10) < 1e-12)
+    // doc 11: fully unseen — c12=0, c1=0 → -ln(1/V) per bigram
+    val exp11 = -math.log(1.0 / 4)
+    assert(math.abs(scored(11L) - exp11) < 1e-12)
+    // unseen text scores strictly WORSE (higher surprise)
+    assert(scored(11L) > scored(10L))
+  }
 }
