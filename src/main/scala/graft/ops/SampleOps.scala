@@ -198,6 +198,41 @@ object SampleOps {
              |        row_number() OVER (PARTITION BY grp ORDER BY ej ASC, k ASC) AS rn
              |      FROM s)
              |SELECT grp, k, w FROM r WHERE rn <= 10 ORDER BY ALL""".stripMargin)
+    ),
+    // X11 robust outlier gate (Robust.madOutliers): median/MAD
+    // flagging per order priority — the outlier stage that adapts to
+    // each group's own spread where x7 trims a fixed percentile.
+    // Median = value AT rank ceil(n/2) (never interpolated), MAD =
+    // the same exact rank over |v − med|; the flag compares one
+    // subtraction against one multiplication — all algebraic, the
+    // oracle replays every bit. Dump restricted to flagged rows.
+    QueryDef(
+      "x11_mad_outliers",
+      (s, d) => orderedByAll(
+        graft.sample.Robust.madOutliers(Tables.orders(s, d),
+            col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            k = 1.8)
+          .where(col("is_outlier"))
+          .select(col("key"), col("id"), col("v"), col("med"), col("mad"))),
+      Some("""WITH b AS (SELECT o_orderpriority AS key, o_orderkey AS id,
+             |                 o_totalprice AS v FROM orders),
+             |r1 AS (SELECT key, id, v,
+             |         row_number() OVER (PARTITION BY key ORDER BY v, id) AS rn,
+             |         count(*) OVER (PARTITION BY key) AS n
+             |       FROM b),
+             |med AS (SELECT key, v AS med FROM r1
+             |        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+             |dev AS (SELECT b.key, b.id, b.v, med.med, abs(b.v - med.med) AS dv
+             |        FROM b JOIN med USING (key)),
+             |r2 AS (SELECT key, id, dv,
+             |         row_number() OVER (PARTITION BY key ORDER BY dv, id) AS rn,
+             |         count(*) OVER (PARTITION BY key) AS n
+             |       FROM dev),
+             |mad AS (SELECT key, dv AS mad FROM r2
+             |        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+             |SELECT dev.key, dev.id, dev.v, dev.med, mad.mad
+             |FROM dev JOIN mad USING (key)
+             |WHERE dev.dv > 1.8 * mad.mad ORDER BY ALL""".stripMargin)
     )
   )
 }

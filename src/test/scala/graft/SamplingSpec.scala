@@ -83,6 +83,28 @@ class SamplingSpec extends SparkSpec {
     assert(kept === Seq((3L, "g", 2.0)))
   }
 
+  test("madOutliers: exact lower median/MAD, adaptive flag, degenerate MAD") {
+    import graft.sample.Robust
+    // group a: values 1..7 plus a wild 100 → med = 4 (lower median of
+    // 8 values = rank 4), devs |v-4| sorted: 0,1,1,2,2,3,3,96 → MAD = 2
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }
+    // group b: constant values → MAD = 0; only the deviant row flags
+    val b = Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("b", 100L + i, v) }
+    val df = (a ++ b).toDF("g", "id", "v")
+    val out = Robust.madOutliers(df, col("g"), col("id"), col("v"), k = 3.0)
+      .as[(String, Long, Double, Double, Double, Boolean)].collect()
+    val byId = out.map(r => r._2 -> r).toMap
+    assert(byId(0L)._4 === 4.0 && byId(0L)._5 === 2.0, "group a med/MAD")
+    assert(byId(7L)._6, "the wild value (dev 96 > 3*2) must flag")
+    assert(a.indices.dropRight(1).forall(i => !byId(i.toLong)._6),
+      "values within 3*MAD must not flag")
+    assert(byId(100L)._5 === 0.0, "constant group has MAD 0")
+    assert(byId(103L)._6 && !byId(100L)._6,
+      "with MAD 0, only v != med flags (conventional degenerate reading)")
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
