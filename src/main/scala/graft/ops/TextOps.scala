@@ -309,6 +309,49 @@ object TextOps {
               |SELECT doc_id, CAST(n AS INTEGER) AS n_bigrams,
               |       round(s / CAST(n AS DOUBLE), 8) AS xent
               |FROM agg ORDER BY ALL""".stripMargin)
+    ),
+    // T10 BPE merge learning (Bpe.learnMerges): the first two rounds
+    // of byte-pair-encoding vocabulary training — count adjacent
+    // symbol pairs weighted by word frequency, merge the argmax pair
+    // everywhere (greedy left-to-right), repeat. All exact integer /
+    // string arithmetic: ties break on (count desc, pair asc), and
+    // the oracle replays round 1's counts, the greedy re-segmentation
+    // (a recursive CTE folding the same merge), and round 2's argmax
+    // — training is hash-checked, not just spec-pinned.
+    QueryDef(
+      "t10_bpe_merges",
+      (s, d) => orderedByAll(
+        graft.text.Bpe.learnMerges(Tables.documents(s, d), "text", rounds = 2)),
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT w, count(*) AS n FROM
+              |        (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY 1),
+              |s1 AS (SELECT w, n, regexp_extract_all(w, '.') AS syms FROM w),
+              |p1 AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+              |       FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              |             FROM s1 WHERE len(syms) >= 2)
+              |       GROUP BY 1, 2),
+              |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              |f1(w, n, pos, acc) AS (
+              |  SELECT w, n, 1, [syms[1]] FROM s1
+              |  UNION ALL
+              |  SELECT f1.w, f1.n, pos + 1,
+              |    CASE WHEN acc[len(acc)] = (SELECT a FROM t1)
+              |           AND s1.syms[pos + 1] = (SELECT b FROM t1)
+              |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
+              |                       (SELECT a || b FROM t1))
+              |      ELSE list_append(acc, s1.syms[pos + 1]) END
+              |  FROM f1 JOIN s1 USING (w) WHERE pos < len(s1.syms)),
+              |s2 AS (SELECT f1.w, f1.n, acc AS syms
+              |       FROM f1 JOIN s1 USING (w) WHERE pos = len(s1.syms)),
+              |p2 AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+              |       FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              |             FROM s2 WHERE len(syms) >= 2)
+              |       GROUP BY 1, 2),
+              |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1)
+              |SELECT CAST(1 AS INTEGER) AS round, a, b, cnt FROM t1
+              |UNION ALL
+              |SELECT CAST(2 AS INTEGER) AS round, a, b, cnt FROM t2
+              |ORDER BY ALL""".stripMargin)
     )
   )
 }

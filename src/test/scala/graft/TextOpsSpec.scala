@@ -76,6 +76,32 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { chunkWindows(col("t"), 0, 1) }
   }
 
+  test("BPE applyMerge is greedy left-to-right and non-cascading") {
+    import graft.text.Bpe
+    def apply1(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(Bpe.applyMerge(col("syms"), a, b).as("m"))
+        .as[Seq[String]].head()
+    assert(apply1(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(apply1(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(apply1(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(apply1(Seq("b", "a", "a"), "a", "a") === Seq("b", "aa"))
+    assert(apply1(Seq("x"), "a", "b") === Seq("x"), "no pair, no change")
+    // a merged symbol compares as its merged TEXT: ("aa","a") after
+    // an (a,a) merge round is a DIFFERENT pair than (a,a)
+    assert(apply1(Seq("aa", "a", "a"), "a", "a") === Seq("aa", "aa"))
+  }
+
+  test("learnMerges reproduces hand-computed BPE rounds") {
+    import graft.text.Bpe
+    // words: aaab ×2, ab ×1. Round 1: (a,a)=4 beats (a,b)=3 → merge.
+    // Re-segmented: [aa,a,b]×2, [a,b]. Round 2: (a,b)=3 beats (aa,a)=2.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges === Seq((1, "a", "a", 4L), (2, "a", "b", 3L)))
+  }
+
   test("bigramCrossEntropy: add-one smoothing scores UNSEEN text against a model") {
     import graft.text.NgramLm
     // model vocab: {the, cat, sat, ran} → V = 4
