@@ -149,6 +149,47 @@ object Incremental {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/batch=$batchId")
 
+  /** Continuous CDC application — the streaming face of
+    * [[graft.temporal.Cdc.applyDelta]]: each micro-batch of delta
+    * rows (key, <value>_old, <value>_new, change) applies onto the
+    * keyed snapshot store at `dir` (read → applyDelta → staged-swap
+    * write, the graphUpsertBatch discipline). REPLAY-SAFE under
+    * foreachBatch's at-least-once contract because applyDelta is
+    * IDEMPOTENT on an already-applied store: removed keys are already
+    * absent (the anti join no-ops), added/changed keys upsert the
+    * same value again. An empty/missing store bootstraps from the
+    * delta's added rows — a CDC feed's initial load IS a batch of
+    * adds. Usage: `deltas.writeStream.foreachBatch(
+    * Incremental.cdcApplyBatch(dir, "k", "v") _)`; the accumulated
+    * snapshot reads back as plain parquet, and the stored history
+    * feeds [[graft.temporal.Sessions.scd2]] (the x9 interval shape).
+    */
+  def cdcApplyBatch(dir: String, key: String, value: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = s"$dir/snapshot"
+    val base =
+      if (fs.exists(new org.apache.hadoop.fs.Path(snap)))
+        spark.read.parquet(snap)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key,
+            batch.schema(key).dataType),
+          org.apache.spark.sql.types.StructField(value,
+            batch.schema(s"${value}_new").dataType))))
+    val next = graft.temporal.Cdc.applyDelta(base, batch, key, value)
+      .localCheckpoint(true) // materialize BEFORE the swap overwrites its input
+    val stage = s"$dir/.staging"
+    next.write.mode("overwrite").parquet(stage)
+    val target = new org.apache.hadoop.fs.Path(snap)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage), target),
+      s"rename $stage -> $target failed")
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)
   case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)

@@ -118,6 +118,36 @@ class StreamingSpec extends SparkSpec {
     assert(people === Seq("p1" -> "Ann", "p2" -> "Bo", "p3" -> "Cyd"))
   }
 
+  test("streaming CDC apply: delta batches accumulate into the snapshot; replay is a no-op") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    // delta rows: (k, v_old, v_new, change)
+    val in = MemoryStream[(Long, Option[Double], Option[Double], String)]
+    val q = in.toDF().toDF("k", "v_old", "v_new", "change").writeStream
+      .foreachBatch(Incremental.cdcApplyBatch(dir, "k", "v") _)
+      .start()
+    // batch 1: initial load = adds
+    in.addData((1L, None, Some(10.0), "added"), (2L, None, Some(20.0), "added"))
+    q.processAllAvailable()
+    // batch 2: change 1, remove 2, add 3
+    in.addData((1L, Some(10.0), Some(11.0), "changed"),
+      (2L, Some(20.0), None, "removed"),
+      (3L, None, Some(30.0), "added"))
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/snapshot")
+      .as[(Long, Double)].collect().toSet
+    assert(snap() === Set(1L -> 11.0, 3L -> 30.0))
+    // REPLAY batch 2 (at-least-once): applying the same delta onto the
+    // already-applied store must change nothing
+    val replay = Seq((1L, Some(10.0), Some(11.0), "changed"),
+      (2L, Some(20.0), None, "removed"),
+      (3L, None, Some(30.0), "added"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v")(replay, 99L)
+    assert(snap() === Set(1L -> 11.0, 3L -> 30.0), "replayed delta is a no-op")
+  }
+
   test("stream-stream interval join matches within the lookback and bounds state") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
