@@ -192,10 +192,18 @@ object GraphAnalytics {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val p = prepare(edges)
-    val res = personalizedPageRank(p, sources, iters, damping)
+    // PPR never reads the node set or N (sparse, source-anchored) —
+    // build only the frames it uses rather than paying prepare()'s
+    // distinct shuffle and count for discarded state
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val res = pprRounds(withDeg, sources, iters, damping)
       .localCheckpoint(true)
-    p.unpersist()
+    e.unpersist(false)
+    withDeg.unpersist(false)
     res
   }
 
@@ -206,9 +214,12 @@ object GraphAnalytics {
     * neighborhood).
     */
   def personalizedPageRank(p: PreparedEdges, sources: DataFrame,
+      iters: Int, damping: Double): DataFrame =
+    pprRounds(p.withDeg, sources, iters, damping)
+
+  private def pprRounds(withDeg: DataFrame, sources: DataFrame,
       iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
-    val withDeg = p.withDeg
     // seed sets are query-entity-sized by nature — the three
     // consumers (count, restart, init) re-derive the distinct rather
     // than holding a persist the lazy result would outlive; persist

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
   *    required — unbounded `*` is rejected, the scale rule), in every
   *    direction INCLUDING undirected `-[:REL*1..4]-` (relationship-
-  *    uniqueness enforced via eid-carrying chains; same-label edges
-  *    only — intermediates are unlabeled).
+  *    uniqueness enforced via eid-carrying chains WITHIN each
+  *    var-length step — across separate steps Cypher's whole-pattern
+  *    relationship isomorphism is not enforced, a documented
+  *    divergence; same-label edges only — intermediates are
+  *    unlabeled).
   *  - the reference README.md:137 demo shape verbatim:
   *    `MATCH (a)-[r*1..4]-(b) RETURN *` — unlabeled nodes scan the
   *    ANY-node view (union of all labels' ids — requires globally
@@ -320,7 +323,7 @@ object CypherLite {
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode],
         allowRowPreds: Boolean): (Map[String, PatternNode], Seq[RowPred]) = {
-      def checkAlias(a: String): Unit = {
+      def checkAlias(a: String, p: String): Unit = {
         require(!relVars(a),
           s"'$a' is a relationship variable — relationships carry no " +
             "queryable properties in this engine (filter on node positions)")
@@ -328,6 +331,11 @@ object CypherLite {
         require(allowed(a),
           s"WHERE references alias '$a' bound by a different clause — " +
             "attach the condition to the clause that binds it")
+        // precise reject HERE, not a raw unresolved-column analysis
+        // error later: the any-node view carries only `id`
+        require(bound(a).nonEmpty || p == "id",
+          s"WHERE $a.$p: alias '$a' is unlabeled — the any-node view has " +
+            "no properties; declare a :Label to filter on them")
       }
       // an atom keeps its (alias, prop, builder) apart so the SAME
       // condition can compile against the node table (col(prop), the
@@ -336,10 +344,10 @@ object CypherLite {
       def parseCond(cond: String): (String, String, Column => Column) =
         cond.trim match {
           case WhereNullRe(a, p, not) =>
-            checkAlias(a)
+            checkAlias(a, p)
             (a, p, c => if (not != null) c.isNotNull else c.isNull)
           case WhereCondRe(a, p, op, v) =>
-            checkAlias(a)
+            checkAlias(a, p)
             val mk: Column => Column = op.toUpperCase.replaceAll("\\s+", " ") match {
               case "="  => _ === lit(literal(v))
               case "<>" => _ =!= lit(literal(v))

@@ -178,6 +178,18 @@ final case class PropertyGraph(
               s"undirected var-length '-[:$relName*…]-' over heterogeneous " +
                 s"edge $sl→$dl is unsupported (intermediates are unlabeled); " +
                 "use a same-label edge view or bfs(undirected = true)")
+            // …and the ANCHOR and ARRIVAL labels must be that label
+            // too (or unlabeled): per-label id spaces may overlap, so
+            // joining a foreign-label anchor against this edge's key
+            // space would silently traverse bogus rows — the same
+            // leak the single-hop branch rejects below
+            val al = aliasLabel(anchor)
+            require(al.isEmpty || al == sl,
+              s"undirected var-length anchor label '$al' does not match " +
+                s"edge '$relName' ($sl→$dl)")
+            require(st.node.label.isEmpty || st.node.label == sl,
+              s"undirected var-length arrival label '${st.node.label}' does " +
+                s"not match edge '$relName' ($sl→$dl)")
             sym
           case Both =>
             // undirected single-hop: only TYPE-COMPATIBLE orientations
@@ -374,8 +386,11 @@ object PropertyGraph {
     * keeps the path row with a null position when no edge matches.
     * `minHops`/`maxHops` bound a var-length walk (`*1..3`): the step
     * matches any path of that length through `rel`, one output row
-    * per path (relationship-uniqueness enforced — no relationship
-    * reused within one walk), intermediate nodes unaliased.
+    * per path (relationship-uniqueness enforced WITHIN the step — no
+    * relationship reused inside one walk; uniqueness ACROSS separate
+    * pattern steps is not enforced, a documented divergence from
+    * Cypher's whole-pattern relationship isomorphism), intermediate
+    * nodes unaliased.
     * `rel = ""` is the UNTYPED step (Cypher `-[r]-` / `-[r*1..4]-`):
     * it walks EVERY edge table, label-blind — sound only when node
     * ids are globally unique across labels (prefix them if per-label

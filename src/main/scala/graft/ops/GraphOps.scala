@@ -239,7 +239,11 @@ object GraphOps {
     // G8 var-length pattern via Cypher text: `*1..3` compiles to a
     // union-all of 1-, 2-, and 3-hop edge chains — one row per PATH
     // (not per reached node: compare g1, whose BFS keeps minimal
-    // depths). Single-label view of the heterogeneous edge set.
+    // depths) with Cypher relationship-uniqueness (no edge reused
+    // within a walk — the oracle CTE carries the traversed-edge list;
+    // a no-op on this acyclic edge set, load-bearing on cyclic ones,
+    // spec-pinned in CypherLiteSpec). Single-label view of the
+    // heterogeneous edge set.
     QueryDef(
       "g8_cypher_varlength",
       (s, d) => {
@@ -256,11 +260,12 @@ object GraphOps {
       },
       Some(
         s"""WITH RECURSIVE $sqlEdges,
-           |walk(id, depth) AS (
-           |  SELECT 'r_$StartRegion', 0
+           |walk(id, depth, eids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[])
            |  UNION ALL
-           |  SELECT e.dst, w.depth + 1 FROM walk w
-           |  JOIN edges e ON e.src = w.id WHERE w.depth < 3)
+           |  SELECT e.dst, w.depth + 1, list_append(w.eids, e.src || '>' || e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
     ),
     // G9 OPTIONAL MATCH: nations with their AUTOMOBILE-customer count

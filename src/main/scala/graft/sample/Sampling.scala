@@ -75,8 +75,12 @@ object Sampling {
     * contract as every sampler here. The exponential jitter is
     * `-ln(u) / w` with u drawn from 52 EXACT bits of
     * md5(key || seed) mapped into (0, 1] (so ln never sees 0), and
-    * the per-group top-n takes the SMALLEST jitter — re-runs, task
-    * retries, and oracle engines draw the same sample. This is the
+    * the per-group top-n takes the SMALLEST jitter — re-runs and task
+    * retries draw the same sample. Cross-ENGINE the u's are exact but
+    * ln is not correctly-rounded, so two jitters within ~1 ulp on
+    * opposite sides of the rank-n boundary could select differently
+    * (probability ~2⁻⁴⁰ per boundary with 52-bit u's — the x10 oracle
+    * accepts this residual, unlike the fully-integer samplers above). This is the
     * data-mixing primitive `mixture` rates cannot express: quality- or
     * length-weighted subsampling where every row keeps mass
     * proportional to its score. Rows with null or non-positive weight

@@ -169,10 +169,16 @@ object Incremental {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val snap = s"$dir/snapshot"
+    val snap = new org.apache.hadoop.fs.Path(s"$dir/snapshot")
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/.prev")
+    // crash recovery: a failure between the two swap renames below
+    // leaves the store only at .prev — restore it FIRST, or the
+    // replayed batch would bootstrap empty and silently truncate the
+    // snapshot to its own keys
+    if (!fs.exists(snap) && fs.exists(prev))
+      require(fs.rename(prev, snap), s"recovery rename $prev -> $snap failed")
     val base =
-      if (fs.exists(new org.apache.hadoop.fs.Path(snap)))
-        spark.read.parquet(snap)
+      if (fs.exists(snap)) spark.read.parquet(snap.toString)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -182,12 +188,16 @@ object Incremental {
             batch.schema(s"${value}_new").dataType))))
     val next = graft.temporal.Cdc.applyDelta(base, batch, key, value)
       .localCheckpoint(true) // materialize BEFORE the swap overwrites its input
-    val stage = s"$dir/.staging"
-    next.write.mode("overwrite").parquet(stage)
-    val target = new org.apache.hadoop.fs.Path(snap)
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(stage), target),
-      s"rename $stage -> $target failed")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/.staging")
+    next.write.mode("overwrite").parquet(stage.toString)
+    // swap: retire the live snapshot to .prev (never delete-then-
+    // rename — that window loses the store on a crash), promote the
+    // stage, then drop the retired copy
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(snap))
+      require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
+    require(fs.rename(stage, snap), s"rename $stage -> $snap failed")
+    fs.delete(prev, true)
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

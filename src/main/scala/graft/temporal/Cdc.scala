@@ -23,13 +23,18 @@ object Cdc {
     * snapshot tables bucketed by key, so the join co-locates.
     */
   def tableDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
-    val va = a.select(col(key), col(value).as("__old"))
-    val vb = b.select(col(key), col(value).as("__new"))
+    // presence markers, NOT value nullness, drive the classification:
+    // a key legitimately carrying a null value would otherwise
+    // misclassify as added/removed and break the applyDelta closure
+    // (CdcSpec pins the null-value round trip); the value comparison
+    // is null-safe for the same reason
+    val va = a.select(col(key), col(value).as("__old"), lit(true).as("__ina"))
+    val vb = b.select(col(key), col(value).as("__new"), lit(true).as("__inb"))
     va.join(vb, Seq(key), "full_outer")
       .withColumn("change",
-        when(col("__old").isNull, "added")
-          .when(col("__new").isNull, "removed")
-          .when(col("__old") =!= col("__new"), "changed"))
+        when(col("__ina").isNull, "added")
+          .when(col("__inb").isNull, "removed")
+          .when(!(col("__old") <=> col("__new")), "changed"))
       .where(col("change").isNotNull)
       .select(col(key), col("__old").as(s"${value}_old"),
         col("__new").as(s"${value}_new"), col("change"))

@@ -32,6 +32,25 @@ class CdcSpec extends SparkSpec {
     assert(id === a.as[(Long, Double)].collect().toSet)
   }
 
+  test("null VALUES classify by key presence, and the closure still holds") {
+    // k=1 changes 5.0 → null, k=2 changes null → 7.0, k=3 holds a
+    // null unchanged, k=4 with null value is removed: presence, not
+    // value nullness, must drive every classification
+    val na = Seq((1L, Some(5.0)), (2L, None: Option[Double]),
+      (3L, None: Option[Double]), (4L, None: Option[Double])).toDF("k", "v")
+    val nb = Seq((1L, None: Option[Double]), (2L, Some(7.0)),
+      (3L, None: Option[Double])).toDF("k", "v")
+    val d = Cdc.tableDiff(na, nb, "k", "v")
+      .as[(Long, Option[Double], Option[Double], String)].collect().toSet
+    assert(d === Set(
+      (1L, Some(5.0), None, "changed"),
+      (2L, None, Some(7.0), "changed"),
+      (4L, None, None, "removed")), "k=3 (null, unchanged) must not appear")
+    val applied = Cdc.applyDelta(na, Cdc.tableDiff(na, nb, "k", "v"), "k", "v")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(applied === nb.as[(Long, Option[Double])].collect().toSet)
+  }
+
   test("SCD2 over the applied history equals SCD2 over the direct one") {
     val applied = Cdc.applyDelta(a, Cdc.tableDiff(a, b, "k", "v"), "k", "v")
     def hist(second: org.apache.spark.sql.DataFrame) =

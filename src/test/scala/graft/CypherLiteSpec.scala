@@ -385,6 +385,46 @@ class CypherLiteSpec extends SparkSpec {
     assert(n3 === Set("n3", "n4"), "1-2-3-4 and 1-2-4-3 (chord + side)")
   }
 
+  test("DIRECTED var-length enforces relationship-uniqueness on cycles") {
+    // 1⇄2: *1..2 from 1 gives 1→2 and 1→2→1; *3 would need to reuse
+    // edge 1→2 — zero paths (plain edge chains would count 1→2→1→2)
+    val cyc = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N", Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")))))
+    val n12 = CypherLite.query(cyc,
+      "(a:N {id: 1})-[:E*1..2]->(b:N) RETURN count(*) AS n").as[Long].head()
+    assert(n12 === 2, "1→2 and 1→2→1")
+    val n3 = CypherLite.query(cyc,
+      "(a:N {id: 1})-[:E*3]->(b:N) RETURN count(*) AS n").as[Long].head()
+    assert(n3 === 0, "a 3-walk must reuse an edge — excluded")
+  }
+
+  test("undirected var-length endpoint labels must match the edge's label") {
+    // same-label edge B→B, but the pattern anchors at label A: per-
+    // label id spaces may overlap, so this must reject loudly instead
+    // of joining A ids against B's key space (the single-hop rule)
+    val two = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a")).toDF("id", "tag"),
+        "B" -> Seq((1L, "b"), (2L, "bb")).toDF("id", "tag")),
+      edges = Map("R" -> (("B", "B", Seq((1L, 2L)).toDF("src", "dst")))))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(two, "(a:A {id: 1})-[:R*1..2]-(b:A)")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(two, "(a:B {id: 1})-[:R*1..2]-(b:A)") // arrival side
+    }
+  }
+
+  test("WHERE on an unlabeled alias's property rejects loudly at parse") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("(a)-[:E]->(b:N) WHERE a.tag = 'x'")
+    }
+    // …but filtering the unlabeled alias's id is fine
+    val ok = CypherLite.parse("(a)-[:E]->(b:N) WHERE a.id > 0")
+    assert(ok.labels("a") === "")
+  }
+
   test("undirected var-length uses a self-loop relationship at most once") {
     val loops = PropertyGraph(
       nodes = Map("N" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag")),
