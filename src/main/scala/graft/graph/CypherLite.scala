@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * rag.baml:65-102). This parses that constrained shape plus the
   * clauses the reference's example corpus actually exercises
   * (rag.baml:228-289: WHERE, COUNT(DISTINCT …), OPTIONAL MATCH,
-  * ORDER BY/LIMIT, var-length `*1..n`) and compiles them to the
-  * join-based path DSL:
+  * ORDER BY/LIMIT, var-length `*1..n`, the mandated
+  * `toLower(…) CONTAINS toLower(…)` string-predicate shape, and a
+  * single WITH pipeline stage) and compiles them to the join-based
+  * path DSL:
   *
   * {{{
-  * MATCH (s:Substance {id: 'shellfish'})-[:CAUSES]->(a:Allergy)
+  * MATCH (s:Substance)-[:CAUSES]->(a:Allergy)
   *       <-[:EXPERIENCES]-(p:Patient)
-  * WHERE p.city = 'Boston'
+  * WHERE toLower(s.name) CONTAINS toLower('seafood')
   * RETURN a.category AS cat, count(DISTINCT p) AS n_patients
   * ORDER BY n_patients DESC LIMIT 10
   * }}}
@@ -41,15 +43,28 @@ import org.apache.spark.sql.functions._
   *    relationship variable parses but is not returnable (edge rows
   *    have no materialized identity — documented Kuzu divergence),
   *    and `RETURN *` yields every node alias's id in binding order.
+  *    The globally-unique-id contract is VALIDATED at query time
+  *    whenever an untyped step or any-node view compiles (two counts
+  *    over the dimension-sized node tables) — a forgotten `:` in
+  *    `-[FOLLOWS]->` parses as an untyped step, and without the check
+  *    overlapping per-label id spaces would silently cross key
+  *    spaces. Disable for trusted graphs at scale with
+  *    `spark.conf.set("graft.cypher.validateUntypedIds", "false")`.
   *  - `OPTIONAL MATCH` clauses (one chain each, anchored at a bound
   *    alias). A clause compiles to an INNER sub-pattern left-joined
   *    as a UNIT — Cypher all-or-nothing semantics: if any step of
   *    the clause fails, every alias it binds is null together (never
   *    partial bindings from per-step left joins).
-  *  - per-clause `WHERE alias.prop OP literal [AND …]` with OP in
+  *  - per-clause `WHERE alias.prop OP operand [AND …]` with OP in
   *    `= <> < <= > >= CONTAINS STARTS WITH ENDS WITH IN [list]
   *    IS NULL IS NOT NULL`, in the standard order
-  *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. Each condition
+  *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. The property may
+  *    be wrapped `toLower(alias.prop)` / `toUpper(alias.prop)` — the
+  *    shape the reference prompt MANDATES for every string predicate
+  *    (rag.baml:76-79) — and the operand may be a plain literal,
+  *    `toLower('lit')` / `toUpper('lit')` (folded driver-side), or
+  *    `CAST('2022-01-01' AS DATE|TIMESTAMP)` (the reference's own
+  *    Cypher datetime form, build_graph.py:246,335). Each condition
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
   *    path join). A WHERE may only reference aliases ITS clause
@@ -66,26 +81,45 @@ import org.apache.spark.sql.functions._
   *    conjunct (`a.x = 1 OR b.y = 2`) compiles to a post-join row
   *    filter over attached property columns — required MATCH only
   *    (on an OPTIONAL MATCH it would silently change left-join
-  *    semantics, so there it stays a loud reject).
+  *    semantics, so there it stays a loud reject). Cross-alias
+  *    property columns attach with a LEFT join so a dangling edge
+  *    endpoint evaluates as null in the filter (Cypher semantics)
+  *    instead of deleting the path row.
+  *  - ONE `WITH` pipeline stage — `WITH item, … [WHERE cond]
+  *    [ORDER BY … LIMIT n] RETURN …` — enough for the argmax shape
+  *    the golden corpus exercises (`WITH pr, count(DISTINCT p) AS n
+  *    ORDER BY n DESC LIMIT 1 RETURN pr.givenName, n`,
+  *    src/tests/test_data.py:31-34) and HAVING-style post-aggregate
+  *    filters (`WITH p, count(i) AS n WHERE n > 1`). WITH items are
+  *    the RETURN item forms (bare alias, alias.prop, aggregates —
+  *    aggregates need AS); mixing plain + aggregate items groups by
+  *    the plain items. A bare-alias item CARRIES the alias: the
+  *    following RETURN may still read its properties
+  *    (`RETURN pr.surname`), attached after the stage. The post-WITH
+  *    WHERE references WITH output names (`n > 1` — same operator
+  *    set, AND/OR/parens), filtering BEFORE the stage's ORDER
+  *    BY/LIMIT. Multi-stage WITH chains are rejected loudly.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
   *    require `AS name` (plain items default to `alias_prop`).
   *    Mixing plain + aggregate items groups by the plain items —
-  *    Cypher's implicit grouping. Without RETURN: the raw path frame
-  *    (one id column per alias, one row per path).
+  *    Cypher's implicit grouping. After a WITH, items reference the
+  *    WITH outputs instead of pattern aliases. Without RETURN: the
+  *    raw path frame (one id column per alias, one row per path).
   *  - `ORDER BY out_col [ASC|DESC], … LIMIT n` over the RETURN names.
   *
-  * String literals may not contain commas, braces, or the word AND
-  * (the splitter is regex-based, not a full lexer — fine for
-  * generated key lookups, loud for anything else).
+  * String literals may not contain commas, braces, or the words AND /
+  * OR / WITH (the splitters are regex/scanner-based, not a full lexer
+  * — fine for generated key lookups, loud for anything else).
   */
 object CypherLite {
 
   import PropertyGraph.{Direction, In, Out, Both, PatternNode, PatternStep}
 
-  /** One RETURN item: `agg = None` → a plain (grouping) item; `prop =
-    * None` → the alias's id column; `distinct` only with count.
+  /** One RETURN/WITH item: `agg = None` → a plain (grouping) item;
+    * `prop = None` → the alias's id column; `distinct` only with
+    * count.
     */
   final case class ReturnItem(
       agg: Option[String], distinct: Boolean,
@@ -114,6 +148,20 @@ object CypherLite {
     */
   final case class RowPred(props: Seq[(String, String)], cond: Column)
 
+  /** The single WITH pipeline stage: `items` project/aggregate the
+    * path frame (the RETURN-item machinery), `where` filters the
+    * stage OUTPUT (post-aggregate, before `orderBy`/`limit`), and
+    * `carried` maps each bare-alias item's OUTPUT name to its
+    * (pattern alias, label) so the following RETURN can still attach
+    * that alias's properties.
+    */
+  final case class WithClause(
+      items: Seq[ReturnItem],
+      where: Option[Column],
+      orderBy: Seq[(String, Boolean)],
+      limit: Option[Int],
+      carried: Map[String, (String, String)])
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
       labels: Map[String, String], returns: Seq[ReturnItem],
@@ -122,7 +170,8 @@ object CypherLite {
       returnDistinct: Boolean = false,
       orderBy: Seq[(String, Boolean)] = Seq.empty,
       limit: Option[Int] = None,
-      rowPreds: Seq[RowPred] = Seq.empty)
+      rowPreds: Seq[RowPred] = Seq.empty,
+      withClause: Option[WithClause] = None)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -141,13 +190,33 @@ object CypherLite {
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
     """^(?i:(count|sum|min|max|avg))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+  private val OpAlt =
+    """=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
   private val WhereCondRe =
-    """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH))\s*(.+)$""".r
+    s"""^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
+  // `toLower(alias.prop) OP …` / `toUpper(alias.prop) OP …` — the
+  // reference prompt's MANDATED string-predicate shape (rag.baml:76-79,
+  // worked example :279). IN / IS NULL don't compose with the wrap.
+  private val WhereFnCondRe =
+    s"""^(?i:(toLower|toUpper))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
+  // post-WITH WHERE atoms: bare output name (no dot), same operators
+  private val WithCondRe =
+    s"""^([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
+  private val WithNullRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
   private val OrderItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\s+((?i:ASC|DESC)))?$""".r
+  // RHS operand forms beyond plain literals: toLower/toUpper('…')
+  // (folded driver-side — both sides of the mandated shape lowercase
+  // the SAME way) and CAST('…' AS DATE|TIMESTAMP) (build_graph.py:246,
+  // 335 — the reference's own datetime Cypher)
+  private val RhsFnRe =
+    """^(?i)(toLower|toUpper)\s*\(\s*('[^']*')\s*\)$""".r
+  private val RhsCastRe =
+    """^(?i)CAST\s*\(\s*('[^']*')\s*AS\s+(DATE|TIMESTAMP)\s*\)$""".r
 
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
@@ -160,6 +229,191 @@ object CypherLite {
     case n if n.matches("-?\\d+") => n.toLong
     case n if n.matches("-?\\d*\\.\\d+") => n.toDouble
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
+  }
+
+  /** The RHS of a comparison as a Column: plain literal, driver-folded
+    * `toLower('…')`/`toUpper('…')`, or `CAST('…' AS DATE|TIMESTAMP)`
+    * (→ `to_date`/`to_timestamp` over a constant — Catalyst folds it,
+    * so the predicate stays pushdown-/partition-prune-eligible).
+    */
+  private def rhsColumn(v: String): Column = v.trim match {
+    case RhsFnRe(fn, q) =>
+      val s = literal(q).toString
+      lit(if (fn.equalsIgnoreCase("toLower")) s.toLowerCase else s.toUpperCase)
+    case RhsCastRe(q, t) =>
+      val s = literal(q).toString
+      if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
+    case other => lit(literal(other))
+  }
+
+  /** Comparison-operator compiler shared by pattern WHERE and
+    * post-WITH WHERE. IN keeps plain-literal list items.
+    */
+  private def opBuilder(op0: String, v: String): Column => Column =
+    op0.toUpperCase.replaceAll("\\s+", " ") match {
+      case "="  => _ === rhsColumn(v)
+      case "<>" => _ =!= rhsColumn(v)
+      case "<"  => _ < rhsColumn(v)
+      case "<=" => _ <= rhsColumn(v)
+      case ">"  => _ > rhsColumn(v)
+      case ">=" => _ >= rhsColumn(v)
+      case "CONTAINS" => _.contains(rhsColumn(v))
+      case "STARTS WITH" => _.startsWith(rhsColumn(v))
+      case "ENDS WITH" => _.endsWith(rhsColumn(v))
+      case "IN" =>
+        val body = v.trim
+        require(body.startsWith("[") && body.endsWith("]"),
+          s"IN needs a [list], got '$body'")
+        val items = body.substring(1, body.length - 1).split(",").map(literal)
+        _.isin(items.toIndexedSeq: _*)
+    }
+
+  private def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
+
+  /** Split on a connective keyword ONLY outside single-quoted literals
+    * and ONLY at parenthesis depth 0 — a naive regex split on
+    * \bAND\b/\bOR\b would cut a condition mid-literal for values like
+    * 'black or white', and would cut THROUGH a parenthesized group.
+    * '_' is a word char (as in \b): `a.tag_or` / `x_and.p` must not
+    * split mid-identifier.
+    */
+  private def splitTop(s: String, kw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inQ = false
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && ch == '(') { depth += 1; i += 1 }
+      else if (!inQ && ch == ')') {
+        depth -= 1
+        require(depth >= 0, s"unbalanced ')' in WHERE: '$s'")
+        i += 1
+      }
+      else if (!inQ && depth == 0 &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
+        out += s.substring(start, i)
+        i += kw.length
+        start = i
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Quote-aware split of a statement body on the WITH keyword —
+    * `STARTS WITH` / `ENDS WITH` occurrences do NOT split (the
+    * preceding word is inspected), and a WITH inside a quoted literal
+    * doesn't either.
+    */
+  private def splitOnWith(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inQ = false
+    var start = 0
+    var i = 0
+    def precededByStartsOrEnds(pos: Int): Boolean = {
+      var j = pos - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      val end = j + 1
+      while (j >= 0 && isWordChar(s.charAt(j))) j -= 1
+      val w = s.substring(j + 1, end).toUpperCase
+      w == "STARTS" || w == "ENDS"
+    }
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && s.regionMatches(true, i, "WITH", 0, 4) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + 4 >= s.length || !isWordChar(s.charAt(i + 4))) &&
+          !precededByStartsOrEnds(i)) {
+        out += s.substring(start, i)
+        i += 4
+        start = i
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** "Whole factor is one group" test: the leading '(' must close
+    * exactly at the string's end (quote-aware) — `(a) AND (b)` never
+    * reaches this because the connective splits run first.
+    */
+  private def wrappedInParens(s: String): Boolean = {
+    if (!(s.startsWith("(") && s.endsWith(")"))) false
+    else {
+      var inQ = false; var depth = 0; var i = 0
+      var closesAtEnd = true
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '\'') inQ = !inQ
+        else if (!inQ && ch == '(') depth += 1
+        else if (!inQ && ch == ')') {
+          depth -= 1
+          if (depth == 0 && i < s.length - 1) closesAtEnd = false
+        }
+        i += 1
+      }
+      closesAtEnd && depth == 0
+    }
+  }
+
+  /** Boolean AST over atomic conditions, shared by pattern WHERE
+    * (atoms are `alias.prop OP operand`) and post-WITH WHERE (atoms
+    * are `name OP operand`, encoded with alias = "" and prop = name).
+    */
+  private sealed trait BoolExpr
+  private final case class AtomE(alias: String, prop: String,
+      mk: Column => Column) extends BoolExpr
+  private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
+  private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
+
+  /** Recursive descent with standard precedence (AND binds tighter
+    * than OR; parentheses group arbitrarily), parameterized by the
+    * atom parser.
+    */
+  private def parseBool(w: String, atom: String => AtomE): BoolExpr = {
+    def parseFactor(s: String): BoolExpr = {
+      val t = s.trim
+      if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
+      else atom(t)
+    }
+    def parseTerm(s: String): BoolExpr = {
+      val cs = splitTop(s, "AND")
+      require(cs.nonEmpty, "empty WHERE")
+      if (cs.length > 1) AndE(cs.map(parseFactor)) else parseFactor(cs.head)
+    }
+    def parseExpr(s: String): BoolExpr = {
+      val ds = splitTop(s, "OR")
+      require(ds.nonEmpty, "empty WHERE")
+      if (ds.length > 1) OrE(ds.map(parseTerm)) else parseTerm(ds.head)
+    }
+    parseExpr(w)
+  }
+
+  private def exprAliases(e: BoolExpr): Set[String] = e match {
+    case AtomE(a, _, _) => Set(a)
+    case AndE(xs) => xs.flatMap(exprAliases).toSet
+    case OrE(xs) => xs.flatMap(exprAliases).toSet
+  }
+  private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
+    case AtomE(a, pr, _) => Seq(a -> pr)
+    case AndE(xs) => xs.flatMap(exprProps)
+    case OrE(xs) => xs.flatMap(exprProps)
+  }
+  private def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
+    e match {
+      case AtomE(a, pr, mk) => mk(resolve(a, pr))
+      case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
+      case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
+    }
+  private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
+    case AndE(xs) => xs.flatMap(flattenAnd)
+    case other => Seq(other)
   }
 
   private def parseProps(s: String): Column = {
@@ -188,15 +442,49 @@ object CypherLite {
       }
   }
 
+  /** Strip trailing `[ORDER BY …] [LIMIT n]` off a RETURN/WITH tail.
+    * Returns (remaining items text, orderBy, limit).
+    */
+  private def parseTail(r0: String): (String, Seq[(String, Boolean)], Option[Int]) = {
+    var r = r0.trim
+    var limit: Option[Int] = None
+    var orderBy = Seq.empty[(String, Boolean)]
+    val lim = "(?i)\\bLIMIT\\s+(\\d+)\\s*$".r
+    lim.findFirstMatchIn(r).foreach { m =>
+      limit = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
+    }
+    r.split("(?i)\\bORDER\\s+BY\\b", 2) match {
+      case Array(items, ob) =>
+        r = items.trim
+        orderBy = ob.split(",").map(_.trim).map {
+          case OrderItemRe(n, dir) =>
+            (n, dir == null || dir.equalsIgnoreCase("ASC"))
+          case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
+        }.toSeq
+      case _ =>
+    }
+    (r, orderBy, limit)
+  }
+
   /** Parse a `[MATCH] pattern [OPTIONAL MATCH pattern]* [WHERE …]
-    * [RETURN …]` statement. Anonymous nodes get positional aliases
-    * `_0, _1, …`.
+    * [WITH …] [RETURN …]` statement. Anonymous nodes get positional
+    * aliases `_0, _1, …`.
     */
   def parse(stmt: String): Parsed = {
     val (beforeReturn, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
     }
+    // ONE WITH pipeline stage may sit between the pattern clauses and
+    // RETURN; multi-stage chains reject loudly (each extra stage is
+    // another grouped shuffle — a shape the golden corpus never emits,
+    // so it stays out until something needs it)
+    val withSegs = splitOnWith(beforeReturn)
+    require(withSegs.length <= 2,
+      "multi-stage WITH chains are unsupported (one WITH pipeline stage)")
+    val (beforeWith, withPart) =
+      if (withSegs.length == 2) (withSegs.head, Some(withSegs(1)))
+      else (beforeReturn, None)
     // clause split FIRST: the leading required MATCH, then OPTIONAL
     // MATCH clauses. Each clause segment may carry its own trailing
     // WHERE (the standard Cypher order `MATCH … WHERE … OPTIONAL
@@ -206,7 +494,7 @@ object CypherLite {
     // rows keep nulls). No whitespace normalization — the token
     // regexes tolerate \s* themselves, and a global squeeze would
     // silently rewrite spaces INSIDE quoted literals.
-    val clauses = beforeReturn.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
+    val clauses = beforeWith.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
       .map { seg =>
         seg.split("(?i)\\bWHERE\\b", 2) match {
           case Array(p)    => (p.trim, None)
@@ -242,7 +530,8 @@ object CypherLite {
                 // `MATCH (a)-[r*1..4]-(b)`), label "": query() mounts
                 // a union-of-all-labels id view for it — sound only
                 // under globally-unique node ids (the untyped
-                // contract); properties beyond `id` don't exist there
+                // contract, VALIDATED at query time); properties
+                // beyond `id` don't exist there
                 val label = labelOpt.getOrElse("")
                 require(!bound.contains(alias), s"duplicate alias '$alias'")
                 require(!relVars(alias),
@@ -341,131 +630,23 @@ object CypherLite {
       // condition can compile against the node table (col(prop), the
       // pre-join semi-join form) or the joined path frame
       // (col(alias__w_prop), the row-filter form)
-      def parseCond(cond: String): (String, String, Column => Column) =
+      def parseCond(cond: String): AtomE =
         cond.trim match {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
-            (a, p, c => if (not != null) c.isNotNull else c.isNull)
+            AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
+          case WhereFnCondRe(fn, a, p, op, v) =>
+            checkAlias(a, p)
+            val wrap: Column => Column =
+              if (fn.equalsIgnoreCase("toLower")) lower(_) else upper(_)
+            val cmp = opBuilder(op, v)
+            AtomE(a, p, c => cmp(wrap(c)))
           case WhereCondRe(a, p, op, v) =>
             checkAlias(a, p)
-            val mk: Column => Column = op.toUpperCase.replaceAll("\\s+", " ") match {
-              case "="  => _ === lit(literal(v))
-              case "<>" => _ =!= lit(literal(v))
-              case "<"  => _ < lit(literal(v))
-              case "<=" => _ <= lit(literal(v))
-              case ">"  => _ > lit(literal(v))
-              case ">=" => _ >= lit(literal(v))
-              case "CONTAINS" => _.contains(lit(literal(v)))
-              case "STARTS WITH" => _.startsWith(lit(literal(v).toString))
-              case "ENDS WITH" => _.endsWith(lit(literal(v).toString))
-              case "IN" =>
-                val body = v.trim
-                require(body.startsWith("[") && body.endsWith("]"),
-                  s"IN needs a [list], got '$body'")
-                val items = body.substring(1, body.length - 1).split(",").map(literal)
-                _.isin(items.toIndexedSeq: _*)
-            }
-            (a, p, mk)
-          case other => fail("WHERE conditions must be alias.prop OP literal", other)
+            AtomE(a, p, opBuilder(op, v))
+          case other => fail(
+            "WHERE conditions must be [toLower|toUpper](alias.prop) OP operand", other)
         }
-      // split on a connective keyword ONLY outside single-quoted
-      // literals and ONLY at parenthesis depth 0 — a naive regex
-      // split on \bAND\b/\bOR\b would cut a condition mid-literal for
-      // values like 'black or white', and would cut THROUGH a
-      // parenthesized group. '_' is a word char (as in \b):
-      // `a.tag_or` / `x_and.p` must not split mid-identifier.
-      def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
-      def splitTop(s: String, kw: String): Seq[String] = {
-        val out = Seq.newBuilder[String]
-        var inQ = false
-        var depth = 0
-        var start = 0
-        var i = 0
-        while (i < s.length) {
-          val ch = s.charAt(i)
-          if (ch == '\'') { inQ = !inQ; i += 1 }
-          else if (!inQ && ch == '(') { depth += 1; i += 1 }
-          else if (!inQ && ch == ')') {
-            depth -= 1
-            require(depth >= 0, s"unbalanced ')' in WHERE: '$s'")
-            i += 1
-          }
-          else if (!inQ && depth == 0 &&
-              s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-              (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
-            out += s.substring(start, i)
-            i += kw.length
-            start = i
-          } else i += 1
-        }
-        out += s.substring(start)
-        out.result().map(_.trim).filter(_.nonEmpty)
-      }
-      // "whole factor is one group" test: the leading '(' must close
-      // exactly at the string's end (quote-aware) — `(a) AND (b)`
-      // never reaches this because the connective splits run first
-      def wrappedInParens(s: String): Boolean = {
-        if (!(s.startsWith("(") && s.endsWith(")"))) false
-        else {
-          var inQ = false; var depth = 0; var i = 0
-          var closesAtEnd = true
-          while (i < s.length) {
-            val ch = s.charAt(i)
-            if (ch == '\'') inQ = !inQ
-            else if (!inQ && ch == '(') depth += 1
-            else if (!inQ && ch == ')') {
-              depth -= 1
-              if (depth == 0 && i < s.length - 1) closesAtEnd = false
-            }
-            i += 1
-          }
-          closesAtEnd && depth == 0
-        }
-      }
-      // recursive descent with standard precedence (AND binds tighter
-      // than OR; parentheses group arbitrarily): boolean AST over the
-      // atomic `alias.prop OP literal` conditions
-      sealed trait BoolExpr
-      case class AtomE(alias: String, prop: String,
-          mk: Column => Column) extends BoolExpr
-      case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
-      case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
-      def parseFactor(s: String): BoolExpr = {
-        val t = s.trim
-        if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
-        else { val (a, pr, mk) = parseCond(t); AtomE(a, pr, mk) }
-      }
-      def parseTerm(s: String): BoolExpr = {
-        val cs = splitTop(s, "AND")
-        require(cs.nonEmpty, "empty WHERE")
-        if (cs.length > 1) AndE(cs.map(parseFactor)) else parseFactor(cs.head)
-      }
-      def parseExpr(s: String): BoolExpr = {
-        val ds = splitTop(s, "OR")
-        require(ds.nonEmpty, "empty WHERE")
-        if (ds.length > 1) OrE(ds.map(parseTerm)) else parseTerm(ds.head)
-      }
-      def exprAliases(e: BoolExpr): Set[String] = e match {
-        case AtomE(a, _, _) => Set(a)
-        case AndE(xs) => xs.flatMap(exprAliases).toSet
-        case OrE(xs) => xs.flatMap(exprAliases).toSet
-      }
-      def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
-        case AtomE(a, pr, _) => Seq(a -> pr)
-        case AndE(xs) => xs.flatMap(exprProps)
-        case OrE(xs) => xs.flatMap(exprProps)
-      }
-      def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
-        e match {
-          case AtomE(a, pr, mk) => mk(resolve(a, pr))
-          case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
-          case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
-        }
-      def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
-        case AndE(xs) => xs.flatMap(flattenAnd)
-        case other => Seq(other)
-      }
       // each top-level conjunct compiles by its alias span: ONE alias
       // → a node predicate (semi-join at the pattern position, before
       // the path join — the fast path); SEVERAL aliases (`a.x = 1 OR
@@ -473,7 +654,7 @@ object CypherLite {
       // evaluated against attached property columns (required MATCH
       // only — on an OPTIONAL MATCH that would silently reclassify
       // left-join semantics, so it stays a loud reject there)
-      val (single, crossAlias) = flattenAnd(parseExpr(w))
+      val (single, crossAlias) = flattenAnd(parseBool(w, parseCond))
         .partition(e => exprAliases(e).size == 1)
       require(allowRowPreds || crossAlias.isEmpty, {
         val as = crossAlias.flatMap(exprAliases).distinct.sorted
@@ -481,7 +662,7 @@ object CypherLite {
           "predicate — on OPTIONAL MATCH restrict each OR group to one " +
           "alias (or use IN)"
       })
-      val rowPreds = crossAlias.map { e =>
+      val rps = crossAlias.map { e =>
         RowPred(exprProps(e).distinct,
           toColumn(e, (a, pr) => col(s"${a}__w_$pr")))
       }
@@ -492,7 +673,7 @@ object CypherLite {
       (nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
-      }.toMap, rowPreds)
+      }.toMap, rps)
     }
 
     // top-level comma = a new pattern part (commas inside {…} are
@@ -543,45 +724,25 @@ object CypherLite {
 
     val labels = bound.toMap
 
-    // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n]
-    var returnDistinct = false
-    var orderBy = Seq.empty[(String, Boolean)]
-    var limit: Option[Int] = None
-    val returns = returnPart.toSeq.flatMap { r0 =>
-      var r = r0.trim
-      val lim = "(?i)\\bLIMIT\\s+(\\d+)\\s*$".r
-      lim.findFirstMatchIn(r).foreach { m =>
-        limit = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
-      }
-      r.split("(?i)\\bORDER\\s+BY\\b", 2) match {
-        case Array(items, ob) =>
-          r = items.trim
-          orderBy = ob.split(",").map(_.trim).map {
-            case OrderItemRe(n, dir) =>
-              (n, dir == null || dir.equalsIgnoreCase("ASC"))
-            case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
-          }.toSeq
-        case _ =>
-      }
-      if (r.matches("(?is)^DISTINCT\\b.*")) {
-        returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
-      }
-      // `RETURN *` (the README.md:137 demo shape): every node alias's
-      // id, in binding order. Relationship variables are NOT expanded
-      // — edge rows have no materialized identity (documented
-      // divergence from Kuzu, which returns rel objects).
-      if (r == "*")
-        bound.keysIterator.map(a =>
-          ReturnItem(None, distinct = false, a, None, a)).toSeq
-      else r.split(",").map(_.trim).map {
+    /** Parse a comma-separated item list (shared by WITH and RETURN).
+      * `plainOk`/`propOk`/`aggOk` gate what names may appear: over
+      * the pattern they are the bound aliases; after a WITH they are
+      * the WITH output names (prop access only on carried aliases).
+      */
+    def parseItems(r: String, ctx: String,
+        plainOk: String => Boolean, propOk: String => Boolean,
+        aggOk: String => Boolean): Seq[ReturnItem] =
+      r.split(",").toIndexedSeq.map(_.trim).map {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
           require(target == "*" || !relVars(target),
             s"relationship variable '$target' is not aggregable — " +
               "count(*) counts paths (= relationship tuples) already")
-          require(target == "*" || labels.contains(target),
-            s"$f() references unknown alias '$target'")
+          require(target == "*" || aggOk(target),
+            s"$f() references unknown ${if (ctx == "RETURN") "name" else "alias"} '$target'")
+          require(prop == null || propOk(target),
+            s"$f($target.$prop): '$target' carries no properties here")
           require(!(target == "*") || (f == "count" && prop == null && !d),
             "only count(*) may aggregate '*'")
           require(!d || f == "count", s"DISTINCT only supported with count, not $f")
@@ -593,15 +754,86 @@ object CypherLite {
           require(!relVars(a),
             s"relationship variable '$a' is not returnable — edge rows " +
               "have no materialized identity (return node positions)")
-          require(labels.contains(a), s"RETURN references unknown alias '$a'")
+          require(if (prop != null) propOk(a) else plainOk(a),
+            s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
           ReturnItem(None, distinct = false, a, Option(prop), name)
-        case other => fail("RETURN items must be alias[.prop] [AS n] or agg(…) AS n", other)
+        case other => fail(s"$ctx items must be alias[.prop] [AS n] or agg(…) AS n", other)
       }
+
+    // WITH stage: items over the pattern aliases, then an optional
+    // post-aggregate WHERE over the OUTPUT names, then ORDER BY/LIMIT
+    val withClause = withPart.map { wp0 =>
+      val (afterTail, wOrderBy, wLimit) = parseTail(wp0)
+      val (itemsTxt, whereTxt) = afterTail.split("(?i)\\bWHERE\\b", 2) match {
+        case Array(i)    => (i.trim, None)
+        case Array(i, w) => (i.trim, Some(w.trim))
+      }
+      require(itemsTxt.nonEmpty, "empty WITH")
+      val items = parseItems(itemsTxt, "WITH",
+        labels.contains, labels.contains, labels.contains)
+      require(items.map(_.as).distinct.size == items.size,
+        s"duplicate WITH output names: ${items.map(_.as)}")
+      val outNames = items.map(_.as).toSet
+      for ((n, _) <- wOrderBy)
+        require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
+      // carried aliases: bare-alias plain items — the RETURN may still
+      // attach their node properties (outName → (pattern alias, label))
+      val carried = items.collect {
+        case ReturnItem(None, _, a, None, as) => as -> (a, labels(a))
+      }.toMap
+      val whereCol = whereTxt.map { w =>
+        def atom(cond: String): AtomE = cond.trim match {
+          case WithNullRe(n, not) =>
+            require(outNames(n), s"WITH WHERE references unknown output '$n'")
+            AtomE("", n, c => if (not != null) c.isNotNull else c.isNull)
+          case WithCondRe(n, op, v) =>
+            require(outNames(n), s"WITH WHERE references unknown output '$n'")
+            AtomE("", n, opBuilder(op, v))
+          case other => fail("WITH WHERE conditions must be out_name OP operand", other)
+        }
+        toColumn(parseBool(w, atom), (_, n) => col(n))
+      }
+      WithClause(items, whereCol, wOrderBy, wLimit, carried)
+    }
+
+    // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
+    // items reference the WITH output names instead of the pattern
+    var returnDistinct = false
+    var orderBy = Seq.empty[(String, Boolean)]
+    var limit: Option[Int] = None
+    val returns = returnPart.toSeq.flatMap { r0 =>
+      val (afterTail, ob, lim) = parseTail(r0)
+      orderBy = ob; limit = lim
+      var r = afterTail
+      if (r.matches("(?is)^DISTINCT\\b.*")) {
+        returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
+      }
+      val (plainOk, propOk, aggOk): (String => Boolean, String => Boolean, String => Boolean) =
+        withClause match {
+          case None => (labels.contains, labels.contains, labels.contains)
+          case Some(w) =>
+            val names = w.items.map(_.as).toSet
+            (names.contains, w.carried.contains, names.contains)
+        }
+      // `RETURN *` (the README.md:137 demo shape): every node alias's
+      // id (or, after a WITH, every WITH output), in binding order.
+      // Relationship variables are NOT expanded — edge rows have no
+      // materialized identity (documented divergence from Kuzu, which
+      // returns rel objects).
+      if (r == "*") withClause match {
+        case None => bound.keysIterator.map(a =>
+          ReturnItem(None, distinct = false, a, None, a)).toSeq
+        case Some(w) => w.items.map(i =>
+          ReturnItem(None, distinct = false, i.as, None, i.as))
+      }
+      else parseItems(r, "RETURN", plainOk, propOk, aggOk)
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")
+    require(withClause.isEmpty || returns.nonEmpty,
+      "WITH needs a RETURN clause")
     // fail-loud principle: DISTINCT alongside aggregates would be a
     // silent no-op (grouped output is already one row per group key) —
     // reject rather than parse-and-ignore
@@ -615,7 +847,92 @@ object CypherLite {
 
     Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
       optionalAliases.toSet, returnDistinct, orderBy, limit,
-      rowPreds.toSeq)
+      rowPreds.toSeq, withClause)
+  }
+
+  /** One projection/aggregation stage over a path (or WITH) frame:
+    * attach the node properties the items need, project or group-agg
+    * under the AS names, then filter (post-WITH WHERE)/order/limit.
+    * `aliasLabel` resolves an item name to the node label whose table
+    * holds its properties (pattern aliases before a WITH, carried
+    * aliases after); `leftOuter` picks the attach join type (left for
+    * OPTIONAL MATCH positions so null path slots survive).
+    */
+  private def runStage(g: PropertyGraph, frame: DataFrame,
+      items: Seq[ReturnItem],
+      aliasLabel: String => Option[String],
+      leftOuter: String => Boolean,
+      distinct: Boolean,
+      orderBy: Seq[(String, Boolean)], limit: Option[Int],
+      postFilter: Option[Column] = None): DataFrame = {
+    val needed = items.filter(_.prop.isDefined)
+    val attached = needed.map(_.alias).distinct.foldLeft(frame) { (df, alias) =>
+      val props = needed.filter(_.alias == alias).map(_.prop.get).distinct
+      val label = aliasLabel(alias).getOrElse(
+        throw new IllegalArgumentException(s"no node label for '$alias'"))
+      g.attach(df, alias, label, props, s"${alias}_",
+        if (leftOuter(alias)) "left_outer" else "inner")
+    }
+    def baseCol(ri: ReturnItem): Column =
+      ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+    val (aggs, plains) = items.partition(_.agg.isDefined)
+    var out =
+      if (aggs.isEmpty) {
+        val sel = attached.select(plains.map(ri => baseCol(ri).as(ri.as)): _*)
+        if (distinct) sel.distinct() else sel
+      } else {
+        val aggCols = aggs.map { ri =>
+          val c = (ri.agg.get, ri.distinct) match {
+            case ("count", _) if ri.isStar => count(lit(1))
+            case ("count", true)  => countDistinct(baseCol(ri))
+            case ("count", false) => count(baseCol(ri))
+            case ("sum", _) => sum(baseCol(ri))
+            case ("min", _) => min(baseCol(ri))
+            case ("max", _) => max(baseCol(ri))
+            case ("avg", _) => avg(baseCol(ri))
+          }
+          c.as(ri.as)
+        }
+        if (plains.isEmpty) attached.agg(aggCols.head, aggCols.tail: _*)
+        else attached
+          .groupBy(plains.map(ri => baseCol(ri).as(ri.as)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(items.map(ri => col(ri.as)): _*)
+      }
+    for (f <- postFilter) out = out.filter(f)
+    if (orderBy.nonEmpty)
+      out = out.orderBy(orderBy.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc
+      }: _*)
+    limit.foldLeft(out)((d, n) => d.limit(n))
+  }
+
+  /** The untyped contract, checked: label-blind traversal (untyped
+    * steps, any-node views) joins RAW ids across every label's key
+    * space, so an id living in two label tables would silently match
+    * rows from both. Two counts over the dimension-sized node tables
+    * (sum of per-label distincts vs distinct of the union) catch it
+    * loudly — a typo'd `-[FOLLOWS]->` (missing colon) parses as an
+    * untyped step and lands here instead of returning wrong rows.
+    * Disable for validated graphs at scale via
+    * `graft.cypher.validateUntypedIds=false`.
+    */
+  private def assertGloballyUniqueIds(g: PropertyGraph): Unit = {
+    if (g.nodes.isEmpty) return
+    val spark = g.nodes.values.head.sparkSession
+    if (!spark.conf.get("graft.cypher.validateUntypedIds", "true").toBoolean) return
+    val perLabel = g.nodes.toSeq.sortBy(_._1)
+      .map { case (_, df) => df.select(col("id")).distinct() }
+    val total = perLabel.map(_.count()).sum
+    val distinctAll =
+      if (perLabel.size == 1) total
+      else perLabel.reduce(_ unionAll _).distinct().count()
+    require(total == distinctAll,
+      s"untyped pattern over OVERLAPPING per-label id spaces ($total " +
+        s"per-label distinct ids collapse to $distinctAll): label-blind " +
+        "traversal would silently cross key spaces — prefix node ids " +
+        "per label, type the edge (`-[:REL]->`), or disable this check " +
+        "via graft.cypher.validateUntypedIds=false if ids are known unique")
   }
 
   /** Parse and execute against a graph. RETURN items arrive under
@@ -627,23 +944,35 @@ object CypherLite {
     val p = parse(stmt)
     // unlabeled positions (label "") scan the ANY-node view — the
     // union of every label's id column, deduped. Sound only when node
-    // ids are globally unique across labels (the untyped contract —
-    // prefix ids if per-label key spaces overlap); the view carries
-    // ONLY `id`, so property access on an unlabeled alias rejects
+    // ids are globally unique across labels (the untyped contract,
+    // asserted below); the view carries ONLY `id`, so property access
+    // on an unlabeled alias rejects
+    val untyped = p.labels.valuesIterator.contains("") ||
+      (p.steps ++ p.optionals.flatMap(_.steps)).exists(_.rel.isEmpty)
+    if (untyped) assertGloballyUniqueIds(g0)
     val g =
       if (!p.labels.valuesIterator.contains("")) g0
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
-    for (ri <- p.returns if ri.prop.isDefined && p.labels.get(ri.alias).contains(""))
+    for (ri <- p.withClause.map(_.items).getOrElse(p.returns)
+         if ri.prop.isDefined && p.labels.get(ri.alias).contains(""))
       throw new IllegalArgumentException(
-        s"RETURN ${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
+        s"${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
           "— the any-node view has no properties; declare a :Label to read them")
+    for (w <- p.withClause; ri <- p.returns
+         if ri.prop.isDefined && w.carried.get(ri.alias).exists(_._2 == ""))
+      throw new IllegalArgumentException(
+        s"RETURN ${ri.alias}.${ri.prop.get}: carried alias '${ri.alias}' is " +
+          "unlabeled — the any-node view has no properties")
     val optionals = p.optionalAliases
     // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
     // frame (before OPTIONAL MATCH extends it, standard clause order):
     // attach each referenced property under a reserved __w_ prefix,
     // filter, drop — the node tables are dimension-sized, so these are
-    // broadcast joins on top of the already-joined paths
+    // broadcast joins on top of the already-joined paths. LEFT joins:
+    // a dangling edge endpoint (id absent from its node table) must
+    // evaluate as null in the filter — Cypher semantics — not delete
+    // the path row before the other disjunct can pass.
     val required0 = g.matchPaths(p.start, p.steps)
     val required =
       if (p.rowPreds.isEmpty) required0
@@ -657,7 +986,7 @@ object CypherLite {
         val attached = need.groupBy(_._1).toSeq.sortBy(_._1)
           .foldLeft(required0) { case (df, (alias, ps)) =>
             g.attach(df, alias, p.labels(alias), ps.map(_._2).distinct,
-              s"${alias}__w_")
+              s"${alias}__w_", "left_outer")
           }
         attached
           .filter(p.rowPreds.map(_.cond).reduce(_ && _))
@@ -674,47 +1003,24 @@ object CypherLite {
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)
         df.join(sub, Seq(cl.anchor), "left_outer")
     }
-    if (p.returns.isEmpty) paths
-    else {
-      // attach the node properties the RETURN needs — left join for
-      // positions bound by OPTIONAL MATCH so null path slots survive
-      val needed = p.returns.filter(_.prop.isDefined)
-      val attached = needed.map(_.alias).distinct.foldLeft(paths) { (df, alias) =>
-        val props = needed.filter(_.alias == alias).map(_.prop.get).distinct
-        g.attach(df, alias, p.labels(alias), props, s"${alias}_",
-          if (optionals(alias)) "left_outer" else "inner")
-      }
-      def baseCol(ri: ReturnItem): Column =
-        ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
-      val (aggs, plains) = p.returns.partition(_.agg.isDefined)
-      var out =
-        if (aggs.isEmpty) {
-          val sel = attached.select(plains.map(ri => baseCol(ri).as(ri.as)): _*)
-          if (p.returnDistinct) sel.distinct() else sel
-        } else {
-          val aggCols = aggs.map { ri =>
-            val c = (ri.agg.get, ri.distinct) match {
-              case ("count", _) if ri.isStar => count(lit(1))
-              case ("count", true)  => countDistinct(baseCol(ri))
-              case ("count", false) => count(baseCol(ri))
-              case ("sum", _) => sum(baseCol(ri))
-              case ("min", _) => min(baseCol(ri))
-              case ("max", _) => max(baseCol(ri))
-              case ("avg", _) => avg(baseCol(ri))
-            }
-            c.as(ri.as)
-          }
-          if (plains.isEmpty) attached.agg(aggCols.head, aggCols.tail: _*)
-          else attached
-            .groupBy(plains.map(ri => baseCol(ri).as(ri.as)): _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-            .select(p.returns.map(ri => col(ri.as)): _*)
-        }
-      if (p.orderBy.nonEmpty)
-        out = out.orderBy(p.orderBy.map { case (n, asc) =>
-          if (asc) col(n).asc else col(n).desc
-        }: _*)
-      p.limit.foldLeft(out)((d, n) => d.limit(n))
+    // the optional WITH stage: project/aggregate the path frame, then
+    // post-filter/order/limit — ONE pipeline stage between the pattern
+    // and RETURN (the argmax / HAVING shapes of the golden corpus)
+    val stage = p.withClause match {
+      case None => paths
+      case Some(w) => runStage(g, paths, w.items,
+        a => p.labels.get(a), optionals, distinct = false,
+        w.orderBy, w.limit, postFilter = w.where)
+    }
+    if (p.returns.isEmpty) stage
+    else p.withClause match {
+      case None => runStage(g, stage, p.returns,
+        a => p.labels.get(a), optionals,
+        p.returnDistinct, p.orderBy, p.limit)
+      case Some(w) => runStage(g, stage, p.returns,
+        a => w.carried.get(a).map(_._2),
+        a => w.carried.get(a).exists { case (orig, _) => optionals(orig) },
+        p.returnDistinct, p.orderBy, p.limit)
     }
   }
 

@@ -22,15 +22,31 @@ object GraphOps {
     * consumer in the inventory — g1/g4/g8/g16's traversals and
     * g10/g15's iterative walkers previously each derived and
     * persisted their own copy per query, the round-7 suite's largest
-    * redundant cost. Process-lifetime cache: the three frames are
-    * edge-count-sized (skinny id pairs), and Verify/Bench run the
-    * whole inventory in one process — exactly the reuse window. At
-    * 100 TB the analog is the edge set written once as a bucketed
-    * table, not re-derived per query.
+    * redundant cost. OWNERSHIP: the cache is process-lifetime BY
+    * DESIGN — the three frames are edge-count-sized (skinny id
+    * pairs), keyed by (session, sf dir), and Verify/Bench run the
+    * whole inventory in one process, exactly the reuse window. A
+    * long-lived host embedding GraphOps across many sessions or
+    * datasets should call [[clearPreparedCache]] when a session
+    * closes (or a dataset is dropped) — entries are never evicted
+    * automatically. At 100 TB the analog is the edge set written
+    * once as a bucketed table, not re-derived per query.
     */
   private val preparedCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       graft.graph.GraphAnalytics.PreparedEdges]
+
+  /** Unpersist and drop every cached prepared edge set (optionally
+    * only those of one session) — the eviction hook for library hosts
+    * that outlive a single Verify/Bench process.
+    */
+  def clearPreparedCache(
+      session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
+    for (((s, d), p) <- preparedCache.toSeq
+         if session.forall(_ eq s)) {
+      preparedCache.remove((s, d))
+      p.e.unpersist(false); p.nodes.unpersist(false); p.withDeg.unpersist(false)
+    }
   private def prepared(s: org.apache.spark.sql.SparkSession,
       d: String): graft.graph.GraphAnalytics.PreparedEdges = {
     val p = preparedCache.getOrElseUpdate((s, d),
@@ -541,6 +557,68 @@ object GraphOps {
              |  AND c_acctbal > 1000
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
+    // G19 the MANDATED Text2Cypher string-predicate shape through the
+    // full text route: `toLower(prop) CONTAINS toLower(lit)` — the
+    // form the reference prompt REQUIRES for every string comparison
+    // (rag.baml:76-79; worked example :279 verbatim shape). Compiles
+    // to lower(col) predicates at the pattern positions — still node
+    // semi-joins before the path join.
+    QueryDef(
+      "g19_cypher_tolower",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE toLower(n.n_name) CONTAINS toLower('ATION_1')
+          |  AND toLower(c.c_mktsegment) = toLower('AUTOMOBILE')
+          |RETURN n.n_name AS n_name, count(DISTINCT c) AS n_cust
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(DISTINCT c_custkey) AS n_cust
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE contains(lower(n_name), lower('ATION_1'))
+             |  AND lower(c_mktsegment) = lower('AUTOMOBILE')
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G20 datetime literals through the full text route:
+    // `CAST('…' AS DATE)` (the reference's own Cypher datetime form,
+    // build_graph.py:246,335) compared against a date-typed node
+    // prop. to_date over a constant folds, so the predicate stays a
+    // plain date comparison — pushdown-eligible at the orders scan.
+    QueryDef(
+      "g20_cypher_datetime",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate >= CAST('1995-01-01' AS DATE)
+          |  AND o.o_orderdate < CAST('1996-01-01' AS DATE)
+          |RETURN c.c_mktsegment AS seg, count(*) AS n_orders
+          |ORDER BY seg""".stripMargin),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n_orders
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_orderdate >= DATE '1995-01-01'
+             |  AND o_orderdate < DATE '1996-01-01'
+             |GROUP BY seg ORDER BY seg""".stripMargin)
+    ),
+    // G21 the WITH pipeline stage through the full text route — the
+    // argmax shape the golden corpus exercises (test_data.py:31-34:
+    // `WITH pr, count(DISTINCT p) AS n ORDER BY n DESC LIMIT 1`):
+    // group on the carried alias, order/limit INSIDE the stage, then
+    // attach the carried alias's properties in RETURN. The tiebreak
+    // ORDER BY (n_cust DESC, n DESC) is total — nation ids are unique
+    // — so the LIMIT cut is deterministic.
+    QueryDef(
+      "g21_cypher_with",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 5000
+          |WITH n, count(DISTINCT c) AS n_cust ORDER BY n_cust DESC, n DESC LIMIT 3
+          |RETURN n.n_name AS n_name, n_cust
+          |ORDER BY n_cust DESC, n_name""".stripMargin),
+      Some("""SELECT n_name, n_cust FROM (
+             |  SELECT n_nationkey, n_name, count(DISTINCT c_custkey) AS n_cust
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE c_acctbal > 5000
+             |  GROUP BY n_nationkey, n_name
+             |  ORDER BY n_cust DESC, n_nationkey DESC LIMIT 3)
+             |ORDER BY n_cust DESC, n_name""".stripMargin)
+    ),
     // G18 CROSS-ALIAS OR through the full text route — the WHERE
     // shape the pre-join compile could not express until round 8:
     // `n.x = … OR c.y = …` spans two pattern positions, so it
@@ -561,17 +639,27 @@ object GraphOps {
     )
   )
 
-  /** TPC-H as a property graph (nodes carry their natural props). */
+  /** TPC-H as a property graph (nodes carry their natural props).
+    * Per-label id spaces OVERLAP here (regionkey/nationkey/custkey/
+    * orderkey all start at 0/1) — fine for label-typed patterns, and
+    * exactly why untyped steps over this graph trip CypherLite's
+    * globally-unique-id validation; the prefixed [[edgeSet]] is the
+    * untyped-safe view.
+    */
   def tpchGraph(s: org.apache.spark.sql.SparkSession, d: String): PropertyGraph = {
     val region = Tables.region(s, d).withColumn("id", col("r_regionkey"))
     val nation = Tables.nation(s, d).withColumn("id", col("n_nationkey"))
     val customer = Tables.customer(s, d).withColumn("id", col("c_custkey"))
+    val orders = Tables.orders(s, d).withColumn("id", col("o_orderkey"))
     PropertyGraph(
-      nodes = Map("region" -> region, "nation" -> nation, "customer" -> customer),
+      nodes = Map("region" -> region, "nation" -> nation,
+        "customer" -> customer, "orders" -> orders),
       edges = Map(
         "HAS_NATION" -> (("region", "nation",
           nation.select(col("n_regionkey").as("src"), col("n_nationkey").as("dst")))),
         "HAS_CUSTOMER" -> (("nation", "customer",
-          customer.select(col("c_nationkey").as("src"), col("c_custkey").as("dst"))))))
+          customer.select(col("c_nationkey").as("src"), col("c_custkey").as("dst")))),
+        "HAS_ORDER" -> (("customer", "orders",
+          orders.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))))))
   }
 }

@@ -462,4 +462,140 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.query(diamond, "(a {id: 1})-[:E]->(b) RETURN b.tag")
     }
   }
+
+  test("toLower/toUpper WHERE — the MANDATED Text2Cypher string shape (rag.baml:76-79)") {
+    // both sides wrapped, CONTAINS — the worked example's form verbatim
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE toLower(a.tag) CONTAINS toLower('A4') RETURN b.tag")
+      .as[String].collect().toSet
+    assert(rows === Set("b2", "b5"))
+    // one-sided wrap with a plain literal; = instead of CONTAINS
+    val eq = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE toLower(a.tag) = 'a1' RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(eq === Seq("b2"))
+    // toUpper both sides; composes with AND and other predicate forms
+    val up = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE toUpper(a.tag) = toUpper('A1') AND b.id > 0 RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(up === Seq("b2"))
+    // case-insensitive keyword spelling (LLMs emit tolower too)
+    val ci = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE TOLOWER(a.tag) CONTAINS 'a1' RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(ci === Seq("b2"))
+  }
+
+  test("CAST('…' AS DATE|TIMESTAMP) literals compare against temporal props") {
+    // the reference's own datetime Cypher (build_graph.py:246,335)
+    val pg = PropertyGraph(
+      nodes = Map("P" -> Seq((1L, "2022-03-04"), (2L, "1990-06-07")).toDF("id", "d")
+        .selectExpr("id", "to_date(d) AS born", "to_timestamp(d) AS ts")),
+      edges = Map.empty)
+    val after = CypherLite.query(pg,
+      "MATCH (p:P) WHERE p.born >= CAST('2000-01-01' AS DATE) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(after === 1)
+    val range = CypherLite.query(pg,
+      """MATCH (p:P) WHERE p.born >= CAST('1990-01-01' AS DATE)
+        |  AND p.born <= CAST('2000-12-31' AS DATE) RETURN count(*) AS n""".stripMargin)
+      .as[Long].head()
+    assert(range === 1)
+    val ts = CypherLite.query(pg,
+      "MATCH (p:P) WHERE p.ts > CAST('2022-01-01' AS TIMESTAMP) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(ts === 1)
+  }
+
+  test("WITH groups, filters post-aggregate (HAVING shape), and carries aliases") {
+    // HAVING: Bs with more than one in-edge
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH b, count(a) AS n WHERE n > 1 RETURN b.tag AS t, n")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("b2", 2L)))
+    // aggregate over the WITH output in RETURN (the golden-q1 shape)
+    val nb = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH b, count(a) AS n WHERE n > 1 RETURN count(b) AS nb")
+      .as[Long].head()
+    assert(nb === 1)
+  }
+
+  test("WITH … ORDER BY … LIMIT 1 — the argmax golden-q7 shape, props attach after") {
+    val top = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(*) AS n ORDER BY n DESC LIMIT 1
+        |RETURN b.tag AS t, n""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(top === Seq(("b2", 2L)))
+    // a renamed carried alias still attaches properties
+    val ren = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b AS bb, count(*) AS n ORDER BY n DESC LIMIT 1
+        |RETURN bb.tag AS t, n""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(ren === Seq(("b2", 2L)))
+  }
+
+  test("WITH loud rejects: multi-stage chains, unknown names, missing RETURN") {
+    intercept[IllegalArgumentException] { // second stage
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WITH n RETURN n")
+    }
+    intercept[IllegalArgumentException] { // WHERE references unknown output
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WHERE m > 1 RETURN n")
+    }
+    intercept[IllegalArgumentException] { // WITH needs RETURN
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n")
+    }
+    intercept[IllegalArgumentException] { // a not carried through the WITH
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n RETURN a.tag")
+    }
+    intercept[IllegalArgumentException] { // aggregate in WITH needs AS
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) RETURN b")
+    }
+    // STARTS WITH / ENDS WITH must NOT be mistaken for a WITH stage
+    val sw = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag STARTS WITH 'a4' RETURN b.tag")
+    assert(sw.count() === 2)
+    // …nor a quoted 'with' literal
+    val quoted = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag CONTAINS 'dances with wolves' RETURN b.tag")
+    assert(quoted.count() === 0, "parses cleanly, matches nothing")
+  }
+
+  test("untyped traversal validates globally-unique ids — the missing-colon guard") {
+    // `-[r]->` (a typo'd -[FOLLOWS]-> missing its colon) walks every
+    // edge table label-blind; with OVERLAPPING per-label id spaces the
+    // query must fail loudly instead of silently crossing key spaces
+    val overlap = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a")).toDF("id", "tag"),
+        "B" -> Seq((1L, "b"), (2L, "c")).toDF("id", "tag")),
+      edges = Map("R" -> (("A", "B", Seq((1L, 2L)).toDF("src", "dst")))))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(overlap, "MATCH (a {id: 1})-[r]->(b) RETURN * LIMIT 10")
+    }
+    // the documented opt-out for validated graphs at scale
+    TestSession.spark.conf.set("graft.cypher.validateUntypedIds", "false")
+    try
+      CypherLite.query(overlap, "MATCH (a {id: 1})-[r]->(b) RETURN * LIMIT 10").collect()
+    finally TestSession.spark.conf.set("graft.cypher.validateUntypedIds", "true")
+    // typed queries never pay the check (overlapping ids are FINE when
+    // every step names its label — the join is per-label)
+    assert(CypherLite.query(overlap, "(a:A)-[:R]->(b:B)").count() === 1)
+  }
+
+  test("cross-alias OR keeps path rows with dangling endpoints (null, not dropped)") {
+    // edge (1, 99) dangles: 99 has no B row. The __w_ attach is a LEFT
+    // join, so b.tag evaluates null there and the row still passes via
+    // the a-side disjunct — Cypher semantics; an inner attach would
+    // silently delete the path row before the filter ran
+    val dang = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2")).toDF("id", "tag")),
+      edges = Map("R" -> (("A", "B", Seq((1L, 2L), (1L, 99L)).toDF("src", "dst")))))
+    val n = CypherLite.query(dang,
+      "(a:A)-[:R]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'zzz'").count()
+    assert(n === 2, "the dangling-endpoint path row survives via the a disjunct")
+  }
 }
