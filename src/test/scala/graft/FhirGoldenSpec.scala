@@ -78,6 +78,20 @@ class FhirGoldenSpec extends SparkSpec {
     assert(rows(0).toSeq === Seq("East Longmeadow", "Massachusetts", "Cletus", "Paucek"))
   }
 
+  test("golden 8 through the MANDATED toLower CONTAINS form (rag.baml:76-79,279)") {
+    // the shape the Text2Cypher prompt REQUIRES for every string
+    // predicate: lowercase both sides, compare with CONTAINS — the
+    // worked example rag.baml:279 verbatim (s.name, not an id lookup)
+    val rows = graft.graph.CypherLite.query(graph,
+      """MATCH (s:Substance)-[:CAUSES]->(a:Allergy)<-[:EXPERIENCES]-(p:Patient),
+        |      (p)-[:LIVES_IN]->(ad:Address), (p)<-[:TREATS]-(pr:Practitioner)
+        |WHERE toLower(s.name) CONTAINS toLower('Shellfish') AND p.id = 45
+        |RETURN ad.city, ad.state, pr.givenName, pr.surname""".stripMargin)
+      .distinct().collect()
+    assert(rows.length === 1)
+    assert(rows(0).toSeq === Seq("East Longmeadow", "Massachusetts", "Cletus", "Paucek"))
+  }
+
   test("golden 9: influenza immunizations = 205 under deterministic first-write " +
       "(published 204 is a Kuzu intra-batch MERGE-order artifact; last-write gives 203)") {
     assert(GoldenQueries.q9InfluenzaImmunized(graph) === 205L)
@@ -85,6 +99,96 @@ class FhirGoldenSpec extends SparkSpec {
 
   test("golden 10: 13 substances cause food allergies") {
     assert(GoldenQueries.q10FoodSubstances(graph) === 13L)
+  }
+
+  // ------------------------------------------------------------------
+  // The FULL golden corpus through literal Cypher text — the
+  // Text2Cypher compile target (reference src/tests/test_data.py:6-47).
+  // Each question below runs as a Cypher STRING parsed and executed by
+  // CypherLite, in the shapes the reference's prompt mandates
+  // (toLower/CONTAINS for strings, CAST(… AS DATE|TIMESTAMP) for
+  // datetimes, WITH for pipelined aggregation). Answers match the
+  // published golden values (q9: documented first-write divergence).
+  // ------------------------------------------------------------------
+
+  private def cypher(stmt: String) = graft.graph.CypherLite.query(graph, stmt)
+
+  private def singleLong(stmt: String): Long =
+    cypher(stmt).collect() match { case Array(r) => r.getLong(0) }
+
+  test("text golden 1: Rosenbaum multi-immunization count via WITH … WHERE") {
+    assert(singleLong(
+      """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |WHERE p.surname = 'Rosenbaum'
+        |WITH p, count(i) AS n WHERE n > 1
+        |RETURN count(*) AS n_patients""".stripMargin) === 1L)
+  }
+
+  test("text golden 2: patients treated by Josef Klein (mandated toLower form)") {
+    val got = cypher(
+      """MATCH (pr:Practitioner)-[:TREATS]->(p:Patient)
+        |WHERE toLower(pr.givenName) CONTAINS toLower('Josef')
+        |  AND toLower(pr.surname) CONTAINS toLower('Klein')
+        |RETURN DISTINCT p.givenName AS g, p.surname AS s""".stripMargin)
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").toSet
+    val expected = Set("Lili Abbie Brekke", "Marinda Lindsay Veum",
+      "Gary Everette Abshire", "Gabrielle Claudie Medhurst")
+    assert(expected.subsetOf(got), s"missing: ${expected.diff(got)}")
+    assert(got.size === 8)
+  }
+
+  test("text golden 3: Arla Fritsch treated more than one patient") {
+    assert(singleLong(
+      """MATCH (pr:Practitioner)-[:TREATS]->(p:Patient)
+        |WHERE pr.givenName = 'Arla' AND pr.surname = 'Fritsch'
+        |RETURN count(DISTINCT p) AS n""".stripMargin) > 1L)
+  }
+
+  test("text golden 4: unique allergy categories via single-node MATCH") {
+    val got = cypher(
+      """MATCH (a:Allergy) WHERE a.category IS NOT NULL
+        |RETURN DISTINCT a.category AS category""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("medication", "environment", "food", "other"))
+  }
+
+  test("text golden 5: 184 patients born 1990-2000 via CAST date literals") {
+    assert(singleLong(
+      """MATCH (p:Patient)
+        |WHERE p.birthDate >= CAST('1990-01-01' AS DATE)
+        |  AND p.birthDate <= CAST('2000-12-31' AS DATE)
+        |RETURN count(*) AS n""".stripMargin) === 184L)
+  }
+
+  test("text golden 6: 65 immunizations after 2022-01-01 via CAST timestamp") {
+    assert(singleLong(
+      """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |WHERE i.occurrenceDateTime > CAST('2022-01-01' AS TIMESTAMP)
+        |RETURN count(*) AS n""".stripMargin) === 65L)
+  }
+
+  test("text golden 7: top practitioner via WITH argmax (test_data.py:31-34 shape)") {
+    val rows = cypher(
+      """MATCH (pr:Practitioner)-[:TREATS]->(p:Patient)
+        |WITH pr, count(DISTINCT p) AS n ORDER BY n DESC, pr ASC LIMIT 1
+        |RETURN pr.givenName AS g, pr.surname AS s, n""".stripMargin).collect()
+    assert(rows.length === 1)
+    assert((s"${rows(0).getString(0)} ${rows(0).getString(1)}", rows(0).getLong(2)) ===
+      (("Ted Reilly", 19L)))
+  }
+
+  test("text golden 9: influenza immunizations = 205 (documented first-write divergence)") {
+    assert(singleLong(
+      """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |WHERE toLower(i.traits) CONTAINS toLower('influenza')
+        |RETURN count(*) AS n""".stripMargin) === 205L)
+  }
+
+  test("text golden 10: 13 substances cause food allergies") {
+    assert(singleLong(
+      """MATCH (s:Substance)-[:CAUSES]->(a:Allergy)
+        |WHERE a.category = 'food'
+        |RETURN count(DISTINCT s) AS n""".stripMargin) === 13L)
   }
 
   test("schema XML introspection lists all node and rel tables") {
