@@ -151,34 +151,88 @@ object Incremental {
 
   /** Continuous CDC application — the streaming face of
     * [[graft.temporal.Cdc.applyDelta]]: each micro-batch of delta
-    * rows (key, <value>_old, <value>_new, change) applies onto the
-    * keyed snapshot store at `dir` (read → applyDelta → staged-swap
-    * write, the graphUpsertBatch discipline). REPLAY-SAFE under
-    * foreachBatch's at-least-once contract because applyDelta is
-    * IDEMPOTENT on an already-applied store: removed keys are already
-    * absent (the anti join no-ops), added/changed keys upsert the
-    * same value again. An empty/missing store bootstraps from the
+    * rows (key, <value>_old, <value>_new, change) applies onto a
+    * KEY-HASH-BUCKETED snapshot store at `dir/snapshot/bucket=N/`.
+    * Only the buckets containing delta keys are read (partition-
+    * pruned scan) and rewritten (per-bucket rename swap) — a
+    * key-count-sized delta against a 100-TB snapshot touches
+    * O(delta-buckets) of the store, never the full table, which is
+    * the "ship deltas, never re-snapshot" contract of
+    * [[graft.temporal.Cdc]] carried through to storage. REPLAY-SAFE
+    * under foreachBatch's at-least-once contract because applyDelta
+    * is IDEMPOTENT on an already-applied store: removed keys are
+    * already absent (the anti join no-ops), added/changed keys upsert
+    * the same value again. An empty/missing store bootstraps from the
     * delta's added rows — a CDC feed's initial load IS a batch of
-    * adds. Usage: `deltas.writeStream.foreachBatch(
+    * adds.
+    *
+    * Crash safety is per bucket: affected-bucket output is staged to
+    * `.staging` first (the write's input buckets are untouched — no
+    * checkpoint needed), then each affected bucket is retired to
+    * `.prev` and its staged replacement promoted by rename. On entry,
+    * any `.prev` bucket missing from the snapshot (crash mid-swap) is
+    * restored before applying, so a replayed batch re-applies onto
+    * the pre-batch state instead of truncating it.
+    *
+    * `nBuckets` is FIXED at bootstrap (recorded in a `.nbuckets`
+    * marker and validated every batch — a changed bucket count would
+    * silently strand keys in unread buckets). SINGLE WRITER assumed
+    * (foreachBatch provides it); a concurrent external reader may
+    * transiently see an affected bucket absent mid-promotion and
+    * should retry — unaffected buckets are never disturbed. Usage:
+    * `deltas.writeStream.foreachBatch(
     * Incremental.cdcApplyBatch(dir, "k", "v") _)`; the accumulated
-    * snapshot reads back as plain parquet, and the stored history
-    * feeds [[graft.temporal.Sessions.scd2]] (the x9 interval shape).
+    * snapshot reads back as parquet with `bucket` as a partition
+    * column, and the stored history feeds
+    * [[graft.temporal.Sessions.scd2]] (the x9 interval shape).
     */
-  def cdcApplyBatch(dir: String, key: String, value: String)(
+  def cdcApplyBatch(dir: String, key: String, value: String,
+      nBuckets: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val snap = new org.apache.hadoop.fs.Path(s"$dir/snapshot")
-    val prev = new org.apache.hadoop.fs.Path(s"$dir/.prev")
-    // crash recovery: a failure between the two swap renames below
-    // leaves the store only at .prev — restore it FIRST, or the
-    // replayed batch would bootstrap empty and silently truncate the
-    // snapshot to its own keys
-    if (!fs.exists(snap) && fs.exists(prev))
-      require(fs.rename(prev, snap), s"recovery rename $prev -> $snap failed")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = new Path(s"$dir/snapshot")
+    val prev = new Path(s"$dir/.prev")
+    val stage = new Path(s"$dir/.staging")
+    val marker = new Path(s"$dir/.nbuckets")
+    // pin the bucket count: bucket membership is pmod(hash(key), n),
+    // so n must never drift across batches
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      require(recorded == nBuckets,
+        s"snapshot at $dir was bucketed with nBuckets=$recorded, got $nBuckets")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // crash recovery: a failure mid-swap leaves some buckets only in
+    // .prev — restore every .prev bucket the snapshot lacks FIRST, or
+    // the replayed batch would apply onto a hole and truncate those
+    // buckets to the delta's own keys
+    if (fs.exists(prev)) {
+      for (st <- fs.listStatus(prev) if st.getPath.getName.startsWith("bucket=")) {
+        val dst = new Path(snap, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          fs.mkdirs(snap)
+          require(fs.rename(st.getPath, dst),
+            s"recovery rename ${st.getPath} -> $dst failed")
+        }
+      }
+      fs.delete(prev, true)
+    }
+    fs.delete(stage, true) // stale partial staging from a crashed write
+    val bucketOf = pmod(hash(col(key)), lit(nBuckets)).cast("int")
+    val affected = batch.select(bucketOf.as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    if (affected.isEmpty) return
     val base =
-      if (fs.exists(snap)) spark.read.parquet(snap.toString)
+      if (fs.exists(snap) && fs.listStatus(snap).nonEmpty)
+        spark.read.parquet(snap.toString)
+          .where(col("bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
+          .drop("bucket") // partition-pruned: only affected buckets scan
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -186,18 +240,25 @@ object Incremental {
             batch.schema(key).dataType),
           org.apache.spark.sql.types.StructField(value,
             batch.schema(s"${value}_new").dataType))))
-    val next = graft.temporal.Cdc.applyDelta(base, batch, key, value)
-      .localCheckpoint(true) // materialize BEFORE the swap overwrites its input
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/.staging")
-    next.write.mode("overwrite").parquet(stage.toString)
-    // swap: retire the live snapshot to .prev (never delete-then-
-    // rename — that window loses the store on a crash), promote the
-    // stage, then drop the retired copy
-    if (fs.exists(prev)) fs.delete(prev, true)
-    if (fs.exists(snap))
-      require(fs.rename(snap, prev), s"rename $snap -> $prev failed")
-    require(fs.rename(stage, snap), s"rename $stage -> $snap failed")
+    graft.temporal.Cdc.applyDelta(base, batch, key, value)
+      .withColumn("bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    // per-bucket swap: retire the live bucket to .prev (never delete-
+    // then-rename — that window loses the bucket on a crash), promote
+    // the staged replacement (absent when removals emptied the
+    // bucket), then drop the retired copies
+    fs.mkdirs(prev); fs.mkdirs(snap)
+    for (b <- affected) {
+      val live = new Path(snap, s"bucket=$b")
+      val staged = new Path(stage, s"bucket=$b")
+      if (fs.exists(live))
+        require(fs.rename(live, new Path(prev, s"bucket=$b")),
+          s"rename $live -> $prev failed")
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+    }
     fs.delete(prev, true)
+    fs.delete(stage, true)
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -136,7 +136,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     def snap() = spark.read.parquet(s"$dir/snapshot")
-      .as[(Long, Double)].collect().toSet
+      .select("k", "v").as[(Long, Double)].collect().toSet
     assert(snap() === Set(1L -> 11.0, 3L -> 30.0))
     // REPLAY batch 2 (at-least-once): applying the same delta onto the
     // already-applied store must change nothing
@@ -146,6 +146,45 @@ class StreamingSpec extends SparkSpec {
       .toDF("k", "v_old", "v_new", "change")
     Incremental.cdcApplyBatch(dir, "k", "v")(replay, 99L)
     assert(snap() === Set(1L -> 11.0, 3L -> 30.0), "replayed delta is a no-op")
+  }
+
+  test("streaming CDC apply: a one-key delta rewrites exactly its bucket, nothing else") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_bucket").toString
+    val nB = 8
+    // initial load: 32 keys spread across the 8 buckets
+    val init = (0L until 32L).map(k =>
+        (k, None: Option[Double], Some(k.toDouble): Option[Double], "added"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", nB)(init, 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // bucket dir -> its exact part-file names (randomized per write, so
+    // an untouched bucket keeps them verbatim; a rewritten one cannot)
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/snapshot"))
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).map(_.getPath.getName)
+            .filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = bucketFiles()
+    assert(before.size > 1, "test needs keys in more than one bucket")
+    val delta = Seq((5L, Some(5.0): Option[Double], Some(99.0): Option[Double], "changed"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", nB)(delta, 1L)
+    val after = bucketFiles()
+    val touched = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(touched.size === 1,
+      s"one-key delta must rewrite exactly one bucket, touched: $touched")
+    assert(spark.read.parquet(s"$dir/snapshot").select("k", "v")
+      .as[(Long, Double)].collect().toSet.contains(5L -> 99.0))
+    // the bucket count is pinned at bootstrap: drifting it would strand
+    // keys in buckets the pruned read never scans — loud reject
+    val e = intercept[IllegalArgumentException] {
+      Incremental.cdcApplyBatch(dir, "k", "v", 16)(delta, 2L)
+    }
+    assert(e.getMessage.contains("nBuckets"))
   }
 
   test("stream-stream interval join matches within the lookback and bounds state") {
