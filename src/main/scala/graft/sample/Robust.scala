@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * heavy-tailed source doesn't need a hand-tuned percentile.
   *
   * Exactness contract (the x7 discipline): the median is the value AT
-  * an exact rank — the lower median, position ceil(n/2) by (value,
-  * tie) order — never an interpolated percentile, and the MAD is the
-  * same exact rank over |v − med|. Every number the gate compares is
-  * a value from the data or one subtraction/multiplication away from
+  * an exact rank — the lower median, position ceil(n/2) by value
+  * order — never an interpolated percentile, and the MAD is the same
+  * exact rank over |v − med|. Every number the gate compares is a
+  * value from the data or one subtraction/multiplication away from
   * one — algebraic IEEE ops an oracle engine reproduces bit-for-bit
   * (no transcendentals anywhere).
   */
@@ -25,29 +25,48 @@ object Robust {
     * conventional degenerate-MAD reading. Output columns:
     * (key, id, v, med, mad, is_outlier).
     *
-    * Plan shape: two window passes (each one distribution on the
-    * group key) derive the group-count-sized median and MAD tables;
-    * both join back broadcast-sized. `tie` must make (v, tie) a
-    * total order within the group (pass the row id).
+    * Plan shape — SKEW-SAFE rank selection (the x7 rank arithmetic):
+    * the corpus first collapses to a (key, v, n) VALUE-FREQUENCY
+    * table (one hash aggregate with map-side combine), and the exact
+    * rank is read off running frequency sums, so the per-key ordered
+    * windows scan DISTINCT VALUES, not rows — a hot group that is 90%
+    * of the corpus but has bounded value cardinality no longer drags
+    * its entire row set through one window partition twice. The
+    * selected median/MAD tables are group-count-sized and join back
+    * broadcast-sized. (For a hot group whose DISTINCT-value count is
+    * itself corpus-sized the window is still per-key ordered — that
+    * degenerate case needs a sketch, which the exactness contract
+    * here deliberately rejects.)
     */
   def madOutliers(df: DataFrame, group: Column, id: Column, value: Column,
       k: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
     val base = df.select(group.as("key"), id.as("id"), value.as("v"))
-    val wAll = Window.partitionBy("key")
-    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame =
-      in.withColumn("__rn", row_number().over(
-          Window.partitionBy("key").orderBy(col(v).asc, col("id").asc)))
-        .withColumn("__n", count(lit(1)).over(wAll))
-        .where(col("__rn") === ceil(col("__n") / lit(2.0)).cast("long"))
-        .select(col("key"), col(v).as(out))
-    val med = lowerMedian(base, "v", "med")
-    val withMed = base.join(med, "key")
+    // value at exact rank ceil(n/2): the v whose cumulative frequency
+    // range [cum-n+1, cum] covers the rank — ties collapse into one
+    // frequency row, so no per-row tiebreak is needed
+    def lowerMedianFreq(freq: DataFrame, out: String): DataFrame =
+      freq
+        .withColumn("__cum", sum("n").over(
+          Window.partitionBy("key").orderBy(col("v").asc)))
+        .withColumn("__m", ceil(
+          sum("n").over(Window.partitionBy("key")) / lit(2.0)).cast("long"))
+        .where(col("__cum") >= col("__m") &&
+          col("__cum") - col("n") < col("__m"))
+        .select(col("key"), col("v").as(out))
+    val freq = base.groupBy("key", "v").agg(count(lit(1)).as("n"))
+    val med = lowerMedianFreq(freq, "med")
+    // deviation frequencies derive from the VALUE table, not the rows:
+    // distinct |v − med| re-aggregated because two values can share a
+    // deviation (v = med ± d)
+    val devFreq = freq.join(med, "key")
+      .select(col("key"), abs(col("v") - col("med")).as("v"), col("n"))
+      .groupBy("key", "v").agg(sum("n").as("n"))
+    val mad = lowerMedianFreq(devFreq, "mad")
+    base.join(med, "key")
       .withColumn("__dev", abs(col("v") - col("med")))
-    val mad = lowerMedian(withMed.select(col("key"), col("id"),
-      col("__dev").as("v")), "v", "mad")
-    withMed.join(mad, "key")
+      .join(mad, "key")
       .select(col("key"), col("id"), col("v"), col("med"), col("mad"),
         (col("__dev") > lit(k) * col("mad")).as("is_outlier"))
   }

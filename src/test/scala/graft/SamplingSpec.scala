@@ -105,6 +105,31 @@ class SamplingSpec extends SparkSpec {
       "with MAD 0, only v != med flags (conventional degenerate reading)")
   }
 
+  test("madOutliers: a hot group rides the value-frequency table — " +
+      "rank windows scan distinct values, not rows") {
+    import graft.sample.Robust
+    // one group = 90% of all rows, but only 5 distinct values: the
+    // skew shape that previously dragged 900 rows through one window
+    // partition twice — now the windows see 5 frequency rows
+    val hot = (0 until 900).map(i => ("hot", i.toLong, (i % 5).toDouble))
+    val cold = (0 until 100).map(i => ("cold", 1000L + i, i.toDouble))
+    val out = Robust.madOutliers((hot ++ cold).toDF("g", "id", "v"),
+      col("g"), col("id"), col("v"), k = 3.0)
+    // hot: values 0..4 ×180 → rank ceil(900/2)=450 → med 2; deviations
+    // 0×180, 1×360, 2×360 → mad 1. cold: 0..99 → rank 50 → med 49,
+    // devs of 0..99 around 49 → mad 25
+    val stats = out.select("key", "med", "mad").distinct()
+      .as[(String, Double, Double)].collect().toSet
+    assert(stats === Set(("hot", 2.0, 1.0), ("cold", 49.0, 25.0)))
+    // plan pin: every rank-selection Window reads an Aggregate subtree
+    // (the (key, v, n) frequency table), never the raw row frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the plan")
+    assert(wins.forall(_.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "rank-selection windows must window over the value-frequency aggregate")
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
