@@ -190,9 +190,26 @@ object Ivf {
       col("qid"), Vectors.intVector(col("qv")).as("qv"),
       explode(cellsOf(col("qv"), model, nprobe)).as("cell"))
     Vectors.topKPerQuery(
-      index.join(broadcast(probed), Seq("cell"))
+      pruneToCells(index, probed).join(broadcast(probed), Seq("cell"))
         .select(col("qid"), col(idCol), Vectors.intDot(col("iv"), col("qv")).as("dot")),
       idCol, k, nSalts)
+  }
+
+  /** Restrict `index` to the DISTINCT cells the probed query set
+    * touches, as a STATIC `isin` filter. A broadcast equi-join on
+    * `cell` alone does NOT prune a `partitionBy(cell)` index's file
+    * listing (no static predicate reaches the scan, and dynamic
+    * partition pruning declines a filterless local build side) — the
+    * executed plan read every cell's files. Collecting the probed
+    * cell set is bounded by nCells (the quantizer's size, driver-held
+    * anyway), and the literal In predicate lands in the scan's
+    * PartitionFilters, so only the probed cells' files are listed and
+    * read. IvfSpec pins the pruned file count.
+    */
+  private def pruneToCells(index: DataFrame, probed: DataFrame): DataFrame = {
+    val cells = probed.select("cell").distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq // ≤ nCells rows
+    index.filter(col("cell").isin(cells: _*))
   }
 
   /** Quantized IVF index: (idCol, cell, q8 TINYINT[], scale) — the
@@ -236,7 +253,7 @@ object Ivf {
           col("qscale"),
           explode(cellsOf(col("qv"), model, nprobe)).as("cell")))
     val cand = Vectors.topKPerQuery(
-      indexQ8.join(probed, Seq("cell"))
+      pruneToCells(indexQ8, probed).join(probed, Seq("cell"))
         .select(col("qid"), col(idCol),
           (Vectors.intDot(col("q8").cast("array<bigint>"), col("qq8")).cast("double") *
             col("scale") * col("qscale")).as("dot")),
