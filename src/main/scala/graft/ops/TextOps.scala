@@ -352,6 +352,71 @@ object TextOps {
               |UNION ALL
               |SELECT CAST(2 AS INTEGER) AS round, a, b, cnt FROM t2
               |ORDER BY ALL""".stripMargin)
+    ),
+    // T11 BPE segmentation APPLY (Bpe.tokenizeBpe) — the t1/t5
+    // integration the training stage exists for: learn the first two
+    // merges, segment the DISTINCT word table under them (vocab-sized,
+    // broadcast back), and tokenize the corpus — per document, the
+    // word-instance count and the BPE token count under the learned
+    // segmentation. The oracle re-learns the same two merges (the t10
+    // CTEs), folds BOTH greedy re-segmentations through recursive
+    // CTEs, and re-counts — tokenization is hash-checked end to end.
+    QueryDef(
+      "t11_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.text.Bpe.learnMerges(docs, "text", rounds = 2)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq // 2 rows
+        orderedByAll(
+          graft.text.Bpe.tokenizeBpe(docs, "doc_id", "text", merges)
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_words"),
+              sum(size(col("syms"))).as("n_tokens")))
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT w, count(*) AS n FROM
+              |        (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY 1),
+              |s1 AS (SELECT w, n, regexp_extract_all(w, '.') AS syms FROM w),
+              |p1 AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+              |       FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              |             FROM s1 WHERE len(syms) >= 2)
+              |       GROUP BY 1, 2),
+              |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              |f1(w, n, pos, acc) AS (
+              |  SELECT w, n, 1, [syms[1]] FROM s1
+              |  UNION ALL
+              |  SELECT f1.w, f1.n, pos + 1,
+              |    CASE WHEN acc[len(acc)] = (SELECT a FROM t1)
+              |           AND s1.syms[pos + 1] = (SELECT b FROM t1)
+              |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
+              |                       (SELECT a || b FROM t1))
+              |      ELSE list_append(acc, s1.syms[pos + 1]) END
+              |  FROM f1 JOIN s1 USING (w) WHERE pos < len(s1.syms)),
+              |s2 AS (SELECT f1.w, f1.n, acc AS syms
+              |       FROM f1 JOIN s1 USING (w) WHERE pos = len(s1.syms)),
+              |p2 AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+              |       FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              |             FROM s2 WHERE len(syms) >= 2)
+              |       GROUP BY 1, 2),
+              |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+              |f2(w, pos, acc) AS (
+              |  SELECT w, 1, [syms[1]] FROM s2
+              |  UNION ALL
+              |  SELECT f2.w, pos + 1,
+              |    CASE WHEN acc[len(acc)] = (SELECT a FROM t2)
+              |           AND s2.syms[pos + 1] = (SELECT b FROM t2)
+              |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
+              |                       (SELECT a || b FROM t2))
+              |      ELSE list_append(acc, s2.syms[pos + 1]) END
+              |  FROM f2 JOIN s2 USING (w) WHERE pos < len(s2.syms)),
+              |s3 AS (SELECT f2.w, len(acc) AS ntok
+              |       FROM f2 JOIN s2 USING (w) WHERE pos = len(s2.syms)),
+              |dt AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |               CAST(sum(ntok) AS BIGINT) AS n_tokens
+              |        FROM dt JOIN s3 USING (w) GROUP BY 1)
+              |SELECT * FROM agg ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -59,6 +59,12 @@ object Bpe {
     * Returns one row per learned merge: (round, a, b, cnt). The
     * re-segmented table checkpoints per round (vocabulary-sized) so
     * round r+1 never re-folds round r's lineage.
+    *
+    * One Spark job + driver round-trip PER ROUND — right for the
+    * oracle-replayable few-round form; a real 32k-merge tokenizer
+    * build uses [[learnMergesLocal]] (collect the bounded
+    * word-frequency table once, fold all rounds driver-side — same
+    * output, one corpus job total).
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
@@ -85,5 +91,107 @@ object Bpe {
     }
     import spark.implicits._
     learned.result().toDF("round", "a", "b", "cnt")
+  }
+
+  /** Greedy left-to-right merge application, driver/executor-local —
+    * the same fold as [[applyMerge]] in plain Scala (BpeSpec pins the
+    * equivalence through segmentWords vs segmentWordsBulk).
+    */
+  private[text] def applyMergeLocal(s: Array[String], a: String,
+      b: String): Array[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (x <- s) {
+      if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+      else acc += x
+    }
+    acc.toArray
+  }
+
+  /** The REAL-SCALE training path: collect the (bounded, vocab-sized)
+    * word-frequency table ONCE and fold every merge round driver-side
+    * — one corpus job total, instead of [[learnMerges]]'s one job +
+    * driver round-trip per round. A 32k-merge tokenizer build is 32k
+    * in-memory folds over the vocabulary, the same shape as every
+    * production BPE trainer; the corpus-sized work (tokenize + word
+    * count) stays distributed. Identical output to [[learnMerges]] —
+    * same (count desc, a asc, b asc) argmax, same greedy
+    * re-segmentation — BpeSpec pins the round-for-round equality.
+    * `maxVocab` guards the driver collect (loud reject, never OOM).
+    */
+  def learnMergesLocal(docs: DataFrame, textCol: String, rounds: Int,
+      maxVocab: Int = 10000000): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .limit(maxVocab + 1).collect()
+    require(words.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise it or use learnMerges")
+    var syms: Array[(Array[String], Long)] =
+      words.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, n) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + n
+      require(counts.nonEmpty, s"round $r: no pairs left to merge")
+      val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      learned += ((r, a, b, c))
+      if (r < rounds)
+        syms = syms.map { case (s, n) => (applyMergeLocal(s, a, b), n) }
+    }
+    import spark.implicits._
+    learned.result().toDF("round", "a", "b", "cnt")
+  }
+
+  /** Segment a word table (`w` column) under an ORDERED merge list,
+    * fully in-plan: char-split then one [[applyMerge]] fold per
+    * merge. Returns (w, syms). Expression depth grows with the merge
+    * count — right for oracle-checkable bounded lists (t11's 2
+    * rounds); a 32k-merge tokenizer uses [[segmentWordsBulk]].
+    */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.select(col("w"),
+        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"))) {
+      case (df, (a, b)) => df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"))
+    }
+
+  /** [[segmentWords]] for production-sized merge lists: a typed map
+    * over the VOCAB-SIZED word table with the merge list broadcast —
+    * per-partition imperative fold (the one place mapPartitions is
+    * the right tool: 32k nested expressions won't compile, and the
+    * input is the vocabulary, never the corpus). Same output as
+    * segmentWords (BpeSpec pins it).
+    */
+  def segmentWordsBulk(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    words.select(col("w")).as[String].mapPartitions { it =>
+      val ms = bc.value
+      it.map { w =>
+        var s = w.map(_.toString).toArray
+        for ((a, b) <- ms) s = applyMergeLocal(s, a, b)
+        (w, s.toSeq)
+      }
+    }.toDF("w", "syms")
+  }
+
+  /** Tokenize a corpus under learned merges — the t1/t5 integration:
+    * the DISTINCT word table segments once (vocab-sized — in-plan
+    * for bounded merge lists, [[segmentWordsBulk]] when `bulk`), and
+    * the corpus rides one explode + one BROADCAST join on the word
+    * (the corpus never shuffles, the t7/t8 vocab discipline).
+    * Returns one row per word instance: (idCol, w, syms).
+    */
+  def tokenizeBpe(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], bulk: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val seg0 = toks.select(col("w")).distinct()
+    val seg = if (bulk) segmentWordsBulk(seg0, merges) else segmentWords(seg0, merges)
+    toks.join(broadcast(seg), Seq("w")).select(col(idCol), col("w"), col("syms"))
   }
 }

@@ -102,6 +102,45 @@ class TextOpsSpec extends SparkSpec {
     assert(merges === Seq((1, "a", "a", 4L), (2, "a", "b", 3L)))
   }
 
+  test("learnMergesLocal (one-collect driver fold) equals learnMerges round for round") {
+    import graft.text.Bpe
+    val docs = Seq((1L, "aaab ab banana bandana"), (2L, "aaab banana")).toDF("doc_id", "text")
+    val dist = Bpe.learnMerges(docs, "text", rounds = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val local = Bpe.learnMergesLocal(docs, "text", rounds = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(local === dist)
+    intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(docs, "text", rounds = 1, maxVocab = 2)
+    }
+  }
+
+  test("segmentWordsBulk (typed-map 32k path) equals in-plan segmentWords") {
+    import graft.text.Bpe
+    val words = Seq("aaab", "ab", "banana", "x", "aabb").toDF("w")
+    val merges = Seq(("a", "a"), ("a", "b"), ("an", "a"))
+    val inPlan = Bpe.segmentWords(words, merges)
+      .as[(String, Seq[String])].collect().toMap
+    val bulk = Bpe.segmentWordsBulk(words, merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(bulk === inPlan)
+    assert(inPlan("aaab") === Seq("aa", "ab"))
+    assert(inPlan("x") === Seq("x"))
+  }
+
+  test("tokenizeBpe rides a broadcast join on the vocab — the corpus never shuffles") {
+    import graft.text.Bpe
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeBpe(docs, "doc_id", "text", Seq(("a", "a"), ("a", "b")))
+    val rows = out.as[(Long, String, Seq[String])].collect().toSet
+    assert(rows === Set(
+      (1L, "aaab", Seq("aa", "ab")), (1L, "ab", Seq("ab")),
+      (2L, "aaab", Seq("aa", "ab"))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+  }
+
   test("bigramCrossEntropy: add-one smoothing scores UNSEEN text against a model") {
     import graft.text.NgramLm
     // model vocab: {the, cat, sat, ran} → V = 4
