@@ -74,7 +74,8 @@ object Sampling {
     * Efraimidis–Spirakis A-Res scheme under the same hash-determinism
     * contract as every sampler here. The exponential jitter is
     * `-ln(u) / w` with u drawn from 52 EXACT bits of
-    * md5(key || seed) mapped into (0, 1] (so ln never sees 0), and
+    * md5(key || seed) mapped into (0, 1) (numerator in [1, 2^52]
+    * over divisor 2^52+1, so ln never sees 0 or 1), and
     * the per-group top-n takes the SMALLEST jitter — re-runs and task
     * retries draw the same sample. Cross-ENGINE the u's are exact but
     * ln is not correctly-rounded, so two jitters within ~1 ulp on
