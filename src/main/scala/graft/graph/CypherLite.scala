@@ -85,20 +85,23 @@ import org.apache.spark.sql.functions._
   *    property columns attach with a LEFT join so a dangling edge
   *    endpoint evaluates as null in the filter (Cypher semantics)
   *    instead of deleting the path row.
-  *  - ONE `WITH` pipeline stage — `WITH item, … [WHERE cond]
-  *    [ORDER BY … LIMIT n] RETURN …` — enough for the argmax shape
+  *  - `WITH` pipeline stages — `WITH item, … [WHERE cond]
+  *    [ORDER BY … LIMIT n]`, chained — covering the argmax shape
   *    the golden corpus exercises (`WITH pr, count(DISTINCT p) AS n
   *    ORDER BY n DESC LIMIT 1 RETURN pr.givenName, n`,
   *    src/tests/test_data.py:31-34) and HAVING-style post-aggregate
   *    filters (`WITH p, count(i) AS n WHERE n > 1`). WITH items are
   *    the RETURN item forms (bare alias, alias.prop, aggregates —
   *    aggregates need AS); mixing plain + aggregate items groups by
-  *    the plain items. A bare-alias item CARRIES the alias: the
-  *    following RETURN may still read its properties
+  *    the plain items. A bare-alias item CARRIES the alias: later
+  *    stages and the RETURN may still read its properties
   *    (`RETURN pr.surname`), attached after the stage. The post-WITH
-  *    WHERE references WITH output names (`n > 1` — same operator
-  *    set, AND/OR/parens), filtering BEFORE the stage's ORDER
-  *    BY/LIMIT. Multi-stage WITH chains are rejected loudly.
+  *    WHERE references that stage's output names (`n > 1` — same
+  *    operator set, AND/OR/parens), filtering BEFORE the stage's
+  *    ORDER BY/LIMIT. Each subsequent stage (and the final RETURN)
+  *    references the PREVIOUS stage's outputs — a name projected
+  *    away is gone (standard Cypher scoping), and property access
+  *    stays valid only through carried aliases.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
@@ -171,7 +174,7 @@ object CypherLite {
       orderBy: Seq[(String, Boolean)] = Seq.empty,
       limit: Option[Int] = None,
       rowPreds: Seq[RowPred] = Seq.empty,
-      withClause: Option[WithClause] = None)
+      withClauses: Seq[WithClause] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -475,16 +478,12 @@ object CypherLite {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
     }
-    // ONE WITH pipeline stage may sit between the pattern clauses and
-    // RETURN; multi-stage chains reject loudly (each extra stage is
-    // another grouped shuffle — a shape the golden corpus never emits,
-    // so it stays out until something needs it)
+    // WITH pipeline stages sit between the pattern clauses and
+    // RETURN; each stage's items reference the PREVIOUS stage's
+    // output namespace (the pattern aliases before the first stage),
+    // so a chain compiles to a fold of projection/aggregation stages
     val withSegs = splitOnWith(beforeReturn)
-    require(withSegs.length <= 2,
-      "multi-stage WITH chains are unsupported (one WITH pipeline stage)")
-    val (beforeWith, withPart) =
-      if (withSegs.length == 2) (withSegs.head, Some(withSegs(1)))
-      else (beforeReturn, None)
+    val beforeWith = withSegs.head
     // clause split FIRST: the leading required MATCH, then OPTIONAL
     // MATCH clauses. Each clause segment may carry its own trailing
     // WHERE (the standard Cypher order `MATCH … WHERE … OPTIONAL
@@ -731,7 +730,8 @@ object CypherLite {
       */
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
-        aggOk: String => Boolean): Seq[ReturnItem] =
+        aggOk: String => Boolean,
+        bareAgg: String => Boolean = _ => false): Seq[ReturnItem] =
       r.split(",").toIndexedSeq.map(_.trim).map {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
@@ -746,7 +746,11 @@ object CypherLite {
           require(!(target == "*") || (f == "count" && prop == null && !d),
             "only count(*) may aggregate '*'")
           require(!d || f == "count", s"DISTINCT only supported with count, not $f")
-          require(f == "count" || prop != null,
+          // over the pattern, a bare alias is an id — only countable;
+          // after a WITH, a bare NON-CARRIED output is a value column
+          // and sum/min/max/avg over it are the pipelined-aggregation
+          // shapes (sum of stage-1 counts etc.)
+          require(f == "count" || prop != null || bareAgg(target),
             s"$f() needs alias.prop (bare aliases are ids — only count them)")
           require(as != null, s"aggregate $f(…) needs an AS name")
           ReturnItem(Some(f), d, target, Option(prop), as)
@@ -762,27 +766,45 @@ object CypherLite {
         case other => fail(s"$ctx items must be alias[.prop] [AS n] or agg(…) AS n", other)
       }
 
-    // WITH stage: items over the pattern aliases, then an optional
-    // post-aggregate WHERE over the OUTPUT names, then ORDER BY/LIMIT
-    val withClause = withPart.map { wp0 =>
+    // WITH stages: each stage's items project/aggregate the previous
+    // namespace (pattern aliases for the first), then an optional
+    // post-aggregate WHERE over the stage's OUTPUT names, then ORDER
+    // BY/LIMIT. Bare-alias items CARRY their (original pattern alias,
+    // label) forward so any later stage — or RETURN — may still
+    // attach node properties.
+    val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wp0) =>
+      val prev = acc.lastOption
       val (afterTail, wOrderBy, wLimit) = parseTail(wp0)
       val (itemsTxt, whereTxt) = afterTail.split("(?i)\\bWHERE\\b", 2) match {
         case Array(i)    => (i.trim, None)
         case Array(i, w) => (i.trim, Some(w.trim))
       }
       require(itemsTxt.nonEmpty, "empty WITH")
-      val items = parseItems(itemsTxt, "WITH",
-        labels.contains, labels.contains, labels.contains)
+      val (plainOk, propOk, aggOk, bareAggOk): (String => Boolean,
+          String => Boolean, String => Boolean, String => Boolean) =
+        prev match {
+          case None =>
+            (labels.contains, labels.contains, labels.contains, _ => false)
+          case Some(pw) =>
+            val names = pw.items.map(_.as).toSet
+            (names.contains, pw.carried.contains, names.contains,
+              n => names(n) && !pw.carried.contains(n))
+        }
+      val items = parseItems(itemsTxt, "WITH", plainOk, propOk, aggOk, bareAggOk)
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
       val outNames = items.map(_.as).toSet
       for ((n, _) <- wOrderBy)
         require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
-      // carried aliases: bare-alias plain items — the RETURN may still
-      // attach their node properties (outName → (pattern alias, label))
-      val carried = items.collect {
-        case ReturnItem(None, _, a, None, as) => as -> (a, labels(a))
-      }.toMap
+      val carried = prev match {
+        case None => items.collect {
+          case ReturnItem(None, _, a, None, as) => as -> (a, labels(a))
+        }.toMap
+        case Some(pw) => items.collect {
+          case ReturnItem(None, _, a, None, as) if pw.carried.contains(a) =>
+            as -> pw.carried(a)
+        }.toMap
+      }
       val whereCol = whereTxt.map { w =>
         def atom(cond: String): AtomE = cond.trim match {
           case WithNullRe(n, not) =>
@@ -795,7 +817,7 @@ object CypherLite {
         }
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }
-      WithClause(items, whereCol, wOrderBy, wLimit, carried)
+      acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -810,29 +832,32 @@ object CypherLite {
       if (r.matches("(?is)^DISTINCT\\b.*")) {
         returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
       }
-      val (plainOk, propOk, aggOk): (String => Boolean, String => Boolean, String => Boolean) =
-        withClause match {
-          case None => (labels.contains, labels.contains, labels.contains)
+      val (plainOk, propOk, aggOk, bareAggOk): (String => Boolean,
+          String => Boolean, String => Boolean, String => Boolean) =
+        withClauses.lastOption match {
+          case None =>
+            (labels.contains, labels.contains, labels.contains, _ => false)
           case Some(w) =>
             val names = w.items.map(_.as).toSet
-            (names.contains, w.carried.contains, names.contains)
+            (names.contains, w.carried.contains, names.contains,
+              n => names(n) && !w.carried.contains(n))
         }
       // `RETURN *` (the README.md:137 demo shape): every node alias's
       // id (or, after a WITH, every WITH output), in binding order.
       // Relationship variables are NOT expanded — edge rows have no
       // materialized identity (documented divergence from Kuzu, which
       // returns rel objects).
-      if (r == "*") withClause match {
+      if (r == "*") withClauses.lastOption match {
         case None => bound.keysIterator.map(a =>
           ReturnItem(None, distinct = false, a, None, a)).toSeq
         case Some(w) => w.items.map(i =>
           ReturnItem(None, distinct = false, i.as, None, i.as))
       }
-      else parseItems(r, "RETURN", plainOk, propOk, aggOk)
+      else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk)
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")
-    require(withClause.isEmpty || returns.nonEmpty,
+    require(withClauses.isEmpty || returns.nonEmpty,
       "WITH needs a RETURN clause")
     // fail-loud principle: DISTINCT alongside aggregates would be a
     // silent no-op (grouped output is already one row per group key) —
@@ -847,7 +872,7 @@ object CypherLite {
 
     Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
       optionalAliases.toSet, returnDistinct, orderBy, limit,
-      rowPreds.toSeq, withClause)
+      rowPreds.toSeq, withClauses)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -954,15 +979,17 @@ object CypherLite {
       if (!p.labels.valuesIterator.contains("")) g0
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
-    for (ri <- p.withClause.map(_.items).getOrElse(p.returns)
+    for (ri <- p.withClauses.headOption.map(_.items).getOrElse(p.returns)
          if ri.prop.isDefined && p.labels.get(ri.alias).contains(""))
       throw new IllegalArgumentException(
         s"${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
           "— the any-node view has no properties; declare a :Label to read them")
-    for (w <- p.withClause; ri <- p.returns
-         if ri.prop.isDefined && w.carried.get(ri.alias).exists(_._2 == ""))
+    for ((prev, items) <- p.withClauses.zip(
+           p.withClauses.drop(1).map(_.items) :+ p.returns);
+         ri <- items
+         if ri.prop.isDefined && prev.carried.get(ri.alias).exists(_._2 == ""))
       throw new IllegalArgumentException(
-        s"RETURN ${ri.alias}.${ri.prop.get}: carried alias '${ri.alias}' is " +
+        s"${ri.alias}.${ri.prop.get}: carried alias '${ri.alias}' is " +
           "unlabeled — the any-node view has no properties")
     val optionals = p.optionalAliases
     // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
@@ -1003,23 +1030,27 @@ object CypherLite {
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)
         df.join(sub, Seq(cl.anchor), "left_outer")
     }
-    // the optional WITH stage: project/aggregate the path frame, then
-    // post-filter/order/limit — ONE pipeline stage between the pattern
-    // and RETURN (the argmax / HAVING shapes of the golden corpus)
-    val stage = p.withClause match {
-      case None => paths
-      case Some(w) => runStage(g, paths, w.items,
-        a => p.labels.get(a), optionals, distinct = false,
-        w.orderBy, w.limit, postFilter = w.where)
+    // the WITH pipeline: fold each stage over the path frame —
+    // project/aggregate, post-filter, order/limit — with the alias
+    // namespace threaded stage to stage (pattern aliases feed the
+    // first stage; each stage's CARRIED aliases feed the next)
+    def resolvers(prev: Option[WithClause])
+        : (String => Option[String], String => Boolean) = prev match {
+      case None => (a => p.labels.get(a), optionals)
+      case Some(w) => (a => w.carried.get(a).map(_._2),
+        a => w.carried.get(a).exists { case (orig, _) => optionals(orig) })
     }
+    val (stage, lastWith) = p.withClauses
+      .foldLeft((paths, Option.empty[WithClause])) {
+        case ((df, prev), w) =>
+          val (aliasLabel, leftOuter) = resolvers(prev)
+          (runStage(g, df, w.items, aliasLabel, leftOuter, distinct = false,
+            w.orderBy, w.limit, postFilter = w.where), Some(w))
+      }
     if (p.returns.isEmpty) stage
-    else p.withClause match {
-      case None => runStage(g, stage, p.returns,
-        a => p.labels.get(a), optionals,
-        p.returnDistinct, p.orderBy, p.limit)
-      case Some(w) => runStage(g, stage, p.returns,
-        a => w.carried.get(a).map(_._2),
-        a => w.carried.get(a).exists { case (orig, _) => optionals(orig) },
+    else {
+      val (aliasLabel, leftOuter) = resolvers(lastWith)
+      runStage(g, stage, p.returns, aliasLabel, leftOuter,
         p.returnDistinct, p.orderBy, p.limit)
     }
   }

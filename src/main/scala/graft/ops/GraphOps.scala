@@ -619,6 +619,34 @@ object GraphOps {
              |  ORDER BY n_cust DESC, n_nationkey DESC LIMIT 3)
              |ORDER BY n_cust DESC, n_name""".stripMargin)
     ),
+    // G22 a multi-stage WITH chain through the full text route: stage
+    // 1 aggregates per (nation, customer), stage 2 re-aggregates the
+    // stage-1 output per nation — sum over a stage-1 count is the
+    // canonical pipelined-aggregation shape a single grouped RETURN
+    // cannot express — with a HAVING-style post-aggregate WHERE, then
+    // RETURN attaches the twice-carried nation's name. Compiles to a
+    // fold of two grouped stages; names projected away leave scope
+    // (standard Cypher WITH scoping, spec-pinned).
+    QueryDef(
+      "g22_cypher_with_chain",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)-[:HAS_ORDER]->(o:orders)
+          |WITH n, c, count(o) AS n_ord
+          |WITH n, count(*) AS n_cust, sum(n_ord) AS tot_ord WHERE n_cust > 50
+          |RETURN n.n_name AS n_name, n_cust, tot_ord
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, n_cust, tot_ord FROM (
+             |  SELECT n_name, count(*) AS n_cust,
+             |         CAST(sum(n_ord) AS BIGINT) AS tot_ord
+             |  FROM (
+             |    SELECT n_nationkey, n_name, c_custkey,
+             |           count(o_orderkey) AS n_ord
+             |    FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |    JOIN orders ON o_custkey = c_custkey
+             |    GROUP BY 1, 2, 3)
+             |  GROUP BY n_nationkey, n_name HAVING count(*) > 50)
+             |ORDER BY n_name""".stripMargin)
+    ),
     // G18 CROSS-ALIAS OR through the full text route — the WHERE
     // shape the pre-join compile could not express until round 8:
     // `n.x = … OR c.y = …` spans two pattern positions, so it

@@ -536,10 +536,40 @@ class CypherLiteSpec extends SparkSpec {
     assert(ren === Seq(("b2", 2L)))
   }
 
-  test("WITH loud rejects: multi-stage chains, unknown names, missing RETURN") {
-    intercept[IllegalArgumentException] { // second stage
-      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WITH n RETURN n")
+  test("multi-stage WITH chains fold stage by stage with Cypher scoping") {
+    // stage 1 groups per b; stage 2 re-aggregates the stage-1 output
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS fanin
+        |WITH fanin, count(*) AS n_b
+        |RETURN fanin, n_b ORDER BY fanin""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    // b2 has fan-in 2 (a1, a4); b5 has fan-in 1 → one b each
+    assert(rows === Seq((1L, 1L), (2L, 1L)))
+    // carried aliases survive a second stage: b carried twice, its
+    // properties still attach in RETURN; the mid-stage WHERE filters
+    // on the first stage's output
+    val carried = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS fanin WHERE fanin > 1
+        |WITH b, fanin
+        |RETURN b.tag AS tag, fanin""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(carried === Seq(("b2", 2L)))
+    // a name projected away in stage 2 is OUT of scope for RETURN
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH b, count(a) AS fanin WITH fanin RETURN b.tag")
     }
+    // a carried alias consumed by a stage-2 AGGREGATE is no longer
+    // carried — property access on it rejects
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH b, count(a) AS f WITH count(b) AS n, f RETURN b.tag")
+    }
+  }
+
+  test("WITH loud rejects: unknown names, missing RETURN") {
     intercept[IllegalArgumentException] { // WHERE references unknown output
       CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WHERE m > 1 RETURN n")
     }
