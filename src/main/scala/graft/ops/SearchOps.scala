@@ -350,6 +350,63 @@ object SearchOps {
              |SELECT doc_id, chunk_id, chunk_id * 150 + 1 AS start,
              |       substring(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk
              |FROM c ORDER BY ALL""".stripMargin)
+    ),
+    // R10 deterministic keyword extraction — per-doc top-3 TF-IDF
+    // terms (the engine-side analog of the reference's LLM
+    // entity-keyword query-prep step): linear idf over the FULL
+    // postings df, all-integer scores, (score desc, term asc) ties.
+    // One term-keyed df aggregate + one doc-keyed top-k window (the
+    // window partition is a doc's distinct terms — bounded by doc
+    // length, skew-free).
+    QueryDef(
+      "r10_keywords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val post = Fts.postings(docs, "doc_id", "text")
+        val stats = Fts.corpusStats(Fts.docLengths(docs, "doc_id", "text"))
+        orderedByAll(Fts.keywords(post, stats, k = 3))
+      },
+      Some(
+        s"""WITH $sqlPostCtes,
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |         CAST(tf.tf * (n.n + 1 - df.df) AS BIGINT) AS score
+           |  FROM tf JOIN df USING (term), n)
+           |SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT doc_id, term, score,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY score DESC, term ASC) AS rank
+           |  FROM scored) WHERE rank <= 3 ORDER BY ALL""".stripMargin)
+    ),
+    // R11 snippet windows — search-result highlighting over the SAME
+    // positional postings as phrase search: per matching doc, the
+    // 20-token span (anchored at a matched occurrence) holding the
+    // most query-term occurrences, ties to the earliest start. The
+    // candidate join ranges only over MATCHED occurrences (bounded by
+    // a doc's query hits, never its length).
+    QueryDef(
+      "r11_snippet_window",
+      (s, d) => orderedByAll(
+        Fts.snippetWindows(
+          Fts.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
+          Query, window = 20)),
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |pp AS (SELECT doc_id, unnest(toks) AS term,
+           |              CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos
+           |       FROM toks),
+           |m AS (SELECT doc_id, pos FROM pp WHERE term IN ${sqlInList(Query)}),
+           |cand AS (SELECT a.doc_id, a.pos AS start, count(*) AS hits
+           |         FROM m a JOIN m b ON b.doc_id = a.doc_id
+           |           AND b.pos >= a.pos AND b.pos < a.pos + 20
+           |         GROUP BY 1, 2)
+           |SELECT doc_id, start, hits FROM (
+           |  SELECT doc_id, start, hits,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY hits DESC, start ASC) AS rn
+           |  FROM cand) WHERE rn = 1 ORDER BY ALL""".stripMargin)
     )
   )
 }

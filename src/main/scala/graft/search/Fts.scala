@@ -120,6 +120,65 @@ object Fts {
       .agg(sum(col("tf") * (lit(nDocs) + 1 - col("df"))).as("score"))
   }
 
+  /** Per-document top-`k` keywords by the same linear-idf TF-IDF as
+    * [[tfidfScores]] — deterministic keyword extraction (the
+    * engine-side analog of the reference's LLM entity-keyword step,
+    * src/rag.py's query prep): score = tf · (N + 1 − df), all-integer
+    * so the ranking is exact and engine-portable; ties break on the
+    * term. Returns (doc_id, term, score, rank), rank 1..k.
+    *
+    * Scale shape: df is one term-keyed aggregate over the postings
+    * (exchange-free over a term-bucketed store), joined back on the
+    * term (co-located, same bucketing), then ONE (doc_id)-keyed
+    * window for the top-k — the partition is a document's distinct
+    * terms, bounded by document length, so no skew exposure.
+    */
+  def keywords(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    post.join(docFreq(post), "term")
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (col("n_docs") + 1 - col("df"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Best snippet window per matching document: the `window`-token
+    * span with the MOST query-term occurrences, anchored at a matched
+    * position (the search-result highlighting primitive, built on the
+    * same positional postings as [[phraseMatch]]). For every matched
+    * occurrence p the candidate span is [p, p+window); hits = matched
+    * occurrences inside it; the per-doc best takes (hits desc, start
+    * asc) — deterministic. Returns (doc_id, start, hits), one row per
+    * doc containing ≥1 query term.
+    *
+    * Scale shape: the query-term filter pushes to the positional-
+    * postings scan (term-pruned over a term-partitioned store); the
+    * candidate join is a per-doc range self-join over MATCHED
+    * occurrences only — bounded by a document's query-term hits,
+    * never its length — and the final pick is one (doc_id)-keyed
+    * aggregate-free window over candidate spans.
+    */
+  def snippetWindows(posPost: DataFrame, queryTerms: Seq[String],
+      window: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(window >= 1, s"window must be positive, got $window")
+    val m = posPost.filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("pos"))
+    val cand = m.as("a").join(m.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") < col("a.pos") + window)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("start"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("hits").desc, col("start").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** [[tfidfScores]] with N folded in from the 1-row [[corpusStats]]
     * frame (broadcast cross-join) — no driver-side count in the query
     * path; the stats come from the stored index.

@@ -154,6 +154,42 @@ class FtsSpec extends SparkSpec {
     assert(overlap === Map(3L -> 2L), "overlapping matches both count")
   }
 
+  test("keywords: per-doc top-k by integer tf-idf, rare terms win, term tiebreak") {
+    val kdocs = Seq(
+      (1L, "apple apple banana common"),  // apple tf2 df1, banana tf1 df2, common tf1 df3
+      (2L, "banana common"),
+      (3L, "common cherry")
+    ).toDF("doc_id", "text")
+    val post = Fts.postings(kdocs, "doc_id", "text")
+    val stats = Fts.corpusStats(Fts.docLengths(kdocs, "doc_id", "text"))
+    val kw = Fts.keywords(post, stats, k = 2)
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    // N=3, idf = N+1-df: apple df1→3, banana df2→2, common df3→1,
+    // cherry df1→3. doc1: apple 2·3=6, banana 1·2=2, common 1
+    assert(kw(1L) === Seq(("apple", 6L), ("banana", 2L)))
+    // doc2: banana 2 beats common 1
+    assert(kw(2L) === Seq(("banana", 2L), ("common", 1L)))
+    // doc3: cherry df1 → 3; common 1
+    assert(kw(3L) === Seq(("cherry", 3L), ("common", 1L)))
+  }
+
+  test("snippetWindows: densest window wins, earliest start breaks ties") {
+    val sdocs = Seq(
+      // hits at pos 0, 10, 12: window 5 anchored at 10 covers {10,12}
+      // (2 hits) — beats the lone hit at 0
+      (1L, "spark x x x x x x x x x spark y spark z"),
+      (2L, "nothing matches here"),
+      // two equal 1-hit windows → earliest anchor (pos 1) wins
+      (3L, "a spark b c d e f g h i j k l m n o p q r s t spark")
+    ).toDF("doc_id", "text")
+    val pp = Fts.positionalPostings(sdocs, "doc_id", "text")
+    val out = Fts.snippetWindows(pp, Seq("spark"), window = 5)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((10, 2L)), 3L -> ((1, 1L))),
+      "doc 2 has no hits and must be absent")
+  }
+
   test("booleanMatch: all must terms required, any mustNot excludes") {
     val post = Fts.postings(docs, "doc_id", "text")
     // must spark+join → only doc 1; doc 2 has spark but not join
