@@ -233,6 +233,32 @@ object SampleOps {
              |SELECT dev.key, dev.id, dev.v, dev.med, mad.mad
              |FROM dev JOIN mad USING (key)
              |WHERE dev.dv > 1.8 * mad.mad ORDER BY ALL""".stripMargin)
+    ),
+    // X12 token-budgeted mixture (Sampling.tokenBudget): per source,
+    // docs in deterministic md5 order until the running TOKEN total
+    // reaches the budget — the "N tokens per source" mix primitive
+    // (x2 caps rows; data mixes specify tokens). The implementation
+    // is the skew-safe two-phase prefix sum (hash-prefix bucket sums,
+    // then within-bucket exact running sums); the oracle states the
+    // FLAT per-source running-sum definition, so the hash match IS
+    // the proof the two-phase decomposition is exact.
+    QueryDef(
+      "x12_token_budget",
+      (s, d) => orderedByAll(
+        graft.sample.Sampling.tokenBudget(
+          Tables.documents(s, d), col("source"), col("doc_id"),
+          size(graft.text.TextFunctions.tokens(col("text"))).cast("long"),
+          budget = 600L, seed = "mix1")),
+      Some("""WITH t AS (SELECT source, doc_id AS id,
+             |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             |         md5(CAST(doc_id AS VARCHAR) || 'mix1') AS h
+             |       FROM documents),
+             |c AS (SELECT source, id, n_tokens,
+             |        CAST(sum(n_tokens) OVER (
+             |          PARTITION BY source ORDER BY h, id) AS BIGINT) AS cum_tokens
+             |      FROM t)
+             |SELECT source, id, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 600 ORDER BY ALL""".stripMargin)
     )
   )
 }

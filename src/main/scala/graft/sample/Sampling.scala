@@ -124,4 +124,47 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** TOKEN-budgeted per-source sample: rows in deterministic
+    * md5(key || seed) order until each source's running token total
+    * reaches `budget` — the "N tokens per source" training-mixture
+    * primitive ([[stratified]] caps ROWS; a token target is what a
+    * data mix actually specifies). A row is kept iff the running
+    * total INCLUDING it is ≤ budget, so the kept set is a prefix of
+    * the hash order — deterministic, engine-replayable, and stable
+    * under re-runs like every sampler here. Returns (source, id,
+    * n_tokens, cum_tokens).
+    *
+    * SKEW-SAFE exact prefix sum (a naive per-source running sum drags
+    * a whole source through ONE ordered window partition — the
+    * straggler a 100-TB mixture cannot afford): phase 1 aggregates
+    * token sums per (source, 4-hex hash-prefix bucket) — ≤65536 rows
+    * per source — and a bucket-level running sum (tiny window)
+    * yields each bucket's BEFORE total; phase 2 adds the exact
+    * within-bucket running sum, whose window partition is one
+    * bucket's occupancy (corpus/65536 expected), never a whole
+    * source. Because the bucket is a PREFIX of the hash, (bucket,
+    * hash, key) order ≡ (hash, key) order, so the two-phase sum
+    * equals the flat definition exactly — the x12 oracle states the
+    * flat definition and hash-checks the equivalence.
+    */
+  def tokenBudget(df: DataFrame, source: Column, key: Column, tokens: Column,
+      budget: Long, seed: String = ""): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(source.as("source"), key.as("id"), tokens.as("n_tokens"))
+      .withColumn("__h", md5(concat(col("id").cast("string"), lit(seed))))
+      .withColumn("__b", substring(col("__h"), 1, 4))
+    val buckets = base.groupBy("source", "__b").agg(sum("n_tokens").as("__bt"))
+      .withColumn("__before",
+        sum("__bt").over(w.partitionBy("source").orderBy(col("__b").asc))
+          - col("__bt"))
+      .select(col("source"), col("__b"), col("__before"))
+    base.join(buckets, Seq("source", "__b"))
+      .withColumn("__cum", col("__before") + sum("n_tokens").over(
+        w.partitionBy("source", "__b").orderBy(col("__h").asc, col("id").asc)))
+      .filter(col("__cum") <= budget)
+      .select(col("source"), col("id"), col("n_tokens"),
+        col("__cum").as("cum_tokens"))
+  }
 }

@@ -83,6 +83,39 @@ class SamplingSpec extends SparkSpec {
     assert(kept === Seq((3L, "g", 2.0)))
   }
 
+  test("tokenBudget keeps an exact hash-order prefix per source; " +
+      "two-phase sum equals the flat definition") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = (1L to 200L).map(i =>
+      (s"src${i % 3}", i, 10L + (i % 7))).toDF("src", "id", "toks")
+    val out = Sampling.tokenBudget(docs, col("src"), col("id"), col("toks"),
+        budget = 120L, seed = "t")
+      .as[(String, Long, Long, Long)].collect()
+    // flat reference: per source, order by (md5(id || seed), id),
+    // running sum, keep while <= budget — the kept set is a PREFIX
+    // (not a knapsack: a too-big row stops its source even if a later
+    // smaller row would fit)
+    val expected = (1L to 200L).map(i => (s"src${i % 3}", i, 10L + (i % 7)))
+      .groupBy(_._1).flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy { case (_, id, _) => (md5hex(id.toString + "t"), id) }
+          .flatMap { case (_, id, t) =>
+            cum += t
+            if (cum <= 120L) Some((src, id, t, cum)) else None
+          }
+      }.toSet
+    assert(out.toSet === expected)
+    assert(out.nonEmpty && out.length < 200, "budget must actually cut")
+    // determinism: second run identical
+    val again = Sampling.tokenBudget(docs, col("src"), col("id"), col("toks"),
+        budget = 120L, seed = "t")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again === out.toSet)
+  }
+
   test("madOutliers: exact lower median/MAD, adaptive flag, degenerate MAD") {
     import graft.sample.Robust
     // group a: values 1..7 plus a wild 100 → med = 4 (lower median of
