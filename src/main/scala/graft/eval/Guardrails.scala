@@ -74,6 +74,29 @@ object Guardrails {
   val PhoneRegex: String = """\b\d{3}-\d{3}-\d{4}\b"""
   val Ipv4Regex: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
+  /** Credential-shaped content — the secrets-scrubbing stage of
+    * training-data curation (a corpus must not teach a model real
+    * keys). Two portable patterns (Java regex ∩ RE2, like every
+    * pattern here, so oracle engines replay them verbatim):
+    * `KeyValueSecretRegex` matches assignment-style secrets
+    * (`api_key=…`, `password: …` — the sensitive KEYWORD plus its
+    * value through the next whitespace), `HexTokenRegex` matches bare
+    * long-hex material (32+ hex chars — md5/sha/session tokens).
+    */
+  val KeyValueSecretRegex: String =
+    """(?i)\b(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*\S+"""
+  val HexTokenRegex: String = """\b[0-9a-f]{32,}\b"""
+
+  /** Scrub both secret shapes: assignment-style first (so the keyword
+    * and its value collapse to one [SECRET]), then any remaining bare
+    * hex tokens → [HEX]. One codegen'd projection, no UDF — the e7
+    * discipline.
+    */
+  def scrubSecrets(text: Column): Column =
+    scrubPattern(
+      scrubPattern(text, KeyValueSecretRegex, "[SECRET]"),
+      HexTokenRegex, "[HEX]")
+
   /** All matches of `regex` in `text` (empty array, never null). */
   def findPatternCol(text: Column, regex: String): Column =
     coalesce(regexp_extract_all(text, lit(regex), lit(0)),

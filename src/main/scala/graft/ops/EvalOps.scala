@@ -278,6 +278,52 @@ object EvalOps {
              |    regexp_replace(text, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
              |FROM t ORDER BY ALL""".stripMargin)
+    ),
+    // E8 secrets scrub — the credential-removal stage of curation
+    // (assignment-style `api_key=…` secrets and bare 32+-char hex
+    // tokens), synthesized deterministically from customer rows like
+    // e1/e7 (md5 gives a realistic 32-hex credential both engines
+    // compute identically). Counts detect on the ORIGINAL text;
+    // scrub collapses keyword+value to [SECRET] first, then bare hex
+    // to [HEX]. One codegen'd projection, zero UDFs.
+    QueryDef(
+      "e8_secrets_scrub",
+      (s, d) => {
+        val key = col("c_custkey")
+        val text = concat(
+          lit("cfg api_key="), md5(col("c_name")),
+          when(key % 2 === 0,
+            concat(lit(" session "), md5(col("c_mktsegment")))).otherwise(lit("")),
+          when(key % 7 === 0, lit(" password: hunter2")).otherwise(lit("")),
+          lit(" ok"))
+        orderedByAll(
+          Tables.customer(s, d).select(
+            col("c_custkey"),
+            size(Guardrails.findPatternCol(
+              text, Guardrails.KeyValueSecretRegex)).as("n_kv"),
+            size(Guardrails.findPatternCol(
+              text, Guardrails.HexTokenRegex)).as("n_hex"),
+            Guardrails.scrubSecrets(text).as("scrubbed")))
+      },
+      Some("""WITH t AS (
+             |  SELECT c_custkey,
+             |    'cfg api_key=' || md5(c_name) ||
+             |    CASE WHEN c_custkey % 2 = 0
+             |      THEN ' session ' || md5(c_mktsegment) ELSE '' END ||
+             |    CASE WHEN c_custkey % 7 = 0
+             |      THEN ' password: hunter2' ELSE '' END ||
+             |    ' ok' AS text
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  len(regexp_extract_all(text,
+             |    '(?i)\b(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*\S+')) AS n_kv,
+             |  len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b')) AS n_hex,
+             |  regexp_replace(
+             |    regexp_replace(text,
+             |      '(?i)\b(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*\S+',
+             |      '[SECRET]', 'g'),
+             |    '\b[0-9a-f]{32,}\b', '[HEX]', 'g') AS scrubbed
+             |FROM t ORDER BY ALL""".stripMargin)
     )
   )
 }

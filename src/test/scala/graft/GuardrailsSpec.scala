@@ -142,4 +142,30 @@ class GuardrailsSpec extends AnyFunSuite {
       "a 5-dotted run matches its first four octets — regex-level detection's documented limit")
     assert(got(5) === ((0, 0, "clean text, no pii")))
   }
+
+  test("secrets scrub: assignment secrets, bare hex tokens, case/keyword bounds") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val hex32 = "a" * 16 + "0123456789abcdef"
+    val rows = Seq(
+      s"API_KEY=$hex32 deployed",              // keyword+value → one [SECRET]; hex consumed with it
+      s"checksum $hex32 stored",               // bare hex → [HEX]
+      "password: hunter2 set",                 // short value still a secret
+      "api key = x",                           // space in keyword: no [:=] adjacency — no match
+      "the token economy",                     // keyword without assignment — no match
+      "ABCDEF0123456789ABCDEF0123456789 up"    // UPPER hex: HexTokenRegex is lowercase-only by design
+    ).toDF("text")
+    val got = rows.select(
+        size(Guardrails.findPatternCol(col("text"), Guardrails.KeyValueSecretRegex)).as("nk"),
+        size(Guardrails.findPatternCol(col("text"), Guardrails.HexTokenRegex)).as("nh"),
+        Guardrails.scrubSecrets(col("text")).as("s"))
+      .as[(Int, Int, String)].collect().toSeq
+    assert(got(0) === ((1, 1, "[SECRET] deployed")))
+    assert(got(1) === ((0, 1, "checksum [HEX] stored")))
+    assert(got(2) === ((1, 0, "[SECRET] set")))
+    assert(got(3) === ((0, 0, "api key = x")))
+    assert(got(4) === ((0, 0, "the token economy")))
+    assert(got(5) === ((0, 0, "ABCDEF0123456789ABCDEF0123456789 up")),
+      "uppercase hex is out of scope by design (md5/sha output is lowercase)")
+  }
 }
