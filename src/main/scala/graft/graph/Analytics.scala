@@ -144,6 +144,23 @@ object GraphAnalytics {
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Weakly-connected components over a (src, dst) edge frame:
+    * (id, rep) for every edge ENDPOINT, rep = the component's
+    * minimum id — the graph-native face of the same min-label
+    * propagation engine the dedup pipeline uses for duplicate
+    * groups ([[graft.dedup.Dedup.components]]: per round, every
+    * node takes the min of its own and its neighbors' labels;
+    * fixpoint-checked, loud on non-convergence). Direction is
+    * ignored (weak connectivity); isolated nodes (no edges) are
+    * not represented — union them in as identity rows if the node
+    * table is wider than the edge universe. O(diameter) rounds of
+    * one edge-sized join + node-sized aggregate each — the same
+    * shuffle shape as [[pageRank]].
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame =
+    graft.dedup.Dedup.components(
+      edges.select(col("src").as("id_a"), col("dst").as("id_b")), maxIters)
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
     // deg feeds TWO rank joins — persist the (node-count-sized) frame

@@ -647,6 +647,33 @@ object GraphOps {
              |  GROUP BY n_nationkey, n_name HAVING count(*) > 50)
              |ORDER BY n_name""".stripMargin)
     ),
+    // G23 weakly-connected components over the prefixed heterogeneous
+    // edge set — the one standard graph-analytics primitive the
+    // inventory lacked as a PUBLIC graph API (the dedup pipeline has
+    // used the same min-label engine since d7). The oracle derives
+    // ground truth STRUCTURALLY (every node's region via its parent
+    // chain, rep = min member id per region) — a non-iterative,
+    // independent derivation, so a propagation bug cannot cancel out.
+    QueryDef(
+      "g23_components",
+      (s, d) => orderedByAll(
+        graft.graph.GraphAnalytics.connectedComponents(edgeSet(s, d))),
+      Some("""WITH m AS (
+             |  SELECT 'r_' || CAST(r_regionkey AS VARCHAR) AS id,
+             |         r_regionkey AS reg FROM region
+             |  UNION ALL
+             |  SELECT 'n_' || CAST(n_nationkey AS VARCHAR), n_regionkey FROM nation
+             |  UNION ALL
+             |  SELECT 'c_' || CAST(c_custkey AS VARCHAR), n_regionkey
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'o_' || CAST(o_orderkey AS VARCHAR), n_regionkey
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey),
+             |rep AS (SELECT reg, min(id) AS rep FROM m GROUP BY 1)
+             |SELECT m.id, rep.rep FROM m JOIN rep USING (reg)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G18 CROSS-ALIAS OR through the full text route — the WHERE
     // shape the pre-join compile could not express until round 8:
     // `n.x = … OR c.y = …` spans two pattern positions, so it

@@ -428,6 +428,38 @@ object Relational {
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
              |FROM events WHERE user_id < 10 ORDER BY ALL""".stripMargin)
     ),
+    // W6 ROLLING-window statistics — the bounded-frame sibling of
+    // w2's running sum (rolling features for sessionized/time-series
+    // data: trailing-4-event count/sum/min/max per user). Same
+    // exactness discipline: the sum rides DECIMAL(18,2) inside the
+    // frame (w2's trick — order-free), min/max/count are exact on
+    // any type; frame = ROWS 3 PRECEDING..CURRENT, deterministic via
+    // the unique event_id ordering.
+    QueryDef(
+      "w6_rolling_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-3, Window.currentRow)
+        orderedByAll(
+          Tables.events(s, d)
+            .filter(col("user_id") < 10)
+            .select(col("user_id"), col("event_id"),
+              count(lit(1)).over(w).as("n_w"),
+              sum(col("value").cast(DecimalType(18, 2))).over(w)
+                .cast(DoubleType).as("sum_w"),
+              min(col("value")).over(w).as("min_w"),
+              max(col("value")).over(w).as("max_w")))
+      },
+      Some("""SELECT user_id, event_id,
+             |  COUNT(*) OVER w AS n_w,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_w,
+             |  MIN(value) OVER w AS min_w,
+             |  MAX(value) OVER w AS max_w
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // Top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject
     // (no global sort). Total order inside the limit via tie-break key.
     QueryDef(

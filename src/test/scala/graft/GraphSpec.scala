@@ -185,4 +185,15 @@ class GraphSpec extends SparkSpec {
       (3L, 5L) -> ((1L, 0.5))),
       "adjacent pairs and no-common-neighbor pairs (2,5) must be absent")
   }
+
+  test("connectedComponents: weak connectivity, min-id reps, direction ignored") {
+    // component A: 1→2→3 plus a back-edge 3→1; component B: 10←11
+    // (direction must not matter); self-loop on 20 is its own comp
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (11L, 10L), (20L, 20L))
+      .toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }
