@@ -187,6 +187,39 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("streaming CDC apply: crash mid-swap recovers — retired buckets restore " +
+      "before the replayed batch applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_crash").toString
+    val nB = 8
+    val init = (0L until 32L).map(k =>
+        (k, None: Option[Double], Some(k.toDouble): Option[Double], "added"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", nB)(init, 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the crash window: bucket retired to .prev, replacement
+    // never promoted (the exact state a failure between the two
+    // renames leaves behind)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/snapshot"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).sorted
+    val victim = buckets.head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.prev"))
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/snapshot/$victim"),
+      new org.apache.hadoop.fs.Path(s"$dir/.prev/$victim")))
+    // replayed batch (at-least-once): touches ONE key; recovery must
+    // first restore the victim bucket or its keys would vanish
+    val delta = Seq((3L, Some(3.0): Option[Double], Some(99.0): Option[Double], "changed"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", nB)(delta, 1L)
+    val snap = spark.read.parquet(s"$dir/snapshot").select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(snap.size === 32, "no keys lost through the crash window")
+    assert(snap(3L) === 99.0, "the replayed delta still applied")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.prev")),
+      "recovery cleans the retired copies")
+  }
+
   test("stream-stream interval join matches within the lookback and bounds state") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
