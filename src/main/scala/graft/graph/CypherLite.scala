@@ -163,7 +163,8 @@ object CypherLite {
       where: Option[Column],
       orderBy: Seq[(String, Boolean)],
       limit: Option[Int],
-      carried: Map[String, (String, String)])
+      carried: Map[String, (String, String)],
+      whereAfterLimit: Boolean = false)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -242,7 +243,12 @@ object CypherLite {
   private def rhsColumn(v: String): Column = v.trim match {
     case RhsFnRe(fn, q) =>
       val s = literal(q).toString
-      lit(if (fn.equalsIgnoreCase("toLower")) s.toLowerCase else s.toUpperCase)
+      // Locale.ROOT, matching Spark's locale-independent lower()/
+      // upper() on the column side — the JVM default locale would
+      // silently diverge (tr-TR folds 'I' to dotless 'ı')
+      lit(if (fn.equalsIgnoreCase("toLower"))
+        s.toLowerCase(java.util.Locale.ROOT)
+      else s.toUpperCase(java.util.Locale.ROOT))
     case RhsCastRe(q, t) =>
       val s = literal(q).toString
       if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
@@ -448,6 +454,24 @@ object CypherLite {
   /** Strip trailing `[ORDER BY …] [LIMIT n]` off a RETURN/WITH tail.
     * Returns (remaining items text, orderBy, limit).
     */
+  /** Index of the first TOP-LEVEL (quote-aware, word-bounded)
+    * occurrence of `kw`, or None.
+    */
+  private def topLevelKeywordIndex(s: String, kw: String): Option[Int] = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length))))
+        return Some(i)
+      else i += 1
+    }
+    None
+  }
+
   private def parseTail(r0: String): (String, Seq[(String, Boolean)], Option[Int]) = {
     var r = r0.trim
     var limit: Option[Int] = None
@@ -774,11 +798,30 @@ object CypherLite {
     // attach node properties.
     val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wp0) =>
       val prev = acc.lastOption
-      val (afterTail, wOrderBy, wLimit) = parseTail(wp0)
-      val (itemsTxt, whereTxt) = afterTail.split("(?i)\\bWHERE\\b", 2) match {
-        case Array(i)    => (i.trim, None)
-        case Array(i, w) => (i.trim, Some(w.trim))
-      }
+      // two accepted subclause orders: `items WHERE … [ORDER BY …]
+      // [LIMIT n]` (HAVING-style — the filter runs BEFORE the
+      // stage's sort/cut) and the openCypher grammar order `items
+      // [ORDER BY …] [LIMIT n] WHERE …` (Neo4j semantics — the
+      // filter runs AFTER the cut). The textual position of WHERE
+      // selects the semantics, matching what each shape means in the
+      // dialect that produces it.
+      val wherePos = topLevelKeywordIndex(wp0, "WHERE")
+      val tailPos = Seq(topLevelKeywordIndex(wp0, "ORDER"),
+        topLevelKeywordIndex(wp0, "LIMIT")).flatten.minOption
+      val grammarOrder = wherePos.exists(w => tailPos.exists(_ < w))
+      val (itemsTxt, whereTxt, wOrderBy, wLimit) =
+        if (grammarOrder) {
+          val head = wp0.substring(0, wherePos.get)
+          val wtxt = wp0.substring(wherePos.get + "WHERE".length).trim
+          val (items, ob, lim) = parseTail(head)
+          (items.trim, Some(wtxt), ob, lim)
+        } else {
+          val (afterTail, ob, lim) = parseTail(wp0)
+          afterTail.split("(?i)\\bWHERE\\b", 2) match {
+            case Array(i)    => (i.trim, None, ob, lim)
+            case Array(i, w) => (i.trim, Some(w.trim), ob, lim)
+          }
+        }
       require(itemsTxt.nonEmpty, "empty WITH")
       val (plainOk, propOk, aggOk, bareAggOk): (String => Boolean,
           String => Boolean, String => Boolean, String => Boolean) =
@@ -817,7 +860,8 @@ object CypherLite {
         }
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }
-      acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried)
+      acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
+        whereAfterLimit = grammarOrder)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -942,10 +986,21 @@ object CypherLite {
     * Disable for validated graphs at scale via
     * `graft.cypher.validateUntypedIds=false`.
     */
+  /** Verdict cache: one validation per node-table set, not per query
+    * — a Text2Cypher serving loop re-executing untyped queries
+    * against the same graph must not re-count every node table each
+    * call. Weak keys on the nodes map, so dropped graphs don't pin
+    * entries; a FAILED validation is not cached (it throws).
+    */
+  private val uniqueIdVerdicts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Map[String, DataFrame], java.lang.Boolean]())
+
   private def assertGloballyUniqueIds(g: PropertyGraph): Unit = {
     if (g.nodes.isEmpty) return
     val spark = g.nodes.values.head.sparkSession
     if (!spark.conf.get("graft.cypher.validateUntypedIds", "true").toBoolean) return
+    if (uniqueIdVerdicts.containsKey(g.nodes)) return
     val perLabel = g.nodes.toSeq.sortBy(_._1)
       .map { case (_, df) => df.select(col("id")).distinct() }
     val total = perLabel.map(_.count()).sum
@@ -958,6 +1013,7 @@ object CypherLite {
         "traversal would silently cross key spaces — prefix node ids " +
         "per label, type the edge (`-[:REL]->`), or disable this check " +
         "via graft.cypher.validateUntypedIds=false if ids are known unique")
+    uniqueIdVerdicts.put(g.nodes, java.lang.Boolean.TRUE)
   }
 
   /** Parse and execute against a graph. RETURN items arrive under
@@ -1044,8 +1100,15 @@ object CypherLite {
       .foldLeft((paths, Option.empty[WithClause])) {
         case ((df, prev), w) =>
           val (aliasLabel, leftOuter) = resolvers(prev)
-          (runStage(g, df, w.items, aliasLabel, leftOuter, distinct = false,
-            w.orderBy, w.limit, postFilter = w.where), Some(w))
+          // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
+          // filters AFTER the stage's cut — Neo4j semantics; the
+          // HAVING-style pre-tail WHERE filters before it
+          val ran = runStage(g, df, w.items, aliasLabel, leftOuter,
+            distinct = false, w.orderBy, w.limit,
+            postFilter = if (w.whereAfterLimit) None else w.where)
+          val out = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
+            else ran
+          (out, Some(w))
       }
     if (p.returns.isEmpty) stage
     else {

@@ -45,7 +45,7 @@ object GraphOps {
     for (((s, d), p) <- preparedCache.toSeq
          if session.forall(_ eq s)) {
       preparedCache.remove((s, d))
-      p.e.unpersist(false); p.nodes.unpersist(false); p.withDeg.unpersist(false)
+      p.unpersist()
     }
   private def prepared(s: org.apache.spark.sql.SparkSession,
       d: String): graft.graph.GraphAnalytics.PreparedEdges = {

@@ -197,16 +197,28 @@ object Incremental {
     val stage = new Path(s"$dir/.staging")
     val marker = new Path(s"$dir/.nbuckets")
     // pin the bucket count: bucket membership is pmod(hash(key), n),
-    // so n must never drift across batches
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-      require(recorded == nBuckets,
-        s"snapshot at $dir was bucketed with nBuckets=$recorded, got $nBuckets")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    // so n must never drift across batches. The marker is written
+    // temp-then-rename (atomic) and an unparsable marker (crash
+    // mid-create on stores written before the rename discipline)
+    // reads as ABSENT — it re-pins rather than wedging the store.
+    val recorded: Option[Int] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        txt.toIntOption
+      }
+    recorded match {
+      case Some(n) =>
+        require(n == nBuckets,
+          s"snapshot at $dir was bucketed with nBuckets=$n, got $nBuckets")
+      case None =>
+        val tmp = new Path(s"$dir/.nbuckets.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(marker, false)
+        require(fs.rename(tmp, marker), s"marker rename $tmp -> $marker failed")
     }
     // crash recovery: a failure mid-swap leaves some buckets only in
     // .prev — restore every .prev bucket the snapshot lacks FIRST, or
@@ -229,11 +241,20 @@ object Incremental {
       .distinct().collect().map(_.getInt(0)).sorted // bounded by nBuckets
     if (affected.isEmpty) return
     val base =
-      if (fs.exists(snap) && fs.listStatus(snap).nonEmpty)
+      if (fs.exists(snap) && fs.listStatus(snap).nonEmpty) {
+        // loud guard: a flat (pre-bucketing) snapshot has no bucket=
+        // dirs — reading it with a bucket filter would die with an
+        // unrelated resolve error; tell the operator what to do
+        require(fs.listStatus(snap).exists(
+            _.getPath.getName.startsWith("bucket=")),
+          s"snapshot at $snap is not bucket-partitioned (legacy flat " +
+            "store) — migrate it once by rewriting with " +
+            ".withColumn(\"bucket\", pmod(hash(key), nBuckets))" +
+            ".write.partitionBy(\"bucket\") before streaming resumes")
         spark.read.parquet(snap.toString)
           .where(col("bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
           .drop("bucket") // partition-pruned: only affected buckets scan
-      else spark.createDataFrame(
+      } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(key,

@@ -569,6 +569,32 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("WITH subclause orders: HAVING-style filters before the cut, " +
+      "grammar-order (ORDER BY … LIMIT … WHERE) after it") {
+    // fan-ins: b2 ← {a1, a4} (n=2), b5 ← {a4} (n=1)
+    // HAVING order: filter n > 1 FIRST, then cut → b2 survives
+    val having = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n WHERE n > 1 ORDER BY n ASC LIMIT 1
+        |RETURN b.tag AS tag, n""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(having === Seq(("b2", 2L)))
+    // openCypher grammar order: cut to the SMALLEST n first (b5, n=1),
+    // THEN filter n > 1 → empty (Neo4j semantics: WHERE after LIMIT)
+    val grammar = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n ORDER BY n ASC LIMIT 1 WHERE n > 1
+        |RETURN b.tag AS tag, n""".stripMargin).count()
+    assert(grammar === 0L)
+    // and with a passing filter the grammar order still projects
+    val pass = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n ORDER BY n DESC LIMIT 1 WHERE n > 1
+        |RETURN b.tag AS tag, n""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(pass === Seq(("b2", 2L)))
+  }
+
   test("WITH loud rejects: unknown names, missing RETURN") {
     intercept[IllegalArgumentException] { // WHERE references unknown output
       CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WHERE m > 1 RETURN n")

@@ -187,6 +187,25 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("streaming CDC apply: an empty/unparsable .nbuckets marker re-pins " +
+      "instead of wedging the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_marker").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash-mid-create artifact: marker exists but is empty
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.nbuckets"), true).close()
+    val init = Seq((1L, None: Option[Double], Some(1.0): Option[Double], "added"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", 8)(init, 0L)
+    assert(spark.read.parquet(s"$dir/snapshot").select("k", "v")
+      .as[(Long, Double)].collect().toSeq === Seq(1L -> 1.0))
+    // and the re-pinned marker now enforces the bucket count
+    val e = intercept[IllegalArgumentException] {
+      Incremental.cdcApplyBatch(dir, "k", "v", 16)(init, 1L)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+  }
+
   test("streaming CDC apply: crash mid-swap recovers — retired buckets restore " +
       "before the replayed batch applies") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_crash").toString
