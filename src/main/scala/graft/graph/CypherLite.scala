@@ -164,7 +164,8 @@ object CypherLite {
       orderBy: Seq[(String, Boolean)],
       limit: Option[Int],
       carried: Map[String, (String, String)],
-      whereAfterLimit: Boolean = false)
+      whereAfterLimit: Boolean = false,
+      distinct: Boolean = false)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -822,7 +823,14 @@ object CypherLite {
             case Array(i, w) => (i.trim, Some(w.trim), ob, lim)
           }
         }
-      require(itemsTxt.nonEmpty, "empty WITH")
+      // WITH DISTINCT: same contract as RETURN DISTINCT — plain
+      // items dedupe; alongside aggregates it would be a silent
+      // no-op (grouped output is already distinct), so loud reject
+      val (itemsTxt2, wDistinct) =
+        if (itemsTxt.matches("(?is)^DISTINCT\\b.*"))
+          (itemsTxt.replaceFirst("(?i)^DISTINCT\\b", "").trim, true)
+        else (itemsTxt, false)
+      require(itemsTxt2.nonEmpty, "empty WITH")
       val (plainOk, propOk, aggOk, bareAggOk): (String => Boolean,
           String => Boolean, String => Boolean, String => Boolean) =
         prev match {
@@ -833,9 +841,12 @@ object CypherLite {
             (names.contains, pw.carried.contains, names.contains,
               n => names(n) && !pw.carried.contains(n))
         }
-      val items = parseItems(itemsTxt, "WITH", plainOk, propOk, aggOk, bareAggOk)
+      val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk)
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
+      require(!wDistinct || items.forall(_.agg.isEmpty),
+        "WITH DISTINCT with aggregates is unsupported (grouped output " +
+          "is already distinct per group key — drop DISTINCT)")
       val outNames = items.map(_.as).toSet
       for ((n, _) <- wOrderBy)
         require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
@@ -861,7 +872,7 @@ object CypherLite {
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }
       acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
-        whereAfterLimit = grammarOrder)
+        whereAfterLimit = grammarOrder, distinct = wDistinct)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -1104,7 +1115,7 @@ object CypherLite {
           // filters AFTER the stage's cut — Neo4j semantics; the
           // HAVING-style pre-tail WHERE filters before it
           val ran = runStage(g, df, w.items, aliasLabel, leftOuter,
-            distinct = false, w.orderBy, w.limit,
+            distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where)
           val out = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
             else ran

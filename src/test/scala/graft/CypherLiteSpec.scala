@@ -595,6 +595,20 @@ class CypherLiteSpec extends SparkSpec {
     assert(pass === Seq(("b2", 2L)))
   }
 
+  test("WITH DISTINCT dedupes plain items; rejects alongside aggregates") {
+    // a4 reaches b2 and b5; a1 reaches b2 → WITH a yields 3 path rows,
+    // DISTINCT a collapses to the 2 distinct anchors
+    val n = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH DISTINCT a
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(n === 2L)
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH DISTINCT a, count(b) AS n RETURN n")
+    }
+  }
+
   test("WITH loud rejects: unknown names, missing RETURN") {
     intercept[IllegalArgumentException] { // WHERE references unknown output
       CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n WHERE m > 1 RETURN n")
