@@ -179,4 +179,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus side must never shuffle for the gate join:\n$p")
   }
+
+  test("round-9 additions: no cartesian products, no nested-loop joins") {
+    // r10's one BroadcastNestedLoopJoin is the deliberate 1-row
+    // corpus-stats broadcast cross-join (the r2/r3 pattern) — exempt
+    for (q <- Seq("r10_keywords", "r11_snippet_window", "x12_token_budget",
+        "e8_secrets_scrub", "w6_rolling_window", "g23_components",
+        "t11_bpe_tokenize", "g19_cypher_tolower", "g20_cypher_datetime",
+        "g21_cypher_with", "g22_cypher_with_chain")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "r10_keywords")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+    }
+  }
+
+  test("r11 snippet candidates ride the doc_id equi-join, range as residual") {
+    // the per-doc range self-join must key on doc_id (hash/sort join)
+    // with the position range as a post-join condition — a pure range
+    // join here would be all-pairs per partition
+    val p = plan("r11_snippet_window")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"r11 needs an equi-join on doc_id:\n$p")
+  }
+
+  test("e8 secrets scrub is one codegen'd projection, like e7") {
+    val p = plan("e8_secrets_scrub")
+    assert(!p.contains("ScalaUDF"), "detect AND scrub must be regexp builtins")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"e8 must not shuffle before the presentation sort:\n$p")
+  }
+
+  test("w6 rolling window pays one key exchange; every window is partitioned") {
+    val p = plan("w6_rolling_window")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges === 1, s"w6's frame aggregates must share one exchange:\n$p")
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Window [") && l.contains("], []")),
+      s"unpartitioned window (single-reducer) in w6:\n$p")
+  }
+
+  test("x12 token budget: rank windows are partitioned — never a global sort") {
+    val p = plan("x12_token_budget")
+    assert(!p.linesIterator.exists(l => l.contains("Window [") && l.contains("], []")),
+      s"unpartitioned window (whole-corpus single reducer) in x12:\n$p")
+  }
 }
