@@ -417,6 +417,36 @@ object TextOps {
               |               CAST(sum(ntok) AS BIGINT) AS n_tokens
               |        FROM dt JOIN s3 USING (w) GROUP BY 1)
               |SELECT * FROM agg ORDER BY ALL""".stripMargin)
+    ),
+    // T12 per-source KL divergence from the corpus unigram blend
+    // (NgramLm.sourceKlDivergence) — the mixture-drift monitor for
+    // x3/x12's per-source rates: add-one-smoothed p_s vs corpus q
+    // over the full vocabulary grid (vocab × sources, sources
+    // broadcast), summed in vocab order (the t9 order-stable fold)
+    // and rounded to 8 decimals to absorb ln's engine last bit.
+    QueryDef(
+      "t12_source_kl",
+      (s, d) => orderedByAll(
+        graft.text.NgramLm.sourceKlDivergence(
+          Tables.documents(s, d), "source", "text")),
+      Some(s"""WITH tok AS (SELECT source, unnest($sqlToks) AS w FROM documents),
+              |sw AS (SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+              |st AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+              |wt AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n,
+              |               CAST(count(*) AS BIGINT) AS v FROM wt),
+              |grid AS (SELECT st.source, wt.w, coalesce(sw.n_sw, 0) AS n_sw,
+              |                st.n_s, wt.n_w, tot.n, tot.v
+              |         FROM wt CROSS JOIN st
+              |         LEFT JOIN sw ON sw.source = st.source AND sw.w = wt.w, tot),
+              |terms AS (SELECT source, w, n_s,
+              |            (CAST(n_sw + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE)) *
+              |            ln((CAST(n_sw + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE)) /
+              |               (CAST(n_w + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))) AS t
+              |          FROM grid)
+              |SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+              |       round(list_sum(list(t ORDER BY w)), 8) AS kl
+              |FROM terms GROUP BY source ORDER BY ALL""".stripMargin)
     )
   )
 }

@@ -61,4 +61,48 @@ object NgramLm {
         (aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("lnp")) /
           size(col("__a")).cast("double")).as("xent"))
   }
+
+  /** Per-source KL divergence of the unigram distribution from the
+    * corpus-wide distribution — the mixture-drift monitor for the
+    * sampling stages (x3/x12 set per-source rates; this measures how
+    * far each source's language actually sits from the blend):
+    * KL(p_s ‖ q) = Σ_w p_s(w)·ln(p_s(w)/q(w)) over the corpus
+    * vocabulary with add-one smoothing (p_s = (n_sw+1)/(N_s+V),
+    * q = (n_w+1)/(N+V) — both strictly positive, so every term is
+    * finite). Returns (source, n_tokens, kl), kl rounded to 8
+    * decimals (the t9 discipline: everything is exact integer
+    * arithmetic until the final ln/divide, and rounding absorbs ln's
+    * engine-specific last bit).
+    *
+    * Scale shape: one tokenization pass → (source, w) counts; the
+    * evaluation grid is vocab × sources via a BROADCAST of the
+    * source-count-sized totals (never vocab²); the per-source sum
+    * folds a vocab-sorted array left-to-right — order-stable, like
+    * t9's per-doc fold. The per-source array is vocab-bounded: fine
+    * to |V| ~ millions; beyond that, segment the fold by word prefix
+    * and sum segment results in prefix order.
+    */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+    val srcTotals = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+    val wTotals = sw.groupBy("w").agg(sum("n_sw").as("n_w"))
+    val stats = wTotals.agg(sum("n_w").as("n"), count(lit(1)).as("v"))
+    val p = (col("n_sw") + 1).cast("double") / (col("n_s") + col("v")).cast("double")
+    val q = (col("n_w") + 1).cast("double") / (col("n") + col("v")).cast("double")
+    val terms = wTotals
+      .crossJoin(broadcast(srcTotals)) // vocab × |sources| — sources broadcast
+      .join(sw, Seq("source", "w"), "left_outer")
+      .na.fill(0L, Seq("n_sw"))
+      .crossJoin(broadcast(stats))
+      .select(col("source"), col("w"), col("n_s"), (p * log(p / q)).as("t"))
+    terms.groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"),
+        array_sort(collect_list(struct(col("w"), col("t")))).as("__a"))
+      .select(col("source"), col("n_tokens"),
+        round(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("t")), 8).as("kl"))
+  }
 }

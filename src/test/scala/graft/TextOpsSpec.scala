@@ -141,6 +141,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
   }
 
+  test("sourceKlDivergence: non-negative, near-zero for corpus-like sources, " +
+      "large for off-distribution ones") {
+    import graft.text.NgramLm
+    val docs = Seq(
+      ("a", "the cat sat on the mat"),
+      ("b", "the cat sat on the mat"),     // b ≡ a ≡ half the blend
+      ("c", "zq zq zq zq zq zq")           // c: disjoint vocabulary
+    ).toDF("source", "text")
+    val kl = NgramLm.sourceKlDivergence(docs, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(kl.keySet === Set("a", "b", "c"))
+    assert(kl("a")._1 === 6L && kl("c")._1 === 6L)
+    assert(kl.values.forall(_._2 >= 0.0), "KL is non-negative")
+    assert(kl("a")._2 === kl("b")._2, "identical sources score identically")
+    assert(kl("c")._2 > kl("a")._2,
+      "a disjoint-vocabulary source must sit farther from the blend " +
+        "(add-one smoothing on this 18-token corpus compresses the gap)")
+  }
+
   test("bigramCrossEntropy: add-one smoothing scores UNSEEN text against a model") {
     import graft.text.NgramLm
     // model vocab: {the, cat, sat, ran} → V = 4
