@@ -104,6 +104,14 @@ object Incremental {
     * `toGraph` shapes a micro-batch into delta node/edge tables
     * (e.g. the FHIR staging transforms).
     *
+    * SCALE NOTE: this operator rewrites each table WHOLE per
+    * micro-batch — right for the reference-sized graph it serves; a
+    * 100-TB continuously-ingested graph store instead runs one
+    * [[upsertKeyedBatch]] per node/edge table (keys = id, or
+    * src+dst), which rewrites only the key-hash buckets each batch
+    * touches (the [[BucketStore]] layout, same first-write-wins
+    * semantics).
+    *
     * Usage: `stream.writeStream.foreachBatch(
     *   Incremental.graphUpsertBatch(dir, edgeMeta, toGraph) _)`.
     */
@@ -189,97 +197,50 @@ object Incremental {
   def cdcApplyBatch(dir: String, key: String, value: String,
       nBuckets: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val snap = new Path(s"$dir/snapshot")
-    val prev = new Path(s"$dir/.prev")
-    val stage = new Path(s"$dir/.staging")
-    val marker = new Path(s"$dir/.nbuckets")
-    // pin the bucket count: bucket membership is pmod(hash(key), n),
-    // so n must never drift across batches. The marker is written
-    // temp-then-rename (atomic) and an unparsable marker (crash
-    // mid-create on stores written before the rename discipline)
-    // reads as ABSENT — it re-pins rather than wedging the store.
-    val recorded: Option[Int] =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        txt.toIntOption
-      }
-    recorded match {
-      case Some(n) =>
-        require(n == nBuckets,
-          s"snapshot at $dir was bucketed with nBuckets=$n, got $nBuckets")
-      case None =>
-        val tmp = new Path(s"$dir/.nbuckets.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-        fs.delete(marker, false)
-        require(fs.rename(tmp, marker), s"marker rename $tmp -> $marker failed")
-    }
-    // crash recovery: a failure mid-swap leaves some buckets only in
-    // .prev — restore every .prev bucket the snapshot lacks FIRST, or
-    // the replayed batch would apply onto a hole and truncate those
-    // buckets to the delta's own keys
-    if (fs.exists(prev)) {
-      for (st <- fs.listStatus(prev) if st.getPath.getName.startsWith("bucket=")) {
-        val dst = new Path(snap, st.getPath.getName)
-        if (!fs.exists(dst)) {
-          fs.mkdirs(snap)
-          require(fs.rename(st.getPath, dst),
-            s"recovery rename ${st.getPath} -> $dst failed")
-        }
-      }
-      fs.delete(prev, true)
-    }
-    fs.delete(stage, true) // stale partial staging from a crashed write
-    val bucketOf = pmod(hash(col(key)), lit(nBuckets)).cast("int")
-    val affected = batch.select(bucketOf.as("bucket"))
-      .distinct().collect().map(_.getInt(0)).sorted // bounded by nBuckets
-    if (affected.isEmpty) return
-    val base =
-      if (fs.exists(snap) && fs.listStatus(snap).nonEmpty) {
-        // loud guard: a flat (pre-bucketing) snapshot has no bucket=
-        // dirs — reading it with a bucket filter would die with an
-        // unrelated resolve error; tell the operator what to do
-        require(fs.listStatus(snap).exists(
-            _.getPath.getName.startsWith("bucket=")),
-          s"snapshot at $snap is not bucket-partitioned (legacy flat " +
-            "store) — migrate it once by rewriting with " +
-            ".withColumn(\"bucket\", pmod(hash(key), nBuckets))" +
-            ".write.partitionBy(\"bucket\") before streaming resumes")
-        spark.read.parquet(snap.toString)
-          .where(col("bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
-          .drop("bucket") // partition-pruned: only affected buckets scan
-      } else spark.createDataFrame(
+    BucketStore.applyKeyed(dir, Seq(key), nBuckets, batch,
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(key,
             batch.schema(key).dataType),
           org.apache.spark.sql.types.StructField(value,
-            batch.schema(s"${value}_new").dataType))))
-    graft.temporal.Cdc.applyDelta(base, batch, key, value)
-      .withColumn("bucket", bucketOf)
-      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-    // per-bucket swap: retire the live bucket to .prev (never delete-
-    // then-rename — that window loses the bucket on a crash), promote
-    // the staged replacement (absent when removals emptied the
-    // bucket), then drop the retired copies
-    fs.mkdirs(prev); fs.mkdirs(snap)
-    for (b <- affected) {
-      val live = new Path(snap, s"bucket=$b")
-      val staged = new Path(stage, s"bucket=$b")
-      if (fs.exists(live))
-        require(fs.rename(live, new Path(prev, s"bucket=$b")),
-          s"rename $live -> $prev failed")
-      if (fs.exists(staged))
-        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+            batch.schema(s"${value}_new").dataType))))) {
+      (base, delta) => graft.temporal.Cdc.applyDelta(base, delta, key, value)
     }
-    fs.delete(prev, true)
-    fs.delete(stage, true)
+  }
+
+  /** Continuous keyed-table upsert with BUCKETED rewrites — the
+    * first-write-wins MERGE primitive ([[graft.fhir.FhirPipeline
+    * .upsertGraph]]'s per-table semantics: survivors keep their
+    * stored row, new keys append, intra-batch duplicates collapse
+    * deterministically to the first row under whole-row order) on
+    * the [[BucketStore]] layout, so each micro-batch rewrites only
+    * the buckets containing its keys — the 100-TB shape of
+    * [[graphUpsertBatch]], which rewrites every table whole per
+    * batch: a bucketed graph store runs one of these per node/edge
+    * table (keys = id, or src+dst). REPLAY-SAFE: an already-applied
+    * key is a survivor, so the anti join drops its re-ingest.
+    * Read the table back at `dir/snapshot` (bucket is a partition
+    * column).
+    */
+  def upsertKeyedBatch(dir: String, keys: Seq[String], nBuckets: Int = 256)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    BucketStore.applyKeyed(dir, keys, nBuckets, batch,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)) {
+      (base, delta) =>
+        // deterministic intra-batch dedup: first row per key under
+        // whole-row order (the upsertGraph norm discipline)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(delta.columns.map(col).toIndexedSeq: _*)
+        val d = delta.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        base.unionByName(
+          d.join(base.select(keys.map(col): _*), keys, "left_anti"))
+    }
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -206,6 +206,47 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("bucketed keyed upsert: survivors keep rows, one-key batch touches one " +
+      "bucket, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_bucket").toString
+    val nB = 8
+    val init = (0L until 32L).map(k => (k, s"name$k")).toDF("id", "name")
+    Incremental.upsertKeyedBatch(dir, Seq("id"), nB)(init, 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/snapshot"))
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).map(_.getPath.getName)
+            .filter(_.startsWith("part-")).toSet)
+        .toMap
+    def snap() = spark.read.parquet(s"$dir/snapshot").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    val before = bucketFiles()
+    // batch 2: key 5 re-arrives CONTESTED (survivor keeps the stored
+    // row — first-write), key 100 is new, and 100 appears twice in
+    // the batch (intra-batch dedup keeps the first under row order)
+    val delta = Seq((5L, "OVERWRITE"), (100L, "aaa"), (100L, "zzz"))
+      .toDF("id", "name")
+    Incremental.upsertKeyedBatch(dir, Seq("id"), nB)(delta, 1L)
+    val after = bucketFiles()
+    val touched = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    val expectedBuckets = delta.select(
+        pmod(hash(col("id")), lit(nB)).cast("int")).distinct()
+      .as[Int].collect().toSet
+    assert(touched.size === expectedBuckets.size && touched.size <= 2,
+      s"only the delta keys' buckets rewrite, touched: $touched")
+    val s = snap()
+    assert(s.size === 33)
+    assert(s(5L) === "name5", "survivor keeps its stored row (first-write)")
+    assert(s(100L) === "aaa", "intra-batch duplicate collapses to the first row")
+    // replay batch 2: all keys are survivors now — nothing changes
+    Incremental.upsertKeyedBatch(dir, Seq("id"), nB)(delta, 2L)
+    assert(snap() === s, "replayed upsert is a no-op")
+  }
+
   test("streaming CDC apply: crash mid-swap recovers — retired buckets restore " +
       "before the replayed batch applies") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_crash").toString
