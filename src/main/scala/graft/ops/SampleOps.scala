@@ -259,6 +259,31 @@ object SampleOps {
              |      FROM t)
              |SELECT source, id, n_tokens, cum_tokens FROM c
              |WHERE cum_tokens <= 600 ORDER BY ALL""".stripMargin)
+    ),
+    // X13 deterministic train/val/test split (Sampling.split): the
+    // one-time labeled assignment as a pure hash expression — no
+    // shuffle, retry-stable, membership re-derivable anywhere from
+    // (key, seed). 80/10/10; fractions quantize at 1/65536 (the
+    // shared threshold resolution), and the oracle replays the same
+    // cumulative-threshold CASE over the same md5 prefix.
+    QueryDef(
+      "x13_hash_split",
+      (s, d) => orderedByAll(
+        graft.sample.Sampling.split(
+          Tables.documents(s, d).select("doc_id", "source"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp1")),
+      Some({
+        val t = (c: Double) => graft.sample.Sampling.rateThreshold(c)
+        s"""SELECT doc_id, source,
+           |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 4)
+           |         < '${t(0.8)}' THEN 'train'
+           |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 4)
+           |         < '${t(0.9)}' THEN 'val'
+           |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 4)
+           |         < '${t(1.0)}' THEN 'test'
+           |       ELSE 'rest' END AS split
+           |FROM documents ORDER BY ALL""".stripMargin
+      })
     )
   )
 }

@@ -125,6 +125,36 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic N-way labeled split — the train/val/test
+    * assignment every corpus needs exactly once, as a pure
+    * expression: each row's split is a function of md5(key || seed)
+    * against the cumulative-fraction thresholds, so membership is
+    * retry-stable, engine-replayable, and re-derivable downstream
+    * without storing it (the same contract as [[bernoulli]]; d10's
+    * inline 2-way split is this with one fraction). `splits` are
+    * (label, fraction) pairs summing to ≤ 1; rows hashing past the
+    * last threshold get `otherLabel` (pass fractions summing to 1
+    * and it is unreachable except for rate-resolution rounding —
+    * fractions quantize to 1/65536 like every threshold here).
+    * Adds `splitCol` to the frame; no shuffle, pushes to the scan.
+    */
+  def split(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      seed: String = "", splitCol: String = "split",
+      otherLabel: String = "rest"): DataFrame = {
+    require(splits.nonEmpty, "empty split spec")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split labels")
+    val fracs = splits.map(_._2)
+    require(fracs.forall(f => f >= 0 && f <= 1) && fracs.sum <= 1 + 1e-9,
+      s"fractions must be in [0,1] and sum to <= 1: $fracs")
+    val b = hashBucket(key, seed)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = splits.zip(cums).foldRight(lit(otherLabel): Column) {
+      case (((label, _), cum), orElse) =>
+        when(b < rateThreshold(math.min(cum, 1.0)), lit(label)).otherwise(orElse)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** TOKEN-budgeted per-source sample: rows in deterministic
     * md5(key || seed) order until each source's running token total
     * reaches `budget` — the "N tokens per source" training-mixture

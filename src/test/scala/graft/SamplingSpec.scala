@@ -83,6 +83,32 @@ class SamplingSpec extends SparkSpec {
     assert(kept === Seq((3L, "g", 2.0)))
   }
 
+  test("split: exhaustive labeled partition, deterministic, near the fractions") {
+    val df = (1L to 2000L).toDF("id")
+    val out = Sampling.split(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.keySet === Set("train", "val", "test"),
+      "fractions summing to 1 leave no 'rest' rows")
+    assert(out.values.sum === 2000L, "a split is a partition — no loss, no dup")
+    assert(math.abs(out("train") - 1600.0) < 100, s"train ~80%: $out")
+    assert(math.abs(out("val") - 200.0) < 60 && math.abs(out("test") - 200.0) < 60)
+    // re-derivable: the same call reproduces identical membership
+    val a = Sampling.split(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.split(df.orderBy(col("id").desc), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .as[(Long, String)].collect().toSet
+    assert(a === b, "membership is row-order independent")
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, col("id"), Seq("a" -> 0.8, "a" -> 0.1))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, col("id"), Seq("a" -> 0.8, "b" -> 0.5))
+    }
+  }
+
   test("tokenBudget keeps an exact hash-order prefix per source; " +
       "two-phase sum equals the flat definition") {
     import java.security.MessageDigest
