@@ -165,7 +165,8 @@ object CypherLite {
       limit: Option[Int],
       carried: Map[String, (String, String)],
       whereAfterLimit: Boolean = false,
-      distinct: Boolean = false)
+      distinct: Boolean = false,
+      skip: Option[Int] = None)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -176,7 +177,8 @@ object CypherLite {
       orderBy: Seq[(String, Boolean)] = Seq.empty,
       limit: Option[Int] = None,
       rowPreds: Seq[RowPred] = Seq.empty,
-      withClauses: Seq[WithClause] = Seq.empty)
+      withClauses: Seq[WithClause] = Seq.empty,
+      skip: Option[Int] = None)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -255,6 +257,25 @@ object CypherLite {
       if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
     case other => lit(literal(other))
   }
+
+  /** Binary comparison compiler for property-to-property conditions
+    * (`a.x OP b.y`) — the subset of operators where both operands are
+    * columns.
+    */
+  private def opBuilder2(op0: String): (Column, Column) => Column =
+    op0.toUpperCase.replaceAll("\\s+", " ") match {
+      case "="  => _ === _
+      case "<>" => _ =!= _
+      case "<"  => _ < _
+      case "<=" => _ <= _
+      case ">"  => _ > _
+      case ">=" => _ >= _
+      case "CONTAINS" => _ contains _
+      case "STARTS WITH" => _ startsWith _
+      case "ENDS WITH" => _ endsWith _
+      case other => throw new IllegalArgumentException(
+        s"operator '$other' does not take a property operand")
+    }
 
   /** Comparison-operator compiler shared by pattern WHERE and
     * post-WITH WHERE. IN keeps plain-literal list items.
@@ -379,6 +400,12 @@ object CypherLite {
   private sealed trait BoolExpr
   private final case class AtomE(alias: String, prop: String,
       mk: Column => Column) extends BoolExpr
+  /** A property-to-property comparison (`a.x OP b.y`): two resolved
+    * columns feed a binary builder. Same-alias pairs stay node
+    * predicates; cross-alias pairs ride the row-filter path.
+    */
+  private final case class Atom2E(a1: String, p1: String,
+      a2: String, p2: String, mk: (Column, Column) => Column) extends BoolExpr
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
 
@@ -386,7 +413,7 @@ object CypherLite {
     * than OR; parentheses group arbitrarily), parameterized by the
     * atom parser.
     */
-  private def parseBool(w: String, atom: String => AtomE): BoolExpr = {
+  private def parseBool(w: String, atom: String => BoolExpr): BoolExpr = {
     def parseFactor(s: String): BoolExpr = {
       val t = s.trim
       if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
@@ -407,17 +434,20 @@ object CypherLite {
 
   private def exprAliases(e: BoolExpr): Set[String] = e match {
     case AtomE(a, _, _) => Set(a)
+    case Atom2E(a1, _, a2, _, _) => Set(a1, a2)
     case AndE(xs) => xs.flatMap(exprAliases).toSet
     case OrE(xs) => xs.flatMap(exprAliases).toSet
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
     case AtomE(a, pr, _) => Seq(a -> pr)
+    case Atom2E(a1, p1, a2, p2, _) => Seq(a1 -> p1, a2 -> p2)
     case AndE(xs) => xs.flatMap(exprProps)
     case OrE(xs) => xs.flatMap(exprProps)
   }
   private def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
     e match {
       case AtomE(a, pr, mk) => mk(resolve(a, pr))
+      case Atom2E(a1, p1, a2, p2, mk) => mk(resolve(a1, p1), resolve(a2, p2))
       case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
     }
@@ -473,13 +503,22 @@ object CypherLite {
     None
   }
 
-  private def parseTail(r0: String): (String, Seq[(String, Boolean)], Option[Int]) = {
+  /** `[ORDER BY …] [SKIP n] [LIMIT n]` off the end (Cypher subclause
+    * order); returns the remaining head.
+    */
+  private def parseTailWithSkip(r0: String)
+      : (String, Seq[(String, Boolean)], Option[Int], Option[Int]) = {
     var r = r0.trim
     var limit: Option[Int] = None
+    var skip: Option[Int] = None
     var orderBy = Seq.empty[(String, Boolean)]
     val lim = "(?i)\\bLIMIT\\s+(\\d+)\\s*$".r
     lim.findFirstMatchIn(r).foreach { m =>
       limit = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
+    }
+    val sk = "(?i)\\bSKIP\\s+(\\d+)\\s*$".r
+    sk.findFirstMatchIn(r).foreach { m =>
+      skip = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
     }
     r.split("(?i)\\bORDER\\s+BY\\b", 2) match {
       case Array(items, ob) =>
@@ -491,7 +530,7 @@ object CypherLite {
         }.toSeq
       case _ =>
     }
-    (r, orderBy, limit)
+    (r, orderBy, skip, limit)
   }
 
   /** Parse a `[MATCH] pattern [OPTIONAL MATCH pattern]* [WHERE …]
@@ -654,7 +693,8 @@ object CypherLite {
       // condition can compile against the node table (col(prop), the
       // pre-join semi-join form) or the joined path frame
       // (col(alias__w_prop), the row-filter form)
-      def parseCond(cond: String): AtomE =
+      val PropRefRe = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+      def parseCond(cond: String): BoolExpr =
         cond.trim match {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
@@ -667,7 +707,15 @@ object CypherLite {
             AtomE(a, p, c => cmp(wrap(c)))
           case WhereCondRe(a, p, op, v) =>
             checkAlias(a, p)
-            AtomE(a, p, opBuilder(op, v))
+            v.trim match {
+              // property-to-property comparison (`a.x OP b.y` — the
+              // RHS names a BOUND alias): same-alias pairs stay node
+              // predicates, cross-alias pairs ride the row filter
+              case PropRefRe(a2, p2) if bound.contains(a2) =>
+                checkAlias(a2, p2)
+                Atom2E(a, p, a2, p2, opBuilder2(op))
+              case _ => AtomE(a, p, opBuilder(op, v))
+            }
           case other => fail(
             "WHERE conditions must be [toLower|toUpper](alias.prop) OP operand", other)
         }
@@ -810,17 +858,17 @@ object CypherLite {
       val tailPos = Seq(topLevelKeywordIndex(wp0, "ORDER"),
         topLevelKeywordIndex(wp0, "LIMIT")).flatten.minOption
       val grammarOrder = wherePos.exists(w => tailPos.exists(_ < w))
-      val (itemsTxt, whereTxt, wOrderBy, wLimit) =
+      val (itemsTxt, whereTxt, wOrderBy, wSkip, wLimit) =
         if (grammarOrder) {
           val head = wp0.substring(0, wherePos.get)
           val wtxt = wp0.substring(wherePos.get + "WHERE".length).trim
-          val (items, ob, lim) = parseTail(head)
-          (items.trim, Some(wtxt), ob, lim)
+          val (items, ob, sk, lim) = parseTailWithSkip(head)
+          (items.trim, Some(wtxt), ob, sk, lim)
         } else {
-          val (afterTail, ob, lim) = parseTail(wp0)
+          val (afterTail, ob, sk, lim) = parseTailWithSkip(wp0)
           afterTail.split("(?i)\\bWHERE\\b", 2) match {
-            case Array(i)    => (i.trim, None, ob, lim)
-            case Array(i, w) => (i.trim, Some(w.trim), ob, lim)
+            case Array(i)    => (i.trim, None, ob, sk, lim)
+            case Array(i, w) => (i.trim, Some(w.trim), ob, sk, lim)
           }
         }
       // WITH DISTINCT: same contract as RETURN DISTINCT — plain
@@ -872,7 +920,7 @@ object CypherLite {
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }
       acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
-        whereAfterLimit = grammarOrder, distinct = wDistinct)
+        whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -880,9 +928,10 @@ object CypherLite {
     var returnDistinct = false
     var orderBy = Seq.empty[(String, Boolean)]
     var limit: Option[Int] = None
+    var skip: Option[Int] = None
     val returns = returnPart.toSeq.flatMap { r0 =>
-      val (afterTail, ob, lim) = parseTail(r0)
-      orderBy = ob; limit = lim
+      val (afterTail, ob, sk, lim) = parseTailWithSkip(r0)
+      orderBy = ob; skip = sk; limit = lim
       var r = afterTail
       if (r.matches("(?is)^DISTINCT\\b.*")) {
         returnDistinct = true; r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
@@ -922,12 +971,12 @@ object CypherLite {
         "is already distinct per group key — drop DISTINCT)")
     for ((n, _) <- orderBy)
       require(returns.exists(_.as == n), s"ORDER BY references unknown output '$n'")
-    require(orderBy.isEmpty && limit.isEmpty || returns.nonEmpty,
-      "ORDER BY/LIMIT need a RETURN clause")
+    require(orderBy.isEmpty && limit.isEmpty && skip.isEmpty || returns.nonEmpty,
+      "ORDER BY/SKIP/LIMIT need a RETURN clause")
 
     Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
       optionalAliases.toSet, returnDistinct, orderBy, limit,
-      rowPreds.toSeq, withClauses)
+      rowPreds.toSeq, withClauses, skip)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -944,7 +993,8 @@ object CypherLite {
       leftOuter: String => Boolean,
       distinct: Boolean,
       orderBy: Seq[(String, Boolean)], limit: Option[Int],
-      postFilter: Option[Column] = None): DataFrame = {
+      postFilter: Option[Column] = None,
+      skip: Option[Int] = None): DataFrame = {
     val needed = items.filter(_.prop.isDefined)
     val attached = needed.map(_.alias).distinct.foldLeft(frame) { (df, alias) =>
       val props = needed.filter(_.alias == alias).map(_.prop.get).distinct
@@ -984,6 +1034,9 @@ object CypherLite {
       out = out.orderBy(orderBy.map { case (n, asc) =>
         if (asc) col(n).asc else col(n).desc
       }: _*)
+    // Cypher SKIP n LIMIT m: drop n rows of the (ordered) output,
+    // then take m — Dataset.offset keeps the plan whole-stage
+    out = skip.foldLeft(out)((d, n) => d.offset(n))
     limit.foldLeft(out)((d, n) => d.limit(n))
   }
 
@@ -1116,7 +1169,8 @@ object CypherLite {
           // HAVING-style pre-tail WHERE filters before it
           val ran = runStage(g, df, w.items, aliasLabel, leftOuter,
             distinct = w.distinct, w.orderBy, w.limit,
-            postFilter = if (w.whereAfterLimit) None else w.where)
+            postFilter = if (w.whereAfterLimit) None else w.where,
+            skip = w.skip)
           val out = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
             else ran
           (out, Some(w))
@@ -1125,7 +1179,7 @@ object CypherLite {
     else {
       val (aliasLabel, leftOuter) = resolvers(lastWith)
       runStage(g, stage, p.returns, aliasLabel, leftOuter,
-        p.returnDistinct, p.orderBy, p.limit)
+        p.returnDistinct, p.orderBy, p.limit, skip = p.skip)
     }
   }
 

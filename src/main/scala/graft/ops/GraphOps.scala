@@ -647,6 +647,25 @@ object GraphOps {
              |  GROUP BY n_nationkey, n_name HAVING count(*) > 50)
              |ORDER BY n_name""".stripMargin)
     ),
+    // G24 property-to-property WHERE + SKIP through the full text
+    // route: `o.o_totalprice > c.c_acctbal` is a per-PATH comparison
+    // (cross-alias → post-join row filter over attached columns)
+    // composed with a node predicate, then the paginated cut ORDER
+    // BY … SKIP 1 LIMIT 3 (total order via the seg tiebreak).
+    QueryDef(
+      "g24_cypher_prop_compare",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_totalprice > c.c_acctbal AND c.c_acctbal > 0
+          |RETURN c.c_mktsegment AS seg, count(*) AS n
+          |ORDER BY n DESC, seg SKIP 1 LIMIT 3""".stripMargin),
+      Some("""SELECT seg, n FROM (
+             |  SELECT c_mktsegment AS seg, count(*) AS n
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  WHERE o_totalprice > c_acctbal AND c_acctbal > 0
+             |  GROUP BY 1 ORDER BY n DESC, seg LIMIT 3 OFFSET 1)
+             |ORDER BY n DESC, seg""".stripMargin)
+    ),
     // G23 weakly-connected components over the prefixed heterogeneous
     // edge set — the one standard graph-analytics primitive the
     // inventory lacked as a PUBLIC graph API (the dedup pipeline has

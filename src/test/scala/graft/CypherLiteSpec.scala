@@ -595,6 +595,56 @@ class CypherLiteSpec extends SparkSpec {
     assert(pass === Seq(("b2", 2L)))
   }
 
+  test("property-to-property WHERE: same-alias stays a node predicate, " +
+      "cross-alias rides the row filter") {
+    val h = PropertyGraph(
+      nodes = Map(
+        "U" -> Seq((1L, 10L, 5L), (2L, 3L, 7L)).toDF("id", "x", "y"),
+        "V" -> Seq((10L, 6L), (20L, 100L)).toDF("id", "z")),
+      edges = Map("E" -> (("U", "V",
+        Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("src", "dst")))))
+    // same-alias: u.x > u.y keeps only node 1 (10 > 5)
+    val sameAlias = CypherLite.query(h,
+      "MATCH (u:U)-[:E]->(v:V) WHERE u.x > u.y RETURN u, v")
+      .as[(Long, Long)].collect().toSet
+    assert(sameAlias === Set((1L, 10L), (1L, 20L)))
+    // cross-alias: u.x > v.z is a per-PATH comparison — (1,10): 10>6 ✓,
+    // (1,20): 10>100 ✗, (2,10): 3>6 ✗, (2,20): 3>100 ✗
+    val crossAlias = CypherLite.query(h,
+      "MATCH (u:U)-[:E]->(v:V) WHERE u.x > v.z RETURN u, v")
+      .as[(Long, Long)].collect().toSet
+    assert(crossAlias === Set((1L, 10L)))
+    // composes with boolean structure and literals
+    val mixed = CypherLite.query(h,
+      "MATCH (u:U)-[:E]->(v:V) WHERE u.x > v.z OR v.z = 100 RETURN u, v")
+      .as[(Long, Long)].collect().toSet
+    assert(mixed === Set((1L, 10L), (1L, 20L), (2L, 20L)))
+    // an unbound RHS alias is a literal, not a silent prop-ref
+    intercept[IllegalArgumentException] {
+      CypherLite.query(h, "MATCH (u:U)-[:E]->(v:V) WHERE u.x > zz.z RETURN u")
+    }
+  }
+
+  test("SKIP paginates after ORDER BY, composes with LIMIT, in RETURN and WITH") {
+    // fan-ins by b: b2=2, b5=1 → ordered DESC: (b2,2), (b5,1)
+    val page2 = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n
+        |RETURN b.tag AS tag, n ORDER BY n DESC SKIP 1 LIMIT 1""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(page2 === Seq(("b5", 1L)), "SKIP 1 drops the top row")
+    // SKIP inside a WITH stage cuts before the next stage sees rows
+    val viaWith = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n ORDER BY n DESC SKIP 1
+        |RETURN b.tag AS tag, n""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(viaWith === Seq(("b5", 1L)))
+    intercept[IllegalArgumentException] { // SKIP needs a RETURN
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) SKIP 1")
+    }
+  }
+
   test("WITH DISTINCT dedupes plain items; rejects alongside aggregates") {
     // a4 reaches b2 and b5; a1 reaches b2 → WITH a yields 3 path rows,
     // DISTINCT a collapses to the 2 distinct anchors
