@@ -62,9 +62,12 @@ import org.apache.spark.sql.functions._
   *    be wrapped `toLower(alias.prop)` / `toUpper(alias.prop)` — the
   *    shape the reference prompt MANDATES for every string predicate
   *    (rag.baml:76-79) — and the operand may be a plain literal,
-  *    `toLower('lit')` / `toUpper('lit')` (folded driver-side), or
+  *    `toLower('lit')` / `toUpper('lit')` (folded driver-side),
   *    `CAST('2022-01-01' AS DATE|TIMESTAMP)` (the reference's own
-  *    Cypher datetime form, build_graph.py:246,335). Each condition
+  *    Cypher datetime form, build_graph.py:246,335), or ANOTHER
+  *    PROPERTY `alias2.prop2` (same-alias pairs stay node
+  *    predicates; cross-alias pairs compile to per-path row filters
+  *    over attached columns). Each condition
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
   *    path join). A WHERE may only reference aliases ITS clause
@@ -110,7 +113,9 @@ import org.apache.spark.sql.functions._
   *    Cypher's implicit grouping. After a WITH, items reference the
   *    WITH outputs instead of pattern aliases. Without RETURN: the
   *    raw path frame (one id column per alias, one row per path).
-  *  - `ORDER BY out_col [ASC|DESC], … LIMIT n` over the RETURN names.
+  *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
+  *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
+  *    before the limit (Dataset.offset).
   *
   * String literals may not contain commas, braces, or the words AND /
   * OR / WITH (the splitters are regex/scanner-based, not a full lexer
