@@ -81,10 +81,15 @@ import org.apache.spark.sql.functions._
   *    nesting to any depth — `(a OR b) AND c`, `x AND (y OR (z AND
   *    w))`. A single-alias conjunct compiles to a node predicate
   *    (semi-join BEFORE the path join — the fast path); a CROSS-ALIAS
-  *    conjunct (`a.x = 1 OR b.y = 2`) compiles to a post-join row
-  *    filter over attached property columns — required MATCH only
-  *    (on an OPTIONAL MATCH it would silently change left-join
-  *    semantics, so there it stays a loud reject). Cross-alias
+  *    conjunct (`a.x = 1 OR b.y = 2`) compiles to a row filter over
+  *    attached property columns, applied to the clause's own frame:
+  *    on a required MATCH the joined path frame, on an OPTIONAL
+  *    MATCH the clause's inner sub-pattern frame BEFORE its left
+  *    join — Neo4j OPTIONAL-MATCH-WHERE semantics (the condition is
+  *    part of the match, so a row failing it keeps its outer row
+  *    with the clause aliases null, e.g. `OPTIONAL MATCH
+  *    (n)-[:R]->(c) WHERE c.x > 9000 OR n.region = 2` compiles to a
+  *    left join whose ON carries the condition). Cross-alias
   *    property columns attach with a LEFT join so a dangling edge
   *    endpoint evaluates as null in the filter (Cypher semantics)
   *    instead of deleting the path row.
@@ -107,8 +112,13 @@ import org.apache.spark.sql.functions._
   *    stays valid only through carried aliases.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
-  *    `count|sum|min|max|avg([DISTINCT] alias[.prop])`; aggregates
-  *    require `AS name` (plain items default to `alias_prop`).
+  *    `count|sum|min|max|avg|collect([DISTINCT] alias[.prop])`;
+  *    aggregates require `AS name` (plain items default to
+  *    `alias_prop`). `collect(…)` → a SORTED list per group
+  *    (`collect_list`; with DISTINCT, `collect_set`) — Cypher leaves
+  *    collect order unspecified, this engine pins ascending order so
+  *    results are deterministic; nulls are skipped (Cypher
+  *    semantics). A bare-alias collect gathers ids.
   *    Mixing plain + aggregate items groups by the plain items —
   *    Cypher's implicit grouping. After a WITH, items reference the
   *    WITH outputs instead of pattern aliases. Without RETURN: the
@@ -117,9 +127,12 @@ import org.apache.spark.sql.functions._
   *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
   *    before the limit (Dataset.offset).
   *
-  * String literals may not contain commas, braces, or the words AND /
-  * OR / WITH (the splitters are regex/scanner-based, not a full lexer
-  * — fine for generated key lookups, loud for anything else).
+  * String literals may not contain commas, braces, or the words
+  * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
+  * AND / OR / WITH / LIMIT / SKIP / ORDER BY are handled by
+  * quote-aware scanners and ARE safe inside literals — the splitter
+  * set is regex/scanner-based, not a full lexer: fine for generated
+  * key lookups, loud for anything else).
   */
 object CypherLite {
 
@@ -143,16 +156,24 @@ object CypherLite {
     * conditions on the anchor itself: they narrow the MATCH, not the
     * outer row set — an anchor failing the predicate keeps its outer
     * row with the clause aliases null (Neo4j OPTIONAL-MATCH-WHERE).
+    * `rowPreds` are the clause's cross-alias WHERE conjuncts: they
+    * filter the clause's SUB-pattern frame BEFORE the left join —
+    * i.e. the WHERE evaluates INSIDE the optional match (rows failing
+    * it become non-matches and keep nulls), never as a post-join
+    * filter that would delete outer rows.
     */
   final case class OptClause(anchor: String, steps: Seq[PatternStep],
-      anchorPred: Option[Column] = None)
+      anchorPred: Option[Column] = None,
+      rowPreds: Seq[RowPred] = Seq.empty)
 
   /** A cross-alias WHERE conjunct (`a.x = 1 OR b.y = 2`) compiled for
-    * the JOINED path frame: `props` are the (alias, prop) columns the
+    * a JOINED path frame: `props` are the (alias, prop) columns the
     * filter reads — attached as `alias__w_prop` before filtering,
-    * dropped after — and `cond` the boolean over them. Required-MATCH
-    * only (on an OPTIONAL MATCH a row filter would silently change
-    * left-join semantics).
+    * dropped after — and `cond` the boolean over them. On the
+    * required MATCH it filters the path frame; on an OPTIONAL MATCH
+    * it filters the clause's inner sub-pattern frame before the left
+    * join (Cypher OPTIONAL-MATCH-WHERE: the condition is part of the
+    * match, so failing rows null out instead of disappearing).
     */
   final case class RowPred(props: Seq[(String, String)], cond: Column)
 
@@ -201,7 +222,7 @@ object CypherLite {
   private val PlainItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
-    """^(?i:(count|sum|min|max|avg))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+    """^(?i:(count|sum|min|max|avg|collect))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val OpAlt =
     """=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
   private val WhereCondRe =
@@ -490,10 +511,11 @@ object CypherLite {
   /** Strip trailing `[ORDER BY …] [LIMIT n]` off a RETURN/WITH tail.
     * Returns (remaining items text, orderBy, limit).
     */
-  /** Index of the first TOP-LEVEL (quote-aware, word-bounded)
-    * occurrence of `kw`, or None.
+  /** All TOP-LEVEL (quote-aware, word-bounded) occurrences of `kw`,
+    * in order.
     */
-  private def topLevelKeywordIndex(s: String, kw: String): Option[Int] = {
+  private def topLevelKeywordIndices(s: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
     var inQ = false
     var i = 0
     while (i < s.length) {
@@ -501,39 +523,52 @@ object CypherLite {
       if (ch == '\'') { inQ = !inQ; i += 1 }
       else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-          (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length))))
-        return Some(i)
+          (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
+        out += i
+        i += kw.length
+      }
       else i += 1
     }
-    None
+    out.result()
   }
 
+  /** Index of the first TOP-LEVEL (quote-aware, word-bounded)
+    * occurrence of `kw`, or None.
+    */
+  private def topLevelKeywordIndex(s: String, kw: String): Option[Int] =
+    topLevelKeywordIndices(s, kw).headOption
+
   /** `[ORDER BY …] [SKIP n] [LIMIT n]` off the end (Cypher subclause
-    * order); returns the remaining head.
+    * order); returns the remaining head. Quote-aware like the other
+    * splitters: a LIMIT/SKIP/ORDER BY inside a string literal (e.g.
+    * `… = 'page LIMIT 5'`) is NOT a subclause — the end-anchored
+    * regexes this replaced matched through quotes — and the
+    * tail-shape checks (digits to end; BY following ORDER) keep
+    * outputs NAMED `limit`/`skip`/`order` from being misread.
     */
   private def parseTailWithSkip(r0: String)
       : (String, Seq[(String, Boolean)], Option[Int], Option[Int]) = {
     var r = r0.trim
-    var limit: Option[Int] = None
-    var skip: Option[Int] = None
     var orderBy = Seq.empty[(String, Boolean)]
-    val lim = "(?i)\\bLIMIT\\s+(\\d+)\\s*$".r
-    lim.findFirstMatchIn(r).foreach { m =>
-      limit = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
-    }
-    val sk = "(?i)\\bSKIP\\s+(\\d+)\\s*$".r
-    sk.findFirstMatchIn(r).foreach { m =>
-      skip = Some(m.group(1).toInt); r = r.substring(0, m.start).trim
-    }
-    r.split("(?i)\\bORDER\\s+BY\\b", 2) match {
-      case Array(items, ob) =>
-        r = items.trim
-        orderBy = ob.split(",").map(_.trim).map {
-          case OrderItemRe(n, dir) =>
-            (n, dir == null || dir.equalsIgnoreCase("ASC"))
-          case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
-        }.toSeq
-      case _ =>
+    def stripTrailingInt(kw: String): Option[Int] =
+      topLevelKeywordIndices(r, kw)
+        .find(i => r.substring(i + kw.length).trim.matches("\\d+"))
+        .map { i =>
+          val n = r.substring(i + kw.length).trim.toInt
+          r = r.substring(0, i).trim
+          n
+        }
+    val limit = stripTrailingInt("LIMIT")
+    val skip = stripTrailingInt("SKIP")
+    for (i <- topLevelKeywordIndices(r, "ORDER")
+           .find(j => r.substring(j + 5).trim.matches("(?is)^BY\\b.*"))) {
+      val ob = r.substring(i + 5).trim.replaceFirst("(?i)^BY\\b", "").trim
+      r = r.substring(0, i).trim
+      orderBy = ob.split(",").map(_.trim).map {
+        case OrderItemRe(n, dir) =>
+          (n, dir == null || dir.equalsIgnoreCase("ASC"))
+        case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
+      }.toSeq
     }
     (r, orderBy, skip, limit)
   }
@@ -669,17 +704,18 @@ object CypherLite {
     /** WHERE conditions of one clause. Single-alias conjuncts merge
       * into that clause's node predicates (semi-joins BEFORE the path
       * join); cross-alias conjuncts — `a.x = 1 OR b.y = 2` — compile
-      * to POST-JOIN row filters over attached property columns
-      * (`allowRowPreds`, the required MATCH only: on an OPTIONAL
-      * MATCH a row filter would silently change left-join semantics,
-      * so there it stays a loud reject). `allowed` = aliases bound by
-      * the clause (a WHERE may only constrain its own clause —
-      * referencing another clause's alias is rejected loudly rather
-      * than silently changing required/optional semantics).
+      * to row filters over attached property columns, applied to the
+      * clause's OWN frame: the required pattern's path frame on a
+      * required MATCH, the inner sub-pattern frame (before its left
+      * join) on an OPTIONAL MATCH — so OPTIONAL semantics stay
+      * left-join (failing rows null out, outer rows survive).
+      * `allowed` = aliases bound by the clause (a WHERE may only
+      * constrain its own clause — referencing another clause's alias
+      * is rejected loudly rather than silently changing
+      * required/optional semantics).
       */
     def applyWhere(w: String, allowed: Set[String],
-        nodes: Seq[PatternNode],
-        allowRowPreds: Boolean): (Map[String, PatternNode], Seq[RowPred]) = {
+        nodes: Seq[PatternNode]): (Map[String, PatternNode], Seq[RowPred]) = {
       def checkAlias(a: String, p: String): Unit = {
         require(!relVars(a),
           s"'$a' is a relationship variable — relationships carry no " +
@@ -727,18 +763,12 @@ object CypherLite {
       // each top-level conjunct compiles by its alias span: ONE alias
       // → a node predicate (semi-join at the pattern position, before
       // the path join — the fast path); SEVERAL aliases (`a.x = 1 OR
-      // b.y = 2`) → a row-level filter over the joined path frame,
-      // evaluated against attached property columns (required MATCH
-      // only — on an OPTIONAL MATCH that would silently reclassify
-      // left-join semantics, so it stays a loud reject there)
+      // b.y = 2`) → a row-level filter over the clause's joined frame
+      // (the path frame on a required MATCH, the inner sub-pattern
+      // frame on an OPTIONAL MATCH), evaluated against attached
+      // property columns
       val (single, crossAlias) = flattenAnd(parseBool(w, parseCond))
         .partition(e => exprAliases(e).size == 1)
-      require(allowRowPreds || crossAlias.isEmpty, {
-        val as = crossAlias.flatMap(exprAliases).distinct.sorted
-        s"OR across aliases (${as.mkString(", ")}) is not a node " +
-          "predicate — on OPTIONAL MATCH restrict each OR group to one " +
-          "alias (or use IN)"
-      })
       val rps = crossAlias.map { e =>
         RowPred(exprProps(e).distinct,
           toColumn(e, (a, pr) => col(s"${a}__w_$pr")))
@@ -767,8 +797,7 @@ object CypherLite {
         for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
         for (w <- whereOpt) {
           val ns = start +: steps.toSeq.map(_.node)
-          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns,
-            allowRowPreds = true)
+          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
           rowPreds ++= rps
           upd.get(start.as).foreach(start = _)
           for (i <- steps.indices; n <- upd.get(steps(i).node.as))
@@ -784,18 +813,24 @@ object CypherLite {
         // the clause's WHERE may constrain its own nodes AND its
         // anchor — an anchor condition narrows the MATCH (Neo4j
         // semantics: rows failing it keep nulls), so it lands on the
-        // sub-pattern's start, never on the outer row set
+        // sub-pattern's start, never on the outer row set; a
+        // cross-alias conjunct becomes a row filter on the clause's
+        // inner sub-pattern frame, applied BEFORE the left join (the
+        // WHERE is part of the optional match — failing rows null
+        // out, Neo4j semantics), never on the outer row set
         var anchorPred: Option[Column] = None
+        var clauseRps: Seq[RowPred] = Seq.empty
         for (w <- whereOpt) {
           val ns = PatternNode(bound(anchor), anchor) +:
             clauseSteps.toSeq.map(_.node)
-          val (upd, _) = applyWhere(w, ns.map(_.as).toSet, ns,
-            allowRowPreds = false)
+          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
+          clauseRps = rps
           anchorPred = upd.get(anchor).flatMap(_.pred)
           for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
             clauseSteps(i) = clauseSteps(i).copy(node = n)
         }
-        optClauses += OptClause(anchor, clauseSteps.toSeq, anchorPred)
+        optClauses += OptClause(anchor, clauseSteps.toSeq, anchorPred,
+          clauseRps)
       }
     }
 
@@ -823,13 +858,14 @@ object CypherLite {
             s"$f($target.$prop): '$target' carries no properties here")
           require(!(target == "*") || (f == "count" && prop == null && !d),
             "only count(*) may aggregate '*'")
-          require(!d || f == "count", s"DISTINCT only supported with count, not $f")
-          // over the pattern, a bare alias is an id — only countable;
-          // after a WITH, a bare NON-CARRIED output is a value column
-          // and sum/min/max/avg over it are the pipelined-aggregation
-          // shapes (sum of stage-1 counts etc.)
-          require(f == "count" || prop != null || bareAgg(target),
-            s"$f() needs alias.prop (bare aliases are ids — only count them)")
+          require(!d || f == "count" || f == "collect",
+            s"DISTINCT only supported with count and collect, not $f")
+          // over the pattern, a bare alias is an id — countable and
+          // collectable; after a WITH, a bare NON-CARRIED output is a
+          // value column and sum/min/max/avg over it are the
+          // pipelined-aggregation shapes (sum of stage-1 counts etc.)
+          require(f == "count" || f == "collect" || prop != null || bareAgg(target),
+            s"$f() needs alias.prop (bare aliases are ids — only count or collect them)")
           require(as != null, s"aggregate $f(…) needs an AS name")
           ReturnItem(Some(f), d, target, Option(prop), as)
         case PlainItemRe(a, prop, as) =>
@@ -1021,6 +1057,13 @@ object CypherLite {
             case ("count", _) if ri.isStar => count(lit(1))
             case ("count", true)  => countDistinct(baseCol(ri))
             case ("count", false) => count(baseCol(ri))
+            // Cypher leaves collect() order unspecified; this engine
+            // SORTS the list — deterministic output is the contract
+            // every operator here keeps (oracle-hashable, retry-safe).
+            // Nulls are dropped (collect_list/collect_set semantics,
+            // matching Cypher collect() which skips nulls).
+            case ("collect", true)  => sort_array(collect_set(baseCol(ri)))
+            case ("collect", false) => sort_array(collect_list(baseCol(ri)))
             case ("sum", _) => sum(baseCol(ri))
             case ("min", _) => min(baseCol(ri))
             case ("max", _) => max(baseCol(ri))
@@ -1058,18 +1101,34 @@ object CypherLite {
   /** Verdict cache: one validation per node-table set, not per query
     * — a Text2Cypher serving loop re-executing untyped queries
     * against the same graph must not re-count every node table each
-    * call. Weak keys on the nodes map, so dropped graphs don't pin
-    * entries; a FAILED validation is not cached (it throws).
+    * call. Keyed by the sorted (label, analyzed-plan semanticHash)
+    * fingerprint, NOT DataFrame identity: callers like
+    * GraphOps.tpchGraph rebuild the graph object (fresh DataFrames
+    * over the same sources) every query, and an identity-keyed map
+    * never hit for them — semantic hashes make the rebuilt graph the
+    * SAME key. LRU-bounded at 256 entries (small strings — a serving
+    * process cycling many distinct graphs must not grow without
+    * bound); a FAILED validation is not cached (it throws).
     */
   private val uniqueIdVerdicts =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Map[String, DataFrame], java.lang.Boolean]())
+      new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size > 256
+      })
+
+  private def graphFingerprint(g: PropertyGraph): String =
+    g.nodes.toSeq.sortBy(_._1).map { case (l, df) =>
+      s"$l#${df.queryExecution.analyzed.semanticHash()}"
+    }.mkString("|")
 
   private def assertGloballyUniqueIds(g: PropertyGraph): Unit = {
     if (g.nodes.isEmpty) return
     val spark = g.nodes.values.head.sparkSession
     if (!spark.conf.get("graft.cypher.validateUntypedIds", "true").toBoolean) return
-    if (uniqueIdVerdicts.containsKey(g.nodes)) return
+    val fp = graphFingerprint(g)
+    if (uniqueIdVerdicts.containsKey(fp)) return
     val perLabel = g.nodes.toSeq.sortBy(_._1)
       .map { case (_, df) => df.select(col("id")).distinct() }
     val total = perLabel.map(_.count()).sum
@@ -1082,7 +1141,7 @@ object CypherLite {
         "traversal would silently cross key spaces — prefix node ids " +
         "per label, type the edge (`-[:REL]->`), or disable this check " +
         "via graft.cypher.validateUntypedIds=false if ids are known unique")
-    uniqueIdVerdicts.put(g.nodes, java.lang.Boolean.TRUE)
+    uniqueIdVerdicts.put(fp, java.lang.Boolean.TRUE)
   }
 
   /** Parse and execute against a graph. RETURN items arrive under
@@ -1148,11 +1207,34 @@ object CypherLite {
       }
     // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
     // anchored at its bound alias, left-joined as one unit — if any
-    // step fails, every alias the clause binds is null together
+    // step fails, every alias the clause binds is null together. The
+    // clause's cross-alias WHERE conjuncts filter the sub-pattern
+    // frame HERE, before the left join — the WHERE evaluates inside
+    // the optional match (Neo4j: condition part of the match, failing
+    // rows keep the outer row with nulls), never as a post-join
+    // filter that would turn the left join into an inner one.
     val paths = p.optionals.foldLeft(required) {
       (df, cl) =>
-        val sub = g.matchPaths(
+        val sub0 = g.matchPaths(
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)
+        val sub =
+          if (cl.rowPreds.isEmpty) sub0
+          else {
+            for (rp <- cl.rowPreds; (a, pr) <- rp.props
+                 if p.labels.get(a).contains("") && pr != "id")
+              throw new IllegalArgumentException(
+                s"WHERE $a.$pr: alias '$a' is unlabeled — the any-node view " +
+                  "has no properties; declare a :Label to filter on them")
+            val need = cl.rowPreds.flatMap(_.props).distinct
+            val attached = need.groupBy(_._1).toSeq.sortBy(_._1)
+              .foldLeft(sub0) { case (df2, (alias, ps)) =>
+                g.attach(df2, alias, p.labels(alias), ps.map(_._2).distinct,
+                  s"${alias}__w_", "left_outer")
+              }
+            attached
+              .filter(cl.rowPreds.map(_.cond).reduce(_ && _))
+              .select(sub0.columns.map(col).toIndexedSeq: _*)
+          }
         df.join(sub, Seq(cl.anchor), "left_outer")
     }
     // the WITH pipeline: fold each stage over the path frame —

@@ -698,7 +698,8 @@ object GraphOps {
     // `n.x = … OR c.y = …` spans two pattern positions, so it
     // compiles to a post-join row filter over attached property
     // columns (single-alias conjuncts still land as pre-join node
-    // predicates beside it). OPTIONAL MATCH keeps the loud reject.
+    // predicates beside it). On OPTIONAL MATCH the same shape
+    // filters the clause's inner frame instead (g25).
     QueryDef(
       "g18_cypher_cross_alias_or",
       (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
@@ -709,6 +710,48 @@ object GraphOps {
       Some("""SELECT n_name, count(*) AS n_cust
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE n_name = 'NATION_3' OR c_acctbal > 9000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G25 OPTIONAL MATCH … WHERE with a CROSS-ALIAS condition — real
+    // Cypher evaluates the WHERE inside the optional match (the
+    // condition rides the left join's ON: rows failing it keep the
+    // outer row with nulls, they don't delete it). Until round 10
+    // this shape was a loud reject; Text2Cypher output hits it first
+    // (rag.baml:65-102 doesn't forbid it). The oracle is the
+    // LEFT-JOIN-ON shape: every nation survives, with its matched
+    // customer count possibly 0.
+    QueryDef(
+      "g25_cypher_optional_where",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |OPTIONAL MATCH (n)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE c.c_acctbal > 9000 OR n.n_regionkey = 2
+          |RETURN n.n_name AS n_name, count(c) AS n_c
+          |ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(c_custkey) AS n_c
+             |FROM nation LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey
+             |  AND (c_acctbal > 9000 OR n_regionkey = 2)
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G26 collect() list aggregate through the full text route — the
+    // most common real Text2Cypher output shape after count (return
+    // grouped lists). The engine pins SORTED lists (Cypher leaves
+    // collect order unspecified; deterministic output is this
+    // engine's contract), so the DuckDB oracle's ORDER BY inside the
+    // aggregate reproduces it exactly. Serialized via array_join for
+    // the hash transport; CypherLiteSpec pins the array values.
+    QueryDef(
+      "g26_cypher_collect",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS n_name, collect(DISTINCT c.c_mktsegment) AS segs
+          |ORDER BY n_name""".stripMargin)
+        .select(col("n_name"),
+          array_join(col("segs"), "|").as("segs")),
+      Some("""SELECT n_name, string_agg(seg, '|' ORDER BY seg) AS segs
+             |FROM (SELECT DISTINCT n_name, c_mktsegment AS seg
+             |      FROM nation JOIN customer ON c_nationkey = n_nationkey)
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )

@@ -251,14 +251,65 @@ class CypherLiteSpec extends SparkSpec {
     assert(cols === Seq("a", "b"))
   }
 
-  test("cross-alias OR on an OPTIONAL MATCH WHERE stays a loud reject") {
-    intercept[IllegalArgumentException] {
-      CypherLite.parse(
-        "MATCH (b:B) OPTIONAL MATCH (b)<-[:R1]-(a:A) WHERE a.tag = 'a1' OR b.tag = 'b2'")
-    }
+  test("cross-alias WHERE on OPTIONAL MATCH evaluates INSIDE the left join") {
+    // Neo4j OPTIONAL-MATCH-WHERE: the condition is part of the match.
+    // b2's in-edges are a1 and a4; the disjunct keeps a1 via its own
+    // tag and BOTH via b2's tag — while b5 (whose only in-edge is a4)
+    // fails both disjuncts and must KEEP ITS ROW with a null, not
+    // disappear (a post-join filter would delete it).
+    val rows = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R1]-(a:A)
+        |  WHERE a.tag = 'a1' OR b.tag = 'b2'
+        |RETURN b.tag AS bt, count(a) AS na ORDER BY bt""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("b2", 2L), ("b5", 0L)))
     intercept[IllegalArgumentException] { // unbalanced parens
       CypherLite.query(g, "(a:A)-[:R1]->(b:B) WHERE (a.tag = 'a1'")
     }
+    // a WHERE still may not reach OUTSIDE its clause (another
+    // OPTIONAL clause's alias) — that reject is about clause scoping,
+    // not about cross-alias shape
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+          |OPTIONAL MATCH (b)<-[:R1]-(a:A) WHERE a.tag = 'a1' OR c.tag = 'c3'
+          |RETURN b.tag""".stripMargin)
+    }
+  }
+
+  test("collect() gathers sorted lists; DISTINCT dedupes; nulls (unmatched optional) drop") {
+    val segs = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) RETURN a.tag AS at, collect(b.tag) AS bs ORDER BY at")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(segs === Seq(("a1", Seq("b2")), ("a4", Seq("b2", "b5"))),
+      "lists arrive SORTED — the engine's deterministic-collect contract")
+    // DISTINCT via collect_set: duplicate tags collapse
+    val dedup = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) RETURN collect(DISTINCT a.tag) AS ts")
+      .as[Seq[String]].head()
+    assert(dedup === Seq("a1", "a4"))
+    // bare-alias collect gathers ids; on an unmatched OPTIONAL row
+    // the null slot is SKIPPED (Cypher collect semantics)
+    val ids = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS bt, collect(c) AS cs ORDER BY bt""".stripMargin)
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(ids === Seq(("b2", Seq(3L)), ("b5", Seq.empty)))
+  }
+
+  test("LIMIT/SKIP/ORDER BY inside string literals are not subclauses") {
+    // the tail parser is quote-aware: this literal ENDS the WHERE
+    // text with the words 'ORDER BY … LIMIT 5' and must not be
+    // misread as pagination (the pre-round-10 end-anchored regexes
+    // matched through quotes)
+    val n = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE a.tag <> 'see ORDER BY t LIMIT 5' RETURN a.tag AS t, b.tag AS u ORDER BY t, u LIMIT 2")
+      .count()
+    assert(n === 2, "real ORDER BY/LIMIT still apply; the literal does not")
+    val skipLit = CypherLite.query(g,
+      "(a:A)-[:R1]->(b:B) WHERE b.tag <> 'x SKIP 1' RETURN b.tag AS t ORDER BY t SKIP 2")
+      .as[String].collect().toSeq
+    assert(skipLit === Seq("b5"), "3 paths sorted b2,b2,b5 — SKIP 2 leaves b5")
   }
 
   test("the words 'and'/'or' INSIDE string literals do not split conditions") {
