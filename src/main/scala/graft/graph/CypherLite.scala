@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   *    required — unbounded `*` is rejected, the scale rule), in every
   *    direction INCLUDING undirected `-[:REL*1..4]-` (relationship-
   *    uniqueness enforced via eid-carrying chains WITHIN each
-  *    var-length step — across separate steps Cypher's whole-pattern
-  *    relationship isomorphism is not enforced, a documented
-  *    divergence; same-label edges only — intermediates are
-  *    unlabeled).
+  *    var-length step AND across separate steps of one clause —
+  *    Cypher's whole-pattern relationship isomorphism, enforced only
+  *    among steps sharing an edge table so disjoint-type chains pay
+  *    nothing; per CLAUSE, matching Neo4j, so a MATCH and an
+  *    OPTIONAL MATCH may reuse an edge; same-label edges only for
+  *    undirected var-length — intermediates are unlabeled).
   *  - the reference README.md:137 demo shape verbatim:
   *    `MATCH (a)-[r*1..4]-(b) RETURN *` — unlabeled nodes scan the
   *    ANY-node view (union of all labels' ids — requires globally

@@ -128,11 +128,37 @@ final case class PropertyGraph(
     val aliases = (start +: steps.map(_.node)).map(_.as)
     require(aliases.distinct == aliases, s"duplicate position aliases: $aliases")
     val aliasLabel = (start +: steps.map(_.node)).map(n => n.as -> n.label).toMap
+    // Whole-pattern relationship isomorphism (Cypher/Neo4j MATCH
+    // semantics, per clause): a relationship binds AT MOST ONCE across
+    // the entire pattern — `(b)<-[:R]-(a)-[:R]->(c)` must not walk the
+    // same edge out and back. Enforced ONLY among steps that share an
+    // edge table (same rel type, or untyped overlapping it): steps
+    // over disjoint tables cannot bind the same relationship, so the
+    // common heterogeneous chain keeps its skinny 2-column joins with
+    // ZERO overhead — the path frame carries a traversed-edge set
+    // (`__peids`, ≤ one entry per pattern step + var-length hops, a
+    // per-row constant) only when a collision is possible. Var-length
+    // steps already enforce uniqueness WITHIN their own chain; when
+    // colliding, their whole traversed set joins the pattern-wide one.
+    val relNamesOf: PatternStep => Set[String] =
+      st => if (st.rel.isEmpty) edges.keySet else Set(st.rel)
+    val colliding: Set[Int] = steps.indices.filter { i =>
+      steps.indices.exists(j =>
+        j != i && (relNamesOf(steps(i)) & relNamesOf(steps(j))).nonEmpty)
+    }.toSet
+    // relationship identity as a STRING (relType \0 src \0 dst) — the
+    // id-type-agnostic form (long ids in TPC-H graphs, string ids in
+    // FHIR), shared by both traversal orientations of one edge row
+    def eidStr(c: Column): Column = concat_ws("\u0000",
+      c.getField("r"), c.getField("s").cast("string"),
+      c.getField("d").cast("string"))
+    val emptyEids = array().cast("array<string>")
+    var hasPeids = false
     val s0 = nodes(start.label)
     var df = start.pred.foldLeft(s0)((d, p) => d.filter(p))
       .select(col("id").as(start.as))
     var prev = start.as
-    for (st <- steps) {
+    for ((st, stepIdx) <- steps.zipWithIndex) {
       require(st.minHops >= 1 && st.maxHops >= st.minHops,
         s"step ${st.rel}: bad hop bounds *${st.minHops}..${st.maxHops}")
       val anchor = st.from.getOrElse(prev)
@@ -231,8 +257,9 @@ final case class PropertyGraph(
       // (without it an undirected walk would count trivial
       // back-and-forth repetitions; bounded hops keep the carried
       // array ≤ maxHops entries, a per-row constant).
+      val collide = colliding(stepIdx)
       val ed0 =
-        if (!multiHop) stepRel(withEid = false)
+        if (!multiHop) stepRel(withEid = collide)
         else {
           val base = stepRel(withEid = true)
           val first = base.select(col("__from"), col("__to"),
@@ -245,8 +272,12 @@ final case class PropertyGraph(
               .select(col("__from"), col("__t2").as("__to"),
                 concat(col("__eids"), array(col("__eid2"))).as("__eids"))
           }
+          // a colliding var-length step keeps its traversed set so the
+          // pattern-wide isomorphism join below can see it
           hChains.slice(st.minHops - 1, st.maxHops)
-            .map(_.select(col("__from"), col("__to")))
+            .map(c => if (collide)
+              c.select(col("__from"), col("__to"), col("__eids"))
+            else c.select(col("__from"), col("__to")))
             .reduce(_ unionAll _)
         }
       var ed = ed0
@@ -260,12 +291,40 @@ final case class PropertyGraph(
         val ids = nodes(st.node.label).filter(p).select(col("id"))
         ed = ed.join(ids, ed("__to") === ids("id"), "left_semi")
       }
-      val edr = ed.select(col("__from"), col("__to").as(st.node.as))
-      df = df.join(edr, df(anchor) === edr("__from"),
+      // the step's own relationship identities, as strings, when the
+      // step can collide with another step's edge table
+      val newEids: Option[Column] =
+        if (!collide) None
+        else if (multiHop) Some(transform(col("__eids"), eidStr(_)))
+        else Some(array(eidStr(col("__eid"))))
+      val edr = newEids match {
+        case None => ed.select(col("__from"), col("__to").as(st.node.as))
+        case Some(ne) =>
+          ed.select(col("__from"), col("__to").as(st.node.as),
+            ne.as("__neids"))
+      }
+      // isomorphism join: a colliding step may not reuse ANY
+      // already-traversed relationship — the overlap test rides the
+      // join condition, so an optional step failing it keeps its outer
+      // row with nulls (a non-match), exactly like a failed node match
+      val joinCond =
+        if (collide && hasPeids)
+          df(anchor) === edr("__from") &&
+            !arrays_overlap(df("__peids"), edr("__neids"))
+        else df(anchor) === edr("__from")
+      df = df.join(edr, joinCond,
         if (st.optional) "left_outer" else "inner").drop("__from")
+      if (collide) {
+        // null __neids (unmatched optional step) contributes nothing
+        val add = coalesce(col("__neids"), emptyEids)
+        df = (if (hasPeids)
+          df.withColumn("__peids", concat(col("__peids"), add))
+        else df.withColumn("__peids", add)).drop("__neids")
+        hasPeids = true
+      }
       prev = st.node.as
     }
-    df
+    if (hasPeids) df.drop("__peids") else df
   }
 
   /** Join node properties onto a [[matchPaths]] result for position
@@ -386,11 +445,12 @@ object PropertyGraph {
     * keeps the path row with a null position when no edge matches.
     * `minHops`/`maxHops` bound a var-length walk (`*1..3`): the step
     * matches any path of that length through `rel`, one output row
-    * per path (relationship-uniqueness enforced WITHIN the step — no
-    * relationship reused inside one walk; uniqueness ACROSS separate
-    * pattern steps is not enforced, a documented divergence from
-    * Cypher's whole-pattern relationship isomorphism), intermediate
-    * nodes unaliased.
+    * per path (relationship-uniqueness enforced WITHIN the step's
+    * own walk AND — since round 10 — ACROSS steps: [[matchPaths]]
+    * enforces Cypher's whole-pattern relationship isomorphism among
+    * steps sharing an edge table, threading a traversed-edge set
+    * through the joins only when a collision is possible),
+    * intermediate nodes unaliased.
     * `rel = ""` is the UNTYPED step (Cypher `-[r]-` / `-[r*1..4]-`):
     * it walks EVERY edge table, label-blind — sound only when node
     * ids are globally unique across labels (prefix them if per-label

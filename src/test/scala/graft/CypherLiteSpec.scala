@@ -104,14 +104,17 @@ class CypherLiteSpec extends SparkSpec {
 
   test("comma-separated pattern parts branch off bound aliases (q8 shape)") {
     // (a)-R1->(b)<-R2-(c) plus a branch re-entering at b:
-    // which OTHER A-nodes also point at b2?
+    // which OTHER A-nodes also point at b2? a2 = a1 would bind the
+    // SAME R1 edge (1,2) as the first step — whole-pattern
+    // relationship isomorphism (comma parts share one MATCH clause,
+    // Neo4j semantics) excludes it, leaving only a4's edge (4,2)
     val df = CypherLite.query(g,
       """MATCH (a:A {id: 1})-[:R1]->(b:B)<-[:R2]-(c:C),
         |      (b)<-[:R1]-(a2:A)
         |RETURN c.tag, a2.tag""".stripMargin)
     assert(df.columns.toSeq === Seq("c_tag", "a2_tag"))
     assert(df.as[(String, String)].collect().toSet ===
-      Set(("c3", "a1"), ("c3", "a4")), "both R1 edges into b2 are paths")
+      Set(("c3", "a4")), "a2 = a1 would reuse the bound edge (1,2)")
   }
 
   test("whitespace inside quoted literals survives parsing") {
@@ -418,6 +421,33 @@ class CypherLiteSpec extends SparkSpec {
     nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4")).toDF("id", "tag")),
     edges = Map("E" -> (("N", "N",
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")))))
+
+  test("whole-pattern relationship isomorphism: separate steps of one clause never share an edge") {
+    // (1)-[:E]->(b)-[:E]-(c): step 1 binds edge (1,2); the undirected
+    // step 2 from b=2 may reach 1 ONLY back across that same edge —
+    // Cypher/Neo4j relationship isomorphism excludes it, leaving 3, 4
+    val rows = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E]->(b:N)-[:E]-(c:N) RETURN c.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(rows === Seq("n3", "n4"), "c = 1 would reuse edge (1,2)")
+    // a colliding VAR-LENGTH step shares its whole traversed set with
+    // the pattern: each undirected 1..2-walk then a 1-hop that may
+    // not reuse ANY of its edges
+    val vl = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E*1..2]-(b:N)-[:E]-(c:N) RETURN b.tag AS bt, c.tag AS ct ORDER BY bt, ct")
+      .as[(String, String)].collect().toSeq
+    assert(vl === Seq(("n2", "n3"), ("n2", "n4"), ("n3", "n4"), ("n4", "n3")),
+      "each walk's immediate backtrack is excluded; 7 rows without isomorphism")
+    // steps over DISJOINT edge tables skip the machinery entirely —
+    // the plan never materializes a traversed-edge set
+    val plan = CypherLite.query(g, "(a:A)-[:R1]->(b:B)<-[:R2]-(c:C)")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__peids"), "disjoint-type chain stays skinny")
+    // and the colliding path's frame does not LEAK the helper column
+    val cols = CypherLite.query(diamond,
+      "(a:N {id: 1})-[:E]->(b:N)-[:E]-(c:N)").columns.toSeq
+    assert(cols === Seq("a", "b", "c"))
+  }
 
   test("undirected var-length enforces relationship-uniqueness (README.md:137 shape)") {
     // from 1, *1..2: 1-2 (e12), then 2-3 / 2-4 — NEVER back across e12

@@ -96,6 +96,10 @@ class GraphSpec extends SparkSpec {
 
   test("matchPaths: mid-chain predicate and a branch off a named position") {
     // (a:A)-[:REL1]->(b:B {id=2})<-[:REL2]-(c:C), branch (a2:A)-[:REL1]->(b)
+    // — the two REL1 steps share an edge table, so whole-pattern
+    // relationship isomorphism applies: a2 may not rebind the step-1
+    // edge. With only (1,2) into b2 the branch has no distinct edge
+    // left (empty); adding (4,2) gives it one, binding a2 = 4.
     val p = g.matchPaths(
       PatternNode("A", "a"),
       Seq(
@@ -103,7 +107,16 @@ class GraphSpec extends SparkSpec {
         PatternStep("REL2", In, PatternNode("C", "c")),
         PatternStep("REL1", In, PatternNode("A", "a2"), from = Some("b"))))
     assert(p.columns.toSeq === Seq("a", "b", "c", "a2"))
-    assert(p.as[(Long, Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 3L, 1L)))
+    assert(p.count() === 0, "a2 = 1 would reuse the step-1 edge (1,2)")
+    val g2 = g.copy(edges = g.edges + ("REL1" -> (("A", "B",
+      Seq((1L, 2L), (4L, 5L), (4L, 2L)).toDF("src", "dst")))))
+    val p2 = g2.matchPaths(
+      PatternNode("A", "a", Some(col("id") === 1L)),
+      Seq(
+        PatternStep("REL1", Out, PatternNode("B", "b", Some(col("id") === 2L))),
+        PatternStep("REL2", In, PatternNode("C", "c")),
+        PatternStep("REL1", In, PatternNode("A", "a2"), from = Some("b"))))
+    assert(p2.as[(Long, Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 3L, 4L)))
   }
 
   test("attach pulls node properties for selected positions") {
