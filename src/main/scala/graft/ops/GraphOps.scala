@@ -22,19 +22,23 @@ object GraphOps {
     * consumer in the inventory — g1/g4/g8/g16's traversals and
     * g10/g15's iterative walkers previously each derived and
     * persisted their own copy per query, the round-7 suite's largest
-    * redundant cost. OWNERSHIP: the cache is process-lifetime BY
-    * DESIGN — the three frames are edge-count-sized (skinny id
-    * pairs), keyed by (session, sf dir), and Verify/Bench run the
-    * whole inventory in one process, exactly the reuse window. A
-    * long-lived host embedding GraphOps across many sessions or
-    * datasets should call [[clearPreparedCache]] when a session
-    * closes (or a dataset is dropped) — entries are never evicted
-    * automatically. At 100 TB the analog is the edge set written
-    * once as a bucketed table, not re-derived per query.
+    * redundant cost. OWNERSHIP: bounded LRU, keyed by (session, sf
+    * dir) — the three frames per entry are edge-count-sized (skinny
+    * id pairs), and Verify/Bench run the whole inventory against ONE
+    * key, exactly the reuse window. A host embedding GraphOps across
+    * many sessions or datasets is bounded automatically: entries past
+    * [[maxPrepared]] evict least-recently-used WITH unpersist, and
+    * entries whose session has stopped are pruned on every access;
+    * [[clearPreparedCache]] remains the explicit session-close hook.
+    * At 100 TB the analog is the edge set written once as a bucketed
+    * table, not re-derived per query.
     */
-  private val preparedCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      graft.graph.GraphAnalytics.PreparedEdges]
+  private val preparedCache = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    graft.graph.GraphAnalytics.PreparedEdges](16, 0.75f, true)
+
+  /** LRU capacity of the prepared-edge cache (var: test seam). */
+  private[graft] var maxPrepared = 8
 
   /** Unpersist and drop every cached prepared edge set (optionally
     * only those of one session) — the eviction hook for library hosts
@@ -42,26 +46,57 @@ object GraphOps {
     */
   def clearPreparedCache(
       session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
-    for (((s, d), p) <- preparedCache.toSeq
-         if session.forall(_ eq s)) {
-      preparedCache.remove((s, d))
-      p.unpersist()
+    preparedCache.synchronized {
+      val it = preparedCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (session.forall(_ eq e.getKey._1)) {
+          it.remove()
+          try e.getValue.unpersist()
+          catch { case _: Throwable => } // session already stopped
+        }
+      }
     }
+
+  /** Cached entry lookup WITHOUT populating (test seam). */
+  private[graft] def preparedFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Option[graft.graph.GraphAnalytics.PreparedEdges] =
+    preparedCache.synchronized(Option(preparedCache.get((s, d))))
+
   private def prepared(s: org.apache.spark.sql.SparkSession,
-      d: String): graft.graph.GraphAnalytics.PreparedEdges = {
-    val p = preparedCache.getOrElseUpdate((s, d),
-      graft.graph.GraphAnalytics.prepare(edgeSet(s, d)))
-    // the bench harness clears the whole cache manager between timed
-    // reps (cache hygiene) — that evicts these frames too; re-arm so
-    // a consumer never runs against a silently-unpersisted edge set
-    // (every hop/round would re-derive the 3-table union)
-    if (p.e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      p.e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.withDeg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d: String): graft.graph.GraphAnalytics.PreparedEdges =
+    preparedCache.synchronized {
+      // prune entries of stopped sessions: their executors are gone,
+      // the frames unreferencable — holding them would pin the dead
+      // session object for the process lifetime
+      val it = preparedCache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+      }
+      var p = preparedCache.get((s, d))
+      if (p == null) {
+        p = graft.graph.GraphAnalytics.prepare(edgeSet(s, d))
+        preparedCache.put((s, d), p)
+        // LRU bound: evict (and unpersist) beyond capacity — the
+        // access-ordered map's eldest entry is the coldest
+        while (preparedCache.size > maxPrepared) {
+          val eldest = preparedCache.entrySet().iterator().next()
+          preparedCache.remove(eldest.getKey)
+          try eldest.getValue.unpersist()
+          catch { case _: Throwable => }
+        }
+      }
+      // the bench harness clears the whole cache manager between timed
+      // reps (cache hygiene) — that evicts these frames too; re-arm so
+      // a consumer never runs against a silently-unpersisted edge set
+      // (every hop/round would re-derive the 3-table union)
+      if (p.e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        p.e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.withDeg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      p
     }
-    p
-  }
 
   /** Heterogeneous directed edge set with label-prefixed string ids. */
   private def edgeSet(s: org.apache.spark.sql.SparkSession, d: String) = {

@@ -184,10 +184,12 @@ object Incremental {
     *
     * `nBuckets` is FIXED at bootstrap (recorded in a `.nbuckets`
     * marker and validated every batch — a changed bucket count would
-    * silently strand keys in unread buckets). SINGLE WRITER assumed
-    * (foreachBatch provides it); a concurrent external reader may
-    * transiently see an affected bucket absent mid-promotion and
-    * should retry — unaffected buckets are never disturbed. Usage:
+    * silently strand keys in unread buckets; a LOST marker is
+    * re-pinned only after the layout+rehash probe passes). SINGLE
+    * WRITER assumed (foreachBatch provides it); concurrent external
+    * readers use [[readKeyedStore]] (manifest-resolved, never misses
+    * a bucket mid-swap) — the direct `dir/snapshot` parquet read
+    * stays valid between applies. Usage:
     * `deltas.writeStream.foreachBatch(
     * Incremental.cdcApplyBatch(dir, "k", "v") _)`; the accumulated
     * snapshot reads back as parquet with `bucket` as a partition
@@ -242,6 +244,27 @@ object Incremental {
           d.join(base.select(keys.map(col): _*), keys, "left_anti"))
     }
   }
+
+  /** Swap-safe read of a [[BucketStore]]-backed table ([[cdcApplyBatch]]
+    * / [[upsertKeyedBatch]] stores): resolves the atomically-published
+    * manifest, falling back per bucket to the retained pre-swap copy,
+    * so a reader concurrent with an apply always sees a COMPLETE
+    * bucket set (the direct `dir/snapshot` read can transiently miss
+    * a bucket mid-promotion). Returns rows without the `bucket`
+    * partition column.
+    */
+  def readKeyedStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = BucketStore.read(spark, dir)
+
+  /** One-time migration of a legacy FLAT keyed store (plain parquet
+    * under `dir/snapshot`) into the bucketed [[BucketStore]] layout —
+    * the rewrite the legacy-store reject in [[cdcApplyBatch]] /
+    * [[upsertKeyedBatch]] asks for. Crash-safe (re-run on failure);
+    * no-op but marker/manifest-healing on an already-bucketed store.
+    */
+  def migrateKeyedStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: Seq[String], nBuckets: Int = 256): Unit =
+    BucketStore.migrate(spark, dir, keys, nBuckets)
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double)

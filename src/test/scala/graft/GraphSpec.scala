@@ -209,4 +209,33 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  test("prepared edge-set cache: LRU eviction unpersists; clear hook unpersists") {
+    import graft.ops.GraphOps
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val oldCap = GraphOps.maxPrepared
+    try {
+      GraphOps.clearPreparedCache()
+      GraphOps.maxPrepared = 1
+      // populate key (session, sf0.001) through a public consumer
+      graft.SparkEntry.queries("g1_varlength_bfs")(spark, TestSession.sf0001).count()
+      val p1 = GraphOps.preparedFor(spark, TestSession.sf0001)
+      assert(p1.isDefined && p1.get.e.storageLevel != none, "entry cached+persisted")
+      // a second key overflows the cap-1 LRU: the first entry must be
+      // dropped AND its frames unpersisted (not leaked)
+      graft.SparkEntry.queries("g1_varlength_bfs")(spark, TestSession.sf001).count()
+      assert(GraphOps.preparedFor(spark, TestSession.sf0001).isEmpty, "LRU evicted")
+      assert(p1.get.e.storageLevel == none &&
+        p1.get.withDeg.storageLevel == none, "eviction unpersisted the frames")
+      val p2 = GraphOps.preparedFor(spark, TestSession.sf001)
+      assert(p2.isDefined && p2.get.e.storageLevel != none)
+      // the explicit session-close hook unpersists what remains
+      GraphOps.clearPreparedCache(Some(spark))
+      assert(GraphOps.preparedFor(spark, TestSession.sf001).isEmpty)
+      assert(p2.get.e.storageLevel == none)
+    } finally {
+      GraphOps.maxPrepared = oldCap
+      GraphOps.clearPreparedCache()
+    }
+  }
 }

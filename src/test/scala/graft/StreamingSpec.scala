@@ -276,8 +276,23 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(snap.size === 32, "no keys lost through the crash window")
     assert(snap(3L) === 99.0, "the replayed delta still applied")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.prev")),
-      "recovery cleans the retired copies")
+    // retired copies are RETAINED until the next apply (they are the
+    // mid-swap fallback for swap-safe readers) — but never as holes:
+    // every retained .prev bucket must also be live in the snapshot
+    val prevP = new org.apache.hadoop.fs.Path(s"$dir/.prev")
+    if (fs.exists(prevP))
+      for (st <- fs.listStatus(prevP) if st.getPath.getName.startsWith("bucket="))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/snapshot/${st.getPath.getName}")),
+          s"${st.getPath.getName} retained without a live copy")
+    // …and the NEXT apply drops the previous batch's retained copies
+    // before retiring its own
+    val delta2 = Seq((3L, Some(99.0): Option[Double], Some(7.0): Option[Double], "changed"))
+      .toDF("k", "v_old", "v_new", "change")
+    Incremental.cdcApplyBatch(dir, "k", "v", nB)(delta2, 2L)
+    val snap2 = spark.read.parquet(s"$dir/snapshot").select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(snap2.size === 32 && snap2(3L) === 7.0)
   }
 
   test("stream-stream interval join matches within the lookback and bounds state") {
