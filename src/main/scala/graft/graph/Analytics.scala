@@ -161,6 +161,17 @@ object GraphAnalytics {
     graft.dedup.Dedup.components(
       edges.select(col("src").as("id_a"), col("dst").as("id_b")), maxIters)
 
+  /** [[connectedComponents]] by alternating large-star/small-star
+    * contraction ([[graft.dedup.Dedup.componentsStar]]) — identical
+    * contract and output, O(log² n) rounds instead of O(diameter).
+    * Use when component diameter is unknown or can exceed ~15 (long
+    * chains, road-network-ish graphs): min-label loud-fails there by
+    * design, star contraction converges in single-digit alternations.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIters: Int = 25): DataFrame =
+    graft.dedup.Dedup.componentsStar(
+      edges.select(col("src").as("id_a"), col("dst").as("id_b")), maxIters)
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
     // deg feeds TWO rank joins — persist the (node-count-sized) frame

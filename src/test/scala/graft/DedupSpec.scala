@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("componentsStar matches components on mixed small graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 12L), (12L, 11L),
+      (11L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val star = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(star === minLabel)
+  }
+
+  test("componentsStar handles a diameter-200 chain where min-label loud-fails") {
+    // a 201-node path: diameter 200 >> the min-label default of 20
+    // rounds. Star contraction's round count is O(log² n), not
+    // O(diameter) — the default budget of 25 must be ample.
+    val chain = (1L to 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(chain) // O(diameter) rounds: exceeds maxIters=20
+    }
+    val got = Dedup.componentsStar(chain).as[(Long, Long)].collect().toMap
+    assert(got.size === 201 && got.values.toSet === Set(1L))
+  }
+
+  test("componentsStar: duplicate/reversed pairs, self-loops, empty input") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.componentsStar(messy).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.componentsStar(empty).isEmpty)
+  }
+
   test("keep-one-per-group composes from components") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b")
