@@ -21,17 +21,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is physically TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; the session is built with
-    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession) so the
-    * column arrives as LONG nanos, converted here to a micro-precision
-    * timestamp. Integer division (`div`), NOT `/`: epoch-nano values
-    * (~1.7e18) exceed double's 2^53 exact range, so floating division
-    * followed by a cast truncates to timestamps off by 1µs.
+  /** events.ts normalized to a session-zone TIMESTAMP regardless of the
+    * generator's physical type, which has varied across driver testdata
+    * generations:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it natively; the
+    *     session sets spark.sql.legacy.parquet.nanosAsLong=true
+    *     (GraftSession) so it arrives as LONG nanos — converted here
+    *     with integer division (`div`, NOT `/`: epoch-nano values
+    *     ~1.7e18 exceed double's 2^53 exact range, so floating division
+    *     then cast truncates timestamps off by 1µs).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP, value-identical under the
+    *     session's pinned UTC zone, keeping every downstream consumer
+    *     (windows, session_window, unix_timestamp) on one type.
+    *   - TIMESTAMP(MICROS, adjusted): already TimestampType; untouched.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
