@@ -40,10 +40,28 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Loud guard before the ÷1000: the LongType branch is specifically
+        // the nanosAsLong encoding (~1.8e18 for 2020s dates). If a future
+        // testdata generation ships INT64 micros (~1.8e15) this division
+        // would silently corrupt every timestamp 1000×; assert magnitude
+        // on one row instead of guessing.
+        val sample = df.select(col("ts")).where(col("ts").isNotNull).head(1)
+        sample.headOption.map(_.getLong(0)).foreach { v =>
+          if (v < 1e17.toLong)
+            throw new IllegalStateException(
+              s"events.ts is LongType but magnitude $v is not epoch-nanos " +
+                "(~1e18 expected); refusing the nanos->micros division. " +
+                "Inspect the generator's physical ts type.")
+        }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected parquet-decoded type $other; " +
+            "known generations are LONG nanos, TIMESTAMP_NTZ micros, and " +
+            "adjusted TIMESTAMP micros. Extend Tables.events explicitly.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

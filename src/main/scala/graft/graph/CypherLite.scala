@@ -141,13 +141,26 @@ object CypherLite {
   import PropertyGraph.{Direction, In, Out, Both, PatternNode, PatternStep}
 
   /** One RETURN/WITH item: `agg = None` → a plain (grouping) item;
-    * `prop = None` → the alias's id column; `distinct` only with
-    * count.
+    * `prop = None` → the alias's id column (or a relationship
+    * variable's eid); `distinct` only with count/collect. `arith`
+    * set → the item is an ARITHMETIC expression (`n.a + n.b`,
+    * `bal * 2 + 1`) compiled to Column arithmetic; `alias`/`prop` are
+    * unused then and the refs live in the AST.
     */
   final case class ReturnItem(
       agg: Option[String], distinct: Boolean,
-      alias: String, prop: Option[String], as: String) {
+      alias: String, prop: Option[String], as: String,
+      arith: Option[ArithExpr] = None) {
     def isStar: Boolean = alias == "*"
+  }
+
+  /** Every (alias, prop) pair an item reads — one for a plain
+    * property item, several for an arithmetic one. Drives property
+    * attachment and unlabeled-alias validation.
+    */
+  private def itemPropRefs(ri: ReturnItem): Seq[(String, String)] = ri.arith match {
+    case Some(ae) => arithRefs(ae).collect { case (a, Some(p)) => (a, p) }
+    case None => ri.prop.map(p => ri.alias -> p).toSeq
   }
 
   /** One compiled OPTIONAL MATCH clause: a chain of (required) steps
@@ -194,7 +207,14 @@ object CypherLite {
       carried: Map[String, (String, String)],
       whereAfterLimit: Boolean = false,
       distinct: Boolean = false,
-      skip: Option[Int] = None)
+      skip: Option[Int] = None,
+      // `UNWIND listName AS x` clauses following the stage (after its
+      // WHERE/ORDER BY/LIMIT, Cypher clause order): each compiles to
+      // `explode` — one row per element, empty/null lists drop the
+      // row (Cypher UNWIND semantics, matched by explode exactly).
+      // The unwound names join the stage's output namespace; the
+      // source list stays in scope (Cypher).
+      unwinds: Seq[(String, String)] = Seq.empty)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -484,6 +504,105 @@ object CypherLite {
     case other => Seq(other)
   }
 
+  /** Arithmetic AST for RETURN/WITH items (`n.a + n.b`, `bal * 2 + 1`)
+    * — terms are property refs (`alias.prop`), bare names (a pattern
+    * alias's id, or a previous stage's output), and numeric literals;
+    * operators `+ - * /` with standard precedence, parentheses, unary
+    * minus. Folds to Column arithmetic — stays inside whole-stage
+    * codegen, no UDF.
+    */
+  private[graph] sealed trait ArithExpr
+  private final case class NumA(v: Any) extends ArithExpr
+  private final case class RefA(alias: String, prop: Option[String]) extends ArithExpr
+  private final case class NegA(x: ArithExpr) extends ArithExpr
+  private final case class BinA(op: Char, l: ArithExpr, r: ArithExpr) extends ArithExpr
+
+  private def arithRefs(e: ArithExpr): Seq[(String, Option[String])] = e match {
+    case RefA(a, p) => Seq(a -> p)
+    case NegA(x) => arithRefs(x)
+    case BinA(_, l, r) => arithRefs(l) ++ arithRefs(r)
+    case NumA(_) => Seq.empty
+  }
+
+  private def arithColumn(e: ArithExpr,
+      resolve: (String, Option[String]) => Column): Column = e match {
+    case NumA(v) => lit(v)
+    case RefA(a, p) => resolve(a, p)
+    case NegA(x) => -arithColumn(x, resolve)
+    case BinA('+', l, r) => arithColumn(l, resolve) + arithColumn(r, resolve)
+    case BinA('-', l, r) => arithColumn(l, resolve) - arithColumn(r, resolve)
+    case BinA('*', l, r) => arithColumn(l, resolve) * arithColumn(r, resolve)
+    case BinA('/', l, r) => arithColumn(l, resolve) / arithColumn(r, resolve)
+    case BinA(op, _, _) => throw new IllegalArgumentException(s"operator '$op'")
+  }
+
+  /** Recursive-descent arithmetic parser (left-associative; * / bind
+    * tighter than + -). Returns None when `s` is not arithmetic at all
+    * (no operator) so the caller can fall through to its plain-item
+    * message.
+    */
+  private def parseArith(s: String): ArithExpr = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def factor(): ArithExpr = {
+      ws()
+      if (peek == '-') { i += 1; NegA(factor()) }
+      else if (peek == '(') {
+        i += 1
+        val e = expr()
+        ws()
+        require(peek == ')', s"unbalanced '(' in arithmetic: '$s'")
+        i += 1
+        e
+      } else {
+        val start = i
+        if (peek.isDigit) {
+          while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+          val t = s.substring(start, i)
+          NumA(if (t.contains('.')) t.toDouble else t.toLong)
+        } else {
+          require(peek.isLetter || peek == '_',
+            s"expected a number, alias[.prop] or '(' at '${s.substring(i)}'")
+          while (i < s.length && isWordChar(s.charAt(i))) i += 1
+          val a = s.substring(start, i)
+          if (peek == '.') {
+            i += 1
+            val ps = i
+            require(i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_'),
+              s"expected property name after '$a.'")
+            while (i < s.length && isWordChar(s.charAt(i))) i += 1
+            RefA(a, Some(s.substring(ps, i)))
+          } else RefA(a, None)
+        }
+      }
+    }
+    def term(): ArithExpr = {
+      var l = factor()
+      ws()
+      while (peek == '*' || peek == '/') {
+        val op = peek; i += 1
+        l = BinA(op, l, factor())
+        ws()
+      }
+      l
+    }
+    def expr(): ArithExpr = {
+      var l = term()
+      ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; i += 1
+        l = BinA(op, l, term())
+        ws()
+      }
+      l
+    }
+    val e = expr()
+    ws()
+    require(i == s.length, s"trailing input in arithmetic item: '${s.substring(i)}'")
+    e
+  }
+
   private def parseProps(s: String): Column = {
     val body = s.stripPrefix("{").stripSuffix("}").trim
     require(body.nonEmpty, "empty property map")
@@ -590,23 +709,41 @@ object CypherLite {
     // so a chain compiles to a fold of projection/aggregation stages
     val withSegs = splitOnWith(beforeReturn)
     val beforeWith = withSegs.head
-    // clause split FIRST: the leading required MATCH, then OPTIONAL
-    // MATCH clauses. Each clause segment may carry its own trailing
-    // WHERE (the standard Cypher order `MATCH … WHERE … OPTIONAL
-    // MATCH … WHERE …`), and a WHERE binds to ITS clause: conditions
-    // on a required-MATCH WHERE filter the pattern; conditions on an
-    // OPTIONAL MATCH's WHERE narrow that optional match (unmatched
+    // clause split FIRST: the leading required MATCH clause(s), then
+    // OPTIONAL MATCH clauses. Each clause segment may carry its own
+    // trailing WHERE (the standard Cypher order `MATCH … WHERE …
+    // [MATCH … WHERE …] OPTIONAL MATCH … WHERE …`), and a WHERE binds
+    // to ITS clause: conditions on a required-MATCH WHERE filter the
+    // pattern (scope: every alias bound SO FAR — required clauses are
+    // all inner, so earlier-clause references commute); conditions on
+    // an OPTIONAL MATCH's WHERE narrow that optional match (unmatched
     // rows keep nulls). No whitespace normalization — the token
     // regexes tolerate \s* themselves, and a global squeeze would
     // silently rewrite spaces INSIDE quoted literals.
-    val clauses = beforeWith.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
-      .map { seg =>
-        seg.split("(?i)\\bWHERE\\b", 2) match {
-          case Array(p)    => (p.trim, None)
-          case Array(p, w) => (p.trim, Some(w.trim))
-        }
+    def splitWhere(seg: String): (String, Option[String]) =
+      seg.split("(?i)\\bWHERE\\b", 2) match {
+        case Array(p)    => (p.trim, None)
+        case Array(p, w) => (p.trim, Some(w.trim))
       }
-    val matchBody = clauses.head._1.replaceFirst("(?i)^MATCH\\b", "").trim
+    val optSegs = beforeWith.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
+    // a required MATCH AFTER an OPTIONAL MATCH changes binding
+    // semantics in Neo4j (it re-enters required matching on a frame
+    // that already holds nulls) — loud reject, don't guess
+    for (seg <- optSegs.drop(1))
+      require(!"(?i)\\bMATCH\\b".r.findFirstIn(seg).isDefined,
+        "required MATCH after OPTIONAL MATCH is unsupported — place " +
+          "all required MATCH clauses before the first OPTIONAL MATCH")
+    // multiple sequential required MATCH clauses — the common real
+    // Text2Cypher split of one pattern (`MATCH (a)… WHERE … MATCH
+    // (a)…`). Each subsequent clause folds into the comma-part
+    // machinery (every chain must re-enter at a bound alias — the
+    // cartesian guard) but carries its own CLAUSE TAG: relationship
+    // isomorphism stays per clause (Neo4j — a second clause may
+    // rebind an edge the first traversed).
+    val reqClauses = optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", "")
+      .split("(?i)\\bMATCH\\b").toIndexedSeq.map(splitWhere)
+    val optClausesTxt = optSegs.drop(1).toIndexedSeq.map(splitWhere)
+    val matchBody = reqClauses.head._1
     require(matchBody.nonEmpty, "empty pattern")
 
     var idx = 0
@@ -630,6 +767,13 @@ object CypherLite {
             idx += 1
             (Option(m.group(2)), Option(m.group(3))) match {
               case (None, None) if allowBare && bound.contains(alias) => Left(alias)
+              // a re-anchor position may RESTATE the alias's label —
+              // `MATCH (p:Patient)… MATCH (p:Patient)…`, the shape
+              // Text2Cypher output writes — as long as it matches;
+              // a DIFFERENT label or an inline property map on a
+              // bound alias is a contradiction, rejected below
+              case (Some(lbl), None) if allowBare && bound.get(alias).contains(lbl) =>
+                Left(alias)
               case (labelOpt, propsOpt) =>
                 // no :Label = the ANY-node position (README.md:137
                 // `MATCH (a)-[r*1..4]-(b)`), label "": query() mounts
@@ -638,7 +782,12 @@ object CypherLite {
                 // contract, VALIDATED at query time); properties
                 // beyond `id` don't exist there
                 val label = labelOpt.getOrElse("")
-                require(!bound.contains(alias), s"duplicate alias '$alias'")
+                require(!bound.contains(alias),
+                  if (allowBare)
+                    s"alias '$alias' is already bound as :${bound(alias)} — " +
+                      "a re-anchor may only restate that label, with no " +
+                      "property map"
+                  else s"duplicate alias '$alias'")
                 require(!relVars(alias),
                   s"alias '$alias' already names a relationship variable")
                 bound += alias -> label
@@ -647,22 +796,26 @@ object CypherLite {
             }
           case None => fail("expected (alias:Label {…})", rest)
         }
-      def edge(): (String, Direction, Int, Int) = {
+      def edge(): (String, Direction, Int, Int, Option[String]) = {
         def consume(m: scala.util.matching.Regex.Match,
-            dir: Direction): (String, Direction, Int, Int) = {
+            dir: Direction): (String, Direction, Int, Int, Option[String]) = {
           rest = rest.substring(m.end).trim
-          // a relationship VARIABLE parses and registers (so RETURN/
-          // WHERE references to it reject with a precise message) but
-          // is never materialized — edge rows have no identity column
-          // to return
-          for (v <- Option(m.group(1))) {
+          // a relationship VARIABLE registers here; if the RETURN (or
+          // first WITH stage) references it, the step MATERIALIZES the
+          // relationship identity under the variable's name (an eid
+          // string `relType NUL src NUL dst`; a var-length step yields
+          // the traversed eids in path order). Unreferenced variables
+          // are stripped after item parsing so their steps keep the
+          // skinny 2-column plans.
+          val varOpt = Option(m.group(1))
+          for (v <- varOpt) {
             require(!bound.contains(v) && !relVars(v),
               s"duplicate relationship variable '$v'")
             relVars += v
           }
           val (lo, hi) = hopBounds(Option(m.group(3)).map(_.trim).filter(_.nonEmpty))
           // type absent = untyped step (rel "" walks every edge table)
-          (Option(m.group(2)).getOrElse(""), dir, lo, hi)
+          (Option(m.group(2)).getOrElse(""), dir, lo, hi, varOpt)
         }
         EdgeFwdRe.findFirstMatchIn(rest) match {
           case Some(m) => consume(m, Out)
@@ -686,13 +839,13 @@ object CypherLite {
       }
       var any = false
       while (rest.nonEmpty) {
-        val (rel, dir, lo, hi) = edge()
+        val (rel, dir, lo, hi, relVar) = edge()
         val n = node(allowBare = false) match {
           case Right(nn) => nn
           case Left(a)   => fail(s"chain node '$a' must declare a :Label", rest)
         }
         into += PatternStep(rel, dir, n, from = anchor,
-          minHops = lo, maxHops = hi)
+          minHops = lo, maxHops = hi, relVar = relVar)
         anchor = None // subsequent steps chain from the previous node
         any = true
       }
@@ -788,26 +941,40 @@ object CypherLite {
     // top-level comma = a new pattern part (commas inside {…} are
     // property separators); each additional part must START at an
     // already-bound alias — the Cypher multi-pattern form rag.baml's
-    // examples use for branches. OPTIONAL MATCH clauses are single
+    // examples use for branches. Subsequent required MATCH clauses
+    // reuse the same machinery (every chain re-enters at a bound
+    // alias — alias-disjoint clauses reject, the cartesian guard) but
+    // tag their steps with the clause index so relationship
+    // isomorphism stays per clause. OPTIONAL MATCH clauses are single
     // chains anchored at a bound alias, compiled as left-joined UNITS.
     var ci = 0
-    for (((body0, whereOpt), oi) <- clauses.zipWithIndex) {
-      val body = if (oi == 0) matchBody else body0
+    for (((body0, whereOpt), rc) <- reqClauses.zipWithIndex) {
+      val body = if (rc == 0) matchBody else body0
       val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
-      require(chains.nonEmpty, if (oi == 0) "empty pattern" else "empty OPTIONAL MATCH")
-      if (oi == 0) {
-        for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
-        for (w <- whereOpt) {
-          val ns = start +: steps.toSeq.map(_.node)
-          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
-          rowPreds ++= rps
-          upd.get(start.as).foreach(start = _)
-          for (i <- steps.indices; n <- upd.get(steps(i).node.as))
-            steps(i) = steps(i).copy(node = n)
-        }
-      } else {
-        require(chains.length == 1,
-          "OPTIONAL MATCH supports a single chain per clause (use another OPTIONAL MATCH)")
+      require(chains.nonEmpty,
+        if (rc == 0) "empty pattern" else s"empty MATCH clause ${rc + 1}")
+      val before = steps.length
+      for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
+      for (i <- before until steps.length)
+        steps(i) = steps(i).copy(clause = rc)
+      for (w <- whereOpt) {
+        // scope: every alias bound so far — required clauses are all
+        // inner joins, so an earlier-clause condition commutes; a
+        // FORWARD reference (to a later clause) fails the unknown-
+        // alias check naturally
+        val ns = start +: steps.toSeq.map(_.node)
+        val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
+        rowPreds ++= rps
+        upd.get(start.as).foreach(start = _)
+        for (i <- steps.indices; n <- upd.get(steps(i).node.as))
+          steps(i) = steps(i).copy(node = n)
+      }
+    }
+    for ((body, whereOpt) <- optClausesTxt) {
+      val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
+      require(chains.nonEmpty, "empty OPTIONAL MATCH")
+      require(chains.length == 1,
+        "OPTIONAL MATCH supports a single chain per clause (use another OPTIONAL MATCH)")
         val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
         parseChain(chains.head, ci, clauseSteps, optional = true); ci += 1
         val anchor = clauseSteps.head.from.getOrElse(
@@ -833,7 +1000,6 @@ object CypherLite {
         }
         optClauses += OptClause(anchor, clauseSteps.toSeq, anchorPred,
           clauseRps)
-      }
     }
 
     val labels = bound.toMap
@@ -843,6 +1009,8 @@ object CypherLite {
       * the pattern they are the bound aliases; after a WITH they are
       * the WITH output names (prop access only on carried aliases).
       */
+    val ArithAsRe =
+      """^(.*[+\-*/].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -851,9 +1019,13 @@ object CypherLite {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
-          require(target == "*" || !relVars(target),
-            s"relationship variable '$target' is not aggregable — " +
-              "count(*) counts paths (= relationship tuples) already")
+          // a relationship variable aggregates like any value column:
+          // count/count DISTINCT/collect over its eid are meaningful
+          // (count(DISTINCT r) = distinct relationships); sum/avg over
+          // an eid string reject via the bare-alias rule below
+          require(target == "*" || prop == null || !relVars(target),
+            s"$f($target.$prop): '$target' is a relationship variable — " +
+              "relationships carry no properties in this engine")
           require(target == "*" || aggOk(target),
             s"$f() references unknown ${if (ctx == "RETURN") "name" else "alias"} '$target'")
           require(prop == null || propOk(target),
@@ -862,24 +1034,48 @@ object CypherLite {
             "only count(*) may aggregate '*'")
           require(!d || f == "count" || f == "collect",
             s"DISTINCT only supported with count and collect, not $f")
-          // over the pattern, a bare alias is an id — countable and
-          // collectable; after a WITH, a bare NON-CARRIED output is a
-          // value column and sum/min/max/avg over it are the
-          // pipelined-aggregation shapes (sum of stage-1 counts etc.)
+          // over the pattern, a bare alias is an id (a rel variable an
+          // eid) — countable and collectable; after a WITH, a bare
+          // NON-CARRIED output is a value column and sum/min/max/avg
+          // over it are the pipelined-aggregation shapes (sum of
+          // stage-1 counts etc.)
           require(f == "count" || f == "collect" || prop != null || bareAgg(target),
             s"$f() needs alias.prop (bare aliases are ids — only count or collect them)")
           require(as != null, s"aggregate $f(…) needs an AS name")
           ReturnItem(Some(f), d, target, Option(prop), as)
         case PlainItemRe(a, prop, as) =>
-          require(!relVars(a),
-            s"relationship variable '$a' is not returnable — edge rows " +
-              "have no materialized identity (return node positions)")
+          require(prop == null || !relVars(a),
+            s"'$a.$prop': '$a' is a relationship variable — relationships " +
+              "carry no properties in this engine (RETURN the bare " +
+              "variable for its relationship identity)")
           require(if (prop != null) propOk(a) else plainOk(a),
             s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
           ReturnItem(None, distinct = false, a, Option(prop), name)
-        case other => fail(s"$ctx items must be alias[.prop] [AS n] or agg(…) AS n", other)
+        // arithmetic item — `n.a + n.b AS s`, `bal * 2 + 1 AS x`:
+        // compiled to Column arithmetic; acts as a PLAIN item (a
+        // grouping key when mixed with aggregates). AS is mandatory —
+        // there is no natural default name for an expression.
+        case ArithAsRe(exprTxt, as) =>
+          val ae = parseArith(exprTxt.trim)
+          for ((a, pOpt) <- arithRefs(ae)) pOpt match {
+            case Some(p) =>
+              require(!relVars(a),
+                s"'$a.$p': '$a' is a relationship variable — no properties")
+              require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
+            case None =>
+              require(!relVars(a),
+                s"'$a': arithmetic over a relationship variable's eid " +
+                  "string is meaningless — use node properties")
+              require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
+          }
+          ReturnItem(None, distinct = false, "", None, as, arith = Some(ae))
+        case other if other.exists("+-*/".contains(_)) &&
+            !other.matches("(?is).*\\bAS\\b.*") =>
+          fail("arithmetic items need an AS name", other)
+        case other => fail(s"$ctx items must be alias[.prop] [AS n], " +
+          "arith AS n, or agg(…) AS n", other)
       }
 
     // WITH stages: each stage's items project/aggregate the previous
@@ -888,8 +1084,24 @@ object CypherLite {
     // BY/LIMIT. Bare-alias items CARRY their (original pattern alias,
     // label) forward so any later stage — or RETURN — may still
     // attach node properties.
-    val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wp0) =>
+    val UnwindRe =
+      """^([A-Za-z_][A-Za-z0-9_]*)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpRaw) =>
       val prev = acc.lastOption
+      // `UNWIND list AS x` clauses trail the stage (Cypher clause
+      // order: WITH items [WHERE] [ORDER BY] [LIMIT] UNWIND … AS …);
+      // split them off before the stage text parses. UNWIND before
+      // the first WITH has no list-valued source in this engine
+      // (node properties are scalar) and fails the pattern parser
+      // loudly.
+      val unwindIdxs = topLevelKeywordIndices(wpRaw, "UNWIND")
+      val (wp0, unwindTxts) =
+        if (unwindIdxs.isEmpty) (wpRaw, Seq.empty[String])
+        else (wpRaw.substring(0, unwindIdxs.head),
+          (unwindIdxs :+ wpRaw.length).sliding(2).map {
+            case Seq(a, b) => wpRaw.substring(a + "UNWIND".length, b).trim
+            case _ => ""
+          }.toSeq)
       // two accepted subclause orders: `items WHERE … [ORDER BY …]
       // [LIMIT n]` (HAVING-style — the filter runs BEFORE the
       // stage's sort/cut) and the openCypher grammar order `items
@@ -926,9 +1138,10 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         prev match {
           case None =>
-            (labels.contains, labels.contains, labels.contains, _ => false)
+            (a => labels.contains(a) || relVars(a), labels.contains,
+              a => labels.contains(a) || relVars(a), _ => false)
           case Some(pw) =>
-            val names = pw.items.map(_.as).toSet
+            val names = pw.items.map(_.as).toSet ++ pw.unwinds.map(_._2)
             (names.contains, pw.carried.contains, names.contains,
               n => names(n) && !pw.carried.contains(n))
         }
@@ -942,11 +1155,14 @@ object CypherLite {
       for ((n, _) <- wOrderBy)
         require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
       val carried = prev match {
+        // a bare REL-VAR item projects a value column (its eid), not a
+        // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as) => as -> (a, labels(a))
+          case ReturnItem(None, _, a, None, as, None) if labels.contains(a) =>
+            as -> (a, labels(a))
         }.toMap
         case Some(pw) => items.collect {
-          case ReturnItem(None, _, a, None, as) if pw.carried.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None) if pw.carried.contains(a) =>
             as -> pw.carried(a)
         }.toMap
       }
@@ -962,8 +1178,26 @@ object CypherLite {
         }
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }
+      // UNWIND sources must be THIS stage's outputs (or an earlier
+      // unwind's output — chained unwinds); output names must be
+      // fresh. List-typedness is the runtime's to check (explode on a
+      // non-array column is a loud AnalysisException).
+      val unwinds = unwindTxts.foldLeft(Vector.empty[(String, String)]) { (uacc, txt) =>
+        txt match {
+          case UnwindRe(src, out) =>
+            val inScope = outNames ++ uacc.map(_._2)
+            require(inScope(src),
+              s"UNWIND references unknown name '$src' — the list must be " +
+                "an output of this WITH stage (e.g. collect(…) AS xs)")
+            require(!inScope(out) && !uacc.exists(_._2 == out),
+              s"UNWIND output name '$out' collides with an existing output")
+            uacc :+ (src -> out)
+          case other => fail("UNWIND must be `UNWIND listName AS x`", other)
+        }
+      }
       acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
-        whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip)
+        whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
+        unwinds = unwinds)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -983,9 +1217,10 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         withClauses.lastOption match {
           case None =>
-            (labels.contains, labels.contains, labels.contains, _ => false)
+            (a => labels.contains(a) || relVars(a), labels.contains,
+              a => labels.contains(a) || relVars(a), _ => false)
           case Some(w) =>
-            val names = w.items.map(_.as).toSet
+            val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2)
             (names.contains, w.carried.contains, names.contains,
               n => names(n) && !w.carried.contains(n))
         }
@@ -997,8 +1232,8 @@ object CypherLite {
       if (r == "*") withClauses.lastOption match {
         case None => bound.keysIterator.map(a =>
           ReturnItem(None, distinct = false, a, None, a)).toSeq
-        case Some(w) => w.items.map(i =>
-          ReturnItem(None, distinct = false, i.as, None, i.as))
+        case Some(w) => (w.items.map(_.as) ++ w.unwinds.map(_._2)).map(n =>
+          ReturnItem(None, distinct = false, n, None, n))
       }
       else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk)
     }
@@ -1017,7 +1252,19 @@ object CypherLite {
     require(orderBy.isEmpty && limit.isEmpty && skip.isEmpty || returns.nonEmpty,
       "ORDER BY/SKIP/LIMIT need a RETURN clause")
 
-    Parsed(start, steps.toSeq, labels, returns, optClauses.toSeq,
+    // relationship variables the query actually READS (pattern-level
+    // items — the first WITH stage's, or RETURN's when no WITH):
+    // their steps materialize an eid column; every other named
+    // variable is STRIPPED so its step keeps the skinny 2-column plan
+    // (`MATCH (a)-[r*1..4]-(b) RETURN *` pays nothing for r).
+    val usedRelVars: Set[String] =
+      withClauses.headOption.map(_.items).getOrElse(returns)
+        .iterator.map(_.alias).filter(relVars).toSet
+    def stripVar(st: PatternStep): PatternStep =
+      if (st.relVar.exists(usedRelVars)) st else st.copy(relVar = None)
+
+    Parsed(start, steps.toSeq.map(stripVar), labels, returns,
+      optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
       optionalAliases.toSet, returnDistinct, orderBy, limit,
       rowPreds.toSeq, withClauses, skip)
   }
@@ -1038,16 +1285,22 @@ object CypherLite {
       orderBy: Seq[(String, Boolean)], limit: Option[Int],
       postFilter: Option[Column] = None,
       skip: Option[Int] = None): DataFrame = {
-    val needed = items.filter(_.prop.isDefined)
-    val attached = needed.map(_.alias).distinct.foldLeft(frame) { (df, alias) =>
-      val props = needed.filter(_.alias == alias).map(_.prop.get).distinct
+    // every (alias, prop) any item reads — plain property items plus
+    // the refs inside arithmetic expressions — attached once per alias
+    val needed = items.flatMap(itemPropRefs)
+    val attached = needed.map(_._1).distinct.foldLeft(frame) { (df, alias) =>
+      val props = needed.filter(_._1 == alias).map(_._2).distinct
       val label = aliasLabel(alias).getOrElse(
         throw new IllegalArgumentException(s"no node label for '$alias'"))
       g.attach(df, alias, label, props, s"${alias}_",
         if (leftOuter(alias)) "left_outer" else "inner")
     }
-    def baseCol(ri: ReturnItem): Column =
-      ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+    def baseCol(ri: ReturnItem): Column = ri.arith match {
+      case Some(ae) => arithColumn(ae,
+        (a, pOpt) => pOpt.map(p => col(s"${a}_$p")).getOrElse(col(a)))
+      case None =>
+        ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+    }
     val (aggs, plains) = items.partition(_.agg.isDefined)
     var out =
       if (aggs.isEmpty) {
@@ -1165,17 +1418,18 @@ object CypherLite {
       if (!p.labels.valuesIterator.contains("")) g0
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
-    for (ri <- p.withClauses.headOption.map(_.items).getOrElse(p.returns)
-         if ri.prop.isDefined && p.labels.get(ri.alias).contains(""))
+    for (ri <- p.withClauses.headOption.map(_.items).getOrElse(p.returns);
+         (a, pr) <- itemPropRefs(ri)
+         if p.labels.get(a).contains(""))
       throw new IllegalArgumentException(
-        s"${ri.alias}.${ri.prop.get}: alias '${ri.alias}' is unlabeled " +
+        s"$a.$pr: alias '$a' is unlabeled " +
           "— the any-node view has no properties; declare a :Label to read them")
     for ((prev, items) <- p.withClauses.zip(
            p.withClauses.drop(1).map(_.items) :+ p.returns);
-         ri <- items
-         if ri.prop.isDefined && prev.carried.get(ri.alias).exists(_._2 == ""))
+         ri <- items; (a, pr) <- itemPropRefs(ri)
+         if prev.carried.get(a).exists(_._2 == ""))
       throw new IllegalArgumentException(
-        s"${ri.alias}.${ri.prop.get}: carried alias '${ri.alias}' is " +
+        s"$a.$pr: carried alias '$a' is " +
           "unlabeled — the any-node view has no properties")
     val optionals = p.optionalAliases
     // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
@@ -1260,8 +1514,14 @@ object CypherLite {
             distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
             skip = w.skip)
-          val out = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
+          val filtered = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
             else ran
+          // UNWIND clauses trail the stage: one explode per clause —
+          // empty/null lists drop the row (Cypher UNWIND semantics);
+          // the source list stays in scope
+          val out = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
+            d.withColumn(x, explode(col(src)))
+          }
           (out, Some(w))
       }
     if (p.returns.isEmpty) stage

@@ -127,24 +127,34 @@ final case class PropertyGraph(
     // the anchor shape OPTIONAL MATCH clauses extend
     val aliases = (start +: steps.map(_.node)).map(_.as)
     require(aliases.distinct == aliases, s"duplicate position aliases: $aliases")
+    val relVarNames = steps.flatMap(_.relVar)
+    require(relVarNames.distinct == relVarNames,
+      s"duplicate relationship variables: $relVarNames")
+    require((relVarNames.toSet & aliases.toSet).isEmpty,
+      s"relationship variables shadow node aliases: ${relVarNames.toSet & aliases.toSet}")
     val aliasLabel = (start +: steps.map(_.node)).map(n => n.as -> n.label).toMap
     // Whole-pattern relationship isomorphism (Cypher/Neo4j MATCH
-    // semantics, per clause): a relationship binds AT MOST ONCE across
-    // the entire pattern — `(b)<-[:R]-(a)-[:R]->(c)` must not walk the
-    // same edge out and back. Enforced ONLY among steps that share an
-    // edge table (same rel type, or untyped overlapping it): steps
-    // over disjoint tables cannot bind the same relationship, so the
-    // common heterogeneous chain keeps its skinny 2-column joins with
-    // ZERO overhead — the path frame carries a traversed-edge set
-    // (`__peids`, ≤ one entry per pattern step + var-length hops, a
-    // per-row constant) only when a collision is possible. Var-length
-    // steps already enforce uniqueness WITHIN their own chain; when
-    // colliding, their whole traversed set joins the pattern-wide one.
+    // semantics, PER CLAUSE): a relationship binds AT MOST ONCE across
+    // one MATCH clause's pattern — `(b)<-[:R]-(a)-[:R]->(c)` must not
+    // walk the same edge out and back. Steps carry a `clause` tag:
+    // uniqueness is enforced only among steps of the SAME clause
+    // (Neo4j semantics — `MATCH (a)-[:R]->(b) MATCH (a)-[:R]->(b)`
+    // may rebind the same relationship), and only among steps that
+    // share an edge table (same rel type, or untyped overlapping it):
+    // steps over disjoint tables cannot bind the same relationship,
+    // so the common heterogeneous chain keeps its skinny 2-column
+    // joins with ZERO overhead — the path frame carries a per-clause
+    // traversed-edge set (`__peids_<clause>`, ≤ one entry per pattern
+    // step + var-length hops, a per-row constant) only when a
+    // collision is possible. Var-length steps already enforce
+    // uniqueness WITHIN their own chain; when colliding, their whole
+    // traversed set joins the clause-wide one.
     val relNamesOf: PatternStep => Set[String] =
       st => if (st.rel.isEmpty) edges.keySet else Set(st.rel)
     val colliding: Set[Int] = steps.indices.filter { i =>
       steps.indices.exists(j =>
-        j != i && (relNamesOf(steps(i)) & relNamesOf(steps(j))).nonEmpty)
+        j != i && steps(i).clause == steps(j).clause &&
+          (relNamesOf(steps(i)) & relNamesOf(steps(j))).nonEmpty)
     }.toSet
     // relationship identity as a STRING (relType \0 src \0 dst) — the
     // id-type-agnostic form (long ids in TPC-H graphs, string ids in
@@ -153,7 +163,10 @@ final case class PropertyGraph(
       c.getField("r"), c.getField("s").cast("string"),
       c.getField("d").cast("string"))
     val emptyEids = array().cast("array<string>")
-    var hasPeids = false
+    // clauses with an accumulated traversed-edge column so far; the
+    // isomorphism join only tests overlap against the STEP'S OWN
+    // clause's set (`__peids_<clause>`)
+    val peidClauses = scala.collection.mutable.Set.empty[Int]
     val s0 = nodes(start.label)
     var df = start.pred.foldLeft(s0)((d, p) => d.filter(p))
       .select(col("id").as(start.as))
@@ -258,8 +271,14 @@ final case class PropertyGraph(
       // back-and-forth repetitions; bounded hops keep the carried
       // array ≤ maxHops entries, a per-row constant).
       val collide = colliding(stepIdx)
+      // a named relationship variable that a caller wants returned —
+      // the step materializes its relationship identity (single-hop:
+      // one eid string; var-length: the traversed eids in PATH order)
+      // under the variable's name. Steps without a used variable keep
+      // their skinny 2-column plans.
+      val wantVar = st.relVar.isDefined
       val ed0 =
-        if (!multiHop) stepRel(withEid = collide)
+        if (!multiHop) stepRel(withEid = collide || wantVar)
         else {
           val base = stepRel(withEid = true)
           val first = base.select(col("__from"), col("__to"),
@@ -273,9 +292,9 @@ final case class PropertyGraph(
                 concat(col("__eids"), array(col("__eid2"))).as("__eids"))
           }
           // a colliding var-length step keeps its traversed set so the
-          // pattern-wide isomorphism join below can see it
+          // clause-wide isomorphism join below can see it
           hChains.slice(st.minHops - 1, st.maxHops)
-            .map(c => if (collide)
+            .map(c => if (collide || wantVar)
               c.select(col("__from"), col("__to"), col("__eids"))
             else c.select(col("__from"), col("__to")))
             .reduce(_ unionAll _)
@@ -297,34 +316,39 @@ final case class PropertyGraph(
         if (!collide) None
         else if (multiHop) Some(transform(col("__eids"), eidStr(_)))
         else Some(array(eidStr(col("__eid"))))
-      val edr = newEids match {
-        case None => ed.select(col("__from"), col("__to").as(st.node.as))
-        case Some(ne) =>
-          ed.select(col("__from"), col("__to").as(st.node.as),
-            ne.as("__neids"))
+      // the variable's materialized form: one eid string for a
+      // single-hop step, the eids in path order for var-length
+      val varCol: Seq[Column] = st.relVar.toSeq.map { v =>
+        (if (multiHop) transform(col("__eids"), eidStr(_))
+        else eidStr(col("__eid"))).as(v)
       }
-      // isomorphism join: a colliding step may not reuse ANY
-      // already-traversed relationship — the overlap test rides the
-      // join condition, so an optional step failing it keeps its outer
-      // row with nulls (a non-match), exactly like a failed node match
+      val edr = ed.select(
+        col("__from") +: col("__to").as(st.node.as) +:
+          (newEids.map(_.as("__neids")).toSeq ++ varCol): _*)
+      // isomorphism join: a colliding step may not reuse a
+      // relationship its OWN clause already traversed — the overlap
+      // test rides the join condition, so an optional step failing it
+      // keeps its outer row with nulls (a non-match), exactly like a
+      // failed node match
+      val peidCol = s"__peids_${st.clause}"
       val joinCond =
-        if (collide && hasPeids)
+        if (collide && peidClauses(st.clause))
           df(anchor) === edr("__from") &&
-            !arrays_overlap(df("__peids"), edr("__neids"))
+            !arrays_overlap(df(peidCol), edr("__neids"))
         else df(anchor) === edr("__from")
       df = df.join(edr, joinCond,
         if (st.optional) "left_outer" else "inner").drop("__from")
       if (collide) {
         // null __neids (unmatched optional step) contributes nothing
         val add = coalesce(col("__neids"), emptyEids)
-        df = (if (hasPeids)
-          df.withColumn("__peids", concat(col("__peids"), add))
-        else df.withColumn("__peids", add)).drop("__neids")
-        hasPeids = true
+        df = (if (peidClauses(st.clause))
+          df.withColumn(peidCol, concat(col(peidCol), add))
+        else df.withColumn(peidCol, add)).drop("__neids")
+        peidClauses += st.clause
       }
       prev = st.node.as
     }
-    if (hasPeids) df.drop("__peids") else df
+    peidClauses.foldLeft(df)((d, c) => d.drop(s"__peids_$c"))
   }
 
   /** Join node properties onto a [[matchPaths]] result for position
@@ -455,10 +479,22 @@ object PropertyGraph {
     * it walks EVERY edge table, label-blind — sound only when node
     * ids are globally unique across labels (prefix them if per-label
     * id spaces overlap).
+    * `clause` groups steps for relationship isomorphism: uniqueness is
+    * enforced only among steps sharing a clause tag (AND an edge
+    * table) — a second `MATCH` clause gets a fresh tag, so it may
+    * rebind a relationship the first clause traversed (Neo4j
+    * semantics).
+    * `relVar` names a relationship variable to MATERIALIZE: the output
+    * frame carries a column of that name holding the step's
+    * relationship identity — `relType src dst` for a
+    * single-hop step, the array of those (in path order) for a
+    * var-length one. Left as None (the default), the step's plan
+    * stays the skinny 2-column join.
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
       from: Option[String] = None, optional: Boolean = false,
-      minHops: Int = 1, maxHops: Int = 1)
+      minHops: Int = 1, maxHops: Int = 1,
+      clause: Int = 0, relVar: Option[String] = None)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

@@ -813,6 +813,67 @@ object GraphOps {
              |FROM (SELECT DISTINCT n_name, c_mktsegment AS seg
              |      FROM nation JOIN customer ON c_nationkey = n_nationkey)
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // G28 MULTIPLE REQUIRED MATCH CLAUSES through the text route —
+    // the most common real Text2Cypher shape the engine still
+    // rejected after round 10 (the prompt contract rag.baml:65-102
+    // permits splitting one pattern as `MATCH … WHERE … MATCH …`).
+    // Each subsequent alias-connected clause folds into the comma-
+    // part machinery with per-clause WHERE scoping and a per-clause
+    // relationship-isomorphism tag (Neo4j semantics); alias-disjoint
+    // clauses stay a loud reject (cartesian guard — CypherLiteSpec).
+    // The second clause RESTATES the anchor's label, the form LLMs
+    // emit. All-inner semantics → a plain three-table join oracle.
+    QueryDef(
+      "g28_cypher_multi_match",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation) WHERE r.r_name = 'EUROPE'
+          |MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer) WHERE c.c_acctbal > 5000
+          |RETURN n.n_name AS n_name, count(*) AS n_cust""".stripMargin)),
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE r_name = 'EUROPE' AND c_acctbal > 5000
+             |GROUP BY n_name ORDER BY ALL""".stripMargin)
+    ),
+    // G29 RETURNABLE RELATIONSHIP VARIABLES — `-[e:REL]->` now
+    // materializes the relationship identity (relType NUL src NUL
+    // dst — the eid the round-10 isomorphism machinery already
+    // carried) when the query reads it, closing the README.md:137
+    // `RETURN *` divergence vs Kuzu at the single-edge level.
+    // Unreferenced variables are stripped (CypherLiteSpec pins the
+    // plan carries no eid column). NULs swap to ':' for the oracle
+    // transport — DuckDB VARCHARs reject NUL bytes.
+    QueryDef(
+      "g29_cypher_rel_var",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[e:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000
+          |RETURN n.n_name AS n_name, e AS eid""".stripMargin)
+        .select(col("n_name"), translate(col("eid"), "\u0000", ":").as("eid"))),
+      Some("""SELECT n_name,
+             |  'HAS_CUSTOMER:' || c_nationkey || ':' || c_custkey AS eid
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G30 UNWIND + ARITHMETIC RETURN ITEMS through the text route —
+    // `UNWIND xs AS x` compiles to explode (empty/null lists drop
+    // rows, Cypher semantics; the list stays in scope) and RETURN
+    // items extend to + - * / folded to Column arithmetic (no UDF,
+    // whole-stage codegen). unwind(collect(x)) round-trips the
+    // original multiset, so the oracle is the plain join with the
+    // same arithmetic.
+    QueryDef(
+      "g30_cypher_unwind_arith",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n, collect(c.c_custkey) AS ids
+          |UNWIND ids AS cid
+          |RETURN n.n_name AS n_name, cid * 2 + 1 AS x""".stripMargin)),
+      Some("""SELECT n_name, c_custkey * 2 + 1 AS x
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -133,6 +133,128 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("multiple required MATCH clauses fold alias-connected patterns") {
+    // the common Text2Cypher split of one pattern across two MATCH
+    // clauses, re-anchored at a bound alias (label restated — the
+    // shape LLMs write)
+    val df = CypherLite.query(g,
+      """MATCH (a:A {id: 1})-[:R1]->(b:B)
+        |MATCH (b:B)<-[:R2]-(c:C)
+        |RETURN a.tag AS a_tag, c.tag AS c_tag""".stripMargin)
+    assert(df.as[(String, String)].collect().toSeq === Seq(("a1", "c3")))
+    // per-clause WHERE in standard order: MATCH … WHERE … MATCH … WHERE …
+    val w = CypherLite.query(g,
+      """MATCH (a:A) WHERE a.id = 1
+        |MATCH (a)-[:R1]->(b:B) WHERE b.id = 2
+        |RETURN b.tag AS t""".stripMargin).as[String].collect().toSeq
+    assert(w === Seq("b2"))
+    // a later clause's WHERE may reference an EARLIER clause's alias
+    // (all-inner semantics; Cypher scope rules)
+    val cross = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |MATCH (b)<-[:R2]-(c:C) WHERE a.id = 1
+        |RETURN c.tag AS t""".stripMargin).as[String].collect().toSeq
+    assert(cross === Seq("c3"))
+  }
+
+  test("relationship isomorphism is per MATCH clause (Neo4j semantics)") {
+    // diamond from node 1: exactly ONE out-edge (1,2). As comma parts
+    // (one clause) the two steps may not bind the same relationship →
+    // zero rows; as two MATCH clauses each may rebind it → one row.
+    val oneClause = CypherLite.query(diamond,
+      "MATCH (a:N {id: 1})-[:E]->(b:N), (a)-[:E]->(b2:N) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(oneClause === 0L, "comma parts share a clause — edge (1,2) binds once")
+    val twoClauses = CypherLite.query(diamond,
+      """MATCH (a:N {id: 1})-[:E]->(b:N)
+        |MATCH (a)-[:E]->(b2:N)
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(twoClauses === 1L, "separate clauses may rebind the relationship")
+  }
+
+  test("alias-disjoint MATCH clauses and MATCH after OPTIONAL MATCH reject") {
+    intercept[IllegalArgumentException] {
+      // cartesian guard: second clause shares no alias with the first
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) MATCH (z:C)-[:R2]->(w:B) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      // re-anchor restating a DIFFERENT label is a contradiction
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) MATCH (a:B)-[:R1]->(b2:B) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) MATCH (b)<-[:R2]-(c:C) RETURN a")
+    }
+  }
+
+  test("UNWIND explodes a collected list; empty lists drop rows") {
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH a, collect(b.id) AS bs
+        |UNWIND bs AS bid
+        |RETURN a.tag AS t, bid ORDER BY t, bid""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a1", 2L), ("a4", 2L), ("a4", 5L)),
+      "unwind(collect(x)) round-trips the original multiset")
+    // the source list stays in scope after UNWIND (Cypher)
+    val withList = CypherLite.query(g,
+      """MATCH (a:A {id: 4})-[:R1]->(b:B)
+        |WITH a, collect(b.id) AS bs
+        |UNWIND bs AS bid
+        |RETURN bid, bs ORDER BY bid""".stripMargin).collect()
+    assert(withList.map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    assert(withList.forall(_.getSeq[Long](1) === Seq(2L, 5L)))
+    // unwound values are aggregable downstream
+    val agg = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH a, collect(b.id) AS bs
+        |UNWIND bs AS bid
+        |RETURN a.tag AS t, sum(bid) AS s ORDER BY t""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(agg === Seq(("a1", 2L), ("a4", 7L)))
+  }
+
+  test("UNWIND loud rejects: unknown source, name collisions") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.id) AS bs UNWIND nope AS x RETURN x")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.id) AS bs UNWIND bs AS bs RETURN bs")
+    }
+  }
+
+  test("arithmetic RETURN items fold to Column arithmetic with precedence") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.id + b.id * 2 AS x ORDER BY x")
+      .as[Long].collect().toSeq
+    assert(rows === Seq(5L, 8L, 14L), "* binds tighter: 1+2*2, 4+2*2, 4+5*2")
+    // parentheses, unary minus, division
+    val p = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B {id: 2}) RETURN (a.id + b.id) * -1 AS x")
+      .as[Long].collect().toSeq
+    assert(p === Seq(-6L))
+    // arithmetic acts as a GROUPING key next to aggregates
+    val grouped = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.id * 10 AS k, count(*) AS n ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(grouped === Seq((20L, 2L), (50L, 1L)))
+    // post-WITH arithmetic over stage outputs (value columns)
+    val post = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH a, count(b) AS n
+        |RETURN a.tag AS t, n * 100 + 1 AS x ORDER BY t""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(post === Seq(("a1", 101L), ("a4", 201L)))
+    intercept[IllegalArgumentException] { // AS is mandatory
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) RETURN a.id + b.id")
+    }
+    intercept[IllegalArgumentException] { // unknown ref inside arithmetic
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) RETURN a.id + z.id AS x")
+    }
+  }
+
   test("malformed statements fail loudly, not silently") {
     intercept[IllegalArgumentException] { CypherLite.parse("(a:A) (b:B)") }      // no edge
     intercept[IllegalArgumentException] {
@@ -528,12 +650,10 @@ class CypherLiteSpec extends SparkSpec {
     assert(df.count() === typed)
   }
 
-  test("relationship variables and unlabeled property access reject loudly") {
+  test("relationship properties and unlabeled property access reject loudly") {
     intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN r")
-    }
-    intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN count(r) AS n")
+      // rel var PROPERTY access — edge tables are (src, dst) only
+      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN r.since AS s")
     }
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:N)-[r:E]->(b:N) WHERE r.since > 1 RETURN a")
@@ -542,6 +662,45 @@ class CypherLiteSpec extends SparkSpec {
       // unlabeled alias exposes only `id` — property RETURN rejects
       CypherLite.query(diamond, "(a {id: 1})-[:E]->(b) RETURN b.tag")
     }
+  }
+
+  test("relationship variables RETURN their eid; var-length yields path-ordered eids") {
+    val SEP = "\u0000"
+    // single-hop: `r` materializes as `relType NUL src NUL dst`
+    val rows = CypherLite.query(diamond,
+      "MATCH (a:N {id: 1})-[r:E]->(b:N) RETURN b.id AS b, r AS eid ORDER BY b")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(rows.map(_.getString(1)).toSeq === Seq(s"E${SEP}1${SEP}2"))
+    // count(DISTINCT r) = distinct relationships (4 edges in diamond)
+    val n = CypherLite.query(diamond,
+      "MATCH (a:N)-[r:E]->(b:N) RETURN count(DISTINCT r) AS n")
+      .collect().head.getLong(0)
+    assert(n === 4L)
+    // var-length: the traversed eids arrive in PATH order
+    val vl = CypherLite.query(diamond,
+      "MATCH (a:N {id: 1})-[r:E*2]->(b:N) RETURN b.id AS b, r AS eids")
+      .collect()
+    assert(vl.map(_.getLong(0)).toSet === Set(3L, 4L), "1->2->3 and 1->2->4")
+    for (row <- vl) {
+      val eids = row.getSeq[String](1)
+      assert(eids.length === 2)
+      assert(eids.head === s"E${SEP}1${SEP}2", "first hop is edge (1,2)")
+      assert(eids(1) === s"E${SEP}2${SEP}${row.getLong(0)}")
+    }
+    // a rel var survives an OPTIONAL MATCH as null when unmatched
+    val opt = CypherLite.query(diamond,
+      """MATCH (a:N)
+        |OPTIONAL MATCH (a)-[r:E]->(b:N) WHERE b.id = 2
+        |RETURN a.id AS a, count(r) AS cnt ORDER BY a""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(opt === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // an UNREFERENCED variable is stripped — the plan carries no eid
+    // column (README `RETURN *` pays nothing for r)
+    val plan = CypherLite.query(diamond,
+      "MATCH (a:N {id: 1})-[r:E]->(b:N) RETURN b.id AS b")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__eid"), "unused rel var must not materialize")
   }
 
   test("toLower/toUpper WHERE — the MANDATED Text2Cypher string shape (rag.baml:76-79)") {
