@@ -353,10 +353,14 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixpoint = edge set unchanged over a full alternation. Both
-      // sides are DISTINCT canonical sets, so equal count + empty
-      // one-sided difference ⇔ set equality; both frames are
-      // checkpointed, so the probe scans cached blocks.
-      done = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      // sides are DISTINCT canonical sets, so symmetric equality is
+      // ONE job: union both (cached) frames, group on the edge — a
+      // row appearing once is in exactly one set. (One-sided
+      // exceptAll alone would miss a strict shrink ss ⊂ e; the old
+      // count+count+exceptAll probe paid three actions per round for
+      // the same answer.)
+      done = ss.unionAll(e).groupBy("u", "v").agg(count(lit(1)).as("k"))
+        .where(col("k") === lit(1)).isEmpty
       e = ss
       iters += 1
     }

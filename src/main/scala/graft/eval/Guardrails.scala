@@ -46,10 +46,17 @@ object Guardrails {
     if (text == null) null
     else EmailRegex.replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(maskEmail(m.matched)))
 
-  /** Column form of the mask — the engine's one legitimate guardrail
-    * UDF (the structure-preserving rewrite has no builtin equivalent).
+  /** Column form of the mask — since round 11 a native codegen'd
+    * Catalyst expression ([[graft.functions.MaskEmails]]), replacing
+    * the engine's last UDF: the structure-preserving rewrite has no
+    * builtin equivalent, but it doesn't need to be an optimizer-opaque
+    * black box either. Same semantics as [[maskText]] (GuardrailsSpec
+    * cross-checks row by row).
     */
-  val maskTextUdf: Column => Column = udf(maskText _).apply(_: Column)
+  val maskTextUdf: Column => Column = c =>
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.MaskEmails(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c)))
 
   /** Email DETECTION as the codegen'd builtin (SURVEY §2.9 G1's
     * stated mapping): `regexp_extract_all` over the same reference

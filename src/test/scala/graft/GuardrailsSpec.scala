@@ -35,6 +35,41 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(Guardrails.findEmails(null) === Seq.empty)
   }
 
+  test("MaskEmails expression matches maskText row by row and codegens") {
+    import TestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial shapes: multiple emails, unicode around them, short
+    // users/parts, no-email, empty, plus the property-gen corpus
+    val gen = for {
+      u <- Gen.alphaNumStr.suchThat(s => s.nonEmpty && s.length < 20)
+      d <- Gen.alphaLowerStr.suchThat(s => s.length >= 2 && s.length < 12)
+      tld <- Gen.oneOf("com", "org", "io")
+      pre <- Gen.oneOf("", "héllo ", "a@b ", "x.y@z ")
+    } yield s"$pre$u@$d.$tld bye c@d.ef"
+    val cases = samples(gen, 120) ++ Seq(
+      "no emails here", "", "a@bc.de", "ab@x.io tail",
+      "αβγ a.b@c.org δε", "two a@bb.cc b@cc.dd")
+    // repartition blocks ConvertToLocalRelation from folding the
+    // whole projection driver-side — the plan must show the real
+    // executor-side shape
+    val df = cases.toDF("text").repartition(2)
+      .select(col("text"), Guardrails.maskTextUdf(col("text")).as("masked"))
+    // identical semantics to the Scala reference implementation
+    // (collect on THIS Dataset so its AQE plan finalizes for the
+    // plan assertions below)
+    for (r <- df.collect())
+      assert(r.getString(1) === Guardrails.maskText(r.getString(0)),
+        s"diverged for: ${r.getString(0)}")
+    // and the plan is a codegen'd native-expression projection — the
+    // expression prints under its prettyName, not as an optimizer-
+    // opaque ScalaUDF (the round-11 zero-UDF contract)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mask_emails("), s"native expression expected:\n$plan")
+    assert(!plan.contains("UDF"), s"mask must not be a UDF:\n$plan")
+    // the `*(n)` stage marker is WholeStageCodegen in AQE's plan print
+    assert(plan.contains("*(1) Project"), s"mask must stay in codegen:\n$plan")
+  }
+
   test("masking is idempotent (masked text re-masks to itself)") {
     val gen = for {
       u <- Gen.alphaNumStr.suchThat(s => s.nonEmpty && s.length < 20)
