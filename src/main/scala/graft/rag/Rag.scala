@@ -231,11 +231,30 @@ object Rag {
       graphRetriever: (PropertyGraph, Seq[String]) => DataFrame,
       llm: LlmClient = DeterministicLlm, k: Int = 2): Seq[RagResult] = {
     require(questions.nonEmpty, "empty question batch")
-    import spark.implicits._
     val schemaXml = graph.schemaXml // built once per batch, not per question
     val pruned = questions.map(q => llm.pruneSchema(schemaXml, q))
     val kws = questions.zip(pruned).map { case (q, p) => llm.entityKeywords(q, p) }
+    val ctx = fusedContexts(spark, questions, kws, index, embedder, k)
 
+    questions.zipWithIndex.map { case (question, i) =>
+      val vectorAnswer = llm.answer(question,
+        ctx.getOrElse(i, Seq.empty).mkString("\n---\n"))
+      val graphRows = graphRetriever(graph, kws(i)).limit(10).collect()
+      val graphAnswer = llm.answer(question,
+        graphRows.map(_.toSeq.mkString(", ")).mkString("\n"))
+      RagResult(question, kws(i), pruned(i), graphAnswer, vectorAnswer,
+        llm.synthesize(question, vectorAnswer, graphAnswer))
+    }
+  }
+
+  /** The corpus arm of [[answerMany]], factored out: ONE fused plan
+    * scoring every question (bm25ScoresMany ⊕ knnDotMany ⊕ RRF), one
+    * bounded N·k collect → per-question context strings.
+    */
+  private def fusedContexts(
+      spark: SparkSession, questions: Seq[String], kws: Seq[Seq[String]],
+      index: CorpusIndex, embedder: Embedder, k: Int): Map[Int, Seq[String]] = {
+    import spark.implicits._
     val qdf = kws.zipWithIndex
       .flatMap { case (ts, i) => ts.map(t => (i, t)) }.toDF("qid", "term")
     val kw = Fts.bm25ScoresMany(index.post, index.docLen, index.stats, qdf)
@@ -252,7 +271,7 @@ object Rag {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)))
       .filter(col("rank") <= k)
-    val ctx = fused
+    fused
       .join(index.docs, fused("id") === index.docs("doc_id"))
       .select(col("qid"), col("rank"), col("text"))
       .collect()
@@ -260,13 +279,58 @@ object Rag {
       .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
         .map(_.getAs[String]("text")).toSeq)
       .toMap
+  }
+
+  /** [[answerMany]] with the GRAPH arm batched too — the serving
+    * shape for large batches, closing the bottleneck the round-11
+    * RagBench measurement exposed: `answerMany`'s graph arm is one
+    * blocking driver round-trip PER QUESTION (the reference's serving
+    * loop, rag_obs_eval.py), so batch wall-clock grows linearly in N
+    * even though its corpus arm is batch-constant. Here the caller
+    * supplies a BATCH retriever: all questions' keyword bindings at
+    * once → ONE DataFrame with a `qid` column and a per-qid `rank`
+    * column (1-based; rows with rank > `graphRowsPerQuestion` are
+    * dropped). Two Spark collects total per batch — one corpus, one
+    * graph — regardless of N.
+    *
+    * The per-question [[answerMany]] stays the Text2Cypher-faithful
+    * route (each question compiles its own Cypher text); this entry
+    * trades that literalness for the O(1)-jobs batch plan — the same
+    * trade `bm25ScoresMany` makes against per-question `bm25Scores`.
+    * Results align with [[answerMany]] question-for-question when the
+    * batch retriever computes the same rows (ExtractRagSpec pins it).
+    */
+  def answerManyGraphBatched(
+      spark: SparkSession, questions: Seq[String], graph: PropertyGraph,
+      index: CorpusIndex, embedder: Embedder,
+      batchGraphRetriever: (PropertyGraph, Seq[(Int, Seq[String])]) => DataFrame,
+      llm: LlmClient = DeterministicLlm, k: Int = 2,
+      graphRowsPerQuestion: Int = 10): Seq[RagResult] = {
+    require(questions.nonEmpty, "empty question batch")
+    val schemaXml = graph.schemaXml
+    val pruned = questions.map(q => llm.pruneSchema(schemaXml, q))
+    val kws = questions.zip(pruned).map { case (q, p) => llm.entityKeywords(q, p) }
+    val ctx = fusedContexts(spark, questions, kws, index, embedder, k)
+
+    val gdf = batchGraphRetriever(graph, kws.zipWithIndex.map(_.swap))
+    require(gdf.columns.contains("qid") && gdf.columns.contains("rank"),
+      "batch graph retriever must return qid and rank columns " +
+        s"(got ${gdf.columns.mkString(", ")})")
+    val payload = gdf.columns.filter(c => c != "qid" && c != "rank")
+    val graphRows: Map[Int, Seq[String]] = gdf
+      .filter(col("rank") <= graphRowsPerQuestion)
+      .collect()
+      .groupBy(_.getAs[Int]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => payload.map(c => String.valueOf(r.getAs[Any](c))).mkString(", "))
+        .toSeq)
+      .toMap
 
     questions.zipWithIndex.map { case (question, i) =>
       val vectorAnswer = llm.answer(question,
         ctx.getOrElse(i, Seq.empty).mkString("\n---\n"))
-      val graphRows = graphRetriever(graph, kws(i)).limit(10).collect()
       val graphAnswer = llm.answer(question,
-        graphRows.map(_.toSeq.mkString(", ")).mkString("\n"))
+        graphRows.getOrElse(i, Seq.empty).mkString("\n"))
       RagResult(question, kws(i), pruned(i), graphAnswer, vectorAnswer,
         llm.synthesize(question, vectorAnswer, graphAnswer))
     }

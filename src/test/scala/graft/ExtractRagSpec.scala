@@ -135,6 +135,30 @@ class RagSpec extends SparkSpec {
       assert(res.synthesized === single.synthesized,
         s"batched answer must equal the single-question path for: $q")
     }
+
+    // the FULLY batched serving entry (graph arm one job too): a
+    // batch retriever computing the same rows per qid must reproduce
+    // answerMany question-for-question
+    import org.apache.spark.sql.expressions.Window
+    val batchRetriever =
+      (graph: graft.graph.PropertyGraph, qkws: Seq[(Int, Seq[String])]) => {
+        import TestSession.spark.implicits._
+        val rn = graph.nodes("region").select(col("r_name"))
+          .withColumn("rank", row_number().over(Window.orderBy("r_name")))
+          .filter(col("rank") <= 3)
+        qkws.map(_._1).toDF("qid").crossJoin(rn)
+          .select(col("qid"), col("rank"), col("r_name"))
+      }
+    val fully = Rag.answerManyGraphBatched(spark, questions, g, index,
+      HashEmbedder(), batchRetriever)
+    for (((res, bres), q) <- batch.zip(fully).zip(questions))
+      assert(bres.synthesized === res.synthesized,
+        s"graph-batched serving must equal answerMany for: $q")
+    // contract violations reject loudly
+    intercept[IllegalArgumentException] {
+      Rag.answerManyGraphBatched(spark, questions, g, index, HashEmbedder(),
+        (graph, _) => graph.nodes("region").select("r_name"))
+    }
   }
 
   test("Text2Cypher retriever: the graph path executes generated Cypher TEXT") {
