@@ -42,9 +42,14 @@ import org.apache.spark.sql.functions._
   *    `MATCH (a)-[r*1..4]-(b) RETURN *` — unlabeled nodes scan the
   *    ANY-node view (union of all labels' ids — requires globally
   *    unique node ids), an untyped edge walks every edge table, a
-  *    relationship variable parses but is not returnable (edge rows
-  *    have no materialized identity — documented Kuzu divergence),
-  *    and `RETURN *` yields every node alias's id in binding order.
+  *    named relationship variable is RETURNABLE (it materializes the
+  *    relationship identity `relType NUL src NUL dst`; a var-length
+  *    step yields the traversed eids in path order) and `RETURN *`
+  *    yields every declared name in declaration order — node ids and
+  *    named rel-var eids (Kuzu parity). Edge tables may carry
+  *    property columns beyond (src, dst): `r.prop` reads them
+  *    (materialized at the edge join) and `WHERE r.prop OP …`
+  *    compiles to an edge predicate before the path join.
   *    The globally-unique-id contract is VALIDATED at query time
   *    whenever an untyped step or any-node view compiles (two counts
   *    over the dimension-sized node tables) — a forgotten `:` in
@@ -544,7 +549,7 @@ object CypherLite {
   private def parseArith(s: String): ArithExpr = {
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
-    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def factor(): ArithExpr = {
       ws()
       if (peek == '-') { i += 1; NegA(factor()) }
@@ -748,7 +753,11 @@ object CypherLite {
 
     var idx = 0
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val relVars = scala.collection.mutable.Set.empty[String]
+    val relVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    // declaration order across node aliases AND relationship
+    // variables — RETURN * expands in this order (Kuzu prints
+    // declaration order too)
+    val declOrder = scala.collection.mutable.ArrayBuffer.empty[String]
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
@@ -791,6 +800,7 @@ object CypherLite {
                 require(!relVars(alias),
                   s"alias '$alias' already names a relationship variable")
                 bound += alias -> label
+                declOrder += alias
                 if (optional) optionalAliases += alias
                 Right(PatternNode(label, alias, propsOpt.map(parseProps)))
             }
@@ -812,6 +822,7 @@ object CypherLite {
             require(!bound.contains(v) && !relVars(v),
               s"duplicate relationship variable '$v'")
             relVars += v
+            declOrder += v
           }
           val (lo, hi) = hopBounds(Option(m.group(3)).map(_.trim).filter(_.nonEmpty))
           // type absent = untyped step (rel "" walks every edge table)
@@ -869,12 +880,30 @@ object CypherLite {
       * is rejected loudly rather than silently changing
       * required/optional semantics).
       */
+    /** WHERE compiler for one clause. Returns (node-predicate
+      * updates, cross-alias row filters, relationship predicates):
+      * a single-REL-VAR conjunct (`r.weight > 5`) compiles to an EDGE
+      * predicate — a filter on the step's edge relation before it
+      * joins the path frame (the edge analog of the node semi-join;
+      * optional steps null out, never drop). `relAllowed` scopes
+      * which relationship variables this clause's WHERE may
+      * constrain. The returned rel-pred map is keyed by variable:
+      * (combined condition over raw edge columns, referenced column
+      * names).
+      */
     def applyWhere(w: String, allowed: Set[String],
-        nodes: Seq[PatternNode]): (Map[String, PatternNode], Seq[RowPred]) = {
+        nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty)
+        : (Map[String, PatternNode], Seq[RowPred],
+           Map[String, (Column, Seq[String])]) = {
       def checkAlias(a: String, p: String): Unit = {
-        require(!relVars(a),
-          s"'$a' is a relationship variable — relationships carry no " +
-            "queryable properties in this engine (filter on node positions)")
+        if (relVars(a)) {
+          require(relAllowed(a),
+            s"WHERE references relationship variable '$a' bound by a " +
+              "different clause — attach the condition to the clause " +
+              "that binds it")
+          // property existence is validated against the edge table at
+          // plan build (PropertyGraph lists the table's columns)
+        } else {
         require(bound.contains(a), s"WHERE references unknown alias '$a'")
         require(allowed(a),
           s"WHERE references alias '$a' bound by a different clause — " +
@@ -884,6 +913,7 @@ object CypherLite {
         require(bound(a).nonEmpty || p == "id",
           s"WHERE $a.$p: alias '$a' is unlabeled — the any-node view has " +
             "no properties; declare a :Label to filter on them")
+        }
       }
       // an atom keeps its (alias, prop, builder) apart so the SAME
       // condition can compile against the node table (col(prop), the
@@ -924,18 +954,32 @@ object CypherLite {
       // property columns
       val (single, crossAlias) = flattenAnd(parseBool(w, parseCond))
         .partition(e => exprAliases(e).size == 1)
+      // a cross-alias conjunct mixing a REL VAR would need its edge
+      // columns attached to the joined frame — unsupported; loud
+      for (e <- crossAlias; a <- exprAliases(e))
+        require(!relVars(a),
+          s"cross-alias WHERE involving relationship variable '$a' is " +
+            "unsupported — restrict the relationship in its own conjunct")
       val rps = crossAlias.map { e =>
         RowPred(exprProps(e).distinct,
           toColumn(e, (a, pr) => col(s"${a}__w_$pr")))
       }
-      val byAlias: Map[String, Column] = single
+      val (relSingle, nodeSingle) = single
+        .partition(e => relVars(exprAliases(e).head))
+      val byAlias: Map[String, Column] = nodeSingle
         .map(e => exprAliases(e).head -> toColumn(e, (_, pr) => col(pr)))
         .groupBy(_._1)
         .map { case (a, cs) => a -> cs.map(_._2).reduce(_ && _) }
+      val relPreds: Map[String, (Column, Seq[String])] = relSingle
+        .groupBy(e => exprAliases(e).head)
+        .map { case (v, es) =>
+          v -> (es.map(e => toColumn(e, (_, pr) => col(pr))).reduce(_ && _),
+            es.flatMap(exprProps).map(_._2).distinct)
+        }
       (nodes.flatMap { n =>
         byAlias.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
-      }.toMap, rps)
+      }.toMap, rps, relPreds)
     }
 
     // top-level comma = a new pattern part (commas inside {…} are
@@ -961,13 +1005,20 @@ object CypherLite {
         // scope: every alias bound so far — required clauses are all
         // inner joins, so an earlier-clause condition commutes; a
         // FORWARD reference (to a later clause) fails the unknown-
-        // alias check naturally
+        // alias check naturally. Relationship-variable conditions
+        // (`r.prop OP …`) land on the variable's step as an EDGE
+        // predicate.
         val ns = start +: steps.toSeq.map(_.node)
-        val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
+        val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
+          relAllowed = steps.iterator.flatMap(_.relVar).toSet)
         rowPreds ++= rps
         upd.get(start.as).foreach(start = _)
         for (i <- steps.indices; n <- upd.get(steps(i).node.as))
           steps(i) = steps(i).copy(node = n)
+        for (i <- steps.indices; v <- steps(i).relVar; (c, ps) <- relPs.get(v))
+          steps(i) = steps(i).copy(
+            relPred = Some(steps(i).relPred.map(_ && c).getOrElse(c)),
+            relPredProps = (steps(i).relPredProps ++ ps).distinct)
       }
     }
     for ((body, whereOpt) <- optClausesTxt) {
@@ -992,11 +1043,20 @@ object CypherLite {
         for (w <- whereOpt) {
           val ns = PatternNode(bound(anchor), anchor) +:
             clauseSteps.toSeq.map(_.node)
-          val (upd, rps) = applyWhere(w, ns.map(_.as).toSet, ns)
+          val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
+            relAllowed = clauseSteps.iterator.flatMap(_.relVar).toSet)
           clauseRps = rps
           anchorPred = upd.get(anchor).flatMap(_.pred)
           for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
             clauseSteps(i) = clauseSteps(i).copy(node = n)
+          // edge predicates evaluate INSIDE the optional match, like
+          // every other condition of the clause: failing edges are
+          // non-matches, the outer row keeps nulls
+          for (i <- clauseSteps.indices; v <- clauseSteps(i).relVar;
+               (c, ps) <- relPs.get(v))
+            clauseSteps(i) = clauseSteps(i).copy(
+              relPred = Some(clauseSteps(i).relPred.map(_ && c).getOrElse(c)),
+              relPredProps = (clauseSteps(i).relPredProps ++ ps).distinct)
         }
         optClauses += OptClause(anchor, clauseSteps.toSeq, anchorPred,
           clauseRps)
@@ -1011,6 +1071,12 @@ object CypherLite {
       */
     val ArithAsRe =
       """^(.*[+\-*/].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
+    // tried after the plain-target AggItemRe, so only bodies that are
+    // not a bare alias[.prop] land here. DISTINCT over an expression
+    // is rejected (ambiguous for collect ordering; use a WITH stage).
+    val AggArithRe =
+      """^(?i:(count|sum|min|max|avg))\s*\((.+)\)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -1021,11 +1087,11 @@ object CypherLite {
           val d = dist != null
           // a relationship variable aggregates like any value column:
           // count/count DISTINCT/collect over its eid are meaningful
-          // (count(DISTINCT r) = distinct relationships); sum/avg over
-          // an eid string reject via the bare-alias rule below
-          require(target == "*" || prop == null || !relVars(target),
-            s"$f($target.$prop): '$target' is a relationship variable — " +
-              "relationships carry no properties in this engine")
+          // (count(DISTINCT r) = distinct relationships), and r.prop
+          // aggregates over EDGE PROPERTIES (edge tables may carry
+          // columns beyond src/dst — validated against the table at
+          // query build); sum/avg over a bare eid string reject via
+          // the bare-alias rule below
           require(target == "*" || aggOk(target),
             s"$f() references unknown ${if (ctx == "RETURN") "name" else "alias"} '$target'")
           require(prop == null || propOk(target),
@@ -1044,15 +1110,28 @@ object CypherLite {
           require(as != null, s"aggregate $f(…) needs an AS name")
           ReturnItem(Some(f), d, target, Option(prop), as)
         case PlainItemRe(a, prop, as) =>
-          require(prop == null || !relVars(a),
-            s"'$a.$prop': '$a' is a relationship variable — relationships " +
-              "carry no properties in this engine (RETURN the bare " +
-              "variable for its relationship identity)")
           require(if (prop != null) propOk(a) else plainOk(a),
             s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
           ReturnItem(None, distinct = false, a, Option(prop), name)
+        // aggregate over arithmetic — `sum(o.price * qty) AS s`:
+        // the body compiles like an arithmetic item, the aggregate
+        // folds over it (count counts non-null evaluations)
+        case AggArithRe(fn, body, as) if body.exists("+-*/".contains(_)) &&
+            !body.matches("(?is)^\\s*DISTINCT\\b.*") =>
+          val f = fn.toLowerCase
+          val ae = parseArith(body.trim)
+          for ((a, pOpt) <- arithRefs(ae)) pOpt match {
+            case Some(_) =>
+              require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
+            case None =>
+              require(!relVars(a),
+                s"'$a': arithmetic over a relationship variable's eid " +
+                  "string is meaningless — use properties")
+              require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
+          }
+          ReturnItem(Some(f), distinct = false, "", None, as, arith = Some(ae))
         // arithmetic item — `n.a + n.b AS s`, `bal * 2 + 1 AS x`:
         // compiled to Column arithmetic; acts as a PLAIN item (a
         // grouping key when mixed with aggregates). AS is mandatory —
@@ -1061,8 +1140,6 @@ object CypherLite {
           val ae = parseArith(exprTxt.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
             case Some(p) =>
-              require(!relVars(a),
-                s"'$a.$p': '$a' is a relationship variable — no properties")
               require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
             case None =>
               require(!relVars(a),
@@ -1138,7 +1215,8 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         prev match {
           case None =>
-            (a => labels.contains(a) || relVars(a), labels.contains,
+            (a => labels.contains(a) || relVars(a),
+              a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a), _ => false)
           case Some(pw) =>
             val names = pw.items.map(_.as).toSet ++ pw.unwinds.map(_._2)
@@ -1217,7 +1295,8 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         withClauses.lastOption match {
           case None =>
-            (a => labels.contains(a) || relVars(a), labels.contains,
+            (a => labels.contains(a) || relVars(a),
+              a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a), _ => false)
           case Some(w) =>
             val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2)
@@ -1229,8 +1308,13 @@ object CypherLite {
       // Relationship variables are NOT expanded — edge rows have no
       // materialized identity (documented divergence from Kuzu, which
       // returns rel objects).
+      // `RETURN *`: every declared name in declaration order — node
+      // aliases as ids AND named relationship variables as eids (full
+      // Kuzu-parity for the README.md:137 demo; an unnamed edge costs
+      // nothing, a NAMED one materializes exactly because the user
+      // asked for it by naming it under RETURN *)
       if (r == "*") withClauses.lastOption match {
-        case None => bound.keysIterator.map(a =>
+        case None => declOrder.iterator.map(a =>
           ReturnItem(None, distinct = false, a, None, a)).toSeq
         case Some(w) => (w.items.map(_.as) ++ w.unwinds.map(_._2)).map(n =>
           ReturnItem(None, distinct = false, n, None, n))
@@ -1254,14 +1338,25 @@ object CypherLite {
 
     // relationship variables the query actually READS (pattern-level
     // items — the first WITH stage's, or RETURN's when no WITH):
-    // their steps materialize an eid column; every other named
-    // variable is STRIPPED so its step keeps the skinny 2-column plan
-    // (`MATCH (a)-[r*1..4]-(b) RETURN *` pays nothing for r).
+    // their steps materialize an eid column, plus any EDGE PROPERTY
+    // columns referenced as `r.prop` (validated against the edge
+    // table at plan build); every other named variable is STRIPPED so
+    // its step keeps the skinny 2-column plan (an edge left unnamed,
+    // or named but never read, pays nothing — RETURN * counts as
+    // reading every named variable).
+    val patternItems = withClauses.headOption.map(_.items).getOrElse(returns)
+    val relPropRefs: Map[String, Seq[String]] = patternItems
+      .flatMap(itemPropRefs).filter { case (a, _) => relVars(a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val usedRelVars: Set[String] =
-      withClauses.headOption.map(_.items).getOrElse(returns)
-        .iterator.map(_.alias).filter(relVars).toSet
-    def stripVar(st: PatternStep): PatternStep =
-      if (st.relVar.exists(usedRelVars)) st else st.copy(relVar = None)
+      patternItems.iterator.map(_.alias).filter(relVars).toSet ++
+        relPropRefs.keySet
+    def stripVar(st: PatternStep): PatternStep = st.relVar match {
+      case Some(v) if usedRelVars(v) =>
+        st.copy(relProps = relPropRefs.getOrElse(v, Seq.empty))
+      case Some(_) => st.copy(relVar = None)
+      case None => st
+    }
 
     Parsed(start, steps.toSeq.map(stripVar), labels, returns,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
@@ -1284,17 +1379,23 @@ object CypherLite {
       distinct: Boolean,
       orderBy: Seq[(String, Boolean)], limit: Option[Int],
       postFilter: Option[Column] = None,
-      skip: Option[Int] = None): DataFrame = {
+      skip: Option[Int] = None,
+      preAttached: String => Boolean = _ => false): DataFrame = {
     // every (alias, prop) any item reads — plain property items plus
-    // the refs inside arithmetic expressions — attached once per alias
+    // the refs inside arithmetic expressions — attached once per
+    // alias. `preAttached` aliases (relationship variables) already
+    // carry their `alias_prop` columns in the frame: matchPaths
+    // materialized edge properties at the step join, so they skip the
+    // node-table attach.
     val needed = items.flatMap(itemPropRefs)
-    val attached = needed.map(_._1).distinct.foldLeft(frame) { (df, alias) =>
-      val props = needed.filter(_._1 == alias).map(_._2).distinct
-      val label = aliasLabel(alias).getOrElse(
-        throw new IllegalArgumentException(s"no node label for '$alias'"))
-      g.attach(df, alias, label, props, s"${alias}_",
-        if (leftOuter(alias)) "left_outer" else "inner")
-    }
+    val attached = needed.map(_._1).distinct.filterNot(preAttached)
+      .foldLeft(frame) { (df, alias) =>
+        val props = needed.filter(_._1 == alias).map(_._2).distinct
+        val label = aliasLabel(alias).getOrElse(
+          throw new IllegalArgumentException(s"no node label for '$alias'"))
+        g.attach(df, alias, label, props, s"${alias}_",
+          if (leftOuter(alias)) "left_outer" else "inner")
+      }
     def baseCol(ri: ReturnItem): Column = ri.arith match {
       case Some(ae) => arithColumn(ae,
         (a, pOpt) => pOpt.map(p => col(s"${a}_$p")).getOrElse(col(a)))
@@ -1497,23 +1598,30 @@ object CypherLite {
     // project/aggregate, post-filter, order/limit — with the alias
     // namespace threaded stage to stage (pattern aliases feed the
     // first stage; each stage's CARRIED aliases feed the next)
+    // relationship variables with materialized columns — pattern-level
+    // stages resolve their `r`/`r_prop` columns in-frame instead of
+    // attaching a node table
+    val relVarSet: Set[String] =
+      (p.steps ++ p.optionals.flatMap(_.steps)).flatMap(_.relVar).toSet
     def resolvers(prev: Option[WithClause])
-        : (String => Option[String], String => Boolean) = prev match {
-      case None => (a => p.labels.get(a), optionals)
-      case Some(w) => (a => w.carried.get(a).map(_._2),
-        a => w.carried.get(a).exists { case (orig, _) => optionals(orig) })
-    }
+        : (String => Option[String], String => Boolean, String => Boolean) =
+      prev match {
+        case None => (a => p.labels.get(a), optionals, relVarSet)
+        case Some(w) => (a => w.carried.get(a).map(_._2),
+          a => w.carried.get(a).exists { case (orig, _) => optionals(orig) },
+          _ => false)
+      }
     val (stage, lastWith) = p.withClauses
       .foldLeft((paths, Option.empty[WithClause])) {
         case ((df, prev), w) =>
-          val (aliasLabel, leftOuter) = resolvers(prev)
+          val (aliasLabel, leftOuter, preAtt) = resolvers(prev)
           // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
           // filters AFTER the stage's cut — Neo4j semantics; the
           // HAVING-style pre-tail WHERE filters before it
           val ran = runStage(g, df, w.items, aliasLabel, leftOuter,
             distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
-            skip = w.skip)
+            skip = w.skip, preAttached = preAtt)
           val filtered = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
             else ran
           // UNWIND clauses trail the stage: one explode per clause —
@@ -1526,9 +1634,10 @@ object CypherLite {
       }
     if (p.returns.isEmpty) stage
     else {
-      val (aliasLabel, leftOuter) = resolvers(lastWith)
+      val (aliasLabel, leftOuter, preAtt) = resolvers(lastWith)
       runStage(g, stage, p.returns, aliasLabel, leftOuter,
-        p.returnDistinct, p.orderBy, p.limit, skip = p.skip)
+        p.returnDistinct, p.orderBy, p.limit, skip = p.skip,
+        preAttached = preAtt)
     }
   }
 

@@ -194,10 +194,19 @@ final case class PropertyGraph(
           if (withEid) Seq(struct(lit(relName).as("r"),
             col("src").as("s"), col("dst").as("d")).as("__eid"))
           else Seq.empty[Column]
+        // requested edge PROPERTY columns ride the oriented relation
+        // unchanged (orientation-independent); validated loudly here
+        // rather than as a downstream unresolved-column error
+        val extraCols = (st.relProps ++ st.relPredProps).distinct.map { p =>
+          require(e.columns.contains(p),
+            s"edge table '$relName' has no property '$p' " +
+              s"(columns: ${e.columns.mkString(", ")})")
+          col(p)
+        } ++ eidCols
         def fwd = e.select(
-          col("src").as("__from") +: col("dst").as("__to") +: eidCols: _*)
+          col("src").as("__from") +: col("dst").as("__to") +: extraCols: _*)
         def bwd = e.select(
-          col("dst").as("__from") +: col("src").as("__to") +: eidCols: _*)
+          col("dst").as("__from") +: col("src").as("__to") +: extraCols: _*)
         // same-label edge, both orientations: a SELF-LOOP row would
         // appear in each — Cypher matches an undirected self-loop
         // once, so the reversed copy drops it
@@ -277,6 +286,14 @@ final case class PropertyGraph(
       // under the variable's name. Steps without a used variable keep
       // their skinny 2-column plans.
       val wantVar = st.relVar.isDefined
+      require(st.relProps.isEmpty || (wantVar && !multiHop),
+        s"step ${st.rel}: relationship properties need a named single-hop " +
+          "variable (a var-length path has many relationships — aggregate " +
+          "per hop with a chain of single-hop steps instead)")
+      require(st.relPred.isEmpty || !multiHop,
+        s"step ${st.rel}: relationship predicates over var-length steps " +
+          "are unsupported (which of the path's relationships would they " +
+          "constrain? — chain single-hop steps instead)")
       val ed0 =
         if (!multiHop) stepRel(withEid = collide || wantVar)
         else {
@@ -310,6 +327,10 @@ final case class PropertyGraph(
         val ids = nodes(st.node.label).filter(p).select(col("id"))
         ed = ed.join(ids, ed("__to") === ids("id"), "left_semi")
       }
+      // edge predicate: restrict the edge relation BEFORE it meets
+      // the path frame — same discipline (and same optional-step
+      // semantics) as the mid-chain node predicate above
+      for (rp <- st.relPred) ed = ed.filter(rp)
       // the step's own relationship identities, as strings, when the
       // step can collide with another step's edge table
       val newEids: Option[Column] =
@@ -322,9 +343,14 @@ final case class PropertyGraph(
         (if (multiHop) transform(col("__eids"), eidStr(_))
         else eidStr(col("__eid"))).as(v)
       }
+      // edge properties arrive as `<var>_<prop>` — the same naming the
+      // node-property attach uses, so downstream projection resolves
+      // both the same way
+      val relPropCols: Seq[Column] = st.relVar.toSeq.flatMap(v =>
+        st.relProps.map(p => col(p).as(s"${v}_$p")))
       val edr = ed.select(
         col("__from") +: col("__to").as(st.node.as) +:
-          (newEids.map(_.as("__neids")).toSeq ++ varCol): _*)
+          (newEids.map(_.as("__neids")).toSeq ++ varCol ++ relPropCols): _*)
       // isomorphism join: a colliding step may not reuse a
       // relationship its OWN clause already traversed — the overlap
       // test rides the join condition, so an optional step failing it
@@ -486,15 +512,29 @@ object PropertyGraph {
     * semantics).
     * `relVar` names a relationship variable to MATERIALIZE: the output
     * frame carries a column of that name holding the step's
-    * relationship identity — `relType src dst` for a
+    * relationship identity — `relType NUL src NUL dst` for a
     * single-hop step, the array of those (in path order) for a
     * var-length one. Left as None (the default), the step's plan
     * stays the skinny 2-column join.
+    * `relProps` lists EDGE PROPERTY columns to carry through (edge
+    * tables may hold columns beyond src/dst — `(src, dst, weight)`);
+    * each arrives as `<relVar>_<prop>`. Single-hop named steps only
+    * (a var-length path has many relationships); unknown columns
+    * reject loudly with the table's column list.
+    * `relPred` filters the EDGE RELATION itself (a `WHERE r.prop OP …`
+    * condition over raw edge columns, listed in `relPredProps`),
+    * applied BEFORE the step joins the path frame — an edge failing
+    * it is a non-match, so an optional step keeps its outer row with
+    * nulls. Needs no named variable and no materialized columns:
+    * a WHERE-only condition keeps the skinny plan plus one filter.
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
       from: Option[String] = None, optional: Boolean = false,
       minHops: Int = 1, maxHops: Int = 1,
-      clause: Int = 0, relVar: Option[String] = None)
+      clause: Int = 0, relVar: Option[String] = None,
+      relProps: Seq[String] = Seq.empty,
+      relPred: Option[Column] = None,
+      relPredProps: Seq[String] = Seq.empty)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

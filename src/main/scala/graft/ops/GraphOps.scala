@@ -839,8 +839,8 @@ object GraphOps {
     // G29 RETURNABLE RELATIONSHIP VARIABLES — `-[e:REL]->` now
     // materializes the relationship identity (relType NUL src NUL
     // dst — the eid the round-10 isomorphism machinery already
-    // carried) when the query reads it, closing the README.md:137
-    // `RETURN *` divergence vs Kuzu at the single-edge level.
+    // carried) when the query reads it; RETURN * expands named rel
+    // vars too, closing the README.md:137 divergence vs Kuzu fully.
     // Unreferenced variables are stripped (CypherLiteSpec pins the
     // plan carries no eid column). NULs swap to ':' for the oracle
     // transport — DuckDB VARCHARs reject NUL bytes.
@@ -874,6 +874,44 @@ object GraphOps {
       Some("""SELECT n_name, c_custkey * 2 + 1 AS x
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G31 RELATIONSHIP PROPERTY ACCESS — `r.prop` over an edge table
+    // carrying columns beyond (src, dst): HAS_ORDER holds
+    // o_totalprice, and the step materializes it at the edge join
+    // (never a node-table attach). max/count are the order-free
+    // aggregates (a sum of doubles would hash-diverge across engines'
+    // addition orders); count(r) counts bound relationships. The
+    // mid-pattern node predicate (o_orderpriority) stays a pre-join
+    // semi-join.
+    QueryDef(
+      "g31_cypher_rel_prop",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[r:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderpriority = '1-URGENT'
+          |RETURN c.c_mktsegment AS seg, max(r.o_totalprice) AS mx,
+          |       count(r) AS n""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, max(o_totalprice) AS mx,
+             |       count(*) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G32 RELATIONSHIP PREDICATE — `WHERE r.prop OP …` compiles to an
+    // EDGE predicate: the filter restricts the edge relation BEFORE
+    // it joins the path frame (the edge analog of the node semi-join;
+    // CypherLiteSpec pins a WHERE-only variable keeps the skinny plan
+    // — no eid materialization — and that on OPTIONAL MATCH the
+    // predicate nulls out instead of dropping rows).
+    QueryDef(
+      "g32_cypher_rel_pred",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[r:HAS_ORDER]->(o:orders)
+          |WHERE r.o_totalprice > 400000 AND c.c_acctbal > 0
+          |RETURN c.c_mktsegment AS seg, count(*) AS n""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_totalprice > 400000 AND c_acctbal > 0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 
@@ -897,7 +935,12 @@ object GraphOps {
           nation.select(col("n_regionkey").as("src"), col("n_nationkey").as("dst")))),
         "HAS_CUSTOMER" -> (("nation", "customer",
           customer.select(col("c_nationkey").as("src"), col("c_custkey").as("dst")))),
+        // HAS_ORDER carries an EDGE PROPERTY (o_totalprice) — edge
+        // tables may hold columns beyond (src, dst); pattern steps
+        // that don't reference them keep their skinny 2-column plans
+        // (matchPaths selects src/dst explicitly)
         "HAS_ORDER" -> (("customer", "orders",
-          orders.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))))))
+          orders.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"),
+            col("o_totalprice"))))))
   }
 }

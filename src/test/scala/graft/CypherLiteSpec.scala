@@ -641,26 +641,116 @@ class CypherLiteSpec extends SparkSpec {
     // unlabeled nodes + untyped rel + RETURN * — the README.md:137
     // query (bounds tightened). Single-label graph, so the any-node
     // view is just N; answers must equal the typed form exactly.
+    // RETURN * expands every DECLARED name in declaration order —
+    // node ids AND the named rel var's eids (Kuzu parity, round 11).
     val df = CypherLite.query(diamond,
       "MATCH (a {id: 1})-[r*1..2]-(b) RETURN * LIMIT 500")
-    assert(df.columns.toSeq === Seq("a", "b"), "RETURN * = node aliases in order")
+    assert(df.columns.toSeq === Seq("a", "r", "b"),
+      "RETURN * = declared names in declaration order")
     assert(df.count() === 3)
+    for (row <- df.collect())
+      assert(row.getSeq[String](1).nonEmpty, "r carries the path's eids")
     val typed = CypherLite.query(diamond,
       "(a:N {id: 1})-[:E*1..2]-(b:N)").count()
     assert(df.count() === typed)
+    // an UNNAMED edge keeps RETURN * node-only
+    val anon = CypherLite.query(diamond,
+      "MATCH (a {id: 1})-[*1..2]-(b) RETURN * LIMIT 500")
+    assert(anon.columns.toSeq === Seq("a", "b"))
+  }
+
+  test("aggregates over arithmetic bodies: sum(r.w * 2), avg(a.id + b.id)") {
+    val wg = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N",
+        Seq((1L, 2L, 10L), (1L, 3L, 30L), (2L, 3L, 5L))
+          .toDF("src", "dst", "w")))))
+    val s = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) RETURN a.id AS a, sum(r.w * 2) AS s ORDER BY a")
+      .as[(Long, Long)].collect().toSeq
+    assert(s === Seq((1L, 80L), (2L, 10L)))
+    val m = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) RETURN max(a.id + b.id) AS m")
+      .as[Long].collect().toSeq
+    assert(m === Seq(5L))
   }
 
   test("relationship properties and unlabeled property access reject loudly") {
     intercept[IllegalArgumentException] {
-      // rel var PROPERTY access — edge tables are (src, dst) only
-      CypherLite.parse("(a:N)-[r:E]->(b:N) RETURN r.since AS s")
+      // rel var PROPERTY access validates against the edge table's
+      // columns at plan build — diamond's E is (src, dst) only
+      CypherLite.query(diamond, "(a:N)-[r:E]->(b:N) RETURN r.since AS s")
     }
     intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:N)-[r:E]->(b:N) WHERE r.since > 1 RETURN a")
+      // WHERE r.prop likewise validates at plan build — E has no
+      // 'since' column, loud reject with the table's column list
+      CypherLite.query(diamond, "(a:N)-[r:E]->(b:N) WHERE r.since > 1 RETURN a")
     }
     intercept[IllegalArgumentException] {
       // unlabeled alias exposes only `id` — property RETURN rejects
       CypherLite.query(diamond, "(a {id: 1})-[:E]->(b) RETURN b.tag")
+    }
+  }
+
+  test("relationship properties materialize from edge-table columns") {
+    // an edge table with a column beyond (src, dst): the step carries
+    // it through the edge join — no node-table attach involved
+    val wg = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N",
+        Seq((1L, 2L, 10L), (1L, 3L, 30L), (2L, 3L, 5L))
+          .toDF("src", "dst", "w")))))
+    val rows = CypherLite.query(wg,
+      "MATCH (a:N {id: 1})-[r:E]->(b:N) RETURN b.id AS b, r.w AS w ORDER BY b")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 10L), (3L, 30L)))
+    // aggregates over edge properties, arithmetic included
+    val agg = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) RETURN a.id AS a, sum(r.w) AS s ORDER BY a")
+      .as[(Long, Long)].collect().toSeq
+    assert(agg === Seq((1L, 40L), (2L, 5L)))
+    val arith = CypherLite.query(wg,
+      "MATCH (a:N {id: 1})-[r:E]->(b:N) RETURN r.w * 2 + b.id AS x ORDER BY x")
+      .as[Long].collect().toSeq
+    assert(arith === Seq(22L, 63L), "edge prop and node prop mix in arithmetic")
+    // OPTIONAL MATCH: unmatched rows carry null edge props
+    val opt = CypherLite.query(wg,
+      """MATCH (a:N)
+        |OPTIONAL MATCH (a)-[r:E]->(b:N)
+        |RETURN a.id AS a, sum(r.w) AS s ORDER BY a""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(opt.toSeq === Seq(1L -> 40L, 2L -> 5L, 3L -> -1L),
+      "node 3 has no out-edges: sum over no rows is null (Cypher)")
+
+    // WHERE r.prop compiles to an EDGE predicate — filters the edge
+    // relation before the path join
+    val filt = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) WHERE r.w > 5 RETURN a.id AS a, b.id AS b ORDER BY a, b")
+      .as[(Long, Long)].collect().toSeq
+    assert(filt === Seq((1L, 2L), (1L, 3L)), "edge (2,3,w=5) filtered out")
+    // …and mixes with node conditions in one WHERE
+    val mixed = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) WHERE r.w > 5 AND b.id > 2 RETURN b.id AS b")
+      .as[Long].collect().toSeq
+    assert(mixed === Seq(3L))
+    // a WHERE-only variable needs no materialized eid: the optimized
+    // plan carries no eid struct, just the filter
+    val plan2 = CypherLite.query(wg,
+      "MATCH (a:N)-[r:E]->(b:N) WHERE r.w > 5 RETURN b.id AS b")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan2.contains("__eid"), "WHERE-only rel var must stay skinny")
+    // on an OPTIONAL MATCH the edge predicate nulls out, never drops
+    val optf = CypherLite.query(wg,
+      """MATCH (a:N)
+        |OPTIONAL MATCH (a)-[r:E]->(b:N) WHERE r.w > 20
+        |RETURN a.id AS a, count(b) AS n ORDER BY a""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(optf === Seq((1L, 1L), (2L, 0L), (3L, 0L)),
+      "only edge (1,3,w=30) passes; every node keeps its row")
+    // cross-alias conditions mixing a rel var reject loudly
+    intercept[IllegalArgumentException] {
+      CypherLite.query(wg,
+        "MATCH (a:N)-[r:E]->(b:N) WHERE r.w > 5 OR b.id = 2 RETURN b.id AS b")
     }
   }
 
