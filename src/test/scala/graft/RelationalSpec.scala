@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("w3_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("g32 edge predicate pushes to the edge table's parquet scan") {
+    // WHERE r.o_totalprice > 400000 compiles to an edge predicate on
+    // the HAS_ORDER relation — it must reach the orders.parquet scan
+    // as a pushed filter (the 100-TB posture: the scan reads only
+    // passing row groups), and the scan must be pruned to the
+    // referenced columns
+    val p = plan("g32_cypher_rel_pred")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(p.contains("GreaterThan(c_acctbal,0.0)"),
+      "node predicate must push to the customer scan")
+    assert(!p.contains("o_orderdate"), "unreferenced columns must prune")
+  }
+
   test("s1 scan prunes columns to the projected set") {
     val p = plan("s1_scan_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
