@@ -219,7 +219,26 @@ object CypherLite {
       // row (Cypher UNWIND semantics, matched by explode exactly).
       // The unwound names join the stage's output namespace; the
       // source list stays in scope (Cypher).
-      unwinds: Seq[(String, String)] = Seq.empty)
+      unwinds: Seq[(String, String)] = Seq.empty,
+      // `MATCH` / `OPTIONAL MATCH` clauses AFTER the stage — Cypher's
+      // pattern re-entry (the argmax-then-expand shape: `WITH pr, n
+      // ORDER BY n DESC LIMIT 1 MATCH (pr)-[:R]->(q) RETURN q.x`).
+      // Each compiles to its own matchPaths sub-pattern anchored at a
+      // carried alias, joined onto the stage frame (inner for MATCH,
+      // left for OPTIONAL MATCH — all-or-nothing, like top-level
+      // optionals). New aliases join the namespace with their labels,
+      // so properties attach downstream.
+      postMatches: Seq[PostMatch] = Seq.empty)
+
+  /** One pattern clause following a WITH stage: a single chain of
+    * steps anchored at `anchor` (a name in the stage's scope, label
+    * `anchorLabel`), `optional` selecting the join type. `anchorPred`
+    * / `rowPreds` carry the clause's WHERE exactly like [[OptClause]].
+    */
+  final case class PostMatch(anchor: String, anchorLabel: String,
+      steps: Seq[PatternStep], optional: Boolean,
+      anchorPred: Option[Column] = None,
+      rowPreds: Seq[RowPred] = Seq.empty)
 
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
@@ -1163,8 +1182,22 @@ object CypherLite {
     // attach node properties.
     val UnwindRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpRaw) =>
+    val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpSeg) =>
       val prev = acc.lastOption
+      // `MATCH` / `OPTIONAL MATCH` AFTER the stage (and its unwinds)
+      // re-enters pattern matching — split the post-match text off
+      // first. An `OPTIONAL MATCH`'s cut point is the OPTIONAL
+      // keyword, not the MATCH inside it.
+      val matchCut = topLevelKeywordIndices(wpSeg, "MATCH").headOption.map { mi =>
+        val optIdx = topLevelKeywordIndices(wpSeg.substring(0, mi), "OPTIONAL")
+          .lastOption
+          .filter(oi => wpSeg.substring(oi + "OPTIONAL".length, mi).isBlank)
+        optIdx.getOrElse(mi)
+      }
+      val (wpRaw, postTxt) = matchCut match {
+        case Some(i) => (wpSeg.substring(0, i), Some(wpSeg.substring(i)))
+        case None => (wpSeg, None)
+      }
       // `UNWIND list AS x` clauses trail the stage (Cypher clause
       // order: WITH items [WHERE] [ORDER BY] [LIMIT] UNWIND … AS …);
       // split them off before the stage text parses. UNWIND before
@@ -1219,9 +1252,13 @@ object CypherLite {
               a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a), _ => false)
           case Some(pw) =>
-            val names = pw.items.map(_.as).toSet ++ pw.unwinds.map(_._2)
-            (names.contains, pw.carried.contains, names.contains,
-              n => names(n) && !pw.carried.contains(n))
+            // post-WITH MATCH aliases join the namespace as id-valued
+            // names with REAL labels — properties attach downstream
+            val post = pw.postMatches.flatMap(_.steps.map(_.node.as)).toSet
+            val names = pw.items.map(_.as).toSet ++ pw.unwinds.map(_._2) ++ post
+            (names.contains, a => pw.carried.contains(a) || post(a),
+              names.contains,
+              n => names(n) && !pw.carried.contains(n) && !post(n))
         }
       val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk)
       require(items.map(_.as).distinct.size == items.size,
@@ -1239,10 +1276,15 @@ object CypherLite {
           case ReturnItem(None, _, a, None, as, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
-        case Some(pw) => items.collect {
-          case ReturnItem(None, _, a, None, as, None) if pw.carried.contains(a) =>
-            as -> pw.carried(a)
-        }.toMap
+        case Some(pw) =>
+          val postLbl = pw.postMatches
+            .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
+          items.collect {
+            case ReturnItem(None, _, a, None, as, None) if pw.carried.contains(a) =>
+              as -> pw.carried(a)
+            case ReturnItem(None, _, a, None, as, None) if postLbl.contains(a) =>
+              as -> (a, postLbl(a))
+          }.toMap
       }
       val whereCol = whereTxt.map { w =>
         def atom(cond: String): AtomE = cond.trim match {
@@ -1273,9 +1315,70 @@ object CypherLite {
           case other => fail("UNWIND must be `UNWIND listName AS x`", other)
         }
       }
+      // pattern re-entry: parse the post-stage MATCH / OPTIONAL MATCH
+      // clauses. Carried aliases are the anchors — RENAMED carries
+      // (`WITH pr AS p2`) register in `bound` under the output name so
+      // the chain parser resolves them; each clause is ONE chain
+      // (another MATCH clause gives multi-chain power) and may carry
+      // its own WHERE, scoped to the clause's aliases + its anchor
+      // (the OptClause discipline).
+      val postMatches = postTxt.toSeq.flatMap { txt =>
+        for ((out, (_, lbl)) <- carried if !bound.contains(out)) {
+          bound += out -> lbl
+        }
+        val newAliases = scala.collection.mutable.Set.empty[String]
+        val optSegs2 = txt.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
+        for (seg <- optSegs2.drop(1))
+          require(!"(?i)\\bMATCH\\b".r.findFirstIn(seg).isDefined,
+            "required MATCH after OPTIONAL MATCH is unsupported — place " +
+              "required MATCH clauses first (after the WITH)")
+        val reqText2 = optSegs2.head.trim
+        val reqSegs2: Seq[(String, Option[String], Boolean)] =
+          (if (reqText2.isEmpty) Seq.empty
+          else reqText2.replaceFirst("(?i)^MATCH\\b", "")
+            .split("(?i)\\bMATCH\\b").toIndexedSeq
+            .map(splitWhere).map { case (b, w) => (b, w, false) }) ++
+            optSegs2.drop(1).toIndexedSeq
+              .map(splitWhere).map { case (b, w) => (b, w, true) }
+        reqSegs2.map { case (body, whereOpt, isOpt) =>
+          val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
+          require(chains.length == 1,
+            "one chain per MATCH clause after WITH (use another MATCH " +
+              "clause for branches)")
+          val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+          parseChain(chains.head, ci, clauseSteps, optional = isOpt); ci += 1
+          val anchor = clauseSteps.head.from.getOrElse(
+            fail("MATCH after WITH must start at a bound alias", chains.head))
+          require(carried.contains(anchor) || newAliases(anchor),
+            s"MATCH after WITH must re-anchor at a name this stage " +
+              s"carries (in scope: ${(carried.keySet ++ newAliases).toSeq.sorted.mkString(", ")}) — " +
+              s"'$anchor' is not in scope")
+          newAliases ++= clauseSteps.map(_.node.as)
+          val anchorLabel = carried.get(anchor).map(_._2).getOrElse(bound(anchor))
+          var anchorPred: Option[Column] = None
+          var clauseRps: Seq[RowPred] = Seq.empty
+          for (w <- whereOpt) {
+            val ns = PatternNode(anchorLabel, anchor) +:
+              clauseSteps.toSeq.map(_.node)
+            val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
+              relAllowed = clauseSteps.iterator.flatMap(_.relVar).toSet)
+            clauseRps = rps
+            anchorPred = upd.get(anchor).flatMap(_.pred)
+            for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
+              clauseSteps(i) = clauseSteps(i).copy(node = n)
+            for (i <- clauseSteps.indices; v <- clauseSteps(i).relVar;
+                 (c, ps) <- relPs.get(v))
+              clauseSteps(i) = clauseSteps(i).copy(
+                relPred = Some(clauseSteps(i).relPred.map(_ && c).getOrElse(c)),
+                relPredProps = (clauseSteps(i).relPredProps ++ ps).distinct)
+          }
+          PostMatch(anchor, anchorLabel, clauseSteps.toSeq, isOpt,
+            anchorPred, clauseRps)
+        }
+      }
       acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
-        unwinds = unwinds)
+        unwinds = unwinds, postMatches = postMatches)
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -1299,9 +1402,11 @@ object CypherLite {
               a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a), _ => false)
           case Some(w) =>
-            val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2)
-            (names.contains, w.carried.contains, names.contains,
-              n => names(n) && !w.carried.contains(n))
+            val post = w.postMatches.flatMap(_.steps.map(_.node.as)).toSet
+            val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2) ++ post
+            (names.contains, a => w.carried.contains(a) || post(a),
+              names.contains,
+              n => names(n) && !w.carried.contains(n) && !post(n))
         }
       // `RETURN *` (the README.md:137 demo shape): every node alias's
       // id (or, after a WITH, every WITH output), in binding order.
@@ -1316,7 +1421,8 @@ object CypherLite {
       if (r == "*") withClauses.lastOption match {
         case None => declOrder.iterator.map(a =>
           ReturnItem(None, distinct = false, a, None, a)).toSeq
-        case Some(w) => (w.items.map(_.as) ++ w.unwinds.map(_._2)).map(n =>
+        case Some(w) => (w.items.map(_.as) ++ w.unwinds.map(_._2) ++
+          w.postMatches.flatMap(_.steps.map(_.node.as))).map(n =>
           ReturnItem(None, distinct = false, n, None, n))
       }
       else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk)
@@ -1358,10 +1464,13 @@ object CypherLite {
       case None => st
     }
 
-    Parsed(start, steps.toSeq.map(stripVar), labels, returns,
+    Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returns,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
       optionalAliases.toSet, returnDistinct, orderBy, limit,
-      rowPreds.toSeq, withClauses, skip)
+      rowPreds.toSeq,
+      withClauses.map(w => w.copy(postMatches =
+        w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
+      skip)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -1512,8 +1621,10 @@ object CypherLite {
     // ids are globally unique across labels (the untyped contract,
     // asserted below); the view carries ONLY `id`, so property access
     // on an unlabeled alias rejects
+    val allPatternSteps = p.steps ++ p.optionals.flatMap(_.steps) ++
+      p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
     val untyped = p.labels.valuesIterator.contains("") ||
-      (p.steps ++ p.optionals.flatMap(_.steps)).exists(_.rel.isEmpty)
+      allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
     val g =
       if (!p.labels.valuesIterator.contains("")) g0
@@ -1607,9 +1718,15 @@ object CypherLite {
         : (String => Option[String], String => Boolean, String => Boolean) =
       prev match {
         case None => (a => p.labels.get(a), optionals, relVarSet)
-        case Some(w) => (a => w.carried.get(a).map(_._2),
-          a => w.carried.get(a).exists { case (orig, _) => optionals(orig) },
-          _ => false)
+        case Some(w) =>
+          val postLbl = w.postMatches
+            .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
+          val postOpt = w.postMatches.filter(_.optional)
+            .flatMap(_.steps.map(_.node.as)).toSet
+          (a => w.carried.get(a).map(_._2).orElse(postLbl.get(a)),
+            a => w.carried.get(a).exists { case (orig, _) => optionals(orig) } ||
+              postOpt(a),
+            _ => false)
       }
     val (stage, lastWith) = p.withClauses
       .foldLeft((paths, Option.empty[WithClause])) {
@@ -1627,8 +1744,32 @@ object CypherLite {
           // UNWIND clauses trail the stage: one explode per clause —
           // empty/null lists drop the row (Cypher UNWIND semantics);
           // the source list stays in scope
-          val out = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
+          val unwound = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
             d.withColumn(x, explode(col(src)))
+          }
+          // pattern re-entry: each post-stage MATCH clause is its own
+          // sub-pattern joined on the anchor — inner for MATCH, left
+          // for OPTIONAL MATCH (all-or-nothing per clause, like
+          // top-level optionals); cross-alias WHERE conjuncts filter
+          // the SUB frame before the join (inner: equivalent; left:
+          // the Neo4j inside-the-optional semantics)
+          val out = w.postMatches.foldLeft(unwound) { (d, pm) =>
+            val sub0 = g.matchPaths(
+              PatternNode(pm.anchorLabel, pm.anchor, pm.anchorPred), pm.steps)
+            val sub =
+              if (pm.rowPreds.isEmpty) sub0
+              else {
+                val need = pm.rowPreds.flatMap(_.props).distinct
+                val attached2 = need.groupBy(_._1).toSeq.sortBy(_._1)
+                  .foldLeft(sub0) { case (df2, (alias, ps)) =>
+                    g.attach(df2, alias, p.labels(alias), ps.map(_._2).distinct,
+                      s"${alias}__w_", "left_outer")
+                  }
+                attached2
+                  .filter(pm.rowPreds.map(_.cond).reduce(_ && _))
+                  .select(sub0.columns.map(col).toIndexedSeq: _*)
+              }
+            d.join(sub, Seq(pm.anchor), if (pm.optional) "left_outer" else "inner")
           }
           (out, Some(w))
       }

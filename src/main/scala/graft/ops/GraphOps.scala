@@ -912,6 +912,30 @@ object GraphOps {
              |FROM customer JOIN orders ON o_custkey = c_custkey
              |WHERE o_totalprice > 400000 AND c_acctbal > 0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G33 MATCH AFTER WITH — Cypher's pattern re-entry, the canonical
+    // argmax-then-expand Text2Cypher shape (aggregate, cut to the
+    // winner, expand a NEW pattern from the carried alias). The
+    // post-WITH clause compiles to its own matchPaths sub-pattern
+    // joined on the carried anchor (inner; OPTIONAL MATCH left —
+    // CypherLiteSpec covers both plus renamed-anchor and loud
+    // rejects). ORDER BY n_cust DESC, n pins the argmax tie-break on
+    // the carried id.
+    QueryDef(
+      "g33_cypher_with_match",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n, count(c) AS n_cust ORDER BY n_cust DESC, n LIMIT 1
+          |MATCH (n)<-[:HAS_NATION]-(rg:region)
+          |RETURN n.n_name AS nation, n_cust, rg.r_name AS region""".stripMargin)),
+      Some("""WITH top AS (
+             |  SELECT n_nationkey, n_name, n_regionkey, count(*) AS n_cust
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY n_cust DESC, n_nationkey LIMIT 1)
+             |SELECT t.n_name AS nation, t.n_cust, r.r_name AS region
+             |FROM top t JOIN region r ON r.r_regionkey = t.n_regionkey
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

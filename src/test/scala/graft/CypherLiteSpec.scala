@@ -659,6 +659,60 @@ class CypherLiteSpec extends SparkSpec {
     assert(anon.columns.toSeq === Seq("a", "b"))
   }
 
+  test("MATCH after WITH re-enters pattern matching (argmax-then-expand)") {
+    // the canonical Text2Cypher shape: aggregate, cut to the argmax,
+    // then expand a NEW pattern from the carried alias
+    val top = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH a, count(b) AS n ORDER BY n DESC LIMIT 1
+        |MATCH (a)-[:R1]->(b2:B)
+        |RETURN a.tag AS t, n, b2.tag AS bt ORDER BY bt""".stripMargin)
+      .as[(String, Long, String)].collect().toSeq
+    assert(top === Seq(("a4", 2L, "b2"), ("a4", 2L, "b5")),
+      "a4 has 2 out-edges; the new pattern re-expands both")
+    // RENAMED carry as the anchor
+    val renamed = CypherLite.query(g,
+      """MATCH (a:A {id: 1})-[:R1]->(b:B)
+        |WITH a AS left, b AS right
+        |MATCH (right)<-[:R2]-(c:C)
+        |RETURN left.tag AS lt, c.tag AS ct""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(renamed === Seq(("a1", "c3")))
+    // OPTIONAL MATCH after WITH: unmatched anchors keep their row
+    val opt = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n
+        |OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS bt, n, count(c) AS nc ORDER BY bt""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(opt === Seq(("b2", 2L, 1L), ("b5", 1L, 0L)),
+      "b5 has no inbound R2 — survives with count 0")
+    // clause WHERE scopes to the clause; new aliases aggregate and
+    // carry properties downstream
+    val whered = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n
+        |MATCH (b)<-[:R2]-(c:C) WHERE c.id > 0
+        |RETURN b.tag AS bt, c.tag AS ct, n""".stripMargin)
+      .as[(String, String, Long)].collect().toSeq
+    assert(whered === Seq(("b2", "c3", 2L)))
+    // rejects: anchor not in scope (projected away), unknown anchor
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        """MATCH (a:A)-[:R1]->(b:B)
+          |WITH b WHERE b.id > 0
+          |MATCH (a)-[:R1]->(b2:B)
+          |RETURN b2""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        """MATCH (a:A)-[:R1]->(b:B)
+          |WITH a, count(b) AS n
+          |MATCH (z:C)-[:R2]->(w:B)
+          |RETURN n""".stripMargin)
+    }
+  }
+
   test("aggregates over arithmetic bodies: sum(r.w * 2), avg(a.id + b.id)") {
     val wg = PropertyGraph(
       nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3")).toDF("id", "tag")),
