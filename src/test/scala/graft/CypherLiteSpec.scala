@@ -696,6 +696,16 @@ class CypherLiteSpec extends SparkSpec {
         |RETURN b.tag AS bt, c.tag AS ct, n""".stripMargin)
       .as[(String, String, Long)].collect().toSeq
     assert(whered === Seq(("b2", "c3", 2L)))
+    // pattern re-entry chains across further WITH stages: the new
+    // alias carries on, re-aggregates, and re-expands
+    val chained = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |WITH b, count(a) AS n
+        |MATCH (b)<-[:R2]-(c:C)
+        |WITH c, sum(n) AS total
+        |RETURN c.tag AS ct, total""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(chained === Seq(("c3", 2L)), "b2's two inbound R1 paths carry through")
     // rejects: anchor not in scope (projected away), unknown anchor
     intercept[IllegalArgumentException] {
       CypherLite.parse(
