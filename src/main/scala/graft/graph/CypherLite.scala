@@ -879,10 +879,14 @@ object CypherLite {
         anchor = None // subsequent steps chain from the previous node
         any = true
       }
-      // a zero-edge part is legal only as the whole required pattern:
-      // `MATCH (n:Label)` is a node scan (the OPTIONAL MATCH anchor
-      // shape); continuation parts and optional clauses need an edge
-      require(any || (ci == 0 && rest.isEmpty),
+      // a zero-edge part is legal as the whole required pattern
+      // (`MATCH (n:Label)` is a node scan — the OPTIONAL MATCH anchor
+      // shape) or as a BARE RE-ANCHOR of a required clause
+      // (`MATCH (b:B)` restating a bound alias — a no-op LLMs emit);
+      // a NEW-alias zero-edge continuation stays rejected (cartesian
+      // guard), and optional clauses always need an edge
+      require(any || (ci == 0 && rest.isEmpty) ||
+          (!optional && anchor.isDefined && rest.isEmpty),
         s"pattern part ${ci + 1} needs at least one edge")
     }
 
@@ -1347,6 +1351,9 @@ object CypherLite {
               "clause for branches)")
           val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
           parseChain(chains.head, ci, clauseSteps, optional = isOpt); ci += 1
+          require(clauseSteps.nonEmpty,
+            "MATCH after WITH needs at least one edge (a bare re-anchor " +
+              "is a no-op here — drop the clause)")
           val anchor = clauseSteps.head.from.getOrElse(
             fail("MATCH after WITH must start at a bound alias", chains.head))
           require(carried.contains(anchor) || newAliases(anchor),
@@ -1639,10 +1646,13 @@ object CypherLite {
     for ((prev, items) <- p.withClauses.zip(
            p.withClauses.drop(1).map(_.items) :+ p.returns);
          ri <- items; (a, pr) <- itemPropRefs(ri)
-         if prev.carried.get(a).exists(_._2 == ""))
+         if prev.carried.get(a).exists(_._2 == "") ||
+           prev.postMatches.exists(_.steps.exists(st =>
+             st.node.as == a && st.node.label.isEmpty)))
       throw new IllegalArgumentException(
-        s"$a.$pr: carried alias '$a' is " +
-          "unlabeled — the any-node view has no properties")
+        s"$a.$pr: alias '$a' is " +
+          "unlabeled — the any-node view has no properties; declare a " +
+          ":Label to read them")
     val optionals = p.optionalAliases
     // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
     // frame (before OPTIONAL MATCH extends it, standard clause order):

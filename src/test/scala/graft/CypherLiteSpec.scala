@@ -723,6 +723,21 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("multi-MATCH, OPTIONAL MATCH, WITH and pattern re-entry compose") {
+    // every round-11 clause form in one statement: two required MATCH
+    // clauses, an OPTIONAL MATCH, a WITH aggregation, then re-entry
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |MATCH (b:B)
+        |OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |WITH b, count(a) AS fans, count(c) AS refs
+        |MATCH (b)<-[:R1]-(a2:A)
+        |RETURN b.tag AS bt, fans, refs, count(a2) AS again ORDER BY bt""".stripMargin)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(("b2", 2L, 2L, 2L), ("b5", 1L, 0L, 1L)),
+      "b2: 2 R1 fans x 1 R2 ref; re-entry re-finds both fans")
+  }
+
   test("aggregates over arithmetic bodies: sum(r.w * 2), avg(a.id + b.id)") {
     val wg = PropertyGraph(
       nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3")).toDF("id", "tag")),
