@@ -117,6 +117,18 @@ import org.apache.spark.sql.functions._
   *    references the PREVIOUS stage's outputs — a name projected
   *    away is gone (standard Cypher scoping), and property access
   *    stays valid only through carried aliases.
+  *  - WHERE PATTERN PREDICATES, as top-level AND conjuncts of a
+  *    required MATCH's WHERE: `[NOT] EXISTS { [MATCH] (a)-[:R]->(b)
+  *    [WHERE …] }` (Neo4j 5 existential subquery — the internal WHERE
+  *    takes per-alias conditions incl. relationship predicates),
+  *    `[NOT] exists((a)-[:R]->(b))` (legacy function form), and bare
+  *    `[NOT] (a)-[:R]->(b)`. The chain's aliases are LOCAL (Cypher
+  *    EXISTS scoping); it anchors at a bound alias and may CLOSE over
+  *    further bound aliases at tail positions (`NOT (a)-[:R]->(b)`
+  *    with both bound). Compiles to a left_semi (EXISTS) / left_anti
+  *    (NOT) join of the sub-pattern's key set — a pure filter, no
+  *    multiplicity change. Under OR, or on an OPTIONAL MATCH WHERE:
+  *    loud reject.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg|collect([DISTINCT] alias[.prop])`;
@@ -240,6 +252,26 @@ object CypherLite {
       anchorPred: Option[Column] = None,
       rowPreds: Seq[RowPred] = Seq.empty)
 
+  /** One WHERE pattern predicate — `[NOT] EXISTS { (a)-[:R]->(b) …
+    * [WHERE …] }`, `[NOT] exists((a)-[:R]->(b))`, or a bare
+    * `[NOT] (a)-[:R]->(b)` conjunct. The chain compiles to its OWN
+    * sub-pattern (aliases it declares are LOCAL — Cypher EXISTS
+    * scoping: nothing outside may read them) anchored at a bound
+    * alias, then joins the path frame as a `left_semi` (EXISTS) or
+    * `left_anti` (NOT) on the anchor id — a filter, never a
+    * multiplicity change. `closures` maps FRESH local aliases back to
+    * the outer-bound aliases they restate: a tail position naming a
+    * bound alias (`NOT (a)-[:R]->(b)` with `b` bound) re-parses as a
+    * fresh local node and the semi/anti join adds `fresh = outer` to
+    * its keys — the chain machinery stays single-entry while the
+    * predicate still closes over multiple bound aliases.
+    * `anchorPred` holds EXISTS-internal WHERE conditions on the
+    * anchor (part of the predicate, not the outer row set).
+    */
+  final case class PatternPred(negated: Boolean, anchor: String,
+      steps: Seq[PatternStep], closures: Seq[(String, String)],
+      anchorPred: Option[Column])
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
       labels: Map[String, String], returns: Seq[ReturnItem],
@@ -250,7 +282,8 @@ object CypherLite {
       limit: Option[Int] = None,
       rowPreds: Seq[RowPred] = Seq.empty,
       withClauses: Seq[WithClause] = Seq.empty,
-      skip: Option[Int] = None)
+      skip: Option[Int] = None,
+      patternPreds: Seq[PatternPred] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -296,6 +329,17 @@ object CypherLite {
     """^(?i)(toLower|toUpper)\s*\(\s*('[^']*')\s*\)$""".r
   private val RhsCastRe =
     """^(?i)CAST\s*\(\s*('[^']*')\s*AS\s+(DATE|TIMESTAMP)\s*\)$""".r
+  // WHERE pattern predicates: `[NOT] EXISTS { [MATCH] chain [WHERE …] }`
+  // (Neo4j 5 existential subquery), `[NOT] exists((chain))` (the
+  // legacy function form), and a bare `[NOT] (chain)` conjunct. The
+  // shape probe (`)-[` / `)<-[`) distinguishes a chain from a
+  // parenthesized boolean group.
+  private val PatPredExistsBraceRe =
+    """(?is)^(NOT\s+)?EXISTS\s*\{(.*)\}\s*$""".r
+  private val PatPredExistsFnRe =
+    """(?is)^(NOT\s+)?EXISTS\s*\((\s*\(.*)\)\s*$""".r
+  private val PatPredBareNotRe = """(?is)^NOT\s+(\(.*)$""".r
+  private val PatternShapeRe = """\)\s*<?-\s*\[""".r
 
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
@@ -374,9 +418,10 @@ object CypherLite {
   private def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
 
   /** Split on a connective keyword ONLY outside single-quoted literals
-    * and ONLY at parenthesis depth 0 — a naive regex split on
+    * and ONLY at parenthesis AND brace depth 0 — a naive regex split on
     * \bAND\b/\bOR\b would cut a condition mid-literal for values like
-    * 'black or white', and would cut THROUGH a parenthesized group.
+    * 'black or white', would cut THROUGH a parenthesized group, and
+    * would cut an `EXISTS { … WHERE x AND y }` subquery body.
     * '_' is a word char (as in \b): `a.tag_or` / `x_and.p` must not
     * split mid-identifier.
     */
@@ -389,8 +434,8 @@ object CypherLite {
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') { inQ = !inQ; i += 1 }
-      else if (!inQ && ch == '(') { depth += 1; i += 1 }
-      else if (!inQ && ch == ')') {
+      else if (!inQ && (ch == '(' || ch == '{')) { depth += 1; i += 1 }
+      else if (!inQ && (ch == ')' || ch == '}')) {
         depth -= 1
         require(depth >= 0, s"unbalanced ')' in WHERE: '$s'")
         i += 1
@@ -764,8 +809,13 @@ object CypherLite {
     // cartesian guard) but carries its own CLAUSE TAG: relationship
     // isomorphism stays per clause (Neo4j — a second clause may
     // rebind an edge the first traversed).
-    val reqClauses = optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", "")
-      .split("(?i)\\bMATCH\\b").toIndexedSeq.map(splitWhere)
+    // brace/paren-aware clause split: a `WHERE EXISTS { MATCH … }`
+    // pattern predicate carries the MATCH keyword INSIDE braces — a
+    // plain regex split would cut the subquery in half
+    val reqSegs = splitTop(
+      optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", ""), "MATCH")
+    val reqClauses =
+      (if (reqSegs.isEmpty) Seq("") else reqSegs).toIndexedSeq.map(splitWhere)
     val optClausesTxt = optSegs.drop(1).toIndexedSeq.map(splitWhere)
     val matchBody = reqClauses.head._1
     require(matchBody.nonEmpty, "empty pattern")
@@ -781,11 +831,18 @@ object CypherLite {
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
     val rowPreds = scala.collection.mutable.ArrayBuffer.empty[RowPred]
+    val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
     var start: PatternNode = null
 
     def parseChain(chain: String, ci: Int,
         into: scala.collection.mutable.ArrayBuffer[PatternStep],
-        optional: Boolean): Unit = {
+        optional: Boolean,
+        // pattern-predicate mode: a TAIL position naming a `closeOver`
+        // alias re-parses as a fresh local node recorded in `closures`
+        // (fresh -> outer) — the semi/anti join equates them later
+        closeOver: Set[String] = Set.empty,
+        closures: scala.collection.mutable.LinkedHashMap[String, String] = null)
+        : Unit = {
       var rest = chain
       def node(allowBare: Boolean): Either[String, PatternNode] =
         NodeRe.findFirstMatchIn(rest) match {
@@ -802,6 +859,20 @@ object CypherLite {
               // bound alias is a contradiction, rejected below
               case (Some(lbl), None) if allowBare && bound.get(alias).contains(lbl) =>
                 Left(alias)
+              // pattern-predicate closure: a TAIL node restating an
+              // outer-bound alias (bare or with its matching label, no
+              // property map) becomes a FRESH local alias; the
+              // predicate's semi/anti join adds `fresh = outer` to its
+              // keys — `NOT (a)-[:R]->(b)` with both a and b bound
+              case (lblOpt, None) if !allowBare && closures != null &&
+                  closeOver.contains(alias) &&
+                  lblOpt.forall(l => bound.get(alias).contains(l)) =>
+                val fresh = s"__pp$idx"; idx += 1
+                val lbl = bound(alias)
+                bound += fresh -> lbl
+                declOrder += fresh
+                closures += fresh -> alias
+                Right(PatternNode(lbl, fresh))
               case (labelOpt, propsOpt) =>
                 // no :Label = the ANY-node position (README.md:137
                 // `MATCH (a)-[r*1..4]-(b)`), label "": query() mounts
@@ -1005,6 +1076,94 @@ object CypherLite {
       }.toMap, rps, relPreds)
     }
 
+    /** Compile one pattern-predicate chain (`(a)-[:R]->(b:B)` plus an
+      * optional EXISTS-internal WHERE) with LOCAL alias scope: every
+      * alias the chain declares is unbound again on exit (Cypher
+      * EXISTS scoping — nothing outside the predicate may read them),
+      * and tail positions naming outer-bound aliases become closure
+      * keys (see [[PatternPred]]). Relationship variables are stripped
+      * after the internal WHERE lands (nothing can return them), so
+      * the sub-pattern keeps skinny 2-column step plans.
+      */
+    def parsePatternPredChain(negated: Boolean, body: String): PatternPred = {
+      val (chainTxt, whereTxt) = splitWhere(body)
+      val boundBefore = bound.keySet.toSet
+      val declLen = declOrder.length
+      val relVarsBefore = relVars.toSet
+      val closures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val local = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+      parseChain(chainTxt, 1, local, optional = false,
+        closeOver = boundBefore, closures = closures)
+      require(local.nonEmpty, "pattern predicate needs at least one edge")
+      val anchor = local.head.from.getOrElse(
+        fail("pattern predicate must start at a bound alias", chainTxt))
+      var anchorPred: Option[Column] = None
+      var stepsL: Seq[PatternStep] = local.toSeq
+      for (w <- whereTxt) {
+        val localAliases = bound.keySet.toSet -- boundBefore
+        val ns = PatternNode(bound(anchor), anchor) +: stepsL.map(_.node)
+        val (upd, rps, relPs) = applyWhere(w, localAliases + anchor, ns,
+          relAllowed = stepsL.iterator.flatMap(_.relVar).toSet)
+        require(rps.isEmpty,
+          "cross-alias WHERE inside EXISTS is unsupported — write " +
+            "per-alias conditions (or lift the condition to the outer WHERE)")
+        anchorPred = upd.get(anchor).flatMap(_.pred)
+        stepsL = stepsL.map(st => upd.get(st.node.as).fold(st)(n => st.copy(node = n)))
+        stepsL = stepsL.map { st =>
+          st.relVar.flatMap(relPs.get) match {
+            case Some((c, ps)) => st.copy(
+              relPred = Some(st.relPred.map(_ && c).getOrElse(c)),
+              relPredProps = (st.relPredProps ++ ps).distinct)
+            case None => st
+          }
+        }
+      }
+      // local scope ends here — unbind everything the chain declared
+      for (a <- bound.keySet.toSeq.filterNot(boundBefore)) {
+        bound -= a; optionalAliases -= a
+      }
+      declOrder.remove(declLen, declOrder.length - declLen)
+      for (v <- relVars.toSeq.filterNot(relVarsBefore)) relVars -= v
+      PatternPred(negated, anchor, stepsL.map(_.copy(relVar = None)),
+        closures.toSeq, anchorPred)
+    }
+
+    /** Pull pattern-predicate conjuncts out of a required-MATCH WHERE
+      * (top-level AND conjuncts only — a pattern predicate under OR
+      * would need a full boolean bridge between the join and filter
+      * worlds; loud reject). Returns the remaining boolean WHERE text,
+      * if any, for the ordinary [[applyWhere]] path.
+      */
+    def extractPatternPreds(w: String): Option[String] = {
+      val kept = Seq.newBuilder[String]
+      var any = false
+      for (c <- splitTop(w, "AND")) c match {
+        case PatPredExistsBraceRe(not, body) =>
+          patternPreds += parsePatternPredChain(not != null,
+            body.trim.replaceFirst("(?i)^MATCH\\b", "").trim)
+          any = true
+        case PatPredExistsFnRe(not, body) =>
+          patternPreds += parsePatternPredChain(not != null, body.trim)
+          any = true
+        case PatPredBareNotRe(body)
+            if PatternShapeRe.findFirstIn(body).isDefined =>
+          patternPreds += parsePatternPredChain(negated = true, body)
+          any = true
+        case c2 if c2.startsWith("(") &&
+            PatternShapeRe.findFirstIn(c2).isDefined =>
+          patternPreds += parsePatternPredChain(negated = false, c2)
+          any = true
+        case other =>
+          require(PatternShapeRe.findFirstIn(other).isEmpty,
+            s"pattern predicates must be top-level AND conjuncts " +
+              s"(not nested under OR): '${other.take(60)}'")
+          kept += other
+      }
+      val ks = kept.result()
+      if (ks.isEmpty) { require(any, "empty WHERE"); None }
+      else Some(ks.mkString(" AND "))
+    }
+
     // top-level comma = a new pattern part (commas inside {…} are
     // property separators); each additional part must START at an
     // already-bound alias — the Cypher multi-pattern form rag.baml's
@@ -1024,13 +1183,13 @@ object CypherLite {
       for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
       for (i <- before until steps.length)
         steps(i) = steps(i).copy(clause = rc)
-      for (w <- whereOpt) {
+      for (w0 <- whereOpt; w <- extractPatternPreds(w0)) {
         // scope: every alias bound so far — required clauses are all
         // inner joins, so an earlier-clause condition commutes; a
         // FORWARD reference (to a later clause) fails the unknown-
         // alias check naturally. Relationship-variable conditions
         // (`r.prop OP …`) land on the variable's step as an EDGE
-        // predicate.
+        // predicate. Pattern-predicate conjuncts were extracted above.
         val ns = start +: steps.toSeq.map(_.node)
         val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
           relAllowed = steps.iterator.flatMap(_.relVar).toSet)
@@ -1064,6 +1223,12 @@ object CypherLite {
         var anchorPred: Option[Column] = None
         var clauseRps: Seq[RowPred] = Seq.empty
         for (w <- whereOpt) {
+          // a pattern predicate inside an OPTIONAL MATCH WHERE would
+          // have to null out (not drop) failing rows — a semi-join on
+          // the inner sub-frame, not the outer; unsupported, loud
+          require(PatternShapeRe.findFirstIn(w).isEmpty,
+            "pattern predicates (EXISTS / NOT (…)-[…]…) are supported " +
+              "on required MATCH WHERE only")
           val ns = PatternNode(bound(anchor), anchor) +:
             clauseSteps.toSeq.map(_.node)
           val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
@@ -1477,7 +1642,7 @@ object CypherLite {
       rowPreds.toSeq,
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
-      skip)
+      skip, patternPreds.toSeq)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -1629,12 +1794,17 @@ object CypherLite {
     // asserted below); the view carries ONLY `id`, so property access
     // on an unlabeled alias rejects
     val allPatternSteps = p.steps ++ p.optionals.flatMap(_.steps) ++
+      p.patternPreds.flatMap(_.steps) ++
       p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
-    val untyped = p.labels.valuesIterator.contains("") ||
-      allPatternSteps.exists(_.rel.isEmpty)
+    // pattern-predicate locals are NOT in p.labels (EXISTS scoping) —
+    // an unlabeled local (`NOT (c)-[:R]->()`) still needs the
+    // any-node view mounted
+    val anyNodeNeeded = p.labels.valuesIterator.contains("") ||
+      p.patternPreds.exists(_.steps.exists(_.node.label.isEmpty))
+    val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
     val g =
-      if (!p.labels.valuesIterator.contains("")) g0
+      if (!anyNodeNeeded) g0
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
     for (ri <- p.withClauses.headOption.map(_.items).getOrElse(p.returns);
@@ -1683,6 +1853,26 @@ object CypherLite {
           // frame's alias order (and drop the __w_ helpers)
           .select(required0.columns.map(col).toIndexedSeq: _*)
       }
+    // WHERE pattern predicates: each compiles to its own sub-pattern
+    // frame (matchPaths over the predicate's local steps, anchor
+    // conditions as the start node's pred) joined LEFT_SEMI (EXISTS)
+    // or LEFT_ANTI (NOT) on the anchor id plus any closure keys — a
+    // pure filter on the required frame, never a multiplicity change,
+    // and Catalyst is free to broadcast the dimension-sized key set.
+    // Applied BEFORE optional clauses — Cypher clause order: the WHERE
+    // belongs to the required MATCH.
+    val afterPreds = p.patternPreds.foldLeft(required) { (df, pp) =>
+      val sub = g.matchPaths(
+        PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred), pp.steps)
+      val keys = (pp.anchor, pp.anchor) +: pp.closures
+      val proj = sub.select(keys.zipWithIndex.map {
+        case ((local, _), i) => col(local).as(s"__ppk_$i")
+      }: _*)
+      val cond = keys.zipWithIndex.map {
+        case ((_, outer), i) => df(outer) === proj(s"__ppk_$i")
+      }.reduce(_ && _)
+      df.join(proj, cond, if (pp.negated) "left_anti" else "left_semi")
+    }
     // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
     // anchored at its bound alias, left-joined as one unit — if any
     // step fails, every alias the clause binds is null together. The
@@ -1691,7 +1881,7 @@ object CypherLite {
     // the optional match (Neo4j: condition part of the match, failing
     // rows keep the outer row with nulls), never as a post-join
     // filter that would turn the left join into an inner one.
-    val paths = p.optionals.foldLeft(required) {
+    val paths = p.optionals.foldLeft(afterPreds) {
       (df, cl) =>
         val sub0 = g.matchPaths(
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)

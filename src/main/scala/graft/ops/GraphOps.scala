@@ -936,6 +936,52 @@ object GraphOps {
              |SELECT t.n_name AS nation, t.n_cust, r.r_name AS region
              |FROM top t JOIN region r ON r.r_regionkey = t.n_regionkey
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G34 NOT-pattern predicate through the text route — a bare
+    // `WHERE NOT (c)-[:HAS_ORDER]->(:orders {…})` conjunct compiles
+    // to a LEFT_ANTI join of the sub-pattern's anchor ids onto the
+    // path frame (a pure filter, never a multiplicity change;
+    // Catalyst broadcasts the key set). The canonical Text2Cypher
+    // negative-existence shape ("customers with no urgent orders" —
+    // every synthetic customer HAS orders, so the tail prop map is
+    // what makes the anti-join discriminate: ~13% of customers
+    // survive), plus an ordinary conjunct to pin AND-extraction.
+    QueryDef(
+      "g34_cypher_not_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE NOT (c)-[:HAS_ORDER]->(:orders {o_orderpriority: '1-URGENT'})
+          |  AND c.c_acctbal > 0
+          |RETURN c.c_mktsegment AS seg, count(*) AS n""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n
+             |FROM customer
+             |WHERE c_acctbal > 0
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G35 EXISTS subquery with an internal RELATIONSHIP predicate —
+    // `EXISTS { MATCH (c)-[r:HAS_ORDER]->(o:orders) WHERE
+    // r.o_totalprice > … }` compiles to a LEFT_SEMI join whose
+    // sub-pattern filters the EDGE relation before its join (the
+    // r-predicate lands as a pushed parquet filter, same as g32).
+    // Multiplicity pin: a customer with many qualifying orders still
+    // contributes ONE row per (n, c) path — semi-join semantics the
+    // count(*) oracle verifies exactly.
+    QueryDef(
+      "g35_cypher_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE EXISTS { MATCH (c)-[r:HAS_ORDER]->(o:orders)
+          |               WHERE r.o_totalprice > 400000 }
+          |RETURN n.n_name AS n_name, count(*) AS n""".stripMargin)),
+      Some("""SELECT n_name, count(*) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_totalprice > 400000)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1127,4 +1127,89 @@ class CypherLiteSpec extends SparkSpec {
       "(a:A)-[:R]->(b:B) WHERE a.tag = 'a1' OR b.tag = 'zzz'").count()
     assert(n === 2, "the dangling-endpoint path row survives via the a disjunct")
   }
+
+  // ---- WHERE pattern predicates (EXISTS / NOT pattern) ----
+
+  test("bare NOT pattern conjunct filters via anti-join") {
+    // a1's only R1 edge goes to b2 — it survives NOT (…)->(:B {id:5});
+    // a4 reaches b5 and is dropped
+    val rows = CypherLite.query(g,
+      "MATCH (a:A) WHERE NOT (a)-[:R1]->(:B {id: 5}) RETURN a.tag")
+      .as[String].collect().toSeq
+    assert(rows === Seq("a1"))
+  }
+
+  test("EXISTS { MATCH … WHERE … } subquery with internal node predicate") {
+    val rows = CypherLite.query(g,
+      "MATCH (b:B) WHERE EXISTS { MATCH (b)<-[:R1]-(a:A) WHERE a.tag = 'a1' } " +
+        "RETURN b.tag").as[String].collect().toSeq
+    assert(rows === Seq("b2"), "only b2 has an in-edge from a1")
+  }
+
+  test("legacy exists((pattern)) function form, negated") {
+    val rows = CypherLite.query(g,
+      "MATCH (b:B) WHERE NOT exists((b)<-[:R2]-(c:C)) RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(rows === Seq("b5"), "b2 has the R2 in-edge from c3")
+  }
+
+  test("pattern predicate composes with ordinary conjuncts under AND") {
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE NOT (a)-[:R1]->(:B {id: 5}) AND b.id > 1 " +
+        "RETURN count(*) AS n").as[Long].head()
+    assert(n === 1L, "only a1->b2 survives (a4 reaches b5)")
+  }
+
+  test("closure over a second bound alias equates local and outer ids") {
+    // 1→2, 2→3, 2→4, 1→3: two-hop paths are (1,2,3) and (1,2,4);
+    // the triangle-closing edge x→z exists only for (1,2,3). If the
+    // closure key were dropped, EXISTS would keep BOTH rows (x=1 has
+    // SOME out-edge) — this pins fresh-local = outer equating.
+    val tri = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N",
+        Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L)).toDF("src", "dst")))))
+    val closed = CypherLite.query(tri,
+      "MATCH (x:N)-[:E]->(y:N)-[:E]->(z:N) WHERE EXISTS { (x)-[:E]->(z) } " +
+        "RETURN x, y, z").as[(Long, Long, Long)].collect().toSeq
+    assert(closed === Seq((1L, 2L, 3L)))
+    val open = CypherLite.query(tri,
+      "MATCH (x:N)-[:E]->(y:N)-[:E]->(z:N) WHERE NOT (x)-[:E]->(z) " +
+        "RETURN x, y, z").as[(Long, Long, Long)].collect().toSeq
+    assert(open === Seq((1L, 2L, 4L)))
+  }
+
+  test("pattern predicate rejects: under OR, on OPTIONAL MATCH, unanchored, leaked alias") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) WHERE a.tag = 'x' OR NOT (a)-[:R1]->(:B) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) " +
+          "WHERE NOT (b)<-[:R2]-(:C) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      // head of the predicate chain is a NEW alias — nothing anchors
+      // it to the outer frame (cartesian guard)
+      CypherLite.parse(
+        "MATCH (a:A) WHERE EXISTS { (q:C)-[:R2]->(w:B) } RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      // EXISTS-local aliases are out of scope in RETURN (Cypher)
+      CypherLite.parse(
+        "MATCH (a:A) WHERE EXISTS { (a)-[:R1]->(bb:B) } RETURN bb")
+    }
+  }
+
+  test("EXISTS keeps multiplicity: a semi-join filter, never a fan-out") {
+    // a4 has TWO R1 edges — the EXISTS filter must not duplicate the
+    // single (a4) row
+    val rows = CypherLite.query(g,
+      "MATCH (a:A) WHERE EXISTS { (a)-[:R1]->(:B) } RETURN a.tag")
+      .as[String].collect().toSeq.sorted
+    assert(rows === Seq("a1", "a4"))
+  }
 }

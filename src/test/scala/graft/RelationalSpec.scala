@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("o_orderdate"), "unreferenced columns must prune")
   }
 
+  test("g35 EXISTS pattern predicate compiles to LeftSemi; its rel predicate pushes") {
+    // the EXISTS subquery must be a semi-join (a FILTER on the path
+    // frame — never an inner join that would fan out per qualifying
+    // order), and the subquery's relationship predicate must reach
+    // the orders.parquet scan as a pushed filter with pruned columns
+    val p = plan("g35_cypher_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must compile to a semi-join")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(!p.contains("o_orderdate"), "unreferenced columns must prune")
+    val p34 = plan("g34_cypher_not_exists")
+    assert(p34.contains("LeftAnti"), "NOT pattern must compile to an anti-join")
+  }
+
   test("s1 scan prunes columns to the projected set") {
     val p = plan("s1_scan_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
