@@ -142,6 +142,14 @@ import org.apache.spark.sql.functions._
   *    Cypher's implicit grouping. After a WITH, items reference the
   *    WITH outputs instead of pattern aliases. Without RETURN: the
   *    raw path frame (one id column per alias, one row per path).
+  *    Items also take ARITHMETIC (`n.a + n.b AS s`, incl. inside
+  *    aggregates) and SEARCHED CASE — `CASE WHEN cond THEN val …
+  *    [ELSE val] END AS name` (no ELSE → null), standalone (a
+  *    grouping key) or inside an aggregate (`sum(CASE … 1 ELSE 0
+  *    END)`, the conditional-count idiom); conditions reuse the
+  *    WHERE atom grammar, values are literals or arithmetic; all of
+  *    it folds to when/otherwise Column chains — codegen, no UDF.
+  *    Simple CASE (`CASE expr WHEN v`) and nested CASE reject loudly.
   *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
   *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
   *    before the limit (Dataset.offset).
@@ -167,7 +175,10 @@ object CypherLite {
   final case class ReturnItem(
       agg: Option[String], distinct: Boolean,
       alias: String, prop: Option[String], as: String,
-      arith: Option[ArithExpr] = None) {
+      arith: Option[ArithExpr] = None,
+      // set → the item is a searched CASE expression (optionally under
+      // an aggregate); alias/prop/arith are unused then
+      caseC: Option[CaseCompiled] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -175,10 +186,14 @@ object CypherLite {
     * property item, several for an arithmetic one. Drives property
     * attachment and unlabeled-alias validation.
     */
-  private def itemPropRefs(ri: ReturnItem): Seq[(String, String)] = ri.arith match {
-    case Some(ae) => arithRefs(ae).collect { case (a, Some(p)) => (a, p) }
-    case None => ri.prop.map(p => ri.alias -> p).toSeq
-  }
+  private def itemPropRefs(ri: ReturnItem): Seq[(String, String)] =
+    ri.caseC match {
+      case Some(cc) => cc.refs
+      case None => ri.arith match {
+        case Some(ae) => arithRefs(ae).collect { case (a, Some(p)) => (a, p) }
+        case None => ri.prop.map(p => ri.alias -> p).toSeq
+      }
+    }
 
   /** One compiled OPTIONAL MATCH clause: a chain of (required) steps
     * anchored at `anchor`, left-joined as a UNIT — all-or-nothing,
@@ -670,6 +685,118 @@ object CypherLite {
     ws()
     require(i == s.length, s"trailing input in arithmetic item: '${s.substring(i)}'")
     e
+  }
+
+  /** A compiled searched-CASE item (`CASE WHEN cond THEN val … [ELSE
+    * val] END`): `refs` lists every (alias, prop) the expression reads
+    * (drives property attachment, same as arithmetic items), `build`
+    * produces the Column given the stage's ref resolver — a
+    * `when(…).otherwise(…)` chain, pure Column algebra inside
+    * whole-stage codegen, no UDF. The AST stays private; only the
+    * closure escapes.
+    */
+  final case class CaseCompiled(refs: Seq[(String, String)],
+      build: ((String, Option[String]) => Column) => Column)
+
+  /** Compile a searched CASE (`CASE WHEN … THEN … [WHEN …]* [ELSE …]
+    * END`, Cypher/SQL shared shape; no ELSE → null, Cypher semantics).
+    * Conditions reuse the WHERE atom grammar — `alias.prop OP operand`
+    * (incl. toLower/toUpper wraps, IS [NOT] NULL, prop-to-prop) over
+    * the item scope, or bare `name OP operand` post-WITH — with
+    * AND/OR/parens. Values are literals (string/bool/NULL) or
+    * arithmetic over refs. Simple CASE (`CASE expr WHEN v`) and nested
+    * CASE reject loudly.
+    */
+  private def compileCase(txt0: String, ctx: String,
+      plainOk: String => Boolean, propOk: String => Boolean,
+      isRelVar: String => Boolean): CaseCompiled = {
+    val PropRefRe2 = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val body0 = txt0.trim.replaceFirst("(?is)^CASE\\b", "")
+    val endIdx = topLevelKeywordIndices(body0, "END").lastOption.getOrElse(
+      fail("CASE needs a closing END", txt0))
+    require(body0.substring(endIdx + 3).isBlank,
+      s"trailing input after CASE … END: '${body0.substring(endIdx + 3).take(30)}'")
+    val body = body0.substring(0, endIdx)
+    require(topLevelKeywordIndices(body, "CASE").isEmpty,
+      "nested CASE is unsupported — compose with a WITH stage")
+    val whenIdxs = topLevelKeywordIndices(body, "WHEN")
+    require(whenIdxs.nonEmpty, "CASE needs at least one WHEN")
+    require(body.substring(0, whenIdxs.head).isBlank,
+      "simple CASE (CASE expr WHEN value …) is unsupported — write " +
+        "searched CASE (CASE WHEN expr = value …)")
+    val elseIdxs = topLevelKeywordIndices(body, "ELSE")
+    require(elseIdxs.size <= 1 && elseIdxs.forall(_ > whenIdxs.last),
+      "CASE takes one trailing ELSE")
+    val refs = Seq.newBuilder[(String, String)]
+    def checkProp(a: String): Unit =
+      require(propOk(a), s"$ctx CASE references unknown alias '$a'")
+    def parseVal(v0: String): ((String, Option[String]) => Column) => Column = {
+      val v = v0.trim
+      if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+          v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
+      else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
+      else {
+        val ae = parseArith(v)
+        for ((a, pOpt) <- arithRefs(ae)) pOpt match {
+          case Some(p) => checkProp(a); refs += a -> p
+          case None =>
+            require(!isRelVar(a),
+              s"'$a': a relationship variable's eid string is not a CASE value")
+            require(plainOk(a), s"$ctx CASE references unknown name '$a'")
+        }
+        res => arithColumn(ae, res)
+      }
+    }
+    def atom(cond: String): BoolExpr = cond.trim match {
+      case WhereNullRe(a, p, not) =>
+        checkProp(a); refs += a -> p
+        AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
+      case WhereFnCondRe(fn, a, p, op, v) =>
+        checkProp(a); refs += a -> p
+        val wrap: Column => Column =
+          if (fn.equalsIgnoreCase("toLower")) lower(_) else upper(_)
+        val cmp = opBuilder(op, v)
+        AtomE(a, p, c => cmp(wrap(c)))
+      case WhereCondRe(a, p, op, v) =>
+        checkProp(a); refs += a -> p
+        v.trim match {
+          case PropRefRe2(a2, p2) if propOk(a2) =>
+            refs += a2 -> p2; Atom2E(a, p, a2, p2, opBuilder2(op))
+          case _ => AtomE(a, p, opBuilder(op, v))
+        }
+      case WithNullRe(n, not) =>
+        require(plainOk(n), s"$ctx CASE references unknown name '$n'")
+        AtomE("", n, c => if (not != null) c.isNotNull else c.isNull)
+      case WithCondRe(n, op, v) =>
+        require(plainOk(n), s"$ctx CASE references unknown name '$n'")
+        AtomE("", n, opBuilder(op, v))
+      case other => fail(
+        "CASE WHEN conditions must be [toLower|toUpper](alias.prop) OP " +
+          "operand or name OP operand", other)
+    }
+    val armEnd = elseIdxs.headOption.getOrElse(body.length)
+    val armFns = (whenIdxs :+ armEnd).sliding(2).map {
+      case Seq(a, b) =>
+        val arm = body.substring(a + 4, b)
+        val thenIdxs = topLevelKeywordIndices(arm, "THEN")
+        require(thenIdxs.size == 1, s"WHEN needs exactly one THEN: '${arm.take(40)}'")
+        val be = parseBool(arm.substring(0, thenIdxs.head), atom)
+        val valB = parseVal(arm.substring(thenIdxs.head + 4))
+        (res: (String, Option[String]) => Column) => {
+          val r2: (String, String) => Column = (al, pr) =>
+            if (al.isEmpty) res(pr, None) else res(al, Some(pr))
+          (toColumn(be, r2), valB(res))
+        }
+      case _ => throw new IllegalStateException("sliding(2)")
+    }.toSeq
+    val elseFn = elseIdxs.headOption.map(ei => parseVal(body.substring(ei + 4)))
+    CaseCompiled(refs.result().distinct, res => {
+      val cs = armFns.map(_(res))
+      val chained = cs.tail.foldLeft(when(cs.head._1, cs.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+      elseFn.map(f => chained.otherwise(f(res))).getOrElse(chained)
+    })
   }
 
   private def parseProps(s: String): Column = {
@@ -1265,6 +1392,12 @@ object CypherLite {
     // is rejected (ambiguous for collect ordering; use a WITH stage).
     val AggArithRe =
       """^(?i:(count|sum|min|max|avg))\s*\((.+)\)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // searched CASE as an item / inside an aggregate — matched before
+    // the arithmetic regexes (a CASE body may contain + - * /)
+    val CaseAsRe =
+      """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val AggCaseRe =
+      """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -1303,6 +1436,19 @@ object CypherLite {
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
           ReturnItem(None, distinct = false, a, Option(prop), name)
+        // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
+        // ELSE 0 END) AS n`, the conditional-count idiom. Tried
+        // before the arithmetic cases: a CASE body may contain + - * /
+        case AggCaseRe(fn, body, as) =>
+          ReturnItem(Some(fn.toLowerCase), distinct = false, "", None, as,
+            caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
+        // searched CASE item — acts as a PLAIN item (a grouping key
+        // when mixed with aggregates); AS is mandatory
+        case CaseAsRe(body, as) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
+        case other if other.matches("(?is)^CASE\\b.*") =>
+          fail("CASE items need `… END AS name`", other)
         // aggregate over arithmetic — `sum(o.price * qty) AS s`:
         // the body compiles like an arithmetic item, the aggregate
         // folds over it (count counts non-null evaluations)
@@ -1442,16 +1588,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -1677,11 +1823,15 @@ object CypherLite {
         g.attach(df, alias, label, props, s"${alias}_",
           if (leftOuter(alias)) "left_outer" else "inner")
       }
-    def baseCol(ri: ReturnItem): Column = ri.arith match {
-      case Some(ae) => arithColumn(ae,
-        (a, pOpt) => pOpt.map(p => col(s"${a}_$p")).getOrElse(col(a)))
-      case None =>
-        ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+    val refResolve: (String, Option[String]) => Column =
+      (a, pOpt) => pOpt.map(p => col(s"${a}_$p")).getOrElse(col(a))
+    def baseCol(ri: ReturnItem): Column = ri.caseC match {
+      case Some(cc) => cc.build(refResolve)
+      case None => ri.arith match {
+        case Some(ae) => arithColumn(ae, refResolve)
+        case None =>
+          ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
+      }
     }
     val (aggs, plains) = items.partition(_.agg.isDefined)
     var out =

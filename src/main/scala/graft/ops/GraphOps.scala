@@ -982,6 +982,33 @@ object GraphOps {
              |              WHERE o_custkey = c_custkey
              |                AND o_totalprice > 400000)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G36 SEARCHED CASE through the text route — as a grouping item
+    // (Cypher implicit grouping keys on the CASE output) AND inside
+    // an aggregate (`sum(CASE … 1 ELSE 0 …)`, the conditional-count
+    // idiom every SQL-trained LLM emits). Compiles to a
+    // when/otherwise Column chain — whole-stage codegen, no UDF. The
+    // int literals parse as longs so the Spark sum is BIGINT; the
+    // oracle casts DuckDB's HUGEINT sum to match.
+    QueryDef(
+      "g36_cypher_case",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS n_name,
+          |  CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'bld'
+          |       WHEN c.c_mktsegment = 'MACHINERY' THEN 'mch'
+          |       ELSE 'other' END AS seg,
+          |  count(*) AS cnt,
+          |  sum(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich""".stripMargin)),
+      Some("""SELECT n_name,
+             |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'bld'
+             |       WHEN c_mktsegment = 'MACHINERY' THEN 'mch'
+             |       ELSE 'other' END AS seg,
+             |  count(*) AS cnt,
+             |  CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_rich
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 

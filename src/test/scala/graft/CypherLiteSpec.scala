@@ -1204,6 +1204,59 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  // ---- searched CASE expressions in RETURN/WITH items ----
+
+  test("CASE item acts as a grouping key; conditions use the WHERE grammar") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN CASE WHEN b.id > 2 THEN 'hi' ELSE 'lo' END AS k, " +
+        "count(*) AS n ORDER BY k").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("hi", 1L), ("lo", 2L)))
+  }
+
+  test("sum(CASE WHEN … THEN 1 ELSE 0 END) — the conditional-count idiom") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
+        "sum(CASE WHEN b.id > 2 THEN 1 ELSE 0 END) AS n")
+      .as[(String, Long)].collect().toSet
+    assert(rows === Set(("a1", 0L), ("a4", 1L)))
+  }
+
+  test("CASE without ELSE yields null — count() skips it (Cypher semantics)") {
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN count(CASE WHEN b.id = 2 THEN 1 END) AS n")
+      .as[Long].head()
+    assert(n === 2L, "two of three paths land on b2")
+  }
+
+  test("CASE over bare WITH output names, with AND in the condition") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, count(b) AS n " +
+        "RETURN a.tag AS t, " +
+        "CASE WHEN n > 1 AND n < 9 THEN 'multi' ELSE 'single' END AS k")
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(("a1", "single"), ("a4", "multi")))
+  }
+
+  test("CASE rejects: simple CASE, missing END, nested CASE, missing AS") {
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) RETURN CASE a.tag WHEN 'a1' THEN 1 ELSE 0 END AS x")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN 1 AS x")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN " +
+          "CASE WHEN a.id > 2 THEN 2 ELSE 1 END ELSE 0 END AS x")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN 1 ELSE 0 END")
+    }
+  }
+
   test("EXISTS keeps multiplicity: a semi-join filter, never a fan-out") {
     // a4 has TWO R1 edges — the EXISTS filter must not duplicate the
     // single (a4) row
