@@ -150,6 +150,9 @@ import org.apache.spark.sql.functions._
   *    WHERE atom grammar, values are literals or arithmetic; all of
   *    it folds to when/otherwise Column chains — codegen, no UDF.
   *    Simple CASE (`CASE expr WHEN v`) and nested CASE reject loudly.
+  *    Scalar-function wraps `toLower|toUpper|trim(alias.prop | name)`
+  *    are items too — standalone (`toLower(n.name) AS x`) or inside
+  *    aggregates (`count(DISTINCT toUpper(c.seg))`).
   *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
   *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
   *    before the limit (Dataset.offset).
@@ -1398,6 +1401,31 @@ object CypherLite {
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // scalar-function wraps as items — `toLower(n.name) AS x` — and
+    // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`); the
+    // same built-ins the WHERE grammar admits, folded to lower/upper/
+    // trim Column calls
+    val FnItemRe =
+      """(?is)^(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val AggFnRe =
+      """(?is)^(count|sum|min|max|avg|collect)\s*\(\s*(?:(DISTINCT)\s+)?(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    def fnOf(fn: String): Column => Column = fn.toLowerCase match {
+      case "tolower" => lower(_)
+      case "toupper" => upper(_)
+      case _ => trim(_)
+    }
+    def fnCompiled(fn: String, a: String, p: String, ctx2: String,
+        plainOk2: String => Boolean, propOk2: String => Boolean): CaseCompiled = {
+      if (p != null) require(propOk2(a),
+        s"$ctx2 ${fn}() references unknown alias '$a'")
+      else {
+        require(!relVars(a),
+          s"'$a': ${fn}() over a relationship variable's eid is unsupported")
+        require(plainOk2(a), s"$ctx2 ${fn}() references unknown name '$a'")
+      }
+      CaseCompiled(Option(p).map(a -> _).toSeq,
+        res => fnOf(fn)(res(a, Option(p))))
+    }
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -1442,6 +1470,21 @@ object CypherLite {
         case AggCaseRe(fn, body, as) =>
           ReturnItem(Some(fn.toLowerCase), distinct = false, "", None, as,
             caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
+        // aggregate over a scalar-function wrap — count(DISTINCT
+        // toLower(c.seg)); DISTINCT only with count/collect (the
+        // AggItemRe rule; collect DISTINCT stays deterministic — the
+        // sorted set of wrapped values)
+        case AggFnRe(agg, dist, fn, a, p, as) =>
+          val f = agg.toLowerCase
+          val d = dist != null
+          require(!d || f == "count" || f == "collect",
+            s"DISTINCT only supported with count and collect, not $f")
+          ReturnItem(Some(f), d, "", None, as,
+            caseC = Some(fnCompiled(fn, a, p, ctx, plainOk, propOk)))
+        // scalar-function item — toLower(n.name) AS x
+        case FnItemRe(fn, a, p, as) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(fnCompiled(fn, a, p, ctx, plainOk, propOk)))
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>

@@ -1009,6 +1009,21 @@ object GraphOps {
              |       AS BIGINT) AS n_rich
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G37 SCALAR-FUNCTION ITEMS through the text route — toLower as a
+    // grouping item and count(DISTINCT toUpper(…)) inside the
+    // aggregate (the WHERE grammar's built-ins, now usable in
+    // RETURN/WITH items; folded to lower/upper Column calls, codegen)
+    QueryDef(
+      "g37_cypher_fn_items",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN toLower(n.n_name) AS nm,
+          |       count(DISTINCT toUpper(c.c_mktsegment)) AS nseg""".stripMargin)),
+      Some("""SELECT lower(n_name) AS nm,
+             |       count(DISTINCT upper(c_mktsegment)) AS nseg
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1257,6 +1257,26 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("scalar-function items: toUpper(alias.prop), post-WITH bare names, in aggregates") {
+    val up = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN DISTINCT toUpper(b.tag) AS t")
+      .as[String].collect().toSet
+    assert(up === Set("B2", "B5"))
+    // bare WITH-output name as the function target
+    val viaWith = CypherLite.query(g,
+      "MATCH (a:A) WITH a.tag AS t0 RETURN toUpper(t0) AS t")
+      .as[String].collect().toSet
+    assert(viaWith === Set("A1", "A4"))
+    // inside an aggregate with DISTINCT
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN count(DISTINCT toUpper(b.tag)) AS n")
+      .as[Long].head()
+    assert(n === 2L)
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN sum(DISTINCT toLower(a.tag)) AS s")
+    }
+  }
+
   test("EXISTS keeps multiplicity: a semi-join filter, never a fan-out") {
     // a4 has TWO R1 edges — the EXISTS filter must not duplicate the
     // single (a4) row
