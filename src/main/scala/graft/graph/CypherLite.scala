@@ -337,8 +337,30 @@ object CypherLite {
     s"""^([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
   private val WithNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
+  // ORDER BY keys: an output name, or `alias.prop` — resolved to the
+  // item that PROJECTS that property (Text2Cypher output orders by
+  // the source property name at least as often as by the AS name)
   private val OrderItemRe =
-    """^([A-Za-z_][A-Za-z0-9_]*)(?:\s+((?i:ASC|DESC)))?$""".r
+    """^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)(?:\s+((?i:ASC|DESC)))?$""".r
+
+  /** Map dotted ORDER BY keys (`n.name`) onto the output name of the
+    * item projecting that exact property (`RETURN n.name AS nm …
+    * ORDER BY n.name` sorts by `nm`). No matching plain item → loud
+    * reject; ordering by a non-projected property after
+    * aggregation/projection has no column to sort on.
+    */
+  private def resolveOrderKeys(ob: Seq[(String, Boolean)],
+      items: Seq[ReturnItem], ctx: String): Seq[(String, Boolean)] =
+    ob.map {
+      case (n, asc) if n.contains('.') =>
+        val Array(a, p) = n.split("\\.", 2)
+        val hit = items.find(ri => ri.agg.isEmpty && ri.caseC.isEmpty &&
+          ri.arith.isEmpty && ri.alias == a && ri.prop.contains(p))
+        (hit.getOrElse(throw new IllegalArgumentException(
+          s"$ctx $n: not among the projected items — " +
+            s"return it (… $n AS x) and ORDER BY x")).as, asc)
+      case other => other
+    }
   // RHS operand forms beyond plain literals: toLower/toUpper('…')
   // (folded driver-side — both sides of the mandated shape lowercase
   // the SAME way) and CAST('…' AS DATE|TIMESTAMP) (build_graph.py:246,
@@ -1625,7 +1647,8 @@ object CypherLite {
         "WITH DISTINCT with aggregates is unsupported (grouped output " +
           "is already distinct per group key — drop DISTINCT)")
       val outNames = items.map(_.as).toSet
-      for ((n, _) <- wOrderBy)
+      val wOrderByR = resolveOrderKeys(wOrderBy, items, "WITH ORDER BY")
+      for ((n, _) <- wOrderByR)
         require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
       val carried = prev match {
         // a bare REL-VAR item projects a value column (its eid), not a
@@ -1737,7 +1760,7 @@ object CypherLite {
             anchorPred, clauseRps)
         }
       }
-      acc :+ WithClause(items, whereCol, wOrderBy, wLimit, carried,
+      acc :+ WithClause(items, whereCol, wOrderByR, wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
         unwinds = unwinds, postMatches = postMatches)
     }
@@ -1798,7 +1821,8 @@ object CypherLite {
     require(!returnDistinct || returns.forall(_.agg.isEmpty),
       "RETURN DISTINCT with aggregates is unsupported (grouped output " +
         "is already distinct per group key — drop DISTINCT)")
-    for ((n, _) <- orderBy)
+    val orderByR = resolveOrderKeys(orderBy, returns, "ORDER BY")
+    for ((n, _) <- orderByR)
       require(returns.exists(_.as == n), s"ORDER BY references unknown output '$n'")
     require(orderBy.isEmpty && limit.isEmpty && skip.isEmpty || returns.nonEmpty,
       "ORDER BY/SKIP/LIMIT need a RETURN clause")
@@ -1827,7 +1851,7 @@ object CypherLite {
 
     Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returns,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
-      optionalAliases.toSet, returnDistinct, orderBy, limit,
+      optionalAliases.toSet, returnDistinct, orderByR, limit,
       rowPreds.toSeq,
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),

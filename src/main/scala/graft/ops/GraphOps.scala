@@ -1024,6 +1024,21 @@ object GraphOps {
              |       count(DISTINCT upper(c_mktsegment)) AS nseg
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G38 ORDER BY alias.prop — Text2Cypher orders by the SOURCE
+    // property name at least as often as by the AS name; the dotted
+    // key resolves to the item projecting that property (here the
+    // grouping key), so the top-3 cut is deterministic (count desc,
+    // name tie-break). The oracle's LIMIT depends on the same order.
+    QueryDef(
+      "g38_cypher_orderby_prop",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm, count(*) AS cnt
+          |ORDER BY cnt DESC, n.n_name LIMIT 3""".stripMargin),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY cnt DESC, n_name LIMIT 3""".stripMargin)
     )
   )
 

@@ -1277,6 +1277,22 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("ORDER BY alias.prop resolves to the projected item's output name") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t ORDER BY b.tag DESC")
+      .as[String].collect().toSeq
+    assert(rows === Seq("b5", "b2", "b2"))
+    // through a WITH stage too
+    val viaWith = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH b.tag AS t ORDER BY b.tag LIMIT 1 RETURN t")
+      .as[String].collect().toSeq
+    assert(viaWith === Seq("b2"))
+    // a NON-projected property has no column after projection — loud
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN a.tag AS t ORDER BY a.id")
+    }
+  }
+
   test("EXISTS keeps multiplicity: a semi-join filter, never a fan-out") {
     // a4 has TWO R1 edges — the EXISTS filter must not duplicate the
     // single (a4) row
