@@ -273,6 +273,67 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Bounded-hop weighted shortest paths from a source node set over
+    * a (src, dst, w) edge frame: (id, dist) for every node reachable
+    * within `maxHops` edges, dist = the minimum total edge weight over
+    * all such paths (sources at 0.0). Bellman-Ford relaxation, the
+    * distributed formulation: per round, candidate distances flow
+    * across every edge whose SOURCE improved last round
+    * (frontier-pruned — settled nodes send nothing, the delta-stepping
+    * insight without its buckets), min-combined per destination (one
+    * shuffle on dst with map-side partial min), then merged with the
+    * running labels via a full-outer join keeping the smaller. Rounds
+    * are bounded by `maxHops`, so negative weights are safe (no
+    * negative-cycle divergence — a cycle can only be traversed within
+    * the hop budget) and every reported dist is over ≤ maxHops edges —
+    * the same bounded-traversal scale rule as var-length patterns
+    * (unbounded propagation on a 100 TB graph is the thing this
+    * engine refuses everywhere).
+    *
+    * Distances are DOUBLE: each label is built by sequential IEEE
+    * addition along one concrete path (source → node), so a value is
+    * reproducible bit-for-bit by any engine walking the same path —
+    * the g39 oracle's recursive CTE computes the identical sums.
+    *
+    * Scale shape: identical to [[pageRank]] — the edge frame persists
+    * once, every round shuffles a node-sized (id, dist) frame on the
+    * same key (AQE reuses the partitioning), lineage truncates on the
+    * [[PropertyGraph.bfs]] cadence with the early-exit probe riding
+    * the checkpoint boundaries (an empty frontier ends the walk — on
+    * a DAG shallower than maxHops the tail rounds cost nothing). At
+    * 100 TB, pre-bucket edges by src and the frontier join co-locates.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(maxHops >= 1, "shortestPaths needs maxHops >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id")).distinct()
+      .select(col("id"), lit(0.0).as("dist"))
+    var frontier = dist
+    var exhausted = false
+    for (h <- 1 to maxHops if !exhausted) {
+      val cand = e.join(frontier, e("src") === frontier("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val improved = col("dist").isNull || col("cand") < col("dist")
+      val merged = dist.join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(improved, col("cand")).otherwise(col("dist")).as("dist"),
+          improved.as("improved"))
+      val m =
+        if (h % checkpointEvery == 0 && h < maxHops) merged.localCheckpoint(true)
+        else merged
+      frontier = m.where(col("improved")).select(col("id"), col("dist"))
+      if (h % checkpointEvery == 0 && h < maxHops) exhausted = frontier.isEmpty
+      dist = m.select(col("id"), col("dist"))
+    }
+    val res = dist.localCheckpoint(true)
+    e.unpersist(false)
+    res
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent node
     * pair sharing at least one neighbor, the shared-neighbor count
     * and the neighbor-set Jaccard — the classic structural

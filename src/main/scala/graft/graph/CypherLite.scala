@@ -149,13 +149,21 @@ import org.apache.spark.sql.functions._
   *    END)`, the conditional-count idiom); conditions reuse the
   *    WHERE atom grammar, values are literals or arithmetic; all of
   *    it folds to when/otherwise Column chains — codegen, no UDF.
-  *    Simple CASE (`CASE expr WHEN v`) and nested CASE reject loudly.
+  *    Simple CASE (`CASE expr WHEN v THEN r …`) desugars to the
+  *    searched form (equality per arm — a null test matches no arm,
+  *    Cypher semantics); nested CASE rejects loudly.
   *    Scalar-function wraps `toLower|toUpper|trim(alias.prop | name)`
   *    are items too — standalone (`toLower(n.name) AS x`) or inside
-  *    aggregates (`count(DISTINCT toUpper(c.seg))`).
+  *    aggregates (`count(DISTINCT toUpper(c.seg))`) — as is
+  *    `coalesce(arg, arg, …) AS name` (≥2 args: property refs, stage
+  *    names, literals — the OPTIONAL-MATCH default idiom).
   *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
   *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
   *    before the limit (Dataset.offset).
+  *  - `UNION [ALL]` between complete queries: parts compile
+  *    standalone (per-part ORDER BY/LIMIT — Neo4j scoping) and must
+  *    return identical column names in identical order; bare UNION
+  *    dedups, UNION ALL concatenates, mixing the two forms rejects.
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
@@ -493,6 +501,34 @@ object CypherLite {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Quote- and paren-aware split on top-level commas — the item-list
+    * splitter. A comma inside `coalesce(a, b)`, a property map, or a
+    * quoted literal does NOT split.
+    */
+  private def splitTopComma(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inQ = false
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && (ch == '(' || ch == '{')) depth += 1
+      else if (!inQ && (ch == ')' || ch == '}')) {
+        depth -= 1
+        require(depth >= 0, s"unbalanced ')' in item list: '$s'")
+      }
+      else if (!inQ && depth == 0 && ch == ',') {
+        out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Quote-aware split of a statement body on the WITH keyword —
     * `STARTS WITH` / `ENDS WITH` occurrences do NOT split (the
     * preceding word is inspected), and a WITH inside a quoted literal
@@ -746,12 +782,41 @@ object CypherLite {
       "nested CASE is unsupported — compose with a WITH stage")
     val whenIdxs = topLevelKeywordIndices(body, "WHEN")
     require(whenIdxs.nonEmpty, "CASE needs at least one WHEN")
-    require(body.substring(0, whenIdxs.head).isBlank,
-      "simple CASE (CASE expr WHEN value …) is unsupported — write " +
-        "searched CASE (CASE WHEN expr = value …)")
     val elseIdxs = topLevelKeywordIndices(body, "ELSE")
     require(elseIdxs.size <= 1 && elseIdxs.forall(_ > whenIdxs.last),
       "CASE takes one trailing ELSE")
+    val testTxt = body.substring(0, whenIdxs.head).trim
+    if (testTxt.nonEmpty) {
+      // SIMPLE CASE (`CASE expr WHEN v THEN r …`) — desugared to the
+      // searched form by rewriting each arm's value to `expr = v` and
+      // recompiling (exact Cypher semantics: equality per arm, so a
+      // null test expression matches no arm and falls to ELSE/null).
+      // The test must be a plain reference — a property, a stage
+      // name, or a toLower/toUpper wrap — matching the searched
+      // grammar's LHS forms.
+      require(testTxt.matches(
+        """(?is)^(?:(?:toLower|toUpper)\s*\(\s*[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*\s*\)|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)$"""),
+        "simple CASE test must be alias.prop, a stage name, or " +
+          s"toLower/toUpper(alias.prop), got '${testTxt.take(40)}'")
+      val armsEnd = elseIdxs.headOption.getOrElse(body.length)
+      val sb = new StringBuilder("CASE")
+      (whenIdxs :+ armsEnd).sliding(2).foreach {
+        case Seq(a, b) =>
+          val arm = body.substring(a + 4, b)
+          val thenIdxs = topLevelKeywordIndices(arm, "THEN")
+          require(thenIdxs.size == 1,
+            s"WHEN needs exactly one THEN: '${arm.take(40)}'")
+          val v = arm.substring(0, thenIdxs.head).trim
+          require(v.nonEmpty, "simple CASE WHEN needs a value")
+          sb.append(" WHEN ").append(testTxt).append(" = ").append(v)
+            .append(" THEN ").append(arm.substring(thenIdxs.head + 4).trim)
+        case _ => throw new IllegalStateException("sliding(2)")
+      }
+      for (ei <- elseIdxs.headOption)
+        sb.append(" ELSE ").append(body.substring(ei + 4).trim)
+      sb.append(" END")
+      return compileCase(sb.toString, ctx, plainOk, propOk, isRelVar)
+    }
     val refs = Seq.newBuilder[(String, String)]
     def checkProp(a: String): Unit =
       require(propOk(a), s"$ctx CASE references unknown alias '$a'")
@@ -1429,6 +1494,10 @@ object CypherLite {
     // trim Column calls
     val FnItemRe =
       """(?is)^(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // coalesce(arg, arg, …) AS name — args split on TOP-LEVEL commas
+    // (the item splitter already kept the whole call together)
+    val CoalesceRe =
+      """(?is)^coalesce\s*\((.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggFnRe =
       """(?is)^(count|sum|min|max|avg|collect)\s*\(\s*(?:(DISTINCT)\s+)?(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def fnOf(fn: String): Column => Column = fn.toLowerCase match {
@@ -1452,7 +1521,7 @@ object CypherLite {
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
         bareAgg: String => Boolean = _ => false): Seq[ReturnItem] =
-      r.split(",").toIndexedSeq.map(_.trim).map {
+      splitTopComma(r).toIndexedSeq.map {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -1507,6 +1576,40 @@ object CypherLite {
         case FnItemRe(fn, a, p, as) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(fnCompiled(fn, a, p, ctx, plainOk, propOk)))
+        // coalesce item — `coalesce(c.seg, 'none') AS s`: first
+        // non-null of ≥2 arguments (property refs, stage names,
+        // literals), the OPTIONAL-MATCH default idiom. Acts as a
+        // PLAIN item (a grouping key when mixed with aggregates);
+        // folds to functions.coalesce — codegen, no UDF.
+        case CoalesceRe(argsTxt, as) =>
+          val ArgPropRe =
+            """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+          val ArgNameRe = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
+          val args = splitTopComma(argsTxt)
+          require(args.size >= 2, "coalesce needs at least two arguments")
+          val refs = Seq.newBuilder[(String, String)]
+          val builders: Seq[((String, Option[String]) => Column) => Column] =
+            args.map {
+              case ArgPropRe(a, p) =>
+                require(propOk(a),
+                  s"$ctx coalesce references unknown alias '$a'")
+                refs += a -> p
+                res => res(a, Some(p))
+              case ArgNameRe(n)
+                  if !n.equalsIgnoreCase("true") &&
+                    !n.equalsIgnoreCase("false") &&
+                    !n.equalsIgnoreCase("null") =>
+                require(!relVars(n),
+                  s"'$n': coalesce over a relationship variable's eid " +
+                    "is unsupported")
+                require(plainOk(n),
+                  s"$ctx coalesce references unknown name '$n'")
+                res => res(n, None)
+              case v => _ => lit(literal(v))
+            }
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(refs.result().distinct,
+              res => coalesce(builders.map(_(res)): _*))))
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>
@@ -2004,6 +2107,37 @@ object CypherLite {
     * one row per path).
     */
   def query(g0: PropertyGraph, stmt: String): DataFrame = {
+    // UNION [ALL] between complete queries (quote-aware top-level
+    // split): each part compiles standalone — its own pattern, WHERE,
+    // WITH pipeline, ORDER BY/LIMIT (per-part, Neo4j scoping: a
+    // union-wide ORDER BY needs a wrapping query, which this engine
+    // does not fake) — then parts combine by NAME, requiring
+    // identical column names in identical order (Cypher's rule, loud
+    // reject otherwise). Bare UNION dedups the combined rows
+    // (one distinct shuffle); UNION ALL concatenates (no shuffle at
+    // all — the parts' plans run side by side). Mixing the two forms
+    // in one statement is ambiguous in Cypher and rejects.
+    val parts = splitTop(stmt, "UNION")
+    if (parts.size > 1) {
+      val tails = parts.tail.map { t =>
+        val isAll = t.matches("(?is)^ALL\\b.*")
+        (isAll, if (isAll) t.replaceFirst("(?is)^ALL\\b\\s*", "") else t)
+      }
+      require(tails.map(_._1).distinct.size == 1,
+        "mixing UNION and UNION ALL in one statement is unsupported")
+      val dfs = (parts.head +: tails.map(_._2)).map(q => queryOne(g0, q))
+      val names = dfs.head.columns.toSeq
+      for (df <- dfs.tail)
+        require(df.columns.toSeq == names,
+          s"UNION parts must return the same columns in the same order: " +
+            s"${names.mkString(", ")} vs ${df.columns.mkString(", ")}")
+      val u = dfs.reduce(_ unionByName _)
+      return if (tails.head._1) u else u.distinct()
+    }
+    queryOne(g0, stmt)
+  }
+
+  private def queryOne(g0: PropertyGraph, stmt: String): DataFrame = {
     val p = parse(stmt)
     // unlabeled positions (label "") scan the ANY-node view — the
     // union of every label's id column, deduped. Sound only when node

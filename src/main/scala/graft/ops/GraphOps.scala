@@ -1039,6 +1039,120 @@ object GraphOps {
       Some("""SELECT n_name AS nm, count(*) AS cnt
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY cnt DESC, n_name LIMIT 3""".stripMargin)
+    ),
+    // G39 bounded-hop WEIGHTED shortest paths (Bellman-Ford
+    // relaxation) from region 0 over a multi-path weighted graph:
+    // the hierarchy edges (region→nation→customer, w=1) plus a
+    // direct region→customer shortcut weighted by c_acctbal — so a
+    // customer's distance is genuinely min(2.0, acctbal) (acctbal
+    // can be negative, exercising the bounded-negative-weight
+    // contract), and each order's is that plus o_totalprice. The
+    // oracle enumerates every ≤3-hop path with a recursive CTE and
+    // min-aggregates — an independent derivation: a relaxation bug
+    // (frontier pruning dropping a live node, a merge keeping the
+    // wrong side) cannot cancel out against it.
+    QueryDef(
+      "g39_sssp_weighted",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val nat = Tables.nation(s, d)
+        val cust = Tables.customer(s, d)
+        val rn = nat.select(
+          concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+          concat(lit("n_"), col("n_nationkey").cast("string")).as("dst"),
+          lit(1.0).as("w"))
+        val nc = cust.select(
+          concat(lit("n_"), col("c_nationkey").cast("string")).as("src"),
+          concat(lit("c_"), col("c_custkey").cast("string")).as("dst"),
+          lit(1.0).as("w"))
+        val rc = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+            concat(lit("c_"), col("c_custkey").cast("string")).as("dst"),
+            col("c_acctbal").cast("double").as("w"))
+        val co = Tables.orders(s, d).select(
+          concat(lit("c_"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("o_"), col("o_orderkey").cast("string")).as("dst"),
+          col("o_totalprice").cast("double").as("w"))
+        val sources = s.range(1).select(lit("r_0").as("id"))
+        orderedByAll(graft.graph.GraphAnalytics.shortestPaths(
+          rn.unionAll(nc).unionAll(rc).unionAll(co), sources, maxHops = 3))
+      },
+      Some("""WITH RECURSIVE wedges AS (
+             |  SELECT 'r_' || CAST(n_regionkey AS VARCHAR) AS src,
+             |         'n_' || CAST(n_nationkey AS VARCHAR) AS dst,
+             |         CAST(1.0 AS DOUBLE) AS w FROM nation
+             |  UNION ALL
+             |  SELECT 'n_' || CAST(c_nationkey AS VARCHAR),
+             |         'c_' || CAST(c_custkey AS VARCHAR),
+             |         CAST(1.0 AS DOUBLE) FROM customer
+             |  UNION ALL
+             |  SELECT 'r_' || CAST(n_regionkey AS VARCHAR),
+             |         'c_' || CAST(c_custkey AS VARCHAR),
+             |         CAST(c_acctbal AS DOUBLE)
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'c_' || CAST(o_custkey AS VARCHAR),
+             |         'o_' || CAST(o_orderkey AS VARCHAR),
+             |         CAST(o_totalprice AS DOUBLE) FROM orders),
+             |walk(id, dist, hops) AS (
+             |  SELECT 'r_0', CAST(0.0 AS DOUBLE), 0
+             |  UNION ALL
+             |  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+             |  FROM walk JOIN wedges e ON e.src = walk.id
+             |  WHERE walk.hops < 3)
+             |SELECT id, min(dist) AS dist FROM walk GROUP BY id
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G40 SIMPLE CASE through the text route — `CASE expr WHEN v
+    // THEN r` desugars to the searched form (equality per arm), the
+    // bucketing idiom Text2Cypher emits for categorical rollups. The
+    // mixed plain-CASE + count(*) shape exercises the desugared item
+    // as a GROUPING key.
+    QueryDef(
+      "g40_cypher_simple_case",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |RETURN CASE c.c_mktsegment WHEN 'BUILDING' THEN 'b'
+          |       WHEN 'MACHINERY' THEN 'm' ELSE 'other' END AS k,
+          |       count(*) AS n""".stripMargin)),
+      Some("""SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'b'
+             |       WHEN 'MACHINERY' THEN 'm' ELSE 'other' END AS k,
+             |       count(*) AS n
+             |FROM customer GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G41 coalesce over an OPTIONAL MATCH alias — the default-value
+    // idiom (`coalesce(c.prop, 'none')`): nations keep their row when
+    // no customer clears the filter, and the null property folds to
+    // the literal. The oracle is the LEFT-JOIN-ON shape.
+    QueryDef(
+      "g41_cypher_coalesce",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |OPTIONAL MATCH (n)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE c.c_acctbal > 9990
+          |RETURN n.n_name AS nm, coalesce(c.c_mktsegment, 'none') AS seg""".stripMargin)),
+      Some("""SELECT n_name AS nm, coalesce(c_mktsegment, 'none') AS seg
+             |FROM nation LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_acctbal > 9990
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G42 UNION ALL between two complete queries — heterogeneous
+    // sources (high-balance customers + region-0 nations) under one
+    // aligned column list; each part keeps its own pattern and WHERE,
+    // the engine concatenates without a shuffle.
+    QueryDef(
+      "g42_cypher_union",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer) WHERE c.c_acctbal > 9990
+          |RETURN c.c_name AS name
+          |UNION ALL
+          |MATCH (n:nation) WHERE n.n_regionkey = 0
+          |RETURN n.n_name AS name""".stripMargin)),
+      Some("""SELECT c_name AS name FROM customer WHERE c_acctbal > 9990
+             |UNION ALL
+             |SELECT n_name FROM nation WHERE n_regionkey = 0
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1239,11 +1239,7 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Set(("a1", "single"), ("a4", "multi")))
   }
 
-  test("CASE rejects: simple CASE, missing END, nested CASE, missing AS") {
-    intercept[IllegalArgumentException] {
-      CypherLite.parse(
-        "MATCH (a:A) RETURN CASE a.tag WHEN 'a1' THEN 1 ELSE 0 END AS x")
-    }
+  test("CASE rejects: missing END, nested CASE, missing AS") {
     intercept[IllegalArgumentException] {
       CypherLite.parse("MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN 1 AS x")
     }
@@ -1300,5 +1296,91 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A) WHERE EXISTS { (a)-[:R1]->(:B) } RETURN a.tag")
       .as[String].collect().toSeq.sorted
     assert(rows === Seq("a1", "a4"))
+  }
+
+  test("simple CASE desugars to searched equality arms") {
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)
+        |RETURN CASE a.tag WHEN 'a1' THEN 'first' ELSE 'rest' END AS k,
+        |       count(*) AS n ORDER BY k""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("first", 1L), ("rest", 1L)))
+    // without ELSE, a non-matching test falls to null (Cypher)
+    val nulls = CypherLite.query(g,
+      "MATCH (a:A) RETURN CASE a.tag WHEN 'a1' THEN 1 END AS v, count(*) AS n")
+    assert(nulls.count() === 2)
+  }
+
+  test("simple CASE: non-reference test expressions and nested CASE reject") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN CASE a.tag + 1 WHEN 2 THEN 'x' END AS v")
+    }
+    assert(e.getMessage.contains("simple CASE test"))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN CASE a.tag WHEN 'a1' THEN " +
+          "CASE WHEN a.id = 1 THEN 1 END END AS v")
+    }
+  }
+
+  test("coalesce item defaults an OPTIONAL MATCH null; literals and names mix") {
+    // only a1 reaches b2 via R1∘R2 closure — use OPTIONAL MATCH where
+    // b5 has no inbound R2: c is null for the a4 path
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)
+        |OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN a.tag AS t, coalesce(c.tag, 'none') AS ct
+        |ORDER BY t, ct""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("a1", "c3"), ("a4", "c3"), ("a4", "none")))
+  }
+
+  test("coalesce rejects unknown aliases and fewer than two arguments") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN coalesce(z.tag, 'x') AS v")
+    }
+    assert(e.getMessage.contains("unknown alias 'z'"))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN coalesce(a.tag) AS v")
+    }
+  }
+
+  test("UNION ALL concatenates aligned parts; bare UNION dedups") {
+    val all = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t
+        |UNION ALL
+        |MATCH (a:A) WHERE a.id = 1 RETURN a.tag AS t""".stripMargin)
+      .as[String].collect().toSeq.sorted
+    assert(all === Seq("a1", "a1", "a4"))
+    val ded = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t
+        |UNION
+        |MATCH (a:A) WHERE a.id = 1 RETURN a.tag AS t""".stripMargin)
+      .as[String].collect().toSeq.sorted
+    assert(ded === Seq("a1", "a4"))
+  }
+
+  test("UNION: column mismatch and mixed UNION/UNION ALL reject; " +
+      "per-part ORDER BY/LIMIT stays per part") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN a.tag AS x UNION ALL MATCH (b:B) RETURN b.tag AS y")
+    }
+    assert(e.getMessage.contains("same columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A) RETURN a.tag AS t
+          |UNION ALL MATCH (b:B) RETURN b.tag AS t
+          |UNION MATCH (c:C) RETURN c.tag AS t""".stripMargin)
+    }
+    assert(e2.getMessage.contains("mixing UNION and UNION ALL"))
+    // the LIMIT binds to its own part — 1 row from A, all of B
+    val rows = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t ORDER BY t LIMIT 1
+        |UNION ALL
+        |MATCH (b:B) RETURN b.tag AS t""".stripMargin)
+      .as[String].collect().toSeq.sorted
+    assert(rows === Seq("a1", "b2", "b5"))
   }
 }

@@ -238,4 +238,57 @@ class GraphSpec extends SparkSpec {
       GraphOps.clearPreparedCache()
     }
   }
+
+  test("shortestPaths relaxes a cheaper longer-hop path over a direct edge") {
+    val edges = Seq(("s", "t", 10.0), ("s", "m", 1.0), ("m", "t", 2.0))
+      .toDF("src", "dst", "w")
+    val got = graft.graph.GraphAnalytics
+      .shortestPaths(edges, Seq("s").toDF("id"), maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("s" -> 0.0, "m" -> 1.0, "t" -> 3.0))
+  }
+
+  test("shortestPaths hop bound caps relaxation depth") {
+    val edges = Seq(("s", "t", 10.0), ("s", "m", 1.0), ("m", "t", 2.0))
+      .toDF("src", "dst", "w")
+    val got = graft.graph.GraphAnalytics
+      .shortestPaths(edges, Seq("s").toDF("id"), maxHops = 1)
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("s" -> 0.0, "m" -> 1.0, "t" -> 10.0),
+      "the 2-hop improvement must not apply at maxHops = 1")
+  }
+
+  test("shortestPaths: negative weights relax within the hop budget; " +
+      "a negative cycle cannot diverge (bounded rounds)") {
+    // s→a (1), a→b (1), b→a (−5): the a↔b loop is a negative cycle —
+    // each lap improves both labels, so only the hop bound ends the
+    // walk. ≤4-edge paths: a ∈ {1, −3}, b ∈ {2, −2}.
+    val edges = Seq(("s", "a", 1.0), ("a", "b", 1.0), ("b", "a", -5.0))
+      .toDF("src", "dst", "w")
+    val got = graft.graph.GraphAnalytics
+      .shortestPaths(edges, Seq("s").toDF("id"), maxHops = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("s" -> 0.0, "a" -> -3.0, "b" -> -2.0))
+  }
+
+  test("shortestPaths early-exits on an exhausted frontier and takes " +
+      "the min across multiple sources") {
+    // two sources converging on n: the cheaper source wins; maxHops 9
+    // over a depth-1 graph exercises the checkpoint-boundary probe
+    // (rounds 2..9 must be free, not nine empty joins — correctness
+    // here, the cost claim is the bfs cadence discipline)
+    val edges = Seq(("s1", "n", 5.0), ("s2", "n", 2.0)).toDF("src", "dst", "w")
+    val got = graft.graph.GraphAnalytics
+      .shortestPaths(edges, Seq("s1", "s2").toDF("id"), maxHops = 9,
+        checkpointEvery = 2)
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("s1" -> 0.0, "s2" -> 0.0, "n" -> 2.0))
+  }
+
+  test("shortestPaths rejects a non-positive hop budget") {
+    val edges = Seq(("s", "t", 1.0)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      graft.graph.GraphAnalytics.shortestPaths(edges, Seq("s").toDF("id"), 0)
+    }
+  }
 }
