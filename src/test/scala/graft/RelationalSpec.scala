@@ -114,6 +114,16 @@ class PlanSpec extends SparkSpec {
     assert(p34.contains("LeftAnti"), "NOT pattern must compile to an anti-join")
   }
 
+  test("g42 UNION ALL concatenates shuffle-free — no dedup aggregate") {
+    // UNION ALL is a plan-level Union of the parts: the only exchange
+    // allowed is the final deterministic-output sort. A HashAggregate
+    // here would mean the engine paid bare-UNION's distinct for the
+    // ALL form — corpus-sized waste at 100 TB.
+    val p = plan("g42_cypher_union")
+    assert(p.contains("Union"), "parts must combine via a plan Union")
+    assert(!p.contains("HashAggregate"), s"UNION ALL must not dedup:\n$p")
+  }
+
   test("s1 scan prunes columns to the projected set") {
     val p = plan("s1_scan_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
