@@ -164,6 +164,14 @@ import org.apache.spark.sql.functions._
   *    standalone (per-part ORDER BY/LIMIT — Neo4j scoping) and must
   *    return identical column names in identical order; bare UNION
   *    dedups, UNION ALL concatenates, mixing the two forms rejects.
+  *  - PATH VARIABLES `MATCH p = (a)-[:R*1..3]->(b)`: `length(p) AS n`
+  *    (standalone or under count/sum/min/max/avg) computes the hop
+  *    count — fixed steps contribute 1, var-length steps the size of
+  *    their traversed-eid array, so the per-PATH length is exact.
+  *    Required MATCH chains only (a null optional path has no
+  *    length); the variable itself is not returnable, and it is only
+  *    in scope at the pattern level (first WITH stage / RETURN with
+  *    no WITH) — project `length(p)` through the WITH to keep it.
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
@@ -1040,6 +1048,15 @@ object CypherLite {
     var idx = 0
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val relVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    // PATH VARIABLES (`p = (a)-[:R*1..3]->(b)`): name → the indices of
+    // the chain's steps. Only `length(p)` reads them (hop count —
+    // fixed steps contribute 1, var-length steps the size of their
+    // traversed-eid array); the variable itself is not returnable.
+    val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Int]]
+    // relationship variables a length(p) item reads — synthetic
+    // `__plen_<i>` names (or user vars reused) that must SURVIVE the
+    // unreferenced-variable strip even though no item names them
+    val lengthUsedRelVars = scala.collection.mutable.Set.empty[String]
     // declaration order across node aliases AND relationship
     // variables — RETURN * expands in this order (Kuzu prints
     // declaration order too)
@@ -1397,7 +1414,21 @@ object CypherLite {
       require(chains.nonEmpty,
         if (rc == 0) "empty pattern" else s"empty MATCH clause ${rc + 1}")
       val before = steps.length
-      for (chain <- chains) { parseChain(chain, ci, steps, optional = false); ci += 1 }
+      val PathVarRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\(.*)$""".r
+      for (chain0 <- chains) {
+        // `p = (…)…` binds a PATH VARIABLE to this chain's steps
+        val (pvOpt, chain) = chain0 match {
+          case PathVarRe(nm, rest) => (Some(nm), rest)
+          case _ => (None, chain0)
+        }
+        val cBefore = steps.length
+        parseChain(chain, ci, steps, optional = false); ci += 1
+        for (nm <- pvOpt) {
+          require(!bound.contains(nm) && !relVars(nm) && !pathVars.contains(nm),
+            s"path variable '$nm' collides with an existing name")
+          pathVars += nm -> (cBefore until steps.length)
+        }
+      }
       for (i <- before until steps.length)
         steps(i) = steps(i).copy(clause = rc)
       for (w0 <- whereOpt; w <- extractPatternPreds(w0)) {
@@ -1425,6 +1456,9 @@ object CypherLite {
       require(chains.nonEmpty, "empty OPTIONAL MATCH")
       require(chains.length == 1,
         "OPTIONAL MATCH supports a single chain per clause (use another OPTIONAL MATCH)")
+        require(!chains.head.matches("""(?s)^[A-Za-z_][A-Za-z0-9_]*\s*=\s*\(.*"""),
+          "path variables on OPTIONAL MATCH are unsupported — length() over " +
+            "a null path is ambiguous; bind the path in a required MATCH")
         val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
         parseChain(chains.head, ci, clauseSteps, optional = true); ci += 1
         val anchor = clauseSteps.head.from.getOrElse(
@@ -1517,10 +1551,41 @@ object CypherLite {
       CaseCompiled(Option(p).map(a -> _).toSeq,
         res => fnOf(fn)(res(a, Option(p))))
     }
+    // `length(p)`: hop count of a declared path variable — fixed steps
+    // contribute 1, var-length steps the size of their traversed-eid
+    // array (the isomorphism machinery already carries it; a step the
+    // user left unnamed gets a synthetic `__plen_<i>` variable that
+    // RETURN * never expands — it is absent from declOrder — and that
+    // the unreferenced-variable strip keeps via lengthUsedRelVars)
+    def lengthCompiled(pname: String): CaseCompiled = {
+      val contribs: Seq[((String, Option[String]) => Column) => Column] =
+        pathVars(pname).map { i =>
+          val st = steps(i)
+          if (st.minHops == 1 && st.maxHops == 1)
+            (_: (String, Option[String]) => Column) => lit(1)
+          else {
+            val v = st.relVar.getOrElse {
+              val nv = s"__plen_$i"
+              steps(i) = st.copy(relVar = Some(nv))
+              relVars += nv
+              nv
+            }
+            lengthUsedRelVars += v
+            res => size(res(v, None))
+          }
+        }
+      CaseCompiled(Seq.empty,
+        res => contribs.map(_(res)).foldLeft(lit(0))(_ + _))
+    }
+    val LengthItemRe =
+      """(?is)^length\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val AggLenRe =
+      """(?is)^(count|sum|min|max|avg)\s*\(\s*length\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
-        bareAgg: String => Boolean = _ => false): Seq[ReturnItem] =
+        bareAgg: String => Boolean = _ => false,
+        pathOk: Boolean = false): Seq[ReturnItem] =
       splitTopComma(r).toIndexedSeq.map {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
@@ -1610,6 +1675,23 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(refs.result().distinct,
               res => coalesce(builders.map(_(res)): _*))))
+        // length(p) over a declared path variable — standalone (a
+        // grouping key) or inside an aggregate (min/max hop stats)
+        case LengthItemRe(pn, as) if pathVars.contains(pn) =>
+          require(pathOk, s"length($pn): path variables are only in " +
+            "scope at the pattern level (the first WITH stage, or " +
+            "RETURN with no WITH)")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(lengthCompiled(pn)))
+        case AggLenRe(fn, pn, as) if pathVars.contains(pn) =>
+          require(pathOk, s"length($pn): path variables are only in " +
+            "scope at the pattern level (the first WITH stage, or " +
+            "RETURN with no WITH)")
+          ReturnItem(Some(fn.toLowerCase), distinct = false, "", None, as,
+            caseC = Some(lengthCompiled(pn)))
+        case other if other.matches("(?is)^length\\s*\\(.*") =>
+          fail("length() items need a DECLARED path variable " +
+            "(`MATCH p = (…)…`) and an AS name", other)
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>
@@ -1743,7 +1825,8 @@ object CypherLite {
               names.contains,
               n => names(n) && !pw.carried.contains(n) && !post(n))
         }
-      val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk)
+      val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk,
+        pathOk = prev.isEmpty)
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
       require(!wDistinct || items.forall(_.agg.isEmpty),
@@ -1912,7 +1995,8 @@ object CypherLite {
           w.postMatches.flatMap(_.steps.map(_.node.as))).map(n =>
           ReturnItem(None, distinct = false, n, None, n))
       }
-      else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk)
+      else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk,
+        pathOk = withClauses.isEmpty)
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")
@@ -1944,7 +2028,7 @@ object CypherLite {
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val usedRelVars: Set[String] =
       patternItems.iterator.map(_.alias).filter(relVars).toSet ++
-        relPropRefs.keySet
+        relPropRefs.keySet ++ lengthUsedRelVars
     def stripVar(st: PatternStep): PatternStep = st.relVar match {
       case Some(v) if usedRelVars(v) =>
         st.copy(relProps = relPropRefs.getOrElse(v, Seq.empty))

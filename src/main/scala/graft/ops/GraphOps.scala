@@ -1153,6 +1153,34 @@ object GraphOps {
              |UNION ALL
              |SELECT n_name FROM nation WHERE n_regionkey = 0
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G43 path variables + length(p) through the text route: paths
+    // per hop count from region 0 over the homogeneous LINKS view —
+    // length(p) reads the var-length step's traversed-eid array size
+    // (exact per-path hops), grouped as a key beside count(*). The
+    // oracle's recursive CTE carries depth explicitly.
+    QueryDef(
+      "g43_cypher_path_length",
+      (s, d) => {
+        val p = prepared(s, d)
+        val g = PropertyGraph(
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          s"MATCH p = (a:node {id: 'r_$StartRegion'})-[:LINKS*1..3]->(b:node) " +
+            "RETURN length(p) AS hops, count(*) AS n_paths")
+          .localCheckpoint(true))
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth, eids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1, list_append(w.eids, e.src || '>' || e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
+           |SELECT depth AS hops, count(*) AS n_paths FROM walk
+           |WHERE depth >= 1 GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

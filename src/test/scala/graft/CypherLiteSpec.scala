@@ -1383,4 +1383,62 @@ class CypherLiteSpec extends SparkSpec {
       .as[String].collect().toSeq.sorted
     assert(rows === Seq("a1", "b2", "b5"))
   }
+
+  //   n1 → n2 → n3 → n4, plus the shortcut n1 → n3 (a diamond-ish DAG)
+  private lazy val chainG = PropertyGraph(
+    nodes = Map("N" ->
+      Seq("n1", "n2", "n3", "n4").toDF("id")),
+    edges = Map("L" -> (("N", "N",
+      Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n1", "n3"))
+        .toDF("src", "dst")))))
+
+  test("length(p) over a fixed chain counts hops; mixed with var-length is exact per path") {
+    val fixed = CypherLite.query(g,
+      "MATCH p = (a:A {id: 1})-[:R1]->(b:B)<-[:R2]-(c:C) RETURN length(p) AS n")
+      .as[Int].collect().toSeq
+    assert(fixed === Seq(2))
+    // n3 is reachable at hop 1 (shortcut) and hop 2 (n1→n2→n3) —
+    // length is PER PATH, not per endpoint
+    val var3 = CypherLite.query(chainG,
+      """MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N)
+        |RETURN b.id AS b, length(p) AS n ORDER BY b, n""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(var3 === Seq(("n2", 1), ("n3", 1), ("n3", 2), ("n4", 2)))
+  }
+
+  test("length(p) under aggregates: min/max hop stats per endpoint") {
+    val rows = CypherLite.query(chainG,
+      """MATCH p = (a:N {id: 'n1'})-[:L*1..3]->(b:N {id: 'n3'})
+        |RETURN min(length(p)) AS lo, max(length(p)) AS hi""".stripMargin)
+      .as[(Int, Int)].collect().toSeq
+    assert(rows === Seq((1, 2)))
+  }
+
+  test("RETURN * does not expand a path variable (or its synthetic step vars)") {
+    val df = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N) RETURN *")
+    assert(df.columns.toSeq === Seq("a", "b"))
+  }
+
+  test("path variables: undeclared length target, OPTIONAL MATCH binding, " +
+      "and post-WITH scope all reject") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH (a:N)-[:L]->(b:N) RETURN length(q) AS n")
+    }
+    assert(e.getMessage.contains("DECLARED path variable"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH (a:N {id: 'n1'}) OPTIONAL MATCH p = (a)-[:L]->(b:N) " +
+          "RETURN a.id AS x")
+    }
+    assert(e2.getMessage.contains("path variables on OPTIONAL MATCH"))
+    val e3 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N) " +
+          "WITH b.id AS bid RETURN length(p) AS n")
+    }
+    assert(e3.getMessage.contains("pattern level") ||
+      e3.getMessage.contains("DECLARED path variable"))
+  }
 }
