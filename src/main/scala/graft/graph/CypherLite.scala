@@ -172,6 +172,11 @@ import org.apache.spark.sql.functions._
   *    length); the variable itself is not returnable, and it is only
   *    in scope at the pattern level (first WITH stage / RETURN with
   *    no WITH) — project `length(p)` through the WITH to keep it.
+  *    `p = allShortestPaths((a)-[:R*1..n]->(b))` additionally keeps
+  *    only the MINIMAL-hop rows per (start, end) binding — every
+  *    minimal path survives (deterministic set semantics; a window
+  *    min over the endpoint pair). `shortestPath()` — which picks ONE
+  *    arbitrary minimal path — rejects loudly, pointing here.
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
@@ -317,7 +322,11 @@ object CypherLite {
       rowPreds: Seq[RowPred] = Seq.empty,
       withClauses: Seq[WithClause] = Seq.empty,
       skip: Option[Int] = None,
-      patternPreds: Seq[PatternPred] = Seq.empty)
+      patternPreds: Seq[PatternPred] = Seq.empty,
+      // (startAlias, endAlias, hop-count builder) per
+      // `allShortestPaths` chain: query() keeps only the rows whose
+      // hop count equals the minimum over their (start, end) pair
+      shortestFilters: Seq[(String, String, CaseCompiled)] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -1057,6 +1066,9 @@ object CypherLite {
     // `__plen_<i>` names (or user vars reused) that must SURVIVE the
     // unreferenced-variable strip even though no item names them
     val lengthUsedRelVars = scala.collection.mutable.Set.empty[String]
+    // one entry per allShortestPaths chain (see Parsed.shortestFilters)
+    val shortestFilters =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, CaseCompiled)]
     // declaration order across node aliases AND relationship
     // variables — RETURN * expands in this order (Kuzu prints
     // declaration order too)
@@ -1407,6 +1419,34 @@ object CypherLite {
     // tag their steps with the clause index so relationship
     // isomorphism stays per clause. OPTIONAL MATCH clauses are single
     // chains anchored at a bound alias, compiled as left-joined UNITS.
+    // hop count of a chain (by step indices): fixed steps contribute
+    // 1, var-length steps the size of their traversed-eid array —
+    // forcing a synthetic `__plen_<i>` relationship variable onto any
+    // unnamed var-length step (kept out of declOrder so RETURN *
+    // never expands it; lengthUsedRelVars protects it from the
+    // unreferenced-variable strip). Shared by `length(p)` items and
+    // the allShortestPaths minimal-length filter.
+    def pathLenCompiled(idxs: Seq[Int]): CaseCompiled = {
+      val contribs: Seq[((String, Option[String]) => Column) => Column] =
+        idxs.map { i =>
+          val st = steps(i)
+          if (st.minHops == 1 && st.maxHops == 1)
+            (_: (String, Option[String]) => Column) => lit(1)
+          else {
+            val v = st.relVar.getOrElse {
+              val nv = s"__plen_$i"
+              steps(i) = st.copy(relVar = Some(nv))
+              relVars += nv
+              nv
+            }
+            lengthUsedRelVars += v
+            res => size(res(v, None))
+          }
+        }
+      CaseCompiled(Seq.empty,
+        res => contribs.map(_(res)).foldLeft(lit(0))(_ + _))
+    }
+
     var ci = 0
     for (((body0, whereOpt), rc) <- reqClauses.zipWithIndex) {
       val body = if (rc == 0) matchBody else body0
@@ -1414,19 +1454,37 @@ object CypherLite {
       require(chains.nonEmpty,
         if (rc == 0) "empty pattern" else s"empty MATCH clause ${rc + 1}")
       val before = steps.length
+      val AspRe =
+        """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*allShortestPaths\s*\(\s*(\(.*\))\s*\)\s*$""".r
       val PathVarRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\(.*)$""".r
       for (chain0 <- chains) {
-        // `p = (…)…` binds a PATH VARIABLE to this chain's steps
-        val (pvOpt, chain) = chain0 match {
-          case PathVarRe(nm, rest) => (Some(nm), rest)
-          case _ => (None, chain0)
+        require(!chain0.matches("""(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\s*=\s*)?shortestPath\s*\(.*"""),
+          "shortestPath() picks ONE arbitrary shortest path — use " +
+            "allShortestPaths() (deterministic: every minimal-length path)")
+        require(!chain0.matches("""(?is)^allShortestPaths\s*\(.*"""),
+          "allShortestPaths must bind a path variable: p = allShortestPaths(…)")
+        // `p = (…)…` binds a PATH VARIABLE to this chain's steps;
+        // `p = allShortestPaths((…)…)` additionally keeps only the
+        // minimal-hop paths per (start, end) binding
+        val (pvOpt, chain, asp) = chain0 match {
+          case AspRe(nm, inner) => (Some(nm), inner, true)
+          case PathVarRe(nm, rest) => (Some(nm), rest, false)
+          case _ => (None, chain0, false)
         }
         val cBefore = steps.length
         parseChain(chain, ci, steps, optional = false); ci += 1
         for (nm <- pvOpt) {
           require(!bound.contains(nm) && !relVars(nm) && !pathVars.contains(nm),
             s"path variable '$nm' collides with an existing name")
-          pathVars += nm -> (cBefore until steps.length)
+          val idxs = cBefore until steps.length
+          pathVars += nm -> idxs
+          if (asp) {
+            require(idxs.nonEmpty,
+              "allShortestPaths needs at least one relationship")
+            val sa = steps(idxs.head).from.getOrElse(start.as)
+            val ea = steps(idxs.last).node.as
+            shortestFilters += ((sa, ea, pathLenCompiled(idxs)))
+          }
         }
       }
       for (i <- before until steps.length)
@@ -1551,32 +1609,10 @@ object CypherLite {
       CaseCompiled(Option(p).map(a -> _).toSeq,
         res => fnOf(fn)(res(a, Option(p))))
     }
-    // `length(p)`: hop count of a declared path variable — fixed steps
-    // contribute 1, var-length steps the size of their traversed-eid
-    // array (the isomorphism machinery already carries it; a step the
-    // user left unnamed gets a synthetic `__plen_<i>` variable that
-    // RETURN * never expands — it is absent from declOrder — and that
-    // the unreferenced-variable strip keeps via lengthUsedRelVars)
-    def lengthCompiled(pname: String): CaseCompiled = {
-      val contribs: Seq[((String, Option[String]) => Column) => Column] =
-        pathVars(pname).map { i =>
-          val st = steps(i)
-          if (st.minHops == 1 && st.maxHops == 1)
-            (_: (String, Option[String]) => Column) => lit(1)
-          else {
-            val v = st.relVar.getOrElse {
-              val nv = s"__plen_$i"
-              steps(i) = st.copy(relVar = Some(nv))
-              relVars += nv
-              nv
-            }
-            lengthUsedRelVars += v
-            res => size(res(v, None))
-          }
-        }
-      CaseCompiled(Seq.empty,
-        res => contribs.map(_(res)).foldLeft(lit(0))(_ + _))
-    }
+    // `length(p)`: hop count of a declared path variable — the shared
+    // pathLenCompiled machinery (see its doc)
+    def lengthCompiled(pname: String): CaseCompiled =
+      pathLenCompiled(pathVars(pname))
     val LengthItemRe =
       """(?is)^length\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggLenRe =
@@ -2042,7 +2078,7 @@ object CypherLite {
       rowPreds.toSeq,
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
-      skip, patternPreds.toSeq)
+      skip, patternPreds.toSeq, shortestFilters.toSeq)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -2267,7 +2303,25 @@ object CypherLite {
     // a dangling edge endpoint (id absent from its node table) must
     // evaluate as null in the filter — Cypher semantics — not delete
     // the path row before the other disjunct can pass.
-    val required0 = g.matchPaths(p.start, p.steps)
+    val requiredAll = g.matchPaths(p.start, p.steps)
+    // allShortestPaths: keep only the minimal-hop rows per (start,
+    // end) binding — a window min over the endpoint pair, applied to
+    // the PATTERN frame before WHERE (the pattern defines the path
+    // set; WHERE then filters the surviving paths). One shuffle on
+    // the endpoint pair per filtered chain; hop counts come from the
+    // same eid machinery length(p) reads, so the filter needs no
+    // extra joins.
+    val required0 = p.shortestFilters.foldLeft(requiredAll) {
+      case (df, (sa, ea, lcc)) =>
+        val lenCol = lcc.build((a, pOpt) =>
+          pOpt.map(pr => col(s"${a}_$pr")).getOrElse(col(a)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sa), col(ea))
+        df.withColumn("__sp_len", lenCol)
+          .withColumn("__sp_min", min(col("__sp_len")).over(w))
+          .filter(col("__sp_len") === col("__sp_min"))
+          .drop("__sp_len", "__sp_min")
+    }
     val required =
       if (p.rowPreds.isEmpty) required0
       else {

@@ -1181,6 +1181,67 @@ object GraphOps {
            |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT depth AS hops, count(*) AS n_paths FROM walk
            |WHERE depth >= 1 GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G44 allShortestPaths through the text route, over a MULTI-PATH
+    // graph (the hierarchy edges plus region→customer shortcuts):
+    // region-0 customers are reachable in 1 hop (shortcut) AND 2
+    // (via nation) — the filter must keep only the 1-hop paths; their
+    // orders in 2 AND 3 — keep 2. The oracle min-depth-filters the
+    // recursive walk independently.
+    QueryDef(
+      "g44_cypher_all_shortest",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val nat = Tables.nation(s, d)
+        val cust = Tables.customer(s, d)
+        val rn = nat.select(
+          concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+          concat(lit("n_"), col("n_nationkey").cast("string")).as("dst"))
+        val nc = cust.select(
+          concat(lit("n_"), col("c_nationkey").cast("string")).as("src"),
+          concat(lit("c_"), col("c_custkey").cast("string")).as("dst"))
+        val rc = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(
+            concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+            concat(lit("c_"), col("c_custkey").cast("string")).as("dst"))
+        val co = Tables.orders(s, d).select(
+          concat(lit("c_"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("o_"), col("o_orderkey").cast("string")).as("dst"))
+        val e = rn.unionAll(nc).unionAll(rc).unionAll(co)
+        val nodes = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        val g = PropertyGraph(
+          nodes = Map("node" -> nodes),
+          edges = Map("LINKS" -> (("node", "node", e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          "MATCH p = allShortestPaths((a:node {id: 'r_0'})-[:LINKS*1..3]->(b:node)) " +
+            "RETURN length(p) AS hops, count(*) AS n_paths")
+          .localCheckpoint(true))
+      },
+      Some("""WITH RECURSIVE wedges AS (
+             |  SELECT 'r_' || CAST(n_regionkey AS VARCHAR) AS src,
+             |         'n_' || CAST(n_nationkey AS VARCHAR) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT 'n_' || CAST(c_nationkey AS VARCHAR),
+             |         'c_' || CAST(c_custkey AS VARCHAR) FROM customer
+             |  UNION ALL
+             |  SELECT 'r_' || CAST(n_regionkey AS VARCHAR),
+             |         'c_' || CAST(c_custkey AS VARCHAR)
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'c_' || CAST(o_custkey AS VARCHAR),
+             |         'o_' || CAST(o_orderkey AS VARCHAR) FROM orders),
+             |walk(id, depth) AS (
+             |  SELECT 'r_0', 0
+             |  UNION ALL
+             |  SELECT e.dst, w.depth + 1
+             |  FROM walk w JOIN wedges e ON e.src = w.id
+             |  WHERE w.depth < 3),
+             |paths AS (SELECT id, depth FROM walk WHERE depth >= 1),
+             |md AS (SELECT id, min(depth) AS mind FROM paths GROUP BY 1)
+             |SELECT p.depth AS hops, count(*) AS n_paths
+             |FROM paths p JOIN md ON p.id = md.id AND p.depth = md.mind
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

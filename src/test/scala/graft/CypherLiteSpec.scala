@@ -1441,4 +1441,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(e3.getMessage.contains("pattern level") ||
       e3.getMessage.contains("DECLARED path variable"))
   }
+
+  test("allShortestPaths keeps EVERY minimal-length path per endpoint pair") {
+    //   n1 → n2 → n3 → n4, shortcuts n1 → n3 and n2 → n4:
+    //   n4 has TWO 2-hop paths (n1→n2→n4, n1→n3→n4) and one 3-hop —
+    //   both minimal rows survive, the 3-hop row drops
+    val diamondG = PropertyGraph(
+      nodes = Map("N" -> Seq("n1", "n2", "n3", "n4").toDF("id")),
+      edges = Map("L" -> (("N", "N",
+        Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+          ("n1", "n3"), ("n2", "n4")).toDF("src", "dst")))))
+    val rows = CypherLite.query(diamondG,
+      """MATCH p = allShortestPaths((a:N {id: 'n1'})-[:L*1..3]->(b:N))
+        |RETURN b.id AS b, length(p) AS n ORDER BY b, n""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(rows === Seq(("n2", 1), ("n3", 1), ("n4", 2), ("n4", 2)))
+  }
+
+  test("shortestPath() and unbound allShortestPaths reject loudly") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH p = shortestPath((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+          "RETURN b.id AS b")
+    }
+    assert(e.getMessage.contains("allShortestPaths"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH allShortestPaths((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+          "RETURN b.id AS b")
+    }
+    assert(e2.getMessage.contains("bind a path variable"))
+  }
 }
