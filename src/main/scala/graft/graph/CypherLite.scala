@@ -177,6 +177,10 @@ import org.apache.spark.sql.functions._
   *    minimal path survives (deterministic set semantics; a window
   *    min over the endpoint pair). `shortestPath()` — which picks ONE
   *    arbitrary minimal path — rejects loudly, pointing here.
+  *    `relationships(p) AS rs` yields the traversed-eid list in path
+  *    order (fixed steps contribute their single eid, var-length
+  *    steps their whole array). `size(x) AS n` counts a previous
+  *    WITH stage's collect(…) list.
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
@@ -1617,6 +1621,32 @@ object CypherLite {
       """(?is)^length\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggLenRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*length\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // relationships(p): the traversed-eid list of a path, in path
+    // order — fixed steps contribute their single eid, var-length
+    // steps their whole array (flattened by concat)
+    def relsCompiled(pname: String): CaseCompiled = {
+      val parts: Seq[((String, Option[String]) => Column) => Column] =
+        pathVars(pname).map { i =>
+          val st = steps(i)
+          val v = st.relVar.getOrElse {
+            val nv = s"__plen_$i"
+            steps(i) = st.copy(relVar = Some(nv))
+            relVars += nv
+            nv
+          }
+          lengthUsedRelVars += v
+          if (st.minHops == 1 && st.maxHops == 1)
+            res => array(res(v, None))
+          else
+            res => res(v, None)
+        }
+      require(parts.nonEmpty, s"relationships($pname): the path has no steps")
+      CaseCompiled(Seq.empty, res => concat(parts.map(_(res)): _*))
+    }
+    val RelsItemRe =
+      """(?is)^relationships\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val SizeItemRe =
+      """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -1728,6 +1758,26 @@ object CypherLite {
         case other if other.matches("(?is)^length\\s*\\(.*") =>
           fail("length() items need a DECLARED path variable " +
             "(`MATCH p = (…)…`) and an AS name", other)
+        // relationships(p) — the path's traversed-eid list, path order
+        case RelsItemRe(pn, as) if pathVars.contains(pn) =>
+          require(pathOk, s"relationships($pn): path variables are " +
+            "only in scope at the pattern level (the first WITH " +
+            "stage, or RETURN with no WITH)")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(relsCompiled(pn)))
+        case other if other.matches("(?is)^relationships\\s*\\(.*") =>
+          fail("relationships() items need a DECLARED path variable " +
+            "(`MATCH p = (…)…`) and an AS name", other)
+        // size(x) — element count of a previous WITH stage's LIST
+        // output (a collect(...) column); for a path's hop count use
+        // length(p)
+        case SizeItemRe(n, as) if bareAgg(n) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
+        case other if other.matches("(?is)^size\\s*\\(.*") =>
+          fail("size() takes a previous WITH stage's list output " +
+            "(a collect(…) column) and an AS name — for a path's hop " +
+            "count use length(p)", other)
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>

@@ -1242,6 +1242,53 @@ object GraphOps {
              |SELECT p.depth AS hops, count(*) AS n_paths
              |FROM paths p JOIN md ON p.id = md.id AND p.depth = md.mind
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G45 size() over a WITH-stage collect list — the count-the-
+    // collection idiom (size(collect(DISTINCT x)) ≡ count(DISTINCT
+    // x), proven against that independent formulation).
+    QueryDef(
+      "g45_cypher_size_collect",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, collect(DISTINCT c.c_mktsegment) AS segs
+          |RETURN nm, size(segs) AS nsegs""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(count(DISTINCT c_mktsegment) AS INTEGER) AS nsegs
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G46 relationships(p) — the traversed-eid list in PATH order
+    // (fixed steps contribute their single eid, var-length steps
+    // their whole array): the oracle's recursive walk carries the
+    // same list and both sides render it NUL→':' joined by '|'.
+    QueryDef(
+      "g46_cypher_relationships",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{array_join, transform, translate}
+        val p = prepared(s, d)
+        val g = PropertyGraph(
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          s"MATCH p = (a:node {id: 'r_$StartRegion'})-[:LINKS*1..2]->(b:node) " +
+            "RETURN b AS b, relationships(p) AS rs")
+          .select(col("b"),
+            array_join(transform(col("rs"),
+              e => translate(e, "\u0000", ":")), "|").as("rs"))
+          .localCheckpoint(true))
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth, eids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1,
+           |         list_append(w.eids, 'LINKS:' || e.src || ':' || e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 2
+           |    AND NOT list_contains(w.eids, 'LINKS:' || e.src || ':' || e.dst))
+           |SELECT id AS b, array_to_string(eids, '|') AS rs FROM walk
+           |WHERE depth >= 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1458,6 +1458,37 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Seq(("n2", 1), ("n3", 1), ("n4", 2), ("n4", 2)))
   }
 
+  test("relationships(p) yields the traversed eids in path order; " +
+      "size() reads a WITH collect list") {
+    // fixed chain: one eid per step, path order
+    val rels = CypherLite.query(g,
+      "MATCH p = (a:A {id: 1})-[:R1]->(b:B)<-[:R2]-(c:C) " +
+        "RETURN relationships(p) AS rs")
+      .as[Seq[String]].collect().toSeq
+    assert(rels === Seq(Seq("R1\u00001\u00002", "R2\u00003\u00002")))
+    // var-length step flattens its eid array into the list
+    val vl = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[:L*2]->(b:N) RETURN relationships(p) AS rs")
+      .as[Seq[String]].collect().toSeq
+    // chainG's shortcut gives TWO 2-hop paths: n1→n2→n3 and n1→n3→n4
+    assert(vl.map(_.toList).sortBy(_.mkString) === Seq(
+      List("L\u0000n1\u0000n2", "L\u0000n2\u0000n3"),
+      List("L\u0000n1\u0000n3", "L\u0000n3\u0000n4")))
+    // size over a collected list, post-WITH
+    val sz = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a.tag AS t, collect(b.tag) AS bs " +
+        "RETURN t, size(bs) AS n ORDER BY t")
+      .as[(String, Int)].collect().toSeq
+    assert(sz === Seq(("a1", 1), ("a4", 2)))
+  }
+
+  test("size() rejects non-list scopes with a pointed message") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN size(a) AS n")
+    }
+    assert(e.getMessage.contains("length(p)"))
+  }
+
   test("shortestPath() and unbound allShortestPaths reject loudly") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(chainG,
