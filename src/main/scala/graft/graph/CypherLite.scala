@@ -179,8 +179,14 @@ import org.apache.spark.sql.functions._
   *    arbitrary minimal path — rejects loudly, pointing here.
   *    `relationships(p) AS rs` yields the traversed-eid list in path
   *    order (fixed steps contribute their single eid, var-length
-  *    steps their whole array). `size(x) AS n` counts a previous
-  *    WITH stage's collect(…) list.
+  *    steps their whole array). `nodes(p) AS ns` yields the node-id
+  *    list of a FIXED-length path (var-length steps don't
+  *    materialize intermediate ids — loud reject pointing at
+  *    relationships). `size(x) AS n` counts a previous WITH stage's
+  *    collect(…) list. A `+` chain containing a string LITERAL
+  *    compiles to concatenation with non-strings cast (Cypher
+  *    'a' + 1 = "a1"; property-only string concat needs an anchor —
+  *    `'' + a.x + b.y`); strings under - * / reject.
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
@@ -679,22 +685,46 @@ object CypherLite {
     */
   private[graph] sealed trait ArithExpr
   private final case class NumA(v: Any) extends ArithExpr
+  private final case class StrA(s: String) extends ArithExpr
   private final case class RefA(alias: String, prop: Option[String]) extends ArithExpr
   private final case class NegA(x: ArithExpr) extends ArithExpr
   private final case class BinA(op: Char, l: ArithExpr, r: ArithExpr) extends ArithExpr
+
+  /** A `+` chain is STRING CONCATENATION when any operand is a string
+    * literal (Cypher's `+` concatenates strings; operand types are
+    * unknowable at parse, so the literal is the signal — concatenating
+    * two string PROPERTIES needs an explicit anchor: `'' + a.x + b.y`).
+    */
+  private def containsStr(e: ArithExpr): Boolean = e match {
+    case StrA(_) => true
+    case BinA('+', l, r) => containsStr(l) || containsStr(r)
+    case _ => false
+  }
 
   private def arithRefs(e: ArithExpr): Seq[(String, Option[String])] = e match {
     case RefA(a, p) => Seq(a -> p)
     case NegA(x) => arithRefs(x)
     case BinA(_, l, r) => arithRefs(l) ++ arithRefs(r)
     case NumA(_) => Seq.empty
+    case StrA(_) => Seq.empty
   }
 
   private def arithColumn(e: ArithExpr,
       resolve: (String, Option[String]) => Column): Column = e match {
     case NumA(v) => lit(v)
+    case StrA(s) => lit(s)
     case RefA(a, p) => resolve(a, p)
+    case NegA(x) if containsStr(x) => throw new IllegalArgumentException(
+      "a string literal cannot be negated")
     case NegA(x) => -arithColumn(x, resolve)
+    case BinA(op, l, r) if op != '+' && (containsStr(l) || containsStr(r)) =>
+      throw new IllegalArgumentException(
+        s"string operands only concatenate with '+', not '$op'")
+    // string concatenation: non-string operands cast to string
+    // (Cypher 'a' + 1 = "a1"); the cast is a no-op on string columns
+    case BinA('+', l, r) if containsStr(l) || containsStr(r) =>
+      concat(arithColumn(l, resolve).cast("string"),
+        arithColumn(r, resolve).cast("string"))
     case BinA('+', l, r) => arithColumn(l, resolve) + arithColumn(r, resolve)
     case BinA('-', l, r) => arithColumn(l, resolve) - arithColumn(r, resolve)
     case BinA('*', l, r) => arithColumn(l, resolve) * arithColumn(r, resolve)
@@ -721,6 +751,16 @@ object CypherLite {
         require(peek == ')', s"unbalanced '(' in arithmetic: '$s'")
         i += 1
         e
+      } else if (peek == '\'') {
+        // single-quoted string literal (no escapes — the engine's
+        // literal grammar): the concat signal for a `+` chain
+        i += 1
+        val start = i
+        while (i < s.length && s.charAt(i) != '\'') i += 1
+        require(i < s.length, s"unterminated string literal in: '$s'")
+        val t = s.substring(start, i)
+        i += 1
+        StrA(t)
       } else {
         val start = i
         if (peek.isDigit) {
@@ -1645,6 +1685,23 @@ object CypherLite {
     }
     val RelsItemRe =
       """(?is)^relationships\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // nodes(p): the node-id list along a FIXED-length path (anchor +
+    // every step's arrival). Var-length steps don't materialize their
+    // intermediate node ids (only eids) — loud reject pointing at
+    // relationships(p).
+    def nodesCompiled(pname: String): CaseCompiled = {
+      val idxs = pathVars(pname)
+      require(idxs.nonEmpty, s"nodes($pname): the path has no steps")
+      require(idxs.forall(i =>
+          steps(i).minHops == 1 && steps(i).maxHops == 1),
+        s"nodes($pname): var-length steps don't materialize their " +
+          s"intermediate node ids — use relationships($pname)")
+      val names = steps(idxs.head).from.getOrElse(start.as) +:
+        idxs.map(i => steps(i).node.as)
+      CaseCompiled(Seq.empty, res => array(names.map(n => res(n, None)): _*))
+    }
+    val NodesItemRe =
+      """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeItemRe =
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
@@ -1767,6 +1824,16 @@ object CypherLite {
             caseC = Some(relsCompiled(pn)))
         case other if other.matches("(?is)^relationships\\s*\\(.*") =>
           fail("relationships() items need a DECLARED path variable " +
+            "(`MATCH p = (…)…`) and an AS name", other)
+        // nodes(p) — the node-id list of a fixed-length path
+        case NodesItemRe(pn, as) if pathVars.contains(pn) =>
+          require(pathOk, s"nodes($pn): path variables are only in " +
+            "scope at the pattern level (the first WITH stage, or " +
+            "RETURN with no WITH)")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(nodesCompiled(pn)))
+        case other if other.matches("(?is)^nodes\\s*\\(.*") =>
+          fail("nodes() items need a DECLARED path variable " +
             "(`MATCH p = (…)…`) and an AS name", other)
         // size(x) — element count of a previous WITH stage's LIST
         // output (a collect(...) column); for a path's hop count use

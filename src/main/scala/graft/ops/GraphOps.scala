@@ -1289,6 +1289,36 @@ object GraphOps {
            |    AND NOT list_contains(w.eids, 'LINKS:' || e.src || ':' || e.dst))
            |SELECT id AS b, array_to_string(eids, '|') AS rs FROM walk
            |WHERE depth >= 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G47 string concatenation in RETURN items — a `+` chain with a
+    // string literal compiles to concat (Cypher 'a' + 1 = "a1"); the
+    // concatenated key doubles as the implicit grouping key.
+    QueryDef(
+      "g47_cypher_string_concat",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name + ':' + c.c_mktsegment AS tag,
+          |       count(*) AS n""".stripMargin)),
+      Some("""SELECT n_name || ':' || c_mktsegment AS tag, count(*) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G48 nodes(p) — the node-id list of a fixed-length path (anchor
+    // + each arrival), rendered as a joined string for the oracle.
+    QueryDef(
+      "g48_cypher_nodes",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+          """MATCH p = (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+            |WHERE c.c_acctbal > 9990
+            |RETURN nodes(p) AS ns""".stripMargin)
+          .select(array_join(col("ns").cast("array<string>"), "|").as("ns")))
+      },
+      Some("""SELECT CAST(c_nationkey AS VARCHAR) || '|' ||
+             |       CAST(c_custkey AS VARCHAR) AS ns
+             |FROM customer WHERE c_acctbal > 9990
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

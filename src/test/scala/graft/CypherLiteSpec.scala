@@ -1482,6 +1482,31 @@ class CypherLiteSpec extends SparkSpec {
     assert(sz === Seq(("a1", 1), ("a4", 2)))
   }
 
+  test("string concatenation: a + chain with a string literal concats, " +
+      "numbers cast; strings under other operators reject") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A {id: 1}) RETURN a.tag + '#' + a.id AS t")
+      .as[String].collect().toSeq
+    assert(rows === Seq("a1#1"))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN a.id * 'x' AS t")
+    }
+    assert(e.getMessage.contains("concatenate"))
+  }
+
+  test("nodes(p) lists the fixed path's node ids; var-length rejects " +
+      "pointing at relationships(p)") {
+    val ns = CypherLite.query(g,
+      "MATCH p = (a:A {id: 1})-[:R1]->(b:B)<-[:R2]-(c:C) RETURN nodes(p) AS ns")
+      .as[Seq[Long]].collect().toSeq
+    assert(ns === Seq(Seq(1L, 2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N) RETURN nodes(p) AS ns")
+    }
+    assert(e.getMessage.contains("relationships(p)"))
+  }
+
   test("size() rejects non-list scopes with a pointed message") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(g, "MATCH (a:A) RETURN size(a) AS n")
