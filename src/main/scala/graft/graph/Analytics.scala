@@ -345,10 +345,29 @@ object GraphAnalytics {
     * space. Existing edges drop via a left-anti join; Jaccard is one
     * IEEE division of exact longs (|A∩B| / (deg_u + deg_v − |A∩B|)),
     * engine-portable. Wedge volume is Σ deg(m)² over mid nodes — on
-    * skewed graphs, cap hub degrees upstream (the d2 stop-shingle
-    * lesson applies verbatim: a hot hub's wedge fan-out is quadratic).
+    * skewed graphs pass `maxDegree` (the d2 stop-shingle lesson
+    * applies verbatim: a hot hub's wedge fan-out is quadratic).
     */
-  def linkPredictScores(edges: DataFrame): DataFrame = {
+  def linkPredictScores(edges: DataFrame): DataFrame =
+    linkPredictScores(edges, Int.MaxValue)
+
+  /** [[linkPredictScores]] with a hub cap: mid nodes (shared
+    * neighbors) whose degree exceeds `maxDegree` are excluded from
+    * candidate generation BEFORE the wedge self-join, bounding wedge
+    * volume at Σ min(deg(m), maxDegree)² — the stop-shingle / degree-
+    * orientation discipline ([[triangleCounts]]) applied to link
+    * prediction. Semantics under the cap: a pair is a candidate only
+    * if it shares a NON-hub neighbor, and `ncommon` counts only
+    * non-hub shared neighbors (a documented lower bound — a hub
+    * shared by half the graph carries no predictive signal anyway,
+    * exactly the d2 stop-shingle rationale). Jaccard keeps the TRUE
+    * endpoint degrees; only the numerator is capped, so scores under
+    * the cap are conservative, never inflated. `maxDegree =
+    * Int.MaxValue` (the no-arg overload) is bit-identical to the
+    * uncapped form — the g13 oracle runs uncapped.
+    */
+  def linkPredictScores(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 1, "linkPredictScores needs maxDegree >= 1")
     val und = canonicalUndirected(edges)
     // symmetric adjacency: (a, b) = "b is a neighbor of a"
     val adj = und.select(col("u").as("a"), col("v").as("b"))
@@ -357,8 +376,17 @@ object GraphAnalytics {
     // deg feeds both endpoint joins — persist (node-count-sized)
     val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val common = adj.as("p")
-      .join(adj.as("q"), col("p.a") === col("q.a") && col("p.b") < col("q.b"))
+    // hub cap: semi-join against the ≤maxDegree node set drops every
+    // adjacency row rooted at a hub mid — the self-join below never
+    // sees the quadratic fan-out (deg is node-sized and persisted,
+    // so the filter costs one skinny semi-join, not a re-aggregate)
+    val wedgeAdj =
+      if (maxDegree == Int.MaxValue) adj
+      else adj.join(deg.where(col("dg") <= lit(maxDegree)).select(col("a")),
+        Seq("a"), "left_semi")
+    val common = wedgeAdj.as("p")
+      .join(wedgeAdj.as("q"),
+        col("p.a") === col("q.a") && col("p.b") < col("q.b"))
       .groupBy(col("p.b").as("u"), col("q.b").as("v"))
       .agg(count(lit(1)).as("ncommon"))
     val res = common

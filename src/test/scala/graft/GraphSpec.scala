@@ -199,6 +199,32 @@ class GraphSpec extends SparkSpec {
       "adjacent pairs and no-common-neighbor pairs (2,5) must be absent")
   }
 
+  test("linkPredictScores maxDegree: planted hub's quadratic wedges drop; " +
+      "survivors keep true-degree Jaccard") {
+    // hub 100 with spokes 1..6 (deg 6); side wedge 1–7–2 (deg(7)=2)
+    val edges = ((1L to 6L).map(i => (100L, i)) ++ Seq((1L, 7L), (2L, 7L)))
+      .toDF("src", "dst")
+    // uncapped: all C(6,2)=15 spoke pairs share the hub, plus (7,100)
+    // via mids 1 and 2 → 16 candidate pairs
+    val full = graft.graph.GraphAnalytics.linkPredictScores(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(full.size === 16, s"uncapped pair count: ${full.size}")
+    assert(full((1L, 2L)) === ((2L, 1.0)), "share {hub, 7}; deg 2+2, union 2")
+    // capped below the hub degree: hub never serves as a mid — the 14
+    // hub-only spoke pairs vanish, wedge volume stays bounded
+    val capped = graft.graph.GraphAnalytics.linkPredictScores(edges, 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(capped === Map(
+      // ncommon counts only the non-hub mid 7; Jaccard keeps TRUE
+      // endpoint degrees (2 and 2) → conservative 1/(2+2-1)
+      (1L, 2L) -> ((1L, 1.0 / 3.0)),
+      // (7,100) rides mids 1 and 2 (both deg 2 ≤ cap); deg(100)=6 stays true
+      (7L, 100L) -> ((2L, 2.0 / (2.0 + 6.0 - 2.0)))),
+      "only pairs reachable through non-hub mids survive the cap")
+  }
+
   test("connectedComponents: weak connectivity, min-id reps, direction ignored") {
     // component A: 1→2→3 plus a back-edge 3→1; component B: 10←11
     // (direction must not matter); self-loop on 20 is its own comp
