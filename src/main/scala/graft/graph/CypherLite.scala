@@ -68,8 +68,12 @@ import org.apache.spark.sql.functions._
   *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. The property may
   *    be wrapped `toLower(alias.prop)` / `toUpper(alias.prop)` — the
   *    shape the reference prompt MANDATES for every string predicate
-  *    (rag.baml:76-79) — and the operand may be a plain literal,
+  *    (rag.baml:76-79) — or any other supported scalar wrap
+  *    (`trim`, `abs`, `date`, `round(x[, scale])`,
+  *    `substring(x, start[, len])` — 0-indexed, Cypher semantics) —
+  *    and the operand may be a plain literal,
   *    `toLower('lit')` / `toUpper('lit')` (folded driver-side),
+  *    `date('2022-01-01')` (the Neo4j temporal constructor) or
   *    `CAST('2022-01-01' AS DATE|TIMESTAMP)` (the reference's own
   *    Cypher datetime form, build_graph.py:246,335), or ANOTHER
   *    PROPERTY `alias2.prop2` (same-alias pairs stay node
@@ -152,9 +156,12 @@ import org.apache.spark.sql.functions._
   *    Simple CASE (`CASE expr WHEN v THEN r …`) desugars to the
   *    searched form (equality per arm — a null test matches no arm,
   *    Cypher semantics); nested CASE rejects loudly.
-  *    Scalar-function wraps `toLower|toUpper|trim(alias.prop | name)`
-  *    are items too — standalone (`toLower(n.name) AS x`) or inside
-  *    aggregates (`count(DISTINCT toUpper(c.seg))`) — as is
+  *    Scalar-function wraps over `alias.prop | name` are items too —
+  *    `toLower|toUpper|trim|abs|date` plus `round(x[, scale])` and
+  *    `substring(x, start[, len])` (0-indexed, Cypher semantics;
+  *    extra args are int literals) — standalone (`toLower(n.name)
+  *    AS x`) or inside aggregates (`count(DISTINCT toUpper(c.seg))`,
+  *    `sum(round(o.price)) AS s`) — as is
   *    `coalesce(arg, arg, …) AS name` (≥2 args: property refs, stage
   *    names, literals — the OPTIONAL-MATCH default idiom).
   *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
@@ -359,11 +366,16 @@ object CypherLite {
     """=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
   private val WhereCondRe =
     s"""^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
-  // `toLower(alias.prop) OP …` / `toUpper(alias.prop) OP …` — the
-  // reference prompt's MANDATED string-predicate shape (rag.baml:76-79,
-  // worked example :279). IN / IS NULL don't compose with the wrap.
+  // `fn(alias.prop[, lit…]) OP …` — scalar wraps on the LHS. toLower/
+  // toUpper are the reference prompt's MANDATED string-predicate shape
+  // (rag.baml:76-79, worked example :279); trim/abs/round/date/
+  // substring are the most common LLM emissions after them (date() in
+  // WHERE especially — Neo4j's temporal idiom). Extra arguments
+  // (round scale, substring start/length) are literal ints. IN /
+  // IS NULL don't compose with the wrap.
+  private val ScalarFnAlt = """toLower|toUpper|trim|abs|round|date|substring"""
   private val WhereFnCondRe =
-    s"""^(?i:(toLower|toUpper))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+    s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -429,8 +441,59 @@ object CypherLite {
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
   }
 
+  // `date('2022-01-01')` as an RHS operand — the Cypher temporal
+  // constructor (Neo4j idiom); folds like the CAST form
+  private val RhsDateRe =
+    """^(?i)date\s*\(\s*('[^']*')\s*\)$""".r
+
+  /** Compile a scalar-function wrap (`fn(col[, extra…])`) to a Column
+    * transform — the shared LHS/item machinery behind toLower/toUpper/
+    * trim/abs/round/date/substring. Extra args are LITERAL ints
+    * (round's scale, substring's start/length). Cypher's substring is
+    * 0-indexed; Spark's (and SQL's) is 1-indexed — the +1 lands here
+    * so the emitted plan and any SQL oracle agree on the same bytes.
+    * All of it folds to builtin Column calls — codegen, no UDF.
+    */
+  private def scalarWrap(fn: String, argsTxt: String): Column => Column = {
+    val extra: Seq[Any] =
+      if (argsTxt == null || argsTxt.trim.isEmpty) Seq.empty
+      else splitTopComma(argsTxt).map(a => literal(a.trim))
+    def noArgs(): Unit = require(extra.isEmpty,
+      s"$fn() takes exactly one argument")
+    def intArgs(): Seq[Int] = extra.map {
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn() extra arguments must be integer literals, got '$other'")
+    }
+    fn.toLowerCase match {
+      case "tolower" => noArgs(); lower(_)
+      case "toupper" => noArgs(); upper(_)
+      case "trim"    => noArgs(); trim(_)
+      case "abs"     => noArgs(); abs(_)
+      // date(x): Cypher's temporal conversion — to_date handles both
+      // string and timestamp inputs (the parquet timestamp column case)
+      case "date"    => noArgs(); to_date(_)
+      case "round" => intArgs() match {
+        case Seq()  => round(_, 0)
+        case Seq(n) => round(_, n)
+        case _ => throw new IllegalArgumentException(
+          "round(expr[, scale]) takes at most one extra argument")
+      }
+      case "substring" => intArgs() match {
+        // Cypher substring(s, start) runs to the end of the string
+        case Seq(s)    => c => c.substr(lit(s + 1), length(c))
+        case Seq(s, l) => c => c.substr(lit(s + 1), lit(l))
+        case _ => throw new IllegalArgumentException(
+          "substring(expr, start[, length]) needs 1 or 2 integer arguments")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported scalar function '$other'")
+    }
+  }
+
   /** The RHS of a comparison as a Column: plain literal, driver-folded
-    * `toLower('…')`/`toUpper('…')`, or `CAST('…' AS DATE|TIMESTAMP)`
+    * `toLower('…')`/`toUpper('…')`, `date('…')`, or
+    * `CAST('…' AS DATE|TIMESTAMP)`
     * (→ `to_date`/`to_timestamp` over a constant — Catalyst folds it,
     * so the predicate stays pushdown-/partition-prune-eligible).
     */
@@ -446,6 +509,7 @@ object CypherLite {
     case RhsCastRe(q, t) =>
       val s = literal(q).toString
       if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
+    case RhsDateRe(q) => to_date(lit(literal(q).toString))
     case other => lit(literal(other))
   }
 
@@ -902,10 +966,9 @@ object CypherLite {
       case WhereNullRe(a, p, not) =>
         checkProp(a); refs += a -> p
         AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
-      case WhereFnCondRe(fn, a, p, op, v) =>
+      case WhereFnCondRe(fn, a, p, fargs, op, v) =>
         checkProp(a); refs += a -> p
-        val wrap: Column => Column =
-          if (fn.equalsIgnoreCase("toLower")) lower(_) else upper(_)
+        val wrap = scalarWrap(fn, fargs)
         val cmp = opBuilder(op, v)
         AtomE(a, p, c => cmp(wrap(c)))
       case WhereCondRe(a, p, op, v) =>
@@ -922,8 +985,8 @@ object CypherLite {
         require(plainOk(n), s"$ctx CASE references unknown name '$n'")
         AtomE("", n, opBuilder(op, v))
       case other => fail(
-        "CASE WHEN conditions must be [toLower|toUpper](alias.prop) OP " +
-          "operand or name OP operand", other)
+        "CASE WHEN conditions must be [fn](alias.prop) OP " +
+          s"operand or name OP operand (fn: $ScalarFnAlt)", other)
     }
     val armEnd = elseIdxs.headOption.getOrElse(body.length)
     val armFns = (whenIdxs :+ armEnd).sliding(2).map {
@@ -1309,10 +1372,9 @@ object CypherLite {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
-          case WhereFnCondRe(fn, a, p, op, v) =>
+          case WhereFnCondRe(fn, a, p, fargs, op, v) =>
             checkAlias(a, p)
-            val wrap: Column => Column =
-              if (fn.equalsIgnoreCase("toLower")) lower(_) else upper(_)
+            val wrap = scalarWrap(fn, fargs)
             val cmp = opBuilder(op, v)
             AtomE(a, p, c => cmp(wrap(c)))
           case WhereCondRe(a, p, op, v) =>
@@ -1327,7 +1389,8 @@ object CypherLite {
               case _ => AtomE(a, p, opBuilder(op, v))
             }
           case other => fail(
-            "WHERE conditions must be [toLower|toUpper](alias.prop) OP operand", other)
+            "WHERE conditions must be [fn](alias.prop) OP operand " +
+              s"(fn: $ScalarFnAlt)", other)
         }
       // each top-level conjunct compiles by its alias span: ONE alias
       // → a node predicate (semi-join at the pattern position, before
@@ -1624,25 +1687,22 @@ object CypherLite {
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // scalar-function wraps as items — `toLower(n.name) AS x` — and
-    // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`); the
-    // same built-ins the WHERE grammar admits, folded to lower/upper/
-    // trim Column calls
+    // scalar-function wraps as items — `toLower(n.name) AS x`,
+    // `round(o.price, 2) AS r`, `substring(n.name, 0, 3) AS pre` — and
+    // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`,
+    // `sum(round(o.price)) AS s`); the same built-ins the WHERE
+    // grammar admits, folded to builtin Column calls via scalarWrap
     val FnItemRe =
-      """(?is)^(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)(?:\\.([A-Za-z_][A-Za-z0-9_]*))?\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // coalesce(arg, arg, …) AS name — args split on TOP-LEVEL commas
     // (the item splitter already kept the whole call together)
     val CoalesceRe =
       """(?is)^coalesce\s*\((.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggFnRe =
-      """(?is)^(count|sum|min|max|avg|collect)\s*\(\s*(?:(DISTINCT)\s+)?(toLower|toUpper|trim)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    def fnOf(fn: String): Column => Column = fn.toLowerCase match {
-      case "tolower" => lower(_)
-      case "toupper" => upper(_)
-      case _ => trim(_)
-    }
-    def fnCompiled(fn: String, a: String, p: String, ctx2: String,
-        plainOk2: String => Boolean, propOk2: String => Boolean): CaseCompiled = {
+      s"""(?is)^(count|sum|min|max|avg|collect)\\s*\\(\\s*(?:(DISTINCT)\\s+)?($ScalarFnAlt)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)(?:\\.([A-Za-z_][A-Za-z0-9_]*))?\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    def fnCompiled(fn: String, fargs: String, a: String, p: String,
+        ctx2: String, plainOk2: String => Boolean,
+        propOk2: String => Boolean): CaseCompiled = {
       if (p != null) require(propOk2(a),
         s"$ctx2 ${fn}() references unknown alias '$a'")
       else {
@@ -1650,8 +1710,9 @@ object CypherLite {
           s"'$a': ${fn}() over a relationship variable's eid is unsupported")
         require(plainOk2(a), s"$ctx2 ${fn}() references unknown name '$a'")
       }
+      val wrap = scalarWrap(fn, fargs)
       CaseCompiled(Option(p).map(a -> _).toSeq,
-        res => fnOf(fn)(res(a, Option(p))))
+        res => wrap(res(a, Option(p))))
     }
     // `length(p)`: hop count of a declared path variable — the shared
     // pathLenCompiled machinery (see its doc)
@@ -1753,17 +1814,17 @@ object CypherLite {
         // toLower(c.seg)); DISTINCT only with count/collect (the
         // AggItemRe rule; collect DISTINCT stays deterministic — the
         // sorted set of wrapped values)
-        case AggFnRe(agg, dist, fn, a, p, as) =>
+        case AggFnRe(agg, dist, fn, a, p, fargs, as) =>
           val f = agg.toLowerCase
           val d = dist != null
           require(!d || f == "count" || f == "collect",
             s"DISTINCT only supported with count and collect, not $f")
           ReturnItem(Some(f), d, "", None, as,
-            caseC = Some(fnCompiled(fn, a, p, ctx, plainOk, propOk)))
-        // scalar-function item — toLower(n.name) AS x
-        case FnItemRe(fn, a, p, as) =>
+            caseC = Some(fnCompiled(fn, fargs, a, p, ctx, plainOk, propOk)))
+        // scalar-function item — toLower(n.name) AS x, round(x, 2) AS r
+        case FnItemRe(fn, a, p, fargs, as) =>
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(fnCompiled(fn, a, p, ctx, plainOk, propOk)))
+            caseC = Some(fnCompiled(fn, fargs, a, p, ctx, plainOk, propOk)))
         // coalesce item — `coalesce(c.seg, 'none') AS s`: first
         // non-null of ≥2 arguments (property refs, stage names,
         // literals), the OPTIONAL-MATCH default idiom. Acts as a

@@ -1319,6 +1319,30 @@ object GraphOps {
              |       CAST(c_custkey AS VARCHAR) AS ns
              |FROM customer WHERE c_acctbal > 9990
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G49 the widened SCALAR-FUNCTION surface through the text route —
+    // date() over the parquet TIMESTAMP column and abs() in WHERE,
+    // substring() (0-indexed, Cypher) as a grouping item, round()
+    // inside an aggregate, date('…') as the RHS temporal constructor.
+    // All fold to builtin Column calls (to_date/abs/substr/round) —
+    // codegen, no UDF; the oracle replays the same shapes 1-indexed.
+    QueryDef(
+      "g49_cypher_scalar_fns",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE date(o.o_orderdate) >= date('1995-06-01')
+          |  AND abs(c.c_acctbal) > 100.0
+          |RETURN substring(n.n_name, 7, 2) AS pre,
+          |       sum(round(o.o_totalprice)) AS tot,
+          |       count(*) AS cnt""".stripMargin)),
+      Some("""SELECT substring(n_name, 8, 2) AS pre,
+             |       sum(round(o_totalprice)) AS tot,
+             |       count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |     JOIN orders ON o_custkey = c_custkey
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+             |  AND abs(c_acctbal) > 100.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1273,6 +1273,48 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("widened scalar fns: substring (0-indexed), round scale, abs, " +
+      "date() both sides of WHERE") {
+    // substring(x, start[, len]) — Cypher 0-indexed; start-only runs
+    // to the end of the string
+    val sub = CypherLite.query(g,
+      "MATCH (a:A) RETURN DISTINCT substring(a.tag, 1, 1) AS s")
+      .as[String].collect().toSet
+    assert(sub === Set("1", "4"))
+    val subTail = CypherLite.query(g,
+      "MATCH (a:A {id: 1}) RETURN substring(a.tag, 1) AS s")
+      .as[String].head()
+    assert(subTail === "1")
+    // round/abs over numeric props, standalone and inside aggregates
+    val num = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, -2.345), (2L, 1.815)).toDF("id", "v")),
+      edges = Map.empty)
+    assert(CypherLite.query(num,
+      "MATCH (n:N) WHERE abs(n.v) > 2.0 RETURN round(n.v, 2) AS r")
+      .as[Double].collect().toSeq === Seq(-2.35))
+    assert(CypherLite.query(num,
+      "MATCH (n:N) RETURN sum(round(n.v)) AS s").as[Double].head() === 0.0)
+    // date() wraps the column side AND constructs the RHS operand
+    val dg = PropertyGraph(
+      nodes = Map("E" -> Seq(
+        (1L, java.sql.Timestamp.valueOf("2022-03-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00"))).toDF("id", "ts")),
+      edges = Map.empty)
+    assert(CypherLite.query(dg,
+      "MATCH (e:E) WHERE date(e.ts) >= date('2022-01-01') RETURN e.id AS i")
+      .as[Long].collect().toSeq === Seq(1L))
+    // malformed extra args reject loudly at parse time
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN substring(a.tag) AS s")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) RETURN round(a.tag, 'x') AS s")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) WHERE abs(a.tag, 2) > 1 RETURN a.tag")
+    }
+  }
+
   test("ORDER BY alias.prop resolves to the projected item's output name") {
     val rows = CypherLite.query(g,
       "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t ORDER BY b.tag DESC")
