@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *    edges; comma-separated parts branch off bound aliases; literals
   *    are single-quoted strings, integers, decimals, booleans.
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
-  *    required — unbounded `*` is rejected, the scale rule), in every
+  *    required — unbounded `*` / `*1..` is rejected, the scale rule,
+  *    UNLESS the session conf `graft.cypher.maxVarLength` supplies
+  *    the upper bound: the LLM-emitted bare-star shape then compiles
+  *    exactly like the explicit `*1..maxVarLength`), in every
   *    direction INCLUDING undirected `-[:REL*1..4]-` (relationship-
   *    uniqueness enforced via eid-carrying chains WITHIN each
   *    var-length step AND across separate steps of one clause —
@@ -1023,16 +1026,37 @@ object CypherLite {
     conds.reduce(_ && _)
   }
 
-  /** `*`-suffix of an edge token → hop bounds. Bounds are mandatory:
+  /** `*`-suffix of an edge token → hop bounds. A bound is mandatory:
     * an unbounded walk over 100 TB of edges is a plan nobody meant.
+    * UNBOUNDED forms (`*`, `*1..`, `*a..`) — which LLMs routinely
+    * emit — are accepted ONLY when the session conf
+    * `graft.cypher.maxVarLength` supplies the upper bound (the
+    * bounded-traversal contract stays intact; the bound is just
+    * session-wide instead of per-query). Unset conf → loud reject
+    * naming the conf, not a silent default.
     */
   private def hopBounds(star: Option[String]): (Int, Int) = star match {
     case None => (1, 1)
     case Some(s) =>
       val body = s.trim.stripPrefix("*").replaceAll("\\s", "")
+      def sessionBound(lo: Int): (Int, Int) = {
+        val hi = org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(_.conf.getOption("graft.cypher.maxVarLength"))
+          .map(_.toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"var-length '*$body' is unbounded — give explicit bounds " +
+              "(*n, *..n, *a..b) or set the session conf " +
+              "graft.cypher.maxVarLength to bound unbounded steps"))
+        require(hi >= lo && hi >= 1,
+          s"graft.cypher.maxVarLength ($hi) is below the step's " +
+            s"minimum hops ($lo)")
+        (lo, hi)
+      }
       body.split("\\.\\.", -1) match {
+        case Array("") => sessionBound(1)
         case Array(n) if n.matches("\\d+") => (n.toInt, n.toInt)
         case Array("", n) if n.matches("\\d+") => (1, n.toInt)
+        case Array(a, "") if a.matches("\\d+") => sessionBound(a.toInt)
         case Array(a, b) if a.matches("\\d+") && b.matches("\\d+") => (a.toInt, b.toInt)
         case _ => throw new IllegalArgumentException(
           s"var-length needs explicit bounds (*n, *..n, *a..b), got '*$body'")

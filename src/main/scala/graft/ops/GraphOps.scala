@@ -1343,6 +1343,35 @@ object GraphOps {
              |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
              |  AND abs(c_acctbal) > 100.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G50 UNBOUNDED var-length (`-[:LINKS*]->`) under the session
+    // bound: graft.cypher.maxVarLength=3 makes the bare star compile
+    // exactly like g8's explicit `*1..3` — same plan, same oracle (the
+    // bounded-traversal scale contract holds; the bound is just
+    // session-wide). Unset conf → loud reject, spec-pinned in
+    // CypherLiteSpec.
+    QueryDef(
+      "g50_cypher_unbounded_star",
+      (s, d) => {
+        val p = prepared(s, d)
+        val g = PropertyGraph(
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        s.conf.set("graft.cypher.maxVarLength", "3")
+        try orderedByAll(graft.graph.CypherLite.query(g,
+          s"MATCH (a:node {id: 'r_$StartRegion'})-[:LINKS*]->(b:node) " +
+            "RETURN count(*) AS n_paths").localCheckpoint(true))
+        finally s.conf.unset("graft.cypher.maxVarLength")
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth, eids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1, list_append(w.eids, e.src || '>' || e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
+           |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
     )
   )
 

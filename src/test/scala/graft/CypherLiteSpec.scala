@@ -1570,4 +1570,39 @@ class CypherLiteSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("bind a path variable"))
   }
+
+  test("unbounded var-length: rejects without graft.cypher.maxVarLength, " +
+      "compiles like the explicit bound with it") {
+    val spark = TestSession.spark
+    spark.conf.unset("graft.cypher.maxVarLength")
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG, "MATCH (a:N {id: 'n1'})-[:L*]->(b:N) RETURN b.id AS b")
+    }
+    assert(e.getMessage.contains("graft.cypher.maxVarLength"),
+      s"reject must name the conf: ${e.getMessage}")
+    spark.conf.set("graft.cypher.maxVarLength", "3")
+    try {
+      val star = CypherLite.query(chainG,
+        "MATCH (a:N {id: 'n1'})-[:L*]->(b:N) RETURN b.id AS b ORDER BY b")
+        .as[String].collect().toSeq
+      val explicit = CypherLite.query(chainG,
+        "MATCH (a:N {id: 'n1'})-[:L*1..3]->(b:N) RETURN b.id AS b ORDER BY b")
+        .as[String].collect().toSeq
+      assert(star === explicit, "bare * must equal *1..3 under the conf")
+      // `*2..` keeps its explicit lower bound, conf caps the upper
+      val lo2 = CypherLite.query(chainG,
+        "MATCH (a:N {id: 'n1'})-[:L*2..]->(b:N) RETURN b.id AS b ORDER BY b")
+        .as[String].collect().toSeq
+      val lo2Explicit = CypherLite.query(chainG,
+        "MATCH (a:N {id: 'n1'})-[:L*2..3]->(b:N) RETURN b.id AS b ORDER BY b")
+        .as[String].collect().toSeq
+      assert(lo2 === lo2Explicit)
+      // conf below the step's minimum hops → loud
+      spark.conf.set("graft.cypher.maxVarLength", "1")
+      val e2 = intercept[IllegalArgumentException] {
+        CypherLite.query(chainG, "MATCH (a:N {id: 'n1'})-[:L*2..]->(b:N) RETURN b.id AS b")
+      }
+      assert(e2.getMessage.contains("minimum hops"))
+    } finally spark.conf.unset("graft.cypher.maxVarLength")
+  }
 }
