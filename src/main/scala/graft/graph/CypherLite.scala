@@ -190,9 +190,10 @@ import org.apache.spark.sql.functions._
   *    `relationships(p) AS rs` yields the traversed-eid list in path
   *    order (fixed steps contribute their single eid, var-length
   *    steps their whole array). `nodes(p) AS ns` yields the node-id
-  *    list of a FIXED-length path (var-length steps don't
-  *    materialize intermediate ids — loud reject pointing at
-  *    relationships). `size(x) AS n` counts a previous WITH stage's
+  *    list in path order — fixed steps their aliased arrival,
+  *    var-length steps a per-walk arrival array materialized beside
+  *    the eids ONLY when the item asks (unreferenced paths keep
+  *    skinny step plans). `size(x) AS n` counts a previous WITH stage's
   *    collect(…) list. A `+` chain containing a string LITERAL
   *    compiles to concatenation with non-strings cast (Cypher
   *    'a' + 1 = "a1"; property-only string concat needs an anchor —
@@ -1770,20 +1771,33 @@ object CypherLite {
     }
     val RelsItemRe =
       """(?is)^relationships\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // nodes(p): the node-id list along a FIXED-length path (anchor +
-    // every step's arrival). Var-length steps don't materialize their
-    // intermediate node ids (only eids) — loud reject pointing at
-    // relationships(p).
+    // nodes(p): the node-id list along the path, in path order —
+    // anchor + every step's arrivals. Fixed steps contribute their
+    // aliased arrival column; var-length steps materialize a per-walk
+    // arrival-node array (a synthetic `__pnids_<i>` nodeArr payload
+    // beside the eid machinery — direction-aware where eids are not,
+    // built only because the item asked: unreferenced paths still
+    // keep skinny step plans).
     def nodesCompiled(pname: String): CaseCompiled = {
       val idxs = pathVars(pname)
       require(idxs.nonEmpty, s"nodes($pname): the path has no steps")
-      require(idxs.forall(i =>
-          steps(i).minHops == 1 && steps(i).maxHops == 1),
-        s"nodes($pname): var-length steps don't materialize their " +
-          s"intermediate node ids — use relationships($pname)")
-      val names = steps(idxs.head).from.getOrElse(start.as) +:
-        idxs.map(i => steps(i).node.as)
-      CaseCompiled(Seq.empty, res => array(names.map(n => res(n, None)): _*))
+      val anchorName = steps(idxs.head).from.getOrElse(start.as)
+      val parts: Seq[((String, Option[String]) => Column) => Column] =
+        idxs.map { i =>
+          val st = steps(i)
+          if (st.minHops == 1 && st.maxHops == 1)
+            res => array(res(st.node.as, None))
+          else {
+            val v = st.nodeArr.getOrElse {
+              val nv = s"__pnids_$i"
+              steps(i) = st.copy(nodeArr = Some(nv))
+              nv
+            }
+            res => res(v, None)
+          }
+        }
+      CaseCompiled(Seq.empty, res =>
+        concat(array(res(anchorName, None)) +: parts.map(_(res)): _*))
     }
     val NodesItemRe =
       """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r

@@ -286,6 +286,13 @@ final case class PropertyGraph(
       // under the variable's name. Steps without a used variable keep
       // their skinny 2-column plans.
       val wantVar = st.relVar.isDefined
+      // a nodes(p) walk additionally carries its arrival-node array —
+      // only meaningful (and only built) on var-length steps; fixed
+      // steps' arrivals are the aliased columns already in the frame
+      val wantNodeArr = st.nodeArr.isDefined
+      require(!wantNodeArr || multiHop,
+        s"step ${st.rel}: nodeArr is a var-length payload (fixed steps " +
+          "carry their arrival as the aliased column)")
       require(st.relProps.isEmpty || (wantVar && !multiHop),
         s"step ${st.rel}: relationship properties need a named single-hop " +
           "variable (a var-length path has many relationships — aggregate " +
@@ -298,22 +305,34 @@ final case class PropertyGraph(
         if (!multiHop) stepRel(withEid = collide || wantVar)
         else {
           val base = stepRel(withEid = true)
-          val first = base.select(col("__from"), col("__to"),
-            array(col("__eid")).as("__eids"))
+          // the arrival-node array rides the chain build only when a
+          // nodes(p) item asked for it — otherwise the fold keeps the
+          // (from, to, eids) shape it always had
+          val nidsFirst =
+            if (wantNodeArr) Seq(array(col("__to")).as("__nids"))
+            else Seq.empty[Column]
+          val first = base.select(col("__from") +: col("__to") +:
+            array(col("__eid")).as("__eids") +: nidsFirst: _*)
           val hChains = (2 to st.maxHops).scanLeft(first) { (acc, _) =>
             val nxt = base.select(col("__from").as("__f2"),
               col("__to").as("__t2"), col("__eid").as("__eid2"))
+            val nidsNext =
+              if (wantNodeArr)
+                Seq(concat(col("__nids"), array(col("__t2"))).as("__nids"))
+              else Seq.empty[Column]
             acc.join(nxt, col("__to") === col("__f2") &&
                 !array_contains(col("__eids"), col("__eid2")))
-              .select(col("__from"), col("__t2").as("__to"),
-                concat(col("__eids"), array(col("__eid2"))).as("__eids"))
+              .select(col("__from") +: col("__t2").as("__to") +:
+                concat(col("__eids"), array(col("__eid2"))).as("__eids") +:
+                nidsNext: _*)
           }
           // a colliding var-length step keeps its traversed set so the
           // clause-wide isomorphism join below can see it
+          val keep = Seq(col("__from"), col("__to")) ++
+            (if (collide || wantVar) Seq(col("__eids")) else Seq.empty) ++
+            (if (wantNodeArr) Seq(col("__nids")) else Seq.empty)
           hChains.slice(st.minHops - 1, st.maxHops)
-            .map(c => if (collide || wantVar)
-              c.select(col("__from"), col("__to"), col("__eids"))
-            else c.select(col("__from"), col("__to")))
+            .map(_.select(keep: _*))
             .reduce(_ unionAll _)
         }
       var ed = ed0
@@ -348,9 +367,12 @@ final case class PropertyGraph(
       // both the same way
       val relPropCols: Seq[Column] = st.relVar.toSeq.flatMap(v =>
         st.relProps.map(p => col(p).as(s"${v}_$p")))
+      val nodeArrCol: Seq[Column] =
+        st.nodeArr.toSeq.map(v => col("__nids").as(v))
       val edr = ed.select(
         col("__from") +: col("__to").as(st.node.as) +:
-          (newEids.map(_.as("__neids")).toSeq ++ varCol ++ relPropCols): _*)
+          (newEids.map(_.as("__neids")).toSeq ++ varCol ++ relPropCols ++
+            nodeArrCol): _*)
       // isomorphism join: a colliding step may not reuse a
       // relationship its OWN clause already traversed — the overlap
       // test rides the join condition, so an optional step failing it
@@ -527,6 +549,13 @@ object PropertyGraph {
     * it is a non-match, so an optional step keeps its outer row with
     * nulls. Needs no named variable and no materialized columns:
     * a WHERE-only condition keeps the skinny plan plus one filter.
+    * `nodeArr` (var-length steps only) names a column to MATERIALIZE
+    * holding the walk's ARRIVAL node ids in path order (n1 … nk, the
+    * last equal to the step's alias value) — the Cypher `nodes(p)`
+    * payload. Direction-aware where the eid array is not: an
+    * undirected walk's eids keep the original row's (src, dst), but
+    * the node array records the ids as traversed. Left as None the
+    * walk carries no node payload.
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
       from: Option[String] = None, optional: Boolean = false,
@@ -534,7 +563,8 @@ object PropertyGraph {
       clause: Int = 0, relVar: Option[String] = None,
       relProps: Seq[String] = Seq.empty,
       relPred: Option[Column] = None,
-      relPredProps: Seq[String] = Seq.empty)
+      relPredProps: Seq[String] = Seq.empty,
+      nodeArr: Option[String] = None)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

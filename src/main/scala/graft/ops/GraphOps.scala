@@ -1372,6 +1372,39 @@ object GraphOps {
            |  FROM walk w JOIN edges e ON e.src = w.id
            |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
+    ),
+    // G52 nodes(p) over a VAR-LENGTH path — the walk materializes its
+    // arrival-node array (in traversal order, anchor first) beside
+    // the eid machinery, one row per walk. The oracle CTE carries the
+    // same node list; eids still guard relationship-uniqueness.
+    QueryDef(
+      "g52_cypher_varlen_nodes",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        val p = prepared(s, d)
+        val g = PropertyGraph(
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          s"MATCH p = (a:node {id: 'r_$StartRegion'})-[:LINKS*1..2]->(b:node) " +
+            "RETURN nodes(p) AS ns")
+          .select(array_join(col("ns"), "|").as("ns"))
+          .localCheckpoint(true))
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth, eids, nids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[]),
+           |         ['r_$StartRegion']
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1,
+           |         list_append(w.eids, e.src || '>' || e.dst),
+           |         list_append(w.nids, e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 2
+           |    AND NOT list_contains(w.eids, e.src || '>' || e.dst))
+           |SELECT array_to_string(nids, '|') AS ns FROM walk
+           |WHERE depth >= 1 ORDER BY ALL""".stripMargin)
     )
   )
 

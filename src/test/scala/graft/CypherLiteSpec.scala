@@ -1536,17 +1536,36 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("concatenate"))
   }
 
-  test("nodes(p) lists the fixed path's node ids; var-length rejects " +
-      "pointing at relationships(p)") {
+  test("nodes(p) lists the fixed path's node ids; var-length walks " +
+      "materialize arrivals in path order") {
     val ns = CypherLite.query(g,
       "MATCH p = (a:A {id: 1})-[:R1]->(b:B)<-[:R2]-(c:C) RETURN nodes(p) AS ns")
       .as[Seq[Long]].collect().toSeq
     assert(ns === Seq(Seq(1L, 2L, 3L)))
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(chainG,
-        "MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N) RETURN nodes(p) AS ns")
-    }
-    assert(e.getMessage.contains("relationships(p)"))
+    // var-length: one row per walk, nodes in traversal order (chainG:
+    // n1→n2, n2→n3, n3→n4, n1→n3 — walks of length 1..2 from n1)
+    val varNs = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[:L*1..2]->(b:N) RETURN nodes(p) AS ns")
+      .as[Seq[String]].collect().toSet
+    assert(varNs === Set(
+      Seq("n1", "n2"), Seq("n1", "n3"),
+      Seq("n1", "n2", "n3"), Seq("n1", "n3", "n4")))
+    // mixed fixed + var-length path: contributions stay in path order
+    val mixed = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[:L]->(m:N)-[:L*1..2]->(b:N) " +
+        "RETURN nodes(p) AS ns").as[Seq[String]].collect().toSet
+    assert(mixed === Set(
+      Seq("n1", "n2", "n3"), Seq("n1", "n2", "n3", "n4"),
+      Seq("n1", "n3", "n4")))
+    // an UNDIRECTED var-length walk records ids as traversed (the eid
+    // array alone could not reconstruct direction)
+    val undirected = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n4'})-[:L*2]-(b:N) RETURN nodes(p) AS ns")
+      .as[Seq[String]].collect().toSet
+    assert(undirected.contains(Seq("n4", "n3", "n2")) ||
+      undirected.contains(Seq("n4", "n3", "n1")),
+      s"walks from n4 must traverse n3 first, got $undirected")
+    assert(undirected.forall(_.head == "n4"))
   }
 
   test("size() rejects non-list scopes with a pointed message") {
