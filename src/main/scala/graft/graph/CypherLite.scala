@@ -185,8 +185,13 @@ import org.apache.spark.sql.functions._
   *    `p = allShortestPaths((a)-[:R*1..n]->(b))` additionally keeps
   *    only the MINIMAL-hop rows per (start, end) binding — every
   *    minimal path survives (deterministic set semantics; a window
-  *    min over the endpoint pair). `shortestPath()` — which picks ONE
-  *    arbitrary minimal path — rejects loudly, pointing here.
+  *    min over the endpoint pair). `p = shortestPath((a)-[:R*1..n]->
+  *    (b))` keeps exactly ONE per binding: the minimal-hop path with
+  *    the lexicographically-least eid list (Neo4j returns an
+  *    ARBITRARY minimal path; this engine picks a deterministic one
+  *    via a single window min over a (length, eids) struct). Single
+  *    relationship patterns only (Neo4j's own restriction — and a
+  *    multi-step chain would make the tie-break ambiguous).
   *    `relationships(p) AS rs` yields the traversed-eid list in path
   *    order (fixed steps contribute their single eid, var-length
   *    steps their whole array). `nodes(p) AS ns` yields the node-id
@@ -332,6 +337,19 @@ object CypherLite {
       steps: Seq[PatternStep], closures: Seq[(String, String)],
       anchorPred: Option[Column])
 
+  /** One `allShortestPaths` / `shortestPath` chain's minimal-path
+    * filter: keep only rows whose hop count (`len`) equals the
+    * minimum over their (`startAlias`, `endAlias`) binding. With
+    * `eids` set (the `shortestPath()` single-path form) the filter
+    * additionally keeps, among the minimal-length rows of each pair,
+    * only the one with the lexicographically-least traversed-eid
+    * list — a deterministic argmin where Neo4j returns an ARBITRARY
+    * minimal path (this engine refuses nondeterminism; same length
+    * ⇒ element-wise array comparison picks a unique winner).
+    */
+  final case class ShortestFilter(startAlias: String, endAlias: String,
+      len: CaseCompiled, eids: Option[CaseCompiled] = None)
+
   final case class Parsed(
       start: PatternNode, steps: Seq[PatternStep],
       labels: Map[String, String], returns: Seq[ReturnItem],
@@ -344,10 +362,7 @@ object CypherLite {
       withClauses: Seq[WithClause] = Seq.empty,
       skip: Option[Int] = None,
       patternPreds: Seq[PatternPred] = Seq.empty,
-      // (startAlias, endAlias, hop-count builder) per
-      // `allShortestPaths` chain: query() keeps only the rows whose
-      // hop count equals the minimum over their (start, end) pair
-      shortestFilters: Seq[(String, String, CaseCompiled)] = Seq.empty)
+      shortestFilters: Seq[ShortestFilter] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -1198,9 +1213,10 @@ object CypherLite {
     // `__plen_<i>` names (or user vars reused) that must SURVIVE the
     // unreferenced-variable strip even though no item names them
     val lengthUsedRelVars = scala.collection.mutable.Set.empty[String]
-    // one entry per allShortestPaths chain (see Parsed.shortestFilters)
+    // one entry per allShortestPaths/shortestPath chain (see
+    // Parsed.shortestFilters / ShortestFilter)
     val shortestFilters =
-      scala.collection.mutable.ArrayBuffer.empty[(String, String, CaseCompiled)]
+      scala.collection.mutable.ArrayBuffer.empty[ShortestFilter]
     // declaration order across node aliases AND relationship
     // variables — RETURN * expands in this order (Kuzu prints
     // declaration order too)
@@ -1579,6 +1595,32 @@ object CypherLite {
         res => contribs.map(_(res)).foldLeft(lit(0))(_ + _))
     }
 
+    // traversed-eid list of a chain (by step indices), in path order —
+    // fixed steps contribute their single eid wrapped as an array,
+    // var-length steps their whole array; synthetic `__plen_<i>`
+    // variables force materialization exactly like pathLenCompiled.
+    // Shared by `relationships(p)` items and the shortestPath()
+    // deterministic tie-break.
+    def pathEidsCompiled(idxs: Seq[Int], ctx: String): CaseCompiled = {
+      val parts: Seq[((String, Option[String]) => Column) => Column] =
+        idxs.map { i =>
+          val st = steps(i)
+          val v = st.relVar.getOrElse {
+            val nv = s"__plen_$i"
+            steps(i) = st.copy(relVar = Some(nv))
+            relVars += nv
+            nv
+          }
+          lengthUsedRelVars += v
+          if (st.minHops == 1 && st.maxHops == 1)
+            res => array(res(v, None))
+          else
+            res => res(v, None)
+        }
+      require(parts.nonEmpty, s"$ctx: the path has no steps")
+      CaseCompiled(Seq.empty, res => concat(parts.map(_(res)): _*))
+    }
+
     var ci = 0
     for (((body0, whereOpt), rc) <- reqClauses.zipWithIndex) {
       val body = if (rc == 0) matchBody else body0
@@ -1588,20 +1630,24 @@ object CypherLite {
       val before = steps.length
       val AspRe =
         """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*allShortestPaths\s*\(\s*(\(.*\))\s*\)\s*$""".r
+      val SpRe =
+        """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*shortestPath\s*\(\s*(\(.*\))\s*\)\s*$""".r
       val PathVarRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\(.*)$""".r
       for (chain0 <- chains) {
-        require(!chain0.matches("""(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\s*=\s*)?shortestPath\s*\(.*"""),
-          "shortestPath() picks ONE arbitrary shortest path — use " +
-            "allShortestPaths() (deterministic: every minimal-length path)")
-        require(!chain0.matches("""(?is)^allShortestPaths\s*\(.*"""),
-          "allShortestPaths must bind a path variable: p = allShortestPaths(…)")
+        require(!chain0.matches("""(?is)^(allShortestPaths|shortestPath)\s*\(.*"""),
+          "shortestPath/allShortestPaths must bind a path variable: " +
+            "p = shortestPath(…)")
         // `p = (…)…` binds a PATH VARIABLE to this chain's steps;
         // `p = allShortestPaths((…)…)` additionally keeps only the
-        // minimal-hop paths per (start, end) binding
-        val (pvOpt, chain, asp) = chain0 match {
-          case AspRe(nm, inner) => (Some(nm), inner, true)
-          case PathVarRe(nm, rest) => (Some(nm), rest, false)
-          case _ => (None, chain0, false)
+        // minimal-hop paths per (start, end) binding;
+        // `p = shortestPath((…))` keeps exactly ONE — the minimal-hop
+        // path with the lexicographically-least eid list (Neo4j picks
+        // an arbitrary one; this engine picks a deterministic one)
+        val (pvOpt, chain, asp, single) = chain0 match {
+          case AspRe(nm, inner) => (Some(nm), inner, true, false)
+          case SpRe(nm, inner) => (Some(nm), inner, true, true)
+          case PathVarRe(nm, rest) => (Some(nm), rest, false, false)
+          case _ => (None, chain0, false, false)
         }
         val cBefore = steps.length
         parseChain(chain, ci, steps, optional = false); ci += 1
@@ -1613,9 +1659,19 @@ object CypherLite {
           if (asp) {
             require(idxs.nonEmpty,
               "allShortestPaths needs at least one relationship")
+            // Neo4j's shortestPath takes a SINGLE relationship pattern
+            // between two nodes; a multi-step chain would also make the
+            // eid tie-break ambiguous (one walk can split across two
+            // var-length steps into rows with identical eid lists)
+            require(!single || idxs.size == 1,
+              "shortestPath() takes a single relationship pattern " +
+                "((a)-[:R*1..n]->(b)) — compose longer shapes with " +
+                "allShortestPaths() or chained MATCH clauses")
             val sa = steps(idxs.head).from.getOrElse(start.as)
             val ea = steps(idxs.last).node.as
-            shortestFilters += ((sa, ea, pathLenCompiled(idxs)))
+            shortestFilters += ShortestFilter(sa, ea, pathLenCompiled(idxs),
+              if (single) Some(pathEidsCompiled(idxs, "shortestPath"))
+              else None)
           }
         }
       }
@@ -1750,25 +1806,8 @@ object CypherLite {
     // relationships(p): the traversed-eid list of a path, in path
     // order — fixed steps contribute their single eid, var-length
     // steps their whole array (flattened by concat)
-    def relsCompiled(pname: String): CaseCompiled = {
-      val parts: Seq[((String, Option[String]) => Column) => Column] =
-        pathVars(pname).map { i =>
-          val st = steps(i)
-          val v = st.relVar.getOrElse {
-            val nv = s"__plen_$i"
-            steps(i) = st.copy(relVar = Some(nv))
-            relVars += nv
-            nv
-          }
-          lengthUsedRelVars += v
-          if (st.minHops == 1 && st.maxHops == 1)
-            res => array(res(v, None))
-          else
-            res => res(v, None)
-        }
-      require(parts.nonEmpty, s"relationships($pname): the path has no steps")
-      CaseCompiled(Seq.empty, res => concat(parts.map(_(res)): _*))
-    }
+    def relsCompiled(pname: String): CaseCompiled =
+      pathEidsCompiled(pathVars(pname), s"relationships($pname)")
     val RelsItemRe =
       """(?is)^relationships\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // nodes(p): the node-id list along the path, in path order —
@@ -2528,15 +2567,33 @@ object CypherLite {
     // same eid machinery length(p) reads, so the filter needs no
     // extra joins.
     val required0 = p.shortestFilters.foldLeft(requiredAll) {
-      case (df, (sa, ea, lcc)) =>
-        val lenCol = lcc.build((a, pOpt) =>
-          pOpt.map(pr => col(s"${a}_$pr")).getOrElse(col(a)))
+      case (df, sf) =>
+        val res: (String, Option[String]) => Column = (a, pOpt) =>
+          pOpt.map(pr => col(s"${a}_$pr")).getOrElse(col(a))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(sa), col(ea))
-        df.withColumn("__sp_len", lenCol)
-          .withColumn("__sp_min", min(col("__sp_len")).over(w))
-          .filter(col("__sp_len") === col("__sp_min"))
-          .drop("__sp_len", "__sp_min")
+          .partitionBy(col(sf.startAlias), col(sf.endAlias))
+        sf.eids match {
+          case None =>
+            df.withColumn("__sp_len", sf.len.build(res))
+              .withColumn("__sp_min", min(col("__sp_len")).over(w))
+              .filter(col("__sp_len") === col("__sp_min"))
+              .drop("__sp_len", "__sp_min")
+          case Some(ecc) =>
+            // single-path form: ONE window min over the composite
+            // (length, eid-list) key — struct ordering compares the
+            // hop count first, then the eid arrays element-wise, so
+            // the minimal-length path with the least eid list wins
+            // deterministically (equal minimal lengths ⇒ equal array
+            // lengths ⇒ total order; identical lists would be the
+            // same relationship walk, impossible twice on a
+            // single-step chain). Same one-shuffle shape as the
+            // all-paths filter.
+            df.withColumn("__sp_key",
+                struct(sf.len.build(res).as("l"), ecc.build(res).as("e")))
+              .withColumn("__sp_min", min(col("__sp_key")).over(w))
+              .filter(col("__sp_key") === col("__sp_min"))
+              .drop("__sp_key", "__sp_min")
+        }
     }
     val required =
       if (p.rowPreds.isEmpty) required0

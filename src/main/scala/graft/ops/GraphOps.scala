@@ -1373,6 +1373,67 @@ object GraphOps {
            |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
     ),
+    // G51 shortestPath() — ONE deterministic minimal path per (start,
+    // end) binding: minimal hop count, ties broken by the
+    // lexicographically-least eid list (one window min over a
+    // (length, eids) struct — where Neo4j returns an ARBITRARY
+    // minimal path, this engine's pick is replayable). The graph is
+    // built to have REAL ties: root → priority → customer, so a
+    // customer ordering under k priorities has k minimal 2-hop paths
+    // and the argmin must pick the least one. The oracle replays the
+    // argmin with a row_number window ordered by (depth, eid list) —
+    // list ordering is element-wise in both engines, and the eid
+    // strings' first differing byte is always a priority/key digit
+    // (prefix-free), so NUL- vs colon-separated rendering cannot
+    // reorder the comparison.
+    QueryDef(
+      "g51_cypher_shortest_path",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{array_join, concat, lit,
+          transform, translate}
+        val ord = Tables.orders(s, d)
+        val rp = ord.select(
+          lit("root").as("src"),
+          concat(lit("p_"), col("o_orderpriority")).as("dst")).distinct()
+        val pc = ord.select(
+          concat(lit("p_"), col("o_orderpriority")).as("src"),
+          concat(lit("c_"), col("o_custkey").cast("string")).as("dst"))
+          .distinct()
+        val e = rp.unionAll(pc)
+        val nodes = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        val g = PropertyGraph(
+          nodes = Map("node" -> nodes),
+          edges = Map("LINKS" -> (("node", "node", e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          "MATCH p = shortestPath((a:node {id: 'root'})-[:LINKS*1..2]->(b:node)) " +
+            "RETURN b AS b, length(p) AS hops, relationships(p) AS rs")
+          .select(col("b"), col("hops"),
+            array_join(transform(col("rs"),
+              x => translate(x, "\u0000", ":")), "|").as("rs"))
+          .localCheckpoint(true))
+      },
+      Some(
+        """WITH RECURSIVE edges AS (
+          |  SELECT DISTINCT 'root' AS src,
+          |         'p_' || o_orderpriority AS dst FROM orders
+          |  UNION
+          |  SELECT DISTINCT 'p_' || o_orderpriority,
+          |         'c_' || CAST(o_custkey AS VARCHAR) FROM orders),
+          |walk(id, depth, eids) AS (
+          |  SELECT 'root', 0, CAST([] AS VARCHAR[])
+          |  UNION ALL
+          |  SELECT e.dst, w.depth + 1,
+          |         list_append(w.eids, 'LINKS:' || e.src || ':' || e.dst)
+          |  FROM walk w JOIN edges e ON e.src = w.id
+          |  WHERE w.depth < 2),
+          |paths AS (SELECT id, depth, eids FROM walk WHERE depth >= 1),
+          |ranked AS (SELECT id, depth, eids, row_number()
+          |             OVER (PARTITION BY id ORDER BY depth, eids) AS rk
+          |           FROM paths)
+          |SELECT id AS b, depth AS hops, array_to_string(eids, '|') AS rs
+          |FROM ranked WHERE rk = 1 ORDER BY ALL""".stripMargin)
+    ),
     // G52 nodes(p) over a VAR-LENGTH path — the walk materializes its
     // arrival-node array (in traversal order, anchor first) beside
     // the eid machinery, one row per walk. The oracle CTE carries the

@@ -1575,19 +1575,48 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("length(p)"))
   }
 
-  test("shortestPath() and unbound allShortestPaths reject loudly") {
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(chainG,
-        "MATCH p = shortestPath((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
-          "RETURN b.id AS b")
-    }
-    assert(e.getMessage.contains("allShortestPaths"))
+  test("unbound shortestPath/allShortestPaths and multi-step " +
+      "shortestPath reject loudly") {
     val e2 = intercept[IllegalArgumentException] {
       CypherLite.query(chainG,
         "MATCH allShortestPaths((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
           "RETURN b.id AS b")
     }
     assert(e2.getMessage.contains("bind a path variable"))
+    val e3 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH shortestPath((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+          "RETURN b.id AS b")
+    }
+    assert(e3.getMessage.contains("bind a path variable"))
+    val e4 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainG,
+        "MATCH p = shortestPath((a:N {id: 'n1'})-[:L]->(m:N)-[:L*1..2]->(b:N)) " +
+          "RETURN b.id AS b")
+    }
+    assert(e4.getMessage.contains("single relationship pattern"))
+  }
+
+  test("shortestPath() keeps ONE deterministic minimal path per binding " +
+      "(least eid list among minimal lengths)") {
+    // diamond: n1→n2→n4 and n1→n3→n4 are BOTH minimal to n4 — the
+    // tie-break must pick the lexicographically-least eid list (via
+    // n2); n1→n3 direct beats n1→n2→n3 on length alone
+    val g2 = PropertyGraph(
+      nodes = Map("N" -> Seq("n1", "n2", "n3", "n4").toDF("id")),
+      edges = Map("L" -> (("N", "N",
+        Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n1", "n3"),
+          ("n2", "n4")).toDF("src", "dst")))))
+    val rows = CypherLite.query(g2,
+      "MATCH p = shortestPath((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+        "RETURN b.id AS b, length(p) AS n, relationships(p) AS rs")
+      .as[(String, Int, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3.map(_.replace("\u0000", ">"))))).toMap
+    assert(rows.keySet === Set("n2", "n3", "n4"), "one row per endpoint")
+    assert(rows("n2") === ((1, Seq("L>n1>n2"))))
+    assert(rows("n3") === ((1, Seq("L>n1>n3"))), "length beats eid order")
+    assert(rows("n4") === ((2, Seq("L>n1>n2", "L>n2>n4"))),
+      "among equal-length paths the least eid list wins")
   }
 
   test("unbounded var-length: rejects without graft.cypher.maxVarLength, " +
