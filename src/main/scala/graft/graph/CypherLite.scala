@@ -171,9 +171,13 @@ import org.apache.spark.sql.functions._
   *    RETURN (or WITH-stage) names — SKIP paginates after the sort,
   *    before the limit (Dataset.offset).
   *  - `UNION [ALL]` between complete queries: parts compile
-  *    standalone (per-part ORDER BY/LIMIT — Neo4j scoping) and must
+  *    standalone (NON-LAST parts may carry their own ORDER BY/LIMIT —
+  *    this engine's superset of Neo4j's scoping) and must
   *    return identical column names in identical order; bare UNION
   *    dedups, UNION ALL concatenates, mixing the two forms rejects.
+  *    A TRAILING `ORDER BY … [SKIP n] [LIMIT n]` after the last part
+  *    applies to the FUSED result (Neo4j semantics; dedup happens
+  *    first, keys are output column names).
   *  - PATH VARIABLES `MATCH p = (a)-[:R*1..3]->(b)`: `length(p) AS n`
   *    (standalone or under count/sum/min/max/avg) computes the hop
   *    count — fixed steps contribute 1, var-length steps the size of
@@ -206,10 +210,13 @@ import org.apache.spark.sql.functions._
   *
   * String literals may not contain commas, braces, or the words
   * RETURN / WHERE / MATCH (those clause splitters are plain regexes;
-  * AND / OR / WITH / LIMIT / SKIP / ORDER BY are handled by
+  * AND / OR / WITH / UNION / LIMIT / SKIP / ORDER BY are handled by
   * quote-aware scanners and ARE safe inside literals — the splitter
   * set is regex/scanner-based, not a full lexer: fine for generated
-  * key lookups, loud for anything else).
+  * key lookups, loud for anything else). UNION is additionally a
+  * reserved IDENTIFIER: an alias or output name literally called
+  * `union` would be cut by the top-level statement splitter — the
+  * engine rejects such a split loudly rather than misparse.
   */
 object CypherLite {
 
@@ -2484,9 +2491,10 @@ object CypherLite {
   def query(g0: PropertyGraph, stmt: String): DataFrame = {
     // UNION [ALL] between complete queries (quote-aware top-level
     // split): each part compiles standalone — its own pattern, WHERE,
-    // WITH pipeline, ORDER BY/LIMIT (per-part, Neo4j scoping: a
-    // union-wide ORDER BY needs a wrapping query, which this engine
-    // does not fake) — then parts combine by NAME, requiring
+    // WITH pipeline, and (non-last parts) ORDER BY/LIMIT — the
+    // TRAILING ORDER BY/SKIP/LIMIT after the last part applies to the
+    // fused result (Neo4j semantics) — then parts combine by NAME,
+    // requiring
     // identical column names in identical order (Cypher's rule, loud
     // reject otherwise). Bare UNION dedups the combined rows
     // (one distinct shuffle); UNION ALL concatenates (no shuffle at
@@ -2494,20 +2502,49 @@ object CypherLite {
     // in one statement is ambiguous in Cypher and rejects.
     val parts = splitTop(stmt, "UNION")
     if (parts.size > 1) {
+      // UNION is a top-level statement splitter (quote-aware, so the
+      // WORD inside a string literal is safe — but an IDENTIFIER or
+      // alias literally named 'union' is not): every split tail must
+      // start like a query part, else the split cut an identifier —
+      // loud reject instead of a silent misparse
+      for (t <- parts.tail)
+        require(t.matches("(?is)^(ALL\\b|MATCH\\b|OPTIONAL\\b|\\(|[A-Za-z_][A-Za-z0-9_]*\\s*=).*"),
+          "UNION is a reserved top-level splitter — rename any " +
+            s"identifier/alias named 'union' (split tail began: '${t.take(30)}')")
       val tails = parts.tail.map { t =>
         val isAll = t.matches("(?is)^ALL\\b.*")
         (isAll, if (isAll) t.replaceFirst("(?is)^ALL\\b\\s*", "") else t)
       }
       require(tails.map(_._1).distinct.size == 1,
         "mixing UNION and UNION ALL in one statement is unsupported")
-      val dfs = (parts.head +: tails.map(_._2)).map(q => queryOne(g0, q))
+      // a TRAILING ORDER BY/SKIP/LIMIT after the last part applies to
+      // the FUSED result (Neo4j semantics: the union-wide sort is the
+      // only one Cypher itself allows); EARLIER parts keep their own
+      // sorts (this engine's documented superset). Keys must be
+      // output column names — there is no single pattern scope to
+      // resolve a dotted alias.prop against.
+      val (lastTxt, uOb, uSkip, uLimit) = parseTailWithSkip(tails.last._2)
+      val partTexts = parts.head +: tails.init.map(_._2) :+ lastTxt
+      val dfs = partTexts.map(q => queryOne(g0, q))
       val names = dfs.head.columns.toSeq
       for (df <- dfs.tail)
         require(df.columns.toSeq == names,
           s"UNION parts must return the same columns in the same order: " +
             s"${names.mkString(", ")} vs ${df.columns.mkString(", ")}")
-      val u = dfs.reduce(_ unionByName _)
-      return if (tails.head._1) u else u.distinct()
+      val u0 = dfs.reduce(_ unionByName _)
+      // dedup BEFORE the union-wide sort/limit (Neo4j: UNION dedups
+      // the combined rows, then the trailing subclauses run)
+      var u = if (tails.head._1) u0 else u0.distinct()
+      if (uOb.nonEmpty) {
+        for ((n, _) <- uOb) require(names.contains(n),
+          s"union-wide ORDER BY references '$n' — not an output column " +
+            s"(${names.mkString(", ")})")
+        u = u.orderBy(uOb.map { case (n, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*)
+      }
+      for (n <- uSkip) u = u.offset(n)
+      for (n <- uLimit) u = u.limit(n)
+      return u
     }
     queryOne(g0, stmt)
   }

@@ -1466,6 +1466,26 @@ object GraphOps {
            |    AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT array_to_string(nids, '|') AS ns FROM walk
            |WHERE depth >= 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G53 union-wide ORDER BY/LIMIT — the trailing subclauses after
+    // the last UNION part sort and cut the FUSED result (Neo4j
+    // semantics), so rows from both parts compete for the top-5 cut
+    // (all NATION_* names out-sort CUSTOMER_* DESC — the cut is
+    // deterministic because names are unique).
+    QueryDef(
+      "g53_cypher_union_orderby",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer) WHERE c.c_acctbal > 9900
+          |RETURN c.c_name AS name
+          |UNION ALL
+          |MATCH (n:nation) WHERE n.n_regionkey = 0
+          |RETURN n.n_name AS name
+          |ORDER BY name DESC LIMIT 5""".stripMargin),
+      Some("""SELECT name FROM (
+             |  SELECT c_name AS name FROM customer WHERE c_acctbal > 9900
+             |  UNION ALL
+             |  SELECT n_name FROM nation WHERE n_regionkey = 0)
+             |ORDER BY name DESC LIMIT 5""".stripMargin)
     )
   )
 

@@ -1426,6 +1426,46 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Seq("a1", "b2", "b5"))
   }
 
+  test("trailing ORDER BY/LIMIT after the last UNION part sorts the " +
+      "FUSED result; dedup runs first; unknown keys reject") {
+    // union-wide DESC sort + LIMIT — rows from BOTH parts compete
+    val top = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t
+        |UNION ALL
+        |MATCH (b:B) RETURN b.tag AS t ORDER BY t DESC LIMIT 2""".stripMargin)
+      .as[String].collect().toSeq
+    assert(top === Seq("b5", "b2"), "sort must span both parts, in order")
+    // bare UNION: dedup BEFORE the union-wide sort/limit
+    val ded = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t
+        |UNION
+        |MATCH (a:A) WHERE a.id = 1 RETURN a.tag AS t ORDER BY t LIMIT 2""".stripMargin)
+      .as[String].collect().toSeq
+    assert(ded === Seq("a1", "a4"), "dedup first, then sort+limit")
+    // SKIP paginates the fused result after the sort
+    val page = CypherLite.query(g,
+      """MATCH (a:A) RETURN a.tag AS t
+        |UNION ALL
+        |MATCH (b:B) RETURN b.tag AS t ORDER BY t SKIP 1 LIMIT 2""".stripMargin)
+      .as[String].collect().toSeq
+    assert(page === Seq("a4", "b2"))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A) RETURN a.tag AS t
+          |UNION ALL
+          |MATCH (b:B) RETURN b.tag AS t ORDER BY nope""".stripMargin)
+    }
+    assert(e.getMessage.contains("union-wide ORDER BY"))
+  }
+
+  test("an alias literally named 'union' rejects loudly instead of " +
+      "misparsing the statement split") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN a.tag AS union ORDER BY union")
+    }
+    assert(e.getMessage.contains("reserved top-level splitter"))
+  }
+
   //   n1 → n2 → n3 → n4, plus the shortcut n1 → n3 (a diamond-ish DAG)
   private lazy val chainG = PropertyGraph(
     nodes = Map("N" ->
