@@ -457,6 +457,19 @@ object CypherLite {
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
 
+  /** USER-introduced names (aliases, relationship/path variables,
+    * AS outputs, UNWIND targets) may not start with a double
+    * underscore — the engine reserves that prefix for its internal
+    * columns (`__plen_*`, `__pnids_*`, `__sp_*`, `__w_*`, `__pp*`,
+    * `__peids_*`), and a user column of the same name would be
+    * silently overwritten by withColumn. Engine-generated names skip
+    * this check by construction.
+    */
+  private def checkUserName(n: String, what: String): Unit =
+    require(!n.startsWith("__"),
+      s"$what '$n': names starting with a double underscore are " +
+        "reserved for engine-internal columns")
+
   private def literal(v: String): Any = v.trim match {
     case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
       q.substring(1, q.length - 1)
@@ -1290,6 +1303,7 @@ object CypherLite {
                   else s"duplicate alias '$alias'")
                 require(!relVars(alias),
                   s"alias '$alias' already names a relationship variable")
+                checkUserName(alias, "alias")
                 bound += alias -> label
                 declOrder += alias
                 if (optional) optionalAliases += alias
@@ -1312,6 +1326,7 @@ object CypherLite {
           for (v <- varOpt) {
             require(!bound.contains(v) && !relVars(v),
               s"duplicate relationship variable '$v'")
+            checkUserName(v, "relationship variable")
             relVars += v
             declOrder += v
           }
@@ -1661,6 +1676,7 @@ object CypherLite {
         for (nm <- pvOpt) {
           require(!bound.contains(nm) && !relVars(nm) && !pathVars.contains(nm),
             s"path variable '$nm' collides with an existing name")
+          checkUserName(nm, "path variable")
           val idxs = cBefore until steps.length
           pathVars += nm -> idxs
           if (asp) {
@@ -1853,8 +1869,9 @@ object CypherLite {
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
         bareAgg: String => Boolean = _ => false,
-        pathOk: Boolean = false): Seq[ReturnItem] =
-      splitTopComma(r).toIndexedSeq.map {
+        pathOk: Boolean = false,
+        listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
+      val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -1981,9 +1998,11 @@ object CypherLite {
           fail("nodes() items need a DECLARED path variable " +
             "(`MATCH p = (…)…`) and an AS name", other)
         // size(x) — element count of a previous WITH stage's LIST
-        // output (a collect(...) column); for a path's hop count use
+        // output (a collect(...) column ONLY — a sum/avg output is a
+        // scalar and falls to the pointed reject below instead of a
+        // raw Spark analysis error); for a path's hop count use
         // length(p)
-        case SizeItemRe(n, as) if bareAgg(n) =>
+        case SizeItemRe(n, as) if listOk(n) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
         case other if other.matches("(?is)^size\\s*\\(.*") =>
@@ -2036,6 +2055,9 @@ object CypherLite {
         case other => fail(s"$ctx items must be alias[.prop] [AS n], " +
           "arith AS n, or agg(…) AS n", other)
       }
+      items.foreach(ri => checkUserName(ri.as, s"$ctx output"))
+      items
+    }
 
     // WITH stages: each stage's items project/aggregate the previous
     // namespace (pattern aliases for the first), then an optional
@@ -2123,8 +2145,15 @@ object CypherLite {
               names.contains,
               n => names(n) && !pw.carried.contains(n) && !post(n))
         }
+      // size() targets: only the previous stage's collect(…) outputs
+      // are lists (sum/avg outputs are scalars — pointed reject)
+      val listOkW: String => Boolean = prev match {
+        case Some(pw) =>
+          pw.items.filter(_.agg.contains("collect")).map(_.as).toSet
+        case None => _ => false
+      }
       val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk,
-        pathOk = prev.isEmpty)
+        pathOk = prev.isEmpty, listOk = listOkW)
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
       require(!wDistinct || items.forall(_.agg.isEmpty),
@@ -2176,6 +2205,7 @@ object CypherLite {
                 "an output of this WITH stage (e.g. collect(…) AS xs)")
             require(!inScope(out) && !uacc.exists(_._2 == out),
               s"UNWIND output name '$out' collides with an existing output")
+            checkUserName(out, "UNWIND output")
             uacc :+ (src -> out)
           case other => fail("UNWIND must be `UNWIND listName AS x`", other)
         }
@@ -2294,7 +2324,12 @@ object CypherLite {
           ReturnItem(None, distinct = false, n, None, n))
       }
       else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk,
-        pathOk = withClauses.isEmpty)
+        pathOk = withClauses.isEmpty,
+        listOk = withClauses.lastOption match {
+          case Some(w) =>
+            w.items.filter(_.agg.contains("collect")).map(_.as).toSet
+          case None => _ => false
+        })
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")

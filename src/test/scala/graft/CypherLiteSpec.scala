@@ -1608,6 +1608,28 @@ class CypherLiteSpec extends SparkSpec {
     assert(undirected.forall(_.head == "n4"))
   }
 
+  test("size() over a scalar aggregate output (sum) rejects with the " +
+      "pointed message, not a Spark analysis error") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A) WITH a.id AS k, sum(a.id) AS s RETURN size(s) AS n")
+    }
+    assert(e.getMessage.contains("collect"))
+  }
+
+  test("names with a leading double underscore reject at parse time " +
+      "(reserved for engine-internal columns)") {
+    for (q <- Seq(
+        "MATCH (__sp_len:A) RETURN __sp_len.tag AS t",
+        "MATCH (a:A)-[__plen_0:R1]->(b:B) RETURN a.tag AS t",
+        "MATCH __sp_min = (a:A)-[:R1]->(b:B) RETURN length(__sp_min) AS n",
+        "MATCH (a:A) RETURN a.tag AS __sp_len",
+        "MATCH (a:A) WITH collect(a.id) AS xs UNWIND xs AS __x RETURN __x")) {
+      val e = intercept[IllegalArgumentException] { CypherLite.parse(q) }
+      assert(e.getMessage.contains("reserved"), s"$q: ${e.getMessage}")
+    }
+  }
+
   test("size() rejects non-list scopes with a pointed message") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(g, "MATCH (a:A) RETURN size(a) AS n")
