@@ -8,8 +8,24 @@ import org.apache.spark.sql.SparkSession
   * cache and parquet footer reads, so the timed numbers measure the
   * queries, not first-query JVM/JIT startup (round-1 bench charged
   * ~9s of warmup to whichever query the map iterated first).
+  *
+  * The emitted line stamps `/proc/loadavg` at suite start and end
+  * (`load_start`/`load_end`: the 1/5/15-minute averages) and the
+  * per-query repetition count (`reps`: 2 normally, 3 when the >3×-
+  * disagreement tiebreak fired) — co-tenant load on a shared box has
+  * repeatedly minted 10–20× phantom regressions (rounds 10 AND 11,
+  * each adjudicated by hand); a polluted tail now carries its own
+  * evidence instead of needing an isolated re-run to disprove.
   */
 object Bench {
+  /** The box's 1/5/15-minute load averages, empty off-Linux. */
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -23,6 +39,7 @@ object Bench {
     // driver never sets it, so the reported bench always covers all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val loadStart = loadavg()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
@@ -58,12 +75,16 @@ object Bench {
       val times =
         if (times0.size == 2 && times0.max > 3 * times0.min) times0 ++ rep()
         else times0
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      (name, if (times.nonEmpty) times.min else -1.0, times.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val reps = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":${arr(loadStart)},"load_end":${arr(loadEnd)},"reps":$reps}""")
     spark.stop()
   }
 }
