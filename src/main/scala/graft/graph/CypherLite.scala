@@ -1602,15 +1602,23 @@ object CypherLite {
           val st = steps(i)
           if (st.minHops == 1 && st.maxHops == 1)
             (_: (String, Option[String]) => Column) => lit(1)
-          else {
-            val v = st.relVar.getOrElse {
-              val nv = s"__plen_$i"
-              steps(i) = st.copy(relVar = Some(nv))
-              relVars += nv
-              nv
-            }
-            lengthUsedRelVars += v
-            res => size(res(v, None))
+          else st.relVar match {
+            // a USER-named variable already materializes the eid
+            // array — size() it rather than carrying a second column
+            case Some(v) =>
+              lengthUsedRelVars += v
+              res => size(res(v, None))
+            // no array consumer: materialize ONLY the hop count — a
+            // 4-byte int (per-chain literal) rides the hop-union
+            // shuffle and the downstream joins/windows instead of a
+            // maxHops-element string array (the g43/g44 payload)
+            case None =>
+              val v = st.relLen.getOrElse {
+                val nv = s"__phops_$i"
+                steps(i) = st.copy(relLen = Some(nv))
+                nv
+              }
+              res => res(v, None)
           }
         }
       CaseCompiled(Seq.empty,
@@ -1692,9 +1700,14 @@ object CypherLite {
                 "allShortestPaths() or chained MATCH clauses")
             val sa = steps(idxs.head).from.getOrElse(start.as)
             val ea = steps(idxs.last).node.as
-            shortestFilters += ShortestFilter(sa, ea, pathLenCompiled(idxs),
+            // eids builder FIRST: the single form needs the array
+            // anyway, and a pre-registered relVar lets pathLenCompiled
+            // size() it instead of materializing a second column
+            val eidsOpt =
               if (single) Some(pathEidsCompiled(idxs, "shortestPath"))
-              else None)
+              else None
+            shortestFilters += ShortestFilter(sa, ea, pathLenCompiled(idxs),
+              eidsOpt)
           }
         }
       }

@@ -293,6 +293,9 @@ final case class PropertyGraph(
       require(!wantNodeArr || multiHop,
         s"step ${st.rel}: nodeArr is a var-length payload (fixed steps " +
           "carry their arrival as the aliased column)")
+      require(st.relLen.isEmpty || multiHop,
+        s"step ${st.rel}: relLen is a var-length payload (a fixed step's " +
+          "hop count is the constant 1)")
       require(st.relProps.isEmpty || (wantVar && !multiHop),
         s"step ${st.rel}: relationship properties need a named single-hop " +
           "variable (a var-length path has many relationships — aggregate " +
@@ -327,12 +330,19 @@ final case class PropertyGraph(
                 nidsNext: _*)
           }
           // a colliding var-length step keeps its traversed set so the
-          // clause-wide isomorphism join below can see it
-          val keep = Seq(col("__from"), col("__to")) ++
-            (if (collide || wantVar) Seq(col("__eids")) else Seq.empty) ++
-            (if (wantNodeArr) Seq(col("__nids")) else Seq.empty)
-          hChains.slice(st.minHops - 1, st.maxHops)
-            .map(_.select(keep: _*))
+          // clause-wide isomorphism join below can see it. A length-
+          // only payload (relLen, no array consumer) rides as a
+          // LITERAL per h-chain — the h-th chain's rows are exactly
+          // h hops, so nothing array-sized leaves the build.
+          hChains.slice(st.minHops - 1, st.maxHops).zipWithIndex
+            .map { case (c, i) =>
+              val keep = Seq(col("__from"), col("__to")) ++
+                (if (collide || wantVar) Seq(col("__eids")) else Seq.empty) ++
+                (if (wantNodeArr) Seq(col("__nids")) else Seq.empty) ++
+                (if (st.relLen.isDefined)
+                  Seq(lit(st.minHops + i).as("__hops")) else Seq.empty)
+              c.select(keep: _*)
+            }
             .reduce(_ unionAll _)
         }
       var ed = ed0
@@ -369,10 +379,15 @@ final case class PropertyGraph(
         st.relProps.map(p => col(p).as(s"${v}_$p")))
       val nodeArrCol: Seq[Column] =
         st.nodeArr.toSeq.map(v => col("__nids").as(v))
+      // hop count as a 4-byte int — the length(p) payload when the
+      // eid array itself is unreferenced (the array still guarded
+      // relationship-uniqueness inside the chain build above)
+      val relLenCol: Seq[Column] =
+        st.relLen.toSeq.map(v => col("__hops").as(v))
       val edr = ed.select(
         col("__from") +: col("__to").as(st.node.as) +:
           (newEids.map(_.as("__neids")).toSeq ++ varCol ++ relPropCols ++
-            nodeArrCol): _*)
+            nodeArrCol ++ relLenCol): _*)
       // isomorphism join: a colliding step may not reuse a
       // relationship its OWN clause already traversed — the overlap
       // test rides the join condition, so an optional step failing it
@@ -556,6 +571,12 @@ object PropertyGraph {
     * undirected walk's eids keep the original row's (src, dst), but
     * the node array records the ids as traversed. Left as None the
     * walk carries no node payload.
+    * `relLen` (var-length steps only) names an INT column holding the
+    * walk's hop count — the `length(p)` payload when nothing reads
+    * the eids themselves: a 4-byte int rides the hop-union shuffle
+    * and every downstream join/window instead of a maxHops-element
+    * string array (the eid array still exists INSIDE the chain build
+    * for relationship-uniqueness; it just doesn't leave it).
     */
   final case class PatternStep(rel: String, dir: Direction, node: PatternNode,
       from: Option[String] = None, optional: Boolean = false,
@@ -564,7 +585,8 @@ object PropertyGraph {
       relProps: Seq[String] = Seq.empty,
       relPred: Option[Column] = None,
       relPredProps: Seq[String] = Seq.empty,
-      nodeArr: Option[String] = None)
+      nodeArr: Option[String] = None,
+      relLen: Option[String] = None)
 
   /** Edge-build helper (reference MERGE ingest shape, SURVEY J2):
     * dedup staging rows, then inner-join both endpoint node tables so

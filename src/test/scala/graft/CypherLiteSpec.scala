@@ -1681,6 +1681,42 @@ class CypherLiteSpec extends SparkSpec {
       "among equal-length paths the least eid list wins")
   }
 
+  test("length(p) with no eid consumer materializes an INT hop count, " +
+      "not the eid array (payload pin)") {
+    // length-only: the var-length step carries relLen, no relVar —
+    // a 4-byte per-chain literal rides the hop-union shuffle instead
+    // of a maxHops-element string array
+    val lenOnly = CypherLite.parse(
+      "MATCH p = (a:N {id: 'n1'})-[:L*1..3]->(b:N) RETURN length(p) AS n")
+    assert(lenOnly.steps.head.relLen.isDefined && lenOnly.steps.head.relVar.isEmpty,
+      s"expected int payload, got ${lenOnly.steps.head}")
+    // a named variable (or relationships(p)) forces the array; length
+    // then sizes it rather than materializing a second column
+    val both = CypherLite.parse(
+      "MATCH p = (a:N {id: 'n1'})-[:L*1..3]->(b:N) " +
+        "RETURN length(p) AS n, relationships(p) AS rs")
+    assert(both.steps.head.relVar.isDefined,
+      s"relationships(p) needs the array: ${both.steps.head}")
+    // values agree between the two payload forms
+    val viaInt = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[:L*1..3]->(b:N) RETURN length(p) AS n")
+      .as[Int].collect().toSeq.sorted
+    val viaArray = CypherLite.query(chainG,
+      "MATCH p = (a:N {id: 'n1'})-[r:L*1..3]->(b:N) RETURN length(p) AS n")
+      .as[Int].collect().toSeq.sorted
+    assert(viaInt === viaArray)
+    // allShortestPaths (no eid consumer) also rides the int payload
+    val asp = CypherLite.parse(
+      "MATCH p = allShortestPaths((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+        "RETURN b.id AS b")
+    assert(asp.steps.head.relLen.isDefined && asp.steps.head.relVar.isEmpty)
+    // shortestPath needs the tie-break array — relVar, len sizes it
+    val sp = CypherLite.parse(
+      "MATCH p = shortestPath((a:N {id: 'n1'})-[:L*1..3]->(b:N)) " +
+        "RETURN b.id AS b")
+    assert(sp.steps.head.relVar.isDefined && sp.steps.head.relLen.isEmpty)
+  }
+
   test("unbounded var-length: rejects without graft.cypher.maxVarLength, " +
       "compiles like the explicit bound with it") {
     val spark = TestSession.spark
