@@ -160,11 +160,16 @@ import org.apache.spark.sql.functions._
   *    searched form (equality per arm — a null test matches no arm,
   *    Cypher semantics); nested CASE rejects loudly.
   *    Scalar-function wraps over `alias.prop | name` are items too —
-  *    `toLower|toUpper|trim|abs|date` plus `round(x[, scale])` and
+  *    `toLower|toUpper|trim|abs|date` plus the cast trio
+  *    `toString|toInteger|toFloat` (toInteger truncates toward zero,
+  *    Neo4j semantics), `round(x[, scale])` and
   *    `substring(x, start[, len])` (0-indexed, Cypher semantics;
   *    extra args are int literals) — standalone (`toLower(n.name)
   *    AS x`) or inside aggregates (`count(DISTINCT toUpper(c.seg))`,
-  *    `sum(round(o.price)) AS s`) — as is
+  *    `sum(round(o.price)) AS s`) — as is `labels(n)` (the alias's
+  *    static single-label list) and `type(r)` (single-hop named
+  *    relationship's type; a literal for typed steps), both
+  *    pattern-scope only — as is
   *    `coalesce(arg, arg, …) AS name` (≥2 args: property refs, stage
   *    names, literals — the OPTIONAL-MATCH default idiom).
   *  - `ORDER BY out_col [ASC|DESC], … [SKIP n] [LIMIT n]` over the
@@ -399,7 +404,8 @@ object CypherLite {
   // WHERE especially — Neo4j's temporal idiom). Extra arguments
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
-  private val ScalarFnAlt = """toLower|toUpper|trim|abs|round|date|substring"""
+  private val ScalarFnAlt =
+    """toLower|toUpper|trim|abs|round|date|substring|toString|toInteger|toFloat"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
@@ -512,6 +518,14 @@ object CypherLite {
       // date(x): Cypher's temporal conversion — to_date handles both
       // string and timestamp inputs (the parquet timestamp column case)
       case "date"    => noArgs(); to_date(_)
+      // the Cypher cast trio. toInteger TRUNCATES toward zero (Neo4j
+      // semantics — and Spark's double→long cast already does); a
+      // DuckDB oracle must replay trunc() explicitly (its bare CAST
+      // rounds). Non-numeric strings cast to null in both engines'
+      // try-cast form (Cypher returns null too).
+      case "tostring"  => noArgs(); _.cast("string")
+      case "tointeger" => noArgs(); _.cast("long")
+      case "tofloat"   => noArgs(); _.cast("double")
       case "round" => intArgs() match {
         case Seq()  => round(_, 0)
         case Seq(n) => round(_, n)
@@ -1878,6 +1892,17 @@ object CypherLite {
       """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeItemRe =
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // labels(n): the alias's declared label as a 1-element list —
+    // resolved STATICALLY (this engine's aliases carry exactly one
+    // label), so the item costs a literal, no join. type(r): a named
+    // single-hop relationship variable's type — a literal for a typed
+    // step; an untyped step reads the prefix of its materialized eid
+    // (`relType NUL src NUL dst`). Var-length rejects (Neo4j: r is a
+    // LIST there, type() is an error).
+    val LabelsItemRe =
+      """(?is)^labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val TypeItemRe =
+      """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -2018,6 +2043,43 @@ object CypherLite {
         case SizeItemRe(n, as) if listOk(n) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
+        // labels(n) — static single-label list (this engine's data
+        // model); pattern scope only (a carried alias may be renamed)
+        case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
+          val lbl = bound(a)
+          require(lbl.nonEmpty,
+            s"labels($a): alias '$a' is unlabeled (the any-node view " +
+              "carries no label)")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, _ => array(lit(lbl)))))
+        case other if other.matches("(?is)^labels\\s*\\(.*") =>
+          fail("labels() takes a labeled pattern alias (pattern scope " +
+            "only) and an AS name", other)
+        // type(r) — a single-hop named relationship's type: a literal
+        // for typed steps (the step stays skinny); untyped steps read
+        // their materialized eid's prefix
+        case TypeItemRe(v, as) if pathOk && relVars(v) =>
+          val st = steps.zipWithIndex.find(_._1.relVar.contains(v))
+          st match {
+            case Some((s0, _)) =>
+              require(s0.maxHops == 1,
+                s"type($v): '$v' names a var-length step — its value is " +
+                  "a LIST of relationships (project per-hop with chained " +
+                  "single-hop steps instead)")
+              if (s0.rel.nonEmpty)
+                ReturnItem(None, distinct = false, "", None, as,
+                  caseC = Some(CaseCompiled(Seq.empty, _ => lit(s0.rel))))
+              else {
+                lengthUsedRelVars += v
+                ReturnItem(None, distinct = false, "", None, as,
+                  caseC = Some(CaseCompiled(Seq.empty,
+                    res => substring_index(res(v, None), "\u0000", 1))))
+              }
+            case None => fail(s"type($v): no step binds '$v'", v)
+          }
+        case other if other.matches("(?is)^type\\s*\\(.*") =>
+          fail("type() takes a named single-hop relationship variable " +
+            "(pattern scope only) and an AS name", other)
         case other if other.matches("(?is)^size\\s*\\(.*") =>
           fail("size() takes a previous WITH stage's list output " +
             "(a collect(…) column) and an AS name — for a path's hop " +

@@ -1486,6 +1486,31 @@ object GraphOps {
              |  UNION ALL
              |  SELECT n_name FROM nation WHERE n_regionkey = 0)
              |ORDER BY name DESC LIMIT 5""".stripMargin)
+    ),
+    // G54 the introspection/cast surface — labels(n) (static
+    // single-label list, a literal: no join), type(r) (a typed
+    // step's literal — the step keeps its skinny 2-column plan),
+    // toString as a grouping key, sum(toInteger(…)) with Cypher's
+    // truncate-toward-zero (Spark's double→long cast; the DuckDB
+    // oracle must spell trunc() since its bare CAST rounds).
+    QueryDef(
+      "g54_cypher_introspect",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+          """MATCH (n:nation)-[r:HAS_CUSTOMER]->(c:customer)
+            |RETURN labels(c) AS lbl, type(r) AS rel,
+            |       toString(n.n_regionkey) AS rk,
+            |       sum(toInteger(c.c_acctbal)) AS bal,
+            |       count(*) AS cnt""".stripMargin)
+          .withColumn("lbl", array_join(col("lbl"), "|")))
+      },
+      Some("""SELECT 'customer' AS lbl, 'HAS_CUSTOMER' AS rel,
+             |       CAST(n_regionkey AS VARCHAR) AS rk,
+             |       CAST(sum(CAST(trunc(c_acctbal) AS BIGINT)) AS BIGINT) AS bal,
+             |       count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 3 ORDER BY ALL""".stripMargin)
     )
   )
 

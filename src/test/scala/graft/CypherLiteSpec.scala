@@ -1303,6 +1303,12 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(dg,
       "MATCH (e:E) WHERE date(e.ts) >= date('2022-01-01') RETURN e.id AS i")
       .as[Long].collect().toSeq === Seq(1L))
+    // cast trio: toString/toFloat re-type; toInteger truncates
+    // toward zero (Neo4j semantics — -2.9 → -2, not -3)
+    val casts = CypherLite.query(num,
+      "MATCH (n:N) RETURN toString(n.id) AS s, toInteger(n.v) AS i, " +
+        "toFloat(n.id) AS f").as[(String, Long, Double)].collect().toSet
+    assert(casts === Set(("1", -2L, 1.0), ("2", 1L, 2.0)))
     // malformed extra args reject loudly at parse time
     intercept[IllegalArgumentException] {
       CypherLite.parse("MATCH (a:A) RETURN substring(a.tag) AS s")
@@ -1628,6 +1634,42 @@ class CypherLiteSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] { CypherLite.parse(q) }
       assert(e.getMessage.contains("reserved"), s"$q: ${e.getMessage}")
     }
+  }
+
+  test("labels(n) is the static single-label list; type(r) is the " +
+      "typed step's literal; var-length/untyped edge cases") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[r:R1]->(b:B) RETURN labels(b) AS lbl, type(r) AS t")
+      .as[(Seq[String], String)].collect().toSeq
+    assert(rows === Seq((Seq("B"), "R1")))
+    // an UNTYPED single-hop step reads its eid prefix
+    val chainN = PropertyGraph(
+      nodes = Map("N" -> Seq("n1", "n2").toDF("id")),
+      edges = Map("L" -> (("N", "N", Seq(("n1", "n2")).toDF("src", "dst")))))
+    val untyped = CypherLite.query(chainN,
+      "MATCH (a:N {id: 'n1'})-[r]->(b:N) RETURN type(r) AS t")
+      .as[String].collect().toSeq
+    assert(untyped === Seq("L"))
+    // plan pin: a TYPED type(r) compiles to a literal — the step's
+    // variable strips and the join stays the skinny 2-column plan
+    val typed = CypherLite.parse(
+      "MATCH (a:A {id: 1})-[r:R1]->(b:B) RETURN type(r) AS t")
+    assert(typed.steps.head.relVar.isEmpty,
+      "typed type(r) must not materialize the eid")
+    // …while the untyped form genuinely needs the eid prefix
+    val untypedP = CypherLite.parse(
+      "MATCH (a:N {id: 'n1'})-[r]->(b:N) RETURN type(r) AS t")
+    assert(untypedP.steps.head.relVar.contains("r"))
+    // var-length: r is a LIST in Cypher — type() rejects pointedly
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:N)-[r:L*1..2]->(b:N) RETURN type(r) AS t")
+    }
+    assert(e1.getMessage.contains("var-length"))
+    // unlabeled alias has no label to report
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(chainN, "MATCH (a)-[r]->(b:N) RETURN labels(a) AS l")
+    }
+    assert(e2.getMessage.contains("unlabeled"))
   }
 
   test("size() rejects non-list scopes with a pointed message") {
