@@ -408,6 +408,11 @@ object CypherLite {
     """toLower|toUpper|trim|abs|round|date|substring|toString|toInteger|toFloat"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
+  // post-WITH WHERE (the inner name takes no dot, so the dotted wrap
+  // form above never falls through here)
+  private val WithFnCondRe =
+    s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -1034,6 +1039,11 @@ object CypherLite {
       case WithNullRe(n, not) =>
         require(plainOk(n), s"$ctx CASE references unknown name '$n'")
         AtomE("", n, c => if (not != null) c.isNotNull else c.isNull)
+      case WithFnCondRe(fn, n, fargs, op, v) =>
+        require(plainOk(n), s"$ctx CASE references unknown name '$n'")
+        val wrap = scalarWrap(fn, fargs)
+        val cmp = opBuilder(op, v)
+        AtomE("", n, c => cmp(wrap(c)))
       case WithCondRe(n, op, v) =>
         require(plainOk(n), s"$ctx CASE references unknown name '$n'")
         AtomE("", n, opBuilder(op, v))
@@ -2260,10 +2270,16 @@ object CypherLite {
           case WithNullRe(n, not) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
             AtomE("", n, c => if (not != null) c.isNotNull else c.isNull)
+          case WithFnCondRe(fn, n, fargs, op, v) =>
+            require(outNames(n), s"WITH WHERE references unknown output '$n'")
+            val wrap = scalarWrap(fn, fargs)
+            val cmp = opBuilder(op, v)
+            AtomE("", n, c => cmp(wrap(c)))
           case WithCondRe(n, op, v) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
             AtomE("", n, opBuilder(op, v))
-          case other => fail("WITH WHERE conditions must be out_name OP operand", other)
+          case other => fail("WITH WHERE conditions must be " +
+            "[fn](out_name) OP operand", other)
         }
         toColumn(parseBool(w, atom), (_, n) => col(n))
       }

@@ -1303,6 +1303,11 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(dg,
       "MATCH (e:E) WHERE date(e.ts) >= date('2022-01-01') RETURN e.id AS i")
       .as[Long].collect().toSeq === Seq(1L))
+    // scalar wraps over BARE stage outputs in a post-WITH WHERE
+    val postWith = CypherLite.query(num,
+      "MATCH (n:N) WITH n.v AS v WHERE abs(v) > 2.0 RETURN round(v, 1) AS r")
+      .as[Double].collect().toSeq
+    assert(postWith === Seq(-2.3))
     // cast trio: toString/toFloat re-type; toInteger truncates
     // toward zero (Neo4j semantics — -2.9 → -2, not -3)
     val casts = CypherLite.query(num,
