@@ -67,7 +67,10 @@ import org.apache.spark.sql.functions._
   *    partial bindings from per-step left joins).
   *  - per-clause `WHERE alias.prop OP operand [AND …]` with OP in
   *    `= <> < <= > >= CONTAINS STARTS WITH ENDS WITH IN [list]
-  *    IS NULL IS NOT NULL`, in the standard order
+  *    IS NULL IS NOT NULL =~` (the regex operator matches the WHOLE
+  *    string, Neo4j semantics — literal patterns only), plus the
+  *    legacy `[NOT] exists(alias.prop)` property-existence form
+  *    (≡ IS [NOT] NULL), in the standard order
   *    `MATCH … WHERE … OPTIONAL MATCH … WHERE …`. The property may
   *    be wrapped `toLower(alias.prop)` / `toUpper(alias.prop)` — the
   *    shape the reference prompt MANDATES for every string predicate
@@ -393,8 +396,9 @@ object CypherLite {
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
     """^(?i:(count|sum|min|max|avg|collect))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+  // `=~` FIRST so the alternation prefers it over bare `=`
   private val OpAlt =
-    """=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
+    """=~|=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
   private val WhereCondRe =
     s"""^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(alias.prop[, lit…]) OP …` — scalar wraps on the LHS. toLower/
@@ -416,6 +420,13 @@ object CypherLite {
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
+  // `[NOT] exists(alias.prop)` — legacy Cypher property-existence
+  // (≡ IS [NOT] NULL in this engine's data model; the pattern-
+  // predicate extractor never grabs it: `exists((…))` needs an inner
+  // paren). NOT is handled here because the boolean grammar has no
+  // general negation.
+  private val WherePropExistsRe =
+    """^(?i:(?:(NOT)\s+)?exists)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
   // post-WITH WHERE atoms: bare output name (no dot), same operators
   private val WithCondRe =
     s"""^([A-Za-z_][A-Za-z0-9_]*)\\s*($OpAlt)\\s*(.+)$$""".r
@@ -595,6 +606,17 @@ object CypherLite {
     */
   private def opBuilder(op0: String, v: String): Column => Column =
     op0.toUpperCase.replaceAll("\\s+", " ") match {
+      // Cypher regex operator: the pattern must match the WHOLE
+      // string (Neo4j semantics) — Spark's rlike finds, so anchor a
+      // non-capturing wrap; a DuckDB oracle replays with
+      // regexp_full_match. Literal patterns only.
+      case "=~" =>
+        val p = literal(v) match {
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"=~ needs a string regex literal, got '$other'")
+        }
+        _.rlike(s"^(?:$p)$$")
       case "="  => _ === rhsColumn(v)
       case "<>" => _ =!= rhsColumn(v)
       case "<"  => _ < rhsColumn(v)
@@ -1024,6 +1046,9 @@ object CypherLite {
       case WhereNullRe(a, p, not) =>
         checkProp(a); refs += a -> p
         AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
+      case WherePropExistsRe(not, a, p) =>
+        checkProp(a); refs += a -> p
+        AtomE(a, p, c => if (not != null) c.isNull else c.isNotNull)
       case WhereFnCondRe(fn, a, p, fargs, op, v) =>
         checkProp(a); refs += a -> p
         val wrap = scalarWrap(fn, fargs)
@@ -1459,6 +1484,9 @@ object CypherLite {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
+          case WherePropExistsRe(not, a, p) =>
+            checkAlias(a, p)
+            AtomE(a, p, c => if (not != null) c.isNull else c.isNotNull)
           case WhereFnCondRe(fn, a, p, fargs, op, v) =>
             checkAlias(a, p)
             val wrap = scalarWrap(fn, fargs)

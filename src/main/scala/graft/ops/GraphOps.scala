@@ -1511,6 +1511,22 @@ object GraphOps {
              |       count(*) AS cnt
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 3 ORDER BY ALL""".stripMargin)
+    ),
+    // G55 the regex operator `=~` (whole-string match, Neo4j
+    // semantics — Spark rlike anchored, DuckDB regexp_full_match)
+    // and legacy `exists(alias.prop)` property-existence, both as
+    // pattern-WHERE conjuncts through the text route.
+    QueryDef(
+      "g55_cypher_regex_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_name =~ 'Customer#0+1[0-9]' AND exists(c.c_mktsegment)
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE regexp_full_match(c_name, 'Customer#0+1[0-9]')
+             |  AND c_mktsegment IS NOT NULL
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

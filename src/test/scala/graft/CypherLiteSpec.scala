@@ -1677,6 +1677,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(e2.getMessage.contains("unlabeled"))
   }
 
+  test("=~ matches the WHOLE string (Neo4j); exists(n.prop) is " +
+      "IS NOT NULL; NOT exists negates") {
+    // 'a' alone must NOT match tag 'a1' under whole-string semantics
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag =~ 'a' RETURN a.tag AS t").count() === 0)
+    val m = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag =~ 'a[0-9]' RETURN a.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(m === Seq("a1", "a4"))
+    val ng = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x"), (2L, null)).toDF("id", "tag")),
+      edges = Map.empty)
+    assert(CypherLite.query(ng,
+      "MATCH (n:N) WHERE exists(n.tag) RETURN n.id AS i")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(CypherLite.query(ng,
+      "MATCH (n:N) WHERE NOT exists(n.tag) RETURN n.id AS i")
+      .as[Long].collect().toSeq === Seq(2L))
+    // non-string regex operand rejects at parse
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A) WHERE a.tag =~ 5 RETURN a.tag AS t")
+    }
+  }
+
   test("size() rejects non-list scopes with a pointed message") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(g, "MATCH (a:A) RETURN size(a) AS n")
