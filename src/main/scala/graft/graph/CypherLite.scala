@@ -79,12 +79,16 @@ import org.apache.spark.sql.functions._
   *    `substring(x, start[, len])` — 0-indexed, Cypher semantics) —
   *    and the operand may be a plain literal,
   *    `toLower('lit')` / `toUpper('lit')` (folded driver-side),
-  *    `date('2022-01-01')` (the Neo4j temporal constructor) or
+  *    `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` (the
+  *    Neo4j temporal constructors) or
   *    `CAST('2022-01-01' AS DATE|TIMESTAMP)` (the reference's own
   *    Cypher datetime form, build_graph.py:246,335), or ANOTHER
   *    PROPERTY `alias2.prop2` (same-alias pairs stay node
   *    predicates; cross-alias pairs compile to per-path row filters
-  *    over attached columns). Each condition
+  *    over attached columns) or `id(alias)` (the node-identity
+  *    function — this engine's node ids ARE the user-facing ids, so
+  *    `id(n)` reads n's id column; a leading `id(n) OP …` and the
+  *    two-sided `id(a) <> id(b)` both compile). Each condition
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
   *    path join). A WHERE may only reference aliases ITS clause
@@ -142,8 +146,17 @@ import org.apache.spark.sql.functions._
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
   *    `count|sum|min|max|avg|collect([DISTINCT] alias[.prop])`;
-  *    aggregates require `AS name` (plain items default to
-  *    `alias_prop`). `collect(…)` → a SORTED list per group
+  *    un-aliased plain aggregates get a DETERMINISTIC sanitized
+  *    default name (`count(*)` → `count_star`, `count(DISTINCT p)` →
+  *    `count_distinct_p`, `sum(o.total)` → `sum_o_total` — Neo4j
+  *    uses the verbatim expression text, but parquet forbids
+  *    `( ) *` in column names, a documented divergence), and
+  *    `ORDER BY count(*) DESC` resolves STRUCTURALLY to the item
+  *    with the same aggregate shape whatever its output name; other
+  *    aggregate forms (CASE/fn/arith bodies) still require `AS name`
+  *    (plain items default to `alias_prop`). `id(alias)` is the
+  *    node-identity function: items rewrite it to the bare alias
+  *    (its id) — `RETURN id(n)`, `count(DISTINCT id(n))`. `collect(…)` → a SORTED list per group
   *    (`collect_list`; with DISTINCT, `collect_set`) — Cypher leaves
   *    collect order unspecified, this engine pins ascending order so
   *    results are deterministic; nulls are skipped (Cypher
@@ -409,7 +422,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|trim|abs|round|date|substring|toString|toInteger|toFloat"""
+    """toLower|toUpper|trim|abs|round|datetime|date|substring|toString|toInteger|toFloat"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -437,6 +450,11 @@ object CypherLite {
   // the source property name at least as often as by the AS name)
   private val OrderItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)(?:\s+((?i:ASC|DESC)))?$""".r
+  // an aggregate EXPRESSION as an ORDER BY key (`ORDER BY count(*)
+  // DESC`, `ORDER BY sum(o.total)`) — resolved structurally against
+  // the projected items in resolveOrderKeys
+  private val OrderAggRe =
+    """^((?i:count|sum|min|max|avg)\s*\(\s*(?:(?i:DISTINCT)\s+)?(?:\*|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*\))(?:\s+((?i:ASC|DESC)))?$""".r
 
   /** Map dotted ORDER BY keys (`n.name`) onto the output name of the
     * item projecting that exact property (`RETURN n.name AS nm …
@@ -447,6 +465,24 @@ object CypherLite {
   private def resolveOrderKeys(ob: Seq[(String, Boolean)],
       items: Seq[ReturnItem], ctx: String): Seq[(String, Boolean)] =
     ob.map {
+      // an aggregate-expression key (`count(*)`, `sum(o.total)`,
+      // `count(DISTINCT p)`) — resolve to the item with the SAME
+      // aggregate structure, whatever its output name (covers both
+      // the un-aliased default name and `… AS n ORDER BY count(*)`)
+      case (k, asc) if k.contains('(') =>
+        k match {
+          case AggItemRe(fn, dist, target, prop, _) =>
+            val f = fn.toLowerCase
+            val d = dist != null
+            val hit = items.find(ri => ri.agg.contains(f) &&
+              ri.distinct == d && ri.caseC.isEmpty && ri.arith.isEmpty &&
+              ri.alias == target && ri.prop == Option(prop))
+            (hit.getOrElse(throw new IllegalArgumentException(
+              s"$ctx $k: no projected item has that aggregate shape — " +
+                s"return it (… $k AS x) and ORDER BY x")).as, asc)
+          case other => throw new IllegalArgumentException(
+            s"$ctx $other: unsupported aggregate sort key")
+        }
       case (n, asc) if n.contains('.') =>
         val Array(a, p) = n.split("\\.", 2)
         val hit = items.find(ri => ri.agg.isEmpty && ri.caseC.isEmpty &&
@@ -502,10 +538,38 @@ object CypherLite {
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
   }
 
-  // `date('2022-01-01')` as an RHS operand — the Cypher temporal
-  // constructor (Neo4j idiom); folds like the CAST form
+  // `id(n)` — Neo4j's node-identity function. This engine's node ids
+  // ARE the user-facing ids (the globally-unique-id contract), so
+  // `id(n)` ≡ the bare alias / its id column. Items rewrite a leading
+  // `id(alias)` to `alias` and `agg([DISTINCT] id(alias))` to
+  // `agg([DISTINCT] alias)` BEFORE parsing (default output names
+  // follow the rewritten form — `RETURN id(n)` is named `n`, a
+  // documented divergence from Neo4j's verbatim `id(n)` since parquet
+  // forbids parens in column names); pattern-WHERE rewrites a leading
+  // `id(alias)` to `alias.id`, and an RHS that is exactly `id(alias)`
+  // compiles as the property-to-property form over the id column
+  // (`WHERE id(a) <> id(b)`).
+  private val IdFnRe =
+    """(?is)^id\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+  private val IdItemRe =
+    """(?is)^id\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(\s+(?i:AS)\s+[A-Za-z_][A-Za-z0-9_]*)?$""".r
+  private val AggIdRe =
+    """(?is)^((?:count|sum|min|max|avg|collect)\s*\(\s*(?:DISTINCT\s+)?)id\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)(\s*\).*)$""".r
+  private val IdLhsRe =
+    """(?is)^id\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+  private def stripIdWrap(item: String): String = item.trim match {
+    case IdItemRe(a, as) => a + Option(as).getOrElse("")
+    case AggIdRe(pre, a, post) => pre + a + post
+    case other => other
+  }
+
+  // `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` as RHS
+  // operands — the Cypher temporal constructors (Neo4j idiom); fold
+  // like the CAST form
   private val RhsDateRe =
     """^(?i)date\s*\(\s*('[^']*')\s*\)$""".r
+  private val RhsDatetimeRe =
+    """^(?i)datetime\s*\(\s*('[^']*')\s*\)$""".r
 
   /** Compile a scalar-function wrap (`fn(col[, extra…])`) to a Column
     * transform — the shared LHS/item machinery behind toLower/toUpper/
@@ -534,6 +598,10 @@ object CypherLite {
       // date(x): Cypher's temporal conversion — to_date handles both
       // string and timestamp inputs (the parquet timestamp column case)
       case "date"    => noArgs(); to_date(_)
+      // datetime(x): the timestamp constructor (Neo4j's other
+      // temporal idiom) — to_timestamp parses ISO strings (with 'T')
+      // and passes timestamp columns through
+      case "datetime" => noArgs(); to_timestamp(_)
       // the Cypher cast trio. toInteger TRUNCATES toward zero (Neo4j
       // semantics — and Spark's double→long cast already does); a
       // DuckDB oracle must replay trunc() explicitly (its bare CAST
@@ -579,6 +647,7 @@ object CypherLite {
       val s = literal(q).toString
       if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
     case RhsDateRe(q) => to_date(lit(literal(q).toString))
+    case RhsDatetimeRe(q) => to_timestamp(lit(literal(q).toString))
     case other => lit(literal(other))
   }
 
@@ -1207,6 +1276,12 @@ object CypherLite {
       orderBy = ob.split(",").map(_.trim).map {
         case OrderItemRe(n, dir) =>
           (n, dir == null || dir.equalsIgnoreCase("ASC"))
+        // `ORDER BY count(*) DESC` — an aggregate EXPRESSION as the
+        // sort key (the shape LLMs emit beside an un-aliased RETURN
+        // aggregate). The verbatim text rides through; it resolves
+        // STRUCTURALLY against the projected items downstream.
+        case OrderAggRe(expr, dir) =>
+          (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
       }.toSeq
     }
@@ -1480,7 +1555,9 @@ object CypherLite {
       // (col(alias__w_prop), the row-filter form)
       val PropRefRe = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
       def parseCond(cond: String): BoolExpr =
-        cond.trim match {
+        // a leading `id(alias)` reads the alias's id column — rewrite
+        // to the dotted form the atom grammar already compiles
+        IdLhsRe.replaceFirstIn(cond.trim, "$1.id ").trim match {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
@@ -1501,6 +1578,10 @@ object CypherLite {
               case PropRefRe(a2, p2) if bound.contains(a2) =>
                 checkAlias(a2, p2)
                 Atom2E(a, p, a2, p2, opBuilder2(op))
+              // `… OP id(b)` — the id-function RHS over a bound alias
+              case IdFnRe(a2) if bound.contains(a2) =>
+                checkAlias(a2, "id")
+                Atom2E(a, p, a2, "id", opBuilder2(op))
               case _ => AtomE(a, p, opBuilder(op, v))
             }
           case other => fail(
@@ -1947,7 +2028,8 @@ object CypherLite {
         bareAgg: String => Boolean = _ => false,
         pathOk: Boolean = false,
         listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
-      val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
+      val items = splitTopComma(r).toIndexedSeq
+        .map(stripIdWrap).map[ReturnItem] {
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -1973,8 +2055,21 @@ object CypherLite {
           // stage-1 counts etc.)
           require(f == "count" || f == "collect" || prop != null || bareAgg(target),
             s"$f() needs alias.prop (bare aliases are ids — only count or collect them)")
-          require(as != null, s"aggregate $f(…) needs an AS name")
-          ReturnItem(Some(f), d, target, Option(prop), as)
+          // un-aliased plain aggregates get a DETERMINISTIC default
+          // name — `count(*)` → count_star, `count(DISTINCT p)` →
+          // count_distinct_p, `sum(o.total)` → sum_o_total. Neo4j
+          // names the column with the verbatim expression text;
+          // parquet forbids `( ) *` in column names (and the driver
+          // round-trips results through parquet), so this engine
+          // sanitizes — a documented divergence. `ORDER BY count(*)`
+          // still resolves structurally (see resolveOrderKeys).
+          val name = Option(as).getOrElse {
+            val t =
+              if (target == "*") "star"
+              else target + Option(prop).map("_" + _).getOrElse("")
+            s"$f${if (d) "_distinct" else ""}_$t"
+          }
+          ReturnItem(Some(f), d, target, Option(prop), name)
         case PlainItemRe(a, prop, as) =>
           require(if (prop != null) propOk(a) else plainOk(a),
             s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
@@ -2180,6 +2275,13 @@ object CypherLite {
     // attach node properties.
     val UnwindRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // `UNWIND [lit, lit, …] AS x` — a LITERAL list source (the shape
+    // LLMs emit to inject a value set). The bracketed text rides the
+    // (src, out) pair verbatim; the apply site builds array(lit…)
+    // instead of col(src). An empty list `[]` drops every row
+    // (explode of an empty array — Cypher semantics).
+    val UnwindLitRe =
+      """^(\[[^\]]*\])\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpSeg) =>
       val prev = acc.lastOption
       // `MATCH` / `OPTIONAL MATCH` AFTER the stage (and its unwinds)
@@ -2326,7 +2428,19 @@ object CypherLite {
               s"UNWIND output name '$out' collides with an existing output")
             checkUserName(out, "UNWIND output")
             uacc :+ (src -> out)
-          case other => fail("UNWIND must be `UNWIND listName AS x`", other)
+          case UnwindLitRe(listTxt, out) =>
+            val inScope = outNames ++ uacc.map(_._2)
+            require(!inScope(out),
+              s"UNWIND output name '$out' collides with an existing output")
+            checkUserName(out, "UNWIND output")
+            // validate every element parses as a literal NOW — a bad
+            // element should be a parse-time reject, not a runtime one
+            val body = listTxt.stripPrefix("[").stripSuffix("]").trim
+            if (body.nonEmpty) splitTopComma(body).foreach(literal)
+            uacc :+ (listTxt -> out)
+          case other => fail(
+            "UNWIND must be `UNWIND listName AS x` or `UNWIND [lit, …] AS x`",
+            other)
         }
       }
       // pattern re-entry: parse the post-stage MATCH / OPTIONAL MATCH
@@ -2898,7 +3012,15 @@ object CypherLite {
           // empty/null lists drop the row (Cypher UNWIND semantics);
           // the source list stays in scope
           val unwound = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
-            d.withColumn(x, explode(col(src)))
+            // a bracketed src is a LITERAL list — build the array in
+            // place (codegen'd literals); a name reads the stage output
+            val srcCol =
+              if (src.startsWith("[")) {
+                val body = src.stripPrefix("[").stripSuffix("]").trim
+                if (body.isEmpty) array()
+                else array(splitTopComma(body).map(v => lit(literal(v))): _*)
+              } else col(src)
+            d.withColumn(x, explode(srcCol))
           }
           // pattern re-entry: each post-stage MATCH clause is its own
           // sub-pattern joined on the anchor — inner for MATCH, left

@@ -1527,6 +1527,69 @@ object GraphOps {
              |WHERE regexp_full_match(c_name, 'Customer#0+1[0-9]')
              |  AND c_mktsegment IS NOT NULL
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G56 UN-ALIASED aggregates (Neo4j allows `RETURN x, count(*)`;
+    // LLMs emit it constantly) — deterministic sanitized default
+    // names (count_star / count_distinct_c / min_o_o_totalprice;
+    // Neo4j's verbatim `count(*)` text is parquet-illegal, documented
+    // divergence) and `ORDER BY count(*) DESC` resolving
+    // STRUCTURALLY to the item with the same aggregate shape. min()
+    // (not sum of raw doubles) keeps the oracle hash FP-exact.
+    QueryDef(
+      "g56_cypher_unaliased_agg",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |RETURN c.c_mktsegment AS seg, count(*), count(DISTINCT c),
+          |       min(o.o_totalprice)
+          |ORDER BY count(*) DESC, seg ASC LIMIT 3""".stripMargin)),
+      Some("""SELECT * FROM (
+             |  SELECT c_mktsegment AS seg, count(*) AS count_star,
+             |         count(DISTINCT c_custkey) AS count_distinct_c,
+             |         min(o_totalprice) AS min_o_o_totalprice
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY 1 ORDER BY count_star DESC, seg ASC LIMIT 3
+             |) ORDER BY ALL""".stripMargin)
+    ),
+    // G57 id() — Neo4j's node-identity function (ids here ARE the
+    // user-facing ids): items (`id(n) AS nid`), aggregates
+    // (`count(DISTINCT id(c))`), WHERE with a literal RHS
+    // (`id(n) <> 3`) and the two-sided `id(c) <> id(n)` cross-alias
+    // form — plus datetime('…'), the timestamp-constructor twin of
+    // date('…'), on both sides of a WHERE comparison.
+    QueryDef(
+      "g57_cypher_id_datetime",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE datetime(o.o_orderdate) >= datetime('1997-01-01T00:00:00')
+          |  AND id(n) <> 3 AND id(c) <> id(n)
+          |RETURN id(n) AS nid, count(DISTINCT id(c)) AS nc,
+          |       count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_nationkey AS nid, count(DISTINCT c_custkey) AS nc,
+             |       count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |     JOIN orders ON o_custkey = c_custkey
+             |WHERE CAST(o_orderdate AS TIMESTAMP) >=
+             |      TIMESTAMP '1997-01-01 00:00:00'
+             |  AND n_nationkey <> 3 AND c_custkey <> n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G58 UNWIND over a LITERAL list — the value-injection shape
+    // (`UNWIND [lit, …] AS x`) beside a stage output, aggregable
+    // downstream; explode(array(lit…)), no shuffle added. The oracle
+    // replays the literal list as a VALUES cross join.
+    QueryDef(
+      "g58_cypher_unwind_literal",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, count(*) AS cnt
+          |UNWIND [1, 2, 5] AS mult
+          |RETURN nm, mult, cnt * mult AS scaled""".stripMargin)),
+      Some("""SELECT n_name AS nm, mult, cnt * mult AS scaled
+             |FROM (SELECT n_name, count(*) AS cnt
+             |      FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |      GROUP BY 1)
+             |CROSS JOIN (VALUES (1), (2), (5)) AS m(mult)
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -270,7 +270,7 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.parse("(a:A)-[:R1]->(b:B) WHERE z.tag = 'x'")                   // unknown WHERE alias
     }
     intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN count(*)")                     // aggregate needs AS
+      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN avg(a)")                       // avg over a bare id
     }
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN a.tag ORDER BY nope")          // unknown ORDER BY col
@@ -1078,9 +1078,13 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // a not carried through the WITH
       CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) AS n RETURN a.tag")
     }
-    intercept[IllegalArgumentException] { // aggregate in WITH needs AS
-      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) RETURN b")
+    intercept[IllegalArgumentException] { // sum over a bare id in WITH
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH b, sum(a) AS s RETURN b")
     }
+    // un-aliased aggregates are LEGAL since v9 — default sanitized name
+    assert(CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH b, count(*) RETURN count_star")
+      .columns.toSeq === Seq("count_star"))
     // STARTS WITH / ENDS WITH must NOT be mistaken for a WITH stage
     val sw = CypherLite.query(g,
       "(a:A)-[:R1]->(b:B) WHERE a.tag STARTS WITH 'a4' RETURN b.tag")
@@ -1821,5 +1825,93 @@ class CypherLiteSpec extends SparkSpec {
       }
       assert(e2.getMessage.contains("minimum hops"))
     } finally spark.conf.unset("graft.cypher.maxVarLength")
+  }
+
+  test("un-aliased aggregates get sanitized default names; " +
+      "ORDER BY count(*) resolves structurally") {
+    val df = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN b.tag AS t, count(*), count(DISTINCT a), min(a.id) " +
+        "ORDER BY count(*) DESC, t ASC")
+    assert(df.columns.toSeq ===
+      Seq("t", "count_star", "count_distinct_a", "min_a_id"))
+    val rows = df.as[(String, Long, Long, Long)].collect().toSeq
+    // b2 has two in-edges (a1, a4); b5 one (a4)
+    assert(rows === Seq(("b2", 2L, 2L, 1L), ("b5", 1L, 1L, 4L)))
+  }
+
+  test("ORDER BY of an aggregate resolves to an ALIASED item too; " +
+      "no matching shape rejects loudly") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n " +
+        "ORDER BY count(*) DESC, t")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("b2", 2L), ("b5", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n " +
+          "ORDER BY sum(a.id) DESC")
+    }
+    assert(e.getMessage.contains("aggregate shape"), e.getMessage)
+  }
+
+  test("id(n): items, aggregates, WHERE literal and two-sided forms") {
+    // items + aggregate: id(b) ≡ bare b (its id), count(DISTINCT id(a))
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN id(b) AS bid, count(DISTINCT id(a)) AS na ORDER BY bid")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 2L), (5L, 1L)))
+    // WHERE with literal RHS: id(a) = 4 ≡ a.id = 4 (node predicate)
+    val w = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE id(a) = 4 RETURN b.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(w === Seq("b2", "b5"))
+    // two-sided: id(a) <> id(b) is a cross-alias row filter over ids
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE id(a) <> id(b) RETURN a, b").count()
+    assert(n2 === 3, "no a/b pair shares an id in the fixture")
+    val n3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE id(a) = id(b) RETURN a, b").count()
+    assert(n3 === 0)
+  }
+
+  test("UNWIND over a literal list explodes in place; bad literals reject") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH count(*) AS n " +
+        "UNWIND [10, 20, 30] AS x RETURN n, x ORDER BY x")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((3L, 10L), (3L, 20L), (3L, 30L)))
+    // strings too, and the source list may be used beside stage outputs
+    val tags = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH collect(DISTINCT b.tag) AS ts " +
+        "UNWIND ['p', 'q'] AS s UNWIND ts AS t RETURN s, t ORDER BY s, t")
+      .as[(String, String)].collect().toSeq
+    assert(tags === Seq(("p", "b2"), ("p", "b5"), ("q", "b2"), ("q", "b5")))
+    // empty list drops every row (Cypher semantics)
+    val none = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH count(*) AS n UNWIND [] AS x RETURN x")
+    assert(none.count() === 0)
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH count(*) AS n " +
+        "UNWIND [nope] AS x RETURN x")
+    }
+  }
+
+  test("datetime() wraps a property and parses an ISO literal RHS") {
+    import org.apache.spark.sql.functions.col
+    val tg = PropertyGraph(
+      nodes = Map(
+        "E" -> Seq((1L, "2022-01-01 05:00:00"), (2L, "2023-06-01 00:00:00"))
+          .toDF("id", "ts").select(col("id"), col("ts").cast("timestamp").as("ts")),
+        "F" -> Seq((10L, "x")).toDF("id", "tag")),
+      edges = Map("T" -> (("E", "F",
+        Seq((1L, 10L), (2L, 10L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) " +
+        "WHERE datetime(e.ts) >= datetime('2023-01-01T00:00:00') " +
+        "RETURN id(e) AS eid")
+      .as[Long].collect().toSeq
+    assert(rows === Seq(2L))
   }
 }
