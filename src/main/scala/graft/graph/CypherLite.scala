@@ -100,7 +100,10 @@ import org.apache.spark.sql.functions._
   *    required/optional semantics. Boolean structure: AND/OR with
   *    standard precedence (AND binds tighter) and PARENTHESIZED
   *    nesting to any depth — `(a OR b) AND c`, `x AND (y OR (z AND
-  *    w))`. A single-alias conjunct compiles to a node predicate
+  *    w))`, plus general NOT with standard precedence (NOT binds
+  *    tighter than AND) — `NOT a.x = 1`, `NOT (a.x = 1 OR b.y = 2)`
+  *    (Spark's `!` is Cypher's three-valued NOT: NOT null = null,
+  *    the row drops). A single-alias conjunct compiles to a node predicate
   *    (semi-join BEFORE the path join — the fast path); a CROSS-ALIAS
   *    conjunct (`a.x = 1 OR b.y = 2`) compiles to a row filter over
   *    attached property columns, applied to the clause's own frame:
@@ -436,8 +439,8 @@ object CypherLite {
   // `[NOT] exists(alias.prop)` — legacy Cypher property-existence
   // (≡ IS [NOT] NULL in this engine's data model; the pattern-
   // predicate extractor never grabs it: `exists((…))` needs an inner
-  // paren). NOT is handled here because the boolean grammar has no
-  // general negation.
+  // paren). NOT stays part of this atom (the boolean grammar's
+  // general NOT defers to it so both spellings compile identically).
   private val WherePropExistsRe =
     """^(?i:(?:(NOT)\s+)?exists)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
   // post-WITH WHERE atoms: bare output name (no dot), same operators
@@ -841,16 +844,35 @@ object CypherLite {
       a2: String, p2: String, mk: (Column, Column) => Column) extends BoolExpr
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
+  /** General boolean negation — `NOT a.x = 1`, `NOT (a.x = 1 OR
+    * b.y = 2)`. Spark's `!` implements Cypher's three-valued NOT
+    * exactly (NOT null = null → the row drops through the filter).
+    * `NOT (chain)` pattern predicates never reach here — the
+    * conjunct router sends anything with a `)-[` shape to
+    * [[PatternPred]] first.
+    */
+  private final case class NotE(x: BoolExpr) extends BoolExpr
+  private val NotPrefixRe = """(?is)^NOT(?=\s|\()\s*""".r
 
-  /** Recursive descent with standard precedence (AND binds tighter
-    * than OR; parentheses group arbitrarily), parameterized by the
-    * atom parser.
+  /** Recursive descent with standard precedence (NOT binds tighter
+    * than AND, AND tighter than OR; parentheses group arbitrarily),
+    * parameterized by the atom parser.
     */
   private def parseBool(w: String, atom: String => BoolExpr): BoolExpr = {
     def parseFactor(s: String): BoolExpr = {
       val t = s.trim
-      if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
-      else atom(t)
+      NotPrefixRe.findFirstIn(t) match {
+        // NOT exists(…) keeps its dedicated atom form (the regex
+        // consumes the NOT itself) — only strip the prefix when the
+        // remainder is NOT an exists() call, so both spellings land
+        // on the same atom
+        case Some(m) if !t.substring(m.length).trim
+            .matches("(?is)^exists\\s*\\(.*") =>
+          NotE(parseFactor(t.substring(m.length)))
+        case _ =>
+          if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
+          else atom(t)
+      }
     }
     def parseTerm(s: String): BoolExpr = {
       val cs = splitTop(s, "AND")
@@ -870,12 +892,14 @@ object CypherLite {
     case Atom2E(a1, _, a2, _, _) => Set(a1, a2)
     case AndE(xs) => xs.flatMap(exprAliases).toSet
     case OrE(xs) => xs.flatMap(exprAliases).toSet
+    case NotE(x) => exprAliases(x)
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
     case AtomE(a, pr, _) => Seq(a -> pr)
     case Atom2E(a1, p1, a2, p2, _) => Seq(a1 -> p1, a2 -> p2)
     case AndE(xs) => xs.flatMap(exprProps)
     case OrE(xs) => xs.flatMap(exprProps)
+    case NotE(x) => exprProps(x)
   }
   private def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
     e match {
@@ -883,6 +907,7 @@ object CypherLite {
       case Atom2E(a1, p1, a2, p2, mk) => mk(resolve(a1, p1), resolve(a2, p2))
       case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
+      case NotE(x) => !toColumn(x, resolve)
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)

@@ -1590,6 +1590,23 @@ object GraphOps {
              |      GROUP BY 1)
              |CROSS JOIN (VALUES (1), (2), (5)) AS m(mult)
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G59 general boolean NOT — over a parenthesized cross-alias OR
+    // group (row filter) and over a single-alias atom (node
+    // predicate), composed under AND; NOT binds tighter than AND
+    // (Cypher precedence), and Spark's ! is Cypher's 3-valued NOT.
+    QueryDef(
+      "g59_cypher_not",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE NOT (n.n_regionkey = 0 OR c.c_mktsegment = 'BUILDING')
+          |  AND NOT c.c_acctbal < 0.0
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE NOT (n_regionkey = 0 OR c_mktsegment = 'BUILDING')
+             |  AND NOT (c_acctbal < 0.0)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

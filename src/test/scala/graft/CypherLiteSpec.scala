@@ -1898,6 +1898,38 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("general NOT: atoms, parenthesized groups, precedence, 3VL") {
+    // NOT over a single-alias atom stays a node predicate
+    val w1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE NOT a.tag = 'a4' RETURN b.tag AS t")
+      .as[String].collect().toSeq
+    assert(w1 === Seq("b2"), "only a1's edge survives")
+    // NOT over a parenthesized cross-alias group → row filter
+    val w2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE NOT (a.tag = 'a1' OR b.tag = 'b5') RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(w2 === Seq("a4"), "only a4->b2 fails both disjuncts")
+    // precedence: NOT binds tighter than AND
+    val w3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE NOT a.tag = 'a1' AND b.tag = 'b2' RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(w3 === Seq("a4"))
+    // 3-valued logic: NOT null = null → the row drops (Cypher)
+    val ng = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, Some("x")), (2L, None))
+        .toDF("id", "v")),
+      edges = Map("S" -> (("N", "N", Seq((1L, 2L)).toDF("src", "dst")))))
+    val n3 = CypherLite.query(ng,
+      "MATCH (m:N) WHERE NOT m.v = 'y' RETURN m")
+    assert(n3.as[Long].collect().toSeq === Seq(1L),
+      "null v: NOT (null = 'y') is null, not true")
+    // NOT exists(prop) still routes to the existence atom
+    val n4 = CypherLite.query(ng, "MATCH (m:N) WHERE NOT exists(m.v) RETURN m")
+    assert(n4.as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
