@@ -133,7 +133,10 @@ import org.apache.spark.sql.functions._
   *    ORDER BY/LIMIT. Each subsequent stage (and the final RETURN)
   *    references the PREVIOUS stage's outputs — a name projected
   *    away is gone (standard Cypher scoping), and property access
-  *    stays valid only through carried aliases.
+  *    stays valid only through carried aliases. `WITH *` carries
+  *    every in-scope name in declaration order (`WITH *, count(*)
+  *    AS c` groups the extras by the carried names — Cypher
+  *    semantics); likewise `RETURN *, item, …`.
   *  - WHERE PATTERN PREDICATES, as top-level AND conjuncts of a
   *    required MATCH's WHERE: `[NOT] EXISTS { [MATCH] (a)-[:R]->(b)
   *    [WHERE …] }` (Neo4j 5 existential subquery — the internal WHERE
@@ -2392,7 +2395,29 @@ object CypherLite {
           pw.items.filter(_.agg.contains("collect")).map(_.as).toSet
         case None => _ => false
       }
-      val items = parseItems(itemsTxt2, "WITH", plainOk, propOk, aggOk, bareAggOk,
+      // `WITH *` — Cypher's carry-everything form: the star expands
+      // to every in-scope name in declaration order (declared aliases
+      // pre-stage — node aliases AND named relationship variables;
+      // the previous stage's outputs after) and may be followed by
+      // further items (`WITH *, count(*) AS c` — extras group by the
+      // carried names like any mixed projection). Expansion happens
+      // BEFORE parsing so the ordinary item machinery (carries,
+      // dup-name check, DISTINCT) applies unchanged.
+      val starNames: Seq[String] = prev match {
+        case None => declOrder.toSeq
+        case Some(pw) => pw.items.map(_.as) ++ pw.unwinds.map(_._2) ++
+          pw.postMatches.flatMap(_.steps.map(_.node.as))
+      }
+      val itemsTxt3 =
+        if (itemsTxt2 == "*") starNames.mkString(", ")
+        else if (itemsTxt2.startsWith("*")) {
+          val rest = itemsTxt2.substring(1).trim
+          require(rest.startsWith(","),
+            s"WITH * must stand alone or be followed by ', item, …': " +
+              s"'${itemsTxt2.take(40)}'")
+          (starNames :+ rest.substring(1).trim).mkString(", ")
+        } else itemsTxt2
+      val items = parseItems(itemsTxt3, "WITH", plainOk, propOk, aggOk, bareAggOk,
         pathOk = prev.isEmpty, listOk = listOkW)
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
@@ -2581,13 +2606,31 @@ object CypherLite {
           w.postMatches.flatMap(_.steps.map(_.node.as))).map(n =>
           ReturnItem(None, distinct = false, n, None, n))
       }
-      else parseItems(r, "RETURN", plainOk, propOk, aggOk, bareAggOk,
+      else {
+      // `RETURN *, item, …` — star plus extras (Neo4j allows it):
+      // expand the star to the same name set, then parse normally
+      val rX =
+        if (!r.startsWith("*")) r
+        else {
+          val rest = r.substring(1).trim
+          require(rest.startsWith(","),
+            s"RETURN * must stand alone or be followed by ', item, …': " +
+              s"'${r.take(40)}'")
+          val names = withClauses.lastOption match {
+            case None => declOrder.toSeq
+            case Some(w) => w.items.map(_.as) ++ w.unwinds.map(_._2) ++
+              w.postMatches.flatMap(_.steps.map(_.node.as))
+          }
+          (names :+ rest.substring(1).trim).mkString(", ")
+        }
+      parseItems(rX, "RETURN", plainOk, propOk, aggOk, bareAggOk,
         pathOk = withClauses.isEmpty,
         listOk = withClauses.lastOption match {
           case Some(w) =>
             w.items.filter(_.agg.contains("collect")).map(_.as).toSet
           case None => _ => false
         })
+      }
     }
     require(returns.map(_.as).distinct.size == returns.size,
       s"duplicate RETURN output names: ${returns.map(_.as)}")

@@ -1607,6 +1607,33 @@ object GraphOps {
              |WHERE NOT (n_regionkey = 0 OR c_mktsegment = 'BUILDING')
              |  AND NOT (c_acctbal < 0.0)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G60 WITH * — the carry-everything stage: both aliases ride
+    // through the star, properties still attach downstream, and the
+    // RETURN re-aggregates over the carried names.
+    QueryDef(
+      "g60_cypher_with_star",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |WITH *
+          |RETURN n.n_name AS nm, count(DISTINCT c) AS nc""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(DISTINCT c_custkey) AS nc
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G61 RETURN *, extra — star expansion (ids in declaration
+    // order) plus an explicit aliased item, Neo4j semantics.
+    QueryDef(
+      "g61_cypher_return_star_extra",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation)
+          |WHERE r.r_regionkey = 0
+          |RETURN *, n.n_name AS nm""".stripMargin)),
+      Some("""SELECT n_regionkey AS r, n_nationkey AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey = 0
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

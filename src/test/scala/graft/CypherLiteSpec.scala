@@ -1930,6 +1930,29 @@ class CypherLiteSpec extends SparkSpec {
     assert(n4.as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("WITH * carries everything; star plus extras groups by the carried set") {
+    // WITH * alone: both aliases ride through, properties still attach
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH * WHERE a = 4 RETURN a.tag AS t, b.tag AS u " +
+        "ORDER BY u")
+      .as[(String, String)].collect().toSeq
+    assert(r1 === Seq(("a4", "b2"), ("a4", "b5")))
+    // WITH *, count(*): the aggregate groups by every carried name
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH *, count(*) AS c RETURN a, b, c ORDER BY a, b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r2 === Seq((1L, 2L, 1L), (4L, 2L, 1L), (4L, 5L, 1L)))
+    // RETURN *, extra
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[:R1]->(b:B) RETURN *, a.tag AS t")
+    assert(r3.columns.toSeq === Seq("a", "b", "t"))
+    assert(r3.as[(Long, Long, String)].collect().toSeq === Seq((1L, 2L, "a1")))
+    // star not first → loud
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WITH * b RETURN b")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
