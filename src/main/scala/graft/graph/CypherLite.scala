@@ -230,7 +230,12 @@ import org.apache.spark.sql.functions._
   *    var-length steps a per-walk arrival array materialized beside
   *    the eids ONLY when the item asks (unreferenced paths keep
   *    skinny step plans). `size(x) AS n` counts a previous WITH stage's
-  *    collect(…) list. A `+` chain containing a string LITERAL
+  *    collect(…) list; `size(alias.prop)` is Cypher's STRING size
+  *    (character count — properties are scalar in this data model),
+  *    valid in items and pattern WHERE, and a post-WITH `WHERE
+  *    size(out) OP n` dispatches list-count for collect outputs vs
+  *    string length otherwise (numeric aggregate outputs reject
+  *    pointedly). A `+` chain containing a string LITERAL
   *    compiles to concatenation with non-strings cast (Cypher
   *    'a' + 1 = "a1"; property-only string concat needs an anchor —
   *    `'' + a.x + b.y`); strings under - * / reject.
@@ -436,6 +441,16 @@ object CypherLite {
   // form above never falls through here)
   private val WithFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // `size(alias.prop) OP …` — Cypher's size() over a string property
+  // (its character count; kept OUT of ScalarFnAlt so the bare-name
+  // collect-list forms keep their own routing)
+  private val WhereSizeCondRe =
+    s"""^(?i:size)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // `size(out) OP …` in a post-WITH WHERE — the list-count HAVING
+  // idiom over a collect() output (`WHERE size(friends) > 5`), or
+  // string length over a scalar output
+  private val WithSizeCondRe =
+    s"""^(?i:size)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -616,6 +631,12 @@ object CypherLite {
       case "tostring"  => noArgs(); _.cast("string")
       case "tointeger" => noArgs(); _.cast("long")
       case "tofloat"   => noArgs(); _.cast("double")
+      // size(x) over a PROPERTY is Cypher's string length (node
+      // properties are scalar columns in this engine's data model —
+      // the list form lives on collect() outputs, dispatched at the
+      // call sites). NOT in ScalarFnAlt: the bare-name item form
+      // `size(listOut) AS n` must keep routing to SizeItemRe.
+      case "size"  => noArgs(); length(_)
       case "round" => intArgs() match {
         case Seq()  => round(_, 0)
         case Seq(n) => round(_, n)
@@ -1597,6 +1618,12 @@ object CypherLite {
             val wrap = scalarWrap(fn, fargs)
             val cmp = opBuilder(op, v)
             AtomE(a, p, c => cmp(wrap(c)))
+          // size(alias.prop) — string length (Cypher size() over a
+          // string; properties are scalar in this data model)
+          case WhereSizeCondRe(a, p, op, v) =>
+            checkAlias(a, p)
+            val cmp = opBuilder(op, v)
+            AtomE(a, p, c => cmp(length(c)))
           case WhereCondRe(a, p, op, v) =>
             checkAlias(a, p)
             v.trim match {
@@ -2039,6 +2066,8 @@ object CypherLite {
       """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeItemRe =
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val SizeStrItemRe =
+      """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // labels(n): the alias's declared label as a 1-element list —
     // resolved STATICALLY (this engine's aliases carry exactly one
     // label), so the item costs a literal, no join. type(r): a named
@@ -2204,6 +2233,12 @@ object CypherLite {
         case SizeItemRe(n, as) if listOk(n) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
+        // size(alias.prop) — Cypher's size() over a STRING property
+        // (character count; properties are scalar in this data model,
+        // so the dotted form is always the string semantics)
+        case SizeStrItemRe(a, p, as) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(fnCompiled("size", null, a, p, ctx, plainOk, propOk)))
         // labels(n) — static single-label list (this engine's data
         // model); pattern scope only (a carried alias may be renamed)
         case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
@@ -2455,6 +2490,20 @@ object CypherLite {
             val wrap = scalarWrap(fn, fargs)
             val cmp = opBuilder(op, v)
             AtomE("", n, c => cmp(wrap(c)))
+          // size(out): a COLLECT output counts its list (the HAVING-
+          // count idiom — `WHERE size(friends) > 5`); any other
+          // output is a scalar → string length
+          case WithSizeCondRe(n, op, v) =>
+            require(outNames(n), s"WITH WHERE references unknown output '$n'")
+            val item = items.find(_.as == n)
+            val isList = item.exists(_.agg.contains("collect"))
+            // a sum/avg/count output is numeric — neither list nor
+            // string; pointed reject, not a raw analysis error
+            require(isList || !item.exists(_.agg.nonEmpty),
+              s"size($n): '$n' is a numeric aggregate output — size() " +
+                "counts collect(…) lists or string characters")
+            val cmp = opBuilder(op, v)
+            AtomE("", n, c => cmp(if (isList) size(c) else length(c)))
           case WithCondRe(n, op, v) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
             AtomE("", n, opBuilder(op, v))

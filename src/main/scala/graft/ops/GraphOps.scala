@@ -1634,6 +1634,25 @@ object GraphOps {
       Some("""SELECT n_regionkey AS r, n_nationkey AS n, n_name AS nm
              |FROM nation WHERE n_regionkey = 0
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G62 size() over STRINGS — Cypher's size(string) is the
+    // character count: a pattern-WHERE string-length predicate, the
+    // post-WITH list-count HAVING idiom (`WHERE size(segs) >= 4`),
+    // and the dotted string form as a RETURN-adjacent WITH item.
+    QueryDef(
+      "g62_cypher_size_string",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE size(c.c_mktsegment) >= 9
+          |WITH n.n_name AS nm, collect(DISTINCT c.c_mktsegment) AS segs
+          |WHERE size(segs) >= 4
+          |RETURN nm, size(segs) AS nseg""".stripMargin)),
+      Some("""SELECT nm, CAST(nseg AS INTEGER) AS nseg FROM (
+             |  SELECT n_name AS nm, count(DISTINCT c_mktsegment) AS nseg
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE length(c_mktsegment) >= 9
+             |  GROUP BY 1)
+             |WHERE nseg >= 4 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -1953,6 +1953,36 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("size(): string property form, post-WITH list vs string dispatch") {
+    // pattern WHERE: size(a.tag) — 'a1'/'a4' are 2 chars
+    val n1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE size(a.tag) = 2 RETURN a, b").count()
+    assert(n1 === 3)
+    // item form: size(alias.prop) AS n is a grouping key
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN size(b.tag) AS ln, count(*) AS c")
+      .as[(Int, Long)].collect().toSeq
+    assert(r2 === Seq((2, 3)))
+    // post-WITH WHERE: collect output → list count; string output → length
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.tag) AS bs " +
+        "WHERE size(bs) >= 2 RETURN a")
+      .as[Long].collect().toSeq
+    assert(r3 === Seq(4L), "only a4 reaches two Bs")
+    val r4 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a.tag AS t, count(*) AS c " +
+        "WHERE size(t) = 2 RETURN t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(r4 === Seq("a1", "a4"))
+    // numeric aggregate output → pointed reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS c " +
+          "WHERE size(c) > 1 RETURN a")
+    }
+    assert(e.getMessage.contains("numeric aggregate"), e.getMessage)
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
