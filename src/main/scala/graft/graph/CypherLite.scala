@@ -75,8 +75,10 @@ import org.apache.spark.sql.functions._
   *    be wrapped `toLower(alias.prop)` / `toUpper(alias.prop)` — the
   *    shape the reference prompt MANDATES for every string predicate
   *    (rag.baml:76-79) — or any other supported scalar wrap
-  *    (`trim`, `abs`, `date`, `round(x[, scale])`,
-  *    `substring(x, start[, len])` — 0-indexed, Cypher semantics) —
+  *    (`trim`/`ltrim`/`rtrim`, `abs`, `date`, `datetime`,
+  *    `round(x[, scale])`, `substring(x, start[, len])` — 0-indexed,
+  *    Cypher semantics — `replace(x, 'find', 'put')`,
+  *    `left|right(x, n)`, `reverse`, `size` and the cast quartet) —
   *    and the operand may be a plain literal,
   *    `toLower('lit')` / `toUpper('lit')` (folded driver-side),
   *    `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` (the
@@ -182,11 +184,13 @@ import org.apache.spark.sql.functions._
   *    searched form (equality per arm — a null test matches no arm,
   *    Cypher semantics); nested CASE rejects loudly.
   *    Scalar-function wraps over `alias.prop | name` are items too —
-  *    `toLower|toUpper|trim|abs|date` plus the cast trio
-  *    `toString|toInteger|toFloat` (toInteger truncates toward zero,
-  *    Neo4j semantics), `round(x[, scale])` and
-  *    `substring(x, start[, len])` (0-indexed, Cypher semantics;
-  *    extra args are int literals) — standalone (`toLower(n.name)
+  *    `toLower|toUpper|trim|ltrim|rtrim|abs|date|datetime|reverse`
+  *    plus the cast quartet `toString|toInteger|toFloat|toBoolean`
+  *    (toInteger truncates toward zero, Neo4j semantics),
+  *    `round(x[, scale])`, `substring(x, start[, len])` (0-indexed,
+  *    Cypher semantics; extra args are int literals),
+  *    `replace(x, 'find', 'put')` (literal find/replace) and
+  *    `left|right(x, n)` — standalone (`toLower(n.name)
   *    AS x`) or inside aggregates (`count(DISTINCT toUpper(c.seg))`,
   *    `sum(round(o.price)) AS s`) — as is `labels(n)` (the alias's
   *    static single-label list) and `type(r)` (single-hop named
@@ -433,7 +437,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|trim|abs|round|datetime|date|substring|toString|toInteger|toFloat"""
+    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -611,10 +615,36 @@ object CypherLite {
       case other => throw new IllegalArgumentException(
         s"$fn() extra arguments must be integer literals, got '$other'")
     }
+    def strArgs(n: Int): Seq[String] = {
+      require(extra.length == n && extra.forall(_.isInstanceOf[String]),
+        s"$fn() needs $n string literal argument(s)")
+      extra.map(_.asInstanceOf[String])
+    }
     fn.toLowerCase match {
       case "tolower" => noArgs(); lower(_)
       case "toupper" => noArgs(); upper(_)
       case "trim"    => noArgs(); trim(_)
+      case "ltrim"   => noArgs(); ltrim(_)
+      case "rtrim"   => noArgs(); rtrim(_)
+      case "reverse" => noArgs(); reverse(_)
+      // replace(x, 'find', 'put') — literal search/replacement (the
+      // Cypher string function; Spark's replace is literal too, not
+      // regex — and DuckDB's replace() replays it exactly)
+      case "replace" =>
+        val Seq(find, put) = strArgs(2)
+        c => org.apache.spark.sql.functions.replace(c, lit(find), lit(put))
+      // left/right(x, n) — leading/trailing n characters
+      case "left" => intArgs() match {
+        case Seq(n) => c => c.substr(lit(1), lit(n))
+        case _ => throw new IllegalArgumentException(
+          "left(expr, n) needs exactly one integer argument")
+      }
+      case "right" => intArgs() match {
+        case Seq(n) =>
+          c => org.apache.spark.sql.functions.right(c, lit(n))
+        case _ => throw new IllegalArgumentException(
+          "right(expr, n) needs exactly one integer argument")
+      }
       case "abs"     => noArgs(); abs(_)
       // date(x): Cypher's temporal conversion — to_date handles both
       // string and timestamp inputs (the parquet timestamp column case)
@@ -631,6 +661,7 @@ object CypherLite {
       case "tostring"  => noArgs(); _.cast("string")
       case "tointeger" => noArgs(); _.cast("long")
       case "tofloat"   => noArgs(); _.cast("double")
+      case "toboolean" => noArgs(); _.cast("boolean")
       // size(x) over a PROPERTY is Cypher's string length (node
       // properties are scalar columns in this engine's data model —
       // the list form lives on collect() outputs, dispatched at the

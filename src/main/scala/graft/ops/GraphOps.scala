@@ -1653,6 +1653,27 @@ object GraphOps {
              |  WHERE length(c_mktsegment) >= 9
              |  GROUP BY 1)
              |WHERE nseg >= 4 ORDER BY ALL""".stripMargin)
+    ),
+    // G63 the widened string-function surface through the text
+    // route — replace() as a grouping item, left() in WHERE,
+    // right()/reverse() as items; all fold to builtin Column calls
+    // (codegen), and DuckDB replays each by the same name.
+    QueryDef(
+      "g63_cypher_string_fns",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE left(c.c_mktsegment, 1) <> 'B'
+          |RETURN replace(n.n_name, 'IA', '_') AS nm,
+          |       right(n.n_name, 2) AS sfx,
+          |       reverse(n.n_name) AS rev,
+          |       count(*) AS cnt""".stripMargin)),
+      Some("""SELECT replace(n_name, 'IA', '_') AS nm,
+             |       right(n_name, 2) AS sfx,
+             |       reverse(n_name) AS rev,
+             |       count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE left(c_mktsegment, 1) <> 'B'
+             |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin)
     )
   )
 

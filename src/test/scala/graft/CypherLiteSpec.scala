@@ -1983,6 +1983,28 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric aggregate"), e.getMessage)
   }
 
+  test("widened string scalar fns: replace/left/right/ltrim/reverse/toBoolean") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN replace(a.tag, 'a', 'x') AS r, left(a.tag, 1) AS l, " +
+        "right(b.tag, 1) AS rr, reverse(b.tag) AS rev ORDER BY r, rr")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("x1", "a", "2", "2b"), ("x4", "a", "2", "2b"), ("x4", "a", "5", "5b")))
+    // in WHERE, both as wrap and with args
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE replace(a.tag, '4', '1') = 'a1' " +
+        "RETURN a, b").count()
+    assert(n === 3, "a4 rewrites to a1 — every edge survives")
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE left(b.tag, 1) = 'b' RETURN a").count()
+    assert(n2 === 3)
+    // bad arg counts reject at parse
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) RETURN replace(a.tag, 'x') AS r")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
