@@ -138,7 +138,14 @@ import org.apache.spark.sql.functions._
   *    stays valid only through carried aliases. `WITH *` carries
   *    every in-scope name in declaration order (`WITH *, count(*)
   *    AS c` groups the extras by the carried names — Cypher
-  *    semantics); likewise `RETURN *, item, …`.
+  *    semantics); likewise `RETURN *, item, …`. A MATCH clause AFTER
+  *    a WITH may compare a clause alias's property against a
+  *    previous-stage OUTPUT — `WITH avg(o.total) AS m MATCH
+  *    (c:C)-[:R]->(d) WHERE d.total > m` (the correlated-threshold
+  *    idiom, incl. against UNWIND outputs — the value-injection
+  *    join) — compiled as a row filter after the clause joins the
+  *    stage frame; required MATCH only (on OPTIONAL it would delete
+  *    outer rows — loud reject).
   *  - WHERE PATTERN PREDICATES, as top-level AND conjuncts of a
   *    required MATCH's WHERE: `[NOT] EXISTS { [MATCH] (a)-[:R]->(b)
   *    [WHERE …] }` (Neo4j 5 existential subquery — the internal WHERE
@@ -315,7 +322,14 @@ object CypherLite {
     * join (Cypher OPTIONAL-MATCH-WHERE: the condition is part of the
     * match, so failing rows null out instead of disappearing).
     */
-  final case class RowPred(props: Seq[(String, String)], cond: Column)
+  final case class RowPred(props: Seq[(String, String)], cond: Column,
+      // true → the condition reads a PREVIOUS-STAGE output column
+      // (`MATCH (c)… WHERE c.prop > m` after `WITH avg(…) AS m`):
+      // it can only evaluate AFTER the clause joins the stage frame,
+      // so it rides a post-join filter (required MATCH clauses only —
+      // on OPTIONAL the post-join filter would delete outer rows,
+      // loud reject at parse)
+      needsStage: Boolean = false)
 
   /** The single WITH pipeline stage: `items` project/aggregate the
     * path frame (the RETURN-item machinery), `where` filters the
@@ -897,6 +911,17 @@ object CypherLite {
     */
   private final case class Atom2E(a1: String, p1: String,
       a2: String, p2: String, mk: (Column, Column) => Column) extends BoolExpr
+  /** A property compared against a PREVIOUS-STAGE output column
+    * (`c.prop OP m` where m is a WITH output — the correlated-
+    * threshold idiom). The stage side resolves as a direct column
+    * reference on the joined frame; the synthetic alias marker forces
+    * the cross-alias (row filter) classification so the condition
+    * never lands on the node-table semi-join path where the stage
+    * column does not exist.
+    */
+  private final case class AtomSE(alias: String, prop: String, out: String,
+      mk: (Column, Column) => Column) extends BoolExpr
+  private val StageAliasMarker = "__stage"
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
   /** General boolean negation — `NOT a.x = 1`, `NOT (a.x = 1 OR
@@ -948,6 +973,7 @@ object CypherLite {
     case AndE(xs) => xs.flatMap(exprAliases).toSet
     case OrE(xs) => xs.flatMap(exprAliases).toSet
     case NotE(x) => exprAliases(x)
+    case AtomSE(a, _, _, _) => Set(a, StageAliasMarker)
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
     case AtomE(a, pr, _) => Seq(a -> pr)
@@ -955,6 +981,14 @@ object CypherLite {
     case AndE(xs) => xs.flatMap(exprProps)
     case OrE(xs) => xs.flatMap(exprProps)
     case NotE(x) => exprProps(x)
+    case AtomSE(a, pr, _, _) => Seq(a -> pr)
+  }
+  private def exprHasStage(e: BoolExpr): Boolean = e match {
+    case _: AtomSE => true
+    case AndE(xs) => xs.exists(exprHasStage)
+    case OrE(xs) => xs.exists(exprHasStage)
+    case NotE(x) => exprHasStage(x)
+    case _ => false
   }
   private def toColumn(e: BoolExpr, resolve: (String, String) => Column): Column =
     e match {
@@ -963,6 +997,7 @@ object CypherLite {
       case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
       case NotE(x) => !toColumn(x, resolve)
+      case AtomSE(a, pr, out, mk) => mk(resolve(a, pr), col(out))
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)
@@ -1606,7 +1641,8 @@ object CypherLite {
       * names).
       */
     def applyWhere(w: String, allowed: Set[String],
-        nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty)
+        nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty,
+        stageOuts: Set[String] = Set.empty)
         : (Map[String, PatternNode], Seq[RowPred],
            Map[String, (Column, Seq[String])]) = {
       def checkAlias(a: String, p: String): Unit = {
@@ -1668,6 +1704,15 @@ object CypherLite {
               case IdFnRe(a2) if bound.contains(a2) =>
                 checkAlias(a2, "id")
                 Atom2E(a, p, a2, "id", opBuilder2(op))
+              // `… OP out` — a bare PREVIOUS-STAGE output on the RHS
+              // (the correlated-threshold idiom in a post-WITH MATCH:
+              // `WITH avg(x) AS m MATCH (c)… WHERE c.prop > m`);
+              // compiles to a post-join row filter
+              case rhs if stageOuts(rhs) &&
+                  rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") &&
+                  !rhs.equalsIgnoreCase("true") &&
+                  !rhs.equalsIgnoreCase("false") =>
+                AtomSE(a, p, rhs, opBuilder2(op))
               case _ => AtomE(a, p, opBuilder(op, v))
             }
           case other => fail(
@@ -1691,7 +1736,8 @@ object CypherLite {
             "unsupported — restrict the relationship in its own conjunct")
       val rps = crossAlias.map { e =>
         RowPred(exprProps(e).distinct,
-          toColumn(e, (a, pr) => col(s"${a}__w_$pr")))
+          toColumn(e, (a, pr) => col(s"${a}__w_$pr")),
+          needsStage = exprHasStage(e))
       }
       val (relSingle, nodeSingle) = single
         .partition(e => relVars(exprAliases(e).head))
@@ -2622,7 +2668,15 @@ object CypherLite {
             val ns = PatternNode(anchorLabel, anchor) +:
               clauseSteps.toSeq.map(_.node)
             val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
-              relAllowed = clauseSteps.iterator.flatMap(_.relVar).toSet)
+              relAllowed = clauseSteps.iterator.flatMap(_.relVar).toSet,
+              // the clause WHERE may compare a clause alias's property
+              // against a PREVIOUS-STAGE output (`… WHERE c.prop > m`)
+              // — post-join row filters, required clauses only
+              stageOuts = outNames ++ unwinds.map(_._2))
+            require(!isOpt || rps.forall(!_.needsStage),
+              "OPTIONAL MATCH WHERE may not reference stage outputs — " +
+                "a post-join filter would delete outer rows; filter in " +
+                "a later WITH instead")
             clauseRps = rps
             anchorPred = upd.get(anchor).flatMap(_.pred)
             for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
@@ -3179,20 +3233,40 @@ object CypherLite {
           val out = w.postMatches.foldLeft(unwound) { (d, pm) =>
             val sub0 = g.matchPaths(
               PatternNode(pm.anchorLabel, pm.anchor, pm.anchorPred), pm.steps)
+            // ordinary cross-alias conjuncts filter the SUB frame
+            // before the join (inner: equivalent; left: the Neo4j
+            // inside-the-optional semantics); STAGE-referencing ones
+            // (`c.prop > m`) can only evaluate after the join
+            val (stageRps, subRps) = pm.rowPreds.partition(_.needsStage)
             val sub =
-              if (pm.rowPreds.isEmpty) sub0
+              if (subRps.isEmpty) sub0
               else {
-                val need = pm.rowPreds.flatMap(_.props).distinct
+                val need = subRps.flatMap(_.props).distinct
                 val attached2 = need.groupBy(_._1).toSeq.sortBy(_._1)
                   .foldLeft(sub0) { case (df2, (alias, ps)) =>
                     g.attach(df2, alias, p.labels(alias), ps.map(_._2).distinct,
                       s"${alias}__w_", "left_outer")
                   }
                 attached2
-                  .filter(pm.rowPreds.map(_.cond).reduce(_ && _))
+                  .filter(subRps.map(_.cond).reduce(_ && _))
                   .select(sub0.columns.map(col).toIndexedSeq: _*)
               }
-            d.join(sub, Seq(pm.anchor), if (pm.optional) "left_outer" else "inner")
+            // stage predicates: attach their property columns to the
+            // sub frame, keep them THROUGH the join (the stage output
+            // column lives on the left side), filter, then drop
+            val needS = stageRps.flatMap(_.props).distinct
+            val sub2 = needS.groupBy(_._1).toSeq.sortBy(_._1)
+              .foldLeft(sub) { case (df2, (alias, ps)) =>
+                val lbl =
+                  if (alias == pm.anchor) pm.anchorLabel else p.labels(alias)
+                g.attach(df2, alias, lbl, ps.map(_._2).distinct,
+                  s"${alias}__w_", "left_outer")
+              }
+            val joined = d.join(sub2, Seq(pm.anchor),
+              if (pm.optional) "left_outer" else "inner")
+            if (stageRps.isEmpty) joined
+            else joined.filter(stageRps.map(_.cond).reduce(_ && _))
+              .drop(needS.map { case (a, pr) => s"${a}__w_$pr" }: _*)
           }
           (out, Some(w))
       }

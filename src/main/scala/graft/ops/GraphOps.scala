@@ -1674,6 +1674,26 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE left(c_mktsegment, 1) <> 'B'
              |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin)
+    ),
+    // G64 the correlated-threshold idiom — a post-WITH MATCH whose
+    // WHERE compares a clause alias's property against the previous
+    // stage's aggregate output (`max(o.price) AS mx … WHERE
+    // o2.price >= mx`): compiled as a row filter AFTER the clause
+    // joins the stage frame (required MATCH only).
+    QueryDef(
+      "g64_cypher_stage_threshold",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WITH c, max(o.o_totalprice) AS mx
+          |MATCH (c)-[:HAS_ORDER]->(o2:orders)
+          |WHERE o2.o_totalprice >= mx
+          |RETURN count(*) AS n_max_orders""".stripMargin)),
+      Some("""SELECT count(*) AS n_max_orders
+             |FROM orders o2 JOIN (
+             |  SELECT c_custkey, max(o_totalprice) AS mx
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY 1) m ON o2.o_custkey = m.c_custkey
+             |WHERE o2.o_totalprice >= m.mx""".stripMargin)
     )
   )
 

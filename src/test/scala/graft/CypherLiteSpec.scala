@@ -2005,6 +2005,30 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("post-WITH MATCH WHERE against stage outputs — correlated threshold") {
+    // per-a maximum b id, then re-match the edges strictly below it
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, max(b.id) AS m " +
+        "MATCH (a)-[:R1]->(b2:B) WHERE b2.id < m RETURN a, b2")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq((4L, 2L)),
+      "a1's only edge IS its max; a4 keeps b2 (2 < 5)")
+    // against an UNWIND output — the value-injection join
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH a, count(*) AS c " +
+        "UNWIND [2, 5] AS want MATCH (a)-[:R1]->(b2:B) " +
+        "WHERE b2.id = want RETURN want, b2 ORDER BY want")
+      .as[(Long, Long)].collect().toSeq
+    assert(r2 === Seq((2L, 2L), (5L, 5L)))
+    // OPTIONAL MATCH + stage output → loud reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, max(b.id) AS m " +
+          "OPTIONAL MATCH (a)-[:R1]->(b2:B) WHERE b2.id < m RETURN a, b2")
+    }
+    assert(e.getMessage.contains("stage outputs"), e.getMessage)
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
