@@ -145,7 +145,13 @@ import org.apache.spark.sql.functions._
   *    idiom, incl. against UNWIND outputs — the value-injection
   *    join) — compiled as a row filter after the clause joins the
   *    stage frame; required MATCH only (on OPTIONAL it would delete
-  *    outer rows — loud reject).
+  *    outer rows — loud reject). HEAD-position
+  *    `UNWIND [lit, …] AS x` (before the first MATCH) explodes the
+  *    literal list onto the path frame as a value column — exact
+  *    UNWIND multiplicity, no join — and `WHERE c.prop = x`
+  *    compiles against it; x rides RETURN/WITH items, aggregates,
+  *    and star expansion (declared first). Literal lists only at the
+  *    head (a name has no source scope there — loud reject).
   *  - WHERE PATTERN PREDICATES, as top-level AND conjuncts of a
   *    required MATCH's WHERE: `[NOT] EXISTS { [MATCH] (a)-[:R]->(b)
   *    [WHERE …] }` (Neo4j 5 existential subquery — the internal WHERE
@@ -419,7 +425,13 @@ object CypherLite {
       withClauses: Seq[WithClause] = Seq.empty,
       skip: Option[Int] = None,
       patternPreds: Seq[PatternPred] = Seq.empty,
-      shortestFilters: Seq[ShortestFilter] = Seq.empty)
+      shortestFilters: Seq[ShortestFilter] = Seq.empty,
+      // HEAD-position `UNWIND [lit, …] AS x` clauses (before the
+      // first MATCH — the batch value-injection idiom): each (list
+      // text, name) explodes onto the required path frame as a value
+      // column BEFORE the clause WHERE's row filters run, so
+      // `WHERE c.prop = x` compiles against it like a stage output
+      headUnwinds: Seq[(String, String)] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -1407,7 +1419,38 @@ object CypherLite {
     * [WITH …] [RETURN …]` statement. Anonymous nodes get positional
     * aliases `_0, _1, …`.
     */
-  def parse(stmt: String): Parsed = {
+  // head-position `UNWIND [lits] AS x` — peeled off the statement
+  // front before pattern parsing (the following text must continue
+  // with MATCH or a pattern)
+  private val HeadUnwindRe =
+    """(?is)^\s*UNWIND\s+(\[[^\]]*\])\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+
+  def parse(stmt0: String): Parsed = {
+    // peel head UNWIND clauses (literal lists only — a name has no
+    // source scope before the first MATCH)
+    var stmt = stmt0
+    val headUnwinds = {
+      val acc = Vector.newBuilder[(String, String)]
+      val seen = scala.collection.mutable.Set.empty[String]
+      var go = true
+      while (go) stmt match {
+        case HeadUnwindRe(lits, x, rest) =>
+          checkUserName(x, "UNWIND output")
+          require(seen.add(x),
+            s"UNWIND output name '$x' collides with an existing output")
+          val body = lits.stripPrefix("[").stripSuffix("]").trim
+          if (body.nonEmpty) splitTopComma(body).foreach(literal)
+          acc += (lits -> x)
+          stmt = rest
+        case other =>
+          require(!other.matches("(?is)^\\s*UNWIND\\b.*"),
+            "UNWIND before the first MATCH must be `UNWIND [lit, …] " +
+              "AS x` — a named list has no source scope here")
+          go = false
+      }
+      acc.result()
+    }
+    val headNames: Set[String] = headUnwinds.map(_._2).toSet
     val (beforeReturn, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
@@ -1480,6 +1523,9 @@ object CypherLite {
     // variables — RETURN * expands in this order (Kuzu prints
     // declaration order too)
     val declOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+    // head-UNWIND outputs are declared FIRST (statement order) — they
+    // ride RETURN * / WITH * expansion like any declared name
+    declOrder ++= headUnwinds.map(_._2)
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
@@ -1987,7 +2033,11 @@ object CypherLite {
         // predicate. Pattern-predicate conjuncts were extracted above.
         val ns = start +: steps.toSeq.map(_.node)
         val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
-          relAllowed = steps.iterator.flatMap(_.relVar).toSet)
+          relAllowed = steps.iterator.flatMap(_.relVar).toSet,
+          // head-UNWIND outputs are value columns on the path frame
+          // by the time row filters run — `c.prop = x` compiles
+          // against them like a stage output
+          stageOuts = headNames)
         rowPreds ++= rps
         upd.get(start.as).foreach(start = _)
         for (i <- steps.indices; n <- upd.get(steps(i).node.as))
@@ -2488,9 +2538,10 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         prev match {
           case None =>
-            (a => labels.contains(a) || relVars(a),
+            (a => labels.contains(a) || relVars(a) || headNames(a),
               a => labels.contains(a) || relVars(a),
-              a => labels.contains(a) || relVars(a), _ => false)
+              a => labels.contains(a) || relVars(a) || headNames(a),
+              _ => false)
           case Some(pw) =>
             // post-WITH MATCH aliases join the namespace as id-valued
             // names with REAL labels — properties attach downstream
@@ -2713,9 +2764,10 @@ object CypherLite {
           String => Boolean, String => Boolean, String => Boolean) =
         withClauses.lastOption match {
           case None =>
-            (a => labels.contains(a) || relVars(a),
+            (a => labels.contains(a) || relVars(a) || headNames(a),
               a => labels.contains(a) || relVars(a),
-              a => labels.contains(a) || relVars(a), _ => false)
+              a => labels.contains(a) || relVars(a) || headNames(a),
+              _ => false)
           case Some(w) =>
             val post = w.postMatches.flatMap(_.steps.map(_.node.as)).toSet
             val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2) ++ post
@@ -2804,13 +2856,16 @@ object CypherLite {
       case None => st
     }
 
+    for (x <- headNames)
+      require(!bound.contains(x),
+        s"pattern alias '$x' collides with a head UNWIND output")
     Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returns,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
       optionalAliases.toSet, returnDistinct, orderByR, limit,
       rowPreds.toSeq,
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
-      skip, patternPreds.toSeq, shortestFilters.toSeq)
+      skip, patternPreds.toSeq, shortestFilters.toSeq, headUnwinds)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -3102,8 +3157,19 @@ object CypherLite {
               .drop("__sp_key", "__sp_min")
         }
     }
+    // head-position UNWIND outputs explode onto the path frame as
+    // value columns (each literal list multiplies the rows N× in
+    // place — no join, exact UNWIND multiplicity) BEFORE the row
+    // filters, so `WHERE c.prop = x` conditions see them
+    val required0h = p.headUnwinds.foldLeft(required0) { case (d, (lits, x)) =>
+      val body = lits.stripPrefix("[").stripSuffix("]").trim
+      val arr =
+        if (body.isEmpty) array()
+        else array(splitTopComma(body).map(v => lit(literal(v))): _*)
+      d.withColumn(x, explode(arr))
+    }
     val required =
-      if (p.rowPreds.isEmpty) required0
+      if (p.rowPreds.isEmpty) required0h
       else {
         for (rp <- p.rowPreds; (a, pr) <- rp.props
              if p.labels.get(a).contains("") && pr != "id")
@@ -3112,7 +3178,7 @@ object CypherLite {
               "has no properties; declare a :Label to filter on them")
         val need = p.rowPreds.flatMap(_.props).distinct
         val attached = need.groupBy(_._1).toSeq.sortBy(_._1)
-          .foldLeft(required0) { case (df, (alias, ps)) =>
+          .foldLeft(required0h) { case (df, (alias, ps)) =>
             g.attach(df, alias, p.labels(alias), ps.map(_._2).distinct,
               s"${alias}__w_", "left_outer")
           }
@@ -3120,7 +3186,7 @@ object CypherLite {
           .filter(p.rowPreds.map(_.cond).reduce(_ && _))
           // a USING join fronts its key column — restore the path
           // frame's alias order (and drop the __w_ helpers)
-          .select(required0.columns.map(col).toIndexedSeq: _*)
+          .select(required0h.columns.map(col).toIndexedSeq: _*)
       }
     // WHERE pattern predicates: each compiles to its own sub-pattern
     // frame (matchPaths over the predicate's local steps, anchor

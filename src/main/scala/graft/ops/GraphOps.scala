@@ -1694,6 +1694,23 @@ object GraphOps {
              |  FROM customer JOIN orders ON o_custkey = c_custkey
              |  GROUP BY 1) m ON o2.o_custkey = m.c_custkey
              |WHERE o2.o_totalprice >= m.mx""".stripMargin)
+    ),
+    // G65 head-position UNWIND — `UNWIND [lits] AS x MATCH … WHERE
+    // c.prop = x` (the batch value-injection idiom): the literal
+    // list explodes onto the path frame as a value column (N× rows
+    // in place, no join) and the equality rides the row filter.
+    QueryDef(
+      "g65_cypher_head_unwind",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """UNWIND ['BUILDING', 'MACHINERY'] AS seg
+          |MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_mktsegment = seg
+          |RETURN seg, n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT seg, n_name AS nm, count(*) AS cnt
+             |FROM (VALUES ('BUILDING'), ('MACHINERY')) AS s(seg)
+             |JOIN customer ON c_mktsegment = seg
+             |JOIN nation ON n_nationkey = c_nationkey
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -2029,6 +2029,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("stage outputs"), e.getMessage)
   }
 
+  test("head-position UNWIND: value-injection over a literal list") {
+    val r1 = CypherLite.query(g,
+      "UNWIND [2, 5] AS want MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE b.id = want RETURN a, want ORDER BY want, a")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq((1L, 2L), (4L, 2L), (4L, 5L)))
+    // duplicate literals preserve UNWIND multiplicity (no dedup)
+    val r2 = CypherLite.query(g,
+      "UNWIND [1, 1] AS k MATCH (a:A {id: 1})-[:R1]->(b:B) RETURN k, b")
+    assert(r2.count() === 2)
+    // aggregable downstream, and through a WITH stage
+    val r3 = CypherLite.query(g,
+      "UNWIND [2, 5] AS want MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE b.id = want WITH want, count(*) AS n RETURN want, n ORDER BY want")
+      .as[(Long, Long)].collect().toSeq
+    assert(r3 === Seq((2L, 2L), (5L, 1L)))
+    // RETURN * declares head outputs first
+    val r4 = CypherLite.query(g,
+      "UNWIND [9] AS k MATCH (a:A {id: 1})-[:R1]->(b:B) RETURN *")
+    assert(r4.columns.toSeq === Seq("k", "a", "b"))
+    // named list at the head has no source scope → loud
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.parse("UNWIND xs AS x MATCH (a:A)-[:R1]->(b:B) RETURN x")
+    }
+    assert(e1.getMessage.contains("source scope"), e1.getMessage)
+    // a pattern alias may not rebind a head output
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.parse("UNWIND [1] AS a MATCH (a:A)-[:R1]->(b:B) RETURN a")
+    }
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
