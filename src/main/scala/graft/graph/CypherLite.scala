@@ -252,7 +252,12 @@ import org.apache.spark.sql.functions._
   *    valid in items and pattern WHERE, and a post-WITH `WHERE
   *    size(out) OP n` dispatches list-count for collect outputs vs
   *    string length otherwise (numeric aggregate outputs reject
-  *    pointedly). A `+` chain containing a string LITERAL
+  *    pointedly). `head(xs)`/`last(xs)` read a collect output's
+  *    first/last element — the engine's collect lists are SORTED
+  *    ascending, so head ≡ min and last ≡ max (deterministic; Neo4j
+  *    leaves it arbitrary). Arithmetic includes `%` (modulo, the
+  *    dividend's sign — Spark's and DuckDB's semantics alike).
+  *    A `+` chain containing a string LITERAL
   *    compiles to concatenation with non-strings cast (Cypher
   *    'a' + 1 = "a1"; property-only string concat needs an anchor —
   *    `'' + a.x + b.y`); strings under - * / reject.
@@ -1069,6 +1074,9 @@ object CypherLite {
     case BinA('-', l, r) => arithColumn(l, resolve) - arithColumn(r, resolve)
     case BinA('*', l, r) => arithColumn(l, resolve) * arithColumn(r, resolve)
     case BinA('/', l, r) => arithColumn(l, resolve) / arithColumn(r, resolve)
+    // Cypher's modulo — Spark's % (pmod differs on negatives; Cypher
+    // follows the dividend's sign, exactly Spark's and DuckDB's %)
+    case BinA('%', l, r) => arithColumn(l, resolve) % arithColumn(r, resolve)
     case BinA(op, _, _) => throw new IllegalArgumentException(s"operator '$op'")
   }
 
@@ -1126,7 +1134,7 @@ object CypherLite {
     def term(): ArithExpr = {
       var l = factor()
       ws()
-      while (peek == '*' || peek == '/') {
+      while (peek == '*' || peek == '/' || peek == '%') {
         val op = peek; i += 1
         l = BinA(op, l, factor())
         ws()
@@ -2106,7 +2114,7 @@ object CypherLite {
       * the WITH output names (prop access only on carried aliases).
       */
     val ArithAsRe =
-      """^(.*[+\-*/].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """^(.*[+\-*/%].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
     // tried after the plain-target AggItemRe, so only bodies that are
     // not a bare alias[.prop] land here. DISTINCT over an expression
@@ -2195,6 +2203,8 @@ object CypherLite {
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeStrItemRe =
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val HeadLastItemRe =
+      """(?is)^(head|last)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // labels(n): the alias's declared label as a 1-element list —
     // resolved STATICALLY (this engine's aliases carry exactly one
     // label), so the item costs a literal, no join. type(r): a named
@@ -2366,6 +2376,19 @@ object CypherLite {
         case SizeStrItemRe(a, p, as) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(fnCompiled("size", null, a, p, ctx, plainOk, propOk)))
+        // head(xs)/last(xs) over a previous stage's collect(…) list.
+        // This engine's collect lists are SORTED ascending, so head =
+        // the minimum element and last = the maximum — deterministic
+        // (Neo4j's head over an unordered collect is arbitrary; the
+        // engine's no-arbitrary-choice contract pins the sort).
+        case HeadLastItemRe(fn, n, as) if listOk(n) =>
+          val idx = if (fn.equalsIgnoreCase("head")) 1 else -1
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => element_at(res(n, None), idx))))
+        case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
+          fail("head()/last() take a previous WITH stage's collect(…) " +
+            "output and an AS name", other)
         // labels(n) — static single-label list (this engine's data
         // model); pattern scope only (a carried alias may be renamed)
         case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
@@ -2417,7 +2440,7 @@ object CypherLite {
         // aggregate over arithmetic — `sum(o.price * qty) AS s`:
         // the body compiles like an arithmetic item, the aggregate
         // folds over it (count counts non-null evaluations)
-        case AggArithRe(fn, body, as) if body.exists("+-*/".contains(_)) &&
+        case AggArithRe(fn, body, as) if body.exists("+-*/%".contains(_)) &&
             !body.matches("(?is)^\\s*DISTINCT\\b.*") =>
           val f = fn.toLowerCase
           val ae = parseArith(body.trim)
@@ -2447,7 +2470,7 @@ object CypherLite {
               require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
           }
           ReturnItem(None, distinct = false, "", None, as, arith = Some(ae))
-        case other if other.exists("+-*/".contains(_)) &&
+        case other if other.exists("+-*/%".contains(_)) &&
             !other.matches("(?is).*\\bAS\\b.*") =>
           fail("arithmetic items need an AS name", other)
         case other => fail(s"$ctx items must be alias[.prop] [AS n], " +

@@ -1711,6 +1711,33 @@ object GraphOps {
              |JOIN customer ON c_mktsegment = seg
              |JOIN nation ON n_nationkey = c_nationkey
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G66 head()/last() over collect lists — the engine's collect is
+    // SORTED ascending, so head ≡ min and last ≡ max (deterministic;
+    // the DuckDB oracle replays exactly that), beside size().
+    QueryDef(
+      "g66_cypher_head_last",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, collect(DISTINCT c.c_mktsegment) AS segs
+          |RETURN nm, head(segs) AS lo, last(segs) AS hi,
+          |       size(segs) AS ns""".stripMargin)),
+      Some("""SELECT n_name AS nm, min(c_mktsegment) AS lo,
+             |       max(c_mktsegment) AS hi,
+             |       CAST(count(DISTINCT c_mktsegment) AS INTEGER) AS ns
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G67 modulo in arithmetic items — `%` beside * with standard
+    // precedence (Cypher and Spark both follow the dividend's sign).
+    QueryDef(
+      "g67_cypher_modulo",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |RETURN c.c_custkey % 7 AS bucket, count(*) AS n""".stripMargin)),
+      Some("""SELECT c_custkey % 7 AS bucket, count(*) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

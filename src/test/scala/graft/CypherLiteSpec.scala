@@ -2061,6 +2061,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 
+  test("head()/last() over sorted collect lists; % modulo in arithmetic") {
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.tag) AS bs " +
+        "RETURN a, head(bs) AS lo, last(bs) AS hi ORDER BY a")
+      .as[(Long, String, String)].collect().toSeq
+    assert(r1 === Seq((1L, "b2", "b2"), (4L, "b2", "b5")),
+      "collect is sorted ascending — head = min, last = max")
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS c RETURN head(c) AS h")
+    }
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.id % 3 AS m, count(*) AS n ORDER BY m")
+      .as[(Long, Long)].collect().toSeq
+    assert(r2 === Seq((2L, 3L)), "ids 2,5,2 all ≡ 2 mod 3")
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
