@@ -88,6 +88,10 @@ import org.apache.spark.sql.functions._
   *    PROPERTY `alias2.prop2` (same-alias pairs stay node
   *    predicates; cross-alias pairs compile to per-path row filters
   *    over attached columns) or `id(alias)` (the node-identity
+  *    function). ARITHMETIC comparisons work too — `c.x % 2 = 0`,
+  *    `a.x + 1 > b.y` (both sides arithmetic over dotted refs and
+  *    literals; single-alias stays a node predicate, cross-alias
+  *    rides the row filter)
   *    function — this engine's node ids ARE the user-facing ids, so
   *    `id(n)` reads n's id column; a leading `id(n) OP …` and the
   *    two-sided `id(a) <> id(b)` both compile). Each condition
@@ -571,6 +575,32 @@ object CypherLite {
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
 
+  /** Locate the FIRST top-level comparison symbol (outside quotes and
+    * parens) in an arithmetic comparison — `c.x % 2 = 0`,
+    * `a.x + 1 > b.y`. Two-char operators win over their one-char
+    * prefixes. Returns (lhs, op, rhs).
+    */
+  private def splitTopCmp(s: String): Option[(String, String, String)] = {
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '<' | '>' | '=' if depth == 0 =>
+          val two = s.substring(i, math.min(i + 2, s.length))
+          val op =
+            if (two == "<=" || two == ">=" || two == "<>") two else ch.toString
+          return Some((s.substring(0, i), op, s.substring(i + op.length)))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
   /** USER-introduced names (aliases, relationship/path variables,
     * AS outputs, UNWIND targets) may not start with a double
     * underscore — the engine reserves that prefix for its internal
@@ -939,6 +969,15 @@ object CypherLite {
   private final case class AtomSE(alias: String, prop: String, out: String,
       mk: (Column, Column) => Column) extends BoolExpr
   private val StageAliasMarker = "__stage"
+  /** An ARITHMETIC comparison (`c.x % 2 = 0`, `a.x + 1 > b.y`): both
+    * sides are arithmetic expressions over `alias.prop` refs and
+    * literals. Single-alias instances stay node predicates (the
+    * expression compiles against the node table's columns);
+    * cross-alias ones ride the row filter. Refs must be dotted —
+    * bare names have no column on the node-predicate path.
+    */
+  private final case class ArithCmpE(l: ArithExpr, r: ArithExpr,
+      mk: (Column, Column) => Column) extends BoolExpr
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
   /** General boolean negation — `NOT a.x = 1`, `NOT (a.x = 1 OR
@@ -991,6 +1030,8 @@ object CypherLite {
     case OrE(xs) => xs.flatMap(exprAliases).toSet
     case NotE(x) => exprAliases(x)
     case AtomSE(a, _, _, _) => Set(a, StageAliasMarker)
+    case ArithCmpE(l, r, _) =>
+      (arithRefs(l) ++ arithRefs(r)).map(_._1).toSet
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
     case AtomE(a, pr, _) => Seq(a -> pr)
@@ -999,6 +1040,8 @@ object CypherLite {
     case OrE(xs) => xs.flatMap(exprProps)
     case NotE(x) => exprProps(x)
     case AtomSE(a, pr, _, _) => Seq(a -> pr)
+    case ArithCmpE(l, r, _) =>
+      (arithRefs(l) ++ arithRefs(r)).collect { case (a, Some(p)) => a -> p }
   }
   private def exprHasStage(e: BoolExpr): Boolean = e match {
     case _: AtomSE => true
@@ -1015,6 +1058,13 @@ object CypherLite {
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
       case NotE(x) => !toColumn(x, resolve)
       case AtomSE(a, pr, out, mk) => mk(resolve(a, pr), col(out))
+      case ArithCmpE(l, r, mk) =>
+        val res: (String, Option[String]) => Column = {
+          case (a, Some(p)) => resolve(a, p)
+          case (a, None) => throw new IllegalArgumentException(
+            s"'$a': WHERE arithmetic refs must be alias.prop")
+        }
+        mk(arithColumn(l, res), arithColumn(r, res))
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)
@@ -1769,6 +1819,25 @@ object CypherLite {
                 AtomSE(a, p, rhs, opBuilder2(op))
               case _ => AtomE(a, p, opBuilder(op, v))
             }
+          // ARITHMETIC comparison — `c.x % 2 = 0`, `a.x + 1 > b.y`:
+          // tried after every shaped atom missed; both sides compile
+          // as arithmetic over dotted refs and literals. Single-alias
+          // instances stay node predicates; cross-alias ones ride the
+          // row filter.
+          case other if other.exists("+-*/%".contains(_)) &&
+              splitTopCmp(other).isDefined =>
+            val (lt, op, rt) = splitTopCmp(other).get
+            val l = parseArith(lt.trim)
+            val r = parseArith(rt.trim)
+            val refs = arithRefs(l) ++ arithRefs(r)
+            require(refs.nonEmpty,
+              s"constant WHERE comparison: '${other.take(40)}'")
+            for ((a, pOpt) <- refs) pOpt match {
+              case Some(p) => checkAlias(a, p)
+              case None => fail(
+                "WHERE arithmetic refs must be alias.prop", other)
+            }
+            ArithCmpE(l, r, opBuilder2(op))
           case other => fail(
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)

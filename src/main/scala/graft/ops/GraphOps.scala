@@ -1738,6 +1738,22 @@ object GraphOps {
       Some("""SELECT c_custkey % 7 AS bucket, count(*) AS n
              |FROM customer JOIN orders ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G68 arithmetic comparisons in WHERE — a single-alias modulo
+    // (node predicate, evaluated against the node table before the
+    // path join) AND a cross-alias arithmetic comparison (row
+    // filter over attached columns).
+    QueryDef(
+      "g68_cypher_arith_where",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE c.c_custkey % 2 = 0
+          |  AND o.o_totalprice / 2.0 > c.c_acctbal + 50000.0
+          |RETURN count(*) AS n""".stripMargin)),
+      Some("""SELECT count(*) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_custkey % 2 = 0
+             |  AND o_totalprice / 2.0 > c_acctbal + 50000.0""".stripMargin)
     )
   )
 

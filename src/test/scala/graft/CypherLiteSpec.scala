@@ -2078,6 +2078,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(r2 === Seq((2L, 3L)), "ids 2,5,2 all ≡ 2 mod 3")
   }
 
+  test("arithmetic comparisons in WHERE: node predicate and cross-alias") {
+    // single alias → node predicate: even ids among B arrivals
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id % 2 = 0 RETURN a, b ORDER BY a")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq((1L, 2L), (4L, 2L)))
+    // cross-alias arithmetic → row filter: b.id - a.id >= 1 keeps
+    // (a1,b2)=1 and (a4,b5)=1; (a4,b2)=-2 drops
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id - a.id >= 1 RETURN a, b")
+      .as[(Long, Long)].collect().toSeq
+    assert(r2.toSet === Set((1L, 2L), (4L, 5L)))
+    // under NOT and beside ordinary conjuncts
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE NOT b.id % 2 = 0 AND a.id = 4 RETURN b")
+      .as[Long].collect().toSeq
+    assert(r3 === Seq(5L))
+    // bare names in WHERE arithmetic reject pointedly
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:A)-[:R1]->(b:B) WHERE a + 1 > 2 RETURN b")
+    }
+    assert(e.getMessage.contains("alias.prop"), e.getMessage)
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
