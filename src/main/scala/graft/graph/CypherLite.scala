@@ -170,7 +170,11 @@ import org.apache.spark.sql.functions._
   *    loud reject.
   *  - `RETURN [DISTINCT] item, …` where item is `alias.prop`,
   *    bare `alias` (its id), `count(*)`, or
-  *    `count|sum|min|max|avg|collect([DISTINCT] alias[.prop])`;
+  *    `count|sum|min|max|avg|collect([DISTINCT] alias[.prop])`,
+  *    `stDev|stDevP(alias.prop)` (sample/population), and
+  *    `percentileCont|percentileDisc(alias.prop, fraction)` (exact:
+  *    Cont interpolates linearly, Disc returns the smallest data
+  *    value with cumulative distribution ≥ fraction);
   *    un-aliased plain aggregates get a DETERMINISTIC sanitized
   *    default name (`count(*)` → `count_star`, `count(DISTINCT p)` →
   *    `count_distinct_p`, `sum(o.total)` → `sum_o_total` — Neo4j
@@ -293,7 +297,9 @@ object CypherLite {
       arith: Option[ArithExpr] = None,
       // set → the item is a searched CASE expression (optionally under
       // an aggregate); alias/prop/arith are unused then
-      caseC: Option[CaseCompiled] = None) {
+      caseC: Option[CaseCompiled] = None,
+      // the percentile fraction for percentileCont/percentileDisc
+      aggArg: Option[Double] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -458,7 +464,12 @@ object CypherLite {
   private val PlainItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
-    """^(?i:(count|sum|min|max|avg|collect))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+    """^(?i:(count|sum|min|max|avg|collect|stDev|stDevP))\s*\(\s*(?:((?i:DISTINCT))\s+)?(\*|[A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
+  // percentileCont/percentileDisc(alias.prop, fraction) — the
+  // two-argument Neo4j percentile aggregates; the fraction is a
+  // literal in [0, 1]
+  private val PercentileRe =
+    """^(?i)(percentileCont|percentileDisc)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(0?\.[0-9]+|0|1|1\.0|0\.0)\s*\)\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
   // `=~` FIRST so the alternation prefers it over bare `=`
   private val OpAlt =
     """=~|=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
@@ -2293,6 +2304,17 @@ object CypherLite {
         listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
       val items = splitTopComma(r).toIndexedSeq
         .map(stripIdWrap).map[ReturnItem] {
+        // percentileCont (linear interpolation — Spark's exact
+        // percentile) / percentileDisc (an actual data value: the
+        // smallest element with cumulative distribution ≥ fraction)
+        case PercentileRe(fn, a, p, frac, as) =>
+          require(propOk(a),
+            s"${fn}() references unknown alias '$a'")
+          ReturnItem(Some(fn.toLowerCase), distinct = false, a, Some(p), as,
+            aggArg = Some(frac.toDouble))
+        case other if other.matches("(?is)^percentile(Cont|Disc)\\s*\\(.*") =>
+          fail("percentileCont/Disc take (alias.prop, fraction-literal) " +
+            "and an AS name", other)
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -2687,16 +2709,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -3024,6 +3046,20 @@ object CypherLite {
             case ("min", _) => min(baseCol(ri))
             case ("max", _) => max(baseCol(ri))
             case ("avg", _) => avg(baseCol(ri))
+            // Neo4j's sample/population standard deviations
+            case ("stdev", _)  => stddev_samp(baseCol(ri))
+            case ("stdevp", _) => stddev_pop(baseCol(ri))
+            // exact percentiles: Cont = linear interpolation
+            // (functions.percentile — Spark's exact implementation,
+            // same formula as DuckDB quantile_cont); Disc = the
+            // smallest data value with cume_dist ≥ fraction (SQL
+            // standard percentile_disc, Spark 3.4+)
+            case ("percentilecont", _) =>
+              percentile(baseCol(ri), lit(ri.aggArg.get))
+            case ("percentiledisc", _) =>
+              val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
+              expr(s"percentile_disc(${ri.aggArg.get}) " +
+                s"WITHIN GROUP (ORDER BY `$cn`)")
           }
           c.as(ri.as)
         }

@@ -1754,6 +1754,28 @@ object GraphOps {
              |FROM customer JOIN orders ON o_custkey = c_custkey
              |WHERE c_custkey % 2 = 0
              |  AND o_totalprice / 2.0 > c_acctbal + 50000.0""".stripMargin)
+    ),
+    // G69 the statistical aggregates — percentileDisc (an ACTUAL
+    // data value: SQL-standard smallest element with cume_dist ≥ p,
+    // which DuckDB's quantile_disc agrees with at these fractions),
+    // percentileCont (exact linear interpolation — same formula both
+    // engines), and stDev rounded through a second stage to absorb
+    // summation-order noise in the last bits.
+    QueryDef(
+      "g69_cypher_percentiles",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, percentileDisc(c.c_acctbal, 0.5) AS med,
+          |     percentileCont(c.c_acctbal, 0.25) AS q1,
+          |     stDev(c.c_acctbal) AS sd
+          |RETURN nm, med, round(q1, 4) AS q1r,
+          |       round(sd, 4) AS sd4""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |       quantile_disc(c_acctbal, 0.5) AS med,
+             |       round(quantile_cont(c_acctbal, 0.25), 4) AS q1r,
+             |       round(stddev_samp(c_acctbal), 4) AS sd4
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

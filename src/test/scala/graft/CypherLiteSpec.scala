@@ -2102,6 +2102,31 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("alias.prop"), e.getMessage)
   }
 
+  test("stDev/stDevP and percentileCont/Disc aggregates") {
+    import org.apache.spark.sql.functions.col
+    val vg = PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 2.0), (2L, 4.0), (3L, 4.0), (4L, 4.0),
+        (5L, 5.0), (6L, 5.0), (7L, 7.0), (8L, 9.0))
+        .toDF("id", "v").select(col("id"), col("v"))),
+      edges = Map.empty)
+    val row = CypherLite.query(vg,
+      "MATCH (n:V) RETURN stDevP(n.v) AS sp, stDev(n.v) AS ss, " +
+        "percentileCont(n.v, 0.5) AS pc, percentileDisc(n.v, 0.5) AS pd")
+      .as[(Double, Double, Double, Double)].collect().head
+    // population stddev of 2,4,4,4,5,5,7,9 = 2.0 (the classic example)
+    assert(row._1 === 2.0)
+    assert(math.abs(row._2 - 2.138) < 0.001)
+    assert(row._3 === 4.5, "cont: interpolates between 4 and 5")
+    assert(row._4 === 4.0, "disc: smallest value with cume_dist >= 0.5")
+    // DISTINCT and missing fraction reject
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (n:V) RETURN stDev(DISTINCT n.v) AS s")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (n:V) RETURN percentileCont(n.v) AS p")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
