@@ -100,6 +100,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("o_orderdate"), "unreferenced columns must prune")
   }
 
+  test("g68 arith node predicate evaluates at the scan and infers across the join") {
+    // `c.c_custkey % 2 = 0` must run as a DataFilter on the customer
+    // scan (parquet cannot push `%` as a row-group filter, but the
+    // filter sits directly on a 1-column scan before the join) — and
+    // Catalyst infers the same predicate onto the orders side through
+    // the equi-join key, halving BOTH scans' output at 100 TB
+    val p = plan("g68_cypher_arith_where")
+    assert(p.contains("(c_custkey") && p.contains("% 2) = 0)"),
+      "modulo predicate must filter the customer scan")
+    assert(p.contains("(o_custkey") && p.linesIterator
+        .exists(l => l.contains("o_custkey") && l.contains("% 2) = 0)")),
+      "the join must infer the predicate onto the orders scan")
+  }
+
+  test("g65 head UNWIND is a Generate (explode), never a cartesian or sort-merge") {
+    val p = plan("g65_cypher_head_unwind")
+    assert(p.contains("Generate explode"),
+      "the literal list must explode in place")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the value equality must ride a broadcast equi-join")
+  }
+
   test("g35 EXISTS pattern predicate compiles to LeftSemi; its rel predicate pushes") {
     // the EXISTS subquery must be a semi-join (a FILTER on the path
     // frame — never an inner join that would fan out per qualifying
