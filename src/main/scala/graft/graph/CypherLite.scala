@@ -501,6 +501,11 @@ object CypherLite {
   // string length over a scalar output
   private val WithSizeCondRe =
     s"""^(?i:size)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // a BARE stage-output name on the LHS of a comparison (`m < c.prop`
+  // in a post-WITH MATCH WHERE) — mirrored into the canonical
+  // property-vs-stage form
+  private val StageLhsRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>)\s*(.+)$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -1829,6 +1834,25 @@ object CypherLite {
                   !rhs.equalsIgnoreCase("false") =>
                 AtomSE(a, p, rhs, opBuilder2(op))
               case _ => AtomE(a, p, opBuilder(op, v))
+            }
+          // REVERSED stage comparison — `m < c.prop` (the stage
+          // output on the LEFT): mirror the operator and compile as
+          // the canonical `c.prop > m` AtomSE
+          case StageLhsRe(nm, op, rest) if stageOuts(nm) =>
+            rest.trim match {
+              case PropRefRe(a2, p2) =>
+                checkAlias(a2, p2)
+                val mirrored = op match {
+                  case "<" => ">"
+                  case "<=" => ">="
+                  case ">" => "<"
+                  case ">=" => "<="
+                  case other2 => other2 // = and <> are symmetric
+                }
+                AtomSE(a2, p2, nm, opBuilder2(mirrored))
+              case other2 => fail(
+                s"'$nm OP …': a stage-output comparison needs alias.prop " +
+                  "on the other side", other2)
             }
           // ARITHMETIC comparison — `c.x % 2 = 0`, `a.x + 1 > b.y`:
           // tried after every shaped atom missed; both sides compile

@@ -2027,6 +2027,12 @@ class CypherLiteSpec extends SparkSpec {
           "OPTIONAL MATCH (a)-[:R1]->(b2:B) WHERE b2.id < m RETURN a, b2")
     }
     assert(e.getMessage.contains("stage outputs"), e.getMessage)
+    // reversed operands: `m > b2.id` mirrors to `b2.id < m`
+    val r5 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, max(b.id) AS m " +
+        "MATCH (a)-[:R1]->(b2:B) WHERE m > b2.id RETURN a, b2")
+      .as[(Long, Long)].collect().toSeq
+    assert(r5 === Seq((4L, 2L)))
   }
 
   test("head-position UNWIND: value-injection over a literal list") {
