@@ -383,7 +383,15 @@ object CypherLite {
       // left for OPTIONAL MATCH — all-or-nothing, like top-level
       // optionals). New aliases join the namespace with their labels,
       // so properties attach downstream.
-      postMatches: Seq[PostMatch] = Seq.empty)
+      postMatches: Seq[PostMatch] = Seq.empty) {
+    /** Every name this stage leaves in scope, declaration order —
+      * item outputs, unwound names, post-stage MATCH aliases. The
+      * ONE definition star expansion and name resolution share.
+      */
+    def scopeNames: Seq[String] =
+      items.map(_.as) ++ unwinds.map(_._2) ++
+        postMatches.flatMap(_.steps.map(_.node.as))
+  }
 
   /** One pattern clause following a WITH stage: a single chain of
     * steps anchored at `anchor` (a name in the stage's scope, label
@@ -591,6 +599,20 @@ object CypherLite {
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
 
+  /** An RHS that the PLAIN operand grammar already handles — a quoted
+    * string, a signed number, a boolean, or one of the folded
+    * function forms (toLower/toUpper/date/datetime/CAST). Such
+    * operands must NOT divert to the arithmetic route even when they
+    * contain `-` (date literals, negative numbers).
+    */
+  private def plainRhsForm(s: String): Boolean =
+    s.startsWith("'") ||
+      s.matches("(?i)-?\\d+(\\.\\d+)?|true|false") ||
+      RhsFnRe.findFirstIn(s).isDefined ||
+      RhsCastRe.findFirstIn(s).isDefined ||
+      RhsDateRe.findFirstIn(s).isDefined ||
+      RhsDatetimeRe.findFirstIn(s).isDefined
+
   /** Locate the FIRST top-level comparison symbol (outside quotes and
     * parens) in an arithmetic comparison — `c.x % 2 = 0`,
     * `a.x + 1 > b.y`. Two-char operators win over their one-char
@@ -738,7 +760,16 @@ object CypherLite {
       case "tostring"  => noArgs(); _.cast("string")
       case "tointeger" => noArgs(); _.cast("long")
       case "tofloat"   => noArgs(); _.cast("double")
-      case "toboolean" => noArgs(); _.cast("boolean")
+      // toBoolean: Neo4j accepts ONLY 'true'/'false' (case-
+      // insensitive) and booleans — anything else is null. Spark's
+      // boolean cast also accepts 'y'/'yes'/'t'/'1' etc., so the
+      // cast is gated on the exact literals to match Cypher.
+      case "toboolean" => noArgs(); c => {
+        val s = lower(c.cast("string"))
+        when(s === "true", lit(true))
+          .when(s === "false", lit(false))
+          .otherwise(lit(null))
+      }
       // size(x) over a PROPERTY is Cypher's string length (node
       // properties are scalar columns in this engine's data model —
       // the list form lives on collect() outputs, dispatched at the
@@ -994,6 +1025,13 @@ object CypherLite {
     */
   private final case class ArithCmpE(l: ArithExpr, r: ArithExpr,
       mk: (Column, Column) => Column) extends BoolExpr
+  /** A stage/head-unwind output compared against a LITERAL
+    * (`WHERE m = 5`, `WHERE x = 'BUILDING'` after UNWIND) — a pure
+    * filter on the stage column; no property attach, always the
+    * post-join (row filter) path.
+    */
+  private final case class StageLitE(out: String, mk: Column => Column)
+      extends BoolExpr
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
   /** General boolean negation — `NOT a.x = 1`, `NOT (a.x = 1 OR
@@ -1048,6 +1086,7 @@ object CypherLite {
     case AtomSE(a, _, _, _) => Set(a, StageAliasMarker)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).map(_._1).toSet
+    case StageLitE(_, _) => Set.empty
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
     case AtomE(a, pr, _) => Seq(a -> pr)
@@ -1058,9 +1097,11 @@ object CypherLite {
     case AtomSE(a, pr, _, _) => Seq(a -> pr)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).collect { case (a, Some(p)) => a -> p }
+    case StageLitE(_, _) => Seq.empty
   }
   private def exprHasStage(e: BoolExpr): Boolean = e match {
     case _: AtomSE => true
+    case _: StageLitE => true
     case AndE(xs) => xs.exists(exprHasStage)
     case OrE(xs) => xs.exists(exprHasStage)
     case NotE(x) => exprHasStage(x)
@@ -1074,6 +1115,7 @@ object CypherLite {
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
       case NotE(x) => !toColumn(x, resolve)
       case AtomSE(a, pr, out, mk) => mk(resolve(a, pr), col(out))
+      case StageLitE(out, mk) => mk(col(out))
       case ArithCmpE(l, r, mk) =>
         val res: (String, Option[String]) => Column = {
           case (a, Some(p)) => resolve(a, p)
@@ -1493,11 +1535,28 @@ object CypherLite {
     * [WITH …] [RETURN …]` statement. Anonymous nodes get positional
     * aliases `_0, _1, …`.
     */
+  // a literal list `[lit, lit, …]` — quote-aware: a ']' INSIDE a
+  // quoted element does not close the bracket
+  private val LitListPat = """\[(?:'[^']*'|[^\]'])*\]"""
   // head-position `UNWIND [lits] AS x` — peeled off the statement
   // front before pattern parsing (the following text must continue
   // with MATCH or a pattern)
   private val HeadUnwindRe =
-    """(?is)^\s*UNWIND\s+(\[[^\]]*\])\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+    s"""(?is)^\\s*UNWIND\\s+($LitListPat)\\s+(?:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$$""".r
+
+  /** Parse a literal-list text (`[1, 'a', …]`) to its element values —
+    * the shared validation/build path for every UNWIND literal site.
+    */
+  private def litListValues(listTxt: String): Seq[Any] = {
+    val body = listTxt.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) Seq.empty else splitTopComma(body).map(literal)
+  }
+
+  /** A literal list as an array Column (codegen'd literals). */
+  private def litArray(listTxt: String): Column = {
+    val vs = litListValues(listTxt)
+    if (vs.isEmpty) array() else array(vs.map(lit): _*)
+  }
 
   def parse(stmt0: String): Parsed = {
     // peel head UNWIND clauses (literal lists only — a name has no
@@ -1512,8 +1571,7 @@ object CypherLite {
           checkUserName(x, "UNWIND output")
           require(seen.add(x),
             s"UNWIND output name '$x' collides with an existing output")
-          val body = lits.stripPrefix("[").stripSuffix("]").trim
-          if (body.nonEmpty) splitTopComma(body).foreach(literal)
+          litListValues(lits) // every element must parse NOW
           acc += (lits -> x)
           stmt = rest
         case other =>
@@ -1833,6 +1891,17 @@ object CypherLite {
                   !rhs.equalsIgnoreCase("true") &&
                   !rhs.equalsIgnoreCase("false") =>
                 AtomSE(a, p, rhs, opBuilder2(op))
+              // RHS-side arithmetic (`b.id > a.id + 1`, `c.x = 1 + 1`)
+              // — the LHS property becomes a one-ref arithmetic side
+              case rhs if rhs.exists("+-*/%".contains(_)) &&
+                  !plainRhsForm(rhs) =>
+                val rAe = parseArith(rhs)
+                for ((a2, pOpt) <- arithRefs(rAe)) pOpt match {
+                  case Some(p2) => checkAlias(a2, p2)
+                  case None => fail(
+                    "WHERE arithmetic refs must be alias.prop", cond)
+                }
+                ArithCmpE(RefA(a, Some(p)), rAe, opBuilder2(op))
               case _ => AtomE(a, p, opBuilder(op, v))
             }
           // REVERSED stage comparison — `m < c.prop` (the stage
@@ -1850,9 +1919,9 @@ object CypherLite {
                   case other2 => other2 // = and <> are symmetric
                 }
                 AtomSE(a2, p2, nm, opBuilder2(mirrored))
-              case other2 => fail(
-                s"'$nm OP …': a stage-output comparison needs alias.prop " +
-                  "on the other side", other2)
+              // `m = 5` / `x = 'BUILDING'` — stage output vs literal:
+              // a pure filter on the stage column (row-filter path)
+              case _ => StageLitE(nm, opBuilder(op, rest.trim))
             }
           // ARITHMETIC comparison — `c.x % 2 = 0`, `a.x + 1 > b.y`:
           // tried after every shaped atom missed; both sides compile
@@ -1884,8 +1953,11 @@ object CypherLite {
       // (the path frame on a required MATCH, the inner sub-pattern
       // frame on an OPTIONAL MATCH), evaluated against attached
       // property columns
+      // stage-touching conjuncts ALWAYS ride the row filter (the
+      // stage column only exists on the joined frame), whatever
+      // their alias count
       val (single, crossAlias) = flattenAnd(parseBool(w, parseCond))
-        .partition(e => exprAliases(e).size == 1)
+        .partition(e => exprAliases(e).size == 1 && !exprHasStage(e))
       // a cross-alias conjunct mixing a REL VAR would need its edge
       // columns attached to the joined frame — unsupported; loud
       for (e <- crossAlias; a <- exprAliases(e))
@@ -2609,7 +2681,7 @@ object CypherLite {
     // instead of col(src). An empty list `[]` drops every row
     // (explode of an empty array — Cypher semantics).
     val UnwindLitRe =
-      """^(\[[^\]]*\])\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      s"""^($LitListPat)\\s+(?i:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpSeg) =>
       val prev = acc.lastOption
       // `MATCH` / `OPTIONAL MATCH` AFTER the stage (and its unwinds)
@@ -2684,7 +2756,7 @@ object CypherLite {
             // post-WITH MATCH aliases join the namespace as id-valued
             // names with REAL labels — properties attach downstream
             val post = pw.postMatches.flatMap(_.steps.map(_.node.as)).toSet
-            val names = pw.items.map(_.as).toSet ++ pw.unwinds.map(_._2) ++ post
+            val names = pw.scopeNames.toSet
             (names.contains, a => pw.carried.contains(a) || post(a),
               names.contains,
               n => names(n) && !pw.carried.contains(n) && !post(n))
@@ -2706,8 +2778,7 @@ object CypherLite {
       // dup-name check, DISTINCT) applies unchanged.
       val starNames: Seq[String] = prev match {
         case None => declOrder.toSeq
-        case Some(pw) => pw.items.map(_.as) ++ pw.unwinds.map(_._2) ++
-          pw.postMatches.flatMap(_.steps.map(_.node.as))
+        case Some(pw) => pw.scopeNames
       }
       val itemsTxt3 =
         if (itemsTxt2 == "*") starNames.mkString(", ")
@@ -2800,8 +2871,7 @@ object CypherLite {
             checkUserName(out, "UNWIND output")
             // validate every element parses as a literal NOW — a bad
             // element should be a parse-time reject, not a runtime one
-            val body = listTxt.stripPrefix("[").stripSuffix("]").trim
-            if (body.nonEmpty) splitTopComma(body).foreach(literal)
+            litListValues(listTxt)
             uacc :+ (listTxt -> out)
           case other => fail(
             "UNWIND must be `UNWIND listName AS x` or `UNWIND [lit, …] AS x`",
@@ -2908,7 +2978,7 @@ object CypherLite {
               _ => false)
           case Some(w) =>
             val post = w.postMatches.flatMap(_.steps.map(_.node.as)).toSet
-            val names = w.items.map(_.as).toSet ++ w.unwinds.map(_._2) ++ post
+            val names = w.scopeNames.toSet
             (names.contains, a => w.carried.contains(a) || post(a),
               names.contains,
               n => names(n) && !w.carried.contains(n) && !post(n))
@@ -2926,8 +2996,7 @@ object CypherLite {
       if (r == "*") withClauses.lastOption match {
         case None => declOrder.iterator.map(a =>
           ReturnItem(None, distinct = false, a, None, a)).toSeq
-        case Some(w) => (w.items.map(_.as) ++ w.unwinds.map(_._2) ++
-          w.postMatches.flatMap(_.steps.map(_.node.as))).map(n =>
+        case Some(w) => w.scopeNames.map(n =>
           ReturnItem(None, distinct = false, n, None, n))
       }
       else {
@@ -2942,8 +3011,7 @@ object CypherLite {
               s"'${r.take(40)}'")
           val names = withClauses.lastOption match {
             case None => declOrder.toSeq
-            case Some(w) => w.items.map(_.as) ++ w.unwinds.map(_._2) ++
-              w.postMatches.flatMap(_.steps.map(_.node.as))
+            case Some(w) => w.scopeNames
           }
           (names :+ rest.substring(1).trim).mkString(", ")
         }
@@ -3070,8 +3138,14 @@ object CypherLite {
             case ("min", _) => min(baseCol(ri))
             case ("max", _) => max(baseCol(ri))
             case ("avg", _) => avg(baseCol(ri))
-            // Neo4j's sample/population standard deviations
-            case ("stdev", _)  => stddev_samp(baseCol(ri))
+            // Neo4j's sample/population standard deviations. A
+            // single-element group's sample stddev is NaN in Spark;
+            // this engine emits NULL there (SQL/DuckDB semantics —
+            // Neo4j returns 0, a documented divergence) so oracle
+            // replays agree and NaN never leaks into results.
+            case ("stdev", _) =>
+              val s = stddev_samp(baseCol(ri))
+              when(isnan(s), lit(null)).otherwise(s)
             case ("stdevp", _) => stddev_pop(baseCol(ri))
             // exact percentiles: Cont = linear interpolation
             // (functions.percentile — Spark's exact implementation,
@@ -3314,11 +3388,7 @@ object CypherLite {
     // place — no join, exact UNWIND multiplicity) BEFORE the row
     // filters, so `WHERE c.prop = x` conditions see them
     val required0h = p.headUnwinds.foldLeft(required0) { case (d, (lits, x)) =>
-      val body = lits.stripPrefix("[").stripSuffix("]").trim
-      val arr =
-        if (body.isEmpty) array()
-        else array(splitTopComma(body).map(v => lit(literal(v))): _*)
-      d.withColumn(x, explode(arr))
+      d.withColumn(x, explode(litArray(lits)))
     }
     val required =
       if (p.rowPreds.isEmpty) required0h
@@ -3434,12 +3504,7 @@ object CypherLite {
           val unwound = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
             // a bracketed src is a LITERAL list — build the array in
             // place (codegen'd literals); a name reads the stage output
-            val srcCol =
-              if (src.startsWith("[")) {
-                val body = src.stripPrefix("[").stripSuffix("]").trim
-                if (body.isEmpty) array()
-                else array(splitTopComma(body).map(v => lit(literal(v))): _*)
-              } else col(src)
+            val srcCol = if (src.startsWith("[")) litArray(src) else col(src)
             d.withColumn(x, explode(srcCol))
           }
           // pattern re-entry: each post-stage MATCH clause is its own

@@ -2133,6 +2133,53 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("review fixes: RHS arithmetic, stage-vs-literal, ]-in-list, toBoolean, stDev null") {
+    // arithmetic on the RHS of a comparison (the doc'd 'both sides')
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id >= a.id + 1 RETURN a, b")
+      .as[(Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 2L), (4L, 5L)))
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id = 1 + 1 RETURN a ORDER BY a")
+      .as[Long].collect().toSeq
+    assert(r2 === Seq(1L, 4L))
+    // date literals with '-' still take the plain-operand route
+    assert(CypherLite.parse(
+      "MATCH (a:A)-[:R1]->(b:B) WHERE a.tag <> 'x-y' RETURN b") != null)
+    // stage output vs literal — head unwind and post-WITH forms
+    val r3 = CypherLite.query(g,
+      "UNWIND ['p', 'q'] AS x MATCH (a:A {id: 1})-[:R1]->(b:B) " +
+        "WHERE x = 'p' RETURN x, b")
+      .as[(String, Long)].collect().toSeq
+    assert(r3 === Seq(("p", 2L)))
+    val r4 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, max(b.id) AS m " +
+        "MATCH (a)-[:R1]->(b2:B) WHERE m = 5 RETURN a, b2 ORDER BY b2")
+      .as[(Long, Long)].collect().toSeq
+    assert(r4 === Seq((4L, 2L), (4L, 5L)))
+    // a ']' inside a quoted list element parses
+    val r5 = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[:R1]->(b:B) WITH count(*) AS n " +
+        "UNWIND ['a]b', 'c'] AS x RETURN x ORDER BY x")
+      .as[String].collect().toSeq
+    assert(r5 === Seq("a]b", "c"))
+    // toBoolean: only true/false literals; 'yes' is null (Neo4j)
+    val tb = PropertyGraph(
+      nodes = Map("T" -> Seq((1L, "TRUE"), (2L, "yes"), (3L, "false"))
+        .toDF("id", "f")),
+      edges = Map.empty)
+    val r6 = CypherLite.query(tb,
+      "MATCH (t:T) RETURN t.f AS f, toBoolean(t.f) AS b ORDER BY f")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(r6 === Seq(("TRUE", Some(true)), ("false", Some(false)),
+      ("yes", None)))
+    // stDev of a single-element group: null, not NaN
+    val r7 = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[:R1]->(b:B) RETURN stDev(b.id) AS s")
+      .collect().head
+    assert(r7.isNullAt(0), "single-element stDev must be null")
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
