@@ -260,7 +260,14 @@ import org.apache.spark.sql.functions._
   *    valid in items and pattern WHERE, and a post-WITH `WHERE
   *    size(out) OP n` dispatches list-count for collect outputs vs
   *    string length otherwise (numeric aggregate outputs reject
-  *    pointedly). `head(xs)`/`last(xs)` read a collect output's
+  *    pointedly). LIST COMPREHENSIONS `[x IN xs [WHERE cond] [| expr]]
+  *    AS ys` filter/transform a collect output (HOFs, codegen; lambda
+  *    bodies are arithmetic/comparisons over x and literals; element
+  *    order preserved — the sorted collect keeps them deterministic),
+  *    and the QUANTIFIERS `any|all|none|single(x IN xs WHERE cond)`
+  *    are post-WITH WHERE predicates (exists/forall/filter HOFs; the
+  *    engine's lists carry no nulls, so 2-valued semantics are
+  *    exact). `head(xs)`/`last(xs)` read a collect output's
   *    first/last element — the engine's collect lists are SORTED
   *    ascending, so head ≡ min and last ≡ max (deterministic; Neo4j
   *    leaves it arbitrary). Arithmetic includes `%` (modulo, the
@@ -514,6 +521,10 @@ object CypherLite {
   // property-vs-stage form
   private val StageLhsRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>)\s*(.+)$""".r
+  // Cypher's list-quantifier predicates over a collect output —
+  // `any|all|none|single(x IN xs WHERE cond)` in a post-WITH WHERE
+  private val QuantRe =
+    """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+)\)\s*$""".r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -598,6 +609,32 @@ object CypherLite {
 
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(40)}'")
+
+  /** Compile a one-variable VALUE lambda (`x * 2`) for transform():
+    * arithmetic over the loop variable and literals only.
+    */
+  private def lambdaVal(varName: String, text: String): Column => Column = {
+    val ae = parseArith(text.trim)
+    for ((a, pOpt) <- arithRefs(ae))
+      require(a == varName && pOpt.isEmpty,
+        s"list-comprehension expressions may only reference '$varName'" +
+          s" (got '$a${pOpt.map("." + _).getOrElse("")}')")
+    c => arithColumn(ae, (_, _) => c)
+  }
+
+  /** Compile a one-variable BOOLEAN lambda (`x % 2 = 0`, `x > 3`)
+    * for filter()/exists()/forall().
+    */
+  private def lambdaCond(varName: String, text: String): Column => Column =
+    splitTopCmp(text.trim) match {
+      case Some((lt, op, rt)) =>
+        val l = lambdaVal(varName, lt)
+        val r = lambdaVal(varName, rt)
+        c => opBuilder2(op)(l(c), r(c))
+      case None => throw new IllegalArgumentException(
+        s"list predicates must be a comparison over '$varName': " +
+          s"'${text.take(40)}'")
+    }
 
   /** An RHS that the PLAIN operand grammar already handles — a quoted
     * string, a signed number, a boolean, or one of the folded
@@ -1861,8 +1898,18 @@ object CypherLite {
           case WhereFnCondRe(fn, a, p, fargs, op, v) =>
             checkAlias(a, p)
             val wrap = scalarWrap(fn, fargs)
-            val cmp = opBuilder(op, v)
-            AtomE(a, p, c => cmp(wrap(c)))
+            v.trim match {
+              // `toLower(c.name) = x` — wrapped property against a
+              // stage/head-unwind output: the wrap rides the AtomSE
+              case rhs if stageOuts(rhs) &&
+                  rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") &&
+                  !rhs.equalsIgnoreCase("true") &&
+                  !rhs.equalsIgnoreCase("false") =>
+                AtomSE(a, p, rhs, (l, r) => opBuilder2(op)(wrap(l), r))
+              case _ =>
+                val cmp = opBuilder(op, v)
+                AtomE(a, p, c => cmp(wrap(c)))
+            }
           // size(alias.prop) — string length (Cypher size() over a
           // string; properties are scalar in this data model)
           case WhereSizeCondRe(a, p, op, v) =>
@@ -2381,6 +2428,13 @@ object CypherLite {
       """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val HeadLastItemRe =
       """(?is)^(head|last)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // list comprehension over a collect output — `[x IN xs WHERE
+    // cond | expr] AS ys` (either part optional, not both absent):
+    // filter()/transform() HOFs, codegen, element order preserved
+    // (the engine's collect lists are sorted — comprehensions stay
+    // deterministic)
+    val ListCompRe =
+      """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:WHERE\s+([^|\]]+?))?\s*(?:\|\s*([^\]]+?))?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // labels(n): the alias's declared label as a 1-element list —
     // resolved STATICALLY (this engine's aliases carry exactly one
     // label), so the item costs a literal, no join. type(r): a named
@@ -2576,6 +2630,22 @@ object CypherLite {
         case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
           fail("head()/last() take a previous WITH stage's collect(…) " +
             "output and an AS name", other)
+        // `[x IN xs WHERE cond | expr] AS ys` — filter/transform over
+        // a collect output; WHERE and | parts each optional
+        case ListCompRe(v, src, condTxt, exprTxt, as) if listOk(src) =>
+          require(condTxt != null || exprTxt != null,
+            s"[$v IN $src]: a comprehension needs WHERE …, | …, or both")
+          val condF = Option(condTxt).map(t => lambdaCond(v, t))
+          val exprF = Option(exprTxt).map(t => lambdaVal(v, t))
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res => {
+              val base = res(src, None)
+              val filtered = condF.map(f => filter(base, f)).getOrElse(base)
+              exprF.map(f => transform(filtered, f)).getOrElse(filtered)
+            })))
+        case other if other.matches("(?s)^\\[.*") =>
+          fail("list comprehensions are `[x IN collectOut [WHERE cond] " +
+            "[| expr]] AS ys` (cond/expr over x and literals)", other)
         // labels(n) — static single-label list (this engine's data
         // model); pattern scope only (a carried alias may be renamed)
         case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
@@ -2827,6 +2897,24 @@ object CypherLite {
             val wrap = scalarWrap(fn, fargs)
             val cmp = opBuilder(op, v)
             AtomE("", n, c => cmp(wrap(c)))
+          // `any|all|none|single(x IN xs WHERE cond)` — Cypher's
+          // list quantifiers over a collect output, compiled to the
+          // exists/forall/filter HOFs (codegen; the engine's lists
+          // carry no nulls, so 2-valued semantics are exact)
+          case QuantRe(q, v, src, condTxt) =>
+            require(outNames(src),
+              s"WITH WHERE references unknown output '$src'")
+            require(items.exists(ri =>
+                ri.as == src && ri.agg.contains("collect")),
+              s"${q}(… IN $src …): '$src' is not a collect(…) list")
+            val f = lambdaCond(v, condTxt)
+            val mk: Column => Column = q.toLowerCase match {
+              case "any"  => c => exists(c, f)
+              case "all"  => c => forall(c, f)
+              case "none" => c => !exists(c, f)
+              case "single" => c => size(filter(c, f)) === 1
+            }
+            AtomE("", src, mk)
           // size(out): a COLLECT output counts its list (the HAVING-
           // count idiom — `WHERE size(friends) > 5`); any other
           // output is a scalar → string length

@@ -1776,6 +1776,37 @@ object GraphOps {
              |       round(stddev_samp(c_acctbal), 4) AS sd4
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G70 list comprehensions + quantifiers — `[x IN ks WHERE … | …]`
+    // (filter/transform HOFs over the SORTED collect list, order
+    // deterministic) and `any(x IN ks WHERE …)` as the stage filter;
+    // DuckDB replays with list_filter/list_transform lambdas over
+    // list_sort.
+    QueryDef(
+      "g70_cypher_list_comprehension",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+          """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+            |WHERE c.c_acctbal > 9000.0
+            |WITH n.n_name AS nm, collect(c.c_custkey) AS ks
+            |WHERE any(x IN ks WHERE x % 2 = 0)
+            |RETURN nm, [x IN ks WHERE x % 2 = 0 | x * 2] AS evens,
+            |       size(ks) AS nk""".stripMargin)
+          .withColumn("evens",
+            array_join(col("evens").cast("array<string>"), "|")))
+      },
+      Some("""SELECT nm,
+             |  array_to_string(list_transform(
+             |    list_filter(ks, x -> x % 2 = 0), x -> x * 2), '|') AS evens,
+             |  CAST(len(ks) AS INTEGER) AS nk
+             |FROM (
+             |  SELECT n_name AS nm, list_sort(list(c_custkey)) AS ks
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE c_acctbal > 9000.0
+             |  GROUP BY 1)
+             |WHERE len(list_filter(ks, x -> x % 2 = 0)) > 0
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

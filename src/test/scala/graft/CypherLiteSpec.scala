@@ -2180,6 +2180,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(r7.isNullAt(0), "single-element stDev must be null")
   }
 
+  test("list comprehensions and any/all/none/single quantifiers") {
+    // comprehension: filter + transform over a collect output
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH collect(b.id) AS xs " +
+        "RETURN [x IN xs WHERE x > 2 | x * 10] AS big, " +
+        "[x IN xs WHERE x > 2] AS kept, [x IN xs | x + 1] AS inc")
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect().head
+    assert(r1 === ((Seq(50L), Seq(5L), Seq(3L, 6L))))
+    // quantifiers in the stage WHERE
+    def q(cond: String): Seq[Long] = CypherLite.query(g,
+      s"MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.id) AS xs " +
+        s"WHERE $cond RETURN a ORDER BY a").as[Long].collect().toSeq
+    assert(q("any(x IN xs WHERE x > 2)") === Seq(4L), "only a4 reaches b5")
+    assert(q("all(x IN xs WHERE x >= 2)") === Seq(1L, 4L))
+    assert(q("none(x IN xs WHERE x > 4)") === Seq(1L))
+    assert(q("single(x IN xs WHERE x = 2)") === Seq(1L, 4L))
+    // rejects: non-list source, foreign variable in the lambda
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS c " +
+          "WHERE any(x IN c WHERE x > 1) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH collect(b.id) AS xs " +
+          "RETURN [x IN xs | y * 2] AS bad")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
