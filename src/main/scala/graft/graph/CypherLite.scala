@@ -1937,7 +1937,12 @@ object CypherLite {
                   rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") &&
                   !rhs.equalsIgnoreCase("true") &&
                   !rhs.equalsIgnoreCase("false") =>
-                AtomSE(a, p, rhs, opBuilder2(op))
+                // `c.prop IN xs` — membership against a collect-list
+                // stage output (array_contains); other operators
+                // compare against the scalar stage column
+                if (op.equalsIgnoreCase("IN"))
+                  AtomSE(a, p, rhs, (l, r) => array_contains(r, l))
+                else AtomSE(a, p, rhs, opBuilder2(op))
               // RHS-side arithmetic (`b.id > a.id + 1`, `c.x = 1 + 1`)
               // — the LHS property becomes a one-ref arithmetic side
               case rhs if rhs.exists("+-*/%".contains(_)) &&

@@ -2033,6 +2033,13 @@ class CypherLiteSpec extends SparkSpec {
         "MATCH (a)-[:R1]->(b2:B) WHERE m > b2.id RETURN a, b2")
       .as[(Long, Long)].collect().toSeq
     assert(r5 === Seq((4L, 2L)))
+    // membership against a collect-list output: b2.id IN xs
+    val r6 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id > 2 WITH a, collect(b.id) AS xs " +
+        "MATCH (a)-[:R1]->(b2:B) WHERE b2.id IN xs RETURN a, b2")
+      .as[(Long, Long)].collect().toSeq
+    assert(r6 === Seq((4L, 5L)),
+      "a1 drops with the empty collect; a4's xs=[5] keeps only b5")
   }
 
   test("head-position UNWIND: value-injection over a literal list") {
