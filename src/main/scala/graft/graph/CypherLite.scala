@@ -2859,7 +2859,7 @@ object CypherLite {
         if (itemsTxt2 == "*") starNames.mkString(", ")
         else if (itemsTxt2.startsWith("*")) {
           val rest = itemsTxt2.substring(1).trim
-          require(rest.startsWith(","),
+          require(rest.startsWith(",") && rest.substring(1).trim.nonEmpty,
             s"WITH * must stand alone or be followed by ', item, …': " +
               s"'${itemsTxt2.take(40)}'")
           (starNames :+ rest.substring(1).trim).mkString(", ")
@@ -3099,7 +3099,7 @@ object CypherLite {
         if (!r.startsWith("*")) r
         else {
           val rest = r.substring(1).trim
-          require(rest.startsWith(","),
+          require(rest.startsWith(",") && rest.substring(1).trim.nonEmpty,
             s"RETURN * must stand alone or be followed by ', item, …': " +
               s"'${r.take(40)}'")
           val names = withClauses.lastOption match {

@@ -2216,6 +2216,33 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("malformed-statement battery: every reject is an IllegalArgumentException") {
+    val bad = Seq(
+      "MATCH (a:A)-[:R1]->(b:B) WHERE RETURN b",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN [x IN xs | x] AS y",
+      "MATCH (a:A)-[:R1]->(b:B) WITH collect(b.id) AS xs WHERE any(x IN xs) RETURN xs",
+      "MATCH (a:A)-[:R1]->(b:B) WITH collect(b.id) AS xs RETURN [x IN xs WHERE | x] AS y",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN percentileCont(b.id, 2.5.3) AS p",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN stDev(*) AS s",
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id %% 2 = 0 RETURN b",
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id + = 2 RETURN b",
+      "MATCH (a:A)-[:R1]->(b:B) WHERE NOT RETURN b",
+      "UNWIND [1, ) AS x MATCH (a:A)-[:R1]->(b:B) RETURN x",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN head(b) AS h",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN size() AS s",
+      "MATCH (a:A)-[:R1]->(b:B) WITH * , RETURN a",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN *, ",
+      "MATCH (a:A)-[:R1]->(b:B) WHERE id() = 1 RETURN b",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN toBoolean(a.tag, 2) AS t",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN replace(a.tag) AS r",
+      "MATCH (a:A)-[:R1]->(b:B) ORDER BY sum(a.id) RETURN b")
+    for (stmt <- bad) {
+      val e = intercept[Throwable] { CypherLite.query(g, stmt).collect() }
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"'$stmt' threw ${e.getClass.getName}: ${e.getMessage}")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
