@@ -267,7 +267,10 @@ import org.apache.spark.sql.functions._
   *    and the QUANTIFIERS `any|all|none|single(x IN xs WHERE cond)`
   *    are post-WITH WHERE predicates (exists/forall/filter HOFs; the
   *    engine's lists carry no nulls, so 2-valued semantics are
-  *    exact). `head(xs)`/`last(xs)` read a collect output's
+  *    exact). Subscripts `xs[i]` (0-based, negatives from the end,
+  *    out-of-range → null) and end-exclusive slices `xs[a..b]`
+  *    (either bound optional) read collect outputs too.
+  *    `head(xs)`/`last(xs)` read a collect output's
   *    first/last element — the engine's collect lists are SORTED
   *    ascending, so head ≡ min and last ≡ max (deterministic; Neo4j
   *    leaves it arbitrary). Arithmetic includes `%` (modulo, the
@@ -2438,6 +2441,13 @@ object CypherLite {
     // filter()/transform() HOFs, codegen, element order preserved
     // (the engine's collect lists are sorted — comprehensions stay
     // deterministic)
+    // list subscript / slice over a collect output — Cypher 0-based:
+    // `xs[0]` (negative counts from the end, -1 = last), `xs[1..3]`
+    // (end-exclusive; either bound optional)
+    val ListIdxItemRe =
+      """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val ListSliceItemRe =
+      """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val ListCompRe =
       """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:WHERE\s+([^|\]]+?))?\s*(?:\|\s*([^\]]+?))?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // labels(n): the alias's declared label as a 1-element list —
@@ -2631,10 +2641,34 @@ object CypherLite {
           val idx = if (fn.equalsIgnoreCase("head")) 1 else -1
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty,
-              res => element_at(res(n, None), idx))))
+              res => try_element_at(res(n, None), lit(idx)))))
         case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
           fail("head()/last() take a previous WITH stage's collect(…) " +
             "output and an AS name", other)
+        // `xs[i] AS x` — 0-based element read (element_at is 1-based;
+        // negative indexes count from the end in both, unchanged).
+        // try_element_at: out-of-range reads are null (Cypher
+        // semantics; Spark 4's element_at throws).
+        case ListIdxItemRe(src, idx, as) if listOk(src) =>
+          val i = idx.toInt
+          val at = if (i >= 0) i + 1 else i
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => try_element_at(res(src, None), lit(at)))))
+        // `xs[a..b] AS ys` — end-exclusive slice; open bounds allowed.
+        // Negative bounds count from the end (resolved via size()).
+        case ListSliceItemRe(src, fromS, toS, as) if listOk(src) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res => {
+              val c = res(src, None)
+              val n = size(c)
+              def pos(v: Int): Column =
+                if (v >= 0) lit(v) else greatest(n + lit(v), lit(0))
+              val f = Option(fromS).map(s => pos(s.toInt)).getOrElse(lit(0))
+              val t = Option(toS).map(s => pos(s.toInt)).getOrElse(n)
+              val len = greatest(t - f, lit(0))
+              slice(c, f + lit(1), len)
+            })))
         // `[x IN xs WHERE cond | expr] AS ys` — filter/transform over
         // a collect output; WHERE and | parts each optional
         case ListCompRe(v, src, condTxt, exprTxt, as) if listOk(src) =>

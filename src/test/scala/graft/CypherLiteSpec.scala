@@ -2243,6 +2243,24 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("list subscripts and slices over collect outputs (Cypher 0-based)") {
+    val df = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH collect(b.id) AS xs " +
+        "RETURN xs[0] AS first, xs[-1] AS lastv, xs[9] AS oob, " +
+        "xs[0..1] AS head1, xs[..2] AS all2, xs[-1..] AS tail1")
+    val r = df.collect().head
+    assert(r.getAs[Long]("first") === 2L)
+    assert(r.getAs[Long]("lastv") === 5L)
+    assert(r.isNullAt(df.columns.indexOf("oob")), "out of range → null")
+    assert(r.getAs[Seq[Long]]("head1") === Seq(2L))
+    assert(r.getAs[Seq[Long]]("all2") === Seq(2L, 5L))
+    assert(r.getAs[Seq[Long]]("tail1") === Seq(5L))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS c RETURN c[0] AS x")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
