@@ -177,6 +177,22 @@ class FhirGoldenSpec extends SparkSpec {
       (("Ted Reilly", 19L)))
   }
 
+  test("text golden 7b: argmax in the raw LLM-emitted form — un-aliased " +
+      "count + structural ORDER BY") {
+    // the shape Text2Cypher models actually emit (no AS, ORDER BY the
+    // aggregate expression): un-aliased aggregates take sanitized
+    // default names and ORDER BY count(DISTINCT p) resolves to the
+    // item with the same aggregate shape
+    val rows = cypher(
+      """MATCH (pr:Practitioner)-[:TREATS]->(p:Patient)
+        |WITH pr, count(DISTINCT p) ORDER BY count(DISTINCT p) DESC, pr ASC LIMIT 1
+        |RETURN pr.givenName AS g, pr.surname AS s,
+        |       count_distinct_p AS n""".stripMargin).collect()
+    assert(rows.length === 1)
+    assert((s"${rows(0).getString(0)} ${rows(0).getString(1)}", rows(0).getLong(2)) ===
+      (("Ted Reilly", 19L)))
+  }
+
   test("text golden 9: influenza immunizations = 205 (documented first-write divergence)") {
     assert(singleLong(
       """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
