@@ -309,7 +309,10 @@ object CypherLite {
       // an aggregate); alias/prop/arith are unused then
       caseC: Option[CaseCompiled] = None,
       // the percentile fraction for percentileCont/percentileDisc
-      aggArg: Option[Double] = None) {
+      aggArg: Option[Double] = None,
+      // the item's verbatim pre-AS text (whitespace-insensitive key
+      // for ORDER BY <same expression> resolution)
+      src: Option[String] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -553,6 +556,13 @@ object CypherLite {
   // the projected items in resolveOrderKeys
   private val OrderAggRe =
     """^((?i:count|sum|min|max|avg)\s*\(\s*(?:(?i:DISTINCT)\s+)?(?:\*|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*\))(?:\s+((?i:ASC|DESC)))?$""".r
+  // generic EXPRESSION sort keys — a scalar-fn call (`toLower(n.name)`)
+  // or an arithmetic expression (`n.a + n.b`): carried verbatim and
+  // resolved against the projected items' pre-AS text
+  private val OrderFnKeyRe =
+    s"""^((?i:$ScalarFnAlt|size|head|last|coalesce)\\s*\\([^)]*\\))(?:\\s+((?i:ASC|DESC)))?$$""".r
+  private val OrderArithKeyRe =
+    """^([^,]*[+\-*/%][^,]*?)(?:\s+((?i:ASC|DESC)))?$""".r
 
   /** Map dotted ORDER BY keys (`n.name`) onto the output name of the
     * item projecting that exact property (`RETURN n.name AS nm …
@@ -561,7 +571,13 @@ object CypherLite {
     * aggregation/projection has no column to sort on.
     */
   private def resolveOrderKeys(ob: Seq[(String, Boolean)],
-      items: Seq[ReturnItem], ctx: String): Seq[(String, Boolean)] =
+      items: Seq[ReturnItem], ctx: String): Seq[(String, Boolean)] = {
+    // whitespace-insensitive match of a key against the items' pre-AS
+    // text — `RETURN toLower(n.name) AS x ORDER BY toLower(n.name)`
+    def bySrc(k: String): Option[String] = {
+      val nk = k.replaceAll("\\s+", "")
+      items.find(_.src.exists(_.replaceAll("\\s+", "") == nk)).map(_.as)
+    }
     ob.map {
       // an aggregate-expression key (`count(*)`, `sum(o.total)`,
       // `count(DISTINCT p)`) — resolve to the item with the SAME
@@ -575,21 +591,31 @@ object CypherLite {
             val hit = items.find(ri => ri.agg.contains(f) &&
               ri.distinct == d && ri.caseC.isEmpty && ri.arith.isEmpty &&
               ri.alias == target && ri.prop == Option(prop))
-            (hit.getOrElse(throw new IllegalArgumentException(
-              s"$ctx $k: no projected item has that aggregate shape — " +
-                s"return it (… $k AS x) and ORDER BY x")).as, asc)
-          case other => throw new IllegalArgumentException(
-            s"$ctx $other: unsupported aggregate sort key")
+            (hit.map(_.as).orElse(bySrc(k)).getOrElse(
+              throw new IllegalArgumentException(
+                s"$ctx $k: no projected item has that aggregate shape — " +
+                  s"return it (… $k AS x) and ORDER BY x")), asc)
+          case other =>
+            (bySrc(other).getOrElse(throw new IllegalArgumentException(
+              s"$ctx $other: not among the projected items — " +
+                s"return it (… $other AS x) and ORDER BY x")), asc)
         }
       case (n, asc) if n.contains('.') =>
         val Array(a, p) = n.split("\\.", 2)
         val hit = items.find(ri => ri.agg.isEmpty && ri.caseC.isEmpty &&
           ri.arith.isEmpty && ri.alias == a && ri.prop.contains(p))
-        (hit.getOrElse(throw new IllegalArgumentException(
-          s"$ctx $n: not among the projected items — " +
-            s"return it (… $n AS x) and ORDER BY x")).as, asc)
+        (hit.map(_.as).orElse(bySrc(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ctx $n: not among the projected items — " +
+              s"return it (… $n AS x) and ORDER BY x")), asc)
+      // an arithmetic key (`n.a + n.b`) — pre-AS text match only
+      case (k, asc) if k.exists("+-*/%".contains(_)) =>
+        (bySrc(k).getOrElse(throw new IllegalArgumentException(
+          s"$ctx $k: not among the projected items — " +
+            s"return it (… $k AS x) and ORDER BY x")), asc)
       case other => other
     }
+  }
   // RHS operand forms beyond plain literals: toLower/toUpper('…')
   // (folded driver-side — both sides of the mandated shape lowercase
   // the SAME way) and CAST('…' AS DATE|TIMESTAMP) (build_graph.py:246,
@@ -1565,6 +1591,12 @@ object CypherLite {
         // STRUCTURALLY against the projected items downstream.
         case OrderAggRe(expr, dir) =>
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
+        // `ORDER BY toLower(n.name)` / `ORDER BY n.a + n.b` — an
+        // expression key, resolved against the items' pre-AS text
+        case OrderFnKeyRe(expr, dir) =>
+          (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
+        case OrderArithKeyRe(expr, dir) =>
+          (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
       }.toSeq
     }
@@ -2467,8 +2499,8 @@ object CypherLite {
         bareAgg: String => Boolean = _ => false,
         pathOk: Boolean = false,
         listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
-      val items = splitTopComma(r).toIndexedSeq
-        .map(stripIdWrap).map[ReturnItem] {
+      val raws = splitTopComma(r).toIndexedSeq.map(stripIdWrap)
+      val items0 = raws.map[ReturnItem] {
         // percentileCont (linear interpolation — Spark's exact
         // percentile) / percentileDisc (an actual data value: the
         // smallest element with cumulative distribution ≥ fraction)
@@ -2772,6 +2804,12 @@ object CypherLite {
         case other => fail(s"$ctx items must be alias[.prop] [AS n], " +
           "arith AS n, or agg(…) AS n", other)
       }
+      // record each item's verbatim pre-AS text so ORDER BY may name
+      // the same expression instead of the output alias
+      val AsTailRe = """(?is)\s+AS\s+[A-Za-z_][A-Za-z0-9_]*\s*$""".r
+      val items = items0.zip(raws).map { case (ri, raw) =>
+        ri.copy(src = Some(AsTailRe.replaceFirstIn(raw, "").trim))
+      }
       items.foreach(ri => checkUserName(ri.as, s"$ctx output"))
       items
     }
@@ -2913,16 +2951,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }

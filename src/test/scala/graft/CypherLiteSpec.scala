@@ -2261,6 +2261,23 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("ORDER BY expression keys resolve against the items' pre-AS text") {
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN toUpper(b.tag) AS t, count(*) AS n " +
+        "ORDER BY toUpper(b.tag) DESC")
+      .as[(String, Long)].collect().toSeq
+    assert(r1 === Seq(("B5", 1L), ("B2", 2L)))
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.id + b.id AS s ORDER BY a.id + b.id DESC")
+      .as[Long].collect().toSeq
+    assert(r2 === Seq(9L, 6L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t ORDER BY toLower(b.tag)")
+    }
+    assert(e.getMessage.contains("not among the projected"), e.getMessage)
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
