@@ -396,7 +396,12 @@ object CypherLite {
       // left for OPTIONAL MATCH — all-or-nothing, like top-level
       // optionals). New aliases join the namespace with their labels,
       // so properties attach downstream.
-      postMatches: Seq[PostMatch] = Seq.empty) {
+      postMatches: Seq[PostMatch] = Seq.empty,
+      // outputs known to be LISTS — collect() aggregates,
+      // comprehension/slice results, and bare carries of a previous
+      // stage's list outputs. Drives size()/head()/subscript/
+      // quantifier scoping TRANSITIVELY through carries.
+      listOuts: Set[String] = Set.empty) {
     /** Every name this stage leaves in scope, declaration order —
       * item outputs, unwound names, post-stage MATCH aliases. The
       * ONE definition star expansion and name resolution share.
@@ -405,6 +410,23 @@ object CypherLite {
       items.map(_.as) ++ unwinds.map(_._2) ++
         postMatches.flatMap(_.steps.map(_.node.as))
   }
+
+  /** Which of a stage's outputs are LISTS: collect() items,
+    * comprehension (`[x IN …]`) and slice (`xs[a..b]`) items —
+    * detected from the recorded pre-AS text — and bare carries of a
+    * previous stage's list outputs.
+    */
+  private def stageListOuts(items: Seq[ReturnItem],
+      prevListOuts: Set[String]): Set[String] =
+    items.collect {
+      case ri if ri.agg.contains("collect") => ri.as
+      case ri if ri.src.exists(_.startsWith("[")) => ri.as
+      case ri if ri.src.exists(
+          _.matches("""(?s)^[A-Za-z_][A-Za-z0-9_]*\s*\[\s*-?\d*\s*\.\..*""")) =>
+        ri.as
+      case ri if ri.agg.isEmpty && ri.prop.isEmpty && ri.caseC.isEmpty &&
+          ri.arith.isEmpty && prevListOuts(ri.alias) => ri.as
+    }.toSet
 
   /** One pattern clause following a WITH stage: a single chain of
     * steps anchored at `anchor` (a name in the stage's scope, label
@@ -673,6 +695,7 @@ object CypherLite {
     */
   private def plainRhsForm(s: String): Boolean =
     s.startsWith("'") ||
+      s.startsWith("[") || // IN-list operands — never arithmetic
       s.matches("(?i)-?\\d+(\\.\\d+)?|true|false") ||
       RhsFnRe.findFirstIn(s).isDefined ||
       RhsCastRe.findFirstIn(s).isDefined ||
@@ -1535,11 +1558,16 @@ object CypherLite {
   private def topLevelKeywordIndices(s: String, kw: String): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var inQ = false
+    var brk = 0 // [ … ] nesting — a WHERE inside a list
+                // comprehension's brackets is NOT a clause keyword
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') { inQ = !inQ; i += 1 }
-      else if (!inQ && s.regionMatches(true, i, kw, 0, kw.length) &&
+      else if (!inQ && ch == '[') { brk += 1; i += 1 }
+      else if (!inQ && ch == ']') { brk = math.max(0, brk - 1); i += 1 }
+      else if (!inQ && brk == 0 &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
           (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length)))) {
         out += i
@@ -1582,7 +1610,10 @@ object CypherLite {
            .find(j => r.substring(j + 5).trim.matches("(?is)^BY\\b.*"))) {
       val ob = r.substring(i + 5).trim.replaceFirst("(?i)^BY\\b", "").trim
       r = r.substring(0, i).trim
-      orderBy = ob.split(",").map(_.trim).map {
+      // paren/quote-aware comma split — multi-arg fn sort keys
+      // (`ORDER BY coalesce(n.a, n.b)`, `round(x, 2)`) keep their
+      // internal commas
+      orderBy = splitTopComma(ob).map(_.trim).map {
         case OrderItemRe(n, dir) =>
           (n, dir == null || dir.equalsIgnoreCase("ASC"))
         // `ORDER BY count(*) DESC` — an aggregate EXPRESSION as the
@@ -1979,9 +2010,10 @@ object CypherLite {
                   AtomSE(a, p, rhs, (l, r) => array_contains(r, l))
                 else AtomSE(a, p, rhs, opBuilder2(op))
               // RHS-side arithmetic (`b.id > a.id + 1`, `c.x = 1 + 1`)
-              // — the LHS property becomes a one-ref arithmetic side
+              // — the LHS property becomes a one-ref arithmetic side;
+              // IN keeps its list-operand route
               case rhs if rhs.exists("+-*/%".contains(_)) &&
-                  !plainRhsForm(rhs) =>
+                  !op.equalsIgnoreCase("IN") && !plainRhsForm(rhs) =>
                 val rAe = parseArith(rhs)
                 for ((a2, pOpt) <- arithRefs(rAe)) pOpt match {
                   case Some(p2) => checkAlias(a2, p2)
@@ -2006,6 +2038,16 @@ object CypherLite {
                   case other2 => other2 // = and <> are symmetric
                 }
                 AtomSE(a2, p2, nm, opBuilder2(mirrored))
+              // `m = k` — BOTH sides stage outputs: compare the two
+              // stage columns directly
+              case rhs if stageOuts(rhs) &&
+                  rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") =>
+                StageLitE(nm, c => opBuilder2(op)(c, col(rhs)))
+              case rhs if rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") &&
+                  !rhs.equalsIgnoreCase("true") &&
+                  !rhs.equalsIgnoreCase("false") =>
+                fail(s"'$nm $op $rhs': '$rhs' is not in scope here " +
+                  "(stage outputs, alias.prop, or a literal)", rhs)
               // `m = 5` / `x = 'BUILDING'` — stage output vs literal:
               // a pure filter on the stage column (row-filter path)
               case _ => StageLitE(nm, opBuilder(op, rest.trim))
@@ -2480,8 +2522,21 @@ object CypherLite {
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val ListSliceItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // list comprehension: the body is captured whole (greedy to the
+    // LAST ']') and split on a QUOTE-AWARE top-level '|' so string
+    // literals containing '|' or ']' survive
     val ListCompRe =
-      """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:WHERE\s+([^|\]]+?))?\s*(?:\|\s*([^\]]+?))?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\b(.*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    def topBar(s: String): Option[Int] = {
+      var inQ = false; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (c == '|' && !inQ) return Some(i)
+        i += 1
+      }
+      None
+    }
     // labels(n): the alias's declared label as a 1-element list —
     // resolved STATICALLY (this engine's aliases carry exactly one
     // label), so the item costs a literal, no join. type(r): a named
@@ -2703,11 +2758,24 @@ object CypherLite {
             })))
         // `[x IN xs WHERE cond | expr] AS ys` — filter/transform over
         // a collect output; WHERE and | parts each optional
-        case ListCompRe(v, src, condTxt, exprTxt, as) if listOk(src) =>
-          require(condTxt != null || exprTxt != null,
+        case ListCompRe(v, src, bodyTxt, as) if listOk(src) =>
+          val body = bodyTxt.trim
+          val (condPart, exprTxt) = topBar(body) match {
+            case Some(i) =>
+              (body.substring(0, i).trim,
+                Some(body.substring(i + 1).trim).filter(_.nonEmpty))
+            case None => (body, None)
+          }
+          val condTxt = if (condPart.isEmpty) None else {
+            require(condPart.matches("(?is)^WHERE\\b.*"),
+              s"[$v IN $src …]: expected WHERE or | after the source, " +
+                s"got '${condPart.take(30)}'")
+            Some(condPart.replaceFirst("(?i)^WHERE\\b", "").trim)
+          }
+          require(condTxt.isDefined || exprTxt.isDefined,
             s"[$v IN $src]: a comprehension needs WHERE …, | …, or both")
-          val condF = Option(condTxt).map(t => lambdaCond(v, t))
-          val exprF = Option(exprTxt).map(t => lambdaVal(v, t))
+          val condF = condTxt.map(t => lambdaCond(v, t))
+          val exprF = exprTxt.map(t => lambdaVal(v, t))
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, res => {
               val base = res(src, None)
@@ -2878,9 +2946,13 @@ object CypherLite {
           (items.trim, Some(wtxt), ob, sk, lim)
         } else {
           val (afterTail, ob, sk, lim) = parseTailWithSkip(wp0)
-          afterTail.split("(?i)\\bWHERE\\b", 2) match {
-            case Array(i)    => (i.trim, None, ob, sk, lim)
-            case Array(i, w) => (i.trim, Some(w.trim), ob, sk, lim)
+          // bracket/quote-aware WHERE cut — a comprehension's inner
+          // WHERE stays inside its item
+          topLevelKeywordIndex(afterTail, "WHERE") match {
+            case None => (afterTail.trim, None, ob, sk, lim)
+            case Some(wi) => (afterTail.substring(0, wi).trim,
+              Some(afterTail.substring(wi + "WHERE".length).trim),
+              ob, sk, lim)
           }
         }
       // WITH DISTINCT: same contract as RETURN DISTINCT — plain
@@ -2910,11 +2982,9 @@ object CypherLite {
         }
       // size() targets: only the previous stage's collect(…) outputs
       // are lists (sum/avg outputs are scalars — pointed reject)
-      val listOkW: String => Boolean = prev match {
-        case Some(pw) =>
-          pw.items.filter(_.agg.contains("collect")).map(_.as).toSet
-        case None => _ => false
-      }
+      val prevListOuts: Set[String] =
+        prev.map(_.listOuts).getOrElse(Set.empty)
+      val listOkW: String => Boolean = prevListOuts
       // `WITH *` — Cypher's carry-everything form: the star expands
       // to every in-scope name in declaration order (declared aliases
       // pre-stage — node aliases AND named relationship variables;
@@ -2981,9 +3051,8 @@ object CypherLite {
           case QuantRe(q, v, src, condTxt) =>
             require(outNames(src),
               s"WITH WHERE references unknown output '$src'")
-            require(items.exists(ri =>
-                ri.as == src && ri.agg.contains("collect")),
-              s"${q}(… IN $src …): '$src' is not a collect(…) list")
+            require(stageListOuts(items, prevListOuts)(src),
+              s"${q}(… IN $src …): '$src' is not a list output")
             val f = lambdaCond(v, condTxt)
             val mk: Column => Column = q.toLowerCase match {
               case "any"  => c => exists(c, f)
@@ -2998,7 +3067,7 @@ object CypherLite {
           case WithSizeCondRe(n, op, v) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
             val item = items.find(_.as == n)
-            val isList = item.exists(_.agg.contains("collect"))
+            val isList = stageListOuts(items, prevListOuts)(n)
             // a sum/avg/count output is numeric — neither list nor
             // string; pointed reject, not a raw analysis error
             require(isList || !item.exists(_.agg.nonEmpty),
@@ -3117,7 +3186,8 @@ object CypherLite {
       }
       acc :+ WithClause(items, whereCol, wOrderByR, wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
-        unwinds = unwinds, postMatches = postMatches)
+        unwinds = unwinds, postMatches = postMatches,
+        listOuts = stageListOuts(items, prevListOuts))
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -3183,8 +3253,7 @@ object CypherLite {
       parseItems(rX, "RETURN", plainOk, propOk, aggOk, bareAggOk,
         pathOk = withClauses.isEmpty,
         listOk = withClauses.lastOption match {
-          case Some(w) =>
-            w.items.filter(_.agg.contains("collect")).map(_.as).toSet
+          case Some(w) => w.listOuts
           case None => _ => false
         })
       }

@@ -2278,6 +2278,54 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("not among the projected"), e.getMessage)
   }
 
+  test("review-2 fixes: IN lists with '-', carried lists, bracket-aware WHERE, " +
+      "ORDER BY coalesce, stage-vs-stage, '|' in lambda literals") {
+    // IN lists containing '-' take the list route, not arithmetic
+    val n1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE b.id IN [-1, 2] RETURN a").count()
+    assert(n1 === 2)
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE a.tag IN ['x-y', 'a1'] RETURN b").count()
+    assert(n2 === 1)
+    // a comprehension as a WITH item (inner WHERE must not split the stage)
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH collect(b.id) AS xs " +
+        "WITH [x IN xs WHERE x > 2] AS ys RETURN ys")
+      .as[Seq[Long]].collect().head
+    assert(r3 === Seq(5L))
+    // quantifier and size() over a CARRIED list (transitive list-ness)
+    val r4 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.id) AS xs " +
+        "WITH a, xs WHERE any(x IN xs WHERE x > 2) RETURN a")
+      .as[Long].collect().toSeq
+    assert(r4 === Seq(4L))
+    val r5 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b.id) AS xs " +
+        "WITH a, xs RETURN a, size(xs) AS n ORDER BY a")
+      .as[(Long, Int)].collect().toSeq
+    assert(r5 === Seq((1L, 1), (4L, 2)))
+    // ORDER BY a multi-arg fn key resolves via pre-AS text
+    val r6 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN coalesce(b.tag, 'z') AS t, " +
+        "count(*) AS n ORDER BY coalesce(b.tag, 'z') DESC")
+      .as[(String, Long)].collect().toSeq
+    assert(r6 === Seq(("b5", 1L), ("b2", 2L)))
+    // stage-vs-stage comparison in a post-WITH MATCH WHERE
+    val r7 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, max(b.id) AS m, min(b.id) AS k " +
+        "MATCH (a)-[:R1]->(b2:B) WHERE m <> k RETURN a, b2").count()
+    assert(r7 === 2, "only a4 has max ≠ min; it re-matches both edges")
+    // '|' inside a quoted lambda literal survives the comprehension split
+    val tg2 = PropertyGraph(
+      nodes = Map("S" -> Seq((1L, "a|b"), (2L, "c")).toDF("id", "t")),
+      edges = Map.empty)
+    val r8 = CypherLite.query(tg2,
+      "MATCH (s:S) WITH collect(s.t) AS ts " +
+        "RETURN [x IN ts WHERE x <> 'a|b'] AS ys")
+      .as[Seq[String]].collect().head
+    assert(r8 === Seq("c"))
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
