@@ -230,6 +230,12 @@ import org.apache.spark.sql.functions._
   *    A TRAILING `ORDER BY … [SKIP n] [LIMIT n]` after the last part
   *    applies to the FUSED result (Neo4j semantics; dedup happens
   *    first, keys are output column names).
+  *  - `CALL { <complete query> } RETURN …` — the UNCORRELATED
+  *    subquery (post-UNION aggregation idiom): the inner statement
+  *    compiles with the full grammar, the outer RETURN
+  *    projects/aggregates its output columns by bare name (DISTINCT,
+  *    ORDER BY, SKIP/LIMIT); correlated CALL and a post-braces WITH
+  *    pipeline loud-reject.
   *  - PATH VARIABLES `MATCH p = (a)-[:R*1..3]->(b)`: `length(p) AS n`
   *    (standalone or under count/sum/min/max/avg) computes the hop
   *    count — fixed steps contribute 1, var-length steps the size of
@@ -3473,7 +3479,100 @@ object CypherLite {
     * RETURN the result is the path frame (one id column per alias,
     * one row per path).
     */
+  /** `CALL { <complete query> } RETURN …` — Neo4j's UNCORRELATED
+    * subquery, the post-UNION aggregation idiom (`CALL { q1 UNION ALL
+    * q2 } RETURN sum(x)`): the inner statement compiles with the full
+    * grammar (its own MATCH/WITH/UNION pipeline), and the outer
+    * RETURN projects/aggregates its OUTPUT COLUMNS by bare name
+    * (aggregates take the main grammar's sanitized default names;
+    * DISTINCT, ORDER BY — names or aggregate shapes — SKIP/LIMIT all
+    * work). Correlated CALL (an importing WITH) and a WITH pipeline
+    * after the braces are unsupported — loud rejects.
+    */
+  private val CallHeadRe = """(?is)^\s*CALL\s*\{""".r
+  private def callHead(stmt: String): Option[(String, String)] =
+    CallHeadRe.findFirstMatchIn(stmt).map { mm =>
+      var depth = 1; var inQ = false; var i = mm.end
+      while (i < stmt.length && depth > 0) {
+        val c = stmt.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '{') depth += 1
+        else if (!inQ && c == '}') depth -= 1
+        i += 1
+      }
+      require(depth == 0, "CALL { … }: unbalanced braces")
+      (stmt.substring(mm.end, i - 1).trim, stmt.substring(i).trim)
+    }
+
+  private def compileCallTail(g0: PropertyGraph, inner: DataFrame,
+      tail: String): DataFrame = {
+    require(tail.nonEmpty, "CALL { … } needs a RETURN after the braces")
+    require(!tail.matches("(?is)^WITH\\b.*"),
+      "a WITH pipeline after CALL { … } is unsupported — project and " +
+        "aggregate in the RETURN (or move the WITH inside the braces)")
+    val (head0, ob, skip, limit) = parseTailWithSkip(tail)
+    require(head0.matches("(?is)^RETURN\\b.*"),
+      s"CALL { … } must be followed by RETURN, got '${tail.take(30)}'")
+    var r = head0.replaceFirst("(?i)^RETURN\\b", "").trim
+    val distinct = r.matches("(?is)^DISTINCT\\b.*")
+    if (distinct) r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
+    val cols = inner.columns.toSet
+    val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
+      case AggItemRe(fn, dist, target, prop, as) =>
+        val f = fn.toLowerCase
+        val d = dist != null
+        require(prop == null,
+          s"$f($target.$prop): CALL-tail items reference the subquery's " +
+            "output columns by bare name")
+        require(target == "*" || cols(target),
+          s"$f() references unknown subquery column '$target' " +
+            s"(${inner.columns.mkString(", ")})")
+        require(!(target == "*") || (f == "count" && !d),
+          "only count(*) may aggregate '*'")
+        require(!d || f == "count" || f == "collect",
+          s"DISTINCT only supported with count and collect, not $f")
+        val name = Option(as).getOrElse {
+          val t = if (target == "*") "star" else target
+          s"$f${if (d) "_distinct" else ""}_$t"
+        }
+        checkUserName(name, "CALL-tail output")
+        ReturnItem(Some(f), d, target, None, name,
+          src = Some(s"$fn(${if (d) "DISTINCT " else ""}$target)"))
+      case PlainItemRe(a, prop, as) =>
+        require(prop == null,
+          s"$a.$prop: CALL-tail items reference the subquery's output " +
+            "columns by bare name")
+        require(cols(a),
+          s"RETURN references unknown subquery column '$a' " +
+            s"(${inner.columns.mkString(", ")})")
+        val name = Option(as).getOrElse(a)
+        checkUserName(name, "CALL-tail output")
+        ReturnItem(None, distinct = false, a, None, name, src = Some(a))
+      case other => fail(
+        "CALL-tail items must be a subquery column [AS x] or " +
+          "agg([DISTINCT] column|*) [AS x]", other)
+    }
+    require(items.map(_.as).distinct.size == items.size,
+      s"duplicate RETURN output names: ${items.map(_.as)}")
+    require(!distinct || items.forall(_.agg.isEmpty),
+      "RETURN DISTINCT with aggregates is unsupported (grouped output " +
+        "is already distinct per group key — drop DISTINCT)")
+    val obR = resolveOrderKeys(ob, items, "ORDER BY")
+    for ((n, _) <- obR)
+      require(items.exists(_.as == n),
+        s"ORDER BY references '$n' — not an output " +
+          s"(${items.map(_.as).mkString(", ")})")
+    runStage(g0, inner, items, _ => None, _ => false, distinct,
+      obR, limit, skip = skip)
+  }
+
   def query(g0: PropertyGraph, stmt: String): DataFrame = {
+    callHead(stmt) match {
+      case Some((innerTxt, tailTxt)) =>
+        require(innerTxt.nonEmpty, "CALL { … }: empty subquery")
+        return compileCallTail(g0, query(g0, innerTxt), tailTxt)
+      case None =>
+    }
     // UNION [ALL] between complete queries (quote-aware top-level
     // split): each part compiles standalone — its own pattern, WHERE,
     // WITH pipeline, and (non-last parts) ORDER BY/LIMIT — the

@@ -1807,6 +1807,32 @@ object GraphOps {
              |  GROUP BY 1)
              |WHERE len(list_filter(ks, x -> x % 2 = 0)) > 0
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G71 CALL { } — Neo4j's uncorrelated subquery: a UNION ALL of
+    // two pattern queries inside the braces, aggregated by the outer
+    // RETURN over bare output columns (the post-UNION aggregation
+    // idiom a single grouped RETURN cannot express).
+    QueryDef(
+      "g71_cypher_call_subquery",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """CALL {
+          |  MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |  RETURN n.n_name AS nm, c.c_acctbal AS bal
+          |  UNION ALL
+          |  MATCH (r:region)-[:HAS_NATION]->(n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE r.r_regionkey = 0
+          |  RETURN n.n_name AS nm, c.c_acctbal AS bal
+          |}
+          |RETURN nm, count(*) AS cnt, min(bal) AS lo""".stripMargin)),
+      Some("""SELECT nm, count(*) AS cnt, min(bal) AS lo FROM (
+             |  SELECT n_name AS nm, c_acctbal AS bal
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT n_name AS nm, c_acctbal AS bal
+             |  FROM region JOIN nation ON n_regionkey = r_regionkey
+             |       JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE r_regionkey = 0
+             |) GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -2326,6 +2326,41 @@ class CypherLiteSpec extends SparkSpec {
     assert(r8 === Seq("c"))
   }
 
+  test("CALL { } uncorrelated subquery: post-UNION aggregation") {
+    val r1 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t " +
+        "UNION ALL MATCH (c:C)-[:R2]->(b:B) RETURN b.tag AS t } " +
+        "RETURN t, count(*) ORDER BY count(*) DESC, t")
+      .as[(String, Long)].collect().toSeq
+    assert(r1 === Seq(("b2", 3L), ("b5", 1L)))
+    // DISTINCT projection and LIMIT over the subquery frame
+    val r2 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, b.id AS i } " +
+        "RETURN DISTINCT t ORDER BY t LIMIT 1")
+      .as[String].collect().toSeq
+    assert(r2 === Seq("a1"))
+    // an inner WITH pipeline composes; collect over the frame
+    val r3 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS c RETURN c } " +
+        "RETURN collect(c) AS cs")
+      .as[Seq[Long]].collect().head
+    assert(r3 === Seq(1L, 2L))
+    // rejects: WITH tail, unknown column, dotted item
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } WITH i RETURN i")
+    }
+    assert(e1.getMessage.contains("WITH pipeline after CALL"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN nope")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN b.id AS j")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
