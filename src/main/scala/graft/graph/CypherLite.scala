@@ -3474,11 +3474,6 @@ object CypherLite {
     uniqueIdVerdicts.put(fp, java.lang.Boolean.TRUE)
   }
 
-  /** Parse and execute against a graph. RETURN items arrive under
-    * their AS names (plain items default to `alias_prop`); without
-    * RETURN the result is the path frame (one id column per alias,
-    * one row per path).
-    */
   /** `CALL { <complete query> } RETURN …` — Neo4j's UNCORRELATED
     * subquery, the post-UNION aggregation idiom (`CALL { q1 UNION ALL
     * q2 } RETURN sum(x)`): the inner statement compiles with the full
@@ -3566,13 +3561,33 @@ object CypherLite {
       obR, limit, skip = skip)
   }
 
+  /** Parse and execute against a graph. RETURN items arrive under
+    * their AS names (plain items default to `alias_prop`); without
+    * RETURN the result is the path frame (one id column per alias,
+    * one row per path).
+    */
   def query(g0: PropertyGraph, stmt: String): DataFrame = {
     callHead(stmt) match {
       case Some((innerTxt, tailTxt)) =>
         require(innerTxt.nonEmpty, "CALL { … }: empty subquery")
+        // pointed rejects for the Neo4j-valid compositions this
+        // engine does not support, instead of deep misdiagnoses
+        require(!innerTxt.matches("(?is)^WITH\\b.*"),
+          "correlated CALL { WITH … } (an importing WITH) is " +
+            "unsupported — CALL subqueries here are uncorrelated")
+        require(splitTop(tailTxt, "UNION").size == 1,
+          "UNION around CALL { … } is unsupported — put the UNION " +
+            "inside the braces")
         return compileCallTail(g0, query(g0, innerTxt), tailTxt)
       case None =>
     }
+    // a CALL part inside a UNION would reach queryOne (which has no
+    // CALL grammar) and fail deep in pattern parsing — reject here
+    if (splitTop(stmt, "UNION").size > 1)
+      require(splitTop(stmt, "UNION").forall(p =>
+          !p.matches("(?is)^(ALL\\s+)?CALL\\b.*")),
+        "CALL { … } may not be a UNION part — put the UNION inside " +
+          "the braces")
     // UNION [ALL] between complete queries (quote-aware top-level
     // split): each part compiles standalone — its own pattern, WHERE,
     // WITH pipeline, and (non-last parts) ORDER BY/LIMIT — the

@@ -2359,6 +2359,24 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.query(g,
         "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN b.id AS j")
     }
+    // pointed rejects for the unsupported compositions
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "CALL { WITH x MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN i")
+    }
+    assert(e2.getMessage.contains("correlated CALL"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN i " +
+          "UNION ALL MATCH (c:C) RETURN c.id AS i")
+    }
+    assert(e3.getMessage.contains("UNION around CALL"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (c:C) RETURN c.id AS i UNION ALL " +
+          "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN i")
+    }
+    assert(e4.getMessage.contains("may not be a UNION part"), e4.getMessage)
   }
 
   test("datetime() wraps a property and parses an ISO literal RHS") {
