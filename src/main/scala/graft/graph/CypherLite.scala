@@ -230,6 +230,13 @@ import org.apache.spark.sql.functions._
   *    A TRAILING `ORDER BY … [SKIP n] [LIMIT n]` after the last part
   *    applies to the FUSED result (Neo4j semantics; dedup happens
   *    first, keys are output column names).
+  *  - PATTERN COMPREHENSIONS `[(a)-[:R]->(b) [WHERE …] | b.prop] AS
+  *    xs` as RETURN items at the pattern level: an EXISTS-style
+  *    local sub-pattern anchored at a bound alias, yielding the
+  *    SORTED per-anchor value list — `[]` when nothing matches
+  *    (Cypher; a left join + typed empty-array coalesce). The value
+  *    reads one local alias (id or property); closures over other
+  *    bound aliases loud-reject.
   *  - `CALL { <complete query> } RETURN …` — the UNCORRELATED
   *    subquery (post-UNION aggregation idiom): the inner statement
   *    compiles with the full grammar, the outer RETURN
@@ -464,6 +471,17 @@ object CypherLite {
       steps: Seq[PatternStep], closures: Seq[(String, String)],
       anchorPred: Option[Column])
 
+  /** One PATTERN COMPREHENSION item — `[(a)-[:R]->(b) [WHERE …] |
+    * b.prop] AS xs`: the chain compiles as an EXISTS-style local
+    * sub-pattern anchored at a bound alias (`pred`, never negated),
+    * the value is one local alias's id or property, and the result
+    * column is the SORTED list of values per anchor binding —
+    * `[]` when nothing matches (Cypher semantics; a left join plus a
+    * typed empty-array coalesce).
+    */
+  final case class PatternComp(pred: PatternPred, valueAlias: String,
+      valueProp: Option[String], out: String)
+
   /** One `allShortestPaths` / `shortestPath` chain's minimal-path
     * filter: keep only rows whose hop count (`len`) equals the
     * minimum over their (`startAlias`, `endAlias`) binding. With
@@ -490,6 +508,7 @@ object CypherLite {
       skip: Option[Int] = None,
       patternPreds: Seq[PatternPred] = Seq.empty,
       shortestFilters: Seq[ShortestFilter] = Seq.empty,
+      patternComps: Seq[PatternComp] = Seq.empty,
       // HEAD-position `UNWIND [lit, …] AS x` clauses (before the
       // first MATCH — the batch value-injection idiom): each (list
       // text, name) explodes onto the required path frame as a value
@@ -1772,6 +1791,7 @@ object CypherLite {
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
     val rowPreds = scala.collection.mutable.ArrayBuffer.empty[RowPred]
     val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
+    val patternComps = scala.collection.mutable.ArrayBuffer.empty[PatternComp]
     var start: PatternNode = null
 
     def parseChain(chain: String, ci: Int,
@@ -2762,6 +2782,55 @@ object CypherLite {
               val len = greatest(t - f, lit(0))
               slice(c, f + lit(1), len)
             })))
+        // PATTERN COMPREHENSION — `[(a)-[:R]->(b) [WHERE …] | b.prop]
+        // AS xs`: an EXISTS-style local sub-pattern anchored at a
+        // bound alias, yielding the SORTED list of the value
+        // expression per anchor binding ([] when nothing matches).
+        // Pattern scope only, and the value must read ONE local alias.
+        case other if other.matches("(?s)^\\[\\s*\\(.*") =>
+          val PcRe = """(?s)^\[(.*)\]\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+          other match {
+            case PcRe(body, as) =>
+              require(ctx == "RETURN" && pathOk,
+                "pattern comprehensions are RETURN items at the " +
+                  "pattern level (no WITH pipeline before them)")
+              checkUserName(as, "pattern-comprehension output")
+              val bi = topBar(body).getOrElse(fail(
+                "a pattern comprehension needs `| value` after the " +
+                  "chain", other))
+              val chainPart = body.substring(0, bi).trim
+              val valueTxt = body.substring(bi + 1).trim
+              val pp = parsePatternPredChain(negated = false, chainPart)
+              require(pp.closures.isEmpty,
+                "pattern-comprehension chains may not close over " +
+                  "other bound aliases — only the anchor is outer")
+              val locals = pp.steps.map(_.node.as).toSet
+              val PropRefRe3 =
+                """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+              val BareRe3 = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
+              val (va, vp) = valueTxt match {
+                case PropRefRe3(a, p) => (a, Some(p))
+                case BareRe3(a) => (a, None)
+                case v2 => fail(
+                  "pattern-comprehension values must be local.prop " +
+                    "or a bare local alias", v2)
+              }
+              require(locals(va),
+                s"pattern-comprehension value references '$va' — not " +
+                  s"a local alias of the chain (${locals.mkString(", ")})")
+              for (p2 <- vp) {
+                val lbl = pp.steps.find(_.node.as == va).get.node.label
+                require(lbl.nonEmpty,
+                  s"$va.$p2: alias '$va' is unlabeled — the any-node " +
+                    "view has no properties")
+              }
+              patternComps += PatternComp(pp, va, vp, as)
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(CaseCompiled(Seq.empty, res => res(as, None))))
+            case _ => fail(
+              "pattern comprehensions are `[(a)-[:R]->(b) [WHERE …] " +
+                "| value] AS xs`", other)
+          }
         // `[x IN xs WHERE cond | expr] AS ys` — filter/transform over
         // a collect output; WHERE and | parts each optional
         case ListCompRe(v, src, bodyTxt, as) if listOk(src) =>
@@ -3311,7 +3380,8 @@ object CypherLite {
       rowPreds.toSeq,
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
-      skip, patternPreds.toSeq, shortestFilters.toSeq, headUnwinds)
+      skip, patternPreds.toSeq, shortestFilters.toSeq,
+      patternComps.toSeq, headUnwinds)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -3901,10 +3971,33 @@ object CypherLite {
           }
           (out, Some(w))
       }
-    if (p.returns.isEmpty) stage
+    // pattern comprehensions (pattern scope only — parse-gated to
+    // no-WITH statements): each compiles its chain as a local
+    // sub-pattern, aggregates the SORTED value list per anchor
+    // binding, and left-joins it onto the frame; a non-matching
+    // anchor gets the typed empty list (Cypher: [], never null)
+    val stageC = p.patternComps.foldLeft(stage) { (df, pc) =>
+      val sub0 = g.matchPaths(
+        PatternNode(p.labels(pc.pred.anchor), pc.pred.anchor,
+          pc.pred.anchorPred), pc.pred.steps)
+      val (subV, valCol) = pc.valueProp match {
+        case Some(pr) =>
+          val lbl = pc.pred.steps.find(_.node.as == pc.valueAlias).get.node.label
+          (g.attach(sub0, pc.valueAlias, lbl, Seq(pr),
+            s"${pc.valueAlias}__pc_", "left_outer"),
+            col(s"${pc.valueAlias}__pc_$pr"))
+        case None => (sub0, col(pc.valueAlias))
+      }
+      val agg = subV.groupBy(col(pc.pred.anchor))
+        .agg(sort_array(collect_list(valCol)).as(pc.out))
+      val dt = agg.schema(pc.out).dataType
+      df.join(agg, Seq(pc.pred.anchor), "left_outer")
+        .withColumn(pc.out, coalesce(col(pc.out), array().cast(dt)))
+    }
+    if (p.returns.isEmpty) stageC
     else {
       val (aliasLabel, leftOuter, preAtt) = resolvers(lastWith)
-      runStage(g, stage, p.returns, aliasLabel, leftOuter,
+      runStage(g, stageC, p.returns, aliasLabel, leftOuter,
         p.returnDistinct, p.orderBy, p.limit, skip = p.skip,
         preAttached = preAtt)
     }

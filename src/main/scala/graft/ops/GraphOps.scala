@@ -1833,6 +1833,29 @@ object GraphOps {
              |       JOIN customer ON c_nationkey = n_nationkey
              |  WHERE r_regionkey = 0
              |) GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G72 pattern comprehension — `[(n)-[:R]->(c) WHERE … | c.key]`
+    // as a RETURN item: the per-row related-value list (sorted,
+    // [] when nothing matches — never null), the Cypher idiom for
+    // "each entity with its filtered neighbors" in one row.
+    QueryDef(
+      "g72_cypher_pattern_comprehension",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+          """MATCH (n:nation)
+            |RETURN n.n_name AS nm,
+            |  [(n)-[:HAS_CUSTOMER]->(c:customer)
+            |   WHERE c.c_acctbal > 9900.0 | c.c_custkey] AS rich""".stripMargin)
+          .withColumn("rich",
+            array_join(col("rich").cast("array<string>"), "|")))
+      },
+      Some("""SELECT n_name AS nm,
+             |  coalesce(array_to_string(list_sort(
+             |    list(c_custkey) FILTER (WHERE c_acctbal > 9900.0)), '|'),
+             |    '') AS rich
+             |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

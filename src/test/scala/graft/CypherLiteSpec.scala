@@ -2379,6 +2379,40 @@ class CypherLiteSpec extends SparkSpec {
     assert(e4.getMessage.contains("may not be a UNION part"), e4.getMessage)
   }
 
+  test("pattern comprehensions: per-row related-value lists, [] when empty") {
+    // every A row gets its outgoing B tags as a sorted list
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A) RETURN a, [(a)-[:R1]->(b:B) | b.tag] AS ts ORDER BY a")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(r1 === Seq((1L, Seq("b2")), (4L, Seq("b2", "b5"))))
+    // internal WHERE narrows the matches; empty match → [] not null
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A) RETURN a, [(a)-[:R1]->(b:B) WHERE b.id > 2 | b.id] AS hi " +
+        "ORDER BY a")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(r2 === Seq((1L, Seq.empty), (4L, Seq(5L))))
+    // bare local value = ids; composes with aggregates downstream? no —
+    // pattern scope only: the comp is a plain item beside aggregates
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B {id: 2}) " +
+        "RETURN [(a)-[:R1]->(b2:B) | b2] AS ids, count(*) AS n ORDER BY ids")
+      .as[(Seq[Long], Long)].collect().toSeq
+    assert(r3 === Seq((Seq(2L), 1L), (Seq(2L, 5L), 1L)))
+    // rejects: after a WITH, missing | value, foreign value alias
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WITH a " +
+          "RETURN [(a)-[:R1]->(b2:B) | b2.tag] AS ts")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN [(a)-[:R1]->(b:B)] AS ts")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN [(a)-[:R1]->(b:B) | a.tag] AS ts")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
