@@ -211,7 +211,9 @@ import org.apache.spark.sql.functions._
   *    `round(x[, scale])`, `substring(x, start[, len])` (0-indexed,
   *    Cypher semantics; extra args are int literals),
   *    `replace(x, 'find', 'put')` (literal find/replace) and
-  *    `left|right(x, n)` — standalone (`toLower(n.name)
+  *    `left|right(x, n)` — and the wraps also apply OVER aggregates
+  *    (`round(avg(x), 2) AS r` — the aggregate evaluates first, the
+  *    wrap applies to its result; DISTINCT only with count) — standalone (`toLower(n.name)
   *    AS x`) or inside aggregates (`count(DISTINCT toUpper(c.seg))`,
   *    `sum(round(o.price)) AS s`) — as is `labels(n)` (the alias's
   *    static single-label list) and `type(r)` (single-hop named
@@ -325,7 +327,10 @@ object CypherLite {
       aggArg: Option[Double] = None,
       // the item's verbatim pre-AS text (whitespace-insensitive key
       // for ORDER BY <same expression> resolution)
-      src: Option[String] = None) {
+      src: Option[String] = None,
+      // a scalar wrap applied AFTER the aggregate evaluates —
+      // `round(avg(x), 2)`, the fn-over-agg shape
+      postWrap: Option[Column => Column] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -2465,6 +2470,10 @@ object CypherLite {
     // grammar admits, folded to builtin Column calls via scalarWrap
     val FnItemRe =
       s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)(?:\\.([A-Za-z_][A-Za-z0-9_]*))?\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    // scalar fn over an AGGREGATE — `round(avg(x), 2) AS r`; extra
+    // wrap arguments trail the inner aggregate call
+    val FnOverAggRe =
+      s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*(count|sum|min|max|avg|stDev|stDevP)\\s*\\(\\s*(?:(DISTINCT)\\s+)?(\\*|[A-Za-z_][A-Za-z0-9_]*)(?:\\.([A-Za-z_][A-Za-z0-9_]*))?\\s*\\)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s+(?:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // coalesce(arg, arg, …) AS name — args split on TOP-LEVEL commas
     // (the item splitter already kept the whole call together)
     val CoalesceRe =
@@ -2656,6 +2665,24 @@ object CypherLite {
             s"DISTINCT only supported with count and collect, not $f")
           ReturnItem(Some(f), d, "", None, as,
             caseC = Some(fnCompiled(fn, fargs, a, p, ctx, plainOk, propOk)))
+        // scalar fn OVER an aggregate — `round(avg(x), 2) AS r`, the
+        // most common LLM post-aggregation wrap: the aggregate
+        // evaluates first, the wrap applies to its result
+        case FnOverAggRe(fn, agg, dist, target, prop, fargs, as) =>
+          val f = agg.toLowerCase
+          val d = dist != null
+          require(target == "*" || aggOk(target),
+            s"$f() references unknown ${if (ctx == "RETURN") "name" else "alias"} '$target'")
+          require(prop == null || propOk(target),
+            s"$f($target.$prop): '$target' carries no properties here")
+          require(!(target == "*") || (f == "count" && prop == null && !d),
+            "only count(*) may aggregate '*'")
+          require(!d || f == "count",
+            s"DISTINCT under a scalar wrap is only supported with count")
+          require(f == "count" || prop != null || bareAgg(target),
+            s"$f() needs alias.prop (bare aliases are ids — only count them)")
+          ReturnItem(Some(f), d, target, Option(prop), as,
+            postWrap = Some(scalarWrap(fn, fargs)))
         // scalar-function item — toLower(n.name) AS x, round(x, 2) AS r
         case FnItemRe(fn, a, p, fargs, as) =>
           ReturnItem(None, distinct = false, "", None, as,
@@ -3096,16 +3123,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _, _) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _, _) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _, _) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _, _) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -3469,7 +3496,9 @@ object CypherLite {
               expr(s"percentile_disc(${ri.aggArg.get}) " +
                 s"WITHIN GROUP (ORDER BY `$cn`)")
           }
-          c.as(ri.as)
+          // fn-over-agg: the scalar wrap applies to the aggregate's
+          // result (`round(avg(x), 2)`)
+          ri.postWrap.fold(c)(w => w(c)).as(ri.as)
         }
         if (plains.isEmpty) attached.agg(aggCols.head, aggCols.tail: _*)
         else attached

@@ -1856,6 +1856,21 @@ object GraphOps {
              |    '') AS rich
              |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G73 scalar fn OVER an aggregate — `round(avg(x), 2)`, the most
+    // common LLM post-aggregation wrap (the aggregate evaluates
+    // first, the wrap applies to its result); toString(count(*))
+    // beside it pins the cast path.
+    QueryDef(
+      "g73_cypher_fn_over_agg",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm, round(avg(c.c_acctbal), 2) AS ab,
+          |       toString(count(*)) AS cs""".stripMargin)),
+      Some("""SELECT n_name AS nm, round(avg(c_acctbal), 2) AS ab,
+             |       CAST(count(*) AS VARCHAR) AS cs
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

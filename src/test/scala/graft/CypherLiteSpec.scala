@@ -2413,6 +2413,26 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("scalar fn over an aggregate: round(avg(x), 2) and friends") {
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN round(avg(b.id), 2) AS r, toString(count(*)) AS c, " +
+        "abs(min(a.id)) AS m")
+      .collect().head
+    assert(r1.getDouble(0) === 3.0, "avg(2,5,2) = 3.0")
+    assert(r1.getString(1) === "3")
+    assert(r1.getLong(2) === 1L)
+    // grouped, beside plain items
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a, round(avg(b.id), 1) AS r ORDER BY a")
+      .as[(Long, Double)].collect().toSeq
+    assert(r2 === Seq((1L, 2.0), (4L, 3.5)))
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) RETURN round(avg(DISTINCT b.id), 2) AS r")
+    }
+  }
+
   test("datetime() wraps a property and parses an ISO literal RHS") {
     import org.apache.spark.sql.functions.col
     val tg = PropertyGraph(
