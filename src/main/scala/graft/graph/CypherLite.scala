@@ -88,13 +88,13 @@ import org.apache.spark.sql.functions._
   *    PROPERTY `alias2.prop2` (same-alias pairs stay node
   *    predicates; cross-alias pairs compile to per-path row filters
   *    over attached columns) or `id(alias)` (the node-identity
-  *    function). ARITHMETIC comparisons work too — `c.x % 2 = 0`,
-  *    `a.x + 1 > b.y` (both sides arithmetic over dotted refs and
-  *    literals; single-alias stays a node predicate, cross-alias
-  *    rides the row filter)
   *    function — this engine's node ids ARE the user-facing ids, so
   *    `id(n)` reads n's id column; a leading `id(n) OP …` and the
-  *    two-sided `id(a) <> id(b)` both compile). Each condition
+  *    two-sided `id(a) <> id(b)` both compile). ARITHMETIC
+  *    comparisons work too — `c.x % 2 = 0`, `a.x + 1 > b.y` (both
+  *    sides arithmetic over dotted refs and literals; single-alias
+  *    stays a node predicate, cross-alias rides the row filter).
+  *    Each condition
   *    compiles to a node predicate at its pattern position
   *    (semi-join against the dimension-sized node table BEFORE the
   *    path join). A WHERE may only reference aliases ITS clause
@@ -665,6 +665,15 @@ object CypherLite {
         (bySrc(k).getOrElse(throw new IllegalArgumentException(
           s"$ctx $k: not among the projected items — " +
             s"return it (… $k AS x) and ORDER BY x")), asc)
+      // a bare name that is NOT an output name but IS a projected
+      // alias (`RETURN id(b) AS bid ORDER BY id(b)` — the id() rewrite
+      // turned both into `b`, but the item's output name is `bid`):
+      // resolve to that item's output name. Unresolved keys pass
+      // through to the caller's outNames check (its pointed message).
+      case (k, asc) if !items.exists(_.as == k) =>
+        val hit = items.find(ri => ri.agg.isEmpty && ri.caseC.isEmpty &&
+          ri.arith.isEmpty && ri.prop.isEmpty && ri.alias == k)
+        (hit.map(_.as).orElse(bySrc(k)).getOrElse(k), asc)
       case other => other
     }
   }
@@ -984,8 +993,11 @@ object CypherLite {
         val body = v.trim
         require(body.startsWith("[") && body.endsWith("]"),
           s"IN needs a [list], got '$body'")
-        val items = body.substring(1, body.length - 1).split(",").map(literal)
-        _.isin(items.toIndexedSeq: _*)
+        // quote-aware split (litListValues → splitTopComma): a comma
+        // INSIDE a string item — `c.name IN ['a,b', 'c']` — is list
+        // punctuation to a raw split and mis-parsed both halves.
+        val items = litListValues(body)
+        _.isin(items: _*)
     }
 
   private def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
@@ -1642,8 +1654,13 @@ object CypherLite {
       r = r.substring(0, i).trim
       // paren/quote-aware comma split — multi-arg fn sort keys
       // (`ORDER BY coalesce(n.a, n.b)`, `round(x, 2)`) keep their
-      // internal commas
-      orderBy = splitTopComma(ob).map(_.trim).map {
+      // internal commas. A leading `id(alias)` rewrites to the bare
+      // alias FIRST (same rewrite items get): `RETURN id(n) … ORDER
+      // BY id(n)` then resolves by the item's output name like any
+      // other key — without this the verbatim `id(n)` matches no
+      // ORDER-BY form and rejects even though the item is supported.
+      orderBy = splitTopComma(ob).map(_.trim)
+        .map(k => IdLhsRe.replaceFirstIn(k, "$1 ").trim).map {
         case OrderItemRe(n, dir) =>
           (n, dir == null || dir.equalsIgnoreCase("ASC"))
         // `ORDER BY count(*) DESC` — an aggregate EXPRESSION as the
@@ -3072,7 +3089,11 @@ object CypherLite {
             (a => labels.contains(a) || relVars(a) || headNames(a),
               a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a) || headNames(a),
-              _ => false)
+              // head-UNWIND outputs are VALUE columns (not ids), so
+              // sum/avg/min/max over them are legal bare aggregates —
+              // `UNWIND [1,2] AS x … RETURN sum(x)` matches the
+              // post-WITH UNWIND surface
+              a => headNames(a))
           case Some(pw) =>
             // post-WITH MATCH aliases join the namespace as id-valued
             // names with REAL labels — properties attach downstream
@@ -3174,6 +3195,14 @@ object CypherLite {
             // string; pointed reject, not a raw analysis error
             require(isList || !item.exists(_.agg.nonEmpty),
               s"size($n): '$n' is a numeric aggregate output — size() " +
+                "counts collect(…) lists or string characters")
+            // same for a pure-numeric arithmetic item (`x + 1 AS n`):
+            // length() over it is a raw AnalysisException at runtime,
+            // so reject at parse time (string-concat ariths — any
+            // string operand — stay eligible as string size)
+            require(isList ||
+              !item.exists(i => i.arith.exists(ae => !containsStr(ae))),
+              s"size($n): '$n' is a numeric arithmetic output — size() " +
                 "counts collect(…) lists or string characters")
             val cmp = opBuilder(op, v)
             AtomE("", n, c => cmp(if (isList) size(c) else length(c)))
@@ -3312,7 +3341,9 @@ object CypherLite {
             (a => labels.contains(a) || relVars(a) || headNames(a),
               a => labels.contains(a) || relVars(a),
               a => labels.contains(a) || relVars(a) || headNames(a),
-              _ => false)
+              // head-UNWIND value columns: bare sum/avg/min/max OK
+              // (see the WITH-stage resolver note)
+              a => headNames(a))
           case Some(w) =>
             val post = w.postMatches.flatMap(_.steps.map(_.node.as)).toSet
             val names = w.scopeNames.toSet

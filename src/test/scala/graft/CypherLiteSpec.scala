@@ -2449,4 +2449,46 @@ class CypherLiteSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(rows === Seq(2L))
   }
+
+  test("IN-list items keep commas inside quoted strings") {
+    // a raw comma split would break 'a,1' into two garbage items
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE a.tag IN ['a,1', 'a1'] RETURN b.tag")
+      .as[String].collect().toSet
+    assert(rows === Set("b2"))
+  }
+
+  test("size() on a numeric arithmetic output rejects pointedly") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (a:A)-[:R1]->(b:B) WITH a.id + 1 AS n WHERE size(n) > 2 " +
+          "RETURN n")
+    }
+    assert(e.getMessage.contains("numeric arithmetic output"))
+  }
+
+  test("bare aggregate over a head-UNWIND value works at pattern level") {
+    // x is a VALUE column, not an id — sum over it matches the
+    // post-WITH UNWIND surface
+    val s = CypherLite.query(g,
+      "UNWIND [1, 2, 3] AS x MATCH (a:A {id: 1}) RETURN sum(x) AS s")
+      .as[Long].collect().toSeq
+    assert(s === Seq(6L))
+    val s2 = CypherLite.query(g,
+      "UNWIND [1, 2, 3] AS x MATCH (a:A) RETURN a.tag, avg(x) AS m")
+      .as[(String, Double)].collect().toSet
+    assert(s2 === Set(("a1", 2.0), ("a4", 2.0)))
+  }
+
+  test("ORDER BY id(n) resolves like the item rewrite") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN id(b) AS bid ORDER BY id(b) DESC")
+      .as[Long].collect().toSeq
+    assert(rows === Seq(5L, 2L, 2L))
+    // un-aliased form: RETURN id(b) names the column 'b'
+    val rows2 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN id(b) ORDER BY id(b)")
+      .as[Long].collect().toSeq
+    assert(rows2 === Seq(2L, 2L, 5L))
+  }
 }
