@@ -311,7 +311,8 @@ object CypherLite {
 
   /** One RETURN/WITH item: `agg = None` → a plain (grouping) item;
     * `prop = None` → the alias's id column (or a relationship
-    * variable's eid); `distinct` only with count/collect. `arith`
+    * variable's eid); `distinct` with count/collect/sum/avg/min/max
+    * (plain refs — not wrapped items). `arith`
     * set → the item is an ARITHMETIC expression (`n.a + n.b`,
     * `bal * 2 + 1`) compiled to Column arithmetic; `alias`/`prop` are
     * unused then and the refs live in the AST.
@@ -439,6 +440,10 @@ object CypherLite {
     items.collect {
       case ri if ri.agg.contains("collect") => ri.as
       case ri if ri.src.exists(_.startsWith("[")) => ri.as
+      // split(s, 'd') yields a list — size/subscripts/quantifiers
+      // over its output route to the array forms
+      case ri if ri.agg.isEmpty &&
+          ri.src.exists(_.matches("""(?is)^split\s*\(.*""")) => ri.as
       case ri if ri.src.exists(
           _.matches("""(?s)^[A-Za-z_][A-Za-z0-9_]*\s*\[\s*-?\d*\s*\.\..*""")) =>
         ri.as
@@ -556,7 +561,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean"""
+    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -815,6 +820,26 @@ object CypherLite {
     case other => other
   }
 
+  // Cypher temporal ACCESSORS — Neo4j reads components off date/
+  // datetime values by accessor (`o.o_orderdate.year`), not by
+  // function call. Rewritten to the internal fn-wrap form
+  // (`year(o.o_orderdate)`) that scalarWrap folds to
+  // year()/month()/dayofmonth() — items, WHERE conditions, and ORDER
+  // BY keys all pass through, so the same accessor text resolves at
+  // every site. Quote-aware: text inside single-quoted literals is
+  // never rewritten. Accessors on BARE stage outputs (`d.year` after
+  // `WITH … AS d`) collide with the alias.prop grammar and stay
+  // unsupported — wrap at the source item instead.
+  private val TemporalAccRe =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\.(year|month|day)\b""".r
+  private def rewriteTemporalAcc(s: String): String =
+    if (!s.contains('.')) s
+    else s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else TemporalAccRe.replaceAllIn(seg,
+        m => s"${m.group(3).toLowerCase}(${m.group(1)}.${m.group(2)})")
+    }.mkString("'")
+
   // `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` as RHS
   // operands — the Cypher temporal constructors (Neo4j idiom); fold
   // like the CAST form
@@ -917,6 +942,20 @@ object CypherLite {
         case _ => throw new IllegalArgumentException(
           "substring(expr, start[, length]) needs 1 or 2 integer arguments")
       }
+      // temporal component reads — the internal form of the Cypher
+      // ACCESSORS x.year/.month/.day (rewriteTemporalAcc) — over
+      // date/timestamp values; all fold to codegen'd builtins
+      case "year"  => noArgs(); year(_)
+      case "month" => noArgs(); month(_)
+      case "day"   => noArgs(); dayofmonth(_)
+      // split(s, 'delim') — Cypher's LITERAL delimiter split (Spark's
+      // split takes a regex, so the delimiter is quoted); yields a
+      // LIST usable by the stage list machinery (size, subscripts,
+      // IN, comprehensions — the item parse registers the output as a
+      // list, see stageListOuts)
+      case "split" =>
+        val Seq(delim) = strArgs(1)
+        c => split(c, java.util.regex.Pattern.quote(delim), -1)
       case other => throw new IllegalArgumentException(
         s"unsupported scalar function '$other'")
     }
@@ -1660,7 +1699,8 @@ object CypherLite {
       // other key — without this the verbatim `id(n)` matches no
       // ORDER-BY form and rejects even though the item is supported.
       orderBy = splitTopComma(ob).map(_.trim)
-        .map(k => IdLhsRe.replaceFirstIn(k, "$1 ").trim).map {
+        .map(k => IdLhsRe.replaceFirstIn(rewriteTemporalAcc(k), "$1 ").trim)
+        .map {
         case OrderItemRe(n, dir) =>
           (n, dir == null || dir.equalsIgnoreCase("ASC"))
         // `ORDER BY count(*) DESC` — an aggregate EXPRESSION as the
@@ -2001,8 +2041,11 @@ object CypherLite {
       val PropRefRe = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
       def parseCond(cond: String): BoolExpr =
         // a leading `id(alias)` reads the alias's id column — rewrite
-        // to the dotted form the atom grammar already compiles
-        IdLhsRe.replaceFirstIn(cond.trim, "$1.id ").trim match {
+        // to the dotted form the atom grammar already compiles;
+        // temporal accessors (`o.d.year`) rewrite to their fn-wrap
+        // form first (quote-aware)
+        IdLhsRe.replaceFirstIn(
+          rewriteTemporalAcc(cond.trim), "$1.id ").trim match {
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
@@ -2598,6 +2641,10 @@ object CypherLite {
     // LIST there, type() is an error).
     val LabelsItemRe =
       """(?is)^labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // `alias.prop ± duration({unit: int, …}) AS x` — temporal
+    // interval arithmetic over a date/datetime property
+    val DurItemRe =
+      """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*([+-])\s*duration\s*\(\s*\{([^}]*)\}\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val TypeItemRe =
       """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
@@ -2606,7 +2653,8 @@ object CypherLite {
         bareAgg: String => Boolean = _ => false,
         pathOk: Boolean = false,
         listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
-      val raws = splitTopComma(r).toIndexedSeq.map(stripIdWrap)
+      val raws = splitTopComma(r).toIndexedSeq
+        .map(stripIdWrap).map(rewriteTemporalAcc)
       val items0 = raws.map[ReturnItem] {
         // percentileCont (linear interpolation — Spark's exact
         // percentile) / percentileDisc (an actual data value: the
@@ -2635,8 +2683,12 @@ object CypherLite {
             s"$f($target.$prop): '$target' carries no properties here")
           require(!(target == "*") || (f == "count" && prop == null && !d),
             "only count(*) may aggregate '*'")
-          require(!d || f == "count" || f == "collect",
-            s"DISTINCT only supported with count and collect, not $f")
+          // sum/avg fold to Spark's native DISTINCT aggregates;
+          // min/max(DISTINCT) ≡ min/max (a no-op Neo4j also accepts)
+          require(!d || Set("count", "collect", "sum", "avg", "min",
+            "max").contains(f),
+            s"DISTINCT only supported with count, collect, sum, avg, " +
+              s"min, max — not $f")
           // over the pattern, a bare alias is an id (a rel variable an
           // eid) — countable and collectable; after a WITH, a bare
           // NON-CARRIED output is a value column and sum/min/max/avg
@@ -2952,6 +3004,57 @@ object CypherLite {
             caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
         case other if other.matches("(?is)^CASE\\b.*") =>
           fail("CASE items need `… END AS name`", other)
+        // duration arithmetic — `o.d + duration({days: 30, months: 2})
+        // AS due` (Neo4j's temporal map constructor beside a date/
+        // datetime property): folds to interval addition — year/month
+        // units as ONE year-month interval, week/day/time units as ONE
+        // day-time interval (Spark forbids mixing the two classes in a
+        // single literal, so they chain). Tried before the arithmetic
+        // cases: the '+' would otherwise route the text into
+        // parseArith, which has no duration grammar.
+        case DurItemRe(a, p, sign, body, as) =>
+          require(propOk(a), s"$ctx references unknown alias '$a'")
+          val known = Seq("years", "months", "weeks", "days", "hours",
+            "minutes", "seconds")
+          val units = splitTopComma(body).map { kv =>
+            val parts = kv.split(":", 2)
+            require(parts.length == 2,
+              s"duration({…}): entries are unit: int, got '$kv'")
+            val k = parts(0).trim.toLowerCase
+            require(known.contains(k),
+              s"duration({…}): unsupported unit '$k' " +
+                s"(supported: ${known.mkString(", ")})")
+            val v = literal(parts(1).trim) match {
+              case l: Long => l
+              case other => throw new IllegalArgumentException(
+                s"duration({$k: …}) needs an integer literal, got '$other'")
+            }
+            require(v >= 0, s"duration({$k: $v}): negative components " +
+              "are unsupported — flip the +/- instead")
+            (k, v)
+          }
+          val um = units.groupBy(_._1).map { case (k, vs) =>
+            k -> vs.map(_._2).sum }
+          val ym = um.getOrElse("years", 0L) * 12 + um.getOrElse("months", 0L)
+          val dd = um.getOrElse("weeks", 0L) * 7 + um.getOrElse("days", 0L)
+          val (hh, mi, ss) = (um.getOrElse("hours", 0L),
+            um.getOrElse("minutes", 0L), um.getOrElse("seconds", 0L))
+          val neg = sign == "-"
+          val app: Column => Column = c => {
+            var r = c
+            def add(ivl: String): Unit =
+              r = if (neg) r - expr(ivl) else r + expr(ivl)
+            if (ym != 0) add(s"INTERVAL '$ym' MONTH")
+            if (dd != 0 || hh != 0 || mi != 0 || ss != 0)
+              add(s"INTERVAL '$dd $hh:$mi:$ss' DAY TO SECOND")
+            r
+          }
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq(a -> p),
+              res => app(res(a, Some(p))))))
+        case other if other.matches("(?is).*\\bduration\\s*\\(.*") =>
+          fail("duration arithmetic must be alias.prop ± " +
+            "duration({unit: int, …}) AS name", other)
         // aggregate over arithmetic — `sum(o.price * qty) AS s`:
         // the body compiles like an arithmetic item, the aggregate
         // folds over it (count counts non-null evaluations)
@@ -3502,10 +3605,18 @@ object CypherLite {
             // matching Cypher collect() which skips nulls).
             case ("collect", true)  => sort_array(collect_set(baseCol(ri)))
             case ("collect", false) => sort_array(collect_list(baseCol(ri)))
-            case ("sum", _) => sum(baseCol(ri))
+            case ("sum", true) => sum_distinct(baseCol(ri))
+            case ("sum", false) => sum(baseCol(ri))
+            // DISTINCT is a no-op under min/max — same extremum
             case ("min", _) => min(baseCol(ri))
             case ("max", _) => max(baseCol(ri))
-            case ("avg", _) => avg(baseCol(ri))
+            // no avg_distinct in the Column API — route through the
+            // SQL parser on the resolved column name (plain refs
+            // only; the parse gate keeps DISTINCT off wrapped items)
+            case ("avg", true) =>
+              val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
+              expr(s"avg(DISTINCT `$cn`)")
+            case ("avg", false) => avg(baseCol(ri))
             // Neo4j's sample/population standard deviations. A
             // single-element group's sample stddev is NaN in Spark;
             // this engine emits NULL there (SQL/DuckDB semantics —
@@ -3526,6 +3637,9 @@ object CypherLite {
               val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
               expr(s"percentile_disc(${ri.aggArg.get}) " +
                 s"WITHIN GROUP (ORDER BY `$cn`)")
+            // unreachable: the parse gates admit only the above
+            case (other, _) => throw new IllegalArgumentException(
+              s"unsupported aggregate '$other'")
           }
           // fn-over-agg: the scalar wrap applies to the aggregate's
           // result (`round(avg(x), 2)`)
@@ -3654,8 +3768,10 @@ object CypherLite {
             s"(${inner.columns.mkString(", ")})")
         require(!(target == "*") || (f == "count" && !d),
           "only count(*) may aggregate '*'")
-        require(!d || f == "count" || f == "collect",
-          s"DISTINCT only supported with count and collect, not $f")
+        require(!d || Set("count", "collect", "sum", "avg", "min",
+          "max").contains(f),
+          s"DISTINCT only supported with count, collect, sum, avg, " +
+            s"min, max — not $f")
         val name = Option(as).getOrElse {
           val t = if (target == "*") "star" else target
           s"$f${if (d) "_distinct" else ""}_$t"

@@ -1871,6 +1871,70 @@ object GraphOps {
              |       CAST(count(*) AS VARCHAR) AS cs
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G76 DISTINCT under the numeric aggregates — sum/avg fold to
+    // Spark's native DISTINCT forms, min/max(DISTINCT) is the Neo4j-
+    // accepted no-op. The HAS_ORDER fan-out duplicates each customer
+    // per order, so DISTINCT visibly changes sum/avg (integer inputs
+    // keep the double avg exact for the hash compare).
+    QueryDef(
+      "g76_cypher_agg_distinct",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)-[:HAS_ORDER]->(o:orders)
+          |RETURN n.n_name AS nm,
+          |       sum(DISTINCT c.c_custkey) AS sd,
+          |       avg(DISTINCT c.c_custkey) AS ad,
+          |       min(DISTINCT o.o_totalprice) AS mn,
+          |       max(DISTINCT c.c_acctbal) AS mx""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |       CAST(sum(DISTINCT c_custkey) AS BIGINT) AS sd,
+             |       avg(DISTINCT c_custkey) AS ad,
+             |       min(o_totalprice) AS mn,
+             |       max(c_acctbal) AS mx
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |     JOIN orders ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G77 temporal accessors + duration arithmetic — Neo4j reads
+    // date components by ACCESSOR (`o.d.year`), and shifts temporals
+    // with `± duration({…})`; both are top LLM emissions over a
+    // date-carrying model (reference build_graph.py:104-108,181-187).
+    // Accessor in WHERE and ORDER BY, accessor item, and an interval
+    // mixing a year-month with a day-time component in RETURN.
+    QueryDef(
+      "g77_cypher_temporal",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate.year = 1999 AND o.o_orderdate.month <= 2
+          |RETURN c.c_custkey AS ck, o.o_orderkey AS ok,
+          |       o.o_orderdate.day AS dd,
+          |       o.o_orderdate + duration({months: 1, days: 15}) AS due
+          |ORDER BY o.o_orderdate.day""".stripMargin)),
+      Some("""SELECT c_custkey AS ck, o_orderkey AS ok,
+             |       CAST(day(o_orderdate) AS INTEGER) AS dd,
+             |       o_orderdate + INTERVAL 1 MONTH + INTERVAL 15 DAY AS due
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE year(o_orderdate) = 1999 AND month(o_orderdate) <= 2
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G78 split() — the literal-delimiter string splitter returning a
+    // LIST wired into the stage list machinery: size() gates it in
+    // WHERE (HAVING idiom), subscripts read elements (Cypher 0-based
+    // vs DuckDB 1-based lists — the oracle shifts).
+    QueryDef(
+      "g78_cypher_split",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, c.c_name AS cn, split(c.c_name, '#') AS parts
+          |WHERE size(parts) > 1
+          |RETURN nm, cn, size(parts) AS np, parts[0] AS p0, parts[1] AS p1""".stripMargin)),
+      Some("""SELECT n_name AS nm, c_name AS cn,
+             |       CAST(len(str_split(c_name, '#')) AS INTEGER) AS np,
+             |       str_split(c_name, '#')[1] AS p0,
+             |       str_split(c_name, '#')[2] AS p1
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE len(str_split(c_name, '#')) > 1
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

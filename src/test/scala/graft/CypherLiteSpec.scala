@@ -2480,6 +2480,96 @@ class CypherLiteSpec extends SparkSpec {
     assert(s2 === Set(("a1", 2.0), ("a4", 2.0)))
   }
 
+  test("DISTINCT under sum/avg/min/max") {
+    val g2 = PropertyGraph(
+      nodes = Map(
+        "U" -> Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+        "W" -> Seq((7L, "w")).toDF("id", "tag")),
+      edges = Map("E" -> (("U", "W",
+        Seq((1L, 7L), (1L, 7L), (2L, 7L)).toDF("src", "dst")))))
+    // u1 matches twice (two parallel edges) — DISTINCT collapses it
+    val rows = CypherLite.query(g2,
+      "MATCH (u:U)-[:E]->(w:W) RETURN w.tag AS t, " +
+        "sum(DISTINCT u.v) AS sd, avg(DISTINCT u.v) AS ad, " +
+        "min(DISTINCT u.v) AS mn, max(DISTINCT u.v) AS mx, " +
+        "sum(u.v) AS sall")
+      .as[(String, Long, Double, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(("w", 30L, 15.0, 10L, 20L, 40L)))
+    // stdev keeps its pointed reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (u:U) RETURN stDev(DISTINCT u.v) AS s")
+    }
+    assert(e.getMessage.contains("DISTINCT only supported with"))
+  }
+
+  test("temporal accessors year/month/day in items, WHERE, ORDER BY") {
+    import org.apache.spark.sql.functions.col
+    val tg = PropertyGraph(
+      nodes = Map(
+        "E" -> Seq((1L, "2022-03-05 05:00:00"), (2L, "2023-06-07 00:00:00"))
+          .toDF("id", "ts").select(col("id"), col("ts").cast("timestamp").as("ts")),
+        "F" -> Seq((10L, "x")).toDF("id", "tag")),
+      edges = Map("T" -> (("E", "F",
+        Seq((1L, 10L), (2L, 10L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) WHERE e.ts.year >= 2023 " +
+        "RETURN e.ts.month AS m, e.ts.day AS d")
+      .as[(Int, Int)].collect().toSeq
+    assert(rows === Seq((6, 7)))
+    val ord = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) RETURN e.ts.month AS m ORDER BY e.ts.month DESC")
+      .as[Int].collect().toSeq
+    assert(ord === Seq(6, 3))
+    // quoted text is never rewritten
+    val safe = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) WHERE f.tag <> 'a.b.year' RETURN count(*) AS n")
+      .as[Long].collect().toSeq
+    assert(safe === Seq(2L))
+  }
+
+  test("duration arithmetic: alias.prop ± duration({units})") {
+    import org.apache.spark.sql.functions.col
+    val tg = PropertyGraph(
+      nodes = Map(
+        "E" -> Seq((1L, "2022-01-31 10:00:00")).toDF("id", "ts")
+          .select(col("id"), col("ts").cast("timestamp").as("ts")),
+        "F" -> Seq((10L, "x")).toDF("id", "tag")),
+      edges = Map("T" -> (("E", "F", Seq((1L, 10L)).toDF("src", "dst")))))
+    val plus = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) " +
+        "RETURN e.ts + duration({months: 1, days: 2, hours: 3}) AS due")
+      .select(col("due").cast("string")).as[String].collect().toSeq
+    // +1 month from Jan 31 clamps to Feb 28, then +2 days, +3 hours
+    assert(plus === Seq("2022-03-02 13:00:00"))
+    val minus = CypherLite.query(tg,
+      "MATCH (e:E)-[:T]->(f:F) RETURN e.ts - duration({weeks: 1}) AS ago")
+      .select(col("ago").cast("string")).as[String].collect().toSeq
+    assert(minus === Seq("2022-01-24 10:00:00"))
+    intercept[IllegalArgumentException] {
+      CypherLite.parse(
+        "MATCH (e:E) RETURN e.ts + duration({eons: 1}) AS x")
+    }
+  }
+
+  test("split() yields a list wired into the stage list machinery") {
+    val g2 = PropertyGraph(
+      nodes = Map("D" -> Seq((1L, "a b c"), (2L, "x")).toDF("id", "txt"),
+        "F" -> Seq((9L, "f")).toDF("id", "tag")),
+      edges = Map("H" -> (("D", "F",
+        Seq((1L, 9L), (2L, 9L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(g2,
+      "MATCH (d:D)-[:H]->(f:F) WITH d.txt AS t, split(d.txt, ' ') AS parts " +
+        "WHERE size(parts) > 1 RETURN t, size(parts) AS n, parts[0] AS h")
+      .as[(String, Int, String)].collect().toSeq
+    assert(rows === Seq(("a b c", 3, "a")))
+    // UNWIND over a split list
+    val un = CypherLite.query(g2,
+      "MATCH (d:D {id: 1})-[:H]->(f:F) WITH split(d.txt, ' ') AS parts " +
+        "UNWIND parts AS w RETURN w ORDER BY w")
+      .as[String].collect().toSeq
+    assert(un === Seq("a", "b", "c"))
+  }
+
   test("ORDER BY id(n) resolves like the item rewrite") {
     val rows = CypherLite.query(g,
       "MATCH (a:A)-[:R1]->(b:B) RETURN id(b) AS bid ORDER BY id(b) DESC")
