@@ -331,7 +331,13 @@ object CypherLite {
       src: Option[String] = None,
       // a scalar wrap applied AFTER the aggregate evaluates —
       // `round(avg(x), 2)`, the fn-over-agg shape
-      postWrap: Option[Column => Column] = None) {
+      postWrap: Option[Column => Column] = None,
+      // a whole-node schema function — ("properties"|"keys", alias).
+      // The column set depends on the GRAPH's node-table schema,
+      // unknown at parse time: queryOne resolves it to a concrete
+      // caseC (struct / name-list) against the alias's label before
+      // each runStage call (resolveSchemaFnItems).
+      schemaFn: Option[(String, String)] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -440,10 +446,10 @@ object CypherLite {
     items.collect {
       case ri if ri.agg.contains("collect") => ri.as
       case ri if ri.src.exists(_.startsWith("[")) => ri.as
-      // split(s, 'd') yields a list — size/subscripts/quantifiers
-      // over its output route to the array forms
+      // split(s, 'd') and keys(n) yield lists — size/subscripts/
+      // quantifiers over their outputs route to the array forms
       case ri if ri.agg.isEmpty &&
-          ri.src.exists(_.matches("""(?is)^split\s*\(.*""")) => ri.as
+          ri.src.exists(_.matches("""(?is)^(split|keys)\s*\(.*""")) => ri.as
       case ri if ri.src.exists(
           _.matches("""(?s)^[A-Za-z_][A-Za-z0-9_]*\s*\[\s*-?\d*\s*\.\..*""")) =>
         ri.as
@@ -2645,6 +2651,12 @@ object CypherLite {
     // interval arithmetic over a date/datetime property
     val DurItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*([+-])\s*duration\s*\(\s*\{([^}]*)\}\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // whole-node forms: `properties(n) AS p` / `keys(n) AS k`, and
+    // the map projection `n {.a, .b} AS m`
+    val PropsItemRe =
+      """(?is)^(properties|keys)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val MapProjItemRe =
+      """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\{(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val TypeItemRe =
       """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
@@ -2968,6 +2980,49 @@ object CypherLite {
         case other if other.matches("(?is)^labels\\s*\\(.*") =>
           fail("labels() takes a labeled pattern alias (pattern scope " +
             "only) and an AS name", other)
+        // whole-node schema functions — properties(n) (a struct of
+        // the alias's node-table columns, engine `id` excluded) and
+        // keys(n) (their names, schema order). The COLUMN SET lives
+        // in the graph's node-table schema, unknown here: the item
+        // carries (fn, alias) and queryOne resolves it against the
+        // label right before each stage compiles
+        // (resolveSchemaFnItems). AS is mandatory — parquet forbids
+        // the parens a verbatim default name would need.
+        case PropsItemRe(fn, a, as) =>
+          require(!relVars(a),
+            s"$fn($a): '$a' is a relationship variable — node aliases only")
+          require(propOk(a),
+            s"$fn() references unknown ${
+              if (ctx == "RETURN") "name" else "alias"} '$a'")
+          ReturnItem(None, distinct = false, a, None, as,
+            schemaFn = Some((fn.toLowerCase, a)))
+        case other if other.matches("(?is)^(properties|keys)\\s*\\(.*") =>
+          fail("properties()/keys() take a node alias and an AS name",
+            other)
+        // map projection — `n {.a, .b} AS m`: a struct of the NAMED
+        // properties (static schema — compiles without the graph)
+        case MapProjItemRe(a, body, as) =>
+          require(!relVars(a),
+            s"$a {…}: '$a' is a relationship variable — node aliases only")
+          require(propOk(a),
+            s"map projection references unknown ${
+              if (ctx == "RETURN") "name" else "alias"} '$a'")
+          val props = splitTopComma(body).map { e0 =>
+            val e = e0.trim
+            require(e.startsWith(".") && e.length > 1 &&
+              e.drop(1).matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"map projection entries are .prop — got '$e' (computed " +
+                "entries and variable selectors are unsupported)")
+            e.drop(1)
+          }
+          require(props.nonEmpty, s"$a {{}}: empty map projection")
+          require(props.distinct.size == props.size,
+            s"duplicate map projection keys: $props")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(props.map(a -> _),
+              res => when(res(a, None).isNull, lit(null))
+                .otherwise(struct(props.map(p =>
+                  res(a, Some(p)).as(p)): _*)))))
         // type(r) — a single-hop named relationship's type: a literal
         // for typed steps (the step stays skinny); untyped steps read
         // their materialized eid's prefix
@@ -3247,16 +3302,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _, _, _) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -3553,6 +3608,42 @@ object CypherLite {
     * aliases after); `leftOuter` picks the attach join type (left for
     * OPTIONAL MATCH positions so null path slots survive).
     */
+  /** Resolve whole-node schema items (`properties(n)` / `keys(n)`)
+    * to concrete caseC columns against the graph's node-table
+    * schema: properties → a struct of the label's columns (engine
+    * `id` excluded — it rides beside the natural key the loaders
+    * keep among the properties), keys → their names as a literal
+    * list (schema order, matching the struct). Both null out for an
+    * unmatched OPTIONAL alias (Cypher: null, not a struct of nulls).
+    * Runs right before each runStage call — the only point where the
+    * graph, the stage's alias→label resolver, and the items meet.
+    */
+  private def resolveSchemaFnItems(g: PropertyGraph,
+      items: Seq[ReturnItem],
+      aliasLabel: String => Option[String]): Seq[ReturnItem] =
+    items.map { ri =>
+      ri.schemaFn match {
+        case None => ri
+        case Some((fn, a)) =>
+          val lbl = aliasLabel(a).getOrElse(throw new IllegalArgumentException(
+            s"$fn($a): no node label for '$a'"))
+          require(lbl.nonEmpty, s"$fn($a): alias '$a' is unlabeled — " +
+            "the any-node view has no properties; declare a :Label")
+          val cols = g.nodes(lbl).columns.toSeq.filterNot(_ == "id")
+          require(cols.nonEmpty,
+            s"$fn($a): label '$lbl' carries no property columns")
+          val cc = fn match {
+            case "properties" => CaseCompiled(cols.map(a -> _),
+              res => when(res(a, None).isNull, lit(null))
+                .otherwise(struct(cols.map(c => res(a, Some(c)).as(c)): _*)))
+            case "keys" => CaseCompiled(Seq.empty,
+              res => when(res(a, None).isNull, lit(null))
+                .otherwise(array(cols.map(lit): _*)))
+          }
+          ri.copy(schemaFn = None, alias = "", caseC = Some(cc))
+      }
+    }
+
   private def runStage(g: PropertyGraph, frame: DataFrame,
       items: Seq[ReturnItem],
       aliasLabel: String => Option[String],
@@ -3827,10 +3918,126 @@ object CypherLite {
         return compileCallTail(g0, query(g0, innerTxt), tailTxt)
       case None =>
     }
+    // mid-statement CALL — the CORRELATED subquery (Neo4j 5:
+    // `MATCH … CALL { WITH n … RETURN … } RETURN …`). Compiled by
+    // TEXTUAL REWRITE into the pipeline grammar that is already
+    // green: the body becomes a clause re-entering at the imported
+    // aliases, the subquery RETURN becomes a WITH stage carrying
+    // every outer name beside the subquery items.
+    //   - aggregate subquery → OPTIONAL MATCH body + `WITH outer…,
+    //     aggs`: per-outer-binding aggregation with Cypher zero-fill
+    //     (count → 0, collect → [] — OPTIONAL nulls never reach the
+    //     lists; sum over no match is null here, a documented
+    //     divergence from Neo4j's 0)
+    //   - row subquery → the body clause as written (MATCH drops
+    //     non-matching outer rows — CALL semantics; OPTIONAL MATCH
+    //     keeps them with nulls)
+    //  Grouping runs per outer ALIAS BINDING (the id tuple), not per
+    //  path row — two identical bindings reached by different paths
+    //  merge (divergence only for patterns with parallel edges).
+    //  Every outer name stays in scope after the CALL (Neo4j agrees);
+    //  imports beyond the WITH list are not rejected (lenient).
+    // (a statement that ALSO has a top-level UNION falls through to
+    // the union machinery below, whose part-guard rejects CALL parts
+    // pointedly)
+    if (splitTop(stmt, "UNION").size == 1)
+    for (ci <- topLevelKeywordIndex(stmt, "CALL")) {
+      require(topLevelKeywordIndices(stmt, "CALL").size == 1,
+        "one CALL { … } per statement")
+      val afterKw = stmt.substring(ci + 4)
+      require(afterKw.matches("(?s)^\\s*\\{.*"),
+        "CALL procedures are unsupported — only CALL { … } subqueries")
+      val outerTxt = stmt.substring(0, ci).trim
+      require(outerTxt.nonEmpty, "correlated CALL needs a leading MATCH")
+      val braceAt = ci + 4 + afterKw.indexOf('{')
+      var depth = 1; var inQ = false; var i = braceAt + 1
+      while (i < stmt.length && depth > 0) {
+        val c = stmt.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '{') depth += 1
+        else if (!inQ && c == '}') depth -= 1
+        i += 1
+      }
+      require(depth == 0, "CALL { … }: unbalanced braces")
+      val innerTxt = stmt.substring(braceAt + 1, i - 1).trim
+      val tailTxt = stmt.substring(i).trim
+      require(tailTxt.matches("(?is)^(RETURN|WITH)\\b.*"),
+        "a correlated CALL { … } must be followed by RETURN or WITH")
+      // the importing WITH: bare names only (Neo4j 5 scoping)
+      val ImportRe =
+        """(?is)^WITH\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s+(.*)$""".r
+      val (imports, body) = innerTxt match {
+        case ImportRe(names, rest) =>
+          (names.split(",").map(_.trim).toSeq, rest.trim)
+        case _ => throw new IllegalArgumentException(
+          "a mid-statement CALL { … } must start with an importing " +
+            "WITH of bare outer aliases (`CALL { WITH n MATCH … }`) — " +
+            "uncorrelated subqueries go at the statement head")
+      }
+      require(body.matches("(?is)^(OPTIONAL\\s+)?MATCH\\b.*"),
+        s"CALL { WITH … } must continue with [OPTIONAL] MATCH, got " +
+          s"'${body.take(30)}'")
+      require(splitOnWith(body).size == 1,
+        "a WITH pipeline inside a correlated CALL { … } is " +
+          "unsupported — aggregate in the subquery RETURN")
+      require(splitTop(body, "UNION").size == 1,
+        "UNION inside a correlated CALL { … } is unsupported")
+      val ri = topLevelKeywordIndex(body, "RETURN").getOrElse(
+        throw new IllegalArgumentException(
+          "a correlated CALL { … } needs a RETURN inside the braces"))
+      val bodyMatch = body.substring(0, ri).trim
+      var itemsTxt = body.substring(ri + "RETURN".length).trim
+      for (kw <- Seq("ORDER", "SKIP", "LIMIT");
+           _ <- topLevelKeywordIndex(itemsTxt, kw))
+        throw new IllegalArgumentException(
+          "ORDER BY/SKIP/LIMIT inside a correlated CALL { … } " +
+            "(per-binding top-k) is unsupported — window over a " +
+            "collect() instead")
+      val innerDistinct = itemsTxt.matches("(?is)^DISTINCT\\b.*")
+      if (innerDistinct)
+        itemsTxt = itemsTxt.replaceFirst("(?i)^DISTINCT\\b", "").trim
+      require(itemsTxt.nonEmpty, "empty RETURN inside CALL { … }")
+      val AggLikeRe =
+        ("""(?i)\b(count|sum|min|max|avg|collect|stDev|stDevP|""" +
+          """percentileCont|percentileDisc)\s*\(""").r
+      // quoted literals blanked before probing: 'count(' inside a
+      // string must not flip the subquery to aggregate mode
+      val hasAgg = splitTopComma(itemsTxt).exists(it =>
+        AggLikeRe.findFirstIn(it.replaceAll("'[^']*'", "''")).isDefined)
+      // outer scope names, declaration order: the last WITH stage's
+      // scope if the outer part pipelines, else the pattern's named
+      // aliases (anonymous `_i` nodes are not in scope — Cypher — so
+      // per-binding grouping ignores them, see scaladoc)
+      val pOut = parse(outerTxt)
+      require(pOut.returns.isEmpty,
+        "the part before CALL { … } must not RETURN")
+      val outerNames: Seq[String] = pOut.withClauses.lastOption match {
+        case Some(w) => w.scopeNames
+        case None =>
+          ((pOut.start.as +: pOut.steps.map(_.node.as)) ++
+            pOut.optionals.flatMap(_.steps.map(_.node.as)))
+            .distinct.filterNot(_.startsWith("_"))
+      }
+      for (a <- imports)
+        require(outerNames.contains(a),
+          s"CALL { WITH $a … }: '$a' is not in scope before the CALL " +
+            s"(${outerNames.mkString(", ")})")
+      val bodyRewritten =
+        if (hasAgg && !body.matches("(?is)^OPTIONAL\\b.*"))
+          "OPTIONAL " + bodyMatch
+        else bodyMatch
+      val rewritten = s"$outerTxt $bodyRewritten WITH " +
+        (if (innerDistinct) "DISTINCT " else "") +
+        s"${outerNames.mkString(", ")}, $itemsTxt $tailTxt"
+      return query(g0, rewritten)
+    }
     // a CALL part inside a UNION would reach queryOne (which has no
     // CALL grammar) and fail deep in pattern parsing — reject here
+    // (leading OR mid-part: a correlated CALL in a union part is
+    // equally unsupported)
     if (splitTop(stmt, "UNION").size > 1)
       require(splitTop(stmt, "UNION").forall(p =>
+          topLevelKeywordIndices(p, "CALL").isEmpty &&
           !p.matches("(?is)^(ALL\\s+)?CALL\\b.*")),
         "CALL { … } may not be a UNION part — put the UNION inside " +
           "the braces")
@@ -4086,7 +4293,9 @@ object CypherLite {
           // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
           // filters AFTER the stage's cut — Neo4j semantics; the
           // HAVING-style pre-tail WHERE filters before it
-          val ran = runStage(g, df, w.items, aliasLabel, leftOuter,
+          val ran = runStage(g, df,
+            resolveSchemaFnItems(g, w.items, aliasLabel), aliasLabel,
+            leftOuter,
             distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
             skip = w.skip, preAttached = preAtt)
@@ -4173,7 +4382,9 @@ object CypherLite {
     if (p.returns.isEmpty) stageC
     else {
       val (aliasLabel, leftOuter, preAtt) = resolvers(lastWith)
-      runStage(g, stageC, p.returns, aliasLabel, leftOuter,
+      runStage(g, stageC,
+        resolveSchemaFnItems(g, p.returns, aliasLabel), aliasLabel,
+        leftOuter,
         p.returnDistinct, p.orderBy, p.limit, skip = p.skip,
         preAttached = preAtt)
     }

@@ -1895,6 +1895,60 @@ object GraphOps {
              |     JOIN orders ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
+    // G74 correlated CALL { WITH n … } — the Neo4j 5 per-binding
+    // subquery (importing WITH): per-nation aggregation over a
+    // narrowed neighbor set, zero-filled where nothing matches
+    // (count → 0, collect → []), every outer name still in scope
+    // after the braces. DuckDB replays with a LEFT-JOIN grouped
+    // subselect — the classic correlated-aggregate rewrite.
+    QueryDef(
+      "g74_cypher_call_correlated",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation)
+          |CALL {
+          |  WITH n
+          |  MATCH (n)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE c.c_acctbal > 9900.0
+          |  RETURN count(c) AS rich, collect(c.c_mktsegment) AS segs
+          |}
+          |RETURN r.r_name AS rg, n.n_name AS nm, rich,
+          |       size(segs) AS ns""".stripMargin)),
+      Some("""SELECT r_name AS rg, n_name AS nm,
+             |       CAST(count(c_custkey) AS BIGINT) AS rich,
+             |       CAST(count(c_custkey) AS INTEGER) AS ns
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_acctbal > 9900.0
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G75 whole-node forms — properties(n) (a struct of the node
+    // table's columns, engine id excluded), keys(n) (their names,
+    // schema order), and the map projection n {.a, .b}: the
+    // Kuzu-parity "RETURN n prints the node" surface (reference
+    // README.md:137 demo). keys() flattens to a string for the
+    // parquet/oracle compare; the structs compare field-by-field
+    // against DuckDB struct_pack.
+    QueryDef(
+      "g75_cypher_properties",
+      (s, d) => {
+        import org.apache.spark.sql.functions.array_join
+        orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+          """MATCH (r:region)-[:HAS_NATION]->(n:nation)
+            |WHERE r.r_regionkey <= 1
+            |RETURN n.n_name AS nm, properties(n) AS props,
+            |       keys(n) AS ks, n {.n_name, .n_regionkey} AS proj""".stripMargin)
+          .withColumn("ks", array_join(col("ks"), "|")))
+      },
+      Some("""SELECT n_name AS nm,
+             |  struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+             |              n_regionkey := n_regionkey) AS props,
+             |  'n_nationkey|n_name|n_regionkey' AS ks,
+             |  struct_pack(n_name := n_name, n_regionkey := n_regionkey)
+             |    AS proj
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |WHERE r_regionkey <= 1
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G77 temporal accessors + duration arithmetic — Neo4j reads
     // date components by ACCESSOR (`o.d.year`), and shifts temporals
     // with `± duration({…})`; both are top LLM emissions over a

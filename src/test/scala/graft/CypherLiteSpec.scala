@@ -2570,6 +2570,107 @@ class CypherLiteSpec extends SparkSpec {
     assert(un === Seq("a", "b", "c"))
   }
 
+  test("properties(n), keys(n), and map projections") {
+    val g2 = PropertyGraph(
+      nodes = Map(
+        "U" -> Seq((1L, "u1", 10L), (2L, "u2", 20L)).toDF("id", "tag", "v"),
+        "W" -> Seq((7L, "w")).toDF("id", "tag")),
+      edges = Map("E" -> (("U", "W",
+        Seq((1L, 7L)).toDF("src", "dst")))))
+    val df = CypherLite.query(g2,
+      "MATCH (u:U)-[:E]->(w:W) RETURN properties(u) AS p, keys(u) AS k, " +
+        "u {.tag, .v} AS m")
+    assert(df.schema("p").dataType.typeName === "struct")
+    val row = df.collect().head
+    assert(row.getStruct(0).toSeq === Seq("u1", 10L))
+    assert(row.getSeq[String](1) === Seq("tag", "v"))
+    assert(row.getStruct(2).toSeq === Seq("u1", 10L))
+    // OPTIONAL MATCH: unmatched alias yields NULL, not a null struct
+    val opt = CypherLite.query(g2,
+      "MATCH (u:U) OPTIONAL MATCH (u)-[:E]->(w:W) " +
+        "RETURN u.tag AS t, properties(w) AS pw, keys(w) AS kw")
+      .collect().map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(2)))
+      .toSet
+    assert(opt === Set(("u1", false, false), ("u2", true, true)))
+    // keys() output feeds the list machinery (size)
+    val n = CypherLite.query(g2,
+      "MATCH (u:U)-[:E]->(w:W) WITH keys(u) AS k RETURN size(k) AS n")
+      .as[Int].collect().toSeq
+    assert(n === Seq(2))
+    // pointed rejects
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (u:U) RETURN properties(u)")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (u:U) RETURN u {.tag, bad} AS m")
+    }
+  }
+
+  test("correlated CALL { WITH n … }: per-binding aggregation with zero-fill") {
+    // a1 has 1 B-neighbor, a4 has 2 — and a lone a9 with none
+    val g2 = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1"), (4L, "a4"), (9L, "a9")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2"), (5L, "b5")).toDF("id", "tag")),
+      edges = Map("R1" -> (("A", "B",
+        Seq((1L, 2L), (4L, 5L), (4L, 2L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(g2,
+      """MATCH (a:A)
+        |CALL {
+        |  WITH a
+        |  MATCH (a)-[:R1]->(b:B)
+        |  RETURN count(b) AS nb, collect(b.tag) AS tags
+        |}
+        |RETURN a.tag AS t, nb, size(tags) AS nt ORDER BY t""".stripMargin)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(rows === Seq(("a1", 1L, 1), ("a4", 2L, 2), ("a9", 0L, 0)))
+  }
+
+  test("correlated CALL: row subquery multiplies and drops (CALL semantics)") {
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)
+        |CALL {
+        |  WITH a
+        |  MATCH (a)-[:R1]->(b:B)
+        |  RETURN b.tag AS bt
+        |}
+        |RETURN a.tag AS t, bt ORDER BY t, bt""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("a1", "b2"), ("a4", "b2"), ("a4", "b5")))
+    // WHERE inside the subquery narrows per-binding
+    val n = CypherLite.query(g,
+      """MATCH (a:A)
+        |CALL {
+        |  WITH a
+        |  MATCH (a)-[:R1]->(b:B)
+        |  WHERE b.tag = 'b5'
+        |  RETURN count(b) AS nb
+        |}
+        |RETURN a.tag AS t, nb ORDER BY t""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(n === Seq(("a1", 0L), ("a4", 1L)))
+  }
+
+  test("correlated CALL: pointed rejects") {
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) CALL { MATCH (b:B) RETURN count(b) AS n } RETURN n")
+    }
+    assert(e1.getMessage.contains("importing WITH"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+          "RETURN b.tag AS bt ORDER BY bt LIMIT 1 } RETURN bt")
+    }
+    assert(e2.getMessage.contains("per-binding top-k"))
+    val e3 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) CALL { WITH zz MATCH (zz)-[:R1]->(b:B) " +
+          "RETURN count(b) AS n } RETURN n")
+    }
+    assert(e3.getMessage.contains("not in scope"))
+  }
+
   test("ORDER BY id(n) resolves like the item rewrite") {
     val rows = CypherLite.query(g,
       "MATCH (a:A)-[:R1]->(b:B) RETURN id(b) AS bid ORDER BY id(b) DESC")
