@@ -530,7 +530,11 @@ object CypherLite {
       // text, name) explodes onto the required path frame as a value
       // column BEFORE the clause WHERE's row filters run, so
       // `WHERE c.prop = x` compiles against it like a stage output
-      headUnwinds: Seq[(String, String)] = Seq.empty)
+      headUnwinds: Seq[(String, String)] = Seq.empty,
+      // `COUNT { chain } OP n` WHERE conjuncts — (sub-pattern, the
+      // comparison operator, the literal bound); compiled beside
+      // patternPreds as per-anchor grouped-count row filters
+      countPreds: Seq[(PatternPred, String, Long)] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -703,6 +707,13 @@ object CypherLite {
   // parenthesized boolean group.
   private val PatPredExistsBraceRe =
     """(?is)^(NOT\s+)?EXISTS\s*\{(.*)\}\s*$""".r
+  // `COUNT { (n)-[:R]->(m) [WHERE …] } OP int` — the Neo4j 5 count
+  // subquery as a WHERE conjunct (the "more than k neighbors" LLM
+  // idiom). Compiles to a per-anchor grouped count left-joined onto
+  // the path frame (0 where nothing matches) and compared — a row
+  // filter, never a multiplicity change.
+  private val PatCountRe =
+    """(?is)^COUNT\s*\{(.*)\}\s*(<=|>=|<>|=|<|>)\s*(\d+)\s*$""".r
   private val PatPredExistsFnRe =
     """(?is)^(NOT\s+)?EXISTS\s*\((\s*\(.*)\)\s*$""".r
   private val PatPredBareNotRe = """(?is)^NOT\s+(\(.*)$""".r
@@ -1859,6 +1870,8 @@ object CypherLite {
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
     val rowPreds = scala.collection.mutable.ArrayBuffer.empty[RowPred]
     val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
+    val countPreds =
+      scala.collection.mutable.ArrayBuffer.empty[(PatternPred, String, Long)]
     val patternComps = scala.collection.mutable.ArrayBuffer.empty[PatternComp]
     var start: PatternNode = null
 
@@ -2282,6 +2295,14 @@ object CypherLite {
         case PatPredExistsFnRe(not, body) =>
           patternPreds += parsePatternPredChain(not != null, body.trim)
           any = true
+        case PatCountRe(body, op, num) =>
+          countPreds += ((parsePatternPredChain(negated = false,
+            body.trim.replaceFirst("(?i)^MATCH\\b", "").trim), op,
+            num.toLong))
+          any = true
+        case other if other.matches("(?is)^COUNT\\s*\\{.*") =>
+          fail("COUNT { chain } must compare to an integer literal " +
+            "(COUNT { … } OP int)", other)
         case PatPredBareNotRe(body)
             if PatternShapeRe.findFirstIn(body).isDefined =>
           patternPreds += parsePatternPredChain(negated = true, body)
@@ -3597,7 +3618,7 @@ object CypherLite {
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
       skip, patternPreds.toSeq, shortestFilters.toSeq,
-      patternComps.toSeq, headUnwinds)
+      patternComps.toSeq, headUnwinds, countPreds.toSeq)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -3835,7 +3856,8 @@ object CypherLite {
     }
 
   private def compileCallTail(g0: PropertyGraph, inner: DataFrame,
-      tail: String): DataFrame = {
+      tail: String,
+      aliasLabel: String => Option[String] = _ => None): DataFrame = {
     require(tail.nonEmpty, "CALL { … } needs a RETURN after the braces")
     require(!tail.matches("(?is)^WITH\\b.*"),
       "a WITH pipeline after CALL { … } is unsupported — project and " +
@@ -3847,13 +3869,23 @@ object CypherLite {
     val distinct = r.matches("(?is)^DISTINCT\\b.*")
     if (distinct) r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
     val cols = inner.columns.toSet
+    // a dotted item (`n.n_name`) resolves when the caller supplies
+    // the alias's label (the CORRELATED top-k path: outer pattern
+    // aliases ride the joined frame as id columns and properties
+    // attach in runStage); the statement-head CALL passes no
+    // resolver, keeping its bare-name contract
+    def propItem(f: Option[String], d: Boolean, a: String, prop: String,
+        name: String, srcTxt: String): ReturnItem = {
+      require(aliasLabel(a).isDefined && cols(a),
+        s"${srcTxt}: CALL-tail items reference the subquery's " +
+          "output columns by bare name (outer alias properties " +
+          "resolve only after a correlated CALL)")
+      ReturnItem(f, d, a, Some(prop), name, src = Some(srcTxt))
+    }
     val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
       case AggItemRe(fn, dist, target, prop, as) =>
         val f = fn.toLowerCase
         val d = dist != null
-        require(prop == null,
-          s"$f($target.$prop): CALL-tail items reference the subquery's " +
-            "output columns by bare name")
         require(target == "*" || cols(target),
           s"$f() references unknown subquery column '$target' " +
             s"(${inner.columns.mkString(", ")})")
@@ -3864,22 +3896,27 @@ object CypherLite {
           s"DISTINCT only supported with count, collect, sum, avg, " +
             s"min, max — not $f")
         val name = Option(as).getOrElse {
-          val t = if (target == "*") "star" else target
+          val t = if (target == "*") "star"
+            else target + Option(prop).map("_" + _).getOrElse("")
           s"$f${if (d) "_distinct" else ""}_$t"
         }
         checkUserName(name, "CALL-tail output")
-        ReturnItem(Some(f), d, target, None, name,
+        if (prop != null)
+          propItem(Some(f), d, target, prop, name,
+            s"$fn(${if (d) "DISTINCT " else ""}$target.$prop)")
+        else ReturnItem(Some(f), d, target, None, name,
           src = Some(s"$fn(${if (d) "DISTINCT " else ""}$target)"))
       case PlainItemRe(a, prop, as) =>
-        require(prop == null,
-          s"$a.$prop: CALL-tail items reference the subquery's output " +
-            "columns by bare name")
         require(cols(a),
           s"RETURN references unknown subquery column '$a' " +
             s"(${inner.columns.mkString(", ")})")
-        val name = Option(as).getOrElse(a)
+        val name = Option(as).getOrElse(
+          Option(prop).map(p => s"${a}_$p").getOrElse(a))
         checkUserName(name, "CALL-tail output")
-        ReturnItem(None, distinct = false, a, None, name, src = Some(a))
+        if (prop != null) propItem(None, d = false, a, prop, name,
+          s"$a.$prop")
+        else ReturnItem(None, distinct = false, a, None, name,
+          src = Some(a))
       case other => fail(
         "CALL-tail items must be a subquery column [AS x] or " +
           "agg([DISTINCT] column|*) [AS x]", other)
@@ -3894,7 +3931,7 @@ object CypherLite {
       require(items.exists(_.as == n),
         s"ORDER BY references '$n' — not an output " +
           s"(${items.map(_.as).mkString(", ")})")
-    runStage(g0, inner, items, _ => None, _ => false, distinct,
+    runStage(g0, inner, items, aliasLabel, _ => false, distinct,
       obR, limit, skip = skip)
   }
 
@@ -3986,13 +4023,9 @@ object CypherLite {
         throw new IllegalArgumentException(
           "a correlated CALL { … } needs a RETURN inside the braces"))
       val bodyMatch = body.substring(0, ri).trim
-      var itemsTxt = body.substring(ri + "RETURN".length).trim
-      for (kw <- Seq("ORDER", "SKIP", "LIMIT");
-           _ <- topLevelKeywordIndex(itemsTxt, kw))
-        throw new IllegalArgumentException(
-          "ORDER BY/SKIP/LIMIT inside a correlated CALL { … } " +
-            "(per-binding top-k) is unsupported — window over a " +
-            "collect() instead")
+      val (itemsTxt0, innerOb, innerSkip, innerLimit) =
+        parseTailWithSkip(body.substring(ri + "RETURN".length).trim)
+      var itemsTxt = itemsTxt0
       val innerDistinct = itemsTxt.matches("(?is)^DISTINCT\\b.*")
       if (innerDistinct)
         itemsTxt = itemsTxt.replaceFirst("(?i)^DISTINCT\\b", "").trim
@@ -4022,6 +4055,89 @@ object CypherLite {
         require(outerNames.contains(a),
           s"CALL { WITH $a … }: '$a' is not in scope before the CALL " +
             s"(${outerNames.mkString(", ")})")
+      // PER-BINDING TOP-K — `CALL { WITH n MATCH … RETURN … ORDER BY
+      // key DESC LIMIT k }`, the "top k per entity" LLM idiom Cypher
+      // has no other construct for. Compiled directly (the WITH-stage
+      // rewrite below cannot window): the subquery compiles standalone
+      // with the imports projected beside its items, a row_number
+      // window per import tuple takes the top k (ties broken by every
+      // remaining column — deterministic output, the engine contract),
+      // and an INNER join puts the survivors back on the outer frame
+      // (CALL drops non-matching bindings). The tail then resolves
+      // outer alias PROPERTIES through the extended CALL-tail
+      // machinery. One window shuffle on the import tuple — the same
+      // partitioning a 1000-executor run wants.
+      if (innerOb.nonEmpty || innerLimit.nonEmpty || innerSkip.nonEmpty) {
+        require(!hasAgg,
+          "ORDER BY/LIMIT over an AGGREGATED correlated CALL is " +
+            "meaningless per binding (one row each) — order/limit " +
+            "after the braces instead")
+        require(innerSkip.isEmpty,
+          "SKIP inside a correlated CALL { … } is unsupported — LIMIT k " +
+            "takes the per-binding top k")
+        val k = innerLimit.getOrElse(throw new IllegalArgumentException(
+          "ORDER BY inside a correlated CALL { … } needs a LIMIT k " +
+            "(per-binding top-k); ordering alone has no effect on the " +
+            "unordered subquery rows"))
+        require(innerOb.nonEmpty,
+          "LIMIT inside a correlated CALL { … } needs an ORDER BY — an " +
+            "unordered per-binding cut would be nondeterministic")
+        require(bodyMatch.matches("(?is)^MATCH\\b.*"),
+          "per-binding top-k needs a required MATCH body (OPTIONAL " +
+            "MATCH would rank null rows)")
+        for (a <- imports)
+          require(pOut.labels.get(a).exists(_.nonEmpty),
+            s"per-binding top-k: import '$a' must be a labeled pattern " +
+              "alias (stage outputs cannot re-enter a sub-pattern)")
+        // every item must carry an AS name: the window keys and the
+        // join-back resolve by OUTPUT name
+        val itemSplit = splitTopComma(itemsTxt)
+        val AsRe = """(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val itemNames = itemSplit.map {
+          case AsRe(_, n) => n
+          case other => fail(
+            "per-binding top-k items need explicit AS names", other)
+        }
+        val itemSrc: Map[String, String] = itemSplit.collect {
+          case AsRe(src, n) => src.replaceAll("\\s+", "") -> n
+        }.toMap
+        // inject each import's label at its bare (a) re-entries so
+        // the subquery parses standalone
+        val bodyInj = imports.foldLeft(bodyMatch) { (t, a) =>
+          t.replaceAll(s"\\(\\s*$a\\s*\\)",
+            java.util.regex.Matcher.quoteReplacement(
+              s"($a:${pOut.labels(a)})"))
+        }
+        val innerFull = s"$bodyInj RETURN " +
+          (if (innerDistinct) "DISTINCT " else "") +
+          (imports ++ itemSplit).mkString(", ")
+        val I = queryOne(g0, innerFull)
+        val keyCols = innerOb.map { case (key, asc) =>
+          val nm =
+            if (itemNames.contains(key) || imports.contains(key)) key
+            else itemSrc.getOrElse(key.replaceAll("\\s+", ""),
+              throw new IllegalArgumentException(
+                s"top-k ORDER BY $key: not among the subquery outputs " +
+                  s"(${(imports ++ itemNames).mkString(", ")})"))
+          if (asc) col(nm).asc else col(nm).desc
+        }
+        val obNames = innerOb.map(_._1).toSet
+        val ties = I.columns.toSeq
+          .filterNot(c => obNames.contains(c)).map(col(_).asc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(imports.map(col): _*)
+          .orderBy(keyCols ++ ties: _*)
+        val topk = I.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+        val F = queryOne(g0, outerTxt)
+        for (n <- itemNames)
+          require(!F.columns.contains(n),
+            s"top-k output '$n' collides with an outer name — AS it " +
+              "differently")
+        val joined = F.join(topk, imports, "inner")
+        return compileCallTail(g0, joined, tailTxt,
+          aliasLabel = a => pOut.labels.get(a).filter(_.nonEmpty))
+      }
       val bodyRewritten =
         if (hasAgg && !body.matches("(?is)^OPTIONAL\\b.*"))
           "OPTIONAL " + bodyMatch
@@ -4110,12 +4226,14 @@ object CypherLite {
     // on an unlabeled alias rejects
     val allPatternSteps = p.steps ++ p.optionals.flatMap(_.steps) ++
       p.patternPreds.flatMap(_.steps) ++
+      p.countPreds.flatMap(_._1.steps) ++
       p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
     // pattern-predicate locals are NOT in p.labels (EXISTS scoping) —
     // an unlabeled local (`NOT (c)-[:R]->()`) still needs the
     // any-node view mounted
     val anyNodeNeeded = p.labels.valuesIterator.contains("") ||
-      p.patternPreds.exists(_.steps.exists(_.node.label.isEmpty))
+      p.patternPreds.exists(_.steps.exists(_.node.label.isEmpty)) ||
+      p.countPreds.exists(_._1.steps.exists(_.node.label.isEmpty))
     val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
     val g =
@@ -4231,6 +4349,35 @@ object CypherLite {
       }.reduce(_ && _)
       df.join(proj, cond, if (pp.negated) "left_anti" else "left_semi")
     }
+    // COUNT { chain } OP n predicates: the sub-pattern's per-anchor
+    // (+closure) grouped count — dimension-keyed, so the groupBy
+    // shuffles only the skinny sub-frame — left-joins onto the path
+    // frame (absent anchor ⇒ 0, Cypher), the comparison filters, the
+    // helper columns drop. A row filter, never a multiplicity change;
+    // Catalyst is free to broadcast the grouped count table.
+    val afterCountPreds = p.countPreds.zipWithIndex.foldLeft(afterPreds) {
+      case (df, ((pp, op, n), ci)) =>
+        val sub = g.matchPaths(
+          PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred), pp.steps)
+        val keys = (pp.anchor, pp.anchor) +: pp.closures
+        val proj = sub.groupBy(keys.zipWithIndex.map {
+          case ((local, _), i) => sub(local).as(s"__cpk_${ci}_$i")
+        }: _*).agg(count(lit(1)).as(s"__cpc_$ci"))
+        val cond = keys.zipWithIndex.map {
+          case ((_, outer), i) => df(outer) === proj(s"__cpk_${ci}_$i")
+        }.reduce(_ && _)
+        val cnt = coalesce(col(s"__cpc_$ci"), lit(0L))
+        val cmp = op match {
+          case "="  => cnt === n
+          case "<>" => cnt =!= n
+          case "<"  => cnt < n
+          case "<=" => cnt <= n
+          case ">"  => cnt > n
+          case ">=" => cnt >= n
+        }
+        df.join(proj, cond, "left_outer").filter(cmp)
+          .drop((s"__cpc_$ci" +: keys.indices.map(i => s"__cpk_${ci}_$i")): _*)
+    }
     // each OPTIONAL MATCH clause compiles to an INNER sub-pattern
     // anchored at its bound alias, left-joined as one unit — if any
     // step fails, every alias the clause binds is null together. The
@@ -4239,7 +4386,7 @@ object CypherLite {
     // the optional match (Neo4j: condition part of the match, failing
     // rows keep the outer row with nulls), never as a post-join
     // filter that would turn the left join into an inner one.
-    val paths = p.optionals.foldLeft(afterPreds) {
+    val paths = p.optionals.foldLeft(afterCountPreds) {
       (df, cl) =>
         val sub0 = g.matchPaths(
           PatternNode(p.labels(cl.anchor), cl.anchor, cl.anchorPred), cl.steps)

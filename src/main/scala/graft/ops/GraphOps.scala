@@ -1921,6 +1921,53 @@ object GraphOps {
              |  ON c_nationkey = n_nationkey AND c_acctbal > 9900.0
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     ),
+    // G79 COUNT { } subqueries in WHERE — the Neo4j 5 "more than k
+    // neighbors" idiom (`WHERE COUNT { (n)-->(m) WHERE … } >= k`):
+    // per-anchor grouped count left-joined (absent ⇒ 0) and compared.
+    // The = 0 variant beside it pins the zero-fill path (≡ NOT
+    // EXISTS). DuckDB replays with a correlated grouped subselect.
+    QueryDef(
+      "g79_cypher_count_subquery",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation)
+          |WHERE COUNT { (n)-[:HAS_CUSTOMER]->(c:customer)
+          |              WHERE c.c_acctbal > 9000.0 } >= 6
+          |  AND r.r_regionkey <= 3
+          |RETURN r.r_name AS rg, n.n_name AS nm""".stripMargin)),
+      Some("""SELECT r_name AS rg, n_name AS nm
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |WHERE r_regionkey <= 3 AND (
+             |  SELECT count(*) FROM customer
+             |  WHERE c_nationkey = n_nationkey AND c_acctbal > 9000.0
+             |) >= 6
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G80 per-binding top-k — `CALL { WITH c … ORDER BY … LIMIT k }`,
+    // the "top k per entity" idiom Cypher has no other construct
+    // for: one row_number window per import tuple (ties broken by
+    // the remaining columns — deterministic), inner-joined back,
+    // outer properties resolved in the tail. DuckDB replays with the
+    // same PARTITION BY window.
+    QueryDef(
+      "g80_cypher_call_topk",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |CALL {
+          |  WITH c
+          |  MATCH (c)-[:HAS_ORDER]->(o:orders)
+          |  RETURN o.o_orderkey AS ok, o.o_totalprice AS tp
+          |  ORDER BY tp DESC LIMIT 2
+          |}
+          |RETURN n.n_name AS nm, c.c_custkey AS ck, ok, tp""".stripMargin)),
+      Some("""SELECT nm, ck, ok, tp FROM (
+             |  SELECT n_name AS nm, c_custkey AS ck,
+             |         o_orderkey AS ok, o_totalprice AS tp,
+             |         row_number() OVER (PARTITION BY c_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |       JOIN orders ON o_custkey = c_custkey)
+             |WHERE rn <= 2 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

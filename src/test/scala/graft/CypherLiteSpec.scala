@@ -2660,15 +2660,83 @@ class CypherLiteSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       CypherLite.query(g,
         "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
-          "RETURN b.tag AS bt ORDER BY bt LIMIT 1 } RETURN bt")
+          "RETURN b.tag AS bt ORDER BY bt SKIP 1 LIMIT 1 } RETURN bt")
     }
-    assert(e2.getMessage.contains("per-binding top-k"))
+    assert(e2.getMessage.contains("SKIP inside a correlated CALL"))
     val e3 = intercept[IllegalArgumentException] {
       CypherLite.query(g,
         "MATCH (a:A) CALL { WITH zz MATCH (zz)-[:R1]->(b:B) " +
           "RETURN count(b) AS n } RETURN n")
     }
     assert(e3.getMessage.contains("not in scope"))
+  }
+
+  test("correlated CALL top-k: ORDER BY … LIMIT k per binding") {
+    // a1 → {b2}; a4 → {b2, b5}: top-1 by tag DESC picks b2 / b5
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)
+        |CALL {
+        |  WITH a
+        |  MATCH (a)-[:R1]->(b:B)
+        |  RETURN b.tag AS bt
+        |  ORDER BY bt DESC LIMIT 1
+        |}
+        |RETURN a.tag AS t, bt ORDER BY t""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("a1", "b2"), ("a4", "b5")))
+    // the ORDER BY key may be the item's pre-AS text; outer props
+    // resolve in the tail; LIMIT larger than the group passes all
+    val rows2 = CypherLite.query(g,
+      """MATCH (a:A)
+        |CALL {
+        |  WITH a
+        |  MATCH (a)-[:R1]->(b:B)
+        |  RETURN b.id AS bid
+        |  ORDER BY b.id LIMIT 5
+        |}
+        |RETURN a.tag AS t, bid ORDER BY t, bid""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(rows2 === Seq(("a1", 2L), ("a4", 2L), ("a4", 5L)))
+    // pointed rejects: LIMIT without ORDER BY; agg + LIMIT
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+          "RETURN b.tag AS bt LIMIT 1 } RETURN bt")
+    }
+    assert(e1.getMessage.contains("needs an ORDER BY"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+          "RETURN count(b) AS n ORDER BY n LIMIT 1 } RETURN n")
+    }
+    assert(e2.getMessage.contains("meaningless per binding"))
+  }
+
+  test("COUNT { chain } OP n — Neo4j 5 count subqueries in WHERE") {
+    // a1 has 1 B-neighbor, a4 has 2, a9 has none
+    val g2 = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1"), (4L, "a4"), (9L, "a9")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2"), (5L, "b5")).toDF("id", "tag")),
+      edges = Map("R1" -> (("A", "B",
+        Seq((1L, 2L), (4L, 5L), (4L, 2L)).toDF("src", "dst")))))
+    def tags(q: String): Seq[String] =
+      CypherLite.query(g2, q).as[String].collect().toSeq.sorted
+    assert(tags("MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) } >= 2 " +
+      "RETURN a.tag") === Seq("a4"))
+    assert(tags("MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) } = 0 " +
+      "RETURN a.tag") === Seq("a9"))
+    // an inner WHERE narrows the counted set; combines with an
+    // ordinary conjunct
+    assert(tags("MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) " +
+      "WHERE b.tag = 'b2' } = 1 AND a.tag <> 'a1' RETURN a.tag") ===
+      Seq("a4"))
+    // pointed reject: no comparison
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g2,
+        "MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) } RETURN a.tag")
+    }
+    assert(e.getMessage.contains("integer literal"))
   }
 
   test("ORDER BY id(n) resolves like the item rewrite") {
