@@ -1745,11 +1745,21 @@ object CypherLite {
   // a literal list `[lit, lit, …]` — quote-aware: a ']' INSIDE a
   // quoted element does not close the bracket
   private val LitListPat = """\[(?:'[^']*'|[^\]'])*\]"""
-  // head-position `UNWIND [lits] AS x` — peeled off the statement
-  // front before pattern parsing (the following text must continue
-  // with MATCH or a pattern)
+  // `range(a, b[, step])` — Cypher's inclusive integer range (the
+  // other UNWIND value-injection idiom). Folds to Spark's sequence()
+  // — codegen'd array generation, never a driver-side materialized
+  // list, so `UNWIND range(1, 10000000)` stays scale-safe.
+  private val RangeSrcRe =
+    """(?is)^range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)$""".r
+  // the non-capturing variant for embedding in larger regexes (the
+  // capturing groups would shift the host pattern's group numbering)
+  private val RangeSrcPatNC =
+    """range\s*\(\s*-?\d+\s*,\s*-?\d+\s*(?:,\s*-?\d+\s*)?\)"""
+  // head-position `UNWIND [lits] AS x` / `UNWIND range(a, b) AS x` —
+  // peeled off the statement front before pattern parsing (the
+  // following text must continue with MATCH or a pattern)
   private val HeadUnwindRe =
-    s"""(?is)^\\s*UNWIND\\s+($LitListPat)\\s+(?:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$$""".r
+    s"""(?is)^\\s*UNWIND\\s+($LitListPat|$RangeSrcPatNC)\\s+(?:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$$""".r
 
   /** Parse a literal-list text (`[1, 'a', …]`) to its element values —
     * the shared validation/build path for every UNWIND literal site.
@@ -1759,10 +1769,20 @@ object CypherLite {
     if (body.isEmpty) Seq.empty else splitTopComma(body).map(literal)
   }
 
-  /** A literal list as an array Column (codegen'd literals). */
-  private def litArray(listTxt: String): Column = {
-    val vs = litListValues(listTxt)
-    if (vs.isEmpty) array() else array(vs.map(lit): _*)
+  /** A literal UNWIND source as an array Column: `[lit, …]` builds
+    * array(lit…), `range(a, b[, step])` folds to sequence() (both
+    * codegen'd; range is INCLUSIVE of both bounds — Cypher and
+    * Spark's sequence agree). Validates eagerly — every caller wants
+    * the parse-time failure.
+    */
+  private def litArray(listTxt: String): Column = listTxt.trim match {
+    case RangeSrcRe(a, b, s) =>
+      val step = Option(s).map(_.toLong).getOrElse(1L)
+      require(step != 0, "range() step must be non-zero")
+      sequence(lit(a.toLong), lit(b.toLong), lit(step))
+    case txt =>
+      val vs = litListValues(txt)
+      if (vs.isEmpty) array() else array(vs.map(lit): _*)
   }
 
   def parse(stmt0: String): Parsed = {
@@ -1778,7 +1798,7 @@ object CypherLite {
           checkUserName(x, "UNWIND output")
           require(seen.add(x),
             s"UNWIND output name '$x' collides with an existing output")
-          litListValues(lits) // every element must parse NOW
+          litArray(lits) // every element (or range bound) parses NOW
           acc += (lits -> x)
           stmt = rest
         case other =>
@@ -3194,7 +3214,7 @@ object CypherLite {
     // instead of col(src). An empty list `[]` drops every row
     // (explode of an empty array — Cypher semantics).
     val UnwindLitRe =
-      s"""^($LitListPat)\\s+(?i:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+      s"""^($LitListPat|$RangeSrcPatNC)\\s+(?i:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpSeg) =>
       val prev = acc.lastOption
       // `MATCH` / `OPTIONAL MATCH` AFTER the stage (and its unwinds)
@@ -3413,9 +3433,9 @@ object CypherLite {
             require(!inScope(out),
               s"UNWIND output name '$out' collides with an existing output")
             checkUserName(out, "UNWIND output")
-            // validate every element parses as a literal NOW — a bad
-            // element should be a parse-time reject, not a runtime one
-            litListValues(listTxt)
+            // validate every element (or range bound) parses NOW — a
+            // bad one should be a parse-time reject, not a runtime one
+            litArray(listTxt)
             uacc :+ (listTxt -> out)
           case other => fail(
             "UNWIND must be `UNWIND listName AS x` or `UNWIND [lit, …] AS x`",
@@ -4454,7 +4474,10 @@ object CypherLite {
           val unwound = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
             // a bracketed src is a LITERAL list — build the array in
             // place (codegen'd literals); a name reads the stage output
-            val srcCol = if (src.startsWith("[")) litArray(src) else col(src)
+            val srcCol =
+              if (src.startsWith("[") ||
+                src.matches(s"(?is)^$RangeSrcPatNC$$")) litArray(src)
+              else col(src)
             d.withColumn(x, explode(srcCol))
           }
           // pattern re-entry: each post-stage MATCH clause is its own

@@ -1968,6 +1968,20 @@ object GraphOps {
              |       JOIN orders ON o_custkey = c_custkey)
              |WHERE rn <= 2 ORDER BY ALL""".stripMargin)
     ),
+    // G81 UNWIND range(a, b) — Cypher's integer-range injector,
+    // folded to Spark's sequence() + explode (codegen'd generation,
+    // no driver-side list). The arithmetic item over the unwound
+    // value pins the value-column path.
+    QueryDef(
+      "g81_cypher_unwind_range",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """UNWIND range(1, 3) AS i
+          |MATCH (r:region)
+          |RETURN r.r_name AS rg, i, r.r_regionkey + i AS rk""".stripMargin)),
+      Some("""SELECT r_name AS rg, i, r_regionkey + i AS rk
+             |FROM region CROSS JOIN generate_series(1, 3) AS t(i)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

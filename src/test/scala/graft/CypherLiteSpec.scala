@@ -2235,7 +2235,23 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A)-[:R1]->(b:B) WHERE id() = 1 RETURN b",
       "MATCH (a:A)-[:R1]->(b:B) RETURN toBoolean(a.tag, 2) AS t",
       "MATCH (a:A)-[:R1]->(b:B) RETURN replace(a.tag) AS r",
-      "MATCH (a:A)-[:R1]->(b:B) ORDER BY sum(a.id) RETURN b")
+      "MATCH (a:A)-[:R1]->(b:B) ORDER BY sum(a.id) RETURN b",
+      // round-13 surfaces
+      "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) } RETURN a",
+      "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) RETURN b.tag } ",
+      "MATCH (a:A) CALL { WITH a, MATCH (a)-[:R1]->(b:B) RETURN b.tag AS t } RETURN t",
+      "MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) } > RETURN a",
+      "MATCH (a:A) WHERE COUNT { (a)-[:R1]->(b:B) } >= 1.5 RETURN a",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag + duration({days: 'x'}) AS d",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag - duration(3) AS d",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a {.tag, b} AS m",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a {} AS m",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN properties() AS p",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN keys(a.tag) AS k",
+      "UNWIND range(1) AS x MATCH (a:A) RETURN x",
+      "UNWIND range(1, 'z') AS x MATCH (a:A) RETURN x",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN split(a.tag) AS s",
+      "MATCH (a:A)-[:R1]->(b:B) RETURN sum(DISTINCT toLower(a.tag)) AS s")
     for (stmt <- bad) {
       val e = intercept[Throwable] { CypherLite.query(g, stmt).collect() }
       assert(e.isInstanceOf[IllegalArgumentException],
@@ -2710,6 +2726,26 @@ class CypherLiteSpec extends SparkSpec {
           "RETURN count(b) AS n ORDER BY n LIMIT 1 } RETURN n")
     }
     assert(e2.getMessage.contains("meaningless per binding"))
+  }
+
+  test("UNWIND range(a, b[, step]) — head and stage positions") {
+    val head = CypherLite.query(g,
+      "UNWIND range(1, 4) AS x MATCH (a:A {id: 1}) RETURN sum(x) AS s")
+      .as[Long].collect().toSeq
+    assert(head === Seq(10L))
+    val stepped = CypherLite.query(g,
+      "UNWIND range(0, 10, 5) AS x MATCH (a:A {id: 1}) " +
+        "RETURN collect(x) AS xs")
+      .as[Seq[Long]].collect().head
+    assert(stepped === Seq(0L, 5L, 10L))
+    val stage = CypherLite.query(g,
+      "MATCH (a:A {id: 1}) WITH a.tag AS t " +
+        "UNWIND range(2, 3) AS i RETURN t, i ORDER BY i")
+      .as[(String, Long)].collect().toSeq
+    assert(stage === Seq(("a1", 2L), ("a1", 3L)))
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("UNWIND range(1, 5, 0) AS x MATCH (a:A) RETURN x")
+    }
   }
 
   test("COUNT { chain } OP n — Neo4j 5 count subqueries in WHERE") {
