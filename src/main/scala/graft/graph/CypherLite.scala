@@ -1785,7 +1785,49 @@ object CypherLite {
       if (vs.isEmpty) array() else array(vs.map(lit): _*)
   }
 
-  def parse(stmt0: String): Parsed = {
+  /** Pre-parse normalization of REAL LLM output: strip `//` line
+    * comments (quote-aware — a `//` inside a string literal
+    * survives; the reference's own ingest Cypher carries inline
+    * comments, build_graph.py:230-236) and trailing semicolons, and
+    * reject the two shapes that cannot mean what they say here with
+    * POINTED messages instead of deep misparses: `$param` references
+    * (no parameter binding — Text2Cypher inlines literals) and the
+    * no-argument current-time constructors date()/datetime()/time()
+    * (nondeterministic — the engine's determinism contract needs an
+    * explicit literal). Idempotent; applied at every textual entry.
+    */
+  private[graph] def preprocess(stmt0: String): String = {
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < stmt0.length) {
+      val c = stmt0.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
+      else if (!inQ && c == '/' && i + 1 < stmt0.length &&
+          stmt0.charAt(i + 1) == '/') {
+        while (i < stmt0.length && stmt0.charAt(i) != '\n') i += 1
+      }
+      else if (!inQ && c == '$') {
+        val nm = stmt0.drop(i + 1).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+        throw new IllegalArgumentException(
+          s"query parameters are unsupported ($$${nm}) — inline the " +
+            "literal value (Text2Cypher output should be self-contained)")
+      }
+      else { sb += c; i += 1 }
+    }
+    val s = sb.result().trim.replaceAll(";+\\s*$", "").trim
+    val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
+    // quote-aware probe: blank quoted spans first
+    for (m <- NowRe.findFirstMatchIn(s.replaceAll("'[^']*'", "''")))
+      throw new IllegalArgumentException(
+        s"${m.group(1)}() with no argument is the CURRENT time — " +
+          "nondeterministic, unsupported; pass an explicit literal " +
+          s"(${m.group(1)}('2024-01-01…'))")
+    s
+  }
+
+  def parse(stmt0raw: String): Parsed = {
+    val stmt0 = preprocess(stmt0raw)
     // peel head UNWIND clauses (literal lists only — a name has no
     // source scope before the first MATCH)
     var stmt = stmt0
@@ -3960,7 +4002,8 @@ object CypherLite {
     * RETURN the result is the path frame (one id column per alias,
     * one row per path).
     */
-  def query(g0: PropertyGraph, stmt: String): DataFrame = {
+  def query(g0: PropertyGraph, stmt0: String): DataFrame = {
+    val stmt = preprocess(stmt0)
     callHead(stmt) match {
       case Some((innerTxt, tailTxt)) =>
         require(innerTxt.nonEmpty, "CALL { … }: empty subquery")

@@ -68,7 +68,12 @@ object GraphMerge {
   private def fail(msg: String, rest: String): Nothing =
     throw new IllegalArgumentException(s"$msg at: '${rest.take(50)}'")
 
-  def parse(stmt0: String): MergeSpec = {
+  def parse(stmt0raw: String): MergeSpec = {
+    // same textual-entry normalization as CypherLite.query: strip
+    // // comments (the reference's ingest statements carry them
+    // inline) and trailing semicolons; pointed rejects for $params
+    // and current-time constructors
+    val stmt0 = CypherLite.preprocess(stmt0raw)
     require(!stmt0.matches("(?is).*\\bON\\s+(CREATE|MATCH)\\b.*"),
       "ON CREATE SET / ON MATCH SET are unsupported — this engine's " +
         "MERGE is first-write-wins (replay-safe upsert); plain SET " +

@@ -2748,6 +2748,35 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("preprocess: comments, trailing semicolons, $params, now()") {
+    // // comments and a trailing ; — the shape real LLM output has
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B)  // the demo chain
+        |// a full-line comment
+        |WHERE a.tag = 'a1'        // narrow to a1
+        |RETURN b.tag AS t;""".stripMargin)
+      .as[String].collect().toSeq
+    assert(rows === Seq("b2"))
+    // a '//' INSIDE a string literal survives
+    val lit = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag <> 'http://x' RETURN count(*) AS n")
+      .as[Long].collect().toSeq
+    assert(lit === Seq(2L))
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) WHERE a.tag = $name RETURN a")
+    }
+    assert(e1.getMessage.contains("parameters are unsupported"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) WHERE datetime(a.tag) < datetime() RETURN a")
+    }
+    assert(e2.getMessage.contains("CURRENT time"))
+    // GraphMerge shares the normalization
+    val spec = graft.graph.GraphMerge.parse(
+      """MERGE (a:X {id: id}) // key on id
+        |SET a.p = p;""".stripMargin)
+    assert(spec.label === "X" && spec.setProps === Seq(("p", "p")))
+  }
+
   test("COUNT { chain } OP n — Neo4j 5 count subqueries in WHERE") {
     // a1 has 1 B-neighbor, a4 has 2, a9 has none
     val g2 = PropertyGraph(
