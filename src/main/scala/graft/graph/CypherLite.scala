@@ -243,8 +243,60 @@ import org.apache.spark.sql.functions._
   *    subquery (post-UNION aggregation idiom): the inner statement
   *    compiles with the full grammar, the outer RETURN
   *    projects/aggregates its output columns by bare name (DISTINCT,
-  *    ORDER BY, SKIP/LIMIT); correlated CALL and a post-braces WITH
-  *    pipeline loud-reject.
+  *    ORDER BY, SKIP/LIMIT); a post-braces WITH pipeline
+  *    loud-rejects.
+  *  - `MATCH … CALL { WITH n … RETURN … } RETURN|WITH …` — the
+  *    CORRELATED subquery (Neo4j 5 importing WITH). An AGGREGATE
+  *    subquery compiles to the OPTIONAL-MATCH + grouped-WITH rewrite
+  *    (per-binding aggregation with Cypher zero-fill: count → 0,
+  *    collect → []; sum over no match is null here, a documented
+  *    divergence from Neo4j's 0); a ROW subquery keeps its clause as
+  *    written (MATCH drops non-matching bindings — CALL semantics).
+  *    With `ORDER BY key [DESC] LIMIT k` inside the braces it is the
+  *    PER-BINDING TOP-K: one row_number window per import tuple
+  *    (ties broken by the remaining columns — deterministic),
+  *    inner-joined back, outer alias PROPERTIES resolving in the
+  *    tail (items need explicit AS names there). Grouping runs per
+  *    outer alias BINDING (id tuple), not per path row; every outer
+  *    name stays in scope after the braces. SKIP inside, WITH
+  *    pipelines inside, UNION around/inside, and a second CALL all
+  *    loud-reject.
+  *  - `WHERE COUNT { (n)-[:R]->(m) [WHERE …] } OP int` — the Neo4j 5
+  *    count subquery ("more than k neighbors"): per-anchor grouped
+  *    count left-joined onto the frame (absent ⇒ 0) and compared; a
+  *    row filter, never a multiplicity change.
+  *  - TEMPORAL accessors and arithmetic: `x.prop.year|month|day`
+  *    (rewritten to year()/month()/dayofmonth() — valid in items,
+  *    WHERE, ORDER BY; accessor predicates reach the scan's
+  *    DataFilters) and `alias.prop ± duration({years|months|weeks|
+  *    days|hours|minutes|seconds: int, …})` items (folded to
+  *    interval addition — one year-month interval + one day-time
+  *    interval chained).
+  *  - DISTINCT under sum/avg (native Spark distinct aggregates;
+  *    avg(DISTINCT) routes through the SQL parser on the resolved
+  *    column) and min/max (the Neo4j-accepted no-op) — plain refs
+  *    only, wrapped items keep the count/collect gate.
+  *  - WHOLE-NODE forms: `properties(n) AS p` (a struct of the
+  *    label's node-table columns, engine `id` excluded), `keys(n) AS
+  *    k` (their names, schema order — a list output), and map
+  *    projections `n {.a, .b} AS m` (a struct of the named
+  *    properties). All null out for an unmatched OPTIONAL alias.
+  *  - `split(s, 'delim') AS parts` — literal-delimiter split whose
+  *    output joins the stage list machinery (size/subscripts/
+  *    quantifiers/UNWIND); `UNWIND range(a, b[, step]) AS x` (head
+  *    or stage position) folds to sequence() — codegen'd generation,
+  *    no driver-side list.
+  *  - IDENTITY functions: `elementId(n)` (the id cast to string —
+  *    this engine's ids are user-facing; no opaque handle to
+  *    encode), `startNode(r)`/`endNode(r)` (the relationship's
+  *    STORED endpoints, direction-independent, read from the
+  *    materialized eid).
+  *  - PRE-PARSE normalization of real LLM output ([[preprocess]]):
+  *    `//` line comments strip (quote-aware), trailing semicolons
+  *    strip, and `$param` references / no-argument date()/datetime()
+  *    (current time — nondeterministic) reject POINTEDLY.
+  *    The WRITE subset (`MERGE … SET` single-table ingest) lives in
+  *    [[GraphMerge]].
   *  - PATH VARIABLES `MATCH p = (a)-[:R*1..3]->(b)`: `length(p) AS n`
   *    (standalone or under count/sum/min/max/avg) computes the hop
   *    count — fixed steps contribute 1, var-length steps the size of
@@ -2742,6 +2794,10 @@ object CypherLite {
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\{(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val TypeItemRe =
       """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val ElemIdItemRe =
+      """(?is)^elementId\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val EndpointItemRe =
+      """(?is)^(startNode|endNode)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def parseItems(r: String, ctx: String,
         plainOk: String => Boolean, propOk: String => Boolean,
         aggOk: String => Boolean,
@@ -3131,6 +3187,43 @@ object CypherLite {
         case other if other.matches("(?is)^type\\s*\\(.*") =>
           fail("type() takes a named single-hop relationship variable " +
             "(pattern scope only) and an AS name", other)
+        // elementId(n) — Neo4j 5's string node identity. This
+        // engine's ids are the user-facing identity already, so the
+        // value is the id CAST TO STRING (a documented divergence
+        // from Neo4j's opaque "4:uuid:n" encoding — there is no
+        // database element handle to encode)
+        case ElemIdItemRe(a, as) if !relVars(a) =>
+          require(plainOk(a),
+            s"elementId() references unknown alias '$a'")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => res(a, None).cast("string"))))
+        case other if other.matches("(?is)^elementId\\s*\\(.*") =>
+          fail("elementId() takes a node alias and an AS name", other)
+        // startNode(r)/endNode(r) — the relationship's stored
+        // endpoints (source/destination ids as written in the edge
+        // table, independent of traversal direction — Neo4j
+        // semantics). Typed single-hop steps read them from the
+        // materialized eid `relType NUL src NUL dst`.
+        case EndpointItemRe(fn, v, as) if pathOk && relVars(v) =>
+          steps.zipWithIndex.find(_._1.relVar.contains(v)) match {
+            case Some((s0, _)) =>
+              require(s0.maxHops == 1,
+                s"$fn($v): '$v' names a var-length step — its value is " +
+                  "a LIST of relationships (project per-hop with " +
+                  "chained single-hop steps instead)")
+              lengthUsedRelVars += v
+              val part = if (fn.equalsIgnoreCase("startNode")) 2 else 3
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(CaseCompiled(Seq.empty, res =>
+                  element_at(split(res(v, None), "\u0000"), part)
+                    .cast("long"))))
+            case None => fail(s"$fn($v): no step binds '$v'", v)
+          }
+        case other if other.matches("(?is)^(startNode|endNode)\\s*\\(.*") =>
+          fail("startNode()/endNode() take a named single-hop " +
+            "relationship variable (pattern scope only) and an AS name",
+            other)
         case other if other.matches("(?is)^size\\s*\\(.*") =>
           fail("size() takes a previous WITH stage's list output " +
             "(a collect(…) column) and an AS name — for a path's hop " +

@@ -1982,6 +1982,24 @@ object GraphOps {
              |FROM region CROSS JOIN generate_series(1, 3) AS t(i)
              |ORDER BY ALL""".stripMargin)
     ),
+    // G82 identity functions — elementId(n) (the string node
+    // identity; this engine's ids ARE user-facing, so it is the id
+    // cast to string) and startNode/endNode(r) (the relationship's
+    // STORED endpoints, direction-independent), read from the
+    // materialized eid without any extra join.
+    QueryDef(
+      "g82_cypher_element_identity",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[r:HAS_ORDER]->(o:orders)
+          |WHERE c.c_acctbal > 9500.0
+          |RETURN elementId(c) AS ec, startNode(r) AS sn,
+          |       endNode(r) AS en, o.o_orderkey AS ok""".stripMargin)),
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS ec,
+             |       o_custkey AS sn, o_orderkey AS en, o_orderkey AS ok
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_acctbal > 9500.0
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

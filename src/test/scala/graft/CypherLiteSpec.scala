@@ -2748,6 +2748,28 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("elementId(n), startNode(r), endNode(r)") {
+    val rows = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[r:R1]->(b:B) " +
+        "RETURN elementId(a) AS ea, startNode(r) AS s, endNode(r) AS e")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows === Seq(("1", 1L, 2L)))
+    // stored endpoints are direction-independent (Neo4j semantics):
+    // traversing the edge backwards keeps startNode = the stored src
+    val rev = CypherLite.query(g,
+      "MATCH (b:B {id: 2})<-[r:R1]-(a:A {id: 1}) " +
+        "RETURN startNode(r) AS s, endNode(r) AS e")
+      .as[(Long, Long)].collect().toSeq
+    assert(rev === Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[r:R1*1..2]->(b:B) RETURN startNode(r) AS s")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN elementId(a)")
+    }
+  }
+
   test("preprocess: comments, trailing semicolons, $params, now()") {
     // // comments and a trailing ; — the shape real LLM output has
     val rows = CypherLite.query(g,
