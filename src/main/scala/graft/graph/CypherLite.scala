@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   *    joined by `-[:REL]->` / `<-[:REL]-` / undirected `-[:REL]-`
   *    edges; comma-separated parts branch off bound aliases; literals
   *    are single-quoted strings, integers, decimals, booleans.
-  *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->` (bounds
+  *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->`, and the
+  *    GQL postfix-quantifier shorthand Neo4j 5 also accepts —
+  *    `-[:REL]->{1,3}` / `{2}` / `{1,}` / `+` (≡ `*1..`), translated
+  *    to the same bounds machinery; `{0,…}` rejects (paths here have
+  *    ≥ 1 hop) — (bounds
   *    required — unbounded `*` / `*1..` is rejected, the scale rule,
   *    UNLESS the session conf `graft.cypher.maxVarLength` supplies
   *    the upper bound: the LLM-emitted bare-star shape then compiles
@@ -2071,7 +2075,39 @@ object CypherLite {
             relVars += v
             declOrder += v
           }
-          val (lo, hi) = hopBounds(Option(m.group(3)).map(_.trim).filter(_.nonEmpty))
+          val star = Option(m.group(3)).map(_.trim).filter(_.nonEmpty)
+          // GQL postfix quantifiers AFTER the arrowhead — Neo4j 5's
+          // var-length shorthand (`-[:R]->{1,3}` ≡ `-[:R*1..3]->`,
+          // `{2}` ≡ `*2`, `{1,}` ≡ `*1..`, `+` ≡ `*1..`): translated
+          // to the star form and fed through the same hopBounds
+          // machinery (incl. the maxVarLength session bound for
+          // unbounded). Zero-length quantifiers ({0,…}) reject —
+          // paths here have ≥ 1 hop.
+          val QuantPostRe = """^\{\s*(\d+)\s*(?:(,)\s*(\d+)?\s*)?\}""".r
+          val quant: Option[String] = QuantPostRe.findFirstMatchIn(rest) match {
+            case Some(qm) =>
+              require(star.isEmpty,
+                "both *bounds inside the brackets and a {m,n} " +
+                  "quantifier after the arrow — pick one")
+              require(qm.group(1).toInt >= 1,
+                "zero-length quantifiers ({0,…}) are unsupported — " +
+                  "paths here have at least one hop; use {1,n}")
+              rest = rest.substring(qm.end).trim
+              Some((Option(qm.group(2)), Option(qm.group(3))) match {
+                case (None, _)        => s"*${qm.group(1)}"
+                case (Some(_), None)  => s"*${qm.group(1)}.."
+                case (Some(_), Some(h)) => s"*${qm.group(1)}..$h"
+              })
+            case None if rest.startsWith("{") =>
+              fail("malformed {m,n} quantifier (integers, m >= 1)", rest)
+            case None if rest.startsWith("+") =>
+              require(star.isEmpty,
+                "both *bounds and a + quantifier — pick one")
+              rest = rest.substring(1).trim
+              Some("*1..")
+            case None => None
+          }
+          val (lo, hi) = hopBounds(quant.orElse(star))
           // type absent = untyped step (rel "" walks every edge table)
           (Option(m.group(2)).getOrElse(""), dir, lo, hi, varOpt)
         }

@@ -2748,6 +2748,35 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("GQL postfix quantifiers: -[:R]->{m,n}, {n}, +") {
+    //   a1 ─R1→ b2; chain graph for 2-hop: N: 1→2→3
+    val g2 = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "tag")),
+      edges = Map("E" -> (("N", "N", Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")))))
+    val r12 = CypherLite.query(g2,
+      "MATCH (a:N {id: 1})-[:E]->{1,2}(b:N) RETURN b.tag ORDER BY b.tag")
+      .as[String].collect().toSeq
+    assert(r12 === Seq("y", "z"))
+    val r2 = CypherLite.query(g2,
+      "MATCH (a:N {id: 1})-[:E]->{2}(b:N) RETURN b.tag")
+      .as[String].collect().toSeq
+    assert(r2 === Seq("z"))
+    // `+` = *1.. — needs the session maxVarLength bound
+    TestSession.spark.conf.set("graft.cypher.maxVarLength", "4")
+    try {
+      val rp = CypherLite.query(g2,
+        "MATCH (a:N {id: 1})-[:E]->+(b:N) RETURN b.tag ORDER BY b.tag")
+        .as[String].collect().toSeq
+      assert(rp === Seq("y", "z"))
+    } finally TestSession.spark.conf.unset("graft.cypher.maxVarLength")
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:N)-[:E]->{0,2}(b:N) RETURN b.tag")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a:N)-[:E*1..2]->{1,2}(b:N) RETURN b.tag")
+    }
+  }
+
   test("elementId(n), startNode(r), endNode(r)") {
     val rows = CypherLite.query(g,
       "MATCH (a:A {id: 1})-[r:R1]->(b:B) " +
