@@ -268,7 +268,13 @@ import org.apache.spark.sql.functions._
   *  - `WHERE COUNT { (n)-[:R]->(m) [WHERE …] } OP int` — the Neo4j 5
   *    count subquery ("more than k neighbors"): per-anchor grouped
   *    count left-joined onto the frame (absent ⇒ 0) and compared; a
-  *    row filter, never a multiplicity change.
+  *    row filter, never a multiplicity change. EXISTS { } and
+  *    COUNT { } also work UNDER OR/NOT inside a conjunct (the
+  *    flag-column bridge: per-anchor distinct/count tables
+  *    left-joined and null-filled to false/0 so the boolean
+  *    structure stays 2-valued); AND-level EXISTS keeps the
+  *    semi/anti-join fast path, and bare chains under OR stay
+  *    rejected (wrap them in EXISTS { }).
   *  - TEMPORAL accessors and arithmetic: `x.prop.year|month|day`
   *    (rewritten to year()/month()/dayofmonth() — valid in items,
   *    WHERE, ORDER BY; accessor predicates reach the scan's
@@ -590,7 +596,11 @@ object CypherLite {
       // `COUNT { chain } OP n` WHERE conjuncts — (sub-pattern, the
       // comparison operator, the literal bound); compiled beside
       // patternPreds as per-anchor grouped-count row filters
-      countPreds: Seq[(PatternPred, String, Long)] = Seq.empty)
+      countPreds: Seq[(PatternPred, String, Long)] = Seq.empty,
+      // EXISTS/COUNT atoms under OR/NOT — (sub-pattern, isCount);
+      // compiled as flag columns (__ppf_i / __ppc_i) left-joined
+      // before the row filters that reference them
+      orFlagPreds: Seq[(PatternPred, Boolean)] = Seq.empty)
 
   private val NodeRe =
     """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
@@ -1990,6 +2000,13 @@ object CypherLite {
     val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
     val countPreds =
       scala.collection.mutable.ArrayBuffer.empty[(PatternPred, String, Long)]
+    // EXISTS { } / COUNT { } atoms living UNDER OR (or NOT) inside a
+    // conjunct — compiled as per-anchor FLAG columns (__ppf_i boolean
+    // / __ppc_i count) left-joined onto the path frame so the boolean
+    // structure evaluates as an ordinary row filter. (Top-level AND
+    // conjuncts keep the semi/anti-join fast path above.)
+    val orFlagPreds =
+      scala.collection.mutable.ArrayBuffer.empty[(PatternPred, Boolean)]
     val patternComps = scala.collection.mutable.ArrayBuffer.empty[PatternComp]
     var start: PatternNode = null
 
@@ -2453,19 +2470,93 @@ object CypherLite {
         case other if other.matches("(?is)^COUNT\\s*\\{.*") =>
           fail("COUNT { chain } must compare to an integer literal " +
             "(COUNT { … } OP int)", other)
+        // the bare-chain forms must NOT swallow a parenthesized
+        // BOOLEAN group whose pattern shape lives inside an
+        // EXISTS/COUNT subquery (`(COUNT { (a)-[:R]->(b) } > 1 OR …)`)
+        // — those route to the flag-column rewrite below
         case PatPredBareNotRe(body)
-            if PatternShapeRe.findFirstIn(body).isDefined =>
+            if PatternShapeRe.findFirstIn(body).isDefined &&
+              !body.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") =>
           patternPreds += parsePatternPredChain(negated = true, body)
           any = true
         case c2 if c2.startsWith("(") &&
-            PatternShapeRe.findFirstIn(c2).isDefined =>
+            PatternShapeRe.findFirstIn(c2).isDefined &&
+            !c2.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") =>
           patternPreds += parsePatternPredChain(negated = false, c2)
           any = true
         case other =>
-          require(PatternShapeRe.findFirstIn(other).isEmpty,
-            s"pattern predicates must be top-level AND conjuncts " +
-              s"(not nested under OR): '${other.take(60)}'")
-          kept += other
+          // EXISTS { } / COUNT { } OP n under OR/NOT inside the
+          // conjunct: rewrite each to a flag-column comparison
+          // (__ppf_i = true / __ppc_i OP n) and register the
+          // sub-pattern — the conjunct then compiles as a row filter
+          // over the joined flags. Bare chains under OR stay
+          // rejected (wrap them in EXISTS { }).
+          def maskQuotes(str: String): String = {
+            val a = str.toCharArray
+            var inQ = false
+            for (j <- a.indices) {
+              if (a(j) == '\'') inQ = !inQ else if (inQ) a(j) = '_'
+            }
+            new String(a)
+          }
+          def matchBrace(str: String, open: Int): Int = {
+            var depth = 1; var inQ = false; var j = open
+            while (j < str.length && depth > 0) {
+              val ch = str.charAt(j)
+              if (ch == '\'') inQ = !inQ
+              else if (!inQ && ch == '{') depth += 1
+              else if (!inQ && ch == '}') depth -= 1
+              j += 1
+            }
+            require(depth == 0,
+              s"unbalanced braces in WHERE: '${str.take(40)}'")
+            j
+          }
+          val ExistsStart = """(?is)\b(NOT\s+)?EXISTS\s*\{""".r
+          val CountStart = """(?is)\bCOUNT\s*\{""".r
+          val AfterCmpRe = """^\s*(<=|>=|<>|=|<|>)\s*(\d+)""".r
+          var txt = other
+          var changed = true
+          while (changed) {
+            changed = false
+            val masked = maskQuotes(txt)
+            val hit = Seq(
+              ExistsStart.findFirstMatchIn(masked).map(("exists", _)),
+              CountStart.findFirstMatchIn(masked).map(("count", _)))
+              .flatten.sortBy(_._2.start).headOption
+            for ((kind, m) <- hit) {
+              val end = matchBrace(txt, m.end)
+              val body = txt.substring(m.end, end - 1).trim
+                .replaceFirst("(?i)^MATCH\\b", "").trim
+              val i = orFlagPreds.length
+              if (kind == "exists") {
+                val neg = m.group(1) != null
+                orFlagPreds +=
+                  ((parsePatternPredChain(negated = false, body), false))
+                val marker =
+                  (if (neg) "NOT " else "") + s"__ppf_$i = true"
+                txt = txt.substring(0, m.start) + s" $marker " +
+                  txt.substring(end)
+              } else {
+                val rest = txt.substring(end)
+                val cm = AfterCmpRe.findFirstMatchIn(rest).getOrElse(
+                  fail("COUNT { chain } must compare to an integer " +
+                    "literal (COUNT { … } OP int)", rest))
+                orFlagPreds +=
+                  ((parsePatternPredChain(negated = false, body), true))
+                txt = txt.substring(0, m.start) +
+                  s" __ppc_$i ${cm.group(1)} ${cm.group(2)} " +
+                  txt.substring(end + cm.end)
+              }
+              changed = true
+              any = true
+            }
+          }
+          require(PatternShapeRe.findFirstIn(maskQuotes(txt)).isEmpty,
+            "pattern predicates must be top-level AND conjuncts " +
+              "(bare chains under OR are unsupported — wrap them in " +
+              "EXISTS { }): '" + other.take(60) + "'")
+          kept += txt
       }
       val ks = kept.result()
       if (ks.isEmpty) { require(any, "empty WHERE"); None }
@@ -2617,8 +2708,10 @@ object CypherLite {
           relAllowed = steps.iterator.flatMap(_.relVar).toSet,
           // head-UNWIND outputs are value columns on the path frame
           // by the time row filters run — `c.prop = x` compiles
-          // against them like a stage output
-          stageOuts = headNames)
+          // against them like a stage output; the EXISTS/COUNT flag
+          // columns (under-OR rewrite above) resolve the same way
+          stageOuts = headNames ++ orFlagPreds.indices
+            .flatMap(i => Seq(s"__ppf_$i", s"__ppc_$i")))
         rowPreds ++= rps
         upd.get(start.as).foreach(start = _)
         for (i <- steps.indices; n <- upd.get(steps(i).node.as))
@@ -3809,7 +3902,8 @@ object CypherLite {
       withClauses.map(w => w.copy(postMatches =
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
       skip, patternPreds.toSeq, shortestFilters.toSeq,
-      patternComps.toSeq, headUnwinds, countPreds.toSeq)
+      patternComps.toSeq, headUnwinds, countPreds.toSeq,
+      orFlagPreds.toSeq)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -4419,13 +4513,15 @@ object CypherLite {
     val allPatternSteps = p.steps ++ p.optionals.flatMap(_.steps) ++
       p.patternPreds.flatMap(_.steps) ++
       p.countPreds.flatMap(_._1.steps) ++
+      p.orFlagPreds.flatMap(_._1.steps) ++
       p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
     // pattern-predicate locals are NOT in p.labels (EXISTS scoping) —
     // an unlabeled local (`NOT (c)-[:R]->()`) still needs the
     // any-node view mounted
     val anyNodeNeeded = p.labels.valuesIterator.contains("") ||
       p.patternPreds.exists(_.steps.exists(_.node.label.isEmpty)) ||
-      p.countPreds.exists(_._1.steps.exists(_.node.label.isEmpty))
+      p.countPreds.exists(_._1.steps.exists(_.node.label.isEmpty)) ||
+      p.orFlagPreds.exists(_._1.steps.exists(_.node.label.isEmpty))
     val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
     val g =
@@ -4515,7 +4611,36 @@ object CypherLite {
             g.attach(df, alias, p.labels(alias), ps.map(_._2).distinct,
               s"${alias}__w_", "left_outer")
           }
-        attached
+        // EXISTS/COUNT-under-OR flag columns: one per registered
+        // sub-pattern — a distinct anchor set (exists) or a grouped
+        // count, LEFT-joined and null-filled (false / 0) so the
+        // boolean structure evaluates 2-valued; dropped by the final
+        // column restore below. The joined tables are anchor-keyed
+        // (dimension-sized) — broadcast fodder.
+        val withFlags = p.orFlagPreds.zipWithIndex.foldLeft(attached) {
+          case (df, ((pp, isCount), i)) =>
+            val nm = if (isCount) s"__ppc_$i" else s"__ppf_$i"
+            val sub = g.matchPaths(
+              PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred),
+              pp.steps)
+            val keys = (pp.anchor, pp.anchor) +: pp.closures
+            val keyCols = keys.zipWithIndex.map {
+              case ((local, _), j) => sub(local).as(s"__ppfk_${i}_$j")
+            }
+            val tbl =
+              if (isCount) sub.groupBy(keyCols: _*)
+                .agg(count(lit(1)).as(nm))
+              else sub.select(keyCols: _*).distinct()
+                .withColumn(nm, lit(true))
+            val cond = keys.zipWithIndex.map {
+              case ((_, outer), j) => df(outer) === tbl(s"__ppfk_${i}_$j")
+            }.reduce(_ && _)
+            df.join(tbl, cond, "left_outer")
+              .withColumn(nm, coalesce(col(nm),
+                if (isCount) lit(0L) else lit(false)))
+              .drop(keys.indices.map(j => s"__ppfk_${i}_$j"): _*)
+        }
+        withFlags
           .filter(p.rowPreds.map(_.cond).reduce(_ && _))
           // a USING join fronts its key column — restore the path
           // frame's alias order (and drop the __w_ helpers)

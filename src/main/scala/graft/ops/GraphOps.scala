@@ -2000,6 +2000,33 @@ object GraphOps {
              |WHERE c_acctbal > 9500.0
              |ORDER BY ALL""".stripMargin)
     ),
+    // G83 EXISTS/COUNT under OR — the flag-column boolean bridge:
+    // subquery atoms inside a disjunction compile to per-anchor flag
+    // columns (distinct semi-set / grouped count) left-joined and
+    // null-filled, so the boolean structure evaluates as an ordinary
+    // 2-valued row filter (AND-level EXISTS keeps the semi-join fast
+    // path). DuckDB replays with correlated EXISTS/COUNT subselects.
+    QueryDef(
+      "g83_cypher_exists_or",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-[:HAS_NATION]->(n:nation)
+          |WHERE (EXISTS { (n)-[:HAS_CUSTOMER]->(c:customer)
+          |                WHERE c.c_acctbal > 9900.0 }
+          |       OR n.n_name STARTS WITH 'NATION_1')
+          |  AND (COUNT { (n)-[:HAS_CUSTOMER]->(c2:customer) } >= 60
+          |       OR n.n_regionkey = 0)
+          |RETURN r.r_name AS rg, n.n_name AS nm""".stripMargin)),
+      Some("""SELECT r_name AS rg, n_name AS nm
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |WHERE (EXISTS (SELECT 1 FROM customer
+             |               WHERE c_nationkey = n_nationkey
+             |                 AND c_acctbal > 9900.0)
+             |       OR starts_with(n_name, 'NATION_1'))
+             |  AND ((SELECT count(*) FROM customer
+             |        WHERE c_nationkey = n_nationkey) >= 60
+             |       OR n_regionkey = 0)
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

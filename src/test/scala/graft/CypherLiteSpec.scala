@@ -2748,6 +2748,49 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("EXISTS/COUNT under OR and NOT in WHERE (flag-column bridge)") {
+    // a1 → b2; a4 → {b2, b5}; a9 → nothing
+    val g2 = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a1"), (4L, "a4"), (9L, "a9")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b2"), (5L, "b5")).toDF("id", "tag")),
+      edges = Map("R1" -> (("A", "B",
+        Seq((1L, 2L), (4L, 5L), (4L, 2L)).toDF("src", "dst")))))
+    def tags(q: String): Seq[String] =
+      CypherLite.query(g2, q).as[String].collect().toSeq.sorted
+    // EXISTS under OR: neighbors-of-b5 OR tag = 'a9'
+    assert(tags("MATCH (a:A) WHERE " +
+      "EXISTS { (a)-[:R1]->(b:B {id: 5}) } OR a.tag = 'a9' " +
+      "RETURN a.tag") === Seq("a4", "a9"))
+    // NOT EXISTS under OR (2-valued even for no-match anchors)
+    assert(tags("MATCH (a:A) WHERE " +
+      "NOT EXISTS { (a)-[:R1]->(b:B) } OR a.tag = 'a1' " +
+      "RETURN a.tag") === Seq("a1", "a9"))
+    // COUNT under OR, mixed with a parenthesized group
+    assert(tags("MATCH (a:A) WHERE " +
+      "(COUNT { (a)-[:R1]->(b:B) } >= 2 OR a.tag = 'a9') AND a.id > 1 " +
+      "RETURN a.tag") === Seq("a4", "a9"))
+    // plain AND-level EXISTS keeps the semi-join fast path (both in
+    // one WHERE with an OR conjunct)
+    assert(tags("MATCH (a:A) WHERE EXISTS { (a)-[:R1]->(b:B) } AND " +
+      "(COUNT { (a)-[:R1]->(b:B) } = 1 OR a.tag = 'a4') " +
+      "RETURN a.tag") === Seq("a1", "a4"))
+    // bare chains under OR stay rejected loudly (the chain parser
+    // stops at the OR; non-parenthesized mixes get the pointed
+    // wrap-in-EXISTS message)
+    intercept[IllegalArgumentException] {
+      CypherLite.query(g2,
+        "MATCH (a:A) WHERE (a)-[:R1]->(b:B {id: 5}) OR a.tag = 'a9' " +
+          "RETURN a.tag")
+    }
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g2,
+        "MATCH (a:A) WHERE a.tag = 'a9' OR (a)-[:R1]->(b:B {id: 5}) " +
+          "RETURN a.tag")
+    }
+    assert(e.getMessage.contains("wrap them in EXISTS"))
+  }
+
   test("GQL postfix quantifiers: -[:R]->{m,n}, {n}, +") {
     //   a1 ─R1→ b2; chain graph for 2-hop: N: 1→2→3
     val g2 = PropertyGraph(
