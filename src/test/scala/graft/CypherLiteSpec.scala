@@ -2868,6 +2868,7 @@ class CypherLiteSpec extends SparkSpec {
     val spec = graft.graph.GraphMerge.parse(
       """MERGE (a:X {id: id}) // key on id
         |SET a.p = p;""".stripMargin)
+      .asInstanceOf[graft.graph.GraphMerge.NodeMergeSpec]
     assert(spec.label === "X" && spec.setProps === Seq(("p", "p")))
   }
 

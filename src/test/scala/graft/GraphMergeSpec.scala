@@ -5,10 +5,10 @@ import java.nio.file.Files
 import graft.fhir.FhirPipeline
 import graft.graph.{GraphMerge, PropertyGraph}
 
-/** Textual MERGE…SET ingest (reference build_graph.py:209-224 shape):
-  * the statement compiles to the SAME delta + merge
-  * FhirPipeline.upsertGraph applies programmatically, and the batch
-  * form round-trips through the bucketed store.
+/** Textual MERGE ingest (reference build_graph.py:209-224 node shape,
+  * 255-299 relationship shape): statements compile to the SAME
+  * delta + merge FhirPipeline.upsertGraph applies programmatically,
+  * and the batch form round-trips through the bucketed store.
   */
 class GraphMergeSpec extends SparkSpec {
   import TestSession.spark.implicits._
@@ -52,7 +52,37 @@ class GraphMergeSpec extends SparkSpec {
     assert(n === Some(2L))
   }
 
-  test("batch form: replay-safe ingest over the bucketed store") {
+  test("relationship MERGE: ingest_lives_in shape with key-prop resolution") {
+    // Patients keyed by a NON-id prop (patient_id) — the reference's
+    // exact shape; Addresses keyed by id
+    val g = PropertyGraph(
+      nodes = Map(
+        "Patient" -> Seq((10L, "p1"), (11L, "p2"))
+          .toDF("id", "patient_id"),
+        "Address" -> Seq((1L, "a st"), (2L, "b st"))
+          .toDF("id", "street")),
+      edges = Map("LIVES_IN" -> (("Patient", "Address",
+        Seq((10L, 1L)).toDF("src", "dst")))))
+    val df = Seq(
+      ("p1", 1L: java.lang.Long),   // survivor — stored edge wins
+      ("p2", 2L: java.lang.Long),   // new edge
+      ("p9", 2L: java.lang.Long),   // unmatched patient key — drops
+      ("p2", 2L: java.lang.Long))   // intra-batch dup — collapses
+      .toDF("record_id", "id")
+    val (merged, n) = GraphMerge.into(g, df,
+      """LOAD FROM df_address
+        |WHERE id IS NOT NULL AND record_id IS NOT NULL
+        |WITH DISTINCT record_id AS patient_id, id
+        |MATCH (p:Patient {patient_id: patient_id}), (a:Address {id: id})
+        |MERGE (p)-[:LIVES_IN]->(a)
+        |RETURN COUNT(*) AS num_lives_in""".stripMargin)
+    assert(merged.edges("LIVES_IN")._3.orderBy("src", "dst")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((10L, 1L), (11L, 2L)))
+    assert(n === Some(2L), "unmatched p9 dropped, dup collapsed")
+  }
+
+  test("batch form: replay-safe node + edge ingest over the bucketed store") {
     val dir = Files.createTempDirectory("graft_merge_store").toString
     val sink = GraphMerge.batch(dir, stmt, nBuckets = 4)
     sink(src(Seq((1L: java.lang.Long, "a st", "ax"),
@@ -61,13 +91,24 @@ class GraphMergeSpec extends SparkSpec {
     sink(src(Seq((2L: java.lang.Long, "CHANGED", "CHANGED"),
       (3L: java.lang.Long, "c st", "cx"))), 1L)
     val back = graft.streaming.Incremental
-      .readKeyedStore(spark, s"$dir/Address")
+      .readKeyedStore(spark, s"$dir/nodes_Address")
       .orderBy("id").as[(Long, String, String)].collect().toSeq
     assert(back === Seq((1L, "a st", "ax"), (2L, "b st", "bx"),
       (3L, "c st", "cx")))
+    // edge sink: id-keyed endpoints
+    val esink = GraphMerge.batch(dir,
+      """WITH DISTINCT pid, aid
+        |MATCH (p:Patient {id: pid}), (a:Address {id: aid})
+        |MERGE (p)-[:LIVES_IN]->(a)""".stripMargin, nBuckets = 4)
+    esink(Seq((10L, 1L), (11L, 2L)).toDF("pid", "aid"), 0L)
+    esink(Seq((10L, 1L), (12L, 3L)).toDF("pid", "aid"), 1L)
+    val eback = graft.streaming.Incremental
+      .readKeyedStore(spark, s"$dir/edges_LIVES_IN")
+      .orderBy("src", "dst").as[(Long, Long)].collect().toSeq
+    assert(eback === Seq((10L, 1L), (11L, 2L), (12L, 3L)))
   }
 
-  test("pointed rejects: ON MATCH SET, non-id key, unknown columns") {
+  test("pointed rejects: ON MATCH SET, non-id node key, SET on rel, batch non-id rel") {
     val e1 = intercept[IllegalArgumentException] {
       GraphMerge.parse(
         "MERGE (a:X {id: id}) ON MATCH SET a.p = p")
@@ -87,5 +128,16 @@ class GraphMergeSpec extends SparkSpec {
       GraphMerge.parse("MERGE (a:X {id: id}) SET b.p = p")
     }
     assert(e4.getMessage.contains("not the merged alias"))
+    val e5 = intercept[IllegalArgumentException] {
+      GraphMerge.parse(
+        "MATCH (p:P {id: a}), (q:Q {id: b}) MERGE (p)-[:R]->(q) " +
+          "SET r.w = w")
+    }
+    assert(e5.getMessage.contains("SET on a relationship"))
+    val e6 = intercept[IllegalArgumentException] {
+      GraphMerge.batch("/tmp/x",
+        "MATCH (p:P {k: a}), (q:Q {id: b}) MERGE (p)-[:R]->(q)")
+    }
+    assert(e6.getMessage.contains("keyed {id: col}"))
   }
 }
