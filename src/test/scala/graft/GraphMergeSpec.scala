@@ -108,6 +108,72 @@ class GraphMergeSpec extends SparkSpec {
     assert(eback === Seq((10L, 1L), (11L, 2L), (12L, 3L)))
   }
 
+  test("reference-corpus parity: textual ingest ≡ buildGraph (Address + LIVES_IN)") {
+    // drive the reference's LITERAL ingest statements
+    // (build_graph.py:209-224, 255-267) over the real extracted
+    // corpus and compare against the programmatic build
+    val raw = FhirPipeline.load(spark,
+      "/root/reference/data/extracted_fhir.json")
+    val addr = FhirPipeline.prepAddress(raw)
+    val programmatic = FhirPipeline.buildGraph(raw)
+    val empty = PropertyGraph(Map.empty, Map.empty)
+    val (g1, nAddr) = GraphMerge.into(empty, addr,
+      """LOAD FROM df_address
+        |WHERE id IS NOT NULL
+        |WITH DISTINCT id, street, city, state, postalCode, country
+        |MERGE (a:Address {id: id})
+        |SET a.street = street,
+        |    a.city = city,
+        |    a.state = state,
+        |    a.postalCode = postalCode,
+        |    a.country = country
+        |RETURN COUNT(*) AS num_addresses""".stripMargin)
+    val textualAddr = g1.nodes("Address")
+    val progAddr = programmatic.nodes("Address")
+    assert(textualAddr.count() === progAddr.count())
+    // the corpus carries CONTESTED duplicate ids (same folded id,
+    // different casing/abbreviation in the props — "MA" vs
+    // "Massachusetts"); each path picks a deterministic survivor
+    // (lexicographic-min row here vs first-by-record_id in
+    // buildGraph — the reference's Kuzu pick is ingest-order
+    // arbitrary). Ids must agree exactly; full rows compare on the
+    // UNCONTESTED ids (one distinct source row).
+    import org.apache.spark.sql.functions.{col, countDistinct, struct}
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").orderBy("id").collect().toSeq
+    assert(ids(textualAddr) === ids(progAddr))
+    val contested = addr.filter(col("id").isNotNull)
+      .groupBy("id")
+      .agg(countDistinct(struct(col("street"), col("city"), col("state"),
+        col("postalCode"), col("country"))).as("n"))
+      .filter(col("n") > 1).select("id")
+    val cSet = contested.collect().map(_.getString(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!col("id").isin(cSet.toSeq: _*))
+        .select(textualAddr.columns.map(col).toIndexedSeq: _*)
+        .orderBy("id").collect().toSeq
+    assert(cSet.size < 100, s"sanity: few contested ids (${cSet.size})")
+    assert(rows(textualAddr) === rows(progAddr))
+    assert(nAddr.exists(_ >= textualAddr.count()),
+      "COUNT(*) counts delta rows (>= surviving nodes)")
+    // LIVES_IN through the non-id Patient key (the reference shape)
+    val gNodes = PropertyGraph(
+      nodes = Map("Patient" -> programmatic.nodes("Patient"),
+        "Address" -> progAddr),
+      edges = Map.empty)
+    val (g2, _) = GraphMerge.into(gNodes, addr,
+      """LOAD FROM df_address
+        |WHERE id IS NOT NULL AND record_id IS NOT NULL
+        |WITH DISTINCT record_id AS patient_id, id
+        |MATCH (p:Patient {patient_id: patient_id}), (a:Address {id: id})
+        |MERGE (p)-[:LIVES_IN]->(a)
+        |RETURN COUNT(*) AS num_lives_in""".stripMargin)
+    def edgePairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").orderBy("src", "dst").collect().toSeq
+    assert(edgePairs(g2.edges("LIVES_IN")._3) ===
+      edgePairs(programmatic.edges("LIVES_IN")._3))
+  }
+
   test("pointed rejects: ON MATCH SET, non-id node key, SET on rel, batch non-id rel") {
     val e1 = intercept[IllegalArgumentException] {
       GraphMerge.parse(
