@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *    joined by `-[:REL]->` / `<-[:REL]-` / undirected `-[:REL]-`
   *    edges; comma-separated parts branch off bound aliases; literals
   *    are single-quoted strings, integers, decimals, booleans.
+  *    Multi-type alternations `-[:R1|R2]->` union the named edge
+  *    tables (all alternatives must share endpoint labels — a union
+  *    across differently-labeled edges would cross per-label id
+  *    spaces; untyped steps are the escape hatch); one row per bound
+  *    relationship, `type(r)` reads the bound type per row.
   *  - var-length edges `-[:REL*1..3]->` / `-[:REL*2]->`, and the
   *    GQL postfix-quantifier shorthand Neo4j 5 also accepts —
   *    `-[:REL]->{1,3}` / `{2}` / `{1,}` / `+` (≡ `*1..`), translated
@@ -608,13 +613,13 @@ object CypherLite {
   // = untyped, the README.md:137 `-[r*1..4]-` shape), optional
   // var-length star. Groups: 1 = variable, 2 = type, 3 = star.
   private val EdgeFwdRe =
-    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
+    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\*[0-9.\s]*)?\s*\]\s*->""".r
   private val EdgeBackRe =
-    """^<-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
+    """^<-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\*[0-9.\s]*)?\s*\]\s*-""".r
   // undirected `-[:REL]-`: like Fwd but the trailing dash must NOT be
   // an arrowhead (tried after Fwd, which consumes `->`)
   private val EdgeUndirRe =
-    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\*[0-9.\s]*)?\s*\]\s*-(?!>)""".r
+    """^-\s*\[\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\*[0-9.\s]*)?\s*\]\s*-(?!>)""".r
   private val PlainItemRe =
     """^([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*))?$""".r
   private val AggItemRe =
@@ -2125,8 +2130,13 @@ object CypherLite {
             case None => None
           }
           val (lo, hi) = hopBounds(quant.orElse(star))
-          // type absent = untyped step (rel "" walks every edge table)
-          (Option(m.group(2)).getOrElse(""), dir, lo, hi, varOpt)
+          // type absent = untyped step (rel "" walks every edge
+          // table); a '|' alternation (`:R1|R2`) normalizes to the
+          // deduped pipe-joined form matchPaths unions
+          val relTxt = Option(m.group(2)).getOrElse("")
+            .replaceAll("\\s*\\|\\s*", "|")
+            .split('|').filter(_.nonEmpty).distinct.mkString("|")
+          (relTxt, dir, lo, hi, varOpt)
         }
         EdgeFwdRe.findFirstMatchIn(rest) match {
           case Some(m) => consume(m, Out)
@@ -3302,10 +3312,12 @@ object CypherLite {
                 s"type($v): '$v' names a var-length step — its value is " +
                   "a LIST of relationships (project per-hop with chained " +
                   "single-hop steps instead)")
-              if (s0.rel.nonEmpty)
+              if (s0.rel.nonEmpty && !s0.rel.contains('|'))
                 ReturnItem(None, distinct = false, "", None, as,
                   caseC = Some(CaseCompiled(Seq.empty, _ => lit(s0.rel))))
               else {
+                // untyped OR multi-type step: the bound type varies
+                // per row — read it off the materialized eid prefix
                 lengthUsedRelVars += v
                 ReturnItem(None, distinct = false, "", None, as,
                   caseC = Some(CaseCompiled(Seq.empty,

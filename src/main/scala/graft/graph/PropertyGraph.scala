@@ -150,7 +150,8 @@ final case class PropertyGraph(
     // uniqueness WITHIN their own chain; when colliding, their whole
     // traversed set joins the clause-wide one.
     val relNamesOf: PatternStep => Set[String] =
-      st => if (st.rel.isEmpty) edges.keySet else Set(st.rel)
+      st => if (st.rel.isEmpty) edges.keySet
+        else st.rel.split('|').toSet
     val colliding: Set[Int] = steps.indices.filter { i =>
       steps.indices.exists(j =>
         j != i && steps(i).clause == steps(j).clause &&
@@ -265,7 +266,34 @@ final case class PropertyGraph(
           edges.toSeq.sortBy(_._1)
             .map { case (rn, (sl, dl, e)) => oriented(rn, sl, dl, e, withEid) }
             .reduce(_ unionAll _)
+        } else if (st.rel.contains('|')) {
+          // multi-type step (`-[:R1|R2]->`, the Cypher alternation):
+          // the union of the named edge tables' oriented relations.
+          // SOUNDNESS GATE: all alternatives must share the same
+          // endpoint labels — per-label id spaces may overlap, so a
+          // union across differently-labeled edges would silently
+          // cross key spaces (the leak the untyped contract guards
+          // with its global-id assertion; an untyped step over a
+          // validated graph is the escape hatch).
+          val alts = st.rel.split('|').toSeq
+          for (rn <- alts) require(edges.contains(rn),
+            s"multi-type step: no edge table '$rn' " +
+              s"(${edges.keys.toSeq.sorted.mkString(", ")})")
+          val shapes = alts.map { rn =>
+            val (sl, dl, _) = edges(rn); (sl, dl)
+          }.distinct
+          require(shapes.size == 1,
+            s"multi-type step -[:${st.rel}]- unions edges with " +
+              s"different endpoint labels ($shapes) — per-label id " +
+              "spaces may overlap; use an untyped step over a " +
+              "globally-unique-id graph instead")
+          alts.sorted.map { rn =>
+            val (sl, dl, e) = edges(rn); oriented(rn, sl, dl, e, withEid)
+          }.reduce(_ unionAll _)
         } else {
+          require(edges.contains(st.rel),
+            s"no edge table '${st.rel}' " +
+              s"(${edges.keys.toSeq.sorted.mkString(", ")})")
           val (sl, dl, e) = edges(st.rel)
           oriented(st.rel, sl, dl, e, withEid)
         }

@@ -2027,6 +2027,39 @@ object GraphOps {
              |       OR n_regionkey = 0)
              |ORDER BY ALL""".stripMargin)
     ),
+    // G84 multi-type relationships — `-[:R1|R2]->` unions the named
+    // edge tables (same endpoint labels — the soundness gate), one
+    // row per bound relationship (a row in both tables matches
+    // twice: two distinct relationships, Cypher semantics); type(r)
+    // reads the bound type per row off the eid. DuckDB replays with
+    // a tagged UNION ALL.
+    QueryDef(
+      "g84_cypher_multitype",
+      (s, d) => {
+        val customer = Tables.customer(s, d)
+          .withColumn("id", col("c_custkey"))
+        val nation = Tables.nation(s, d).withColumn("id", col("n_nationkey"))
+        val g = PropertyGraph(
+          nodes = Map("nation" -> nation, "customer" -> customer),
+          edges = Map(
+            "HAS_CUSTOMER" -> (("nation", "customer", customer.select(
+              col("c_nationkey").as("src"), col("c_custkey").as("dst")))),
+            "HAS_RICH" -> (("nation", "customer",
+              customer.filter(col("c_acctbal") > 5000.0).select(
+                col("c_nationkey").as("src"), col("c_custkey").as("dst"))))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          """MATCH (n:nation)-[r:HAS_CUSTOMER|HAS_RICH]->(c:customer)
+            |RETURN n.n_name AS nm, type(r) AS t, count(*) AS cnt""".stripMargin))
+      },
+      Some("""SELECT n_name AS nm, t, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (
+             |  SELECT c_nationkey AS nk, 'HAS_CUSTOMER' AS t FROM customer
+             |  UNION ALL
+             |  SELECT c_nationkey, 'HAS_RICH' FROM customer
+             |  WHERE c_acctbal > 5000.0
+             |) JOIN nation ON n_nationkey = nk
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

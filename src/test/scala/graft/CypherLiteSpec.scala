@@ -2748,6 +2748,45 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("multi-type relationships -[:R1|R2]-> union their edge tables") {
+    // two same-shape edge types N→N: E1 {1→2}, E2 {1→3, 2→3}
+    val g2 = PropertyGraph(
+      nodes = Map("N" ->
+        Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "tag")),
+      edges = Map(
+        "E1" -> (("N", "N", Seq((1L, 2L)).toDF("src", "dst"))),
+        "E2" -> (("N", "N", Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")))))
+    val rows = CypherLite.query(g2,
+      "MATCH (a:N {id: 1})-[:E1|E2]->(b:N) RETURN b.tag ORDER BY b.tag")
+      .as[String].collect().toSeq
+    assert(rows === Seq("y", "z"))
+    // type(r) over a multi-type step reads the bound type per row
+    val typed = CypherLite.query(g2,
+      "MATCH (a:N {id: 1})-[r:E1|E2]->(b:N) " +
+        "RETURN type(r) AS t, b.tag AS bt ORDER BY bt")
+      .as[(String, String)].collect().toSeq
+    assert(typed === Seq(("E1", "y"), ("E2", "z")))
+    // var-length over the union
+    val vl = CypherLite.query(g2,
+      "MATCH (a:N {id: 1})-[:E1|E2*1..2]->(b:N) " +
+        "RETURN DISTINCT b.tag ORDER BY b.tag")
+      .as[String].collect().toSeq
+    assert(vl === Seq("y", "z"))
+    // different endpoint labels reject pointedly
+    val g3 = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a")).toDF("id", "tag"),
+        "B" -> Seq((2L, "b")).toDF("id", "tag")),
+      edges = Map(
+        "X" -> (("A", "B", Seq((1L, 2L)).toDF("src", "dst"))),
+        "Y" -> (("B", "A", Seq((2L, 1L)).toDF("src", "dst")))))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g3, "MATCH (a:A)-[:X|Y]->(b:B) RETURN b.tag")
+        .collect()
+    }
+    assert(e.getMessage.contains("different endpoint labels"))
+  }
+
   test("EXISTS/COUNT under OR and NOT in WHERE (flag-column bridge)") {
     // a1 → b2; a4 → {b2, b5}; a9 → nothing
     val g2 = PropertyGraph(
