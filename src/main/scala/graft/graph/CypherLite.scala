@@ -654,12 +654,12 @@ object CypherLite {
   // (its character count; kept OUT of ScalarFnAlt so the bare-name
   // collect-list forms keep their own routing)
   private val WhereSizeCondRe =
-    s"""^(?i:size)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+    s"""^(?i:size|length)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `size(out) OP …` in a post-WITH WHERE — the list-count HAVING
   // idiom over a collect() output (`WHERE size(friends) > 5`), or
   // string length over a scalar output
   private val WithSizeCondRe =
-    s"""^(?i:size)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+    s"""^(?i:size|length)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // a BARE stage-output name on the LHS of a comparison (`m < c.prop`
   // in a post-WITH MATCH WHERE) — mirrored into the canonical
   // property-vs-stage form
@@ -2879,10 +2879,13 @@ object CypherLite {
     }
     val NodesItemRe =
       """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // length() is accepted as the LEGACY alias of size() over
+    // strings and lists (old-Cypher emission LLMs still produce);
+    // length(p) over a PATH variable keeps its own earlier route
     val SizeItemRe =
-      """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeStrItemRe =
-      """(?is)^size\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val HeadLastItemRe =
       """(?is)^(head|last)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // list comprehension over a collect output — `[x IN xs WHERE
@@ -3094,6 +3097,20 @@ object CypherLite {
             "RETURN with no WITH)")
           ReturnItem(Some(fn.toLowerCase), distinct = false, "", None, as,
             caseC = Some(lengthCompiled(pn)))
+        // size(x) — element count of a previous WITH stage's LIST
+        // output (a collect(...) column ONLY — a sum/avg output is a
+        // scalar and falls to the pointed reject below instead of a
+        // raw Spark analysis error); for a path's hop count use
+        // length(p)
+        case SizeItemRe(n, as) if listOk(n) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
+        // size(alias.prop) — Cypher's size() over a STRING property
+        // (character count; properties are scalar in this data model,
+        // so the dotted form is always the string semantics)
+        case SizeStrItemRe(a, p, as) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(fnCompiled("size", null, a, p, ctx, plainOk, propOk)))
         case other if other.matches("(?is)^length\\s*\\(.*") =>
           fail("length() items need a DECLARED path variable " +
             "(`MATCH p = (…)…`) and an AS name", other)
@@ -3117,20 +3134,6 @@ object CypherLite {
         case other if other.matches("(?is)^nodes\\s*\\(.*") =>
           fail("nodes() items need a DECLARED path variable " +
             "(`MATCH p = (…)…`) and an AS name", other)
-        // size(x) — element count of a previous WITH stage's LIST
-        // output (a collect(...) column ONLY — a sum/avg output is a
-        // scalar and falls to the pointed reject below instead of a
-        // raw Spark analysis error); for a path's hop count use
-        // length(p)
-        case SizeItemRe(n, as) if listOk(n) =>
-          ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
-        // size(alias.prop) — Cypher's size() over a STRING property
-        // (character count; properties are scalar in this data model,
-        // so the dotted form is always the string semantics)
-        case SizeStrItemRe(a, p, as) =>
-          ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(fnCompiled("size", null, a, p, ctx, plainOk, propOk)))
         // head(xs)/last(xs) over a previous stage's collect(…) list.
         // This engine's collect lists are SORTED ascending, so head =
         // the minimum element and last = the maximum — deterministic
@@ -4239,6 +4242,18 @@ object CypherLite {
     */
   def query(g0: PropertyGraph, stmt0: String): DataFrame = {
     val stmt = preprocess(stmt0)
+    // WRITE clauses reject pointedly — this entry is read-only;
+    // ingest is [[GraphMerge]] (textual MERGE … SET over the upsert
+    // primitives). The '.'-guard spares property accesses that
+    // happen to spell a keyword (`n.set`).
+    for (kw <- Seq("CREATE", "MERGE", "DELETE", "DETACH", "REMOVE",
+           "SET", "DROP");
+         i <- topLevelKeywordIndices(stmt, kw)
+         if i == 0 || stmt.charAt(i - 1) != '.')
+      throw new IllegalArgumentException(
+        s"$kw is a write clause — CypherLite.query is read-only; " +
+          "MERGE-ingest statements go through GraphMerge.into " +
+          "(in-memory) or GraphMerge.batch (bucketed store)")
     callHead(stmt) match {
       case Some((innerTxt, tailTxt)) =>
         require(innerTxt.nonEmpty, "CALL { … }: empty subquery")

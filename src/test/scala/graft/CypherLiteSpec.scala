@@ -2748,6 +2748,37 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("length() is the legacy alias of size(); write clauses reject pointedly") {
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE length(a.tag) = 2 " +
+        "RETURN length(b.tag) AS lb, a.tag AS t ORDER BY t, lb")
+      .as[(Int, String)].collect().toSeq
+    assert(n === Seq((2, "a1"), (2, "a4"), (2, "a4")))
+    val lst = CypherLite.query(g,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH collect(b.id) AS xs " +
+        "WHERE length(xs) = 2 RETURN length(xs) AS n")
+      .as[Int].collect().toSeq
+    assert(lst === Seq(2))
+    for (stmt <- Seq(
+      "CREATE (a:A {id: 9})",
+      "MATCH (a:A) DELETE a",
+      "MATCH (a:A) SET a.tag = 'x'",
+      "MATCH (a:A) MERGE (b:B {id: 9})")) {
+      val e = intercept[IllegalArgumentException] {
+        CypherLite.query(g, stmt)
+      }
+      assert(e.getMessage.contains("write clause"), stmt)
+    }
+    // a PROPERTY named like a keyword stays readable
+    val g2 = PropertyGraph(
+      nodes = Map("K" -> Seq((1L, "v")).toDF("id", "set")),
+      edges = Map("E" -> (("K", "K", Seq((1L, 1L)).toDF("src", "dst")))))
+    val ok = CypherLite.query(g2,
+      "MATCH (k:K)-[:E]->(k2:K) RETURN k.set AS s")
+      .as[String].collect().toSeq
+    assert(ok === Seq("v"))
+  }
+
   test("multi-type relationships -[:R1|R2]-> union their edge tables") {
     // two same-shape edge types N→N: E1 {1→2}, E2 {1→3, 2→3}
     val g2 = PropertyGraph(
