@@ -356,8 +356,27 @@ import org.apache.spark.sql.functions._
   *    first/last element — the engine's collect lists are SORTED
   *    ascending, so head ≡ min and last ≡ max (deterministic; Neo4j
   *    leaves it arbitrary). Arithmetic includes `%` (modulo, the
-  *    dividend's sign — Spark's and DuckDB's semantics alike).
-  *    A `+` chain containing a string LITERAL
+  *    dividend's sign — Spark's and DuckDB's semantics alike) and `^`
+  *    (exponentiation — always a DOUBLE, right-associative, unary
+  *    minus binds looser: openCypher `2^3^2` = 512, `-2^2` = -4), and
+  *    admits scalar-function CALLS as primaries — nested freely
+  *    (`toUpper(left(n.name, 1))`), over sub-expressions
+  *    (`abs(a.x - b.x)`, `round(p / 2.0, 1)`), in items, WHERE sides,
+  *    and aggregate bodies (`sum(coalesce(x, 0))`). The callable set
+  *    is the scalar-function list plus variadic `coalesce`, minus the
+  *    list-producer `split` (pointed reject); `round`'s scale stays a
+  *    literal int. Math fns `sqrt|ceil|floor|sign|exp|log|log10` fold
+  *    to builtins with Cypher's types (ceil/floor double, sign long,
+  *    log natural — a DuckDB oracle spells it ln()), as do
+  *    `date.truncate('unit', x)` (→ a DATE via trunc(); year|quarter|
+  *    month|week|day) and `datetime.truncate` (→ a timestamp via
+  *    date_trunc(); + hour|minute|second) — the dotted names rewrite
+  *    to internal one-word forms beside the temporal accessors.
+  *    `reduce(acc = init, x IN xs | arith over acc/x) AS out` folds a
+  *    list output through Spark's aggregate() HOF in (sorted) list
+  *    order; the init literal anchors the fold type (0.0 for doubles).
+  *    A `+` chain containing a string LITERAL — or a string-RETURNING
+  *    fn call (`toUpper(a.x) + '!'`) —
   *    compiles to concatenation with non-strings cast (Cypher
   *    'a' + 1 = "a1"; property-only string concat needs an anchor —
   *    `'' + a.x + b.y`); strings under - * / reject.
@@ -642,7 +661,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split"""
+    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split|sqrt|ceil|floor|sign|exp|log10|log"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -650,6 +669,11 @@ object CypherLite {
   // form above never falls through here)
   private val WithFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // a conjunct that STARTS with a function call — the routing signal
+  // for the arithmetic-comparison path when no operator char is
+  // present (nested fn compositions); the fn-name validity check
+  // itself lives in parseArith (pointed reject on unknown names)
+  private val FnCallHeadRe = """^\s*[A-Za-z_][A-Za-z0-9_]*\s*\(""".r
   // `size(alias.prop) OP …` — Cypher's size() over a string property
   // (its character count; kept OUT of ScalarFnAlt so the bare-name
   // collect-list forms keep their own routing)
@@ -700,7 +724,7 @@ object CypherLite {
   private val OrderFnKeyRe =
     s"""^((?i:$ScalarFnAlt|size|head|last|coalesce)\\s*\\([^)]*\\))(?:\\s+((?i:ASC|DESC)))?$$""".r
   private val OrderArithKeyRe =
-    """^([^,]*[+\-*/%][^,]*?)(?:\s+((?i:ASC|DESC)))?$""".r
+    """^([^,]*[+\-*/%^][^,]*?)(?:\s+((?i:ASC|DESC)))?$""".r
 
   /** Map dotted ORDER BY keys (`n.name`) onto the output name of the
     * item projecting that exact property (`RETURN n.name AS nm …
@@ -747,7 +771,7 @@ object CypherLite {
             s"$ctx $n: not among the projected items — " +
               s"return it (… $n AS x) and ORDER BY x")), asc)
       // an arithmetic key (`n.a + n.b`) — pre-AS text match only
-      case (k, asc) if k.exists("+-*/%".contains(_)) =>
+      case (k, asc) if k.exists("+-*/%^".contains(_)) =>
         (bySrc(k).getOrElse(throw new IllegalArgumentException(
           s"$ctx $k: not among the projected items — " +
             s"return it (… $k AS x) and ORDER BY x")), asc)
@@ -920,12 +944,21 @@ object CypherLite {
   // unsupported — wrap at the source item instead.
   private val TemporalAccRe =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\.(year|month|day)\b""".r
+  // `date.truncate('unit', x)` / `datetime.truncate('unit', x)` —
+  // Neo4j's temporal truncation (the group-by-month idiom). The
+  // dotted name can't be a call primary in the arithmetic grammar, so
+  // it rewrites to the internal one-word forms datetrunc/
+  // datetimetrunc that [[arithFnColumn]] folds to trunc()/date_trunc()
+  private val TruncCallRe =
+    """(?i)\b(date|datetime)\s*\.\s*truncate\s*\(""".r
   private def rewriteTemporalAcc(s: String): String =
     if (!s.contains('.')) s
     else s.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg
-      else TemporalAccRe.replaceAllIn(seg,
-        m => s"${m.group(3).toLowerCase}(${m.group(1)}.${m.group(2)})")
+      else TruncCallRe.replaceAllIn(
+        TemporalAccRe.replaceAllIn(seg,
+          m => s"${m.group(3).toLowerCase}(${m.group(1)}.${m.group(2)})"),
+        m => s"${m.group(1).toLowerCase}trunc(")
     }.mkString("'")
 
   // `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` as RHS
@@ -986,6 +1019,20 @@ object CypherLite {
           "right(expr, n) needs exactly one integer argument")
       }
       case "abs"     => noArgs(); abs(_)
+      // the Cypher math quartet-plus: all fold to codegen'd builtins.
+      // ceil/floor return FLOAT in Cypher (Neo4j ceil(1.2) = 2.0) while
+      // Spark's return LONG — the double cast keeps Cypher semantics
+      // (and DuckDB's ceil(double) → double replays it directly);
+      // sign() is INTEGER in Cypher, signum() double in Spark, so the
+      // long cast lands here too. log() is the NATURAL log (Cypher and
+      // Spark agree; a DuckDB oracle must spell it ln()).
+      case "sqrt"  => noArgs(); sqrt(_)
+      case "ceil"  => noArgs(); c => ceil(c).cast("double")
+      case "floor" => noArgs(); c => floor(c).cast("double")
+      case "sign"  => noArgs(); c => signum(c).cast("long")
+      case "exp"   => noArgs(); exp(_)
+      case "log"   => noArgs(); c => org.apache.spark.sql.functions.log(c)
+      case "log10" => noArgs(); log10(_)
       // date(x): Cypher's temporal conversion — to_date handles both
       // string and timestamp inputs (the parquet timestamp column case)
       case "date"    => noArgs(); to_date(_)
@@ -1400,15 +1447,44 @@ object CypherLite {
   private final case class RefA(alias: String, prop: Option[String]) extends ArithExpr
   private final case class NegA(x: ArithExpr) extends ArithExpr
   private final case class BinA(op: Char, l: ArithExpr, r: ArithExpr) extends ArithExpr
+  /** A scalar-function CALL as an arithmetic primary — `abs(a.x - b.x)`,
+    * `round(o.price / 2.0, 1)`, `toUpper(left(n.name, 1))`, `coalesce(
+    * a.x, 0) + 1`: the composition shapes the single-wrap item regexes
+    * (`fn(alias.prop)`) cannot express. Args are full sub-expressions;
+    * name is lower-cased at parse. Folds through [[arithFnColumn]] to
+    * the same builtins as [[scalarWrap]] — codegen, no UDF.
+    */
+  private final case class FnA(name: String, args: Seq[ArithExpr]) extends ArithExpr
+
+  /** The functions callable INSIDE arithmetic — [[ScalarFnAlt]] minus
+    * the list-producer split() (a list has no place in an arithmetic
+    * expression; use it as a standalone item) plus variadic coalesce.
+    */
+  private val ArithFns: Set[String] = Set(
+    "tolower", "toupper", "trim", "ltrim", "rtrim", "reverse", "replace",
+    "left", "right", "abs", "date", "datetime", "tostring", "tointeger",
+    "tofloat", "toboolean", "size", "round", "substring", "year", "month",
+    "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
+    "coalesce", "datetrunc", "datetimetrunc")
 
   /** A `+` chain is STRING CONCATENATION when any operand is a string
     * literal (Cypher's `+` concatenates strings; operand types are
     * unknowable at parse, so the literal is the signal — concatenating
     * two string PROPERTIES needs an explicit anchor: `'' + a.x + b.y`).
     */
+  /** The fns whose RESULT is a string — they carry the concat signal
+    * through a `+` chain just like a string literal (`toUpper(a.x) +
+    * b.y` concatenates).
+    */
+  private val StrFns: Set[String] = Set("tolower", "toupper", "trim",
+    "ltrim", "rtrim", "reverse", "replace", "left", "right", "substring",
+    "tostring")
+
   private def containsStr(e: ArithExpr): Boolean = e match {
     case StrA(_) => true
     case BinA('+', l, r) => containsStr(l) || containsStr(r)
+    case FnA(n, _) if StrFns(n) => true
+    case FnA("coalesce", args) => args.exists(containsStr)
     case _ => false
   }
 
@@ -1416,6 +1492,7 @@ object CypherLite {
     case RefA(a, p) => Seq(a -> p)
     case NegA(x) => arithRefs(x)
     case BinA(_, l, r) => arithRefs(l) ++ arithRefs(r)
+    case FnA(_, args) => args.flatMap(arithRefs)
     case NumA(_) => Seq.empty
     case StrA(_) => Seq.empty
   }
@@ -1443,22 +1520,131 @@ object CypherLite {
     // Cypher's modulo — Spark's % (pmod differs on negatives; Cypher
     // follows the dividend's sign, exactly Spark's and DuckDB's %)
     case BinA('%', l, r) => arithColumn(l, resolve) % arithColumn(r, resolve)
+    // Cypher's exponentiation — always a DOUBLE result (Neo4j 2^3 =
+    // 8.0; Spark's pow and DuckDB/Postgres `^` agree)
+    case BinA('^', l, r) => pow(arithColumn(l, resolve), arithColumn(r, resolve))
     case BinA(op, _, _) => throw new IllegalArgumentException(s"operator '$op'")
+    case FnA(name, args) => arithFnColumn(name, args, resolve)
   }
 
-  /** Recursive-descent arithmetic parser (left-associative; * / bind
-    * tighter than + -). Returns None when `s` is not arithmetic at all
-    * (no operator) so the caller can fall through to its plain-item
-    * message.
+  /** Fold a [[FnA]] call to builtin Column functions — same semantics
+    * as [[scalarWrap]] (0-indexed substring, Cypher's double ceil/floor,
+    * long sign, natural log) but over GENERAL sub-expression arguments
+    * instead of one column plus literal extras. round()'s scale is the
+    * one argument that must stay a literal int (Spark's round only
+    * takes a literal scale).
+    */
+  private def arithFnColumn(name: String, args: Seq[ArithExpr],
+      resolve: (String, Option[String]) => Column): Column = {
+    def cols: Seq[Column] = args.map(arithColumn(_, resolve))
+    def one(): Column = {
+      require(args.length == 1, s"$name() takes exactly one argument")
+      cols.head
+    }
+    def nArgs(lo: Int, hi: Int): Seq[Column] = {
+      require(args.length >= lo && args.length <= hi,
+        s"$name() takes $lo to $hi arguments, got ${args.length}")
+      cols
+    }
+    name match {
+      case "tolower" => lower(one())
+      case "toupper" => upper(one())
+      case "trim"    => trim(one())
+      case "ltrim"   => ltrim(one())
+      case "rtrim"   => rtrim(one())
+      case "reverse" => reverse(one())
+      case "replace" =>
+        val Seq(c, f, p) = nArgs(3, 3); org.apache.spark.sql.functions.replace(c, f, p)
+      case "left" =>
+        val Seq(c, n) = nArgs(2, 2)
+        org.apache.spark.sql.functions.left(c, n)
+      case "right" =>
+        val Seq(c, n) = nArgs(2, 2)
+        org.apache.spark.sql.functions.right(c, n)
+      case "abs"       => abs(one())
+      case "date"      => to_date(one())
+      case "datetime"  => to_timestamp(one())
+      case "tostring"  => one().cast("string")
+      case "tointeger" => one().cast("long")
+      case "tofloat"   => one().cast("double")
+      case "toboolean" =>
+        val s = lower(one().cast("string"))
+        when(s === "true", lit(true)).when(s === "false", lit(false))
+          .otherwise(lit(null))
+      case "size" => length(one())
+      case "round" => args match {
+        case Seq(_)          => round(cols.head, 0)
+        case Seq(_, NumA(n: Long)) => round(cols.head, n.toInt)
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "round(expr, scale): the scale must be an integer literal")
+        case _ => throw new IllegalArgumentException(
+          "round(expr[, scale]) takes at most one extra argument")
+      }
+      // Cypher substring is 0-indexed, Spark's 1-indexed — the +1
+      // lands here, over a general start expression
+      case "substring" => nArgs(2, 3) match {
+        case Seq(c, s)    => c.substr(s.cast("int") + 1, length(c))
+        case Seq(c, s, l) => c.substr(s.cast("int") + 1, l.cast("int"))
+      }
+      case "year"  => year(one())
+      case "month" => month(one())
+      case "day"   => dayofmonth(one())
+      case "sqrt"  => sqrt(one())
+      case "ceil"  => ceil(one()).cast("double")
+      case "floor" => floor(one()).cast("double")
+      case "sign"  => signum(one()).cast("long")
+      case "exp"   => exp(one())
+      case "log"   => org.apache.spark.sql.functions.log(one())
+      case "log10" => log10(one())
+      case "coalesce" =>
+        require(args.length >= 2, "coalesce() needs at least two arguments")
+        coalesce(cols: _*)
+      // the rewritten date.truncate / datetime.truncate forms
+      // (TruncCallRe): date.truncate yields a DATE (Neo4j — and a
+      // DuckDB oracle needs CAST(date_trunc(…) AS DATE) over a
+      // timestamp input), datetime.truncate a timestamp
+      case "datetrunc" | "datetimetrunc" =>
+        require(args.length == 2,
+          "truncate takes ('unit', value) — exactly two arguments")
+        val unit = args.head match {
+          case StrA(u) => u.toLowerCase
+          case _ => throw new IllegalArgumentException(
+            "date.truncate/datetime.truncate: the unit must be a " +
+              "string literal ('year', 'month', …)")
+        }
+        val c = arithColumn(args(1), resolve)
+        if (name == "datetrunc") {
+          require(Set("year", "quarter", "month", "week", "day")(unit),
+            s"date.truncate: unsupported unit '$unit' " +
+              "(year|quarter|month|week|day)")
+          if (unit == "day") to_date(c) else trunc(to_date(c), unit)
+        } else {
+          require(Set("year", "quarter", "month", "week", "day", "hour",
+            "minute", "second")(unit),
+            s"datetime.truncate: unsupported unit '$unit' " +
+              "(year|quarter|month|week|day|hour|minute|second)")
+          date_trunc(unit, c)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported function in arithmetic: '$other'")
+    }
+  }
+
+  /** Recursive-descent arithmetic parser. Precedence, loosest to
+    * tightest: `+ -` < `* / %` (all left-associative) < unary minus <
+    * `^` (exponentiation, RIGHT-associative — openCypher: `2^3^2` =
+    * 512, `-2^2` = -4 because unary minus binds LOOSER than `^`).
+    * Primaries are numbers, string literals, `alias[.prop]` refs,
+    * parenthesized sub-expressions, and [[ArithFns]] calls
+    * (`abs(a.x - b.x)`, `round(p / 2.0, 1)`, nested freely).
     */
   private def parseArith(s: String): ArithExpr = {
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
-    def factor(): ArithExpr = {
+    def atom(): ArithExpr = {
       ws()
-      if (peek == '-') { i += 1; NegA(factor()) }
-      else if (peek == '(') {
+      if (peek == '(') {
         i += 1
         val e = expr()
         ws()
@@ -1486,7 +1672,25 @@ object CypherLite {
             s"expected a number, alias[.prop] or '(' at '${s.substring(i)}'")
           while (i < s.length && isWordChar(s.charAt(i))) i += 1
           val a = s.substring(start, i)
-          if (peek == '.') {
+          if (peek == '(') {
+            // function call — only the ArithFns set; anything else is
+            // a pointed reject (an unknown fn would otherwise die as
+            // "trailing input")
+            val fn = a.toLowerCase
+            require(ArithFns(fn),
+              s"unsupported function in arithmetic: '$a' " +
+                "(supported: the scalar-function set minus split)")
+            i += 1
+            val fargs = Seq.newBuilder[ArithExpr]
+            ws()
+            require(peek != ')', s"$a() needs at least one argument")
+            fargs += expr()
+            ws()
+            while (peek == ',') { i += 1; fargs += expr(); ws() }
+            require(peek == ')', s"unbalanced '(' in $a(…): '$s'")
+            i += 1
+            FnA(fn, fargs.result())
+          } else if (peek == '.') {
             i += 1
             val ps = i
             require(i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_'),
@@ -1497,12 +1701,21 @@ object CypherLite {
         }
       }
     }
+    def pw(): ArithExpr = {
+      val b = atom()
+      ws()
+      if (peek == '^') { i += 1; BinA('^', b, unary()) } else b
+    }
+    def unary(): ArithExpr = {
+      ws()
+      if (peek == '-') { i += 1; NegA(unary()) } else pw()
+    }
     def term(): ArithExpr = {
-      var l = factor()
+      var l = unary()
       ws()
       while (peek == '*' || peek == '/' || peek == '%') {
         val op = peek; i += 1
-        l = BinA(op, l, factor())
+        l = BinA(op, l, unary())
         ws()
       }
       l
@@ -2299,7 +2512,7 @@ object CypherLite {
               // RHS-side arithmetic (`b.id > a.id + 1`, `c.x = 1 + 1`)
               // — the LHS property becomes a one-ref arithmetic side;
               // IN keeps its list-operand route
-              case rhs if rhs.exists("+-*/%".contains(_)) &&
+              case rhs if rhs.exists("+-*/%^".contains(_)) &&
                   !op.equalsIgnoreCase("IN") && !plainRhsForm(rhs) =>
                 val rAe = parseArith(rhs)
                 for ((a2, pOpt) <- arithRefs(rAe)) pOpt match {
@@ -2343,8 +2556,12 @@ object CypherLite {
           // tried after every shaped atom missed; both sides compile
           // as arithmetic over dotted refs and literals. Single-alias
           // instances stay node predicates; cross-alias ones ride the
-          // row filter.
-          case other if other.exists("+-*/%".contains(_)) &&
+          // row filter. Fn-HEADED conjuncts with no operator char
+          // (`abs(a.x) = abs(b.y)`, nested `toUpper(left(a.t, 1)) =
+          // 'A'`) also land here — the single-wrap WhereFnCondRe
+          // shapes were tried first, so only compositions arrive.
+          case other if (other.exists("+-*/%^".contains(_)) ||
+                FnCallHeadRe.findFirstIn(other).isDefined) &&
               splitTopCmp(other).isDefined =>
             val (lt, op, rt) = splitTopCmp(other).get
             val l = parseArith(lt.trim)
@@ -2790,7 +3007,13 @@ object CypherLite {
       * the WITH output names (prop access only on carried aliases).
       */
     val ArithAsRe =
-      """^(.*[+\-*/%].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """^(.*[+\-*/%^].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // fn-headed item with no top-level operator — the arithmetic
+    // grammar's CALL primaries (nested fns) behind an AS; split() is
+    // ArithFns-gated inside parseArith (pointed reject: lists don't
+    // belong in arithmetic)
+    val FnArithAsRe =
+      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
     // tried after the plain-target AggItemRe, so only bodies that are
     // not a bare alias[.prop] land here. DISTINCT over an expression
@@ -2905,6 +3128,9 @@ object CypherLite {
     // literals containing '|' or ']' survive
     val ListCompRe =
       """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\b(.*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // Cypher's fold: `reduce(acc = init, x IN xs | expr) AS out`
+    val ReduceItemRe =
+      """(?is)^reduce\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^,]+?)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*\|\s*(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def topBar(s: String): Option[Int] = {
       var inQ = false; var i = 0
       while (i < s.length) {
@@ -3249,6 +3475,34 @@ object CypherLite {
         case other if other.matches("(?s)^\\[.*") =>
           fail("list comprehensions are `[x IN collectOut [WHERE cond] " +
             "[| expr]] AS ys` (cond/expr over x and literals)", other)
+        // reduce() — Cypher's list FOLD: `reduce(acc = init, x IN xs
+        // | expr) AS out` over a list output. Folds to Spark's
+        // aggregate() HOF (codegen, no UDF); element order is the
+        // engine's sorted collect order, so order-dependent folds are
+        // deterministic (Neo4j folds in list order too). The init
+        // LITERAL anchors the fold type — Spark requires the merge
+        // result to match the accumulator type, so write 0.0 to fold
+        // doubles and 0 for longs (a mismatch dies loudly at analysis).
+        case ReduceItemRe(accN, initTxt, v, src, bodyTxt, as) if listOk(src) =>
+          require(accN != v,
+            s"reduce: accumulator and element share the name '$accN'")
+          val init = literal(initTxt.trim)
+          val ae = parseArith(bodyTxt.trim)
+          for ((a, pOpt) <- arithRefs(ae))
+            require(pOpt.isEmpty && (a == accN || a == v),
+              s"reduce expressions may only reference '$accN' and '$v' " +
+                s"(got '$a${pOpt.map("." + _).getOrElse("")}')")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res =>
+              org.apache.spark.sql.functions.aggregate(res(src, None),
+                lit(init),
+                (acc, x) => arithColumn(ae,
+                  (n, _) => if (n == accN) acc else x)))))
+        case other if other.matches("(?is)^reduce\\s*\\(.*") =>
+          fail("reduce is `reduce(acc = initLiteral, x IN listOut | " +
+            "arith over acc/x) AS out` over a list-typed stage output " +
+            "(the init literal anchors the fold type: 0.0 for doubles)",
+            other)
         // labels(n) — static single-label list (this engine's data
         // model); pattern scope only (a carried alias may be renamed)
         case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
@@ -3433,7 +3687,8 @@ object CypherLite {
         // aggregate over arithmetic — `sum(o.price * qty) AS s`:
         // the body compiles like an arithmetic item, the aggregate
         // folds over it (count counts non-null evaluations)
-        case AggArithRe(fn, body, as) if body.exists("+-*/%".contains(_)) &&
+        case AggArithRe(fn, body, as) if (body.exists("+-*/%^".contains(_)) ||
+              FnCallHeadRe.findFirstIn(body).isDefined) &&
             !body.matches("(?is)^\\s*DISTINCT\\b.*") =>
           val f = fn.toLowerCase
           val ae = parseArith(body.trim)
@@ -3463,7 +3718,24 @@ object CypherLite {
               require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
           }
           ReturnItem(None, distinct = false, "", None, as, arith = Some(ae))
-        case other if other.exists("+-*/%".contains(_)) &&
+        // fn-headed item with NO top-level operator char — nested
+        // calls (`toUpper(left(a.tag, 1)) AS c`) land here; tried
+        // AFTER the single-wrap/agg fn routes so their shapes keep
+        // their own compilation, and the arithmetic grammar's fn
+        // parser takes over for the compositions they can't express
+        case FnArithAsRe(exprTxt, as) =>
+          val ae = parseArith(exprTxt.trim)
+          for ((a, pOpt) <- arithRefs(ae)) pOpt match {
+            case Some(p) =>
+              require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
+            case None =>
+              require(!relVars(a),
+                s"'$a': arithmetic over a relationship variable's eid " +
+                  "string is meaningless — use node properties")
+              require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
+          }
+          ReturnItem(None, distinct = false, "", None, as, arith = Some(ae))
+        case other if other.exists("+-*/%^".contains(_)) &&
             !other.matches("(?is).*\\bAS\\b.*") =>
           fail("arithmetic items need an AS name", other)
         case other => fail(s"$ctx items must be alias[.prop] [AS n], " +

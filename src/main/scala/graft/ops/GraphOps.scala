@@ -2060,6 +2060,104 @@ object GraphOps {
              |) JOIN nation ON n_nationkey = nk
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     ),
+    // G85 math scalar functions + exponentiation — sqrt/ceil/floor/
+    // sign/log10 and the `^` operator (openCypher: always a double),
+    // in WHERE and RETURN. Cypher types replay in DuckDB with casts:
+    // ceil/floor are double in both (Cypher ceil(1.2)=2.0; DuckDB's
+    // ceil(double) is double), sign is an integer (CAST AS BIGINT),
+    // `^` is DuckDB's own power operator. log10/`^` outputs ride a
+    // round() so 1-ulp libm differences between JVM and C can't flip
+    // the exact-value compare; sqrt is IEEE-correctly-rounded in both
+    // so its raw double compares exactly. The sqrt(abs(…)) nesting in
+    // WHERE exercises fn-over-fn on the predicate path.
+    QueryDef(
+      "g85_cypher_math_fns",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE sqrt(abs(c.c_acctbal)) > 99.0
+          |RETURN c.c_custkey AS ck,
+          |       sqrt(abs(c.c_acctbal)) AS rt,
+          |       ceil(c.c_acctbal / 1000.0) AS cl,
+          |       floor(c.c_acctbal / 1000.0) AS fl,
+          |       sign(c.c_acctbal - 9900.0) AS sg,
+          |       round(c.c_acctbal ^ 2, 1) AS sq,
+          |       round(log10(abs(c.c_acctbal) + 1.0), 3) AS lg""".stripMargin)),
+      Some("""SELECT c_custkey AS ck,
+             |       sqrt(abs(c_acctbal)) AS rt,
+             |       ceil(c_acctbal / 1000.0) AS cl,
+             |       floor(c_acctbal / 1000.0) AS fl,
+             |       CAST(sign(c_acctbal - 9900.0) AS BIGINT) AS sg,
+             |       round(c_acctbal ^ 2, 1) AS sq,
+             |       round(log10(abs(c_acctbal) + 1.0), 3) AS lg
+             |FROM customer WHERE sqrt(abs(c_acctbal)) > 99.0
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G86 scalar-function COMPOSITION — the arithmetic grammar's call
+    // primaries: nested fns in WHERE (`toUpper(left(…))`),
+    // fn-over-arithmetic (`abs(x - 5000)`), fn results in a `+`
+    // concat chain, and coalesce inside arithmetic. These are the
+    // shapes the single-wrap item regexes cannot express — an LLM
+    // composes freely, so the item grammar must too.
+    QueryDef(
+      "g86_cypher_fn_compose",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE toUpper(left(c.c_mktsegment, 2)) = 'BU'
+          |  AND abs(c.c_acctbal - 5000.0) < 150.0
+          |RETURN n.n_name AS nm,
+          |       toUpper(left(c.c_name, 8)) + '#' AS tag,
+          |       round(abs(c.c_acctbal - 5000.0) / 10.0, 1) AS dd,
+          |       coalesce(c.c_acctbal, 0.0) + 1.5 AS cb""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |       upper(left(c_name, 8)) || '#' AS tag,
+             |       round(abs(c_acctbal - 5000.0) / 10.0, 1) AS dd,
+             |       coalesce(c_acctbal, 0.0) + 1.5 AS cb
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE upper(left(c_mktsegment, 2)) = 'BU'
+             |  AND abs(c_acctbal - 5000.0) < 150.0
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G87 reduce() — Cypher's list fold over a collect output, via
+    // Spark's aggregate() HOF. The fold here is init + Σ (long
+    // elements — exact, order-free, so the DuckDB replay is init +
+    // sum); ORDER-DEPENDENT fold semantics are pinned by the
+    // CypherLiteSpec test (t * 0.5 + x over a known list), which an
+    // SQL oracle can't replay. DuckDB's sum(BIGINT) widens to
+    // HUGEINT — the CAST brings it back to the engine's long.
+    QueryDef(
+      "g87_cypher_reduce",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |WITH n.n_name AS nm, collect(c.c_custkey) AS ks
+          |RETURN nm, reduce(t = 1000000, x IN ks | t + x) AS tot,
+          |       size(ks) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |       CAST(1000000 + sum(c_custkey) AS BIGINT) AS tot,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G88 date.truncate — Neo4j's temporal truncation, the
+    // group-by-month idiom (`date.truncate('month', ts)` yields a
+    // DATE; DuckDB replays with CAST(date_trunc AS DATE)). The
+    // truncation runs INSIDE the grouping key, so the rewrite →
+    // datetrunc → trunc(to_date(…)) path is exercised on the
+    // aggregation route, not just projection.
+    QueryDef(
+      "g88_cypher_date_trunc",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate >= datetime('1997-10-01T00:00:00')
+          |RETURN date.truncate('month', o.o_orderdate) AS mo,
+          |       count(*) AS n""".stripMargin)),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

@@ -2980,4 +2980,119 @@ class CypherLiteSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(rows2 === Seq(2L, 2L, 5L))
   }
+
+  // the arithmetic grammar's CALL primaries + `^` — round-13 surface
+  private lazy val mathG = PropertyGraph(
+    nodes = Map(
+      "A" -> Seq((1L, "a1", 4.0), (4L, "a4", 9.0)).toDF("id", "tag", "num"),
+      "B" -> Seq((2L, "b2", 1.0), (5L, "b5", 2.0)).toDF("id", "tag", "num")),
+    edges = Map("R1" -> (("A", "B",
+      Seq((1L, 2L), (4L, 5L), (4L, 2L)).toDF("src", "dst")))))
+
+  test("^ exponentiation: double result, right-assoc, unary minus looser") {
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN a.num ^ 2 AS sq, 2 ^ 3 ^ 2 AS ra, " +
+        "-2 ^ 2 AS nm, 2 ^ -1 AS inv")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r === ((16.0, 512.0, -4.0, 0.5)),
+      "openCypher: 2^3^2 binds right; -2^2 = -(2^2)")
+  }
+
+  test("math fns fold with Cypher types: double ceil/floor, long sign") {
+    val df = CypherLite.query(mathG,
+      "MATCH (a:A {id: 4}) RETURN sqrt(a.num) AS rt, " +
+        "ceil(a.num / 2.0) AS cl, floor(a.num / 2.0) AS fl, " +
+        "sign(a.num - 100.0) AS sg, round(log10(a.num) + 1.0, 3) AS lg")
+    assert(df.schema("cl").dataType.typeName === "double",
+      "Cypher ceil() is a FLOAT — the long->double cast must land")
+    assert(df.schema("sg").dataType.typeName === "long",
+      "Cypher sign() is an INTEGER")
+    val (rt, cl, fl, sg, lg) =
+      df.as[(Double, Double, Double, Long, Double)].collect().head
+    assert((rt, cl, fl, sg) === ((3.0, 5.0, 4.0, -1L)))
+    assert(lg === 1.954)
+  }
+
+  test("fn composition: nested calls, fn-over-arith, coalesce in arith") {
+    // item side — the shapes the single-wrap regexes can't express
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN toUpper(left(a.tag, 1)) AS c, abs(a.num - b.num) AS d, " +
+        "coalesce(a.num, 0) + 1 AS y, toUpper(a.tag) + '!' AS bang " +
+        "ORDER BY d")
+      .as[(String, Double, Double, String)].collect().toSeq
+    assert(r === Seq(("A", 3.0, 5.0, "A1!"), ("A", 7.0, 10.0, "A4!"),
+      ("A", 8.0, 10.0, "A4!")))
+    // predicate side — nested fn and fn-over-arith in WHERE
+    val n = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE abs(a.num - b.num) > 7.0 " +
+        "AND toUpper(left(a.tag, 1)) = 'A' RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n === 1L)
+    // aggregate over a fn-headed body with no operator char
+    val s = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN sum(coalesce(a.num, 0)) AS s")
+      .as[Double].collect().head
+    assert(s === 13.0)
+  }
+
+  test("reduce(): ordered fold over the sorted collect list") {
+    // collect is SORTED ascending → fold order is deterministic:
+    // b-nums for a4 are [1.0, 2.0]; t = 0.5·t + x folded in order:
+    // t0=10 → 0.5·10+1 = 6 → 0.5·6+2 = 5  (order-dependent — the
+    // reversed list would give 8.5, so this pins fold direction)
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A {id: 4})-[:R1]->(b:B) WITH a.tag AS t, " +
+        "collect(b.num) AS xs " +
+        "RETURN t, reduce(acc = 10.0, x IN xs | acc * 0.5 + x) AS f")
+      .as[(String, Double)].collect().toSeq
+    assert(r === Seq(("a4", 5.0)))
+    // pointed rejects: out-of-scope name, malformed shape
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A)-[:R1]->(b:B) WITH collect(b.num) AS xs " +
+          "RETURN reduce(acc = 0.0, x IN xs | acc + zz) AS f")
+    }
+    assert(e1.getMessage.contains("may only reference"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A)-[:R1]->(b:B) WITH collect(b.num) AS xs " +
+          "RETURN reduce(x IN xs | x) AS f")
+    }
+    assert(e2.getMessage.contains("reduce is"))
+  }
+
+  test("date.truncate rewrites to trunc(); datetime units gate") {
+    val dg = PropertyGraph(
+      nodes = Map("E" -> Seq(
+        (1L, "2021-03-17 10:30:00"), (2L, "2021-03-02 08:00:00"),
+        (3L, "2021-07-09 23:59:59")).toDF("id", "ts")
+        .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))),
+      edges = Map.empty)
+    val r = CypherLite.query(dg,
+      "MATCH (e:E) RETURN date.truncate('month', e.ts) AS mo, " +
+        "count(*) AS n ORDER BY mo")
+      .as[(java.sql.Date, Long)].collect().toSeq.map { case (d, n) => (d.toString, n) }
+    assert(r === Seq(("2021-03-01", 2L), ("2021-07-01", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(dg,
+        "MATCH (e:E) RETURN date.truncate('hour', e.ts) AS h")
+    }
+    assert(e.getMessage.contains("unsupported unit 'hour'"))
+  }
+
+  test("arithmetic fn grammar: pointed rejects") {
+    def rej(q: String): String =
+      intercept[IllegalArgumentException] {
+        CypherLite.query(mathG, q)
+      }.getMessage
+    assert(rej("MATCH (a:A) RETURN foo(a.num) + 1 AS x")
+      .contains("unsupported function in arithmetic: 'foo'"))
+    assert(rej("MATCH (a:A) RETURN split(a.tag, '-') + 1 AS x")
+      .contains("unsupported function in arithmetic: 'split'"))
+    assert(rej("MATCH (a:A) RETURN coalesce(a.num) + 1 AS x")
+      .contains("at least two arguments"))
+    assert(rej("MATCH (a:A) WHERE abs(a.num - zz.num) > 1 RETURN a.tag")
+      .toLowerCase.contains("unknown"))
+  }
 }
