@@ -212,7 +212,8 @@ import org.apache.spark.sql.functions._
   *    it folds to when/otherwise Column chains — codegen, no UDF.
   *    Simple CASE (`CASE expr WHEN v THEN r …`) desugars to the
   *    searched form (equality per arm — a null test matches no arm,
-  *    Cypher semantics); nested CASE rejects loudly.
+  *    Cypher semantics); NESTED CASE in THEN/ELSE values compiles
+  *    recursively (arm splitting is CASE-depth-aware).
   *    Scalar-function wraps over `alias.prop | name` are items too —
   *    `toLower|toUpper|trim|ltrim|rtrim|abs|date|datetime|reverse`
   *    plus the cast quartet `toString|toInteger|toFloat|toBoolean`
@@ -951,7 +952,47 @@ object CypherLite {
   // datetimetrunc that [[arithFnColumn]] folds to trunc()/date_trunc()
   private val TruncCallRe =
     """(?i)\b(date|datetime)\s*\.\s*truncate\s*\(""".r
-  private def rewriteTemporalAcc(s: String): String =
+  // `duration.inDays(a, b).days` / `duration.inSeconds(a, b).seconds`
+  // — Neo4j's two-point total-duration constructors with their
+  // total-unit accessor (the date-diff idiom: "days between order
+  // and ship"). Rewritten BEFORE the quote split (the args may hold
+  // quoted temporal literals, e.g. `date('1995-01-01')`) to internal
+  // one-word calls durindays/durinseconds that [[arithFnColumn]]
+  // folds to datediff / epoch subtraction. The accessor must match
+  // the constructor's unit; `duration.between` (a per-component
+  // months+days+seconds decomposition, not a total) and an
+  // accessor-less call reject pointedly.
+  private val DurUnitCallRe = (
+    """(?i)\bduration\s*\.\s*(inDays|inSeconds)\s*\(""" +
+    """((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*)\)\s*\.\s*([A-Za-z]+)\b""").r
+  private def rewriteDurCalls(s: String): String =
+    if (!s.toLowerCase.contains("duration")) s
+    else {
+      val out = DurUnitCallRe.replaceAllIn(s, m => {
+        val fn = m.group(1).toLowerCase
+        val acc = m.group(3).toLowerCase
+        val want = if (fn == "indays") "days" else "seconds"
+        require(acc == want,
+          s"duration.${m.group(1)}(…).$acc: the total accessor for " +
+            s"${m.group(1)} is .$want")
+        java.util.regex.Matcher.quoteReplacement(
+          s"durin$want(${m.group(2)})")
+      })
+      // anything still dotted after the rewrite is an unsupported
+      // duration form — reject with guidance, quote-aware (a literal
+      // containing 'duration.' must not trip the gate)
+      val unquoted = out.split("'", -1).zipWithIndex.collect {
+        case (seg, i) if i % 2 == 0 => seg
+      }.mkString
+      require(!unquoted.matches("(?is).*\\bduration\\s*\\..*"),
+        "unsupported duration form — supported: " +
+          "duration.inDays(a, b).days, duration.inSeconds(a, b).seconds " +
+          "(duration.between decomposes into months+days components, " +
+          "not a total — use inDays/inSeconds)")
+      out
+    }
+  private def rewriteTemporalAcc(s0: String): String = {
+    val s = rewriteDurCalls(s0)
     if (!s.contains('.')) s
     else s.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg
@@ -960,6 +1001,7 @@ object CypherLite {
           m => s"${m.group(3).toLowerCase}(${m.group(1)}.${m.group(2)})"),
         m => s"${m.group(1).toLowerCase}trunc(")
     }.mkString("'")
+  }
 
   // `date('2022-01-01')` / `datetime('2022-01-01T00:00:00')` as RHS
   // operands — the Cypher temporal constructors (Neo4j idiom); fold
@@ -1465,7 +1507,7 @@ object CypherLite {
     "left", "right", "abs", "date", "datetime", "tostring", "tointeger",
     "tofloat", "toboolean", "size", "round", "substring", "year", "month",
     "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
-    "coalesce", "datetrunc", "datetimetrunc")
+    "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds")
 
   /** A `+` chain is STRING CONCATENATION when any operand is a string
     * literal (Cypher's `+` concatenates strings; operand types are
@@ -1625,6 +1667,16 @@ object CypherLite {
               "(year|quarter|month|week|day|hour|minute|second)")
           date_trunc(unit, c)
         }
+      // the rewritten duration.inDays/.inSeconds totals
+      // (DurUnitCallRe): whole days via datediff (a DuckDB oracle
+      // replays with date_diff('day', a, b)), whole seconds via epoch
+      // subtraction (date_diff('second', a, b))
+      case "durindays" =>
+        val Seq(a, b) = nArgs(2, 2)
+        datediff(to_date(b), to_date(a)).cast("long")
+      case "durinseconds" =>
+        val Seq(a, b) = nArgs(2, 2)
+        unix_timestamp(to_timestamp(b)) - unix_timestamp(to_timestamp(a))
       case other => throw new IllegalArgumentException(
         s"unsupported function in arithmetic: '$other'")
     }
@@ -1752,25 +1804,25 @@ object CypherLite {
     * Conditions reuse the WHERE atom grammar — `alias.prop OP operand`
     * (incl. toLower/toUpper wraps, IS [NOT] NULL, prop-to-prop) over
     * the item scope, or bare `name OP operand` post-WITH — with
-    * AND/OR/parens. Values are literals (string/bool/NULL) or
-    * arithmetic over refs. Simple CASE (`CASE expr WHEN v`) and nested
-    * CASE reject loudly.
+    * AND/OR/parens. Values are literals (string/bool/NULL), arithmetic
+    * over refs, or a NESTED `CASE … END` (compiled recursively —
+    * WHEN/THEN/ELSE/END splitting is CASE-depth-aware, so an inner
+    * CASE's keywords never shear an outer arm). Simple CASE
+    * (`CASE expr WHEN v`) desugars to the searched form.
     */
   private def compileCase(txt0: String, ctx: String,
       plainOk: String => Boolean, propOk: String => Boolean,
       isRelVar: String => Boolean): CaseCompiled = {
     val PropRefRe2 = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
     val body0 = txt0.trim.replaceFirst("(?is)^CASE\\b", "")
-    val endIdx = topLevelKeywordIndices(body0, "END").lastOption.getOrElse(
+    val endIdx = caseAwareKeywordIndices(body0, "END").lastOption.getOrElse(
       fail("CASE needs a closing END", txt0))
     require(body0.substring(endIdx + 3).isBlank,
       s"trailing input after CASE … END: '${body0.substring(endIdx + 3).take(30)}'")
     val body = body0.substring(0, endIdx)
-    require(topLevelKeywordIndices(body, "CASE").isEmpty,
-      "nested CASE is unsupported — compose with a WITH stage")
-    val whenIdxs = topLevelKeywordIndices(body, "WHEN")
+    val whenIdxs = caseAwareKeywordIndices(body, "WHEN")
     require(whenIdxs.nonEmpty, "CASE needs at least one WHEN")
-    val elseIdxs = topLevelKeywordIndices(body, "ELSE")
+    val elseIdxs = caseAwareKeywordIndices(body, "ELSE")
     require(elseIdxs.size <= 1 && elseIdxs.forall(_ > whenIdxs.last),
       "CASE takes one trailing ELSE")
     val testTxt = body.substring(0, whenIdxs.head).trim
@@ -1791,7 +1843,7 @@ object CypherLite {
       (whenIdxs :+ armsEnd).sliding(2).foreach {
         case Seq(a, b) =>
           val arm = body.substring(a + 4, b)
-          val thenIdxs = topLevelKeywordIndices(arm, "THEN")
+          val thenIdxs = caseAwareKeywordIndices(arm, "THEN")
           require(thenIdxs.size == 1,
             s"WHEN needs exactly one THEN: '${arm.take(40)}'")
           val v = arm.substring(0, thenIdxs.head).trim
@@ -1810,7 +1862,16 @@ object CypherLite {
       require(propOk(a), s"$ctx CASE references unknown alias '$a'")
     def parseVal(v0: String): ((String, Option[String]) => Column) => Column = {
       val v = v0.trim
-      if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+      if (v.matches("(?is)^CASE\\b.*")) {
+        // NESTED CASE as an arm value — compile recursively and fold
+        // its refs into this level's attachment set; the inner build
+        // closure shares the same resolver, so the nested
+        // when(…).otherwise(…) chain stays one codegen'd Column tree
+        val inner = compileCase(v, ctx, plainOk, propOk, isRelVar)
+        refs ++= inner.refs
+        inner.build
+      }
+      else if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
           v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
       else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
       else {
@@ -1863,7 +1924,7 @@ object CypherLite {
     val armFns = (whenIdxs :+ armEnd).sliding(2).map {
       case Seq(a, b) =>
         val arm = body.substring(a + 4, b)
-        val thenIdxs = topLevelKeywordIndices(arm, "THEN")
+        val thenIdxs = caseAwareKeywordIndices(arm, "THEN")
         require(thenIdxs.size == 1, s"WHEN needs exactly one THEN: '${arm.take(40)}'")
         val be = parseBool(arm.substring(0, thenIdxs.head), atom)
         val valB = parseVal(arm.substring(thenIdxs.head + 4))
@@ -1965,6 +2026,43 @@ object CypherLite {
     */
   private def topLevelKeywordIndex(s: String, kw: String): Option[Int] =
     topLevelKeywordIndices(s, kw).headOption
+
+  /** Like [[topLevelKeywordIndices]] but ALSO CASE-depth-aware: a
+    * `CASE` token opens a nesting level, its `END` closes it, and only
+    * occurrences of `kw` OUTSIDE any nested CASE are recorded — so an
+    * inner CASE's WHEN/THEN/ELSE/END never shear an outer arm. The
+    * input is a CASE BODY (the text after the outer `CASE`, so the
+    * outer `END` sits at depth 0 and is what `kw = "END"` finds).
+    */
+  private def caseAwareKeywordIndices(s: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var inQ = false
+    var brk = 0
+    var depth = 0
+    var i = 0
+    def tok(k: String): Boolean =
+      s.regionMatches(true, i, k, 0, k.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + k.length >= s.length || !isWordChar(s.charAt(i + k.length)))
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && ch == '[') { brk += 1; i += 1 }
+      else if (!inQ && ch == ']') { brk = math.max(0, brk - 1); i += 1 }
+      else if (!inQ && brk == 0 && tok("CASE")) { depth += 1; i += 4 }
+      else if (!inQ && brk == 0 && tok("END")) {
+        if (depth > 0) depth -= 1
+        else if (kw.equalsIgnoreCase("END")) out += i
+        i += 3
+      }
+      else if (!inQ && brk == 0 && depth == 0 && tok(kw)) {
+        out += i
+        i += kw.length
+      }
+      else i += 1
+    }
+    out.result()
+  }
 
   /** `[ORDER BY …] [SKIP n] [LIMIT n]` off the end (Cypher subclause
     * order); returns the remaining head. Quote-aware like the other
@@ -3013,7 +3111,7 @@ object CypherLite {
     // ArithFns-gated inside parseArith (pointed reject: lists don't
     // belong in arithmetic)
     val FnArithAsRe =
-      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc|durindays|durinseconds)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
     // tried after the plain-target AggItemRe, so only bodies that are
     // not a bare alias[.prop] land here. DISTINCT over an expression

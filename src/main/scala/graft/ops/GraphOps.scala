@@ -2158,6 +2158,69 @@ object GraphOps {
              |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
+    // G89 NESTED CASE — an inner CASE as a THEN/ELSE value, both as a
+    // grouping key and inside an aggregate (the tiered-score idiom
+    // LLMs emit for bucketed classification). Arm splitting is
+    // CASE-depth-aware, so the inner WHEN/ELSE/END never shear the
+    // outer arms; the whole tree folds to one nested when/otherwise
+    // Column — codegen, no UDF. DuckDB replays the identical CASE
+    // text (shared SQL shape); sum(BIGINT) → HUGEINT needs the CAST.
+    QueryDef(
+      "g89_cypher_nested_case",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 8000.0
+          |RETURN CASE WHEN n.n_regionkey <= 1
+          |            THEN CASE WHEN n.n_regionkey = 0 THEN 'africa'
+          |                      ELSE 'america' END
+          |            ELSE 'other' END AS reg,
+          |       sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+          |                THEN CASE WHEN c.c_acctbal > 9000.0 THEN 2
+          |                          ELSE 1 END
+          |                ELSE 0 END) AS score,
+          |       count(*) AS n""".stripMargin)),
+      Some("""SELECT CASE WHEN n_regionkey <= 1
+             |            THEN CASE WHEN n_regionkey = 0 THEN 'africa'
+             |                      ELSE 'america' END
+             |            ELSE 'other' END AS reg,
+             |       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+             |                THEN CASE WHEN c_acctbal > 9000.0 THEN 2
+             |                          ELSE 1 END
+             |                ELSE 0 END) AS BIGINT) AS score,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 8000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G90 duration.inDays/.inSeconds totals — Neo4j's two-point
+    // duration constructors with the total-unit accessor, the
+    // date-diff idiom over the reference's date-heavy model ("days
+    // between X and Y"). The rewrite runs before the quote split (the
+    // first arg here is a quoted temporal literal), folds to
+    // datediff/epoch subtraction, and rides both the WHERE arithmetic
+    // path and the item path. DuckDB replays with date_diff on the
+    // matching grain (whole-second timestamps, so 'second' boundary
+    // counts equal epoch differences).
+    QueryDef(
+      "g90_cypher_duration_total",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE duration.inDays(date('1998-07-01'), o.o_orderdate).days >= 0
+          |RETURN o.o_orderkey AS ok,
+          |       duration.inDays(date('1995-01-01'), o.o_orderdate).days
+          |         AS dd,
+          |       duration.inSeconds(datetime('1995-01-01T00:00:00'),
+          |                          o.o_orderdate).seconds AS ss""".stripMargin)),
+      Some("""SELECT o_orderkey AS ok,
+             |  date_diff('day', DATE '1995-01-01',
+             |            CAST(o_orderdate AS DATE)) AS dd,
+             |  date_diff('second', TIMESTAMP '1995-01-01 00:00:00',
+             |            o_orderdate) AS ss
+             |FROM orders
+             |WHERE date_diff('day', DATE '1998-07-01',
+             |                CAST(o_orderdate AS DATE)) >= 0
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

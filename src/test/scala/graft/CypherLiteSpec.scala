@@ -1243,15 +1243,14 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Set(("a1", "single"), ("a4", "multi")))
   }
 
-  test("CASE rejects: missing END, nested CASE, missing AS") {
+  test("CASE rejects: missing END, missing AS; nested CASE parses") {
     intercept[IllegalArgumentException] {
       CypherLite.parse("MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN 1 AS x")
     }
-    intercept[IllegalArgumentException] {
-      CypherLite.parse(
-        "MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN " +
-          "CASE WHEN a.id > 2 THEN 2 ELSE 1 END ELSE 0 END AS x")
-    }
+    // nested CASE is SUPPORTED (round-13) — parse must accept it
+    CypherLite.parse(
+      "MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN " +
+        "CASE WHEN a.id > 2 THEN 2 ELSE 1 END ELSE 0 END AS x")
     intercept[IllegalArgumentException] {
       CypherLite.parse("MATCH (a:A) RETURN CASE WHEN a.id > 1 THEN 1 ELSE 0 END")
     }
@@ -1368,17 +1367,19 @@ class CypherLiteSpec extends SparkSpec {
     assert(nulls.count() === 2)
   }
 
-  test("simple CASE: non-reference test expressions and nested CASE reject") {
+  test("simple CASE: non-reference test rejects; nested value compiles") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(g,
         "MATCH (a:A) RETURN CASE a.tag + 1 WHEN 2 THEN 'x' END AS v")
     }
     assert(e.getMessage.contains("simple CASE test"))
-    intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "MATCH (a:A) RETURN CASE a.tag WHEN 'a1' THEN " +
-          "CASE WHEN a.id = 1 THEN 1 END END AS v")
-    }
+    // a nested searched CASE as a simple-CASE arm value (round-13):
+    // the desugar's depth-aware splitter keeps the inner arm intact
+    val rows = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t, CASE a.tag WHEN 'a1' THEN " +
+        "CASE WHEN a.id = 1 THEN 1 END ELSE 0 END AS v ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a1", 1L), ("a4", 0L)))
   }
 
   test("coalesce item defaults an OPTIONAL MATCH null; literals and names mix") {
@@ -3094,5 +3095,75 @@ class CypherLiteSpec extends SparkSpec {
       .contains("at least two arguments"))
     assert(rej("MATCH (a:A) WHERE abs(a.num - zz.num) > 1 RETURN a.tag")
       .toLowerCase.contains("unknown"))
+  }
+
+  test("nested CASE: depth-aware arm splitting, inner refs attach") {
+    // outer arm values are themselves CASEs — the inner WHEN/ELSE/END
+    // must not shear the outer arms, and the inner conditions' refs
+    // (a.num, b.num) must reach property attachment
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, b.tag AS bt, " +
+        "CASE WHEN a.num > 5.0 " +
+        "     THEN CASE WHEN b.num > 1.5 THEN 'hi-b' ELSE 'hi' END " +
+        "     ELSE CASE WHEN b.num > 1.5 THEN 'lo-b' ELSE 'lo' END " +
+        "END AS tier ORDER BY t, bt")
+      .as[(String, String, String)].collect().toSeq
+    assert(r === Seq(("a1", "b2", "lo"), ("a4", "b2", "hi"),
+      ("a4", "b5", "hi-b")))
+    // nested CASE inside an aggregate — the conditional-score idiom
+    val s = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN sum(CASE WHEN a.num > 5.0 " +
+        "THEN CASE WHEN b.num > 1.5 THEN 2 ELSE 1 END ELSE 0 END) AS s")
+      .as[Long].collect().head
+    assert(s === 3L)
+    // simple CASE desugar with a nested searched CASE as an arm value
+    val v = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN a.tag AS t, CASE a.tag WHEN 'a1' " +
+        "THEN CASE WHEN a.num > 3.0 THEN 'one-big' ELSE 'one' END " +
+        "ELSE 'other' END AS k ORDER BY t")
+      .as[(String, String)].collect().toSeq
+    assert(v === Seq(("a1", "one-big"), ("a4", "other")))
+    // still loud on malformed nesting: the inner CASE consumed the
+    // only END, so the OUTER one is missing
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) RETURN CASE WHEN a.num > 1 " +
+          "THEN CASE WHEN a.num > 2 THEN 1 END AS x")
+    }
+    assert(e.getMessage.contains("closing END"))
+  }
+
+  test("duration.inDays/.inSeconds totals fold to datediff/epoch") {
+    val dg = PropertyGraph(
+      nodes = Map("E" -> Seq(
+        (1L, "2021-03-17 10:30:00", "2021-03-20 10:30:05"),
+        (2L, "2021-03-02 08:00:00", "2021-03-02 09:00:00")).toDF("id", "t0", "t1")
+        .withColumn("t0", org.apache.spark.sql.functions.to_timestamp($"t0"))
+        .withColumn("t1", org.apache.spark.sql.functions.to_timestamp($"t1"))),
+      edges = Map.empty)
+    val r = CypherLite.query(dg,
+      "MATCH (e:E) RETURN e.id AS i, " +
+        "duration.inDays(e.t0, e.t1).days AS dd, " +
+        "duration.inSeconds(e.t0, e.t1).seconds AS ss, " +
+        "duration.inDays(date('2021-03-01'), e.t0).days AS lit " +
+        "ORDER BY i")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 3L, 259205L, 16L), (2L, 0L, 3600L, 1L)))
+    // the WHERE arithmetic path takes the rewritten form too
+    val n = CypherLite.query(dg,
+      "MATCH (e:E) WHERE duration.inDays(e.t0, e.t1).days > 0 " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n === 1L)
+    // pointed rejects: mismatched accessor, unsupported form
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(dg,
+        "MATCH (e:E) RETURN duration.inDays(e.t0, e.t1).seconds AS x")
+    }
+    assert(e1.getMessage.contains("total accessor"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(dg,
+        "MATCH (e:E) RETURN duration.between(e.t0, e.t1).days AS x")
+    }
+    assert(e2.getMessage.contains("inDays/inSeconds"))
   }
 }
