@@ -73,7 +73,13 @@ import org.apache.spark.sql.functions._
   *    alias). A clause compiles to an INNER sub-pattern left-joined
   *    as a UNIT — Cypher all-or-nothing semantics: if any step of
   *    the clause fails, every alias it binds is null together (never
-  *    partial bindings from per-step left joins).
+  *    partial bindings from per-step left joins). A required MATCH
+  *    AFTER an OPTIONAL MATCH is accepted when its inner join
+  *    commutes with the optional left joins (it touches only
+  *    required-bound aliases) — the clause hoists before the
+  *    optionals, exact Neo4j semantics; the non-commuting shapes
+  *    (touching an optionally-bound alias, or introducing an alias an
+  *    earlier optional already uses) reject pointedly.
   *  - per-clause `WHERE alias.prop OP operand [AND …]` with OP in
   *    `= <> < <= > >= CONTAINS STARTS WITH ENDS WITH IN [list]
   *    IS NULL IS NOT NULL =~` (the regex operator matches the WHOLE
@@ -1254,6 +1260,77 @@ object CypherLite {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** A required MATCH trailing an OPTIONAL MATCH segment: Neo4j
+    * inner-joins it onto the already-left-joined frame. When the
+    * clause touches only required-bound aliases, that inner join
+    * COMMUTES with the optional left joins (a left join attaches per
+    * row by anchor value; a later inner join multiplies/filters rows
+    * without changing the attachment), so the clause HOISTS before
+    * the optionals and compiles as an ordinary required clause —
+    * exact semantics. Returns (optional clauses, hoisted required
+    * clauses), each split into (pattern, WHERE). The two
+    * non-commuting shapes reject pointedly rather than silently
+    * changing meaning:
+    *  - the hoisted clause (pattern or WHERE) references an alias an
+    *    OPTIONAL clause binds — its rows may be null, and a required
+    *    match over nulls drops whole rows Neo4j-side, which a
+    *    pre-optional join cannot reproduce;
+    *  - an EARLIER optional clause references an alias the hoisted
+    *    clause introduces — Neo4j reads that use as a fresh unbound
+    *    alias (a cross product), not the later binding.
+    * The mention scan is deliberately overbroad (word tokens): a
+    * collision can only produce a loud reject, never a wrong result.
+    */
+  private def hoistTrailingMatches(reqPatterns: Seq[String],
+      extraNames: Set[String], optTail: Seq[String])
+      : (Seq[(String, Option[String])], Seq[(String, Option[String])]) = {
+    def splitWhere(seg: String): (String, Option[String]) =
+      seg.split("(?i)\\bWHERE\\b", 2) match {
+        case Array(p)    => (p.trim, None)
+        case Array(p, w) => (p.trim, Some(w.trim))
+      }
+    val NodeAliasRe = """\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+    val MentionRe = """\b([A-Za-z_][A-Za-z0-9_]*)\b""".r
+    def nodeAliases(pat: String): Set[String] =
+      NodeAliasRe.findAllMatchIn(pat).map(_.group(1)).toSet
+    def mentions(txt: String): Set[String] =
+      MentionRe.findAllMatchIn(txt).map(_.group(1)).toSet
+    var seen = extraNames ++ reqPatterns.flatMap(nodeAliases)
+    val optOut = Seq.newBuilder[(String, Option[String])]
+    val hoisted = Seq.newBuilder[(String, Option[String])]
+    val optIntroduced = scala.collection.mutable.Set.empty[String]
+    val earlierOpt = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (seg <- optTail) {
+      val parts = splitTop(seg.trim, "MATCH")
+      val optTxt = parts.head
+      earlierOpt += optTxt
+      val optAl = nodeAliases(splitWhere(optTxt)._1)
+      optIntroduced ++= optAl -- seen
+      seen ++= optAl
+      for (h <- parts.tail) {
+        val (hp, hw) = splitWhere(h)
+        val newAl = nodeAliases(hp) -- seen
+        val optRefs = mentions(h) & optIntroduced
+        require(optRefs.isEmpty,
+          "required MATCH after OPTIONAL MATCH may only reference " +
+            s"required-bound aliases — '${optRefs.head}' is bound by an " +
+            "OPTIONAL MATCH (its rows may be null); restructure with a " +
+            "WITH stage")
+        val backRef = earlierOpt.iterator
+          .flatMap(t => (mentions(t) & newAl).headOption).nextOption()
+        for (b <- backRef) fail(
+          s"alias '$b' is used by an earlier OPTIONAL MATCH but " +
+            "introduced by a later required MATCH — reorder the " +
+            "clauses (Neo4j reads the earlier use as a fresh unbound " +
+            "alias)", b)
+        seen ++= nodeAliases(hp)
+        hoisted += ((hp, hw))
+      }
+      optOut += splitWhere(optTxt)
+    }
+    (optOut.result(), hoisted.result())
+  }
+
   /** Quote- and paren-aware split on top-level commas — the item-list
     * splitter. A comma inside `coalesce(a, b)`, a property map, or a
     * quoted literal does NOT split.
@@ -2261,13 +2338,6 @@ object CypherLite {
         case Array(p, w) => (p.trim, Some(w.trim))
       }
     val optSegs = beforeWith.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
-    // a required MATCH AFTER an OPTIONAL MATCH changes binding
-    // semantics in Neo4j (it re-enters required matching on a frame
-    // that already holds nulls) — loud reject, don't guess
-    for (seg <- optSegs.drop(1))
-      require(!"(?i)\\bMATCH\\b".r.findFirstIn(seg).isDefined,
-        "required MATCH after OPTIONAL MATCH is unsupported — place " +
-          "all required MATCH clauses before the first OPTIONAL MATCH")
     // multiple sequential required MATCH clauses — the common real
     // Text2Cypher split of one pattern (`MATCH (a)… WHERE … MATCH
     // (a)…`). Each subsequent clause folds into the comma-part
@@ -2280,9 +2350,14 @@ object CypherLite {
     // plain regex split would cut the subquery in half
     val reqSegs = splitTop(
       optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", ""), "MATCH")
-    val reqClauses =
+    val reqClauses0 =
       (if (reqSegs.isEmpty) Seq("") else reqSegs).toIndexedSeq.map(splitWhere)
-    val optClausesTxt = optSegs.drop(1).toIndexedSeq.map(splitWhere)
+    // a required MATCH AFTER an OPTIONAL MATCH hoists before the
+    // optionals when the inner join commutes with the left joins —
+    // see [[hoistTrailingMatches]] (the non-commuting shapes reject)
+    val (optClausesTxt, hoistedReq) = hoistTrailingMatches(
+      reqClauses0.map(_._1), headNames, optSegs.drop(1).toIndexedSeq)
+    val reqClauses = reqClauses0 ++ hoistedReq
     val matchBody = reqClauses.head._1
     require(matchBody.nonEmpty, "empty pattern")
 
@@ -4104,18 +4179,21 @@ object CypherLite {
         }
         val newAliases = scala.collection.mutable.Set.empty[String]
         val optSegs2 = txt.trim.split("(?i)\\bOPTIONAL\\s+MATCH\\b")
-        for (seg <- optSegs2.drop(1))
-          require(!"(?i)\\bMATCH\\b".r.findFirstIn(seg).isDefined,
-            "required MATCH after OPTIONAL MATCH is unsupported — place " +
-              "required MATCH clauses first (after the WITH)")
         val reqText2 = optSegs2.head.trim
-        val reqSegs2: Seq[(String, Option[String], Boolean)] =
-          (if (reqText2.isEmpty) Seq.empty
+        val reqParts2: Seq[(String, Option[String])] =
+          if (reqText2.isEmpty) Seq.empty
           else reqText2.replaceFirst("(?i)^MATCH\\b", "")
-            .split("(?i)\\bMATCH\\b").toIndexedSeq
-            .map(splitWhere).map { case (b, w) => (b, w, false) }) ++
-            optSegs2.drop(1).toIndexedSeq
-              .map(splitWhere).map { case (b, w) => (b, w, true) }
+            .split("(?i)\\bMATCH\\b").toIndexedSeq.map(splitWhere)
+        // required MATCH after OPTIONAL MATCH hoists when the inner
+        // join commutes — same discipline as the pre-WITH clause
+        // split ([[hoistTrailingMatches]]); the carried WITH outputs
+        // are the pre-bound names here
+        val (optParts2, hoisted2) = hoistTrailingMatches(
+          reqParts2.map(_._1), carried.keysIterator.toSet,
+          optSegs2.drop(1).toIndexedSeq)
+        val reqSegs2: Seq[(String, Option[String], Boolean)] =
+          (reqParts2 ++ hoisted2).map { case (b, w) => (b, w, false) } ++
+            optParts2.map { case (b, w) => (b, w, true) }
         reqSegs2.map { case (body, whereOpt, isOpt) =>
           val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
           require(chains.length == 1,

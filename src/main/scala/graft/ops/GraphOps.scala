@@ -2221,6 +2221,30 @@ object GraphOps {
              |                CAST(o_orderdate AS DATE)) >= 0
              |ORDER BY ALL""".stripMargin)
     ),
+    // G91 required MATCH after OPTIONAL MATCH — Neo4j's clause order
+    // LLMs emit when they discover a second pattern late. The inner
+    // join commutes with the optional left join (required-only
+    // aliases), so the engine hoists the clause before the optionals
+    // and compiles identically; the optional's WHERE narrows its own
+    // match (regions 2-4 keep null rg). DuckDB replays with the
+    // condition inside the LEFT JOIN's ON.
+    QueryDef(
+      "g91_cypher_match_after_optional",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |OPTIONAL MATCH (n)<-[:HAS_NATION]-(r:region)
+          |WHERE r.r_regionkey <= 1
+          |MATCH (n)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |RETURN n.n_name AS nm, r.r_name AS rg, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, rg, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT n_nationkey, n_name, r_name AS rg
+             |      FROM nation LEFT JOIN region
+             |        ON n_regionkey = r_regionkey AND r_regionkey <= 1) n
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

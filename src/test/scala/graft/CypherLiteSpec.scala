@@ -3133,6 +3133,61 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("closing END"))
   }
 
+  test("MATCH after OPTIONAL MATCH hoists when the join commutes") {
+    // Neo4j runs the later required MATCH as an inner join over the
+    // left-joined frame; on required-only aliases that commutes, so
+    // the engine hoists it before the optionals. Both a1→b2 and
+    // a4→b2 reach c3 via the optional chain; the later required
+    // MATCH multiplies a4's row by its two R1 edges.
+    val rows = CypherLite.query(g,
+      """MATCH (a:A)
+        |OPTIONAL MATCH (a)-[:R1]->(b:B)<-[:R2]-(c:C)
+        |MATCH (a)-[:R1]->(b2:B)
+        |RETURN a.tag AS t, c.tag AS ct, b2.tag AS b2t""".stripMargin)
+      .as[(String, Option[String], String)].collect().toSeq.sorted
+    assert(rows === Seq(("a1", Some("c3"), "b2"), ("a4", Some("c3"), "b2"),
+      ("a4", Some("c3"), "b5")))
+    // the hoisted clause's WHERE scopes like any required WHERE
+    val n = CypherLite.query(g,
+      """MATCH (a:A)
+        |OPTIONAL MATCH (a)-[:R1]->(b:B)<-[:R2]-(c:C)
+        |MATCH (a)-[:R1]->(b2:B) WHERE b2.tag = 'b5'
+        |RETURN count(*) AS n""".stripMargin).as[Long].collect().head
+    assert(n === 1L)
+    // non-commuting shape 1: the later MATCH anchors at (or its WHERE
+    // references) an optionally-bound alias — pointed reject
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A)
+          |OPTIONAL MATCH (a)-[:R1]->(b:B)
+          |MATCH (b)<-[:R2]-(c:C)
+          |RETURN a.tag AS t""".stripMargin)
+    }
+    assert(e1.getMessage.contains("bound by an OPTIONAL MATCH"))
+    // non-commuting shape 2: an EARLIER optional uses an alias the
+    // later MATCH names — textually the optional binds it first, so
+    // the gate reads the later MATCH as touching an optionally-bound
+    // alias (either reading is non-commuting; the reject is the point)
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A)
+          |OPTIONAL MATCH (x2)<-[:R2]-(c:C)
+          |MATCH (a)-[:R1]->(x2:B)
+          |RETURN a.tag AS t""".stripMargin)
+    }
+    assert(e2.getMessage.contains("bound by an OPTIONAL MATCH"))
+    // a later optional anchoring at the HOISTED alias still commutes
+    // — it compiles (the hoisted clause binds x2 before any optional
+    // left-joins)
+    val ok = CypherLite.query(g,
+      """MATCH (a:A)
+        |OPTIONAL MATCH (a)-[:R1]->(x:B)
+        |MATCH (a)-[:R1]->(x2:B)
+        |OPTIONAL MATCH (x2)<-[:R2]-(c:C)
+        |RETURN a.tag AS t, x2.tag AS xt, c.tag AS ct""".stripMargin)
+    assert(ok.count() === 5L)
+  }
+
   test("duration.inDays/.inSeconds totals fold to datediff/epoch") {
     val dg = PropertyGraph(
       nodes = Map("E" -> Seq(
