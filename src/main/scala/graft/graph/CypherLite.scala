@@ -259,8 +259,10 @@ import org.apache.spark.sql.functions._
   *    subquery (post-UNION aggregation idiom): the inner statement
   *    compiles with the full grammar, the outer RETURN
   *    projects/aggregates its output columns by bare name (DISTINCT,
-  *    ORDER BY, SKIP/LIMIT); a post-braces WITH pipeline
-  *    loud-rejects.
+  *    ORDER BY, SKIP/LIMIT); a post-braces WITH pipeline chains
+  *    stages of the same item grammar, each with an optional
+  *    HAVING-style `WHERE name OP operand` over its outputs
+  *    (`CALL { … } WITH x, count(*) AS n WHERE n > 1 RETURN …`).
   *  - `MATCH … CALL { WITH n … RETURN … } RETURN|WITH …` — the
   *    CORRELATED subquery (Neo4j 5 importing WITH). An AGGREGATE
   *    subquery compiles to the OPTIONAL-MATCH + grouped-WITH rewrite
@@ -4585,8 +4587,11 @@ object CypherLite {
     * RETURN projects/aggregates its OUTPUT COLUMNS by bare name
     * (aggregates take the main grammar's sanitized default names;
     * DISTINCT, ORDER BY — names or aggregate shapes — SKIP/LIMIT all
-    * work). Correlated CALL (an importing WITH) and a WITH pipeline
-    * after the braces are unsupported — loud rejects.
+    * work). A WITH pipeline after the braces chains stages of the
+    * same item grammar (each with an optional HAVING-style WHERE over
+    * its outputs) before the final RETURN. Correlated CALL at the
+    * statement head (an importing WITH inside the braces) stays a
+    * loud reject — the correlated form is the mid-statement CALL.
     */
   private val CallHeadRe = """(?is)^\s*CALL\s*\{""".r
   private def callHead(stmt: String): Option[(String, String)] =
@@ -4607,9 +4612,66 @@ object CypherLite {
       tail: String,
       aliasLabel: String => Option[String] = _ => None): DataFrame = {
     require(tail.nonEmpty, "CALL { … } needs a RETURN after the braces")
-    require(!tail.matches("(?is)^WITH\\b.*"),
-      "a WITH pipeline after CALL { … } is unsupported — project and " +
-        "aggregate in the RETURN (or move the WITH inside the braces)")
+    if (tail.matches("(?is)^WITH\\b.*")) {
+      // WITH pipeline after the braces — each stage projects or
+      // aggregates the current frame's OUTPUT COLUMNS by bare name
+      // (the same item grammar as the RETURN tail, incl. DISTINCT /
+      // ORDER BY / SKIP / LIMIT — the stage compiles by recursing
+      // with a synthetic RETURN prefix), then an optional
+      // HAVING-style WHERE filters the STAGE OUTPUTS; the rest of
+      // the tail (more stages or the final RETURN) recurses over the
+      // staged frame. `CALL { q1 UNION ALL q2 } WITH x, count(*) AS
+      // n WHERE n > 1 RETURN …` is the post-union threshold idiom.
+      val afterWith = tail.replaceFirst("(?i)^WITH\\b", "").trim
+      val nextIdx = (topLevelKeywordIndices(afterWith, "WITH") ++
+        topLevelKeywordIndices(afterWith, "RETURN")).minOption
+      val (stageTxt0, rest) = nextIdx match {
+        case Some(i) =>
+          (afterWith.substring(0, i).trim, afterWith.substring(i).trim)
+        case None => (afterWith, "")
+      }
+      require(rest.nonEmpty,
+        "CALL { … } WITH … needs a RETURN after the stage(s)")
+      val (stageTxt, whereOpt) =
+        topLevelKeywordIndex(stageTxt0, "WHERE") match {
+          case Some(i) => (stageTxt0.substring(0, i).trim,
+            Some(stageTxt0.substring(i + 5).trim))
+          case None => (stageTxt0, None)
+        }
+      require(stageTxt.nonEmpty, "empty WITH stage after CALL { … }")
+      val staged = compileCallTail(g0, inner, "RETURN " + stageTxt,
+        aliasLabel)
+      val filtered = whereOpt match {
+        case None => staged
+        case Some(cond) =>
+          require(cond.nonEmpty, "empty WHERE in CALL-tail WITH")
+          val cols = staged.columns.toSet
+          def chk(n: String): Unit = require(cols(n),
+            s"CALL-tail WITH WHERE references unknown output '$n' " +
+              s"(${staged.columns.mkString(", ")})")
+          def atom(c: String): BoolExpr = c.trim match {
+            case WithNullRe(n, not) =>
+              chk(n)
+              AtomE("", n, cl =>
+                if (not != null) cl.isNotNull else cl.isNull)
+            case WithFnCondRe(fn, n, fargs, op, v) =>
+              chk(n)
+              val wrap = scalarWrap(fn, fargs)
+              val cmp = opBuilder(op, v)
+              AtomE("", n, cl => cmp(wrap(cl)))
+            case WithCondRe(n, op, v) =>
+              chk(n)
+              AtomE("", n, opBuilder(op, v))
+            case other => fail(
+              "CALL-tail WITH WHERE conditions must be name OP " +
+                "operand, fn(name) OP operand, or name IS [NOT] NULL",
+              other)
+          }
+          staged.filter(toColumn(parseBool(cond, atom),
+            (_, pr) => col(pr)))
+      }
+      return compileCallTail(g0, filtered, rest, aliasLabel)
+    }
     val (head0, ob, skip, limit) = parseTailWithSkip(tail)
     require(head0.matches("(?is)^RETURN\\b.*"),
       s"CALL { … } must be followed by RETURN, got '${tail.take(30)}'")

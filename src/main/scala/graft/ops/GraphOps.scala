@@ -2245,6 +2245,36 @@ object GraphOps {
              |WHERE c_acctbal > 9000.0
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     ),
+    // G92 WITH pipeline after CALL { } — the post-union threshold
+    // idiom (`CALL { q1 UNION ALL q2 } WITH x, count(*) AS n WHERE
+    // n > k RETURN …`): the stage aggregates the subquery frame by
+    // bare name, the HAVING-style WHERE filters the stage outputs,
+    // and the final RETURN projects. DuckDB replays as UNION ALL →
+    // GROUP BY → HAVING.
+    QueryDef(
+      "g92_cypher_call_with_pipeline",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """CALL {
+          |  MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE c.c_acctbal > 9000.0
+          |  RETURN n.n_name AS nm
+          |  UNION ALL
+          |  MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |  WHERE c.c_mktsegment = 'BUILDING'
+          |  RETURN n.n_name AS nm
+          |}
+          |WITH nm, count(*) AS n WHERE n > 15
+          |RETURN nm, n""".stripMargin)),
+      Some("""SELECT nm, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT n_name AS nm FROM nation
+             |  JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE c_acctbal > 9000.0
+             |  UNION ALL
+             |  SELECT n_name FROM nation
+             |  JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |) GROUP BY 1 HAVING count(*) > 15 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

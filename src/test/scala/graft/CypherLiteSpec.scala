@@ -2362,12 +2362,33 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN collect(c) AS cs")
       .as[Seq[Long]].collect().head
     assert(r3 === Seq(1L, 2L))
-    // rejects: WITH tail, unknown column, dotted item
-    val e1 = intercept[IllegalArgumentException] {
+    // WITH pipeline after the braces (round-13): a pass-through
+    // stage, an aggregate stage with a HAVING-style WHERE, and a
+    // chained pair — each stage over the previous frame's bare names
+    val w1 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } " +
+        "WITH i RETURN i ORDER BY i")
+      .as[Long].collect().toSeq
+    assert(w1 === Seq(2L, 2L, 5L))
+    val w2 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t " +
+        "UNION ALL MATCH (c:C)-[:R2]->(b:B) RETURN b.tag AS t } " +
+        "WITH t, count(*) AS n WHERE n > 1 RETURN t, n")
+      .as[(String, Long)].collect().toSeq
+    assert(w2 === Seq(("b2", 3L)))
+    val w3 = CypherLite.query(g,
+      "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, b.id AS i } " +
+        "WITH t, count(*) AS n WITH n, count(*) AS groups " +
+        "RETURN n, groups ORDER BY n")
+      .as[(Long, Long)].collect().toSeq
+    assert(w3 === Seq((1L, 1L), (2L, 1L)))
+    // a WITH stage still needs a RETURN after it
+    val ew = intercept[IllegalArgumentException] {
       CypherLite.query(g,
-        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } WITH i RETURN i")
+        "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } WITH i")
     }
-    assert(e1.getMessage.contains("WITH pipeline after CALL"), e1.getMessage)
+    assert(ew.getMessage.contains("needs a RETURN"), ew.getMessage)
+    // rejects: unknown column, dotted item
     intercept[IllegalArgumentException] {
       CypherLite.query(g,
         "CALL { MATCH (a:A)-[:R1]->(b:B) RETURN b.id AS i } RETURN nope")
