@@ -670,7 +670,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split|sqrt|ceil|floor|sign|exp|log10|log"""
+    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split|sqrt|ceil|floor|sign|exp|log10|log|sin|cos|tan|asin|acos|atan"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -1083,6 +1083,14 @@ object CypherLite {
       case "exp"   => noArgs(); exp(_)
       case "log"   => noArgs(); c => org.apache.spark.sql.functions.log(c)
       case "log10" => noArgs(); log10(_)
+      // the trig sextet — IEEE doubles in both engines; like log10,
+      // an oracle should ride a round() (libm last-ulp differences)
+      case "sin"  => noArgs(); sin(_)
+      case "cos"  => noArgs(); cos(_)
+      case "tan"  => noArgs(); tan(_)
+      case "asin" => noArgs(); asin(_)
+      case "acos" => noArgs(); acos(_)
+      case "atan" => noArgs(); atan(_)
       // date(x): Cypher's temporal conversion — to_date handles both
       // string and timestamp inputs (the parquet timestamp column case)
       case "date"    => noArgs(); to_date(_)
@@ -1586,6 +1594,7 @@ object CypherLite {
     "left", "right", "abs", "date", "datetime", "tostring", "tointeger",
     "tofloat", "toboolean", "size", "round", "substring", "year", "month",
     "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds")
 
   /** A `+` chain is STRING CONCATENATION when any operand is a string
@@ -1717,6 +1726,19 @@ object CypherLite {
       case "exp"   => exp(one())
       case "log"   => org.apache.spark.sql.functions.log(one())
       case "log10" => log10(one())
+      case "sin"   => sin(one())
+      case "cos"   => cos(one())
+      case "tan"   => tan(one())
+      case "asin"  => asin(one())
+      case "acos"  => acos(one())
+      case "atan"  => atan(one())
+      case "atan2" =>
+        val Seq(y, x) = nArgs(2, 2)
+        atan2(y, x)
+      // the Cypher numeric constants — nullary calls (parseArith
+      // special-cases the empty argument list for exactly these)
+      case "pi" => require(args.isEmpty, "pi() takes no arguments"); lit(math.Pi)
+      case "e"  => require(args.isEmpty, "e() takes no arguments"); lit(math.E)
       case "coalesce" =>
         require(args.length >= 2, "coalesce() needs at least two arguments")
         coalesce(cols: _*)
@@ -1814,12 +1836,18 @@ object CypherLite {
             i += 1
             val fargs = Seq.newBuilder[ArithExpr]
             ws()
-            require(peek != ')', s"$a() needs at least one argument")
-            fargs += expr()
-            ws()
-            while (peek == ',') { i += 1; fargs += expr(); ws() }
-            require(peek == ')', s"unbalanced '(' in $a(…): '$s'")
-            i += 1
+            if (peek == ')') {
+              // nullary calls exist only for the numeric constants
+              require(fn == "pi" || fn == "e",
+                s"$a() needs at least one argument")
+              i += 1
+            } else {
+              fargs += expr()
+              ws()
+              while (peek == ',') { i += 1; fargs += expr(); ws() }
+              require(peek == ')', s"unbalanced '(' in $a(…): '$s'")
+              i += 1
+            }
             FnA(fn, fargs.result())
           } else if (peek == '.') {
             i += 1
@@ -3335,6 +3363,10 @@ object CypherLite {
       """(?is)^(properties|keys)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val MapProjItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\{(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // map LITERAL item — `{name: n.n_name, score: c.x * 2} AS m`
+    // (no leading alias, unlike the projection form above)
+    val MapLitItemRe =
+      """(?is)^\{(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val TypeItemRe =
       """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val ElemIdItemRe =
@@ -3733,6 +3765,54 @@ object CypherLite {
               res => when(res(a, None).isNull, lit(null))
                 .otherwise(struct(props.map(p =>
                   res(a, Some(p)).as(p)): _*)))))
+        // map LITERAL — `{name: n.n_name, score: c.x * 2} AS m`
+        // (Neo4j returns a map; here a STRUCT whose fields are the
+        // written keys in order — DuckDB struct_pack replays).
+        // Values take the CASE-value grammar: string/bool/null
+        // literals or arithmetic over refs (incl. fn calls); nested
+        // maps reject pointedly.
+        case MapLitItemRe(body, as) =>
+          val seenKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+          val mapRefs = Seq.newBuilder[(String, String)]
+          val fields = splitTopComma(body).map { kv =>
+            val parts = kv.split(":", 2)
+            require(parts.length == 2,
+              s"map literal entries are key: value — got '${kv.trim.take(30)}'")
+            val k = parts(0).trim
+            require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"map literal key must be an identifier, got '$k'")
+            require(seenKeys.add(k), s"duplicate map literal key '$k'")
+            val v = parts(1).trim
+            require(!v.startsWith("{"),
+              s"map literal value for '$k' is a nested map — " +
+                "unsupported (flatten the keys)")
+            val build: ((String, Option[String]) => Column) => Column =
+              if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+                  v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
+              else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
+              else {
+                val ae = parseArith(v)
+                for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
+                  case Some(p2) =>
+                    require(propOk(a2),
+                      s"$ctx map literal references unknown alias '$a2'")
+                    mapRefs += a2 -> p2
+                  case None =>
+                    require(!relVars(a2),
+                      s"'$a2': a relationship variable's eid is not a " +
+                        "map literal value")
+                    require(plainOk(a2),
+                      s"$ctx map literal references unknown name '$a2'")
+                }
+                res => arithColumn(ae, res)
+              }
+            k -> build
+          }
+          require(fields.nonEmpty, "empty map literal")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(mapRefs.result().distinct,
+              res => struct(fields.map { case (k, b) =>
+                b(res).as(k) }: _*))))
         // type(r) — a single-hop named relationship's type: a literal
         // for typed steps (the step stays skinny); untyped steps read
         // their materialized eid's prefix

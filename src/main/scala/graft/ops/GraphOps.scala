@@ -2275,6 +2275,48 @@ object GraphOps {
              |  WHERE c_mktsegment = 'BUILDING'
              |) GROUP BY 1 HAVING count(*) > 15 ORDER BY ALL""".stripMargin)
     ),
+    // G93 map LITERAL returns — `{k: v, …} AS m` builds a struct with
+    // the written keys (Neo4j returns a map; DuckDB struct_pack
+    // replays field-by-field). Values mix a property ref, arithmetic
+    // and a string literal; the struct compares as a whole in the
+    // oracle hash.
+    QueryDef(
+      "g93_cypher_map_literal",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9800.0
+          |RETURN c.c_custkey AS ck,
+          |       {nation: n.n_name, bal2: c.c_acctbal * 2,
+          |        kind: 'rich'} AS m""".stripMargin)),
+      Some("""SELECT c_custkey AS ck,
+             |  struct_pack(nation := n_name, bal2 := c_acctbal * 2,
+             |              kind := 'rich') AS m
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9800.0
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G94 trig functions + numeric constants — sin/cos/atan/atan2 and
+    // pi() (nullary call), in items and WHERE. Like log10, outputs
+    // ride a round() so last-ulp libm differences between the JVM and
+    // DuckDB's C library cannot flip the exact-value compare.
+    QueryDef(
+      "g94_cypher_trig",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE sin(c.c_acctbal / 10000.0) > 0.8
+          |RETURN c.c_custkey AS ck,
+          |       round(sin(c.c_acctbal / 10000.0), 4) AS sn,
+          |       round(cos(c.c_acctbal / 10000.0), 4) AS cs,
+          |       round(atan2(c.c_acctbal, 1000.0), 4) AS at2,
+          |       round(pi() * c.c_custkey, 2) AS pk""".stripMargin)),
+      Some("""SELECT c_custkey AS ck,
+             |       round(sin(c_acctbal / 10000.0), 4) AS sn,
+             |       round(cos(c_acctbal / 10000.0), 4) AS cs,
+             |       round(atan2(c_acctbal, 1000.0), 4) AS at2,
+             |       round(pi() * c_custkey, 2) AS pk
+             |FROM customer WHERE sin(c_acctbal / 10000.0) > 0.8
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

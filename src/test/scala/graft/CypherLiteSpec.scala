@@ -3209,6 +3209,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("map literal items build structs; trig and pi()/e() fold") {
+    val df = CypherLite.query(mathG,
+      "MATCH (a:A {id: 4}) RETURN {tag: a.tag, twice: a.num * 2, " +
+        "kind: 'x'} AS m, round(sin(a.num), 4) AS sn, " +
+        "round(atan2(a.num, 1.0), 4) AS at2, round(pi(), 5) AS p, " +
+        "round(e(), 5) AS ee")
+    val r = df.selectExpr("m.tag", "m.twice", "m.kind", "sn", "at2",
+      "p", "ee")
+      .as[(String, Double, String, Double, Double, Double, Double)]
+      .collect().head
+    assert(r === (("a4", 18.0, "x", 0.4121, 1.4601, 3.14159, 2.71828)))
+    // trig in WHERE rides the arithmetic predicate path:
+    // sin(4.0) < 0 (a1 drops), sin(9.0) > 0 (a4 stays)
+    val n = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE sin(a.num) > 0.0 RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n === 1L)
+    // pointed rejects: nullary non-constant, nested map, dup keys
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) RETURN sqrt() + 1 AS x")
+      .contains("needs at least one argument"))
+    assert(rej("MATCH (a:A) RETURN {x: {y: 1}} AS m")
+      .contains("nested map"))
+    assert(rej("MATCH (a:A) RETURN {x: 1, x: 2} AS m")
+      .contains("duplicate map literal key"))
+  }
+
   test("duration.inDays/.inSeconds totals fold to datediff/epoch") {
     val dg = PropertyGraph(
       nodes = Map("E" -> Seq(
