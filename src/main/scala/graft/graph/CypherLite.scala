@@ -635,8 +635,11 @@ object CypherLite {
       // before the row filters that reference them
       orFlagPreds: Seq[(PatternPred, Boolean)] = Seq.empty)
 
+  // group 2 admits a label ALTERNATION (`:A|B`, Neo4j 5 label
+  // expression) — normalized and mounted as a union view at query
+  // time (queryOne); single labels pass through unchanged
   private val NodeRe =
-    """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*))?\s*(\{[^}]*\})?\s*\)""".r
+    """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\{[^}]*\})?\s*\)""".r
   // edge token: optional relationship VARIABLE, optional :TYPE (absent
   // = untyped, the README.md:137 `-[r*1..4]-` shape), optional
   // var-length star. Groups: 1 = variable, 2 = type, 3 = star.
@@ -2447,7 +2450,11 @@ object CypherLite {
             rest = rest.substring(m.end).trim
             val alias = Option(m.group(1)).getOrElse { s"_$idx" }
             idx += 1
-            (Option(m.group(2)), Option(m.group(3))) match {
+            // normalize alternations (`:A | B` → `A|B`) so the label
+            // string is a stable key for re-anchor restates and the
+            // union-view mount
+            (Option(m.group(2)).map(_.replaceAll("\\s+", "")),
+                Option(m.group(3))) match {
               case (None, None) if allowBare && bound.contains(alias) => Left(alias)
               // a re-anchor position may RESTATE the alias's label —
               // `MATCH (p:Patient)… MATCH (p:Patient)…`, the shape
@@ -4634,6 +4641,18 @@ object CypherLite {
           size > 256
       })
 
+  /** Disjointness verdicts for label-alternation union views —
+    * keyed (label, graph fingerprint), same LRU discipline as
+    * [[uniqueIdVerdicts]].
+    */
+  private val altViewVerdicts =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size > 256
+      })
+
   private def graphFingerprint(g: PropertyGraph): String =
     g.nodes.toSeq.sortBy(_._1).map { case (l, df) =>
       s"$l#${df.queryExecution.analyzed.semanticHash()}"
@@ -5141,10 +5160,49 @@ object CypherLite {
       p.orFlagPreds.exists(_._1.steps.exists(_.node.label.isEmpty))
     val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
-    val g =
+    val g1 =
       if (!anyNodeNeeded) g0
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
+    // label ALTERNATIONS (`(n:A|B)`, Neo4j 5 label expression) mount a
+    // union view per distinct alternation: the member tables' SHARED
+    // columns (first member's schema order), union-all'd. Sound only
+    // when member id spaces are DISJOINT — overlapping ids would alias
+    // distinct nodes — so the mount validates disjointness (two counts
+    // over the dimension-sized members, verdict cached per graph) the
+    // same way the any-node view validates the global contract.
+    // Property reads resolve against the shared columns; a
+    // member-specific property fails at attach (no such column).
+    // Undirected single-hop orientation-by-label rejects alternation
+    // aliases via its existing label-equality gates — directed,
+    // untyped, and lone-node positions are the supported shapes.
+    val altLabels = (p.labels.valuesIterator ++
+      allPatternSteps.iterator.map(_.node.label))
+      .filter(_.contains('|')).toSet
+    val g = altLabels.foldLeft(g1) { (gg, lbl) =>
+      val members = lbl.split('|').toSeq
+      for (mb <- members) require(gg.nodes.contains(mb),
+        s"label alternation :$lbl — no node table '$mb' " +
+          s"(${g0.nodes.keys.toSeq.sorted.mkString(", ")})")
+      val dfs = members.map(gg.nodes)
+      val shared = dfs.map(_.columns.toSeq).reduce(_ intersect _)
+      require(shared.contains("id"),
+        s"label alternation :$lbl — members share no 'id' column")
+      val merged = dfs.map(_.select(shared.map(col): _*))
+        .reduce(_ unionAll _)
+      val fp = s"$lbl@${graphFingerprint(g0)}"
+      if (!altViewVerdicts.containsKey(fp)) {
+        val total = dfs.map(_.select(col("id")).distinct().count()).sum
+        val distinctAll = merged.select(col("id")).distinct().count()
+        require(total == distinctAll,
+          s"label alternation :$lbl unions OVERLAPPING id spaces " +
+            s"($total per-member distinct ids collapse to " +
+            s"$distinctAll) — distinct nodes would alias; prefix ids " +
+            "per label or query the labels separately")
+        altViewVerdicts.put(fp, java.lang.Boolean.TRUE)
+      }
+      gg.copy(nodes = gg.nodes + (lbl -> merged))
+    }
     for (ri <- p.withClauses.headOption.map(_.items).getOrElse(p.returns);
          (a, pr) <- itemPropRefs(ri)
          if p.labels.get(a).contains(""))

@@ -2317,6 +2317,34 @@ object GraphOps {
              |FROM customer WHERE sin(c_acctbal / 10000.0) > 0.8
              |ORDER BY ALL""".stripMargin)
     ),
+    // G95 label alternation (n:A|B) — Neo4j 5's label expression over
+    // a two-party graph (customers ∪ suppliers as `party` nodes with
+    // shared columns; supplier ids offset by 10^7 so the member id
+    // spaces are disjoint — the mount validates that). The WHERE and
+    // RETURN read only the SHARED columns; DuckDB replays the union.
+    QueryDef(
+      "g95_cypher_label_alternation",
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("party_name"),
+          col("c_nationkey").as("nk"))
+        val supp = Tables.supplier(s, d).select(
+          (col("s_suppkey") + 10000000L).as("id"),
+          col("s_name").as("party_name"), col("s_nationkey").as("nk"))
+        val g = PropertyGraph(
+          nodes = Map("cust" -> cust, "supp" -> supp), edges = Map.empty)
+        orderedByAll(graft.graph.CypherLite.query(g,
+          """MATCH (p:cust|supp)
+            |WHERE p.party_name ENDS WITH '91'
+            |RETURN p.party_name AS nm, p.nk AS nk""".stripMargin))
+      },
+      Some("""SELECT nm, nk FROM (
+             |  SELECT c_name AS nm, c_nationkey AS nk FROM customer
+             |  UNION ALL
+             |  SELECT s_name, s_nationkey FROM supplier
+             |) WHERE nm LIKE '%91'
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

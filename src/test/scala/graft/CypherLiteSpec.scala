@@ -3209,6 +3209,37 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("label alternation (n:A|B): disjoint union view, shared columns") {
+    // lone-node scan over the union view; property reads resolve
+    // against the shared columns (A and B share id/tag)
+    val tags = CypherLite.query(g,
+      "MATCH (n:A|B) RETURN n.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(tags === Seq("a1", "a4", "b2", "b5"))
+    // directed step ARRIVING at an alternation position: the arrival
+    // semi-join runs against the union view
+    val rows = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(n:B|C) RETURN a.tag AS at, n.tag AS nt " +
+        "ORDER BY at, nt")
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("a1", "b2"), ("a4", "b2"), ("a4", "b5")))
+    // overlapping member id spaces reject (distinct nodes would alias)
+    val overlapG = PropertyGraph(
+      nodes = Map(
+        "X" -> Seq((1L, "x1")).toDF("id", "tag"),
+        "Y" -> Seq((1L, "y1")).toDF("id", "tag")),
+      edges = Map.empty)
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(overlapG, "MATCH (n:X|Y) RETURN n.tag AS t")
+    }
+    assert(e1.getMessage.contains("OVERLAPPING id spaces"))
+    // unknown member table rejects with the inventory
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (n:A|Nope) RETURN n.tag AS t")
+    }
+    assert(e2.getMessage.contains("no node table 'Nope'"))
+  }
+
   test("map literal items build structs; trig and pi()/e() fold") {
     val df = CypherLite.query(mathG,
       "MATCH (a:A {id: 4}) RETURN {tag: a.tag, twice: a.num * 2, " +
