@@ -525,9 +525,12 @@ object CypherLite {
     /** Every name this stage leaves in scope, declaration order —
       * item outputs, unwound names, post-stage MATCH aliases. The
       * ONE definition star expansion and name resolution share.
+      * Hidden ORDER BY items (`__ob_i`, dropped after the stage's
+      * sort) are NOT in scope.
       */
     def scopeNames: Seq[String] =
-      items.map(_.as) ++ unwinds.map(_._2) ++
+      items.map(_.as).filterNot(_.startsWith("__ob_")) ++
+        unwinds.map(_._2) ++
         postMatches.flatMap(_.steps.map(_.node.as))
   }
 
@@ -799,6 +802,59 @@ object CypherLite {
       case other => other
     }
   }
+  /** [[resolveOrderKeys]] + HIDDEN-ITEM synthesis: an ORDER BY key
+    * that is a property (`c.bal`), a scalar wrap (`toLower(c.name)`),
+    * or arithmetic over dotted refs, and is NOT among the projected
+    * items, sorts on a synthetic `__ob_i` item appended to the stage
+    * (attached like any item, dropped right after the sort — user
+    * names can never collide, the `__` prefix is reserved) — Neo4j
+    * semantics: ORDER BY may read unprojected expressions on a
+    * non-aggregating, non-DISTINCT projection (`RETURN c.c_name
+    * ORDER BY c.c_acctbal DESC LIMIT 3`, the top-k-by-hidden-key
+    * idiom Text2Cypher output emits constantly). Under DISTINCT or
+    * aggregation the hidden key is unavailable (Neo4j rejects there
+    * too) — the original pointed reject stands.
+    */
+  private def resolveOrderKeysOrHidden(ob: Seq[(String, Boolean)],
+      items: Seq[ReturnItem], ctx: String, canHide: Boolean)
+      : (Seq[(String, Boolean)], Seq[ReturnItem]) = {
+    val PropKeyRe =
+      """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val FnKeyRe = (s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """(?:,\s*([^)]*?)\s*)?\)$""").r
+    val hidden = Seq.newBuilder[ReturnItem]
+    var i = 0
+    val resolved = ob.map { case (k, asc) =>
+      try resolveOrderKeys(Seq(k -> asc), items, ctx).head
+      catch {
+        case e: IllegalArgumentException if canHide &&
+            e.getMessage != null &&
+            e.getMessage.contains("not among the projected items") =>
+          val as = s"__ob_$i"
+          i += 1
+          val item = k.trim match {
+            case FnKeyRe(fn, a, p, fargs) =>
+              val wrap = scalarWrap(fn, fargs)
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(CaseCompiled(Seq(a -> p),
+                  res => wrap(res(a, Some(p))))))
+            case PropKeyRe(a, p) =>
+              ReturnItem(None, distinct = false, a, Some(p), as)
+            case arith if arith.exists("+-*/%^".contains(_)) =>
+              val ae = parseArith(arith)
+              if (!arithRefs(ae).forall(_._2.isDefined)) throw e
+              ReturnItem(None, distinct = false, "", None, as,
+                arith = Some(ae))
+            case _ => throw e
+          }
+          hidden += item
+          (as, asc)
+      }
+    }
+    (resolved, hidden.result())
+  }
+
   // RHS operand forms beyond plain literals: toLower/toUpper('…')
   // (folded driver-side — both sides of the mandated shape lowercase
   // the SAME way) and CAST('…' AS DATE|TIMESTAMP) (build_graph.py:246,
@@ -4149,9 +4205,17 @@ object CypherLite {
         "WITH DISTINCT with aggregates is unsupported (grouped output " +
           "is already distinct per group key — drop DISTINCT)")
       val outNames = items.map(_.as).toSet
-      val wOrderByR = resolveOrderKeys(wOrderBy, items, "WITH ORDER BY")
+      // unprojected property / fn-wrap / arith ORDER BY keys ride
+      // hidden `__ob_i` items (dropped right after the stage's sort —
+      // see runStage's caller) when the stage neither aggregates nor
+      // dedups — `WITH n ORDER BY n.name LIMIT 3`, the top-k carry
+      val (wOrderByR, wObHidden) = resolveOrderKeysOrHidden(
+        wOrderBy, items, "WITH ORDER BY",
+        canHide = !wDistinct && items.forall(_.agg.isEmpty))
+      val itemsAll = items ++ wObHidden
       for ((n, _) <- wOrderByR)
-        require(outNames(n), s"WITH ORDER BY references unknown output '$n'")
+        require(outNames(n) || wObHidden.exists(_.as == n),
+          s"WITH ORDER BY references unknown output '$n'")
       val carried = prev match {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
@@ -4330,7 +4394,7 @@ object CypherLite {
             anchorPred, clauseRps)
         }
       }
-      acc :+ WithClause(items, whereCol, wOrderByR, wLimit, carried,
+      acc :+ WithClause(itemsAll, whereCol, wOrderByR, wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
         unwinds = unwinds, postMatches = postMatches,
         listOuts = stageListOuts(items, prevListOuts))
@@ -4416,9 +4480,13 @@ object CypherLite {
     require(!returnDistinct || returns.forall(_.agg.isEmpty),
       "RETURN DISTINCT with aggregates is unsupported (grouped output " +
         "is already distinct per group key — drop DISTINCT)")
-    val orderByR = resolveOrderKeys(orderBy, returns, "ORDER BY")
+    val (orderByR, obHidden) = resolveOrderKeysOrHidden(orderBy, returns,
+      "ORDER BY",
+      canHide = !returnDistinct && returns.forall(_.agg.isEmpty))
+    val returnsAll = returns ++ obHidden
     for ((n, _) <- orderByR)
-      require(returns.exists(_.as == n), s"ORDER BY references unknown output '$n'")
+      require(returnsAll.exists(_.as == n),
+        s"ORDER BY references unknown output '$n'")
     require(orderBy.isEmpty && limit.isEmpty && skip.isEmpty || returns.nonEmpty,
       "ORDER BY/SKIP/LIMIT need a RETURN clause")
 
@@ -4430,7 +4498,7 @@ object CypherLite {
     // its step keeps the skinny 2-column plan (an edge left unnamed,
     // or named but never read, pays nothing — RETURN * counts as
     // reading every named variable).
-    val patternItems = withClauses.headOption.map(_.items).getOrElse(returns)
+    val patternItems = withClauses.headOption.map(_.items).getOrElse(returnsAll)
     val relPropRefs: Map[String, Seq[String]] = patternItems
       .flatMap(itemPropRefs).filter { case (a, _) => relVars(a) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
@@ -4447,7 +4515,7 @@ object CypherLite {
     for (x <- headNames)
       require(!bound.contains(x),
         s"pattern alias '$x' collides with a head UNWIND output")
-    Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returns,
+    Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returnsAll,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
       optionalAliases.toSet, returnDistinct, orderByR, limit,
       rowPreds.toSeq,
@@ -5432,12 +5500,16 @@ object CypherLite {
           // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
           // filters AFTER the stage's cut — Neo4j semantics; the
           // HAVING-style pre-tail WHERE filters before it
-          val ran = runStage(g, df,
+          val ran0 = runStage(g, df,
             resolveSchemaFnItems(g, w.items, aliasLabel), aliasLabel,
             leftOuter,
             distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
             skip = w.skip, preAttached = preAtt)
+          // hidden ORDER BY keys (__ob_i) served the stage's sort —
+          // dropped here so they never enter the next stage's scope
+          val ran = ran0.drop(
+            ran0.columns.filter(_.startsWith("__ob_")).toIndexedSeq: _*)
           val filtered = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
             else ran
           // UNWIND clauses trail the stage: one explode per clause —
@@ -5524,11 +5596,14 @@ object CypherLite {
     if (p.returns.isEmpty) stageC
     else {
       val (aliasLabel, leftOuter, preAtt) = resolvers(lastWith)
-      runStage(g, stageC,
+      val ret0 = runStage(g, stageC,
         resolveSchemaFnItems(g, p.returns, aliasLabel), aliasLabel,
         leftOuter,
         p.returnDistinct, p.orderBy, p.limit, skip = p.skip,
         preAttached = preAtt)
+      // hidden ORDER BY keys (__ob_i) served the final sort — the
+      // user-visible schema is the written RETURN items only
+      ret0.drop(ret0.columns.filter(_.startsWith("__ob_")).toIndexedSeq: _*)
     }
   }
 

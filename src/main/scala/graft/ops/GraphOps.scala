@@ -2345,6 +2345,24 @@ object GraphOps {
              |) WHERE nm LIKE '%91'
              |ORDER BY ALL""".stripMargin)
     ),
+    // G96 ORDER BY an UNPROJECTED property — the top-k-by-hidden-key
+    // idiom (`RETURN c.c_name ORDER BY c.c_acctbal DESC LIMIT 5`)
+    // Text2Cypher output emits constantly: the sort key rides a
+    // hidden item dropped after the sort, so the output schema is the
+    // written items only. The custkey tiebreak makes the top-5 SET
+    // deterministic (the driver compare is order-insensitive).
+    QueryDef(
+      "g96_cypher_orderby_hidden",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN c.c_name AS nm, n.n_name AS nat
+          |ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 5""".stripMargin)),
+      Some("""SELECT * FROM (
+             |  SELECT c_name AS nm, n_name AS nat
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+             |) ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

@@ -1339,10 +1339,12 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A)-[:R1]->(b:B) WITH b.tag AS t ORDER BY b.tag LIMIT 1 RETURN t")
       .as[String].collect().toSeq
     assert(viaWith === Seq("b2"))
-    // a NON-projected property has no column after projection — loud
-    intercept[IllegalArgumentException] {
-      CypherLite.parse("MATCH (a:A) RETURN a.tag AS t ORDER BY a.id")
-    }
+    // a NON-projected property now rides a hidden item (round-13) —
+    // the sort applies, the key stays out of the schema
+    val hid = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t ORDER BY a.id DESC")
+    assert(hid.columns.toSeq === Seq("t"))
+    assert(hid.as[String].collect().toSeq === Seq("a4", "a1"))
   }
 
   test("EXISTS keeps multiplicity: a semi-join filter, never a fan-out") {
@@ -2288,11 +2290,11 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A)-[:R1]->(b:B) RETURN a.id + b.id AS s ORDER BY a.id + b.id DESC")
       .as[Long].collect().toSeq
     assert(r2 === Seq(9L, 6L, 3L))
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t ORDER BY toLower(b.tag)")
-    }
-    assert(e.getMessage.contains("not among the projected"), e.getMessage)
+    // an unprojected fn-wrap key now rides a hidden item (round-13)
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t ORDER BY toLower(b.tag)")
+      .as[String].collect().toSeq
+    assert(r3 === Seq("b2", "b2", "b5"))
   }
 
   test("review-2 fixes: IN lists with '-', carried lists, bracket-aware WHERE, " +
@@ -3207,6 +3209,40 @@ class CypherLiteSpec extends SparkSpec {
         |OPTIONAL MATCH (x2)<-[:R2]-(c:C)
         |RETURN a.tag AS t, x2.tag AS xt, c.tag AS ct""".stripMargin)
     assert(ok.count() === 5L)
+  }
+
+  test("ORDER BY unprojected property / fn / arith rides a hidden item") {
+    // the top-k-by-hidden-key idiom: sort keys never appear in the
+    // output schema
+    val top = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t " +
+        "ORDER BY a.id DESC, b.id ASC LIMIT 2")
+    assert(top.columns.toSeq === Seq("t"), "hidden keys must not leak")
+    assert(top.as[String].collect().toSeq === Seq("b2", "b5"))
+    // arithmetic hidden key
+    val ar = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN a.tag AS t ORDER BY abs(a.num - 5.0) DESC")
+      .as[String].collect().toSeq
+    assert(ar === Seq("a4", "a1"))
+    // WITH-stage hidden key: top-1 carry by an unprojected property
+    val w = CypherLite.query(g,
+      "MATCH (a:A) WITH a ORDER BY a.id DESC LIMIT 1 " +
+        "MATCH (a)-[:R1]->(b:B) RETURN a.tag AS at, b.tag AS bt " +
+        "ORDER BY bt")
+      .as[(String, String)].collect().toSeq
+    assert(w === Seq(("a4", "b2"), ("a4", "b5")))
+    // under DISTINCT or aggregation the hidden key is unavailable —
+    // the pointed reject stands (Neo4j rejects there too)
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN DISTINCT a.tag AS t ORDER BY a.id")
+    }
+    assert(e1.getMessage.contains("not among the projected items"))
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN count(*) AS n ORDER BY a.id")
+    }
+    assert(e2.getMessage.contains("not among the projected items"))
   }
 
   test("label alternation (n:A|B): disjoint union view, shared columns") {
