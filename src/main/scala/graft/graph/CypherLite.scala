@@ -636,7 +636,14 @@ object CypherLite {
       // EXISTS/COUNT atoms under OR/NOT — (sub-pattern, isCount);
       // compiled as flag columns (__ppf_i / __ppc_i) left-joined
       // before the row filters that reference them
-      orFlagPreds: Seq[(PatternPred, Boolean)] = Seq.empty)
+      orFlagPreds: Seq[(PatternPred, Boolean)] = Seq.empty,
+      // DISCONNECTED pattern components (`MATCH (a:A), (b:B) WHERE
+      // a.x = b.x`): each (root, steps) builds its own matchPaths
+      // frame, cross-joined onto the main frame BEFORE the row
+      // filters — the gated WHERE equality conjunct then becomes the
+      // inner equi-join condition under Catalyst's
+      // PushPredicateThroughJoin
+      crossComps: Seq[(PatternNode, Seq[PatternStep])] = Seq.empty)
 
   // group 2 admits a label ALTERNATION (`:A|B`, Neo4j 5 label
   // expression) — normalized and mounted as a union view at query
@@ -2400,9 +2407,24 @@ object CypherLite {
       acc.result()
     }
     val headNames: Set[String] = headUnwinds.map(_._2).toSet
-    val (beforeReturn, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
+    val (beforeReturn0, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
       case Array(p)    => (p, None)
       case Array(p, r) => (p, Some(r))
+    }
+    // mid-statement UNWIND (`MATCH … UNWIND xs AS x … RETURN`)
+    // desugars to an implicit carry-everything stage — `MATCH … WITH *
+    // UNWIND xs AS x …` — and rides the post-WITH UNWIND machinery
+    // unchanged (Neo4j agrees: UNWIND after MATCH keeps every bound
+    // name in scope). Only the text BEFORE the first WITH is probed;
+    // splitTop is quote/paren/brace-aware, so an 'UNWIND' inside a
+    // literal or subquery braces never splits.
+    val beforeReturn = {
+      val head = splitOnWith(beforeReturn0).head
+      val parts = splitTop(head, "UNWIND")
+      if (parts.size <= 1) beforeReturn0
+      else parts.head + " WITH * UNWIND " +
+        parts.tail.mkString(" UNWIND ") +
+        beforeReturn0.substring(head.length)
     }
     // WITH pipeline stages sit between the pattern clauses and
     // RETURN; each stage's items reference the PREVIOUS stage's
@@ -2475,6 +2497,13 @@ object CypherLite {
     declOrder ++= headUnwinds.map(_._2)
     val optionalAliases = scala.collection.mutable.Set.empty[String]
     val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+    // DISCONNECTED components (`MATCH (a:A), (b:B) WHERE a.x = b.x`):
+    // (root, step index range in `steps`, the part's aliases, clause)
+    // — split out of the main step list at Parsed construction and
+    // cross-joined by queryOne (the gated WHERE equality becomes the
+    // join condition under Catalyst)
+    val crossCompRanges = scala.collection.mutable.ArrayBuffer
+      .empty[(PatternNode, Range, Set[String], Int)]
     val optClauses = scala.collection.mutable.ArrayBuffer.empty[OptClause]
     val rowPreds = scala.collection.mutable.ArrayBuffer.empty[RowPred]
     val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
@@ -2497,8 +2526,14 @@ object CypherLite {
         // alias re-parses as a fresh local node recorded in `closures`
         // (fresh -> outer) — the semi/anti join equates them later
         closeOver: Set[String] = Set.empty,
-        closures: scala.collection.mutable.LinkedHashMap[String, String] = null)
-        : Unit = {
+        closures: scala.collection.mutable.LinkedHashMap[String, String] = null,
+        // top-level required comma parts only: a NEW-alias part opens
+        // a DISCONNECTED COMPONENT (returned as its root; the caller
+        // gates on a WHERE equality link and cross-joins the
+        // component's frame — Catalyst turns the equality filter into
+        // an inner equi-join)
+        allowNewComponent: Boolean = false)
+        : Option[PatternNode] = {
       var rest = chain
       def node(allowBare: Boolean): Either[String, PatternNode] =
         NodeRe.findFirstMatchIn(rest) match {
@@ -2630,10 +2665,15 @@ object CypherLite {
       }
       // chain anchor: the first chain introduces the start node;
       // later chains and OPTIONAL MATCH clauses re-enter at a bound
-      // alias
+      // alias — or, where the caller allows it, open a DISCONNECTED
+      // component rooted at the new node
+      var compRoot: Option[PatternNode] = None
       var anchor: Option[String] = node(allowBare = ci > 0) match {
         case Left(alias) => Some(alias)
         case Right(n) if ci == 0 => start = n; None
+        case Right(n) if allowNewComponent =>
+          compRoot = Some(n)
+          Some(n.as)
         case Right(n) =>
           fail(s"pattern part ${ci + 1} must start at a bound alias, got new node '${n.as}'", chain)
       }
@@ -2658,6 +2698,7 @@ object CypherLite {
       require(any || (ci == 0 && rest.isEmpty) ||
           (!optional && anchor.isDefined && rest.isEmpty),
         s"pattern part ${ci + 1} needs at least one edge")
+      compRoot
     }
 
     /** WHERE conditions of one clause. Single-alias conjuncts merge
@@ -3156,7 +3197,15 @@ object CypherLite {
           case _ => (None, chain0, false, false)
         }
         val cBefore = steps.length
-        parseChain(chain, ci, steps, optional = false); ci += 1
+        val boundBeforeChain = bound.keySet.toSet
+        // path-variable parts keep the bound-anchor requirement (a
+        // path var on a disconnected part would shift step indexing)
+        val rootOpt = parseChain(chain, ci, steps, optional = false,
+          allowNewComponent = pvOpt.isEmpty)
+        ci += 1
+        for (root <- rootOpt)
+          crossCompRanges += ((root, cBefore until steps.length,
+            bound.keySet.toSet -- boundBeforeChain, rc))
         for (nm <- pvOpt) {
           require(!bound.contains(nm) && !relVars(nm) && !pathVars.contains(nm),
             s"path variable '$nm' collides with an existing name")
@@ -3189,6 +3238,34 @@ object CypherLite {
       }
       for (i <- before until steps.length)
         steps(i) = steps(i).copy(clause = rc)
+      // DISCONNECTED-parts gate: each component this clause opened
+      // must be linked to the rest by a top-level WHERE equality
+      // (`a.x = b.y`, exactly one side inside the component) — that
+      // conjunct is what Catalyst rewrites into the inner equi-join
+      // over the cross-joined component frames; without it the cross
+      // product is a plan nobody meant. Loud reject, don't guess.
+      locally {
+        val newComps = crossCompRanges.filter(_._4 == rc)
+        if (newComps.nonEmpty) {
+          val conjs = whereOpt.map(w => splitTop(w, "AND"))
+            .getOrElse(Seq.empty).map(_.trim)
+          val EqLinkRe = ("""^([A-Za-z_][A-Za-z0-9_]*)\.""" +
+            """[A-Za-z_][A-Za-z0-9_]*\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\.""" +
+            """[A-Za-z_][A-Za-z0-9_]*$""").r
+          for ((root, _, compAliases, _) <- newComps) {
+            val linked = conjs.exists {
+              case EqLinkRe(a1, a2) => compAliases(a1) != compAliases(a2)
+              case _ => false
+            }
+            require(linked,
+              s"pattern part rooted at new node '${root.as}' is " +
+                "DISCONNECTED from the rest of the pattern — join it " +
+                "with a WHERE equality on this clause (alias.prop = " +
+                "other.prop) or anchor it at a bound alias; an unlinked " +
+                "part is a cartesian product")
+          }
+        }
+      }
       for (w0 <- whereOpt; w <- extractPatternPreds(w0)) {
         // scope: every alias bound so far — required clauses are all
         // inner joins, so an earlier-clause condition commutes; a
@@ -3196,7 +3273,10 @@ object CypherLite {
         // alias check naturally. Relationship-variable conditions
         // (`r.prop OP …`) land on the variable's step as an EDGE
         // predicate. Pattern-predicate conjuncts were extracted above.
-        val ns = start +: steps.toSeq.map(_.node)
+        // Disconnected-component ROOTS are positions too — their
+        // single-alias conditions become root-scan predicates.
+        val ns = start +: (crossCompRanges.map(_._1).toSeq ++
+          steps.toSeq.map(_.node))
         val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
           relAllowed = steps.iterator.flatMap(_.relVar).toSet,
           // head-UNWIND outputs are value columns on the path frame
@@ -3207,6 +3287,9 @@ object CypherLite {
             .flatMap(i => Seq(s"__ppf_$i", s"__ppc_$i")))
         rowPreds ++= rps
         upd.get(start.as).foreach(start = _)
+        for (i <- crossCompRanges.indices;
+             n <- upd.get(crossCompRanges(i)._1.as))
+          crossCompRanges(i) = crossCompRanges(i).copy(_1 = n)
         for (i <- steps.indices; n <- upd.get(steps(i).node.as))
           steps(i) = steps(i).copy(node = n)
         for (i <- steps.indices; v <- steps(i).relVar; (c, ps) <- relPs.get(v))
@@ -4515,7 +4598,15 @@ object CypherLite {
     for (x <- headNames)
       require(!bound.contains(x),
         s"pattern alias '$x' collides with a head UNWIND output")
-    Parsed(start, steps.toSeq.map(stripVar), bound.toMap, returnsAll,
+    // split disconnected components' steps out of the main list —
+    // each component builds its own matchPaths frame in queryOne
+    val compIdx: Set[Int] = crossCompRanges.iterator.flatMap(_._2).toSet
+    val mainSteps = steps.toSeq.zipWithIndex
+      .filterNot { case (_, i) => compIdx(i) }.map(_._1)
+    val crossComps = crossCompRanges.toSeq.map { case (root, rng, _, _) =>
+      (root, rng.map(steps).map(stripVar).toSeq)
+    }
+    Parsed(start, mainSteps.map(stripVar), bound.toMap, returnsAll,
       optClauses.toSeq.map(cl => cl.copy(steps = cl.steps.map(stripVar))),
       optionalAliases.toSet, returnDistinct, orderByR, limit,
       rowPreds.toSeq,
@@ -4523,7 +4614,7 @@ object CypherLite {
         w.postMatches.map(pm => pm.copy(steps = pm.steps.map(stripVar))))),
       skip, patternPreds.toSeq, shortestFilters.toSeq,
       patternComps.toSeq, headUnwinds, countPreds.toSeq,
-      orFlagPreds.toSeq)
+      orFlagPreds.toSeq, crossComps)
   }
 
   /** One projection/aggregation stage over a path (or WITH) frame:
@@ -5214,7 +5305,8 @@ object CypherLite {
     // ids are globally unique across labels (the untyped contract,
     // asserted below); the view carries ONLY `id`, so property access
     // on an unlabeled alias rejects
-    val allPatternSteps = p.steps ++ p.optionals.flatMap(_.steps) ++
+    val allPatternSteps = p.steps ++ p.crossComps.flatMap(_._2) ++
+      p.optionals.flatMap(_.steps) ++
       p.patternPreds.flatMap(_.steps) ++
       p.countPreds.flatMap(_._1.steps) ++
       p.orFlagPreds.flatMap(_._1.steps) ++
@@ -5296,6 +5388,11 @@ object CypherLite {
     // a dangling edge endpoint (id absent from its node table) must
     // evaluate as null in the filter — Cypher semantics — not delete
     // the path row before the other disjunct can pass.
+    // disconnected components join the frame inside the row-filter
+    // block below — their linking WHERE equality needs the filter
+    // columns attached PER FRAME first, so Catalyst can collapse the
+    // cross join into an inner equi-join (attaching above a blind
+    // cross would leave a nested-loop cross at the bottom of the plan)
     val requiredAll = g.matchPaths(p.start, p.steps)
     // allShortestPaths: keep only the minimal-hop rows per (start,
     // end) binding — a window min over the endpoint pair, applied to
@@ -5341,7 +5438,7 @@ object CypherLite {
       d.withColumn(x, explode(litArray(lits)))
     }
     val required =
-      if (p.rowPreds.isEmpty) required0h
+      if (p.rowPreds.isEmpty && p.crossComps.isEmpty) required0h
       else {
         for (rp <- p.rowPreds; (a, pr) <- rp.props
              if p.labels.get(a).contains("") && pr != "id")
@@ -5349,11 +5446,30 @@ object CypherLite {
             s"WHERE $a.$pr: alias '$a' is unlabeled — the any-node view " +
               "has no properties; declare a :Label to filter on them")
         val need = p.rowPreds.flatMap(_.props).distinct
-        val attached = need.groupBy(_._1).toSeq.sortBy(_._1)
-          .foldLeft(required0h) { case (df, (alias, ps)) =>
-            g.attach(df, alias, p.labels(alias), ps.map(_._2).distinct,
-              s"${alias}__w_", "left_outer")
-          }
+        def attachAll(df0: DataFrame,
+            ps: Seq[(String, String)]): DataFrame =
+          ps.groupBy(_._1).toSeq.sortBy(_._1)
+            .foldLeft(df0) { case (df, (alias, aps)) =>
+              g.attach(df, alias, p.labels(alias),
+                aps.map(_._2).distinct, s"${alias}__w_", "left_outer")
+            }
+        // DISCONNECTED components: the row-filter columns attach to
+        // the frame that OWNS each alias, then the frames cross-join
+        // — the gated linking equality sits directly above the cross,
+        // which Catalyst rewrites into an inner equi-join (plan
+        // pinned in CypherLiteSpec)
+        val compAliasSets: Seq[Set[String]] = p.crossComps.map {
+          case (root, ss) => ss.map(_.node.as).toSet + root.as
+        }
+        def owner(a: String): Int = compAliasSets.indexWhere(_(a))
+        val needByOwner = need.groupBy { case (a, _) => owner(a) }
+        val mainAtt = attachAll(required0h,
+          needByOwner.getOrElse(-1, Seq.empty))
+        val attached = p.crossComps.zipWithIndex.foldLeft(mainAtt) {
+          case (df, ((root, compSteps), i)) =>
+            df.crossJoin(attachAll(g.matchPaths(root, compSteps),
+              needByOwner.getOrElse(i, Seq.empty)))
+        }
         // EXISTS/COUNT-under-OR flag columns: one per registered
         // sub-pattern — a distinct anchor set (exists) or a grouped
         // count, LEFT-joined and null-filled (false / 0) so the
@@ -5383,11 +5499,17 @@ object CypherLite {
                 if (isCount) lit(0L) else lit(false)))
               .drop(keys.indices.map(j => s"__ppfk_${i}_$j"): _*)
         }
-        withFlags
-          .filter(p.rowPreds.map(_.cond).reduce(_ && _))
-          // a USING join fronts its key column — restore the path
-          // frame's alias order (and drop the __w_ helpers)
-          .select(required0h.columns.map(col).toIndexedSeq: _*)
+        val filtered =
+          if (p.rowPreds.isEmpty) withFlags
+          else withFlags.filter(p.rowPreds.map(_.cond).reduce(_ && _))
+        // a USING join fronts its key column — restore the path
+        // frame's alias order, component columns after (and drop the
+        // __w_ helpers)
+        val keep = required0h.columns ++ p.crossComps.flatMap {
+          case (root, ss) => root.as +: ss.flatMap(st =>
+            st.node.as +: st.relVar.toSeq)
+        }
+        filtered.select(keep.map(col).toIndexedSeq: _*)
       }
     // WHERE pattern predicates: each compiles to its own sub-pattern
     // frame (matchPaths over the predicate's local steps, anchor

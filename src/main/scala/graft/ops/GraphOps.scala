@@ -2363,6 +2363,27 @@ object GraphOps {
              |  ORDER BY c_acctbal DESC, c_custkey LIMIT 5
              |) ORDER BY ALL""".stripMargin)
     ),
+    // G97 disconnected pattern parts — `MATCH (a:customer),
+    // (b:customer) WHERE a.k = b.k AND …`, the self-join idiom LLMs
+    // emit for pairwise comparison. The parts build separate frames;
+    // the gated WHERE equality becomes the inner equi-join (plan
+    // pinned in CypherLiteSpec — no cartesian survives). DuckDB
+    // replays as a plain self-join.
+    QueryDef(
+      "g97_cypher_disconnected_parts",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (a:customer), (b:customer)
+          |WHERE a.c_nationkey = b.c_nationkey
+          |  AND a.c_custkey < b.c_custkey
+          |  AND a.c_acctbal > 9800.0 AND b.c_acctbal > 9800.0
+          |RETURN a.c_nationkey AS nk, count(*) AS pairs""".stripMargin)),
+      Some("""SELECT a.c_nationkey AS nk, CAST(count(*) AS BIGINT) AS pairs
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey
+             | AND a.c_custkey < b.c_custkey
+             |WHERE a.c_acctbal > 9800.0 AND b.c_acctbal > 9800.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

@@ -3211,6 +3211,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("disconnected pattern parts join via the WHERE equality link") {
+    val dg = PropertyGraph(nodes = Map(
+      "P" -> Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "grp"),
+      "Q" -> Seq((10L, "x"), (11L, "z")).toDF("id", "grp")),
+      edges = Map.empty)
+    val rows = CypherLite.query(dg,
+      "MATCH (p:P), (q:Q) WHERE p.grp = q.grp " +
+        "RETURN p.id AS pid, q.id AS qid ORDER BY pid")
+    assert(rows.as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (3L, 10L)))
+    // PLAN PIN: the linking equality must compile to a hash join, not
+    // a cartesian — the 100-TB contract for the self-join idiom
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"disconnected-part link must be an equi-join:\n$plan")
+    // the classic same-label pair idiom
+    val pairs = CypherLite.query(dg,
+      "MATCH (a:P), (b:P) WHERE a.grp = b.grp AND a.id < b.id " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(pairs === 1L)
+    // an UNLINKED disconnected part stays a loud reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(dg,
+        "MATCH (p:P), (q:Q) WHERE p.id > 0 RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("DISCONNECTED"))
+  }
+
   test("ORDER BY unprojected property / fn / arith rides a hidden item") {
     // the top-k-by-hidden-key idiom: sort keys never appear in the
     // output schema
