@@ -432,7 +432,12 @@ object CypherLite {
       // unknown at parse time: queryOne resolves it to a concrete
       // caseC (struct / name-list) against the alias's label before
       // each runStage call (resolveSchemaFnItems).
-      schemaFn: Option[(String, String)] = None) {
+      schemaFn: Option[(String, String)] = None,
+      // arithmetic OVER aggregate outputs (`max(x) - min(x) AS r`):
+      // the refs are hidden `__agg_i` items compiled by the ordinary
+      // aggregate machinery; this expression applies AFTER the
+      // aggregation, reading those outputs by bare name
+      postArith: Option[ArithExpr] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -1300,6 +1305,24 @@ object CypherLite {
 
   private def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
 
+  /** Quote-aware balanced-parentheses probe — a regex-captured body
+    * that FAILS this sheared a call boundary (greedy `.+` spanning
+    * `max(x) - min(x)`) and must fall through to a later route.
+    */
+  private def balancedParens(s: String): Boolean = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') { depth -= 1; if (depth < 0) return false }
+      i += 1
+    }
+    depth == 0
+  }
+
   /** Split on a connective keyword ONLY outside single-quoted literals
     * and ONLY at parenthesis AND brace depth 0 — a naive regex split on
     * \bAND\b/\bOR\b would cut a condition mid-literal for values like
@@ -1662,6 +1685,50 @@ object CypherLite {
     "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds")
+
+  /** Pull top-level AGGREGATE calls out of an item body — the
+    * `max(x) - min(x) AS r` route: returns the residual text (each
+    * call replaced by a synthetic `__agg_<prefix>_<i>` name) and the
+    * (name, call) pairs. Quote-aware; parens balanced per call, so
+    * nested scalar wraps inside an aggregate stay intact.
+    */
+  private val AggCallHeadRe =
+    """(?i)^(count|sum|min|max|avg|stDev|stDevP|percentileCont|percentileDisc)\s*\(""".r
+  private def extractAggCalls(txt: String, prefix: String)
+      : (String, Seq[(String, String)]) = {
+    val calls = Seq.newBuilder[(String, String)]
+    val sb = new StringBuilder
+    var i = 0
+    var k = 0
+    var inQ = false
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
+      else if (!inQ && (i == 0 || !isWordChar(txt.charAt(i - 1))) &&
+          AggCallHeadRe.findPrefixMatchOf(
+            txt.subSequence(i, txt.length)).isDefined) {
+        val mm = AggCallHeadRe.findPrefixMatchOf(
+          txt.subSequence(i, txt.length)).get
+        var depth = 1
+        var j = i + mm.end
+        var q2 = false
+        while (j < txt.length && depth > 0) {
+          val ch = txt.charAt(j)
+          if (ch == '\'') q2 = !q2
+          else if (!q2 && ch == '(') depth += 1
+          else if (!q2 && ch == ')') depth -= 1
+          j += 1
+        }
+        require(depth == 0, s"unbalanced '(' in '$txt'")
+        val nm = s"__agg_${prefix}_$k"
+        k += 1
+        calls += nm -> txt.substring(i, j)
+        sb ++= nm
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    (sb.toString, calls.result())
+  }
 
   /** A `+` chain is STRING CONCATENATION when any operand is a string
     * literal (Cypher's `+` concatenates strings; operand types are
@@ -3357,6 +3424,12 @@ object CypherLite {
       */
     val ArithAsRe =
       """^(.*[+\-*/%^].*?)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // arithmetic OVER aggregates (`max(x) - min(x) AS r`) — matched
+    // by guard (the body holds a top-level aggregate call), tried
+    // just before the plain-arith route whose grammar has no
+    // aggregate primaries
+    val AggOverAsRe =
+      """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // fn-headed item with no top-level operator — the arithmetic
     // grammar's CALL primaries (nested fns) behind an AS; split() is
     // ArithFns-gated inside parseArith (pointed reject: lists don't
@@ -3527,6 +3600,11 @@ object CypherLite {
         listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
       val raws = splitTopComma(r).toIndexedSeq
         .map(stripIdWrap).map(rewriteTemporalAcc)
+      // hidden aggregate items synthesized by the arith-over-agg
+      // route (`max(x) - min(x) AS r`) — appended after the
+      // user-name check (their `__agg_` names are engine-reserved)
+      val extraAggItems =
+        scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
       val items0 = raws.map[ReturnItem] {
         // percentileCont (linear interpolation — Spark's exact
         // percentile) / percentileDisc (an actual data value: the
@@ -4087,10 +4165,15 @@ object CypherLite {
             "duration({unit: int, …}) AS name", other)
         // aggregate over arithmetic — `sum(o.price * qty) AS s`:
         // the body compiles like an arithmetic item, the aggregate
-        // folds over it (count counts non-null evaluations)
+        // folds over it (count counts non-null evaluations). The
+        // balanced-parens guard keeps ARITHMETIC-OVER-AGGREGATES
+        // (`max(x) - min(x)`) out — AggArithRe's greedy body would
+        // otherwise shear it mid-call; that shape falls through to
+        // the AggOverAsRe route below.
         case AggArithRe(fn, body, as) if (body.exists("+-*/%^".contains(_)) ||
               FnCallHeadRe.findFirstIn(body).isDefined) &&
-            !body.matches("(?is)^\\s*DISTINCT\\b.*") =>
+            !body.matches("(?is)^\\s*DISTINCT\\b.*") &&
+            balancedParens(body) =>
           val f = fn.toLowerCase
           val ae = parseArith(body.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
@@ -4103,6 +4186,37 @@ object CypherLite {
               require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
           }
           ReturnItem(Some(f), distinct = false, "", None, as, arith = Some(ae))
+        // arithmetic OVER aggregates — `max(x) - min(x) AS r`,
+        // `100 * sum(a) / count(b) AS pct`: each aggregate call pulls
+        // out as a hidden `__agg_` item (compiled recursively by the
+        // ordinary aggregate machinery, so DISTINCT / scalar-wrapped
+        // bodies all work) and the residual text parses as arithmetic
+        // over those outputs, applied AFTER the aggregation
+        // (ReturnItem.postArith). Tried before the plain-arith route,
+        // whose grammar has no aggregate primaries.
+        case AggOverAsRe(body, as)
+            if extractAggCalls(body, "x")._2.nonEmpty =>
+          val (residual, calls) = extractAggCalls(body, as)
+          val subItems = calls.map { case (nm, call) =>
+            // a throwaway user-legal name for the recursion (the
+            // `__agg_` name itself is engine-reserved and would trip
+            // checkUserName), renamed after
+            val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+              aggOk, bareAgg, pathOk, listOk)
+            require(its.size == 1 && its.head.agg.isDefined,
+              s"'$call': only aggregate calls may combine in " +
+                "arithmetic over aggregates")
+            its.head.copy(as = nm)
+          }
+          val ae = parseArith(residual)
+          for ((a, pOpt) <- arithRefs(ae))
+            require(pOpt.isEmpty && a.startsWith("__agg_"),
+              s"$ctx arithmetic over aggregates may only combine " +
+                "aggregate calls and literals — got '" + a +
+                pOpt.map("." + _).getOrElse("") + "'")
+          extraAggItems ++= subItems
+          ReturnItem(None, distinct = false, "", None, as,
+            postArith = Some(ae))
         // arithmetic item — `n.a + n.b AS s`, `bal * 2 + 1 AS x`:
         // compiled to Column arithmetic; acts as a PLAIN item (a
         // grouping key when mixed with aggregates). AS is mandatory —
@@ -4149,7 +4263,7 @@ object CypherLite {
         ri.copy(src = Some(AsTailRe.replaceFirstIn(raw, "").trim))
       }
       items.foreach(ri => checkUserName(ri.as, s"$ctx output"))
-      items
+      items ++ extraAggItems
     }
 
     // WITH stages: each stage's items project/aggregate the previous
@@ -4303,16 +4417,16 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches
             .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -4695,7 +4809,11 @@ object CypherLite {
           ri.prop.map(pr => col(s"${ri.alias}_$pr")).getOrElse(col(ri.alias))
       }
     }
-    val (aggs, plains) = items.partition(_.agg.isDefined)
+    // postArith items (`max(x) - min(x) AS r`) compute AFTER the
+    // aggregation from their hidden `__agg_` outputs — excluded from
+    // the plain (grouping-key) set
+    val (postAriths, items1) = items.partition(_.postArith.isDefined)
+    val (aggs, plains) = items1.partition(_.agg.isDefined)
     var out =
       if (aggs.isEmpty) {
         val sel = attached.select(plains.map(ri => baseCol(ri).as(ri.as)): _*)
@@ -4757,8 +4875,17 @@ object CypherLite {
         else attached
           .groupBy(plains.map(ri => baseCol(ri).as(ri.as)): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-          .select(items.map(ri => col(ri.as)): _*)
+          .select(items1.map(ri => col(ri.as)): _*)
       }
+    if (postAriths.nonEmpty) {
+      for (ri <- postAriths)
+        out = out.withColumn(ri.as,
+          arithColumn(ri.postArith.get, (a, _) => col(a)))
+      // restore the WRITTEN item order and drop the hidden __agg_
+      // helpers — the user-visible schema is the written items only
+      out = out.select(items.filterNot(_.as.startsWith("__agg_"))
+        .map(ri => col(ri.as)): _*)
+    }
     for (f <- postFilter) out = out.filter(f)
     if (orderBy.nonEmpty)
       out = out.orderBy(orderBy.map { case (n, asc) =>

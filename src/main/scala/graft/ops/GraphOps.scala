@@ -2384,6 +2384,23 @@ object GraphOps {
              |WHERE a.c_acctbal > 9800.0 AND b.c_acctbal > 9800.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
+    // G98 arithmetic over aggregates — `max(x) - min(x)` (range) and
+    // `sum(x) / count(*)` (ratio), the composite-aggregate idioms:
+    // each call compiles as a hidden __agg item, the expression folds
+    // after the aggregation. DuckDB replays the same SQL arithmetic.
+    QueryDef(
+      "g98_cypher_agg_arith",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |       round(max(c.c_acctbal) - min(c.c_acctbal), 2) AS rng,
+          |       round(sum(c.c_acctbal) / count(*), 2) AS mean""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |       round(max(c_acctbal) - min(c_acctbal), 2) AS rng,
+             |       round(sum(c_acctbal) / count(*), 2) AS mean
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

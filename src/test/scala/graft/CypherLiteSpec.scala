@@ -3211,6 +3211,34 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("arithmetic over aggregates: hidden __agg items + post-agg fold") {
+    // range, ratio, and a grouped variant — the composite-aggregate
+    // idioms (`max - min`, `sum/count`) LLMs emit freely
+    val r1 = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN max(a.num) - min(a.num) AS rng, " +
+        "sum(a.num) / count(*) AS mean")
+      .as[(Double, Double)].collect().head
+    assert(r1 === ((5.0, 6.5)))
+    // grouped: plain key + derived column; hidden items never leak
+    val df = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
+        "max(b.num) - min(b.num) AS spread ORDER BY t")
+    assert(df.columns.toSeq === Seq("t", "spread"))
+    assert(df.as[(String, Double)].collect().toSeq ===
+      Seq(("a1", 0.0), ("a4", 1.0)))
+    // scalar fn over the combination (round over a ratio)
+    val r3 = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN round(100 * sum(a.num) / count(a), 1) AS pct")
+      .as[Double].collect().head
+    assert(r3 === 650.0)
+    // non-aggregate refs inside the residual reject pointedly
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) RETURN max(a.num) - a.num AS x")
+    }
+    assert(e.getMessage.contains("aggregate calls and literals"))
+  }
+
   test("disconnected pattern parts join via the WHERE equality link") {
     val dg = PropertyGraph(nodes = Map(
       "P" -> Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "grp"),
