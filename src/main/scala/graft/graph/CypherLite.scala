@@ -2440,11 +2440,19 @@ object CypherLite {
     val s = sb.result().trim.replaceAll(";+\\s*$", "").trim
     val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
     // quote-aware probe: blank quoted spans first
-    for (m <- NowRe.findFirstMatchIn(s.replaceAll("'[^']*'", "''")))
+    val blanked = s.replaceAll("'[^']*'", "''")
+    for (m <- NowRe.findFirstMatchIn(blanked))
       throw new IllegalArgumentException(
         s"${m.group(1)}() with no argument is the CURRENT time — " +
           "nondeterministic, unsupported; pass an explicit literal " +
           s"(${m.group(1)}('2024-01-01…'))")
+    // APOC calls (`apoc.text.join(…)`) are a Neo4j plugin surface,
+    // not openCypher — pointed reject instead of a deep item misparse
+    // (LLMs trained on Neo4j corpora emit them regularly)
+    require(!blanked.matches("(?is).*\\bapoc\\s*\\..*"),
+      "apoc.* procedures are a Neo4j plugin, not part of this " +
+        "engine — use the built-in function surface (string/list/" +
+        "temporal/math fns, collect, reduce, comprehensions)")
     s
   }
 
@@ -3430,6 +3438,14 @@ object CypherLite {
     // aggregate primaries
     val AggOverAsRe =
       """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // pattern-predicate RESULT items: legacy `exists((chain))` and
+    // the Neo4j 5 brace forms `EXISTS { chain }` / `COUNT { chain }`
+    val ExistsParenItemRe =
+      """(?is)^exists\s*\((\(.*\))\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val ExistsBraceItemRe =
+      """(?is)^EXISTS\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val CountBraceItemRe =
+      """(?is)^COUNT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // fn-headed item with no top-level operator — the arithmetic
     // grammar's CALL primaries (nested fns) behind an AS; split() is
     // ArithFns-gated inside parseArith (pointed reject: lists don't
@@ -3967,7 +3983,9 @@ object CypherLite {
             other)
         // map projection — `n {.a, .b} AS m`: a struct of the NAMED
         // properties (static schema — compiles without the graph)
-        case MapProjItemRe(a, body, as) =>
+        case MapProjItemRe(a, body, as)
+            if !a.equalsIgnoreCase("count") &&
+              !a.equalsIgnoreCase("exists") =>
           require(!relVars(a),
             s"$a {…}: '$a' is a relationship variable — node aliases only")
           require(propOk(a),
@@ -4105,6 +4123,29 @@ object CypherLite {
           fail("size() takes a previous WITH stage's list output " +
             "(a collect(…) column) and an AS name — for a path's hop " +
             "count use length(p)", other)
+        // `exists((n)-[:R]->(…)) AS has` / `EXISTS { … } AS has` /
+        // `COUNT { … } AS n` — pattern-predicate RESULTS as items
+        // (the per-row boolean/count flag idiom). Compiled through
+        // the same flag-column machinery as EXISTS/COUNT under OR: a
+        // distinct-anchor (or grouped-count) table left-joins the
+        // required frame as `__ppf_i`/`__ppc_i`, null-filled, and the
+        // item projects that column by bare name. First pattern
+        // stage only (the flags attach to the required frame).
+        case ExistsParenItemRe(body, as) if pathOk && balancedParens(body) =>
+          val pp = parsePatternPredChain(negated = false, body)
+          val idx = orFlagPreds.length
+          orFlagPreds += ((pp, false))
+          ReturnItem(None, distinct = false, s"__ppf_$idx", None, as)
+        case ExistsBraceItemRe(body, as) if pathOk =>
+          val pp = parsePatternPredChain(negated = false, body.trim)
+          val idx = orFlagPreds.length
+          orFlagPreds += ((pp, false))
+          ReturnItem(None, distinct = false, s"__ppf_$idx", None, as)
+        case CountBraceItemRe(body, as) if pathOk =>
+          val pp = parsePatternPredChain(negated = false, body.trim)
+          val idx = orFlagPreds.length
+          orFlagPreds += ((pp, true))
+          ReturnItem(None, distinct = false, s"__ppc_$idx", None, as)
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>
@@ -5565,7 +5606,8 @@ object CypherLite {
       d.withColumn(x, explode(litArray(lits)))
     }
     val required =
-      if (p.rowPreds.isEmpty && p.crossComps.isEmpty) required0h
+      if (p.rowPreds.isEmpty && p.crossComps.isEmpty &&
+          p.orFlagPreds.isEmpty) required0h
       else {
         for (rp <- p.rowPreds; (a, pr) <- rp.props
              if p.labels.get(a).contains("") && pr != "id")
@@ -5631,11 +5673,15 @@ object CypherLite {
           else withFlags.filter(p.rowPreds.map(_.cond).reduce(_ && _))
         // a USING join fronts its key column — restore the path
         // frame's alias order, component columns after (and drop the
-        // __w_ helpers)
+        // __w_ helpers). Flag columns a RETURN/first-WITH ITEM reads
+        // (`exists(…) AS has`) survive into the stage run.
+        val itemFlagCols = p.withClauses.headOption.map(_.items)
+          .getOrElse(p.returns).map(_.alias)
+          .filter(a => a.startsWith("__ppf_") || a.startsWith("__ppc_"))
         val keep = required0h.columns ++ p.crossComps.flatMap {
           case (root, ss) => root.as +: ss.flatMap(st =>
             st.node.as +: st.relVar.toSeq)
-        }
+        } ++ itemFlagCols
         filtered.select(keep.map(col).toIndexedSeq: _*)
       }
     // WHERE pattern predicates: each compiles to its own sub-pattern

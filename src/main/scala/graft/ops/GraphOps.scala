@@ -2401,6 +2401,27 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
+    // G99 pattern-predicate RESULTS as items — `exists((c)-[:R]->(…))
+    // AS has` and `COUNT { … } AS n`, the per-row flag/count idiom:
+    // both ride the flag-column machinery (distinct-anchor /
+    // grouped-count table left-joined, null-filled false/0). DuckDB
+    // replays with EXISTS and a scalar count subquery.
+    QueryDef(
+      "g99_cypher_exists_item",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE c.c_acctbal > 9900.0
+          |RETURN c.c_custkey AS ck,
+          |       exists((c)-[:HAS_ORDER]->(o:orders)) AS has,
+          |       COUNT { (c)-[:HAS_ORDER]->(o2:orders) } AS n""".stripMargin)),
+      Some("""SELECT c_custkey AS ck,
+             |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |    AS has,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_custkey = c_custkey) AS n
+             |FROM customer WHERE c_acctbal > 9900.0
+             |ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

@@ -3211,6 +3211,31 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("exists(pattern) / EXISTS { } / COUNT { } as RETURN items") {
+    // the per-row flag idiom: a boolean (or count) column per anchor
+    val r1 = CypherLite.query(g,
+      "MATCH (b:B) RETURN b.tag AS t, exists((b)<-[:R2]-(c:C)) AS has " +
+        "ORDER BY t")
+      .as[(String, Boolean)].collect().toSeq
+    assert(r1 === Seq(("b2", true), ("b5", false)))
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t, COUNT { (a)-[:R1]->(b:B) } AS n " +
+        "ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(r2 === Seq(("a1", 1L), ("a4", 2L)))
+    // brace EXISTS with an internal WHERE; flag as a grouping key
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN EXISTS { (b)<-[:R2]-(c:C) } AS has, count(*) AS n " +
+        "ORDER BY has")
+      .as[(Boolean, Long)].collect().toSeq
+    assert(r3 === Seq((false, 1L), (true, 2L)))
+    // the flag column itself never leaks into the schema
+    assert(CypherLite.query(g,
+      "MATCH (b:B) RETURN b.tag AS t, exists((b)<-[:R2]-(c:C)) AS has")
+      .columns.toSeq === Seq("t", "has"))
+  }
+
   test("arithmetic over aggregates: hidden __agg items + post-agg fold") {
     // range, ratio, and a grouped variant — the composite-aggregate
     // idioms (`max - min`, `sum/count`) LLMs emit freely
