@@ -536,7 +536,7 @@ object CypherLite {
     def scopeNames: Seq[String] =
       items.map(_.as).filterNot(_.startsWith("__ob_")) ++
         unwinds.map(_._2) ++
-        postMatches.flatMap(_.steps.map(_.node.as))
+        postMatches.flatMap(_.boundNodes.map(_._1))
   }
 
   /** Which of a stage's outputs are LISTS: collect() items,
@@ -568,7 +568,19 @@ object CypherLite {
   final case class PostMatch(anchor: String, anchorLabel: String,
       steps: Seq[PatternStep], optional: Boolean,
       anchorPred: Option[Column] = None,
-      rowPreds: Seq[RowPred] = Seq.empty)
+      rowPreds: Seq[RowPred] = Seq.empty,
+      // true → the anchor is a FRESH pattern root (not a carried
+      // name): the sub-frame cross-joins the stage frame, which the
+      // parse gate guarantees is a single row (pure-aggregate stage)
+      fresh: Boolean = false) {
+    /** The clause's bound (alias, label) positions — the fresh root
+      * (when any) plus each step's arrival node; scope and label
+      * resolution share this one definition.
+      */
+    def boundNodes: Seq[(String, String)] =
+      (if (fresh) Seq(anchor -> anchorLabel) else Seq.empty) ++
+        steps.map(st => st.node.as -> st.node.label)
+  }
 
   /** One WHERE pattern predicate — `[NOT] EXISTS { (a)-[:R]->(b) …
     * [WHERE …] }`, `[NOT] exists((a)-[:R]->(b))`, or a bare
@@ -3438,6 +3450,10 @@ object CypherLite {
     // aggregate primaries
     val AggOverAsRe =
       """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // literal items — `0 AS n`, `'x' AS tag`, `true AS flag`,
+    // `null AS pad` (the UNION alignment idiom)
+    val LitItemRe =
+      """(?is)^('[^']*'|-?\d+(?:\.\d+)?|true|false|null)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // pattern-predicate RESULT items: legacy `exists((chain))` and
     // the Neo4j 5 brace forms `EXISTS { chain }` / `COUNT { chain }`
     val ExistsParenItemRe =
@@ -3561,6 +3577,12 @@ object CypherLite {
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val ListSliceItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // subscript/slice directly on a collect(…) CALL (not a stage
+    // output) — `collect(x)[0] AS top`
+    val AggSubscriptRe =
+      """(?is)^(collect\s*\(.+\))\s*\[([^\[\]]*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val IdxTxtRe = """^(-?\d+)$""".r
+    val SliceTxtRe = """^(-?\d+)?\s*\.\.\s*(-?\d+)?$""".r
     // list comprehension: the body is captured whole (greedy to the
     // LAST ']') and split on a QUOTE-AWARE top-level '|' so string
     // literals containing '|' or ']' survive
@@ -3820,6 +3842,36 @@ object CypherLite {
         case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
           fail("head()/last() take a previous WITH stage's collect(…) " +
             "output and an AS name", other)
+        // `collect(x)[0] AS top` / `collect(x)[..2] AS firsttwo` —
+        // subscript/slice DIRECTLY on an aggregate call (the
+        // first-of-sorted-group idiom): the collect compiles
+        // recursively, the read applies to its RESULT via postWrap.
+        // The engine's collect lists are SORTED ascending, so [0] is
+        // the minimum — deterministic where Neo4j is arbitrary.
+        case AggSubscriptRe(call, subTxt, as) =>
+          val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 &&
+            its.head.agg.exists(_.equalsIgnoreCase("collect")),
+            s"subscripts apply to collect(…) aggregates — got '$call'")
+          val wrap: Column => Column = subTxt.trim match {
+            case IdxTxtRe(i0) =>
+              val i = i0.toInt
+              val at = if (i >= 0) i + 1 else i
+              c => try_element_at(c, lit(at))
+            case SliceTxtRe(fromS, toS) => c => {
+              val n = size(c)
+              def pos(v: Int): Column =
+                if (v >= 0) lit(v) else greatest(n + lit(v), lit(0))
+              val f = Option(fromS).map(s => pos(s.toInt)).getOrElse(lit(0))
+              val t = Option(toS).map(s => pos(s.toInt)).getOrElse(n)
+              slice(c, f + lit(1), greatest(t - f, lit(0)))
+            }
+            case other2 => fail(
+              "list reads are [int] or [a..b] slices", other2)
+          }
+          its.head.copy(as = as, postWrap = Some(
+            its.head.postWrap.fold(wrap)(w0 => w0.andThen(wrap))))
         // `xs[i] AS x` — 0-based element read (element_at is 1-based;
         // negative indexes count from the end in both, unchanged).
         // try_element_at: out-of-range reads are null (Cypher
@@ -4291,6 +4343,15 @@ object CypherLite {
               require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
           }
           ReturnItem(None, distinct = false, "", None, as, arith = Some(ae))
+        // LITERAL items — `0 AS n`, `'flag' AS kind`, `null AS x`:
+        // the UNION-part alignment idiom (pad a column a sibling part
+        // computes). A constant grouping key beside aggregates is
+        // legal and harmless.
+        case LitItemRe(v, as) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty,
+              _ => if (v.equalsIgnoreCase("null")) lit(null)
+              else lit(literal(v)))))
         case other if other.exists("+-*/%^".contains(_)) &&
             !other.matches("(?is).*\\bAS\\b.*") =>
           fail("arithmetic items need an AS name", other)
@@ -4403,7 +4464,7 @@ object CypherLite {
           case Some(pw) =>
             // post-WITH MATCH aliases join the namespace as id-valued
             // names with REAL labels — properties attach downstream
-            val post = pw.postMatches.flatMap(_.steps.map(_.node.as)).toSet
+            val post = pw.postMatches.flatMap(_.boundNodes.map(_._1)).toSet
             val names = pw.scopeNames.toSet
             (names.contains, a => pw.carried.contains(a) || post(a),
               names.contains,
@@ -4462,8 +4523,7 @@ object CypherLite {
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
-          val postLbl = pw.postMatches
-            .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
+          val postLbl = pw.postMatches.flatMap(_.boundNodes).toMap
           items.collect {
             case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
@@ -4522,7 +4582,14 @@ object CypherLite {
             AtomE("", n, c => cmp(if (isList) size(c) else length(c)))
           case WithCondRe(n, op, v) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
-            AtomE("", n, opBuilder(op, v))
+            v.trim match {
+              // stage-vs-stage (`WHERE n2 > mean`) — the RHS is
+              // another output column, not a literal
+              case rhs if rhs.matches("^[A-Za-z_][A-Za-z0-9_]*$") &&
+                  outNames(rhs) =>
+                AtomE("", n, c => opBuilder2(op)(c, col(rhs)))
+              case _ => AtomE("", n, opBuilder(op, v))
+            }
           case other => fail("WITH WHERE conditions must be " +
             "[fn](out_name) OP operand", other)
         }
@@ -4591,22 +4658,41 @@ object CypherLite {
             "one chain per MATCH clause after WITH (use another MATCH " +
               "clause for branches)")
           val clauseSteps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
-          parseChain(chains.head, ci, clauseSteps, optional = isOpt); ci += 1
-          require(clauseSteps.nonEmpty,
+          // a ONE-ROW stage (pure aggregates, no unwinds) may be
+          // followed by a FRESH-anchor MATCH — `WITH avg(x) AS mean
+          // MATCH (c:customer) WHERE c.bal > mean …`, the
+          // global-threshold idiom: the new pattern cross-joins the
+          // single-row frame (Spark broadcasts the 1-row side — a
+          // safe, exact compile of Neo4j's cartesian-with-one-row)
+          val oneRowStage = items.nonEmpty &&
+            items.forall(_.agg.isDefined) && unwinds.isEmpty
+          val rootOpt = parseChain(chains.head, ci, clauseSteps,
+            optional = isOpt, allowNewComponent = !isOpt && oneRowStage)
+          ci += 1
+          require(clauseSteps.nonEmpty || rootOpt.isDefined,
             "MATCH after WITH needs at least one edge (a bare re-anchor " +
               "is a no-op here — drop the clause)")
-          val anchor = clauseSteps.head.from.getOrElse(
-            fail("MATCH after WITH must start at a bound alias", chains.head))
-          require(carried.contains(anchor) || newAliases(anchor),
-            s"MATCH after WITH must re-anchor at a name this stage " +
-              s"carries (in scope: ${(carried.keySet ++ newAliases).toSeq.sorted.mkString(", ")}) — " +
-              s"'$anchor' is not in scope")
+          val fresh = rootOpt.isDefined
+          val anchor = rootOpt.map(_.as).getOrElse(
+            clauseSteps.head.from.getOrElse(
+              fail("MATCH after WITH must start at a bound alias",
+                chains.head)))
+          if (!fresh)
+            require(carried.contains(anchor) || newAliases(anchor),
+              s"MATCH after WITH must re-anchor at a name this stage " +
+                s"carries (in scope: ${(carried.keySet ++ newAliases).toSeq.sorted.mkString(", ")}) — " +
+                s"'$anchor' is not in scope" +
+                (if (isOpt || !oneRowStage) " (a NEW pattern root needs a " +
+                  "single-row stage — pure aggregates, no UNWIND — and a " +
+                  "required MATCH)" else ""))
+          newAliases += anchor
           newAliases ++= clauseSteps.map(_.node.as)
-          val anchorLabel = carried.get(anchor).map(_._2).getOrElse(bound(anchor))
-          var anchorPred: Option[Column] = None
+          val anchorLabel = rootOpt.map(_.label).getOrElse(
+            carried.get(anchor).map(_._2).getOrElse(bound(anchor)))
+          var anchorPred: Option[Column] = rootOpt.flatMap(_.pred)
           var clauseRps: Seq[RowPred] = Seq.empty
           for (w <- whereOpt) {
-            val ns = PatternNode(anchorLabel, anchor) +:
+            val ns = PatternNode(anchorLabel, anchor, anchorPred) +:
               clauseSteps.toSeq.map(_.node)
             val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
               relAllowed = clauseSteps.iterator.flatMap(_.relVar).toSet,
@@ -4619,7 +4705,7 @@ object CypherLite {
                 "a post-join filter would delete outer rows; filter in " +
                 "a later WITH instead")
             clauseRps = rps
-            anchorPred = upd.get(anchor).flatMap(_.pred)
+            anchorPred = upd.get(anchor).flatMap(_.pred).orElse(anchorPred)
             for (i <- clauseSteps.indices; n <- upd.get(clauseSteps(i).node.as))
               clauseSteps(i) = clauseSteps(i).copy(node = n)
             for (i <- clauseSteps.indices; v <- clauseSteps(i).relVar;
@@ -4629,7 +4715,7 @@ object CypherLite {
                 relPredProps = (clauseSteps(i).relPredProps ++ ps).distinct)
           }
           PostMatch(anchor, anchorLabel, clauseSteps.toSeq, isOpt,
-            anchorPred, clauseRps)
+            anchorPred, clauseRps, fresh = fresh)
         }
       }
       acc :+ WithClause(itemsAll, whereCol, wOrderByR, wLimit, carried,
@@ -4662,7 +4748,7 @@ object CypherLite {
               // (see the WITH-stage resolver note)
               a => headNames(a))
           case Some(w) =>
-            val post = w.postMatches.flatMap(_.steps.map(_.node.as)).toSet
+            val post = w.postMatches.flatMap(_.boundNodes.map(_._1)).toSet
             val names = w.scopeNames.toSet
             (names.contains, a => w.carried.contains(a) || post(a),
               names.contains,
@@ -5779,8 +5865,7 @@ object CypherLite {
       prev match {
         case None => (a => p.labels.get(a), optionals, relVarSet)
         case Some(w) =>
-          val postLbl = w.postMatches
-            .flatMap(_.steps.map(st => st.node.as -> st.node.label)).toMap
+          val postLbl = w.postMatches.flatMap(_.boundNodes).toMap
           val postOpt = w.postMatches.filter(_.optional)
             .flatMap(_.steps.map(_.node.as)).toSet
           (a => w.carried.get(a).map(_._2).orElse(postLbl.get(a)),
@@ -5857,8 +5942,10 @@ object CypherLite {
                 g.attach(df2, alias, lbl, ps.map(_._2).distinct,
                   s"${alias}__w_", "left_outer")
               }
-            val joined = d.join(sub2, Seq(pm.anchor),
-              if (pm.optional) "left_outer" else "inner")
+            val joined =
+              if (pm.fresh) d.crossJoin(sub2)
+              else d.join(sub2, Seq(pm.anchor),
+                if (pm.optional) "left_outer" else "inner")
             if (stageRps.isEmpty) joined
             else joined.filter(stageRps.map(_.cond).reduce(_ && _))
               .drop(needS.map { case (a, pr) => s"${a}__w_$pr" }: _*)

@@ -2422,6 +2422,60 @@ object GraphOps {
              |FROM customer WHERE c_acctbal > 9900.0
              |ORDER BY ALL""".stripMargin)
     ),
+    // G100 literal items — `0 AS n`, the UNION-part padding idiom
+    // (align a column a sibling part computes).
+    QueryDef(
+      "g100_cypher_literal_items",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9900.0
+          |RETURN n.n_name AS nm, count(*) AS n, 'rich' AS kind
+          |UNION ALL
+          |MATCH (r:region)
+          |RETURN r.r_name AS nm, 0 AS n, 'region' AS kind""".stripMargin)),
+      Some("""SELECT n_name AS nm, CAST(count(*) AS BIGINT) AS n,
+             |       'rich' AS kind
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9900.0 GROUP BY 1
+             |UNION ALL
+             |SELECT r_name, 0, 'region' FROM region
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G101 fresh-anchor MATCH after a 1-row WITH — the
+    // GLOBAL-THRESHOLD idiom (`WITH avg(…) AS mean MATCH … WHERE x >
+    // mean`): the pure-aggregate stage is one row, so the fresh
+    // pattern cross-joins it (broadcast of the single row) and the
+    // stage output rides the clause WHERE as a row filter. DuckDB
+    // replays with a scalar subquery.
+    QueryDef(
+      "g101_cypher_global_threshold",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WITH avg(o.o_totalprice) AS mean
+          |MATCH (c2:customer)-[:HAS_ORDER]->(o2:orders)
+          |WHERE o2.o_totalprice > mean
+          |RETURN count(*) AS above""".stripMargin)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS above FROM orders
+             |WHERE o_totalprice >
+             |  (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
+    ),
+    // G102 subscript/slice on collect() calls — `collect(x)[0]`
+    // (first element of the engine's SORTED list = the minimum,
+    // deterministic) and `[..2]` (first two). DuckDB replays with
+    // list_sort + 1-based inclusive slicing.
+    QueryDef(
+      "g102_cypher_collect_subscript",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |RETURN n.n_name AS nm, collect(c.c_name)[0] AS first_cust,
+          |       collect(c.c_acctbal)[..2] AS low2""".stripMargin)),
+      Some("""SELECT n_name AS nm, min(c_name) AS first_cust,
+             |       (list_sort(list(c_acctbal)))[1:2] AS low2
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

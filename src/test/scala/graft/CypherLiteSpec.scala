@@ -3211,6 +3211,41 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("literal items, fresh-anchor MATCH after 1-row WITH, collect[i]") {
+    // literal items — the UNION-part padding idiom
+    val u = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t, 1 AS src UNION ALL " +
+        "MATCH (b:B) RETURN b.tag AS t, 0 AS src")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(u === Seq(("a1", 1L), ("a4", 1L), ("b2", 0L), ("b5", 0L)))
+    // fresh-anchor MATCH after a PURE-AGGREGATE (1-row) stage — the
+    // global-threshold idiom; the cross join is against one row
+    val t = CypherLite.query(mathG,
+      "MATCH (a:A) WITH avg(a.num) AS mean " +
+        "MATCH (b:B) WHERE b.num < mean RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(t === 2L) // mean 6.5; B nums 1.0, 2.0 both below
+    // the stage output stays readable after the fresh clause
+    val t2 = CypherLite.query(mathG,
+      "MATCH (a:A) WITH max(a.num) AS hi " +
+        "MATCH (b:B) RETURN b.tag AS bt, hi - b.num AS gap ORDER BY bt")
+      .as[(String, Double)].collect().toSeq
+    assert(t2 === Seq(("b2", 8.0), ("b5", 7.0)))
+    // a fresh anchor after a MULTI-ROW stage stays a loud reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) WITH a.tag AS t MATCH (b:B) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("must start at a bound alias"))
+    // subscript/slice directly on collect(): [0] of the SORTED list
+    val c1 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
+        "collect(b.num)[0] AS first, collect(b.num)[..2] AS firsttwo " +
+        "ORDER BY t")
+      .as[(String, Double, Seq[Double])].collect().toSeq
+    assert(c1 === Seq(("a1", 1.0, Seq(1.0)), ("a4", 1.0, Seq(1.0, 2.0))))
+  }
+
   test("exists(pattern) / EXISTS { } / COUNT { } as RETURN items") {
     // the per-row flag idiom: a boolean (or count) column per anchor
     val r1 = CypherLite.query(g,
