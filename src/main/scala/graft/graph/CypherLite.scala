@@ -5014,9 +5014,13 @@ object CypherLite {
         .map(ri => col(ri.as)): _*)
     }
     for (f <- postFilter) out = out.filter(f)
+    // Cypher null ordering: null is LARGER than every value — nulls
+    // last ascending, first descending (Neo4j). Spark's defaults are
+    // the opposite, so the explicit variants land here (matters for
+    // LIMIT after a sort on an OPTIONAL-MATCH-nullable column).
     if (orderBy.nonEmpty)
       out = out.orderBy(orderBy.map { case (n, asc) =>
-        if (asc) col(n).asc else col(n).desc
+        if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first
       }: _*)
     // Cypher SKIP n LIMIT m: drop n rows of the (ordered) output,
     // then take m — Dataset.offset keeps the plan whole-stage
@@ -5454,11 +5458,12 @@ object CypherLite {
               throw new IllegalArgumentException(
                 s"top-k ORDER BY $key: not among the subquery outputs " +
                   s"(${(imports ++ itemNames).mkString(", ")})"))
-          if (asc) col(nm).asc else col(nm).desc
+          // Cypher null ordering (null sorts larger — see runStage)
+          if (asc) col(nm).asc_nulls_last else col(nm).desc_nulls_first
         }
         val obNames = innerOb.map(_._1).toSet
         val ties = I.columns.toSeq
-          .filterNot(c => obNames.contains(c)).map(col(_).asc)
+          .filterNot(c => obNames.contains(c)).map(col(_).asc_nulls_last)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(imports.map(col): _*)
           .orderBy(keyCols ++ ties: _*)
@@ -5542,8 +5547,10 @@ object CypherLite {
         for ((n, _) <- uOb) require(names.contains(n),
           s"union-wide ORDER BY references '$n' — not an output column " +
             s"(${names.mkString(", ")})")
+        // Cypher null ordering (null sorts larger — see runStage)
         u = u.orderBy(uOb.map { case (n, asc) =>
-          if (asc) col(n).asc else col(n).desc }: _*)
+          if (asc) col(n).asc_nulls_last
+          else col(n).desc_nulls_first }: _*)
       }
       for (n <- uSkip) u = u.offset(n)
       for (n <- uLimit) u = u.limit(n)

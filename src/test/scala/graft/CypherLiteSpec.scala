@@ -3211,6 +3211,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("ORDER BY null placement: Cypher nulls-largest semantics") {
+    // Neo4j: null is larger than every value — nulls LAST ascending,
+    // FIRST descending. Spark's defaults are the opposite; the
+    // explicit variants matter when LIMIT follows a sort on an
+    // OPTIONAL-MATCH-nullable column.
+    val asc1 = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS t, c.tag AS ct ORDER BY ct LIMIT 1""".stripMargin)
+      .as[(String, Option[String])].collect().head
+    assert(asc1 === (("b2", Some("c3")))) // the null row sorts last
+    val desc1 = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS t, c.tag AS ct ORDER BY ct DESC LIMIT 1""".stripMargin)
+      .as[(String, Option[String])].collect().head
+    assert(desc1 === (("b5", None))) // the null row sorts first
+  }
+
   test("literal items, fresh-anchor MATCH after 1-row WITH, collect[i]") {
     // literal items — the UNION-part padding idiom
     val u = CypherLite.query(g,
