@@ -92,15 +92,24 @@ object GraphMerge {
       distinct: Boolean, countAlias: Option[String]) extends MergeSpec
 
   private val LoadRe = """(?is)^\s*LOAD\s+FROM\s+[A-Za-z_][A-Za-z0-9_]*\s+(.*)$""".r
-  private val WhereRe = """(?is)^WHERE\s+(.*?)\s*(?=(?:WITH|MERGE|MATCH)\b)(.*)$""".r
-  private val WithRe = """(?is)^WITH\s+(DISTINCT\s+)?(.*?)\s*(?=(?:MERGE|MATCH)\b)(.*)$""".r
+  private val WhereRe =
+    """(?is)^WHERE\s+(.*?)\s*(?=(?:WITH|MERGE|CREATE|MATCH)\b)(.*)$""".r
+  private val WithRe =
+    """(?is)^WITH\s+(DISTINCT\s+)?(.*?)\s*(?=(?:MERGE|CREATE|MATCH)\b)(.*)$""".r
   private val NodeAtom =
     """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\s*\)"""
-  private val MergeNodeRe = s"""(?is)^MERGE\\s*$NodeAtom\\s*(.*)$$""".r
+  // CREATE accepts as a MERGE alias: in this engine's KEYED store a
+  // row exists at most once per key, so CREATE's always-insert
+  // semantics collapse to the same first-write-wins upsert (a
+  // documented divergence — Neo4j CREATE can mint duplicate nodes,
+  // which a keyed deterministic store cannot represent; ingest
+  // pipelines emitting CREATE mean exactly this upsert)
+  private val MergeNodeRe =
+    s"""(?is)^(?:MERGE|CREATE)\\s*$NodeAtom\\s*(.*)$$""".r
   private val MatchPairRe =
     s"""(?is)^MATCH\\s*$NodeAtom\\s*,\\s*$NodeAtom\\s+(.*)$$""".r
   private val MergeRelRe =
-    """(?is)^MERGE\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]\s*->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(.*)$""".r
+    """(?is)^(?:MERGE|CREATE)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\[\s*:\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]\s*->\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(.*)$""".r
   private val SetItemRe =
     """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)$""".r
   private val ReturnRe =

@@ -52,6 +52,28 @@ class GraphMergeSpec extends SparkSpec {
     assert(n === Some(2L))
   }
 
+  test("textual CREATE is a MERGE alias (keyed first-write-wins)") {
+    // Neo4j CREATE can mint duplicate nodes; a keyed deterministic
+    // store cannot represent that, so CREATE compiles to the same
+    // first-write-wins upsert — documented divergence, ingest intent
+    // identical (pipelines emitting CREATE mean exactly this)
+    val df = src(Seq(
+      (1L: java.lang.Long, "a st", "ax"),
+      (2L: java.lang.Long, "b st", "bx")))
+    val existing = PropertyGraph(
+      nodes = Map("Address" ->
+        Seq((2L, "STORED st", "STORED")).toDF("id", "street", "city")),
+      edges = Map.empty)
+    val createStmt = stmt.replace("MERGE (a:Address", "CREATE (a:Address")
+    val (merged, n) = GraphMerge.into(existing, df, createStmt)
+    val (mergedM, nM) = GraphMerge.into(existing, df, stmt)
+    assert(merged.nodes("Address").orderBy("id")
+      .as[(Long, String, String)].collect().toSeq ===
+      mergedM.nodes("Address").orderBy("id")
+        .as[(Long, String, String)].collect().toSeq)
+    assert(n === nM)
+  }
+
   test("relationship MERGE: ingest_lives_in shape with key-prop resolution") {
     // Patients keyed by a NON-id prop (patient_id) — the reference's
     // exact shape; Addresses keyed by id
