@@ -844,7 +844,10 @@ object CypherLite {
       : (Seq[(String, Boolean)], Seq[ReturnItem]) = {
     val PropKeyRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
-    val FnKeyRe = (s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*""" +
+    // size/length (string character count over a property) join the
+    // hidden-key wrap set here — they stay OUT of ScalarFnAlt so the
+    // bare-name collect-list forms keep their own routing
+    val FnKeyRe = (s"""(?is)^($ScalarFnAlt|size|length)\\s*\\(\\s*""" +
       """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*""" +
       """(?:,\s*([^)]*?)\s*)?\)$""").r
     val hidden = Seq.newBuilder[ReturnItem]
@@ -1056,9 +1059,69 @@ object CypherLite {
   private val DurUnitCallRe = (
     """(?i)\bduration\s*\.\s*(inDays|inSeconds)\s*\(""" +
     """((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*)\)\s*\.\s*([A-Za-z]+)\b""").r
-  private def rewriteDurCalls(s: String): String =
-    if (!s.toLowerCase.contains("duration")) s
+  // `date('…') ± duration({…})` / `datetime('…') ± duration({…})` —
+  // BOTH operands literal, so the shift folds DRIVER-SIDE (exact
+  // java.time calendar arithmetic) into a plain temporal literal the
+  // operand grammar already takes. The relative-date WHERE idiom:
+  // `o.d >= date('1997-01-01') - duration({days: 30})`.
+  private val DurShiftRe = (
+    """(?i)\b(date|datetime)\s*\(\s*'([^']*)'\s*\)\s*([+-])\s*""" +
+    """duration\s*\(\s*\{([^}]*)\}\s*\)""").r
+  private def rewriteDurShifts(s: String): String =
+    DurShiftRe.replaceAllIn(s, m => {
+      val isDate = m.group(1).equalsIgnoreCase("date")
+      val neg = m.group(3) == "-"
+      val dateUnits = Set("years", "months", "weeks", "days")
+      val timeUnits = Set("hours", "minutes", "seconds")
+      val units = m.group(4).split(",").map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val parts = kv.split(":", 2)
+          require(parts.length == 2,
+            s"duration({…}): entries are unit: int, got '$kv'")
+          val k = parts(0).trim.toLowerCase
+          require(dateUnits(k) || timeUnits(k),
+            s"duration({…}): unsupported unit '$k' " +
+              s"(${(dateUnits ++ timeUnits).toSeq.sorted.mkString(", ")})")
+          require(parts(1).trim.matches("-?\\d+"),
+            s"duration({$k: …}) needs an integer literal")
+          k -> parts(1).trim.toLong
+        }.toSeq
+      def sign(v: Long): Long = if (neg) -v else v
+      if (isDate) {
+        require(units.forall(u => dateUnits(u._1)),
+          s"date('…') ± duration with time units — use datetime(…)")
+        var d = java.time.LocalDate.parse(m.group(2))
+        for ((k, v0) <- units) {
+          val v = sign(v0)
+          k match {
+            case "years"  => d = d.plusYears(v)
+            case "months" => d = d.plusMonths(v)
+            case "weeks"  => d = d.plusWeeks(v)
+            case "days"   => d = d.plusDays(v)
+          }
+        }
+        java.util.regex.Matcher.quoteReplacement(s"date('$d')")
+      } else {
+        var t = java.time.LocalDateTime.parse(m.group(2))
+        for ((k, v0) <- units) {
+          val v = sign(v0)
+          k match {
+            case "years"   => t = t.plusYears(v)
+            case "months"  => t = t.plusMonths(v)
+            case "weeks"   => t = t.plusWeeks(v)
+            case "days"    => t = t.plusDays(v)
+            case "hours"   => t = t.plusHours(v)
+            case "minutes" => t = t.plusMinutes(v)
+            case "seconds" => t = t.plusSeconds(v)
+          }
+        }
+        java.util.regex.Matcher.quoteReplacement(s"datetime('$t')")
+      }
+    })
+  private def rewriteDurCalls(s0: String): String =
+    if (!s0.toLowerCase.contains("duration")) s0
     else {
+      val s = rewriteDurShifts(s0)
       val out = DurUnitCallRe.replaceAllIn(s, m => {
         val fn = m.group(1).toLowerCase
         val acc = m.group(3).toLowerCase
@@ -1205,6 +1268,8 @@ object CypherLite {
       // call sites). NOT in ScalarFnAlt: the bare-name item form
       // `size(listOut) AS n` must keep routing to SizeItemRe.
       case "size"  => noArgs(); length(_)
+      // legacy alias (Cypher length() over strings) — same fold
+      case "length" => noArgs(); length(_)
       case "round" => intArgs() match {
         case Seq()  => round(_, 0)
         case Seq(n) => round(_, n)
@@ -1455,8 +1520,10 @@ object CypherLite {
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') inQ = !inQ
-      else if (!inQ && (ch == '(' || ch == '{')) depth += 1
-      else if (!inQ && (ch == ')' || ch == '}')) {
+      // '[' joins the depth track: a comma inside a list literal
+      // (`[c.a, c.b] AS pair`) or slice is not an item boundary
+      else if (!inQ && (ch == '(' || ch == '{' || ch == '[')) depth += 1
+      else if (!inQ && (ch == ')' || ch == '}' || ch == ']')) {
         depth -= 1
         require(depth >= 0, s"unbalanced ')' in item list: '$s'")
       }
@@ -3583,6 +3650,24 @@ object CypherLite {
       """(?is)^(collect\s*\(.+\))\s*\[([^\[\]]*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val IdxTxtRe = """^(-?\d+)$""".r
     val SliceTxtRe = """^(-?\d+)?\s*\.\.\s*(-?\d+)?$""".r
+    // subscript on a split(…) CALL — `split(s, ' ')[0] AS w`
+    val SplitIdxRe =
+      """(?is)^(split\s*\(.+\))\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // size over a BRACKETED list expression (comprehension) —
+    // `size([x IN xs WHERE c]) AS n`, the filtered-count idiom
+    val SizeOfListExprRe =
+      """(?is)^size\s*\((\[.*\])\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // list literal of expressions — `[c.a, c.b] AS pair` (guarded
+    // away from comprehensions and pattern comprehensions at the
+    // case site)
+    val ArrayItemRe =
+      """(?is)^\[(.+)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // boolean-valued item — `toUpper(c.seg) CONTAINS 'AUTO' AS f`,
+    // `a.x >= b.y AS ge`: matched by guard (a top-level comparison
+    // shape) and desugared to a two-arm CASE that preserves Cypher's
+    // three-valued logic (null operands → neither arm → null)
+    val BoolItemRe =
+      """(?is)^(.+?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // list comprehension: the body is captured whole (greedy to the
     // LAST ']') and split on a QUOTE-AWARE top-level '|' so string
     // literals containing '|' or ']' survive
@@ -3749,7 +3834,10 @@ object CypherLite {
         // literals), the OPTIONAL-MATCH default idiom. Acts as a
         // PLAIN item (a grouping key when mixed with aggregates);
         // folds to functions.coalesce — codegen, no UDF.
-        case CoalesceRe(argsTxt, as) =>
+        // (an aggregate call inside coalesce — `coalesce(max(x), 0)`
+        // — routes to the arithmetic-over-aggregates case below)
+        case CoalesceRe(argsTxt, as)
+            if extractAggCalls(argsTxt, "x")._2.isEmpty =>
           val ArgPropRe =
             """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
           val ArgNameRe = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -3872,6 +3960,34 @@ object CypherLite {
           }
           its.head.copy(as = as, postWrap = Some(
             its.head.postWrap.fold(wrap)(w0 => w0.andThen(wrap))))
+        // `split(s, ' ')[0] AS w` — subscript on a list-producing
+        // scalar call: the split compiles recursively, the read wraps
+        // its column (0-based, negatives from the end, out-of-range
+        // null — the shared list-read discipline)
+        case SplitIdxRe(call, idx, as) =>
+          val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 && its.head.caseC.isDefined &&
+            its.head.agg.isEmpty,
+            s"'$call': not a scalar list expression")
+          val cc = its.head.caseC.get
+          val i0 = idx.toInt
+          val at = if (i0 >= 0) i0 + 1 else i0
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(cc.refs,
+              res => try_element_at(cc.build(res), lit(at)))))
+        // `size([x IN xs WHERE c]) AS n` — the filtered-count idiom:
+        // the comprehension compiles recursively, size() wraps it
+        case SizeOfListExprRe(comp, as) =>
+          val its = parseItems(s"$comp AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 && its.head.caseC.isDefined &&
+            its.head.agg.isEmpty,
+            s"size(…): '$comp' did not compile to a list expression")
+          val cc = its.head.caseC.get
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(cc.refs,
+              res => size(cc.build(res)))))
         // `xs[i] AS x` — 0-based element read (element_at is 1-based;
         // negative indexes count from the end in both, unchanged).
         // try_element_at: out-of-range reads are null (Cypher
@@ -3971,6 +4087,40 @@ object CypherLite {
               val filtered = condF.map(f => filter(base, f)).getOrElse(base)
               exprF.map(f => transform(filtered, f)).getOrElse(filtered)
             })))
+        // list LITERAL of expressions — `[c.a, c.b] AS pair`,
+        // `[1, n.x * 2] AS xs`: elements are literals or arithmetic
+        // over refs, built as one array Column (codegen). Tried
+        // after the comprehension/pattern-comprehension shapes (a
+        // leading `(` or `x IN` routed above).
+        case ArrayItemRe(body, as)
+            if !body.matches(
+              "(?is)^\\s*[A-Za-z_][A-Za-z0-9_]*\\s+IN\\b.*") &&
+              !body.trim.startsWith("(") =>
+          val arrRefs = Seq.newBuilder[(String, String)]
+          val builders = splitTopComma(body).map { el =>
+            val v = el.trim
+            if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+                v.equalsIgnoreCase("false")) {
+              (_: (String, Option[String]) => Column) => lit(literal(v))
+            } else {
+              val ae = parseArith(v)
+              for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
+                case Some(p2) =>
+                  require(propOk(a2),
+                    s"$ctx list literal references unknown alias '$a2'")
+                  arrRefs += a2 -> p2
+                case None =>
+                  require(plainOk(a2),
+                    s"$ctx list literal references unknown name '$a2'")
+              }
+              (res: (String, Option[String]) => Column) =>
+                arithColumn(ae, res)
+            }
+          }
+          require(builders.nonEmpty, "empty list literal item")
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(arrRefs.result().distinct,
+              res => array(builders.map(_(res)): _*))))
         case other if other.matches("(?s)^\\[.*") =>
           fail("list comprehensions are `[x IN collectOut [WHERE cond] " +
             "[| expr]] AS ys` (cond/expr over x and literals)", other)
@@ -4279,6 +4429,24 @@ object CypherLite {
               require(plainOk(a), s"$ctx arithmetic references unknown name '$a'")
           }
           ReturnItem(Some(f), distinct = false, "", None, as, arith = Some(ae))
+        // BOOLEAN-valued item — `toUpper(c.seg) CONTAINS 'AUTO' AS f`,
+        // `a.x >= b.y AS ge` (the projected-predicate idiom): matched
+        // by guard (a top-level comparison shape outside quotes) and
+        // desugared to a two-arm CASE — `CASE WHEN p THEN true WHEN
+        // NOT (p) THEN false END` — which preserves Cypher's
+        // three-valued logic exactly (null operands match neither arm
+        // → null, where a plain ELSE false would coerce to false).
+        case BoolItemRe(body, as) if {
+          val b = body.replaceAll("'[^']*'", "''")
+          b.matches("(?is).*(<=|>=|<>|=~|<|>|=|\\bCONTAINS\\b|" +
+            "\\bSTARTS\\s+WITH\\b|\\bENDS\\s+WITH\\b|" +
+            "\\bIS\\s+(NOT\\s+)?NULL\\b).*") &&
+            !b.contains("(?")
+        } =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(compileCase(
+              s"CASE WHEN $body THEN true WHEN NOT ($body) THEN false END",
+              ctx, plainOk, propOk, relVars)))
         // arithmetic OVER aggregates — `max(x) - min(x) AS r`,
         // `100 * sum(a) / count(b) AS pct`: each aggregate call pulls
         // out as a hidden `__agg_` item (compiled recursively by the
@@ -4531,8 +4699,43 @@ object CypherLite {
               as -> (a, postLbl(a))
           }.toMap
       }
+      // WITH WHERE over a CARRIED alias's property (`WITH c WHERE
+      // c.bal > 9000`, the mid-pipeline filter idiom): the property
+      // rides a hidden `__ob_w<i>` item — attached, grouped alongside
+      // (a node property is functionally dependent on its id, so an
+      // extra group/distinct key never changes the result), read by
+      // the filter, dropped after the stage. Dotted refs on anything
+      // but a bare-carried alias reject pointedly (Neo4j scoping
+      // agrees — the source alias left scope at the projection).
+      val whereHidden =
+        scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
       val whereCol = whereTxt.map { w =>
+        def hiddenProp(outName: String, p: String): String = {
+          val (orig, lbl) = carried.getOrElse(outName,
+            fail(s"WITH WHERE: '$outName.$p' — '$outName' is not a " +
+              "carried node alias here (dotted conditions need a " +
+              "bare-carried alias; compute the value as an item " +
+              "instead)", outName))
+          require(lbl.nonEmpty,
+            s"WITH WHERE $outName.$p: alias '$outName' is unlabeled — " +
+              "the any-node view has no properties")
+          val nm = s"__ob_w${whereHidden.length}"
+          whereHidden +=
+            ReturnItem(None, distinct = false, orig, Some(p), nm)
+          nm
+        }
         def atom(cond: String): AtomE = cond.trim match {
+          case WhereNullRe(a, p, not) =>
+            val nm = hiddenProp(a, p)
+            AtomE("", nm, c => if (not != null) c.isNotNull else c.isNull)
+          case WhereFnCondRe(fn, a, p, fargs, op, v) =>
+            val nm = hiddenProp(a, p)
+            val wrap = scalarWrap(fn, fargs)
+            val cmp = opBuilder(op, v)
+            AtomE("", nm, c => cmp(wrap(c)))
+          case WhereCondRe(a, p, op, v) =>
+            val nm = hiddenProp(a, p)
+            AtomE("", nm, opBuilder(op, v))
           case WithNullRe(n, not) =>
             require(outNames(n), s"WITH WHERE references unknown output '$n'")
             AtomE("", n, c => if (not != null) c.isNotNull else c.isNull)
@@ -4718,7 +4921,8 @@ object CypherLite {
             anchorPred, clauseRps, fresh = fresh)
         }
       }
-      acc :+ WithClause(itemsAll, whereCol, wOrderByR, wLimit, carried,
+      acc :+ WithClause(itemsAll ++ whereHidden, whereCol, wOrderByR,
+        wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
         unwinds = unwinds, postMatches = postMatches,
         listOuts = stageListOuts(items, prevListOuts))
@@ -5893,12 +6097,15 @@ object CypherLite {
             distinct = w.distinct, w.orderBy, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
             skip = w.skip, preAttached = preAtt)
-          // hidden ORDER BY keys (__ob_i) served the stage's sort —
-          // dropped here so they never enter the next stage's scope
-          val ran = ran0.drop(
-            ran0.columns.filter(_.startsWith("__ob_")).toIndexedSeq: _*)
-          val filtered = if (w.whereAfterLimit) w.where.map(ran.filter).getOrElse(ran)
-            else ran
+          // grammar-order WHERE runs after the cut and may read a
+          // hidden __ob_w property column — filter BEFORE the drop
+          val filtered0 =
+            if (w.whereAfterLimit) w.where.map(ran0.filter).getOrElse(ran0)
+            else ran0
+          // hidden ORDER BY / WHERE keys (__ob_*) served their
+          // purpose — dropped before the next stage's scope
+          val filtered = filtered0.drop(
+            filtered0.columns.filter(_.startsWith("__ob_")).toIndexedSeq: _*)
           // UNWIND clauses trail the stage: one explode per clause —
           // empty/null lists drop the row (Cypher UNWIND semantics);
           // the source list stays in scope

@@ -2476,6 +2476,67 @@ object GraphOps {
              |WHERE c_acctbal > 9000.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
+    // G103 literal temporal ± duration folding + WITH WHERE on a
+    // carried alias's property — the relative-date + mid-pipeline
+    // filter idioms together: the shift folds driver-side into a
+    // plain timestamp literal; the carried-property condition rides a
+    // hidden item through the aggregate stage (a node property is
+    // functionally dependent on its id, so the extra group key never
+    // changes the groups).
+    QueryDef(
+      "g103_cypher_date_shift_with_where",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate >=
+          |  datetime('1998-08-01T00:00:00') - duration({days: 31})
+          |WITH c, count(*) AS n WHERE c.c_acctbal > 5000.0
+          |RETURN count(*) AS buyers, sum(n) AS orders""".stripMargin)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS buyers,
+             |       CAST(sum(n) AS BIGINT) AS orders
+             |FROM (SELECT o_custkey, count(*) AS n FROM orders
+             |      WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+             |      GROUP BY 1) t
+             |JOIN customer ON c_custkey = o_custkey
+             |WHERE c_acctbal > 5000.0""".stripMargin)
+    ),
+    // G104 boolean items + list literals — the projected-predicate
+    // and pair-building idioms (`x >= k AS flag`, `[a, b] AS pair`);
+    // the boolean desugars to a two-arm CASE preserving three-valued
+    // logic.
+    QueryDef(
+      "g104_cypher_bool_array_items",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE c.c_acctbal > 9900.0
+          |RETURN c.c_custkey AS ck,
+          |       [c.c_custkey, c.c_nationkey] AS pair,
+          |       c.c_acctbal >= 9950.0 AS very""".stripMargin)),
+      Some("""SELECT c_custkey AS ck,
+             |       [c_custkey, c_nationkey] AS pair,
+             |       c_acctbal >= 9950.0 AS very
+             |FROM customer WHERE c_acctbal > 9900.0
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G105 size(comprehension) + split()[i] — the filtered-count and
+    // token-read idioms over a grouped collect. DuckDB replays with
+    // list_filter/len (cast to Spark's INT size) and 1-based
+    // string_split indexing.
+    QueryDef(
+      "g105_cypher_list_compose",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |WITH n.n_name AS nm, collect(c.c_acctbal) AS xs
+          |RETURN nm, size([x IN xs WHERE x > 9800.0]) AS very,
+          |       split(nm, ' ')[0] AS w""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(len(list_filter(list(c_acctbal),
+             |                       x -> x > 9800.0)) AS INTEGER) AS very,
+             |  (string_split(n_name, ' '))[1] AS w
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
     // G75 whole-node forms — properties(n) (a struct of the node
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the

@@ -3211,6 +3211,44 @@ class CypherLiteSpec extends SparkSpec {
     assert(ok.count() === 5L)
   }
 
+  test("probe-3 surfaces: WITH WHERE carried props, bool items, lists") {
+    // WITH WHERE on a carried alias's property (mid-pipeline filter)
+    val n1 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, count(*) AS n " +
+        "WHERE a.id > 1 RETURN count(*) AS rows")
+      .as[Long].collect().head
+    assert(n1 === 1L) // only a4 (id 4) survives; a1 (id 1) drops
+    // boolean item keeps three-valued semantics: null operand → null
+    val b1 = CypherLite.query(g,
+      """MATCH (b:B) OPTIONAL MATCH (b)<-[:R2]-(c:C)
+        |RETURN b.tag AS t, c.tag = 'c3' AS isc3 ORDER BY t""".stripMargin)
+      .as[(String, Option[Boolean])].collect().toSeq
+    assert(b1 === Seq(("b2", Some(true)), ("b5", None)))
+    // literal date/datetime ± duration folds driver-side
+    val dg = PropertyGraph(
+      nodes = Map("E" -> Seq(
+        (1L, "2021-03-17 10:30:00"), (2L, "2021-03-02 08:00:00"))
+        .toDF("id", "ts")
+        .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))),
+      edges = Map.empty)
+    val n2 = CypherLite.query(dg,
+      "MATCH (e:E) WHERE e.ts >= datetime('2021-03-10T00:00:00') + " +
+        "duration({days: 5}) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 1L) // cutoff 2021-03-15: only id 1 passes
+    // array literal, split()[i], size(comprehension)
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN [a.id, a.id + 1] AS pair, " +
+        "split(a.tag, 'a')[1] AS after")
+      .as[(Seq[Long], String)].collect().head
+    assert(r === ((Seq(1L, 2L), "1")))
+    val sc = CypherLite.query(mathG,
+      "MATCH (a:A) WITH collect(a.num) AS xs " +
+        "RETURN size([x IN xs WHERE x > 5.0]) AS n")
+      .as[Int].collect().head
+    assert(sc === 1) // nums {4, 9}: one above 5
+  }
+
   test("ORDER BY null placement: Cypher nulls-largest semantics") {
     // Neo4j: null is larger than every value — nulls LAST ascending,
     // FIRST descending. Spark's defaults are the opposite; the
