@@ -735,6 +735,10 @@ object CypherLite {
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
+  // label predicate atom (`c:customer`, `n:A|B`) — folds statically
+  // (see parseCond; labels are fixed per alias in this engine)
+  private val LabelPredRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*)$""".r
   // `[NOT] exists(alias.prop)` — legacy Cypher property-existence
   // (≡ IS [NOT] NULL in this engine's data model; the pattern-
   // predicate extractor never grabs it: `exists((…))` needs an inner
@@ -764,6 +768,10 @@ object CypherLite {
     s"""^((?i:$ScalarFnAlt|size|head|last|coalesce)\\s*\\([^)]*\\))(?:\\s+((?i:ASC|DESC)))?$$""".r
   private val OrderArithKeyRe =
     """^([^,]*[+\-*/%^][^,]*?)(?:\s+((?i:ASC|DESC)))?$""".r
+  // `ORDER BY CASE WHEN … END [ASC|DESC]` — a conditional sort key;
+  // compiled as a hidden item by resolveOrderKeysOrHidden
+  private val OrderCaseKeyRe =
+    """(?is)^(CASE\b.+\bEND)(?:\s+((?i:ASC|DESC)))?$""".r
 
   /** Map dotted ORDER BY keys (`n.name`) onto the output name of the
     * item projecting that exact property (`RETURN n.name AS nm …
@@ -840,7 +848,8 @@ object CypherLite {
     * too) — the original pointed reject stands.
     */
   private def resolveOrderKeysOrHidden(ob: Seq[(String, Boolean)],
-      items: Seq[ReturnItem], ctx: String, canHide: Boolean)
+      items: Seq[ReturnItem], ctx: String, canHide: Boolean,
+      caseCompile: Option[String => CaseCompiled] = None)
       : (Seq[(String, Boolean)], Seq[ReturnItem]) = {
     val PropKeyRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -861,6 +870,17 @@ object CypherLite {
           val as = s"__ob_$i"
           i += 1
           val item = k.trim match {
+            // struct-FIELD sort key (`ORDER BY m.n_name` where m is a
+            // map-projection/map-literal item): rebuild the sibling
+            // struct expression and sort on its field — the hidden
+            // item compiles in the same projection, so it cannot read
+            // the sibling's output column directly
+            case PropKeyRe(a, f) if items.exists(ri =>
+                ri.as == a && ri.caseC.isDefined) =>
+              val cc = items.find(_.as == a).get.caseC.get
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(CaseCompiled(cc.refs,
+                  res => cc.build(res).getField(f))))
             case FnKeyRe(fn, a, p, fargs) =>
               val wrap = scalarWrap(fn, fargs)
               ReturnItem(None, distinct = false, "", None, as,
@@ -868,6 +888,13 @@ object CypherLite {
                   res => wrap(res(a, Some(p))))))
             case PropKeyRe(a, p) =>
               ReturnItem(None, distinct = false, a, Some(p), as)
+            // CASE sort key (`ORDER BY CASE WHEN … END`) — compiled
+            // by the caller-supplied closure (it owns the stage's
+            // name-scope validators)
+            case caseTxt if caseCompile.isDefined &&
+                caseTxt.matches("(?is)^CASE\\b.*\\bEND$") =>
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(caseCompile.get(caseTxt)))
             case arith if arith.exists("+-*/%^".contains(_)) =>
               val ae = parseArith(arith)
               if (!arithRefs(ae).forall(_._2.isDefined)) throw e
@@ -906,6 +933,47 @@ object CypherLite {
     """(?is)^COUNT\s*\{(.*)\}\s*(<=|>=|<>|=|<|>)\s*(\d+)\s*$""".r
   private val PatPredExistsFnRe =
     """(?is)^(NOT\s+)?EXISTS\s*\((\s*\(.*)\)\s*$""".r
+  /** Legacy degree syntax `size((c)-[:R]->())` (Neo4j 3.x; LLMs
+    * trained on old corpora still emit it) rewrites to the COUNT
+    * subquery form `COUNT { (c)-[:R]->() }` the predicate machinery
+    * already compiles — both the top-level-conjunct path and the
+    * under-OR flag path. Quote-aware; size() over non-pattern
+    * arguments (strings, lists) is untouched.
+    */
+  private def rewriteSizeDegree(w0: String): String = {
+    if (!w0.toLowerCase.contains("size")) return w0
+    def mask(str: String): String = {
+      val a = str.toCharArray
+      var inQ = false
+      for (j <- a.indices)
+        if (a(j) == '\'') inQ = !inQ else if (inQ) a(j) = '_'
+      new String(a)
+    }
+    val masked = mask(w0)
+    val out = new StringBuilder
+    var pos = 0
+    for (m <- """(?is)\bsize\s*\(""".r.findAllMatchIn(masked)
+         if m.start >= pos) {
+      val open = m.end - 1
+      var depth = 1; var j = open + 1
+      while (j < masked.length && depth > 0) {
+        val ch = masked.charAt(j)
+        if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+        j += 1
+      }
+      if (depth == 0) {
+        val inner = w0.substring(open + 1, j - 1).trim
+        if (inner.startsWith("(") &&
+            PatternShapeRe.findFirstIn(mask(inner)).isDefined) {
+          out.append(w0.substring(pos, m.start))
+            .append("COUNT { ").append(inner).append(" }")
+          pos = j
+        }
+      }
+    }
+    out.append(w0.substring(pos))
+    out.toString
+  }
   private val PatPredBareNotRe = """(?is)^NOT\s+(\(.*)$""".r
   private val PatternShapeRe = """\)\s*<?-\s*\[""".r
 
@@ -1118,10 +1186,49 @@ object CypherLite {
         java.util.regex.Matcher.quoteReplacement(s"datetime('$t')")
       }
     })
+  // `alias.prop ± duration({…})` — one operand is a COLUMN, so the
+  // shift can't fold driver-side like the literal form; it rewrites
+  // to the internal call durshift(alias.prop, months, days, seconds)
+  // (unit totals pre-signed at rewrite) that [[arithFnColumn]] folds
+  // to add_months/date_add (or a timestamp interval add when time
+  // units appear). Usable anywhere arithmetic is: WHERE comparisons
+  // (`o.d + duration({days: 30}) >= date('…')`) and items.
+  private val PropDurShiftRe = (
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*)\s*([+-])\s*""" +
+    """duration\s*\(\s*\{([^}]*)\}\s*\)""").r
+  private def rewritePropDurShifts(s: String): String =
+    PropDurShiftRe.replaceAllIn(s, m => {
+      val neg = m.group(2) == "-"
+      var months = 0L; var days = 0L; var secs = 0L
+      for (kv <- m.group(3).split(",").map(_.trim).filter(_.nonEmpty)) {
+        val parts = kv.split(":", 2)
+        require(parts.length == 2,
+          s"duration({…}): entries are unit: int, got '$kv'")
+        require(parts(1).trim.matches("-?\\d+"),
+          s"duration({${parts(0).trim}: …}) needs an integer literal")
+        val v = parts(1).trim.toLong
+        parts(0).trim.toLowerCase match {
+          case "years"   => months += 12 * v
+          case "months"  => months += v
+          case "weeks"   => days += 7 * v
+          case "days"    => days += v
+          case "hours"   => secs += 3600 * v
+          case "minutes" => secs += 60 * v
+          case "seconds" => secs += v
+          case u => throw new IllegalArgumentException(
+            s"duration({…}): unsupported unit '$u' (years, months, " +
+              "weeks, days, hours, minutes, seconds)")
+        }
+      }
+      val sgn = if (neg) -1L else 1L
+      java.util.regex.Matcher.quoteReplacement(
+        s"durshift(${m.group(1)}, ${sgn * months}, ${sgn * days}, " +
+          s"${sgn * secs})")
+    })
   private def rewriteDurCalls(s0: String): String =
     if (!s0.toLowerCase.contains("duration")) s0
     else {
-      val s = rewriteDurShifts(s0)
+      val s = rewritePropDurShifts(rewriteDurShifts(s0))
       val out = DurUnitCallRe.replaceAllIn(s, m => {
         val fn = m.group(1).toLowerCase
         val acc = m.group(3).toLowerCase
@@ -1763,7 +1870,8 @@ object CypherLite {
     "tofloat", "toboolean", "size", "round", "substring", "year", "month",
     "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
-    "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds")
+    "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds",
+    "durshift")
 
   /** Pull top-level AGGREGATE calls out of an item body — the
     * `max(x) - min(x) AS r` route: returns the residual text (each
@@ -1990,6 +2098,33 @@ object CypherLite {
       case "durinseconds" =>
         val Seq(a, b) = nArgs(2, 2)
         unix_timestamp(to_timestamp(b)) - unix_timestamp(to_timestamp(a))
+      // internal: `alias.prop ± duration({…})` (PropDurShiftRe) —
+      // args are the column plus PRE-SIGNED literal unit totals.
+      // Compiles to the SAME interval adds the item route always
+      // used (types are load-bearing: a month-interval add keeps a
+      // DATE a DATE with java.time end-of-month clamping; any
+      // day/time component promotes to TIMESTAMP — what the DuckDB
+      // `+ INTERVAL` oracles replay).
+      case "durshift" =>
+        require(args.length == 4,
+          "durshift(x, months, days, seconds) — internal arity")
+        def intOf(e: ArithExpr): Long = e match {
+          case NumA(v: Long) => v
+          case NegA(NumA(v: Long)) => -v
+          case _ => throw new IllegalArgumentException(
+            "durshift components must be integer literals")
+        }
+        var out = arithColumn(args(0), resolve)
+        val mo = intOf(args(1))
+        val totalSecs = intOf(args(2)) * 86400L + intOf(args(3))
+        if (mo != 0) out = out + expr(s"INTERVAL '$mo' MONTH")
+        if (totalSecs != 0) {
+          val sgn = if (totalSecs < 0) "-" else ""
+          val t = math.abs(totalSecs)
+          out = out + expr(s"INTERVAL '$sgn${t / 86400} " +
+            s"${t / 3600 % 24}:${t / 60 % 60}:${t % 60}' DAY TO SECOND")
+        }
+        out
       case other => throw new IllegalArgumentException(
         s"unsupported function in arithmetic: '$other'")
     }
@@ -2431,6 +2566,12 @@ object CypherLite {
         // expression key, resolved against the items' pre-AS text
         case OrderFnKeyRe(expr, dir) =>
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
+        // `ORDER BY CASE WHEN … END [DESC]` — a conditional sort key
+        // (the put-these-first idiom); rides through verbatim and
+        // compiles as a hidden item (see resolveOrderKeysOrHidden).
+        // Tried BEFORE the arith key: a CASE arm may contain + - * /
+        case OrderCaseKeyRe(expr, dir) =>
+          (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case OrderArithKeyRe(expr, dir) =>
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
@@ -2507,6 +2648,30 @@ object CypherLite {
       else if (!inQ && c == '/' && i + 1 < stmt0.length &&
           stmt0.charAt(i + 1) == '/') {
         while (i < stmt0.length && stmt0.charAt(i) != '\n') i += 1
+      }
+      else if (!inQ && c == '/' && i + 1 < stmt0.length &&
+          stmt0.charAt(i + 1) == '*') {
+        val close = stmt0.indexOf("*/", i + 2)
+        require(close >= 0, "unterminated /* block comment")
+        sb += ' ' // keep token separation across the removed span
+        i = close + 2
+      }
+      else if (!inQ && c == '`') {
+        // backtick-quoted identifier (`customer`): Cypher's escape
+        // syntax for names — LLMs emit it defensively around plain
+        // identifiers. Unwrap when the content is already a legal
+        // name (the only names this engine's tables can have);
+        // anything else is a genuinely exotic identifier, rejected
+        // pointedly rather than misparsed.
+        val close = stmt0.indexOf('`', i + 1)
+        require(close >= 0, "unterminated ` identifier quote")
+        val nm = stmt0.substring(i + 1, close)
+        require(nm.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"backtick-quoted identifier `$nm` is not a plain name — " +
+            "this engine's labels/properties are word-character " +
+            "identifiers only")
+        sb ++= nm
+        i = close + 1
       }
       else if (!inQ && c == '$') {
         val nm = stmt0.drop(i + 1).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
@@ -2615,8 +2780,38 @@ object CypherLite {
     // plain regex split would cut the subquery in half
     val reqSegs = splitTop(
       optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", ""), "MATCH")
+    // WHERE label predicates on UNLABELED pattern aliases absorb into
+    // the pattern (Neo4j: `MATCH (c) WHERE c:customer` ≡ `MATCH
+    // (c:customer)`): top-level AND conjuncts only — under OR the
+    // test is per-row and can't relabel the scan. Labeled aliases
+    // keep their conjunct (parseCond folds it statically). Textual,
+    // pre-parse: the bare `(alias)` position gains the label and the
+    // conjunct drops.
+    def absorbLabelPreds(seg: (String, Option[String]))
+        : (String, Option[String]) = seg match {
+      case (body, Some(w)) if splitTop(w, "OR").size == 1 =>
+        var b = body
+        val kept = splitTop(w, "AND").filter { c =>
+          c.trim match {
+            case LabelPredRe(a, lbl) if !lbl.contains("|") =>
+              val re = ("""\(\s*""" +
+                java.util.regex.Pattern.quote(a) + """\s*\)""").r
+              re.findFirstIn(b) match {
+                case Some(_) =>
+                  b = re.replaceAllIn(b,
+                    java.util.regex.Matcher.quoteReplacement(s"($a:$lbl)"))
+                  false
+                case None => true
+              }
+            case _ => true
+          }
+        }
+        (b, if (kept.isEmpty) None else Some(kept.mkString(" AND ")))
+      case other => other
+    }
     val reqClauses0 =
-      (if (reqSegs.isEmpty) Seq("") else reqSegs).toIndexedSeq.map(splitWhere)
+      (if (reqSegs.isEmpty) Seq("") else reqSegs).toIndexedSeq
+        .map(splitWhere).map(absorbLabelPreds)
     // a required MATCH AFTER an OPTIONAL MATCH hoists before the
     // optionals when the inner join commutes with the left joins —
     // see [[hoistTrailingMatches]] (the non-commuting shapes reject)
@@ -2916,6 +3111,29 @@ object CypherLite {
         // form first (quote-aware)
         IdLhsRe.replaceFirstIn(
           rewriteTemporalAcc(cond.trim), "$1.id ").trim match {
+          // label predicate (`c:customer`, `n:A|B`) — an alias's
+          // label is STATIC here (its table is fixed at parse), so
+          // the test folds to a constant: true when the alias's
+          // label(s) all sit inside the predicate's set, false when
+          // disjoint. A per-row mix over an alternation view rejects
+          // (no label column rides the union), as does an unlabeled
+          // alias (the any-node view is label-blind).
+          case LabelPredRe(a, lblTxt) if bound.contains(a) || relVars(a) =>
+            require(!relVars(a),
+              s"'$a:$lblTxt': '$a' is a relationship variable — test " +
+                s"its type with type($a) = '…'")
+            val want = lblTxt.split("\\|").map(_.trim).toSet
+            val have = bound(a)
+            require(have.nonEmpty,
+              s"'$a:$lblTxt': alias '$a' is unlabeled — the any-node " +
+                "view carries no label; declare a :Label in the pattern")
+            val members = have.split('|').toSet
+            val hit = members.subsetOf(want)
+            require(hit || members.intersect(want).isEmpty,
+              s"'$a:$lblTxt' over alternation :$have mixes members — " +
+                "per-row label tests are unsupported; query the labels " +
+                "separately")
+            AtomE(a, "id", _ => lit(hit))
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
@@ -3139,7 +3357,8 @@ object CypherLite {
       * worlds; loud reject). Returns the remaining boolean WHERE text,
       * if any, for the ordinary [[applyWhere]] path.
       */
-    def extractPatternPreds(w: String): Option[String] = {
+    def extractPatternPreds(w0: String): Option[String] = {
+      val w = rewriteSizeDegree(w0)
       val kept = Seq.newBuilder[String]
       var any = false
       for (c <- splitTop(w, "AND")) c match {
@@ -3155,9 +3374,10 @@ object CypherLite {
             body.trim.replaceFirst("(?i)^MATCH\\b", "").trim), op,
             num.toLong))
           any = true
-        case other if other.matches("(?is)^COUNT\\s*\\{.*") =>
-          fail("COUNT { chain } must compare to an integer literal " +
-            "(COUNT { … } OP int)", other)
+        // (a COUNT-headed conjunct that is NOT the simple `COUNT { }
+        // OP int` shape falls to the default branch below, whose
+        // flag-column rewrite handles it inside boolean structure and
+        // rejects the malformed forms with the same pointed message)
         // the bare-chain forms must NOT swallow a parenthesized
         // BOOLEAN group whose pattern shape lives inside an
         // EXISTS/COUNT subquery (`(COUNT { (a)-[:R]->(b) } > 1 OR …)`)
@@ -3534,7 +3754,7 @@ object CypherLite {
     // ArithFns-gated inside parseArith (pointed reject: lists don't
     // belong in arithmetic)
     val FnArithAsRe =
-      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc|durindays|durinseconds)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc|durindays|durinseconds|durshift)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
     // tried after the plain-target AggItemRe, so only bodies that are
     // not a bare alias[.prop] land here. DISTINCT over an expression
@@ -3695,10 +3915,6 @@ object CypherLite {
     // LIST there, type() is an error).
     val LabelsItemRe =
       """(?is)^labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // `alias.prop ± duration({unit: int, …}) AS x` — temporal
-    // interval arithmetic over a date/datetime property
-    val DurItemRe =
-      """(?is)^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*([+-])\s*duration\s*\(\s*\{([^}]*)\}\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // whole-node forms: `properties(n) AS p` / `keys(n) AS k`, and
     // the map projection `n {.a, .b} AS m`
     val PropsItemRe =
@@ -4193,22 +4409,70 @@ object CypherLite {
           require(propOk(a),
             s"map projection references unknown ${
               if (ctx == "RETURN") "name" else "alias"} '$a'")
-          val props = splitTopComma(body).map { e0 =>
-            val e = e0.trim
-            require(e.startsWith(".") && e.length > 1 &&
-              e.drop(1).matches("[A-Za-z_][A-Za-z0-9_]*"),
-              s"map projection entries are .prop — got '$e' (computed " +
-                "entries and variable selectors are unsupported)")
-            e.drop(1)
-          }
-          require(props.nonEmpty, s"$a {{}}: empty map projection")
-          require(props.distinct.size == props.size,
-            s"duplicate map projection keys: $props")
+          // entries: `.prop` (the alias's property under its own
+          // name) or `key: value` (a COMPUTED entry — Neo4j's map
+          // projection extension; the value takes the map-literal
+          // value grammar: literals or arithmetic over refs/bare
+          // in-scope names)
+          val projRefs = Seq.newBuilder[(String, String)]
+          val seenPk = scala.collection.mutable.LinkedHashSet.empty[String]
+          val fields: Seq[(String, ((String, Option[String]) => Column) => Column)] =
+            splitTopComma(body).map { e0 =>
+              val e = e0.trim
+              if (e.startsWith(".")) {
+                require(e.length > 1 &&
+                  e.drop(1).matches("[A-Za-z_][A-Za-z0-9_]*"),
+                  s"map projection entries are .prop or key: value — " +
+                    s"got '$e' (variable selectors are unsupported)")
+                val p = e.drop(1)
+                require(seenPk.add(p), s"duplicate map projection key '$p'")
+                projRefs += a -> p
+                p -> ((res: (String, Option[String]) => Column) =>
+                  res(a, Some(p)))
+              } else {
+                val parts = e.split(":", 2)
+                require(parts.length == 2,
+                  s"map projection entries are .prop or key: value — " +
+                    s"got '$e'")
+                val k = parts(0).trim
+                require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                  s"map projection key must be an identifier, got '$k'")
+                require(seenPk.add(k), s"duplicate map projection key '$k'")
+                val v = parts(1).trim
+                require(!v.startsWith("{"),
+                  s"map projection value for '$k' is a nested map — " +
+                    "unsupported (flatten the keys)")
+                val build: ((String, Option[String]) => Column) => Column =
+                  if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+                      v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
+                  else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
+                  else {
+                    val ae = parseArith(v)
+                    for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
+                      case Some(p2) =>
+                        require(propOk(a2),
+                          s"$ctx map projection references unknown " +
+                            s"alias '$a2'")
+                        projRefs += a2 -> p2
+                      case None =>
+                        require(!relVars(a2),
+                          s"'$a2': a relationship variable's eid is " +
+                            "not a map projection value")
+                        require(plainOk(a2),
+                          s"$ctx map projection references unknown " +
+                            s"name '$a2'")
+                    }
+                    res => arithColumn(ae, res)
+                  }
+                k -> build
+              }
+            }
+          require(fields.nonEmpty, s"$a {{}}: empty map projection")
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(props.map(a -> _),
+            caseC = Some(CaseCompiled(projRefs.result().distinct,
               res => when(res(a, None).isNull, lit(null))
-                .otherwise(struct(props.map(p =>
-                  res(a, Some(p)).as(p)): _*)))))
+                .otherwise(struct(fields.map { case (k, b) =>
+                  b(res).as(k) }: _*)))))
         // map LITERAL — `{name: n.n_name, score: c.x * 2} AS m`
         // (Neo4j returns a map; here a STRUCT whose fields are the
         // written keys in order — DuckDB struct_pack replays).
@@ -4363,46 +4627,10 @@ object CypherLite {
         // single literal, so they chain). Tried before the arithmetic
         // cases: the '+' would otherwise route the text into
         // parseArith, which has no duration grammar.
-        case DurItemRe(a, p, sign, body, as) =>
-          require(propOk(a), s"$ctx references unknown alias '$a'")
-          val known = Seq("years", "months", "weeks", "days", "hours",
-            "minutes", "seconds")
-          val units = splitTopComma(body).map { kv =>
-            val parts = kv.split(":", 2)
-            require(parts.length == 2,
-              s"duration({…}): entries are unit: int, got '$kv'")
-            val k = parts(0).trim.toLowerCase
-            require(known.contains(k),
-              s"duration({…}): unsupported unit '$k' " +
-                s"(supported: ${known.mkString(", ")})")
-            val v = literal(parts(1).trim) match {
-              case l: Long => l
-              case other => throw new IllegalArgumentException(
-                s"duration({$k: …}) needs an integer literal, got '$other'")
-            }
-            require(v >= 0, s"duration({$k: $v}): negative components " +
-              "are unsupported — flip the +/- instead")
-            (k, v)
-          }
-          val um = units.groupBy(_._1).map { case (k, vs) =>
-            k -> vs.map(_._2).sum }
-          val ym = um.getOrElse("years", 0L) * 12 + um.getOrElse("months", 0L)
-          val dd = um.getOrElse("weeks", 0L) * 7 + um.getOrElse("days", 0L)
-          val (hh, mi, ss) = (um.getOrElse("hours", 0L),
-            um.getOrElse("minutes", 0L), um.getOrElse("seconds", 0L))
-          val neg = sign == "-"
-          val app: Column => Column = c => {
-            var r = c
-            def add(ivl: String): Unit =
-              r = if (neg) r - expr(ivl) else r + expr(ivl)
-            if (ym != 0) add(s"INTERVAL '$ym' MONTH")
-            if (dd != 0 || hh != 0 || mi != 0 || ss != 0)
-              add(s"INTERVAL '$dd $hh:$mi:$ss' DAY TO SECOND")
-            r
-          }
-          ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq(a -> p),
-              res => app(res(a, Some(p))))))
+        // (the `alias.prop ± duration({…})` item rewrites to
+        // durshift(…) before items split — rewritePropDurShifts —
+        // and rides the fn-arith route; only unsupported leftover
+        // duration forms reach this reject)
         case other if other.matches("(?is).*\\bduration\\s*\\(.*") =>
           fail("duration arithmetic must be alias.prop ± " +
             "duration({unit: int, …}) AS name", other)
@@ -4469,7 +4697,15 @@ object CypherLite {
                 "arithmetic over aggregates")
             its.head.copy(as = nm)
           }
-          val ae = parseArith(residual)
+          // temporal accessor ON an aggregate (`max(o.d).year`):
+          // after the call pulls out, the accessor dangles on the
+          // synthetic name — rewrite to its fn-wrap (`year(__agg_…)`)
+          // so the residual parses as ordinary post-agg arithmetic
+          val residualAcc =
+            """\b(__agg_\w+)\.(?i:(year|month|day))\b""".r
+              .replaceAllIn(residual,
+                m => s"${m.group(2).toLowerCase}(${m.group(1)})")
+          val ae = parseArith(residualAcc)
           for ((a, pOpt) <- arithRefs(ae))
             require(pOpt.isEmpty && a.startsWith("__agg_"),
               s"$ctx arithmetic over aggregates may only combine " +
@@ -4678,7 +4914,9 @@ object CypherLite {
       // dedups — `WITH n ORDER BY n.name LIMIT 3`, the top-k carry
       val (wOrderByR, wObHidden) = resolveOrderKeysOrHidden(
         wOrderBy, items, "WITH ORDER BY",
-        canHide = !wDistinct && items.forall(_.agg.isEmpty))
+        canHide = !wDistinct && items.forall(_.agg.isEmpty),
+        caseCompile = Some(txt =>
+          compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)))
       val itemsAll = items ++ wObHidden
       for ((n, _) <- wOrderByR)
         require(outNames(n) || wObHidden.exists(_.as == n),
@@ -4934,6 +5172,10 @@ object CypherLite {
     var orderBy = Seq.empty[(String, Boolean)]
     var limit: Option[Int] = None
     var skip: Option[Int] = None
+    // the RETURN scope's CASE compiler, captured for the ORDER BY
+    // hidden-item resolver below (the scope validators live inside
+    // the items closure)
+    var obCaseCompile: Option[String => CaseCompiled] = None
     val returns = returnPart.toSeq.flatMap { r0 =>
       val (afterTail, ob, sk, lim) = parseTailWithSkip(r0)
       orderBy = ob; skip = sk; limit = lim
@@ -4958,6 +5200,8 @@ object CypherLite {
               names.contains,
               n => names(n) && !w.carried.contains(n) && !post(n))
         }
+      obCaseCompile = Some(txt =>
+        compileCase(txt, "ORDER BY", plainOk, propOk, relVars))
       // `RETURN *` (the README.md:137 demo shape): every node alias's
       // id (or, after a WITH, every WITH output), in binding order.
       // Relationship variables are NOT expanded — edge rows have no
@@ -5010,7 +5254,8 @@ object CypherLite {
         "is already distinct per group key — drop DISTINCT)")
     val (orderByR, obHidden) = resolveOrderKeysOrHidden(orderBy, returns,
       "ORDER BY",
-      canHide = !returnDistinct && returns.forall(_.agg.isEmpty))
+      canHide = !returnDistinct && returns.forall(_.agg.isEmpty),
+      caseCompile = obCaseCompile)
     val returnsAll = returns ++ obHidden
     for ((n, _) <- orderByR)
       require(returnsAll.exists(_.as == n),
@@ -5763,8 +6008,255 @@ object CypherLite {
     queryOne(g0, stmt)
   }
 
+  /** Statements with no MATCH: `RETURN <expr> …` and `UNWIND [lits]
+    * AS x … RETURN …` (Neo4j allows both — LLMs emit the first for
+    * probes and arithmetic sanity checks). One synthetic row is the
+    * source; head UNWINDs multiply it in place. Aggregate items
+    * delegate to the CALL-tail grammar (bare columns + aggs over the
+    * unwound frame); otherwise items are literals/arithmetic over
+    * the unwound names, compiled by the shared arith machinery.
+    */
+  private def standaloneReturn(g0: PropertyGraph, stmt0: String): DataFrame = {
+    val spark = g0.nodes.values.head.sparkSession
+    var stmt = stmt0.trim
+    var frame: DataFrame = spark.range(1).select()
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var go = true
+    while (go) stmt match {
+      case HeadUnwindRe(lits, x, rest) =>
+        checkUserName(x, "UNWIND output")
+        require(seen.add(x),
+          s"UNWIND output name '$x' collides with an existing output")
+        frame = frame.withColumn(x, explode(litArray(lits)))
+        stmt = rest
+      case _ => go = false
+    }
+    require(stmt.matches("(?is)^RETURN\\b.*"),
+      "a statement without MATCH must be `[UNWIND [lit,…] AS x …] " +
+        s"RETURN …` — got '${stmt.take(40)}'")
+    val itemsProbe = {
+      val afterKw = stmt.replaceFirst("(?i)^RETURN\\b", "").trim
+      val cut = (topLevelKeywordIndices(afterKw, "ORDER") ++
+        topLevelKeywordIndices(afterKw, "SKIP") ++
+        topLevelKeywordIndices(afterKw, "LIMIT")).minOption
+      cut.map(afterKw.substring(0, _)).getOrElse(afterKw).trim
+        .replaceFirst("(?is)^DISTINCT\\b", "").trim
+    }
+    if (splitTopComma(itemsProbe).exists(
+        it => AggItemRe.findFirstIn(it.trim).isDefined))
+      return compileCallTail(g0, frame, stmt)
+    val (head0, ob, skip, limit) = parseTailWithSkip(stmt)
+    var r = head0.replaceFirst("(?i)^RETURN\\b", "").trim
+    val distinct = r.matches("(?is)^DISTINCT\\b.*")
+    if (distinct) r = r.replaceFirst("(?i)^DISTINCT\\b", "").trim
+    val boundCols = frame.columns.toSet
+    val itemTexts =
+      if (r == "*") {
+        require(frame.columns.nonEmpty,
+          "RETURN * with no UNWIND outputs — nothing is bound")
+        frame.columns.toSeq
+      } else splitTopComma(r).map(_.trim)
+    val AsSplitRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val items: Seq[(String, Column)] = itemTexts.map { it =>
+      val (expr, nameOpt) = it match {
+        case AsSplitRe(e, nm) if balancedParens(e) => (e.trim, Some(nm))
+        case _ => (it, None)
+      }
+      if (boundCols(expr)) (nameOpt.getOrElse(expr), col(expr))
+      else {
+        val name = nameOpt.getOrElse(fail(
+          "standalone RETURN expression items need AS <name>", it))
+        checkUserName(name, "RETURN output")
+        val c = arithColumn(parseArith(expr), (a, pOpt) => {
+          require(pOpt.isEmpty && boundCols(a),
+            s"'$a${pOpt.map("." + _).getOrElse("")}' is not bound — " +
+              "no MATCH in this statement; only UNWIND outputs and " +
+              "literals are in scope")
+          col(a)
+        })
+        (name, c)
+      }
+    }
+    require(items.map(_._1).distinct.size == items.size,
+      s"duplicate RETURN output names: ${items.map(_._1)}")
+    var out = frame.select(items.map { case (n, c) => c.as(n) }: _*)
+    if (distinct) out = out.distinct()
+    if (ob.nonEmpty) {
+      val names = items.map(_._1)
+      val keys = resolveOrderKeys(ob,
+        items.map(i => ReturnItem(None, distinct = false, i._1, None,
+          i._1)), "ORDER BY")
+      for ((k, _) <- keys)
+        require(names.contains(k),
+          s"ORDER BY references '$k' — not an output " +
+            s"(${names.mkString(", ")})")
+      out = out.orderBy(keys.map { case (n, asc) =>
+        if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first }: _*)
+    }
+    for (n <- skip) out = out.offset(n)
+    for (n <- limit) out = out.limit(n)
+    out
+  }
+
+  /** Graph-aware step refinement, run per statement between parse and
+    * compile (parse is graph-agnostic; the edge registry lives on the
+    * graph):
+    *
+    *  1. ENDPOINT-LABEL INFERENCE — a TYPED step's endpoints are
+    *     fixed by the registry (`edges(R) = (srcLabel, dstLabel, df)`),
+    *     so an unlabeled position beside a typed edge
+    *     (`(c)-[:HAS_ORDER]->()` — Neo4j's any-node shorthand) is
+    *     KNOWN: fill it. To fixpoint across a chain (one typed step
+    *     can label the source of the next). Only fills EMPTY labels —
+    *     user-declared labels are never overridden, so mismatches
+    *     keep their existing pointed rejects. A filled position needs
+    *     no any-node view and no global-unique-id contract, and gains
+    *     property access.
+    *  2. UNTYPED-STEP EXPANSION — a DIRECTED untyped step whose
+    *     source-side label is known (`(n:nation)-[r]->(x)`) expands
+    *     to the alternation of the edge types leaving (entering) that
+    *     label, when their endpoint shapes agree — the typed
+    *     multi-type machinery then applies (type(r) still resolves
+    *     per row: each union branch carries its own type tag). Shapes
+    *     disagreeing, undirected steps, and unlabeled sources keep
+    *     the untyped route (the global-unique-id contract).
+    *
+    * Applies to the main chain, OPTIONAL MATCH clauses, disconnected
+    * components, and the pattern-predicate/count/flag/comprehension
+    * sub-patterns. Post-WITH MATCH clauses are compiled from text
+    * later and keep their own resolution.
+    */
+  private def inferAndExpandSteps(g: PropertyGraph, p: Parsed): Parsed = {
+    val edgeEp: Map[String, (String, String)] =
+      g.edges.map { case (rn, (sl, dl, _)) => rn -> ((sl, dl)) }
+    if (edgeEp.isEmpty) return p
+
+    def chain(startOpt: Option[PatternNode], steps0: Seq[PatternStep],
+        outer: Map[String, String], anchor: Option[String] = None)
+        : (Option[PatternNode], Seq[PatternStep]) = {
+      if (startOpt.forall(_.label.nonEmpty) &&
+          steps0.forall(st => st.node.label.nonEmpty && st.rel.nonEmpty))
+        return (startOpt, steps0)
+      val steps = steps0.toArray
+      val lbl = scala.collection.mutable.Map.empty[String, String]
+      for (n <- startOpt) lbl(n.as) = n.label
+      for (st <- steps) lbl(st.node.as) = st.node.label
+      def labelOf(a: String): String =
+        lbl.getOrElse(a, outer.getOrElse(a, ""))
+      def fill(a: String, l: String): Boolean =
+        if (l.nonEmpty && lbl.get(a).contains("")) { lbl(a) = l; true }
+        else false
+      // each step's source alias, mirroring matchPaths' prev chain
+      val froms = {
+        var prev = startOpt.map(_.as).orElse(anchor).getOrElse("")
+        steps.map { st =>
+          val f = st.from.getOrElse(prev); prev = st.node.as; f
+        }
+      }
+      var changed = true
+      while (changed) {
+        changed = false
+        for (i <- steps.indices) {
+          if (steps(i).rel.isEmpty && steps(i).dir != Both) {
+            val st = steps(i)
+            val fromL = labelOf(froms(i)); val toL = labelOf(st.node.as)
+            if (fromL.nonEmpty && !fromL.contains('|')) {
+              val cand = edgeEp.collect {
+                case (rn, (sl, dl)) if (st.dir == Out && sl == fromL &&
+                    (toL.isEmpty || dl == toL)) ||
+                  (st.dir == In && dl == fromL &&
+                    (toL.isEmpty || sl == toL)) => rn
+              }.toSeq.sorted
+              require(cand.nonEmpty,
+                (if (st.dir == Out) s"no edge type leaves :$fromL"
+                 else s"no edge type enters :$fromL") +
+                  (if (toL.nonEmpty) s" toward :$toL" else "") +
+                  s" (${edgeEp.keys.toSeq.sorted.mkString(", ")})")
+              // expand only when the alternation would pass the
+              // multi-type soundness gate — else keep the untyped
+              // route (global-unique-id contract), unchanged behavior
+              if (cand.map(edgeEp).distinct.size == 1) {
+                steps(i) = st.copy(rel = cand.mkString("|"))
+                changed = true
+              }
+            }
+          }
+          val st2 = steps(i)
+          if (st2.rel.nonEmpty) {
+            val types = st2.rel.split('|').toSeq
+            val eps = types.flatMap(edgeEp.get)
+            if (eps.size == types.size) {
+              val sls = eps.map(_._1).distinct
+              val dls = eps.map(_._2).distinct
+              val from = froms(i); val to = st2.node.as
+              st2.dir match {
+                case Out =>
+                  if (sls.size == 1) changed |= fill(from, sls.head)
+                  if (dls.size == 1) changed |= fill(to, dls.head)
+                case In =>
+                  if (dls.size == 1) changed |= fill(from, dls.head)
+                  if (sls.size == 1) changed |= fill(to, sls.head)
+                case Both if sls.size == 1 && dls.size == 1 =>
+                  val sl = sls.head; val dl = dls.head
+                  if (sl == dl) {
+                    changed |= fill(from, sl); changed |= fill(to, sl)
+                  } else {
+                    labelOf(from) match {
+                      case `sl` => changed |= fill(to, dl)
+                      case `dl` => changed |= fill(to, sl)
+                      case _ =>
+                    }
+                    labelOf(to) match {
+                      case `sl` => changed |= fill(from, dl)
+                      case `dl` => changed |= fill(from, sl)
+                      case _ =>
+                    }
+                  }
+                case _ =>
+              }
+            }
+          }
+        }
+      }
+      (startOpt.map(n => n.copy(label = lbl(n.as))),
+        steps.toSeq.map(st =>
+          st.copy(node = st.node.copy(label = lbl(st.node.as)))))
+    }
+
+    val (newStartOpt, newSteps) = chain(Some(p.start), p.steps, Map.empty)
+    val newCross = p.crossComps.map { case (root, sts) =>
+      val (r2, s2) = chain(Some(root), sts, Map.empty)
+      (r2.get, s2)
+    }
+    var labels = p.labels ++
+      (newStartOpt.toSeq ++ newSteps.map(_.node) ++
+        newCross.flatMap { case (r, ss) => r +: ss.map(_.node) })
+        .map(n => n.as -> n.label)
+    val newOpts = p.optionals.map { oc =>
+      val (_, sts) = chain(None, oc.steps, labels, Some(oc.anchor))
+      labels ++= sts.map(st => st.node.as -> st.node.label)
+      oc.copy(steps = sts)
+    }
+    def refinePred(pp: PatternPred): PatternPred = {
+      val (_, sts) = chain(None, pp.steps, labels, Some(pp.anchor))
+      pp.copy(steps = sts)
+    }
+    p.copy(start = newStartOpt.get, steps = newSteps, labels = labels,
+      optionals = newOpts, crossComps = newCross,
+      patternPreds = p.patternPreds.map(refinePred),
+      countPreds = p.countPreds.map { case (pp, op, n) =>
+        (refinePred(pp), op, n) },
+      orFlagPreds = p.orFlagPreds.map { case (pp, isC) =>
+        (refinePred(pp), isC) },
+      patternComps = p.patternComps.map(pc =>
+        pc.copy(pred = refinePred(pc.pred))))
+  }
+
   private def queryOne(g0: PropertyGraph, stmt: String): DataFrame = {
-    val p = parse(stmt)
+    if (!stmt.replaceAll("'[^']*'", "''").matches("(?is).*\\bMATCH\\b.*") &&
+        stmt.matches("(?is)^\\s*(UNWIND|RETURN)\\b.*"))
+      return standaloneReturn(g0, stmt)
+    val p = inferAndExpandSteps(g0, parse(stmt))
     // unlabeled positions (label "") scan the ANY-node view — the
     // union of every label's id column, deduped. Sound only when node
     // ids are globally unique across labels (the untyped contract,

@@ -2605,6 +2605,101 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE len(str_split(c_name, '#')) > 1
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G106 standalone UNWIND/RETURN — statements with no MATCH (the
+    // probe/sanity shape LLMs emit): one synthetic row, head UNWINDs
+    // explode onto it, items are literals/arithmetic over the
+    // unwound names.
+    QueryDef(
+      "g106_cypher_standalone_return",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        "UNWIND [3, 1, 2] AS x RETURN x * 10 AS d, 'k' + 'v' AS kv " +
+          "ORDER BY d"),
+      Some("""SELECT CAST(d AS BIGINT) AS d, 'kv' AS kv
+             |FROM (VALUES (10), (20), (30)) AS t(d) ORDER BY d""".stripMargin)
+    ),
+    // G107 WHERE label predicate — `c:customer` folds statically on a
+    // labeled alias and ABSORBS into the pattern on an unlabeled one
+    // (`MATCH (c) WHERE c:customer` ≡ `MATCH (c:customer)`), so the
+    // scan is the labeled table either way — no label-blind union.
+    QueryDef(
+      "g107_cypher_label_predicate",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c) WHERE c:customer AND c.c_acctbal > 9900.0
+          |RETURN c.c_mktsegment AS seg, count(*) AS n""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n
+             |FROM customer WHERE c_acctbal > 9900.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G108 legacy degree — `size((c)-[:R]->())` (Neo4j 3.x; old-corpus
+    // LLM emissions) rewrites to the COUNT { } subquery the predicate
+    // machinery compiles as a grouped-count row filter.
+    QueryDef(
+      "g108_cypher_size_degree",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer) WHERE size((c)-[:HAS_ORDER]->()) >= 12
+          |RETURN count(*) AS n""".stripMargin),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+             |WHERE (SELECT count(*) FROM orders
+             |       WHERE o_custkey = c_custkey) >= 12""".stripMargin)
+    ),
+    // G109 duration arithmetic in WHERE — `prop ± duration({…})` as a
+    // comparison operand (the relative-deadline idiom); compiles to
+    // the same interval add the item route uses (durshift).
+    QueryDef(
+      "g109_cypher_where_duration",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (o:orders)
+          |WHERE o.o_orderdate + duration({days: 30}) >= date('1998-08-01')
+          |RETURN count(*) AS n""".stripMargin),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+             |WHERE o_orderdate + INTERVAL 30 DAY >=
+             |      TIMESTAMP '1998-08-01 00:00:00'""".stripMargin)
+    ),
+    // G110 temporal accessor OVER an aggregate — `max(o.d).year`
+    // (accessor dangles on the pulled-out aggregate and rewrites to
+    // its fn-wrap), composing with post-aggregate arithmetic.
+    QueryDef(
+      "g110_cypher_agg_accessor",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (o:orders)
+          |RETURN max(o.o_orderdate).year AS hi,
+          |       max(o.o_orderdate).year - min(o.o_orderdate).year AS span""".stripMargin),
+      Some("""SELECT CAST(year(max(o_orderdate)) AS INTEGER) AS hi,
+             |       CAST(year(max(o_orderdate)) -
+             |            year(min(o_orderdate)) AS INTEGER) AS span
+             |FROM orders""".stripMargin)
+    ),
+    // G111 ORDER BY CASE — the conditional sort key (put-these-first
+    // idiom) rides a hidden item like other unprojected expressions.
+    QueryDef(
+      "g111_cypher_order_by_case",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation) RETURN n.n_name AS nm
+          |ORDER BY CASE WHEN n.n_name STARTS WITH 'U' THEN 0 ELSE 1 END, nm
+          |LIMIT 5""".stripMargin),
+      Some("""SELECT n_name AS nm FROM nation
+             |ORDER BY CASE WHEN n_name LIKE 'U%' THEN 0 ELSE 1 END, nm
+             |LIMIT 5""".stripMargin)
+    ),
+    // G112 graph-aware step refinement — an unlabeled position beside
+    // a typed edge INFERS its label from the edge registry (no
+    // global-unique-id contract needed over TPC-H's overlapping id
+    // spaces, and the position gains property access), and an untyped
+    // DIRECTED step from a labeled source EXPANDS to the matching
+    // edge types (type(r) resolves per row).
+    QueryDef(
+      "g112_cypher_step_inference",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation {n_name: 'NATION_3'})-[r]->(x)
+          |WHERE (x)-[:HAS_ORDER]->()
+          |RETURN type(r) AS t, x.c_mktsegment AS seg, count(*) AS n""".stripMargin)),
+      Some("""SELECT 'HAS_CUSTOMER' AS t, c_mktsegment AS seg,
+             |       count(*) AS n
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE n_name = 'NATION_3'
+             |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 

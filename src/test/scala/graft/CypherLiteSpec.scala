@@ -765,10 +765,11 @@ class CypherLiteSpec extends SparkSpec {
       // 'since' column, loud reject with the table's column list
       CypherLite.query(diamond, "(a:N)-[r:E]->(b:N) WHERE r.since > 1 RETURN a")
     }
-    intercept[IllegalArgumentException] {
-      // unlabeled alias exposes only `id` — property RETURN rejects
-      CypherLite.query(diamond, "(a {id: 1})-[:E]->(b) RETURN b.tag")
-    }
+    // an unlabeled position beside a TYPED edge infers its label from
+    // the edge registry (round-13), so this property read now works
+    val inferred = CypherLite.query(diamond,
+      "(a {id: 1})-[:E]->(b) RETURN b.tag").as[String].collect().toSeq
+    assert(inferred === Seq("n2"))
   }
 
   test("relationship properties materialize from edge-table columns") {
@@ -3509,5 +3510,203 @@ class CypherLiteSpec extends SparkSpec {
         "MATCH (e:E) RETURN duration.between(e.t0, e.t1).days AS x")
     }
     assert(e2.getMessage.contains("inDays/inSeconds"))
+  }
+
+  // ——— round-13 probe-4 surfaces ———
+
+  test("block comments and backtick-quoted identifiers preprocess away") {
+    val n = CypherLite.query(g,
+      "/* count the A side */ MATCH (a:`A`) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n === 2L)
+    // pointed rejects: unterminated comment / quote, exotic name
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) /* oops RETURN count(*) AS n")
+      .contains("unterminated /*"))
+    assert(rej("MATCH (a:`A) RETURN count(*) AS n")
+      .contains("unterminated `"))
+    assert(rej("MATCH (a:`weird name`) RETURN count(*) AS n")
+      .contains("not a plain name"))
+  }
+
+  test("standalone RETURN and UNWIND-only statements run over one synthetic row") {
+    val r1 = CypherLite.query(g, "RETURN 1 AS one, 'a' + 'b' AS ab")
+    assert(r1.columns.toSeq === Seq("one", "ab"))
+    assert(r1.as[(Long, String)].collect().toSeq === Seq((1L, "ab")))
+    // UNWIND-only with arithmetic items + ORDER BY
+    val r2 = CypherLite.query(g,
+      "UNWIND [3, 1, 2] AS x RETURN x * 10 AS d ORDER BY d DESC LIMIT 2")
+      .as[Long].collect().toSeq
+    assert(r2 === Seq(30L, 20L))
+    // aggregate items delegate to the CALL-tail grammar
+    val r3 = CypherLite.query(g,
+      "UNWIND [1, 2, 3] AS x RETURN sum(x) AS s").as[Long].collect().head
+    assert(r3 === 6L)
+    // RETURN * expands the unwound names; bare x carries through
+    val r4 = CypherLite.query(g,
+      "UNWIND [2, 1] AS x RETURN * ORDER BY x").as[Long].collect().toSeq
+    assert(r4 === Seq(1L, 2L))
+    // pointed rejects: unbound ref, missing AS, RETURN * with nothing
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("RETURN y + 1 AS z").contains("not bound"))
+    assert(rej("RETURN 1 + 1").contains("need AS"))
+    assert(rej("RETURN *").contains("nothing is bound"))
+  }
+
+  test("WHERE label predicates fold statically or absorb into the pattern") {
+    // labeled alias: static fold (true keeps, false empties)
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a:A RETURN count(*) AS n")
+      .as[Long].collect().head === 2L)
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a:B RETURN count(*) AS n")
+      .as[Long].collect().head === 0L)
+    // unlabeled alias: the conjunct absorbs into the pattern (the
+    // Neo4j `MATCH (c) WHERE c:customer` idiom) — property access
+    // works because the alias is now labeled
+    val tags = CypherLite.query(g,
+      "MATCH (x) WHERE x:B AND x.tag STARTS WITH 'b' RETURN x.tag AS t " +
+        "ORDER BY t").as[String].collect().toSeq
+    assert(tags === Seq("b2", "b5"))
+    // relationship variable: pointed reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A)-[r:R1]->(b:B) WHERE r:R1 " +
+        "RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("relationship variable"))
+  }
+
+  test("property ± duration compiles in WHERE and items (durshift)") {
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, "1998-07-10"), (2L, "1998-05-01"))
+        .toDF("id", "d")
+        .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))),
+      edges = Map.empty)
+    // WHERE arithmetic: d + 30 days >= 1998-08-01 keeps only row 1
+    val n = CypherLite.query(dg,
+      "MATCH (o:O) WHERE o.d + duration({days: 30}) >= date('1998-08-01') " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n === 1L)
+    // item: a months-only shift keeps DATE (month-interval add,
+    // java.time end-of-month clamping)
+    val prev = CypherLite.query(dg,
+      "MATCH (o:O) RETURN o.d - duration({months: 2}) AS p " +
+        "ORDER BY p").as[java.sql.Date].collect().toSeq.map(_.toString)
+    assert(prev === Seq("1998-03-01", "1998-05-10"))
+    // day/time components promote to TIMESTAMP — the interval add
+    // the DuckDB oracles replay
+    val ts = CypherLite.query(dg,
+      "MATCH (o:O {id: 2}) RETURN o.d + duration({days: 1, hours: 5}) AS t")
+      .as[java.sql.Timestamp].collect().head.toString
+    assert(ts.startsWith("1998-05-02 05:00:00"))
+  }
+
+  test("temporal accessor over an aggregate (max(d).year)") {
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, "1997-07-10"), (2L, "1998-05-01"))
+        .toDF("id", "d")
+        .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))),
+      edges = Map.empty)
+    val r = CypherLite.query(dg,
+      "MATCH (o:O) RETURN max(o.d).year AS y, min(o.d).month AS m")
+      .as[(Int, Int)].collect().head
+    assert(r === ((1998, 7)))
+    // still composes with post-agg arithmetic
+    val r2 = CypherLite.query(dg,
+      "MATCH (o:O) RETURN max(o.d).year - min(o.d).year AS span")
+      .as[Int].collect().head
+    assert(r2 === 1)
+  }
+
+  test("ORDER BY CASE rides a hidden sort item (RETURN and WITH paths)") {
+    val t = CypherLite.query(g,
+      "MATCH (b:B) RETURN b.tag AS t ORDER BY " +
+        "CASE WHEN b.tag = 'b5' THEN 0 ELSE 1 END, t")
+      .as[String].collect().toSeq
+    assert(t === Seq("b5", "b2"))
+    val t2 = CypherLite.query(g,
+      "MATCH (b:B) WITH b ORDER BY " +
+        "CASE WHEN b.tag = 'b5' THEN 0 ELSE 1 END LIMIT 1 " +
+        "RETURN b.tag AS t").as[String].collect().toSeq
+    assert(t2 === Seq("b5"))
+  }
+
+  test("map projection takes computed entries; ORDER BY reads struct fields") {
+    val df = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, count(b) AS nb " +
+        "RETURN a {.tag, outs: nb} AS m ORDER BY m.tag")
+    val rows = df.selectExpr("m.tag", "m.outs").as[(String, Long)]
+      .collect().toSeq
+    assert(rows === Seq(("a1", 1L), ("a4", 2L)))
+    // dup keys reject pointedly
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A) RETURN a {.tag, tag: 1} AS m")
+    }
+    assert(e.getMessage.contains("duplicate map projection key"))
+  }
+
+  test("legacy size((c)-[:R]->()) degree rewrites to COUNT { }") {
+    val n = CypherLite.query(g,
+      "MATCH (a:A) WHERE size((a)-[:R1]->()) > 1 RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(n === Seq("a4"))
+    // under OR it rides the flag path the COUNT rewrite feeds
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A) WHERE size((a)-[:R1]->()) > 1 OR a.tag = 'a1' " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n2 === 2L)
+    // size over strings is untouched by the rewrite
+    val n3 = CypherLite.query(g,
+      "MATCH (a:A) WHERE size(a.tag) = 2 RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n3 === 2L)
+  }
+
+  // OVERLAPPING per-label id spaces: the untyped contract fails here,
+  // so these queries pass ONLY because inference/expansion types them
+  private lazy val gOverlap = PropertyGraph(
+    nodes = Map(
+      "A" -> Seq((1L, "a1"), (2L, "a2")).toDF("id", "tag"),
+      "B" -> Seq((1L, "b1"), (2L, "b2")).toDF("id", "tag")),
+    edges = Map(
+      "R" -> (("A", "B", Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")))))
+
+  test("typed-edge endpoint labels infer for unlabeled positions") {
+    // arrival `()` beside a typed edge gets :B — no global-unique-id
+    // requirement, and the position gains property access
+    val tags = CypherLite.query(gOverlap,
+      "MATCH (a:A {id: 1})-[:R]->(x) RETURN x.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(tags === Seq("b1", "b2"))
+    // source side infers too
+    assert(CypherLite.query(gOverlap,
+      "MATCH ()-[:R]->(b:B {id: 1}) RETURN count(*) AS n")
+      .as[Long].collect().head === 2L)
+    // pattern predicates: unlabeled tail beside a typed edge
+    assert(CypherLite.query(gOverlap,
+      "MATCH (a:A) WHERE (a)-[:R]->() RETURN count(*) AS n")
+      .as[Long].collect().head === 2L)
+    // chains propagate to fixpoint: ()-[:R]->() types both ends
+    assert(CypherLite.query(gOverlap,
+      "MATCH ()-[:R]->() RETURN count(*) AS n")
+      .as[Long].collect().head === 3L)
+  }
+
+  test("untyped directed steps expand to the matching edge types") {
+    // (a:A)-[r]-> has exactly one leaving type — expands to :R, so
+    // the overlapping-id graph is fine and type(r) resolves
+    val r = CypherLite.query(gOverlap,
+      "MATCH (a:A {id: 2})-[r]->(x) RETURN type(r) AS t, x.tag AS g")
+      .as[(String, String)].collect().toSeq
+    assert(r === Seq(("R", "b1")))
+    // no type leaves :B — pointed reject names the candidates
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(gOverlap, "MATCH (b:B)-[r]->(x) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("no edge type leaves :B"))
   }
 }
