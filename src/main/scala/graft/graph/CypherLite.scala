@@ -526,7 +526,11 @@ object CypherLite {
       // comprehension/slice results, and bare carries of a previous
       // stage's list outputs. Drives size()/head()/subscript/
       // quantifier scoping TRANSITIVELY through carries.
-      listOuts: Set[String] = Set.empty) {
+      listOuts: Set[String] = Set.empty,
+      // outputs known to be STRUCTS (map projections/literals,
+      // properties(n)) — `m.field` in later stages compiles to
+      // getField over the carried column. Transitive like listOuts.
+      structOuts: Set[String] = Set.empty) {
     /** Every name this stage leaves in scope, declaration order —
       * item outputs, unwound names, post-stage MATCH aliases. The
       * ONE definition star expansion and name resolution share.
@@ -558,6 +562,23 @@ object CypherLite {
         ri.as
       case ri if ri.agg.isEmpty && ri.prop.isEmpty && ri.caseC.isEmpty &&
           ri.arith.isEmpty && prevListOuts(ri.alias) => ri.as
+    }.toSet
+
+  /** Outputs known to be STRUCTS — map projections (`n {…}`), map
+    * literals (`{k: v}`), properties(n), and bare carries of a
+    * previous stage's struct outputs. Drives `m.field` access in
+    * later stages (getField, not a node-property attach).
+    */
+  private def stageStructOuts(items: Seq[ReturnItem],
+      prevStructOuts: Set[String]): Set[String] =
+    items.collect {
+      case ri if ri.caseC.isDefined && ri.src.exists(s =>
+          s.matches("""(?s)^(\{|[A-Za-z_][A-Za-z0-9_]*\s*\{).*""") &&
+            !s.matches("""(?is)^(count|exists)\s*\{.*""")) => ri.as
+      case ri if ri.schemaFn.exists(_._1 == "properties") => ri.as
+      case ri if ri.agg.isEmpty && ri.prop.isEmpty && ri.caseC.isEmpty &&
+          ri.arith.isEmpty && ri.schemaFn.isEmpty &&
+          prevStructOuts(ri.alias) => ri.as
     }.toSet
 
   /** One pattern clause following a WITH stage: a single chain of
@@ -2177,6 +2198,15 @@ object CypherLite {
             // a pointed reject (an unknown fn would otherwise die as
             // "trailing input")
             val fn = a.toLowerCase
+            // aggregates get their own pointed message — `WHERE
+            // count(c) > 5` and nested `max(count(c))` are the two
+            // shapes LLMs actually emit (Cypher itself forbids both)
+            require(!Set("count", "sum", "avg", "min", "max", "collect",
+              "stdev", "stdevp").contains(fn) || ArithFns(fn),
+              s"$a(…) is an aggregate — aggregates may not nest or " +
+                "appear in WHERE; aggregate in a WITH stage and " +
+                "filter/compose its OUTPUT (`WITH …, count(c) AS n " +
+                "WHERE n > 5 …`)")
             require(ArithFns(fn),
               s"unsupported function in arithmetic: '$a' " +
                 "(supported: the scalar-function set minus split)")
@@ -2656,6 +2686,20 @@ object CypherLite {
         sb += ' ' // keep token separation across the removed span
         i = close + 2
       }
+      else if (!inQ && c == '"') {
+        // double-quoted string literal — Cypher accepts both quote
+        // kinds and LLMs emit " freely; normalize to the single-quote
+        // form the whole grammar speaks. A literal containing ' would
+        // need escaping machinery the grammar doesn't have — pointed.
+        val close = stmt0.indexOf('"', i + 1)
+        require(close >= 0, "unterminated \" string literal")
+        val body = stmt0.substring(i + 1, close)
+        require(!body.contains('\''),
+          "a double-quoted literal containing ' is unsupported — " +
+            "use single quotes and drop the inner apostrophe")
+        sb += '\''; sb ++= body; sb += '\''
+        i = close + 1
+      }
       else if (!inQ && c == '`') {
         // backtick-quoted identifier (`customer`): Cypher's escape
         // syntax for names — LLMs emit it defensively around plain
@@ -2780,17 +2824,24 @@ object CypherLite {
     // plain regex split would cut the subquery in half
     val reqSegs = splitTop(
       optSegs.head.trim.replaceFirst("(?i)^MATCH\\b", ""), "MATCH")
-    // WHERE label predicates on UNLABELED pattern aliases absorb into
-    // the pattern (Neo4j: `MATCH (c) WHERE c:customer` ≡ `MATCH
-    // (c:customer)`): top-level AND conjuncts only — under OR the
-    // test is per-row and can't relabel the scan. Labeled aliases
-    // keep their conjunct (parseCond folds it statically). Textual,
-    // pre-parse: the bare `(alias)` position gains the label and the
-    // conjunct drops.
+    // STATIC WHERE predicates absorb into the pattern (top-level AND
+    // conjuncts only — under OR the test is per-row and can't reshape
+    // the scan):
+    //  - label predicates on UNLABELED aliases (Neo4j: `MATCH (c)
+    //    WHERE c:customer` ≡ `MATCH (c:customer)`) — the bare
+    //    `(alias)` position gains the label (labeled aliases keep
+    //    their conjunct; parseCond folds it statically);
+    //  - `type(r) = 'X'` / `type(r) IN ['X', …]` on an UNTYPED edge
+    //    variable — the `[r]` token gains the type (alternation for
+    //    IN), so the step scans only those edge tables instead of
+    //    filtering a label-blind union (typed tokens keep the
+    //    conjunct and reject downstream — intersecting is ambiguous).
     def absorbLabelPreds(seg: (String, Option[String]))
         : (String, Option[String]) = seg match {
       case (body, Some(w)) if splitTop(w, "OR").size == 1 =>
         var b = body
+        val TypePredRe =
+          """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(=|IN)\s*(.+)$""".r
         val kept = splitTop(w, "AND").filter { c =>
           c.trim match {
             case LabelPredRe(a, lbl) if !lbl.contains("|") =>
@@ -2802,6 +2853,23 @@ object CypherLite {
                     java.util.regex.Matcher.quoteReplacement(s"($a:$lbl)"))
                   false
                 case None => true
+              }
+            case TypePredRe(v, op, rhs) =>
+              val types: Seq[String] =
+                (if (op.equalsIgnoreCase("IN")) litListValues(rhs)
+                 else Seq(literal(rhs.trim))).collect { case s: String => s }
+              val re = ("""\[\s*""" +
+                java.util.regex.Pattern.quote(v) +
+                """\s*(\*[0-9.\s]*)?\s*\]""").r
+              re.findFirstMatchIn(b) match {
+                case Some(m) if types.nonEmpty &&
+                    re.findAllMatchIn(b).size == 1 =>
+                  val star = Option(m.group(1)).getOrElse("")
+                  b = b.substring(0, m.start) +
+                    s"[$v:${types.mkString("|")}$star]" +
+                    b.substring(m.end)
+                  false
+                case _ => true
               }
             case _ => true
           }
@@ -2939,7 +3007,13 @@ object CypherLite {
                 if (optional) optionalAliases += alias
                 Right(PatternNode(label, alias, propsOpt.map(parseProps)))
             }
-          case None => fail("expected (alias:Label {…})", rest)
+          case None =>
+            if (rest.matches(
+                "(?s)^\\(\\s*(?:[A-Za-z_][A-Za-z0-9_]*)?\\s*:\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:.*"))
+              fail("conjunction labels (n:A:B) are unsupported — " +
+                "nodes carry ONE label in this engine (alternation " +
+                "n:A|B is the supported multi-label form)", rest)
+            fail("expected (alias:Label {…})", rest)
         }
       def edge(): (String, Direction, Int, Int, Option[String]) = {
         def consume(m: scala.util.matching.Regex.Match,
@@ -3092,9 +3166,22 @@ object CypherLite {
         require(allowed(a),
           s"WHERE references alias '$a' bound by a different clause — " +
             "attach the condition to the clause that binds it")
-        // precise reject HERE, not a raw unresolved-column analysis
-        // error later: the any-node view carries only `id`
-        require(bound(a).nonEmpty || p == "id",
+        // an unlabeled alias beside a TYPED edge gets its label at
+        // query build (inferAndExpandSteps) — parse lets its property
+        // refs through; a position no typed edge touches keeps the
+        // precise parse-time reject (the any-node view carries only
+        // `id`, and a raw unresolved-column error would be cryptic)
+        def typedAdjacent: Boolean = {
+          var prev = Option(start).map(_.as).getOrElse("")
+          var hit = false
+          for (st <- steps) {
+            val f = st.from.getOrElse(prev)
+            if (st.rel.nonEmpty && (f == a || st.node.as == a)) hit = true
+            prev = st.node.as
+          }
+          hit
+        }
+        require(bound(a).nonEmpty || p == "id" || typedAdjacent,
           s"WHERE $a.$p: alias '$a' is unlabeled — the any-node view has " +
             "no properties; declare a :Label to filter on them")
         }
@@ -3254,6 +3341,10 @@ object CypherLite {
                 "WHERE arithmetic refs must be alias.prop", other)
             }
             ArithCmpE(l, r, opBuilder2(op))
+          case other if other.matches("(?is)^CASE\\b.*") => fail(
+            "CASE in WHERE is unsupported — express the condition " +
+              "with boolean operators (AND/OR/NOT), or project the " +
+              "CASE in a WITH stage and filter its output", other)
           case other => fail(
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)
@@ -3564,12 +3655,20 @@ object CypherLite {
         // `p = shortestPath((…))` keeps exactly ONE — the minimal-hop
         // path with the lexicographically-least eid list (Neo4j picks
         // an arbitrary one; this engine picks a deterministic one)
-        val (pvOpt, chain, asp, single) = chain0 match {
+        val (pvOpt, chain1, asp, single) = chain0 match {
           case AspRe(nm, inner) => (Some(nm), inner, true, false)
           case SpRe(nm, inner) => (Some(nm), inner, true, true)
           case PathVarRe(nm, rest) => (Some(nm), rest, false, false)
           case _ => (None, chain0, false, false)
         }
+        // redundant parens around a WHOLE chain (`MATCH ((a)-[:R]->
+        // (b))` — Neo4j tolerates the quantified-path-pattern
+        // grouping even unquantified) strip; a lone node's own parens
+        // survive (the inner text must itself start a node)
+        var chain = chain1
+        while (wrappedInParens(chain) &&
+            chain.substring(1).trim.startsWith("("))
+          chain = chain.substring(1, chain.length - 1).trim
         val cBefore = steps.length
         val boundBeforeChain = bound.keySet.toSet
         // path-variable parts keep the bound-anchor requirement (a
@@ -3848,6 +3947,10 @@ object CypherLite {
     // length(p) over a PATH variable keeps its own earlier route
     val SizeItemRe =
       """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // size over a SLICE of a list output — `size(xs[0..5]) AS n`
+    // (the capped-count idiom); composes the slice and size builders
+    val SizeSliceItemRe =
+      """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val SizeStrItemRe =
       """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val HeadLastItemRe =
@@ -3864,6 +3967,16 @@ object CypherLite {
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val ListSliceItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // shared 0-based end-exclusive slice builder (Cypher list slice;
+    // negative bounds count from the end)
+    def sliceCol(c: Column, fromS: String, toS: String): Column = {
+      val n = size(c)
+      def pos(v: Int): Column =
+        if (v >= 0) lit(v) else greatest(n + lit(v), lit(0))
+      val f = Option(fromS).map(s => pos(s.toInt)).getOrElse(lit(0))
+      val t = Option(toS).map(s => pos(s.toInt)).getOrElse(n)
+      slice(c, f + lit(1), greatest(t - f, lit(0)))
+    }
     // subscript/slice directly on a collect(…) CALL (not a stage
     // output) — `collect(x)[0] AS top`
     val AggSubscriptRe =
@@ -3936,7 +4049,8 @@ object CypherLite {
         aggOk: String => Boolean,
         bareAgg: String => Boolean = _ => false,
         pathOk: Boolean = false,
-        listOk: String => Boolean = _ => false): Seq[ReturnItem] = {
+        listOk: String => Boolean = _ => false,
+        structOk: String => Boolean = _ => false): Seq[ReturnItem] = {
       val raws = splitTopComma(r).toIndexedSeq
         .map(stripIdWrap).map(rewriteTemporalAcc)
       // hidden aggregate items synthesized by the arith-over-agg
@@ -4000,6 +4114,14 @@ object CypherLite {
             s"$f${if (d) "_distinct" else ""}_$t"
           }
           ReturnItem(Some(f), d, target, Option(prop), name)
+        // `m.field` where m is a previous stage's STRUCT output (a
+        // carried map projection/literal): getField over the carried
+        // column, not a node-property attach
+        case PlainItemRe(a, prop, as) if prop != null && structOk(a) =>
+          val name = Option(as).getOrElse(s"${a}_$prop")
+          ReturnItem(None, distinct = false, "", None, name,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => res(a, None).getField(prop))))
         case PlainItemRe(a, prop, as) =>
           require(if (prop != null) propOk(a) else plainOk(a),
             s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
@@ -4104,6 +4226,11 @@ object CypherLite {
         case SizeItemRe(n, as) if listOk(n) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, res => size(res(n, None)))))
+        // size of a SLICE of a list output — compose slice then size
+        case SizeSliceItemRe(src, fromS, toS, as) if listOk(src) =>
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => size(sliceCol(res(src, None), fromS, toS)))))
         // size(alias.prop) — Cypher's size() over a STRING property
         // (character count; properties are scalar in this data model,
         // so the dotted form is always the string semantics)
@@ -4218,16 +4345,8 @@ object CypherLite {
         // Negative bounds count from the end (resolved via size()).
         case ListSliceItemRe(src, fromS, toS, as) if listOk(src) =>
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, res => {
-              val c = res(src, None)
-              val n = size(c)
-              def pos(v: Int): Column =
-                if (v >= 0) lit(v) else greatest(n + lit(v), lit(0))
-              val f = Option(fromS).map(s => pos(s.toInt)).getOrElse(lit(0))
-              val t = Option(toS).map(s => pos(s.toInt)).getOrElse(n)
-              val len = greatest(t - f, lit(0))
-              slice(c, f + lit(1), len)
-            })))
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => sliceCol(res(src, None), fromS, toS))))
         // PATTERN COMPREHENSION — `[(a)-[:R]->(b) [WHERE …] | b.prop]
         // AS xs`: an EXISTS-style local sub-pattern anchored at a
         // bound alias, yielding the SORTED list of the value
@@ -4901,7 +5020,8 @@ object CypherLite {
           (starNames :+ rest.substring(1).trim).mkString(", ")
         } else itemsTxt2
       val items = parseItems(itemsTxt3, "WITH", plainOk, propOk, aggOk, bareAggOk,
-        pathOk = prev.isEmpty, listOk = listOkW)
+        pathOk = prev.isEmpty, listOk = listOkW,
+        structOk = prev.map(_.structOuts).getOrElse(Set.empty))
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
       require(!wDistinct || items.forall(_.agg.isEmpty),
@@ -5163,7 +5283,9 @@ object CypherLite {
         wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
         unwinds = unwinds, postMatches = postMatches,
-        listOuts = stageListOuts(items, prevListOuts))
+        listOuts = stageListOuts(items, prevListOuts),
+        structOuts = stageStructOuts(items,
+          prev.map(_.structOuts).getOrElse(Set.empty)))
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -5239,7 +5361,9 @@ object CypherLite {
         listOk = withClauses.lastOption match {
           case Some(w) => w.listOuts
           case None => _ => false
-        })
+        },
+        structOk = withClauses.lastOption.map(_.structOuts)
+          .getOrElse(Set.empty))
       }
     }
     require(returns.map(_.as).distinct.size == returns.size,

@@ -2700,6 +2700,34 @@ object GraphOps {
              |WHERE n_name = 'NATION_3'
              |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G113 the OPTIONAL MATCH + IS NULL not-exists idiom — Cypher's
+    // classic anti-join spelling (`WITH c, o WHERE o IS NULL`); the
+    // left join's null carries through the stage filter.
+    QueryDef(
+      "g113_cypher_optional_null",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |OPTIONAL MATCH (c)-[:HAS_ORDER]->(o:orders)
+          |WITH c, o WHERE o IS NULL
+          |RETURN count(c) AS n""".stripMargin),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey)""".stripMargin)
+    ),
+    // G114 double-quoted literals + type(r) absorption — " strings
+    // normalize to ' in preprocess, and a top-level `type(r) IN […]`
+    // conjunct types the untyped edge token itself (the step scans
+    // only those edge tables, never a label-blind union).
+    QueryDef(
+      "g114_cypher_type_filter",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[r]->(x)
+          |WHERE type(r) IN ["HAS_CUSTOMER"] AND x.c_acctbal > 9000.0
+          |RETURN count(*) AS n""".stripMargin),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0""".stripMargin)
     )
   )
 

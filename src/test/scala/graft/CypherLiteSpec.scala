@@ -619,11 +619,17 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
-  test("WHERE on an unlabeled alias's property rejects loudly at parse") {
+  test("WHERE on an unlabeled, uninferable alias's property rejects loudly at parse") {
+    // an UNTYPED edge gives inference nothing to type the position
+    // with — the precise parse-time reject stands
     intercept[IllegalArgumentException] {
-      CypherLite.parse("(a)-[:E]->(b:N) WHERE a.tag = 'x'")
+      CypherLite.parse("(a)-[e]->(b) WHERE a.tag = 'x'")
     }
-    // …but filtering the unlabeled alias's id is fine
+    // beside a TYPED edge the label is inferable at query build
+    // (round-13), so parse lets the property ref through
+    val inf = CypherLite.parse("(a)-[:E]->(b:N) WHERE a.tag = 'x'")
+    assert(inf.labels("a") === "")
+    // …and filtering the unlabeled alias's id is always fine
     val ok = CypherLite.parse("(a)-[:E]->(b:N) WHERE a.id > 0")
     assert(ok.labels("a") === "")
   }
@@ -3694,6 +3700,71 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(gOverlap,
       "MATCH ()-[:R]->() RETURN count(*) AS n")
       .as[Long].collect().head === 3L)
+  }
+
+  test("double-quoted string literals normalize to single quotes") {
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag = \"a4\" RETURN count(*) AS n")
+      .as[Long].collect().head === 1L)
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) WHERE a.tag = \"it's\" RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("containing '"))
+  }
+
+  test("type(r) predicates absorb into untyped edge tokens") {
+    // `= 'R1'` types the step — the overlap-id graph is fine after
+    val n1 = CypherLite.query(gOverlap,
+      "MATCH (a:A)-[r]->(x) WHERE type(r) = 'R' RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n1 === 3L)
+    // IN-list becomes an alternation (single member here)
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A)-[r]->(x) WHERE type(r) IN ['R1'] AND x.tag = 'b2' " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n2 === 2L)
+  }
+
+  test("redundant parens around a whole chain strip") {
+    assert(CypherLite.query(g,
+      "MATCH ((a:A)-[:R1]->(b:B)) RETURN count(*) AS n")
+      .as[Long].collect().head === 3L)
+  }
+
+  test("struct outputs carry through WITH; m.field reads via getField") {
+    val nm = CypherLite.query(g,
+      "MATCH (a:A) WITH a {.tag} AS m RETURN m.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(nm === Seq("a1", "a4"))
+    // transitively through a second stage's bare carry
+    val nm2 = CypherLite.query(g,
+      "MATCH (a:A) WITH a {.tag, twice: a.id * 2} AS m " +
+        "WITH m RETURN m.twice AS d ORDER BY d")
+      .as[Long].collect().toSeq
+    assert(nm2 === Seq(2L, 8L))
+  }
+
+  test("size over a slice of a list output composes") {
+    val s = CypherLite.query(g,
+      "MATCH (b:B) WITH collect(b.tag) AS xs RETURN size(xs[0..1]) AS s")
+      .as[Int].collect().head
+    assert(s === 1)
+  }
+
+  test("pointed rejects: aggregates in WHERE/nested, conjunction labels, CASE in WHERE") {
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) WHERE count(a) > 1 RETURN count(*) AS n")
+      .contains("aggregate in a WITH stage"))
+    assert(rej("MATCH (a:A) RETURN max(count(a)) AS m")
+      .contains("may not nest"))
+    assert(rej("MATCH (a:A:B) RETURN count(*) AS n")
+      .contains("conjunction labels"))
+    assert(rej("MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN true ELSE " +
+      "false END RETURN count(*) AS n")
+      .contains("CASE in WHERE is unsupported"))
   }
 
   test("untyped directed steps expand to the matching edge types") {
