@@ -136,6 +136,37 @@ class PlanSpec extends SparkSpec {
     assert(p34.contains("LeftAnti"), "NOT pattern must compile to an anti-join")
   }
 
+  test("g107 label absorption relabels the scan — no any-node union, filter pushed") {
+    // `MATCH (c) WHERE c:customer AND c.c_acctbal > 9900` must scan
+    // ONLY customer.parquet (the absorb rewrite types the scan at
+    // parse), with the numeric predicate pushed into it — the label
+    // predicate itself costs nothing at runtime
+    val p = plan("g107_cypher_label_predicate")
+    assert(p.contains("GreaterThan(c_acctbal,9900.0)"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(!p.contains("orders.parquet") && !p.contains("nation.parquet"),
+      "the label-predicate scan must touch only the customer table")
+    assert(!p.contains("Union"), "no any-node union view may survive")
+  }
+
+  test("g112 step expansion scans only the matching edge table; no all-edges union") {
+    // the untyped `-[r]->` from :nation expands to HAS_CUSTOMER at
+    // query build — the plan must not union every edge table, and the
+    // pattern predicate stays a semi-join
+    val p = plan("g112_cypher_step_inference")
+    assert(p.contains("LeftSemi"),
+      "the (x)-[:HAS_ORDER]->() predicate must compile to a semi-join")
+    assert(!p.contains("region.parquet"),
+      "expansion must not scan edge tables that cannot match")
+  }
+
+  test("g113 OPTIONAL MATCH + IS NULL compiles to a left join then null filter, broadcast") {
+    val p = plan("g113_cypher_optional_null")
+    assert(p.contains("BroadcastHashJoin") || p.contains("LeftOuter"),
+      "the optional step must be an outer/broadcast join, not sort-merge")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("g42 UNION ALL concatenates shuffle-free — no dedup aggregate") {
     // UNION ALL is a plan-level Union of the parts: the only exchange
     // allowed is the final deterministic-output sort. A HashAggregate
