@@ -721,7 +721,7 @@ object CypherLite {
   // (round scale, substring start/length) are literal ints. IN /
   // IS NULL don't compose with the wrap.
   private val ScalarFnAlt =
-    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|split|sqrt|ceil|floor|sign|exp|log10|log|sin|cos|tan|asin|acos|atan"""
+    """toLower|toUpper|ltrim|rtrim|trim|abs|round|datetime|date|substring|replace|left|right|reverse|toString|toInteger|toFloat|toBoolean|year|month|day|week|quarter|split|sqrt|ceil|floor|sign|exp|log10|log|sin|cos|tan|asin|acos|atan"""
   private val WhereFnCondRe =
     s"""^(?i:($ScalarFnAlt))\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*([^)]*?)\\s*)?\\)\\s*($OpAlt)\\s*(.+)$$""".r
   // `fn(name) OP …` — scalar wraps over BARE stage-output names in a
@@ -996,6 +996,11 @@ object CypherLite {
     out.toString
   }
   private val PatPredBareNotRe = """(?is)^NOT\s+(\(.*)$""".r
+  // arithmetic-LHS list membership (`c.key % 5 IN [0, 1]`)
+  private val ArithInRe = """(?is)^(.+?)\s+IN\s+(\[.*\])$""".r
+  // literal-LHS comparison (`0 <= c.bal`) — mirrored in parseCond
+  private val LitLhsCmpRe =
+    """(?s)^('[^']*'|-?\d+(?:\.\d+)?|(?i:true|false))\s*(<=|>=|<>|=|<|>)\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
   private val PatternShapeRe = """\)\s*<?-\s*\[""".r
 
   private def fail(msg: String, rest: String): Nothing =
@@ -1127,7 +1132,7 @@ object CypherLite {
   // `WITH … AS d`) collide with the alias.prop grammar and stay
   // unsupported — wrap at the source item instead.
   private val TemporalAccRe =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\.(year|month|day)\b""".r
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\.(year|month|day|week|quarter)\b""".r
   // `date.truncate('unit', x)` / `datetime.truncate('unit', x)` —
   // Neo4j's temporal truncation (the group-by-month idiom). The
   // dotted name can't be a call primary in the arithmetic grammar, so
@@ -1417,6 +1422,8 @@ object CypherLite {
       case "year"  => noArgs(); year(_)
       case "month" => noArgs(); month(_)
       case "day"   => noArgs(); dayofmonth(_)
+      case "week"    => noArgs(); weekofyear(_)
+      case "quarter" => noArgs(); quarter(_)
       // split(s, 'delim') — Cypher's LITERAL delimiter split (Spark's
       // split takes a regex, so the delimiter is quoted); yields a
       // LIST usable by the stage list machinery (size, subscripts,
@@ -1889,7 +1896,7 @@ object CypherLite {
     "tolower", "toupper", "trim", "ltrim", "rtrim", "reverse", "replace",
     "left", "right", "abs", "date", "datetime", "tostring", "tointeger",
     "tofloat", "toboolean", "size", "round", "substring", "year", "month",
-    "day", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
+    "day", "week", "quarter", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds",
     "durshift")
@@ -2060,6 +2067,8 @@ object CypherLite {
       case "year"  => year(one())
       case "month" => month(one())
       case "day"   => dayofmonth(one())
+      case "week"    => weekofyear(one())
+      case "quarter" => quarter(one())
       case "sqrt"  => sqrt(one())
       case "ceil"  => ceil(one()).cast("double")
       case "floor" => floor(one()).cast("double")
@@ -2725,7 +2734,44 @@ object CypherLite {
       }
       else { sb += c; i += 1 }
     }
-    val s = sb.result().trim.replaceAll(";+\\s*$", "").trim
+    val s0out = sb.result().trim.replaceAll(";+\\s*$", "").trim
+    // `date({year: Y, month: M, day: D})` / `datetime({… hour: H,
+    // minute: I, second: S})` — Neo4j's component map constructors;
+    // all components are integer literals, so the value folds
+    // DRIVER-SIDE into the quoted temporal literal the whole grammar
+    // already takes (exact java.time validation — a bad component
+    // date like month: 13 rejects here, not as a null downstream)
+    val MapCtorRe =
+      """(?i)\b(date|datetime)\s*\(\s*\{([^}]*)\}\s*\)""".r
+    val s = MapCtorRe.replaceAllIn(s0out, m => {
+      val units = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val parts = kv.split(":", 2)
+          require(parts.length == 2 && parts(1).trim.matches("-?\\d+"),
+            s"${m.group(1)}({…}): components are unit: int — got '$kv'")
+          parts(0).trim.toLowerCase -> parts(1).trim.toInt
+        }.toMap
+      val bad = units.keySet --
+        Set("year", "month", "day", "hour", "minute", "second")
+      require(bad.isEmpty,
+        s"${m.group(1)}({…}): unsupported component(s) ${bad.mkString(", ")}")
+      require(units.contains("year"),
+        s"${m.group(1)}({…}) needs at least a year component")
+      val d = java.time.LocalDate.of(units("year"),
+        units.getOrElse("month", 1), units.getOrElse("day", 1))
+      val isDate = m.group(1).equalsIgnoreCase("date")
+      require(!isDate || (units.keySet &
+          Set("hour", "minute", "second")).isEmpty,
+        "date({…}) with time components — use datetime({…})")
+      java.util.regex.Matcher.quoteReplacement(
+        if (isDate) s"date('$d')"
+        else {
+          val t = java.time.LocalDateTime.of(d.getYear, d.getMonthValue,
+            d.getDayOfMonth, units.getOrElse("hour", 0),
+            units.getOrElse("minute", 0), units.getOrElse("second", 0))
+          s"datetime('$t')"
+        })
+    })
     val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
     // quote-aware probe: blank quoted spans first
     val blanked = s.replaceAll("'[^']*'", "''")
@@ -3191,13 +3237,28 @@ object CypherLite {
       // pre-join semi-join form) or the joined path frame
       // (col(alias__w_prop), the row-filter form)
       val PropRefRe = """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
-      def parseCond(cond: String): BoolExpr =
+      def parseCond(cond: String): BoolExpr = {
         // a leading `id(alias)` reads the alias's id column — rewrite
         // to the dotted form the atom grammar already compiles;
         // temporal accessors (`o.d.year`) rewrite to their fn-wrap
         // form first (quote-aware)
-        IdLhsRe.replaceFirstIn(
-          rewriteTemporalAcc(cond.trim), "$1.id ").trim match {
+        val c0 = IdLhsRe.replaceFirstIn(
+          rewriteTemporalAcc(cond.trim), "$1.id ").trim
+        // CHAINED comparison (`0 <= c.bal <= 1000`, Cypher's range
+        // shorthand) — conjunction of the adjacent pairs; `=~` never
+        // chains (its '~' tail yields no second comparison)
+        splitTopCmp(c0) match {
+          case Some((l, op1, rest)) => splitTopCmp(rest) match {
+            case Some((m, op2, r))
+                if Seq(l, m, r).forall(_.trim.nonEmpty) &&
+                  !m.trim.startsWith("~") =>
+              return AndE(Seq(parseCond(s"${l.trim} $op1 ${m.trim}"),
+                parseCond(s"${m.trim} $op2 ${r.trim}")))
+            case _ =>
+          }
+          case None =>
+        }
+        c0 match {
           // label predicate (`c:customer`, `n:A|B`) — an alias's
           // label is STATIC here (its table is fixed at parse), so
           // the test folds to a constant: true when the alias's
@@ -3318,6 +3379,39 @@ object CypherLite {
               // a pure filter on the stage column (row-filter path)
               case _ => StageLitE(nm, opBuilder(op, rest.trim))
             }
+          // REVERSED literal comparison — `0 <= c.bal` (the shape the
+          // chained-comparison split produces, and an occasional LLM
+          // emission): mirror the operator onto the canonical
+          // alias.prop-first form
+          case LitLhsCmpRe(v, op, a, p) =>
+            checkAlias(a, p)
+            val mirrored = op match {
+              case "<" => ">"
+              case "<=" => ">="
+              case ">" => "<"
+              case ">=" => "<="
+              case other2 => other2 // = and <> are symmetric
+            }
+            AtomE(a, p, opBuilder(mirrored, v))
+          // ARITHMETIC membership — `c.key % 5 IN [0, 1]`: the LHS
+          // compiles as arithmetic, the list as an OR of equalities
+          // (small literal lists only — the shape LLMs emit)
+          case ArithInRe(lhs, listTxt)
+              if (lhs.exists("+-*/%^".contains(_)) ||
+                FnCallHeadRe.findFirstIn(lhs).isDefined) &&
+                balancedParens(lhs) =>
+            val l = parseArith(lhs.trim)
+            for ((a2, pOpt) <- arithRefs(l)) pOpt match {
+              case Some(p2) => checkAlias(a2, p2)
+              case None => fail(
+                "WHERE arithmetic refs must be alias.prop", cond)
+            }
+            val vals = litListValues(listTxt)
+            require(vals.nonEmpty, "IN [] is always false — empty list")
+            OrE(vals.map {
+              case sv: String => ArithCmpE(l, StrA(sv), opBuilder2("="))
+              case nv => ArithCmpE(l, NumA(nv), opBuilder2("="))
+            })
           // ARITHMETIC comparison — `c.x % 2 = 0`, `a.x + 1 > b.y`:
           // tried after every shaped atom missed; both sides compile
           // as arithmetic over dotted refs and literals. Single-alias
@@ -3349,6 +3443,7 @@ object CypherLite {
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)
         }
+      }
       // each top-level conjunct compiles by its alias span: ONE alias
       // → a node predicate (semi-join at the pattern position, before
       // the path join — the fast path); SEVERAL aliases (`a.x = 1 OR
@@ -3942,6 +4037,8 @@ object CypherLite {
     }
     val NodesItemRe =
       """(?is)^nodes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val LabelsIdxItemRe =
+      """(?is)^labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // length() is accepted as the LEGACY alias of size() over
     // strings and lists (old-Cypher emission LLMs still produce);
     // length(p) over a PATH variable keeps its own earlier route
@@ -3990,6 +4087,10 @@ object CypherLite {
     // `size([x IN xs WHERE c]) AS n`, the filtered-count idiom
     val SizeOfListExprRe =
       """(?is)^size\s*\((\[.*\])\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // size/head/last over a split(…) call — the wrap folds over the
+    // recursively-compiled list (see the case site)
+    val FnOfSplitRe =
+      """(?is)^(size|length|head|last)\s*\(\s*(split\s*\(.+\))\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // list literal of expressions — `[c.a, c.b] AS pair` (guarded
     // away from comprehensions and pattern comprehensions at the
     // case site)
@@ -4270,6 +4371,23 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty,
               res => try_element_at(res(n, None), lit(idx)))))
+        // head/last/size over a split(…) CALL — tried before the
+        // pointed reject below (the only other list-producing call)
+        case FnOfSplitRe(fn, call, as) =>
+          val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 && its.head.caseC.isDefined &&
+            its.head.agg.isEmpty,
+            s"'$call': not a scalar list expression")
+          val cc = its.head.caseC.get
+          val wrap: Column => Column = fn.toLowerCase match {
+            case "size" | "length" => size(_)
+            case "head" => try_element_at(_, lit(1))
+            case _ => try_element_at(_, lit(-1)) // last
+          }
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(cc.refs,
+              res => wrap(cc.build(res)))))
         case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
           fail("head()/last() take a previous WITH stage's collect(…) " +
             "output and an AS name", other)
@@ -4496,6 +4614,17 @@ object CypherLite {
               "carries no label)")
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq.empty, _ => array(lit(lbl)))))
+        // `labels(n)[0] AS l` — single-label model: index 0 is the
+        // label, anything else is out of range (null, Cypher reads)
+        case LabelsIdxItemRe(a, idx, as) if pathOk && bound.contains(a) =>
+          val lbl = bound(a)
+          require(lbl.nonEmpty,
+            s"labels($a): alias '$a' is unlabeled (the any-node view " +
+              "carries no label)")
+          val v = if (idx.toInt == 0 || idx.toInt == -1) lit(lbl)
+            else lit(null)
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, _ => v)))
         case other if other.matches("(?is)^labels\\s*\\(.*") =>
           fail("labels() takes a labeled pattern alias (pattern scope " +
             "only) and an AS name", other)
@@ -4821,7 +4950,7 @@ object CypherLite {
           // synthetic name — rewrite to its fn-wrap (`year(__agg_…)`)
           // so the residual parses as ordinary post-agg arithmetic
           val residualAcc =
-            """\b(__agg_\w+)\.(?i:(year|month|day))\b""".r
+            """\b(__agg_\w+)\.(?i:(year|month|day|week|quarter))\b""".r
               .replaceAllIn(residual,
                 m => s"${m.group(2).toLowerCase}(${m.group(1)})")
           val ae = parseArith(residualAcc)
@@ -5654,6 +5783,17 @@ object CypherLite {
     if (!spark.conf.get("graft.cypher.validateUntypedIds", "true").toBoolean) return
     val fp = graphFingerprint(g)
     if (uniqueIdVerdicts.containsKey(fp)) return
+    // id-TYPE gate first: mixed Long/String id spaces can never
+    // satisfy the untyped contract (and the union below would coerce
+    // or die cryptically) — reject pointedly naming the labels
+    val idTypes = g.nodes.toSeq.sortBy(_._1)
+      .map { case (l, df) => l -> df.schema("id").dataType }
+    require(idTypes.map(_._2).distinct.size == 1,
+      "untyped pattern over MIXED id types (" +
+        idTypes.map { case (l, t) => s"$l:${t.simpleString}" }
+          .mkString(", ") +
+        ") — label-blind traversal needs ONE id type; type the " +
+        "edge (`-[:REL]->`) or normalize ids")
     val perLabel = g.nodes.toSeq.sortBy(_._1)
       .map { case (_, df) => df.select(col("id")).distinct() }
     val total = perLabel.map(_.count()).sum

@@ -263,6 +263,20 @@ final case class PropertyGraph(
       def stepRel(withEid: Boolean): DataFrame =
         if (anyRel) {
           require(edges.nonEmpty, "untyped step needs at least one edge table")
+          // id-TYPE soundness: the label-blind union coerces src/dst
+          // columns to one type — mixed Long/String id spaces would
+          // die in a cryptic cast (or silently coerce) mid-union, so
+          // reject pointedly naming the offenders
+          val idTypes = edges.toSeq.flatMap { case (rn, (_, _, e)) =>
+            Seq(rn -> e.schema("src").dataType,
+              rn -> e.schema("dst").dataType)
+          }
+          require(idTypes.map(_._2).distinct.size == 1,
+            "untyped step unions edge tables with MIXED id types (" +
+              idTypes.map { case (rn, t) => s"$rn:${t.simpleString}" }
+                .distinct.mkString(", ") +
+              ") — type the edge (`-[:REL]->`) or normalize ids to " +
+              "one type")
           edges.toSeq.sortBy(_._1)
             .map { case (rn, (sl, dl, e)) => oriented(rn, sl, dl, e, withEid) }
             .reduce(_ unionAll _)

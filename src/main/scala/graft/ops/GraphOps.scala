@@ -2728,6 +2728,26 @@ object GraphOps {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9000.0""".stripMargin)
+    ),
+    // G115 probe-6 temporal + range batch — week/quarter accessors
+    // (weekofyear/quarter folds), the date({year, month, day}) map
+    // constructor (folded driver-side via java.time), and a CHAINED
+    // comparison (`a <= x <= b` → conjunction of adjacent pairs).
+    QueryDef(
+      "g115_cypher_week_quarter",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (o:orders)
+          |WHERE date({year: 1998, month: 1, day: 1}) <= o.o_orderdate
+          |      <= date({year: 1998, month: 3, day: 31})
+          |RETURN o.o_orderdate.quarter AS q, o.o_orderdate.week AS w,
+          |       count(*) AS n""".stripMargin)),
+      Some("""SELECT CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |       CAST(weekofyear(o_orderdate) AS INTEGER) AS w,
+             |       count(*) AS n
+             |FROM orders
+             |WHERE o_orderdate >= DATE '1998-01-01'
+             |  AND o_orderdate <= DATE '1998-03-31'
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -3767,6 +3767,98 @@ class CypherLiteSpec extends SparkSpec {
       .contains("CASE in WHERE is unsupported"))
   }
 
+  test("week/quarter accessors fold to weekofyear/quarter") {
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
+        .toDF("id", "d")
+        .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))),
+      edges = Map.empty)
+    val r = CypherLite.query(dg,
+      "MATCH (o:O) RETURN o.d.week AS w, o.d.quarter AS q ORDER BY q")
+      .as[(Int, Int)].collect().toSeq
+    assert(r === Seq((2, 1), (28, 3)))
+    // in WHERE too
+    assert(CypherLite.query(dg,
+      "MATCH (o:O) WHERE o.d.quarter = 3 RETURN count(*) AS n")
+      .as[Long].collect().head === 1L)
+  }
+
+  test("date({year, month, day}) map constructors fold driver-side") {
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
+        .toDF("id", "d")
+        .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))),
+      edges = Map.empty)
+    assert(CypherLite.query(dg,
+      "MATCH (o:O) WHERE o.d >= date({year: 1998, month: 7, day: 1}) " +
+        "RETURN count(*) AS n").as[Long].collect().head === 1L)
+    // bad components reject at parse with java.time's validation
+    intercept[Exception] {
+      CypherLite.query(dg,
+        "MATCH (o:O) WHERE o.d >= date({year: 1998, month: 13}) " +
+          "RETURN count(*) AS n")
+    }
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(dg,
+        "MATCH (o:O) WHERE o.d >= date({year: 1998, hour: 3}) " +
+          "RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("use datetime"))
+  }
+
+  test("head/last/size compose over split() calls") {
+    val sg = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "alpha-beta-gamma")).toDF("id", "nm")),
+      edges = Map.empty)
+    val r = CypherLite.query(sg,
+      "MATCH (n:N) RETURN head(split(n.nm, '-')) AS h, " +
+        "last(split(n.nm, '-')) AS l, size(split(n.nm, '-')) AS s")
+      .as[(String, String, Int)].collect().head
+    assert(r === (("alpha", "gamma", 3)))
+  }
+
+  test("labels(n)[0] reads the single label") {
+    val r = CypherLite.query(g,
+      "MATCH (a:A {id: 1}) RETURN labels(a)[0] AS l").as[String]
+      .collect().head
+    assert(r === "A")
+  }
+
+  test("chained and reversed-literal comparisons compile") {
+    // chained: conjunction of adjacent pairs
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE 1 <= a.id <= 3 RETURN count(*) AS n")
+      .as[Long].collect().head === 1L)
+    // reversed literal LHS mirrors the operator
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE 4 = a.id RETURN count(*) AS n")
+      .as[Long].collect().head === 1L)
+  }
+
+  test("arithmetic-LHS IN list expands to equality disjunction") {
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id % 3 IN [1, 2] RETURN count(*) AS n")
+      .as[Long].collect().head === 2L)
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) WHERE a.id % 3 IN [] RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("empty list"))
+  }
+
+  test("mixed id types reject pointedly on untyped routes") {
+    val mixed = PropertyGraph(
+      nodes = Map(
+        "L" -> Seq((1L, "x")).toDF("id", "tag"),
+        "S" -> Seq(("s1", "y")).toDF("id", "tag")),
+      edges = Map("R" -> (("L", "S",
+        Seq((1L, "s1")).toDF("src", "dst")))))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mixed, "MATCH (a)-[r*1..2]-(b) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("MIXED id types"), e.getMessage)
+  }
+
   test("untyped directed steps expand to the matching edge types") {
     // (a:A)-[r]-> has exactly one leaving type — expands to :R, so
     // the overlapping-id graph is fine and type(r) resolves
