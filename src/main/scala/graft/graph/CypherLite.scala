@@ -1899,7 +1899,7 @@ object CypherLite {
     "day", "week", "quarter", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds",
-    "durshift")
+    "durshift", "head", "last")
 
   /** Pull top-level AGGREGATE calls out of an item body — the
     * `max(x) - min(x) AS r` route: returns the residual text (each
@@ -2122,6 +2122,11 @@ object CypherLite {
       // (DurUnitCallRe): whole days via datediff (a DuckDB oracle
       // replays with date_diff('day', a, b)), whole seconds via epoch
       // subtraction (date_diff('second', a, b))
+      // head/last over a list-valued primary (`toUpper(head(split(
+      // c.n, ' ')))` — the wrapped-first-token idiom); out-of-range
+      // reads null like the item forms
+      case "head" => try_element_at(one(), lit(1))
+      case "last" => try_element_at(one(), lit(-1))
       case "durindays" =>
         val Seq(a, b) = nArgs(2, 2)
         datediff(to_date(b), to_date(a)).cast("long")
@@ -3196,7 +3201,11 @@ object CypherLite {
       */
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty,
-        stageOuts: Set[String] = Set.empty)
+        stageOuts: Set[String] = Set.empty,
+        // steps NOT in the parse-global buffer (post-WITH MATCH
+        // clauses keep theirs local) — the typed-adjacency relaxation
+        // below walks them too
+        clauseSteps: Seq[PatternStep] = Seq.empty)
         : (Map[String, PatternNode], Seq[RowPred],
            Map[String, (Column, Seq[String])]) = {
       def checkAlias(a: String, p: String): Unit = {
@@ -3218,14 +3227,18 @@ object CypherLite {
         // precise parse-time reject (the any-node view carries only
         // `id`, and a raw unresolved-column error would be cryptic)
         def typedAdjacent: Boolean = {
-          var prev = Option(start).map(_.as).getOrElse("")
-          var hit = false
-          for (st <- steps) {
-            val f = st.from.getOrElse(prev)
-            if (st.rel.nonEmpty && (f == a || st.node.as == a)) hit = true
-            prev = st.node.as
+          def walk(sts: Iterable[PatternStep], prev0: String): Boolean = {
+            var prev = prev0
+            var hit = false
+            for (st <- sts) {
+              val f = st.from.getOrElse(prev)
+              if (st.rel.nonEmpty && (f == a || st.node.as == a)) hit = true
+              prev = st.node.as
+            }
+            hit
           }
-          hit
+          walk(steps, Option(start).map(_.as).getOrElse("")) ||
+            walk(clauseSteps, nodes.headOption.map(_.as).getOrElse(""))
         }
         require(bound(a).nonEmpty || p == "id" || typedAdjacent,
           s"WHERE $a.$p: alias '$a' is unlabeled — the any-node view has " +
@@ -3961,6 +3974,9 @@ object CypherLite {
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // collect over a map projection — `collect(c {.name}) AS rows`
+    val AggMapProjRe =
+      """(?is)^collect\s*\(\s*([A-Za-z_][A-Za-z0-9_]*\s*\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // scalar-function wraps as items — `toLower(n.name) AS x`,
     // `round(o.price, 2) AS r`, `substring(n.name, 0, 3) AS pre` — and
     // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`,
@@ -4229,6 +4245,18 @@ object CypherLite {
           val name = Option(as).getOrElse(
             Option(prop).map(p => s"${a}_$p").getOrElse(a))
           ReturnItem(None, distinct = false, a, Option(prop), name)
+        // collect over a MAP PROJECTION — `collect(c {.name, .age})
+        // AS rows`, the rows-as-maps idiom: the projection compiles
+        // recursively, collect folds over the struct (sorted like
+        // every collect here — struct ordering is field-wise)
+        case AggMapProjRe(body, as) =>
+          val its = parseItems(s"$body AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 && its.head.caseC.isDefined &&
+            its.head.agg.isEmpty,
+            s"collect(…): '$body' did not compile to a map projection")
+          ReturnItem(Some("collect"), distinct = false, "", None, as,
+            caseC = its.head.caseC)
         // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
         // ELSE 0 END) AS n`, the conditional-count idiom. Tried
         // before the arithmetic cases: a CASE body may contain + - * /
@@ -4931,6 +4959,17 @@ object CypherLite {
         // over those outputs, applied AFTER the aggregation
         // (ReturnItem.postArith). Tried before the plain-arith route,
         // whose grammar has no aggregate primaries.
+        // re-entry guard: when the body IS one aggregate call whose
+        // internals no earlier route accepted (`count(DISTINCT
+        // type(r))`), the residual is the LONE synthetic name — the
+        // recursion would re-derive this same case forever (a
+        // StackOverflowError before round 13). Pointed reject.
+        case AggOverAsRe(body, _)
+            if extractAggCalls(body, "x")._2.nonEmpty &&
+              extractAggCalls(body, "x")._1.trim == "__agg_x_0" =>
+          fail("unsupported aggregate body — aggregate over " +
+            "alias[.prop], arithmetic, CASE, or a scalar wrap " +
+            "(DISTINCT only over a plain alias[.prop])", body)
         case AggOverAsRe(body, as)
             if extractAggCalls(body, "x")._2.nonEmpty =>
           val (residual, calls) = extractAggCalls(body, as)
@@ -5382,6 +5421,15 @@ object CypherLite {
           var anchorPred: Option[Column] = rootOpt.flatMap(_.pred)
           var clauseRps: Seq[RowPred] = Seq.empty
           for (w <- whereOpt) {
+            // pattern predicates ride the REQUIRED path frame's
+            // semi/anti machinery, which a post-WITH clause no longer
+            // has — pointed reject, not an atom-grammar misparse
+            require(PatternShapeRe.findFirstIn(
+                w.replaceAll("'[^']*'", "''")).isEmpty,
+              "pattern predicates (EXISTS { }, COUNT { }, bare chains) " +
+                "in a post-WITH MATCH WHERE are unsupported — filter " +
+                "before the WITH, or make the predicate pattern part " +
+                "of the MATCH itself")
             val ns = PatternNode(anchorLabel, anchor, anchorPred) +:
               clauseSteps.toSeq.map(_.node)
             val (upd, rps, relPs) = applyWhere(w, ns.map(_.as).toSet, ns,
@@ -5389,7 +5437,8 @@ object CypherLite {
               // the clause WHERE may compare a clause alias's property
               // against a PREVIOUS-STAGE output (`… WHERE c.prop > m`)
               // — post-join row filters, required clauses only
-              stageOuts = outNames ++ unwinds.map(_._2))
+              stageOuts = outNames ++ unwinds.map(_._2),
+              clauseSteps = clauseSteps.toSeq)
             require(!isOpt || rps.forall(!_.needsStage),
               "OPTIONAL MATCH WHERE may not reference stage outputs — " +
                 "a post-join filter would delete outer rows; filter in " +
@@ -5783,12 +5832,17 @@ object CypherLite {
     if (!spark.conf.get("graft.cypher.validateUntypedIds", "true").toBoolean) return
     val fp = graphFingerprint(g)
     if (uniqueIdVerdicts.containsKey(fp)) return
-    // id-TYPE gate first: mixed Long/String id spaces can never
-    // satisfy the untyped contract (and the union below would coerce
-    // or die cryptically) — reject pointedly naming the labels
+    // id-TYPE gate first: a String/numeric id mix can never satisfy
+    // the untyped contract (and the union below would coerce or die
+    // cryptically) — reject pointedly naming the labels. Numeric
+    // WIDTHS (int vs bigint) widen losslessly and stay allowed.
     val idTypes = g.nodes.toSeq.sortBy(_._1)
       .map { case (l, df) => l -> df.schema("id").dataType }
-    require(idTypes.map(_._2).distinct.size == 1,
+    def family(t: org.apache.spark.sql.types.DataType): String = t match {
+      case _: org.apache.spark.sql.types.NumericType => "numeric"
+      case other => other.simpleString
+    }
+    require(idTypes.map(t => family(t._2)).distinct.size == 1,
       "untyped pattern over MIXED id types (" +
         idTypes.map { case (l, t) => s"$l:${t.simpleString}" }
           .mkString(", ") +
@@ -6386,9 +6440,9 @@ object CypherLite {
     *     the untyped route (the global-unique-id contract).
     *
     * Applies to the main chain, OPTIONAL MATCH clauses, disconnected
-    * components, and the pattern-predicate/count/flag/comprehension
-    * sub-patterns. Post-WITH MATCH clauses are compiled from text
-    * later and keep their own resolution.
+    * components, the pattern-predicate/count/flag/comprehension
+    * sub-patterns, and post-WITH MATCH clauses (anchored at their
+    * resolved carry labels).
     */
   private def inferAndExpandSteps(g: PropertyGraph, p: Parsed): Parsed = {
     val edgeEp: Map[String, (String, String)] =
@@ -6505,6 +6559,20 @@ object CypherLite {
       val (_, sts) = chain(None, pp.steps, labels, Some(pp.anchor))
       pp.copy(steps = sts)
     }
+    // post-WITH MATCH clauses refine too (their anchor label is
+    // resolved at parse; later stages may anchor at an earlier
+    // stage's inferred arrivals, and the arrivals live in p.labels
+    // like every bound alias — update it so the any-node decision
+    // and property resolution see the filled labels)
+    val newWiths = p.withClauses.map { wc =>
+      val pms = wc.postMatches.map { pm =>
+        val (_, sts) = chain(None, pm.steps,
+          labels + (pm.anchor -> pm.anchorLabel), Some(pm.anchor))
+        labels ++= sts.map(st => st.node.as -> st.node.label)
+        pm.copy(steps = sts)
+      }
+      wc.copy(postMatches = pms)
+    }
     p.copy(start = newStartOpt.get, steps = newSteps, labels = labels,
       optionals = newOpts, crossComps = newCross,
       patternPreds = p.patternPreds.map(refinePred),
@@ -6513,7 +6581,8 @@ object CypherLite {
       orFlagPreds = p.orFlagPreds.map { case (pp, isC) =>
         (refinePred(pp), isC) },
       patternComps = p.patternComps.map(pc =>
-        pc.copy(pred = refinePred(pc.pred))))
+        pc.copy(pred = refinePred(pc.pred))),
+      withClauses = newWiths)
   }
 
   private def queryOne(g0: PropertyGraph, stmt: String): DataFrame = {

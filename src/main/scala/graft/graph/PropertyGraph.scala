@@ -264,14 +264,20 @@ final case class PropertyGraph(
         if (anyRel) {
           require(edges.nonEmpty, "untyped step needs at least one edge table")
           // id-TYPE soundness: the label-blind union coerces src/dst
-          // columns to one type — mixed Long/String id spaces would
-          // die in a cryptic cast (or silently coerce) mid-union, so
-          // reject pointedly naming the offenders
+          // columns to one type — a String/numeric mix would die in a
+          // cryptic cast (or silently coerce) mid-union, so reject
+          // pointedly naming the offenders. Numeric WIDTHS (int vs
+          // bigint) widen losslessly and stay allowed.
           val idTypes = edges.toSeq.flatMap { case (rn, (_, _, e)) =>
             Seq(rn -> e.schema("src").dataType,
               rn -> e.schema("dst").dataType)
           }
-          require(idTypes.map(_._2).distinct.size == 1,
+          def family(t: org.apache.spark.sql.types.DataType): String =
+            t match {
+              case _: org.apache.spark.sql.types.NumericType => "numeric"
+              case other => other.simpleString
+            }
+          require(idTypes.map(t => family(t._2)).distinct.size == 1,
             "untyped step unions edge tables with MIXED id types (" +
               idTypes.map { case (rn, t) => s"$rn:${t.simpleString}" }
                 .distinct.mkString(", ") +

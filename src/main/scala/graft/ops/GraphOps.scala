@@ -2748,6 +2748,23 @@ object GraphOps {
              |WHERE o_orderdate >= DATE '1998-01-01'
              |  AND o_orderdate <= DATE '1998-03-31'
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G116 post-WITH step refinement — a MATCH after WITH with an
+    // unlabeled typed-edge arrival: the label infers at query build
+    // (same machinery as the pattern level — g112), so property
+    // grouping works and no global-unique-id contract is demanded of
+    // TPC-H's overlapping id spaces.
+    QueryDef(
+      "g116_cypher_postwith_inference",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation) WITH n
+          |MATCH (n)-[:HAS_CUSTOMER]->(c)
+          |WHERE c.c_acctbal > 9500.0
+          |RETURN c.c_mktsegment AS seg, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9500.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

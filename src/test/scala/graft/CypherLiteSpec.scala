@@ -3846,6 +3846,67 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("empty list"))
   }
 
+  test("post-WITH MATCH clauses get endpoint inference and expansion") {
+    // unlabeled typed-edge tail after a WITH — inferred :B, property
+    // reads work, no global-unique-id contract over gOverlap
+    val r = CypherLite.query(gOverlap,
+      "MATCH (a:A) WITH a MATCH (a)-[:R]->(x) " +
+        "RETURN x.tag AS t ORDER BY t").as[String].collect().toSeq
+    assert(r === Seq("b1", "b1", "b2"))
+    // untyped directed edge after WITH expands to the matching type
+    assert(CypherLite.query(gOverlap,
+      "MATCH (a:A {id: 1}) WITH a MATCH (a)-[e]->(x) " +
+        "RETURN count(*) AS n").as[Long].collect().head === 2L)
+    // OPTIONAL MATCH after WITH infers too
+    val o = CypherLite.query(gOverlap,
+      "MATCH (a:A) WITH a OPTIONAL MATCH (a)-[:R]->(x) " +
+        "RETURN a.tag AS t, count(x) AS n ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(o === Seq(("a1", 2L), ("a2", 1L)))
+  }
+
+  test("collect over a map projection folds to sorted struct lists") {
+    val r = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WITH a, collect(b {.tag}) AS bs " +
+        "RETURN a.tag AS t, size(bs) AS n ORDER BY t")
+      .as[(String, Int)].collect().toSeq
+    assert(r === Seq(("a1", 1), ("a4", 2)))
+  }
+
+  test("unsupported aggregate bodies reject pointedly (no stack overflow)") {
+    // count(DISTINCT type(r)) recursed to a StackOverflowError before
+    // the round-13 re-entry guard
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[r:R1]->(b:B) RETURN count(DISTINCT type(r)) AS k")
+    }
+    assert(e.getMessage.contains("unsupported aggregate body"))
+  }
+
+  test("pattern predicates in post-WITH MATCH WHERE reject pointedly") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) WITH a MATCH (a)-[:R1]->(b:B) " +
+          "WHERE (b)<-[:R2]-(:C) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("post-WITH MATCH WHERE"))
+  }
+
+  test("numeric id widths (int vs bigint) stay allowed on untyped routes") {
+    // int and bigint ids widen losslessly in the union — only a
+    // string/numeric MIX is the type hazard; this graph still fails
+    // the OVERLAP check (ids collide), proving the type gate passed
+    val intLong = PropertyGraph(
+      nodes = Map(
+        "I" -> Seq((1, "x")).toDF("id", "tag"),
+        "L" -> Seq((1L, "y")).toDF("id", "tag")),
+      edges = Map("R" -> (("I", "L", Seq((1, 1L)).toDF("src", "dst")))))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(intLong, "MATCH (a)-[r*1..2]-(b) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+  }
+
   test("mixed id types reject pointedly on untyped routes") {
     val mixed = PropertyGraph(
       nodes = Map(
