@@ -3974,9 +3974,10 @@ object CypherLite {
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // collect over a map projection — `collect(c {.name}) AS rows`
+    // collect over a map projection — `collect([DISTINCT] c {.name})
+    // AS rows`
     val AggMapProjRe =
-      """(?is)^collect\s*\(\s*([A-Za-z_][A-Za-z0-9_]*\s*\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?([A-Za-z_][A-Za-z0-9_]*\s*\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // scalar-function wraps as items — `toLower(n.name) AS x`,
     // `round(o.price, 2) AS r`, `substring(n.name, 0, 3) AS pre` — and
     // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`,
@@ -4249,14 +4250,14 @@ object CypherLite {
         // AS rows`, the rows-as-maps idiom: the projection compiles
         // recursively, collect folds over the struct (sorted like
         // every collect here — struct ordering is field-wise)
-        case AggMapProjRe(body, as) =>
+        case AggMapProjRe(dist, body, as) =>
           val its = parseItems(s"$body AS aggX", ctx, plainOk, propOk,
             aggOk, bareAgg, pathOk, listOk)
           require(its.size == 1 && its.head.caseC.isDefined &&
             its.head.agg.isEmpty,
             s"collect(…): '$body' did not compile to a map projection")
-          ReturnItem(Some("collect"), distinct = false, "", None, as,
-            caseC = its.head.caseC)
+          ReturnItem(Some("collect"), distinct = dist != null, "", None,
+            as, caseC = its.head.caseC)
         // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
         // ELSE 0 END) AS n`, the conditional-count idiom. Tried
         // before the arithmetic cases: a CASE body may contain + - * /
@@ -6349,9 +6350,14 @@ object CypherLite {
         stmt = rest
       case _ => go = false
     }
+    // a WITH pipeline over the unwound frame (`UNWIND … WITH
+    // collect(x) AS xs RETURN …`) rides the CALL-tail stage grammar
+    // (bare columns + aggregates per stage)
+    if (stmt.matches("(?is)^WITH\\b.*"))
+      return compileCallTail(g0, frame, stmt)
     require(stmt.matches("(?is)^RETURN\\b.*"),
       "a statement without MATCH must be `[UNWIND [lit,…] AS x …] " +
-        s"RETURN …` — got '${stmt.take(40)}'")
+        s"[WITH …] RETURN …` — got '${stmt.take(40)}'")
     val itemsProbe = {
       val afterKw = stmt.replaceFirst("(?i)^RETURN\\b", "").trim
       val cut = (topLevelKeywordIndices(afterKw, "ORDER") ++

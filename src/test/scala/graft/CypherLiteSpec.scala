@@ -3873,6 +3873,27 @@ class CypherLiteSpec extends SparkSpec {
     assert(r === Seq(("a1", 1), ("a4", 2)))
   }
 
+  test("collect(DISTINCT map projection) dedupes struct rows") {
+    // a4 reaches b2 and b5 — two DISTINCT tag structs; a1 reaches b2
+    val r = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) MATCH (a)-[:R1]->(b2:B) " +
+        "WITH a, collect(DISTINCT b2 {.tag}) AS bs " +
+        "RETURN a.tag AS t, size(bs) AS n ORDER BY t")
+      .as[(String, Int)].collect().toSeq
+    assert(r === Seq(("a1", 1), ("a4", 2)))
+  }
+
+  test("no-MATCH statements take a WITH pipeline over the unwound frame") {
+    val s = CypherLite.query(g,
+      "UNWIND [1, 2, 3, 4] AS x WITH sum(x) AS s RETURN s")
+      .as[Long].collect().head
+    assert(s === 10L)
+    val c = CypherLite.query(g,
+      "UNWIND [3, 1, 3] AS x WITH x, count(*) AS n WHERE n > 1 " +
+        "RETURN x, n").as[(Long, Long)].collect().toSeq
+    assert(c === Seq((3L, 2L)))
+  }
+
   test("unsupported aggregate bodies reject pointedly (no stack overflow)") {
     // count(DISTINCT type(r)) recursed to a StackOverflowError before
     // the round-13 re-entry guard
