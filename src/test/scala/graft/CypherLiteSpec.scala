@@ -3941,6 +3941,24 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("MIXED id types"), e.getMessage)
   }
 
+  test("paraphrase invariance: decorated LLM syntax ≡ canonical form") {
+    // the same semantic query in the syntax LLMs actually emit —
+    // block comments, double quotes, backticks, label predicates,
+    // chained comparisons, trailing semicolon — must produce the
+    // SAME rows as the canonical spelling
+    def rows(q: String): Seq[(String, Long)] =
+      CypherLite.query(g, q).as[(String, Long)].collect().toSeq
+    val canonical = rows(
+      "MATCH (a:A)-[:R1]->(b:B) WHERE a.id >= 1 AND a.id <= 4 " +
+        "RETURN a.tag AS t, count(*) AS n ORDER BY t")
+    val decorated = rows(
+      "/* outgoing fan */ MATCH (a)-[:`R1`]->(b) // typed edge\n" +
+        "WHERE a:A AND 1 <= a.id <= 4 AND b:B\n" +
+        "RETURN a.tag AS t, count(*) AS n ORDER BY t;")
+    assert(decorated === canonical)
+    assert(canonical === Seq(("a1", 1L), ("a4", 2L)))
+  }
+
   test("untyped directed steps expand to the matching edge types") {
     // (a:A)-[r]-> has exactly one leaving type — expands to :R, so
     // the overlapping-id graph is fine and type(r) resolves
