@@ -870,7 +870,8 @@ object CypherLite {
     */
   private def resolveOrderKeysOrHidden(ob: Seq[(String, Boolean)],
       items: Seq[ReturnItem], ctx: String, canHide: Boolean,
-      caseCompile: Option[String => CaseCompiled] = None)
+      caseCompile: Option[String => CaseCompiled] = None,
+      structOk: String => Boolean = _ => false)
       : (Seq[(String, Boolean)], Seq[ReturnItem]) = {
     val PropKeyRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -902,6 +903,13 @@ object CypherLite {
               ReturnItem(None, distinct = false, "", None, as,
                 caseC = Some(CaseCompiled(cc.refs,
                   res => cc.build(res).getField(f))))
+            // struct field of a CARRIED struct column (`ORDER BY
+            // m.price` where m came through a WITH): getField over
+            // the column itself
+            case PropKeyRe(a, f) if structOk(a) =>
+              ReturnItem(None, distinct = false, "", None, as,
+                caseC = Some(CaseCompiled(Seq.empty,
+                  res => res(a, None).getField(f))))
             case FnKeyRe(fn, a, p, fargs) =>
               val wrap = scalarWrap(fn, fargs)
               ReturnItem(None, distinct = false, "", None, as,
@@ -2740,6 +2748,12 @@ object CypherLite {
       else { sb += c; i += 1 }
     }
     val s0out = sb.result().trim.replaceAll(";+\\s*$", "").trim
+    // interior semicolons = multiple statements (quote-aware check —
+    // the trailing one was just stripped); pointed, not an arith
+    // misparse three layers down
+    require(!s0out.replaceAll("'[^']*'", "''").contains(";"),
+      "multiple ;-separated statements are unsupported — run each " +
+        "statement separately")
     // `date({year: Y, month: M, day: D})` / `datetime({… hour: H,
     // minute: I, second: S})` — Neo4j's component map constructors;
     // all components are integer literals, so the value folds
@@ -4188,6 +4202,22 @@ object CypherLite {
         case other if other.matches("(?is)^percentile(Cont|Disc)\\s*\\(.*") =>
           fail("percentileCont/Disc take (alias.prop, fraction-literal) " +
             "and an AS name", other)
+        // aggregate over a STRUCT FIELD of a carried map output —
+        // `avg(m.price)` after `WITH n {.price} AS m`: getField, not
+        // a node-property attach
+        case AggItemRe(fn, dist, target, prop, as)
+            if prop != null && structOk(target) =>
+          val f = fn.toLowerCase
+          val d = dist != null
+          require(!d || Set("count", "collect", "sum", "avg", "min",
+            "max").contains(f),
+            s"DISTINCT only supported with count, collect, sum, avg, " +
+              s"min, max — not $f")
+          val name = Option(as).getOrElse(
+            s"$f${if (d) "_distinct" else ""}_${target}_$prop")
+          ReturnItem(Some(f), d, "", None, name,
+            caseC = Some(CaseCompiled(Seq.empty,
+              res => res(target, None).getField(prop))))
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -5205,7 +5235,8 @@ object CypherLite {
         wOrderBy, items, "WITH ORDER BY",
         canHide = !wDistinct && items.forall(_.agg.isEmpty),
         caseCompile = Some(txt =>
-          compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)))
+          compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)),
+        structOk = prev.map(_.structOuts).getOrElse(Set.empty))
       val itemsAll = items ++ wObHidden
       for ((n, _) <- wOrderByR)
         require(outNames(n) || wObHidden.exists(_.as == n),
@@ -5237,7 +5268,30 @@ object CypherLite {
       val whereHidden =
         scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
       val whereCol = whereTxt.map { w =>
+        val stageStructs = stageStructOuts(items,
+          prev.map(_.structOuts).getOrElse(Set.empty))
         def hiddenProp(outName: String, p: String): String = {
+          // `m.field` where m is a STRUCT output of this stage (or a
+          // bare carry of a previous stage's struct): the hidden item
+          // reads the field — rebuilt from the sibling's expression
+          // for this-stage items (one projection can't read its own
+          // outputs), getField over the carried column otherwise
+          if (stageStructs(outName)) {
+            val nm = s"__ob_w${whereHidden.length}"
+            whereHidden += (items.find(ri =>
+                ri.as == outName && ri.caseC.isDefined) match {
+              case Some(src) =>
+                val cc = src.caseC.get
+                ReturnItem(None, distinct = false, "", None, nm,
+                  caseC = Some(CaseCompiled(cc.refs,
+                    res => cc.build(res).getField(p))))
+              case None =>
+                ReturnItem(None, distinct = false, "", None, nm,
+                  caseC = Some(CaseCompiled(Seq.empty,
+                    res => res(outName, None).getField(p))))
+            })
+            return nm
+          }
           val (orig, lbl) = carried.getOrElse(outName,
             fail(s"WITH WHERE: '$outName.$p' — '$outName' is not a " +
               "carried node alias here (dotted conditions need a " +
@@ -5558,7 +5612,9 @@ object CypherLite {
     val (orderByR, obHidden) = resolveOrderKeysOrHidden(orderBy, returns,
       "ORDER BY",
       canHide = !returnDistinct && returns.forall(_.agg.isEmpty),
-      caseCompile = obCaseCompile)
+      caseCompile = obCaseCompile,
+      structOk = withClauses.lastOption.map(_.structOuts)
+        .getOrElse(Set.empty))
     val returnsAll = returns ++ obHidden
     for ((n, _) <- orderByR)
       require(returnsAll.exists(_.as == n),

@@ -3873,6 +3873,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(r === Seq(("a1", 1), ("a4", 2)))
   }
 
+  test("struct fields read everywhere: WITH WHERE, aggregates, ORDER BY") {
+    val mg = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x", 10.0), (2L, "y", 30.0),
+        (3L, "z", 20.0)).toDF("id", "nm", "v")),
+      edges = Map.empty)
+    // WITH WHERE on a this-stage struct item's field
+    assert(CypherLite.query(mg,
+      "MATCH (n:N) WITH n {.nm, .v} AS m WHERE m.v > 15.0 " +
+        "RETURN count(*) AS k").as[Long].collect().head === 2L)
+    // aggregate over a carried struct's field
+    assert(CypherLite.query(mg,
+      "MATCH (n:N) WITH n {.v} AS m RETURN avg(m.v) AS a")
+      .as[Double].collect().head === 20.0)
+    // ORDER BY a carried struct's field (unprojected hidden key)
+    val top = CypherLite.query(mg,
+      "MATCH (n:N) WITH n {.nm, .v} AS m " +
+        "RETURN m.nm AS t ORDER BY m.v DESC LIMIT 1")
+      .as[String].collect().toSeq
+    assert(top === Seq("y"))
+  }
+
+  test("multiple ;-separated statements reject pointedly") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN count(*) AS x; MATCH (b:B) RETURN count(*) AS y")
+    }
+    assert(e.getMessage.contains("run each statement separately"))
+  }
+
   test("collect(DISTINCT map projection) dedupes struct rows") {
     // a4 reaches b2 and b5 — two DISTINCT tag structs; a1 reaches b2
     val r = CypherLite.query(g,
