@@ -207,6 +207,42 @@ class FhirGoldenSpec extends SparkSpec {
         |RETURN count(DISTINCT s) AS n""".stripMargin) === 13L)
   }
 
+  test("golden answers survive round-13 LLM paraphrases") {
+    // the SAME golden answers through the decorated syntax real
+    // Text2Cypher output carries — legacy size() degree, chained
+    // comparisons, temporal component maps, label predicates, and
+    // type(r) absorption must not change a single number
+    // golden 1 via the legacy degree form
+    assert(singleLong(
+      """/* multi-immunization */ MATCH (p:Patient)
+        |WHERE p.surname = "Rosenbaum"
+        |  AND size((p)-[:HAS_IMMUNIZATION]->()) > 1
+        |RETURN count(*) AS n""".stripMargin) === 1L)
+    // golden 5 via a chained comparison over date() constructors
+    assert(singleLong(
+      """MATCH (p:Patient)
+        |WHERE date('1990-01-01') <= p.birthDate <= date('2000-12-31')
+        |RETURN count(*) AS n""".stripMargin) === 184L)
+    // golden 6 via the datetime component-map constructor
+    assert(singleLong(
+      """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |WHERE i.occurrenceDateTime >
+        |      datetime({year: 2022, month: 1, day: 1})
+        |RETURN count(*) AS n""".stripMargin) === 65L)
+    // golden 4 via an absorbed label predicate
+    val cats = cypher(
+      """MATCH (a) WHERE a:Allergy AND a.category IS NOT NULL
+        |RETURN DISTINCT a.category AS category""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(cats === Set("medication", "environment", "food", "other"))
+    // golden 3 via type(r) absorption onto an untyped edge
+    assert(singleLong(
+      """MATCH (pr:Practitioner)-[r]->(p)
+        |WHERE type(r) = 'TREATS' AND pr.givenName = 'Arla'
+        |  AND pr.surname = 'Fritsch'
+        |RETURN count(DISTINCT p) AS n""".stripMargin) > 1L)
+  }
+
   test("schema XML introspection lists all node and rel tables") {
     val xml = graph.schemaXml
     for (l <- Seq("Address", "Patient", "Practitioner", "Substance", "Allergy", "Immunization"))
