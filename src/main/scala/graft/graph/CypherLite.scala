@@ -316,11 +316,40 @@ import org.apache.spark.sql.functions._
   *    STORED endpoints, direction-independent, read from the
   *    materialized eid).
   *  - PRE-PARSE normalization of real LLM output ([[preprocess]]):
-  *    `//` line comments strip (quote-aware), trailing semicolons
-  *    strip, and `$param` references / no-argument date()/datetime()
-  *    (current time — nondeterministic) reject POINTEDLY.
+  *    `//` and `/* */` comments strip (quote-aware), trailing
+  *    semicolons strip, double-quoted string literals normalize to
+  *    the single-quote grammar, backtick-quoted plain identifiers
+  *    unwrap, `date({year, month, day})`/`datetime({… hour, minute,
+  *    second})` component maps fold driver-side via java.time, and
+  *    `$param` references / no-argument date()/datetime() (current
+  *    time — nondeterministic) / interior `;`-separated statements /
+  *    conjunction labels `(n:A:B)` / CASE in WHERE / aggregates in
+  *    WHERE or nested reject POINTEDLY.
   *    The WRITE subset (`MERGE … SET` single-table ingest) lives in
   *    [[GraphMerge]].
+  *  - GRAPH-AWARE STEP REFINEMENT ([[inferAndExpandSteps]], query
+  *    build — parse stays graph-agnostic): typed-edge ENDPOINT-LABEL
+  *    INFERENCE to fixpoint (an unlabeled position beside `-[:R]->`
+  *    gets the registry's endpoint label — property access works and
+  *    no global-unique-id contract is demanded) and UNTYPED DIRECTED
+  *    STEP EXPANSION to the matching edge-type alternation when
+  *    endpoint shapes agree; applies to the main chain, OPTIONAL
+  *    clauses, disconnected parts, predicate sub-patterns, and
+  *    post-WITH MATCH clauses. WHERE label predicates (`c:customer`)
+  *    fold statically on labeled aliases and ABSORB into the pattern
+  *    on unlabeled ones; `type(r) =/IN` conjuncts absorb into
+  *    untyped edge tokens. Legacy `size((c)-[:R]->())` degrees
+  *    rewrite to COUNT { } subqueries.
+  *  - STRUCT outputs (map projections/literals, properties(n)) track
+  *    through WITH stages like list outputs: `m.field` reads compile
+  *    to getField in items, WITH WHERE, aggregates, and ORDER BY;
+  *    collect([DISTINCT] c {…}) folds struct rows. Statements with
+  *    NO MATCH (`RETURN 1`, `UNWIND [lits] AS x [WITH …] RETURN …`)
+  *    run over one synthetic row. Chained comparisons
+  *    (`a <= x <= b`), reversed literal comparisons, arithmetic IN
+  *    lists, week/quarter accessors, and head/last/size over
+  *    split() all compile; mixed String/numeric id spaces reject
+  *    pointedly on every untyped route.
   *  - PATH VARIABLES `MATCH p = (a)-[:R*1..3]->(b)`: `length(p) AS n`
   *    (standalone or under count/sum/min/max/avg) computes the hop
   *    count — fixed steps contribute 1, var-length steps the size of
