@@ -6465,6 +6465,7 @@ object CypherLite {
           "RETURN * with no UNWIND outputs — nothing is bound")
         frame.columns.toSeq
       } else splitTopComma(r).map(_.trim)
+    require(itemTexts.nonEmpty, "empty RETURN — project at least one item")
     val AsSplitRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val items: Seq[(String, Column)] = itemTexts.map { it =>
       val (expr, nameOpt) = it match {

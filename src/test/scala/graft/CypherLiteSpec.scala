@@ -2261,7 +2261,25 @@ class CypherLiteSpec extends SparkSpec {
       "UNWIND range(1) AS x MATCH (a:A) RETURN x",
       "UNWIND range(1, 'z') AS x MATCH (a:A) RETURN x",
       "MATCH (a:A)-[:R1]->(b:B) RETURN split(a.tag) AS s",
-      "MATCH (a:A)-[:R1]->(b:B) RETURN sum(DISTINCT toLower(a.tag)) AS s")
+      "MATCH (a:A)-[:R1]->(b:B) RETURN sum(DISTINCT toLower(a.tag)) AS s",
+      // round-13 v11 surfaces (probe-10 malformed battery)
+      "MATCH (a:A) WHERE size((a)-[:R1]->( RETURN count(*) AS n",
+      "MATCH (a:A) WHERE a.id >= date({}) RETURN count(*) AS n",
+      "MATCH (a:A) WHERE a.id >= date({month: 5}) RETURN count(*) AS n",
+      "MATCH (a:A) WHERE 0 <= <= 5 RETURN count(*) AS n",
+      "MATCH (a:A) WHERE a.tag = \"unterminated RETURN count(*) AS n",
+      "MATCH (a:``) RETURN count(*) AS n",
+      "MATCH (a:) RETURN count(*) AS n",
+      "MATCH (a:A) RETURN a {.} AS m",
+      "MATCH (a:A) RETURN a {k:} AS m",
+      "MATCH (a:A) WITH a {.tag} AS m WHERE m. > 1 RETURN count(*) AS n",
+      "UNWIND [1, 2 AS x RETURN x",
+      "RETURN",
+      "MATCH (a:A) RETURN size(split()) AS s",
+      "MATCH (a:A) WHERE a.id + duration({bogus: 3}) >= 1 RETURN a",
+      "MATCH (a:A) RETURN labels(a)[x] AS l",
+      "MATCH (a:A) WHERE a.id IN [1, RETURN count(*) AS n",
+      "MATCH (a:A) /* unclosed RETURN count(*) AS n")
     for (stmt <- bad) {
       val e = intercept[Throwable] { CypherLite.query(g, stmt).collect() }
       assert(e.isInstanceOf[IllegalArgumentException],
