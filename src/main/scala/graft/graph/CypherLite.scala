@@ -900,7 +900,13 @@ object CypherLite {
   private def resolveOrderKeysOrHidden(ob: Seq[(String, Boolean)],
       items: Seq[ReturnItem], ctx: String, canHide: Boolean,
       caseCompile: Option[String => CaseCompiled] = None,
-      structOk: String => Boolean = _ => false)
+      structOk: String => Boolean = _ => false,
+      // LAST-resort key compiler: the caller's full item grammar
+      // (captures its scope validators) — lets any supported item
+      // expression sort (`ORDER BY toInteger(split(c.n, '#')[1])`)
+      // without re-deriving each shape here. Aggregate-bearing
+      // results are refused (those resolve structurally above).
+      itemCompile: Option[String => ReturnItem] = None)
       : (Seq[(String, Boolean)], Seq[ReturnItem]) = {
     val PropKeyRe =
       """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -958,6 +964,12 @@ object CypherLite {
               if (!arithRefs(ae).forall(_._2.isDefined)) throw e
               ReturnItem(None, distinct = false, "", None, as,
                 arith = Some(ae))
+            case keyTxt if itemCompile.isDefined =>
+              val ri =
+                try itemCompile.get(keyTxt)
+                catch { case _: Exception => throw e }
+              if (ri.agg.isDefined || ri.postArith.isDefined) throw e
+              ri.copy(as = as)
             case _ => throw e
           }
           hidden += item
@@ -2655,7 +2667,20 @@ object CypherLite {
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case OrderArithKeyRe(expr, dir) =>
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
-        case other => fail("ORDER BY items must be out_col [ASC|DESC]", other)
+        // any other balanced expression rides through VERBATIM — the
+        // resolver compiles it via the caller's full item grammar
+        // (nested fn wraps, subscripts: `toInteger(split(c.n,
+        // '#')[1]) DESC`) or rejects with its pointed scope message
+        case other =>
+          val (expr, asc) =
+            if (other.matches("(?is).*\\s+DESC$"))
+              (other.replaceAll("(?is)\\s+DESC$", ""), false)
+            else if (other.matches("(?is).*\\s+ASC$"))
+              (other.replaceAll("(?is)\\s+ASC$", ""), true)
+            else (other, true)
+          require(balancedParens(expr),
+            s"ORDER BY item has unbalanced parentheses: '${expr.take(40)}'")
+          (expr.trim, asc)
       }.toSeq
     }
     (r, orderBy, skip, limit)
@@ -5265,7 +5290,15 @@ object CypherLite {
         canHide = !wDistinct && items.forall(_.agg.isEmpty),
         caseCompile = Some(txt =>
           compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)),
-        structOk = prev.map(_.structOuts).getOrElse(Set.empty))
+        structOk = prev.map(_.structOuts).getOrElse(Set.empty),
+        itemCompile = Some { txt =>
+          val its = parseItems(s"$txt AS aggX", "WITH ORDER BY",
+            plainOk, propOk, aggOk, bareAggOk,
+            pathOk = prev.isEmpty, listOk = listOkW,
+            structOk = prev.map(_.structOuts).getOrElse(Set.empty))
+          require(its.size == 1, "one sort key per ORDER BY item")
+          its.head
+        })
       val itemsAll = items ++ wObHidden
       for ((n, _) <- wOrderByR)
         require(outNames(n) || wObHidden.exists(_.as == n),
@@ -5556,10 +5589,11 @@ object CypherLite {
     var orderBy = Seq.empty[(String, Boolean)]
     var limit: Option[Int] = None
     var skip: Option[Int] = None
-    // the RETURN scope's CASE compiler, captured for the ORDER BY
-    // hidden-item resolver below (the scope validators live inside
-    // the items closure)
+    // the RETURN scope's CASE and full-item compilers, captured for
+    // the ORDER BY hidden-item resolver below (the scope validators
+    // live inside the items closure)
     var obCaseCompile: Option[String => CaseCompiled] = None
+    var obItemCompile: Option[String => ReturnItem] = None
     val returns = returnPart.toSeq.flatMap { r0 =>
       val (afterTail, ob, sk, lim) = parseTailWithSkip(r0)
       orderBy = ob; skip = sk; limit = lim
@@ -5586,6 +5620,19 @@ object CypherLite {
         }
       obCaseCompile = Some(txt =>
         compileCase(txt, "ORDER BY", plainOk, propOk, relVars))
+      obItemCompile = Some { txt =>
+        val its = parseItems(s"$txt AS aggX", "ORDER BY",
+          plainOk, propOk, aggOk, bareAggOk,
+          pathOk = withClauses.isEmpty,
+          listOk = withClauses.lastOption match {
+            case Some(w) => w.listOuts
+            case None => _ => false
+          },
+          structOk = withClauses.lastOption.map(_.structOuts)
+            .getOrElse(Set.empty))
+        require(its.size == 1, "one sort key per ORDER BY item")
+        its.head
+      }
       // `RETURN *` (the README.md:137 demo shape): every node alias's
       // id (or, after a WITH, every WITH output), in binding order.
       // Relationship variables are NOT expanded — edge rows have no
@@ -5643,7 +5690,8 @@ object CypherLite {
       canHide = !returnDistinct && returns.forall(_.agg.isEmpty),
       caseCompile = obCaseCompile,
       structOk = withClauses.lastOption.map(_.structOuts)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      itemCompile = obItemCompile)
     val returnsAll = returns ++ obHidden
     for ((n, _) <- orderByR)
       require(returnsAll.exists(_.as == n),

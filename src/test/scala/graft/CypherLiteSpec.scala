@@ -3912,6 +3912,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(top === Seq("y"))
   }
 
+  test("ORDER BY takes any item-grammar expression via the hidden fallback") {
+    // nested fn wrap — no single-wrap FnKeyRe shape matches, the
+    // full item grammar compiles it as a hidden key
+    val t = CypherLite.query(g,
+      "MATCH (b:B) WITH b ORDER BY toUpper(left(b.tag, 2)) DESC LIMIT 1 " +
+        "RETURN b.tag AS t").as[String].collect().toSeq
+    assert(t === Seq("b5"))
+    // unresolvable keys keep pointed messages
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("MATCH (b:B) RETURN b.tag AS t ORDER BY bogus stuff")
+      .contains("unknown output"))
+    assert(rej("MATCH (b:B) RETURN b.tag AS t ORDER BY fn(((x)")
+      .contains("unbalanced parentheses"))
+  }
+
   test("multiple ;-separated statements reject pointedly") {
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(g,
