@@ -2176,6 +2176,24 @@ object CypherLite {
       // reads null like the item forms
       case "head" => try_element_at(one(), lit(1))
       case "last" => try_element_at(one(), lit(-1))
+      // internal: `split(s, 'd')[i]` inside arithmetic (parseArith
+      // admits split only immediately subscripted) — literal
+      // delimiter, Cypher 0-based index, out-of-range reads null
+      case "splitidx" =>
+        require(args.length == 3, "split(s, 'delim')[i] — internal arity")
+        val delim = args(1) match {
+          case StrA(d) => d
+          case _ => throw new IllegalArgumentException(
+            "split() delimiter must be a string literal")
+        }
+        val idx = args(2) match {
+          case NumA(v: Long) => v
+          case _ => throw new IllegalArgumentException(
+            "split(…)[i] needs a literal integer index")
+        }
+        try_element_at(split(arithColumn(args(0), resolve),
+          java.util.regex.Pattern.quote(delim), -1),
+          lit((if (idx >= 0) idx + 1 else idx).toInt))
       case "durindays" =>
         val Seq(a, b) = nArgs(2, 2)
         datediff(to_date(b), to_date(a)).cast("long")
@@ -2270,7 +2288,7 @@ object CypherLite {
                 "appear in WHERE; aggregate in a WITH stage and " +
                 "filter/compose its OUTPUT (`WITH …, count(c) AS n " +
                 "WHERE n > 5 …`)")
-            require(ArithFns(fn),
+            require(ArithFns(fn) || fn == "split",
               s"unsupported function in arithmetic: '$a' " +
                 "(supported: the scalar-function set minus split)")
             i += 1
@@ -2288,7 +2306,29 @@ object CypherLite {
               require(peek == ')', s"unbalanced '(' in $a(…): '$s'")
               i += 1
             }
-            FnA(fn, fargs.result())
+            ws()
+            // split() yields a LIST — admitted ONLY when immediately
+            // subscripted (`toInteger(split(c.n, '#')[1])`, the
+            // token-extraction idiom); a bare split stays out of
+            // arithmetic by design (lists have no place in it)
+            if (fn == "split") {
+              require(peek == '[',
+                "split(…) in arithmetic must be subscripted " +
+                  "(`split(s, 'd')[i]`) — a bare list has no place in " +
+                  "an arithmetic expression")
+              i += 1; ws()
+              val neg = peek == '-'
+              if (neg) i += 1
+              val ds = i
+              while (i < s.length && s.charAt(i).isDigit) i += 1
+              require(i > ds, s"split(…)[…]: integer index expected")
+              val idx0 = s.substring(ds, i).toLong
+              ws()
+              require(peek == ']', s"unbalanced '[' in split(…)[…]: '$s'")
+              i += 1
+              FnA("splitidx",
+                fargs.result() :+ NumA(if (neg) -idx0 else idx0))
+            } else FnA(fn, fargs.result())
           } else if (peek == '.') {
             i += 1
             val ps = i

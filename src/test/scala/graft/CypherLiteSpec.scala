@@ -3912,6 +3912,24 @@ class CypherLiteSpec extends SparkSpec {
     assert(top === Seq("y"))
   }
 
+  test("subscripted split() joins the arithmetic grammar (token extraction)") {
+    val sg = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "id#003"), (2L, "id#010"), (3L, "id#007"))
+        .toDF("id", "nm")),
+      edges = Map.empty)
+    // item, WHERE, and ORDER BY all take toInteger(split(…)[i])
+    val top = CypherLite.query(sg,
+      "MATCH (n:N) WHERE toInteger(split(n.nm, '#')[1]) >= 7 " +
+        "RETURN n.nm AS t ORDER BY toInteger(split(n.nm, '#')[1]) DESC")
+      .as[String].collect().toSeq
+    assert(top === Seq("id#010", "id#007"))
+    // a BARE split stays out of arithmetic — pointed
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(sg, "MATCH (n:N) RETURN split(n.nm, '#') + 1 AS b")
+    }
+    assert(e.getMessage.contains("must be subscripted"))
+  }
+
   test("ORDER BY takes any item-grammar expression via the hidden fallback") {
     // nested fn wrap — no single-wrap FnKeyRe shape matches, the
     // full item grammar compiles it as a hidden key
