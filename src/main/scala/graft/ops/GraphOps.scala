@@ -2276,10 +2276,12 @@ object GraphOps {
              |) GROUP BY 1 HAVING count(*) > 15 ORDER BY ALL""".stripMargin)
     ),
     // G93 map LITERAL returns — `{k: v, …} AS m` builds a struct with
-    // the written keys (Neo4j returns a map; DuckDB struct_pack
-    // replays field-by-field). Values mix a property ref, arithmetic
-    // and a string literal; the struct compares as a whole in the
-    // oracle hash.
+    // the written keys (Neo4j returns a map). Values mix a property
+    // ref, arithmetic and a string literal. The oracle transport is
+    // scalar-only (driver pandas-hash constraint), so the wrapper
+    // reads the engine-built struct back field-by-field; the fields
+    // resolving proves the map literal compiled with the written
+    // keys. CypherLiteSpec pins the raw struct.
     QueryDef(
       "g93_cypher_map_literal",
       (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
@@ -2287,10 +2289,11 @@ object GraphOps {
           |WHERE c.c_acctbal > 9800.0
           |RETURN c.c_custkey AS ck,
           |       {nation: n.n_name, bal2: c.c_acctbal * 2,
-          |        kind: 'rich'} AS m""".stripMargin)),
-      Some("""SELECT c_custkey AS ck,
-             |  struct_pack(nation := n_name, bal2 := c_acctbal * 2,
-             |              kind := 'rich') AS m
+          |        kind: 'rich'} AS m""".stripMargin)
+        .select(col("ck"), col("m.nation").as("m_nation"),
+          col("m.bal2").as("m_bal2"), col("m.kind").as("m_kind"))),
+      Some("""SELECT c_custkey AS ck, n_name AS m_nation,
+             |  c_acctbal * 2 AS m_bal2, 'rich' AS m_kind
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9800.0
              |ORDER BY ALL""".stripMargin)
@@ -2461,17 +2464,24 @@ object GraphOps {
     ),
     // G102 subscript/slice on collect() calls — `collect(x)[0]`
     // (first element of the engine's SORTED list = the minimum,
-    // deterministic) and `[..2]` (first two). DuckDB replays with
-    // list_sort + 1-based inclusive slicing.
+    // deterministic) and `[..2]` (first two). The slice result (a
+    // LIST) is read back element-wise for the scalar-only oracle
+    // transport (element_at past the end → NULL on both sides);
+    // CypherLiteSpec pins the raw slice. DuckDB replays with
+    // list_sort + 1-based indexing.
     QueryDef(
       "g102_cypher_collect_subscript",
       (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
         """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
           |WHERE c.c_acctbal > 9000.0
           |RETURN n.n_name AS nm, collect(c.c_name)[0] AS first_cust,
-          |       collect(c.c_acctbal)[..2] AS low2""".stripMargin)),
+          |       collect(c.c_acctbal)[..2] AS low2""".stripMargin)
+        .select(col("nm"), col("first_cust"),
+          element_at(col("low2"), 1).as("low2_0"),
+          element_at(col("low2"), 2).as("low2_1"))),
       Some("""SELECT n_name AS nm, min(c_name) AS first_cust,
-             |       (list_sort(list(c_acctbal)))[1:2] AS low2
+             |       (list_sort(list(c_acctbal)))[1] AS low2_0,
+             |       (list_sort(list(c_acctbal)))[2] AS low2_1
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9000.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
@@ -2510,9 +2520,11 @@ object GraphOps {
           |WHERE c.c_acctbal > 9900.0
           |RETURN c.c_custkey AS ck,
           |       [c.c_custkey, c.c_nationkey] AS pair,
-          |       c.c_acctbal >= 9950.0 AS very""".stripMargin)),
+          |       c.c_acctbal >= 9950.0 AS very""".stripMargin)
+        .select(col("ck"), element_at(col("pair"), 1).as("pair_0"),
+          element_at(col("pair"), 2).as("pair_1"), col("very"))),
       Some("""SELECT c_custkey AS ck,
-             |       [c_custkey, c_nationkey] AS pair,
+             |       c_custkey AS pair_0, c_nationkey AS pair_1,
              |       c_acctbal >= 9950.0 AS very
              |FROM customer WHERE c_acctbal > 9900.0
              |ORDER BY ALL""".stripMargin)
@@ -2541,9 +2553,12 @@ object GraphOps {
     // table's columns, engine id excluded), keys(n) (their names,
     // schema order), and the map projection n {.a, .b}: the
     // Kuzu-parity "RETURN n prints the node" surface (reference
-    // README.md:137 demo). keys() flattens to a string for the
-    // parquet/oracle compare; the structs compare field-by-field
-    // against DuckDB struct_pack.
+    // README.md:137 demo). The oracle transport is scalar-only (the
+    // driver's pandas hash can't sort struct cells), so keys()
+    // flattens via array_join and the engine-built structs are read
+    // back field-by-field into scalar columns — the wrapper reading
+    // props.n_regionkey PROVES the struct exists with those fields;
+    // CypherLiteSpec pins the raw struct values.
     QueryDef(
       "g75_cypher_properties",
       (s, d) => {
@@ -2553,14 +2568,16 @@ object GraphOps {
             |WHERE r.r_regionkey <= 1
             |RETURN n.n_name AS nm, properties(n) AS props,
             |       keys(n) AS ks, n {.n_name, .n_regionkey} AS proj""".stripMargin)
-          .withColumn("ks", array_join(col("ks"), "|")))
+          .select(col("nm"), array_join(col("ks"), "|").as("ks"),
+            col("props.n_nationkey").as("props_nk"),
+            col("props.n_regionkey").as("props_rk"),
+            col("proj.n_name").as("proj_name"),
+            col("proj.n_regionkey").as("proj_rk")))
       },
       Some("""SELECT n_name AS nm,
-             |  struct_pack(n_nationkey := n_nationkey, n_name := n_name,
-             |              n_regionkey := n_regionkey) AS props,
              |  'n_nationkey|n_name|n_regionkey' AS ks,
-             |  struct_pack(n_name := n_name, n_regionkey := n_regionkey)
-             |    AS proj
+             |  n_nationkey AS props_nk, n_regionkey AS props_rk,
+             |  n_name AS proj_name, n_regionkey AS proj_rk
              |FROM region JOIN nation ON n_regionkey = r_regionkey
              |WHERE r_regionkey <= 1
              |ORDER BY ALL""".stripMargin)

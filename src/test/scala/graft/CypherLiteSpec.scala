@@ -3138,7 +3138,7 @@ class CypherLiteSpec extends SparkSpec {
     assert(rej("MATCH (a:A) RETURN foo(a.num) + 1 AS x")
       .contains("unsupported function in arithmetic: 'foo'"))
     assert(rej("MATCH (a:A) RETURN split(a.tag, '-') + 1 AS x")
-      .contains("unsupported function in arithmetic: 'split'"))
+      .contains("in arithmetic must be subscripted"))
     assert(rej("MATCH (a:A) RETURN coalesce(a.num) + 1 AS x")
       .contains("at least two arguments"))
     assert(rej("MATCH (a:A) WHERE abs(a.num - zz.num) > 1 RETURN a.tag")

@@ -64,6 +64,20 @@ def main():
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
+            # gate parity with the driver: its pandas checker crashes
+            # sorting dict/ndarray cells, so non-scalar top-level
+            # columns (struct/array) are a FAIL here too — serialize
+            # them in the QueryDef projection (to_json / array_join /
+            # field reads) before registering.
+            bad_cols = [c for c in got.columns
+                        if got[c].map(lambda v: isinstance(v, (dict, list))
+                                      or type(v).__name__ == "ndarray").any()]
+            if bad_cols:
+                print(f"FAIL {name}: non-scalar top-level columns "
+                      f"{bad_cols} (driver's pandas gate cannot hash "
+                      f"struct/array cells — serialize to scalars)")
+                n_fail += 1
+                continue
             gc, gr = frame_key(got)
             wc, wr = frame_key(want)
             if gc != wc:
