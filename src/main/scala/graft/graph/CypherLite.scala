@@ -563,11 +563,14 @@ object CypherLite {
     /** Every name this stage leaves in scope, declaration order —
       * item outputs, unwound names, post-stage MATCH aliases. The
       * ONE definition star expansion and name resolution share.
-      * Hidden ORDER BY items (`__ob_i`, dropped after the stage's
-      * sort) are NOT in scope.
+      * Engine-reserved hidden items are NOT in scope: `__ob_i`
+      * (dropped after the stage's sort) and `__agg_…` (the
+      * arithmetic-over-aggregates helpers, dropped when the written
+      * postArith item is restored) — a following `RETURN *` /
+      * `WITH *` must expand to the WRITTEN outputs only.
       */
     def scopeNames: Seq[String] =
-      items.map(_.as).filterNot(_.startsWith("__ob_")) ++
+      items.map(_.as).filterNot(_.startsWith("__")) ++
         unwinds.map(_._2) ++
         postMatches.flatMap(_.boundNodes.map(_._1))
   }
@@ -2856,7 +2859,27 @@ object CypherLite {
     // date like month: 13 rejects here, not as a null downstream)
     val MapCtorRe =
       """(?i)\b(date|datetime)\s*\(\s*\{([^}]*)\}\s*\)""".r
-    val s = MapCtorRe.replaceAllIn(s0out, m => {
+    // quote-aware: the fold runs on UNQUOTED segments only — the
+    // literal text `date({year: 2020, …})` inside a string must stay
+    // verbatim (rewriting it would silently change the string's value
+    // and corrupt comparisons against it)
+    def foldUnquoted(in: String, f: String => String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < in.length) {
+        val q = in.indexOf('\'', i)
+        if (q < 0) { sb ++= f(in.substring(i)); i = in.length }
+        else {
+          sb ++= f(in.substring(i, q))
+          val close = in.indexOf('\'', q + 1)
+          val end = if (close < 0) in.length else close + 1
+          sb ++= in.substring(q, end)
+          i = end
+        }
+      }
+      sb.result()
+    }
+    val s = foldUnquoted(s0out, seg => MapCtorRe.replaceAllIn(seg, m => {
       val units = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
         .map { kv =>
           val parts = kv.split(":", 2)
@@ -2884,7 +2907,7 @@ object CypherLite {
             units.getOrElse("minute", 0), units.getOrElse("second", 0))
           s"datetime('$t')"
         })
-    })
+    }))
     val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
     // quote-aware probe: blank quoted spans first
     val blanked = s.replaceAll("'[^']*'", "''")
@@ -6665,15 +6688,15 @@ object CypherLite {
                   (st.dir == In && dl == fromL &&
                     (toL.isEmpty || sl == toL)) => rn
               }.toSeq.sorted
-              require(cand.nonEmpty,
-                (if (st.dir == Out) s"no edge type leaves :$fromL"
-                 else s"no edge type enters :$fromL") +
-                  (if (toL.nonEmpty) s" toward :$toL" else "") +
-                  s" (${edgeEp.keys.toSeq.sorted.mkString(", ")})")
+              // cand EMPTY: no edge type touches this labeled source.
+              // Neo4j compiles such a query and returns ZERO rows —
+              // leave the step untyped (the union route matches
+              // nothing for the label) instead of throwing; a
+              // correct-empty result, not an error. cand non-empty:
               // expand only when the alternation would pass the
               // multi-type soundness gate — else keep the untyped
               // route (global-unique-id contract), unchanged behavior
-              if (cand.map(edgeEp).distinct.size == 1) {
+              if (cand.nonEmpty && cand.map(edgeEp).distinct.size == 1) {
                 steps(i) = st.copy(rel = cand.mkString("|"))
                 changed = true
               }

@@ -128,6 +128,18 @@ object GraphMerge {
     // inline) and trailing semicolons; pointed rejects for $params
     // and current-time constructors
     val stmt0 = CypherLite.preprocess(stmt0raw)
+    // CREATE runs as a first-write-wins upsert here (see MergeNodeRe
+    // note) — Neo4j CREATE can mint duplicates, this store cannot.
+    // The reinterpretation is documented but was invisible at
+    // runtime; log it so ingest pipelines that DEPEND on
+    // duplicate-creating semantics notice (advisor round-13).
+    if (stmt0.replaceAll("'[^']*'", "''")
+        .matches("(?is).*\\bCREATE\\s*\\(.*"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "CREATE statement executed with MERGE (upsert, first-write-" +
+          "wins) semantics: this keyed store cannot represent " +
+          "duplicate nodes/edges; rows whose key already exists are " +
+          "left unchanged")
     require(!stmt0.matches("(?is).*\\bON\\s+(CREATE|MATCH)\\s+SET\\b.*"),
       "ON CREATE SET / ON MATCH SET are unsupported — this engine's " +
         "MERGE is first-write-wins (replay-safe upsert); plain SET " +
