@@ -2592,13 +2592,18 @@ object CypherLite {
     val out = Seq.newBuilder[Int]
     var inQ = false
     var brk = 0 // [ … ] nesting — a WHERE inside a list
-                // comprehension's brackets is NOT a clause keyword
+                // comprehension's brackets is NOT a clause keyword —
+                // and { … } nesting: MATCH/RETURN inside a
+                // COLLECT{}/COUNT{}/EXISTS{} subquery body (or a map
+                // literal) are not clause boundaries either
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') { inQ = !inQ; i += 1 }
-      else if (!inQ && ch == '[') { brk += 1; i += 1 }
-      else if (!inQ && ch == ']') { brk = math.max(0, brk - 1); i += 1 }
+      else if (!inQ && (ch == '[' || ch == '{')) { brk += 1; i += 1 }
+      else if (!inQ && (ch == ']' || ch == '}')) {
+        brk = math.max(0, brk - 1); i += 1
+      }
       else if (!inQ && brk == 0 &&
           s.regionMatches(true, i, kw, 0, kw.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
@@ -2952,10 +2957,15 @@ object CypherLite {
       acc.result()
     }
     val headNames: Set[String] = headUnwinds.map(_._2).toSet
-    val (beforeReturn0, returnPart) = stmt.split("(?i)\\bRETURN\\b", 2) match {
-      case Array(p)    => (p, None)
-      case Array(p, r) => (p, Some(r))
-    }
+    // brace-aware RETURN cut: a `WITH COLLECT { … RETURN x } AS xs`
+    // stage carries RETURN inside subquery braces — the statement's
+    // RETURN is the first TOP-LEVEL one
+    val (beforeReturn0, returnPart) =
+      topLevelKeywordIndex(stmt, "RETURN") match {
+        case None    => (stmt, None)
+        case Some(i) => (stmt.substring(0, i),
+          Some(stmt.substring(i + "RETURN".length)))
+      }
     // mid-statement UNWIND (`MATCH … UNWIND xs AS x … RETURN`)
     // desugars to an implicit carry-everything stage — `MATCH … WITH *
     // UNWIND xs AS x …` — and rides the post-WITH UNWIND machinery
@@ -4087,6 +4097,12 @@ object CypherLite {
       """(?is)^EXISTS\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val CountBraceItemRe =
       """(?is)^COUNT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // Neo4j 5.6's third subquery form beside EXISTS{}/COUNT{}:
+    // `COLLECT { MATCH (a)-[:R]->(b) [WHERE …] RETURN b.prop } AS xs`
+    // — compiled onto the pattern-comprehension machinery (identical
+    // semantics: the per-anchor SORTED list, [] when nothing matches)
+    val CollectBraceItemRe =
+      """(?is)^COLLECT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // fn-headed item with no top-level operator — the arithmetic
     // grammar's CALL primaries (nested fns) behind an AS; split() is
     // ArithFns-gated inside parseArith (pointed reject: lists don't
@@ -4307,6 +4323,44 @@ object CypherLite {
       // user-name check (their `__agg_` names are engine-reserved)
       val extraAggItems =
         scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
+      // shared by pattern comprehensions AND COLLECT { } subqueries
+      // (the same per-anchor sorted-list machinery): compile an
+      // EXISTS-style local chain + value expression into a list item.
+      // `what` is the plural surface name for error messages.
+      def patternCompItem(chainPart: String, valueTxt: String,
+          as: String, what: String): ReturnItem = {
+        require(ctx == "RETURN" && pathOk,
+          s"$what are RETURN items at the pattern level " +
+            "(no WITH pipeline before them)")
+        checkUserName(as, s"$what output")
+        val pp = parsePatternPredChain(negated = false, chainPart)
+        require(pp.closures.isEmpty,
+          s"$what may not close over other bound aliases — " +
+            "only the anchor is outer")
+        val locals = pp.steps.map(_.node.as).toSet
+        val PropRefRe3 =
+          """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val BareRe3 = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val (va, vp) = valueTxt match {
+          case PropRefRe3(a, p) => (a, Some(p))
+          case BareRe3(a) => (a, None)
+          case v2 => fail(
+            s"$what values must be local.prop or a bare local alias",
+            v2)
+        }
+        require(locals(va),
+          s"$what value references '$va' — not a local alias of " +
+            s"the chain (${locals.mkString(", ")})")
+        for (p2 <- vp) {
+          val lbl = pp.steps.find(_.node.as == va).get.node.label
+          require(lbl.nonEmpty,
+            s"$va.$p2: alias '$va' is unlabeled — the any-node " +
+              "view has no properties")
+        }
+        patternComps += PatternComp(pp, va, vp, as)
+        ReturnItem(None, distinct = false, "", None, as,
+          caseC = Some(CaseCompiled(Seq.empty, res => res(as, None))))
+      }
       val items0 = raws.map[ReturnItem] {
         // percentileCont (linear interpolation — Spark's exact
         // percentile) / percentileDisc (an actual data value: the
@@ -4650,46 +4704,44 @@ object CypherLite {
           val PcRe = """(?s)^\[(.*)\]\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
           other match {
             case PcRe(body, as) =>
-              require(ctx == "RETURN" && pathOk,
-                "pattern comprehensions are RETURN items at the " +
-                  "pattern level (no WITH pipeline before them)")
-              checkUserName(as, "pattern-comprehension output")
               val bi = topBar(body).getOrElse(fail(
                 "a pattern comprehension needs `| value` after the " +
                   "chain", other))
-              val chainPart = body.substring(0, bi).trim
-              val valueTxt = body.substring(bi + 1).trim
-              val pp = parsePatternPredChain(negated = false, chainPart)
-              require(pp.closures.isEmpty,
-                "pattern-comprehension chains may not close over " +
-                  "other bound aliases — only the anchor is outer")
-              val locals = pp.steps.map(_.node.as).toSet
-              val PropRefRe3 =
-                """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
-              val BareRe3 = """^([A-Za-z_][A-Za-z0-9_]*)$""".r
-              val (va, vp) = valueTxt match {
-                case PropRefRe3(a, p) => (a, Some(p))
-                case BareRe3(a) => (a, None)
-                case v2 => fail(
-                  "pattern-comprehension values must be local.prop " +
-                    "or a bare local alias", v2)
-              }
-              require(locals(va),
-                s"pattern-comprehension value references '$va' — not " +
-                  s"a local alias of the chain (${locals.mkString(", ")})")
-              for (p2 <- vp) {
-                val lbl = pp.steps.find(_.node.as == va).get.node.label
-                require(lbl.nonEmpty,
-                  s"$va.$p2: alias '$va' is unlabeled — the any-node " +
-                    "view has no properties")
-              }
-              patternComps += PatternComp(pp, va, vp, as)
-              ReturnItem(None, distinct = false, "", None, as,
-                caseC = Some(CaseCompiled(Seq.empty, res => res(as, None))))
+              patternCompItem(body.substring(0, bi).trim,
+                body.substring(bi + 1).trim, as,
+                "pattern comprehensions")
             case _ => fail(
               "pattern comprehensions are `[(a)-[:R]->(b) [WHERE …] " +
                 "| value] AS xs`", other)
           }
+        // COLLECT { MATCH … RETURN value } — Neo4j 5.6's list
+        // subquery, the standard spelling of the comprehension above
+        case CollectBraceItemRe(body0, as) =>
+          val body = body0.trim
+          val blanked = body.replaceAll("'[^']*'", "''")
+          val rets =
+            """(?i)\bRETURN\b""".r.findAllMatchIn(blanked).toSeq
+          require(rets.length == 1,
+            "COLLECT { … } takes exactly one `RETURN <value>` after " +
+              "the pattern: COLLECT { MATCH (a)-[:R]->(b) [WHERE …] " +
+              "RETURN b.prop }")
+          val chainPart = body.substring(0, rets.head.start).trim
+          val valueTxt = body.substring(rets.head.end).trim
+          require(!valueTxt.matches("(?is)^DISTINCT\\b.*"),
+            "COLLECT { … RETURN DISTINCT … } is unsupported — " +
+              "collect(DISTINCT alias.prop) over an explicit MATCH " +
+              "is the supported spelling")
+          for (kw <- Seq("ORDER", "LIMIT", "SKIP"))
+            require(!valueTxt.matches(s"(?is).*\\b$kw\\b.*"),
+              s"COLLECT { … } does not take $kw — this engine's " +
+                "lists are always value-SORTED (deterministic " +
+                "contract); subscript the result to slice")
+          patternCompItem(chainPart, valueTxt, as,
+            "COLLECT { } subqueries")
+        case other if other.matches("(?is)^COLLECT\\s*\\{.*") =>
+          fail("COLLECT { } subqueries are `COLLECT { MATCH " +
+            "(a)-[:R]->(b) [WHERE …] RETURN local.prop } AS xs`",
+            other)
         // `[x IN xs WHERE cond | expr] AS ys` — filter/transform over
         // a collect output; WHERE and | parts each optional
         case ListCompRe(v, src, bodyTxt, as) if listOk(src) =>

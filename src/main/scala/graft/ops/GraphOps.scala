@@ -2782,6 +2782,27 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9500.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G117 COLLECT { MATCH … RETURN x } — Neo4j 5.6's list subquery
+    // (the third brace form beside EXISTS{}/COUNT{}), compiled onto
+    // the pattern-comprehension machinery: the per-anchor SORTED
+    // list, [] when nothing matches. array_join serializes for the
+    // scalar-only oracle transport (empty list → ''); DuckDB replays
+    // with a FILTERed ordered string_agg over a LEFT join.
+    QueryDef(
+      "g117_cypher_collect_subquery",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |RETURN n.n_name AS nm,
+          |  COLLECT { MATCH (n)-[:HAS_CUSTOMER]->(c:customer)
+          |            WHERE c.c_acctbal > 9900.0
+          |            RETURN c.c_name } AS rich""".stripMargin)
+        .withColumn("rich", array_join(col("rich"), "|"))),
+      Some("""SELECT n_name AS nm,
+             |  coalesce(string_agg(c_name, '|' ORDER BY c_name)
+             |    FILTER (WHERE c_acctbal > 9900.0), '') AS rich
+             |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

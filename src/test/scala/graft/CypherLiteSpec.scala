@@ -2478,6 +2478,42 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("COLLECT { MATCH … RETURN x }: the list-subquery spelling") {
+    // identical semantics to the pattern comprehension: per-anchor
+    // SORTED list, [] when nothing matches
+    val r1 = CypherLite.query(g,
+      "MATCH (a:A) RETURN a, " +
+        "COLLECT { MATCH (a)-[:R1]->(b:B) RETURN b.tag } AS ts ORDER BY a")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(r1 === Seq((1L, Seq("b2")), (4L, Seq("b2", "b5"))))
+    // inner WHERE narrows; empty → [] not null; MATCH optional
+    val r2 = CypherLite.query(g,
+      "MATCH (a:A) RETURN a, " +
+        "COLLECT { (a)-[:R1]->(b:B) WHERE b.id > 2 RETURN b.id } AS hi " +
+        "ORDER BY a")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(r2 === Seq((1L, Seq.empty), (4L, Seq(5L))))
+    // pattern-level RETURN only (parity with pattern comprehensions):
+    // a WITH-level COLLECT { } rejects pointedly, not a misparse
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) WITH COLLECT { MATCH (a)-[:R1]->(b:B) RETURN b } " +
+          "AS bs RETURN bs")
+    }.getMessage.contains("RETURN items at the pattern level"))
+    // pointed rejects: DISTINCT, ORDER BY, missing RETURN, foreign value
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+      "RETURN DISTINCT b.tag } AS ts").contains("DISTINCT"))
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+      "RETURN b.tag ORDER BY b.tag } AS ts").contains("SORTED"))
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) } " +
+      "AS ts").contains("RETURN"))
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+      "RETURN a.tag } AS ts").contains("not a local alias"))
+  }
+
   test("scalar fn over an aggregate: round(avg(x), 2) and friends") {
     val r1 = CypherLite.query(g,
       "MATCH (a:A)-[:R1]->(b:B) " +
