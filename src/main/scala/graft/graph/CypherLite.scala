@@ -739,7 +739,7 @@ object CypherLite {
   // two-argument Neo4j percentile aggregates; the fraction is a
   // literal in [0, 1]
   private val PercentileRe =
-    """^(?i)(percentileCont|percentileDisc)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(0?\.[0-9]+|0|1|1\.0|0\.0)\s*\)\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    """^(?i)(percentileCont|percentileDisc)\s*\(\s*(?:((?i:DISTINCT))\s+)?([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*,\s*(0?\.[0-9]+|0|1|1\.0|0\.0)\s*\)\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
   // `=~` FIRST so the alternation prefers it over bare `=`
   private val OpAlt =
     """=~|=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
@@ -1558,13 +1558,28 @@ object CypherLite {
       case "ENDS WITH" => _.endsWith(rhsColumn(v))
       case "IN" =>
         val body = v.trim
-        require(body.startsWith("[") && body.endsWith("]"),
-          s"IN needs a [list], got '$body'")
-        // quote-aware split (litListValues → splitTopComma): a comma
-        // INSIDE a string item — `c.name IN ['a,b', 'c']` — is list
-        // punctuation to a raw split and mis-parsed both halves.
-        val items = litListValues(body)
-        _.isin(items: _*)
+        body match {
+          // `x IN range(a, b[, step])` — membership WITHOUT
+          // materializing the list: a bounds + stride test (pure
+          // Column algebra, codegen'd), so `IN range(1, 10000000)`
+          // stays scale-safe like the UNWIND head form
+          case RangeSrcRe(a0, b0, s0) =>
+            val a = a0.toLong; val b = b0.toLong
+            val step = Option(s0).map(_.toLong).getOrElse(1L)
+            require(step != 0, "range() step must be non-zero")
+            val (lo, hi) = if (step > 0) (a, b) else (b, a)
+            c => c >= lit(lo) && c <= lit(hi) &&
+              (c - lit(a)) % lit(step) === lit(0)
+          case _ =>
+            require(body.startsWith("[") && body.endsWith("]"),
+              s"IN needs a [list] or range(a, b[, step]), got '$body'")
+            // quote-aware split (litListValues → splitTopComma): a
+            // comma INSIDE a string item — `c.name IN ['a,b', 'c']` —
+            // is list punctuation to a raw split and mis-parsed both
+            // halves.
+            val items = litListValues(body)
+            _.isin(items: _*)
+        }
     }
 
   private def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
@@ -1814,6 +1829,16 @@ object CypherLite {
     */
   private final case class ArithCmpE(l: ArithExpr, r: ArithExpr,
       mk: (Column, Column) => Column) extends BoolExpr
+  /** A searched-CASE expression compared against a literal
+    * (`WHERE CASE WHEN … THEN … END OP lit`, the projected-predicate
+    * idiom LLMs emit inline): the item CASE compiler (g36/g89
+    * machinery) builds the Column, the comparison rides it. Its
+    * dotted refs drive property attachment exactly like arithmetic
+    * conjuncts — single-alias instances stay node predicates,
+    * cross-alias ones ride the row filter.
+    */
+  private final case class CaseCmpE(cc: CaseCompiled,
+      mk: Column => Column) extends BoolExpr
   /** A stage/head-unwind output compared against a LITERAL
     * (`WHERE m = 5`, `WHERE x = 'BUILDING'` after UNWIND) — a pure
     * filter on the stage column; no property attach, always the
@@ -1875,6 +1900,7 @@ object CypherLite {
     case AtomSE(a, _, _, _) => Set(a, StageAliasMarker)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).map(_._1).toSet
+    case CaseCmpE(cc, _) => cc.refs.map(_._1).toSet
     case StageLitE(_, _) => Set.empty
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
@@ -1886,6 +1912,7 @@ object CypherLite {
     case AtomSE(a, pr, _, _) => Seq(a -> pr)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).collect { case (a, Some(p)) => a -> p }
+    case CaseCmpE(cc, _) => cc.refs
     case StageLitE(_, _) => Seq.empty
   }
   private def exprHasStage(e: BoolExpr): Boolean = e match {
@@ -1912,6 +1939,12 @@ object CypherLite {
             s"'$a': WHERE arithmetic refs must be alias.prop")
         }
         mk(arithColumn(l, res), arithColumn(r, res))
+      case CaseCmpE(cc, mk) =>
+        mk(cc.build((a, pOpt) => pOpt match {
+          case Some(p) => resolve(a, p)
+          case None => throw new IllegalArgumentException(
+            s"'$a': CASE in WHERE reads alias.prop refs only")
+        }))
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)
@@ -2751,6 +2784,15 @@ object CypherLite {
   // capturing groups would shift the host pattern's group numbering)
   private val RangeSrcPatNC =
     """range\s*\(\s*-?\d+\s*,\s*-?\d+\s*(?:,\s*-?\d+\s*)?\)"""
+
+  /** Element count of Cypher's INCLUSIVE `range(a, b, step)` — 0 when
+    * the step walks away from b.
+    */
+  private def rangeLen(a: Long, b: Long, step: Long): Long = {
+    require(step != 0, "range() step must be non-zero")
+    if ((step > 0 && b < a) || (step < 0 && b > a)) 0L
+    else (b - a) / step + 1
+  }
   // head-position `UNWIND [lits] AS x` / `UNWIND range(a, b) AS x` —
   // peeled off the statement front before pattern parsing (the
   // following text must continue with MATCH or a pattern)
@@ -3398,6 +3440,34 @@ object CypherLite {
         // form first (quote-aware)
         val c0 = IdLhsRe.replaceFirstIn(
           rewriteTemporalAcc(cond.trim), "$1.id ").trim
+        // `CASE WHEN … END OP literal` — the projected-predicate
+        // idiom inline in WHERE (LLMs emit it freely). The item CASE
+        // compiler builds the Column; the comparison rides it like a
+        // fn-wrapped atom. Handled BEFORE the chained-comparison
+        // probe: operators INSIDE the CASE body must not shear it.
+        if (c0.matches("(?is)^CASE\\b.*")) {
+          val body0 = c0.replaceFirst("(?is)^CASE\\b", "")
+          val endIdx = caseAwareKeywordIndices(body0, "END").headOption
+            .getOrElse(fail("CASE in WHERE needs a closing END", c0))
+          val caseTxt = "CASE" + body0.substring(0, endIdx) + "END"
+          val rest = body0.substring(endIdx + 3).trim
+          val cc = compileCase(caseTxt, "WHERE", _ => false,
+            a => bound.contains(a), relVars)
+          require(cc.refs.nonEmpty,
+            "CASE in WHERE must read at least one alias.prop")
+          for ((a, p) <- cc.refs) checkAlias(a, p)
+          // bare form: the CASE itself is the predicate (boolean
+          // arms); compared form: `… END OP literal`
+          if (rest.isEmpty) return CaseCmpE(cc, identity)
+          val OpRe = """(?s)^(<>|!=|<=|>=|=|<|>)\s*(.+)$""".r
+          val (op, rhs) = rest match {
+            case OpRe(o, r) => (o, r.trim)
+            case _ => fail("CASE in WHERE is either the predicate " +
+              "itself (boolean arms) or compared to a literal: " +
+              "CASE WHEN … THEN … END [OP literal]", c0)
+          }
+          return CaseCmpE(cc, opBuilder(op, rhs))
+        }
         // CHAINED comparison (`0 <= c.bal <= 1000`, Cypher's range
         // shorthand) — conjunction of the adjacent pairs; `=~` never
         // chains (its '~' tail yields no second comparison)
@@ -3589,10 +3659,6 @@ object CypherLite {
                 "WHERE arithmetic refs must be alias.prop", other)
             }
             ArithCmpE(l, r, opBuilder2(op))
-          case other if other.matches("(?is)^CASE\\b.*") => fail(
-            "CASE in WHERE is unsupported — express the condition " +
-              "with boolean operators (AND/OR/NOT), or project the " +
-              "CASE in a WITH stage and filter its output", other)
           case other => fail(
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)
@@ -4255,6 +4321,14 @@ object CypherLite {
     // recursively-compiled list (see the case site)
     val FnOfSplitRe =
       """(?is)^(size|length|head|last)\s*\(\s*(split\s*\(.+\))\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // the literal range as a list value in item position — size()
+    // and subscript fold statically (see the case site)
+    val RangeCapPat =
+      """range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)"""
+    val RangeSizeItemRe =
+      s"""(?is)^size\\s*\\(\\s*$RangeCapPat\\s*\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    val RangeSubItemRe =
+      s"""(?is)^$RangeCapPat\\s*\\[\\s*(-?\\d+)\\s*\\]\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // list literal of expressions — `[c.a, c.b] AS pair` (guarded
     // away from comprehensions and pattern comprehensions at the
     // case site)
@@ -4365,10 +4439,25 @@ object CypherLite {
         // percentileCont (linear interpolation — Spark's exact
         // percentile) / percentileDisc (an actual data value: the
         // smallest element with cumulative distribution ≥ fraction)
-        case PercentileRe(fn, a, p, frac, as) =>
-          require(propOk(a),
+        case PercentileRe(fn, dist, a, p, frac, as) =>
+          // dotted = a node property (pattern scope); bare = a
+          // previous stage's VALUE output (the post-WITH surface,
+          // like sum/avg over stage outputs)
+          if (p != null) require(propOk(a),
             s"${fn}() references unknown alias '$a'")
-          ReturnItem(Some(fn.toLowerCase), distinct = false, a, Some(p), as,
+          else require(bareAgg(a),
+            s"${fn}($a): '$a' is not a value output of the previous " +
+              "stage (bare percentile args must be WITH outputs)")
+          val d = dist != null
+          // Disc over distinct values has no inline SQL spelling
+          // (DISTINCT is invalid inside WITHIN GROUP) — dedupe in a
+          // prior stage instead; Cont routes through the SQL parser's
+          // DISTINCT rewrite like avg(DISTINCT)
+          require(!d || fn.equalsIgnoreCase("percentileCont"),
+            "percentileDisc(DISTINCT …) is unsupported — deduplicate " +
+              "first: WITH DISTINCT alias.prop AS v … " +
+              "percentileDisc(v, f) has the same meaning")
+          ReturnItem(Some(fn.toLowerCase), d, a, Option(p), as,
             aggArg = Some(frac.toDouble))
         case other if other.matches("(?is)^percentile(Cont|Disc)\\s*\\(.*") =>
           fail("percentileCont/Disc take (alias.prop, fraction-literal) " +
@@ -4603,6 +4692,26 @@ object CypherLite {
               res => try_element_at(res(n, None), lit(idx)))))
         // head/last/size over a split(…) CALL — tried before the
         // pointed reject below (the only other list-producing call)
+        // `size(range(a, b[, s])) AS n` / `range(a, b[, s])[i] AS x`
+        // — the literal integer range as a list VALUE: the bounds are
+        // literals, so both fold STATICALLY to a constant (no array
+        // materializes, scale-free like the UNWIND head form)
+        case RangeSizeItemRe(a0, b0, s0, as) =>
+          val n = rangeLen(a0.toLong, b0.toLong,
+            Option(s0).map(_.toLong).getOrElse(1L))
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, _ => lit(n.toInt))))
+        case RangeSubItemRe(a0, b0, s0, i0, as) =>
+          val a = a0.toLong
+          val step = Option(s0).map(_.toLong).getOrElse(1L)
+          val n = rangeLen(a, b0.toLong, step)
+          val i1 = i0.toLong
+          val idx = if (i1 >= 0) i1 else n + i1
+          val v: Column =
+            if (idx >= 0 && idx < n) lit(a + idx * step)
+            else lit(null)
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, _ => v)))
         case FnOfSplitRe(fn, call, as) =>
           val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
             aggOk, bareAgg, pathOk, listOk)
@@ -5274,6 +5383,12 @@ object CypherLite {
     // (explode of an empty array — Cypher semantics).
     val UnwindLitRe =
       s"""^($LitListPat|$RangeSrcPatNC)\\s+(?i:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    // `UNWIND keys(n) AS k` — the property-name iteration idiom: the
+    // key list is STATIC for a labeled alias (schema order, engine id
+    // excluded, same contract as the keys() item), so the apply site
+    // builds a literal array from the graph's node schema
+    val UnwindKeysRe =
+      """(?is)^keys\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val withClauses = withSegs.drop(1).foldLeft(Vector.empty[WithClause]) { (acc, wpSeg) =>
       val prev = acc.lastOption
       // `MATCH` / `OPTIONAL MATCH` AFTER the stage (and its unwinds)
@@ -5562,6 +5677,16 @@ object CypherLite {
       // non-array column is a loud AnalysisException).
       val unwinds = unwindTxts.foldLeft(Vector.empty[(String, String)]) { (uacc, txt) =>
         txt match {
+          case UnwindKeysRe(a, out) =>
+            val inScope = outNames ++ uacc.map(_._2)
+            require(carried.contains(a),
+              s"UNWIND keys($a): '$a' must be a bare-carried node " +
+                "alias of this WITH stage (e.g. WITH n UNWIND " +
+                "keys(n) AS k)")
+            require(!inScope(out) && !uacc.exists(_._2 == out),
+              s"UNWIND output name '$out' collides with an existing output")
+            checkUserName(out, "UNWIND output")
+            uacc :+ (s"keys($a)" -> out)
           case UnwindRe(src, out) =>
             val inScope = outNames ++ uacc.map(_._2)
             require(inScope(src),
@@ -5984,7 +6109,12 @@ object CypherLite {
             // same formula as DuckDB quantile_cont); Disc = the
             // smallest data value with cume_dist ≥ fraction (SQL
             // standard percentile_disc, Spark 3.4+)
-            case ("percentilecont", _) =>
+            case ("percentilecont", true) =>
+              // like avg(DISTINCT): no Column-API distinct variant —
+              // route through the SQL parser on the resolved name
+              val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
+              expr(s"percentile(DISTINCT `$cn`, ${ri.aggArg.get})")
+            case ("percentilecont", false) =>
               percentile(baseCol(ri), lit(ri.aggArg.get))
             case ("percentiledisc", _) =>
               val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
@@ -7189,13 +7319,28 @@ object CypherLite {
           // UNWIND clauses trail the stage: one explode per clause —
           // empty/null lists drop the row (Cypher UNWIND semantics);
           // the source list stays in scope
+          val UnwindKeysSrc =
+            """(?is)^keys\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
           val unwound = w.unwinds.foldLeft(filtered) { case (d, (src, x)) =>
             // a bracketed src is a LITERAL list — build the array in
-            // place (codegen'd literals); a name reads the stage output
-            val srcCol =
-              if (src.startsWith("[") ||
-                src.matches(s"(?is)^$RangeSrcPatNC$$")) litArray(src)
-              else col(src)
+            // place (codegen'd literals); `keys(alias)` folds to the
+            // carried alias's STATIC key list (schema order, id
+            // excluded — the keys() item contract); a name reads the
+            // stage output
+            val srcCol = src match {
+              case UnwindKeysSrc(a) =>
+                val lbl = w.carried(a)._2
+                require(g.nodes.contains(lbl),
+                  s"keys($a): ':$lbl' is not a single node label — " +
+                    "alternation views carry no uniform schema")
+                val cols = g.nodes(lbl).columns.toSeq.filterNot(_ == "id")
+                require(cols.nonEmpty,
+                  s"keys($a): label '$lbl' carries no property columns")
+                array(cols.map(lit): _*)
+              case _ if src.startsWith("[") ||
+                  src.matches(s"(?is)^$RangeSrcPatNC$$") => litArray(src)
+              case _ => col(src)
+            }
             d.withColumn(x, explode(srcCol))
           }
           // pattern re-entry: each post-stage MATCH clause is its own

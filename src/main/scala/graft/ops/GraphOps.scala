@@ -2803,6 +2803,80 @@ object GraphOps {
              |    FILTER (WHERE c_acctbal > 9900.0), '') AS rich
              |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G118 CASE as a WHERE operand — `WHERE CASE … END OP literal`
+    // (the projected-predicate idiom LLMs emit inline): the item CASE
+    // compiler's Column rides the comparison; the mixed-arm CASE here
+    // reads two properties, so the conjunct classifies single-alias
+    // and stays a node predicate (semi-join before the path join).
+    QueryDef(
+      "g118_cypher_case_where",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE CASE WHEN c.c_acctbal > 9500.0 THEN 'hi'
+          |           WHEN c.c_mktsegment = 'BUILDING' THEN 'mid'
+          |           ELSE 'lo' END = 'hi'
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE CASE WHEN c_acctbal > 9500.0 THEN 'hi'
+             |           WHEN c_mktsegment = 'BUILDING' THEN 'mid'
+             |           ELSE 'lo' END = 'hi'
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G119 range(a, b[, step]) as a general list VALUE — IN
+    // membership compiles to a bounds + stride test (pure Column
+    // algebra, no materialized list: `IN range(1, 10000000)` is as
+    // scale-safe as the UNWIND head form), and size(range(…)) folds
+    // statically to a constant.
+    QueryDef(
+      "g119_cypher_range_value",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_nationkey IN range(0, 24, 2)
+          |  AND c.c_acctbal > 9000.0
+          |RETURN n.n_name AS nm, count(*) AS cnt,
+          |       size(range(0, 24, 2)) AS rl""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt, 13 AS rl
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_nationkey >= 0 AND c_nationkey <= 24
+             |  AND c_nationkey % 2 = 0 AND c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G120 UNWIND keys(n) — the property-name iteration idiom: the
+    // key list is STATIC per label (schema order, engine id
+    // excluded), so the explode costs a 3-literal array per row —
+    // no schema scan, no shuffle beyond the aggregate's own.
+    QueryDef(
+      "g120_cypher_unwind_keys",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation) WITH n UNWIND keys(n) AS k
+          |RETURN k, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT k, CAST(count(*) AS BIGINT) AS cnt
+             |FROM nation CROSS JOIN (SELECT unnest(
+             |  ['n_nationkey', 'n_name', 'n_regionkey']) AS k) t
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G121 percentileCont(DISTINCT …) — the DISTINCT gate extended to
+    // the percentile aggregates (Cont only: Disc-over-distinct has no
+    // inline SQL spelling — pointed reject suggests the WITH DISTINCT
+    // rewrite). Plans as Spark's two-level distinct aggregate beside
+    // the plain percentile, map-side combine shape at scale.
+    QueryDef(
+      "g121_cypher_percentile_distinct",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |RETURN n.n_name AS nm,
+          |  percentileCont(DISTINCT c.c_nationkey, 0.5) AS selfk,
+          |  percentileCont(c.c_acctbal, 0.5) AS med""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(quantile_cont(DISTINCT c_nationkey, 0.5)
+             |       AS DOUBLE) AS selfk,
+             |  quantile_cont(c_acctbal, 0.5) AS med
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -3848,9 +3848,104 @@ class CypherLiteSpec extends SparkSpec {
       .contains("may not nest"))
     assert(rej("MATCH (a:A:B) RETURN count(*) AS n")
       .contains("conjunction labels"))
-    assert(rej("MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN true ELSE " +
-      "false END RETURN count(*) AS n")
-      .contains("CASE in WHERE is unsupported"))
+  }
+
+  test("CASE as a WHERE operand: compared and bare-boolean forms") {
+    // `CASE … END OP literal` — the projected-predicate idiom inline
+    val n1 = CypherLite.query(g,
+      "MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN 1 ELSE 0 END = 1 " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n1 === 1L) // a4 only
+    // bare boolean CASE is the predicate itself
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN true ELSE false END " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n2 === 1L)
+    // cross-alias CASE rides the row filter; string comparison
+    val r3 = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE CASE WHEN a.id > b.id THEN 'gt' ELSE 'le' END = 'le' " +
+        "RETURN a.tag AS t, b.tag AS bt ORDER BY t, bt")
+      .as[(String, String)].collect().toSeq
+    assert(r3 === Seq(("a1", "b2"), ("a4", "b5")))
+    // composes with other conjuncts at the top level
+    val n4 = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id >= 1 AND " +
+        "CASE WHEN a.tag = 'a1' THEN 1 ELSE 0 END = 1 " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n4 === 1L)
+    // pointed rejects: no END, garbage after END, no refs
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN 1 " +
+      "RETURN count(*) AS n").contains("END"))
+    assert(rej("MATCH (a:A) WHERE CASE WHEN a.id > 1 THEN 1 ELSE 0 " +
+      "END banana RETURN count(*) AS n").contains("compared"))
+  }
+
+  test("range(a, b[, step]) as a general list value") {
+    // IN membership compiles to a bounds + stride test — never a
+    // materialized list (scale-safe like the UNWIND head form)
+    val n1 = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id IN range(1, 3) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n1 === 1L) // a1 only (a4 outside)
+    val n2 = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id IN range(0, 10, 2) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 1L) // a4 (even) only
+    // negative step walks down
+    val n3 = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id IN range(5, 1, -4) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n3 === 1L) // range is [5, 1]; only id 1 matches
+    // size()/subscript fold statically
+    val r = CypherLite.query(g,
+      "MATCH (a:A {id: 1}) RETURN size(range(1, 10, 3)) AS n, " +
+        "range(1, 10, 3)[1] AS second, range(1, 10, 3)[-1] AS last_el, " +
+        "range(1, 10, 3)[9] AS oob, size(range(5, 1)) AS empty")
+      .collect().head
+    assert(r.getInt(0) === 4)          // 1, 4, 7, 10
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 10L)
+    assert(r.isNullAt(3))
+    assert(r.getInt(4) === 0)
+  }
+
+  test("UNWIND keys(n) AS k; percentileCont/Disc DISTINCT surface") {
+    // keys(n) as an UNWIND source — static key list, schema order
+    val r1 = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) WITH a UNWIND keys(a) AS k RETURN k ORDER BY k")
+      .as[String].collect().toSeq
+    assert(r1 === Seq("num", "tag"))
+    // the no-WITH spelling desugars through the implicit WITH *
+    val r2 = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) UNWIND keys(a) AS k RETURN k ORDER BY k")
+      .as[String].collect().toSeq
+    assert(r2 === Seq("num", "tag"))
+    // percentileCont(DISTINCT …): b.num values 1, 2, 1 → distinct
+    // {1, 2} → interpolated median 1.5 (plain median is 1.0)
+    val p1 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN percentileCont(DISTINCT b.num, 0.5) AS m")
+      .as[Double].collect().head
+    assert(p1 === 1.5)
+    // bare stage-output percentile — the Disc-DISTINCT workaround
+    val p2 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) WITH DISTINCT b.num AS v " +
+        "RETURN percentileDisc(v, 0.5) AS m")
+      .as[Double].collect().head
+    assert(p2 === 1.0)
+    // pointed rejects
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG, "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN percentileDisc(DISTINCT b.num, 0.5) AS m")
+    }.getMessage.contains("percentileDisc(DISTINCT"))
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) WITH a.num AS v UNWIND keys(v) AS k RETURN k")
+    }.getMessage.contains("bare-carried"))
   }
 
   test("week/quarter accessors fold to weekofyear/quarter") {
