@@ -841,6 +841,14 @@ object CypherLite {
       items.find(_.src.exists(_.replaceAll("\\s+", "") == nk)).map(_.as)
     }
     ob.map {
+      // `ORDER BY 1` — SQL's positional syntax; Cypher sorts by the
+      // CONSTANT 1 (a no-op Neo4j accepts silently). Pointed reject:
+      // the author almost certainly meant the first item.
+      case (k, _) if k.matches("-?\\d+") =>
+        throw new IllegalArgumentException(
+          s"$ctx $k: positional ORDER BY is SQL, not Cypher (Cypher " +
+            "would sort by the constant) — name the output " +
+            "(ORDER BY alias) or repeat the item expression")
       // an aggregate-expression key (`count(*)`, `sum(o.total)`,
       // `count(DISTINCT p)`) — resolve to the item with the SAME
       // aggregate structure, whatever its output name (covers both
@@ -1839,6 +1847,13 @@ object CypherLite {
     */
   private final case class CaseCmpE(cc: CaseCompiled,
       mk: Column => Column) extends BoolExpr
+  /** A PRE-RESOLVED condition Column — produced only by the STAGE
+    * scopes (WITH WHERE / CALL-tail WHERE), where every ref resolves
+    * eagerly against the staged frame's columns. Never produced by
+    * the pattern-WHERE router, so the node-predicate/row-filter
+    * classification never sees it.
+    */
+  private final case class RawE(c: Column) extends BoolExpr
   /** A stage/head-unwind output compared against a LITERAL
     * (`WHERE m = 5`, `WHERE x = 'BUILDING'` after UNWIND) — a pure
     * filter on the stage column; no property attach, always the
@@ -1848,6 +1863,11 @@ object CypherLite {
       extends BoolExpr
   private final case class AndE(xs: Seq[BoolExpr]) extends BoolExpr
   private final case class OrE(xs: Seq[BoolExpr]) extends BoolExpr
+  /** Cypher XOR — binds between OR and AND. Compiles to `=!=` over
+    * the boolean operands, which is exactly three-valued exclusive
+    * or (either side null → null → the row drops).
+    */
+  private final case class XorE(xs: Seq[BoolExpr]) extends BoolExpr
   /** General boolean negation — `NOT a.x = 1`, `NOT (a.x = 1 OR
     * b.y = 2)`. Spark's `!` implements Cypher's three-valued NOT
     * exactly (NOT null = null → the row drops through the filter).
@@ -1883,10 +1903,16 @@ object CypherLite {
       require(cs.nonEmpty, "empty WHERE")
       if (cs.length > 1) AndE(cs.map(parseFactor)) else parseFactor(cs.head)
     }
+    // Cypher precedence: OR < XOR < AND < NOT
+    def parseXor(s: String): BoolExpr = {
+      val xs = splitTop(s, "XOR")
+      require(xs.nonEmpty, "empty WHERE")
+      if (xs.length > 1) XorE(xs.map(parseTerm)) else parseTerm(xs.head)
+    }
     def parseExpr(s: String): BoolExpr = {
       val ds = splitTop(s, "OR")
       require(ds.nonEmpty, "empty WHERE")
-      if (ds.length > 1) OrE(ds.map(parseTerm)) else parseTerm(ds.head)
+      if (ds.length > 1) OrE(ds.map(parseXor)) else parseXor(ds.head)
     }
     parseExpr(w)
   }
@@ -1896,11 +1922,13 @@ object CypherLite {
     case Atom2E(a1, _, a2, _, _) => Set(a1, a2)
     case AndE(xs) => xs.flatMap(exprAliases).toSet
     case OrE(xs) => xs.flatMap(exprAliases).toSet
+    case XorE(xs) => xs.flatMap(exprAliases).toSet
     case NotE(x) => exprAliases(x)
     case AtomSE(a, _, _, _) => Set(a, StageAliasMarker)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).map(_._1).toSet
     case CaseCmpE(cc, _) => cc.refs.map(_._1).toSet
+    case RawE(_) => Set.empty
     case StageLitE(_, _) => Set.empty
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
@@ -1908,18 +1936,22 @@ object CypherLite {
     case Atom2E(a1, p1, a2, p2, _) => Seq(a1 -> p1, a2 -> p2)
     case AndE(xs) => xs.flatMap(exprProps)
     case OrE(xs) => xs.flatMap(exprProps)
+    case XorE(xs) => xs.flatMap(exprProps)
     case NotE(x) => exprProps(x)
     case AtomSE(a, pr, _, _) => Seq(a -> pr)
     case ArithCmpE(l, r, _) =>
       (arithRefs(l) ++ arithRefs(r)).collect { case (a, Some(p)) => a -> p }
     case CaseCmpE(cc, _) => cc.refs
+    case RawE(_) => Seq.empty
     case StageLitE(_, _) => Seq.empty
   }
   private def exprHasStage(e: BoolExpr): Boolean = e match {
     case _: AtomSE => true
     case _: StageLitE => true
+    case _: RawE => true
     case AndE(xs) => xs.exists(exprHasStage)
     case OrE(xs) => xs.exists(exprHasStage)
+    case XorE(xs) => xs.exists(exprHasStage)
     case NotE(x) => exprHasStage(x)
     case _ => false
   }
@@ -1929,6 +1961,7 @@ object CypherLite {
       case Atom2E(a1, p1, a2, p2, mk) => mk(resolve(a1, p1), resolve(a2, p2))
       case AndE(xs) => xs.map(toColumn(_, resolve)).reduce(_ && _)
       case OrE(xs) => xs.map(toColumn(_, resolve)).reduce(_ || _)
+      case XorE(xs) => xs.map(toColumn(_, resolve)).reduce(_ =!= _)
       case NotE(x) => !toColumn(x, resolve)
       case AtomSE(a, pr, out, mk) => mk(resolve(a, pr), col(out))
       case StageLitE(out, mk) => mk(col(out))
@@ -1945,6 +1978,7 @@ object CypherLite {
           case None => throw new IllegalArgumentException(
             s"'$a': CASE in WHERE reads alias.prop refs only")
         }))
+      case RawE(c) => c
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)
@@ -2324,6 +2358,15 @@ object CypherLite {
                 "appear in WHERE; aggregate in a WITH stage and " +
                 "filter/compose its OUTPUT (`WITH …, count(c) AS n " +
                 "WHERE n > 5 …`)")
+            // keys(n)/properties(n) are whole-node items — size(
+            // keys(n)) is a static per-label constant, so spell the
+            // intent directly instead of a generic unknown-fn miss
+            require(fn != "keys" && fn != "properties",
+              s"$a(…) in arithmetic/WHERE is unsupported — keys/" +
+                "properties are STATIC per label here: inline the " +
+                "constant (e.g. the label's property count), project " +
+                s"$a(n) as an item, or iterate keys with " +
+                "UNWIND keys(n) AS k")
             require(ArithFns(fn) || fn == "split",
               s"unsupported function in arithmetic: '$a' " +
                 "(supported: the scalar-function set minus split)")
@@ -4530,6 +4573,21 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, name,
             caseC = Some(CaseCompiled(Seq.empty,
               res => res(a, None).getField(prop))))
+        // temporal accessor on a previous stage's VALUE output —
+        // `WITH min(o.d) AS first RETURN first.year AS y`: single-dot
+        // accessors are ambiguous with property reads, so this case
+        // fires only when 'a' is NOT a property-carrying alias but IS
+        // a bare value output; it recompiles as the fn-wrap item
+        // (`year(first)`), the route that already works
+        case PlainItemRe(a, prop, as)
+            if prop != null && !propOk(a) && bareAgg(a) &&
+              Set("year", "month", "day", "week", "quarter")
+                .contains(prop.toLowerCase) =>
+          val name = Option(as).getOrElse(s"${a}_$prop")
+          val its = parseItems(s"${prop.toLowerCase}($a) AS $name", ctx,
+            plainOk, propOk, aggOk, bareAgg, pathOk, listOk, structOk)
+          require(its.size == 1, s"accessor item: '$a.$prop'")
+          its.head
         case PlainItemRe(a, prop, as) =>
           require(if (prop != null) propOk(a) else plainOk(a),
             s"$ctx references unknown ${if (prop != null) "alias" else "name"} '$a'")
@@ -5597,7 +5655,7 @@ object CypherLite {
             ReturnItem(None, distinct = false, orig, Some(p), nm)
           nm
         }
-        def atom(cond: String): AtomE = cond.trim match {
+        def atom(cond: String): BoolExpr = cond.trim match {
           case WhereNullRe(a, p, not) =>
             val nm = hiddenProp(a, p)
             AtomE("", nm, c => if (not != null) c.isNotNull else c.isNull)
@@ -5666,6 +5724,26 @@ object CypherLite {
                 AtomE("", n, c => opBuilder2(op)(c, col(rhs)))
               case _ => AtomE("", n, opBuilder(op, v))
             }
+          // arithmetic comparison over outputs / carried props —
+          // `x % 2 = 0`, `n * 2 > m`: both sides compile as
+          // arithmetic; bare refs read stage outputs, dotted refs
+          // ride hidden items like every other dotted condition
+          case other if (other.exists("+-*/%^".contains(_)) ||
+                FnCallHeadRe.findFirstIn(other).isDefined) &&
+              splitTopCmp(other).isDefined =>
+            val (lt, op, rt) = splitTopCmp(other).get
+            val l = parseArith(lt.trim); val r = parseArith(rt.trim)
+            val refs = arithRefs(l) ++ arithRefs(r)
+            require(refs.nonEmpty,
+              s"constant WITH WHERE comparison: '${other.take(40)}'")
+            val res: (String, Option[String]) => Column = {
+              case (a, Some(p)) => col(hiddenProp(a, p))
+              case (a, None) =>
+                require(outNames(a),
+                  s"WITH WHERE references unknown output '$a'")
+                col(a)
+            }
+            RawE(opBuilder2(op)(arithColumn(l, res), arithColumn(r, res)))
           case other => fail("WITH WHERE conditions must be " +
             "[fn](out_name) OP operand", other)
         }
@@ -6324,6 +6402,23 @@ object CypherLite {
             case WithCondRe(n, op, v) =>
               chk(n)
               AtomE("", n, opBuilder(op, v))
+            // arithmetic over bare outputs — `x % 2 = 0` (the
+            // head-UNWIND mod-filter idiom routes here)
+            case other if (other.exists("+-*/%^".contains(_)) ||
+                  FnCallHeadRe.findFirstIn(other).isDefined) &&
+                splitTopCmp(other).isDefined =>
+              val (lt, op, rt) = splitTopCmp(other).get
+              val l = parseArith(lt.trim); val r = parseArith(rt.trim)
+              val refs = arithRefs(l) ++ arithRefs(r)
+              require(refs.nonEmpty,
+                s"constant WHERE comparison: '${other.take(40)}'")
+              val res: (String, Option[String]) => Column = {
+                case (a, None) => chk(a); col(a)
+                case (a, Some(pp2)) => fail(
+                  "CALL-tail WITH WHERE reads bare outputs only",
+                  s"$a.$pp2")
+              }
+              RawE(opBuilder2(op)(arithColumn(l, res), arithColumn(r, res)))
             case other => fail(
               "CALL-tail WITH WHERE conditions must be name OP " +
                 "operand, fn(name) OP operand, or name IS [NOT] NULL",

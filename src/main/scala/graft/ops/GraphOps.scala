@@ -2877,6 +2877,60 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9000.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G122 XOR + conditional-count — Cypher's XOR (binds between OR
+    // and AND; compiles to `=!=`, exact three-valued exclusive-or)
+    // and the sum(CASE WHEN … THEN 1 ELSE 0 END) idiom LLMs emit for
+    // filtered counts. DuckDB replays XOR as boolean `<>`.
+    QueryDef(
+      "g122_cypher_xor_condcount",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 8000.0 XOR c.c_mktsegment = 'BUILDING'
+          |RETURN n.n_name AS nm,
+          |  sum(CASE WHEN c.c_acctbal > 9000.0 THEN 1 ELSE 0 END)
+          |    AS rich,
+          |  count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(sum(CASE WHEN c_acctbal > 9000.0 THEN 1 ELSE 0
+             |           END) AS BIGINT) AS rich,
+             |  count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE (c_acctbal > 8000.0) <> (c_mktsegment = 'BUILDING')
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G123 arithmetic WHERE over stage outputs — `WITH … WHERE n % 2
+    // = 0`, the mod-filter/HAVING-arithmetic idiom: both sides
+    // compile as Column arithmetic over the staged frame (RawE),
+    // no re-aggregation, the filter rides the aggregate's exchange.
+    QueryDef(
+      "g123_cypher_stage_arith_where",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WITH c.c_custkey AS ck, count(*) AS n WHERE n % 2 = 0
+          |RETURN count(*) AS evens, sum(n) AS orders""".stripMargin)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS evens,
+             |       CAST(sum(n) AS BIGINT) AS orders
+             |FROM (SELECT o_custkey, count(*) AS n FROM orders
+             |      JOIN customer ON c_custkey = o_custkey
+             |      GROUP BY 1) t
+             |WHERE n % 2 = 0""".stripMargin)
+    ),
+    // G124 temporal accessor on a bare stage output — `WITH min(o.d)
+    // AS first RETURN first.year`: the single-dot accessor resolves
+    // scope-aware (only on value outputs, never shadowing a real
+    // property) and recompiles as the year()-wrap item.
+    QueryDef(
+      "g124_cypher_acc_on_output",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (o:orders)
+          |WITH min(o.o_orderdate) AS first, max(o.o_orderdate) AS last
+          |RETURN first.year AS fy, last.year AS ly,
+          |       last.quarter AS lq""".stripMargin)),
+      Some("""SELECT CAST(year(min(o_orderdate)) AS INTEGER) AS fy,
+             |       CAST(year(max(o_orderdate)) AS INTEGER) AS ly,
+             |       CAST(quarter(max(o_orderdate)) AS INTEGER) AS lq
+             |FROM orders""".stripMargin)
     )
   )
 

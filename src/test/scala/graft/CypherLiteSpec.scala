@@ -3948,6 +3948,45 @@ class CypherLiteSpec extends SparkSpec {
     }.getMessage.contains("bare-carried"))
   }
 
+  test("probe-14 surfaces: XOR, stage-WHERE arithmetic, accessor on outputs") {
+    // XOR binds between OR and AND, three-valued via =!=
+    val n1 = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE a.num > 5.0 XOR a.tag = 'a1' RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n1 === 2L) // a1: F xor T = T; a4: T xor F = T
+    val n2 = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE a.num > 5.0 XOR a.tag = 'a4' RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 0L) // both sides agree on both rows
+    // arithmetic WHERE over stage outputs and carried props
+    val s1 = CypherLite.query(mathG,
+      "UNWIND range(1, 10) AS x WITH x WHERE x % 2 = 0 RETURN sum(x) AS s")
+      .as[Long].collect().head
+    assert(s1 === 30L)
+    val n3 = CypherLite.query(mathG,
+      "MATCH (a:A) WITH a WHERE a.num * 2 > 10.0 RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n3 === 1L) // only a4 (9*2)
+    // temporal accessor on a bare stage VALUE output
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, "1995-03-17"), (2L, "1998-07-10"))
+        .toDF("id", "d")
+        .withColumn("d", org.apache.spark.sql.functions.to_date($"d"))),
+      edges = Map.empty)
+    val y = CypherLite.query(dg,
+      "MATCH (o:O) WITH min(o.d) AS first RETURN first.year AS y")
+      .as[Int].collect().head
+    assert(y === 1995)
+    // pointed rejects: positional ORDER BY, keys() in arithmetic
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) RETURN a.tag AS t ORDER BY 1")
+      .contains("positional ORDER BY"))
+    assert(rej("MATCH (a:A) WHERE size(keys(a)) > 1 RETURN count(*) AS n")
+      .contains("STATIC per label"))
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
