@@ -776,6 +776,10 @@ object CypherLite {
   // string length over a scalar output
   private val WithSizeCondRe =
     s"""^(?i:size|length)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*($OpAlt)\\s*(.+)$$""".r
+  // `xs[i] OP …` in a post-WITH WHERE — subscript read of a list
+  // output (Cypher 0-based, negative from the end)
+  private val WithSubCondRe =
+    s"""^([A-Za-z_][A-Za-z0-9_]*)\\s*\\[\\s*(-?\\d+)\\s*\\]\\s*($OpAlt)\\s*(.+)$$""".r
   // a BARE stage-output name on the LHS of a comparison (`m < c.prop`
   // in a post-WITH MATCH WHERE) — mirrored into the canonical
   // property-vs-stage form
@@ -949,6 +953,14 @@ object CypherLite {
               ReturnItem(None, distinct = false, "", None, as,
                 caseC = Some(CaseCompiled(cc.refs,
                   res => cc.build(res).getField(f))))
+            // field sort key of a WHOLE-NODE item (`ORDER BY p.name`
+            // where p = properties(n) / n {.*}): identical to sorting
+            // by the source alias's property — the hidden item reads
+            // it directly (attach validates the column exists)
+            case PropKeyRe(a, f) if items.exists(ri =>
+                ri.as == a && ri.schemaFn.exists(_._1 == "properties")) =>
+              val src = items.find(_.as == a).get.schemaFn.get._2
+              ReturnItem(None, distinct = false, src, Some(f), as)
             // struct field of a CARRIED struct column (`ORDER BY
             // m.price` where m came through a WITH): getField over
             // the column itself
@@ -2661,6 +2673,27 @@ object CypherLite {
   /** Strip trailing `[ORDER BY …] [LIMIT n]` off a RETURN/WITH tail.
     * Returns (remaining items text, orderBy, limit).
     */
+  /** Apply `f` to the UNQUOTED segments of `in`, splicing quoted
+    * spans back verbatim — the shared guard for every textual rewrite
+    * that must never alter a string literal's value.
+    */
+  private def foldUnquotedSpans(in: String, f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < in.length) {
+      val q = in.indexOf('\'', i)
+      if (q < 0) { sb ++= f(in.substring(i)); i = in.length }
+      else {
+        sb ++= f(in.substring(i, q))
+        val close = in.indexOf('\'', q + 1)
+        val end = if (close < 0) in.length else close + 1
+        sb ++= in.substring(q, end)
+        i = end
+      }
+    }
+    sb.result()
+  }
+
   /** All TOP-LEVEL (quote-aware, word-bounded) occurrences of `kw`,
     * in order.
     */
@@ -2850,17 +2883,53 @@ object CypherLite {
     if (body.isEmpty) Seq.empty else splitTopComma(body).map(literal)
   }
 
+  /** True when `txt` is a literal list whose EVERY element is a map
+    * literal — the UNWIND-rows injection idiom
+    * (`UNWIND [{k: 'a'}, {k: 'b'}] AS m`).
+    */
+  private[graph] def isMapLitList(txt: String): Boolean = {
+    val t = txt.trim
+    t.startsWith("[") && t.endsWith("]") && {
+      val body = t.stripPrefix("[").stripSuffix("]").trim
+      body.nonEmpty && splitTopComma(body).forall(e =>
+        e.trim.matches("(?s)^\\{.*\\}$"))
+    }
+  }
+
   /** A literal UNWIND source as an array Column: `[lit, …]` builds
     * array(lit…), `range(a, b[, step])` folds to sequence() (both
     * codegen'd; range is INCLUSIVE of both bounds — Cypher and
-    * Spark's sequence agree). Validates eagerly — every caller wants
-    * the parse-time failure.
+    * Spark's sequence agree), and a list of MAP literals builds an
+    * array of structs (uniform keys required — explode needs one
+    * schema). Validates eagerly — every caller wants the parse-time
+    * failure.
     */
   private def litArray(listTxt: String): Column = listTxt.trim match {
     case RangeSrcRe(a, b, s) =>
       val step = Option(s).map(_.toLong).getOrElse(1L)
       require(step != 0, "range() step must be non-zero")
       sequence(lit(a.toLong), lit(b.toLong), lit(step))
+    case txt if isMapLitList(txt) =>
+      val elems = splitTopComma(
+        txt.stripPrefix("[").stripSuffix("]").trim).map(_.trim)
+      val parsed: Seq[Seq[(String, Any)]] = elems.map { e =>
+        val body = e.stripPrefix("{").stripSuffix("}").trim
+        splitTopComma(body).map { kv =>
+          val parts = kv.split(":", 2)
+          require(parts.length == 2,
+            s"map element entries are key: literal — got '$kv'")
+          val k = parts(0).trim
+          require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"map key must be an identifier, got '$k'")
+          k -> literal(parts(1).trim)
+        }
+      }
+      val keys = parsed.head.map(_._1)
+      require(parsed.forall(_.map(_._1) == keys),
+        "UNWIND map elements must share the same keys in the same " +
+          s"order (${keys.mkString(", ")})")
+      array(parsed.map(kvs => struct(kvs.map { case (k, v) =>
+        lit(v).as(k) }: _*)): _*)
     case txt =>
       val vs = litListValues(txt)
       if (vs.isEmpty) array() else array(vs.map(lit): _*)
@@ -2953,23 +3022,7 @@ object CypherLite {
     // literal text `date({year: 2020, …})` inside a string must stay
     // verbatim (rewriting it would silently change the string's value
     // and corrupt comparisons against it)
-    def foldUnquoted(in: String, f: String => String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < in.length) {
-        val q = in.indexOf('\'', i)
-        if (q < 0) { sb ++= f(in.substring(i)); i = in.length }
-        else {
-          sb ++= f(in.substring(i, q))
-          val close = in.indexOf('\'', q + 1)
-          val end = if (close < 0) in.length else close + 1
-          sb ++= in.substring(q, end)
-          i = end
-        }
-      }
-      sb.result()
-    }
-    val s = foldUnquoted(s0out, seg => MapCtorRe.replaceAllIn(seg, m => {
+    val s = foldUnquotedSpans(s0out, seg => MapCtorRe.replaceAllIn(seg, m => {
       val units = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
         .map { kv =>
           val parts = kv.split(":", 2)
@@ -3021,6 +3074,54 @@ object CypherLite {
     // peel head UNWIND clauses (literal lists only — a name has no
     // source scope before the first MATCH)
     var stmt = stmt0
+    // `WITH <literal items> MATCH …` — the named-constant head LLMs
+    // emit (`WITH date('2024-06-01') AS cutoff MATCH (o) WHERE
+    // o.o_orderdate >= cutoff …`): every item must be REFERENCE-FREE
+    // (literals, or literal temporal arithmetic like
+    // `datetime('…') - duration({days: 30})`); each name INLINES
+    // verbatim into the remainder at word boundaries (quote-aware,
+    // never after a '.'), so the statement compiles exactly as if the
+    // literal were written at each use site. Non-literal head items
+    // reject pointedly (they would need a source scope that does not
+    // exist before the first MATCH).
+    if (stmt.matches("(?is)^\\s*WITH\\b.*")) {
+      val rest0 = stmt.trim.replaceFirst("(?i)^WITH\\b", "")
+      val mi = (topLevelKeywordIndices(rest0, "MATCH") ++
+        topLevelKeywordIndices(rest0, "OPTIONAL")).minOption
+      for (i <- mi) {
+        val itemsTxt = rest0.substring(0, i).trim
+        var remainder = rest0.substring(i)
+        val AsRe = """(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val AllowedWords = Set("date", "datetime", "time", "duration",
+          "durshift", "true", "false", "null", "e", "pi",
+          "years", "months", "weeks", "days",
+          "hours", "minutes", "seconds")
+        splitTopComma(itemsTxt).foreach { it0 =>
+          val (valTxt, nm) = it0.trim match {
+            case AsRe(v, n2) => (v.trim, n2)
+            case other => fail("a WITH before the first MATCH binds " +
+              "CONSTANTS only — each item needs `literal AS name`",
+              other)
+          }
+          checkUserName(nm, "head WITH output")
+          val idents = """[A-Za-z_][A-Za-z0-9_]*""".r
+            .findAllIn(valTxt.replaceAll("'[^']*'", "''")).toSeq
+          require(idents.forall(w => AllowedWords(w.toLowerCase) ||
+              w.matches("\\d+")),
+            s"head WITH item '$nm' must be reference-free (literals " +
+              "and literal temporal arithmetic) — found " +
+              s"'${idents.filterNot(w => AllowedWords(w.toLowerCase)).headOption.getOrElse("")}'; " +
+              "bind values AFTER a MATCH instead")
+          val SubRe = ("""(?<![A-Za-z0-9_.])""" +
+            java.util.regex.Pattern.quote(nm) +
+            """(?![A-Za-z0-9_])""").r
+          remainder = foldUnquotedSpans(remainder, seg =>
+            SubRe.replaceAllIn(seg,
+              java.util.regex.Matcher.quoteReplacement(valTxt)))
+        }
+        stmt = remainder.trim
+      }
+    }
     val headUnwinds = {
       val acc = Vector.newBuilder[(String, String)]
       val seen = scala.collection.mutable.Set.empty[String]
@@ -3042,6 +3143,12 @@ object CypherLite {
       acc.result()
     }
     val headNames: Set[String] = headUnwinds.map(_._2).toSet
+    // head unwinds of MAP-literal lists are STRUCT columns — their
+    // names join the struct-tracking seed so `m.k` compiles to
+    // getField downstream
+    val headStructNames: Set[String] =
+      headUnwinds.collect { case (lits, x) if isMapLitList(lits) => x }
+        .toSet
     // brace-aware RETURN cut: a `WITH COLLECT { … RETURN x } AS xs`
     // stage carries RETURN inside subquery braces — the statement's
     // RETURN is the first TOP-LEVEL one
@@ -4233,7 +4340,7 @@ object CypherLite {
     // collect over a map projection — `collect([DISTINCT] c {.name})
     // AS rows`
     val AggMapProjRe =
-      """(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?([A-Za-z_][A-Za-z0-9_]*\s*\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?((?:[A-Za-z_][A-Za-z0-9_]*\s*)?\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // scalar-function wraps as items — `toLower(n.name) AS x`,
     // `round(o.price, 2) AS r`, `substring(n.name, 0, 3) AS pre` — and
     // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`,
@@ -4353,6 +4460,9 @@ object CypherLite {
       """(?is)^(collect\s*\(.+\))\s*\[([^\[\]]*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val IdxTxtRe = """^(-?\d+)$""".r
     val SliceTxtRe = """^(-?\d+)?\s*\.\.\s*(-?\d+)?$""".r
+    // head/last/size over an inline collect(…) call
+    val FnOfAggRe =
+      """(?is)^(head|last|size)\s*\(\s*(collect\s*\(.+\))\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // subscript on a split(…) CALL — `split(s, ' ')[0] AS w`
     val SplitIdxRe =
       """(?is)^(split\s*\(.+\))\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -4603,7 +4713,8 @@ object CypherLite {
             aggOk, bareAgg, pathOk, listOk)
           require(its.size == 1 && its.head.caseC.isDefined &&
             its.head.agg.isEmpty,
-            s"collect(…): '$body' did not compile to a map projection")
+            s"collect(…): '$body' did not compile to a map " +
+              "projection/literal")
           ReturnItem(Some("collect"), distinct = dist != null, "", None,
             as, caseC = its.head.caseC)
         // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
@@ -4785,6 +4896,22 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(cc.refs,
               res => wrap(cc.build(res)))))
+        // head/last/size over an INLINE collect(…) call — `head(
+        // collect(x)) AS first`: the same read-of-the-sorted-list
+        // machinery as collect(x)[0] (head = minimum, deterministic)
+        case FnOfAggRe(fn, call, as) =>
+          val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 &&
+            its.head.agg.exists(_.equalsIgnoreCase("collect")),
+            s"$fn(…) over an aggregate takes collect(…) — got '$call'")
+          val wrap: Column => Column = fn.toLowerCase match {
+            case "head" => try_element_at(_, lit(1))
+            case "last" => try_element_at(_, lit(-1))
+            case _ => size(_)
+          }
+          its.head.copy(as = as, postWrap = Some(
+            its.head.postWrap.fold(wrap)(w0 => w0.andThen(wrap))))
         case other if other.matches("(?is)^(head|last)\\s*\\(.*") =>
           fail("head()/last() take a previous WITH stage's collect(…) " +
             "output and an AS name", other)
@@ -5044,6 +5171,18 @@ object CypherLite {
             other)
         // map projection — `n {.a, .b} AS m`: a struct of the NAMED
         // properties (static schema — compiles without the graph)
+        // `n {.*} AS m` — the ALL-properties selector: identical to
+        // properties(n) (a struct of the node's columns, id excluded)
+        case MapProjItemRe(a, body, as)
+            if body.trim == ".*" && !a.equalsIgnoreCase("count") &&
+              !a.equalsIgnoreCase("exists") =>
+          require(!relVars(a),
+            s"$a {.*}: '$a' is a relationship variable — node aliases only")
+          require(propOk(a),
+            s"map projection references unknown ${
+              if (ctx == "RETURN") "name" else "alias"} '$a'")
+          ReturnItem(None, distinct = false, a, None, as,
+            schemaFn = Some(("properties", a)))
         case MapProjItemRe(a, body, as)
             if !a.equalsIgnoreCase("count") &&
               !a.equalsIgnoreCase("exists") =>
@@ -5562,7 +5701,7 @@ object CypherLite {
         } else itemsTxt2
       val items = parseItems(itemsTxt3, "WITH", plainOk, propOk, aggOk, bareAggOk,
         pathOk = prev.isEmpty, listOk = listOkW,
-        structOk = prev.map(_.structOuts).getOrElse(Set.empty))
+        structOk = prev.map(_.structOuts).getOrElse(headStructNames))
       require(items.map(_.as).distinct.size == items.size,
         s"duplicate WITH output names: ${items.map(_.as)}")
       require(!wDistinct || items.forall(_.agg.isEmpty),
@@ -5578,12 +5717,12 @@ object CypherLite {
         canHide = !wDistinct && items.forall(_.agg.isEmpty),
         caseCompile = Some(txt =>
           compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)),
-        structOk = prev.map(_.structOuts).getOrElse(Set.empty),
+        structOk = prev.map(_.structOuts).getOrElse(headStructNames),
         itemCompile = Some { txt =>
           val its = parseItems(s"$txt AS aggX", "WITH ORDER BY",
             plainOk, propOk, aggOk, bareAggOk,
             pathOk = prev.isEmpty, listOk = listOkW,
-            structOk = prev.map(_.structOuts).getOrElse(Set.empty))
+            structOk = prev.map(_.structOuts).getOrElse(headStructNames))
           require(its.size == 1, "one sort key per ORDER BY item")
           its.head
         })
@@ -5619,7 +5758,7 @@ object CypherLite {
         scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
       val whereCol = whereTxt.map { w =>
         val stageStructs = stageStructOuts(items,
-          prev.map(_.structOuts).getOrElse(Set.empty))
+          prev.map(_.structOuts).getOrElse(headStructNames))
         def hiddenProp(outName: String, p: String): String = {
           // `m.field` where m is a STRUCT output of this stage (or a
           // bare carry of a previous stage's struct): the hidden item
@@ -5724,6 +5863,17 @@ object CypherLite {
                 AtomE("", n, c => opBuilder2(op)(c, col(rhs)))
               case _ => AtomE("", n, opBuilder(op, v))
             }
+          // `xs[i] OP v` — subscript read of a LIST output in WHERE
+          // (Cypher 0-based; negative reads from the end)
+          case WithSubCondRe(n2, i0, op, v) =>
+            require(outNames(n2),
+              s"WITH WHERE references unknown output '$n2'")
+            require(stageListOuts(items, prevListOuts)(n2),
+              s"$n2[$i0]: '$n2' is not a list output")
+            val i1 = i0.toInt
+            val at = if (i1 >= 0) i1 + 1 else i1
+            val cmp = opBuilder(op, v)
+            AtomE("", n2, c => cmp(try_element_at(c, lit(at))))
           // arithmetic comparison over outputs / carried props —
           // `x % 2 = 0`, `n * 2 > m`: both sides compile as
           // arithmetic; bare refs read stage outputs, dotted refs
@@ -5898,7 +6048,8 @@ object CypherLite {
         unwinds = unwinds, postMatches = postMatches,
         listOuts = stageListOuts(items, prevListOuts),
         structOuts = stageStructOuts(items,
-          prev.map(_.structOuts).getOrElse(Set.empty)))
+          prev.map(_.structOuts).getOrElse(headStructNames)) ++
+          unwinds.collect { case (src, out) if isMapLitList(src) => out })
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,
@@ -5947,7 +6098,7 @@ object CypherLite {
             case None => _ => false
           },
           structOk = withClauses.lastOption.map(_.structOuts)
-            .getOrElse(Set.empty))
+            .getOrElse(headStructNames))
         require(its.size == 1, "one sort key per ORDER BY item")
         its.head
       }
@@ -5990,7 +6141,7 @@ object CypherLite {
           case None => _ => false
         },
         structOk = withClauses.lastOption.map(_.structOuts)
-          .getOrElse(Set.empty))
+          .getOrElse(headStructNames))
       }
     }
     require(returns.map(_.as).distinct.size == returns.size,
@@ -6008,7 +6159,7 @@ object CypherLite {
       canHide = !returnDistinct && returns.forall(_.agg.isEmpty),
       caseCompile = obCaseCompile,
       structOk = withClauses.lastOption.map(_.structOuts)
-        .getOrElse(Set.empty),
+        .getOrElse(headStructNames),
       itemCompile = obItemCompile)
     val returnsAll = returns ++ obHidden
     for ((n, _) <- orderByR)
@@ -6865,12 +7016,21 @@ object CypherLite {
         val name = nameOpt.getOrElse(fail(
           "standalone RETURN expression items need AS <name>", it))
         checkUserName(name, "RETURN output")
-        val c = arithColumn(parseArith(expr), (a, pOpt) => {
-          require(pOpt.isEmpty && boundCols(a),
-            s"'$a${pOpt.map("." + _).getOrElse("")}' is not bound — " +
-              "no MATCH in this statement; only UNWIND outputs and " +
-              "literals are in scope")
-          col(a)
+        val c = arithColumn(parseArith(expr), (a, pOpt) => pOpt match {
+          // `m.k` reads a field of a STRUCT unwind output (the
+          // UNWIND-[{…}] rows-injection idiom)
+          case Some(p) =>
+            require(boundCols(a) && frame.schema(a).dataType
+                .isInstanceOf[org.apache.spark.sql.types.StructType],
+              s"'$a.$p' is not bound — no MATCH in this statement; " +
+                "only UNWIND outputs (struct fields as m.k) and " +
+                "literals are in scope")
+            col(a).getField(p)
+          case None =>
+            require(boundCols(a),
+              s"'$a' is not bound — no MATCH in this statement; only " +
+                "UNWIND outputs and literals are in scope")
+            col(a)
         })
         (name, c)
       }

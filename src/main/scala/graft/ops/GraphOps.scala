@@ -2931,6 +2931,55 @@ object GraphOps {
              |       CAST(year(max(o_orderdate)) AS INTEGER) AS ly,
              |       CAST(quarter(max(o_orderdate)) AS INTEGER) AS lq
              |FROM orders""".stripMargin)
+    ),
+    // G125 head-WITH constant binding — `WITH <literal> AS name
+    // MATCH …`, the named-cutoff idiom LLMs emit constantly: every
+    // head item must be reference-free and INLINES verbatim at each
+    // use site (exact semantics for constants, zero runtime cost —
+    // the folded literal pushes into the parquet scan).
+    QueryDef(
+      "g125_cypher_head_with_const",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """WITH datetime('1998-09-01T00:00:00') - duration({days: 31})
+          |  AS cutoff
+          |MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate >= cutoff
+          |RETURN c.c_mktsegment AS seg, count(*) AS n""".stripMargin)),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_orderdate >= TIMESTAMP '1998-08-01 00:00:00'
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G126 UNWIND of map-literal rows — the test-row injection idiom
+    // (`UNWIND [{…}, {…}] AS m`): the literal list builds an array of
+    // structs driver-side, m.k reads fields. Joined against a real
+    // table through the head-unwind machinery.
+    QueryDef(
+      "g126_cypher_unwind_maps",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """UNWIND [{seg: 'BUILDING', tier: 'b'},
+          |        {seg: 'AUTOMOBILE', tier: 'a'}] AS m
+          |RETURN m.seg AS seg, m.tier AS tier""".stripMargin)),
+      Some("""SELECT seg, tier FROM (VALUES ('BUILDING', 'b'),
+             |  ('AUTOMOBILE', 'a')) t(seg, tier) ORDER BY ALL""".stripMargin)
+    ),
+    // G127 head/last/size over an inline collect() — reads of the
+    // engine's SORTED per-group list without a WITH stage
+    // (head = group minimum, deterministic where Neo4j is arbitrary).
+    QueryDef(
+      "g127_cypher_fn_of_collect",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |RETURN n.n_name AS nm, head(collect(c.c_name)) AS first,
+          |       last(collect(c.c_name)) AS lastc,
+          |       size(collect(c.c_name)) AS k""".stripMargin)),
+      Some("""SELECT n_name AS nm, min(c_name) AS first,
+             |       max(c_name) AS lastc,
+             |       CAST(count(c_name) AS INTEGER) AS k
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

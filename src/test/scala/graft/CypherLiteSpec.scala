@@ -3987,6 +3987,79 @@ class CypherLiteSpec extends SparkSpec {
       .contains("STATIC per label"))
   }
 
+  test("probe-14b: {.*}, collect(DISTINCT {map}), head(collect), xs[i] WHERE") {
+    // `n {.*}` ≡ properties(n)
+    val m = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN a {.*} AS m")
+      .collect().head.getStruct(0)
+    assert(m.toSeq === Seq("a1", 4.0))
+    // collect(DISTINCT {map literal}) — sorted set of structs
+    val xs = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN collect(DISTINCT {t: b.tag}) AS xs")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(xs.map(_.getString(0)) === Seq("b2", "b5"))
+    // head/last/size over an inline collect
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
+        "head(collect(b.num)) AS h, last(collect(b.num)) AS l, " +
+        "size(collect(b.num)) AS n ORDER BY t")
+      .as[(String, Double, Double, Int)].collect().toSeq
+    assert(r === Seq(("a1", 1.0, 1.0, 1), ("a4", 1.0, 2.0, 2)))
+    // subscript of a list output in WITH WHERE (0-based)
+    val n1 = CypherLite.query(mathG,
+      "MATCH (a:A) WITH a.tag AS t, [a.num, a.num * 2] AS pair " +
+        "WHERE pair[1] > 10.0 RETURN t")
+      .as[String].collect().toSeq
+    assert(n1 === Seq("a4")) // 9*2=18 > 10; 4*2=8 drops
+    // ORDER BY a whole-node item's field sorts by the source property
+    val o = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN properties(a) AS p ORDER BY p.num DESC")
+      .collect().map(_.getStruct(0).getString(0)).toSeq
+    assert(o === Seq("a4", "a1"))
+  }
+
+  test("head WITH binds constants; UNWIND of map-literal rows") {
+    // `WITH <literal> AS name MATCH …` inlines the constant
+    val n1 = CypherLite.query(mathG,
+      "WITH 5.0 AS cut MATCH (a:A) WHERE a.num > cut RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n1 === 1L)
+    // temporal constant head (the relative-cutoff LLM idiom)
+    val dg = PropertyGraph(
+      nodes = Map("E" -> Seq((1L, "2021-03-17 10:30:00"), (2L, "2021-01-02 08:00:00"))
+        .toDF("id", "ts")
+        .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))),
+      edges = Map.empty)
+    val n2 = CypherLite.query(dg,
+      "WITH datetime('2021-04-01T00:00:00') - duration({days: 30}) AS cutoff " +
+        "MATCH (e:E) WHERE e.ts >= cutoff RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 1L)
+    // the name never substitutes inside strings or after dots
+    val s1 = CypherLite.query(mathG,
+      "WITH 1 AS tag MATCH (a:A) WHERE a.tag = 'a1' " +
+        "RETURN a.tag + toString(tag) AS x")
+      .as[String].collect().head
+    assert(s1 === "a11")
+    // non-literal head items reject pointedly
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "WITH a.num AS v MATCH (a:A) RETURN count(*) AS n")
+    }.getMessage.contains("reference-free"))
+    // UNWIND of map-literal rows: struct fields read as m.k
+    val rows = CypherLite.query(mathG,
+      "UNWIND [{k: 'x', v: 1}, {k: 'y', v: 2}] AS m " +
+        "RETURN m.k AS k, m.v AS v")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("x", 1L), ("y", 2L)))
+    // mismatched keys reject
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "UNWIND [{k: 'x'}, {z: 'y'}] AS m RETURN m.k AS k")
+    }.getMessage.contains("same keys"))
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
