@@ -466,7 +466,12 @@ object CypherLite {
       // the refs are hidden `__agg_i` items compiled by the ordinary
       // aggregate machinery; this expression applies AFTER the
       // aggregation, reading those outputs by bare name
-      postArith: Option[ArithExpr] = None) {
+      postArith: Option[ArithExpr] = None,
+      // CASE over aggregate outputs (`CASE WHEN count(*) > 100 THEN
+      // 'many' ELSE 'few' END AS k`, the classify-the-group idiom):
+      // same hidden-item machinery as postArith, the compiled CASE
+      // reads the __agg_ outputs by bare name after the aggregation
+      postCase: Option[CaseCompiled] = None) {
     def isStar: Boolean = alias == "*"
   }
 
@@ -785,6 +790,10 @@ object CypherLite {
   // property-vs-stage form
   private val StageLhsRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|<=|>=|<|>)\s*(.+)$""".r
+  // quantifier over a LITERAL list (`all(x IN [1, 2] WHERE x > 0)`)
+  // — reference-free, folds to a constant at parse time
+  private val QuantLitRe =
+    """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+(\[[^\]]*\])\s+WHERE\s+(.+)\)\s*$""".r
   // Cypher's list-quantifier predicates over a collect output —
   // `any|all|none|single(x IN xs WHERE cond)` in a post-WITH WHERE
   private val QuantRe =
@@ -1866,6 +1875,11 @@ object CypherLite {
     * classification never sees it.
     */
   private final case class RawE(c: Column) extends BoolExpr
+  /** A condition folded to a CONSTANT at parse time (a quantifier
+    * over a literal list). True conjuncts drop; a false one pins the
+    * clause empty via the anchor's predicate.
+    */
+  private final case class ConstE(b: Boolean) extends BoolExpr
   /** A stage/head-unwind output compared against a LITERAL
     * (`WHERE m = 5`, `WHERE x = 'BUILDING'` after UNWIND) — a pure
     * filter on the stage column; no property attach, always the
@@ -1941,6 +1955,7 @@ object CypherLite {
       (arithRefs(l) ++ arithRefs(r)).map(_._1).toSet
     case CaseCmpE(cc, _) => cc.refs.map(_._1).toSet
     case RawE(_) => Set.empty
+    case ConstE(_) => Set.empty
     case StageLitE(_, _) => Set.empty
   }
   private def exprProps(e: BoolExpr): Seq[(String, String)] = e match {
@@ -1955,6 +1970,7 @@ object CypherLite {
       (arithRefs(l) ++ arithRefs(r)).collect { case (a, Some(p)) => a -> p }
     case CaseCmpE(cc, _) => cc.refs
     case RawE(_) => Seq.empty
+    case ConstE(_) => Seq.empty
     case StageLitE(_, _) => Seq.empty
   }
   private def exprHasStage(e: BoolExpr): Boolean = e match {
@@ -1991,6 +2007,7 @@ object CypherLite {
             s"'$a': CASE in WHERE reads alias.prop refs only")
         }))
       case RawE(c) => c
+      case ConstE(b) => lit(b)
     }
   private def flattenAnd(e: BoolExpr): Seq[BoolExpr] = e match {
     case AndE(xs) => xs.flatMap(flattenAnd)
@@ -3590,6 +3607,55 @@ object CypherLite {
         // form first (quote-aware)
         val c0 = IdLhsRe.replaceFirstIn(
           rewriteTemporalAcc(cond.trim), "$1.id ").trim
+        // quantifier over a LITERAL list — `all(x IN [1, 2] WHERE
+        // x > 0)`: reference-free, so the whole predicate folds to a
+        // constant at parse time (true drops the conjunct, false
+        // empties the clause)
+        QuantLitRe.findFirstMatchIn(c0) match {
+          case Some(m) =>
+            val q = m.group(1).toLowerCase
+            val v = m.group(2)
+            val vals: Seq[Any] = litListValues(m.group(3))
+            val condTxt = m.group(4).trim
+            val CmpRe =
+              ("""(?s)^""" + java.util.regex.Pattern.quote(v) +
+                """\s*(<>|!=|<=|>=|=|<|>)\s*(.+)$""").r
+            val (op, rhsTxt) = condTxt match {
+              case CmpRe(o, r) => (o, r.trim)
+              case _ => fail("quantifier conditions over a literal " +
+                s"list must be `$v OP literal`", condTxt)
+            }
+            val rhs = literal(rhsTxt)
+            def num(x: Any): Option[Double] = x match {
+              case n: Long => Some(n.toDouble)
+              case n: Int => Some(n.toDouble)
+              case n: Double => Some(n)
+              case _ => None
+            }
+            def cmp(x: Any): Boolean = {
+              val c = (num(x), num(rhs)) match {
+                case (Some(a), Some(b)) => a.compareTo(b)
+                case _ => x.toString.compareTo(rhs.toString)
+              }
+              op match {
+                case "=" => c == 0
+                case "<>" | "!=" => c != 0
+                case "<" => c < 0
+                case "<=" => c <= 0
+                case ">" => c > 0
+                case ">=" => c >= 0
+              }
+            }
+            val hits = vals.count(cmp)
+            val b = q match {
+              case "any" => hits > 0
+              case "all" => hits == vals.size
+              case "none" => hits == 0
+              case "single" => hits == 1
+            }
+            return ConstE(b)
+          case None =>
+        }
         // `CASE WHEN … END OP literal` — the projected-predicate
         // idiom inline in WHERE (LLMs emit it freely). The item CASE
         // compiler builds the Column; the comparison rides it like a
@@ -3824,7 +3890,19 @@ object CypherLite {
       // stage-touching conjuncts ALWAYS ride the row filter (the
       // stage column only exists on the joined frame), whatever
       // their alias count
-      val (single, crossAlias) = flattenAnd(parseBool(w, parseCond))
+      val flat0 = flattenAnd(parseBool(w, parseCond))
+      // top-level constant conjuncts (folded literal quantifiers):
+      // true drops, false pins the clause empty via the first node
+      val flat = flat0.filter {
+        case ConstE(true) => false
+        case _ => true
+      }
+      val falseConst = flat.exists {
+        case ConstE(false) => true
+        case _ => false
+      }
+      val (single, crossAlias) = flat
+        .filterNot(_.isInstanceOf[ConstE])
         .partition(e => exprAliases(e).size == 1 && !exprHasStage(e))
       // a cross-alias conjunct mixing a REL VAR would need its edge
       // columns attached to the joined frame — unsupported; loud
@@ -3849,8 +3927,15 @@ object CypherLite {
           v -> (es.map(e => toColumn(e, (_, pr) => col(pr))).reduce(_ && _),
             es.flatMap(exprProps).map(_._2).distinct)
         }
+      val byAlias2 =
+        if (!falseConst) byAlias
+        else {
+          val a0 = nodes.head.as
+          byAlias.updated(a0,
+            byAlias.get(a0).map(_ && lit(false)).getOrElse(lit(false)))
+        }
       (nodes.flatMap { n =>
-        byAlias.get(n.as).map(c =>
+        byAlias2.get(n.as).map(c =>
           n.as -> n.copy(pred = Some(n.pred.map(_ && c).getOrElse(c))))
       }.toMap, rps, relPreds)
     }
@@ -5394,6 +5479,33 @@ object CypherLite {
           val idx = orFlagPreds.length
           orFlagPreds += ((pp, true))
           ReturnItem(None, distinct = false, s"__ppc_$idx", None, as)
+        // CASE OVER AGGREGATES — `CASE WHEN count(*) > 100 THEN
+        // 'many' ELSE 'few' END AS k` (the classify-the-group idiom):
+        // aggregate calls pull out as hidden __agg_ items, the CASE
+        // compiles over their bare names and applies AFTER the
+        // aggregation — the same machinery as arithmetic over
+        // aggregates (postArith)
+        case CaseAsRe(body, as)
+            if extractAggCalls(body, "x")._2.nonEmpty =>
+          val (residual, calls) = extractAggCalls(body, as)
+          val subItems = calls.map { case (nm, call) =>
+            val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
+              aggOk, bareAgg, pathOk, listOk)
+            require(its.size == 1 && its.head.agg.isDefined,
+              s"'$call': only aggregate calls may appear inside a " +
+                "post-aggregate CASE")
+            its.head.copy(as = nm)
+          }
+          val aggNames = calls.map(_._1).toSet
+          val cc = compileCase(residual, ctx,
+            n => aggNames(n) || plainOk(n), propOk, relVars)
+          require(cc.refs.isEmpty,
+            "a post-aggregate CASE may read aggregate results and " +
+              "bare stage names only — project alias.prop in a WITH " +
+              "stage first")
+          extraAggItems ++= subItems
+          ReturnItem(None, distinct = false, "", None, as,
+            postCase = Some(cc))
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
         case CaseAsRe(body, as) =>
@@ -5580,6 +5692,10 @@ object CypherLite {
     // (explode of an empty array — Cypher semantics).
     val UnwindLitRe =
       s"""^($LitListPat|$RangeSrcPatNC)\\s+(?i:AS)\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    // `UNWIND split(…) AS w` — an EXPRESSION list source: the call
+    // rides a hidden `__uw_i` stage item, the unwind reads it by name
+    val UnwindSplitRe =
+      """(?is)^(split\s*\(.+\))\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // `UNWIND keys(n) AS k` — the property-name iteration idiom: the
     // key list is STATIC for a labeled alias (schema order, engine id
     // excluded, same contract as the keys() item), so the apply site
@@ -5734,15 +5850,15 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches.flatMap(_.boundNodes).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -5903,8 +6019,27 @@ object CypherLite {
       // unwind's output — chained unwinds); output names must be
       // fresh. List-typedness is the runtime's to check (explode on a
       // non-array column is a loud AnalysisException).
+      val unwindHidden =
+        scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
       val unwinds = unwindTxts.foldLeft(Vector.empty[(String, String)]) { (uacc, txt) =>
         txt match {
+          // expression source — the split() call compiles as a hidden
+          // item of THIS stage (props attach like any item), the
+          // unwind explodes its column
+          case UnwindSplitRe(callTxt, out) =>
+            val inScope = outNames ++ uacc.map(_._2)
+            require(!inScope(out) && !uacc.exists(_._2 == out),
+              s"UNWIND output name '$out' collides with an existing output")
+            checkUserName(out, "UNWIND output")
+            val nm = s"__uw_${unwindHidden.length}"
+            val its = parseItems(s"$callTxt AS uwX", "WITH", plainOk,
+              propOk, aggOk, bareAggOk, pathOk = prev.isEmpty,
+              listOk = listOkW,
+              structOk = prev.map(_.structOuts).getOrElse(headStructNames))
+            require(its.size == 1 && its.head.agg.isEmpty,
+              s"UNWIND expression source must be a scalar list call: '$callTxt'")
+            unwindHidden += its.head.copy(as = nm)
+            uacc :+ (nm -> out)
           case UnwindKeysRe(a, out) =>
             val inScope = outNames ++ uacc.map(_._2)
             require(carried.contains(a),
@@ -6042,7 +6177,8 @@ object CypherLite {
             anchorPred, clauseRps, fresh = fresh)
         }
       }
-      acc :+ WithClause(itemsAll ++ whereHidden, whereCol, wOrderByR,
+      acc :+ WithClause(itemsAll ++ whereHidden ++ unwindHidden,
+        whereCol, wOrderByR,
         wLimit, carried,
         whereAfterLimit = grammarOrder, distinct = wDistinct, skip = wSkip,
         unwinds = unwinds, postMatches = postMatches,
@@ -6293,7 +6429,8 @@ object CypherLite {
     // postArith items (`max(x) - min(x) AS r`) compute AFTER the
     // aggregation from their hidden `__agg_` outputs — excluded from
     // the plain (grouping-key) set
-    val (postAriths, items1) = items.partition(_.postArith.isDefined)
+    val (postAriths, items1) = items.partition(ri =>
+      ri.postArith.isDefined || ri.postCase.isDefined)
     val (aggs, plains) = items1.partition(_.agg.isDefined)
     var out =
       if (aggs.isEmpty) {
@@ -6365,8 +6502,10 @@ object CypherLite {
       }
     if (postAriths.nonEmpty) {
       for (ri <- postAriths)
-        out = out.withColumn(ri.as,
-          arithColumn(ri.postArith.get, (a, _) => col(a)))
+        out = out.withColumn(ri.as, ri.postCase match {
+          case Some(cc) => cc.build((a, _) => col(a))
+          case None => arithColumn(ri.postArith.get, (a, _) => col(a))
+        })
       // restore the WRITTEN item order and drop the hidden __agg_
       // helpers — the user-visible schema is the written items only
       out = out.select(items.filterNot(_.as.startsWith("__agg_"))

@@ -173,7 +173,14 @@ final case class PropertyGraph(
       .select(col("id").as(start.as))
     var prev = start.as
     for ((st, stepIdx) <- steps.zipWithIndex) {
-      require(st.minHops >= 1 && st.maxHops >= st.minHops,
+      // zero-length hops get their own pointed reject: *0.. means
+      // the arrival may BE the anchor (possibly under a different
+      // label) — a union this join-chain engine does not model
+      require(st.minHops >= 1,
+        s"step ${st.rel}: zero-length hops (*0..) are unsupported — " +
+          "the arrival would alias the anchor itself; UNION the " +
+          "0-hop case (the anchor) with the *1.. form instead")
+      require(st.maxHops >= st.minHops,
         s"step ${st.rel}: bad hop bounds *${st.minHops}..${st.maxHops}")
       val anchor = st.from.getOrElse(prev)
       require(df.columns.contains(anchor), s"unknown anchor alias '$anchor'")

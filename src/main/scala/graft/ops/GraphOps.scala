@@ -2980,6 +2980,40 @@ object GraphOps {
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9000.0
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G128 CASE over aggregates — `CASE WHEN count(*) > k THEN … END`
+    // (the classify-the-group idiom): aggregate calls pull out as
+    // hidden __agg_ items, the CASE applies AFTER the aggregation
+    // (no re-aggregation, no extra exchange — same postArith shape).
+    QueryDef(
+      "g128_cypher_case_over_agg",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  CASE WHEN count(*) > 60 THEN 'big'
+          |       WHEN avg(c.c_acctbal) > 4500.0 THEN 'rich'
+          |       ELSE 'small' END AS klass""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CASE WHEN count(*) > 60 THEN 'big'
+             |       WHEN avg(c_acctbal) > 4500.0 THEN 'rich'
+             |       ELSE 'small' END AS klass
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G129 UNWIND of an expression source — `UNWIND split(x, d) AS w`
+    // (the tokenize-and-regroup idiom): the call rides a hidden stage
+    // item (one projection, no extra pass), explode fans the tokens.
+    QueryDef(
+      "g129_cypher_unwind_split",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE c.c_acctbal > 9900.0
+          |UNWIND split(c.c_name, '#') AS part
+          |RETURN part, count(*) AS n""".stripMargin)),
+      Some("""SELECT part, count(*) AS n
+             |FROM (SELECT unnest(string_split(c_name, '#')) AS part
+             |      FROM customer WHERE c_acctbal > 9900.0)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -4060,6 +4060,42 @@ class CypherLiteSpec extends SparkSpec {
     }.getMessage.contains("same keys"))
   }
 
+  test("probe-14c: CASE over aggregates, UNWIND split, literal quantifiers") {
+    // post-aggregate CASE — classify the group result
+    val k1 = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN CASE WHEN count(*) > 1 THEN 'many' " +
+        "ELSE 'few' END AS k")
+      .as[String].collect().head
+    assert(k1 === "many")
+    // grouped: beside a plain key, mixing agg refs
+    val k2 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
+        "CASE WHEN count(*) >= 2 THEN 'fan' ELSE 'one' END AS k " +
+        "ORDER BY t")
+      .as[(String, String)].collect().toSeq
+    assert(k2 === Seq(("a1", "one"), ("a4", "fan")))
+    // UNWIND of a split() call (expression source via hidden item)
+    val ws = CypherLite.query(mathG,
+      "MATCH (a:A) UNWIND split(a.tag, 'a') AS part " +
+        "RETURN part, count(*) AS n ORDER BY part")
+      .as[(String, Long)].collect().toSeq
+    assert(ws === Seq(("", 2L), ("1", 1L), ("4", 1L)))
+    // quantifier over a literal list folds to a constant
+    val q1 = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE all(x IN [1, 2] WHERE x > 0) " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(q1 === 2L)
+    val q2 = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE single(x IN [1, 2, 3] WHERE x > 1) " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(q2 === 0L) // two hits — single() is false, clause empties
+    // zero-hop bounds reject pointedly
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A)-[:R1*0..2]->(b:B) RETURN count(*) AS n")
+    }.getMessage.contains("zero-length hops"))
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
