@@ -942,8 +942,33 @@ object CypherLite {
       """(?:,\s*([^)]*?)\s*)?\)$""").r
     val hidden = Seq.newBuilder[ReturnItem]
     var i = 0
+    // CASE over the stage's OUTPUT names (`RETURN …, count(*) AS cnt
+    // ORDER BY CASE WHEN cnt > 10 THEN 0 ELSE 1 END`): legal even
+    // under aggregation — the key reads projected outputs, so it
+    // cannot change the grouping; it computes AFTER the aggregate as
+    // a hidden postCase item (dropped after the sort, like every
+    // __ob_ key)
+    def caseOverOutputs(k: String): Boolean =
+      k.trim.matches("(?is)^CASE\\b.*\\bEND$") && {
+        val outs = items.map(_.as).toSet
+        val idents = """[A-Za-z_][A-Za-z0-9_]*""".r
+          .findAllIn(k.replaceAll("'[^']*'", "''")).toSet --
+          Set("case", "when", "then", "else", "end", "and", "or",
+            "not", "is", "null", "true", "false").flatMap(w =>
+            Set(w, w.toUpperCase, w.capitalize))
+        idents.nonEmpty && idents.subsetOf(outs)
+      }
     val resolved = ob.map { case (k, asc) =>
-      try resolveOrderKeys(Seq(k -> asc), items, ctx).head
+      if (caseOverOutputs(k)) {
+        val as = s"__ob_$i"
+        i += 1
+        val cc = compileCase(k.trim, ctx,
+          items.map(_.as).toSet, _ => false, _ => false)
+        hidden += ReturnItem(None, distinct = false, "", None, as,
+          postCase = Some(cc))
+        (as, asc)
+      }
+      else try resolveOrderKeys(Seq(k -> asc), items, ctx).head
       catch {
         case e: IllegalArgumentException if canHide &&
             e.getMessage != null &&
@@ -3083,7 +3108,12 @@ object CypherLite {
       "apoc.* procedures are a Neo4j plugin, not part of this " +
         "engine — use the built-in function surface (string/list/" +
         "temporal/math fns, collect, reduce, comprehensions)")
-    s
+    // SQL-ism tolerance: `upper(`/`lower(` (habits from SQL corpora)
+    // fold to Cypher's toUpper/toLower — call positions only
+    // (quote-aware; a property named `upper` has no '(' after it)
+    foldUnquotedSpans(s, seg => seg
+      .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
+      .replaceAll("(?i)\\blower\\s*\\(", "toLower("))
   }
 
   def parse(stmt0raw: String): Parsed = {
@@ -6720,6 +6750,10 @@ object CypherLite {
       return compileCallTail(g0, filtered, rest, aliasLabel)
     }
     val (head0, ob, skip, limit) = parseTailWithSkip(tail)
+    require(!head0.matches("(?is)^(OPTIONAL\\s+)?MATCH\\b.*"),
+      "CALL { … } followed by MATCH is unsupported — bind the value " +
+        "with a WITH stage instead (`MATCH … WITH max(x) AS hi " +
+        "MATCH … WHERE y = hi …`, the global-threshold form)")
     require(head0.matches("(?is)^RETURN\\b.*"),
       s"CALL { … } must be followed by RETURN, got '${tail.take(30)}'")
     var r = head0.replaceFirst("(?i)^RETURN\\b", "").trim

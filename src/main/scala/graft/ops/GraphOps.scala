@@ -3014,6 +3014,27 @@ object GraphOps {
              |FROM (SELECT unnest(string_split(c_name, '#')) AS part
              |      FROM customer WHERE c_acctbal > 9900.0)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G130 CASE sort key over aggregate OUTPUTS + SQL-ism folds —
+    // `ORDER BY CASE WHEN cnt > k THEN 0 ELSE 1 END` computes after
+    // the aggregation as a hidden item (reads outputs only, so the
+    // grouping is untouched); upper() folds to toUpper. Oracle
+    // replays the CASE in its own ORDER BY; the tie-broken full
+    // ordering makes the hash deterministic.
+    QueryDef(
+      "g130_cypher_case_sort_key",
+      (s, d) => graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_acctbal > 9000.0
+          |RETURN upper(n.n_name) AS nm, count(*) AS cnt
+          |ORDER BY CASE WHEN cnt >= 3 THEN 0 ELSE 1 END, nm
+          |LIMIT 10""".stripMargin),
+      Some("""SELECT upper(n_name) AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000.0
+             |GROUP BY 1
+             |ORDER BY CASE WHEN count(*) >= 3 THEN 0 ELSE 1 END, nm
+             |LIMIT 10""".stripMargin)
     )
   )
 

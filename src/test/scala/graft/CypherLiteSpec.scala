@@ -4096,6 +4096,34 @@ class CypherLiteSpec extends SparkSpec {
     }.getMessage.contains("zero-length hops"))
   }
 
+  test("probe-14d: ORDER BY CASE over outputs, upper/lower, CALL-MATCH reject") {
+    // CASE sort key over aggregate OUTPUT names — post-aggregation
+    // hidden item, legal where ordinary hidden keys are not
+    val r1 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, count(*) AS cnt " +
+        "ORDER BY CASE WHEN cnt >= 2 THEN 0 ELSE 1 END, t")
+      .as[(String, Long)].collect().toSeq
+    assert(r1 === Seq(("a4", 2L), ("a1", 1L)))
+    assert(r1.map(_._1) === Seq("a4", "a1")) // fan group sorts first
+    // SQL-ism tolerance: upper()/lower() fold to toUpper/toLower
+    val u = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN upper(a.tag) AS u, lower('MIX') AS l")
+      .as[(String, String)].collect().head
+    assert(u === (("A1", "mix")))
+    // …but only at CALL positions — a string containing 'upper(' is
+    // untouched
+    val s1 = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN 'upper(x)' AS s")
+      .as[String].collect().head
+    assert(s1 === "upper(x)")
+    // CALL { } followed by MATCH names the WITH rewrite
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "CALL { MATCH (a:A) RETURN max(a.num) AS hi } " +
+          "MATCH (b:B) WHERE b.num = hi RETURN b.tag")
+    }.getMessage.contains("global-threshold"))
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
