@@ -2623,6 +2623,17 @@ object CypherLite {
         v.trim match {
           case PropRefRe2(a2, p2) if propOk(a2) =>
             refs += a2 -> p2; Atom2E(a, p, a2, p2, opBuilder2(op))
+          // arithmetic RHS (`c.bal > n.key * 100`): the refs register
+          // for attachment like CASE-value arithmetic
+          case rhs if rhs.exists("+-*/%^".contains(_)) &&
+              !op.equalsIgnoreCase("IN") =>
+            val rAe = parseArith(rhs)
+            for ((a2, pOpt) <- arithRefs(rAe)) pOpt match {
+              case Some(p2) => checkProp(a2); refs += a2 -> p2
+              case None => require(plainOk(a2),
+                s"$ctx CASE references unknown name '$a2'")
+            }
+            ArithCmpE(RefA(a, Some(p)), rAe, opBuilder2(op))
           case _ => AtomE(a, p, opBuilder(op, v))
         }
       case WithNullRe(n, not) =>
@@ -3110,10 +3121,33 @@ object CypherLite {
         "temporal/math fns, collect, reduce, comprehensions)")
     // SQL-ism tolerance: `upper(`/`lower(` (habits from SQL corpora)
     // fold to Cypher's toUpper/toLower — call positions only
-    // (quote-aware; a property named `upper` has no '(' after it)
-    foldUnquotedSpans(s, seg => seg
-      .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
-      .replaceAll("(?i)\\blower\\s*\\(", "toLower("))
+    // (quote-aware; a property named `upper` has no '(' after it).
+    // Literal-range reads fold STATICALLY so they compose anywhere
+    // (arithmetic, WHERE, items): `range(a, b[, s])[i]` → the element
+    // (or null out of bounds), `size(range(…))` → the count.
+    val RangeIdxRe =
+      ("""(?i)range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*""" +
+        """(?:,\s*(-?\d+)\s*)?\)\s*\[\s*(-?\d+)\s*\]""").r
+    val SizeRangeRe =
+      ("""(?i)\bsize\s*\(\s*range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*""" +
+        """(?:,\s*(-?\d+)\s*)?\)\s*\)""").r
+    foldUnquotedSpans(s, seg => {
+      val s1 = seg
+        .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
+        .replaceAll("(?i)\\blower\\s*\\(", "toLower(")
+      val s2 = RangeIdxRe.replaceAllIn(s1, m => {
+        val a = m.group(1).toLong
+        val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+        val n = rangeLen(a, m.group(2).toLong, step)
+        val i0 = m.group(4).toLong
+        val idx = if (i0 >= 0) i0 else n + i0
+        if (idx >= 0 && idx < n) (a + idx * step).toString else "null"
+      })
+      SizeRangeRe.replaceAllIn(s2, m => {
+        val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+        rangeLen(m.group(1).toLong, m.group(2).toLong, step).toString
+      })
+    })
   }
 
   def parse(stmt0raw: String): Parsed = {
@@ -4434,6 +4468,9 @@ object CypherLite {
     // semantics: the per-anchor SORTED list, [] when nothing matches)
     val CollectBraceItemRe =
       """(?is)^COLLECT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // `size(COLLECT { … })` — the count of the list subquery ≡ COUNT{}
+    val SizeCollectBraceRe =
+      """(?is)^size\s*\(\s*COLLECT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // fn-headed item with no top-level operator — the arithmetic
     // grammar's CALL primaries (nested fns) behind an AS; split() is
     // ArithFns-gated inside parseArith (pointed reject: lists don't
@@ -4575,6 +4612,11 @@ object CypherLite {
       """(?is)^(collect\s*\(.+\))\s*\[([^\[\]]*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val IdxTxtRe = """^(-?\d+)$""".r
     val SliceTxtRe = """^(-?\d+)?\s*\.\.\s*(-?\d+)?$""".r
+    // split over a NESTED scalar wrap — `split(toUpper(n.name), '_')
+    // AS parts`: the inner wrap compiles recursively, split applies
+    // to its result (literal delimiter, like the plain form)
+    val SplitOfFnRe =
+      s"""(?is)^split\\s*\\(\\s*((?:$ScalarFnAlt)\\s*\\(.+\\))\\s*,\\s*('[^']*')\\s*\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // head/last/size over an inline collect(…) call
     val FnOfAggRe =
       """(?is)^(head|last|size)\s*\(\s*(collect\s*\(.+\))\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -4589,14 +4631,6 @@ object CypherLite {
     // recursively-compiled list (see the case site)
     val FnOfSplitRe =
       """(?is)^(size|length|head|last)\s*\(\s*(split\s*\(.+\))\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // the literal range as a list value in item position — size()
-    // and subscript fold statically (see the case site)
-    val RangeCapPat =
-      """range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)"""
-    val RangeSizeItemRe =
-      s"""(?is)^size\\s*\\(\\s*$RangeCapPat\\s*\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
-    val RangeSubItemRe =
-      s"""(?is)^$RangeCapPat\\s*\\[\\s*(-?\\d+)\\s*\\]\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // list literal of expressions — `[c.a, c.b] AS pair` (guarded
     // away from comprehensions and pattern comprehensions at the
     // case site)
@@ -4727,7 +4761,11 @@ object CypherLite {
               "percentileDisc(v, f) has the same meaning")
           ReturnItem(Some(fn.toLowerCase), d, a, Option(p), as,
             aggArg = Some(frac.toDouble))
-        case other if other.matches("(?is)^percentile(Cont|Disc)\\s*\\(.*") =>
+        // the pointed reject must NOT swallow arithmetic OVER
+        // percentile calls (`percentileCont(…) - percentileCont(…)`)
+        // — those fall through to the agg-arithmetic route
+        case other if other.matches("(?is)^percentile(Cont|Disc)\\s*\\(.*") &&
+            !other.exists("+-*/%^".contains(_)) =>
           fail("percentileCont/Disc take (alias.prop, fraction-literal) " +
             "and an AS name", other)
         // aggregate over a STRUCT FIELD of a carried map output —
@@ -4793,6 +4831,18 @@ object CypherLite {
         // `m.field` where m is a previous stage's STRUCT output (a
         // carried map projection/literal): getField over the carried
         // column, not a node-property attach
+        // `null`/`true`/`false` as bare items would otherwise match
+        // the plain-reference shape — literals resolve first (the
+        // folded out-of-bounds range read emits `null AS x`)
+        case PlainItemRe(a, null, as)
+            if a.equalsIgnoreCase("null") || a.equalsIgnoreCase("true") ||
+              a.equalsIgnoreCase("false") =>
+          val name = Option(as).getOrElse(fail(
+            s"literal items need AS <name>", a))
+          ReturnItem(None, distinct = false, "", None, name,
+            caseC = Some(CaseCompiled(Seq.empty,
+              _ => if (a.equalsIgnoreCase("null")) lit(null)
+              else lit(a.toBoolean))))
         case PlainItemRe(a, prop, as) if prop != null && structOk(a) =>
           val name = Option(as).getOrElse(s"${a}_$prop")
           ReturnItem(None, distinct = false, "", None, name,
@@ -4976,26 +5026,18 @@ object CypherLite {
               res => try_element_at(res(n, None), lit(idx)))))
         // head/last/size over a split(…) CALL — tried before the
         // pointed reject below (the only other list-producing call)
-        // `size(range(a, b[, s])) AS n` / `range(a, b[, s])[i] AS x`
-        // — the literal integer range as a list VALUE: the bounds are
-        // literals, so both fold STATICALLY to a constant (no array
-        // materializes, scale-free like the UNWIND head form)
-        case RangeSizeItemRe(a0, b0, s0, as) =>
-          val n = rangeLen(a0.toLong, b0.toLong,
-            Option(s0).map(_.toLong).getOrElse(1L))
+        case SplitOfFnRe(inner, delim, as) =>
+          val its = parseItems(s"$inner AS aggX", ctx, plainOk, propOk,
+            aggOk, bareAgg, pathOk, listOk)
+          require(its.size == 1 && its.head.caseC.isDefined &&
+            its.head.agg.isEmpty,
+            s"split(…): '$inner' is not a scalar expression")
+          val cc = its.head.caseC.get
+          val d = literal(delim).toString
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, _ => lit(n.toInt))))
-        case RangeSubItemRe(a0, b0, s0, i0, as) =>
-          val a = a0.toLong
-          val step = Option(s0).map(_.toLong).getOrElse(1L)
-          val n = rangeLen(a, b0.toLong, step)
-          val i1 = i0.toLong
-          val idx = if (i1 >= 0) i1 else n + i1
-          val v: Column =
-            if (idx >= 0 && idx < n) lit(a + idx * step)
-            else lit(null)
-          ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, _ => v)))
+            caseC = Some(CaseCompiled(cc.refs, res =>
+              split(cc.build(res),
+                java.util.regex.Pattern.quote(d), -1))))
         case FnOfSplitRe(fn, call, as) =>
           val its = parseItems(s"$call AS aggX", ctx, plainOk, propOk,
             aggOk, bareAgg, pathOk, listOk)
@@ -5482,6 +5524,23 @@ object CypherLite {
           fail("startNode()/endNode() take a named single-hop " +
             "relationship variable (pattern scope only) and an AS name",
             other)
+        // `size(COLLECT { MATCH … RETURN x }) AS k` ≡ the COUNT { }
+        // subquery (counts matches per anchor) — compiled onto the
+        // same grouped-count flag machinery; the inner RETURN value
+        // only validates (counting non-null values of a nullable
+        // property would differ — our chains bind non-null ids)
+        case SizeCollectBraceRe(body0, as) if pathOk =>
+          val body = body0.trim
+          val rets = """(?i)\bRETURN\b""".r
+            .findAllMatchIn(body.replaceAll("'[^']*'", "''")).toSeq
+          require(rets.length == 1,
+            "size(COLLECT { … }) needs exactly one `RETURN <value>` " +
+              "inside the braces")
+          val pp = parsePatternPredChain(negated = false,
+            body.substring(0, rets.head.start).trim)
+          val idx = orFlagPreds.length
+          orFlagPreds += ((pp, true))
+          ReturnItem(None, distinct = false, s"__ppc_$idx", None, as)
         case other if other.matches("(?is)^size\\s*\\(.*") =>
           fail("size() takes a previous WITH stage's list output " +
             "(a collect(…) column) and an AS name — for a path's hop " +

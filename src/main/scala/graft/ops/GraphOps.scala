@@ -2837,7 +2837,8 @@ object GraphOps {
           |  AND c.c_acctbal > 9000.0
           |RETURN n.n_name AS nm, count(*) AS cnt,
           |       size(range(0, 24, 2)) AS rl""".stripMargin)),
-      Some("""SELECT n_name AS nm, count(*) AS cnt, 13 AS rl
+      Some("""SELECT n_name AS nm, count(*) AS cnt,
+             |       CAST(13 AS BIGINT) AS rl
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_nationkey >= 0 AND c_nationkey <= 24
              |  AND c_nationkey % 2 = 0 AND c_acctbal > 9000.0

@@ -3900,17 +3900,18 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A) WHERE a.id IN range(5, 1, -4) RETURN count(*) AS n")
       .as[Long].collect().head
     assert(n3 === 1L) // range is [5, 1]; only id 1 matches
-    // size()/subscript fold statically
+    // size()/subscript fold statically (in preprocess — any
+    // position; the folded values are LONG literals)
     val r = CypherLite.query(g,
       "MATCH (a:A {id: 1}) RETURN size(range(1, 10, 3)) AS n, " +
         "range(1, 10, 3)[1] AS second, range(1, 10, 3)[-1] AS last_el, " +
         "range(1, 10, 3)[9] AS oob, size(range(5, 1)) AS empty")
       .collect().head
-    assert(r.getInt(0) === 4)          // 1, 4, 7, 10
+    assert(r.getLong(0) === 4L)        // 1, 4, 7, 10
     assert(r.getLong(1) === 4L)
     assert(r.getLong(2) === 10L)
     assert(r.isNullAt(3))
-    assert(r.getInt(4) === 0)
+    assert(r.getLong(4) === 0L)
   }
 
   test("UNWIND keys(n) AS k; percentileCont/Disc DISTINCT surface") {
@@ -4122,6 +4123,41 @@ class CypherLiteSpec extends SparkSpec {
         "CALL { MATCH (a:A) RETURN max(a.num) AS hi } " +
           "MATCH (b:B) WHERE b.num = hi RETURN b.tag")
     }.getMessage.contains("global-threshold"))
+  }
+
+  test("probe-14e: percentile arithmetic, range folds, split wraps, size(COLLECT)") {
+    // arithmetic over percentile calls rides the agg-arith route
+    val gap = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "RETURN percentileCont(DISTINCT b.num, 0.5) - " +
+        "percentileCont(b.num, 0.5) AS gap")
+      .as[Double].collect().head
+    assert(gap === 0.5) // distinct {1,2} median 1.5; plain {1,2,1} → 1.0
+    // literal-range reads fold in preprocess — any position
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A) WHERE a.num > range(0, 10, 5)[1] RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(r === 1L) // range[1] = 5; only a4 (9.0) exceeds
+    // split over a nested wrap
+    val parts = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) WITH split(toUpper(a.tag), 'A') AS ps " +
+        "RETURN size(ps) AS n")
+      .as[Int].collect().head
+    assert(parts === 2) // 'A1' on 'A' → ['', '1']
+    // size(COLLECT { … }) counts matches (≡ COUNT { }, so a LONG —
+    // the one size() form that is a count, not an int array length)
+    val ks = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN a.tag AS t, " +
+        "size(COLLECT { MATCH (a)-[:R1]->(b:B) RETURN b }) AS k ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(ks.map(_._2) === Seq(1L, 2L))
+    // CASE condition with arithmetic RHS
+    val n2 = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) " +
+        "WHERE CASE WHEN a.num > b.num * 4 THEN 1 ELSE 0 END = 1 " +
+        "RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 2L) // a4(9) > b2(1)*4 and a1(4)… 4 > 4 false; a4>b5(2)*4 true
   }
 
   test("week/quarter accessors fold to weekofyear/quarter") {
