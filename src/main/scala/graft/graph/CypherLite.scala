@@ -3616,6 +3616,9 @@ object CypherLite {
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty,
         stageOuts: Set[String] = Set.empty,
+        // stage/head-unwind outputs known to be STRUCTS — `… OP m.f`
+        // on the RHS reads the field (col("m.f"), nested resolution)
+        stageStructs: Set[String] = Set.empty,
         // steps NOT in the parse-global buffer (post-WITH MATCH
         // clauses keep theirs local) — the typed-adjacency relaxation
         // below walks them too
@@ -3826,6 +3829,12 @@ object CypherLite {
               case IdFnRe(a2) if bound.contains(a2) =>
                 checkAlias(a2, "id")
                 Atom2E(a, p, a2, "id", opBuilder2(op))
+              // `… OP m.f` — a STRUCT stage/head-unwind output's
+              // field on the RHS (the UNWIND-[{…}] rows-join idiom):
+              // col("m.f") resolves the nested field on the joined
+              // frame; row-filter path like every stage comparison
+              case PropRefRe(m2, f2) if stageStructs(m2) =>
+                AtomSE(a, p, s"$m2.$f2", opBuilder2(op))
               // `… OP out` — a bare PREVIOUS-STAGE output on the RHS
               // (the correlated-threshold idiom in a post-WITH MATCH:
               // `WITH avg(x) AS m MATCH (c)… WHERE c.prop > m`);
@@ -4371,7 +4380,8 @@ object CypherLite {
           // against them like a stage output; the EXISTS/COUNT flag
           // columns (under-OR rewrite above) resolve the same way
           stageOuts = headNames ++ orFlagPreds.indices
-            .flatMap(i => Seq(s"__ppf_$i", s"__ppc_$i")))
+            .flatMap(i => Seq(s"__ppf_$i", s"__ppc_$i")),
+          stageStructs = headStructNames)
         rowPreds ++= rps
         upd.get(start.as).foreach(start = _)
         for (i <- crossCompRanges.indices;
@@ -6247,6 +6257,10 @@ object CypherLite {
               // against a PREVIOUS-STAGE output (`… WHERE c.prop > m`)
               // — post-join row filters, required clauses only
               stageOuts = outNames ++ unwinds.map(_._2),
+              stageStructs = stageStructOuts(items,
+                prev.map(_.structOuts).getOrElse(headStructNames)) ++
+                unwinds.collect {
+                  case (src, out) if isMapLitList(src) => out },
               clauseSteps = clauseSteps.toSeq)
             require(!isOpt || rps.forall(!_.needsStage),
               "OPTIONAL MATCH WHERE may not reference stage outputs — " +

@@ -4059,6 +4059,14 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.query(mathG,
         "UNWIND [{k: 'x'}, {z: 'y'}] AS m RETURN m.k AS k")
     }.getMessage.contains("same keys"))
+    // the rows-JOIN idiom: a pattern WHERE compares a property
+    // against the unwound struct's field
+    val joined = CypherLite.query(mathG,
+      "UNWIND [{t: 'a1', w: 10}, {t: 'a4', w: 20}, {t: 'zz', w: 0}] AS m " +
+        "MATCH (a:A) WHERE a.tag = m.t RETURN m.w AS w, a.num AS n " +
+        "ORDER BY w")
+      .as[(Long, Double)].collect().toSeq
+    assert(joined === Seq((10L, 4.0), (20L, 9.0)))
   }
 
   test("probe-14c: CASE over aggregates, UNWIND split, literal quantifiers") {
