@@ -1561,9 +1561,32 @@ object CypherLite {
     case RhsCastRe(q, t) =>
       val s = literal(q).toString
       if (t.equalsIgnoreCase("DATE")) to_date(lit(s)) else to_timestamp(lit(s))
-    case RhsDateRe(q) => to_date(lit(literal(q).toString))
-    case RhsDatetimeRe(q) => to_timestamp(lit(literal(q).toString))
+    case RhsDateRe(q) =>
+      to_date(lit(validTemporal(literal(q).toString, dateOnly = true)))
+    case RhsDatetimeRe(q) =>
+      to_timestamp(lit(validTemporal(literal(q).toString, dateOnly = false)))
     case other => lit(literal(other))
+  }
+
+  /** Eager validation of a date()/datetime() literal — a malformed
+    * one should be a parse-time reject with the offending text, not a
+    * runtime SparkDateTimeException three stages later.
+    */
+  private def validTemporal(v: String, dateOnly: Boolean): String = {
+    val t = v.trim
+    val ok =
+      try {
+        if (dateOnly) { java.time.LocalDate.parse(t); true }
+        else {
+          val n = t.replace(' ', 'T')
+          try { java.time.LocalDateTime.parse(n); true }
+          catch { case _: Exception =>
+            java.time.LocalDate.parse(t); true }
+        }
+      } catch { case _: Exception => false }
+    require(ok, s"${if (dateOnly) "date" else "datetime"}('$t'): not " +
+      "a valid ISO temporal literal (yyyy-MM-dd[THH:mm:ss])")
+    v
   }
 
   /** Binary comparison compiler for property-to-property conditions
@@ -1934,6 +1957,11 @@ object CypherLite {
     * parameterized by the atom parser.
     */
   private def parseBool(w: String, atom: String => BoolExpr): BoolExpr = {
+    // a trailing/leading connective would silently VANISH in the
+    // keyword split (empty segments filter out) — loud instead
+    require(!w.matches("(?is).*\\b(AND|OR|XOR|NOT)\\s*$") &&
+      !w.matches("(?is)^\\s*(AND|OR|XOR)\\b.*"),
+      s"dangling boolean operator in WHERE: '${w.trim.take(60)}'")
     def parseFactor(s: String): BoolExpr = {
       val t = s.trim
       NotPrefixRe.findFirstIn(t) match {
@@ -2981,6 +3009,13 @@ object CypherLite {
       require(parsed.forall(_.map(_._1) == keys),
         "UNWIND map elements must share the same keys in the same " +
           s"order (${keys.mkString(", ")})")
+      for (k <- keys) {
+        val classes = parsed.map(_.toMap.apply(k))
+          .filter(_ != null).map(_.getClass).distinct
+        require(classes.size <= 1,
+          s"UNWIND map elements disagree on the type of '$k' — one " +
+            "schema per list (explode needs uniform structs)")
+      }
       array(parsed.map(kvs => struct(kvs.map { case (k, v) =>
         lit(v).as(k) }: _*)): _*)
     case txt =>
@@ -3304,6 +3339,11 @@ object CypherLite {
     def absorbLabelPreds(seg: (String, Option[String]))
         : (String, Option[String]) = seg match {
       case (body, Some(w)) if splitTop(w, "OR").size == 1 =>
+        // a leading/trailing connective would silently vanish in the
+        // conjunct split below (empty segments filter out) — loud
+        require(!w.matches("(?is)^\\s*(AND|OR|XOR)\\b.*") &&
+          !w.matches("(?is).*\\b(AND|OR|XOR|NOT)\\s*$"),
+          s"dangling boolean operator in WHERE: '${w.trim.take(60)}'")
         var b = body
         val TypePredRe =
           """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(=|IN)\s*(.+)$""".r

@@ -4168,6 +4168,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(n2 === 2L) // a4(9) > b2(1)*4 and a1(4)… 4 > 4 false; a4>b5(2)*4 true
   }
 
+  test("round-14 malformed battery: pointed rejects, no silent accepts") {
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG, q)
+    }.getMessage
+    // dangling boolean operator must not vanish in the keyword split
+    assert(rej("MATCH (a:A) WHERE a.num > 1 XOR RETURN count(*) AS n")
+      .contains("dangling boolean operator"))
+    assert(rej("MATCH (a:A) WHERE AND a.num > 1 RETURN count(*) AS n")
+      .contains("dangling boolean operator"))
+    // malformed temporal literals reject at parse, not runtime
+    assert(rej("WITH datetime('bogus') AS c MATCH (a:A) " +
+      "WHERE a.num > c RETURN count(*) AS n")
+      .contains("not a valid ISO temporal literal"))
+    // non-uniform map-literal rows
+    assert(rej("UNWIND [{k: 1}, {k: 'a'}] AS m RETURN m.k AS k")
+      .contains("disagree on the type"))
+    // empty COLLECT{}, COLLECT{} in arithmetic, nested COLLECT{}
+    assert(rej("MATCH (a:A) RETURN COLLECT { } AS xs")
+      .contains("COLLECT { } subqueries are"))
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+      "RETURN b.tag } + 1 AS x").contains("COLLECT { }"))
+    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+      "RETURN COLLECT { MATCH (b)<-[:R2]-(c:C) RETURN c } } AS xs")
+      .contains("exactly one"))
+    // mixed literal/reference head WITH
+    assert(rej("WITH 1 AS x, a.num AS y MATCH (a:A) RETURN count(*) AS n")
+      .contains("reference-free"))
+    // post-agg CASE reading a raw alias property
+    assert(rej("MATCH (a:A) RETURN CASE WHEN count(*) > 1 THEN a.tag " +
+      "ELSE 'x' END AS k").contains("post-aggregate CASE"))
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
