@@ -3166,11 +3166,11 @@ object CypherLite {
     val SizeRangeRe =
       ("""(?i)\bsize\s*\(\s*range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*""" +
         """(?:,\s*(-?\d+)\s*)?\)\s*\)""").r
-    foldUnquotedSpans(s, seg => {
+    val s2 = foldUnquotedSpans(s, seg => {
       val s1 = seg
         .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
         .replaceAll("(?i)\\blower\\s*\\(", "toLower(")
-      val s2 = RangeIdxRe.replaceAllIn(s1, m => {
+      val sr = RangeIdxRe.replaceAllIn(s1, m => {
         val a = m.group(1).toLong
         val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
         val n = rangeLen(a, m.group(2).toLong, step)
@@ -3178,11 +3178,57 @@ object CypherLite {
         val idx = if (i0 >= 0) i0 else n + i0
         if (idx >= 0 && idx < n) (a + idx * step).toString else "null"
       })
-      SizeRangeRe.replaceAllIn(s2, m => {
+      SizeRangeRe.replaceAllIn(sr, m => {
         val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
         rangeLen(m.group(1).toLong, m.group(2).toLong, step).toString
       })
     })
+    foldSizeCollect(s2)
+  }
+
+  /** `size(COLLECT { … RETURN v })` ≡ `COUNT { … }` — folded
+    * TEXTUALLY so the single COUNT{} machinery serves both item and
+    * WHERE positions (the count-of-the-list-subquery idiom). The
+    * inner RETURN value only validates syntactically; the chain
+    * parses downstream like every COUNT{} body.
+    */
+  private def foldSizeCollect(in0: String): String = {
+    // length-preserving quote blank so indices line up
+    val blanked = {
+      val a = in0.toCharArray
+      var inQ = false
+      for (i <- a.indices) {
+        if (a(i) == '\'') inQ = !inQ
+        else if (inQ) a(i) = ' '
+      }
+      new String(a)
+    }
+    val HeadRe = """(?i)\bsize\s*\(\s*COLLECT\s*\{""".r
+    HeadRe.findFirstMatchIn(blanked) match {
+      case None => in0
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        while (i < in0.length && depth > 0) {
+          val c = blanked.charAt(i)
+          if (c == '{') depth += 1
+          else if (c == '}') depth -= 1
+          i += 1
+        }
+        require(depth == 0, "size(COLLECT { … }): unbalanced braces")
+        val body = in0.substring(m.end, i - 1)
+        val bodyBlank = blanked.substring(m.end, i - 1)
+        val rets = """(?i)\bRETURN\b""".r.findAllMatchIn(bodyBlank).toSeq
+        require(rets.length == 1,
+          "size(COLLECT { … }) needs exactly one `RETURN <value>` " +
+            "inside the braces")
+        val chain = body.substring(0, rets.head.start).trim
+        var j = i
+        while (j < in0.length && in0.charAt(j).isWhitespace) j += 1
+        require(j < in0.length && in0.charAt(j) == ')',
+          "size(COLLECT { … }): missing closing ')'")
+        foldSizeCollect(in0.substring(0, m.start) +
+          "COUNT { " + chain + " }" + in0.substring(j + 1))
+    }
   }
 
   def parse(stmt0raw: String): Parsed = {
@@ -4518,9 +4564,6 @@ object CypherLite {
     // semantics: the per-anchor SORTED list, [] when nothing matches)
     val CollectBraceItemRe =
       """(?is)^COLLECT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-    // `size(COLLECT { … })` — the count of the list subquery ≡ COUNT{}
-    val SizeCollectBraceRe =
-      """(?is)^size\s*\(\s*COLLECT\s*\{\s*(?:MATCH\s+)?(\(.*)\}\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // fn-headed item with no top-level operator — the arithmetic
     // grammar's CALL primaries (nested fns) behind an AS; split() is
     // ArithFns-gated inside parseArith (pointed reject: lists don't
@@ -5574,23 +5617,6 @@ object CypherLite {
           fail("startNode()/endNode() take a named single-hop " +
             "relationship variable (pattern scope only) and an AS name",
             other)
-        // `size(COLLECT { MATCH … RETURN x }) AS k` ≡ the COUNT { }
-        // subquery (counts matches per anchor) — compiled onto the
-        // same grouped-count flag machinery; the inner RETURN value
-        // only validates (counting non-null values of a nullable
-        // property would differ — our chains bind non-null ids)
-        case SizeCollectBraceRe(body0, as) if pathOk =>
-          val body = body0.trim
-          val rets = """(?i)\bRETURN\b""".r
-            .findAllMatchIn(body.replaceAll("'[^']*'", "''")).toSeq
-          require(rets.length == 1,
-            "size(COLLECT { … }) needs exactly one `RETURN <value>` " +
-              "inside the braces")
-          val pp = parsePatternPredChain(negated = false,
-            body.substring(0, rets.head.start).trim)
-          val idx = orFlagPreds.length
-          orFlagPreds += ((pp, true))
-          ReturnItem(None, distinct = false, s"__ppc_$idx", None, as)
         case other if other.matches("(?is)^size\\s*\\(.*") =>
           fail("size() takes a previous WITH stage's list output " +
             "(a collect(…) column) and an AS name — for a path's hop " +

@@ -243,6 +243,34 @@ class FhirGoldenSpec extends SparkSpec {
         |RETURN count(DISTINCT p) AS n""".stripMargin) > 1L)
   }
 
+  test("golden answers survive round-14 LLM paraphrases") {
+    // golden 5 via a head-WITH named constant pair (the
+    // bind-the-cutoffs idiom)
+    assert(singleLong(
+      """WITH date('1990-01-01') AS lo, date('2000-12-31') AS hi
+        |MATCH (p:Patient)
+        |WHERE p.birthDate >= lo AND p.birthDate <= hi
+        |RETURN count(*) AS n""".stripMargin) === 184L)
+    // golden 1 via the COLLECT{} subquery + size()
+    assert(singleLong(
+      """MATCH (p:Patient) WHERE p.surname = 'Rosenbaum'
+        |  AND size(COLLECT { MATCH (p)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |                     RETURN i }) > 1
+        |RETURN count(*) AS n""".stripMargin) === 1L)
+    // golden 6 via CASE-in-WHERE (the projected-predicate spelling)
+    assert(singleLong(
+      """MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization)
+        |WHERE CASE WHEN i.occurrenceDateTime >
+        |      datetime('2022-01-01T00:00:00') THEN 1 ELSE 0 END = 1
+        |RETURN count(*) AS n""".stripMargin) === 65L)
+    // golden 4 via upper() SQL-ism + DISTINCT
+    val cats = cypher(
+      """MATCH (a:Allergy) WHERE a.category IS NOT NULL
+        |RETURN DISTINCT lower(a.category) AS category""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(cats === Set("medication", "environment", "food", "other"))
+  }
+
   test("schema XML introspection lists all node and rel tables") {
     val xml = graph.schemaXml
     for (l <- Seq("Address", "Patient", "Practitioner", "Substance", "Allergy", "Immunization"))
