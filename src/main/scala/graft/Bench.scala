@@ -51,32 +51,40 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
-    val results = ordered.map { case (name, fn) =>
-      // Two timed repetitions, report the min: single-shot numbers on
-      // a shared box swing ~2x with transient load, and the minimum is
-      // the standard noise-robust estimator for a deterministic
-      // workload. PROTOCOL NOTE: min-of-2 started in round 4 — r01-r03
-      // benches are single-shot, so cross-round comparisons against
-      // those rounds mix protocols (min-of-2 reads ~equal-or-lower).
-      // Cache hygiene before each rep: a query's persisted
-      // intermediates must not linger into the next measurement
-      // (round-3 lesson — dead cached frames churned the whole suite).
-      def rep(): Option[Double] = {
-        spark.sharedState.cacheManager.clearCache()
-        // clearCache() does NOT drop localCheckpoint RDDs — iterative
-        // queries (pagerank, components) checkpoint per round, and the
-        // leaked blocks inflated later checkpoint-heavy queries 20x in
-        // the driver's one-JVM suite (rounds 12 AND 13, adjudicated by
-        // isolated re-measures each time). Unpersist them explicitly.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); None
-        }
+    // Two timed repetitions per query, report the min: single-shot
+    // numbers on a shared box swing ~2x with transient load, and the
+    // minimum is the standard noise-robust estimator for a
+    // deterministic workload. PROTOCOL NOTE: min-of-2 started in
+    // round 4 — r01-r03 benches are single-shot, so cross-round
+    // comparisons against those rounds mix protocols.
+    // Cache hygiene before each rep: a query's persisted
+    // intermediates must not linger into the next measurement
+    // (round-3 lesson — dead cached frames churned the whole suite).
+    def rep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      spark.sharedState.cacheManager.clearCache()
+      // clearCache() does NOT drop localCheckpoint RDDs — iterative
+      // queries (pagerank, components) checkpoint per round, and the
+      // leaked blocks inflated later checkpoint-heavy queries 20x in
+      // the driver's one-JVM suite (rounds 12 AND 13, adjudicated by
+      // isolated re-measures each time). Unpersist them explicitly.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); None
       }
-      val times0 = (1 to 2).flatMap(_ => rep())
+    }
+    // ROUND-ROBIN reps: rep 1 of EVERY query, then rep 2 of every
+    // query — the same query's two reps land many minutes apart, so a
+    // sustained co-tenant load window can't swallow both (round 14:
+    // BOTH adjacent reps of g23_components fell inside one load
+    // window; min-of-2 and the >3x tiebreak never fired, minting a
+    // 40s phantom the judge isolated-re-measured at 6.1s).
+    val pass1 = ordered.map { case (name, fn) => rep(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => rep(name, fn) }
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      val times0 = Seq(pass1(i), pass2(i)).flatten
       // Context-noise tiebreak: when the two reps disagree by >3x, the
       // slower one was transient box load (the round-10 suite charged
       // 18x to t7_ngram_vocab this way — the judge's isolated re-run
@@ -84,7 +92,8 @@ object Bench {
       // min settle; a query that is GENUINELY slow reproduces across
       // all three and keeps its number.
       val times =
-        if (times0.size == 2 && times0.max > 3 * times0.min) times0 ++ rep()
+        if (times0.size == 2 && times0.max > 3 * times0.min)
+          times0 ++ rep(name, fn)
         else times0
       (name, if (times.nonEmpty) times.min else -1.0, times.size)
     }

@@ -805,6 +805,12 @@ object CypherLite {
   // (see parseCond; labels are fixed per alias in this engine)
   private val LabelPredRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*)$""".r
+  // `'lbl' IN labels(n)` — the membership spelling of the same test
+  // (labels(n) is a static per-alias literal, g54): canonicalizes to
+  // the `n:lbl` atom, so labeled aliases FOLD and unlabeled ones
+  // ABSORB the label exactly like the colon form
+  private val InLabelsCondRe =
+    """(?is)^'([A-Za-z_][A-Za-z0-9_]*)'\s+IN\s+labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
   // `[NOT] exists(alias.prop)` — legacy Cypher property-existence
   // (≡ IS [NOT] NULL in this engine's data model; the pattern-
   // predicate extractor never grabs it: `exists((…))` needs an inner
@@ -1169,9 +1175,55 @@ object CypherLite {
         case ')' => depth -= 1
         case '<' | '>' | '=' if depth == 0 =>
           val two = s.substring(i, math.min(i + 2, s.length))
-          val op =
-            if (two == "<=" || two == ">=" || two == "<>") two else ch.toString
-          return Some((s.substring(0, i), op, s.substring(i + op.length)))
+          // `=~` is the regex operator, NOT a comparison — skipping
+          // it here keeps fn-headed regex conditions (`coalesce(…)
+          // =~ '…'`) off the arithmetic-comparison route
+          if (two == "=~") { i += 1 }
+          else {
+            val op =
+              if (two == "<=" || two == ">=" || two == "<>") two
+              else ch.toString
+            return Some((s.substring(0, i), op, s.substring(i + op.length)))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Locate the FIRST top-level STRING operator (CONTAINS / STARTS
+    * WITH / ENDS WITH / =~) outside quotes and parens — the
+    * fn-headed-LHS string-predicate route (`coalesce(c.note, '')
+    * CONTAINS 'x'`, the null-guard idiom over sparse properties).
+    * Returns (lhs, OP, rhs).
+    */
+  private def splitTopStrOp(s: String): Option[(String, String, String)] = {
+    var depth = 0; var inQ = false; var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isWordChar(s.charAt(j - 1))) &&
+        (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (ch == '=' && i + 1 < s.length && s.charAt(i + 1) == '~')
+            return Some((s.substring(0, i), "=~", s.substring(i + 2)))
+          if (wordAt(i, "CONTAINS"))
+            return Some((s.substring(0, i), "CONTAINS",
+              s.substring(i + "CONTAINS".length)))
+          for (kw <- Seq("STARTS", "ENDS") if wordAt(i, kw)) {
+            var j = i + kw.length
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            if (wordAt(j, "WITH"))
+              return Some((s.substring(0, i), kw.toUpperCase + " WITH",
+                s.substring(j + "WITH".length)))
+          }
         case _ =>
       }
       i += 1
@@ -1199,6 +1251,9 @@ object CypherLite {
     case "false" => false
     case n if n.matches("-?\\d+") => n.toLong
     case n if n.matches("-?\\d*\\.\\d+") => n.toDouble
+    // scientific notation (`1e9`, `2.5E-3`) — a DOUBLE in Cypher
+    // (Neo4j: any exponent form is a float literal)
+    case n if n.matches("-?\\d+(\\.\\d+)?[eE][+-]?\\d+") => n.toDouble
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
   }
 
@@ -1574,19 +1629,36 @@ object CypherLite {
     */
   private def validTemporal(v: String, dateOnly: Boolean): String = {
     val t = v.trim
-    val ok =
-      try {
-        if (dateOnly) { java.time.LocalDate.parse(t); true }
-        else {
-          val n = t.replace(' ', 'T')
-          try { java.time.LocalDateTime.parse(n); true }
-          catch { case _: Exception =>
-            java.time.LocalDate.parse(t); true }
-        }
-      } catch { case _: Exception => false }
-    require(ok, s"${if (dateOnly) "date" else "datetime"}('$t'): not " +
-      "a valid ISO temporal literal (yyyy-MM-dd[THH:mm:ss])")
-    v
+    if (dateOnly) {
+      val ok = try { java.time.LocalDate.parse(t); true }
+        catch { case _: Exception => false }
+      require(ok,
+        s"date('$t'): not a valid ISO temporal literal (yyyy-MM-dd)")
+      v
+    } else {
+      val n = t.replace(' ', 'T')
+      def tryP(f: => Any): Boolean =
+        try { f; true } catch { case _: Exception => false }
+      if (tryP(java.time.LocalDateTime.parse(n)) ||
+          tryP(java.time.LocalDate.parse(t))) v
+      // zoned/offset forms (`2020-01-01T00:00:00Z`,
+      // `…+05:30`, `…[Europe/Paris]`) — valid Neo4j datetime
+      // literals; normalize to the equivalent UTC LOCAL string so
+      // the downstream to_timestamp never depends on the Spark
+      // session timezone
+      else if (tryP(java.time.OffsetDateTime.parse(n)))
+        java.time.OffsetDateTime.parse(n)
+          .withOffsetSameInstant(java.time.ZoneOffset.UTC)
+          .toLocalDateTime.toString
+      else if (tryP(java.time.ZonedDateTime.parse(n)))
+        java.time.ZonedDateTime.parse(n)
+          .withZoneSameInstant(java.time.ZoneOffset.UTC)
+          .toLocalDateTime.toString
+      else throw new IllegalArgumentException(
+        s"datetime('$t'): not a valid ISO temporal literal " +
+          "(yyyy-MM-dd[THH:mm:ss[Z|±hh:mm[[zone]]]]); offset/zone " +
+          "forms are normalized to UTC")
+    }
   }
 
   /** Binary comparison compiler for property-to-property conditions
@@ -2447,8 +2519,8 @@ object CypherLite {
               s"$a(…) in arithmetic/WHERE is unsupported — keys/" +
                 "properties are STATIC per label here: inline the " +
                 "constant (e.g. the label's property count), project " +
-                s"$a(n) as an item, or iterate keys with " +
-                "UNWIND keys(n) AS k")
+                s"$a(n), size(keys(n)) or keys(n)[i] as an item, or " +
+                "iterate keys with UNWIND keys(n) AS k")
             require(ArithFns(fn) || fn == "split",
               s"unsupported function in arithmetic: '$a' " +
                 "(supported: the scalar-function set minus split)")
@@ -2534,6 +2606,48 @@ object CypherLite {
     ws()
     require(i == s.length, s"trailing input in arithmetic item: '${s.substring(i)}'")
     e
+  }
+
+  /** Fold a PURE-NUMERIC arithmetic tree to its value — the head-WITH
+    * constant path (`WITH 10 - 3 AS k`) substitutes k's COMPUTED
+    * literal, never the raw expression text, so operator precedence
+    * at the use site can't re-associate it (`x > k * 100` must read
+    * 700, not 10 - 3*100). Semantics mirror the runtime Column
+    * algebra: `+ - * %` on two longs stay long; `/` and `^` (and any
+    * double operand) go double — exactly what Spark's operators
+    * yield, so the folded constant equals what a runtime evaluation
+    * of the same tree would produce. Non-numeric nodes (refs,
+    * strings, function calls) return None — the caller keeps its
+    * verbatim-substitution route for those.
+    */
+  private def evalNumArith(e: ArithExpr): Option[Any] = e match {
+    case NumA(v) => Some(v)
+    case NegA(x) => evalNumArith(x).map {
+      case l: Long   => -l
+      case d: Double => -d
+    }
+    case BinA(op, l, r) =>
+      for (a <- evalNumArith(l); b <- evalNumArith(r)) yield (a, b) match {
+        case (x: Long, y: Long) if op == '+' => x + y
+        case (x: Long, y: Long) if op == '-' => x - y
+        case (x: Long, y: Long) if op == '*' => x * y
+        case (x: Long, y: Long) if op == '%' && y != 0L => x % y
+        case _ =>
+          def d(v: Any): Double = v match {
+            case l2: Long => l2.toDouble
+            case d2: Double => d2
+          }
+          val (x, y) = (d(a), d(b))
+          op match {
+            case '+' => x + y
+            case '-' => x - y
+            case '*' => x * y
+            case '/' => x / y
+            case '%' => x % y
+            case '^' => math.pow(x, y)
+          }
+      }
+    case _ => None
   }
 
   /** A compiled searched-CASE item (`CASE WHEN cond THEN val … [ELSE
@@ -2652,9 +2766,13 @@ object CypherLite {
           case PropRefRe2(a2, p2) if propOk(a2) =>
             refs += a2 -> p2; Atom2E(a, p, a2, p2, opBuilder2(op))
           // arithmetic RHS (`c.bal > n.key * 100`): the refs register
-          // for attachment like CASE-value arithmetic
+          // for attachment like CASE-value arithmetic. plainRhsForm
+          // operands (quoted strings — any regex under `=~` has these
+          // chars — negative numbers, date()/datetime()) stay on the
+          // plain opBuilder route, same guard as the pattern-WHERE
+          // twin.
           case rhs if rhs.exists("+-*/%^".contains(_)) &&
-              !op.equalsIgnoreCase("IN") =>
+              !op.equalsIgnoreCase("IN") && !plainRhsForm(rhs) =>
             val rAe = parseArith(rhs)
             for ((a2, pOpt) <- arithRefs(rAe)) pOpt match {
               case Some(p2) => checkProp(a2); refs += a2 -> p2
@@ -3277,9 +3395,26 @@ object CypherLite {
           val SubRe = ("""(?<![A-Za-z0-9_.])""" +
             java.util.regex.Pattern.quote(nm) +
             """(?![A-Za-z0-9_])""").r
+          // pure-numeric compound constants (`WITH 10 - 3 AS k`) fold
+          // to their COMPUTED literal before substitution — verbatim
+          // inlining would re-associate under the use site's operator
+          // precedence (`x > k * 100` reading 10 - 3*100 = -290
+          // instead of 700). Temporal arithmetic keeps the verbatim
+          // route (the RHS compilers pattern-match its exact shape);
+          // a numeric fold that fails (non-finite) parenthesizes.
+          val subTxt =
+            if (idents.isEmpty && valTxt.exists("+-*/%^".contains(_)) &&
+                !valTxt.startsWith("'"))
+              evalNumArith(parseArith(valTxt)) match {
+                case Some(l: Long) => l.toString
+                case Some(d: Double) if d.isFinite =>
+                  BigDecimal(d).toString
+                case _ => s"($valTxt)"
+              }
+            else valTxt
           remainder = foldUnquotedSpans(remainder, seg =>
             SubRe.replaceAllIn(seg,
-              java.util.regex.Matcher.quoteReplacement(valTxt)))
+              java.util.regex.Matcher.quoteReplacement(subTxt)))
         }
         stmt = remainder.trim
       }
@@ -3394,7 +3529,13 @@ object CypherLite {
         val TypePredRe =
           """(?is)^type\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(=|IN)\s*(.+)$""".r
         val kept = splitTop(w, "AND").filter { c =>
-          c.trim match {
+          // the membership spelling canonicalizes to the colon atom
+          // first, so `'customer' IN labels(c)` absorbs into a bare
+          // `(c)` position exactly like `c:customer`
+          (c.trim match {
+            case InLabelsCondRe(lbl, a) => s"$a:$lbl"
+            case t => t
+          }) match {
             case LabelPredRe(a, lbl) if !lbl.contains("|") =>
               val re = ("""\(\s*""" +
                 java.util.regex.Pattern.quote(a) + """\s*\)""").r
@@ -3852,6 +3993,10 @@ object CypherLite {
           case None =>
         }
         c0 match {
+          // `'lbl' IN labels(n)` — canonicalize to the colon atom
+          // and re-enter (fold on labeled aliases, same alternation
+          // discipline)
+          case InLabelsCondRe(lbl, a) => parseCond(s"$a:$lbl")
           // label predicate (`c:customer`, `n:A|B`) — an alias's
           // label is STATIC here (its table is fixed at parse), so
           // the test folds to a constant: true when the alias's
@@ -4034,6 +4179,32 @@ object CypherLite {
                 "WHERE arithmetic refs must be alias.prop", other)
             }
             ArithCmpE(l, r, opBuilder2(op))
+          // fn-headed/compound LHS under a STRING operator —
+          // `coalesce(c.note, '') CONTAINS 'x'` (the null-guard idiom
+          // over sparse properties), `'' + a.x + b.y STARTS WITH …`:
+          // the LHS rides the arithmetic compiler (coalesce and the
+          // scalar set compose), the RHS must be a string literal.
+          // Single-wrap forms (`toLower(c.p) CONTAINS 'x'`) matched
+          // WhereFnCondRe above; only compositions arrive here.
+          case other if (FnCallHeadRe.findFirstIn(other).isDefined ||
+                other.exists("+-*/%^".contains(_))) &&
+              splitTopStrOp(other).isDefined =>
+            val (lt, op, rt) = splitTopStrOp(other).get
+            val l = parseArith(lt.trim)
+            for ((a2, pOpt) <- arithRefs(l)) pOpt match {
+              case Some(p2) => checkAlias(a2, p2)
+              case None => fail(
+                "WHERE arithmetic refs must be alias.prop", other)
+            }
+            val pat = literal(rt.trim) match {
+              case s2: String => s2
+              case o2 => fail(s"$op needs a string literal operand, " +
+                s"got '$o2'", other)
+            }
+            val cmp: (Column, Column) => Column =
+              if (op == "=~") (lc, _) => lc.rlike(s"^(?:$pat)$$")
+              else opBuilder2(op)
+            ArithCmpE(l, StrA(pat), cmp)
           case other => fail(
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)
@@ -4125,8 +4296,16 @@ object CypherLite {
       for (w <- whereTxt) {
         val localAliases = bound.keySet.toSet -- boundBefore
         val ns = PatternNode(bound(anchor), anchor) +: stepsL.map(_.node)
+        // clauseSteps = the sub-chain's own steps: an unlabeled local
+        // beside a TYPED edge (`EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
+        // WHERE o.o_totalprice > … }`) defers its property
+        // classification to query build, where inferAndExpandSteps
+        // fills the label from the edge type — the same relaxation
+        // main-chain WHEREs already get; a position no typed edge
+        // touches keeps the precise parse-time reject
         val (upd, rps, relPs) = applyWhere(w, localAliases + anchor, ns,
-          relAllowed = stepsL.iterator.flatMap(_.relVar).toSet)
+          relAllowed = stepsL.iterator.flatMap(_.relVar).toSet,
+          clauseSteps = stepsL)
         require(rps.isEmpty,
           "cross-alias WHERE inside EXISTS is unsupported — write " +
             "per-alias conditions (or lift the condition to the outer WHERE)")
@@ -4766,6 +4945,15 @@ object CypherLite {
     // the map projection `n {.a, .b} AS m`
     val PropsItemRe =
       """(?is)^(properties|keys)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // keys(n) compositions — `size(keys(n)) AS c` / `keys(n)[i] AS k`:
+    // the key list is STATIC per label (schema order, id excluded),
+    // so both fold to constants once the label resolves; the
+    // deferred-resolution channel is the same schemaFn ride keys(n)
+    // itself takes (the modifier is encoded in the fn tag)
+    val KeysSizeItemRe =
+      """(?is)^size\s*\(\s*keys\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val KeysIdxItemRe =
+      """(?is)^keys\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\[\s*(-?\d+)\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val MapProjItemRe =
       """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\{(.*)\}\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // map LITERAL item — `{name: n.n_name, score: c.x * 2} AS m`
@@ -4822,7 +5010,22 @@ object CypherLite {
             s"the chain (${locals.mkString(", ")})")
         for (p2 <- vp) {
           val lbl = pp.steps.find(_.node.as == va).get.node.label
-          require(lbl.nonEmpty,
+          // an unlabeled value alias beside a TYPED edge gets its
+          // label at query build (inferAndExpandSteps) — same
+          // deferral as sub-pattern WHEREs; an untyped-adjacent
+          // position keeps the parse-time reject
+          val typedAdj = {
+            var prev = pp.anchor
+            var hit = false
+            for (st <- pp.steps) {
+              val f = st.from.getOrElse(prev)
+              if (st.rel.nonEmpty && (f == va || st.node.as == va))
+                hit = true
+              prev = st.node.as
+            }
+            hit
+          }
+          require(lbl.nonEmpty || typedAdj,
             s"$va.$p2: alias '$va' is unlabeled — the any-node " +
               "view has no properties")
         }
@@ -5416,6 +5619,22 @@ object CypherLite {
               if (ctx == "RETURN") "name" else "alias"} '$a'")
           ReturnItem(None, distinct = false, a, None, as,
             schemaFn = Some((fn.toLowerCase, a)))
+        case KeysSizeItemRe(a, as) =>
+          require(!relVars(a),
+            s"size(keys($a)): '$a' is a relationship variable — node " +
+              "aliases only")
+          require(propOk(a),
+            s"size(keys()) references unknown alias '$a'")
+          ReturnItem(None, distinct = false, a, None, as,
+            schemaFn = Some(("keys_size", a)))
+        case KeysIdxItemRe(a, idx, as) =>
+          require(!relVars(a),
+            s"keys($a)[$idx]: '$a' is a relationship variable — node " +
+              "aliases only")
+          require(propOk(a),
+            s"keys()[…] references unknown alias '$a'")
+          ReturnItem(None, distinct = false, a, None, as,
+            schemaFn = Some((s"keys_idx:$idx", a)))
         case other if other.matches("(?is)^(properties|keys)\\s*\\(.*") =>
           fail("properties()/keys() take a node alias and an AS name",
             other)
@@ -6556,6 +6775,21 @@ object CypherLite {
             case "keys" => CaseCompiled(Seq.empty,
               res => when(res(a, None).isNull, lit(null))
                 .otherwise(array(cols.map(lit): _*)))
+            // static folds over the per-label key list: the count,
+            // and one subscript read (Cypher 0-based, negative from
+            // the end, out-of-range → null) — both constants once
+            // the label resolves; null node (optional match) → null
+            case "keys_size" => CaseCompiled(Seq.empty,
+              res => when(res(a, None).isNull, lit(null))
+                .otherwise(lit(cols.length.toLong)))
+            case kfn if kfn.startsWith("keys_idx:") =>
+              val i0 = kfn.substring("keys_idx:".length).toInt
+              val idx = if (i0 < 0) cols.length + i0 else i0
+              val v: Column =
+                if (idx >= 0 && idx < cols.length) lit(cols(idx))
+                else lit(null)
+              CaseCompiled(Seq.empty,
+                res => when(res(a, None).isNull, lit(null)).otherwise(v))
           }
           ri.copy(schemaFn = None, alias = "", caseC = Some(cc))
       }
@@ -7621,6 +7855,27 @@ object CypherLite {
         s"$a.$pr: alias '$a' is " +
           "unlabeled — the any-node view has no properties; declare a " +
           ":Label to read them")
+    // sub-pattern WHEREs whose classification was DEFERRED at parse
+    // (unlabeled local beside a typed edge): inference has now run —
+    // a node predicate still sitting on an unlabeled position means
+    // the edge types did not determine the label (alternation or
+    // ambiguous endpoints); reject pointedly instead of letting the
+    // any-node scan die on an unresolved column
+    for (pp <- p.patternPreds ++ p.countPreds.map(_._1) ++
+           p.orFlagPreds.map(_._1) ++ p.patternComps.map(_.pred);
+         st <- pp.steps
+         if st.node.label.isEmpty && st.node.pred.nonEmpty)
+      throw new IllegalArgumentException(
+        s"sub-pattern WHERE on '${st.node.as}': the alias stays " +
+          "unlabeled after edge-type inference — the any-node view " +
+          "has no properties; declare a :Label on it")
+    for (pc <- p.patternComps; pr <- pc.valueProp
+         if pc.pred.steps.find(_.node.as == pc.valueAlias)
+           .exists(_.node.label.isEmpty))
+      throw new IllegalArgumentException(
+        s"${pc.valueAlias}.$pr: the value alias stays unlabeled " +
+          "after edge-type inference — the any-node view has no " +
+          "properties; declare a :Label on it")
     val optionals = p.optionalAliases
     // cross-alias WHERE conjuncts filter the REQUIRED pattern's path
     // frame (before OPTIONAL MATCH extends it, standard clause order):

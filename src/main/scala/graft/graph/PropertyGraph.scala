@@ -169,7 +169,8 @@ final case class PropertyGraph(
     // clause's set (`__peids_<clause>`)
     val peidClauses = scala.collection.mutable.Set.empty[Int]
     val s0 = nodes(start.label)
-    var df = start.pred.foldLeft(s0)((d, p) => d.filter(p))
+    var df = start.pred.foldLeft(s0)((d, p) =>
+        filterPointed(d, start.label, start.as, p))
       .select(col("id").as(start.as))
     var prev = start.as
     for ((st, stepIdx) <- steps.zipWithIndex) {
@@ -408,7 +409,8 @@ final case class PropertyGraph(
       // semantics right too: an arrival failing the predicate is NOT a
       // match, so the left join below keeps the row with a null.
       for (p <- st.node.pred) {
-        val ids = nodes(st.node.label).filter(p).select(col("id"))
+        val ids = filterPointed(nodes(st.node.label), st.node.label,
+          st.node.as, p).select(col("id"))
         ed = ed.join(ids, ed("__to") === ids("id"), "left_semi")
       }
       // edge predicate: restrict the edge relation BEFORE it meets
@@ -474,10 +476,47 @@ final case class PropertyGraph(
     * `prefix + name`. Node tables are dimension-sized next to the
     * path set, so Catalyst/AQE broadcasts this join.
     */
+  /** Apply a node predicate with a POINTED unknown-property reject:
+    * a WHERE referencing a property the label's table lacks would
+    * otherwise die as a raw Spark UNRESOLVED_COLUMN
+    * AnalysisException three plan layers from the user's typo. The
+    * message names the label's columns and states the documented
+    * divergence: Neo4j returns null for an unknown property, this
+    * engine rejects to surface typos (same discipline relationship
+    * properties already get).
+    */
+  private def filterPointed(df: DataFrame, label: String, as: String,
+      p: Column): DataFrame =
+    try df.filter(p)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("RESOLVED_COLUMN") ||
+            String.valueOf(e.getMessage).contains("cannot be resolved") =>
+        throw new IllegalArgumentException(
+          s"WHERE on '$as:$label' references a property its node " +
+            s"table does not carry (columns: ${
+              nodes(label).columns.filterNot(_ == "id").sorted
+                .mkString(", ")}); Neo4j would return null for an " +
+            "unknown property — this engine rejects to surface typos",
+          e)
+    }
+
   def attach(paths: DataFrame, alias: String, label: String,
       props: Seq[String], prefix: String = "",
       joinType: String = "inner"): DataFrame = {
-    val n = nodes(label).select(
+    val tbl = nodes(label)
+    // validate the TOP-LEVEL column only — a dotted prop reads a
+    // struct field, whose existence the select below still checks
+    val missing = props.filterNot(pr =>
+      tbl.columns.contains(pr.split('.').head))
+    require(missing.isEmpty,
+      s"alias '$alias' (:$label): unknown propert${
+        if (missing.size == 1) "y" else "ies"} ${
+        missing.mkString(", ")} — the node table's columns are ${
+        tbl.columns.filterNot(_ == "id").sorted.mkString(", ")}; " +
+        "Neo4j would return null for an unknown property — this " +
+        "engine rejects to surface typos")
+    val n = tbl.select(
       col("id").as(alias) +: props.map(p => col(p).as(s"$prefix$p")): _*)
     paths.join(n, Seq(alias), joinType)
   }

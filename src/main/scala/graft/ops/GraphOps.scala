@@ -2862,18 +2862,23 @@ object GraphOps {
     // the percentile aggregates (Cont only: Disc-over-distinct has no
     // inline SQL spelling — pointed reject suggests the WITH DISTINCT
     // rewrite). Plans as Spark's two-level distinct aggregate beside
-    // the plain percentile, map-side combine shape at scale.
+    // the plain percentile, map-side combine shape at scale. The
+    // DISTINCT arg is a bucketed value with real within-group
+    // duplicates (floor(bal/500)) so a rewrite that silently dropped
+    // DISTINCT would shift the median and fail the oracle.
     QueryDef(
       "g121_cypher_percentile_distinct",
       (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
         """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
           |WHERE c.c_acctbal > 9000.0
-          |RETURN n.n_name AS nm,
-          |  percentileCont(DISTINCT c.c_nationkey, 0.5) AS selfk,
-          |  percentileCont(c.c_acctbal, 0.5) AS med""".stripMargin)),
+          |WITH n.n_name AS nm, floor(c.c_acctbal / 500.0) AS bucket,
+          |  c.c_acctbal AS bal
+          |RETURN nm,
+          |  percentileCont(DISTINCT bucket, 0.5) AS dmed,
+          |  percentileCont(bal, 0.5) AS med""".stripMargin)),
       Some("""SELECT n_name AS nm,
-             |  CAST(quantile_cont(DISTINCT c_nationkey, 0.5)
-             |       AS DOUBLE) AS selfk,
+             |  CAST(quantile_cont(DISTINCT floor(c_acctbal / 500.0),
+             |       0.5) AS DOUBLE) AS dmed,
              |  quantile_cont(c_acctbal, 0.5) AS med
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9000.0
@@ -3036,6 +3041,79 @@ object GraphOps {
              |GROUP BY 1
              |ORDER BY CASE WHEN count(*) >= 3 THEN 0 ELSE 1 END, nm
              |LIMIT 10""".stripMargin)
+    ),
+    // G131 endpoint-label inference inside SUB-PATTERN internal
+    // WHEREs — the round-15 mandate: an UNLABELED, property-filtered
+    // arrival inside EXISTS{}, COLLECT{}, and a pattern comprehension
+    // (the typed :HAS_ORDER edge determines o's label at query build;
+    // LLM emissions label lazily). Lists serialize to scalars for the
+    // driver gate (round-14 transport contract).
+    QueryDef(
+      "g131_cypher_subpattern_inference",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
+          |               WHERE o.o_totalprice > 250000.0 }
+          |RETURN c.c_name AS nm,
+          |  COLLECT { MATCH (c)-[:HAS_ORDER]->(o2)
+          |            WHERE o2.o_totalprice > 250000.0
+          |            RETURN o2.o_orderkey } AS ks,
+          |  [(c)-[:HAS_ORDER]->(o3) WHERE o3.o_totalprice > 280000.0
+          |    | o3.o_orderkey] AS hi""".stripMargin)
+        .withColumn("ks",
+          concat_ws("|", expr("transform(ks, x -> cast(x as string))")))
+        .withColumn("hi",
+          concat_ws("|", expr("transform(hi, x -> cast(x as string))")))),
+      Some("""SELECT c_name AS nm,
+             |  coalesce(string_agg(CAST(o_orderkey AS VARCHAR), '|'
+             |      ORDER BY o_orderkey)
+             |    FILTER (WHERE o_totalprice > 250000.0), '') AS ks,
+             |  coalesce(string_agg(CAST(o_orderkey AS VARCHAR), '|'
+             |      ORDER BY o_orderkey)
+             |    FILTER (WHERE o_totalprice > 280000.0), '') AS hi
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE EXISTS (SELECT 1 FROM orders o2
+             |  WHERE o2.o_custkey = c_custkey
+             |    AND o2.o_totalprice > 250000.0)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G132 coalesce(…) as a WHERE operand — the null-guard idiom
+    // L6-generated Cypher emits over sparse properties, in BOTH
+    // positions: under a string operator (STARTS WITH, the
+    // splitTopStrOp route) and as a numeric comparison side (the
+    // arithmetic route). Single-alias conjuncts, so both classify as
+    // node predicates (semi-join before the path join). Null
+    // SEMANTICS are pinned by CypherLiteSpec over a null-bearing
+    // in-memory graph (this testdata carries no nulls).
+    QueryDef(
+      "g132_cypher_coalesce_where",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE coalesce(c.c_mktsegment, '') STARTS WITH 'BU'
+          |  AND coalesce(c.c_acctbal, 0.0) > 5000.0
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE coalesce(c_mktsegment, '') LIKE 'BU%'
+             |  AND coalesce(c_acctbal, 0.0) > 5000.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G133 static schema folds — `'lbl' IN labels(n)` (canonicalizes
+    // to the n:lbl atom and folds), size(keys(n)) and keys(n)[i]
+    // (the per-label key list is static: schema order, id excluded;
+    // negative subscripts from the end). All constants in the plan —
+    // zero extra joins or scans.
+    QueryDef(
+      "g133_cypher_schema_folds",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |WHERE 'nation' IN labels(n) AND n.n_nationkey < 5
+          |RETURN n.n_name AS nm, size(keys(n)) AS nk,
+          |  keys(n)[0] AS firstk, keys(n)[-1] AS lastk""".stripMargin)),
+      Some("""SELECT n_name AS nm, CAST(3 AS BIGINT) AS nk,
+             |  'n_nationkey' AS firstk, 'n_regionkey' AS lastk
+             |FROM nation WHERE n_nationkey < 5
+             |ORDER BY ALL""".stripMargin)
     )
   )
 
