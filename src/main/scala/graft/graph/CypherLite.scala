@@ -745,6 +745,11 @@ object CypherLite {
   // literal in [0, 1]
   private val PercentileRe =
     """^(?i)(percentileCont|percentileDisc)\s*\(\s*(?:((?i:DISTINCT))\s+)?([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*,\s*(0?\.[0-9]+|0|1|1\.0|0\.0)\s*\)\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  // percentile over a COMPUTED body (`percentileCont(size(p.name),
+  // 0.5) AS m`) — the greedy body group leaves the LAST top-level
+  // comma to the fraction; tried after the plain form above
+  private val PercentileArithRe =
+    """(?is)^(percentileCont|percentileDisc)\s*\((.+),\s*(0?\.[0-9]+|0|1|1\.0|0\.0)\s*\)\s+(?:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
   // `=~` FIRST so the alternation prefers it over bare `=`
   private val OpAlt =
     """=~|=|<>|<=|>=|<|>|(?i:CONTAINS)|(?i:IN)|(?i:STARTS\s+WITH)|(?i:ENDS\s+WITH)"""
@@ -946,6 +951,11 @@ object CypherLite {
     val FnKeyRe = (s"""(?is)^($ScalarFnAlt|size|length)\\s*\\(\\s*""" +
       """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*""" +
       """(?:,\s*([^)]*?)\s*)?\)$""").r
+    // scalar wrap over a BARE output name (`toUpper(c)`) — the
+    // post-projection hidden-key route below; size/length excluded
+    // (string vs list semantics fork on the output's runtime type)
+    val FnOutKeyRe = (s"""(?is)^($ScalarFnAlt)\\s*\\(\\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*([^)]*?)\s*)?\)$""").r
     val hidden = Seq.newBuilder[ReturnItem]
     var i = 0
     // CASE over the stage's OUTPUT names (`RETURN …, count(*) AS cnt
@@ -976,6 +986,27 @@ object CypherLite {
       }
       else try resolveOrderKeys(Seq(k -> asc), items, ctx).head
       catch {
+        // scalar wrap over a projected OUTPUT name (`RETURN a.cat AS
+        // c … ORDER BY toUpper(c)`) — legal even under aggregation
+        // (the key reads outputs only, so it cannot change the
+        // grouping); computes post-projection as a hidden postCase
+        // key, same ride as CASE-over-outputs. size/length stay out:
+        // their column semantics fork on the output's runtime type.
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("not among the projected items") &&
+            FnOutKeyRe.findFirstIn(k.trim).isDefined && {
+              val m = FnOutKeyRe.findFirstMatchIn(k.trim).get
+              items.exists(_.as == m.group(2))
+            } =>
+          val m = FnOutKeyRe.findFirstMatchIn(k.trim).get
+          val (fn, out, fargs) = (m.group(1), m.group(2), m.group(3))
+          val as = s"__ob_$i"
+          i += 1
+          val wrap = scalarWrap(fn, fargs)
+          hidden += ReturnItem(None, distinct = false, "", None, as,
+            postCase = Some(CaseCompiled(Seq.empty,
+              res => wrap(res(out, None)))))
+          (as, asc)
         case e: IllegalArgumentException if canHide &&
             e.getMessage != null &&
             e.getMessage.contains("not among the projected items") =>
@@ -5057,6 +5088,30 @@ object CypherLite {
               "percentileDisc(v, f) has the same meaning")
           ReturnItem(Some(fn.toLowerCase), d, a, Option(p), as,
             aggArg = Some(frac.toDouble))
+        // percentileCont over a COMPUTED body —
+        // `percentileCont(size(p.surname), 0.5)`: the body rides the
+        // arithmetic compiler like sum(expr). Disc keeps its
+        // column-name WITHIN GROUP plan (stage the expression first);
+        // DISTINCT-over-expression rejects the same way.
+        case PercentileArithRe(fn, body, frac, as)
+            if (body.exists("+-*/%^".contains(_)) ||
+              FnCallHeadRe.findFirstIn(body).isDefined) &&
+            !body.matches("(?is)^\\s*DISTINCT\\b.*") &&
+            balancedParens(body) =>
+          require(fn.equalsIgnoreCase("percentileCont"),
+            "percentileDisc over an expression is unsupported — " +
+              "stage it first: WITH <expr> AS v … percentileDisc(v, f)")
+          val ae = parseArith(body.trim)
+          for ((a, pOpt) <- arithRefs(ae)) pOpt match {
+            case Some(_) =>
+              require(propOk(a),
+                s"$ctx percentile references unknown alias '$a'")
+            case None =>
+              require(plainOk(a),
+                s"$ctx percentile references unknown name '$a'")
+          }
+          ReturnItem(Some(fn.toLowerCase), distinct = false, "", None,
+            as, aggArg = Some(frac.toDouble), arith = Some(ae))
         // the pointed reject must NOT swallow arithmetic OVER
         // percentile calls (`percentileCont(…) - percentileCont(…)`)
         // — those fall through to the agg-arithmetic route
@@ -5824,12 +5879,18 @@ object CypherLite {
                 s"$fn($v): '$v' names a var-length step — its value is " +
                   "a LIST of relationships (project per-hop with " +
                   "chained single-hop steps instead)")
+              require(s0.rel.nonEmpty,
+                s"$fn($v): the step is untyped — type the edge " +
+                  s"(-[$v:REL]->) so the endpoint label (and its id " +
+                  "type) is known")
               lengthUsedRelVars += v
               val part = if (fn.equalsIgnoreCase("startNode")) 2 else 3
+              // the eid parts are STRINGS — the cast target is the
+              // endpoint node table's id type, unknown at parse
+              // (string ids in FHIR graphs, longs in TPC-H); defer
+              // through the schemaFn channel like keys()/properties()
               ReturnItem(None, distinct = false, "", None, as,
-                caseC = Some(CaseCompiled(Seq.empty, res =>
-                  element_at(split(res(v, None), "\u0000"), part)
-                    .cast("long"))))
+                schemaFn = Some((s"endpoint:$part:${s0.rel}", v)))
             case None => fail(s"$fn($v): no step binds '$v'", v)
           }
         case other if other.matches("(?is)^(startNode|endNode)\\s*\\(.*") =>
@@ -6760,6 +6821,30 @@ object CypherLite {
     items.map { ri =>
       ri.schemaFn match {
         case None => ri
+        // startNode/endNode: the eid's stored endpoint, cast to the
+        // endpoint node table's ID TYPE (string ids in FHIR graphs,
+        // longs in TPC-H — a hardcoded long cast threw
+        // CAST_INVALID_INPUT on string ids). The rel text rode the
+        // tag from parse; alternations must agree on the label.
+        case Some((fn, v)) if fn.startsWith("endpoint:") =>
+          val Array(_, partS, relTxt) = fn.split(":", 3)
+          val part = partS.toInt
+          val side = if (part == 2) "startNode" else "endNode"
+          val lbls = relTxt.split('|').toSeq.map { t =>
+            val (sl, dl, _) = g.edges.getOrElse(t,
+              throw new IllegalArgumentException(
+                s"$side($v): unknown relationship type '$t'"))
+            if (part == 2) sl else dl
+          }.distinct
+          require(lbls.size == 1,
+            s"$side($v) over :$relTxt spans node labels " +
+              s"${lbls.mkString(", ")} — their id types may differ; " +
+              "query the types separately")
+          val idT = g.nodes(lbls.head).schema("id").dataType
+          ri.copy(schemaFn = None, alias = "",
+            caseC = Some(CaseCompiled(Seq.empty, res =>
+              element_at(split(res(v, None), "\u0000"), part)
+                .cast(idT))))
         case Some((fn, a)) =>
           val lbl = aliasLabel(a).getOrElse(throw new IllegalArgumentException(
             s"$fn($a): no node label for '$a'"))

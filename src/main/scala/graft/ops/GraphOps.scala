@@ -3114,6 +3114,27 @@ object GraphOps {
              |  'n_nationkey' AS firstk, 'n_regionkey' AS lastk
              |FROM nation WHERE n_nationkey < 5
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G134 percentile over a COMPUTED body + ORDER BY a scalar wrap
+    // of a projected OUTPUT (`toLower(nm)`) — the round-15 FHIR-probe
+    // surfaces: the body rides the arithmetic compiler like
+    // sum(expr); the sort key computes post-aggregation as a hidden
+    // postCase item (legal under aggregation — it reads outputs
+    // only). No extra exchange beyond the aggregate's own.
+    QueryDef(
+      "g134_cypher_pct_expr_sortwrap",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  percentileCont(c.c_acctbal / 100.0, 0.5) AS m,
+          |  count(*) AS cnt
+          |ORDER BY toLower(nm)""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(quantile_cont(c_acctbal / 100.0, 0.5) AS DOUBLE)
+             |    AS m,
+             |  count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -4682,6 +4682,59 @@ class CypherLiteSpec extends SparkSpec {
     edges = Map(
       "SELF" -> (("E", "E", Seq((1L, 2L)).toDF("src", "dst")))))
 
+  // STRING node ids (the FHIR graph shape) — endpoint reads must
+  // come back in the graph's id type, not a hardcoded long cast
+  private lazy val gStr = PropertyGraph(
+    nodes = Map(
+      "P" -> Seq(("alpha", "p1"), ("beta", "p2")).toDF("id", "tag"),
+      "Q" -> Seq(("q_one", "x")).toDF("id", "tag")),
+    edges = Map("REL" -> (("P", "Q",
+      Seq(("alpha", "q_one"), ("beta", "q_one")).toDF("src", "dst")))))
+
+  test("startNode/endNode return the graph's id type (string ids too)") {
+    val r = CypherLite.query(gStr,
+      "MATCH (p:P)-[r:REL]->(q:Q) RETURN startNode(r) AS s, " +
+        "endNode(r) AS e ORDER BY s")
+      .as[(String, String)].collect().toSeq
+    assert(r === Seq(("alpha", "q_one"), ("beta", "q_one")))
+    // long-id graphs keep long endpoints (regression)
+    val l = CypherLite.query(g,
+      "MATCH (a:A {id: 1})-[r:R1]->(b:B) RETURN startNode(r) AS s, " +
+        "endNode(r) AS e").as[(Long, Long)].collect().toSeq
+    assert(l === Seq((1L, 2L)))
+    // untyped steps reject pointedly (the id type needs the edge's
+    // endpoint label)
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "MATCH (a:A)-[r]->(x) RETURN startNode(r) AS s")
+    }
+    assert(e.getMessage.contains("untyped"))
+  }
+
+  test("ORDER BY scalar wrap over a projected OUTPUT name") {
+    val r = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(*) AS n " +
+        "ORDER BY toUpper(t) DESC")
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("b5", 1L), ("b2", 2L)))
+    assert(r.map(_._1) === Seq("b5", "b2"), "sorted by the wrapped key")
+  }
+
+  test("percentileCont over a computed body; Disc-over-expression rejects") {
+    val m = CypherLite.query(g,
+      "MATCH (a:A) RETURN percentileCont(size(a.tag), 0.5) AS med")
+      .as[Double].collect().head
+    assert(m === 2.0, "both tags are 2 chars")
+    val m2 = CypherLite.query(g,
+      "MATCH (a:A) RETURN percentileCont(a.id * 10, 0.5) AS med")
+      .as[Double].collect().head
+    assert(m2 === 25.0, "ids 1 and 4 -> 10, 40 -> median 25")
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) RETURN percentileDisc(a.id * 10, 0.5) AS med")
+    }
+    assert(e.getMessage.contains("stage it first"))
+  }
+
   test("zoned/offset datetime literals normalize to UTC") {
     def cnt(q: String): Long =
       CypherLite.query(gTs, q).as[Long].collect().head
