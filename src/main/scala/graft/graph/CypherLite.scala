@@ -658,7 +658,13 @@ object CypherLite {
     */
   final case class PatternPred(negated: Boolean, anchor: String,
       steps: Seq[PatternStep], closures: Seq[(String, String)],
-      anchorPred: Option[Column])
+      anchorPred: Option[Column],
+      // CROSS-ALIAS conditions inside the sub-pattern (`EXISTS { …
+      // WHERE o.price > c.bal * 10 }` — the correlated-threshold
+      // idiom): compiled row filters over __w_-attached properties
+      // of the anchor and the chain's locals, applied to the
+      // SUB-FRAME before the semi/anti/count/flag join
+      rowPreds: Seq[RowPred] = Seq.empty)
 
   /** One PATTERN COMPREHENSION item — `[(a)-[:R]->(b) [WHERE …] |
     * b.prop] AS xs`: the chain compiles as an EXISTS-style local
@@ -4323,6 +4329,7 @@ object CypherLite {
       val anchor = local.head.from.getOrElse(
         fail("pattern predicate must start at a bound alias", chainTxt))
       var anchorPred: Option[Column] = None
+      var rowPredsL: Seq[RowPred] = Seq.empty
       var stepsL: Seq[PatternStep] = local.toSeq
       for (w <- whereTxt) {
         val localAliases = bound.keySet.toSet -- boundBefore
@@ -4337,9 +4344,16 @@ object CypherLite {
         val (upd, rps, relPs) = applyWhere(w, localAliases + anchor, ns,
           relAllowed = stepsL.iterator.flatMap(_.relVar).toSet,
           clauseSteps = stepsL)
-        require(rps.isEmpty,
-          "cross-alias WHERE inside EXISTS is unsupported — write " +
-            "per-alias conditions (or lift the condition to the outer WHERE)")
+        // cross-alias conjuncts (`o.price > c.bal * 10`, anchor +
+        // locals — the correlated-threshold idiom) become SUB-FRAME
+        // row filters: the referenced props attach inside the
+        // sub-pattern at build, the condition filters BEFORE the
+        // semi/anti/count/flag join. Stage-output reads stay out
+        // (those columns live on the outer frame only).
+        require(rps.forall(!_.needsStage),
+          "EXISTS-internal WHERE cannot read a previous stage's " +
+            "output — lift that comparison to the outer WHERE")
+        rowPredsL = rowPredsL ++ rps
         anchorPred = upd.get(anchor).flatMap(_.pred)
         stepsL = stepsL.map(st => upd.get(st.node.as).fold(st)(n => st.copy(node = n)))
         stepsL = stepsL.map { st =>
@@ -4358,7 +4372,7 @@ object CypherLite {
       declOrder.remove(declLen, declOrder.length - declLen)
       for (v <- relVars.toSeq.filterNot(relVarsBefore)) relVars -= v
       PatternPred(negated, anchor, stepsL.map(_.copy(relVar = None)),
-        closures.toSeq, anchorPred)
+        closures.toSeq, anchorPred, rowPredsL)
     }
 
     /** Pull pattern-predicate conjuncts out of a required-MATCH WHERE
@@ -7856,6 +7870,41 @@ object CypherLite {
       withClauses = newWiths)
   }
 
+  /** A sub-pattern's frame: matchPaths over the predicate's steps
+    * plus its CROSS-ALIAS row filters (`EXISTS { … WHERE o.price >
+    * c.bal * 10 }`): the referenced properties attach under the
+    * `__w_` prefix the compiled conditions read, the filter runs
+    * INSIDE the sub-pattern — before the semi/anti (EXISTS), grouped
+    * count (COUNT{}), flag, or comprehension join — and the helper
+    * columns drop again, so every caller sees the plain matchPaths
+    * schema. Dimension-sized attaches → broadcast joins.
+    */
+  private def subPatternFrame(g: PropertyGraph,
+      labels: Map[String, String], pp: PatternPred): DataFrame = {
+    val sub0 = g.matchPaths(
+      PatternNode(labels(pp.anchor), pp.anchor, pp.anchorPred), pp.steps)
+    if (pp.rowPreds.isEmpty) sub0
+    else {
+      def lblOf(a: String): String =
+        if (a == pp.anchor) labels(pp.anchor)
+        else pp.steps.find(_.node.as == a).map(_.node.label).getOrElse("")
+      val needed = pp.rowPreds.flatMap(_.props).distinct
+      val att = needed.map(_._1).distinct.sorted.foldLeft(sub0) {
+        (d, alias) =>
+          val lbl = lblOf(alias)
+          if (lbl.isEmpty) throw new IllegalArgumentException(
+            s"sub-pattern WHERE on '$alias': the alias stays " +
+              "unlabeled after edge-type inference — the any-node " +
+              "view has no properties; declare a :Label on it")
+          g.attach(d, alias, lbl,
+            needed.filter(_._1 == alias).map(_._2).distinct,
+            s"${alias}__w_", "left_outer")
+      }
+      att.filter(pp.rowPreds.map(_.cond).reduce(_ && _))
+        .select(sub0.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
   private def queryOne(g0: PropertyGraph, stmt: String): DataFrame = {
     if (!stmt.replaceAll("'[^']*'", "''").matches("(?is).*\\bMATCH\\b.*") &&
         stmt.matches("(?is)^\\s*(UNWIND|RETURN)\\b.*"))
@@ -8062,9 +8111,7 @@ object CypherLite {
         val withFlags = p.orFlagPreds.zipWithIndex.foldLeft(attached) {
           case (df, ((pp, isCount), i)) =>
             val nm = if (isCount) s"__ppc_$i" else s"__ppf_$i"
-            val sub = g.matchPaths(
-              PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred),
-              pp.steps)
+            val sub = subPatternFrame(g, p.labels, pp)
             val keys = (pp.anchor, pp.anchor) +: pp.closures
             val keyCols = keys.zipWithIndex.map {
               case ((local, _), j) => sub(local).as(s"__ppfk_${i}_$j")
@@ -8107,8 +8154,7 @@ object CypherLite {
     // Applied BEFORE optional clauses — Cypher clause order: the WHERE
     // belongs to the required MATCH.
     val afterPreds = p.patternPreds.foldLeft(required) { (df, pp) =>
-      val sub = g.matchPaths(
-        PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred), pp.steps)
+      val sub = subPatternFrame(g, p.labels, pp)
       val keys = (pp.anchor, pp.anchor) +: pp.closures
       val proj = sub.select(keys.zipWithIndex.map {
         case ((local, _), i) => col(local).as(s"__ppk_$i")
@@ -8126,8 +8172,7 @@ object CypherLite {
     // Catalyst is free to broadcast the grouped count table.
     val afterCountPreds = p.countPreds.zipWithIndex.foldLeft(afterPreds) {
       case (df, ((pp, op, n), ci)) =>
-        val sub = g.matchPaths(
-          PatternNode(p.labels(pp.anchor), pp.anchor, pp.anchorPred), pp.steps)
+        val sub = subPatternFrame(g, p.labels, pp)
         val keys = (pp.anchor, pp.anchor) +: pp.closures
         val proj = sub.groupBy(keys.zipWithIndex.map {
           case ((local, _), i) => sub(local).as(s"__cpk_${ci}_$i")
@@ -8304,9 +8349,7 @@ object CypherLite {
     // binding, and left-joins it onto the frame; a non-matching
     // anchor gets the typed empty list (Cypher: [], never null)
     val stageC = p.patternComps.foldLeft(stage) { (df, pc) =>
-      val sub0 = g.matchPaths(
-        PatternNode(p.labels(pc.pred.anchor), pc.pred.anchor,
-          pc.pred.anchorPred), pc.pred.steps)
+      val sub0 = subPatternFrame(g, p.labels, pc.pred)
       val (subV, valCol) = pc.valueProp match {
         case Some(pr) =>
           val lbl = pc.pred.steps.find(_.node.as == pc.valueAlias).get.node.label

@@ -3135,6 +3135,26 @@ object GraphOps {
              |  count(*) AS cnt
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G135 CORRELATED EXISTS — a cross-alias condition inside the
+    // sub-pattern (`o.o_totalprice > c.c_acctbal * 20`, the
+    // correlated-threshold idiom), composed with endpoint-label
+    // inference (o is unlabeled). The referenced props attach INSIDE
+    // the sub-frame (broadcast dimension joins), the filter runs
+    // before the left_semi — a pure filter on the path frame.
+    QueryDef(
+      "g135_cypher_correlated_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
+          |               WHERE o.o_totalprice > c.c_acctbal * 20.0 }
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_totalprice > c_acctbal * 20.0)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

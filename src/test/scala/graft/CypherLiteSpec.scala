@@ -4545,6 +4545,43 @@ class CypherLiteSpec extends SparkSpec {
       "RB" -> (("A", "B", Seq((1L, 10L)).toDF("src", "dst"))),
       "RC" -> (("A", "C", Seq((1L, 20L)).toDF("src", "dst")))))
 
+  test("cross-alias WHERE inside sub-patterns filters the sub-frame") {
+    // edges: a1(1)->b2(2), a4(4)->b5(5), a4(4)->b2(2); b.id < a.id
+    // holds only on a4->b2
+    val ex = CypherLite.query(g,
+      "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id < a.id } RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(ex === Seq("a4"))
+    val not = CypherLite.query(g,
+      "MATCH (a:A) WHERE NOT EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id < a.id } RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(not === Seq("a1"))
+    val cnt = CypherLite.query(g,
+      "MATCH (a:A) WHERE COUNT { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id < a.id } = 1 RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(cnt === Seq("a4"))
+    val comp = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t, " +
+        "[(a)-[:R1]->(b:B) WHERE b.id < a.id | b.tag] AS xs ORDER BY t")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(comp === Seq(("a1", Seq.empty), ("a4", Seq("b2"))))
+    val flag = CypherLite.query(g,
+      "MATCH (a:A) RETURN a.tag AS t, EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id < a.id } AS f ORDER BY t")
+      .as[(String, Boolean)].collect().toSeq
+    assert(flag === Seq(("a1", false), ("a4", true)))
+    // arithmetic sides compile too (`b.id >= a.id + 1` — both a1
+    // (2 >= 2) and a4 (5 >= 5) via their forward edges)
+    val ar = CypherLite.query(g,
+      "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id >= a.id + 1 } RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(ar === 2L)
+  }
+
   test("sub-pattern WHERE still rejects when inference cannot label") {
     // UNTYPED sub-chain edge: nothing to infer from at parse — the
     // precise parse-time reject survives
