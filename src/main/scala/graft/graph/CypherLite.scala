@@ -664,7 +664,15 @@ object CypherLite {
       // idiom): compiled row filters over __w_-attached properties
       // of the anchor and the chain's locals, applied to the
       // SUB-FRAME before the semi/anti/count/flag join
-      rowPreds: Seq[RowPred] = Seq.empty)
+      rowPreds: Seq[RowPred] = Seq.empty,
+      // conditions that ALSO read a non-anchor OUTER alias (`EXISTS {
+      // MATCH (c)-[:HAS_ORDER]->(o) WHERE o.price > n.key * 100 }`
+      // with n bound by the outer MATCH): these cannot pre-filter the
+      // sub-frame — they evaluate as part of the semi/anti JOIN
+      // CONDITION (outer props attach on the path frame, chain-local
+      // props ride the sub projection). EXISTS/NOT EXISTS only —
+      // a grouped count cannot outer-correlate
+      outerPreds: Seq[RowPred] = Seq.empty)
 
   /** One PATTERN COMPREHENSION item — `[(a)-[:R]->(b) [WHERE …] |
     * b.prop] AS xs`: the chain compiles as an EXISTS-style local
@@ -3879,6 +3887,12 @@ object CypherLite {
       */
     def applyWhere(w: String, allowed: Set[String],
         nodes: Seq[PatternNode], relAllowed: Set[String] = Set.empty,
+        // aliases READABLE but not settable here (EXISTS-internal
+        // WHEREs referencing outer-bound aliases): any conjunct
+        // touching one routes to the cross-alias row-pred channel —
+        // never into the node-pred map (whose non-`nodes` entries
+        // would drop silently)
+        outerOk: Set[String] = Set.empty,
         stageOuts: Set[String] = Set.empty,
         // stage/head-unwind outputs known to be STRUCTS — `… OP m.f`
         // on the RHS reads the field (col("m.f"), nested resolution)
@@ -3899,7 +3913,7 @@ object CypherLite {
           // plan build (PropertyGraph lists the table's columns)
         } else {
         require(bound.contains(a), s"WHERE references unknown alias '$a'")
-        require(allowed(a),
+        require(allowed(a) || outerOk(a),
           s"WHERE references alias '$a' bound by a different clause — " +
             "attach the condition to the clause that binds it")
         // an unlabeled alias beside a TYPED edge gets its label at
@@ -4270,7 +4284,8 @@ object CypherLite {
       }
       val (single, crossAlias) = flat
         .filterNot(_.isInstanceOf[ConstE])
-        .partition(e => exprAliases(e).size == 1 && !exprHasStage(e))
+        .partition(e => exprAliases(e).size == 1 && !exprHasStage(e) &&
+          !exprAliases(e).exists(outerOk))
       // a cross-alias conjunct mixing a REL VAR would need its edge
       // columns attached to the joined frame — unsupported; loud
       for (e <- crossAlias; a <- exprAliases(e))
@@ -4316,7 +4331,8 @@ object CypherLite {
       * after the internal WHERE lands (nothing can return them), so
       * the sub-pattern keeps skinny 2-column step plans.
       */
-    def parsePatternPredChain(negated: Boolean, body: String): PatternPred = {
+    def parsePatternPredChain(negated: Boolean, body: String,
+        allowOuterRefs: Boolean = false): PatternPred = {
       val (chainTxt, whereTxt) = splitWhere(body)
       val boundBefore = bound.keySet.toSet
       val declLen = declOrder.length
@@ -4330,10 +4346,18 @@ object CypherLite {
         fail("pattern predicate must start at a bound alias", chainTxt))
       var anchorPred: Option[Column] = None
       var rowPredsL: Seq[RowPred] = Seq.empty
+      var outerPredsL: Seq[RowPred] = Seq.empty
       var stepsL: Seq[PatternStep] = local.toSeq
       for (w <- whereTxt) {
-        val localAliases = bound.keySet.toSet -- boundBefore
+        val localAliases = bound.keySet.toSeq.filterNot(boundBefore).toSet
         val ns = PatternNode(bound(anchor), anchor) +: stepsL.map(_.node)
+        // EXISTS-internal WHEREs may read OTHER outer-bound aliases
+        // (`… WHERE o.price > n.key * 100` with n from the outer
+        // MATCH) — those conjuncts become join-condition predicates
+        // (outerPreds); COUNT{}/flag/comprehension contexts keep the
+        // pointed reject (a grouped count cannot outer-correlate)
+        val outerAliases =
+          if (allowOuterRefs) boundBefore - anchor else Set.empty[String]
         // clauseSteps = the sub-chain's own steps: an unlabeled local
         // beside a TYPED edge (`EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
         // WHERE o.o_totalprice > … }`) defers its property
@@ -4343,17 +4367,23 @@ object CypherLite {
         // touches keeps the precise parse-time reject
         val (upd, rps, relPs) = applyWhere(w, localAliases + anchor, ns,
           relAllowed = stepsL.iterator.flatMap(_.relVar).toSet,
+          outerOk = outerAliases,
           clauseSteps = stepsL)
         // cross-alias conjuncts (`o.price > c.bal * 10`, anchor +
         // locals — the correlated-threshold idiom) become SUB-FRAME
         // row filters: the referenced props attach inside the
         // sub-pattern at build, the condition filters BEFORE the
-        // semi/anti/count/flag join. Stage-output reads stay out
-        // (those columns live on the outer frame only).
+        // semi/anti/count/flag join. Conjuncts touching a NON-anchor
+        // outer alias route to outerPreds (join-condition
+        // evaluation). Stage-output reads stay out (those columns
+        // live on the outer frame only).
         require(rps.forall(!_.needsStage),
           "EXISTS-internal WHERE cannot read a previous stage's " +
             "output — lift that comparison to the outer WHERE")
-        rowPredsL = rowPredsL ++ rps
+        val (outRps, subRps) = rps.partition(
+          _.props.exists { case (a, _) => outerAliases(a) })
+        rowPredsL = rowPredsL ++ subRps
+        outerPredsL = outerPredsL ++ outRps
         anchorPred = upd.get(anchor).flatMap(_.pred)
         stepsL = stepsL.map(st => upd.get(st.node.as).fold(st)(n => st.copy(node = n)))
         stepsL = stepsL.map { st =>
@@ -4372,7 +4402,7 @@ object CypherLite {
       declOrder.remove(declLen, declOrder.length - declLen)
       for (v <- relVars.toSeq.filterNot(relVarsBefore)) relVars -= v
       PatternPred(negated, anchor, stepsL.map(_.copy(relVar = None)),
-        closures.toSeq, anchorPred, rowPredsL)
+        closures.toSeq, anchorPred, rowPredsL, outerPredsL)
     }
 
     /** Pull pattern-predicate conjuncts out of a required-MATCH WHERE
@@ -4388,10 +4418,12 @@ object CypherLite {
       for (c <- splitTop(w, "AND")) c match {
         case PatPredExistsBraceRe(not, body) =>
           patternPreds += parsePatternPredChain(not != null,
-            body.trim.replaceFirst("(?i)^MATCH\\b", "").trim)
+            body.trim.replaceFirst("(?i)^MATCH\\b", "").trim,
+            allowOuterRefs = true)
           any = true
         case PatPredExistsFnRe(not, body) =>
-          patternPreds += parsePatternPredChain(not != null, body.trim)
+          patternPreds += parsePatternPredChain(not != null, body.trim,
+            allowOuterRefs = true)
           any = true
         case PatCountRe(body, op, num) =>
           countPreds += ((parsePatternPredChain(negated = false,
@@ -8156,13 +8188,62 @@ object CypherLite {
     val afterPreds = p.patternPreds.foldLeft(required) { (df, pp) =>
       val sub = subPatternFrame(g, p.labels, pp)
       val keys = (pp.anchor, pp.anchor) +: pp.closures
-      val proj = sub.select(keys.zipWithIndex.map {
-        case ((local, _), i) => col(local).as(s"__ppk_$i")
-      }: _*)
-      val cond = keys.zipWithIndex.map {
-        case ((_, outer), i) => df(outer) === proj(s"__ppk_$i")
-      }.reduce(_ && _)
-      df.join(proj, cond, if (pp.negated) "left_anti" else "left_semi")
+      if (pp.outerPreds.isEmpty) {
+        val proj = sub.select(keys.zipWithIndex.map {
+          case ((local, _), i) => col(local).as(s"__ppk_$i")
+        }: _*)
+        val cond = keys.zipWithIndex.map {
+          case ((_, outer), i) => df(outer) === proj(s"__ppk_$i")
+        }.reduce(_ && _)
+        df.join(proj, cond, if (pp.negated) "left_anti" else "left_semi")
+      } else {
+        // OUTER-CORRELATED conditions (`EXISTS { … WHERE o.price >
+        // n.key * 100 }`): outer-alias props attach on the PATH
+        // frame (left side), chain-local/anchor props ride the sub
+        // projection — the condition joins the key equality in the
+        // semi/anti ON clause, so the predicate evaluates per
+        // (outer row, sub row) pair exactly as Neo4j does. Helper
+        // columns drop right after; the join stays a filter.
+        val localSet = pp.steps.map(_.node.as).toSet
+        val need = pp.outerPreds.flatMap(_.props).distinct
+        val (subNeed, outNeed) = need.partition {
+          case (a, _) => localSet(a)
+        }
+        def pointedUnlabeled(a: String): Nothing =
+          throw new IllegalArgumentException(
+            s"EXISTS-internal WHERE on '$a': the alias is unlabeled " +
+              "— the any-node view has no properties; declare a " +
+              ":Label on it")
+        val dfA = outNeed.map(_._1).distinct.sorted.foldLeft(df) {
+          (d, alias) =>
+            val lbl = p.labels.getOrElse(alias, "")
+            if (lbl.isEmpty) pointedUnlabeled(alias)
+            g.attach(d, alias, lbl,
+              outNeed.filter(_._1 == alias).map(_._2).distinct,
+              s"${alias}__w_", "left_outer")
+        }
+        val subA = subNeed.map(_._1).distinct.sorted.foldLeft(sub) {
+          (d, alias) =>
+            val lbl =
+              if (alias == pp.anchor) p.labels(pp.anchor)
+              else pp.steps.find(_.node.as == alias)
+                .map(_.node.label).getOrElse("")
+            if (lbl.isEmpty) pointedUnlabeled(alias)
+            g.attach(d, alias, lbl,
+              subNeed.filter(_._1 == alias).map(_._2).distinct,
+              s"${alias}__w_", "left_outer")
+        }
+        val proj = subA.select(keys.zipWithIndex.map {
+          case ((local, _), i) => col(local).as(s"__ppk_$i")
+        } ++ subNeed.map { case (a, pr) => col(s"${a}__w_$pr") }: _*)
+        val keyCond = keys.zipWithIndex.map {
+          case ((_, outer), i) => dfA(outer) === proj(s"__ppk_$i")
+        }.reduce(_ && _)
+        val cond = (keyCond +: pp.outerPreds.map(_.cond)).reduce(_ && _)
+        dfA.join(proj, cond, if (pp.negated) "left_anti" else "left_semi")
+          .drop(outNeed.map { case (a, pr) => s"${a}__w_$pr" }
+            .distinct: _*)
+      }
     }
     // COUNT { chain } OP n predicates: the sub-pattern's per-anchor
     // (+closure) grouped count — dimension-keyed, so the groupBy

@@ -3155,6 +3155,25 @@ object GraphOps {
              |  WHERE o_custkey = c_custkey
              |    AND o_totalprice > c_acctbal * 20.0)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G136 OUTER-correlated EXISTS — the condition reads a NON-anchor
+    // outer alias (`o.o_totalprice > n.n_nationkey * 70000`): it
+    // cannot pre-filter the sub-frame, so it evaluates in the
+    // left_semi JOIN CONDITION (outer props attach on the path frame,
+    // sub props ride the key projection). Still a pure filter.
+    QueryDef(
+      "g136_cypher_outer_correlated_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
+          |               WHERE o.o_totalprice > n.n_nationkey * 70000.0 }
+          |RETURN n.n_name AS nm, count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_totalprice > n_nationkey * 70000.0)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

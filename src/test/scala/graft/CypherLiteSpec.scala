@@ -4582,6 +4582,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(ar === 2L)
   }
 
+  test("EXISTS may correlate against a NON-anchor outer alias") {
+    // paths: a1->b2, a4->b5, a4->b2; b2 <-R2- c3 (id 3). The EXISTS
+    // anchors at b but reads a: c2.id > a.id holds only for (a1, b2)
+    val r = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE EXISTS { MATCH (b)<-[:R2]-(c2:C) " +
+        "WHERE c2.id > a.id } RETURN a.tag AS at, b.tag AS bt")
+      .as[(String, String)].collect().toSeq
+    assert(r === Seq(("a1", "b2")))
+    // NOT EXISTS: the complement of the three paths
+    val n = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) WHERE NOT EXISTS { MATCH (b)<-[:R2]-(c2:C) " +
+        "WHERE c2.id > a.id } RETURN a.tag AS at, b.tag AS bt ORDER BY at, bt")
+      .as[(String, String)].collect().toSeq
+    assert(n === Seq(("a4", "b2"), ("a4", "b5")))
+    // COUNT{} keeps the pointed reject — a grouped count cannot
+    // outer-correlate
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A)-[:R1]->(b:B) WHERE COUNT { MATCH (b)<-[:R2]-(c2:C) " +
+          "WHERE c2.id > a.id } > 0 RETURN a.tag AS at")
+    }
+    assert(e.getMessage.contains("different clause"))
+  }
+
   test("sub-pattern WHERE still rejects when inference cannot label") {
     // UNTYPED sub-chain edge: nothing to infer from at parse — the
     // precise parse-time reject survives
