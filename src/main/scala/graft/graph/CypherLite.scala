@@ -590,6 +590,10 @@ object CypherLite {
     items.collect {
       case ri if ri.agg.contains("collect") => ri.as
       case ri if ri.src.exists(_.startsWith("[")) => ri.as
+      // COLLECT { … } subquery items are lists too (the comp-item
+      // machinery; first-WITH position)
+      case ri if ri.src.exists(
+          _.matches("""(?is)^COLLECT\s*\{.*""")) => ri.as
       // split(s, 'd') and keys(n) yield lists — size/subscripts/
       // quantifiers over their outputs route to the array forms
       case ri if ri.agg.isEmpty &&
@@ -2368,6 +2372,9 @@ object CypherLite {
         when(s === "true", lit(true)).when(s === "false", lit(false))
           .otherwise(lit(null))
       case "size" => length(one())
+      // internal: size() over a KNOWN list column (parseItems'
+      // parseArithL rewrite) — array cardinality, not string length
+      case "sizelist" => org.apache.spark.sql.functions.size(one())
       case "round" => args match {
         case Seq(_)          => round(cols.head, 0)
         case Seq(_, NumA(n: Long)) => round(cols.head, n.toInt)
@@ -5057,15 +5064,36 @@ object CypherLite {
       // user-name check (their `__agg_` names are engine-reserved)
       val extraAggItems =
         scala.collection.mutable.ArrayBuffer.empty[ReturnItem]
+      // size()/length() over a LIST output inside arithmetic
+      // (`sum(size(ks))` after `WITH …, [(…)|…] AS ks`) must compile
+      // to the ARRAY cardinality, not string length — rewrite those
+      // calls on the parsed tree (the arith compiler's "size" case
+      // is the string semantics by contract)
+      def parseArithL(s: String): ArithExpr = {
+        def fix(e: ArithExpr): ArithExpr = e match {
+          case FnA(n, Seq(RefA(a, None)))
+              if (n == "size" || n == "length") && listOk(a) =>
+            FnA("sizelist", Seq(RefA(a, None)))
+          case FnA(n, args) => FnA(n, args.map(fix))
+          case BinA(op, l, r) => BinA(op, fix(l), fix(r))
+          case NegA(x) => NegA(fix(x))
+          case other => other
+        }
+        fix(parseArith(s))
+      }
       // shared by pattern comprehensions AND COLLECT { } subqueries
       // (the same per-anchor sorted-list machinery): compile an
       // EXISTS-style local chain + value expression into a list item.
       // `what` is the plural surface name for error messages.
       def patternCompItem(chainPart: String, valueTxt: String,
           as: String, what: String): ReturnItem = {
-        require(ctx == "RETURN" && pathOk,
-          s"$what are RETURN items at the pattern level " +
-            "(no WITH pipeline before them)")
+        // pattern-scope only: RETURN with no pipeline, or the FIRST
+        // WITH (`WITH c, [(c)-[:R]->(o) | o.x] AS xs …` — the
+        // collect-then-pipeline idiom LLMs emit); later stages no
+        // longer see the pattern frame the chain needs
+        require(pathOk,
+          s"$what are pattern-scope items — usable in RETURN (no " +
+            "WITH pipeline) or in the FIRST WITH's items")
         checkUserName(as, s"$what output")
         val pp = parsePatternPredChain(negated = false, chainPart)
         require(pp.closures.isEmpty,
@@ -5147,7 +5175,7 @@ object CypherLite {
           require(fn.equalsIgnoreCase("percentileCont"),
             "percentileDisc over an expression is unsupported — " +
               "stage it first: WITH <expr> AS v … percentileDisc(v, f)")
-          val ae = parseArith(body.trim)
+          val ae = parseArithL(body.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
             case Some(_) =>
               require(propOk(a),
@@ -5632,7 +5660,7 @@ object CypherLite {
                 v.equalsIgnoreCase("false")) {
               (_: (String, Option[String]) => Column) => lit(literal(v))
             } else {
-              val ae = parseArith(v)
+              val ae = parseArithL(v)
               for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
                 case Some(p2) =>
                   require(propOk(a2),
@@ -5665,7 +5693,7 @@ object CypherLite {
           require(accN != v,
             s"reduce: accumulator and element share the name '$accN'")
           val init = literal(initTxt.trim)
-          val ae = parseArith(bodyTxt.trim)
+          val ae = parseArithL(bodyTxt.trim)
           for ((a, pOpt) <- arithRefs(ae))
             require(pOpt.isEmpty && (a == accN || a == v),
               s"reduce expressions may only reference '$accN' and '$v' " +
@@ -5799,7 +5827,7 @@ object CypherLite {
                       v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
                   else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
                   else {
-                    val ae = parseArith(v)
+                    val ae = parseArithL(v)
                     for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
                       case Some(p2) =>
                         require(propOk(a2),
@@ -5851,7 +5879,7 @@ object CypherLite {
                   v.equalsIgnoreCase("false")) { _ => lit(literal(v)) }
               else if (v.equalsIgnoreCase("null")) { _ => lit(null) }
               else {
-                val ae = parseArith(v)
+                val ae = parseArithL(v)
                 for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
                   case Some(p2) =>
                     require(propOk(a2),
@@ -6031,7 +6059,7 @@ object CypherLite {
             !body.matches("(?is)^\\s*DISTINCT\\b.*") &&
             balancedParens(body) =>
           val f = fn.toLowerCase
-          val ae = parseArith(body.trim)
+          val ae = parseArithL(body.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
             case Some(_) =>
               require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
@@ -6101,7 +6129,7 @@ object CypherLite {
             """\b(__agg_\w+)\.(?i:(year|month|day|week|quarter))\b""".r
               .replaceAllIn(residual,
                 m => s"${m.group(2).toLowerCase}(${m.group(1)})")
-          val ae = parseArith(residualAcc)
+          val ae = parseArithL(residualAcc)
           for ((a, pOpt) <- arithRefs(ae))
             require(pOpt.isEmpty && a.startsWith("__agg_"),
               s"$ctx arithmetic over aggregates may only combine " +
@@ -6115,7 +6143,7 @@ object CypherLite {
         // grouping key when mixed with aggregates). AS is mandatory —
         // there is no natural default name for an expression.
         case ArithAsRe(exprTxt, as) =>
-          val ae = parseArith(exprTxt.trim)
+          val ae = parseArithL(exprTxt.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
             case Some(p) =>
               require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
@@ -6132,7 +6160,7 @@ object CypherLite {
         // their own compilation, and the arithmetic grammar's fn
         // parser takes over for the compositions they can't express
         case FnArithAsRe(exprTxt, as) =>
-          val ae = parseArith(exprTxt.trim)
+          val ae = parseArithL(exprTxt.trim)
           for ((a, pOpt) <- arithRefs(ae)) pOpt match {
             case Some(p) =>
               require(propOk(a), s"$ctx arithmetic references unknown alias '$a'")
@@ -8327,8 +8355,33 @@ object CypherLite {
               postOpt(a),
             _ => false)
       }
+    // pattern comprehensions / COLLECT{} subqueries: per-anchor
+    // sorted-list columns over the PATTERN frame. When a WITH
+    // pipeline exists the comps came from the FIRST WITH's items
+    // (parse admits them only at pattern scope), so they materialize
+    // BEFORE stage 1; otherwise they land right before RETURN.
+    def addComps(frame: DataFrame): DataFrame =
+      p.patternComps.foldLeft(frame) { (df, pc) =>
+        val sub0 = subPatternFrame(g, p.labels, pc.pred)
+        val (subV, valCol) = pc.valueProp match {
+          case Some(pr) =>
+            val lbl = pc.pred.steps.find(_.node.as == pc.valueAlias)
+              .get.node.label
+            (g.attach(sub0, pc.valueAlias, lbl, Seq(pr),
+              s"${pc.valueAlias}__pc_", "left_outer"),
+              col(s"${pc.valueAlias}__pc_$pr"))
+          case None => (sub0, col(pc.valueAlias))
+        }
+        val agg = subV.groupBy(col(pc.pred.anchor))
+          .agg(sort_array(collect_list(valCol)).as(pc.out))
+        val dt = agg.schema(pc.out).dataType
+        df.join(agg, Seq(pc.pred.anchor), "left_outer")
+          .withColumn(pc.out, coalesce(col(pc.out), array().cast(dt)))
+      }
+    val pathsC =
+      if (p.withClauses.isEmpty) paths else addComps(paths)
     val (stage, lastWith) = p.withClauses
-      .foldLeft((paths, Option.empty[WithClause])) {
+      .foldLeft((pathsC, Option.empty[WithClause])) {
         case ((df, prev), w) =>
           val (aliasLabel, leftOuter, preAtt) = resolvers(prev)
           // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
@@ -8429,22 +8482,8 @@ object CypherLite {
     // sub-pattern, aggregates the SORTED value list per anchor
     // binding, and left-joins it onto the frame; a non-matching
     // anchor gets the typed empty list (Cypher: [], never null)
-    val stageC = p.patternComps.foldLeft(stage) { (df, pc) =>
-      val sub0 = subPatternFrame(g, p.labels, pc.pred)
-      val (subV, valCol) = pc.valueProp match {
-        case Some(pr) =>
-          val lbl = pc.pred.steps.find(_.node.as == pc.valueAlias).get.node.label
-          (g.attach(sub0, pc.valueAlias, lbl, Seq(pr),
-            s"${pc.valueAlias}__pc_", "left_outer"),
-            col(s"${pc.valueAlias}__pc_$pr"))
-        case None => (sub0, col(pc.valueAlias))
-      }
-      val agg = subV.groupBy(col(pc.pred.anchor))
-        .agg(sort_array(collect_list(valCol)).as(pc.out))
-      val dt = agg.schema(pc.out).dataType
-      df.join(agg, Seq(pc.pred.anchor), "left_outer")
-        .withColumn(pc.out, coalesce(col(pc.out), array().cast(dt)))
-    }
+    val stageC =
+      if (p.withClauses.isEmpty) addComps(stage) else stage
     if (p.returns.isEmpty) stageC
     else {
       val (aliasLabel, leftOuter, preAtt) = resolvers(lastWith)

@@ -3174,6 +3174,30 @@ object GraphOps {
              |  WHERE o_custkey = c_custkey
              |    AND o_totalprice > n_nationkey * 70000.0)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G137 pattern comprehension in the FIRST WITH — the
+    // collect-then-pipeline idiom (`WITH c, [(c)-[:R]->(o) WHERE … |
+    // o.k] AS ks …`): the per-anchor sorted list materializes on the
+    // pattern frame BEFORE stage 1, registers as a list output, and
+    // the size() composes under a later aggregate (array semantics,
+    // not string length).
+    QueryDef(
+      "g137_cypher_comp_in_with",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm,
+          |  [(c)-[:HAS_ORDER]->(o) WHERE o.o_totalprice > 200000.0
+          |    | o.o_orderkey] AS ks
+          |RETURN nm, sum(size(ks)) AS big_orders,
+          |  count(*) AS customers""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CAST(sum((SELECT count(*) FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_totalprice > 200000.0)) AS BIGINT)
+             |    AS big_orders,
+             |  count(*) AS customers
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

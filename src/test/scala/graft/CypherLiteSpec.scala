@@ -2505,13 +2505,14 @@ class CypherLiteSpec extends SparkSpec {
         "ORDER BY a")
       .as[(Long, Seq[Long])].collect().toSeq
     assert(r2 === Seq((1L, Seq.empty), (4L, Seq(5L))))
-    // pattern-level RETURN only (parity with pattern comprehensions):
-    // a WITH-level COLLECT { } rejects pointedly, not a misparse
-    assert(intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "MATCH (a:A) WITH COLLECT { MATCH (a)-[:R1]->(b:B) RETURN b } " +
-          "AS bs RETURN bs")
-    }.getMessage.contains("RETURN items at the pattern level"))
+    // FIRST-WITH position is supported since round 15 (the
+    // collect-then-pipeline idiom) — the per-anchor list materializes
+    // on the pattern frame before stage 1
+    val w1 = CypherLite.query(g,
+      "MATCH (a:A) WITH COLLECT { MATCH (a)-[:R1]->(b:B) RETURN b } " +
+        "AS bs RETURN size(bs) AS k ORDER BY k")
+      .as[Int].collect().toSeq
+    assert(w1 === Seq(1, 2))
     // pointed rejects: DISTINCT, ORDER BY, missing RETURN, foreign value
     def rej(q: String): String = intercept[IllegalArgumentException] {
       CypherLite.query(g, q)
@@ -4604,6 +4605,39 @@ class CypherLiteSpec extends SparkSpec {
           "WHERE c2.id > a.id } > 0 RETURN a.tag AS at")
     }
     assert(e.getMessage.contains("different clause"))
+  }
+
+  test("pattern comprehensions and COLLECT{} compile in the FIRST WITH") {
+    val r = CypherLite.query(g,
+      "MATCH (a:A) WITH a, [(a)-[:R1]->(b:B) | b.tag] AS bs " +
+        "RETURN a.tag AS t, size(bs) AS k ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(r.map { case (t, k) => (t, k.toInt) } ===
+      Seq(("a1", 1), ("a4", 2)))
+    // list machinery composes downstream: UNWIND, subscripts,
+    // size() under aggregates
+    val u = CypherLite.query(g,
+      "MATCH (a:A) WITH a, [(a)-[:R1]->(b:B) | b.tag] AS bs " +
+        "UNWIND bs AS x RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(u === 3L)
+    val s = CypherLite.query(g,
+      "MATCH (a:A) WITH a, [(a)-[:R1]->(b:B) | b.tag] AS bs " +
+        "RETURN sum(size(bs)) AS tot").as[Long].collect().head
+    assert(s === 3L)
+    val c = CypherLite.query(g,
+      "MATCH (a:A) WITH a.tag AS t, COLLECT { MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag } AS bs RETURN t, size(bs) AS k ORDER BY t")
+      .as[(String, Int)].collect().toSeq
+    assert(c === Seq(("a1", 1), ("a4", 2)))
+    // a LATER stage keeps the pointed reject — the pattern frame is
+    // gone
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        "MATCH (a:A) WITH a LIMIT 5 WITH a, [(a)-[:R1]->(b:B) | b.tag] " +
+          "AS bs RETURN size(bs) AS k")
+    }
+    assert(e.getMessage.contains("FIRST WITH"))
   }
 
   test("sub-pattern WHERE still rejects when inference cannot label") {
