@@ -6354,9 +6354,21 @@ object CypherLite {
           compileCase(txt, "WITH ORDER BY", plainOk, propOk, relVars)),
         structOk = prev.map(_.structOuts).getOrElse(headStructNames),
         itemCompile = Some { txt =>
+          // comprehension/COLLECT{} outputs of THIS stage are
+          // list-typed AND pre-materialized on the stage's input
+          // frame (the pre-stage comp fold) — `ORDER BY size(ks)`
+          // may read them as a hidden key; other computed items'
+          // columns don't exist yet, so they stay out
+          val compOuts: Set[String] =
+            if (prev.nonEmpty) Set.empty
+            else items.collect {
+              case ri if ri.src.exists(s2 => s2.startsWith("[(") ||
+                  s2.matches("(?is)^COLLECT\\s*\\{.*")) => ri.as
+            }.toSet
           val its = parseItems(s"$txt AS aggX", "WITH ORDER BY",
             plainOk, propOk, aggOk, bareAggOk,
-            pathOk = prev.isEmpty, listOk = listOkW,
+            pathOk = prev.isEmpty,
+            listOk = n => listOkW(n) || compOuts(n),
             structOk = prev.map(_.structOuts).getOrElse(headStructNames))
           require(its.size == 1, "one sort key per ORDER BY item")
           its.head

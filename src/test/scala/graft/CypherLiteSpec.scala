@@ -4630,6 +4630,13 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN b.tag } AS bs RETURN t, size(bs) AS k ORDER BY t")
       .as[(String, Int)].collect().toSeq
     assert(c === Seq(("a1", 1), ("a4", 2)))
+    // ORDER BY size(comp) rides a hidden key — the comp column is
+    // pre-materialized on the stage's input frame
+    val o = CypherLite.query(g,
+      "MATCH (a:A) WITH a, [(a)-[:R1]->(b:B) | b.tag] AS bs " +
+        "ORDER BY size(bs) DESC LIMIT 1 RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(o === Seq("a4"), "a4 has the larger fan-out")
     // a LATER stage keeps the pointed reject — the pattern frame is
     // gone
     val e = intercept[IllegalArgumentException] {
