@@ -453,6 +453,10 @@ object CypherLite {
       // the item's verbatim pre-AS text (whitespace-insensitive key
       // for ORDER BY <same expression> resolution)
       src: Option[String] = None,
+      // flag columns (__ppf_i / __ppc_i) this item's CASE reads —
+      // hoisted EXISTS{}/COUNT{} subqueries; the column-restore after
+      // the flag joins keeps them alive for the item compile
+      flagCols: Seq[String] = Seq.empty,
       // a scalar wrap applied AFTER the aggregate evaluates —
       // `round(avg(x), 2)`, the fn-over-agg shape
       postWrap: Option[Column => Column] = None,
@@ -1303,6 +1307,19 @@ object CypherLite {
     // scientific notation (`1e9`, `2.5E-3`) — a DOUBLE in Cypher
     // (Neo4j: any exponent form is a float literal)
     case n if n.matches("-?\\d+(\\.\\d+)?[eE][+-]?\\d+") => n.toDouble
+    // temporal constructor literals — `date('1990-02-12')` /
+    // `datetime('…')` as list members (`IN [date('…'), …]`) and map
+    // values; validated eagerly like the RHS forms
+    case RhsDateRe(q) =>
+      java.sql.Date.valueOf(
+        validTemporal(literal(q).toString, dateOnly = true).trim)
+    case RhsDatetimeRe(q) =>
+      val v = validTemporal(literal(q).toString, dateOnly = false)
+        .trim.replace(' ', 'T')
+      java.sql.Timestamp.valueOf(
+        try java.time.LocalDateTime.parse(v)
+        catch { case _: Exception =>
+          java.time.LocalDate.parse(v).atStartOfDay })
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
   }
 
@@ -6027,6 +6044,59 @@ object CypherLite {
             postCase = Some(cc))
         // searched CASE item — acts as a PLAIN item (a grouping key
         // when mixed with aggregates); AS is mandatory
+        // CASE over EXISTS{}/COUNT{} subqueries — `CASE WHEN EXISTS {
+        // MATCH (c)-[:R]->(o) WHERE … } THEN 'x' … END AS t` (the
+        // classify-by-existence idiom): each subquery hoists to a
+        // FLAG column on the required frame (the orFlagPreds
+        // machinery), the CASE compiles over the flag name. Pattern
+        // scope only — the flags join the pattern frame.
+        case CaseAsRe(body, as) if pathOk && {
+          val q = body.replaceAll("'[^']*'", "''")
+          """(?is)\b(EXISTS|COUNT)\s*\{""".r.findFirstIn(q).isDefined
+        } =>
+          val FlagHeadRe = """(?is)\b(EXISTS|COUNT)\s*\{""".r
+          val flagNames = Seq.newBuilder[String]
+          var txt = body
+          var go = true
+          while (go) {
+            // quote-parity guard: a match inside a string literal
+            // (odd apostrophe count before it) is text, not a
+            // subquery — stop hoisting there (anything left inside
+            // quotes never matches again after substitutions anyway)
+            FlagHeadRe.findAllMatchIn(txt).find(m =>
+              txt.substring(0, m.start).count(_ == '\'') % 2 == 0) match {
+              case None => go = false
+              case Some(m) =>
+                var i = m.end
+                var depth = 1
+                while (i < txt.length && depth > 0) {
+                  txt.charAt(i) match {
+                    case '{' => depth += 1
+                    case '}' => depth -= 1
+                    case _ =>
+                  }
+                  i += 1
+                }
+                require(depth == 0,
+                  s"unbalanced braces in CASE ${m.group(1)} {{ … }}")
+                val inner = txt.substring(m.end, i - 1).trim
+                  .replaceFirst("(?i)^MATCH\\b", "").trim
+                val isCount = m.group(1).equalsIgnoreCase("COUNT")
+                val pp = parsePatternPredChain(negated = false, inner)
+                val idx = orFlagPreds.length
+                orFlagPreds += ((pp, isCount))
+                val nm2 = if (isCount) s"__ppc_$idx" else s"__ppf_$idx"
+                flagNames += nm2
+                val sub = if (isCount) nm2 else s"$nm2 = true"
+                txt = txt.substring(0, m.start) + sub + txt.substring(i)
+            }
+          }
+          val flags = flagNames.result()
+          val flagOk: String => Boolean =
+            n => flags.contains(n) || plainOk(n)
+          ReturnItem(None, distinct = false, "", None, as,
+            flagCols = flags,
+            caseC = Some(compileCase(txt, ctx, flagOk, propOk, relVars)))
         case CaseAsRe(body, as) =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
@@ -6381,15 +6451,15 @@ object CypherLite {
         // a bare REL-VAR item projects a value column (its eid), not a
         // carried alias — rel vars have no properties to attach later
         case None => items.collect {
-          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if labels.contains(a) =>
+          case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None, None) if labels.contains(a) =>
             as -> (a, labels(a))
         }.toMap
         case Some(pw) =>
           val postLbl = pw.postMatches.flatMap(_.boundNodes).toMap
           items.collect {
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if pw.carried.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None, None) if pw.carried.contains(a) =>
               as -> pw.carried(a)
-            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None) if postLbl.contains(a) =>
+            case ReturnItem(None, _, a, None, as, None, None, _, _, _, None, None, None, None) if postLbl.contains(a) =>
               as -> (a, postLbl(a))
           }.toMap
       }
@@ -8209,7 +8279,8 @@ object CypherLite {
         // __w_ helpers). Flag columns a RETURN/first-WITH ITEM reads
         // (`exists(…) AS has`) survive into the stage run.
         val itemFlagCols = p.withClauses.headOption.map(_.items)
-          .getOrElse(p.returns).map(_.alias)
+          .getOrElse(p.returns)
+          .flatMap(ri => ri.alias +: ri.flagCols)
           .filter(a => a.startsWith("__ppf_") || a.startsWith("__ppc_"))
         val keep = required0h.columns ++ p.crossComps.flatMap {
           case (root, ss) => root.as +: ss.flatMap(st =>

@@ -3198,6 +3198,30 @@ object GraphOps {
              |  count(*) AS customers
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G138 CASE over an EXISTS{} subquery — the classify-by-existence
+    // idiom (`CASE WHEN EXISTS { … } THEN … END`): the subquery
+    // hoists to a flag column on the required frame (the same
+    // left-joined distinct-anchor table EXISTS-under-OR uses —
+    // broadcast fodder), the CASE reads the flag. No multiplicity
+    // change, one dimension-keyed join.
+    QueryDef(
+      "g138_cypher_case_exists",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  CASE WHEN EXISTS { MATCH (c)-[:HAS_ORDER]->(o)
+          |         WHERE o.o_totalprice > 300000.0 }
+          |       THEN 'big' ELSE 'small' END AS band,
+          |  count(*) AS cnt""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  CASE WHEN EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_totalprice > 300000.0)
+             |    THEN 'big' ELSE 'small' END AS band,
+             |  count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
     )
   )
 

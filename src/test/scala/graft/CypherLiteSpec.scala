@@ -4647,6 +4647,51 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("FIRST WITH"))
   }
 
+  test("CASE over EXISTS{}/COUNT{} subqueries (classify-by-existence)") {
+    val r = CypherLite.query(g,
+      "MATCH (a:A) RETURN CASE WHEN EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id >= 5 } THEN 'hub' ELSE 'leaf' END AS t, " +
+        "count(*) AS n ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("hub", 1L), ("leaf", 1L)))
+    val c = CypherLite.query(g,
+      "MATCH (a:A) RETURN CASE WHEN COUNT { MATCH (a)-[:R1]->(b:B) } " +
+        "> 1 THEN 'fan' ELSE 'one' END AS t, count(*) AS n ORDER BY t")
+      .as[(String, Long)].collect().toSeq
+    assert(c === Seq(("fan", 1L), ("one", 1L)))
+    // WITH position + boolean mix with an ordinary condition
+    val w = CypherLite.query(g,
+      "MATCH (a:A) WITH CASE WHEN EXISTS { MATCH (a)-[:R1]->(b:B) " +
+        "WHERE b.id >= 5 } AND a.id > 1 THEN 1 ELSE 0 END AS f " +
+        "RETURN sum(f) AS k").as[Long].collect().head
+    assert(w === 1L)
+    // quoted 'EXISTS {' text is NOT a subquery
+    val s = CypherLite.query(g,
+      "MATCH (a:A) RETURN CASE WHEN a.tag CONTAINS 'EXISTS {' THEN 1 " +
+        "ELSE 0 END AS f, count(*) AS n").as[(Long, Long)].collect().toSeq
+    assert(s === Seq((0L, 2L)))
+  }
+
+  test("date()/datetime() literals as list members and map values") {
+    val gd = PropertyGraph(
+      nodes = Map("E" -> Seq(
+        (1L, java.sql.Date.valueOf("1990-02-12")),
+        (2L, java.sql.Date.valueOf("1991-03-03")),
+        (3L, java.sql.Date.valueOf("2000-01-01")))
+        .toDF("id", "d")),
+      edges = Map("SELF" -> (("E", "E", Seq((1L, 2L)).toDF("src", "dst"))))
+    )
+    val n = CypherLite.query(gd,
+      "MATCH (e:E) WHERE e.d IN [date('1990-02-12'), date('1991-03-03')] " +
+        "RETURN count(*) AS n").as[Long].collect().head
+    assert(n === 2L)
+    val bad = intercept[IllegalArgumentException] {
+      CypherLite.query(gd,
+        "MATCH (e:E) WHERE e.d IN [date('1990-13-40')] RETURN count(*) AS n")
+    }
+    assert(bad.getMessage.contains("not a valid ISO"))
+  }
+
   test("sub-pattern WHERE still rejects when inference cannot label") {
     // UNTYPED sub-chain edge: nothing to infer from at parse — the
     // precise parse-time reject survives
