@@ -2291,7 +2291,13 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A) WHERE 'A' IN labels(a.tag) RETURN count(*) AS n",
       "MATCH (a:A) RETURN keys(a)[1.5] AS k",
       "MATCH (a:A) RETURN size(keys()) AS k",
-      "WITH 2 ^ AS k MATCH (a:A) WHERE a.id > k RETURN count(*) AS n")
+      "WITH 2 ^ AS k MATCH (a:A) WHERE a.id > k RETURN count(*) AS n",
+      // round-15 batch 2: new-surface edges stay loud
+      "MATCH (a:A) WITH a LIMIT 5 RETURN CASE WHEN EXISTS { MATCH (a)-[:R1]->(b:B) } THEN 1 ELSE 0 END AS f",
+      "MATCH (a:A) RETURN CASE WHEN EXISTS { MATCH (a)-[:R1]->(b:B) THEN 1 ELSE 0 END AS f",
+      "MATCH (a:A) WHERE a.id IN [date('1990-13-40')] RETURN count(*) AS n",
+      "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:R1]->(b:B) WHERE b.id > m } RETURN count(*) AS n",
+      "MATCH (a:A)-[r]->(x) RETURN startNode(r) AS s")
     for (stmt <- bad) {
       val e = intercept[Throwable] { CypherLite.query(g, stmt).collect() }
       assert(e.isInstanceOf[IllegalArgumentException],
