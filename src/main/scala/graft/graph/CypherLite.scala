@@ -1380,6 +1380,12 @@ object CypherLite {
   private val DurUnitCallRe = (
     """(?i)\bduration\s*\.\s*(inDays|inSeconds)\s*\(""" +
     """((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*)\)\s*\.\s*([A-Za-z]+)\b""").r
+  // `duration.between(a, b).years|.months` — same balanced-args shape
+  // as DurUnitCallRe (args may hold date('…') literals and one-level
+  // nested calls); see rewriteDurCalls for the accessor contract
+  private val DurBetweenRe = (
+    """(?i)\bduration\s*\.\s*between\s*\(""" +
+    """((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*)\)\s*\.\s*([A-Za-z]+)\b""").r
   // `date('…') ± duration({…})` / `datetime('…') ± duration({…})` —
   // BOTH operands literal, so the shift folds DRIVER-SIDE (exact
   // java.time calendar arithmetic) into a plain temporal literal the
@@ -1482,7 +1488,7 @@ object CypherLite {
     if (!s0.toLowerCase.contains("duration")) s0
     else {
       val s = rewritePropDurShifts(rewriteDurShifts(s0))
-      val out = DurUnitCallRe.replaceAllIn(s, m => {
+      val out0 = DurUnitCallRe.replaceAllIn(s, m => {
         val fn = m.group(1).toLowerCase
         val acc = m.group(3).toLowerCase
         val want = if (fn == "indays") "days" else "seconds"
@@ -1492,6 +1498,36 @@ object CypherLite {
         java.util.regex.Matcher.quoteReplacement(
           s"durin$want(${m.group(2)})")
       })
+      // `duration.between(a, b).years|.months` — the age idiom LLMs
+      // emit against date-bearing schemas ("patients older than 80").
+      // Neo4j's between() yields a CALENDAR decomposition; its .months
+      // accessor is the WHOLE-month total (java.time Period.between
+      // counting) and .years is months/12 truncated toward zero.
+      // Rewritten to internal calls durbetweenyears/durbetweenmonths
+      // that [[arithFnColumn]] folds to explicit year/month/day
+      // Column algebra (a DuckDB oracle replays the identical
+      // closed formula — no months_between quirks to mirror). The
+      // component accessors that DON'T mean a total (.days is the
+      // leftover after months are taken, not a date diff) reject with
+      // the inDays/inSeconds pointer.
+      val out = DurBetweenRe.replaceAllIn(out0, m => {
+        val acc = m.group(2).toLowerCase
+        acc match {
+          case "years" | "months" =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"durbetween$acc(${m.group(1)})")
+          case "days" | "weeks" | "hours" | "minutes" | "seconds" =>
+            throw new IllegalArgumentException(
+              s"duration.between(…).$acc: between() is a CALENDAR " +
+                "decomposition — .days is the leftover after whole " +
+                "months, not a date diff; use duration.inDays(a, b)" +
+                ".days / duration.inSeconds(a, b).seconds for totals")
+          case other => throw new IllegalArgumentException(
+            s"duration.between(…).$other: supported accessors are " +
+              ".years and .months (totals: duration.inDays(a, b).days, " +
+              "duration.inSeconds(a, b).seconds)")
+        }
+      })
       // anything still dotted after the rewrite is an unsupported
       // duration form — reject with guidance, quote-aware (a literal
       // containing 'duration.' must not trip the gate)
@@ -1500,13 +1536,61 @@ object CypherLite {
       }.mkString
       require(!unquoted.matches("(?is).*\\bduration\\s*\\..*"),
         "unsupported duration form — supported: " +
-          "duration.inDays(a, b).days, duration.inSeconds(a, b).seconds " +
-          "(duration.between decomposes into months+days components, " +
-          "not a total — use inDays/inSeconds)")
+          "duration.inDays(a, b).days, duration.inSeconds(a, b).seconds, " +
+          "duration.between(a, b).years|.months (an accessor-less " +
+          "duration value has no scalar reading)")
       out
     }
+  // component access on a temporal CONSTRUCTOR literal —
+  // `date('2024-06-01').year`, `datetime('…').month`: both operands
+  // are known at parse, so the component folds DRIVER-SIDE to an
+  // integer literal (the age idiom `date('2024-06-01').year -
+  // p.birthDate.year` then reads as plain arithmetic). Runs BEFORE
+  // the quote split (the literal lives inside quotes). week is ISO
+  // week-of-year (Spark's weekofyear), matching the column-side
+  // accessor the property form compiles to.
+  private val TemporalCtorAccRe = (
+    """(?i)\b(date|datetime)\s*\(\s*'([^']*)'\s*\)\s*\.\s*""" +
+    """(year|month|day|week|quarter|hour|minute|second)\b""").r
+  private def rewriteTemporalCtorAcc(s: String): String =
+    if (!s.contains('.')) s
+    else TemporalCtorAccRe.replaceAllIn(s, m => {
+      val isDate = m.group(1).equalsIgnoreCase("date")
+      val comp = m.group(3).toLowerCase
+      val raw = m.group(2)
+      val (d, t) =
+        if (isDate) {
+          require(!Set("hour", "minute", "second")(comp),
+            s"date('…').$comp: a date has no time components — " +
+              "use datetime(…)")
+          (java.time.LocalDate.parse(validTemporal(raw, dateOnly = true)
+            .trim), java.time.LocalTime.MIDNIGHT)
+        } else {
+          // validTemporal admits date-only and zoned forms too,
+          // normalizing zones to UTC — same contract as the literal
+          // operand route
+          val norm = validTemporal(raw, dateOnly = false).trim
+            .replace(' ', 'T')
+          val ldt =
+            if (norm.contains('T')) java.time.LocalDateTime.parse(norm)
+            else java.time.LocalDate.parse(norm).atStartOfDay()
+          (ldt.toLocalDate, ldt.toLocalTime)
+        }
+      val v = comp match {
+        case "year"    => d.getYear
+        case "month"   => d.getMonthValue
+        case "day"     => d.getDayOfMonth
+        case "week"    => d.get(java.time.temporal.WeekFields.ISO
+          .weekOfWeekBasedYear())
+        case "quarter" => (d.getMonthValue - 1) / 3 + 1
+        case "hour"    => t.getHour
+        case "minute"  => t.getMinute
+        case "second"  => t.getSecond
+      }
+      v.toString
+    })
   private def rewriteTemporalAcc(s0: String): String = {
-    val s = rewriteDurCalls(s0)
+    val s = rewriteTemporalCtorAcc(rewriteDurCalls(s0))
     if (!s.contains('.')) s
     else s.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg
@@ -2238,7 +2322,7 @@ object CypherLite {
     "day", "week", "quarter", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds",
-    "durshift", "head", "last")
+    "durbetweenyears", "durbetweenmonths", "durshift", "head", "last")
 
   /** Pull top-level AGGREGATE calls out of an item body — the
     * `max(x) - min(x) AS r` route: returns the residual text (each
@@ -2351,6 +2435,22 @@ object CypherLite {
     * one argument that must stay a literal int (Spark's round only
     * takes a literal scale).
     */
+  /** The list Column for a parsed `split(expr, 'delim')` call — the
+    * shared build for the splitidx / size-head-last-over-split routes
+    * (literal delimiter, regex-quoted: Cypher split is literal).
+    */
+  private def splitListCol(sa: Seq[ArithExpr],
+      resolve: (String, Option[String]) => Column): Column = {
+    require(sa.length == 2, "split(s, 'delim') takes exactly two arguments")
+    val delim = sa(1) match {
+      case StrA(d) => d
+      case _ => throw new IllegalArgumentException(
+        "split() delimiter must be a string literal")
+    }
+    split(arithColumn(sa.head, resolve),
+      java.util.regex.Pattern.quote(delim), -1)
+  }
+
   private def arithFnColumn(name: String, args: Seq[ArithExpr],
       resolve: (String, Option[String]) => Column): Column = {
     def cols: Seq[Column] = args.map(arithColumn(_, resolve))
@@ -2388,7 +2488,14 @@ object CypherLite {
         val s = lower(one().cast("string"))
         when(s === "true", lit(true)).when(s === "false", lit(false))
           .otherwise(lit(null))
-      case "size" => length(one())
+      case "size" => args match {
+        // size over a DIRECT split(…) call — array cardinality
+        // (`avg(size(split(i.traits, ', ')))`, the tally-the-list
+        // idiom); the splitlist marker never evaluates on its own
+        case Seq(FnA("splitlist", sa)) =>
+          org.apache.spark.sql.functions.size(splitListCol(sa, resolve))
+        case _ => length(one())
+      }
       // internal: size() over a KNOWN list column (parseItems'
       // parseArithL rewrite) — array cardinality, not string length
       case "sizelist" => org.apache.spark.sql.functions.size(one())
@@ -2467,8 +2574,22 @@ object CypherLite {
       // head/last over a list-valued primary (`toUpper(head(split(
       // c.n, ' ')))` — the wrapped-first-token idiom); out-of-range
       // reads null like the item forms
-      case "head" => try_element_at(one(), lit(1))
-      case "last" => try_element_at(one(), lit(-1))
+      case "head" => args match {
+        case Seq(FnA("splitlist", sa)) =>
+          try_element_at(splitListCol(sa, resolve), lit(1))
+        case _ => try_element_at(one(), lit(1))
+      }
+      case "last" => args match {
+        case Seq(FnA("splitlist", sa)) =>
+          try_element_at(splitListCol(sa, resolve), lit(-1))
+        case _ => try_element_at(one(), lit(-1))
+      }
+      // a bare split(…) that reached evaluation was NOT consumed by
+      // size/head/last or a subscript — the original pointed contract
+      case "splitlist" => throw new IllegalArgumentException(
+        "split(…) in arithmetic must be subscripted (`split(s, 'd')[i]`) " +
+          "or directly wrapped by size()/head()/last() — a bare list " +
+          "has no place in an arithmetic expression")
       // internal: `split(s, 'd')[i]` inside arithmetic (parseArith
       // admits split only immediately subscripted) — literal
       // delimiter, Cypher 0-based index, out-of-range reads null
@@ -2490,6 +2611,30 @@ object CypherLite {
       case "durindays" =>
         val Seq(a, b) = nArgs(2, 2)
         datediff(to_date(b), to_date(a)).cast("long")
+      // the rewritten duration.between(a, b).years/.months calendar
+      // totals (DurBetweenRe): whole months exactly as java.time's
+      // Period.between (and so Neo4j) counts them — a month counts
+      // only when the end day-of-month reaches the start day-of-month
+      // (NO month-end clamping: between(2000-01-31, 2000-02-29) is
+      // P29D, zero months — verified against java.time; this is where
+      // Spark's months_between DIVERGES with its both-last-days rule,
+      // hence the explicit algebra, which a DuckDB oracle also replays
+      // verbatim). Negative spans (a after b) mirror through a
+      // swap-and-negate — matches Period.between's sign behavior, and
+      // truncation stays toward zero as Neo4j's accessors read.
+      case "durbetweenyears" | "durbetweenmonths" =>
+        val Seq(a0, b0) = nArgs(2, 2)
+        val a = to_date(a0); val b = to_date(b0)
+        def wholeMonths(x: Column, y: Column): Column =
+          (lit(12) * (year(y) - year(x)) + (month(y) - month(x)) -
+            when(dayofmonth(y) < dayofmonth(x), 1)
+              .otherwise(0)).cast("long")
+        if (name == "durbetweenmonths")
+          when(b >= a, wholeMonths(a, b))
+            .otherwise(-wholeMonths(b, a)).cast("long")
+        else
+          when(b >= a, floor(wholeMonths(a, b) / 12))
+            .otherwise(-floor(wholeMonths(b, a) / 12)).cast("long")
       case "durinseconds" =>
         val Seq(a, b) = nArgs(2, 2)
         unix_timestamp(to_timestamp(b)) - unix_timestamp(to_timestamp(a))
@@ -2609,27 +2754,29 @@ object CypherLite {
               i += 1
             }
             ws()
-            // split() yields a LIST — admitted ONLY when immediately
+            // split() yields a LIST — admitted when immediately
             // subscripted (`toInteger(split(c.n, '#')[1])`, the
-            // token-extraction idiom); a bare split stays out of
-            // arithmetic by design (lists have no place in it)
+            // token-extraction idiom) or as the DIRECT argument of
+            // size/head/last (the splitlist marker below, consumed by
+            // arithFnColumn — `avg(size(split(i.traits, ', ')))`);
+            // any other arithmetic position keeps the pointed reject
+            // (lists have no place in arithmetic proper)
             if (fn == "split") {
-              require(peek == '[',
-                "split(…) in arithmetic must be subscripted " +
-                  "(`split(s, 'd')[i]`) — a bare list has no place in " +
-                  "an arithmetic expression")
-              i += 1; ws()
-              val neg = peek == '-'
-              if (neg) i += 1
-              val ds = i
-              while (i < s.length && s.charAt(i).isDigit) i += 1
-              require(i > ds, s"split(…)[…]: integer index expected")
-              val idx0 = s.substring(ds, i).toLong
-              ws()
-              require(peek == ']', s"unbalanced '[' in split(…)[…]: '$s'")
-              i += 1
-              FnA("splitidx",
-                fargs.result() :+ NumA(if (neg) -idx0 else idx0))
+              if (peek != '[') FnA("splitlist", fargs.result())
+              else {
+                i += 1; ws()
+                val neg = peek == '-'
+                if (neg) i += 1
+                val ds = i
+                while (i < s.length && s.charAt(i).isDigit) i += 1
+                require(i > ds, s"split(…)[…]: integer index expected")
+                val idx0 = s.substring(ds, i).toLong
+                ws()
+                require(peek == ']', s"unbalanced '[' in split(…)[…]: '$s'")
+                i += 1
+                FnA("splitidx",
+                  fargs.result() :+ NumA(if (neg) -idx0 else idx0))
+              }
             } else FnA(fn, fargs.result())
           } else if (peek == '.') {
             i += 1
@@ -4849,7 +4996,7 @@ object CypherLite {
     // ArithFns-gated inside parseArith (pointed reject: lists don't
     // belong in arithmetic)
     val FnArithAsRe =
-      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc|durindays|durinseconds|durshift)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
+      s"""(?is)^((?:$ScalarFnAlt|coalesce|datetrunc|datetimetrunc|durindays|durinseconds|durbetweenyears|durbetweenmonths|durshift)\\s*\\(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$$""".r
     // aggregate over an ARITHMETIC body: `sum(o.price * 2) AS s` —
     // tried after the plain-target AggItemRe, so only bodies that are
     // not a bare alias[.prop] land here. DISTINCT over an expression
@@ -5020,6 +5167,13 @@ object CypherLite {
     // literals containing '|' or ']' survive
     val ListCompRe =
       """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\b(.*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // comprehension over an INLINE split(…) source — `[x IN
+    // split(p.givenName, ' ') | toLower(x)] AS names`: the only other
+    // list producer usable without a prior WITH stage
+    val ListCompSplitRe = (
+      """(?is)^\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+split\s*\(\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*""" +
+      """'([^']*)'\s*\)(.*)\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
     // Cypher's fold: `reduce(acc = init, x IN xs | expr) AS out`
     val ReduceItemRe =
       """(?is)^reduce\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^,]+?)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*\|\s*(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
@@ -5695,9 +5849,41 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(arrRefs.result().distinct,
               res => array(builders.map(_(res)): _*))))
+        // `[x IN split(alias.prop, 'd') …] AS ys` — comprehension over
+        // an inline split: same filter/transform fold as the
+        // collect-output form, base list built from the property
+        // column (the CaseCompiled refs channel attaches it)
+        case ListCompSplitRe(v, alias, prop, delim, bodyTxt, as)
+            if propOk(alias) =>
+          val body = bodyTxt.trim
+          val (condPart, exprTxt) = topBar(body) match {
+            case Some(i) =>
+              (body.substring(0, i).trim,
+                Some(body.substring(i + 1).trim).filter(_.nonEmpty))
+            case None => (body, None)
+          }
+          val condTxt = if (condPart.isEmpty) None else {
+            require(condPart.matches("(?is)^WHERE\\b.*"),
+              s"[$v IN split(…) …]: expected WHERE or | after the " +
+                s"source, got '${condPart.take(30)}'")
+            Some(condPart.replaceFirst("(?i)^WHERE\\b", "").trim)
+          }
+          require(condTxt.isDefined || exprTxt.isDefined,
+            s"[$v IN split(…)]: a comprehension needs WHERE …, | …, " +
+              "or both")
+          val condF = condTxt.map(t => lambdaCond(v, t))
+          val exprF = exprTxt.map(t => lambdaVal(v, t))
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq(alias -> prop), res => {
+              val base = split(res(alias, Some(prop)),
+                java.util.regex.Pattern.quote(delim), -1)
+              val filtered = condF.map(f => filter(base, f)).getOrElse(base)
+              exprF.map(f => transform(filtered, f)).getOrElse(filtered)
+            })))
         case other if other.matches("(?s)^\\[.*") =>
           fail("list comprehensions are `[x IN collectOut [WHERE cond] " +
-            "[| expr]] AS ys` (cond/expr over x and literals)", other)
+            "[| expr]] AS ys` over a list-typed stage output or an " +
+            "inline `split(alias.prop, 'd')` source", other)
         // reduce() — Cypher's list FOLD: `reduce(acc = init, x IN xs
         // | expr) AS out` over a list output. Folds to Spark's
         // aggregate() HOF (codegen, no UDF); element order is the

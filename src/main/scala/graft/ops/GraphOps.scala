@@ -3222,6 +3222,90 @@ object GraphOps {
              |  count(*) AS cnt
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
+    ),
+    // G139 duration.between(a, b).years/.months — the age idiom
+    // (round-15 FHIR probe: "patients older than 80" emits
+    // duration.between(p.birthDate, date(...)).years). Whole months
+    // exactly as java.time Period.between (= Neo4j) counts them,
+    // expressed as closed year/month/day algebra — the DuckDB oracle
+    // replays the IDENTICAL formula, no months_between quirks to
+    // mirror. The >= 1 filter keeps every compared row on the a <= b
+    // branch where the unmirrored SQL formula agrees.
+    QueryDef(
+      "g139_cypher_duration_between",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE duration.between(o.o_orderdate, date('1998-08-01')).years >= 1
+          |RETURN duration.between(o.o_orderdate, date('1998-08-01')).years AS yrs,
+          |  min(duration.between(o.o_orderdate, date('1998-08-01')).months) AS min_mos,
+          |  count(*) AS n""".stripMargin)),
+      Some("""WITH m AS (
+             |  SELECT 12 * (1998 - year(o_orderdate)) + (8 - month(o_orderdate))
+             |    - CASE WHEN day(o_orderdate) > 1 THEN 1 ELSE 0 END AS mos
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |SELECT CAST(floor(mos / 12) AS BIGINT) AS yrs,
+             |  min(mos) AS min_mos, count(*) AS n
+             |FROM m WHERE floor(mos / 12) >= 1
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G140 size(split(…)) under aggregates — the tally-the-list idiom
+    // over delimited text columns (FHIR probe: avg trait count). The
+    // split list is built and measured INSIDE the aggregate body
+    // (parseArith's splitlist marker), codegen end to end.
+    QueryDef(
+      "g140_cypher_size_split_agg",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |RETURN n.n_name AS nm,
+          |  round(avg(size(split(c.c_name, '0'))), 2) AS avg_parts,
+          |  max(size(split(c.c_name, '1'))) AS max_parts""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  round(avg(len(string_split(c_name, '0'))), 2) AS avg_parts,
+             |  max(len(string_split(c_name, '1'))) AS max_parts
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G141 list comprehension over an INLINE split(…) source —
+    // `[w IN split(prop, ' ') WHERE cond | expr]` (FHIR probe: token
+    // filtering without a prior WITH/collect stage). filter+transform
+    // HOFs over the split array; element order is SPLIT order (the
+    // source is positional, unlike sorted collect outputs), which
+    // DuckDB's list_filter/list_transform preserve identically.
+    QueryDef(
+      "g141_cypher_split_comprehension",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE c.c_custkey <= 10
+          |RETURN o.o_orderkey AS k,
+          |  [w IN split(o.o_orderpriority, '-') WHERE size(w) > 1
+          |    | toLower(w)] AS words""".stripMargin)
+        .withColumn("words", concat_ws("|", col("words")))),
+      Some("""SELECT o_orderkey AS k,
+             |  array_to_string(list_transform(
+             |    list_filter(string_split(o_orderpriority, '-'),
+             |      w -> length(w) > 1),
+             |    w -> lower(w)), '|') AS words
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_custkey <= 10
+             |ORDER BY ALL""".stripMargin)
+    ),
+    // G142 temporal component access on CONSTRUCTOR literals —
+    // `date('1995-06-15').year` folds driver-side to 1995 at parse
+    // (the age-arithmetic idiom `date(...).year - p.birthDate.year`);
+    // the property-side accessors stay the codegen'd year()/quarter()
+    // builtins. PushedFilters carries the folded year comparison.
+    QueryDef(
+      "g142_cypher_ctor_component_fold",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |WHERE o.o_orderdate.year = date('1995-06-15').year
+          |RETURN o.o_orderdate.quarter AS q, count(*) AS n""".stripMargin)),
+      Some("""SELECT quarter(o_orderdate) AS q, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE year(o_orderdate) = 1995
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

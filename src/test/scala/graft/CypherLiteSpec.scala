@@ -3620,7 +3620,9 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.query(dg,
         "MATCH (e:E) RETURN duration.between(e.t0, e.t1).days AS x")
     }
-    assert(e2.getMessage.contains("inDays/inSeconds"))
+    // round 15: between(…).days keeps rejecting (it's the leftover-
+    // after-months component, not a date diff) and points at inDays
+    assert(e2.getMessage.contains("duration.inDays(a, b)"), e2.getMessage)
   }
 
   // ——— round-13 probe-4 surfaces ———
@@ -4899,5 +4901,143 @@ class CypherLiteSpec extends SparkSpec {
       "RETURN count(*) AS n")
     assert(z === 1L && off === z && loc === z,
       "the three spellings denote the same instant")
+  }
+
+  // ------------------------------------------------------------------
+  // round-15 surface: duration.between totals, split-list measures in
+  // arithmetic, constructor component folds, split comprehensions
+  // ------------------------------------------------------------------
+
+  private lazy val gBorn = PropertyGraph(
+    nodes = Map("P" -> Seq(
+      (1L, "1943-12-31"), (2L, "1944-01-01"), (3L, "2000-02-29"),
+      (4L, "2024-06-15")).toDF("id", "d")
+      .selectExpr("id", "to_date(d) AS born")),
+    edges = Map.empty)
+
+  test("duration.between(a, b).years/.months — java Period.between parity") {
+    // expected values verified against java.time directly:
+    // Period.between(1943-12-31, 2024-01-01).toTotalMonths == 960
+    // Period.between(2000-02-29, 2024-01-01).toTotalMonths == 286
+    // Period.between(2024-06-15, 2024-01-20).toTotalMonths == -4
+    val rows = CypherLite.query(gBorn,
+      """MATCH (p:P)
+        |RETURN p.id AS i,
+        |  duration.between(p.born, date('2024-01-01')).years AS y,
+        |  duration.between(p.born, date('2024-01-20')).months AS m
+        |ORDER BY i""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 80L, 960L), (2L, 80L, 960L), (3L, 23L, 286L), (4L, 0L, -4L)))
+    // the age-filter WHERE shape the FHIR probe emitted
+    val n = CypherLite.query(gBorn,
+      """MATCH (p:P)
+        |WHERE duration.between(p.born, date('2024-01-01')).years >= 80
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(n === 2L)
+    // NO month-end clamping — java parity where Spark's months_between
+    // would say 1.0 (both last days): P29D has zero whole months
+    val clamp = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.id = 1
+        |RETURN duration.between(date('2000-01-31'),
+        |  date('2000-02-29')).months AS m""".stripMargin)
+      .as[Long].head()
+    assert(clamp === 0L)
+  }
+
+  test("duration.between non-total accessors reject pointedly") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(gBorn,
+        """MATCH (p:P)
+          |WHERE duration.between(p.born, date('2024-01-01')).days > 100
+          |RETURN count(*) AS n""".stripMargin)
+    }
+    assert(e.getMessage.contains("inDays"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(gBorn,
+        """MATCH (p:P)
+          |RETURN duration.between(p.born, date('2024-01-01')).monthsOfYear
+          |  AS m""".stripMargin)
+    }
+    assert(e2.getMessage.contains(".years and .months"), e2.getMessage)
+  }
+
+  private lazy val gWords = PropertyGraph(
+    nodes = Map("D" -> Seq(
+      (1L, "alpha beta gamma"), (2L, "one two"), (3L, "single"))
+      .toDF("id", "txt")),
+    edges = Map.empty)
+
+  test("size(split(…)) composes in WHERE and inside aggregates") {
+    val avg = CypherLite.query(gWords,
+      "MATCH (d:D) RETURN avg(size(split(d.txt, ' '))) AS a")
+      .as[Double].head()
+    assert(avg === 2.0)
+    val n = CypherLite.query(gWords,
+      "MATCH (d:D) WHERE size(split(d.txt, ' ')) >= 2 RETURN count(*) AS n")
+      .as[Long].head()
+    assert(n === 2L)
+    // head/last over split in arithmetic positions (fn-wrapped)
+    val h = CypherLite.query(gWords,
+      "MATCH (d:D) WHERE d.id = 1 RETURN toUpper(head(split(d.txt, ' '))) AS w")
+      .as[String].head()
+    assert(h === "ALPHA")
+    val l = CypherLite.query(gWords,
+      "MATCH (d:D) WHERE last(split(d.txt, ' ')) = 'two' RETURN d.id AS i")
+      .as[Long].head()
+    assert(l === 2L)
+    // a bare split anywhere else in arithmetic keeps the pointed reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(gWords,
+        "MATCH (d:D) RETURN avg(size(split(d.txt, ' ')) + split(d.txt, ' ')) AS a")
+    }
+    assert(e.getMessage.contains("size()/head()/last()"), e.getMessage)
+  }
+
+  test("temporal constructor component access folds at parse") {
+    val rows = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.born.year = date('1943-12-31').year
+        |RETURN p.id AS i, date('2024-06-01').quarter AS q,
+        |  datetime('2024-06-01T07:08:09').hour AS h""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 2L, 7L)))
+    // the age idiom that motivated the fold
+    val age = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.id = 2
+        |RETURN date('2024-06-01').year - p.born.year AS age""".stripMargin)
+      .as[Long].head()
+    assert(age === 80L)
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(gBorn,
+        "MATCH (p:P) RETURN date('2024-06-01').hour AS h")
+    }
+    assert(e.getMessage.contains("no time components"), e.getMessage)
+  }
+
+  test("list comprehension over an inline split(…) source") {
+    val both = CypherLite.query(gWords,
+      """MATCH (d:D) WHERE d.id = 1
+        |RETURN [w IN split(d.txt, ' ') WHERE size(w) > 4
+        |        | toUpper(w)] AS ws""".stripMargin)
+      .as[Seq[String]].head()
+    assert(both === Seq("ALPHA", "GAMMA"))
+    // |-only (map) keeps split order; WHERE-only filters in place
+    val mapped = CypherLite.query(gWords,
+      """MATCH (d:D) WHERE d.id = 2
+        |RETURN [w IN split(d.txt, ' ') | toUpper(w)] AS ws""".stripMargin)
+      .as[Seq[String]].head()
+    assert(mapped === Seq("ONE", "TWO"))
+    val filtered = CypherLite.query(gWords,
+      """MATCH (d:D) WHERE d.id = 1
+        |RETURN [w IN split(d.txt, ' ') WHERE size(w) = 5] AS ws""".stripMargin)
+      .as[Seq[String]].head()
+    assert(filtered === Seq("alpha", "gamma"))
+    // size() over the comprehension output — list-typed tracking holds
+    val n = CypherLite.query(gWords,
+      """MATCH (d:D)
+        |WITH d, [w IN split(d.txt, ' ') | toUpper(w)] AS ws
+        |WHERE size(ws) > 1 RETURN count(*) AS n""".stripMargin)
+      .as[Long].head()
+    assert(n === 2L)
   }
 }

@@ -271,6 +271,41 @@ class FhirGoldenSpec extends SparkSpec {
     assert(cats === Set("medication", "environment", "food", "other"))
   }
 
+  test("golden answers survive round-15 LLM paraphrases") {
+    // golden 5 via temporal component accessors — year range instead
+    // of date bounds (equivalent on this data: birthDate year in
+    // [1990, 2000] ⇔ the golden date-literal range)
+    assert(singleLong(
+      """MATCH (p:Patient)
+        |WHERE p.birthDate.year >= 1990 AND p.birthDate.year <= 2000
+        |RETURN count(*) AS n""".stripMargin) === 184L)
+    // the same via CONSTRUCTOR component folds (the age-arithmetic
+    // idiom: date('…').year folds to a literal at parse)
+    assert(singleLong(
+      """MATCH (p:Patient)
+        |WHERE p.birthDate.year >= date('1990-06-15').year
+        |  AND p.birthDate.year <= date('2000-03-01').year
+        |RETURN count(*) AS n""".stripMargin) === 184L)
+    // the age question over the sparse birthDate column — the
+    // duration.between emission; 138 patients are 80+ on 2024-01-01
+    // (independently computed from the raw corpus with java-Period
+    // whole-month counting)
+    assert(singleLong(
+      """MATCH (p:Patient)
+        |WHERE p.birthDate IS NOT NULL
+        |  AND duration.between(p.birthDate, date('2024-01-01')).years >= 80
+        |RETURN count(*) AS n""".stripMargin) === 138L)
+    // trait tallying via size(split(…)) under an aggregate — the
+    // list-measure emission over the joined traits column (519 raw
+    // instances collapse to 411 first-write nodes; avg tokens 2.879…
+    // pinned to 3 significant checks: non-null, > 2.8, < 3.0)
+    val avgTraits = cypher(
+      """MATCH (i:Immunization) WHERE i.traits IS NOT NULL
+        |RETURN avg(size(split(i.traits, ', '))) AS a""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(avgTraits > 2.8 && avgTraits < 3.0)
+  }
+
   test("schema XML introspection lists all node and rel tables") {
     val xml = graph.schemaXml
     for (l <- Seq("Address", "Patient", "Practitioner", "Substance", "Allergy", "Immunization"))
