@@ -1297,9 +1297,20 @@ object CypherLite {
       s"$what '$n': names starting with a double underscore are " +
         "reserved for engine-internal columns")
 
+  /** Rides an apostrophe through the quote-aware grammar: preprocess
+    * swaps escaped/double-quoted apostrophes to this control char so
+    * every `split("'")`-style scanner keeps treating ' as the one
+    * delimiter; the VALUE builders (here and parseArith's string
+    * atom) swap it back, so results carry the real apostrophe.
+    */
+  private[graph] val ApostrophePlaceholder = '\u0001'
+  private def restoreApos(s: String): String =
+    if (s.indexOf(ApostrophePlaceholder) < 0) s
+    else s.replace(ApostrophePlaceholder, '\'')
+
   private def literal(v: String): Any = v.trim match {
     case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
-      q.substring(1, q.length - 1)
+      restoreApos(q.substring(1, q.length - 1))
     case "true"  => true
     case "false" => false
     case n if n.matches("-?\\d+") => n.toLong
@@ -2398,6 +2409,28 @@ object CypherLite {
     case StrA(_) => Seq.empty
   }
 
+  /** STATIC integer-type inference over an arithmetic tree — drives
+    * Cypher's integral `/`. Conservative: integer literals, the
+    * integer-returning functions, and closures of + - * % / over
+    * them; property/name refs are UNKNOWN (false), keeping the
+    * double-division SQL behavior existing queries and oracles pin.
+    */
+  private def intLikeA(e: ArithExpr): Boolean = e match {
+    case NumA(_: Long) => true
+    case NegA(x) => intLikeA(x)
+    case BinA('+' | '-' | '*' | '%' | '/', l, r) =>
+      intLikeA(l) && intLikeA(r)
+    case FnA(n, args) => n match {
+      case "year" | "month" | "day" | "week" | "quarter" | "size" |
+           "sizelist" | "tointeger" | "sign" | "durindays" |
+           "durinseconds" | "durbetweenyears" | "durbetweenmonths" => true
+      case "abs" => args.forall(intLikeA)
+      case "coalesce" => args.forall(intLikeA)
+      case _ => false
+    }
+    case _ => false
+  }
+
   private def arithColumn(e: ArithExpr,
       resolve: (String, Option[String]) => Column): Column = e match {
     case NumA(v) => lit(v)
@@ -2417,6 +2450,19 @@ object CypherLite {
     case BinA('+', l, r) => arithColumn(l, resolve) + arithColumn(r, resolve)
     case BinA('-', l, r) => arithColumn(l, resolve) - arithColumn(r, resolve)
     case BinA('*', l, r) => arithColumn(l, resolve) * arithColumn(r, resolve)
+    // Cypher divides INTEGERS integrally (Neo4j 7/2 = 3, truncated
+    // toward zero; the decade-bucket idiom `(x.year / 10) * 10` relies
+    // on it) where Spark's `/` always goes double. When BOTH operands
+    // are STATICALLY integer-typed (literals, integer-returning fns —
+    // [[intLikeA]]; column refs stay unknown → double, the SQL
+    // behavior every existing oracle replays), divide exactly in the
+    // decimal domain and truncate: subtracting l % r first makes the
+    // division exact, so no rounding mode and no double-precision
+    // ceiling on big longs.
+    case BinA('/', l, r) if intLikeA(l) && intLikeA(r) =>
+      val lc = arithColumn(l, resolve); val rc = arithColumn(r, resolve)
+      ((lc - lc % rc).cast("decimal(38,0)") / rc.cast("decimal(38,0)"))
+        .cast("long")
     case BinA('/', l, r) => arithColumn(l, resolve) / arithColumn(r, resolve)
     // Cypher's modulo — Spark's % (pmod differs on negatives; Cypher
     // follows the dividend's sign, exactly Spark's and DuckDB's %)
@@ -2692,13 +2738,14 @@ object CypherLite {
         i += 1
         e
       } else if (peek == '\'') {
-        // single-quoted string literal (no escapes — the engine's
-        // literal grammar): the concat signal for a `+` chain
+        // single-quoted string literal (escaped apostrophes arrive as
+        // the preprocess placeholder — restored here): the concat
+        // signal for a `+` chain
         i += 1
         val start = i
         while (i < s.length && s.charAt(i) != '\'') i += 1
         require(i < s.length, s"unterminated string literal in: '$s'")
-        val t = s.substring(start, i)
+        val t = restoreApos(s.substring(start, i))
         i += 1
         StrA(t)
       } else {
@@ -2848,6 +2895,9 @@ object CypherLite {
         case (x: Long, y: Long) if op == '-' => x - y
         case (x: Long, y: Long) if op == '*' => x * y
         case (x: Long, y: Long) if op == '%' && y != 0L => x % y
+        // Cypher integer division truncates toward zero (Neo4j 7/2 =
+        // 3) — mirrors the runtime intLikeA route in arithColumn
+        case (x: Long, y: Long) if op == '/' && y != 0L => x / y
         case _ =>
           def d(v: Any): Double = v match {
             case l2: Long => l2.toDouble
@@ -3374,7 +3424,16 @@ object CypherLite {
     var i = 0
     while (i < stmt0.length) {
       val c = stmt0.charAt(i)
-      if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
+      if (inQ && c == '\\' && i + 1 < stmt0.length &&
+          stmt0.charAt(i + 1) == '\'') {
+        // escaped apostrophe INSIDE a single-quoted literal (`'O\'Hara'`)
+        // — the grammar's quote-aware scanners all treat ' as the
+        // delimiter, so the apostrophe rides through them as the
+        //  placeholder and the value builders ([[literal]],
+        // parseArith's string atom) restore it
+        sb += ApostrophePlaceholder; i += 2
+      }
+      else if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
       else if (!inQ && c == '/' && i + 1 < stmt0.length &&
           stmt0.charAt(i + 1) == '/') {
         while (i < stmt0.length && stmt0.charAt(i) != '\n') i += 1
@@ -3388,15 +3447,15 @@ object CypherLite {
       }
       else if (!inQ && c == '"') {
         // double-quoted string literal — Cypher accepts both quote
-        // kinds and LLMs emit " freely; normalize to the single-quote
-        // form the whole grammar speaks. A literal containing ' would
-        // need escaping machinery the grammar doesn't have — pointed.
+        // kinds and LLMs emit " freely (especially around values
+        // CONTAINING apostrophes: WHERE p.surname = "O'Hara");
+        // normalize to the single-quote form the whole grammar
+        // speaks, riding any embedded apostrophe through as the
+        //  placeholder that the value builders restore
         val close = stmt0.indexOf('"', i + 1)
         require(close >= 0, "unterminated \" string literal")
         val body = stmt0.substring(i + 1, close)
-        require(!body.contains('\''),
-          "a double-quoted literal containing ' is unsupported — " +
-            "use single quotes and drop the inner apostrophe")
+          .replace('\'', ApostrophePlaceholder)
         sb += '\''; sb ++= body; sb += '\''
         i = close + 1
       }
@@ -3422,6 +3481,14 @@ object CypherLite {
         throw new IllegalArgumentException(
           s"query parameters are unsupported ($$${nm}) — inline the " +
             "literal value (Text2Cypher output should be self-contained)")
+      }
+      // newlines/tabs OUTSIDE string literals become plain spaces —
+      // LLM output wraps freely inside call argument lists
+      // (`avg(duration.between(p.d,\n  date('…')).years)`), and the
+      // line-based spellings would otherwise leak into single-line
+      // regex classification; literals keep their whitespace verbatim
+      else if (!inQ && (c == '\n' || c == '\r' || c == '\t')) {
+        sb += ' '; i += 1
       }
       else { sb += c; i += 1 }
     }
@@ -7075,12 +7142,13 @@ object CypherLite {
       s"duplicate RETURN output names: ${returns.map(_.as)}")
     require(withClauses.isEmpty || returns.nonEmpty,
       "WITH needs a RETURN clause")
-    // fail-loud principle: DISTINCT alongside aggregates would be a
-    // silent no-op (grouped output is already one row per group key) —
-    // reject rather than parse-and-ignore
-    require(!returnDistinct || returns.forall(_.agg.isEmpty),
-      "RETURN DISTINCT with aggregates is unsupported (grouped output " +
-        "is already distinct per group key — drop DISTINCT)")
+    // DISTINCT alongside aggregates is a semantic no-op (grouped
+    // output is already one row per group key) — Neo4j ACCEPTS the
+    // form and LLMs emit it habitually (`RETURN DISTINCT x, count(*)`,
+    // round-15 probe batch 2), so drop the flag instead of rejecting:
+    // the result is identical with or without it
+    if (returnDistinct && returns.exists(_.agg.nonEmpty))
+      returnDistinct = false
     val (orderByR, obHidden) = resolveOrderKeysOrHidden(orderBy, returns,
       "ORDER BY",
       canHide = !returnDistinct && returns.forall(_.agg.isEmpty),
@@ -7614,15 +7682,15 @@ object CypherLite {
     }
     require(items.map(_.as).distinct.size == items.size,
       s"duplicate RETURN output names: ${items.map(_.as)}")
-    require(!distinct || items.forall(_.agg.isEmpty),
-      "RETURN DISTINCT with aggregates is unsupported (grouped output " +
-        "is already distinct per group key — drop DISTINCT)")
+    // DISTINCT alongside aggregates: a semantic no-op Neo4j accepts —
+    // drop the flag (same contract as the main RETURN route)
+    val effDistinct = distinct && items.forall(_.agg.isEmpty)
     val obR = resolveOrderKeys(ob, items, "ORDER BY")
     for ((n, _) <- obR)
       require(items.exists(_.as == n),
         s"ORDER BY references '$n' — not an output " +
           s"(${items.map(_.as).mkString(", ")})")
-    runStage(g0, inner, items, aliasLabel, _ => false, distinct,
+    runStage(g0, inner, items, aliasLabel, _ => false, effDistinct,
       obR, limit, skip = skip)
   }
 

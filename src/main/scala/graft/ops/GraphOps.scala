@@ -3306,6 +3306,23 @@ object GraphOps {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE year(o_orderdate) = 1995
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G143 Cypher INTEGER division — Neo4j truncates int/int toward
+    // zero where Spark's `/` goes double; the decade-bucket idiom
+    // `(x.year / 10) * 10` silently returned 1995.0-style buckets
+    // before the round-15 intLikeA route (probe batch 2). Statically
+    // integer-typed operands divide integrally; property refs keep
+    // the SQL double (every prior oracle unchanged). DuckDB replays
+    // with its `//` integer division.
+    QueryDef(
+      "g143_cypher_integer_division",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)-[:HAS_ORDER]->(o:orders)
+          |RETURN (o.o_orderdate.year / 10) * 10 AS decade,
+          |  count(*) AS n""".stripMargin)),
+      Some("""SELECT (year(o_orderdate) // 10) * 10 AS decade, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

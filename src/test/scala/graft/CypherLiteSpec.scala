@@ -275,9 +275,8 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN a.tag ORDER BY nope")          // unknown ORDER BY col
     }
-    intercept[IllegalArgumentException] {
-      CypherLite.parse("(a:A)-[:R1]->(b:B) RETURN DISTINCT count(*) AS n")       // DISTINCT + aggregate
-    }
+    // round 15: RETURN DISTINCT + aggregate no longer rejects — Neo4j
+    // accepts it as a no-op (see the tolerated-no-op test)
   }
 
   test("single-node MATCH is a node scan") {
@@ -3813,11 +3812,11 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(g,
       "MATCH (a:A) WHERE a.tag = \"a4\" RETURN count(*) AS n")
       .as[Long].collect().head === 1L)
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(g,
-        "MATCH (a:A) WHERE a.tag = \"it's\" RETURN count(*) AS n")
-    }
-    assert(e.getMessage.contains("containing '"))
+    // round 15: an embedded apostrophe no longer rejects — it rides
+    // the preprocess placeholder (see the apostrophe round-trip test)
+    assert(CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag = \"it's\" RETURN count(*) AS n")
+      .as[Long].collect().head === 0L)
   }
 
   test("type(r) predicates absorb into untyped edge tokens") {
@@ -5040,4 +5039,63 @@ class CypherLiteSpec extends SparkSpec {
       .as[Long].head()
     assert(n === 2L)
   }
+
+  // ——— round-15 probe-batch-2 surfaces ———
+
+  test("integer division truncates toward zero on static integer types") {
+    // Neo4j: 7/2 = 3, -7/2 = -3; a double operand keeps double
+    val r = CypherLite.query(g,
+      """MATCH (a:A) WHERE a.id = 1
+        |RETURN 7 / 2 AS q, -7 / 2 AS qn, 7.0 / 2 AS d""".stripMargin)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((3L, -3L, 3.5)))
+    // the decade-bucket idiom: year() is statically integral
+    val dec = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.id = 3
+        |RETURN (p.born.year / 10) * 10 AS decade""".stripMargin)
+      .as[Long].head()
+    assert(dec === 2000L)
+    // a PROPERTY operand stays double (SQL behavior, oracle-pinned)
+    val half = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id = 1 RETURN a.id / 2 AS h")
+      .as[Double].head()
+    assert(half === 0.5)
+    // head-WITH constant folding uses the same integral rule
+    val k = CypherLite.query(g,
+      """WITH 7 / 2 AS k MATCH (a:A) WHERE a.id > k
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(k === 1L, "only a4 exceeds 3")
+  }
+
+  test("apostrophes in string literals: double-quoted and escaped") {
+    val gName = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "O'Hara"), (2L, "Smith"), (3L, "O'Connor"))
+        .toDF("id", "nm")),
+      edges = Map.empty)
+    assert(CypherLite.query(gName,
+      "MATCH (n:N) WHERE n.nm = \"O'Hara\" RETURN n.id AS i")
+      .as[Long].head() === 1L)
+    assert(CypherLite.query(gName,
+      "MATCH (n:N) WHERE n.nm STARTS WITH 'O\\'' RETURN count(*) AS n")
+      .as[Long].head() === 2L)
+    // the value ROUND-TRIPS with the real apostrophe
+    assert(CypherLite.query(gName,
+      "MATCH (n:N) WHERE n.id = 1 RETURN n.nm + \" Jr's\" AS s")
+      .as[String].head() === "O'Hara Jr's")
+    // inline prop map
+    assert(CypherLite.query(gName,
+      "MATCH (n:N {nm: \"O'Connor\"}) RETURN n.id AS i")
+      .as[Long].head() === 3L)
+  }
+
+  test("RETURN DISTINCT alongside aggregates is a tolerated no-op") {
+    val withD = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN DISTINCT b.tag AS t, count(a) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val withoutD = CypherLite.query(g,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS t, count(a) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(withD === withoutD)
+  }
+
 }

@@ -149,4 +149,65 @@ class FhirProbeSpec extends SparkSpec {
     assert(r.length === 1 && r(0).getString(1) === "Falmouth",
       "only one of the 5 oldest patients has an address edge")
   }
+
+  // ——— probe batch 2 (round 15): 3VL, apostrophes, degree forms ———
+
+  test("3VL: <> and NOT(=) exclude null rows (779 Female only)") {
+    assert(one("MATCH (p:Patient) WHERE p.gender <> 'Male' " +
+      "RETURN count(*) AS n") === 779L)
+    assert(one("MATCH (p:Patient) WHERE NOT (p.gender = 'Male') " +
+      "RETURN count(*) AS n") === 779L)
+    assert(one("MATCH (p:Patient) RETURN count(DISTINCT p.maritalStatus)" +
+      " AS n") === 4L)
+  }
+
+  test("apostrophe surnames reachable via both quote forms (38 / 10)") {
+    // counts verified against the raw corpus
+    assert(one("MATCH (p:Patient) WHERE p.surname STARTS WITH \"O'\" " +
+      "RETURN count(*) AS n") === 38L)
+    assert(one("MATCH (p:Patient) WHERE p.surname CONTAINS 'O\\'C' " +
+      "RETURN count(*) AS n") === 10L)
+  }
+
+  test("simple CASE form (value dispatch) buckets with ELSE for nulls") {
+    val r = q("""MATCH (p:Patient)
+      |RETURN CASE p.gender WHEN 'Male' THEN 'M' WHEN 'Female' THEN 'F'
+      |  ELSE '?' END AS g, count(*) AS n ORDER BY g""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("?", 1328L), ("F", 779L), ("M", 619L)))
+  }
+
+  test("legacy exists(pattern) and anonymous degree forms") {
+    assert(one("MATCH (p:Patient) WHERE exists((p)-[:HAS_IMMUNIZATION]->())" +
+      " RETURN count(*) AS n") === 386L)
+    assert(one("MATCH (p:Patient) WHERE size((p)-[:HAS_IMMUNIZATION]->())" +
+      " > 1 RETURN count(*) AS n") === 25L)
+  }
+
+  test("integer-division decade buckets over sparse birth years") {
+    val r = q("""MATCH (p:Patient) WHERE p.birthDate IS NOT NULL
+      |RETURN (p.birthDate.year / 10) * 10 AS decade, count(*) AS n
+      |ORDER BY decade DESC LIMIT 3""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((2020L, 43L), (2010L, 118L), (2000L, 185L)))
+  }
+
+  test("age aggregates via duration.between (median 45, avg 44.8)") {
+    val med = q("""MATCH (p:Patient) WHERE p.birthDate IS NOT NULL
+      |RETURN percentileCont(duration.between(p.birthDate,
+      |  date('2024-01-01')).years, 0.5) AS med""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(med === 45.0)
+    val avg = q("""MATCH (p:Patient) WHERE p.birthDate IS NOT NULL
+      |RETURN round(avg(duration.between(p.birthDate,
+      |  date('2024-01-01')).years), 1) AS a""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(avg === 44.8)
+  }
+
+  test("WITH DISTINCT node carry re-matches a second pattern (33 imms)") {
+    assert(one("""MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy)
+      |WITH DISTINCT p MATCH (p)-[:HAS_IMMUNIZATION]->(i)
+      |RETURN count(i) AS n""".stripMargin) === 33L)
+  }
 }
