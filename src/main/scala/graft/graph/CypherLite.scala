@@ -825,6 +825,12 @@ object CypherLite {
   // `any|all|none|single(x IN xs WHERE cond)` in a post-WITH WHERE
   private val QuantRe =
     """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+)\)\s*$""".r
+  // the same quantifiers over an INLINE split(alias.prop, 'd') source
+  // — pattern-WHERE position (no stage output needed)
+  private val QuantSplitRe = (
+    """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+""" +
+    """split\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*""" +
+    """'([^']*)'\s*\)\s+WHERE\s+(.+)\)\s*$""").r
   // `alias.prop IS [NOT] NULL` — no literal operand, so its own form
   private val WhereNullRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s+(?i:IS)\s+(?:((?i:NOT))\s+)?(?i:NULL)$""".r
@@ -1702,11 +1708,13 @@ object CypherLite {
       // the Cypher cast trio. toInteger TRUNCATES toward zero (Neo4j
       // semantics — and Spark's double→long cast already does); a
       // DuckDB oracle must replay trunc() explicitly (its bare CAST
-      // rounds). Non-numeric strings cast to null in both engines'
-      // try-cast form (Cypher returns null too).
+      // rounds). Non-numeric strings must cast to NULL (Cypher
+      // returns null; probe batch 3: '(55' from a parenthesized
+      // phone format) — try_cast, because the session runs Spark 4's
+      // default ANSI mode where a plain cast THROWS on malformed.
       case "tostring"  => noArgs(); _.cast("string")
-      case "tointeger" => noArgs(); _.cast("long")
-      case "tofloat"   => noArgs(); _.cast("double")
+      case "tointeger" => noArgs(); _.try_cast("long")
+      case "tofloat"   => noArgs(); _.try_cast("double")
       // toBoolean: Neo4j accepts ONLY 'true'/'false' (case-
       // insensitive) and booleans — anything else is null. Spark's
       // boolean cast also accepts 'y'/'yes'/'t'/'1' etc., so the
@@ -2528,8 +2536,9 @@ object CypherLite {
       case "date"      => to_date(one())
       case "datetime"  => to_timestamp(one())
       case "tostring"  => one().cast("string")
-      case "tointeger" => one().cast("long")
-      case "tofloat"   => one().cast("double")
+      // try_cast: malformed input is NULL (Neo4j), not an ANSI error
+      case "tointeger" => one().try_cast("long")
+      case "tofloat"   => one().try_cast("double")
       case "toboolean" =>
         val s = lower(one().cast("string"))
         when(s === "true", lit(true)).when(s === "false", lit(false))
@@ -4073,7 +4082,10 @@ object CypherLite {
           compRoot = Some(n)
           Some(n.as)
         case Right(n) =>
-          fail(s"pattern part ${ci + 1} must start at a bound alias, got new node '${n.as}'", chain)
+          fail(s"pattern part ${ci + 1} must start at a bound alias, " +
+            s"got new node '${n.as}' (an UNWIND over collect(n) yields " +
+            "VALUES, not bindings — re-enter the graph with " +
+            "`WITH DISTINCT n MATCH (n)-…` instead)", chain)
       }
       var any = false
       while (rest.nonEmpty) {
@@ -4426,6 +4438,22 @@ object CypherLite {
               case other2 => other2 // = and <> are symmetric
             }
             AtomE(a, p, opBuilder(mirrored, v))
+          // list QUANTIFIERS over an inline split — `any(w IN
+          // split(i.traits, ', ') WHERE w = 'x')` (probe batch 3:
+          // the tag-membership idiom over delimited text columns):
+          // exists/forall/filter HOFs over the split array, riding
+          // the single-alias node-predicate route
+          case QuantSplitRe(q, v, a2, p2, delim, condTxt) =>
+            checkAlias(a2, p2)
+            val f = lambdaCond(v, condTxt)
+            val mk: Column => Column = q.toLowerCase match {
+              case "any"  => c => exists(c, f)
+              case "all"  => c => forall(c, f)
+              case "none" => c => !exists(c, f)
+              case _      => c => size(filter(c, f)) === 1 // single
+            }
+            AtomE(a2, p2, c =>
+              mk(split(c, java.util.regex.Pattern.quote(delim), -1)))
           // ARITHMETIC membership — `c.key % 5 IN [0, 1]`: the LHS
           // compiles as arithmetic, the list as an OR of equalities
           // (small literal lists only — the shape LLMs emit)
@@ -4678,12 +4706,14 @@ object CypherLite {
         // — those route to the flag-column rewrite below
         case PatPredBareNotRe(body)
             if PatternShapeRe.findFirstIn(body).isDefined &&
-              !body.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") =>
+              !body.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") &&
+              splitTop(body, "OR").size == 1 =>
           patternPreds += parsePatternPredChain(negated = true, body)
           any = true
         case c2 if c2.startsWith("(") &&
             PatternShapeRe.findFirstIn(c2).isDefined &&
-            !c2.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") =>
+            !c2.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") &&
+            splitTop(c2, "OR").size == 1 =>
           patternPreds += parsePatternPredChain(negated = false, c2)
           any = true
         case other =>
@@ -4754,10 +4784,81 @@ object CypherLite {
               any = true
             }
           }
+          // BARE pattern chains under OR/NOT inside the conjunct
+          // (`(p)-[:A]->() OR (p)-[:B]->()`, probe batch 3) — same
+          // flag-column rewrite as the EXISTS{} spelling above: each
+          // chain registers as an or-flag sub-pattern and the operand
+          // becomes `__ppf_i = true`. The legacy exists(chain) FN form
+          // unwraps to its chain first so one rewrite serves both.
+          def matchParen(str: String, open: Int): Int = {
+            var depth = 1; var inQ = false; var j = open + 1
+            while (j < str.length && depth > 0) {
+              val ch = str.charAt(j)
+              if (ch == '\'') inQ = !inQ
+              else if (!inQ && ch == '(') depth += 1
+              else if (!inQ && ch == ')') depth -= 1
+              j += 1
+            }
+            require(depth == 0,
+              s"unbalanced parens in WHERE: '${str.take(40)}'")
+            j
+          }
+          val ExistsFnStart = """(?is)\bEXISTS\s*\(""".r
+          var changedE = true
+          while (changedE) {
+            changedE = false
+            val masked = maskQuotes(txt)
+            for (m <- ExistsFnStart.findFirstMatchIn(masked)) {
+              val open = m.end - 1
+              val close = matchParen(txt, open)
+              val body = txt.substring(open + 1, close - 1).trim
+              if (body.startsWith("(") &&
+                  PatternShapeRe.findFirstIn(maskQuotes(body)).isDefined) {
+                txt = txt.substring(0, m.start) + s" $body " +
+                  txt.substring(close)
+                changedE = true
+              }
+            }
+          }
+          val ChainSpanRe = ("""\([^()]*\)""" +
+            """(?:\s*(?:<-|-)\s*\[[^\]]*\]\s*(?:->|-)\s*\([^()]*\))+""").r
+          var searchFrom = 0
+          var scanning = true
+          while (scanning) {
+            scanning = false
+            val masked = maskQuotes(txt)
+            ChainSpanRe.findFirstMatchIn(masked.substring(searchFrom))
+              .foreach { m0 =>
+              val s0 = searchFrom + m0.start
+              val e0 = searchFrom + m0.end
+              val pre = masked.substring(0, s0).replaceAll("\\s+$", "")
+              // a chain that is a CALL ARGUMENT (an unrewritten fn
+              // form) is not an operand — skip it; the fallback
+              // reject below names it
+              val isCallArg = pre.endsWith("(") &&
+                pre.dropRight(1).replaceAll("\\s+$", "")
+                  .matches("(?s).*[A-Za-z0-9_]")
+              if (isCallArg) { searchFrom = e0; scanning = true }
+              else {
+                val hasNot = pre.matches("(?is).*\\bNOT$")
+                val i = orFlagPreds.length
+                orFlagPreds += ((parsePatternPredChain(negated = false,
+                  txt.substring(s0, e0)), false))
+                val marker = (if (hasNot) "NOT " else "") +
+                  s"__ppf_$i = true"
+                val replStart = if (hasNot) pre.length - 3 else s0
+                txt = txt.substring(0, replStart) + s" $marker " +
+                  txt.substring(e0)
+                searchFrom = 0
+                scanning = true
+                any = true
+              }
+            }
+          }
           require(PatternShapeRe.findFirstIn(maskQuotes(txt)).isEmpty,
-            "pattern predicates must be top-level AND conjuncts " +
-              "(bare chains under OR are unsupported — wrap them in " +
-              "EXISTS { }): '" + other.take(60) + "'")
+            "pattern chains inside function calls are unsupported in " +
+              "boolean structure — spell the predicate as EXISTS { } " +
+              "or a bare chain operand: '" + other.take(60) + "'")
           kept += txt
       }
       val ks = kept.result()
@@ -5616,7 +5717,27 @@ object CypherLite {
                 require(plainOk(n),
                   s"$ctx coalesce references unknown name '$n'")
                 res => res(n, None)
-              case v => _ => lit(literal(v))
+              case v =>
+                try { val l = lit(literal(v)); _ => l }
+                catch {
+                  case _: IllegalArgumentException =>
+                    // a composed argument — nested coalesce, scalar
+                    // wraps (`coalesce(pr.email, coalesce(pr.phone,
+                    // 'none'))`, probe batch 3): the arithmetic
+                    // grammar compiles it, its refs join the attach
+                    // set like the plain-prop branch's
+                    val ae = parseArithL(v)
+                    for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
+                      case Some(p2) =>
+                        require(propOk(a2),
+                          s"$ctx coalesce references unknown alias '$a2'")
+                        refs += a2 -> p2
+                      case None =>
+                        require(plainOk(a2),
+                          s"$ctx coalesce references unknown name '$a2'")
+                    }
+                    res => arithColumn(ae, res)
+                }
             }
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(refs.result().distinct,
@@ -8188,13 +8309,21 @@ object CypherLite {
               val sls = eps.map(_._1).distinct
               val dls = eps.map(_._2).distinct
               val from = froms(i); val to = st2.node.as
+              // endpoints that DIFFER across an alternation's members
+              // fill with the label ALTERNATION (`Allergy|Immunization`
+              // for `-[:EXPERIENCES|HAS_IMMUNIZATION]->(x)`, probe
+              // batch 3) — the union-view mount validates member-id
+              // disjointness, so the unlabeled arrival no longer
+              // demands the GLOBAL any-node contract
+              def alt(ls: Seq[String]): String =
+                if (ls.size == 1) ls.head else ls.sorted.mkString("|")
               st2.dir match {
                 case Out =>
-                  if (sls.size == 1) changed |= fill(from, sls.head)
-                  if (dls.size == 1) changed |= fill(to, dls.head)
+                  changed |= fill(from, alt(sls))
+                  changed |= fill(to, alt(dls))
                 case In =>
-                  if (dls.size == 1) changed |= fill(from, dls.head)
-                  if (sls.size == 1) changed |= fill(to, sls.head)
+                  changed |= fill(from, alt(dls))
+                  changed |= fill(to, alt(sls))
                 case Both if sls.size == 1 && dls.size == 1 =>
                   val sl = sls.head; val dl = dls.head
                   if (sl == dl) {

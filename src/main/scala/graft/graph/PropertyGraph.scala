@@ -303,21 +303,87 @@ final case class PropertyGraph(
           // cross key spaces (the leak the untyped contract guards
           // with its global-id assertion; an untyped step over a
           // validated graph is the escape hatch).
-          val alts = st.rel.split('|').toSeq
-          for (rn <- alts) require(edges.contains(rn),
+          val alts0 = st.rel.split('|').toSeq
+          for (rn <- alts0) require(edges.contains(rn),
             s"multi-type step: no edge table '$rn' " +
               s"(${edges.keys.toSeq.sorted.mkString(", ")})")
+          // Neo4j parity: members whose endpoint labels CONTRADICT the
+          // declared positions simply cannot match — they drop from
+          // the union instead of poisoning the soundness gate
+          // (`(a:A)-[:X|Y]->(b:B)` where Y runs B→A keeps only X; no
+          // members left = a correct-EMPTY result, not an error).
+          // Alternation position labels (`A|B`) admit their members.
+          val alts = {
+            val aL = aliasLabel(anchor); val nL = st.node.label
+            def admits(pos: String, l: String): Boolean =
+              pos.isEmpty || pos.split('|').contains(l)
+            def fits(sl: String, dl: String): Boolean = st.dir match {
+              case Out  => admits(aL, sl) && admits(nL, dl)
+              case In   => admits(aL, dl) && admits(nL, sl)
+              case Both => (admits(aL, sl) && admits(nL, dl)) ||
+                (admits(aL, dl) && admits(nL, sl))
+            }
+            alts0.filter { rn =>
+              val (sl, dl, _) = edges(rn); fits(sl, dl)
+            }
+          }
+          if (alts.isEmpty) {
+            // schema-correct empty relation (first member's shape)
+            val (sl, dl, e) = edges(alts0.head)
+            oriented(alts0.head, sl, dl, e, withEid).where(lit(false))
+          } else {
           val shapes = alts.map { rn =>
             val (sl, dl, _) = edges(rn); (sl, dl)
           }.distinct
-          require(shapes.size == 1,
-            s"multi-type step -[:${st.rel}]- unions edges with " +
-              s"different endpoint labels ($shapes) — per-label id " +
-              "spaces may overlap; use an untyped step over a " +
-              "globally-unique-id graph instead")
+          if (shapes.size > 1) {
+            // MIXED endpoint labels (`-[:EXPERIENCES|HAS_IMMUNIZATION]
+            // ->` fans to Allergy AND Immunization): sound ONLY when
+            // each mixed side is COVERED by its label-alternation
+            // union view — mounted and id-disjointness-VALIDATED by
+            // the query entry (CypherLite's endpoint inference fills
+            // the position with exactly that label), so the union
+            // cannot cross key spaces. Undirected/var-length keep the
+            // same-shape requirement (orientation-by-label and
+            // unlabeled intermediates have nothing to type against).
+            require(st.dir != Both && !multiHop,
+              s"multi-type step -[:${st.rel}]- over MIXED endpoint " +
+                s"labels ($shapes) supports single-hop directed " +
+                "steps only")
+            val sSet = shapes.map(_._1).distinct.sorted
+            val dSet = shapes.map(_._2).distinct.sorted
+            val (anchorSet, nodeSet) =
+              if (st.dir == Out) (sSet, dSet) else (dSet, sSet)
+            def covered(pos: String, set: Seq[String],
+                side: String): Unit =
+              require(set.size == 1 || (pos.nonEmpty &&
+                  set.toSet.subsetOf(pos.split('|').toSet)),
+                s"multi-type step -[:${st.rel}]- unions edges with " +
+                  s"different $side labels (${set.mkString(", ")}) — " +
+                  s"the $side position must carry a label alternation " +
+                  s"covering :${set.mkString("|")} so the union view " +
+                  "can validate id disjointness")
+            covered(aliasLabel(anchor), anchorSet, "source")
+            covered(st.node.label, nodeSet, "arrival")
+            // id-TYPE soundness per union side (same discipline as
+            // the untyped branch: a string/numeric mix coerces or
+            // dies mid-union)
+            def fam(t: org.apache.spark.sql.types.DataType): String =
+              t match {
+                case _: org.apache.spark.sql.types.NumericType => "numeric"
+                case other => other.simpleString
+              }
+            for (side <- Seq("src", "dst"))
+              require(alts.map(rn =>
+                  fam(edges(rn)._3.schema(side).dataType))
+                .distinct.size == 1,
+                s"multi-type step -[:${st.rel}]-: the $side ids mix " +
+                  "string and numeric types across the alternation — " +
+                  "normalize ids to one type")
+          }
           alts.sorted.map { rn =>
             val (sl, dl, e) = edges(rn); oriented(rn, sl, dl, e, withEid)
           }.reduce(_ unionAll _)
+          }
         } else {
           require(edges.contains(st.rel),
             s"no edge table '${st.rel}' " +

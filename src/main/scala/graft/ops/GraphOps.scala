@@ -3323,6 +3323,54 @@ object GraphOps {
       Some("""SELECT (year(o_orderdate) // 10) * 10 AS decade, count(*) AS n
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G144 list quantifiers over an inline split — `any/all/none(w IN
+    // split(prop, 'd') WHERE …)` in pattern WHERE (probe batch 3: the
+    // tag-membership idiom over delimited text). exists/forall HOFs
+    // over the split array; DuckDB replays with list_filter lengths.
+    QueryDef(
+      "g144_cypher_quantifier_split",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE any(w IN split(c.c_name, '0') WHERE size(w) > 2)
+          |RETURN n.n_name AS nm, count(*) AS n""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE len(list_filter(string_split(c_name, '0'),
+             |  w -> length(w) > 2)) > 0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G145 BARE pattern chains under OR — `(c)-[:HAS_ORDER]->() OR
+    // c.c_acctbal < 0` (probe batch 3): each chain operand rides the
+    // same or-flag left-join the EXISTS{} spelling uses; boolean
+    // structure over the flags, one dimension-keyed join per chain.
+    QueryDef(
+      "g145_cypher_pattern_pred_or",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WHERE (c)-[:HAS_ORDER]->() OR c.c_acctbal < 0.0
+          |RETURN n.n_name AS nm, count(*) AS n""".stripMargin)),
+      Some("""SELECT n_name AS nm, count(*) AS n
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |   OR c_acctbal < 0.0
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G146 toInteger/toFloat are TRY casts — malformed input reads
+    // NULL (Neo4j) instead of throwing under Spark 4's default ANSI
+    // mode (probe batch 3: parenthesized phone formats); count(expr)
+    // then skips the nulls.
+    QueryDef(
+      "g146_cypher_try_cast",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |RETURN count(toInteger(c.c_mktsegment)) AS bad,
+          |  count(toInteger(split(c.c_name, '#')[1])) AS good,
+          |  max(toInteger(split(c.c_name, '#')[1])) AS mx""".stripMargin)),
+      Some("""SELECT count(TRY_CAST(c_mktsegment AS BIGINT)) AS bad,
+             |  count(TRY_CAST(string_split(c_name, '#')[2] AS BIGINT)) AS good,
+             |  max(TRY_CAST(string_split(c_name, '#')[2] AS BIGINT)) AS mx
+             |FROM customer ORDER BY ALL""".stripMargin)
     )
   )
 

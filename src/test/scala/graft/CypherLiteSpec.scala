@@ -1192,10 +1192,13 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("pattern predicate rejects: under OR, on OPTIONAL MATCH, unanchored, leaked alias") {
-    intercept[IllegalArgumentException] {
-      CypherLite.parse(
-        "MATCH (a:A) WHERE a.tag = 'x' OR NOT (a)-[:R1]->(:B) RETURN a")
-    }
+    // round 15: bare chains (and NOT chains) under OR now ride the
+    // or-flag rewrite instead of rejecting — both a-nodes have R1
+    // edges, so only the tag disjunct admits a1
+    val orRows = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.tag = 'a1' OR NOT (a)-[:R1]->(:B) " +
+        "RETURN a.tag AS t").as[String].collect().toSeq
+    assert(orRows === Seq("a1"))
     intercept[IllegalArgumentException] {
       CypherLite.parse(
         "MATCH (a:A) OPTIONAL MATCH (a)-[:R1]->(b:B) " +
@@ -2906,7 +2909,9 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN DISTINCT b.tag ORDER BY b.tag")
       .as[String].collect().toSeq
     assert(vl === Seq("y", "z"))
-    // different endpoint labels reject pointedly
+    // round 15 Neo4j parity: a member whose endpoint labels
+    // contradict the declared positions DROPS from the union (Y runs
+    // B→A, so only X can match) — a result, not a reject
     val g3 = PropertyGraph(
       nodes = Map(
         "A" -> Seq((1L, "a")).toDF("id", "tag"),
@@ -2914,11 +2919,13 @@ class CypherLiteSpec extends SparkSpec {
       edges = Map(
         "X" -> (("A", "B", Seq((1L, 2L)).toDF("src", "dst"))),
         "Y" -> (("B", "A", Seq((2L, 1L)).toDF("src", "dst")))))
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(g3, "MATCH (a:A)-[:X|Y]->(b:B) RETURN b.tag")
-        .collect()
-    }
-    assert(e.getMessage.contains("different endpoint labels"))
+    val kept = CypherLite.query(g3,
+      "MATCH (a:A)-[:X|Y]->(b:B) RETURN b.tag").as[String].collect().toSeq
+    assert(kept === Seq("b"))
+    // NO member fits = correct-EMPTY (Neo4j compiles it, returns 0)
+    val none = CypherLite.query(g3,
+      "MATCH (b:B)-[:Y|X]->(b2:B) RETURN count(*) AS n").as[Long].head()
+    assert(none === 0L)
   }
 
   test("EXISTS/COUNT under OR and NOT in WHERE (flag-column bridge)") {
@@ -2948,20 +2955,15 @@ class CypherLiteSpec extends SparkSpec {
     assert(tags("MATCH (a:A) WHERE EXISTS { (a)-[:R1]->(b:B) } AND " +
       "(COUNT { (a)-[:R1]->(b:B) } = 1 OR a.tag = 'a4') " +
       "RETURN a.tag") === Seq("a1", "a4"))
-    // bare chains under OR stay rejected loudly (the chain parser
-    // stops at the OR; non-parenthesized mixes get the pointed
-    // wrap-in-EXISTS message)
-    intercept[IllegalArgumentException] {
-      CypherLite.query(g2,
-        "MATCH (a:A) WHERE (a)-[:R1]->(b:B {id: 5}) OR a.tag = 'a9' " +
-          "RETURN a.tag")
-    }
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.query(g2,
-        "MATCH (a:A) WHERE a.tag = 'a9' OR (a)-[:R1]->(b:B {id: 5}) " +
-          "RETURN a.tag")
-    }
-    assert(e.getMessage.contains("wrap them in EXISTS"))
+    // round 15: bare chains under OR ride the same flag rewrite as
+    // EXISTS{} — both operand orders compile and agree
+    assert(tags("MATCH (a:A) WHERE (a)-[:R1]->(b:B {id: 5}) OR " +
+      "a.tag = 'a9' RETURN a.tag") === Seq("a4", "a9"))
+    assert(tags("MATCH (a:A) WHERE a.tag = 'a9' OR " +
+      "(a)-[:R1]->(b:B {id: 5}) RETURN a.tag") === Seq("a4", "a9"))
+    // the legacy exists(chain) FN form under OR unwraps to its chain
+    assert(tags("MATCH (a:A) WHERE exists((a)-[:R1]->(b:B {id: 5})) OR " +
+      "a.tag = 'a9' RETURN a.tag") === Seq("a4", "a9"))
   }
 
   test("GQL postfix quantifiers: -[:R]->{m,n}, {n}, +") {
@@ -4708,16 +4710,19 @@ class CypherLiteSpec extends SparkSpec {
           "RETURN a.tag AS t")
     }
     assert(e.getMessage.contains("unlabeled"))
-    // TYPED but AMBIGUOUS (alternation over two arrival labels):
-    // parse defers, inference fails, the build-side pointed reject
-    // names the cause
-    val e2 = intercept[IllegalArgumentException] {
-      CypherLite.query(gAmb,
-        "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:RB|RC]->(o) " +
-          "WHERE o.tag = 'x' } RETURN a.tag AS t")
-    }
-    assert(e2.getMessage.contains("unlabeled"),
-      s"pointed reject, got: ${e2.getMessage}")
+    // round 15: a typed alternation over two arrival labels now
+    // INFERS the label-alternation view (B|C ids are disjoint here),
+    // so the sub-pattern WHERE reads the shared column per row
+    val hit = CypherLite.query(gAmb,
+      "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:RB|RC]->(o) " +
+        "WHERE o.tag = 'c' } RETURN a.tag AS t")
+      .as[String].collect().toSeq
+    assert(hit === Seq("a"))
+    val miss = CypherLite.query(gAmb,
+      "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:RB|RC]->(o) " +
+        "WHERE o.tag = 'x' } RETURN count(*) AS n")
+      .as[Long].head()
+    assert(miss === 0L)
   }
 
   // nulls for the coalesce null-guard path (testdata carries none)
@@ -5086,6 +5091,94 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(gName,
       "MATCH (n:N {nm: \"O'Connor\"}) RETURN n.id AS i")
       .as[Long].head() === 3L)
+  }
+
+  // mixed-arrival alternation fixture: DISJOINT id spaces per label
+  // (the union-view contract), two edge types sharing a source label
+  private lazy val gAlt = PropertyGraph(
+    nodes = Map(
+      "P" -> Seq((1L, "p1"), (2L, "p2")).toDF("id", "tag"),
+      "X" -> Seq((10L, "x10")).toDF("id", "tag"),
+      "Y" -> Seq((20L, "y20"), (21L, "y21")).toDF("id", "tag")),
+    edges = Map(
+      "RX" -> (("P", "X", Seq((1L, 10L)).toDF("src", "dst"))),
+      "RY" -> (("P", "Y", Seq((1L, 20L), (2L, 21L)).toDF("src", "dst")))))
+
+  test("multi-type alternation with MIXED arrival labels") {
+    // unlabeled arrival infers the label alternation X|Y; the union
+    // view validates id disjointness and the step unions both tables
+    val n = CypherLite.query(gAlt,
+      "MATCH (p:P)-[:RX|RY]->(x) RETURN count(*) AS n")
+      .as[Long].head()
+    assert(n === 3L)
+    // type(r) resolves per union branch
+    val byType = CypherLite.query(gAlt,
+      "MATCH (p:P)-[r:RX|RY]->(x) RETURN type(r) AS t, count(*) AS n ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byType === Seq(("RX", 1L), ("RY", 2L)))
+    // inbound direction mirrors (arrival side = union of sources)
+    val in = CypherLite.query(gAlt,
+      "MATCH (x)<-[:RX|RY]-(p:P) WHERE p.id = 1 RETURN count(*) AS n")
+      .as[Long].head()
+    assert(in === 2L)
+    // property access on the mixed arrival reads SHARED columns
+    val tags = CypherLite.query(gAlt,
+      "MATCH (p:P {id: 1})-[:RX|RY]->(x) RETURN x.tag AS t ORDER BY t")
+      .as[String].collect().toSeq
+    assert(tags === Seq("x10", "y20"))
+  }
+
+  test("mixed-shape alternation rejects undirected and var-length") {
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.query(gAlt, "MATCH (p:P)-[:RX|RY]-(x) RETURN count(*) AS n")
+    }
+    assert(e1.getMessage.contains("MIXED endpoint labels") ||
+      e1.getMessage.contains("alternation"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(gAlt,
+        "MATCH (p:P)-[:RX|RY*1..2]->(x) RETURN count(*) AS n")
+    }
+    assert(e2.getMessage.contains("single-hop directed"), e2.getMessage)
+  }
+
+  test("quantifiers over inline split in pattern WHERE") {
+    val gTxt = PropertyGraph(
+      nodes = Map("D" -> Seq((1L, "aa bb cc"), (2L, "d ee"), (3L, "ff"))
+        .toDF("id", "txt")),
+      edges = Map.empty)
+    def cnt(q: String): Long = CypherLite.query(gTxt, q).as[Long].head()
+    assert(cnt("MATCH (d:D) WHERE any(w IN split(d.txt, ' ') WHERE w = 'bb') " +
+      "RETURN count(*) AS n") === 1L)
+    assert(cnt("MATCH (d:D) WHERE all(w IN split(d.txt, ' ') WHERE size(w) = 2) " +
+      "RETURN count(*) AS n") === 2L)
+    assert(cnt("MATCH (d:D) WHERE none(w IN split(d.txt, ' ') WHERE w = 'bb') " +
+      "RETURN count(*) AS n") === 2L)
+    assert(cnt("MATCH (d:D) WHERE single(w IN split(d.txt, ' ') WHERE size(w) = 1) " +
+      "RETURN count(*) AS n") === 1L)
+  }
+
+  test("nested coalesce compiles as an item argument") {
+    val gSparse = PropertyGraph(
+      nodes = Map("N" -> Seq[(Long, Option[String], Option[String])](
+        (1L, None, Some("ph1")), (2L, None, None), (3L, Some("em3"), None))
+        .toDF("id", "email", "phone")),
+      edges = Map.empty)
+    val rows = CypherLite.query(gSparse,
+      """MATCH (n:N)
+        |RETURN coalesce(n.email, coalesce(n.phone, 'none')) AS c
+        |ORDER BY c""".stripMargin)
+      .as[String].collect().toSeq
+    assert(rows === Seq("em3", "none", "ph1"))
+  }
+
+  test("UNWIND-of-collect re-entry points at the WITH DISTINCT rewrite") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A)-[:R1]->(b:B) WITH collect(DISTINCT a) AS as_
+          |UNWIND as_ AS a2 MATCH (a2)-[:R1]->(b2:B)
+          |RETURN count(*) AS n""".stripMargin)
+    }
+    assert(e.getMessage.contains("WITH DISTINCT"), e.getMessage)
   }
 
   test("RETURN DISTINCT alongside aggregates is a tolerated no-op") {

@@ -210,4 +210,37 @@ class FhirProbeSpec extends SparkSpec {
       |WITH DISTINCT p MATCH (p)-[:HAS_IMMUNIZATION]->(i)
       |RETURN count(i) AS n""".stripMargin) === 33L)
   }
+
+  // ——— probe batch 3 (round 15): alternation, quantifiers, 3VL ———
+
+  test("edge-type alternation fans to both arrival labels (275 + 411)") {
+    assert(one("MATCH (p:Patient)-[:EXPERIENCES|HAS_IMMUNIZATION]->(x) " +
+      "RETURN count(*) AS n") === 686L)
+    val byType = q("MATCH (p:Patient)-[r:EXPERIENCES|HAS_IMMUNIZATION]->(x)" +
+      " RETURN type(r) AS t, count(*) AS n ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byType === Seq(("EXPERIENCES", 275L), ("HAS_IMMUNIZATION", 411L)))
+  }
+
+  test("quantifiers over the split traits list (any 148, none 258)") {
+    assert(one("MATCH (i:Immunization) WHERE any(w IN split(i.traits, ', ')" +
+      " WHERE w = 'injectable') RETURN count(*) AS n") === 148L)
+    // any + none + 5 null-traits nodes = 411 total
+    assert(one("MATCH (i:Immunization) WHERE none(w IN split(i.traits, ', ')" +
+      " WHERE w = 'injectable') RETURN count(*) AS n") === 258L)
+  }
+
+  test("bare pattern chains under OR flag-join (564 patients)") {
+    // 210 with allergy edges + 386 with immunization edges - 32 both
+    assert(one("MATCH (p:Patient) WHERE (p)-[:EXPERIENCES]->() OR " +
+      "(p)-[:HAS_IMMUNIZATION]->() RETURN count(*) AS n") === 564L)
+  }
+
+  test("toInteger is a TRY cast: malformed prefixes read null") {
+    // 1397 non-null phones; 6 don't read 555 (2 of them non-numeric
+    // prefixes, which must cast to NULL, not throw under ANSI)
+    assert(one("MATCH (p:Patient) WHERE p.phone IS NOT NULL AND " +
+      "toInteger(substring(p.phone, 0, 3)) = 555 RETURN count(*) AS n")
+      === 1391L)
+  }
 }
