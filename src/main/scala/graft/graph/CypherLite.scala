@@ -5170,7 +5170,7 @@ object CypherLite {
     // not a bare alias[.prop] land here. DISTINCT over an expression
     // is rejected (ambiguous for collect ordering; use a WITH stage).
     val AggArithRe =
-      """^(?i:(count|sum|min|max|avg))\s*\((.+)\)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """^(?i:(count|sum|min|max|avg|stDev|stDevP))\s*\((.+)\)\s+(?i:AS)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // searched CASE as an item / inside an aggregate — matched before
     // the arithmetic regexes (a CASE body may contain + - * /)
     val CaseAsRe =

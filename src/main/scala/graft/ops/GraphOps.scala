@@ -3371,6 +3371,24 @@ object GraphOps {
              |  count(TRY_CAST(string_split(c_name, '#')[2] AS BIGINT)) AS good,
              |  max(TRY_CAST(string_split(c_name, '#')[2] AS BIGINT)) AS mx
              |FROM customer ORDER BY ALL""".stripMargin)
+    ),
+    // G147 stDev/stDevP over ARITHMETIC bodies — `stDev(x.year)` (the
+    // dispersion-of-ages idiom, probe batch 4); previously only plain
+    // alias.prop targets. NULL on single-element groups (documented
+    // SQL-semantics divergence from Neo4j's 0) — DuckDB's stddev_samp
+    // agrees natively.
+    QueryDef(
+      "g147_cypher_stdev_arith",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  round(stDev(size(split(c.c_name, '0'))), 4) AS sd,
+          |  round(stDevP(c.c_acctbal / 100.0), 4) AS sdp""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  round(stddev_samp(len(string_split(c_name, '0'))), 4) AS sd,
+             |  round(stddev_pop(c_acctbal / 100.0), 4) AS sdp
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

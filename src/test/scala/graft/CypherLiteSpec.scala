@@ -5181,6 +5181,17 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("WITH DISTINCT"), e.getMessage)
   }
 
+  test("stDev/stDevP take arithmetic bodies like the other aggregates") {
+    // ids 1 and 4: mean 2.5, sample sd = sqrt(4.5) ≈ 2.1213,
+    // population sd = 1.5 — over the arithmetic body id * 1
+    val r = CypherLite.query(g,
+      """MATCH (a:A)
+        |RETURN round(stDev(a.id * 1), 4) AS sd,
+        |  round(stDevP(a.id * 1), 4) AS sdp""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 2.1213 && r.getDouble(1) === 1.5)
+  }
+
   test("RETURN DISTINCT alongside aggregates is a tolerated no-op") {
     val withD = CypherLite.query(g,
       "MATCH (a:A)-[:R1]->(b:B) RETURN DISTINCT b.tag AS t, count(a) AS n")

@@ -243,4 +243,31 @@ class FhirProbeSpec extends SparkSpec {
       "toInteger(substring(p.phone, 0, 3)) = 555 RETURN count(*) AS n")
       === 1391L)
   }
+
+  // ——— probe batch 4 (round 15): alternation compositions ———
+
+  test("degree and COUNT{} over an edge-type alternation agree (105)") {
+    assert(one("MATCH (p:Patient) WHERE " +
+      "size((p)-[:EXPERIENCES|HAS_IMMUNIZATION]->()) > 1 " +
+      "RETURN count(*) AS n") === 105L)
+    assert(one("MATCH (p:Patient) WHERE " +
+      "COUNT { (p)-[:EXPERIENCES|HAS_IMMUNIZATION]->() } >= 2 " +
+      "RETURN count(*) AS n") === 105L)
+  }
+
+  test("duration-shift WHERE agrees with the between-years form (138)") {
+    // p.birthDate + 80y < 2024-01-01 <=> between(..).years >= 80
+    assert(one("MATCH (p:Patient) WHERE " +
+      "p.birthDate + duration({years: 80}) < date('2024-01-01') " +
+      "RETURN count(*) AS n") === 138L)
+  }
+
+  test("CASE-with-IN buckets the ever-married (571 + 35 = 606)") {
+    val r = q("""MATCH (p:Patient)
+      |RETURN CASE WHEN p.maritalStatus IN ['Married', 'Widowed']
+      |  THEN 'ever' ELSE 'other' END AS b, count(*) AS n
+      |ORDER BY b""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("ever", 606L), ("other", 2120L)))
+  }
 }
