@@ -2679,17 +2679,25 @@ object CypherLite {
       // truncation stays toward zero as Neo4j's accessors read.
       case "durbetweenyears" | "durbetweenmonths" =>
         val Seq(a0, b0) = nArgs(2, 2)
-        val a = to_date(a0); val b = to_date(b0)
+        // full-timestamp comparison: on the boundary DAY a month only
+        // completes once the end's time-of-day reaches the start's
+        // (java.time over LocalDateTime — review finding; date inputs
+        // read midnight, so the tiebreak is a no-op for them and the
+        // DuckDB date oracles replay unchanged)
+        val ta = to_timestamp(a0); val tb = to_timestamp(b0)
+        def sod(t: Column): Column =
+          unix_timestamp(t) - unix_timestamp(to_date(t).cast("timestamp"))
         def wholeMonths(x: Column, y: Column): Column =
           (lit(12) * (year(y) - year(x)) + (month(y) - month(x)) -
-            when(dayofmonth(y) < dayofmonth(x), 1)
+            when(dayofmonth(y) < dayofmonth(x) ||
+                (dayofmonth(y) === dayofmonth(x) && sod(y) < sod(x)), 1)
               .otherwise(0)).cast("long")
         if (name == "durbetweenmonths")
-          when(b >= a, wholeMonths(a, b))
-            .otherwise(-wholeMonths(b, a)).cast("long")
+          when(tb >= ta, wholeMonths(ta, tb))
+            .otherwise(-wholeMonths(tb, ta)).cast("long")
         else
-          when(b >= a, floor(wholeMonths(a, b) / 12))
-            .otherwise(-floor(wholeMonths(b, a) / 12)).cast("long")
+          when(tb >= ta, floor(wholeMonths(ta, tb) / 12))
+            .otherwise(-floor(wholeMonths(tb, ta) / 12)).cast("long")
       case "durinseconds" =>
         val Seq(a, b) = nArgs(2, 2)
         unix_timestamp(to_timestamp(b)) - unix_timestamp(to_timestamp(a))
@@ -3694,13 +3702,22 @@ object CypherLite {
           // instead of 700). Temporal arithmetic keeps the verbatim
           // route (the RHS compilers pattern-match its exact shape);
           // a numeric fold that fails (non-finite) parenthesizes.
+          // Guards (review findings): operator chars are probed on the
+          // QUOTE-BLANKED text (a '-' inside a list member like
+          // ['NEW-YORK'] is not arithmetic), bracketed list constants
+          // never fold, a parse failure falls back to the verbatim
+          // route, and folded doubles render as PLAIN decimals (the
+          // use-site arithmetic grammar reads no E-notation).
+          val blankedVal = valTxt.replaceAll("'[^']*'", "''")
           val subTxt =
-            if (idents.isEmpty && valTxt.exists("+-*/%^".contains(_)) &&
-                !valTxt.startsWith("'"))
-              evalNumArith(parseArith(valTxt)) match {
+            if (idents.isEmpty && blankedVal.exists("+-*/%^".contains(_)) &&
+                !valTxt.startsWith("'") && !valTxt.startsWith("["))
+              (try evalNumArith(parseArith(valTxt))
+               catch { case _: IllegalArgumentException => None }) match {
                 case Some(l: Long) => l.toString
                 case Some(d: Double) if d.isFinite =>
-                  BigDecimal(d).toString
+                  val s = BigDecimal(d).bigDecimal.toPlainString
+                  if (s.contains('.')) s else s + ".0"
                 case _ => s"($valTxt)"
               }
             else valTxt
@@ -4453,7 +4470,8 @@ object CypherLite {
               case _      => c => size(filter(c, f)) === 1 // single
             }
             AtomE(a2, p2, c =>
-              mk(split(c, java.util.regex.Pattern.quote(delim), -1)))
+              mk(split(c,
+                java.util.regex.Pattern.quote(restoreApos(delim)), -1)))
           // ARITHMETIC membership — `c.key % 5 IN [0, 1]`: the LHS
           // compiles as arithmetic, the list as an OR of equalities
           // (small literal lists only — the shape LLMs emit)
@@ -5346,11 +5364,16 @@ object CypherLite {
     val ReduceItemRe =
       """(?is)^reduce\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^,]+?)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*\|\s*(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     def topBar(s: String): Option[Int] = {
-      var inQ = false; var i = 0
+      // bracket-aware: a relationship ALTERNATION pipe inside an edge
+      // token (`[(p)-[:RX|RY]->(x) | x.tag]`) or a nested list
+      // literal must not be mistaken for the comprehension's value bar
+      var inQ = false; var depth = 0; var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '\'') inQ = !inQ
-        else if (c == '|' && !inQ) return Some(i)
+        else if (!inQ && c == '[') depth += 1
+        else if (!inQ && c == ']') depth -= 1
+        else if (c == '|' && !inQ && depth == 0) return Some(i)
         i += 1
       }
       None
@@ -6064,7 +6087,7 @@ object CypherLite {
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(CaseCompiled(Seq(alias -> prop), res => {
               val base = split(res(alias, Some(prop)),
-                java.util.regex.Pattern.quote(delim), -1)
+                java.util.regex.Pattern.quote(restoreApos(delim)), -1)
               val filtered = condF.map(f => filter(base, f)).getOrElse(base)
               exprF.map(f => transform(filtered, f)).getOrElse(filtered)
             })))
@@ -6443,10 +6466,15 @@ object CypherLite {
               case Some(m) =>
                 var i = m.end
                 var depth = 1
+                // quote-aware: a '{'/'}' INSIDE a string literal of
+                // the subquery body is text, not structure (review
+                // finding — `WHERE x.tag = '}'` closed the scan early)
+                var inQ = false
                 while (i < txt.length && depth > 0) {
                   txt.charAt(i) match {
-                    case '{' => depth += 1
-                    case '}' => depth -= 1
+                    case '\'' => inQ = !inQ
+                    case '{' if !inQ => depth += 1
+                    case '}' if !inQ => depth -= 1
                     case _ =>
                   }
                   i += 1
@@ -8445,6 +8473,11 @@ object CypherLite {
       p.patternPreds.flatMap(_.steps) ++
       p.countPreds.flatMap(_._1.steps) ++
       p.orFlagPreds.flatMap(_._1.steps) ++
+      // pattern COMPREHENSIONS walk sub-patterns too — their inferred
+      // alternation/any-node labels need the same view mounts
+      // (review finding: a comp step filled with `A|B` crashed on an
+      // unmounted union view where the EXISTS{} spelling worked)
+      p.patternComps.map(_.pred).flatMap(_.steps) ++
       p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
     // pattern-predicate locals are NOT in p.labels (EXISTS scoping) —
     // an unlabeled local (`NOT (c)-[:R]->()`) still needs the
@@ -8452,7 +8485,8 @@ object CypherLite {
     val anyNodeNeeded = p.labels.valuesIterator.contains("") ||
       p.patternPreds.exists(_.steps.exists(_.node.label.isEmpty)) ||
       p.countPreds.exists(_._1.steps.exists(_.node.label.isEmpty)) ||
-      p.orFlagPreds.exists(_._1.steps.exists(_.node.label.isEmpty))
+      p.orFlagPreds.exists(_._1.steps.exists(_.node.label.isEmpty)) ||
+      p.patternComps.exists(_.pred.steps.exists(_.node.label.isEmpty))
     val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
     if (untyped) assertGloballyUniqueIds(g0)
     val g1 =
