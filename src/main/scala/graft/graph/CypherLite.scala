@@ -4699,6 +4699,29 @@ object CypherLite {
       val w = rewriteSizeDegree(w0)
       val kept = Seq.newBuilder[String]
       var any = false
+      // a conjunct that is ONE parenthesized GROUP (`((p)-[:A]->() OR
+      // p.x = 1)`) is boolean STRUCTURE, not a chain — the chain
+      // parser would choke on the doubled paren; route it to the
+      // flag-rewrite branch below, which handles chains inside any
+      // boolean nesting (probe batch 5)
+      def wholeParenGroup(s: String): Boolean = {
+        val t = s.trim
+        if (!t.startsWith("(") || !t.endsWith(")")) false
+        else {
+          var depth = 0; var inQ = false; var i = 0; var wraps = true
+          while (i < t.length) {
+            val c = t.charAt(i)
+            if (c == '\'') inQ = !inQ
+            else if (!inQ && c == '(') depth += 1
+            else if (!inQ && c == ')') {
+              depth -= 1
+              if (depth == 0 && i < t.length - 1) wraps = false
+            }
+            i += 1
+          }
+          wraps && depth == 0
+        }
+      }
       for (c <- splitTop(w, "AND")) c match {
         case PatPredExistsBraceRe(not, body) =>
           patternPreds += parsePatternPredChain(not != null,
@@ -4725,13 +4748,15 @@ object CypherLite {
         case PatPredBareNotRe(body)
             if PatternShapeRe.findFirstIn(body).isDefined &&
               !body.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") &&
-              splitTop(body, "OR").size == 1 =>
+              splitTop(body, "OR").size == 1 &&
+              !wholeParenGroup(body) =>
           patternPreds += parsePatternPredChain(negated = true, body)
           any = true
         case c2 if c2.startsWith("(") &&
             PatternShapeRe.findFirstIn(c2).isDefined &&
             !c2.matches("(?is).*\\b(EXISTS|COUNT)\\s*\\{.*") &&
-            splitTop(c2, "OR").size == 1 =>
+            splitTop(c2, "OR").size == 1 &&
+            !wholeParenGroup(c2) =>
           patternPreds += parsePatternPredChain(negated = false, c2)
           any = true
         case other =>
@@ -5421,6 +5446,10 @@ object CypherLite {
         structOk: String => Boolean = _ => false): Seq[ReturnItem] = {
       val raws = splitTopComma(r).toIndexedSeq
         .map(stripIdWrap).map(rewriteTemporalAcc)
+        // `size((p)-[:R]->()) AS deg` in ITEM position — the same
+        // degree→COUNT{} rewrite the WHERE route applies (probe
+        // batch 5; the COUNT-brace item route takes it from there)
+        .map(rewriteSizeDegree)
       // hidden aggregate items synthesized by the arith-over-agg
       // route (`max(x) - min(x) AS r`) — appended after the
       // user-name check (their `__agg_` names are engine-reserved)

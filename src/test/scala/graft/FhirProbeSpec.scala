@@ -270,4 +270,30 @@ class FhirProbeSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
     assert(r === Seq(("ever", 606L), ("other", 2120L)))
   }
+
+  // ——— probe batch 5 (round 15): boolean nesting, degree items ———
+
+  test("De Morgan consistency: NOT a OR NOT b = total - both (2694)") {
+    // 32 patients have BOTH edge kinds (pinned above); 2726 - 32
+    assert(one("MATCH (p:Patient) WHERE NOT (p)-[:EXPERIENCES]->() OR " +
+      "NOT (p)-[:HAS_IMMUNIZATION]->() RETURN count(*) AS n") === 2694L)
+  }
+
+  test("chain AND parenthesized (chain OR prop) group compiles") {
+    val n = one("MATCH (p:Patient) WHERE (p)-[:EXPERIENCES]->() AND " +
+      "((p)-[:HAS_IMMUNIZATION]->() OR p.gender = 'Female') " +
+      "RETURN count(*) AS n")
+    // subset check against the pinned components: both-edges = 32,
+    // so the group admits at least those plus allergy-Female patients
+    assert(n === 77L)
+  }
+
+  test("degree as a RETURN item rides the COUNT{} rewrite") {
+    val r = q("""MATCH (p:Patient) WHERE p.id <= 3
+      |RETURN p.id AS id,
+      |  size((p)-[:EXPERIENCES|HAS_IMMUNIZATION]->()) AS deg
+      |ORDER BY id""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
 }
