@@ -4633,6 +4633,16 @@ object CypherLite {
       var outerPredsL: Seq[RowPred] = Seq.empty
       var stepsL: Seq[PatternStep] = local.toSeq
       for (w <- whereTxt) {
+        // NESTED subqueries inside a sub-pattern's WHERE (`EXISTS {
+        // … WHERE EXISTS { … } }`, probe batch 6) would otherwise
+        // die deep in the arithmetic parser — pointed reject naming
+        // the flattening most LLM emissions admit
+        require(!w.replaceAll("'[^']*'", "''")
+            .matches("(?is).*\\b(EXISTS|COUNT)\\s*[({].*"),
+          "nested EXISTS/COUNT subqueries inside a sub-pattern WHERE " +
+            "are unsupported — flatten to one multi-hop chain " +
+            "(`EXISTS { MATCH (p)-[:A]->(x)<-[:B]-(y) }`) or stage " +
+            "the inner test with WITH first")
         val localAliases = bound.keySet.toSeq.filterNot(boundBefore).toSet
         val ns = PatternNode(bound(anchor), anchor) +: stepsL.map(_.node)
         // EXISTS-internal WHEREs may read OTHER outer-bound aliases
@@ -5600,6 +5610,16 @@ object CypherLite {
           ReturnItem(Some(f), d, "", None, name,
             caseC = Some(CaseCompiled(Seq.empty,
               res => res(target, None).getField(prop))))
+        // count over a declared PATH VARIABLE — each output row IS
+        // one path binding, so `count(pth)` ≡ count(*) (probe batch
+        // 6: `MATCH pth = (…) RETURN count(pth)`); other aggregates
+        // and DISTINCT have no path identity here and keep the
+        // generic rejects below
+        case AggItemRe(fn, dist, target, prop, as)
+            if prop == null && dist == null &&
+              fn.equalsIgnoreCase("count") && pathVars.contains(target) =>
+          ReturnItem(Some("count"), distinct = false, "*", None,
+            Option(as).getOrElse(s"count_$target"))
         case AggItemRe(fn, dist, target, prop, as) =>
           val f = fn.toLowerCase
           val d = dist != null
@@ -6630,13 +6650,37 @@ object CypherLite {
             """\b(__agg_\w+)\.(?i:(year|month|day|week|quarter))\b""".r
               .replaceAllIn(residual,
                 m => s"${m.group(2).toLowerCase}(${m.group(1)})")
-          val ae = parseArithL(residualAcc)
+          val ae0 = parseArithL(residualAcc)
+          // NON-aggregated stage names in the residual (`count(*) *
+          // 100.0 / total`, the percentage idiom over a carried
+          // total — probe batch 6) become IMPLICIT GROUPING KEYS,
+          // exactly Neo4j's rule for expressions mixing aggregates
+          // and variables: each rides a hidden plain item (grouping
+          // key + post-agg column, dropped from the output schema by
+          // the __agg_ cleanup)
+          val stageRefs = arithRefs(ae0).collect {
+            case (a, None) if !a.startsWith("__agg_") && !relVars(a) &&
+              plainOk(a) => a
+          }.distinct
+          val renames = stageRefs.map(a => a -> s"__agg_grp_$a").toMap
+          def renameRefs(e: ArithExpr): ArithExpr = e match {
+            case RefA(a, None) if renames.contains(a) =>
+              RefA(renames(a), None)
+            case NegA(x) => NegA(renameRefs(x))
+            case BinA(op, l, r2) => BinA(op, renameRefs(l), renameRefs(r2))
+            case FnA(n, fa) => FnA(n, fa.map(renameRefs))
+            case other2 => other2
+          }
+          val ae = renameRefs(ae0)
           for ((a, pOpt) <- arithRefs(ae))
             require(pOpt.isEmpty && a.startsWith("__agg_"),
               s"$ctx arithmetic over aggregates may only combine " +
-                "aggregate calls and literals — got '" + a +
+                "aggregate calls, literals, and stage-output names " +
+                "(implicit grouping keys) — got '" + a +
                 pOpt.map("." + _).getOrElse("") + "'")
           extraAggItems ++= subItems
+          extraAggItems ++= stageRefs.map(a =>
+            ReturnItem(None, distinct = false, a, None, renames(a)))
           ReturnItem(None, distinct = false, "", None, as,
             postArith = Some(ae))
         // arithmetic item — `n.a + n.b AS s`, `bal * 2 + 1 AS x`:

@@ -3459,12 +3459,14 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:A) RETURN round(100 * sum(a.num) / count(a), 1) AS pct")
       .as[Double].collect().head
     assert(r3 === 650.0)
-    // non-aggregate refs inside the residual reject pointedly
+    // non-aggregate PROPERTY refs inside the residual reject pointedly
+    // (round 15: bare stage NAMES are implicit grouping keys now, but
+    // alias.prop reads still have no post-agg column to stand on)
     val e = intercept[IllegalArgumentException] {
       CypherLite.query(mathG,
         "MATCH (a:A) RETURN max(a.num) - a.num AS x")
     }
-    assert(e.getMessage.contains("aggregate calls and literals"))
+    assert(e.getMessage.contains("implicit grouping keys"), e.getMessage)
   }
 
   test("disconnected pattern parts join via the WHERE equality link") {
@@ -5179,6 +5181,38 @@ class CypherLiteSpec extends SparkSpec {
           |RETURN count(*) AS n""".stripMargin)
     }
     assert(e.getMessage.contains("WITH DISTINCT"), e.getMessage)
+  }
+
+  test("percentage idiom: stage names mix with aggregates as implicit " +
+      "grouping keys; nested sub-pattern EXISTS rejects pointedly") {
+    // 3 R1 edges total; 2 A nodes → 2 * 100.0 / 3 = 66.67
+    val pct = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B) WITH count(*) AS total
+        |MATCH (a2:A) RETURN round(count(*) * 100.0 / total, 2)
+        |  AS pct""".stripMargin)
+      .as[Double].head()
+    assert(pct === 66.67)
+    // the hidden grouping key does NOT leak into the output schema
+    val cols = CypherLite.query(g,
+      """MATCH (a:A)-[:R1]->(b:B) WITH count(*) AS total
+        |MATCH (a2:A) RETURN count(*) * 100.0 / total AS pct""".stripMargin)
+      .columns.toSeq
+    assert(cols === Seq("pct"))
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A) WHERE EXISTS { MATCH (a)-[:R1]->(b:B)
+          |WHERE EXISTS { MATCH (b)<-[:R2]-(c:C) } }
+          |RETURN count(*) AS n""".stripMargin)
+    }
+    assert(e.getMessage.contains("flatten to one multi-hop chain"),
+      e.getMessage)
+  }
+
+  test("count over a declared path variable counts bindings") {
+    val r = CypherLite.query(g,
+      "MATCH pth = (a:A)-[:R1]->(b:B) RETURN count(pth) AS n")
+      .as[Long].head()
+    assert(r === 3L)
   }
 
   test("stDev/stDevP take arithmetic bodies like the other aggregates") {

@@ -296,4 +296,23 @@ class FhirProbeSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(r === Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
+
+  // ——— probe batch 6 (round 15): percentage idiom, path counts ———
+
+  test("percentage idiom: carried total joins the aggregate residual " +
+      "as an implicit grouping key (779/2726 = 28.6%)") {
+    val pct = q("""MATCH (p:Patient) WITH count(*) AS total
+      |MATCH (p2:Patient) WHERE p2.gender = 'Female'
+      |RETURN round(count(*) * 100.0 / total, 1) AS pct""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(pct === 28.6)
+  }
+
+  test("count(pathVar) counts path bindings (8 shellfish CAUSES paths)") {
+    val r = q("""MATCH pth = (s:Substance {id: 'shellfish'})
+      |  -[:CAUSES]->(a:Allergy)
+      |RETURN count(pth) AS n, max(length(pth)) AS l""".stripMargin)
+      .collect()(0)
+    assert((r.getLong(0), r.getInt(1)) === ((8L, 1)))
+  }
 }
