@@ -3389,6 +3389,26 @@ object GraphOps {
              |  round(stddev_pop(c_acctbal / 100.0), 4) AS sdp
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G148 SCHEMA-AWARE integer division — an integer-TYPED property
+    // ref divides integrally (Neo4j: c_custkey / 100 truncates toward
+    // zero; round 15's static inference covered only literals and
+    // int-returning fns, so `p.id / 10 * 10` silently returned
+    // 1.0-style doubles — the r15 verdict's one wrong-number case).
+    // runStage now reads the attached frame's schema to type refs;
+    // double-typed properties (the acctbal term) keep double
+    // division. DuckDB replays with `//` (floor — equal to truncation
+    // for these positive keys) and plain `/` for the double.
+    QueryDef(
+      "g148_cypher_int_div_typed",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |RETURN c.c_custkey / 100 * 100 AS bucket, count(*) AS n,
+          |  round(min(c.c_acctbal / 100), 2) AS mn""".stripMargin)),
+      Some("""SELECT (c_custkey // 100) * 100 AS bucket,
+             |  count(*) AS n,
+             |  round(min(c_acctbal / 100), 2) AS mn
+             |FROM customer GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

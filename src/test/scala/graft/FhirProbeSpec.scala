@@ -315,4 +315,28 @@ class FhirProbeSpec extends SparkSpec {
       .collect()(0)
     assert((r.getLong(0), r.getInt(1)) === ((8L, 1)))
   }
+
+  // ——— round 16: schema-aware integer division (r15 verdict #1) ———
+
+  test("integer-TYPED property refs divide integrally (Neo4j /)") {
+    // patient_id is a LONG column — p.patient_id / 10 * 10 buckets to
+    // 0, 10, 20 (Neo4j truncating division), NOT 1.0, 2.0, … (the
+    // round-15 silent divergence: double division then *10)
+    val r = q("""MATCH (p:Patient) WHERE p.id <= 25
+      |RETURN DISTINCT p.patient_id / 10 * 10 AS bucket
+      |ORDER BY bucket""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(0L, 10L, 20L))
+    // a double operand anywhere keeps double division
+    val d = q("""MATCH (p:Patient) WHERE p.id = 7
+      |RETURN p.patient_id / 2.0 AS h""".stripMargin).collect()(0).getDouble(0)
+    assert(d === 3.5)
+    // the ratio gotcha: count()/count() is INTEGER division in Neo4j
+    // (1367/2726 = 0) — anchor with 1.0 * for a fraction
+    assert(one("MATCH (p:Patient) RETURN count(p.birthDate) / count(*) " +
+      "AS frac") === 0L)
+    val f = q("MATCH (p:Patient) RETURN 1.0 * count(p.birthDate) / " +
+      "count(*) AS frac").collect()(0).getDouble(0)
+    assert(math.abs(f - 1367.0 / 2726.0) < 1e-9)
+  }
 }
