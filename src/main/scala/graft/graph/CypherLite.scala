@@ -3628,6 +3628,17 @@ object CypherLite {
         """(?:,\s*(-?\d+)\s*)?\)\s*\)""").r
     val s2 = foldUnquotedSpans(s, seg => {
       val s1 = seg
+        // bare relationship shorthands — Neo4j's own docs use them
+        // constantly and LLMs emit them freely (`(p)-->(x)`, the
+        // existence check `(a)--(b)`, the degree idiom
+        // `size((p)-->())`): desugar to the bracket forms the whole
+        // grammar speaks. Anchored between pattern parens (`)…(`) so
+        // arithmetic like `(a) - -(b)` (spaced unary minus) never
+        // matches; order matters — the directed forms fold before
+        // the undirected `--` so its regex can't eat their hyphens.
+        .replaceAll("\\)\\s*-->\\s*\\(", ")-[]->(")
+        .replaceAll("\\)\\s*<--\\s*\\(", ")<-[]-(")
+        .replaceAll("\\)\\s*--\\s*\\(", ")-[]-(")
         .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
         .replaceAll("(?i)\\blower\\s*\\(", "toLower(")
       val sr = RangeIdxRe.replaceAllIn(s1, m => {
@@ -8449,9 +8460,41 @@ object CypherLite {
               // leave the step untyped (the union route matches
               // nothing for the label) instead of throwing; a
               // correct-empty result, not an error. cand non-empty:
-              // expand only when the alternation would pass the
-              // multi-type soundness gate — else keep the untyped
-              // route (global-unique-id contract), unchanged behavior
+              // expand when the alternation passes the multi-type
+              // soundness gate — one shared endpoint pair, or a
+              // SINGLE-HOP directed step over mixed arrivals (the
+              // matchPaths mixed-shape branch: the source side is
+              // uniform by construction here, and the next inference
+              // pass fills the arrival position with the label
+              // alternation that the union-view mount validates).
+              // `(p:Patient)-->(x)` and the degree idiom
+              // `size((p)-->())` land here on heterogeneous graphs;
+              // var-length/undirected keep the untyped global
+              // contract, unchanged behavior.
+              if (cand.nonEmpty && (cand.map(edgeEp).distinct.size == 1 ||
+                  (st.minHops == 1 && st.maxHops == 1))) {
+                steps(i) = st.copy(rel = cand.mkString("|"))
+                changed = true
+              }
+            }
+          }
+          // UNDIRECTED untyped single-hop (`(p)--(:Allergy)`, the
+          // existence-check shorthand): candidates fit EITHER
+          // orientation; expand only when they share ONE endpoint
+          // pair — matchPaths' undirected single-hop branch then
+          // orients by label. Mixed shapes keep the untyped global
+          // contract (orientation-by-label has no unique answer).
+          if (steps(i).rel.isEmpty && steps(i).dir == Both &&
+              steps(i).minHops == 1 && steps(i).maxHops == 1) {
+            val st = steps(i)
+            val fromL = labelOf(froms(i)); val toL = labelOf(st.node.as)
+            if (fromL.nonEmpty && !fromL.contains('|') &&
+                !toL.contains('|')) {
+              val cand = edgeEp.collect {
+                case (rn, (sl, dl)) if
+                  (sl == fromL && (toL.isEmpty || dl == toL)) ||
+                    (dl == fromL && (toL.isEmpty || sl == toL)) => rn
+              }.toSeq.sorted
               if (cand.nonEmpty && cand.map(edgeEp).distinct.size == 1) {
                 steps(i) = st.copy(rel = cand.mkString("|"))
                 changed = true

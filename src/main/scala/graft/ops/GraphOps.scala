@@ -3409,6 +3409,25 @@ object GraphOps {
              |  count(*) AS n,
              |  round(min(c_acctbal / 100), 2) AS mn
              |FROM customer GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G149 BARE relationship shorthands — `-->`, `<--`, `--` (the
+    // forms saturating Neo4j's docs; LLMs emit them constantly):
+    // preprocess desugars them to the bracket forms (`-[]->` …), and
+    // the edge-type inference resolves each hop from the endpoint
+    // labels (region-->nation = HAS_NATION, nation-->customer =
+    // HAS_CUSTOMER; the WHERE chain `(c)-->()` is the has-orders
+    // existence check). DuckDB replays the joins + EXISTS.
+    QueryDef(
+      "g149_cypher_bare_arrows",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (r:region)-->(n:nation)-->(c:customer)
+          |WHERE (c)-->()
+          |RETURN r.r_name AS rg, count(*) AS n""".stripMargin)),
+      Some("""SELECT r_name AS rg, count(*) AS n
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -5062,11 +5062,18 @@ class CypherLiteSpec extends SparkSpec {
         |RETURN (p.born.year / 10) * 10 AS decade""".stripMargin)
       .as[Long].head()
     assert(dec === 2000L)
-    // a PROPERTY operand stays double (SQL behavior, oracle-pinned)
+    // round 16 DELIBERATE re-pin (was 0.5 under the r15 SQL-double
+    // rule): an integer-TYPED property ref now divides integrally —
+    // the schema-backed oracle types a.id as LONG, so 1 / 2 = 0
+    // (Neo4j); a double literal anywhere restores double division
     val half = CypherLite.query(g,
       "MATCH (a:A) WHERE a.id = 1 RETURN a.id / 2 AS h")
+      .as[Long].head()
+    assert(half === 0L)
+    val halfD = CypherLite.query(g,
+      "MATCH (a:A) WHERE a.id = 1 RETURN a.id / 2.0 AS h")
       .as[Double].head()
-    assert(half === 0.5)
+    assert(halfD === 0.5)
     // head-WITH constant folding uses the same integral rule
     val k = CypherLite.query(g,
       """WITH 7 / 2 AS k MATCH (a:A) WHERE a.id > k
