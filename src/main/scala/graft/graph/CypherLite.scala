@@ -3348,6 +3348,16 @@ object CypherLite {
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
         case OrderArithKeyRe(expr, dir) =>
           (expr.trim, dir == null || dir.equalsIgnoreCase("ASC"))
+        // `ORDER BY … NULLS FIRST/LAST` — a SQL-ism Cypher (and
+        // Neo4j) rejects; this engine FIXES Cypher's null ordering
+        // (nulls sort last ascending, first descending), so the
+        // clause has nothing to configure. Pointed reject HERE so the
+        // direction/NULLS tokens never leak into a suggested rewrite.
+        case other if other.matches("(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$") =>
+          throw new IllegalArgumentException(
+            "ORDER BY … NULLS FIRST/LAST is SQL, not Cypher — null " +
+              "ordering here is fixed to Cypher's (nulls last when " +
+              "ascending, first when descending); drop the NULLS clause")
         // any other balanced expression rides through VERBATIM — the
         // resolver compiles it via the caller's full item grammar
         // (nested fn wraps, subscripts: `toInteger(split(c.n,
@@ -3571,13 +3581,37 @@ object CypherLite {
     // verbatim (rewriting it would silently change the string's value
     // and corrupt comparisons against it)
     val s = foldUnquotedSpans(s0out, seg => MapCtorRe.replaceAllIn(seg, m => {
-      val units = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+      val unitsL = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
         .map { kv =>
           val parts = kv.split(":", 2)
           require(parts.length == 2 && parts(1).trim.matches("-?\\d+"),
             s"${m.group(1)}({…}): components are unit: int — got '$kv'")
-          parts(0).trim.toLowerCase -> parts(1).trim.toInt
+          parts(0).trim.toLowerCase -> parts(1).trim.toLong
         }.toMap
+      // epoch components — `datetime({epochSeconds: s})` /
+      // `{epochMillis: ms}` (Neo4j's timestamp-injection ctor): folds
+      // to the UTC instant's local rendering, the same normalization
+      // every other datetime literal here gets. Exclusive of the
+      // calendar components (Neo4j rejects the mix too).
+      if (unitsL.contains("epochseconds") || unitsL.contains("epochmillis")) {
+        require(m.group(1).equalsIgnoreCase("datetime"),
+          "epochSeconds/epochMillis components need datetime({…}), " +
+            "not date({…})")
+        require(unitsL.size == 1,
+          s"${m.group(1)}({…}): epochSeconds/epochMillis stands " +
+            "alone — no other components")
+        val inst = unitsL.get("epochseconds")
+          .map(java.time.Instant.ofEpochSecond)
+          .getOrElse(java.time.Instant.ofEpochMilli(unitsL("epochmillis")))
+        val ldt = java.time.LocalDateTime.ofInstant(inst,
+          java.time.ZoneOffset.UTC)
+        java.util.regex.Matcher.quoteReplacement(s"datetime('$ldt')")
+      } else {
+      val units = unitsL.map { case (k, v) =>
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"${m.group(1)}({…}): component $k out of range")
+        k -> v.toInt
+      }
       val bad = units.keySet --
         Set("year", "month", "day", "hour", "minute", "second")
       require(bad.isEmpty,
@@ -3598,6 +3632,7 @@ object CypherLite {
             units.getOrElse("minute", 0), units.getOrElse("second", 0))
           s"datetime('$t')"
         })
+      }
     }))
     val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
     // quote-aware probe: blank quoted spans first
@@ -6369,6 +6404,82 @@ object CypherLite {
               res => when(res(a, None).isNull, lit(null))
                 .otherwise(struct(fields.map { case (k, b) =>
                   b(res).as(k) }: _*)))))
+        // map LITERAL with AGGREGATE entry values — `{g: p.gender,
+        // n: count(*)} AS row`: Neo4j evaluates aggregate entries
+        // under the same implicit grouping as bare items. Each
+        // aggregate call pulls out as a hidden __agg_ item; each
+        // NON-aggregate entry compiles as a hidden PLAIN item (= an
+        // implicit grouping key); the struct assembles AFTER the
+        // aggregation from the hidden outputs (postCase), and the
+        // __agg_ cleanup drops the helpers from the output schema.
+        case MapLitItemRe(body, as)
+            if splitTopComma(body).exists { kv =>
+              val p2 = kv.split(":", 2)
+              p2.length == 2 && extractAggCalls(p2(1), "x")._2.nonEmpty
+            } =>
+          val seenKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+          var gi = 0
+          val fields: Seq[(String,
+              ((String, Option[String]) => Column) => Column)] =
+            splitTopComma(body).zipWithIndex.map { case (kv, ei) =>
+              val parts = kv.split(":", 2)
+              require(parts.length == 2,
+                s"map literal entries are key: value — got " +
+                  s"'${kv.trim.take(30)}'")
+              val k = parts(0).trim
+              require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"map literal key must be an identifier, got '$k'")
+              require(seenKeys.add(k), s"duplicate map literal key '$k'")
+              val v = parts(1).trim
+              require(!v.startsWith("{"),
+                s"map literal value for '$k' is a nested map — " +
+                  "unsupported (flatten the keys)")
+              if (v.startsWith("'") || v.equalsIgnoreCase("true") ||
+                  v.equalsIgnoreCase("false"))
+                k -> ((_: (String, Option[String]) => Column) =>
+                  lit(literal(v)))
+              else if (v.equalsIgnoreCase("null"))
+                k -> ((_: (String, Option[String]) => Column) => lit(null))
+              else if (extractAggCalls(v, "x")._2.nonEmpty) {
+                // aggregate entry: the arithmetic-over-aggregates
+                // treatment scoped to this entry (`pct: 100.0 *
+                // count(x) / count(*)`)
+                val (residual, calls) = extractAggCalls(v, s"${as}_$ei")
+                val subs = calls.map { case (nm, call) =>
+                  val its = parseItems(s"$call AS aggX", ctx, plainOk,
+                    propOk, aggOk, bareAgg, pathOk, listOk)
+                  require(its.size == 1 && its.head.agg.isDefined,
+                    s"'$call': only aggregate calls may appear inside " +
+                      "an aggregate map entry")
+                  its.head.copy(as = nm)
+                }
+                extraAggItems ++= subs
+                val ae = parseArithL(residual)
+                for ((a2, pOpt) <- arithRefs(ae))
+                  require(pOpt.isEmpty && a2.startsWith("__agg_"),
+                    s"map entry '$k' mixes an aggregate with '" + a2 +
+                      pOpt.map("." + _).getOrElse("") + "' — aggregate " +
+                      "entries combine aggregate calls and literals " +
+                      "only; put the plain value in its own entry")
+                k -> ((res: (String, Option[String]) => Column) =>
+                  arithColumn(ae, res))
+              } else {
+                // plain entry: a hidden grouping item under the
+                // ordinary item grammar (props, arithmetic, fn wraps)
+                val its = parseItems(s"$v AS aggX", ctx, plainOk,
+                  propOk, aggOk, bareAgg, pathOk, listOk)
+                require(its.size == 1 && its.head.agg.isEmpty &&
+                  its.head.postArith.isEmpty && its.head.postCase.isEmpty,
+                  s"map entry '$k': '$v' did not compile to a plain value")
+                val nm = s"__agg_grpm_${as}_$gi"; gi += 1
+                extraAggItems += its.head.copy(as = nm)
+                k -> ((res: (String, Option[String]) => Column) =>
+                  res(nm, None))
+              }
+            }
+          ReturnItem(None, distinct = false, "", None, as,
+            postCase = Some(CaseCompiled(Seq.empty,
+              res => struct(fields.map { case (k, b) => b(res).as(k) }: _*))))
         // map LITERAL — `{name: n.n_name, score: c.x * 2} AS m`
         // (Neo4j returns a map; here a STRUCT whose fields are the
         // written keys in order — DuckDB struct_pack replays).
@@ -6656,7 +6767,13 @@ object CypherLite {
           b.matches("(?is).*(<=|>=|<>|=~|<|>|=|\\bCONTAINS\\b|" +
             "\\bSTARTS\\s+WITH\\b|\\bENDS\\s+WITH\\b|" +
             "\\bIS\\s+(NOT\\s+)?NULL\\b).*") &&
-            !b.contains("(?")
+            !b.contains("(?") &&
+            // an AGGREGATE-bearing body is not a boolean item — a
+            // comparison inside an aggregated CASE (`100.0 *
+            // count(CASE WHEN x = 'y' THEN 1 END) / count(*)`, the
+            // conditional-percentage idiom) falls through to the
+            // arithmetic-over-aggregates route below
+            extractAggCalls(body, "x")._2.isEmpty
         } =>
           ReturnItem(None, distinct = false, "", None, as,
             caseC = Some(compileCase(
@@ -7698,6 +7815,20 @@ object CypherLite {
       out = out.select(items.filterNot(_.as.startsWith("__agg_"))
         .map(ri => col(ri.as)): _*)
     }
+    // Cypher has no date/datetime subtraction (Neo4j demands
+    // duration.between) — Spark's `-` over two temporals yields an
+    // INTERVAL column that would otherwise surface as an un-Cypher-ish
+    // `PT988200H` rendering. One schema read (no execution) turns the
+    // silent divergence into the pointed reject every other
+    // unsupported shape gets.
+    for (f <- out.schema.fields if
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType])
+      throw new IllegalArgumentException(
+        s"'${f.name}' is a temporal difference (an interval) — Cypher " +
+          "has no date/datetime subtraction; use duration.between(a, " +
+          "b).years/.months (calendar) or duration.inDays(a, b).days / " +
+          "duration.inSeconds(a, b).seconds (totals)")
     for (f <- postFilter) out = out.filter(f)
     // Cypher null ordering: null is LARGER than every value — nulls
     // last ascending, first descending (Neo4j). Spark's defaults are

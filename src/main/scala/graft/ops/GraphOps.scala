@@ -3428,6 +3428,75 @@ object GraphOps {
              |JOIN customer ON c_nationkey = n_nationkey
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G150 the CONDITIONAL-PERCENTAGE idiom — aggregates with CASE
+    // bodies composed into aggregate arithmetic (`100.0 * count(CASE
+    // …) / count(*)`, `round(avg(CASE … ELSE 0.0 END) * 100, 1)`):
+    // the boolean-item route no longer hijacks comparison operators
+    // living inside an aggregate call, so these fall through to the
+    // arithmetic-over-aggregates rewrite; the ELSE-less CASE feeds
+    // nulls that count() skips (Cypher aggregation semantics — DuckDB
+    // count agrees natively).
+    QueryDef(
+      "g150_cypher_agg_case_arith",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  round(100.0 * count(CASE WHEN c.c_acctbal > 5000.0
+          |    THEN 1 END) / count(*), 1) AS pct,
+          |  round(avg(CASE WHEN c.c_acctbal > 5000.0 THEN 1.0
+          |    ELSE 0.0 END) * 100, 1) AS pct2""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  round(100.0 * count(CASE WHEN c_acctbal > 5000.0
+             |    THEN 1 END) / count(*), 1) AS pct,
+             |  round(avg(CASE WHEN c_acctbal > 5000.0 THEN 1.0
+             |    ELSE 0.0 END) * 100, 1) AS pct2
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G151 map literals with AGGREGATE entry values — `{nm: …,
+    // n: count(*)} AS row` under Neo4j's implicit grouping: plain
+    // entries ride hidden grouping items, aggregate entries ride
+    // hidden __agg_ items, the struct assembles post-aggregation.
+    // Flattened for the scalar gate like g93; DuckDB replays the
+    // grouped aggregates directly.
+    QueryDef(
+      "g151_cypher_map_agg_entries",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN {nm: n.n_name, n: count(*),
+          |        mx: max(c.c_acctbal)} AS row""".stripMargin)
+        .select(col("row.nm").as("nm"), col("row.n").as("n"),
+          col("row.mx").as("mx"))),
+      Some("""SELECT n_name AS nm, count(*) AS n, max(c_acctbal) AS mx
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G152 GQL postfix quantifiers — `-[:LINKS]->{1,3}` is Neo4j 5's
+    // spelling of `-[:LINKS*1..3]->` (translated to the same
+    // hopBounds at parse; spec-pinned ≡ across {m,n}/{n}/{m,}/+).
+    // Same walk as g8, same recursive-CTE oracle — a path count with
+    // relationship-uniqueness.
+    QueryDef(
+      "g152_cypher_gql_quantifier",
+      (s, d) => {
+        val p = prepared(s, d)
+        val g = PropertyGraph(
+          nodes = Map("node" -> p.nodes),
+          edges = Map("LINKS" -> (("node", "node", p.e))))
+        orderedByAll(graft.graph.CypherLite.query(g,
+          s"MATCH (a:node {id: 'r_$StartRegion'})-[:LINKS]->{1,3}(b:node) " +
+            "RETURN count(*) AS n_paths").localCheckpoint(true))
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |walk(id, depth, eids) AS (
+           |  SELECT 'r_$StartRegion', 0, CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT e.dst, w.depth + 1, list_append(w.eids, e.src || '>' || e.dst)
+           |  FROM walk w JOIN edges e ON e.src = w.id
+           |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
+           |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
     )
   )
 
