@@ -5317,7 +5317,7 @@ object CypherLite {
     val CaseAsRe =
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
-      """(?is)^(count|sum|min|max|avg)\s*\(\s*(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^(count|sum|min|max|avg)\s*\(\s*(?:(DISTINCT)\s+)?(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // collect over a map projection — `collect([DISTINCT] c {.name})
     // AS rows`
     val AggMapProjRe =
@@ -5809,8 +5809,18 @@ object CypherLite {
         // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
         // ELSE 0 END) AS n`, the conditional-count idiom. Tried
         // before the arithmetic cases: a CASE body may contain + - * /
-        case AggCaseRe(fn, body, as) =>
-          ReturnItem(Some(fn.toLowerCase), distinct = false, "", None, as,
+        // balancedParens guard: the greedy CASE…END span must be ONE
+        // call's body — `sum(CASE…END) + sum(CASE…END)` would
+        // otherwise swallow both calls into one body and die in the
+        // CASE parser; unbalanced → fall through to the
+        // arithmetic-over-aggregates extraction below
+        case AggCaseRe(fn, dist, body, as) if balancedParens(body) =>
+          val d = dist != null
+          require(!d || fn.equalsIgnoreCase("count") ||
+            fn.equalsIgnoreCase("sum"),
+            s"DISTINCT over a CASE body is only supported with " +
+              s"count/sum, not ${fn.toLowerCase}")
+          ReturnItem(Some(fn.toLowerCase), distinct = d, "", None, as,
             caseC = Some(compileCase(body, ctx, plainOk, propOk, relVars)))
         // aggregate over a scalar-function wrap — count(DISTINCT
         // toLower(c.seg)); DISTINCT only with count/collect (the
@@ -6779,6 +6789,23 @@ object CypherLite {
             caseC = Some(compileCase(
               s"CASE WHEN $body THEN true WHEN NOT ($body) THEN false END",
               ctx, plainOk, propOk, relVars)))
+        // BOOLEAN over aggregates — `count(*) > 100 AS many` (Neo4j
+        // compiles comparisons over aggregate results as items): the
+        // same two-arm CASE desugar (exact 3VL), re-dispatched so the
+        // CASE-over-aggregates route pulls the calls out as hidden
+        // __agg_ items and compares POST-aggregation. Top-level
+        // comparison only — a comparison inside an aggregate's CASE
+        // body (`count(CASE WHEN x = 'y' …)`) has no top-level
+        // operator and keeps its arithmetic route.
+        case BoolItemRe(body, as)
+            if splitTopCmp(body).isDefined &&
+              extractAggCalls(body, "x")._2.nonEmpty =>
+          val its = parseItems(
+            s"CASE WHEN $body THEN true WHEN NOT ($body) THEN false " +
+              s"END AS $as", ctx, plainOk, propOk, aggOk, bareAgg,
+            pathOk, listOk)
+          extraAggItems ++= its.tail
+          its.head
         // arithmetic OVER aggregates — `max(x) - min(x) AS r`,
         // `100 * sum(a) / count(b) AS pct`: each aggregate call pulls
         // out as a hidden `__agg_` item (compiled recursively by the

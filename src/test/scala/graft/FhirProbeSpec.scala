@@ -370,4 +370,34 @@ class FhirProbeSpec extends SparkSpec {
     assert(one("MATCH (p:Patient) WHERE p.id = 5 " +
       "RETURN (p.id) - -(p.id) AS z") === 10L)
   }
+
+  // ——— probe batch 8 (round 16): aggregate-composition shapes ———
+
+  test("aggregate compositions: DISTINCT CASE, bool-over-agg, CASE sums") {
+    assert(one("MATCH (p:Patient) RETURN count(DISTINCT CASE WHEN " +
+      "p.gender = 'Female' THEN p.id END) AS n") === 779L)
+    assert(one("MATCH (p:Patient) RETURN sum(CASE WHEN p.gender = " +
+      "'Female' THEN 1 ELSE 0 END) + sum(CASE WHEN p.gender = 'Male' " +
+      "THEN 1 ELSE 0 END) AS known") === 1398L)
+    assert(q("MATCH (p:Patient) RETURN count(*) > 100 AS many")
+      .collect()(0).getBoolean(0))
+    // sum(integer-typed)/count(*) divides integrally post-agg (Neo4j;
+    // 3716901 / 2726 = 1363)
+    assert(one("MATCH (p:Patient) RETURN sum(p.patient_id) / count(*) " +
+      "AS m") === 1363L)
+    val msg = q("MATCH (p:Patient) RETURN toString(count(*)) + " +
+      "' patients' AS msg").collect()(0).getString(0)
+    assert(msg === "2726 patients")
+    val iqr = q("MATCH (p:Patient) RETURN percentileCont(p.id, 0.75) - " +
+      "percentileCont(p.id, 0.25) AS iqr").collect()(0).getDouble(0)
+    assert(iqr === 1362.5)
+    // size(collect(x)) counts the non-null collected values
+    assert(q("MATCH (p:Patient) RETURN size(collect(p.gender)) AS n")
+      .collect()(0).getAs[Number](0).longValue === 1398L)
+    // map entry composing an aggregate-CASE percentage
+    val m = q("MATCH (p:Patient) RETURN {cnt: count(*), pct: round(" +
+      "100.0 * count(CASE WHEN p.gender = 'Female' THEN 1 END) / " +
+      "count(*), 1)} AS m").select("m.cnt", "m.pct").collect()(0)
+    assert((m.getLong(0), m.getDouble(1)) === ((2726L, 28.6)))
+  }
 }
