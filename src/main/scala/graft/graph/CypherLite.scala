@@ -1189,18 +1189,32 @@ object CypherLite {
     c => arithColumn(ae, (_, _) => c)
   }
 
-  /** Compile a one-variable BOOLEAN lambda (`x % 2 = 0`, `x > 3`)
-    * for filter()/exists()/forall().
+  /** Compile a one-variable BOOLEAN lambda (`x % 2 = 0`, `x > 3`,
+    * `t CONTAINS 'flu'`, `x STARTS WITH 'F'`) for
+    * filter()/exists()/forall(). String operators take a string
+    * LITERAL operand (the traits-contains idiom — probe batch 9);
+    * `=~` anchors whole-string like every other regex site here.
     */
   private def lambdaCond(varName: String, text: String): Column => Column =
-    splitTopCmp(text.trim) match {
+    splitTopStrOp(text.trim) match {
       case Some((lt, op, rt)) =>
-        val l = lambdaVal(varName, lt)
-        val r = lambdaVal(varName, rt)
-        c => opBuilder2(op)(l(c), r(c))
-      case None => throw new IllegalArgumentException(
-        s"list predicates must be a comparison over '$varName': " +
-          s"'${text.take(40)}'")
+        val l = lambdaVal(varName, lt.trim)
+        val pat = literal(rt.trim) match {
+          case s: String => s
+          case o => throw new IllegalArgumentException(
+            s"list-predicate $op needs a string literal operand, got '$o'")
+        }
+        if (op == "=~") { c => l(c).rlike(s"^(?:$pat)$$") }
+        else { c => opBuilder2(op)(l(c), lit(pat)) }
+      case None => splitTopCmp(text.trim) match {
+        case Some((lt, op, rt)) =>
+          val l = lambdaVal(varName, lt)
+          val r = lambdaVal(varName, rt)
+          c => opBuilder2(op)(l(c), r(c))
+        case None => throw new IllegalArgumentException(
+          s"list predicates must be a comparison over '$varName': " +
+            s"'${text.take(40)}'")
+      }
     }
 
   /** An RHS that the PLAIN operand grammar already handles — a quoted
@@ -3150,9 +3164,24 @@ object CypherLite {
   private def parseProps(s: String): Column = {
     val body = s.stripPrefix("{").stripSuffix("}").trim
     require(body.nonEmpty, "empty property map")
-    val conds = body.split(",").map { kv =>
+    // quote-aware split: `{tag: 'a, b'}` keeps its quoted comma
+    val conds = splitTopComma(body).map { kv =>
       val Array(k, v) = kv.split(":", 2).map(_.trim)
-      col(k) === lit(literal(v))
+      val value =
+        try literal(v)
+        catch {
+          case _: IllegalArgumentException
+              if v.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                !v.matches("(?i)true|false|null") =>
+            // `{gender: g}` binding a carried NAME — a pattern Neo4j
+            // allows but this engine's inline maps compile to node
+            // predicates (literals only); point at the WHERE spelling
+            // that compiles to the stage-aware row filter
+            throw new IllegalArgumentException(
+              s"inline property maps take literals only — '$k: $v' " +
+                s"references a name; spell it WHERE <alias>.$k = $v")
+        }
+      col(k) === lit(value)
     }
     conds.reduce(_ && _)
   }
@@ -7388,8 +7417,24 @@ object CypherLite {
           // safe, exact compile of Neo4j's cartesian-with-one-row)
           val oneRowStage = items.nonEmpty &&
             items.forall(_.agg.isDefined) && unwinds.isEmpty
+          // a MULTI-row stage admits a fresh anchor too when the
+          // clause WHERE references a stage output (`WITH p.gender AS
+          // g, count(*) AS n MATCH (p2:Patient) WHERE p2.gender = g`,
+          // the correlated re-match idiom): the compile is the same
+          // crossJoin + post-join stage filter, and Catalyst merges
+          // an equality filter into the join condition (an equi-join,
+          // not a cartesian). An UNCONSTRAINED fresh match over a
+          // multi-row stage stays a pointed reject — a deliberate
+          // cartesian must go through a one-row stage.
+          val stageRefWhere = whereOpt.exists { w0 =>
+            val blanked = w0.replaceAll("'[^']*'", "''")
+            (outNames ++ unwinds.map(_._2)).exists(o =>
+              ("(?s).*\\b" + java.util.regex.Pattern.quote(o) + "\\b.*").r
+                .matches(blanked))
+          }
           val rootOpt = parseChain(chains.head, ci, clauseSteps,
-            optional = isOpt, allowNewComponent = !isOpt && oneRowStage)
+            optional = isOpt,
+            allowNewComponent = !isOpt && (oneRowStage || stageRefWhere))
           ci += 1
           require(clauseSteps.nonEmpty || rootOpt.isDefined,
             "MATCH after WITH needs at least one edge (a bare re-anchor " +

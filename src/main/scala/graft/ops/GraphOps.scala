@@ -3497,6 +3497,29 @@ object GraphOps {
            |  FROM walk w JOIN edges e ON e.src = w.id
            |  WHERE w.depth < 3 AND NOT list_contains(w.eids, e.src || '>' || e.dst))
            |SELECT count(*) AS n_paths FROM walk WHERE depth >= 1""".stripMargin)
+    ),
+    // G153 CORRELATED fresh re-match after a grouped WITH — `WITH
+    // n.n_name AS nm, max(…) AS mx MATCH (c2:customer) WHERE
+    // c2.c_acctbal >= mx` (the per-group-threshold idiom): the fresh
+    // anchor cross-joins the multi-row stage and the stage-referencing
+    // WHERE filters post-join — Catalyst merges the predicate into
+    // the join condition (plan-checked: SortMergeJoin on the keys, no
+    // CartesianProduct). An UNCONSTRAINED fresh match over a
+    // multi-row stage stays a pointed reject.
+    QueryDef(
+      "g153_cypher_correlated_rematch",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |WITH n.n_name AS nm, max(c.c_acctbal) AS mx
+          |MATCH (c2:customer) WHERE c2.c_acctbal >= mx
+          |RETURN nm, count(*) AS n""".stripMargin)),
+      Some("""WITH t AS (
+             |  SELECT n_name AS nm, max(c_acctbal) AS mx
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  GROUP BY 1)
+             |SELECT t.nm AS nm, count(*) AS n
+             |FROM t JOIN customer c2 ON c2.c_acctbal >= t.mx
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

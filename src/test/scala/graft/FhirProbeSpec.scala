@@ -400,4 +400,60 @@ class FhirProbeSpec extends SparkSpec {
       "count(*), 1)} AS m").select("m.cnt", "m.pct").collect()(0)
     assert((m.getLong(0), m.getDouble(1)) === ((2726L, 28.6)))
   }
+
+  // ——— probe batch 9 (round 16): list string ops, correlated re-match ———
+
+  test("list predicates take string operators (3VL over null lists)") {
+    val f = q("MATCH (p:Patient) WITH collect(DISTINCT p.gender) AS gs " +
+      "RETURN [x IN gs WHERE x STARTS WITH 'F'] AS f")
+      .collect()(0).getSeq[String](0)
+    assert(f === Seq("Female"))
+    // any(CONTAINS) over split traits ≡ whole-string CONTAINS (the
+    // pattern has no ', ' so it cannot straddle element boundaries)
+    assert(one("MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization) " +
+      "WHERE any(t IN split(i.traits, ', ') WHERE t CONTAINS 'flu') " +
+      "RETURN count(DISTINCT p) AS n") === 221L)
+    assert(one("MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization) " +
+      "WHERE i.traits CONTAINS 'flu' RETURN count(DISTINCT p) AS n")
+      === 221L)
+    // any + none partition the NON-NULL pairs: 145 + 261 = 406, and
+    // the 5 null-traits pairs drop from BOTH (Cypher 3VL) = 411 total
+    assert(one("MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization) " +
+      "WHERE none(t IN split(i.traits, ', ') WHERE t ENDS WITH 'ine') " +
+      "RETURN count(*) AS n") === 261L)
+    assert(one("MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization) " +
+      "WHERE any(t IN split(i.traits, ', ') WHERE t ENDS WITH 'ine') " +
+      "RETURN count(*) AS n") === 145L)
+    assert(one("MATCH (p:Patient)-[:HAS_IMMUNIZATION]->(i:Immunization) " +
+      "WHERE i.traits IS NULL RETURN count(*) AS n") === 5L)
+  }
+
+  test("correlated fresh re-match after a grouped WITH") {
+    val rows = q("""MATCH (p:Patient) WHERE p.gender IS NOT NULL
+      |WITH p.gender AS g, count(*) AS n
+      |MATCH (p2:Patient) WHERE p2.gender = g
+      |RETURN g, count(p2) AS n2 ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("Female", 779L), ("Male", 619L)))
+    // the plan merges the stage equality into the join — no cartesian
+    val d = q("""MATCH (p:Patient) WHERE p.gender IS NOT NULL
+      |WITH p.gender AS g, count(*) AS n
+      |MATCH (p2:Patient) WHERE p2.gender = g
+      |RETURN g, count(p2) AS n2""".stripMargin)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(500))
+    // UNCONSTRAINED fresh match over a multi-row stage stays pointed
+    val e = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) WITH p.gender AS g, count(*) AS n " +
+        "MATCH (p2:Patient) RETURN g, count(p2) AS n2")
+    }
+    assert(e.getMessage.contains("bound alias"))
+    // inline prop map binding a carried NAME: pointed to the WHERE form
+    val e2 = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) WITH p.gender AS g, count(*) AS n " +
+        "MATCH (p2:Patient {gender: g}) RETURN g, count(p2) AS n2")
+    }
+    assert(e2.getMessage.contains("WHERE <alias>.gender = g"))
+  }
 }
