@@ -3502,10 +3502,13 @@ object GraphOps {
     // n.n_name AS nm, max(…) AS mx MATCH (c2:customer) WHERE
     // c2.c_acctbal >= mx` (the per-group-threshold idiom): the fresh
     // anchor cross-joins the multi-row stage and the stage-referencing
-    // WHERE filters post-join — Catalyst merges the predicate into
-    // the join condition (plan-checked: SortMergeJoin on the keys, no
-    // CartesianProduct). An UNCONSTRAINED fresh match over a
-    // multi-row stage stays a pointed reject.
+    // WHERE filters post-join. Catalyst merges an EQUALITY predicate
+    // into an equi-join (FhirProbeSpec plan-pins no cartesian there);
+    // this RANGE predicate compiles to a broadcast nested-loop theta
+    // join with the 25-row stage side broadcast — the honest cost of
+    // a per-group threshold, flat in the fact side (decades 1.4/1.5/
+    // 2.2s). An UNCONSTRAINED fresh match over a multi-row stage
+    // stays a pointed reject.
     QueryDef(
       "g153_cypher_correlated_rematch",
       (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
