@@ -3663,14 +3663,19 @@ object CypherLite {
         })
       }
     }))
-    val NowRe = """(?is)\b(date|datetime|time)\s*\(\s*\)""".r
+    val NowRe = """(?is)\b(date|datetime|time|timestamp|localdatetime|localtime)\s*\(\s*\)""".r
     // quote-aware probe: blank quoted spans first
     val blanked = s.replaceAll("'[^']*'", "''")
-    for (m <- NowRe.findFirstMatchIn(blanked))
+    for (m <- NowRe.findFirstMatchIn(blanked)) {
+      val fn = m.group(1).toLowerCase
+      val lit0 =
+        if (fn == "timestamp" || fn == "localdatetime" || fn == "time" ||
+          fn == "localtime") "datetime" else fn
       throw new IllegalArgumentException(
         s"${m.group(1)}() with no argument is the CURRENT time — " +
           "nondeterministic, unsupported; pass an explicit literal " +
-          s"(${m.group(1)}('2024-01-01…'))")
+          s"($lit0('2024-01-01…'))")
+    }
     // APOC calls (`apoc.text.join(…)`) are a Neo4j plugin surface,
     // not openCypher — pointed reject instead of a deep item misparse
     // (LLMs trained on Neo4j corpora emit them regularly)

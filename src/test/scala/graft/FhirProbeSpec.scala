@@ -456,4 +456,36 @@ class FhirProbeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("WHERE <alias>.gender = g"))
   }
+
+  // ——— probe batch 10 (round 16): confirmation sweep pins ———
+
+  test("batch-10 sweep: WITH *, collect of map literal, label " +
+      "alternation, duration shift, node carry, regex") {
+    assert(one("MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy) WITH * " +
+      "WHERE a.category = 'food' RETURN count(*) AS n") === 56L)
+    val first = q("MATCH (p:Patient) RETURN " +
+      "collect({name: p.surname, id: p.id})[0] AS first").collect()(0)
+      .getStruct(0)
+    assert(first.isNullAt(0) && first.getLong(1) === 676L,
+      "sorted collect: null surname sorts first, id 676")
+    val ns = one("MATCH (s:Substance) RETURN count(*) AS n")
+    val na = one("MATCH (a:Allergy) RETURN count(*) AS n")
+    assert(one("MATCH (x:Substance|Allergy) RETURN count(*) AS n")
+      === ns + na, s"alternation = per-label sum ($ns + $na)")
+    assert(ns + na === 320L)
+    assert(one("MATCH (p:Patient) WHERE p.birthDate + " +
+      "duration({years: 30}) < date('2020-01-01') " +
+      "RETURN count(*) AS n") === 860L)
+    assert(one("MATCH (p:Patient) WITH p LIMIT 10 " +
+      "MATCH (p)-[:EXPERIENCES]->(a:Allergy) RETURN count(a) AS n")
+      === 1L)
+    assert(one("MATCH (s:Substance) WHERE s.id =~ '(?i)pea.*' " +
+      "RETURN count(*) AS n") === 1L, "peanuts")
+    // timestamp()/localdatetime() no-arg = current time: pointed
+    val e = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) RETURN timestamp() AS t LIMIT 1")
+    }
+    assert(e.getMessage.contains("CURRENT time") &&
+      e.getMessage.contains("datetime("))
+  }
 }
