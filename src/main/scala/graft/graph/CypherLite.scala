@@ -3683,6 +3683,45 @@ object CypherLite {
       "apoc.* procedures are a Neo4j plugin, not part of this " +
         "engine — use the built-in function surface (string/list/" +
         "temporal/math fns, collect, reduce, comprehensions)")
+    // SQL-ism slips — models trained on SQL corpora emit these into
+    // Cypher regularly (probe batch 11); each names the Cypher
+    // spelling instead of dying as a generic grammar miss. The
+    // lookbehind keeps property/function names (`duration.between`,
+    // `p.like`) out of the match; quoted text is already blanked.
+    require(!blanked.matches("(?is)^\\s*SELECT\\b.*"),
+      "SELECT is SQL — this engine takes Cypher: MATCH (a:Label) " +
+        "[WHERE …] RETURN items")
+    val SqlIsms: Seq[(String, String)] = Seq(
+      """(?is)(?<![.\w])GROUP\s+BY\b""" ->
+        ("GROUP BY is SQL — Cypher groups IMPLICITLY: the " +
+          "non-aggregate RETURN/WITH items are the grouping keys; " +
+          "drop the clause"),
+      """(?is)(?<![.\w])HAVING\b""" ->
+        ("HAVING is SQL — filter aggregate outputs with a WITH " +
+          "stage (`WITH g, count(*) AS n WHERE n > 100 …`)"),
+      """(?is)(?<![.\w])LIKE\b""" ->
+        ("LIKE is SQL — use STARTS WITH / ENDS WITH / CONTAINS, " +
+          "or =~ with a regex"),
+      """(?is)(?<![.\w])OFFSET\b""" ->
+        "OFFSET is SQL — Cypher spells it SKIP n (before LIMIT)",
+      """(?is)(?<![.\w])TOP\s+\d""" ->
+        "TOP n is T-SQL — use RETURN … ORDER BY … LIMIT n",
+      """(?is)(?<![.\w])BETWEEN\b""" ->
+        ("BETWEEN is SQL — spell the range as two conjuncts " +
+          "(x >= lo AND x <= hi)"),
+      """(?is)\b(?:IFNULL|NVL|ISNULL)\s*\(""" ->
+        "IFNULL/NVL/ISNULL is SQL — Cypher spells it coalesce(value, default)")
+    for ((re, msg) <- SqlIsms if re.r.findFirstIn(blanked).isDefined)
+      throw new IllegalArgumentException(msg)
+    // general CAST is SQL; the one supported form is the temporal
+    // LITERAL cast (`CAST('1998-01-01' AS DATE)`, the reference's own
+    // generated-Cypher shape) — strip those, flag the rest
+    val castStripped = blanked.replaceAll(
+      "(?is)CAST\\s*\\(\\s*'[^']*'\\s*AS\\s+(DATE|TIMESTAMP)\\s*\\)", "")
+    require("""(?i)\bCAST\s*\(""".r.findFirstIn(castStripped).isEmpty,
+      "CAST(x AS T) is SQL — use toInteger()/toFloat()/toString()/" +
+        "toBoolean(); CAST('literal' AS DATE|TIMESTAMP) is the one " +
+        "accepted form (temporal literals)")
     // SQL-ism tolerance: `upper(`/`lower(` (habits from SQL corpora)
     // fold to Cypher's toUpper/toLower — call positions only
     // (quote-aware; a property named `upper` has no '(' after it).
@@ -3710,6 +3749,9 @@ object CypherLite {
         .replaceAll("\\)\\s*--\\s*\\(", ")-[]-(")
         .replaceAll("(?i)\\bupper\\s*\\(", "toUpper(")
         .replaceAll("(?i)\\blower\\s*\\(", "toLower(")
+        // SQL's row-count spelling — Neo4j accepts count(1) as
+        // count-of-a-non-null-constant ≡ count(*); fold textually
+        .replaceAll("(?i)\\bcount\\s*\\(\\s*1\\s*\\)", "count(*)")
       val sr = RangeIdxRe.replaceAllIn(s1, m => {
         val a = m.group(1).toLong
         val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)

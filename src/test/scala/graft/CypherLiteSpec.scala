@@ -4314,6 +4314,39 @@ class CypherLiteSpec extends SparkSpec {
     assert(m.contains("NULLS FIRST/LAST is SQL") && !m.contains("DESC"))
   }
 
+  test("round-16 SQL-ism battery: pointed rejects naming the Cypher form") {
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG, q)
+    }.getMessage
+    assert(rej("MATCH (a:A) RETURN a.tag, count(*) GROUP BY a.tag")
+      .contains("groups IMPLICITLY"))
+    assert(rej("MATCH (a:A) RETURN a.tag AS t, count(*) AS n HAVING n > 1")
+      .contains("WITH stage"))
+    assert(rej("SELECT tag, count(*) FROM A GROUP BY tag")
+      .contains("SELECT is SQL"))
+    assert(rej("MATCH (a:A) RETURN TOP 5 a.id AS i").contains("T-SQL"))
+    assert(rej("MATCH (a:A) RETURN a.id AS i LIMIT 5 OFFSET 2")
+      .contains("SKIP n"))
+    assert(rej("MATCH (a:A) WHERE a.tag LIKE 'a%' RETURN count(*) AS n")
+      .contains("STARTS WITH"))
+    assert(rej("MATCH (a:A) WHERE a.num BETWEEN 1.0 AND 5.0 " +
+      "RETURN count(*) AS n").contains("two conjuncts"))
+    assert(rej("MATCH (a:A) RETURN CAST(a.id AS STRING) AS s")
+      .contains("toString()"))
+    assert(rej("MATCH (a:A) RETURN IFNULL(a.tag, 'x') AS t")
+      .contains("coalesce"))
+    // count(1) is the one SQL-ism that FOLDS (Neo4j accepts it too)
+    assert(CypherLite.query(mathG,
+      "MATCH (a:A) RETURN count(1) AS n").as[Long].head() === 2L)
+    // guards: property/fn names containing the keywords stay legal
+    val gLike = PropertyGraph(
+      nodes = Map("N" -> Seq((1L, "x")).toDF("id", "like")),
+      edges = Map.empty)
+    assert(CypherLite.query(gLike,
+      "MATCH (n:N) WHERE n.like = 'x' RETURN count(*) AS n")
+      .as[Long].head() === 1L)
+  }
+
   test("week/quarter accessors fold to weekofyear/quarter") {
     val dg = PropertyGraph(
       nodes = Map("O" -> Seq((1L, "1998-01-05"), (2L, "1998-07-10"))
