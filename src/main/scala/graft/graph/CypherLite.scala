@@ -4704,6 +4704,16 @@ object CypherLite {
               if (op == "=~") (lc, _) => lc.rlike(s"^(?:$pat)$$")
               else opBuilder2(op)
             ArithCmpE(l, StrA(pat), cmp)
+          // a quantifier whose source is NOT an inline split (a
+          // carried list output, a literal list beside refs): the
+          // split forms matched above, so point at the two supported
+          // spellings instead of the generic grammar miss
+          case other if other.matches(
+              "(?is)^(any|all|none|single)\\s*\\(.*") =>
+            fail("list quantifiers in a pattern WHERE take an inline " +
+              "split(alias.prop, 'delim') source; over a carried list " +
+              "output, quantify in the WITH WHERE stage or spell " +
+              "membership as `alias.prop IN listOut`", other)
           case other => fail(
             "WHERE conditions must be [fn](alias.prop) OP operand " +
               s"(fn: $ScalarFnAlt)", other)

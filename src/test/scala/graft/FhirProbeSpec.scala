@@ -488,4 +488,35 @@ class FhirProbeSpec extends SparkSpec {
     assert(e.getMessage.contains("CURRENT time") &&
       e.getMessage.contains("datetime("))
   }
+
+  // ——— probe batch 12 (round 16): paths, stage-list membership ———
+
+  test("batch-12: nodes()/relationships(), shortestPath, IN stage list") {
+    val r = q("""MATCH pth = (s:Substance {id: 'shellfish'})
+      |  -[:CAUSES]->(a:Allergy)
+      |RETURN nodes(pth) AS ns, relationships(pth) AS rs
+      |ORDER BY ns LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0).head === "shellfish")
+    assert(r.getSeq[String](1).head.startsWith("CAUSES"))
+    // shortestPath in MATCH: 8 minimal CAUSES paths from shellfish
+    assert(one("MATCH p2 = shortestPath((s:Substance {id: 'shellfish'})" +
+      "-[:CAUSES*1..2]->(a:Allergy)) RETURN count(*) AS n") === 8L)
+    // membership against a carried list output in a post-WITH MATCH
+    assert(one("MATCH (p:Patient) WITH collect(DISTINCT p.gender) AS gs " +
+      "MATCH (p2:Patient) WHERE p2.gender IN gs RETURN count(*) AS n")
+      === 1398L)
+    // EXISTS{} conjunction with NOT EXISTS{} over distinct edge types
+    assert(one("MATCH (s:Substance)-[:CAUSES]->(a:Allergy)" +
+      "<-[:EXPERIENCES]-(p:Patient) " +
+      "WHERE NOT EXISTS { (p)-[:HAS_IMMUNIZATION]->() } " +
+      "AND EXISTS { (p)-[:LIVES_IN]->() } " +
+      "RETURN count(DISTINCT p) AS n") === 46L)
+    // quantifier over a carried list in PATTERN WHERE: pointed steer
+    val e = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) WITH collect(DISTINCT p.gender) AS gs " +
+        "MATCH (p2:Patient) WHERE any(x IN gs WHERE x = p2.gender) " +
+        "RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("IN listOut"))
+  }
 }
