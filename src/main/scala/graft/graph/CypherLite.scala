@@ -2517,6 +2517,16 @@ object CypherLite {
     // exactly in the decimal domain and truncate: subtracting l % r
     // first makes the division exact, so no rounding mode and no
     // double-precision ceiling on big longs.
+    // LITERAL zero divisors reject at parse — Neo4j's "/ by zero" at
+    // plan time instead of a runtime Spark ANSI exception advising
+    // try_divide/try_mod (a non-literal divisor that evaluates to 0
+    // still fails loudly at runtime — a documented divergence from
+    // Neo4j's float Infinity, consistent with the engine's
+    // no-NaN/Infinity output contract)
+    case BinA('/' | '%', _, NumA(z)) if z == 0L || z == 0.0 =>
+      throw new IllegalArgumentException(
+        "division by zero — guard the divisor (CASE WHEN d = 0 THEN " +
+          "null ELSE x / d END)")
     case BinA('/', l, r) if intLikeA(l, refInt) && intLikeA(r, refInt) =>
       val lc = arithColumn(l, resolve, refInt)
       val rc = arithColumn(r, resolve, refInt)

@@ -4338,6 +4338,14 @@ class CypherLiteSpec extends SparkSpec {
     // count(1) is the one SQL-ism that FOLDS (Neo4j accepts it too)
     assert(CypherLite.query(mathG,
       "MATCH (a:A) RETURN count(1) AS n").as[Long].head() === 2L)
+    // literal zero divisors reject at parse (Neo4j "/ by zero"),
+    // not as a runtime Spark ANSI exception advising try_divide
+    assert(rej("MATCH (a:A) RETURN 7 / 0 AS x")
+      .contains("division by zero"))
+    assert(rej("MATCH (a:A) RETURN a.num % 0 AS x")
+      .contains("division by zero"))
+    assert(rej("MATCH (a:A) RETURN a.num / 0.0 AS x")
+      .contains("division by zero"))
     // guards: property/fn names containing the keywords stay legal
     val gLike = PropertyGraph(
       nodes = Map("N" -> Seq((1L, "x")).toDF("id", "like")),
