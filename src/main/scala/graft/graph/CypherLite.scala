@@ -4493,9 +4493,10 @@ object CypherLite {
           // label is STATIC here (its table is fixed at parse), so
           // the test folds to a constant: true when the alias's
           // label(s) all sit inside the predicate's set, false when
-          // disjoint. A per-row mix over an alternation view rejects
-          // (no label column rides the union), as does an unlabeled
-          // alias (the any-node view is label-blind).
+          // disjoint. A PARTIAL overlap over an alternation view is a
+          // genuine per-row member test — it reads the union view's
+          // __label column. An unlabeled alias still rejects (the
+          // any-node view is label-blind).
           case LabelPredRe(a, lblTxt) if bound.contains(a) || relVars(a) =>
             require(!relVars(a),
               s"'$a:$lblTxt': '$a' is a relationship variable — test " +
@@ -4507,11 +4508,15 @@ object CypherLite {
                 "view carries no label; declare a :Label in the pattern")
             val members = have.split('|').toSet
             val hit = members.subsetOf(want)
-            require(hit || members.intersect(want).isEmpty,
-              s"'$a:$lblTxt' over alternation :$have mixes members — " +
-                "per-row label tests are unsupported; query the labels " +
-                "separately")
-            AtomE(a, "id", _ => lit(hit))
+            if (hit || members.intersect(want).isEmpty)
+              AtomE(a, "id", _ => lit(hit))
+            else {
+              // PARTIAL overlap over an alternation: a genuine
+              // per-row member test — reads the union view's
+              // __label column (mounted per member at query build)
+              val keep = members.intersect(want).toSeq.sorted
+              AtomE(a, "__label", c => c.isin(keep: _*))
+            }
           case WhereNullRe(a, p, not) =>
             checkAlias(a, p)
             AtomE(a, p, c => if (not != null) c.isNotNull else c.isNull)
@@ -6366,26 +6371,21 @@ object CypherLite {
             "arith over acc/x) AS out` over a list-typed stage output " +
             "(the init literal anchors the fold type: 0.0 for doubles)",
             other)
-        // labels(n) — static single-label list (this engine's data
-        // model); pattern scope only (a carried alias may be renamed)
+        // labels(n) — deferred to query build through the schemaFn
+        // channel (like keys()/properties()): a single label folds
+        // static there, an ALTERNATION alias reads the union view's
+        // per-row __label column, and edge-type inference has run by
+        // then (`MATCH (p:Patient)-->(x) RETURN labels(x)` resolves
+        // x's inferred arrival alternation instead of rejecting at
+        // parse). Pattern scope only (a carried alias may be renamed).
         case LabelsItemRe(a, as) if pathOk && bound.contains(a) =>
-          val lbl = bound(a)
-          require(lbl.nonEmpty,
-            s"labels($a): alias '$a' is unlabeled (the any-node view " +
-              "carries no label)")
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, _ => array(lit(lbl)))))
-        // `labels(n)[0] AS l` — single-label model: index 0 is the
-        // label, anything else is out of range (null, Cypher reads)
+            schemaFn = Some(("labels", a)))
+        // `labels(n)[0] AS l` — index 0 / -1 is the label, anything
+        // else is out of range (null, Cypher reads)
         case LabelsIdxItemRe(a, idx, as) if pathOk && bound.contains(a) =>
-          val lbl = bound(a)
-          require(lbl.nonEmpty,
-            s"labels($a): alias '$a' is unlabeled (the any-node view " +
-              "carries no label)")
-          val v = if (idx.toInt == 0 || idx.toInt == -1) lit(lbl)
-            else lit(null)
           ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty, _ => v)))
+            schemaFn = Some((s"labels_idx:$idx", a)))
         case other if other.matches("(?is)^labels\\s*\\(.*") =>
           fail("labels() takes a labeled pattern alias (pattern scope " +
             "only) and an AS name", other)
@@ -7786,12 +7786,41 @@ object CypherLite {
             caseC = Some(CaseCompiled(Seq.empty, res =>
               element_at(split(res(v, None), "\u0000"), part)
                 .cast(idT))))
+        // labels(n): a single label folds to the static one-element
+        // list (old behavior, spec-pinned); an ALTERNATION alias
+        // reads the union view's per-row __label column (attached
+        // like any property — the refs drive the join)
+        case Some((fn, a)) if fn == "labels" || fn.startsWith("labels_idx:") =>
+          val lbl = aliasLabel(a).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"labels($a): alias '$a' is unlabeled (the any-node " +
+                "view carries no label)"))
+          val idxOpt = if (fn == "labels") None
+            else Some(fn.substring("labels_idx:".length).toInt)
+          val cc =
+            if (!lbl.contains('|')) idxOpt match {
+              case None => CaseCompiled(Seq.empty, _ => array(lit(lbl)))
+              case Some(i) =>
+                val v = if (i == 0 || i == -1) lit(lbl) else lit(null)
+                CaseCompiled(Seq.empty, _ => v)
+            } else idxOpt match {
+              case None => CaseCompiled(Seq(a -> "__label"),
+                res => when(res(a, None).isNull, lit(null))
+                  .otherwise(array(res(a, Some("__label")))))
+              case Some(i) =>
+                if (i == 0 || i == -1)
+                  CaseCompiled(Seq(a -> "__label"),
+                    res => res(a, Some("__label")))
+                else CaseCompiled(Seq.empty, _ => lit(null))
+            }
+          ri.copy(schemaFn = None, alias = "", caseC = Some(cc))
         case Some((fn, a)) =>
           val lbl = aliasLabel(a).getOrElse(throw new IllegalArgumentException(
             s"$fn($a): no node label for '$a'"))
           require(lbl.nonEmpty, s"$fn($a): alias '$a' is unlabeled — " +
             "the any-node view has no properties; declare a :Label")
-          val cols = g.nodes(lbl).columns.toSeq.filterNot(_ == "id")
+          val cols = g.nodes(lbl).columns.toSeq
+            .filterNot(c => c == "id" || c == "__label")
           require(cols.nonEmpty,
             s"$fn($a): label '$lbl' carries no property columns")
           val cc = fn match {
@@ -8959,8 +8988,14 @@ object CypherLite {
       val shared = dfs.map(_.columns.toSeq).reduce(_ intersect _)
       require(shared.contains("id"),
         s"label alternation :$lbl — members share no 'id' column")
-      val merged = dfs.map(_.select(shared.map(col): _*))
-        .reduce(_ unionAll _)
+      // each member carries its OWN label as a `__label` column —
+      // per-row labels(x) and per-row label tests (`x:Substance`,
+      // `'Substance' IN labels(x)`) read it like any property
+      // (schemaFn resolution / the label-pred atom; excluded from
+      // properties()/keys())
+      val merged = dfs.zip(members).map { case (df2, mb) =>
+        df2.select(shared.map(col): _*).withColumn("__label", lit(mb))
+      }.reduce(_ unionAll _)
       val fp = s"$lbl@${graphFingerprint(g0)}"
       if (!altViewVerdicts.containsKey(fp)) {
         val total = dfs.map(_.select(col("id")).distinct().count()).sum

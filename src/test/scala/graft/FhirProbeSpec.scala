@@ -519,4 +519,30 @@ class FhirProbeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("IN listOut"))
   }
+
+  // ——— round 16: per-row labels over alternation views ———
+
+  test("labels() reads the per-row member label on alternation views") {
+    // previously labels(x) over :A|B emitted the pipe-joined string
+    // STATICALLY — the one wrong-output case this round found
+    val r = q("MATCH (x:Substance|Allergy) RETURN labels(x)[0] AS l, " +
+      "count(*) AS n ORDER BY l")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("Allergy", 275L), ("Substance", 45L)))
+    // per-row label TESTS read the same __label column
+    assert(one("MATCH (x:Substance|Allergy) WHERE x:Substance " +
+      "RETURN count(*) AS n") === 45L)
+    assert(one("MATCH (x:Substance|Allergy) WHERE 'Substance' IN " +
+      "labels(x) RETURN count(*) AS n") === 45L)
+    // inferred arrival alternation (labels() defers past inference):
+    // the per-label split of the 1831 bare-arrow expansion
+    val arr = q("MATCH (p:Patient)-->(x) RETURN labels(x)[0] AS l, " +
+      "count(*) AS n ORDER BY l")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(arr === Seq(("Address", 1145L), ("Allergy", 275L),
+      ("Immunization", 411L)))
+    // single-label statics unchanged
+    assert(q("MATCH (p:Patient) RETURN DISTINCT labels(p) AS l")
+      .collect()(0).getSeq[String](0) === Seq("Patient"))
+  }
 }
