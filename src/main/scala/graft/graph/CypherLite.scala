@@ -3142,6 +3142,34 @@ object CypherLite {
       case WithCondRe(n, op, v) =>
         require(plainOk(n), s"$ctx CASE references unknown name '$n'")
         AtomE("", n, opBuilder(op, v))
+      // general ARITHMETIC comparison (`p.birthDate.year / 10 * 10 =
+      // 1990`, the decade-bucket CASE; `x % 2 = 0` over a stage name)
+      // — both sides ride the arithmetic grammar, same as the pattern
+      // WHERE's ArithCmpE route; tried LAST so the shaped atoms above
+      // keep their own compilation. Bare stage names rewire to the
+      // CASE resolver's empty-alias convention.
+      case other0 if {
+        val o = rewriteTemporalAcc(other0)
+        (o.exists("+-*/%^".contains(_)) ||
+          FnCallHeadRe.findFirstIn(o).isDefined) && splitTopCmp(o).isDefined
+      } =>
+        val other = rewriteTemporalAcc(other0)
+        val (lt, op, rt) = splitTopCmp(other).get
+        def stageRefs(e: ArithExpr): ArithExpr = e match {
+          case RefA(n, None) =>
+            require(plainOk(n), s"$ctx CASE references unknown name '$n'")
+            RefA("", Some(n))
+          case RefA(a2, Some(p2)) => checkProp(a2); refs += a2 -> p2; e
+          case NegA(x) => NegA(stageRefs(x))
+          case BinA(op2, l2, r2) => BinA(op2, stageRefs(l2), stageRefs(r2))
+          case FnA(nm, as2) => FnA(nm, as2.map(stageRefs))
+          case o2 => o2
+        }
+        val l = stageRefs(parseArith(lt.trim))
+        val r = stageRefs(parseArith(rt.trim))
+        require((arithRefs(l) ++ arithRefs(r)).nonEmpty,
+          s"constant CASE comparison: '${other.take(40)}'")
+        ArithCmpE(l, r, opBuilder2(op))
       case other => fail(
         "CASE WHEN conditions must be [fn](alias.prop) OP " +
           s"operand or name OP operand (fn: $ScalarFnAlt)", other)
@@ -7798,11 +7826,16 @@ object CypherLite {
           val idxOpt = if (fn == "labels") None
             else Some(fn.substring("labels_idx:".length).toInt)
           val cc =
+            // null-guarded even for the static fold: labels(a) on an
+            // UNMATCHED optional alias is null (Neo4j), not the label
             if (!lbl.contains('|')) idxOpt match {
-              case None => CaseCompiled(Seq.empty, _ => array(lit(lbl)))
+              case None => CaseCompiled(Seq.empty,
+                res => when(res(a, None).isNull, lit(null))
+                  .otherwise(array(lit(lbl))))
               case Some(i) =>
                 val v = if (i == 0 || i == -1) lit(lbl) else lit(null)
-                CaseCompiled(Seq.empty, _ => v)
+                CaseCompiled(Seq.empty,
+                  res => when(res(a, None).isNull, lit(null)).otherwise(v))
             } else idxOpt match {
               case None => CaseCompiled(Seq(a -> "__label"),
                 res => when(res(a, None).isNull, lit(null))

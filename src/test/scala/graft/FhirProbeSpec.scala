@@ -544,5 +544,31 @@ class FhirProbeSpec extends SparkSpec {
     // single-label statics unchanged
     assert(q("MATCH (p:Patient) RETURN DISTINCT labels(p) AS l")
       .collect()(0).getSeq[String](0) === Seq("Patient"))
+    // labels() on an UNMATCHED optional alias is null (Neo4j), not
+    // the static label — the null group carries the 2516 non-allergic
+    val opt = q("""MATCH (p:Patient)
+      |OPTIONAL MATCH (p)-[:EXPERIENCES]->(a:Allergy)
+      |RETURN labels(a)[0] AS l, count(*) AS n ORDER BY l""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(opt === Seq((Some("Allergy"), 275L), (None, 2516L)))
+  }
+
+  test("CASE conditions take general arithmetic comparisons") {
+    // decade-bucket CASE: integral year/10*10 (161 cross-checked via
+    // the range conjuncts year >= 1990 AND year <= 1999)
+    assert(one("MATCH (p:Patient) RETURN count(CASE WHEN " +
+      "p.birthDate.year / 10 * 10 = 1990 THEN 1 END) AS n") === 161L)
+    assert(one("MATCH (p:Patient) WHERE p.birthDate.year >= 1990 AND " +
+      "p.birthDate.year <= 1999 RETURN count(*) AS n") === 161L)
+    // parity CASE over an integer-typed property, and the same over a
+    // carried stage name
+    val par = q("MATCH (p:Patient) RETURN CASE WHEN p.patient_id % 2 " +
+      "= 0 THEN 'even' ELSE 'odd' END AS par, count(*) AS n ORDER BY par")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(par === Seq(("even", 1363L), ("odd", 1363L)))
+    assert(q("MATCH (p:Patient) WITH p.patient_id AS x RETURN CASE " +
+      "WHEN x % 2 = 0 THEN 'even' ELSE 'odd' END AS par, count(*) AS n " +
+      "ORDER BY par").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === par)
   }
 }
