@@ -3523,6 +3523,26 @@ object GraphOps {
              |SELECT t.nm AS nm, count(*) AS n
              |FROM t JOIN customer c2 ON c2.c_acctbal >= t.mx
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G154 ARITHMETIC CASE conditions — `CASE WHEN expr OP expr`
+    // composing integral division, modulo, and temporal accessors
+    // inside aggregated CASE bodies (the decade-bucket conditional
+    // count and the parity split — round-16 batch-15 finds). DuckDB
+    // replays with `//` for the integral division.
+    QueryDef(
+      "g154_cypher_case_arith_cond",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  count(CASE WHEN c.c_custkey % 2 = 0 THEN 1 END) AS evens,
+          |  sum(CASE WHEN c.c_acctbal / 1000 * 1000 >= 9000.0
+          |    THEN 1 ELSE 0 END) AS rich""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS evens,
+             |  CAST(sum(CASE WHEN c_acctbal / 1000 * 1000 >= 9000.0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS rich
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 
