@@ -2355,7 +2355,8 @@ object CypherLite {
     "day", "week", "quarter", "sqrt", "ceil", "floor", "sign", "exp", "log", "log10",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "e",
     "coalesce", "datetrunc", "datetimetrunc", "durindays", "durinseconds",
-    "durbetweenyears", "durbetweenmonths", "durshift", "head", "last")
+    "durbetweenyears", "durbetweenmonths", "durshift", "head", "last",
+    "tail")
 
   /** Pull top-level AGGREGATE calls out of an item body — the
     * `max(x) - min(x) AS r` route: returns the residual text (each
@@ -2705,6 +2706,15 @@ object CypherLite {
           try_element_at(splitListCol(sa, resolve, refInt), lit(-1))
         case _ => try_element_at(one(), lit(-1))
       }
+      // Cypher tail(list): everything after the head — [] for empty
+      // and one-element lists (slice's 0 length), null for null input
+      case "tail" =>
+        val c = args match {
+          case Seq(FnA("splitlist", sa)) => splitListCol(sa, resolve, refInt)
+          case _ => one()
+        }
+        slice(c, lit(2), greatest(
+          org.apache.spark.sql.functions.size(c) - 1, lit(0)))
       // a bare split(…) that reached evaluation was NOT consumed by
       // size/head/last or a subscript — the original pointed contract
       case "splitlist" => throw new IllegalArgumentException(
@@ -5541,7 +5551,7 @@ object CypherLite {
     val SizeStrItemRe =
       """(?is)^(?:size|length)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val HeadLastItemRe =
-      """(?is)^(head|last)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^(head|last|tail)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // list comprehension over a collect output — `[x IN xs WHERE
     // cond | expr] AS ys` (either part optional, not both absent):
     // filter()/transform() HOFs, codegen, element order preserved
@@ -6103,10 +6113,21 @@ object CypherLite {
         // (Neo4j's head over an unordered collect is arbitrary; the
         // engine's no-arbitrary-choice contract pins the sort).
         case HeadLastItemRe(fn, n, as) if listOk(n) =>
-          val idx = if (fn.equalsIgnoreCase("head")) 1 else -1
-          ReturnItem(None, distinct = false, "", None, as,
-            caseC = Some(CaseCompiled(Seq.empty,
-              res => try_element_at(res(n, None), lit(idx)))))
+          // tail = everything after the head ([] for empty/singleton
+          // lists — slice's 0 length; null list stays null)
+          if (fn.equalsIgnoreCase("tail"))
+            ReturnItem(None, distinct = false, "", None, as,
+              caseC = Some(CaseCompiled(Seq.empty, res => {
+                val c = res(n, None)
+                slice(c, lit(2), greatest(
+                  org.apache.spark.sql.functions.size(c) - 1, lit(0)))
+              })))
+          else {
+            val idx = if (fn.equalsIgnoreCase("head")) 1 else -1
+            ReturnItem(None, distinct = false, "", None, as,
+              caseC = Some(CaseCompiled(Seq.empty,
+                res => try_element_at(res(n, None), lit(idx)))))
+          }
         // head/last/size over a split(…) CALL — tried before the
         // pointed reject below (the only other list-producing call)
         case SplitOfFnRe(inner, delim, as) =>

@@ -553,6 +553,18 @@ class FhirProbeSpec extends SparkSpec {
     assert(opt === Seq((Some("Allergy"), 275L), (None, 2516L)))
   }
 
+  test("list fns over collect outputs: tail beside head/last/reverse") {
+    val r = q("MATCH (p:Patient) WITH collect(DISTINCT p.gender) AS gs " +
+      "RETURN head(gs) AS h, last(gs) AS l, tail(gs) AS t, " +
+      "reverse(gs) AS rv").collect()(0)
+    assert(r.getString(0) === "Female" && r.getString(1) === "Male")
+    assert(r.getSeq[String](2) === Seq("Male"))
+    assert(r.getSeq[String](3) === Seq("Male", "Female"))
+    // membership against a folded literal range
+    assert(one("MATCH (p:Patient) WHERE p.id IN range(1, 5) " +
+      "RETURN count(*) AS n") === 5L)
+  }
+
   test("CASE conditions take general arithmetic comparisons") {
     // decade-bucket CASE: integral year/10*10 (161 cross-checked via
     // the range conjuncts year >= 1990 AND year <= 1999)
