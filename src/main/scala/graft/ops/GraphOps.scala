@@ -3238,13 +3238,14 @@ object GraphOps {
           |WHERE duration.between(o.o_orderdate, date('1998-08-01')).years >= 1
           |RETURN duration.between(o.o_orderdate, date('1998-08-01')).years AS yrs,
           |  min(duration.between(o.o_orderdate, date('1998-08-01')).months) AS min_mos,
+          |  min(duration.inMonths(o.o_orderdate, date('1998-08-01')).months) AS min_mos2,
           |  count(*) AS n""".stripMargin)),
       Some("""WITH m AS (
              |  SELECT 12 * (1998 - year(o_orderdate)) + (8 - month(o_orderdate))
              |    - CASE WHEN day(o_orderdate) > 1 THEN 1 ELSE 0 END AS mos
              |  FROM orders JOIN customer ON o_custkey = c_custkey)
              |SELECT CAST(floor(mos / 12) AS BIGINT) AS yrs,
-             |  min(mos) AS min_mos, count(*) AS n
+             |  min(mos) AS min_mos, min(mos) AS min_mos2, count(*) AS n
              |FROM m WHERE floor(mos / 12) >= 1
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
@@ -3562,6 +3563,44 @@ object GraphOps {
       Some("""SELECT count(*) AS n, min(c_custkey) AS lo,
              |  max(c_custkey) AS hi
              |FROM customer WHERE (c_custkey // 10) * 10 = 40""".stripMargin)
+    ),
+    // G156 PATTERN-EXPRESSION ORDER BY keys — the top-k-by-degree
+    // idiom (`ORDER BY size((c)-[:R]->()) DESC`, among the most
+    // common LLM emissions; round-16 probe miss #1). The degree key
+    // rides the same degree→COUNT{} flag rewrite as item position,
+    // as a hidden __ob_ sort item: grouped order counts left-join the
+    // customer frame, the sort reads the flag, the output drops it.
+    // The id tiebreak makes the LIMIT set deterministic. DuckDB
+    // replays with a grouped-count left join.
+    QueryDef(
+      "g156_cypher_orderby_degree",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |RETURN c.c_name AS nm, c.c_custkey AS id
+          |ORDER BY size((c)-[:HAS_ORDER]->()) DESC, c.c_custkey ASC
+          |LIMIT 3""".stripMargin)),
+      Some("""SELECT c_name AS nm, c_custkey AS id
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS d FROM orders GROUP BY 1
+             |) o ON o_custkey = c_custkey
+             |ORDER BY coalesce(d, 0) DESC, c_custkey ASC
+             |LIMIT 3""".stripMargin)
+    ),
+    // G157 .dayOfWeek / .dayOfYear temporal accessors (round-16 probe
+    // miss #2) — Neo4j's dayOfWeek is ISO (Monday = 1) while Spark's
+    // dayofweek is Sunday = 1, so the accessor folds to the
+    // (dayofweek(c)+5)%7+1 shift; dayOfYear maps directly. DuckDB
+    // replays with isodow() (also Monday = 1) and dayofyear().
+    QueryDef(
+      "g157_cypher_dayofweek",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (o:orders)
+          |RETURN o.o_orderdate.dayOfWeek AS dow, count(*) AS n,
+          |  min(o.o_orderdate.dayOfYear) AS doy""".stripMargin)),
+      Some("""SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+             |  count(*) AS n,
+             |  CAST(min(dayofyear(o_orderdate)) AS INTEGER) AS doy
+             |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

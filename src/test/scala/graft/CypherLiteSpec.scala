@@ -4052,13 +4052,15 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN collect(DISTINCT {t: b.tag}) AS xs")
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(xs.map(_.getString(0)) === Seq("b2", "b5"))
-    // head/last/size over an inline collect
+    // head/last/size over an inline collect — size(collect(x)) folds
+    // to count(x) since round 17, so its type is BIGINT (Neo4j
+    // integers are 64-bit; the old array-size read was INT)
     val r = CypherLite.query(mathG,
       "MATCH (a:A)-[:R1]->(b:B) RETURN a.tag AS t, " +
         "head(collect(b.num)) AS h, last(collect(b.num)) AS l, " +
         "size(collect(b.num)) AS n ORDER BY t")
-      .as[(String, Double, Double, Int)].collect().toSeq
-    assert(r === Seq(("a1", 1.0, 1.0, 1), ("a4", 1.0, 2.0, 2)))
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(r === Seq(("a1", 1.0, 1.0, 1L), ("a4", 1.0, 2.0, 2L)))
     // subscript of a list output in WITH WHERE (0-based)
     val n1 = CypherLite.query(mathG,
       "MATCH (a:A) WITH a.tag AS t, [a.num, a.num * 2] AS pair " +
@@ -4353,6 +4355,68 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.query(gLike,
       "MATCH (n:N) WHERE n.like = 'x' RETURN count(*) AS n")
       .as[Long].head() === 1L)
+    // round 17 (advice): legal Cypher identifiers OUTSIDE property
+    // position stay legal too — an output alias `AS offset` and a
+    // relationship type `-[:LIKE]->` must not trip the SQL-ism gate
+    assert(CypherLite.query(gLike,
+      "MATCH (n:N) RETURN n.id AS offset").as[Long].head() === 1L)
+    assert(CypherLite.query(gLike,
+      "MATCH (n:N) RETURN n.like AS between").as[String].head() === "x")
+    val gRelLike = PropertyGraph(
+      nodes = Map(
+        "A" -> Seq((1L, "a")).toDF("id", "t"),
+        "B" -> Seq((2L, "b")).toDF("id", "t")),
+      edges = Map("LIKE" -> (("A", "B", Seq((1L, 2L)).toDF("src", "dst")))))
+    assert(CypherLite.query(gRelLike,
+      "MATCH (a:A)-[:LIKE]->(b:B) RETURN count(*) AS n")
+      .as[Long].head() === 1L)
+    // …while the true SQL spellings still reject (the gate holds)
+    assert(rej("MATCH (a:A) RETURN a.id AS i SKIP 1 OFFSET 2")
+      .contains("SKIP n"))
+  }
+
+  test("round-17 closures: size(collect) composes, db.* procedures, " +
+      "stage-ref cartesian guard") {
+    // size(collect(x)) ≡ count(x) — exact (collect skips nulls, so
+    // does count(expr); DISTINCT carries) — so the fold lets the
+    // composition shapes the list gate used to reject run: boolean
+    // items and arithmetic over aggregates (round-16 probe #17)
+    assert(CypherLite.query(g,
+      "MATCH (a:A) RETURN size(collect(a.tag)) = count(a.tag) AS ok")
+      .as[Boolean].head())
+    assert(CypherLite.query(g,
+      "MATCH (a:A) RETURN size(collect(DISTINCT a.tag)) + count(*) AS n")
+      .as[Long].head() === 4L)
+    // CALL db.labels() / db.relationshipTypes() — the two read-only
+    // schema-exploration procedures, off the graph registry (sorted)
+    assert(CypherLite.query(g, "CALL db.labels()")
+      .as[String].collect().toSeq === Seq("A", "B", "C"))
+    assert(CypherLite.query(g, "CALL db.relationshipTypes() " +
+      "YIELD relationshipType").as[String].collect().toSeq ===
+      Seq("R1", "R2"))
+    assert(CypherLite.query(g, "CALL db.labels()").columns.toSeq ===
+      Seq("label"))
+    // other procedures stay pointed rejects
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(g, "CALL db.propertyKeys()")
+    }
+    assert(e.getMessage.contains("CALL procedures are unsupported"))
+    // stage-ref guard (advice): with a stage output named `tag`, a
+    // fresh re-match whose WHERE only reads the PROPERTY b.tag is NOT
+    // stage-correlated — it must keep the pointed cartesian reject,
+    // not compile to a cross join
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(g,
+        """MATCH (a:A) WITH a.tag AS tag, count(*) AS c
+          |MATCH (b:B) WHERE b.tag = 'b2'
+          |RETURN count(*) AS n""".stripMargin)
+    }
+    assert(e2.getMessage.contains("bound alias"), e2.getMessage)
+    // …while a TRUE stage reference still enables the correlated form
+    assert(CypherLite.query(g,
+      """MATCH (a:A) WITH a.tag AS tag, count(*) AS c
+        |MATCH (b:B) WHERE b.tag = tag
+        |RETURN count(*) AS n""".stripMargin).as[Long].head() === 0L)
   }
 
   test("week/quarter accessors fold to weekofyear/quarter") {
@@ -5080,6 +5144,26 @@ class CypherLiteSpec extends SparkSpec {
         |  date('2000-02-29')).months AS m""".stripMargin)
       .as[Long].head()
     assert(clamp === 0L)
+    // duration.inMonths(a, b).months is between()'s whole-month total
+    // (Neo4j: inMonths truncates the decomposition to months); its
+    // .years accessor is months/12 — same values as the rows above
+    val im = CypherLite.query(gBorn,
+      """MATCH (p:P)
+        |RETURN p.id AS i,
+        |  duration.inMonths(p.born, date('2024-01-20')).months AS m,
+        |  duration.inMonths(p.born, date('2024-01-01')).years AS y
+        |ORDER BY i""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(im === Seq(
+      (1L, 960L, 80L), (2L, 960L, 80L), (3L, 286L, 23L), (4L, -4L, 0L)))
+    // a non-month accessor on inMonths rejects pointedly
+    val e3 = intercept[IllegalArgumentException] {
+      CypherLite.query(gBorn,
+        """MATCH (p:P)
+          |RETURN duration.inMonths(p.born, date('2024-01-01')).days
+          |  AS d""".stripMargin)
+    }
+    assert(e3.getMessage.contains("inMonths"), e3.getMessage)
   }
 
   test("duration.between non-total accessors reject pointedly") {
@@ -5242,6 +5326,41 @@ class CypherLiteSpec extends SparkSpec {
       """MATCH (a:A) WHERE a.id / 2.0 * 2 = 1
         |RETURN count(*) AS n""".stripMargin).as[Long].head()
     assert(dblN === 1L, "double divisor matches only id 1")
+  }
+
+  test(".dayOfWeek/.dayOfYear accessors: ISO Monday=1, java.time parity") {
+    import java.time.LocalDate
+    // expected values computed INDEPENDENTLY via java.time (whose
+    // DayOfWeek is ISO Monday=1 — exactly Neo4j's contract; Spark's
+    // dayofweek is Sunday=1, shifted by the (x+5)%7+1 mapping)
+    val expect = Seq("1943-12-31", "1944-01-01", "2000-02-29",
+      "2024-06-15").map(LocalDate.parse)
+      .map(d => (d.getDayOfWeek.getValue, d.getDayOfYear))
+    val rows = CypherLite.query(gBorn,
+      """MATCH (p:P) RETURN p.id AS i, p.born.dayOfWeek AS dw,
+        |  p.born.dayOfYear AS dy ORDER BY i""".stripMargin)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+    assert(rows === expect)
+    // the Neo4j alias spellings and the ctor-literal fold agree
+    val r4 = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.id = 4
+        |RETURN p.born.weekDay AS wd, p.born.ordinalDay AS od,
+        |  date('2024-06-15').dayOfWeek AS cw""".stripMargin).collect()(0)
+    assert((r4.getInt(0), r4.getInt(1)) ===
+      ((expect(3)._1, expect(3)._2)))
+    assert(r4.getLong(2) === expect(3)._1.toLong, "ctor fold is ISO too")
+    // WHERE position composes (the weekend-filter idiom)
+    val sat = CypherLite.query(gBorn,
+      """MATCH (p:P) WHERE p.born.dayOfWeek >= 6
+        |RETURN count(*) AS n""".stripMargin).as[Long].head()
+    assert(sat === expect.count(_._1 >= 6).toLong)
+    // recognizably temporal but unsupported accessors reject POINTEDLY
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(gBorn,
+        "MATCH (p:P) RETURN p.born.dayOfQuarter AS q")
+    }
+    assert(e.getMessage.contains("unsupported temporal accessor"))
+    assert(e.getMessage.contains(".dayOfWeek"))
   }
 
   test("apostrophes in string literals: double-quoted and escaped") {

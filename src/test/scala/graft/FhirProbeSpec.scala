@@ -364,6 +364,30 @@ class FhirProbeSpec extends SparkSpec {
     assert(caseN === 10L, "CASE-condition position agrees")
   }
 
+  // ——— round 17: pattern-expression ORDER BY keys (r16 verdict #2,
+  // the top-k-by-degree idiom) ———
+
+  test("ORDER BY size((p)-[:R]->()) rides the degree→COUNT{} rewrite") {
+    // the projected-degree route (already worked) is the reference
+    val viaItem = q("""MATCH (p:Patient)
+      |RETURN p.patient_id AS id,
+      |  COUNT { (p)-[:HAS_IMMUNIZATION]->() } AS d
+      |ORDER BY d DESC, id ASC LIMIT 1""".stripMargin).collect()(0)
+    // the round-16 probe shape: the degree as a HIDDEN sort key only
+    val viaSort = q("""MATCH (p:Patient)
+      |RETURN p.patient_id AS id
+      |ORDER BY size((p)-[:HAS_IMMUNIZATION]->()) DESC, p.patient_id ASC
+      |LIMIT 1""".stripMargin).collect()(0)
+    assert(viaSort.getLong(0) === viaItem.getLong(0),
+      "hidden degree key agrees with the projected-degree argmax")
+    // COUNT { … } / EXISTS { … } spelled directly as sort keys too
+    val viaCount = q("""MATCH (p:Patient)
+      |RETURN p.patient_id AS id
+      |ORDER BY COUNT { (p)-[:HAS_IMMUNIZATION]->() } DESC,
+      |  p.patient_id ASC LIMIT 1""".stripMargin).collect()(0)
+    assert(viaCount.getLong(0) === viaItem.getLong(0))
+  }
+
   // ——— round 16: bare relationship shorthands (r15 verdict #2) ———
 
   test("bare --> / <-- / -- desugar and resolve in every position") {
