@@ -1304,6 +1304,35 @@ object CypherLite {
     * `a.x + 1 > b.y`. Two-char operators win over their one-char
     * prefixes. Returns (lhs, op, rhs).
     */
+  /** Chained comparison probe — `lo <= x <= hi` (Neo4j-legal; the
+    * range form LLMs emit constantly) splits into its two conjuncts
+    * with the middle operand SHARED. Guarded to simple arithmetic
+    * operands: CASE/brace bodies carry internal comparisons that are
+    * not chains, and string-operator conditions never parse as
+    * arithmetic — both fall through to the ordinary atom grammar.
+    */
+  private def chainedCmpSplit(t0: String): Option[(String, String)] =
+    if (t0.indexOf('{') >= 0 || t0.matches("(?is).*\\bCASE\\b.*")) None
+    else for {
+      // accessor forms rewrite first (`p.d.year` is not arithmetic
+      // until it becomes `year(p.d)`); a rewrite failure just means
+      // "not a chain" — the atom grammar owns the pointed message
+      t <- scala.util.Try(rewriteTemporalAcc(t0)).toOption
+      (l, op1, r) <- splitTopCmp(t)
+      (m, op2, rr) <- splitTopCmp(r)
+      if rr.trim.nonEmpty &&
+        scala.util.Try(parseArith(l.trim)).isSuccess &&
+        scala.util.Try(parseArith(m.trim)).isSuccess
+      // conjunct 1 FLIPS so the shared (usually fn-headed/dotted)
+      // operand leads — the atom grammars anchor on the LHS shape
+      // (`1950 <= year(p.d)` has no route; `year(p.d) >= 1950` does)
+      flipped = op1 match {
+        case "<" => ">"; case "<=" => ">="
+        case ">" => "<"; case ">=" => "<="
+        case other => other
+      }
+    } yield (s"${m.trim} $flipped ${l.trim}", s"${m.trim} $op2 ${rr.trim}")
+
   private def splitTopCmp(s: String): Option[(String, String, String)] = {
     var depth = 0; var inQ = false; var i = 0
     while (i < s.length) {
@@ -1418,6 +1447,13 @@ object CypherLite {
         try java.time.LocalDateTime.parse(v)
         catch { case _: Exception =>
           java.time.LocalDate.parse(v).atStartOfDay })
+    // `x = null` / `x <> null` — an LLM slip meaning IS [NOT] NULL;
+    // under Cypher's 3VL the comparison is ALWAYS null (zero rows),
+    // so name the working spelling instead of the generic reject
+    case n if n.equalsIgnoreCase("null") =>
+      throw new IllegalArgumentException(
+        "comparing against null is always null in Cypher's " +
+          "three-valued logic (no rows) — use IS NULL / IS NOT NULL")
     case other => throw new IllegalArgumentException(s"unsupported literal '$other'")
   }
 
@@ -2345,7 +2381,14 @@ object CypherLite {
           NotE(parseFactor(t.substring(m.length)))
         case _ =>
           if (wrappedInParens(t)) parseExpr(t.substring(1, t.length - 1))
-          else atom(t)
+          else chainedCmpSplit(t) match {
+            // chained comparison (`1950 <= p.x <= 1960`, Neo4j-legal
+            // — the range idiom): desugar to the two-conjunct AND
+            // with the middle operand shared; the second conjunct
+            // re-enters this factor parser, so longer chains unroll
+            case Some((c1, c2)) => AndE(Seq(parseFactor(c1), parseFactor(c2)))
+            case None => atom(t)
+          }
       }
     }
     def parseTerm(s: String): BoolExpr = {
@@ -3795,18 +3838,35 @@ object CypherLite {
       }
     }))
     val NowRe = """(?is)\b(date|datetime|time|timestamp|localdatetime|localtime)\s*\(\s*\)""".r
-    // quote-aware probe: blank quoted spans first
-    val blanked = s.replaceAll("'[^']*'", "''")
-    for (m <- NowRe.findFirstMatchIn(blanked)) {
-      val fn = m.group(1).toLowerCase
-      val lit0 =
-        if (fn == "timestamp" || fn == "localdatetime" || fn == "time" ||
-          fn == "localtime") "datetime" else fn
-      throw new IllegalArgumentException(
-        s"${m.group(1)}() with no argument is the CURRENT time — " +
-          "nondeterministic, unsupported; pass an explicit literal " +
-          s"($lit0('2024-01-01…'))")
+    // no-arg temporal constructors — Neo4j's STATEMENT-FIXED clock
+    // (date()/datetime() evaluate once per statement): substituting
+    // the clock's literal at preprocess IS that semantics exactly,
+    // and everything downstream (ctor accessors, duration shifts,
+    // comparisons, the age idiom `duration.between(p.birthDate,
+    // date()).years` — among the most common LLM emissions) composes
+    // with zero new runtime machinery. timestamp() is Neo4j's epoch
+    // MILLIS (a number). time()/localtime() are time-of-day values
+    // this engine has no type for — pointed reject stands.
+    val s3 = if (NowRe.findFirstIn(
+        s.replaceAll("'[^']*'", "''")).isEmpty) s
+    else {
+      val nowDate = java.time.LocalDate.now().toString
+      val nowDt = java.time.LocalDateTime.now()
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      foldUnquotedSpans(s, seg => NowRe.replaceAllIn(seg, m =>
+        m.group(1).toLowerCase match {
+          case "date" => s"date('$nowDate')"
+          case "datetime" | "localdatetime" => s"datetime('$nowDt')"
+          case "timestamp" => System.currentTimeMillis().toString
+          case other => throw new IllegalArgumentException(
+            s"$other() is a TIME-OF-DAY value — no time type here; " +
+              "use datetime() (statement-fixed clock) or an explicit " +
+              "datetime('…') literal")
+        }))
     }
+    // quote-aware probe for the gates below: blank quoted spans
+    val blanked = s3.replaceAll("'[^']*'", "''")
     // APOC calls (`apoc.text.join(…)`) are a Neo4j plugin surface,
     // not openCypher — pointed reject instead of a deep item misparse
     // (LLMs trained on Neo4j corpora emit them regularly)
@@ -3870,7 +3930,7 @@ object CypherLite {
     val SizeRangeRe =
       ("""(?i)\bsize\s*\(\s*range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*""" +
         """(?:,\s*(-?\d+)\s*)?\)\s*\)""").r
-    val s2 = foldUnquotedSpans(s, seg => {
+    val s2 = foldUnquotedSpans(s3, seg => {
       val s1 = seg
         // bare relationship shorthands — Neo4j's own docs use them
         // constantly and LLMs emit them freely (`(p)-->(x)`, the
@@ -5545,6 +5605,10 @@ object CypherLite {
       """(?is)^(CASE\b.+\bEND)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val AggCaseRe =
       """(?is)^(count|sum|min|max|avg)\s*\(\s*(?:(DISTINCT)\s+)?(CASE\b.+\bEND)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // aggregate over a body carrying EXISTS{}/COUNT{} subqueries —
+    // matched on the flag-head probe below, before AggCaseRe
+    val AggSubqRe =
+      """(?is)^(count|sum|min|max|avg)\s*\(\s*(?:(DISTINCT)\s+)?(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // collect over a map projection — `collect([DISTINCT] c {.name})
     // AS rows`
     val AggMapProjRe =
@@ -5800,6 +5864,50 @@ object CypherLite {
         }
         fix(parseArith(s))
       }
+      // Hoist every top-level `EXISTS { … }` / `COUNT { … }` subquery
+      // out of an item body into FLAG columns (__ppf_i boolean /
+      // __ppc_i count, the orFlagPreds machinery): returns the
+      // residual text (each subquery replaced by `__ppf_i = true` /
+      // `__ppc_i`) and the flag names. Quote-parity guarded; shared
+      // by the CASE item route and the aggregate-over-subquery route.
+      def hoistFlags(body: String): (String, Seq[String]) = {
+        val FlagHeadRe = """(?is)\b(EXISTS|COUNT)\s*\{""".r
+        val flagNames = Seq.newBuilder[String]
+        var txt = body
+        var go = true
+        while (go) {
+          FlagHeadRe.findAllMatchIn(txt).find(m =>
+            txt.substring(0, m.start).count(_ == '\'') % 2 == 0) match {
+            case None => go = false
+            case Some(m) =>
+              var i = m.end
+              var depth = 1
+              var inQ = false
+              while (i < txt.length && depth > 0) {
+                txt.charAt(i) match {
+                  case '\'' => inQ = !inQ
+                  case '{' if !inQ => depth += 1
+                  case '}' if !inQ => depth -= 1
+                  case _ =>
+                }
+                i += 1
+              }
+              require(depth == 0,
+                s"unbalanced braces in ${m.group(1)} {{ … }}")
+              val inner = txt.substring(m.end, i - 1).trim
+                .replaceFirst("(?i)^MATCH\\b", "").trim
+              val isCount = m.group(1).equalsIgnoreCase("COUNT")
+              val pp = parsePatternPredChain(negated = false, inner)
+              val idx = orFlagPreds.length
+              orFlagPreds += ((pp, isCount))
+              val nm2 = if (isCount) s"__ppc_$idx" else s"__ppf_$idx"
+              flagNames += nm2
+              val sub = if (isCount) nm2 else s"$nm2 = true"
+              txt = txt.substring(0, m.start) + sub + txt.substring(i)
+          }
+        }
+        (txt, flagNames.result())
+      }
       // shared by pattern comprehensions AND COLLECT { } subqueries
       // (the same per-anchor sorted-list machinery): compile an
       // EXISTS-style local chain + value expression into a list item.
@@ -6044,6 +6152,46 @@ object CypherLite {
         // otherwise swallow both calls into one body and die in the
         // CASE parser; unbalanced → fall through to the
         // arithmetic-over-aggregates extraction below
+        // AGGREGATE over EXISTS{}/COUNT{} subqueries — `avg(COUNT {
+        // (p)-[:R]->() })` (the average-degree idiom; round-17 probe)
+        // and `sum(CASE WHEN EXISTS { … } THEN 1.0 ELSE 0.0 END)`:
+        // the subqueries hoist to per-row FLAG columns on the
+        // required frame (the orFlagPreds machinery), the aggregate
+        // evaluates over the residual — a CASE body through
+        // compileCase with the flag names in scope, anything else
+        // through the arithmetic grammar. Pattern scope only (the
+        // flags join the pattern frame).
+        case AggSubqRe(fn, dist, body, as)
+            if pathOk && balancedParens(body) && {
+              val q = body.replaceAll("'[^']*'", "''")
+              """(?is)\b(EXISTS|COUNT)\s*\{""".r.findFirstIn(q).isDefined
+            } =>
+          val f = fn.toLowerCase
+          val d = dist != null
+          require(!d || f == "count" || f == "sum",
+            "DISTINCT over a subquery body is only supported with " +
+              s"count/sum, not $f")
+          val (txt, flags) = hoistFlags(body)
+          val flagOk: String => Boolean = n => flags.contains(n) || plainOk(n)
+          val cc =
+            if (txt.trim.matches("(?is)^CASE\\b.*\\bEND$"))
+              compileCase(txt, ctx, flagOk, propOk, relVars)
+            else {
+              val ae = parseArith(txt.trim)
+              val dotted = Seq.newBuilder[(String, String)]
+              for ((a2, pOpt) <- arithRefs(ae)) pOpt match {
+                case Some(p2) =>
+                  require(propOk(a2),
+                    s"$ctx references unknown alias '$a2'")
+                  dotted += a2 -> p2
+                case None => require(flagOk(a2),
+                  s"$f() references unknown name '$a2'")
+              }
+              CaseCompiled(dotted.result().distinct,
+                res => arithColumn(ae, res))
+            }
+          ReturnItem(Some(f), d, "", None, as, flagCols = flags,
+            caseC = Some(cc))
         case AggCaseRe(fn, dist, body, as) if balancedParens(body) =>
           val d = dist != null
           require(!d || fn.equalsIgnoreCase("count") ||
@@ -6910,49 +7058,7 @@ object CypherLite {
           val q = body.replaceAll("'[^']*'", "''")
           """(?is)\b(EXISTS|COUNT)\s*\{""".r.findFirstIn(q).isDefined
         } =>
-          val FlagHeadRe = """(?is)\b(EXISTS|COUNT)\s*\{""".r
-          val flagNames = Seq.newBuilder[String]
-          var txt = body
-          var go = true
-          while (go) {
-            // quote-parity guard: a match inside a string literal
-            // (odd apostrophe count before it) is text, not a
-            // subquery — stop hoisting there (anything left inside
-            // quotes never matches again after substitutions anyway)
-            FlagHeadRe.findAllMatchIn(txt).find(m =>
-              txt.substring(0, m.start).count(_ == '\'') % 2 == 0) match {
-              case None => go = false
-              case Some(m) =>
-                var i = m.end
-                var depth = 1
-                // quote-aware: a '{'/'}' INSIDE a string literal of
-                // the subquery body is text, not structure (review
-                // finding — `WHERE x.tag = '}'` closed the scan early)
-                var inQ = false
-                while (i < txt.length && depth > 0) {
-                  txt.charAt(i) match {
-                    case '\'' => inQ = !inQ
-                    case '{' if !inQ => depth += 1
-                    case '}' if !inQ => depth -= 1
-                    case _ =>
-                  }
-                  i += 1
-                }
-                require(depth == 0,
-                  s"unbalanced braces in CASE ${m.group(1)} {{ … }}")
-                val inner = txt.substring(m.end, i - 1).trim
-                  .replaceFirst("(?i)^MATCH\\b", "").trim
-                val isCount = m.group(1).equalsIgnoreCase("COUNT")
-                val pp = parsePatternPredChain(negated = false, inner)
-                val idx = orFlagPreds.length
-                orFlagPreds += ((pp, isCount))
-                val nm2 = if (isCount) s"__ppc_$idx" else s"__ppf_$idx"
-                flagNames += nm2
-                val sub = if (isCount) nm2 else s"$nm2 = true"
-                txt = txt.substring(0, m.start) + sub + txt.substring(i)
-            }
-          }
-          val flags = flagNames.result()
+          val (txt, flags) = hoistFlags(body)
           val flagOk: String => Boolean =
             n => flags.contains(n) || plainOk(n)
           ReturnItem(None, distinct = false, "", None, as,
@@ -7927,7 +8033,7 @@ object CypherLite {
             s"$side($v) over :$relTxt spans node labels " +
               s"${lbls.mkString(", ")} — their id types may differ; " +
               "query the types separately")
-          val idT = g.nodes(lbls.head).schema("id").dataType
+          val idT = g.nodeTable(lbls.head).schema("id").dataType
           ri.copy(schemaFn = None, alias = "",
             caseC = Some(CaseCompiled(Seq.empty, res =>
               element_at(split(res(v, None), "\u0000"), part)
@@ -7970,7 +8076,7 @@ object CypherLite {
             s"$fn($a): no node label for '$a'"))
           require(lbl.nonEmpty, s"$fn($a): alias '$a' is unlabeled — " +
             "the any-node view has no properties; declare a :Label")
-          val cols = g.nodes(lbl).columns.toSeq
+          val cols = g.nodeTable(lbl).columns.toSeq
             .filterNot(c => c == "id" || c == "__label")
           require(cols.nonEmpty,
             s"$fn($a): label '$lbl' carries no property columns")
@@ -9122,6 +9228,17 @@ object CypherLite {
       // unmounted union view where the EXISTS{} spelling worked)
       p.patternComps.map(_.pred).flatMap(_.steps) ++
       p.withClauses.flatMap(_.postMatches.flatMap(_.steps))
+    // validate TYPED edges FIRST: a typo'd edge type (round-17 probe:
+    // `(p)-[:HAS_ALLERGY]->()` on a graph whose type is EXPERIENCES)
+    // must land on the pointed no-edge-table message — not on the
+    // mixed-id reject its unlabeled endpoint would otherwise trip
+    // when the failed inference leaves the arrival on the any-node
+    // view
+    for (st <- allPatternSteps if st.rel.nonEmpty;
+         rn <- st.rel.split('|'))
+      require(g0.edges.contains(rn),
+        s"no edge table '$rn' " +
+          s"(${g0.edges.keys.toSeq.sorted.mkString(", ")})")
     // pattern-predicate locals are NOT in p.labels (EXISTS scoping) —
     // an unlabeled local (`NOT (c)-[:R]->()`) still needs the
     // any-node view mounted
@@ -9568,7 +9685,7 @@ object CypherLite {
                 require(g.nodes.contains(lbl),
                   s"keys($a): ':$lbl' is not a single node label — " +
                     "alternation views carry no uniform schema")
-                val cols = g.nodes(lbl).columns.toSeq.filterNot(_ == "id")
+                val cols = g.nodeTable(lbl).columns.toSeq.filterNot(_ == "id")
                 require(cols.nonEmpty,
                   s"keys($a): label '$lbl' carries no property columns")
                 array(cols.map(lit): _*)

@@ -24,6 +24,15 @@ final case class PropertyGraph(
     edges: Map[String, (String, String, DataFrame)]) {
   import PropertyGraph.{Direction, Out, In, Both, PatternNode, PatternStep}
 
+  /** Node-table lookup with a POINTED unknown-label message — a raw
+    * Map access surfaces as the bare `key not found: X` (round-17
+    * probe: `MATCH (e:Encounter) …` on a graph without that label).
+    */
+  def nodeTable(label: String): DataFrame =
+    nodes.getOrElse(label, throw new IllegalArgumentException(
+      s"no node label '$label' — labels here: " +
+        nodes.keys.toSeq.sorted.mkString(", ")))
+
   /** Single-hop expansion: follow `relType` forward from `ids("id")`.
     * Returns the distinct arrival SET (one exchange).
     */
@@ -85,7 +94,7 @@ final case class PropertyGraph(
       require(s == t, s"undirected step over heterogeneous edge '$r' " +
         s"($s→$t): use matchPaths, whose positions carry labels")
     }
-    val start = nodes(startLabel).filter(pred).select(col("id"))
+    val start = nodeTable(startLabel).filter(pred).select(col("id"))
     // un-deduped hops, ONE distinct at pattern end: reachability
     // semantics at joins-only cost (fan-in rows are a skinny id
     // column until the single terminal exchange)
@@ -97,7 +106,7 @@ final case class PropertyGraph(
       // same-label by the guard loop above, so either endpoint works
       case (r, Both) => edges(r)._1
     }
-    nodes(endLabel).join(endIds, "id")
+    nodeTable(endLabel).join(endIds, "id")
   }
 
   // ---- path-preserving pattern DSL (the Text2Cypher compile target) --
@@ -168,7 +177,7 @@ final case class PropertyGraph(
     // isomorphism join only tests overlap against the STEP'S OWN
     // clause's set (`__peids_<clause>`)
     val peidClauses = scala.collection.mutable.Set.empty[Int]
-    val s0 = nodes(start.label)
+    val s0 = nodeTable(start.label)
     var df = start.pred.foldLeft(s0)((d, p) =>
         filterPointed(d, start.label, start.as, p))
       .select(col("id").as(start.as))
@@ -475,7 +484,7 @@ final case class PropertyGraph(
       // semantics right too: an arrival failing the predicate is NOT a
       // match, so the left join below keeps the row with a null.
       for (p <- st.node.pred) {
-        val ids = filterPointed(nodes(st.node.label), st.node.label,
+        val ids = filterPointed(nodeTable(st.node.label), st.node.label,
           st.node.as, p).select(col("id"))
         ed = ed.join(ids, ed("__to") === ids("id"), "left_semi")
       }
@@ -561,7 +570,7 @@ final case class PropertyGraph(
         throw new IllegalArgumentException(
           s"WHERE on '$as:$label' references a property its node " +
             s"table does not carry (columns: ${
-              nodes(label).columns.filterNot(_ == "id").sorted
+              nodeTable(label).columns.filterNot(_ == "id").sorted
                 .mkString(", ")}); Neo4j would return null for an " +
             "unknown property — this engine rejects to surface typos",
           e)
@@ -570,7 +579,7 @@ final case class PropertyGraph(
   def attach(paths: DataFrame, alias: String, label: String,
       props: Seq[String], prefix: String = "",
       joinType: String = "inner"): DataFrame = {
-    val tbl = nodes(label)
+    val tbl = nodeTable(label)
     // validate the TOP-LEVEL column only — a dotted prop reads a
     // struct field, whose existence the select below still checks
     val missing = props.filterNot(pr =>

@@ -3601,6 +3601,48 @@ object GraphOps {
              |  count(*) AS n,
              |  CAST(min(dayofyear(o_orderdate)) AS INTEGER) AS doy
              |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G158 CHAINED comparisons — `lo <= x <= hi` (Neo4j-legal; the
+    // range idiom LLMs emit constantly, round-17 probe): desugars at
+    // the boolean-factor level to the two-conjunct AND with the
+    // shared middle operand, first conjunct flipped so the dotted/
+    // fn-headed side leads (the atom grammars anchor on LHS shape).
+    // DuckDB replays with BETWEEN (inclusive) + an explicit strict
+    // bound for the mixed form.
+    QueryDef(
+      "g158_cypher_chained_cmp",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (c:customer)
+          |WHERE 100 <= c.c_custkey <= 300
+          |  AND 0.0 <= c.c_acctbal < 5000.0
+          |RETURN count(*) AS n, min(c.c_custkey) AS lo,
+          |  max(c.c_custkey) AS hi""".stripMargin)),
+      Some("""SELECT count(*) AS n, min(c_custkey) AS lo,
+             |  max(c_custkey) AS hi
+             |FROM customer
+             |WHERE c_custkey BETWEEN 100 AND 300
+             |  AND c_acctbal >= 0.0 AND c_acctbal < 5000.0""".stripMargin)
+    ),
+    // G159 AGGREGATES over COUNT{} subqueries — `avg(COUNT { … })`,
+    // the average-degree idiom (round-17 probe): the count subquery
+    // hoists to a per-row flag column (grouped counts left-joined,
+    // null-filled to 0) and the aggregate reads the flag. DuckDB
+    // replays with the grouped-count left join.
+    QueryDef(
+      "g159_cypher_avg_count_subq",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
+          |RETURN n.n_name AS nm,
+          |  round(avg(COUNT { (c)-[:HAS_ORDER]->() }), 3) AS deg,
+          |  sum(COUNT { (c)-[:HAS_ORDER]->() } + 1) AS s""".stripMargin)),
+      Some("""SELECT n_name AS nm,
+             |  round(avg(coalesce(d, 0)), 3) AS deg,
+             |  CAST(sum(coalesce(d, 0) + 1) AS BIGINT) AS s
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |LEFT JOIN (SELECT o_custkey, count(*) AS d
+             |           FROM orders GROUP BY 1) o
+             |  ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)
     )
   )
 

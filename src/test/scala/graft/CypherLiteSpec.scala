@@ -3063,10 +3063,12 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.query(g, "MATCH (a:A) WHERE a.tag = $name RETURN a")
     }
     assert(e1.getMessage.contains("parameters are unsupported"))
+    // datetime() no-arg became the statement-fixed clock in round 17;
+    // the time-of-day constructors stay pointed rejects (no time type)
     val e2 = intercept[IllegalArgumentException] {
-      CypherLite.query(g, "MATCH (a:A) WHERE datetime(a.tag) < datetime() RETURN a")
+      CypherLite.query(g, "MATCH (a:A) WHERE a.tag < time() RETURN a")
     }
-    assert(e2.getMessage.contains("CURRENT time"))
+    assert(e2.getMessage.contains("TIME-OF-DAY"))
     // GraphMerge shares the normalization
     val spec = graft.graph.GraphMerge.parse(
       """MERGE (a:X {id: id}) // key on id

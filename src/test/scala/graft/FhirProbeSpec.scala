@@ -364,6 +364,84 @@ class FhirProbeSpec extends SparkSpec {
     assert(caseN === 10L, "CASE-condition position agrees")
   }
 
+  // ——— round 17: probe batch 17 (statement clock, chained ranges,
+  // aggregates over subqueries, pointed rejects) ———
+
+  test("date()/datetime() compile as the statement-fixed clock") {
+    // Neo4j evaluates the no-arg constructors once per statement;
+    // the engine substitutes the clock's literal at preprocess —
+    // verified against the SAME literal passed explicitly (the
+    // long-verified route), computed at test time
+    val today = java.time.LocalDate.now().toString
+    val viaClock = one("MATCH (p:Patient) WHERE p.birthDate IS NOT " +
+      "NULL RETURN max(duration.between(p.birthDate, date()).years) AS a")
+    val viaLit = one("MATCH (p:Patient) WHERE p.birthDate IS NOT " +
+      s"NULL RETURN max(duration.between(p.birthDate, date('$today'))" +
+      ".years) AS a")
+    assert(viaClock === viaLit, "clock = today's literal")
+    // composes with duration shifts (the relative-cutoff idiom)
+    val n30 = one("MATCH (p:Patient) WHERE p.birthDate >= date() - " +
+      "duration({years: 30}) RETURN count(*) AS n")
+    val n30b = one(s"MATCH (p:Patient) WHERE p.birthDate >= " +
+      s"date('$today') - duration({years: 30}) RETURN count(*) AS n")
+    assert(n30 === n30b)
+    // time-of-day constructors keep a pointed reject (no time type)
+    val e = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) RETURN time() AS t")
+    }
+    assert(e.getMessage.contains("TIME-OF-DAY"))
+  }
+
+  test("chained comparisons desugar to the shared-operand conjuncts") {
+    val chain = one("MATCH (p:Patient) " +
+      "WHERE 1950 <= p.birthDate.year <= 1960 RETURN count(*) AS n")
+    val twoConj = one("MATCH (p:Patient) WHERE p.birthDate.year >= " +
+      "1950 AND p.birthDate.year <= 1960 RETURN count(*) AS n")
+    assert(chain === twoConj, "chain = explicit conjuncts")
+    assert(chain === 149L)
+    // mixed strictness: 15 patients born in 1960 drop
+    assert(one("MATCH (p:Patient) " +
+      "WHERE 1950 <= p.birthDate.year < 1960 RETURN count(*) AS n")
+      === 134L)
+  }
+
+  test("aggregates over COUNT{}/EXISTS{} subqueries (avg degree)") {
+    // 411 immunization edges over 2726 patients (both counts pinned
+    // independently in earlier batches)
+    val avgDeg = q("MATCH (p:Patient) RETURN " +
+      "avg(COUNT { (p)-[:HAS_IMMUNIZATION]->() }) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(avgDeg - 411.0 / 2726.0) < 1e-9)
+    val frac = q("MATCH (p:Patient) RETURN avg(CASE WHEN EXISTS { " +
+      "(p)-[:EXPERIENCES]->() } THEN 1.0 ELSE 0.0 END) AS f")
+      .collect()(0).getDouble(0)
+    assert(math.abs(frac - 210.0 / 2726.0) < 1e-9,
+      "210 patients with allergies (batch-16 EXISTS cross-check)")
+    assert(one("MATCH (p:Patient) RETURN " +
+      "sum(COUNT { (p)-[:HAS_IMMUNIZATION]->() } + 1) AS s") === 3137L,
+      "411 edges + 2726 rows")
+  }
+
+  test("batch-17 pointed rejects: null compare, unknown label, " +
+      "typo'd edge type") {
+    val e1 = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) WHERE p.gender <> null RETURN count(*) AS n")
+    }
+    assert(e1.getMessage.contains("IS NULL / IS NOT NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      q("MATCH (e:Encounter) RETURN count(*) AS n")
+    }
+    assert(e2.getMessage.contains("no node label 'Encounter'"))
+    // a typo'd edge type lands on the no-edge-table message even with
+    // an unlabeled endpoint (NOT on the mixed-id any-node reject)
+    val e3 = intercept[IllegalArgumentException] {
+      q("MATCH (p:Patient) WHERE (p)-[:HAS_ALLERGY]->() " +
+        "RETURN count(*) AS n")
+    }
+    assert(e3.getMessage.contains("no edge table 'HAS_ALLERGY'"),
+      e3.getMessage)
+  }
+
   // ——— round 17: pattern-expression ORDER BY keys (r16 verdict #2,
   // the top-k-by-degree idiom) ———
 
@@ -529,12 +607,12 @@ class FhirProbeSpec extends SparkSpec {
       === 1L)
     assert(one("MATCH (s:Substance) WHERE s.id =~ '(?i)pea.*' " +
       "RETURN count(*) AS n") === 1L, "peanuts")
-    // timestamp()/localdatetime() no-arg = current time: pointed
-    val e = intercept[IllegalArgumentException] {
-      q("MATCH (p:Patient) RETURN timestamp() AS t LIMIT 1")
-    }
-    assert(e.getMessage.contains("CURRENT time") &&
-      e.getMessage.contains("datetime("))
+    // timestamp() no-arg: the STATEMENT-FIXED clock since round 17
+    // (Neo4j semantics — epoch millis, one value per statement; was
+    // a pointed reject before)
+    val ts = q("MATCH (p:Patient) RETURN timestamp() AS t LIMIT 1")
+      .collect()(0).getLong(0)
+    assert(ts > 1700000000000L, "epoch millis of the statement clock")
   }
 
   // ——— probe batch 12 (round 16): paths, stage-list membership ———
