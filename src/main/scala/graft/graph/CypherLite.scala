@@ -8043,16 +8043,22 @@ object CypherLite {
         // reads the union view's per-row __label column (attached
         // like any property — the refs drive the join)
         case Some((fn, a)) if fn == "labels" || fn.startsWith("labels_idx:") =>
-          val lbl = aliasLabel(a).filter(_.nonEmpty).getOrElse(
+          val lbl = aliasLabel(a).getOrElse(
             throw new IllegalArgumentException(
-              s"labels($a): alias '$a' is unlabeled (the any-node " +
-                "view carries no label)"))
+              s"labels($a): no node label for '$a'"))
+          // the exploration mount gives the any-node view a per-row
+          // __label — labels() reads it exactly like an alternation
+          val perRowAny = lbl.isEmpty &&
+            g.nodes.get("").exists(_.columns.contains("__label"))
+          require(lbl.nonEmpty || perRowAny,
+            s"labels($a): alias '$a' is unlabeled (the any-node " +
+              "view carries no label)")
           val idxOpt = if (fn == "labels") None
             else Some(fn.substring("labels_idx:".length).toInt)
           val cc =
             // null-guarded even for the static fold: labels(a) on an
             // UNMATCHED optional alias is null (Neo4j), not the label
-            if (!lbl.contains('|')) idxOpt match {
+            if (!lbl.contains('|') && !perRowAny) idxOpt match {
               case None => CaseCompiled(Seq.empty,
                 res => when(res(a, None).isNull, lit(null))
                   .otherwise(array(lit(lbl))))
@@ -9248,9 +9254,51 @@ object CypherLite {
       p.orFlagPreds.exists(_._1.steps.exists(_.node.label.isEmpty)) ||
       p.patternComps.exists(_.pred.steps.exists(_.node.label.isEmpty))
     val untyped = anyNodeNeeded || allPatternSteps.exists(_.rel.isEmpty)
-    if (untyped) assertGloballyUniqueIds(g0)
+    // LABEL-EXPLORATION mount — `MATCH (n) RETURN [DISTINCT]
+    // labels(n) …` / `labels(n)[0], count(*)` (the schema-discovery
+    // shape LLMs emit before writing patterns): a LONE unlabeled node
+    // whose head items read labels(n) mounts an any-node view that
+    // CARRIES a per-row __label column (the alternation-view
+    // machinery then answers labels()/[i] per row). On MIXED id
+    // types — where the plain union is unsound and ordinarily
+    // rejects — ids mount label-prefixed (`lbl:id`, unique BY
+    // CONSTRUCTION, so no global-contract scan), and bare-id reads
+    // (`RETURN n`) reject pointedly instead of leaking the encoding.
+    val loneNode = p.steps.isEmpty && p.optionals.isEmpty &&
+      p.crossComps.isEmpty && p.patternPreds.isEmpty &&
+      p.countPreds.isEmpty && p.orFlagPreds.isEmpty &&
+      p.patternComps.isEmpty && p.shortestFilters.isEmpty &&
+      p.withClauses.forall(_.postMatches.isEmpty)
+    val headItems = p.withClauses.headOption.map(_.items).getOrElse(p.returns)
+    val anyAliases = p.labels.collect { case (a2, "") => a2 }.toSet
+    val labelsRead = headItems.exists(ri => ri.schemaFn.exists(f =>
+      (f._1 == "labels" || f._1.startsWith("labels_idx:")) &&
+        anyAliases(f._2)))
+    val exploration = anyNodeNeeded && loneNode && labelsRead
+    // the exploration mount never JOINS ids (no steps, no pattern
+    // predicates — the gate above), so it skips the global-id
+    // contract entirely: ids mount label-prefixed (`lbl:id`, unique
+    // BY CONSTRUCTION even over overlapping or mixed-typed per-label
+    // id spaces — count(DISTINCT n) stays exact), and bare-id reads
+    // (`RETURN n`) reject pointedly instead of leaking the encoding
+    if (untyped && !exploration) assertGloballyUniqueIds(g0)
     val g1 =
       if (!anyNodeNeeded) g0
+      else if (exploration) {
+        for (ri <- headItems)
+          require(!(ri.schemaFn.isEmpty && ri.caseC.isEmpty &&
+              ri.arith.isEmpty && ri.agg.isEmpty && ri.prop.isEmpty &&
+              anyAliases(ri.alias)),
+            s"'${ri.alias}': bare unlabeled node reads return raw " +
+              "ids, ambiguous across labels — read " +
+              s"labels(${ri.alias}) / count(*), or declare a :Label")
+        val union = g0.nodes.toSeq.sortBy(_._1).map { case (lbl, df) =>
+          df.select(
+            concat_ws(":", lit(lbl), col("id").cast("string")).as("id"),
+            lit(lbl).as("__label"))
+        }.reduce(_ unionAll _)
+        g0.copy(nodes = g0.nodes + ("" -> union))
+      }
       else g0.copy(nodes = g0.nodes +
         ("" -> g0.nodes.values.map(_.select(col("id"))).reduce(_ unionAll _).distinct()))
     // label ALTERNATIONS (`(n:A|B)`, Neo4j 5 label expression) mount a

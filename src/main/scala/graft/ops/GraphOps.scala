@@ -3643,6 +3643,23 @@ object GraphOps {
              |           FROM orders GROUP BY 1) o
              |  ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
+    ),
+    // G160 LABEL EXPLORATION — `MATCH (n) RETURN labels(n)[0],
+    // count(*)` (the schema-discovery emission an LLM runs before
+    // writing patterns, round-17 probe): the lone unlabeled node
+    // mounts a __label-bearing any-node view, labels() reads it per
+    // row (the alternation machinery). DuckDB replays with per-table
+    // counts unioned.
+    QueryDef(
+      "g160_cypher_label_explore",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n)
+          |RETURN labels(n)[0] AS l, count(*) AS n""".stripMargin)),
+      Some("""SELECT 'customer' AS l, count(*) AS n FROM customer
+             |UNION ALL SELECT 'nation', count(*) FROM nation
+             |UNION ALL SELECT 'orders', count(*) FROM orders
+             |UNION ALL SELECT 'region', count(*) FROM region
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

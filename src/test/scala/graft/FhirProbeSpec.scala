@@ -422,6 +422,33 @@ class FhirProbeSpec extends SparkSpec {
       "411 edges + 2726 rows")
   }
 
+  test("label exploration: MATCH (n) RETURN DISTINCT labels(n) " +
+      "over MIXED id types") {
+    // the schema-discovery emission: a lone unlabeled node reading
+    // labels(n) mounts the __label-bearing view; on this graph's
+    // mixed id types (Patient bigint, others string) the union rides
+    // label-prefixed ids — sound without the global-id contract
+    val ls = q("MATCH (n) RETURN DISTINCT labels(n) AS l ORDER BY l")
+      .collect().map(_.getSeq[String](0).head).toSeq
+    assert(ls === Seq("Address", "Allergy", "Immunization", "Patient",
+      "Practitioner", "Substance"))
+    // per-label counts equal the direct labeled scans
+    val counts = q("MATCH (n) RETURN labels(n)[0] AS l, count(*) AS n " +
+      "ORDER BY l").collect()
+    assert(counts.length === 6)
+    for (r <- counts)
+      assert(r.getLong(1) ===
+        one(s"MATCH (x:${r.getString(0)}) RETURN count(*) AS n"),
+        r.getString(0))
+    // bare-id reads stay a pointed reject on mixed ids (the prefixed
+    // encoding must not leak)
+    val e = intercept[IllegalArgumentException] {
+      q("MATCH (n) RETURN n LIMIT 3")
+    }
+    assert(e.getMessage.toLowerCase.contains("mixed id types"),
+      e.getMessage)
+  }
+
   test("batch-17 pointed rejects: null compare, unknown label, " +
       "typo'd edge type") {
     val e1 = intercept[IllegalArgumentException] {
