@@ -4287,6 +4287,12 @@ object CypherLite {
     val patternPreds = scala.collection.mutable.ArrayBuffer.empty[PatternPred]
     val countPreds =
       scala.collection.mutable.ArrayBuffer.empty[(PatternPred, String, Long)]
+    // statement-level dedup for hoisted item-position EXISTS{}/COUNT{}
+    // subqueries: the SAME subquery text repeated across items
+    // (`avg(COUNT { (c)-[:R]->() }), sum(COUNT { (c)-[:R]->() } + 1)`)
+    // reuses ONE flag column — one grouped-count join, not one per
+    // occurrence. Keyed on (isCount, whitespace-normalized chain).
+    val hoistedFlagCache = scala.collection.mutable.Map.empty[String, String]
     // EXISTS { } / COUNT { } atoms living UNDER OR (or NOT) inside a
     // conjunct — compiled as per-anchor FLAG columns (__ppf_i boolean
     // / __ppc_i count) left-joined onto the path frame so the boolean
@@ -5897,10 +5903,14 @@ object CypherLite {
               val inner = txt.substring(m.end, i - 1).trim
                 .replaceFirst("(?i)^MATCH\\b", "").trim
               val isCount = m.group(1).equalsIgnoreCase("COUNT")
-              val pp = parsePatternPredChain(negated = false, inner)
-              val idx = orFlagPreds.length
-              orFlagPreds += ((pp, isCount))
-              val nm2 = if (isCount) s"__ppc_$idx" else s"__ppf_$idx"
+              val cacheKey =
+                s"$isCount|${inner.replaceAll("\\s+", " ")}"
+              val nm2 = hoistedFlagCache.getOrElseUpdate(cacheKey, {
+                val pp = parsePatternPredChain(negated = false, inner)
+                val idx = orFlagPreds.length
+                orFlagPreds += ((pp, isCount))
+                if (isCount) s"__ppc_$idx" else s"__ppf_$idx"
+              })
               flagNames += nm2
               val sub = if (isCount) nm2 else s"$nm2 = true"
               txt = txt.substring(0, m.start) + sub + txt.substring(i)
