@@ -844,6 +844,12 @@ object CypherLite {
   // ABSORB the label exactly like the colon form
   private val InLabelsCondRe =
     """(?is)^'([A-Za-z_][A-Za-z0-9_]*)'\s+IN\s+labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+  // `labels(n)[0] = 'lbl'` — the subscripted spelling of the same
+  // test (LLMs emit it against exploration output; round-17 probe):
+  // canonicalizes to the `n:lbl` atom like the IN form
+  private val LabelsIdxCondRe =
+    ("""(?is)^labels\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\[\s*""" +
+      """(?:0|-1)\s*\]\s*=\s*'([A-Za-z_][A-Za-z0-9_]*)'$""").r
   // `[NOT] exists(alias.prop)` — legacy Cypher property-existence
   // (≡ IS [NOT] NULL in this engine's data model; the pattern-
   // predicate extractor never grabs it: `exists((…))` needs an inner
@@ -4203,6 +4209,7 @@ object CypherLite {
           // `(c)` position exactly like `c:customer`
           (c.trim match {
             case InLabelsCondRe(lbl, a) => s"$a:$lbl"
+            case LabelsIdxCondRe(a, lbl) => s"$a:$lbl"
             case t => t
           }) match {
             case LabelPredRe(a, lbl) if !lbl.contains("|") =>
@@ -4681,6 +4688,7 @@ object CypherLite {
           // and re-enter (fold on labeled aliases, same alternation
           // discipline)
           case InLabelsCondRe(lbl, a) => parseCond(s"$a:$lbl")
+          case LabelsIdxCondRe(a, lbl) => parseCond(s"$a:$lbl")
           // label predicate (`c:customer`, `n:A|B`) — an alias's
           // label is STATIC here (its table is fixed at parse), so
           // the test folds to a constant: true when the alias's

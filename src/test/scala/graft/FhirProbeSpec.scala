@@ -449,6 +449,37 @@ class FhirProbeSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("batch-18 sweep: labels(n)[0] test, unions, range unwind, " +
+      "quantified degree stages") {
+    // `labels(n)[0] = 'X'` canonicalizes to the n:X atom — absorbed
+    // into the unlabeled node exactly like `'X' IN labels(n)`
+    assert(one("MATCH (n) WHERE labels(n)[0] = 'Substance' " +
+      "RETURN count(*) AS n") ===
+      one("MATCH (s:Substance) RETURN count(*) AS n"))
+    assert(one("MATCH (p:Patient) WHERE labels(p)[0] = 'Patient' " +
+      "RETURN count(*) AS n") === 2726L)
+    // UNION ALL of aggregate parts keeps both rows
+    assert(q("MATCH (p:Patient) WHERE p.gender = 'Male' RETURN " +
+      "count(*) AS n UNION ALL MATCH (p:Patient) WHERE p.gender = " +
+      "'Female' RETURN count(*) AS n")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(619L, 779L))
+    // UNWIND range(…) — both arities
+    assert(one("UNWIND range(1, 5) AS i RETURN sum(i) AS s") === 15L)
+    assert(q("UNWIND range(0, 10, 2) AS i RETURN collect(i) AS xs")
+      .collect()(0).getSeq[Long](0) === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    // COUNT{} as a WITH item + stage WHERE agrees with the WHERE form
+    assert(one("MATCH (p:Patient) WITH p, COUNT { " +
+      "(p)-[:HAS_IMMUNIZATION]->() } AS d WHERE d >= 2 " +
+      "RETURN count(*) AS n") ===
+      one("MATCH (p:Patient) WHERE count { " +
+        "(p)-[:HAS_IMMUNIZATION]->() } >= 2 RETURN count(*) AS n"))
+    // correlated CALL sums the per-patient counts to the edge total
+    assert(one("MATCH (p:Patient) CALL { WITH p MATCH " +
+      "(p)-[:EXPERIENCES]->(a:Allergy) RETURN count(a) AS c } " +
+      "RETURN sum(c) AS total") === 275L,
+      "275 EXPERIENCES edges (type(r) cross-check)")
+  }
+
   test("batch-17 pointed rejects: null compare, unknown label, " +
       "typo'd edge type") {
     val e1 = intercept[IllegalArgumentException] {
