@@ -568,7 +568,11 @@ object CypherLite {
       // outputs known to be STRUCTS (map projections/literals,
       // properties(n)) — `m.field` in later stages compiles to
       // getField over the carried column. Transitive like listOuts.
-      structOuts: Set[String] = Set.empty) {
+      structOuts: Set[String] = Set.empty,
+      // outputs known to be LISTS OF STRUCTS (collect of map
+      // literals/projections) — an UNWIND over one yields a STRUCT
+      // element. Transitive like the others.
+      listStructOuts: Set[String] = Set.empty) {
     /** Every name this stage leaves in scope, declaration order —
       * item outputs, unwound names, post-stage MATCH aliases. The
       * ONE definition star expansion and name resolution share.
@@ -624,6 +628,23 @@ object CypherLite {
       case ri if ri.agg.isEmpty && ri.prop.isEmpty && ri.caseC.isEmpty &&
           ri.arith.isEmpty && ri.schemaFn.isEmpty &&
           prevStructOuts(ri.alias) => ri.as
+    }.toSet
+
+  /** Outputs that are LISTS OF STRUCTS — collect() over a map
+    * literal (`collect({k: v})`) or a map projection
+    * (`collect(n {.a})`), plus bare carries of a previous stage's
+    * list-of-struct outputs. UNWIND of one yields a STRUCT element,
+    * so the unwound name joins structOuts (`m.field` reads getField
+    * — the collect-rows-then-unwind idiom, round-17 probe b19-11).
+    */
+  private def stageListStructOuts(items: Seq[ReturnItem],
+      prevListStruct: Set[String]): Set[String] =
+    items.collect {
+      case ri if ri.agg.contains("collect") && ri.src.exists(_.matches(
+          """(?is)^collect\s*\(\s*(?:DISTINCT\s+)?(?:[A-Za-z_][A-Za-z0-9_]*\s*)?\{.*""")) =>
+        ri.as
+      case ri if ri.agg.isEmpty && ri.prop.isEmpty && ri.caseC.isEmpty &&
+          ri.arith.isEmpty && prevListStruct(ri.alias) => ri.as
     }.toSet
 
   /** One pattern clause following a WITH stage: a single chain of
@@ -7844,7 +7865,12 @@ object CypherLite {
         listOuts = stageListOuts(items, prevListOuts),
         structOuts = stageStructOuts(items,
           prev.map(_.structOuts).getOrElse(headStructNames)) ++
-          unwinds.collect { case (src, out) if isMapLitList(src) => out })
+          unwinds.collect { case (src, out) if isMapLitList(src) ||
+            stageListStructOuts(items,
+              prev.map(_.listStructOuts).getOrElse(Set.empty))(src) =>
+            out },
+        listStructOuts = stageListStructOuts(items,
+          prev.map(_.listStructOuts).getOrElse(Set.empty)))
     }
 
     // RETURN [DISTINCT] items [ORDER BY …] [LIMIT n] — after a WITH,

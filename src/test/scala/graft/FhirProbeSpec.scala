@@ -480,6 +480,26 @@ class FhirProbeSpec extends SparkSpec {
       "275 EXPERIENCES edges (type(r) cross-check)")
   }
 
+  test("batch-19: collect-of-maps UNWIND yields struct elements") {
+    // the collect-rows-then-unwind idiom: the unwound element's
+    // struct-ness rides listStructOuts, so m.field reads getField —
+    // values must equal the direct projection route
+    val direct = q("MATCH (p:Patient) WHERE p.surname STARTS WITH " +
+      "'Zb' RETURN p.surname AS s, p.gender AS gn ORDER BY s, gn")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    val viaUnwind = q("MATCH (p:Patient) WHERE p.surname STARTS WITH " +
+      "'Zb' WITH collect({s: p.surname, g: p.gender}) AS xs " +
+      "UNWIND xs AS m RETURN m.s AS s, m.g AS gn ORDER BY s, gn")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(direct.nonEmpty && viaUnwind === direct)
+    // carried through a second stage too (transitive tracking)
+    val carried = q("MATCH (p:Patient) WHERE p.surname STARTS WITH " +
+      "'Zb' WITH collect({s: p.surname}) AS xs WITH xs " +
+      "UNWIND xs AS m RETURN m.s AS s ORDER BY s")
+      .collect().map(_.getString(0)).toSeq
+    assert(carried === direct.map(_._1))
+  }
+
   test("batch-17 pointed rejects: null compare, unknown label, " +
       "typo'd edge type") {
     val e1 = intercept[IllegalArgumentException] {
