@@ -846,6 +846,12 @@ object CypherLite {
   // `any|all|none|single(x IN xs WHERE cond)` in a post-WITH WHERE
   private val QuantRe =
     """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+)\)\s*$""".r
+  // quantifier as a RETURN/WITH ITEM over a carried list output —
+  // `any(x IN gs WHERE x = 'Male') AS hasM` (round-17 probe b20-11):
+  // compiles to the same exists/forall/filter HOFs as the WHERE form
+  private val QuantItemRe = (
+    """(?is)^(any|all|none|single)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+""" +
+    """([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
   // the same quantifiers over an INLINE split(alias.prop, 'd') source
   // — pattern-WHERE position (no stage output needed)
   private val QuantSplitRe = (
@@ -7153,6 +7159,19 @@ object CypherLite {
         // NOT (p) THEN false END` — which preserves Cypher's
         // three-valued logic exactly (null operands match neither arm
         // → null, where a plain ELSE false would coerce to false).
+        // list quantifier as an ITEM over a carried list output —
+        // the boolean-flag idiom (`any(x IN gs WHERE …) AS hasX`);
+        // same HOF compile as the stage-WHERE quantifier atom
+        case QuantItemRe(qf, v, src, condTxt, as) if listOk(src) =>
+          val f = lambdaCond(v, condTxt)
+          val mk: Column => Column = qf.toLowerCase match {
+            case "any"  => c => exists(c, f)
+            case "all"  => c => forall(c, f)
+            case "none" => c => !exists(c, f)
+            case "single" => c => size(filter(c, f)) === 1
+          }
+          ReturnItem(None, distinct = false, "", None, as,
+            caseC = Some(CaseCompiled(Seq.empty, res => mk(res(src, None)))))
         case BoolItemRe(body, as) if {
           val b = body.replaceAll("'[^']*'", "''")
           b.matches("(?is).*(<=|>=|<>|=~|<|>|=|\\bCONTAINS\\b|" +

@@ -500,6 +500,30 @@ class FhirProbeSpec extends SparkSpec {
     assert(carried === direct.map(_._1))
   }
 
+  test("batch-20: quantifier items, optional anti-join, inline prop " +
+      "maps in pattern predicates") {
+    // quantifiers as RETURN items over a carried list (the boolean-
+    // flag idiom) — same HOF compile as the WHERE position
+    val r = q("MATCH (p:Patient) WHERE p.surname STARTS WITH 'Zb' " +
+      "WITH collect(p.gender) AS gs RETURN " +
+      "any(x IN gs WHERE x = 'Male') AS hasM, " +
+      "all(x IN gs WHERE x = 'Male') AS allM, " +
+      "none(x IN gs WHERE x = 'Q') AS noQ").collect()(0)
+    assert((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ===
+      ((true, false, true)))
+    // OPTIONAL MATCH + `WITH p, a WHERE a IS NULL` — the anti-join
+    // spelling; agrees with NOT EXISTS (2516 allergy-less patients)
+    assert(one("MATCH (p:Patient) OPTIONAL MATCH " +
+      "(p)-[:EXPERIENCES]->(a:Allergy) WITH p, a WHERE a IS NULL " +
+      "RETURN count(*) AS n") ===
+      one("MATCH (p:Patient) WHERE NOT EXISTS { " +
+        "(p)-[:EXPERIENCES]->() } RETURN count(*) AS n"))
+    // inline property map INSIDE a pattern predicate narrows the
+    // existence test (53 patients with a food-category allergy)
+    assert(one("MATCH (p:Patient) WHERE (p)-[:EXPERIENCES]->" +
+      "(:Allergy {category: 'food'}) RETURN count(*) AS n") === 53L)
+  }
+
   test("batch-17 pointed rejects: null compare, unknown label, " +
       "typo'd edge type") {
     val e1 = intercept[IllegalArgumentException] {
