@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression,
   IntegralDivide, RuntimeReplaceable}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
-  IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+  DoubleType, IntegerType, LongType, ShortType}
 
 /** Cypher's `/` — SCHEMA-ADAPTIVE division. Neo4j divides integrally
   * when both operands are integers (`7 / 2 = 3`, truncated toward
@@ -47,9 +47,25 @@ case class CypherDiv(left: Expression, right: Expression)
     case _ => false
   }
 
+  private def decimal(dt: DataType): Boolean = dt.isInstanceOf[DecimalType]
+
   override lazy val replacement: Expression =
     if (integral(left.dataType) && integral(right.dataType))
       IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+    // DECIMAL operands keep decimal division (round-17 advice: the
+    // unconditional double cast lost precision and changed the output
+    // type for decimal-typed property columns — stock Spark Divide
+    // derives the result precision itself since 3.4). A decimal
+    // beside an integral widens the integral to decimal(20,0); a
+    // decimal beside a float/double falls to the double branch
+    // (Neo4j FLOAT is a 64-bit double — mixed float math is double).
+    else if ((decimal(left.dataType) || decimal(right.dataType)) &&
+        Seq(left, right).forall(e =>
+          decimal(e.dataType) || integral(e.dataType))) {
+      def toDec(e: Expression): Expression =
+        if (decimal(e.dataType)) e else Cast(e, DecimalType(20, 0))
+      Divide(toDec(left), toDec(right))
+    }
     else
       Divide(Cast(left, DoubleType), Cast(right, DoubleType))
 

@@ -3897,11 +3897,15 @@ object CypherLite {
       val nowDt = java.time.LocalDateTime.now()
         .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
         .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      // hoisted like nowDate/nowDt: two timestamp() occurrences in
+      // one statement must read the SAME instant (the statement-fixed
+      // clock contract; previously each match re-read the clock)
+      val nowMs = System.currentTimeMillis()
       foldUnquotedSpans(s, seg => NowRe.replaceAllIn(seg, m =>
         m.group(1).toLowerCase match {
           case "date" => s"date('$nowDate')"
           case "datetime" | "localdatetime" => s"datetime('$nowDt')"
-          case "timestamp" => System.currentTimeMillis().toString
+          case "timestamp" => nowMs.toString
           case other => throw new IllegalArgumentException(
             s"$other() is a TIME-OF-DAY value — no time type here; " +
               "use datetime() (statement-fixed clock) or an explicit " +
@@ -7919,9 +7923,18 @@ object CypherLite {
             // stage output named `g` must not count `p2.g` as a stage
             // reference (the dotted form reads the NODE's property;
             // counting it let an effectively-unconstrained fresh
-            // match slip past the cartesian reject)
-            val blanked = w0.replaceAll("'[^']*'", "''")
-              .replaceAll("""\b[A-Za-z_][A-Za-z0-9_]*\s*\.\s*[A-Za-z_][A-Za-z0-9_]*\b""", " ")
+            // match slip past the cartesian reject) — EXCEPT when the
+            // dotted base is a carried STRUCT output: `fresh.x =
+            // m.field` after `WITH … AS m` IS a stage correlation
+            // (round-17 advice: blanking it false-rejected the
+            // struct-field re-match as a cartesian)
+            val structO = stageStructOuts(items,
+              prev.map(_.structOuts).getOrElse(headStructNames))
+            val DottedRe =
+              """\b([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*[A-Za-z_][A-Za-z0-9_]*\b""".r
+            val blanked = DottedRe.replaceAllIn(
+              w0.replaceAll("'[^']*'", "''"),
+              m => if (structO.contains(m.group(1))) m.group(1) else " ")
             (outNames ++ unwinds.map(_._2)).exists(o =>
               ("(?s).*\\b" + java.util.regex.Pattern.quote(o) + "\\b.*").r
                 .matches(blanked))
@@ -8789,9 +8802,15 @@ object CypherLite {
     */
   // the two supported read-only db.* procedures, with their optional
   // YIELD (the YIELD name must be the procedure's one output column)
+  // and the most common Neo4j emission tail — `YIELD label RETURN
+  // label [ORDER BY label [ASC|DESC]]` (round-17 advice: the
+  // $-anchored regex dropped that shape onto the generic CALL reject)
   private val DbProcRe =
     ("""(?is)^CALL\s+db\s*\.\s*(labels|relationshipTypes)\s*\(\s*\)""" +
-      """\s*(?:YIELD\s+([A-Za-z_][A-Za-z0-9_]*)\s*)?$""").r
+      """\s*(?:YIELD\s+([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """(?:RETURN\s+([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """(?:ORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+(ASC|DESC))?\s*)?)?)?$""").r
 
   def query(g0: PropertyGraph, stmt0: String): DataFrame = {
     val stmt = preprocess(stmt0)
@@ -8818,16 +8837,18 @@ object CypherLite {
       case Some(m) =>
         val isLabels = m.group(1).equalsIgnoreCase("labels")
         val colName = if (isLabels) "label" else "relationshipType"
-        require(m.group(2) == null || m.group(2) == colName,
-          s"CALL db.${m.group(1)}() yields one column: '$colName'")
+        for (gi <- 2 to 4; n = m.group(gi) if n != null)
+          require(n == colName,
+            s"CALL db.${m.group(1)}() yields one column: '$colName'")
         val sp = g0.nodes.values.headOption
           .orElse(g0.edges.values.headOption.map(_._3))
           .getOrElse(throw new IllegalArgumentException(
             "CALL db procedures need a non-empty graph")).sparkSession
         import sp.implicits._
-        val vals = (if (isLabels) g0.nodes.keys else g0.edges.keys)
+        val desc = m.group(5) != null && m.group(5).equalsIgnoreCase("DESC")
+        val vals0 = (if (isLabels) g0.nodes.keys else g0.edges.keys)
           .toSeq.sorted
-        return vals.toDF(colName)
+        return (if (desc) vals0.reverse else vals0).toDF(colName)
       case None =>
     }
     callHead(stmt) match {

@@ -5661,6 +5661,43 @@ class CypherLiteSpec extends SparkSpec {
     assert(m2.getLong(1) === 21L)
   }
 
+  test("round-17 advice: fixed clock, struct correlation, db.* tails, decimal /") {
+    // two timestamp() occurrences in ONE statement read the same
+    // instant (statement-fixed clock)
+    val ts = CypherLite.query(mathG,
+      "MATCH (a:A {id: 1}) RETURN timestamp() AS t1, timestamp() AS t2")
+      .collect().head
+    assert(ts.getLong(0) === ts.getLong(1))
+    // struct-FIELD stage correlation in a post-WITH fresh MATCH: the
+    // dotted read of a carried struct output counts as a stage
+    // reference (no false cartesian reject)
+    val n = CypherLite.query(mathG,
+      "MATCH (b:B) WITH b {.tag, .num} AS m " +
+        "MATCH (b2:B) WHERE b2.tag = m.tag RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n === 2L)
+    // CALL db.labels() with the common Neo4j emission tail
+    val ls = CypherLite.query(mathG,
+      "CALL db.labels() YIELD label RETURN label ORDER BY label DESC")
+      .as[String].collect().toSeq
+    assert(ls === Seq("B", "A"))
+    assert(intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "CALL db.labels() YIELD label RETURN wrong")
+    }.getMessage.contains("yields one column"))
+    // decimal-typed properties keep DECIMAL division (no silent
+    // double downcast); integer pairs keep integral division
+    val dg = PropertyGraph(
+      nodes = Map("O" -> Seq((1L, BigDecimal("10.50")))
+        .toDF("id", "amt")),
+      edges = Map.empty)
+    val df = CypherLite.query(dg, "MATCH (o:O) RETURN o.amt / 2 AS h")
+    assert(df.schema("h").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      df.schema("h").dataType.toString)
+    assert(df.collect().head.getDecimal(0).doubleValue() === 5.25)
+  }
+
   test("item-position exists(p.prop) compiles to IS NOT NULL") {
     val r = CypherLite.query(mathG,
       "MATCH (a:A) RETURN exists(a.tag) AS e, count(*) AS n ORDER BY e")

@@ -854,4 +854,35 @@ class FhirProbeSpec extends SparkSpec {
       .collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq
     assert(r === Seq((false, 1359L), (true, 1367L)))
   }
+
+  test("batch 22: ordered-collect variants over LIMIT, DISTINCT, null keys") {
+    // ORDER BY + LIMIT then collect — the cut rows in the cut order
+    val top2 = q("""MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy)
+      |WITH a.category AS cat, count(*) AS n ORDER BY n DESC LIMIT 2
+      |RETURN collect(cat) AS cats""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(top2 === Seq("environment", "other"))
+    // multi-key hidden sort (unprojected birthDate) + LIMIT + collect:
+    // the 3 earliest 1990-born surnames, independently computed from
+    // the raw JSON (python: sort by (birthDate, surname))
+    val ss = q("""MATCH (p:Patient) WHERE p.birthDate.year = 1990
+      |WITH p.surname AS s ORDER BY p.birthDate ASC, s ASC LIMIT 3
+      |RETURN collect(s) AS ss""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(ss === Seq("Armstrong", "Parker", "Mills"))
+    // a NULL grouping key orders first under n DESC (1328 null-gender
+    // rows) but collect SKIPS the null value — [Female, Male]
+    val r = q("""MATCH (p:Patient)
+      |WITH p.gender AS g, count(*) AS n ORDER BY n DESC
+      |WITH collect(g) AS gs
+      |RETURN gs[0] AS top, size(gs) AS k""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "Female" && r.getInt(1) === 2)
+    // collect(DISTINCT) after ORDER BY DESC keeps first occurrence
+    val gs = q("""MATCH (p:Patient) WHERE p.gender IS NOT NULL
+      |WITH p.gender AS g ORDER BY g DESC
+      |RETURN collect(DISTINCT g) AS gs""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(gs === Seq("Male", "Female"))
+  }
 }
