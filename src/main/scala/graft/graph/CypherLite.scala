@@ -8627,6 +8627,25 @@ object CypherLite {
       // — a collect() in this stage honors that row order
       inputOrder: Seq[(String, Boolean)] = Seq.empty): DataFrame = {
     require(tail.nonEmpty, "CALL { … } needs a RETURN after the braces")
+    // `UNWIND listOut AS x` between stages — one explode per clause
+    // (empty/null lists drop the row, Cypher semantics); the source
+    // stays in scope. Order keys (if carried) remain live columns.
+    if (tail.matches("(?is)^UNWIND\\b.*")) {
+      val CtUnwindRe =
+        """(?is)^UNWIND\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$""".r
+      tail match {
+        case CtUnwindRe(src, x, rest2) =>
+          require(inner.columns.contains(src),
+            s"UNWIND references unknown output '$src' " +
+              s"(${inner.columns.mkString(", ")})")
+          checkUserName(x, "UNWIND output")
+          return compileCallTail(g0,
+            inner.withColumn(x, explode(col(src))), rest2.trim,
+            aliasLabel, inputOrder)
+        case _ => fail("pipeline UNWIND is `UNWIND listOutput AS x " +
+          "<more clauses>`", tail.take(60))
+      }
+    }
     if (tail.matches("(?is)^WITH\\b.*")) {
       // WITH pipeline after the braces — each stage projects or
       // aggregates the current frame's OUTPUT COLUMNS by bare name
@@ -8639,7 +8658,8 @@ object CypherLite {
       // n WHERE n > 1 RETURN …` is the post-union threshold idiom.
       val afterWith = tail.replaceFirst("(?i)^WITH\\b", "").trim
       val nextIdx = (topLevelKeywordIndices(afterWith, "WITH") ++
-        topLevelKeywordIndices(afterWith, "RETURN")).minOption
+        topLevelKeywordIndices(afterWith, "RETURN") ++
+        topLevelKeywordIndices(afterWith, "UNWIND")).minOption
       val (stageTxt0, rest) = nextIdx match {
         case Some(i) =>
           (afterWith.substring(0, i).trim, afterWith.substring(i).trim)
@@ -8739,7 +8759,73 @@ object CypherLite {
           "resolve only after a correlated CALL)")
       ReturnItem(f, d, a, Some(prop), name, src = Some(srcTxt))
     }
+    // list reads over an inline collect — `collect(x)[0..2] AS top`,
+    // `head(collect(x)) AS h` (the top-k-collect idiom in a
+    // standalone UNWIND pipeline / CALL tail; round-18 probe): the
+    // collect compiles as usual, the read rides postWrap — ordered
+    // lists (a preceding ORDER BY stage) read the right elements
+    val CtAggSubRe =
+      ("""(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
+        """\s*\[\s*(-?\d+)?(\s*\.\.\s*)?(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
+    val CtFnAggRe =
+      ("""(?is)^(head|last|size)\s*\(\s*collect\s*\(\s*(?:(DISTINCT)\s+)?""" +
+        """([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
+    def ctSlice(c: Column, fromS: String, toS: String): Column = {
+      val n = size(c)
+      def pos(v: Int): Column =
+        if (v >= 0) lit(v) else greatest(n + lit(v), lit(0))
+      val f = Option(fromS).map(s => pos(s.toInt)).getOrElse(lit(0))
+      val t = Option(toS).map(s => pos(s.toInt)).getOrElse(n)
+      slice(c, f + lit(1), greatest(t - f, lit(0)))
+    }
+    // reduce over a carried list output — the same compile as the
+    // main item grammar's ReduceItemRe (aggregate HOF, codegen-free
+    // but per-row-over-small-lists)
+    val CtReduceRe =
+      """(?is)^reduce\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^,]+?)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*\|\s*(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
+      case CtReduceRe(accN, initTxt, v, src, bodyTxt, as) if cols(src) =>
+        require(accN != v,
+          s"reduce: accumulator and element share the name '$accN'")
+        checkUserName(as, "CALL-tail output")
+        val init = literal(initTxt.trim)
+        val ae = parseArith(bodyTxt.trim)
+        for ((a, pOpt) <- arithRefs(ae))
+          require(pOpt.isEmpty && (a == accN || a == v),
+            s"reduce expressions may only reference '$accN' and '$v' " +
+              s"(got '$a${pOpt.map("." + _).getOrElse("")}')")
+        ReturnItem(None, distinct = false, "", None, as,
+          caseC = Some(CaseCompiled(Seq.empty, res =>
+            org.apache.spark.sql.functions.aggregate(res(src, None),
+              lit(init),
+              (acc, x) => arithColumn(ae,
+                (n, _) => if (n == accN) acc else x)))))
+      case CtAggSubRe(dist, target, idxS, dots, toS, as) =>
+        require(cols(target),
+          s"collect() references unknown subquery column '$target' " +
+            s"(${inner.columns.mkString(", ")})")
+        checkUserName(as, "CALL-tail output")
+        val wrap: Column => Column =
+          if (dots == null) {
+            require(idxS != null, s"$as: empty list subscript")
+            val i = idxS.toInt
+            val at = if (i >= 0) i + 1 else i
+            c => try_element_at(c, lit(at))
+          } else ctSlice(_, idxS, toS)
+        ReturnItem(Some("collect"), dist != null, target, None, as,
+          postWrap = Some(wrap))
+      case CtFnAggRe(fn, dist, target, as) =>
+        require(cols(target),
+          s"${fn.toLowerCase}(collect()) references unknown subquery " +
+            s"column '$target' (${inner.columns.mkString(", ")})")
+        checkUserName(as, "CALL-tail output")
+        val wrap: Column => Column = fn.toLowerCase match {
+          case "head" => try_element_at(_, lit(1))
+          case "last" => try_element_at(_, lit(-1))
+          case _ => size(_)
+        }
+        ReturnItem(Some("collect"), dist != null, target, None, as,
+          postWrap = Some(wrap))
       case AggItemRe(fn, dist, target, prop, as) =>
         val f = fn.toLowerCase
         val d = dist != null
@@ -9978,13 +10064,31 @@ object CypherLite {
       .foldLeft((pathsC, Option.empty[WithClause])) {
         case ((df, prev), (w, wi)) =>
           val (aliasLabel, leftOuter, preAtt) = resolvers(prev)
+          val nextItems =
+            if (wi + 1 < p.withClauses.size) p.withClauses(wi + 1).items
+            else p.returns
+          // a stage ORDER BY with no LIMIT/SKIP whose NEXT consumer
+          // aggregates is physically UNOBSERVABLE: aggregation
+          // destroys row order (grouped output order is unspecified,
+          // Neo4j too, and an ordered collect() re-derives the order
+          // from the CARRIED key values, never the physical stream) —
+          // skip the global range-exchange + sort entirely. At fact
+          // scale this deletes a full shuffle from the
+          // top-k-collect idiom. The semantic decisions (carriedOrder
+          // / keepOb below) keep reading w.orderBy — only the
+          // physical sort is elided.
+          val physOrder =
+            if (w.orderBy.nonEmpty && w.limit.isEmpty && w.skip.isEmpty &&
+              nextItems.nonEmpty && nextItems.exists(_.agg.isDefined))
+              Seq.empty[(String, Boolean)]
+            else w.orderBy
           // grammar-order WHERE (items ORDER BY … LIMIT n WHERE …)
           // filters AFTER the stage's cut — Neo4j semantics; the
           // HAVING-style pre-tail WHERE filters before it
           val ran0 = runStage(g, df,
             resolveSchemaFnItems(g, w.items, aliasLabel), aliasLabel,
             leftOuter,
-            distinct = w.distinct, w.orderBy, w.limit,
+            distinct = w.distinct, physOrder, w.limit,
             postFilter = if (w.whereAfterLimit) None else w.where,
             skip = w.skip, preAttached = preAtt,
             inputOrder = carriedOrder(prev, df))
@@ -9998,9 +10102,6 @@ object CypherLite {
           // when the next consumer collects: an ordered stage's keys
           // then feed orderedCollect (and vanish with that stage's
           // aggregation — they never reach user-visible schema)
-          val nextItems =
-            if (wi + 1 < p.withClauses.size) p.withClauses(wi + 1).items
-            else p.returns
           val keepOb = w.orderBy.nonEmpty && hasCollect(nextItems) &&
             w.orderBy.exists(_._1.startsWith("__ob_"))
           val filtered = if (keepOb) filtered0 else filtered0.drop(

@@ -5661,6 +5661,44 @@ class CypherLiteSpec extends SparkSpec {
     assert(m2.getLong(1) === 21L)
   }
 
+  test("batch 23: ordered lists feed every list read the same way") {
+    // inline postWrap slice on the RETURN-stage collect
+    val top = CypherLite.query(g,
+      """UNWIND ['env', 'env', 'env', 'other', 'other', 'food'] AS c
+        |WITH c AS cat, count(*) AS n ORDER BY n DESC
+        |RETURN collect(cat)[0..2] AS top""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(top === Seq("env", "other"))
+    // reduce() folds the ORDERED list (string concat is order-visible)
+    val cc = CypherLite.query(g,
+      """UNWIND ['env', 'env', 'env', 'other', 'other', 'food'] AS c
+        |WITH c AS cat, count(*) AS n ORDER BY n DESC
+        |WITH collect(cat) AS cats
+        |RETURN reduce(s = '', x IN cats | s + ',' + x) AS cc""".stripMargin)
+      .collect().head.getString(0)
+    assert(cc === ",env,other,food")
+    // bare-alias collect after ORDER BY on a property: ids in x order
+    val ids = CypherLite.query(mathG,
+      "MATCH (b:B) WITH b ORDER BY b.num DESC RETURN collect(b) AS bs")
+      .collect().head.getSeq[Long](0)
+    assert(ids === Seq(5L, 2L))
+    // WITH DISTINCT + ORDER BY then collect keeps the stage order
+    val ds = CypherLite.query(g,
+      """UNWIND [2, 1, 2, 3] AS x
+        |WITH DISTINCT x ORDER BY x DESC
+        |RETURN collect(x) AS xs""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(ds === Seq(3L, 2L, 1L))
+    // UNWIND of an ordered collect explodes in list order
+    val back = CypherLite.query(g,
+      """UNWIND ['b', 'a', 'a'] AS c
+        |WITH c AS cat, count(*) AS n ORDER BY n DESC
+        |WITH collect(cat) AS cats
+        |UNWIND cats AS c2 RETURN c2""".stripMargin)
+      .as[String].collect().toSeq
+    assert(back === Seq("a", "b"))
+  }
+
   test("round-17 advice: fixed clock, struct correlation, db.* tails, decimal /") {
     // two timestamp() occurrences in ONE statement read the same
     // instant (statement-fixed clock)
