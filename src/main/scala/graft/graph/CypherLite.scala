@@ -5672,7 +5672,7 @@ object CypherLite {
     // collect over a map projection — `collect([DISTINCT] c {.name})
     // AS rows`
     val AggMapProjRe =
-      """(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?((?:[A-Za-z_][A-Za-z0-9_]*\s*)?\{[^}]*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      """(?is)^collect\s*\(\s*(?:(DISTINCT)\s+)?((?:[A-Za-z_][A-Za-z0-9_]*\s*)?\{.*\})\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     // scalar-function wraps as items — `toLower(n.name) AS x`,
     // `round(o.price, 2) AS r`, `substring(n.name, 0, 3) AS pre` — and
     // inside aggregates (`count(DISTINCT toLower(c.seg)) AS n`,
@@ -6206,8 +6206,11 @@ object CypherLite {
             its.head.agg.isEmpty,
             s"collect(…): '$body' did not compile to a map " +
               "projection/literal")
+          // flagCols propagate: a PATTERN-valued entry (`collect(x
+          // {.name, deg: size((x)-[:R]->())})`) hoists to a flag
+          // column the restore must keep alive through the aggregate
           ReturnItem(Some("collect"), distinct = dist != null, "", None,
-            as, caseC = its.head.caseC)
+            as, caseC = its.head.caseC, flagCols = its.head.flagCols)
         // aggregate over a searched CASE — `sum(CASE WHEN … THEN 1
         // ELSE 0 END) AS n`, the conditional-count idiom. Tried
         // before the arithmetic cases: a CASE body may contain + - * /
@@ -7895,7 +7898,50 @@ object CypherLite {
         val reqSegs2: Seq[(String, Option[String], Boolean)] =
           (reqParts2 ++ hoisted2).map { case (b, w) => (b, w, false) } ++
             optParts2.map { case (b, w) => (b, w, true) }
-        reqSegs2.map { case (body, whereOpt, isOpt) =>
+        reqSegs2.map { case (body0, whereOpt0, isOpt) =>
+          // inline-map entries binding a CARRIED name — `MATCH
+          // (p2:Patient {gender: g})` after `WITH … AS g` (Neo4j-
+          // legal; round-18 probe): desugar each such entry to the
+          // clause-WHERE equality the engine compiles stage-aware
+          // (`p2.gender = g`), leaving literal entries in the map.
+          // Named aliases only — an anonymous node keeps the pointed
+          // literals-only reject (nothing to name in the WHERE).
+          val inScope: Set[String] =
+            outNames.toSet ++ unwinds.map(_._2)
+          val NodeMapRe =
+            """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(:[A-Za-z_][A-Za-z0-9_|\s]*)?\{([^}]*)\}\s*\)""".r
+          val whereExtra = Seq.newBuilder[String]
+          val body = NodeMapRe.replaceAllIn(body0, m => {
+            val alias = m.group(1)
+            val lbl = Option(m.group(2)).map(_.trim).getOrElse("")
+            val entries = splitTopComma(m.group(3)).map(_.trim)
+              .filter(_.nonEmpty)
+            val (names, lits) = entries.partition { kv =>
+              val p2 = kv.split(":", 2)
+              p2.length == 2 && {
+                val v = p2(1).trim
+                v.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                  !v.matches("(?i)true|false|null") && inScope(v)
+              }
+            }
+            if (names.isEmpty) java.util.regex.Matcher
+              .quoteReplacement(m.group(0))
+            else {
+              whereExtra ++= names.map { kv =>
+                val p2 = kv.split(":", 2)
+                s"$alias.${p2(0).trim} = ${p2(1).trim}"
+              }
+              val rest =
+                if (lits.isEmpty) "" else s" {${lits.mkString(", ")}}"
+              java.util.regex.Matcher
+                .quoteReplacement(s"($alias$lbl$rest)")
+            }
+          })
+          val extra = whereExtra.result()
+          val whereOpt =
+            if (extra.isEmpty) whereOpt0
+            else Some((whereOpt0.map(w => s"($w)").toSeq ++ extra)
+              .mkString(" AND "))
           val chains = body.split(",(?![^{]*})").map(_.trim).filter(_.nonEmpty)
           require(chains.length == 1,
             "one chain per MATCH clause after WITH (use another MATCH " +

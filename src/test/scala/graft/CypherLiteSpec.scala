@@ -5699,6 +5699,40 @@ class CypherLiteSpec extends SparkSpec {
     assert(back === Seq("a", "b"))
   }
 
+  test("collect over a map projection with a PATTERN entry") {
+    // the context-assembly emission: a struct list whose entries mix
+    // plain props and a hoisted degree flag
+    val xs = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN collect(a {.tag, deg: " +
+        "COUNT { (a)-[:R1]->() }}) AS xs")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(xs.map(r => (r.getString(0), r.getLong(1)))
+      === Seq(("a1", 1L), ("a4", 2L)))
+  }
+
+  test("inline-map entries binding carried names desugar to stage WHERE") {
+    // `{tag: t}` after WITH — Neo4j-legal; compiles to p2.tag = t
+    val r = CypherLite.query(mathG,
+      "MATCH (b:B) WITH DISTINCT b.tag AS t " +
+        "MATCH (b2:B {tag: t}) RETURN t, b2.num AS n ORDER BY t")
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(r === Seq(("b2", 1.0), ("b5", 2.0)))
+    // mixed map: the literal entry stays a scan predicate, the name
+    // entry moves to the stage-aware WHERE
+    val r2 = CypherLite.query(mathG,
+      "MATCH (b:B {id: 2}) WITH b.tag AS t " +
+        "MATCH (b2:B {id: 2, tag: t}) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(r2 === 1L)
+    // an anonymous node keeps the pointed literals-only reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (b:B) WITH b.tag AS t MATCH (:B {tag: t}) " +
+          "RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("literals only"), e.getMessage)
+  }
+
   test("round-17 advice: fixed clock, struct correlation, db.* tails, decimal /") {
     // two timestamp() occurrences in ONE statement read the same
     // instant (statement-fixed clock)

@@ -677,12 +677,13 @@ class FhirProbeSpec extends SparkSpec {
         "MATCH (p2:Patient) RETURN g, count(p2) AS n2")
     }
     assert(e.getMessage.contains("bound alias"))
-    // inline prop map binding a carried NAME: pointed to the WHERE form
-    val e2 = intercept[IllegalArgumentException] {
-      q("MATCH (p:Patient) WITH p.gender AS g, count(*) AS n " +
-        "MATCH (p2:Patient {gender: g}) RETURN g, count(p2) AS n2")
-    }
-    assert(e2.getMessage.contains("WHERE <alias>.gender = g"))
+    // inline prop map binding a carried NAME compiles since round 18
+    // (desugared to the stage-aware WHERE equality — the null-gender
+    // group matches nothing under `= null`, Cypher 3VL)
+    val viaMap = q("MATCH (p:Patient) WITH p.gender AS g, count(*) AS n " +
+      "MATCH (p2:Patient {gender: g}) RETURN g, count(p2) AS n2 " +
+      "ORDER BY g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMap === Seq(("Female", 779L), ("Male", 619L)))
   }
 
   // ——— probe batch 10 (round 16): confirmation sweep pins ———
@@ -884,5 +885,52 @@ class FhirProbeSpec extends SparkSpec {
       |RETURN collect(DISTINCT g) AS gs""".stripMargin)
       .collect().head.getSeq[String](0)
     assert(gs === Seq("Male", "Female"))
+  }
+
+  test("batch 24: age durations, accessor sorts, inline-map stage names") {
+    // the under-30 idiom: date minus duration({years}) on the literal
+    // side (451 independently computed: birthDate > 1994-01-01)
+    assert(one("MATCH (p:Patient) WHERE p.birthDate > " +
+      "date('2024-01-01') - duration({years: 30}) " +
+      "RETURN count(*) AS n") === 451L)
+    // legacy NOT exists(prop) in WHERE (email is 0/2726 non-null)
+    assert(one("MATCH (p:Patient) WHERE NOT exists(p.email) " +
+      "RETURN count(*) AS n") === 2726L)
+    // median age via percentileCont over duration.between years
+    // (python over raw JSON, java Period calendar math: 45.0)
+    val med = q("MATCH (p:Patient) WHERE p.birthDate IS NOT NULL " +
+      "RETURN percentileCont(duration.between(p.birthDate, " +
+      "date('2024-01-01')).years, 0.5) AS med")
+      .collect().head.getDouble(0)
+    assert(med === 45.0)
+    // temporal-accessor hidden sort key (year DESC) + surname tiebreak
+    // — python: [(2023, Barton), (2023, Dietrich), (2023, Greenholt)]
+    val top = q("MATCH (p:Patient) WHERE p.birthDate IS NOT NULL " +
+      "RETURN p.surname AS s ORDER BY p.birthDate.year DESC, s ASC " +
+      "LIMIT 3").collect().map(_.getString(0)).toSeq
+    assert(top === Seq("Barton", "Dietrich", "Greenholt"))
+    // accessor over min/max aggregates (1913 / 2023 from raw JSON)
+    val mm = q("MATCH (p:Patient) WHERE p.birthDate IS NOT NULL " +
+      "RETURN max(p.birthDate).year AS maxy, min(p.birthDate).year " +
+      "AS miny").collect().head
+    assert((mm.getInt(0), mm.getInt(1)) === ((2023, 1913)))
+    // count(DISTINCT string-concat expr) — 35 distinct pairs (python)
+    assert(one("MATCH (p:Patient) WHERE p.surname STARTS WITH 'Ro' " +
+      "RETURN count(DISTINCT p.surname + '|' + " +
+      "coalesce(p.gender, '?')) AS n") === 35L)
+    // inline-map entry binding a carried name desugars to the
+    // stage-aware WHERE (Neo4j-legal; was a reject before round 18) —
+    // both spellings agree with the python groupby (779 / 619)
+    val viaMap = q("""MATCH (p:Patient) WITH DISTINCT p.gender AS gg
+      |MATCH (p2:Patient {gender: gg})
+      |RETURN gg, count(*) AS n ORDER BY gg""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMap === Seq(("Female", 779L), ("Male", 619L)))
+    val viaUnwind = q("""MATCH (p:Patient)
+      |WITH collect(DISTINCT p.gender) AS gs
+      |UNWIND gs AS gg MATCH (p2:Patient) WHERE p2.gender = gg
+      |RETURN gg, count(*) AS n ORDER BY gg""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaUnwind === viaMap)
   }
 }
