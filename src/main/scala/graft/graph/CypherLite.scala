@@ -722,7 +722,13 @@ object CypherLite {
     * typed empty-array coalesce).
     */
   final case class PatternComp(pred: PatternPred, valueAlias: String,
-      valueProp: Option[String], out: String)
+      valueProp: Option[String], out: String,
+      // COLLECT { … RETURN v ORDER BY k [ASC|DESC], … }: sort keys
+      // local to the sub-pattern — ((alias, propOpt), ascending).
+      // Non-empty → the list follows THIS order (openCypher COLLECT
+      // subquery semantics) via orderedCollect; empty → the
+      // value-sorted deterministic default.
+      orderKeys: Seq[((String, Option[String]), Boolean)] = Seq.empty)
 
   /** One `allShortestPaths` / `shortestPath` chain's minimal-path
     * filter: keep only rows whose hop count (`len`) equals the
@@ -5977,7 +5983,9 @@ object CypherLite {
       // EXISTS-style local chain + value expression into a list item.
       // `what` is the plural surface name for error messages.
       def patternCompItem(chainPart: String, valueTxt: String,
-          as: String, what: String): ReturnItem = {
+          as: String, what: String,
+          orderKeys: Seq[((String, Option[String]), Boolean)] =
+            Seq.empty): ReturnItem = {
         // pattern-scope only: RETURN with no pipeline, or the FIRST
         // WITH (`WITH c, [(c)-[:R]->(o) | o.x] AS xs …` — the
         // collect-then-pipeline idiom LLMs emit); later stages no
@@ -6004,28 +6012,39 @@ object CypherLite {
         require(locals(va),
           s"$what value references '$va' — not a local alias of " +
             s"the chain (${locals.mkString(", ")})")
+        // an unlabeled alias beside a TYPED edge gets its label at
+        // query build (inferAndExpandSteps) — same deferral as
+        // sub-pattern WHEREs; an untyped-adjacent position keeps the
+        // parse-time reject
+        def typedAdj(a2: String): Boolean = {
+          var prev = pp.anchor
+          var hit = false
+          for (st <- pp.steps) {
+            val f = st.from.getOrElse(prev)
+            if (st.rel.nonEmpty && (f == a2 || st.node.as == a2))
+              hit = true
+            prev = st.node.as
+          }
+          hit
+        }
         for (p2 <- vp) {
           val lbl = pp.steps.find(_.node.as == va).get.node.label
-          // an unlabeled value alias beside a TYPED edge gets its
-          // label at query build (inferAndExpandSteps) — same
-          // deferral as sub-pattern WHEREs; an untyped-adjacent
-          // position keeps the parse-time reject
-          val typedAdj = {
-            var prev = pp.anchor
-            var hit = false
-            for (st <- pp.steps) {
-              val f = st.from.getOrElse(prev)
-              if (st.rel.nonEmpty && (f == va || st.node.as == va))
-                hit = true
-              prev = st.node.as
-            }
-            hit
-          }
-          require(lbl.nonEmpty || typedAdj,
+          require(lbl.nonEmpty || typedAdj(va),
             s"$va.$p2: alias '$va' is unlabeled — the any-node " +
               "view has no properties")
         }
-        patternComps += PatternComp(pp, va, vp, as)
+        for (((ka, kp), _) <- orderKeys) {
+          require(locals(ka),
+            s"$what ORDER BY references '$ka' — not a local alias of " +
+              s"the chain (${locals.mkString(", ")})")
+          for (p2 <- kp) {
+            val lbl = pp.steps.find(_.node.as == ka).get.node.label
+            require(lbl.nonEmpty || typedAdj(ka),
+              s"$ka.$p2: ORDER BY alias '$ka' is unlabeled — the " +
+                "any-node view has no properties")
+          }
+        }
+        patternComps += PatternComp(pp, va, vp, as, orderKeys)
         ReturnItem(None, distinct = false, "", None, as,
           caseC = Some(CaseCompiled(Seq.empty, res => res(as, None))))
       }
@@ -6596,13 +6615,33 @@ object CypherLite {
             "COLLECT { … RETURN DISTINCT … } is unsupported — " +
               "collect(DISTINCT alias.prop) over an explicit MATCH " +
               "is the supported spelling")
-          for (kw <- Seq("ORDER", "LIMIT", "SKIP"))
+          for (kw <- Seq("LIMIT", "SKIP"))
             require(!valueTxt.matches(s"(?is).*\\b$kw\\b.*"),
-              s"COLLECT { … } does not take $kw — this engine's " +
-                "lists are always value-SORTED (deterministic " +
-                "contract); subscript the result to slice")
-          patternCompItem(chainPart, valueTxt, as,
-            "COLLECT { } subqueries")
+              s"COLLECT { … } does not take $kw — subscript the " +
+                "result to slice ([0..k] reads the ordered prefix)")
+          // `RETURN v ORDER BY k [ASC|DESC], …` — openCypher fixes
+          // the subquery list's order; keys are local alias[.prop]
+          // forms compiled into orderedCollect (round 18)
+          val ObTailRe = """(?is)^(.*?)\s+ORDER\s+BY\s+(.+)$""".r
+          val (valueCore, obKeys) = valueTxt match {
+            case ObTailRe(v2, obTxt) =>
+              val KeyRe =
+                ("""(?is)^([A-Za-z_][A-Za-z0-9_]*)""" +
+                  """(?:\.([A-Za-z_][A-Za-z0-9_]*))?""" +
+                  """(?:\s+(ASC|DESC))?$""").r
+              val keys = splitTopComma(obTxt).map(_.trim).map {
+                case KeyRe(a2, p2, dir) =>
+                  ((a2, Option(p2)),
+                    dir == null || dir.equalsIgnoreCase("ASC"))
+                case other2 => fail(
+                  "COLLECT { … } ORDER BY keys are local alias[.prop] " +
+                    "[ASC|DESC]", other2)
+              }
+              (v2.trim, keys)
+            case _ => (valueTxt, Seq.empty[((String, Option[String]), Boolean)])
+          }
+          patternCompItem(chainPart, valueCore, as,
+            "COLLECT { } subqueries", obKeys)
         case other if other.matches("(?is)^COLLECT\\s*\\{.*") =>
           fail("COLLECT { } subqueries are `COLLECT { MATCH " +
             "(a)-[:R]->(b) [WHERE …] RETURN local.prop } AS xs`",
@@ -10084,8 +10123,25 @@ object CypherLite {
               col(s"${pc.valueAlias}__pc_$pr"))
           case None => (sub0, col(pc.valueAlias))
         }
-        val agg = subV.groupBy(col(pc.pred.anchor))
-          .agg(sort_array(collect_list(valCol)).as(pc.out))
+        // COLLECT{} ORDER BY keys: attach their property columns
+        // (distinct __pck_ prefix — a key may repeat the value prop)
+        // and sort the list by THEM inside the aggregate; no keys →
+        // the value-sorted deterministic default
+        val subK = pc.orderKeys.foldLeft(subV) {
+          case (d, ((a2, Some(pr)), _))
+              if !d.columns.contains(s"${a2}__pck_$pr") =>
+            val lbl = pc.pred.steps.find(_.node.as == a2).get.node.label
+            g.attach(d, a2, lbl, Seq(pr), s"${a2}__pck_", "left_outer")
+          case (d, _) => d
+        }
+        val keyNames = pc.orderKeys.map { case ((a2, pOpt), asc) =>
+          (pOpt.map(pr => s"${a2}__pck_$pr").getOrElse(a2), asc)
+        }
+        val listCol =
+          if (keyNames.isEmpty) sort_array(collect_list(valCol))
+          else orderedCollect(valCol, keyNames, distinct = false)
+        val agg = subK.groupBy(col(pc.pred.anchor))
+          .agg(listCol.as(pc.out))
         val dt = agg.schema(pc.out).dataType
         df.join(agg, Seq(pc.pred.anchor), "left_outer")
           .withColumn(pc.out, coalesce(col(pc.out), array().cast(dt)))

@@ -2555,8 +2555,13 @@ class CypherLiteSpec extends SparkSpec {
     }.getMessage
     assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
       "RETURN DISTINCT b.tag } AS ts").contains("DISTINCT"))
-    assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
-      "RETURN b.tag ORDER BY b.tag } AS ts").contains("SORTED"))
+    // ORDER BY inside the subquery COMPILES since round 18 (openCypher
+    // fixes the list order) — here DESC over tags reverses the list
+    val ord = CypherLite.query(g,
+      "MATCH (a:A {id: 4}) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag ORDER BY b.tag DESC } AS ts")
+      .collect().head.getSeq[String](0)
+    assert(ord === Seq("b5", "b2"))
     assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) } " +
       "AS ts").contains("RETURN"))
     assert(rej("MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
@@ -5697,6 +5702,34 @@ class CypherLiteSpec extends SparkSpec {
         |UNWIND cats AS c2 RETURN c2""".stripMargin)
       .as[String].collect().toSeq
     assert(back === Seq("a", "b"))
+  }
+
+  test("COLLECT { … RETURN v ORDER BY k } fixes the subquery list order") {
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A) RETURN a.tag AS t, COLLECT { MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag ORDER BY b.num DESC } AS xs ORDER BY t")
+      .collect().map(x => (x.getString(0), x.getSeq[String](1))).toSeq
+    assert(r === Seq(("a1", Seq("b2")), ("a4", Seq("b5", "b2"))))
+    // ASC spelling and the bare-keyless default stay value-sorted
+    val asc = CypherLite.query(mathG,
+      "MATCH (a:A {id: 4}) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag ORDER BY b.num ASC } AS xs")
+      .collect().head.getSeq[String](0)
+    assert(asc === Seq("b2", "b5"))
+    // LIMIT inside the subquery keeps a pointed reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+          "RETURN b.tag ORDER BY b.num DESC LIMIT 1 } AS xs")
+    }
+    assert(e.getMessage.contains("does not take LIMIT"), e.getMessage)
+    // unknown ORDER BY alias rejects naming the locals
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) RETURN COLLECT { MATCH (a)-[:R1]->(b:B) " +
+          "RETURN b.tag ORDER BY z.num } AS xs")
+    }
+    assert(e2.getMessage.contains("not a local alias"), e2.getMessage)
   }
 
   test("collect over a map projection with a PATTERN entry") {
