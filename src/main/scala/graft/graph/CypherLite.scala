@@ -9189,28 +9189,59 @@ object CypherLite {
             java.util.regex.Matcher.quoteReplacement(
               s"($a:${pOut.labels(a)})"))
         }
+        // UNPROJECTED sort keys — `RETURN b.tag AS bt ORDER BY b.num
+        // DESC LIMIT 1` (the per-anchor argmax emission; round-18
+        // probe): a key that is no output but IS a local alias.prop
+        // rides a HIDDEN projected item (window key only, dropped
+        // before the join-back) — the same deferral the stage
+        // grammar's __ob_ machinery gives unprojected keys
+        val hiddenKeys =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val HiddenKeyRe =
+          """^([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val keySpecs: Seq[(String, Boolean)] = innerOb.map {
+          case (key, asc) =>
+            val nm =
+              if (itemNames.contains(key) || imports.contains(key)) key
+              else itemSrc.get(key.replaceAll("\\s+", "")) match {
+                case Some(n) => n
+                case None => key.trim match {
+                  case HiddenKeyRe(_, _) =>
+                    val h = s"_tkh${hiddenKeys.length}"
+                    hiddenKeys += key.trim -> h
+                    h
+                  case _ => throw new IllegalArgumentException(
+                    s"top-k ORDER BY $key: not among the subquery " +
+                      s"outputs (${(imports ++ itemNames).mkString(", ")})" +
+                      " and not a local alias.prop key")
+                }
+              }
+            (nm, asc)
+        }
+        // Neo4j rejects unprojected ORDER BY keys under DISTINCT (the
+        // key is not in the deduped row) — same contract here
+        require(!innerDistinct || hiddenKeys.isEmpty,
+          "top-k ORDER BY under RETURN DISTINCT may only use the " +
+            "projected outputs — project the key or drop DISTINCT")
         val innerFull = s"$bodyInj RETURN " +
           (if (innerDistinct) "DISTINCT " else "") +
-          (imports ++ itemSplit).mkString(", ")
+          (imports ++ itemSplit ++
+            hiddenKeys.map { case (src, h) => s"$src AS $h" })
+            .mkString(", ")
         val I = queryOne(g0, innerFull)
-        val keyCols = innerOb.map { case (key, asc) =>
-          val nm =
-            if (itemNames.contains(key) || imports.contains(key)) key
-            else itemSrc.getOrElse(key.replaceAll("\\s+", ""),
-              throw new IllegalArgumentException(
-                s"top-k ORDER BY $key: not among the subquery outputs " +
-                  s"(${(imports ++ itemNames).mkString(", ")})"))
+        val keyCols = keySpecs.map { case (nm, asc) =>
           // Cypher null ordering (null sorts larger — see runStage)
           if (asc) col(nm).asc_nulls_last else col(nm).desc_nulls_first
         }
-        val obNames = innerOb.map(_._1).toSet
+        val obNames = keySpecs.map(_._1).toSet
         val ties = I.columns.toSeq
           .filterNot(c => obNames.contains(c)).map(col(_).asc_nulls_last)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(imports.map(col): _*)
           .orderBy(keyCols ++ ties: _*)
         val topk = I.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= k).drop("__rn")
+          .filter(col("__rn") <= k)
+          .drop("__rn" +: hiddenKeys.map(_._2).toSeq: _*)
         val F = queryOne(g0, outerTxt)
         for (n <- itemNames)
           require(!F.columns.contains(n),

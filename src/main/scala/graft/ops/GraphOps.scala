@@ -3724,6 +3724,31 @@ object GraphOps {
              |  FROM customer GROUP BY 1) c
              |ON c_nationkey = n_nationkey
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G164 ORDERED COLLECT SUBQUERY — `COLLECT { MATCH … RETURN v
+    // ORDER BY k DESC }` (openCypher fixes the subquery list's
+    // order; round-18): the key attaches to the sub-pattern frame
+    // and orderedCollect sorts inside the per-anchor aggregate —
+    // one grouped aggregate + one left join, no global sort. DuckDB
+    // replays with list(v ORDER BY k DESC, v ASC) (the engine's
+    // value-ascending tiebreak) and 1-based element reads.
+    QueryDef(
+      "g164_cypher_ordered_collect_subq",
+      (s, d) => orderedByAll(graft.graph.CypherLite.query(tpchGraph(s, d),
+        """MATCH (n:nation)
+          |WITH n.n_name AS nm, COLLECT { MATCH
+          |  (n)-[:HAS_CUSTOMER]->(c:customer)
+          |  RETURN c.c_name ORDER BY c.c_acctbal DESC } AS cs
+          |RETURN nm, cs[0] AS c0, size(cs) AS k""".stripMargin)),
+      Some("""SELECT n_name AS nm, l[1] AS c0,
+             |  CAST(len(l) AS INTEGER) AS k
+             |FROM (SELECT n_name,
+             |        list(c_name ORDER BY c_acctbal DESC, c_name ASC)
+             |          AS l
+             |      FROM nation JOIN customer
+             |        ON c_nationkey = n_nationkey
+             |      GROUP BY 1)
+             |ORDER BY ALL""".stripMargin)
     )
   )
 

@@ -5704,6 +5704,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(back === Seq("a", "b"))
   }
 
+  test("per-binding top-k takes an UNPROJECTED alias.prop sort key") {
+    // the per-anchor argmax emission: order by b.num without
+    // projecting it — hidden window key, dropped before the join
+    val r = CypherLite.query(mathG,
+      "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag AS bt ORDER BY b.num DESC LIMIT 1 } " +
+        "RETURN a.tag AS t, bt ORDER BY t")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r === Seq(("a1", "b2"), ("a4", "b5")))
+    // hidden keys never leak into the output schema
+    assert(CypherLite.query(mathG,
+      "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+        "RETURN b.tag AS bt ORDER BY b.num DESC LIMIT 1 } " +
+        "RETURN a.tag AS t, bt").columns.toSeq === Seq("t", "bt"))
+    // DISTINCT + unprojected key keeps the Neo4j-parity reject
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (a:A) CALL { WITH a MATCH (a)-[:R1]->(b:B) " +
+          "RETURN DISTINCT b.tag AS bt ORDER BY b.num DESC LIMIT 1 } " +
+          "RETURN a.tag AS t, bt")
+    }
+    assert(e.getMessage.contains("project the key"), e.getMessage)
+  }
+
   test("COLLECT { … RETURN v ORDER BY k } fixes the subquery list order") {
     val r = CypherLite.query(mathG,
       "MATCH (a:A) RETURN a.tag AS t, COLLECT { MATCH (a)-[:R1]->(b:B) " +
