@@ -8868,7 +8868,41 @@ object CypherLite {
     // but per-row-over-small-lists)
     val CtReduceRe =
       """(?is)^reduce\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^,]+?)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+([A-Za-z_][A-Za-z0-9_]*)\s*\|\s*(.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    // subscript/slice and head/last/size over a CARRIED list output
+    // (`cs[-1] AS last_el` after `WITH collect(x) AS cs`)
+    val CtListIdxRe =
+      ("""(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*\[\s*(-?\d+)?(\s*\.\.\s*)?""" +
+        """(-?\d+)?\s*\]\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
+    val CtFnListRe =
+      ("""(?is)^(head|last|size)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
+        """\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""").r
     val items = splitTopComma(r).toIndexedSeq.map[ReturnItem] {
+      case CtListIdxRe(src, idxS, dots, toS, as) if cols(src) &&
+          inner.schema(src).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        checkUserName(as, "CALL-tail output")
+        val wrap: Column => Column =
+          if (dots == null) {
+            require(idxS != null, s"$as: empty list subscript")
+            val i = idxS.toInt
+            val at = if (i >= 0) i + 1 else i
+            c => try_element_at(c, lit(at))
+          } else ctSlice(_, idxS, toS)
+        ReturnItem(None, distinct = false, "", None, as,
+          caseC = Some(CaseCompiled(Seq.empty,
+            res => wrap(res(src, None)))))
+      case CtFnListRe(fn, src, as) if cols(src) &&
+          inner.schema(src).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        checkUserName(as, "CALL-tail output")
+        val wrap: Column => Column = fn.toLowerCase match {
+          case "head" => try_element_at(_, lit(1))
+          case "last" => try_element_at(_, lit(-1))
+          case _ => size(_)
+        }
+        ReturnItem(None, distinct = false, "", None, as,
+          caseC = Some(CaseCompiled(Seq.empty,
+            res => wrap(res(src, None)))))
       case CtReduceRe(accN, initTxt, v, src, bodyTxt, as) if cols(src) =>
         require(accN != v,
           s"reduce: accumulator and element share the name '$accN'")

@@ -5702,6 +5702,20 @@ class CypherLiteSpec extends SparkSpec {
         |UNWIND cats AS c2 RETURN c2""".stripMargin)
       .as[String].collect().toSeq
     assert(back === Seq("a", "b"))
+    // carried-list subscripts and head/last/size in the standalone
+    // pipeline; keyword-ish output names survive the tail scanners
+    val le = CypherLite.query(g,
+      """UNWIND ['x', 'x', 'y'] AS c
+        |WITH c AS cat, count(*) AS n ORDER BY n DESC
+        |WITH collect(cat) AS cs
+        |RETURN cs[-1] AS last_el, head(cs) AS h, size(cs) AS k""".stripMargin)
+      .collect().head
+    assert((le.getString(0), le.getString(1), le.getInt(2))
+      === (("y", "x", 2)))
+    val kw = CypherLite.query(mathG,
+      "MATCH (a:A)-[:R1]->(b:B) RETURN b.tag AS count ORDER BY count DESC")
+      .as[String].collect().toSeq
+    assert(kw === Seq("b5", "b2", "b2"))
   }
 
   test("per-binding top-k takes an UNPROJECTED alias.prop sort key") {
