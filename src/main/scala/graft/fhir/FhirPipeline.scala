@@ -305,8 +305,15 @@ object FhirPipeline {
     val practitionerNodes = firstWrite(prac.filter(col("id").isNotNull),
       "id", Seq(col("record_id")))
       .select(col("id"), col("surname"), col("givenName"), col("phone"), col("email"))
+    // The reference's Kuzu DDL names Substance's PRIMARY KEY `name`
+    // (build_graph.py:22), so a Text2Cypher model prompted with that
+    // schema emits `s.name` — the engine's node id IS the name,
+    // carried under BOTH spellings: `id` (the engine's node-table
+    // contract) and `name` (the DDL PK). One duplicated string column
+    // on a dimension table; schemaXml stays truthful (it advertises
+    // what the table really carries).
     val substanceNodes = subst.filter(col("name").isNotNull)
-      .select(col("name").as("id")).distinct()
+      .select(col("name").as("id"), col("name")).distinct()
     val allergyNodes = firstWrite(subst.filter(col("id").isNotNull),
       "id", Seq(col("record_id"), col("pos")))
       .select(col("id"), col("category"), col("manifestation"))

@@ -15,6 +15,14 @@ import graft.graph.PropertyGraph
 object GraphOps {
 
   private val MaxHops = 3
+
+  /** The reference's extracted FHIR corpus (read-only fixture) —
+    * g165's input and the FhirGoldenSpec/FhirProbeSpec corpus; the
+    * oracle replays the same file through DuckDB's JSON reader.
+    * Declared BEFORE `defs` (its oracle string interpolates it at
+    * object init).
+    */
+  private val FhirCorpusPath = "/root/reference/data/extracted_fhir.json"
   private val StartRegion = 0L
 
   /** The canonical TPC-H edge set, PREPARED (edge/node/degree frames
@@ -3749,6 +3757,36 @@ object GraphOps {
              |        ON c_nationkey = n_nationkey
              |      GROUP BY 1)
              |ORDER BY ALL""".stripMargin)
+    ),
+    // G165 DDL-PK PROPERTY SPELLING on an id-keyed node — the
+    // reference's Kuzu DDL declares `Substance(name STRING PRIMARY
+    // KEY)` (build_graph.py:22), so Text2Cypher emissions read
+    // `s.name`; the engine's Substance table carries the PK under
+    // both `id` and `name` (FhirPipeline.buildGraph). End-to-end on
+    // the REAL extracted corpus: environment-substance top-k, DuckDB
+    // replaying the raw JSON with the engine's lowercase staging
+    // (build_graph.py:166-167). Patient/Substance dims broadcast.
+    QueryDef(
+      "g165_fhir_pk_name_topk",
+      (s, _) => graft.graph.CypherLite.query(
+        graft.fhir.FhirPipeline.buildGraph(
+          graft.fhir.FhirPipeline.load(s, FhirCorpusPath)),
+        """MATCH (s:Substance)-[:CAUSES]->(a:Allergy)
+          |      <-[:EXPERIENCES]-(p:Patient)
+          |WHERE a.category = 'environment'
+          |RETURN s.name AS name, count(DISTINCT p) AS n
+          |ORDER BY n DESC, name ASC LIMIT 3""".stripMargin),
+      Some(s"""SELECT lower(s.name) AS name,
+             |  count(DISTINCT record_id) AS n
+             |FROM (
+             |  SELECT record_id, unnest(allergy.substance) AS s
+             |  FROM read_json('$FhirCorpusPath',
+             |    columns={record_id: 'BIGINT',
+             |      allergy: 'STRUCT(substance STRUCT(category VARCHAR, name VARCHAR)[])'},
+             |    maximum_object_size=104857600)
+             |) t
+             |WHERE s.category = 'environment' AND s.name IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, name ASC LIMIT 3""".stripMargin)
     )
   )
 

