@@ -3708,6 +3708,48 @@ class CypherLiteSpec extends SparkSpec {
     assert(rej("RETURN *").contains("nothing is bound"))
   }
 
+  test("leading-WITH literal standalone pipelines (round-18 miss #4)") {
+    // list literal + subscripts inside arithmetic
+    val r1 = CypherLite.query(g,
+      "WITH [2, 4, 6] AS xs RETURN xs[0] + xs[-1] AS v")
+      .as[Long].collect().head
+    assert(r1 === 8L)
+    // leading WITH feeding an UNWIND of the bound list
+    val r2 = CypherLite.query(g,
+      "WITH [2, 4, 6] AS xs UNWIND xs AS x RETURN sum(x) AS s, " +
+        "count(*) AS n").as[(Long, Long)].collect().head
+    assert(r2 === ((12L, 3L)))
+    // mixed scalar + list bindings; range() source; list fns
+    val r3 = CypherLite.query(g,
+      "WITH range(1, 5) AS xs, 'tag' AS t RETURN size(xs) AS n, " +
+        "head(xs) AS h, last(xs) AS l, xs[1] AS second, t")
+      .as[(Int, Long, Long, Long, String)].collect().head
+    assert(r3 === ((5, 1L, 5L, 2L, "tag")))
+    // out-of-range subscript is null (Cypher)
+    assert(CypherLite.query(g,
+      "WITH [2] AS xs RETURN xs[7] AS oob").collect().head.isNullAt(0))
+    // stage pipeline over the mounted frame (WHERE + collect)
+    val r4 = CypherLite.query(g,
+      "WITH [1, 2, 3, 4] AS xs UNWIND xs AS x WITH x WHERE x % 2 = 0 " +
+        "RETURN collect(x) AS evens").collect().head.getSeq[Long](0)
+    assert(r4 === Seq(2L, 4L))
+    def rej(q: String): String = intercept[IllegalArgumentException] {
+      CypherLite.query(g, q)
+    }.getMessage
+    // pointed rejects: non-literal leading binding; bare-name UNWIND
+    // with nothing bound; UNWIND redeclaring a live output
+    assert(rej("WITH p.x AS y RETURN y").contains("literal"))
+    assert(rej("UNWIND xs AS x RETURN x").contains("no source scope"))
+    assert(rej("UNWIND [1,2] AS x WITH collect(x) AS xs, count(*) AS n " +
+      "UNWIND xs AS n RETURN n").contains("re-declares"))
+    // a MATCH-less leading WITH of a non-literal after bindings rides
+    // the stage grammar instead of the literal mount
+    val r5 = CypherLite.query(g,
+      "WITH [1, 2, 3] AS xs WITH size(xs) AS n RETURN n")
+      .as[Int].collect().head
+    assert(r5 === 3)
+  }
+
   test("WHERE label predicates fold statically or absorb into the pattern") {
     // labeled alias: static fold (true keeps, false empties)
     assert(CypherLite.query(g,
