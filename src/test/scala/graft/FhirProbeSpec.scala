@@ -956,4 +956,30 @@ class FhirProbeSpec extends SparkSpec {
       "WHERE toLower(s.name) CONTAINS 'shellfish' " +
       "RETURN count(DISTINCT a) AS n") > 0L)
   }
+
+  test("list membership over carried lists — item and WHERE positions " +
+      "(round-18 miss #3)") {
+    // python over raw JSON: the 4 distinct allergy categories are
+    // [environment, food, medication, other] — hasFood true, size 4
+    val r = q("""MATCH (a:Allergy)
+      |WITH collect(DISTINCT a.category) AS cats
+      |RETURN 'food' IN cats AS hasFood, size(cats) AS n""".stripMargin)
+      .collect().head
+    assert((r.getBoolean(0), r.getInt(1)) === ((true, 4)))
+    // stage-WHERE position: membership filter keeps/drops the group
+    assert(q("""MATCH (a:Allergy)
+      |WITH collect(DISTINCT a.category) AS cats
+      |WHERE 'food' IN cats RETURN size(cats) AS n""".stripMargin)
+      .collect().head.getInt(0) === 4)
+    assert(q("""MATCH (a:Allergy)
+      |WITH collect(DISTINCT a.category) AS cats
+      |WHERE 'nope' IN cats RETURN size(cats) AS n""".stripMargin)
+      .collect().isEmpty)
+    // NOT + per-group lists: 114 surname groups carry no food
+    // allergy (python groupby over the raw corpus)
+    assert(one("""MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy)
+      |WITH p.surname AS s, collect(a.category) AS cats
+      |WHERE NOT 'food' IN cats
+      |RETURN count(*) AS n""".stripMargin) === 114L)
+  }
 }
