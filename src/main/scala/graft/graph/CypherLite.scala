@@ -1947,8 +1947,8 @@ object CypherLite {
       // legacy alias (Cypher length() over strings) — same fold
       case "length" => noArgs(); length(_)
       case "round" => intArgs() match {
-        case Seq()  => round(_, 0)
-        case Seq(n) => round(_, n)
+        case Seq()  => cypherRoundCol(_, 0)
+        case Seq(n) => cypherRoundCol(_, n)
         case _ => throw new IllegalArgumentException(
           "round(expr[, scale]) takes at most one extra argument")
       }
@@ -2666,6 +2666,19 @@ object CypherLite {
         org.apache.spark.sql.GraftExpressionBridge.expression(l),
         org.apache.spark.sql.GraftExpressionBridge.expression(r)))
 
+  /** Cypher's `round(x[, scale])` — the schema-adaptive
+    * [[graft.functions.CypherRound]] expression: FLOAT/DOUBLE inputs
+    * round the BINARY value exactly as the DuckDB oracle does
+    * (Spark's stock Round rounds the double's decimal STRING and can
+    * flip the last digit on …5-string boundaries — g73/g98), every
+    * other type keeps stock HALF_UP Round. Type dispatch happens at
+    * analysis, so item, WHERE, and aggregate positions all agree.
+    */
+  private def cypherRoundCol(c: Column, scale: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.CypherRound(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c), scale))
+
   private def arithColumn(e: ArithExpr,
       resolve: (String, Option[String]) => Column): Column = e match {
     case NumA(v) => lit(v)
@@ -2788,8 +2801,8 @@ object CypherLite {
       // parseArithL rewrite) — array cardinality, not string length
       case "sizelist" => org.apache.spark.sql.functions.size(one())
       case "round" => args match {
-        case Seq(_)          => round(cols.head, 0)
-        case Seq(_, NumA(n: Long)) => round(cols.head, n.toInt)
+        case Seq(_)          => cypherRoundCol(cols.head, 0)
+        case Seq(_, NumA(n: Long)) => cypherRoundCol(cols.head, n.toInt)
         case Seq(_, _) => throw new IllegalArgumentException(
           "round(expr, scale): the scale must be an integer literal")
         case _ => throw new IllegalArgumentException(
@@ -8499,6 +8512,36 @@ object CypherLite {
     * (collect skips nulls); DISTINCT keeps the first occurrence per
     * value in key order (`array_distinct` preserves first-seen).
     */
+  /** True when `c` resolves to FLOAT/DOUBLE against `frame`. Resolution
+    * failure answers false (caller keeps the stock aggregate).
+    */
+  private def isFloatingIn(frame: DataFrame, c: Column): Boolean =
+    try frame.select(c).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    } catch { case _: Throwable => false }
+
+  /** sum() whose FLOAT/DOUBLE inputs accumulate exactly: the values
+    * are summed in DECIMAL(38,10) (exact for the ≤10-decimal-place
+    * numeric domains this engine serves — money, counts, ratios of
+    * such) and the one rounding happens at the final cast back to
+    * DOUBLE. A plain double sum is grouping-order-sensitive in its
+    * last ulp, so the displayed value of `sum(x)` (and of
+    * `round(sum(x)/count(*), 2)` — g98) could flip its last rounded
+    * digit with the partition layout and disagree with the oracle's
+    * file-order sum (observed at sf0.001: 4201.32 vs 4201.31). The
+    * decimal sum is partition- and order-invariant, and the matching
+    * oracle spelling (`CAST(sum(CAST(x AS DECIMAL(38,10))) AS
+    * DOUBLE)`) is exact in DuckDB too, so both engines compute the
+    * identical double at every scale. Integer-typed inputs keep the
+    * stock sum (already exact).
+    */
+  private def exactFpSum(frame: DataFrame, c: Column): Column =
+    if (isFloatingIn(frame, c))
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double")
+    else sum(c)
+
   private def orderedCollect(v: Column, keys: Seq[(String, Boolean)],
       distinct: Boolean): Column = {
     val packed = collect_list(when(v.isNotNull,
@@ -8589,7 +8632,7 @@ object CypherLite {
             case ("collect", true)  => sort_array(collect_set(baseCol(ri)))
             case ("collect", false) => sort_array(collect_list(baseCol(ri)))
             case ("sum", true) => sum_distinct(baseCol(ri))
-            case ("sum", false) => sum(baseCol(ri))
+            case ("sum", false) => exactFpSum(attached, baseCol(ri))
             // DISTINCT is a no-op under min/max — same extremum
             case ("min", _) => min(baseCol(ri))
             case ("max", _) => max(baseCol(ri))
@@ -8599,6 +8642,9 @@ object CypherLite {
             case ("avg", true) =>
               val cn = ri.prop.map(p => s"${ri.alias}_$p").getOrElse(ri.alias)
               expr(s"avg(DISTINCT `$cn`)")
+            case ("avg", false) if isFloatingIn(attached, baseCol(ri)) =>
+              // same exactness rationale as exactFpSum: double(exact Σ) / n
+              exactFpSum(attached, baseCol(ri)) / count(baseCol(ri))
             case ("avg", false) => avg(baseCol(ri))
             // Neo4j's sample/population standard deviations. A
             // single-element group's sample stddev is NaN in Spark;

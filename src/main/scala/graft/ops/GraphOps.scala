@@ -1875,7 +1875,14 @@ object GraphOps {
         """MATCH (n:nation)-[:HAS_CUSTOMER]->(c:customer)
           |RETURN n.n_name AS nm, round(avg(c.c_acctbal), 2) AS ab,
           |       toString(count(*)) AS cs""".stripMargin)),
-      Some("""SELECT n_name AS nm, round(avg(c_acctbal), 2) AS ab,
+      // exact-decimal avg spelling: mirrors the engine's exactFpSum
+      // compile (CypherLite) — a plain double avg is summation-order-
+      // sensitive in its last ulp and flipped the rounded digit at
+      // sf0.001 (4201.315 boundary); both engines now sum the 2-dp
+      // money exactly and round the identical double
+      Some("""SELECT n_name AS nm,
+             |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+             |             / count(c_acctbal), 2) AS ab,
              |       CAST(count(*) AS VARCHAR) AS cs
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
@@ -2406,9 +2413,11 @@ object GraphOps {
           |RETURN n.n_name AS nm,
           |       round(max(c.c_acctbal) - min(c.c_acctbal), 2) AS rng,
           |       round(sum(c.c_acctbal) / count(*), 2) AS mean""".stripMargin)),
+      // exact-decimal sum spelling — same rationale as g73's oracle
       Some("""SELECT n_name AS nm,
              |       round(max(c_acctbal) - min(c_acctbal), 2) AS rng,
-             |       round(sum(c_acctbal) / count(*), 2) AS mean
+             |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+             |             / count(*), 2) AS mean
              |FROM nation JOIN customer ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY ALL""".stripMargin)
     ),
@@ -2484,9 +2493,13 @@ object GraphOps {
           |WHERE c.c_acctbal > 9000.0
           |RETURN n.n_name AS nm, collect(c.c_name)[0] AS first_cust,
           |       collect(c.c_acctbal)[..2] AS low2""".stripMargin)
+        // try_element_at: a nation can hold a single >9000 customer at
+        // small SFs, where the [..2] slice has one element — ANSI
+        // element_at(2) then raises, while the oracle's list subscript
+        // is NULL there. Identical output when both elements exist.
         .select(col("nm"), col("first_cust"),
-          element_at(col("low2"), 1).as("low2_0"),
-          element_at(col("low2"), 2).as("low2_1"))),
+          try_element_at(col("low2"), lit(1)).as("low2_0"),
+          try_element_at(col("low2"), lit(2)).as("low2_1"))),
       Some("""SELECT n_name AS nm, min(c_name) AS first_cust,
              |       (list_sort(list(c_acctbal)))[1] AS low2_0,
              |       (list_sort(list(c_acctbal)))[2] AS low2_1
