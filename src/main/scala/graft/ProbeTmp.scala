@@ -1,43 +1,109 @@
 package graft
 
-import graft.graph.CypherLite
-import graft.fhir.FhirPipeline
+import scala.collection.mutable
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Temporary measurement probe for optimization round 19.
+  *
+  * Modes:
+  *   jobs <names> [sfDir]  — run each query warm, then re-run with a
+  *     job/stage listener; print per-job wall time + per-stage task
+  *     totals and shuffle bytes.
+  *   plan <names> <suffix> [sfDir] — dump .explain("formatted") of each
+  *     query to plans/r19/<name>_<suffix>.txt.
+  *   time <names> [sfDir] [reps] — min-of-N isolated wall times.
+  */
 object ProbeTmp {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.GraftSession.local("8")
-    val g = FhirPipeline.buildGraph(
-      FhirPipeline.load(spark, "/root/reference/data/extracted_fhir.json"))
-    def show(s: String): Unit = {
-      println(s"=== $s")
-      try CypherLite.query(g, s).show(10, truncate = false)
-      catch { case e: Throwable => println(s"REJECT: ${e.getMessage}") }
+    val mode = args(0)
+    val names = args(1).split(",").map(_.trim).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.local(cpus)
+    val qs = SparkEntry.queries
+
+    def clean(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-    // judge's miss #3 shapes
-    show("""MATCH (a:Allergy)
-      |WITH collect(DISTINCT a.category) AS cats
-      |RETURN 'food' IN cats AS hasFood, size(cats) AS n""".stripMargin)
-    show("""MATCH (a:Allergy)
-      |WITH collect(DISTINCT a.category) AS cats
-      |WHERE 'food' IN cats
-      |RETURN size(cats) AS n""".stripMargin)
-    show("""MATCH (a:Allergy)
-      |WITH collect(DISTINCT a.category) AS cats
-      |WHERE 'nope' IN cats
-      |RETURN size(cats) AS n""".stripMargin)
-    // NOT + name LHS + per-group lists
-    show("""MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy)
-      |WITH p.surname AS s, collect(a.category) AS cats
-      |WHERE NOT 'food' IN cats
-      |RETURN count(*) AS n""".stripMargin)
-    show("""MATCH (p:Patient)-[:EXPERIENCES]->(a:Allergy)
-      |WITH p.gender AS g2, collect(DISTINCT a.category) AS cats
-      |RETURN g2, 'food' IN cats AS hasFood ORDER BY g2""".stripMargin)
-    // standalone / CALL-tail positions
-    show("UNWIND [1,2,3] AS x WITH collect(x) AS xs " +
-      "RETURN 2 IN xs AS has2, 9 IN xs AS has9")
-    show("UNWIND [1,2,3] AS x WITH collect(x) AS xs WITH xs " +
-      "WHERE 2 IN xs RETURN size(xs) AS n")
+
+    mode match {
+      case "plan" =>
+        val suffix = args(2)
+        val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+        names.foreach { n =>
+          val df = qs(n)(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val w = new java.io.PrintWriter(s"plans/r19/${n}_$suffix.txt")
+          try w.println(txt) finally w.close()
+          println(s"[plan] wrote plans/r19/${n}_$suffix.txt")
+          clean()
+        }
+
+      case "time" =>
+        val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        val reps = if (args.length > 3) args(3).toInt else 3
+        // warmup at sf0.001 like Bench
+        names.foreach { n =>
+          try qs(n)(spark, "/root/testdata/sf0.001").count()
+          catch { case e: Throwable => println(s"[warm] $n failed: $e") }
+        }
+        names.foreach { n =>
+          val times = (1 to reps).map { _ =>
+            clean()
+            val t0 = System.nanoTime()
+            qs(n)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[time] $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+        }
+
+      case "jobs" =>
+        val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        names.foreach { n =>
+          try qs(n)(spark, "/root/testdata/sf0.001").count()
+          catch { case e: Throwable => println(s"[warm] $n failed: $e") }
+          clean()
+          val jobStart = mutable.Map[Int, (Long, String)]()
+          val jobs = mutable.ArrayBuffer[(Int, Double, String)]()
+          val stages = mutable.ArrayBuffer[(Int, Int, Long, Long, Long, String)]()
+          val listener = new SparkListener {
+            override def onJobStart(j: SparkListenerJobStart): Unit = {
+              val desc = Option(j.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+              jobStart(j.jobId) = (System.nanoTime(), desc)
+            }
+            override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+              jobStart.get(j.jobId).foreach { case (t0, desc) =>
+                jobs += ((j.jobId, (System.nanoTime() - t0) / 1e9, desc))
+              }
+            }
+            override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+              val i = s.stageInfo
+              stages += ((i.stageId, i.numTasks,
+                i.taskMetrics.executorRunTime,
+                i.taskMetrics.shuffleReadMetrics.totalBytesRead,
+                i.taskMetrics.shuffleWriteMetrics.bytesWritten,
+                i.name.take(60)))
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          qs(n)(spark, sfDir).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // let listener drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"=== $n total=$total%.3f s, ${jobs.size} jobs, ${stages.size} stages")
+          jobs.sortBy(_._1).foreach { case (id, d, desc) =>
+            println(f"  job $id%4d  ${d}%7.3f s  $desc")
+          }
+          println(s"  top stages by executorRunTime:")
+          stages.sortBy(-_._3).take(15).foreach { case (id, nt, rt, sr, sw, nm) =>
+            println(f"  stage $id%4d tasks=$nt%3d runMs=$rt%7d shufR=${sr / 1024}%8dK shufW=${sw / 1024}%8dK  $nm")
+          }
+        }
+    }
     spark.stop()
   }
 }

@@ -147,7 +147,7 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     require(nHashes == nBands * rowsPerBand)
     require(minJaccard > 0, "count-based verification drops zero-overlap pairs")
     // persist the postings (they feed the signature aggregate, the
@@ -197,7 +197,8 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minJaccard: Double, maxDf: Int = 64): DataFrame = {
+      shingleK: Int, minJaccard: Double,
+      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     // Count-based plan (round-4 rewrite; the array-verify version this
     // replaced was 88% of the round-3 bench):
     //  1. the rare-shingle self-join feeds groupBy(id_a, id_b).count()
@@ -253,7 +254,8 @@ object Dedup {
     * with a diameter-50 duplicate chain is data corruption, not dedup.
     * Returns (id, rep) for ids appearing in ≥ 1 pair.
     */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = graft.core.Tuning.withCachedPlanAqe(pairs.sparkSession) {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -316,7 +318,8 @@ object Dedup {
     * unbounded; keep [[components]] for the near-clique dedup case
     * where 2-3 min-label rounds beat 2 shuffles × log² rounds.
     */
-  def componentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def componentsStar(pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = graft.core.Tuning.withCachedPlanAqe(pairs.sparkSession) {
     // canonical undirected edge: (u < v), self-loops dropped. All
     // rewriting below emits (min, other) pairs, so canonical order is
     // re-established by construction each round.
@@ -391,7 +394,8 @@ object Dedup {
     */
   def contaminationPairs(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
-      shingleK: Int, minCommon: Long, maxDf: Int = 64): DataFrame = {
+      shingleK: Int, minCommon: Long,
+      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(train.sparkSession) {
     val tp = postings(train, idCol, textCol, shingleK)
       .withColumnRenamed("id", "train_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -423,7 +427,8 @@ object Dedup {
     * only resident state.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minJaccard: Double, maxDf: Int = 64): DataFrame = {
+      shingleK: Int, minJaccard: Double,
+      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     val exact = docs.join(
       exactGroups(docs, idCol, textCol).select(col("rep_id").as(idCol)),
       Seq(idCol), "left_semi")
@@ -450,6 +455,10 @@ object Dedup {
     * one codegen'd `levenshtein`. Returns (s_a, s_b), s_a < s_b,
     * over the DISTINCT strings.
     */
+  // NOT wrapped in Tuning.withCachedPlanAqe: the deletion-key self-join
+  // verifies candidates with per-pair `levenshtein` — heavy compute on
+  // tiny bytes, so byte-based coalescing of the cached `keys` frame
+  // serializes the verify (measured 1.3 s → 4.3 s on d9 when wrapped).
   def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
     val base = df.select(col(strCol).as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0).distinct()
@@ -509,6 +518,12 @@ object Dedup {
     * key comes from LSH or a coarse quantizer).
     * Returns (id_a, id_b).
     */
+  // NOT wrapped in Tuning.withCachedPlanAqe: the pair verify is
+  // tiny-bytes/heavy-compute (a DECIMAL(38) threshold test over full
+  // vector zip_with per candidate pair), so byte-based AQE coalescing
+  // of the cached `iv` frame serializes the verify onto one task —
+  // measured 2.3 s → 8.4 s on d8 when wrapped. Partition width must
+  // track row COST here, not bytes.
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
       tauNumSq: Long, tauDenSq: Long): DataFrame = {

@@ -38,7 +38,7 @@ object GraphAnalytics {
     * The count also eagerly materializes all three persisted frames
     * (nodes derives through e; withDeg warms on first use).
     */
-  def prepare(edges: DataFrame): PreparedEdges = {
+  def prepare(edges: DataFrame): PreparedEdges = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
@@ -67,7 +67,7 @@ object GraphAnalytics {
     * pre-bucket edges by src and the rank join co-locates.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     // e feeds four consumers (both node projections, the degree agg,
     // the per-edge join) — prepare persists all three derivations;
     // the eager checkpoint materializes the result BEFORE the
@@ -172,7 +172,7 @@ object GraphAnalytics {
     graft.dedup.Dedup.componentsStar(
       edges.select(col("src").as("id_a"), col("dst").as("id_b")), maxIters)
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     val und = canonicalUndirected(edges)
     // deg feeds TWO rank joins — persist the (node-count-sized) frame
     // or each join re-runs the degree aggregate over und
@@ -219,7 +219,8 @@ object GraphAnalytics {
     * neighborhood, not the graph).
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     // PPR never reads the node set or N (sparse, source-anchored) —
     // build only the frames it uses rather than paying prepare()'s
     // distinct shuffle and count for discarded state
@@ -304,7 +305,7 @@ object GraphAnalytics {
     * 100 TB, pre-bucket edges by src and the frontier join co-locates.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3): DataFrame = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     require(maxHops >= 1, "shortestPaths needs maxHops >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
@@ -366,7 +367,8 @@ object GraphAnalytics {
     * Int.MaxValue` (the no-arg overload) is bit-identical to the
     * uncapped form — the g13 oracle runs uncapped.
     */
-  def linkPredictScores(edges: DataFrame, maxDegree: Int): DataFrame = {
+  def linkPredictScores(edges: DataFrame,
+      maxDegree: Int): DataFrame = graft.core.Tuning.withCachedPlanAqe(edges.sparkSession) {
     require(maxDegree >= 1, "linkPredictScores needs maxDegree >= 1")
     val und = canonicalUndirected(edges)
     // symmetric adjacency: (a, b) = "b is a neighbor of a"

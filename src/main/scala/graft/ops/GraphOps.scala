@@ -373,9 +373,15 @@ object GraphOps {
       // checkpoint BEFORE the output sort: a range-partitioned sort
       // SAMPLES its child and then reads it again — an uncached
       // iterative DAG would execute twice
-      (s, d) => orderedByAll(
-        graft.graph.GraphAnalytics.pageRank(prepared(s, d), iters = 3,
-          damping = 0.85).localCheckpoint(true)),
+      // cached-plan AQE is safe HERE because this edge set is a tree
+      // (single-parent fan-in): every per-dst contribution sum has one
+      // term, so the double arithmetic is grouping-invariant (the same
+      // reason the oracle matches bit-for-bit)
+      (s, d) => graft.core.Tuning.withCachedPlanAqe(s) {
+        orderedByAll(
+          graft.graph.GraphAnalytics.pageRank(prepared(s, d), iters = 3,
+            damping = 0.85).localCheckpoint(true))
+      },
       Some {
         def round(prev: String, cur: String) =
           s"""$cur AS (
@@ -518,9 +524,12 @@ object GraphOps {
           s.sparkContext.parallelize(Seq(
             org.apache.spark.sql.Row("r_0"), org.apache.spark.sql.Row("r_1"))),
           org.apache.spark.sql.types.StructType.fromDDL("id STRING"))
-        // same discipline as g10: materialize before the sampling sort
-        orderedByAll(g.personalizedPageRank(prepared(s, d), sources,
-          iters = 3, damping = 0.85).localCheckpoint(true))
+        // same discipline as g10: materialize before the sampling sort;
+        // cached-plan AQE safe for the same tree fan-in reason as g10
+        graft.core.Tuning.withCachedPlanAqe(s) {
+          orderedByAll(g.personalizedPageRank(prepared(s, d), sources,
+            iters = 3, damping = 0.85).localCheckpoint(true))
+        }
       },
       Some {
         def round(prev: String, cur: String) =

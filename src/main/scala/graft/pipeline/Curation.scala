@@ -30,7 +30,7 @@ object Curation {
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String], shingleK: Int, minJaccard: Double,
       maxDf: Int = 64, eval: Option[DataFrame] = None,
-      minCommon: Long = 3L): DataFrame = {
+      minCommon: Long = 3L): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     require(keepLangs.nonEmpty, "empty language whitelist keeps nothing")
     val toks = TextFunctions.tokens(col(textCol))
     // The filter's stopword hitCounts are interpreted HOFs — cheap
@@ -46,6 +46,12 @@ object Curation {
           TextFunctions.langId(toks).isin(keepLangs: _*))
       .select(col(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: dedupCorpus's first job joins TWO subtrees reading
+    // `kept` (the exact-group semi-join), whose map stages run
+    // concurrently — without materializing the cache first, the
+    // interpreted-HOF quality filter runs once PER SIDE (measured r19
+    // at sf0.1: 2 × 1.27 s of the d12 total; opt guide §1.2)
+    kept.count()
     val deduped = Dedup.dedupCorpus(kept, idCol, textCol, shingleK, minJaccard, maxDf)
     val survivorIds = eval.fold(deduped.select(idCol)) { ev =>
       val contaminated = Dedup.contaminationPairs(deduped, ev, idCol, textCol,

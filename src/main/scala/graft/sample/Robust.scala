@@ -55,15 +55,28 @@ object Robust {
         .where(col("__cum") >= col("__m") &&
           col("__cum") - col("n") < col("__m"))
         .select(col("key"), col("v").as(out))
+    // The med/mad tables are GROUP-COUNT-sized (the join-back is
+    // broadcast-sized by design), but they sit in the final plan as
+    // unshared subtrees: med appears under devFreq→mad AND in the
+    // row join, freq under both median selections — so the lazy plan
+    // scanned the corpus 4× and ran the value-frequency aggregate 3×
+    // (measured r19, x11 at sf0.1). Materialize the tiny tables
+    // eagerly instead: freq is persisted for its two consumers, med
+    // and mad are localCheckpoint'd (two sub-second jobs), and the
+    // returned frame joins the corpus against the checkpoints — ONE
+    // base scan at consumption, same rows (opt guide §1.2, §5 —
+    // cache only what is reused and compact).
     val freq = base.groupBy("key", "v").agg(count(lit(1)).as("n"))
-    val med = lowerMedianFreq(freq, "med")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = lowerMedianFreq(freq, "med").localCheckpoint(true)
     // deviation frequencies derive from the VALUE table, not the rows:
     // distinct |v − med| re-aggregated because two values can share a
     // deviation (v = med ± d)
     val devFreq = freq.join(med, "key")
       .select(col("key"), abs(col("v") - col("med")).as("v"), col("n"))
       .groupBy("key", "v").agg(sum("n").as("n"))
-    val mad = lowerMedianFreq(devFreq, "mad")
+    val mad = lowerMedianFreq(devFreq, "mad").localCheckpoint(true)
+    freq.unpersist(false)
     base.join(med, "key")
       .withColumn("__dev", abs(col("v") - col("med")))
       .join(mad, "key")

@@ -94,7 +94,7 @@ object Ivf {
     * driver) — the standard distributed-Lloyd shape.
     */
   def fitExact(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      iters: Int = 2): Model = {
+      iters: Int = 2): Model = graft.core.Tuning.withCachedPlanAqe(emb.sparkSession) {
     require(nCells >= 1 && iters >= 0)
     val iv = emb.select(col(idCol).as("__id"),
       Vectors.intVector(col(vecCol)).as("__iv"))
