@@ -340,31 +340,41 @@ object Dedup {
         .unionAll(e.select(col("v").as("c"), col("u").as("n")))
       val lsMin = sym.groupBy("c").agg(min("n").as("mn"))
         .select(col("c"), least(col("mn"), col("c")).as("m"))
+      // NOT distinct'd (r19): distinct (c, n) rows can project to the
+      // same (m, n) edge, but small-star's groupBy-min is
+      // multiplicity-blind and the tagged aggregate below is the one
+      // true dedup — dropping the exchange here removes one full
+      // shuffle of the edge frame per round (opt guide §2.4).
       val ls = sym.join(lsMin, "c")
         .where(col("n") > col("c"))
-        .select(col("m").as("u"), col("n").as("v")).distinct()
+        .select(col("m").as("u"), col("n").as("v"))
         .localCheckpoint(true)
       // small-star: center = the LARGER endpoint (canonical v), its
       // neighbor set all smaller. m_c = min of that set (< c); the
       // center and every non-min neighbor re-hang under m_c.
       val oriented = ls.select(col("v").as("c"), col("u").as("n"))
       val ssMin = oriented.groupBy("c").agg(min("n").as("m"))
-      val ss = oriented.join(ssMin, "c")
+      val ssRaw = oriented.join(ssMin, "c")
         .where(col("n") =!= col("m"))
         .select(col("m").as("u"), col("n").as("v"))
         .unionAll(ssMin.select(col("m").as("u"), col("c").as("v")))
-        .distinct()
+      // ONE tagged exchange is both the small-star DISTINCT and the
+      // fixpoint probe (r19 — replaces ss.distinct + a separate
+      // union-groupBy probe job, i.e. 3|e| shuffled bytes per round
+      // with 2|e| and one action with a shuffle-free cached scan):
+      // group the tagged union of ssRaw (s=1) and the previous
+      // distinct e (s=0) on the edge — max(s)=1 ⇔ in the new set,
+      // min(s)=0 ⇔ in the old one; the alternation is stable exactly
+      // when every edge is in both. (One-sided containment alone
+      // would miss a strict shrink ss ⊂ e.)
+      val tagged = ssRaw.select(col("u"), col("v"), lit(1).as("s"))
+        .unionAll(e.select(col("u"), col("v"), lit(0).as("s")))
+        .groupBy("u", "v")
+        .agg(max("s").as("in_ss"), min("s").as("in_e"))
         .localCheckpoint(true)
-      // fixpoint = edge set unchanged over a full alternation. Both
-      // sides are DISTINCT canonical sets, so symmetric equality is
-      // ONE job: union both (cached) frames, group on the edge — a
-      // row appearing once is in exactly one set. (One-sided
-      // exceptAll alone would miss a strict shrink ss ⊂ e; the old
-      // count+count+exceptAll probe paid three actions per round for
-      // the same answer.)
-      done = ss.unionAll(e).groupBy("u", "v").agg(count(lit(1)).as("k"))
-        .where(col("k") === lit(1)).isEmpty
-      e = ss
+      done = tagged
+        .where(col("in_ss") =!= lit(1) || col("in_e") =!= lit(0)).isEmpty
+      e = tagged.where(col("in_ss") === lit(1)).select("u", "v")
       iters += 1
     }
     require(done, s"componentsStar did not converge in $maxIters iterations")
@@ -527,18 +537,20 @@ object Dedup {
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
       tauNumSq: Long, tauDenSq: Long): DataFrame = {
+    // native int_vector / int_dot (r19): the scaling transform and the
+    // per-pair dot/norm folds previously ran as INTERPRETED lambdas on
+    // the verify hot path; the fused codegen expressions are pinned
+    // bit-identical (IntVectorExprSpec) and already carry the KNN scan
     val iv = emb.repartition(col(idCol)).select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      transform(col(vecCol), x => round(x * 1e7).cast(LongType)).as("iv"))
-      .withColumn("nrm2",
-        aggregate(col("iv"), lit(0L), (acc, v) => acc + v * v))
+      graft.search.Vectors.intVector(col(vecCol)).as("iv"))
+      .withColumn("nrm2", graft.search.Vectors.intDot(col("iv"), col("iv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     iv.count()
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val result = iv.as("a").join(iv.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.iv"), col("b.iv"), _ * _), lit(0L), _ + _))
+      .withColumn("dot", graft.search.Vectors.intDot(col("a.iv"), col("b.iv")))
       .filter(col("dot") > 0 &&
         dec(col("dot")) * dec(col("dot")) * tauDenSq >
           dec(lit(tauNumSq)) * dec(col("a.nrm2")) * dec(col("b.nrm2")))

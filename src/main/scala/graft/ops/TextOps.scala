@@ -79,7 +79,7 @@ object TextOps {
         val toks = tokens(col("text"))
         orderedByAll(
           Tables.documents(s, d)
-            .select(col("lang"), langId(toks).as("pred"))
+            .select(col("lang"), langId(col("text")).as("pred"))
             .groupBy("lang", "pred")
             .agg(count(lit(1)).as("n")))
       },
@@ -99,8 +99,8 @@ object TextOps {
           Tables.documents(s, d)
             .select(
               col("source"),
-              qualityBucket(size(toks), punctRatio(col("text")),
-                stopwordRatio(toks)).as("bucket"))
+              qualityBucket(tokenCount(col("text")), punctRatio(col("text")),
+                stopwordRatio(col("text"))).as("bucket"))
             .groupBy("source", "bucket")
             .agg(count(lit(1)).as("n")))
       },
@@ -176,7 +176,10 @@ object TextOps {
           .select(col("doc_id"),
             size(col("toks")).as("n_toks"),
             size(array_distinct(col("toks"))).as("n_uniq"),
-            explode(bigrams(col("toks"))).as("bg"))
+            col("toks"),
+            explode(bigramPositions(col("toks"))).as("__p"))
+          .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+            bigramAt(col("toks"), col("__p")).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("n"),
             max(col("n_toks")).as("n_toks"), max(col("n_uniq")).as("n_uniq"))
@@ -217,7 +220,8 @@ object TextOps {
       (s, d) => Tables.documents(s, d)
         .select(tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
-        .select(explode(bigrams(col("toks"))).as("bg"))
+        .select(col("toks"), explode(bigramPositions(col("toks"))).as("__p"))
+        .select(bigramAt(col("toks"), col("__p")).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg").asc)
         .limit(100),

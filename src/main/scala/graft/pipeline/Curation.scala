@@ -32,18 +32,20 @@ object Curation {
       maxDf: Int = 64, eval: Option[DataFrame] = None,
       minCommon: Long = 3L): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     require(keepLangs.nonEmpty, "empty language whitelist keeps nothing")
-    val toks = TextFunctions.tokens(col(textCol))
-    // The filter's stopword hitCounts are interpreted HOFs — cheap
-    // once, expensive re-derived: the dedup stage consumes this frame
-    // from several plans (exact groups, both sides of the shingle
-    // self-join, the survivor joins), so persist the filtered slim
-    // projection and release it once the survivor ID SET (compact) is
-    // checkpointed. The returned frame is a lazy semi-join of the raw
-    // input against those ids — no filter re-run, no corpus in cache.
+    // The quality/language gate is pure codegen'd regexp_counts over
+    // the text (r19 — no token arrays, no interpreted HOFs). The
+    // dedup stage still consumes this frame from several plans (exact
+    // groups, both sides of the shingle self-join, the survivor
+    // joins), so persist the filtered slim projection and release it
+    // once the survivor ID SET (compact) is checkpointed. The
+    // returned frame is a lazy semi-join of the raw input against
+    // those ids — no filter re-run, no corpus in cache.
+    val text = col(textCol)
     val kept = docs.filter(
-        TextFunctions.qualityBucket(size(toks), TextFunctions.punctRatio(col(textCol)),
-          TextFunctions.stopwordRatio(toks)) === "ok" &&
-          TextFunctions.langId(toks).isin(keepLangs: _*))
+        TextFunctions.qualityBucket(TextFunctions.tokenCount(text),
+          TextFunctions.punctRatio(text),
+          TextFunctions.stopwordRatio(text)) === "ok" &&
+          TextFunctions.langId(text).isin(keepLangs: _*))
       .select(col(idCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager: dedupCorpus's first job joins TWO subtrees reading

@@ -96,8 +96,13 @@ object Ivf {
   def fitExact(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
       iters: Int = 2): Model = graft.core.Tuning.withCachedPlanAqe(emb.sparkSession) {
     require(nCells >= 1 && iters >= 0)
+    // persisted for the training loop (r19): the seed collect plus
+    // EACH Lloyd round re-scanned the corpus and re-ran the 1e7
+    // scaling otherwise — iters+1 full passes for a frame that Lloyd
+    // by definition re-reads; released before returning (guide §5)
     val iv = emb.select(col(idCol).as("__id"),
       Vectors.intVector(col(vecCol)).as("__iv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init: Array[(Int, Array[Double])] = iv.orderBy(col("__id").asc)
       .limit(nCells).collect()
       .map(_.getSeq[Long](1).toArray.map(_.toDouble))
@@ -121,6 +126,7 @@ object Ivf {
         }.getOrElse(prev) // empty cell keeps its previous centroid
       })
     }
+    iv.unpersist(false)
     Model(q7Model.centroids.map { case (cell, c) =>
       cell -> c.map(_ / 1e7)
     })

@@ -33,17 +33,29 @@ object NgramLm {
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, modelTextCol: String): DataFrame = {
     val mToks = model.select(TextFunctions.tokens(col(modelTextCol)).as("toks"))
+    // bigram rows via the codegen'd position explode (r19 — see
+    // TextFunctions.bigramPositions); the size filter replaces the
+    // HOF form's explode-of-empty row drop
     val c12 = mToks
-      .select(explode(TextFunctions.bigrams(col("toks"))).as("bg"))
+      .where(size(col("toks")) >= 2)
+      .select(col("toks"),
+        explode(TextFunctions.bigramPositions(col("toks"))).as("__p"))
+      .select(TextFunctions.bigramAt(col("toks"), col("__p")).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
     val uni = mToks.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vStats = uni.agg(count(lit(1)).as("v"))
+    // same position-explode idiom; pos keeps the HOF form's 0-base,
+    // and w1 reads element_at directly instead of re-splitting the
+    // just-concatenated bigram string
     val bg = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
-        posexplode(TextFunctions.bigrams(col("toks"))).as(Seq("pos", "bg")))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), col("toks"),
+        explode(TextFunctions.bigramPositions(col("toks"))).as("__p"))
+      .select(col(idCol), (col("__p") - 1).cast("int").as("pos"),
+        TextFunctions.bigramAt(col("toks"), col("__p")).as("bg"),
+        element_at(col("toks"), col("__p")).as("w1"))
     // left joins + coalesce(0): a bigram or unigram unseen by the
     // model still scores (the smoothing's whole point) — scoring NEW
     // text against a reference LM is the production shape

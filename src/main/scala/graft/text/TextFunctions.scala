@@ -39,25 +39,44 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein")
   )
 
-  /** Count of tokens that appear in `set` (with multiplicity).
-    * Measured note: the HOF filter beats the "codegen-friendly"
-    * per-word size(array_remove) expansion ~4× here — one pass with
-    * |set| membership probes vs |set| array copies per row — so the
-    * lambda stays (the HOF-avoidance rule is about per-element WORK,
-    * not a ban).
+  /** Occurrences of any `set` member as a WHOLE TOKEN of `text`
+    * (with multiplicity), counted directly on the string. A token is
+    * a maximal [a-z0-9]+ run of lower(text), so a set word matches
+    * exactly where the tokenized array would hold it:
+    * `(?<![a-z0-9])(w1|w2|…)(?![a-z0-9])` — the lookarounds force
+    * whole-token matches regardless of alternation order, and
+    * full-token matches cannot overlap, so the non-overlapping scan
+    * counts precisely the array-filter hits.
+    *
+    * r19 rewrite (opt guide §1.2 per-task work): the previous
+    * `size(filter(toks, array_contains(…)))` evaluated an INTERPRETED
+    * lambda per row and forced the tokens array to materialize just
+    * to be counted; `regexp_count` is one codegen'd pass over the
+    * text. (An older measured note rejected the per-word
+    * size(array_remove) expansion as 4× worse than the HOF — this
+    * replaces the HOF with zero array work instead. Measured on the
+    * d12 quality filter at sf0.1: see OPTIMIZATION_r19.md.)
     */
-  def hitCount(toks: Column, set: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(set.map(lit): _*), t)))
+  def hitCount(text: Column, set: Seq[String]): Column =
+    regexp_count(lower(text),
+      lit(s"(?<![a-z0-9])(${set.mkString("|")})(?![a-z0-9])"))
 
-  /** Stopword-profile language ID. Deterministic argmax with fixed
-    * priority order en > es > fr > de; 'und' when no stopword hits.
-    * A real n-gram model slots in behind the same Column signature.
+  /** Token count straight off the text — `size(tokens(text))` without
+    * materializing the array (same [a-z0-9]+ runs).
     */
-  def langId(toks: Column): Column = {
-    val en = hitCount(toks, stopwords("en"))
-    val es = hitCount(toks, stopwords("es"))
-    val fr = hitCount(toks, stopwords("fr"))
-    val de = hitCount(toks, stopwords("de"))
+  def tokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+"))
+
+  /** Stopword-profile language ID over the RAW TEXT column.
+    * Deterministic argmax with fixed priority order en > es > fr > de;
+    * 'und' when no stopword hits. A real n-gram model slots in behind
+    * the same Column signature.
+    */
+  def langId(text: Column): Column = {
+    val en = hitCount(text, stopwords("en"))
+    val es = hitCount(text, stopwords("es"))
+    val fr = hitCount(text, stopwords("fr"))
+    val de = hitCount(text, stopwords("de"))
     when(en + es + fr + de === 0, lit("und"))
       .when(en >= es && en >= fr && en >= de, lit("en"))
       .when(es >= fr && es >= de, lit("es"))
@@ -73,8 +92,9 @@ object TextFunctions {
     length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
       length(text).cast("double")
 
-  def stopwordRatio(toks: Column): Column =
-    hitCount(toks, stopwords("en")).cast("double") / size(toks).cast("double")
+  def stopwordRatio(text: Column): Column =
+    hitCount(text, stopwords("en")).cast("double") /
+      tokenCount(text).cast("double")
 
   /** Quality bucket from the features (threshold CASE — same tree on
     * the oracle side).
@@ -112,6 +132,23 @@ object TextFunctions {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  /** Codegen-friendly EXPLODED bigrams (r19) — the postings() idiom
+    * applied to the bigram hot paths (t6/t9/NgramLm): explode a
+    * 1-based position sequence and build each bigram with
+    * element_at + concat_ws, all ordinary codegen'd expressions,
+    * instead of explode([[bigrams]]) whose `transform` lambda
+    * evaluates INTERPRETED per element (opt guide §1.2 per-task
+    * work). Callers filter `size(toks) >= 2` first (sequence(1, 0)
+    * is DESCENDING, not empty) — explode-of-empty drops those rows in
+    * the HOF form, the filter drops them here; identical rows out.
+    */
+  def bigramPositions(toks: Column): Column =
+    sequence(lit(1), size(toks) - 1)
+
+  /** The bigram starting at 1-based position `p` of `toks`. */
+  def bigramAt(toks: Column, p: Column): Column =
+    concat_ws(" ", element_at(toks, p), element_at(toks, p + 1))
 
   /** Overlapping character windows for RAG/embedding ingestion: an
     * array of (chunk_id, start, chunk) structs, windows of `win`
