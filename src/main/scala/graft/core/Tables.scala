@@ -11,8 +11,26 @@ import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
   * selection applied downstream reach the parquet reader.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer schemas, memoized per path (r19). A bare
+    * `spark.read.parquet(path)` runs a SCHEMA-INFERENCE JOB (read the
+    * footers) at plan-build time — one extra ~50 ms job per table per
+    * query, which across a 278-query bench is pure fixed overhead
+    * (opt guide §6: this is the work a table catalog's metadata
+    * normally absorbs). The schema of a given parquet path is a fact
+    * about the file, so it is read once per JVM and passed explicitly
+    * thereafter; only table METADATA is memoized — every query still
+    * computes its result from the parquet data in full.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

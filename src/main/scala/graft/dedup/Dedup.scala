@@ -61,8 +61,13 @@ object Dedup {
     * write the compact result to storage and read it back (the same
     * lineage truncation, durably).
     */
-  private def finalized(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
-    val out = result.localCheckpoint(true)
+  private def finalized(label: String, result: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    // job label (opt guide §1.5): the checkpoint is the operator's one
+    // big eager job — name it so profiles/UI attribute it correctly
+    val sc = result.sparkSession.sparkContext
+    sc.setJobDescription(label)
+    val out = try result.localCheckpoint(true) finally sc.setJobDescription(null)
     intermediates.foreach(_.unpersist(false))
     out
   }
@@ -79,7 +84,17 @@ object Dedup {
     */
   private def postings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs.repartition(col(idCol))
+    // EXPLICIT width (r19): tokenize+explode is the chain's heaviest
+    // per-row work, and its input exchange carries COMPRESSED text —
+    // at bench scale under 1 MB, so byte-based AQE coalescing ran the
+    // whole tokenization on ONE task (measured: a 1.0 s single-task
+    // postings materialization inside d2). Compressed bytes
+    // under-estimate CPU here (opt guide §2.5's size≠cost trap), so
+    // the width is pinned to the session's defaultParallelism — the
+    // scale-adaptive "all cores" value on any deployment, never a
+    // local constant.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).as("id"), toks.as("toks"))
       .select(col("id"), col("toks"),
         explode(sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(1)))).as("pos"))
@@ -179,7 +194,7 @@ object Dedup {
       .join(post.withColumnRenamed("id", "id_a"), Seq("id_a"))
       .join(post.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    finalized(
+    finalized("dedup: minhash-LSH verify",
       countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard),
       Seq(post, banded))
   }
@@ -198,7 +213,8 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double,
-      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
+      maxDf: Int = 64): DataFrame = {
+    val pc = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     // Count-based plan (round-4 rewrite; the array-verify version this
     // replaced was 88% of the round-3 bench):
     //  1. the rare-shingle self-join feeds groupBy(id_a, id_b).count()
@@ -233,9 +249,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("common_rare") + size(array_intersect(
           coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot)))).as("common"))
-    finalized(
-      countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard),
-      Seq(post))
+      (countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard), post)
+    }
+    // the VERIFY checkpoint runs OUTSIDE the cached-plan-AQE scope
+    // (r19): its per-pair work (hot-set array_intersect + the jaccard
+    // arithmetic) is tiny-bytes/heavy-compute, and byte-based
+    // re-planning of the cached inputs coalesced the whole verify
+    // onto one task (measured: a 1.36 s single-task final job inside
+    // d12) — the d8/d9 lesson again: partition width must track row
+    // COST here, not bytes
+    finalized("dedup: jaccard verify", pc._1, Seq(pc._2))
   }
 
   /** Connected components over an undirected pair set (id_a, id_b) —
@@ -256,15 +279,23 @@ object Dedup {
     */
   def components(pairs: DataFrame,
       maxIters: Int = 20): DataFrame = graft.core.Tuning.withCachedPlanAqe(pairs.sparkSession) {
+    // pre-partitioned on the join key (r19): every round joins sym on
+    // dst, and a cached frame carries its partitioning into the join's
+    // distribution requirement — hash-clustering sym by dst ONCE saves
+    // the per-round re-exchange of the (static) edge frame (opt guide
+    // §2.4 "two operations keyed the same way can share one exchange")
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
     var iters = 0
     var done = false
+    val sc0 = pairs.sparkSession.sparkContext
     while (!done && iters < maxIters) {
+      sc0.setJobDescription(s"dedup: components round $iters")
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("rep"))
       // the previous label rides the aggregation as a tagged row
@@ -280,6 +311,7 @@ object Dedup {
       labels = next.select("id", "rep")
       iters += 1
     }
+    sc0.setJobDescription(null)
     sym.unpersist(false)
     require(done, s"components did not converge in $maxIters iterations")
     labels
@@ -330,7 +362,9 @@ object Dedup {
       .localCheckpoint(true)
     var iters = 0
     var done = e.isEmpty
+    val sc0 = pairs.sparkSession.sparkContext
     while (!done && iters < maxIters) {
+      sc0.setJobDescription(s"dedup: components* round $iters")
       // large-star: center c over its FULL neighborhood. m_c =
       // min(neighbors ∪ self) ≤ c, and every neighbor n > c re-hangs
       // as (m_c, n) — already canonical since m_c ≤ c < n. Edges
@@ -377,6 +411,7 @@ object Dedup {
       e = tagged.where(col("in_ss") === lit(1)).select("u", "v")
       iters += 1
     }
+    sc0.setJobDescription(null)
     require(done, s"componentsStar did not converge in $maxIters iterations")
     // the stable edge set is a star forest rooted at component
     // minima: non-roots appear exactly once as v, roots label
@@ -419,7 +454,7 @@ object Dedup {
       .join(sp, Seq("shingle"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
-    finalized(result, Seq(tp, sp))
+    finalized("dedup: contamination pairs", result, Seq(tp, sp))
   }
 
   /** End-to-end corpus dedup — the composed pipeline stage: exact
@@ -447,7 +482,7 @@ object Dedup {
       .select("id_a", "id_b")
     val dups = components(pairs)
       .filter(col("id") =!= col("rep")).select(col("id").as(idCol))
-    val survivorIds = finalized(
+    val survivorIds = finalized("dedup: survivor ids",
       exact.select(idCol).join(dups, Seq(idCol), "left_anti"),
       Seq(exact))
     docs.join(survivorIds, Seq(idCol), "left_semi")
@@ -484,7 +519,7 @@ object Dedup {
           i => concat(col("s").substr(lit(1), i),
             col("s").substr(i + lit(2), length(col("s"))))))).as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    finalized(
+    finalized("dedup: edit-distance-1 verify",
       keys.select(col("s").as("s_a"), col("key"))
         .join(keys.select(col("s").as("s_b"), col("key")), Seq("key"))
         .filter(col("s_a") < col("s_b") &&
@@ -555,7 +590,7 @@ object Dedup {
         dec(col("dot")) * dec(col("dot")) * tauDenSq >
           dec(lit(tauNumSq)) * dec(col("a.nrm2")) * dec(col("b.nrm2")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    finalized(result, Seq(iv))
+    finalized("dedup: embedding near-dup verify", result, Seq(iv))
   }
 
   /** Embedding near-dup blocked by banded signed-random-projection
