@@ -101,8 +101,16 @@ object Vectors {
     * dequantization factor is `scale / 127`; keeping the raw max (not
     * the ratio) avoids one rounding step in the score rescale.
     */
-  def q8Scale(v: Column): Column =
-    array_max(transform(v, x => abs(x.cast("double"))))
+  def q8Scale(v: Column): Column = {
+    // max |x_i| WITHOUT the per-element HOF (r19): equal to
+    // greatest(|max|, |min|) for every array — array_max/array_min
+    // skip nulls like the transform did, empty/null arrays stay null,
+    // and a NaN element dominates both forms identically (NaN orders
+    // greatest). All codegen'd collection expressions; this runs over
+    // the whole corpus at index-build time.
+    val vd = v.cast("array<double>")
+    greatest(abs(array_max(vd)), abs(array_min(vd)))
+  }
 
   /** Symmetric int8 scalar quantization of a float-vector column:
     * q_i = floor(x_i / scale · 127) as TINYINT — 1 byte per
@@ -120,15 +128,21 @@ object Vectors {
     *
     * `scale` must be [[q8Scale]] of the SAME row MATERIALIZED by a
     * prior projection (`.select(..., q8Scale(v).as("scale"))`, then
-    * reference `col("scale")`) — not the q8Scale expression inline:
-    * HOF lambdas evaluate interpreted with no common-subexpression
-    * elimination, so an array_max embedded in the lambda re-scans the
-    * vector per ELEMENT, O(d²) per row across the whole corpus.
+    * reference `col("scale")`) — not the q8Scale expression inline
+    * (one scale per row, computed once).
+    *
+    * r19: the per-element map is the native fused-codegen
+    * [[graft.functions.Q8Vector]] (the IntVector recipe) — the
+    * `transform` lambda it replaces evaluated INTERPRETED per element
+    * over the whole corpus at build time; Q8VectorExprSpec pins
+    * bit-equality against that HOF.
     */
   def q8Vector(v: Column, scale: Column): Column =
-    transform(v, x =>
-      when(scale > lit(0.0), floor(x.cast("double") / scale * 127))
-        .otherwise(lit(0L)).cast("byte"))
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.Q8Vector(
+        org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          scale.cast("double"))))
 
   /** Two-phase quantized KNN — the production ANN shape for a corpus
     * whose full-precision vectors don't fit the scan budget:
@@ -218,9 +232,14 @@ object Vectors {
     * recall at lower per-band precision), same shape as the MinHash
     * bands. Integer dot products against integer plane weights —
     * exact sign, no float anywhere, so buckets are engine-portable.
-    * (HOF-composed: fine as a blocking-key builder; promote to a
-    * native expression via the NearestCells recipe if it ever sits
-    * on a scan hot path.)
+    *
+    * r19: the plane dots ride the native [[intDot]] (this sits on
+    * d8's SCAN path — nPlanes interpreted zip_with folds per row was
+    * the scan stage's dominant cost; the docstring here always said
+    * to promote it the day that happened). intDot and the HOF fold
+    * agree exactly on equal-length inputs, and every caller length-
+    * guards its vectors against `dim` before banding (a mismatched
+    * row raises loudly rather than banding wrong).
     */
   def lshBandKeys(iv: Column, planes: Array[Array[Long]], nBands: Int): Column = {
     require(planes.length % nBands == 0)
@@ -228,8 +247,7 @@ object Vectors {
     val keys = (0 until nBands).map { b =>
       val bits = (0 until r).map { j =>
         val w = array(planes(b * r + j).map(lit): _*)
-        when(aggregate(zip_with(iv, w, _ * _), lit(0L), _ + _) >= 0,
-          lit(1L << j)).otherwise(lit(0L))
+        when(intDot(iv, w) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       (lit(b.toLong * (1L << r)) + bits).as(s"band$b")
     }
