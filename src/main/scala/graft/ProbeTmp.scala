@@ -59,6 +59,18 @@ object ProbeTmp {
           println(f"[time] $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
         }
 
+      case "vplan" =>
+        // executed plan of the jaccard-verify subplan (normally hidden
+        // behind the eager checkpoint inside jaccardPairs)
+        val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        val post = graft.dedup.Dedup.postings(docs, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        post.count()
+        val v = graft.dedup.Dedup.jaccardVerifyPlan(post, 0.5, 64)
+        v.count()
+        println(v.queryExecution.executedPlan.toString.take(12000))
+
       case "jobs" =>
         val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
         names.foreach { n =>
@@ -81,11 +93,13 @@ object ProbeTmp {
             }
             override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
               val i = s.stageInfo
+              val rdds = i.rddInfos.map(r =>
+                r.scope.map(_.name).getOrElse(r.name)).distinct.mkString(">")
               stages += ((i.stageId, i.numTasks,
                 i.taskMetrics.executorRunTime,
                 i.taskMetrics.shuffleReadMetrics.totalBytesRead,
                 i.taskMetrics.shuffleWriteMetrics.bytesWritten,
-                i.name.take(60)))
+                i.name.take(40) + " | " + rdds.take(140)))
             }
           }
           spark.sparkContext.addSparkListener(listener)

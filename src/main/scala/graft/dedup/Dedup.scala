@@ -82,7 +82,7 @@ object Dedup {
     * the id repartition — no second exchange. The repartition also
     * spreads small single-split inputs across the cluster.
     */
-  private def postings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  private[graft] def postings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     // EXPLICIT width (r19): tokenize+explode is the chain's heaviest
     // per-row work, and its input exchange carries COMPRESSED text —
@@ -215,24 +215,44 @@ object Dedup {
       shingleK: Int, minJaccard: Double,
       maxDf: Int = 64): DataFrame = {
     val pc = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
-    // Count-based plan (round-4 rewrite; the array-verify version this
-    // replaced was 88% of the round-3 bench):
-    //  1. the rare-shingle self-join feeds groupBy(id_a, id_b).count()
-    //     directly — ONE shuffle yields both the candidate pairs and
-    //     their common-RARE-shingle counts, with map-side partial
-    //     aggregation collapsing the pair blowup before it moves
-    //     (the old plan materialized + dropDuplicates'd every
-    //     co-shingle pair, then re-joined full arrays);
-    //  2. hot shingles (df > maxDf) are FEW by definition — at most
-    //     |postings|/maxDf distinct values — so each doc's hot set is
-    //     a tiny array; joining those per pair and intersecting adds
-    //     the common-HOT count;
-    //  3. jaccard from counts (countJaccard) — same double division
-    //     over the same integers as the oracle's len(intersect)/
-    //     len(union), so values are bit-identical.
     val post = postings(docs, idCol, textCol, shingleK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     post.count()
+    (jaccardVerifyPlan(post, minJaccard, maxDf), post)
+    }
+    // the VERIFY checkpoint runs OUTSIDE the cached-plan-AQE scope
+    // (r19): its per-pair work (hot-set array_intersect + the jaccard
+    // arithmetic) is tiny-bytes/heavy-compute, and byte-based
+    // re-planning of the cached inputs coalesced the whole verify
+    // onto one task (measured: a 1.36 s single-task final job inside
+    // d12) — the d8/d9 lesson again: partition width must track row
+    // COST here, not bytes
+    finalized("dedup: jaccard verify", pc._1, Seq(pc._2))
+  }
+
+  /** The jaccardPairs verification plan over an ALREADY-PERSISTED
+    * postings frame (id, shingle) — split out (r19) so composed
+    * pipelines can thread ONE postings build through both the dedup
+    * and decontamination stages instead of re-tokenizing the corpus.
+    *
+    * Count-based plan (round-4 rewrite; the array-verify version this
+    * replaced was 88% of the round-3 bench):
+    *  1. the rare-shingle self-join feeds groupBy(id_a, id_b).count()
+    *     directly — ONE shuffle yields both the candidate pairs and
+    *     their common-RARE-shingle counts, with map-side partial
+    *     aggregation collapsing the pair blowup before it moves
+    *     (the old plan materialized + dropDuplicates'd every
+    *     co-shingle pair, then re-joined full arrays);
+    *  2. hot shingles (df > maxDf) are FEW by definition — at most
+    *     |postings|/maxDf distinct values — so each doc's hot set is
+    *     a tiny array; joining those per pair and intersecting adds
+    *     the common-HOT count;
+    *  3. jaccard from counts (countJaccard) — same double division
+    *     over the same integers as the oracle's len(intersect)/
+    *     len(union), so values are bit-identical.
+    */
+  private[graft] def jaccardVerifyPlan(post: DataFrame, minJaccard: Double,
+      maxDf: Int): DataFrame = {
     val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
     val blocked = post.join(dfreq.filter(col("df") <= maxDf).select("shingle"), "shingle")
@@ -249,16 +269,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("common_rare") + size(array_intersect(
           coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot)))).as("common"))
-      (countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard), post)
-    }
-    // the VERIFY checkpoint runs OUTSIDE the cached-plan-AQE scope
-    // (r19): its per-pair work (hot-set array_intersect + the jaccard
-    // arithmetic) is tiny-bytes/heavy-compute, and byte-based
-    // re-planning of the cached inputs coalesced the whole verify
-    // onto one task (measured: a 1.36 s single-task final job inside
-    // d12) — the d8/d9 lesson again: partition width must track row
-    // COST here, not bytes
-    finalized("dedup: jaccard verify", pc._1, Seq(pc._2))
+    countJaccard(pairCounts, sizes).filter(col("jaccard") >= minJaccard)
   }
 
   /** Connected components over an undirected pair set (id_a, id_b) —
@@ -444,6 +455,22 @@ object Dedup {
     val tp = postings(train, idCol, textCol, shingleK)
       .withColumnRenamed("id", "train_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    contaminationFromTrainPostings(tp, test, idCol, textCol, shingleK,
+      minCommon, maxDf, release = Seq(tp))
+  }
+
+  /** [[contaminationPairs]] over a PRE-BUILT train postings frame
+    * (train_id, shingle) — split out (r19) so the composed curation
+    * pipeline can reuse the dedup stage's postings instead of
+    * re-tokenizing the (already deduped) corpus: one full-corpus
+    * tokenize scan saved per run at any scale. `release` is
+    * unpersisted once the result is checkpointed (the caller decides
+    * whether `tp`'s backing cache outlives this stage).
+    */
+  private[graft] def contaminationFromTrainPostings(tp: DataFrame,
+      test: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minCommon: Long, maxDf: Int,
+      release: Seq[DataFrame]): DataFrame = graft.core.Tuning.withCachedPlanAqe(test.sparkSession) {
     val sp = postings(test, idCol, textCol, shingleK)
       .withColumnRenamed("id", "test_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -454,7 +481,7 @@ object Dedup {
       .join(sp, Seq("shingle"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
-    finalized("dedup: contamination pairs", result, Seq(tp, sp))
+    finalized("dedup: contamination pairs", result, release :+ sp)
   }
 
   /** End-to-end corpus dedup — the composed pipeline stage: exact
@@ -473,19 +500,42 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double,
-      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
+      maxDf: Int = 64): DataFrame = {
+    val (out, _, post) =
+      dedupCorpusAndPostings(docs, idCol, textCol, shingleK, minJaccard, maxDf)
+    post.unpersist(false)
+    out
+  }
+
+  /** [[dedupCorpus]] plus the checkpointed survivor-ID frame and the
+    * PERSISTED postings of the exact-dedup survivors — the threading
+    * surface for composed pipelines (r19): decontamination downstream
+    * consumes the SAME shingle postings restricted to the near-dup
+    * survivors, so handing this frame on saves a second full-corpus
+    * tokenize+shingle scan per run. The caller owns unpersisting
+    * `post`; rows for ids that LOST the near-dup vote are still in it
+    * (filter with the survivor ids).
+    */
+  private[graft] def dedupCorpusAndPostings(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, minJaccard: Double,
+      maxDf: Int): (DataFrame, DataFrame, DataFrame) =
+    graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
     val exact = docs.join(
       exactGroups(docs, idCol, textCol).select(col("rep_id").as(idCol)),
       Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = jaccardPairs(exact, idCol, textCol, shingleK, minJaccard, maxDf)
+    val post = postings(exact, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    post.count()
+    val pairs = finalized("dedup: jaccard verify",
+      jaccardVerifyPlan(post, minJaccard, maxDf), Seq.empty)
       .select("id_a", "id_b")
     val dups = components(pairs)
       .filter(col("id") =!= col("rep")).select(col("id").as(idCol))
     val survivorIds = finalized("dedup: survivor ids",
       exact.select(idCol).join(dups, Seq(idCol), "left_anti"),
       Seq(exact))
-    docs.join(survivorIds, Seq(idCol), "left_semi")
+    (docs.join(survivorIds, Seq(idCol), "left_semi"), survivorIds, post)
   }
 
   /** Edit-distance-1 pairs over a string column — the SymSpell

@@ -54,14 +54,25 @@ object Curation {
     // interpreted-HOF quality filter runs once PER SIDE (measured r19
     // at sf0.1: 2 × 1.27 s of the d12 total; opt guide §1.2)
     kept.count()
-    val deduped = Dedup.dedupCorpus(kept, idCol, textCol, shingleK, minJaccard, maxDf)
-    val survivorIds = eval.fold(deduped.select(idCol)) { ev =>
-      val contaminated = Dedup.contaminationPairs(deduped, ev, idCol, textCol,
-        shingleK, minCommon, maxDf)
+    // postings THREADING (r19): the dedup stage already tokenized and
+    // shingled the corpus; decontamination consumes the SAME postings
+    // restricted to the dedup survivors (postings are per-doc facts,
+    // so filtering the cached frame by survivor id is row-identical
+    // to re-shingling the deduped corpus) — one full-corpus tokenize
+    // scan saved per run at any scale.
+    val (_, dedupIds, post) = Dedup.dedupCorpusAndPostings(
+      kept, idCol, textCol, shingleK, minJaccard, maxDf)
+    val survivorIds = eval.fold(dedupIds) { ev =>
+      val tp = post
+        .join(dedupIds.withColumnRenamed(idCol, "id"), Seq("id"), "left_semi")
+        .withColumnRenamed("id", "train_id")
+      val contaminated = Dedup.contaminationFromTrainPostings(tp, ev,
+        idCol, textCol, shingleK, minCommon, maxDf, release = Seq.empty)
         .select(col("train_id").as(idCol)).distinct()
-      deduped.select(idCol).join(contaminated, Seq(idCol), "left_anti")
+      dedupIds.join(contaminated, Seq(idCol), "left_anti")
     }
     val ids = survivorIds.localCheckpoint(true)
+    post.unpersist(false)
     kept.unpersist(false)
     docs.join(ids, Seq(idCol), "left_semi")
   }
