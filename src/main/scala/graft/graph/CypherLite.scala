@@ -782,8 +782,11 @@ object CypherLite {
   // group 2 admits a label ALTERNATION (`:A|B`, Neo4j 5 label
   // expression) — normalized and mounted as a union view at query
   // time (queryOne); single labels pass through unchanged
+  // the property-map group is QUOTE-AWARE (r19 advice): a '}' inside
+  // a quoted string literal must not close the map early, so the body
+  // alternates complete quoted spans with non-brace/non-quote chars
   private val NodeRe =
-    """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\{[^}]*\})?\s*\)""".r
+    """^\(\s*([A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*(\{(?:'[^']*'|[^}'])*\})?\s*\)""".r
   // edge token: optional relationship VARIABLE, optional :TYPE (absent
   // = untyped, the README.md:137 `-[r*1..4]-` shape), optional
   // var-length star. Groups: 1 = variable, 2 = type, 3 = star.
@@ -8055,11 +8058,33 @@ object CypherLite {
           val NodeMapRe =
             """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(:[A-Za-z_][A-Za-z0-9_|\s]*)?\{([^}]*)\}\s*\)""".r
           val whereExtra = Seq.newBuilder[String]
-          val body = NodeMapRe.replaceAllIn(body0, m => {
+          // the map-body regex scans a SHADOW copy whose quoted spans
+          // are blanked (same length), so a '}' inside a string
+          // literal cannot truncate the match; entries and the
+          // rewrite read the ORIGINAL text by match offsets (r19
+          // advice — the foldUnquotedSpans discipline, offset-true).
+          val shadow0 = {
+            val cs = body0.toCharArray
+            var inQ = false
+            var ci = 0
+            while (ci < cs.length) {
+              if (cs(ci) == '\'') inQ = !inQ
+              else if (inQ) cs(ci) = '\u0001'
+              ci += 1
+            }
+            new String(cs)
+          }
+          val rebuilt = new StringBuilder
+          var lastEnd = 0
+          for (m <- NodeMapRe.findAllMatchIn(shadow0)) {
+            rebuilt ++= body0.substring(lastEnd, m.start)
+            // alias/label are bare identifiers — never quoted, so the
+            // shadow groups read them verbatim; the map body comes
+            // from the original (quotes intact)
             val alias = m.group(1)
             val lbl = Option(m.group(2)).map(_.trim).getOrElse("")
-            val entries = splitTopComma(m.group(3)).map(_.trim)
-              .filter(_.nonEmpty)
+            val entries = splitTopComma(body0.substring(m.start(3), m.end(3)))
+              .map(_.trim).filter(_.nonEmpty)
             val (names, lits) = entries.partition { kv =>
               val p2 = kv.split(":", 2)
               p2.length == 2 && {
@@ -8068,8 +8093,20 @@ object CypherLite {
                   !v.matches("(?i)true|false|null") && inScope(v)
               }
             }
-            if (names.isEmpty) java.util.regex.Matcher
-              .quoteReplacement(m.group(0))
+            // a carried NODE alias is not a value: `{prop: p}` after
+            // `WITH p` would desugar to prop-vs-node-ID equality —
+            // Neo4j's semantics (a property never equals a node)
+            // match NOTHING, so the engine rejects pointedly instead
+            // of silently comparing against the id (r19 advice)
+            for (kv <- names) {
+              val v = kv.split(":", 2)(1).trim
+              require(!carried.contains(v),
+                s"map entry '$kv' binds carried NODE alias '$v' — a " +
+                  "property never equals a node (Neo4j matches " +
+                  "nothing); compare a property of it instead " +
+                  s"(e.g. `$v.<prop>`)")
+            }
+            if (names.isEmpty) rebuilt ++= body0.substring(m.start, m.end)
             else {
               whereExtra ++= names.map { kv =>
                 val p2 = kv.split(":", 2)
@@ -8077,10 +8114,12 @@ object CypherLite {
               }
               val rest =
                 if (lits.isEmpty) "" else s" {${lits.mkString(", ")}}"
-              java.util.regex.Matcher
-                .quoteReplacement(s"($alias$lbl$rest)")
+              rebuilt ++= s"($alias$lbl$rest)"
             }
-          })
+            lastEnd = m.end
+          }
+          rebuilt ++= body0.substring(lastEnd)
+          val body = rebuilt.toString
           val extra = whereExtra.result()
           val whereOpt =
             if (extra.isEmpty) whereOpt0
@@ -8511,6 +8550,16 @@ object CypherLite {
     * shuffle Catalyst inserts. Null values drop before packing
     * (collect skips nulls); DISTINCT keeps the first occurrence per
     * value in key order (`array_distinct` preserves first-seen).
+    *
+    * Documented divergence (r19 advice): when carried sort keys TIE —
+    * e.g. a collect() after UNWIND of a per-row list, where every
+    * element shares the row's key values — the tie-break re-sorts the
+    * equal-key run by the collected VALUE ascending, so intra-row
+    * list order from before the UNWIND is NOT preserved the way
+    * Neo4j's pipelined runtime happens to preserve it. That is the
+    * price of deriving order from carried values instead of physical
+    * row order; the result is deterministic where Neo4j's is
+    * incidental.
     */
   /** True when `c` resolves to FLOAT/DOUBLE against `frame`. Resolution
     * failure answers false (caller keeps the stock aggregate).

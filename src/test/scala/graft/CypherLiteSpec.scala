@@ -5846,6 +5846,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("literals only"), e.getMessage)
   }
 
+  test("r19 advice: inline-map quoted '}' and carried-node-alias entries") {
+    // a '}' inside a quoted map literal no longer truncates the
+    // match: the name entry still desugars (the query compiles and
+    // the brace-bearing literal predicate simply matches nothing)
+    val n = CypherLite.query(mathG,
+      "MATCH (b:B {id: 2}) WITH b.num AS v " +
+        "MATCH (b2:B {tag: 'b}2', num: v}) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n === 0L)
+    // same shape without the brace literal binds the carried name
+    val n2 = CypherLite.query(mathG,
+      "MATCH (b:B {id: 2}) WITH b.num AS v " +
+        "MATCH (b2:B {tag: 'b2', num: v}) RETURN count(*) AS n")
+      .as[Long].collect().head
+    assert(n2 === 1L)
+    // a map entry binding a carried NODE alias rejects pointedly
+    // instead of silently comparing the property against the node id
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.query(mathG,
+        "MATCH (b:B) WITH b MATCH (b2:B {tag: b}) RETURN count(*) AS n")
+    }
+    assert(e.getMessage.contains("NODE alias"), e.getMessage)
+  }
+
   test("round-17 advice: fixed clock, struct correlation, db.* tails, decimal /") {
     // two timestamp() occurrences in ONE statement read the same
     // instant (statement-fixed clock)
