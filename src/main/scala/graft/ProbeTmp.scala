@@ -59,6 +59,36 @@ object ProbeTmp {
           println(f"[time] $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
         }
 
+      case "tok" =>
+        // isolate tokenization cost on the documents scan: baseline
+        // (length only) vs lower+regexp_extract_all vs the shingle tail
+        val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        import org.apache.spark.sql.functions._
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        def t(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            df.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[tok] $label min=${times.min}%.3f all=${times.map(x => f"$x%.3f").mkString(",")}")
+        }
+        t("baseline length")(docs.select(sum(length(col("text")))))
+        t("lower only")(docs.select(sum(length(lower(col("text"))))))
+        t("tokens regex")(docs.select(sum(size(
+          graft.text.TextFunctions.tokens(col("text"))))))
+        t("tokens+shingle")(docs.select(col("doc_id"),
+          graft.text.TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(sequence(lit(1),
+            greatest(size(col("toks")) - 2, lit(1)))).as("pos"), col("toks"))
+          .select(col("doc_id"),
+            array_join(slice(col("toks"), col("pos"), lit(3)), " ").as("sh"))
+          .groupBy("doc_id", "sh").agg(count(lit(1)))
+          .select(sum(lit(1))))
+
       case "vplan" =>
         // executed plan of the jaccard-verify subplan (normally hidden
         // behind the eager checkpoint inside jaccardPairs)
