@@ -4,14 +4,14 @@ import scala.collection.mutable
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
-/** Temporary measurement probe for optimization round 19.
+/** Temporary measurement probe for optimization rounds 19/20.
   *
   * Modes:
   *   jobs <names> [sfDir]  — run each query warm, then re-run with a
   *     job/stage listener; print per-job wall time + per-stage task
   *     totals and shuffle bytes.
   *   plan <names> <suffix> [sfDir] — dump .explain("formatted") of each
-  *     query to plans/r19/<name>_<suffix>.txt.
+  *     query to plans/r20/<name>_<suffix>.txt.
   *   time <names> [sfDir] [reps] — min-of-N isolated wall times.
   */
 object ProbeTmp {
@@ -35,9 +35,9 @@ object ProbeTmp {
           val df = qs(n)(spark, sfDir)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          val w = new java.io.PrintWriter(s"plans/r19/${n}_$suffix.txt")
+          val w = new java.io.PrintWriter(s"plans/r20/${n}_$suffix.txt")
           try w.println(txt) finally w.close()
-          println(s"[plan] wrote plans/r19/${n}_$suffix.txt")
+          println(s"[plan] wrote plans/r20/${n}_$suffix.txt")
           clean()
         }
 
@@ -88,6 +88,44 @@ object ProbeTmp {
             array_join(slice(col("toks"), col("pos"), lit(3)), " ").as("sh"))
           .groupBy("doc_id", "sh").agg(count(lit(1)))
           .select(sum(lit(1))))
+
+      case "vlplan" =>
+        // pre-checkpoint plan of the var-length Cypher shapes (the
+        // query defs localCheckpoint(true) eagerly, so `plan` mode only
+        // shows the checkpoint readout): rebuild the same
+        // prefixed-string-id hierarchy graph the g* defs use and dump
+        // the matchPaths chain plan itself.
+        val suffix = args(1)
+        val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val rn = graft.core.Tables.nation(spark, sfDir).select(
+          concat(lit("r_"), col("n_regionkey").cast("string")).as("src"),
+          concat(lit("n_"), col("n_nationkey").cast("string")).as("dst"))
+        val nc = graft.core.Tables.customer(spark, sfDir).select(
+          concat(lit("n_"), col("c_nationkey").cast("string")).as("src"),
+          concat(lit("c_"), col("c_custkey").cast("string")).as("dst"))
+        val co = graft.core.Tables.orders(spark, sfDir).select(
+          concat(lit("c_"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("o_"), col("o_orderkey").cast("string")).as("dst"))
+        val e = rn.unionAll(nc).unionAll(co)
+        val gnodes = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        val g = graft.graph.PropertyGraph(
+          nodes = Map("node" -> gnodes),
+          edges = Map("LINKS" -> (("node", "node", e))))
+        for ((nm, cy) <- Seq(
+          "g8_cypher_varlength" ->
+            "MATCH (a:node {id: 'r_0'})-[:LINKS*1..3]->(b:node) RETURN count(*) AS n_paths",
+          "g16_cypher_undirected_varlength" ->
+            "MATCH (a:node {id: 'c_1'})-[:LINKS*1..4]-(b:node) RETURN count(*) AS n_paths")) {
+          val df = graft.graph.CypherLite.query(g, cy)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val w = new java.io.PrintWriter(s"plans/r20/${nm}_$suffix.txt")
+          try w.println(txt) finally w.close()
+          println(s"[vlplan] wrote plans/r20/${nm}_$suffix.txt")
+          clean()
+        }
 
       case "vplan" =>
         // executed plan of the jaccard-verify subplan (normally hidden

@@ -311,14 +311,22 @@ object Dedup {
         .select(sym("src").as("id"), col("rep"))
       // the previous label rides the aggregation as a tagged row
       // (each id contributes its own label exactly once), so the
-      // fixpoint probe below is a scan of the just-checkpointed
-      // blocks — no per-round join against the prior frame
+      // fixpoint probe IS the round's materializing action (r20): the
+      // LAZY localCheckpoint truncates the plan to a LogicalRDD leaf
+      // at build time (same lineage discipline as before — a persist
+      // here instead grows the logical tree EXPONENTIALLY, each round
+      // referencing the previous frame several times; measured: the
+      // driver hung stringifying the plan) but defers the final-stage
+      // work into the changed-row count below, which fills the
+      // checkpoint blocks and decides convergence in ONE job where
+      // the r19 shape paid an eager checkpoint job PLUS a probe job
+      // (the rounds are job-launch-bound at bench scale).
       val next = labels.select(col("id"), col("rep"), lit(true).as("own"))
         .unionAll(nbrMin.select(col("id"), col("rep"), lit(false).as("own")))
         .groupBy("id")
         .agg(min("rep").as("rep"), min(when(col("own"), col("rep"))).as("prev"))
-        .localCheckpoint(true)
-      done = next.filter(col("rep") =!= col("prev")).isEmpty
+        .localCheckpoint(false)
+      done = next.filter(col("rep") =!= col("prev")).count() == 0L
       labels = next.select("id", "rep")
       iters += 1
     }
@@ -381,28 +389,42 @@ object Dedup {
       // as (m_c, n) — already canonical since m_c ≤ c < n. Edges
       // toward smaller neighbors are re-emitted when the smaller
       // endpoint is the center, so no edge is lost.
+      //
+      // WINDOW form (r20): m_c attaches to each neighborhood row as a
+      // partition-min WINDOW over c — one exchange where the r19
+      // groupBy-min + re-join paid two (plus a persisted/checkpointed
+      // intermediate, since the join split the round into two
+      // consumers). Row-identical: the window min over the full
+      // partition is the same exact long/string min, every (c, n) row
+      // keeps exactly one m. The whole round is now ONE linear
+      // pipeline — sym → window → small-star window → tagged probe —
+      // so the single probing action below materializes it with 3
+      // exchange stages per round instead of 5 plus two checkpoint
+      // jobs (measured r20: the rounds are job-launch-bound at bench
+      // scale — 10-12 tiny-stage jobs per round before, 4-5 after).
       val sym = e.select(col("u").as("c"), col("v").as("n"))
         .unionAll(e.select(col("v").as("c"), col("u").as("n")))
-      val lsMin = sym.groupBy("c").agg(min("n").as("mn"))
-        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val wC = org.apache.spark.sql.expressions.Window.partitionBy("c")
       // NOT distinct'd (r19): distinct (c, n) rows can project to the
-      // same (m, n) edge, but small-star's groupBy-min is
+      // same (m, n) edge, but the small-star window-min is
       // multiplicity-blind and the tagged aggregate below is the one
       // true dedup — dropping the exchange here removes one full
       // shuffle of the edge frame per round (opt guide §2.4).
-      val ls = sym.join(lsMin, "c")
+      val ls = sym
+        .withColumn("m", least(min("n").over(wC), col("c")))
         .where(col("n") > col("c"))
         .select(col("m").as("u"), col("n").as("v"))
-        .localCheckpoint(true)
       // small-star: center = the LARGER endpoint (canonical v), its
       // neighbor set all smaller. m_c = min of that set (< c); the
-      // center and every non-min neighbor re-hang under m_c.
-      val oriented = ls.select(col("v").as("c"), col("u").as("n"))
-      val ssMin = oriented.groupBy("c").agg(min("n").as("m"))
-      val ssRaw = oriented.join(ssMin, "c")
-        .where(col("n") =!= col("m"))
-        .select(col("m").as("u"), col("n").as("v"))
-        .unionAll(ssMin.select(col("m").as("u"), col("c").as("v")))
+      // center and every non-min neighbor re-hang under m_c. The
+      // center's own re-hang (m_c, c) rides the SAME projection: the
+      // unique row carrying the min (n = m_c; sym rows are distinct
+      // per (c, n)) emits it — row-identical to the r19 groupBy+join
+      // union, with no second consumer of the window frame.
+      val ssRaw = ls.select(col("v").as("c"), col("u").as("n"))
+        .withColumn("m", min("n").over(wC))
+        .select(col("m").as("u"),
+          when(col("n") =!= col("m"), col("n")).otherwise(col("c")).as("v"))
       // ONE tagged exchange is both the small-star DISTINCT and the
       // fixpoint probe (r19 — replaces ss.distinct + a separate
       // union-groupBy probe job, i.e. 3|e| shuffled bytes per round
@@ -411,14 +433,24 @@ object Dedup {
       // distinct e (s=0) on the edge — max(s)=1 ⇔ in the new set,
       // min(s)=0 ⇔ in the old one; the alternation is stable exactly
       // when every edge is in both. (One-sided containment alone
-      // would miss a strict shrink ss ⊂ e.)
+      // would miss a strict shrink ss ⊂ e.) The probing count IS the
+      // round's materializing action (r20): the LAZY localCheckpoint
+      // truncates the plan to a LogicalRDD leaf at build time (the
+      // lineage discipline the r19 eager form had — a persist here
+      // instead grows the logical tree EXPONENTIALLY, each round
+      // referencing the previous frame several times; measured: the
+      // driver hung stringifying the plan) while the unstable-row
+      // count fills the checkpoint blocks and decides the fixpoint in
+      // ONE job where the r19 shape paid an eager checkpoint job plus
+      // a probe job (the rounds are job-launch-bound at bench scale).
       val tagged = ssRaw.select(col("u"), col("v"), lit(1).as("s"))
         .unionAll(e.select(col("u"), col("v"), lit(0).as("s")))
         .groupBy("u", "v")
         .agg(max("s").as("in_ss"), min("s").as("in_e"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       done = tagged
-        .where(col("in_ss") =!= lit(1) || col("in_e") =!= lit(0)).isEmpty
+        .where(col("in_ss") =!= lit(1) || col("in_e") =!= lit(0))
+        .count() == 0L
       e = tagged.where(col("in_ss") === lit(1)).select("u", "v")
       iters += 1
     }
@@ -451,7 +483,7 @@ object Dedup {
   def contaminationPairs(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int, minCommon: Long,
-      maxDf: Int = 64): DataFrame = graft.core.Tuning.withCachedPlanAqe(train.sparkSession) {
+      maxDf: Int = 64): DataFrame = {
     val tp = postings(train, idCol, textCol, shingleK)
       .withColumnRenamed("id", "train_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -467,10 +499,17 @@ object Dedup {
     * unpersisted once the result is checkpointed (the caller decides
     * whether `tp`'s backing cache outlives this stage).
     */
+  // NOT wrapped in Tuning.withCachedPlanAqe (r20): the body has no
+  // eager jobs of its own — the cached postings frames materialize
+  // INSIDE the one contamination-checkpoint job, so the scope's only
+  // effect was re-planning that checkpoint over cached inputs (the
+  // same byte-coalescing hazard the jaccard verify hit; the posting
+  // joins are byte-proportional, but the width pin belongs to
+  // `postings`' explicit repartition, not to a scope over the verify).
   private[graft] def contaminationFromTrainPostings(tp: DataFrame,
       test: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minCommon: Long, maxDf: Int,
-      release: Seq[DataFrame]): DataFrame = graft.core.Tuning.withCachedPlanAqe(test.sparkSession) {
+      release: Seq[DataFrame]): DataFrame = {
     val sp = postings(test, idCol, textCol, shingleK)
       .withColumnRenamed("id", "test_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -501,9 +540,11 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minJaccard: Double,
       maxDf: Int = 64): DataFrame = {
-    val (out, _, post) =
-      dedupCorpusAndPostings(docs, idCol, textCol, shingleK, minJaccard, maxDf)
-    post.unpersist(false)
+    // keepPostings = false: this caller never reads the postings again,
+    // so they are released right after the pair verify instead of
+    // riding (as dead cache weight) through the whole components loop
+    val (out, _, _) = dedupCorpusAndPostings(docs, idCol, textCol,
+      shingleK, minJaccard, maxDf, keepPostings = false)
     out
   }
 
@@ -512,24 +553,42 @@ object Dedup {
     * surface for composed pipelines (r19): decontamination downstream
     * consumes the SAME shingle postings restricted to the near-dup
     * survivors, so handing this frame on saves a second full-corpus
-    * tokenize+shingle scan per run. The caller owns unpersisting
-    * `post`; rows for ids that LOST the near-dup vote are still in it
-    * (filter with the survivor ids).
+    * tokenize+shingle scan per run. With `keepPostings` (the default)
+    * the caller owns unpersisting `post`; rows for ids that LOST the
+    * near-dup vote are still in it (filter with the survivor ids).
+    * `keepPostings = false` releases it right after the pair verify —
+    * before the components loop — for callers that never read it.
     */
   private[graft] def dedupCorpusAndPostings(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, minJaccard: Double,
-      maxDf: Int): (DataFrame, DataFrame, DataFrame) =
-    graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
-    val exact = docs.join(
-      exactGroups(docs, idCol, textCol).select(col("rep_id").as(idCol)),
-      Seq(idCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val post = postings(exact, idCol, textCol, shingleK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    post.count()
+      maxDf: Int, keepPostings: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    // the cached-plan-AQE scope covers ONLY the eager cache
+    // materializations (exact survivors + postings — byte-proportional
+    // shuffle work); the jaccard-verify checkpoint runs OUTSIDE it,
+    // exactly as in jaccardPairs: the verify's per-pair work
+    // (hot-set array_intersect + jaccard arithmetic) is
+    // tiny-bytes/heavy-compute, and byte-based re-planning of the
+    // cached inputs coalesced it onto ONE task (r19's one
+    // driver-confirmed regression: d11 4.49 → 5.76 s — at 100 TB a
+    // serialized pair verify, not a 1 s annoyance). components() and
+    // the survivor checkpoint scope themselves as needed.
+    val (exact, post) = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
+      val exact = docs.join(
+        exactGroups(docs, idCol, textCol).select(col("rep_id").as(idCol)),
+        Seq(idCol), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val post = postings(exact, idCol, textCol, shingleK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      post.count()
+      (exact, post)
+    }
     val pairs = finalized("dedup: jaccard verify",
       jaccardVerifyPlan(post, minJaccard, maxDf), Seq.empty)
       .select("id_a", "id_b")
+    // a caller that will not consume the postings releases them HERE —
+    // before the components loop — instead of carrying a dead cached
+    // frame through every CC round's memory budget
+    if (!keepPostings) post.unpersist(false)
     val dups = components(pairs)
       .filter(col("id") =!= col("rep")).select(col("id").as(idCol))
     val survivorIds = finalized("dedup: survivor ids",

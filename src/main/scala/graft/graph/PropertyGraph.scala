@@ -439,6 +439,30 @@ final case class PropertyGraph(
         if (!multiHop) stepRel(withEid = collide || wantVar)
         else {
           val base = stepRel(withEid = true)
+          // PLAN NOTE (r20, measured): the h-fold chain union below
+          // textually duplicates each chain's prefix (chain h contains
+          // chain h−1's subtree), but for the literal-anchored
+          // patterns the engine compiles (`(a {id: 'x'})-[:R*1..k]->`)
+          // Catalyst's constraint propagation infers `__from = 'x'`
+          // through the path join and pushes it through the union into
+          // EVERY chain branch's first-hop scan — the whole pipeline
+          // stays one fused codegen pass over anchored frontiers
+          // (plans/r20/g16_*_before.txt: the anchor equality sits in
+          // the chain-side scan Filters). Two "obvious" rewrites were
+          // built and REVERTED after measuring (r20): (1) a runtime
+          // semi-join seed of hop 1 against the distinct anchor ids —
+          // redundant with the pushed constant, +0.3–0.5 s of
+          // broadcast/distinct machinery per query at sf0.1; (2) lazy
+          // persistence of shared chain prefixes — the cache barrier
+          // BLOCKS that pushdown (filters reach an InMemoryTableScan
+          // but never the plan inside the cache), so without (1) it
+          // would materialize UNPRUNED full-graph chains (180 M rows
+          // at sf0.1 for 3 hops, measured in DuckDB), and with (1) it
+          // still lost the codegen fusion for no local win. A
+          // NON-literal anchor frame (no constant to propagate) would
+          // re-enable full-graph enumeration — no registry query
+          // compiles that shape; if one ever does, seed hop 1 with the
+          // semi-join from (1) for exactly that step.
           // the arrival-node array rides the chain build only when a
           // nodes(p) item asked for it — otherwise the fold keeps the
           // (from, to, eids) shape it always had

@@ -27,10 +27,19 @@ object Curation {
     * Schema unchanged; only compact id sets are ever materialized, so
     * the result streams scan→sink at any scale.
     */
+  // NO whole-body Tuning.withCachedPlanAqe wrapper (r20): an outer
+  // scope would re-enable byte-based cached-plan re-planning across
+  // every nested stage — including the jaccard-verify and
+  // contamination CHECKPOINTS that dedupCorpusAndPostings/
+  // contaminationFromTrainPostings deliberately run outside their own
+  // scopes (tiny-bytes/heavy-compute per pair; coalescing serialized
+  // the d11 verify onto one task, r19's one driver-confirmed
+  // regression). Each nested operator scopes exactly the eager cache
+  // materializations that benefit; this composition adds none.
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String], shingleK: Int, minJaccard: Double,
       maxDf: Int = 64, eval: Option[DataFrame] = None,
-      minCommon: Long = 3L): DataFrame = graft.core.Tuning.withCachedPlanAqe(docs.sparkSession) {
+      minCommon: Long = 3L): DataFrame = {
     require(keepLangs.nonEmpty, "empty language whitelist keeps nothing")
     // The quality/language gate is pure codegen'd regexp_counts over
     // the text (r19 — no token arrays, no interpreted HOFs). The

@@ -67,6 +67,23 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 201 && got.values.toSet === Set(1L))
   }
 
+  test("componentsStar window form: duplicate star projections collapse (r20)") {
+    // r20 rewrote both star halves as partition-min WINDOWS with a
+    // single conditional projection. The shapes that distinguish the
+    // window form from the old groupBy+join: (a) distinct (c, n) rows
+    // projecting to the SAME (m, n) large-star edge (centers 2 and 3
+    // both hang 4 under 1), (b) the small-star center re-hang riding
+    // the min row itself — duplicates differ only in multiplicity and
+    // the tagged aggregate must collapse them.
+    val dense = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (6L, 5L), (5L, 7L), (7L, 6L)).toDF("id_a", "id_b")
+    val star = Dedup.componentsStar(dense).as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.components(dense).as[(Long, Long)].collect().toMap
+    assert(star === minLabel)
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("componentsStar: duplicate/reversed pairs, self-loops, empty input") {
     val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("id_a", "id_b")
     val got = Dedup.componentsStar(messy).as[(Long, Long)].collect().toMap
