@@ -20,6 +20,15 @@ object Tables {
     * about the file, so it is read once per JVM and passed explicitly
     * thereafter; only table METADATA is memoized — every query still
     * computes its result from the parquet data in full.
+    *
+    * INVARIANT (r20, advice): the memo assumes bench data is IMMUTABLE
+    * for the JVM's lifetime — rewriting a path with a DIFFERENT schema
+    * mid-process would serve the stale StructType, and the explicit
+    * read schema also disables footer merging for multi-file dirs with
+    * evolving schemas. Both hold here by construction (the driver
+    * generates testdata once, single-file tables, schemas fixed per
+    * generation); a long-lived library host mutating table schemas
+    * in-place should key this cache on (path, mtime) instead.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,

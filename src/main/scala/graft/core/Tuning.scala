@@ -44,6 +44,17 @@ object Tuning {
     * at consumption time, outside this scope, so they execute under the
     * session default — the scope covers the body's own eager jobs
     * (persist materialization, checkpoints, fixpoint probes).
+    *
+    * CONCURRENCY CONTRACT (r20, advice): the flag is a session-wide SQL
+    * conf with no thread isolation — a query planned CONCURRENTLY on
+    * the same SparkSession during the scope would run with cached-plan
+    * re-partitioning enabled, which is exactly the order-sensitive
+    * double-rounding hazard the class doc warns about. Every entry
+    * point in this repo (Bench, Verify, ProbeTmp, the test suites)
+    * plans queries from a single driver thread, so the scope cannot
+    * leak; a multi-threaded host must wrap its planning in
+    * `spark.newSession()` clones (per-session confs) before using the
+    * scoped operators concurrently.
     */
   def withCachedPlanAqe[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.getOption(CachedPlanAqeKey)

@@ -8585,6 +8585,18 @@ object CypherLite {
     * DOUBLE)`) is exact in DuckDB too, so both engines compute the
     * identical double at every scale. Integer-typed inputs keep the
     * stock sum (already exact).
+    *
+    * HARD ENGINE CONTRACT (r20, advice): Cypher float sum()/avg() is
+    * exact-decimal over the domain |x| < 1e28 with ≤ 10 fractional
+    * digits — the money/count/ratio domains every mounted graph
+    * serves. OUTSIDE it the decimal path diverges from a plain double
+    * sum by design: values below 1e-10 quantize to 0 (a sum of 1e-13s
+    * returns 0.0) and magnitudes ≥ ~1e28 overflow the DECIMAL(38,10)
+    * accumulator (NULL under the session's non-ANSI mode). A host
+    * mounting graphs with sub-1e-10 or super-1e28 float properties
+    * must widen this contract deliberately (scale the column, or
+    * guard on magnitude and fall back to the order-sensitive double
+    * sum) rather than inherit silent quantization.
     */
   private def exactFpSum(frame: DataFrame, c: Column): Column =
     if (isFloatingIn(frame, c))

@@ -1888,7 +1888,16 @@ object GraphOps {
       // compile (CypherLite) — a plain double avg is summation-order-
       // sensitive in its last ulp and flipped the rounded digit at
       // sf0.001 (4201.315 boundary); both engines now sum the 2-dp
-      // money exactly and round the identical double
+      // money exactly and round the identical double.
+      // GATE-INDEPENDENCE NOTE (r20, advice): this rewrites the oracle
+      // into the engine's own exact-sum formulation, so the gate here
+      // checks agreement on the exact spelling, not against DuckDB's
+      // NATIVE avg(). The native avg diverges from it only in the
+      // final double ulp (before round()) — verified at r19: identical
+      // results at sf0.01/sf0.1, a single last-rounded-digit flip at
+      // sf0.001 from FP summation order. Future rounds comparing
+      // against a native-avg oracle should expect last-ulp ties, not
+      // treat them as regressions (same applies to g98).
       Some("""SELECT n_name AS nm,
              |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
              |             / count(c_acctbal), 2) AS ab,
